@@ -1,0 +1,362 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.ops.{functions => F}
+
+/** q01–q24: the reference-parity query inventory (SURVEY.md §2.8).
+  *
+  * Each query exercises one operator row from SURVEY.md §2 over the
+  * driver test tables, and has a DuckDB oracle in [[oracleSql]] with
+  * IDENTICAL output column names and types. All queries end in a total
+  * ORDER BY for deterministic hash comparison.
+  *
+  * Scale notes: every query is a declarative single-pass plan — scans
+  * carry pruned schemas and pushed filters, aggregations are partial
+  * (map-side combine), the only joins (q21) broadcast their dimension
+  * side. Money aggregates run in DecimalType so results are exact and
+  * engine-independent.
+  */
+object CoreQueries {
+  private val T = Tables
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A3/C1: scan + projection pruning — ReadSchema must show 4 cols only.
+    "q01_scan_projection" -> ((s, d) =>
+      T.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // C1: rename + cast (marshmallow declared-field projection).
+    "q02_proj_rename_cast" -> ((s, d) =>
+      T.customer(s, d)
+        .select(
+          col("c_custkey").cast(StringType).as("id"),
+          col("c_acctbal").cast(DecimalType(12, 2)).as("balance"))
+        .orderBy("id")),
+
+    // D1/D2: null-safe case functions.
+    "q03_proj_case_funcs" -> ((s, d) =>
+      T.customer(s, d)
+        .select(
+          col("c_custkey"),
+          F.uppercase(col("c_name")).as("name_upper"),
+          F.lowercase(col("c_mktsegment")).as("segment_lower"))
+        .orderBy("c_custkey")),
+
+    // C3: constant column (fields.Constant → lit).
+    "q04_constant_lit" -> ((s, d) =>
+      T.nation(s, d)
+        .select(col("n_nationkey"), col("n_name"), lit("etl").as("source_tag"))
+        .orderBy("n_nationkey")),
+
+    // C2: computed column with multi-field access (README define_email).
+    "q05_computed_concat" -> ((s, d) =>
+      T.part(s, d)
+        .select(
+          col("p_partkey"),
+          concat(
+            replace(F.lowercase(col("p_name")), lit(" "), lit(".")),
+            lit("."), F.lowercase(col("p_brand")),
+            lit("@mycompany.com")).as("email"))
+        .orderBy("p_partkey")),
+
+    // E1: row filter (post-processor drop) — PushedFilters must show both.
+    "q06_filter_predicate" -> ((s, d) =>
+      T.lineitem(s, d)
+        .filter(col("l_quantity") > 30 && col("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // D8: recast_null / NULLIF.
+    "q07_recast_null" -> ((s, d) =>
+      T.orders(s, d)
+        .select(col("o_orderkey"), nullif(col("o_orderstatus"), lit("O")).as("status_n"))
+        .orderBy("o_orderkey")),
+
+    // D7: booler over a synthesized yes/no string column.
+    "q08_booler" -> ((s, d) =>
+      T.events(s, d)
+        .select(
+          col("event_id"),
+          F.booler(
+            when(col("event_type") === "signup", "Yes")
+              .when(col("event_type") === "purchase", "y")
+              .when(col("event_type") === "error", "NO")
+              .otherwise("n")).as("is_conversion"))
+        .orderBy("event_id")),
+
+    // D4: ISO date serialization.
+    "q09_date_iso" -> ((s, d) =>
+      T.orders(s, d)
+        .select(col("o_orderkey"), F.isoDate(col("o_orderdate")).as("order_date"))
+        .orderBy("o_orderkey")),
+
+    // D9: epoch-ms timestamp recast round-trip on the ns-precision table.
+    "q10_timestamp_millis" -> ((s, d) => {
+      val ev = T.events(s, d)
+      ev.select(
+          col("event_id"),
+          T.tsMillis(ev, "ts").as("ts_ms"),
+          F.isoDateTime(F.recastTimestamp(T.tsMillis(ev, "ts")),
+            "yyyy-MM-dd HH:mm:ss.SSS").as("ts_str"))
+        .orderBy("event_id")
+    }),
+
+    // D11: recast_mac '-'→':' translate.
+    "q11_mac_translate" -> ((s, d) =>
+      T.customer(s, d)
+        .select(
+          col("c_custkey"),
+          F.recastMac(concat_ws("-",
+            col("c_custkey").cast(StringType),
+            col("c_nationkey").cast(StringType),
+            (col("c_custkey") % 256).cast(StringType))).as("mac"))
+        .orderBy("c_custkey")),
+
+    // D12/D13: split + element pick, uppercased.
+    "q12_split_part" -> ((s, d) =>
+      T.part(s, d)
+        .select(
+          col("p_partkey"),
+          F.uppercase(element_at(split(col("p_name"), " "), 1)).as("first_word"))
+        .orderBy("p_partkey")),
+
+    // D14 family: content hashing (oracle-safe sha256; sha224 unit-tested).
+    "q13_sha2_hash" -> ((s, d) =>
+      T.customer(s, d)
+        .select(col("c_custkey"), sha2(col("c_name"), 256).as("name_hash"))
+        .orderBy("c_custkey")),
+
+    // F1: denormalize — explode with duplicated siblings.
+    "q14_explode_denormalize" -> ((s, d) =>
+      F.denormalize(
+          T.part(s, d).select(col("p_partkey"), split(col("p_type"), " ").as("type_word")),
+          "type_word")
+        .orderBy("p_partkey", "type_word")),
+
+    // D19/F3: flatten nested arrays.
+    "q15_flatten_array" -> ((s, d) =>
+      T.part(s, d)
+        .select(
+          col("p_partkey"),
+          array_join(
+            flatten(array(
+              array(F.lowercase(col("p_brand"))),
+              split(F.lowercase(col("p_type")), " "))),
+            ",").as("flat_str"))
+        .orderBy("p_partkey")),
+
+    // G1/A6: manifest union of two disjoint file/filter branches.
+    "q16_union_manifest" -> ((s, d) => {
+      val o = T.orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+      o.filter(col("o_orderstatus") === "F")
+        .unionByName(o.filter(col("o_orderstatus") === "O"))
+        .orderBy("o_orderkey")
+    }),
+
+    // B6: dated partition layout derivation (writer path columns).
+    "q17_partition_derive" -> ((s, d) =>
+      F.datedPartitions(T.orders(s, d), "o_orderdate")
+        .select("o_orderkey", "year", "month", "day")
+        .orderBy("o_orderkey")),
+
+    // D18: JSON field extraction from the events.props JSON string.
+    "q18_json_extract" -> ((s, d) =>
+      T.events(s, d)
+        .select(col("event_id"), F.jsonGet(col("props"), "$.k").as("k_val"))
+        .orderBy("event_id")),
+
+    // D10/D16: int→IPv4 dotted-quad and back (full round-trip).
+    "q19_ip_from_int" -> ((s, d) => {
+      val v = ((col("l_orderkey") * 2654435761L + col("l_linenumber"))
+        .bitwiseAND(lit(4294967295L))).as("v")
+      T.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), v)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          F.ipFromInt(col("v")).as("ip"),
+          F.ipToInt(F.ipFromInt(col("v"))).as("ip_int"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // [EXT] exact dedup via DISTINCT (shuffle-partial aggregate).
+    "q20_dedup_exact" -> ((s, d) =>
+      T.customer(s, d)
+        .select("c_mktsegment", "c_nationkey")
+        .distinct()
+        .orderBy("c_mktsegment", "c_nationkey")),
+
+    // §2.7 join capability: dim tables broadcast — no shuffle of customer.
+    "q21_join_enrich" -> ((s, d) =>
+      T.customer(s, d)
+        .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(T.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("c_name"),
+          col("n_name").as("nation"), col("r_name").as("region"))
+        .orderBy("c_custkey")),
+
+    // §2.7 aggregation capability: TPC-H Q1 shape, exact decimal money math.
+    "q22_agg_rollup" -> ((s, d) => {
+      val li = T.lineitem(s, d)
+      val qty = col("l_quantity").cast(DecimalType(18, 2))
+      val price = col("l_extendedprice").cast(DecimalType(18, 2))
+      val disc = (lit(1.0) - col("l_discount")).cast(DecimalType(18, 2))
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(qty).cast(DecimalType(18, 2)).as("sum_qty"),
+          sum(price).cast(DecimalType(18, 2)).as("sum_base_price"),
+          sum(price * disc).cast(DecimalType(18, 4)).as("sum_disc_price"),
+          (sum(qty).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // §2.7 window capability: top-3 orders per customer.
+    "q23_window_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      T.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // [EXT] text stats primitives.
+    "q24_text_stats" -> ((s, d) =>
+      T.part(s, d)
+        .select(
+          col("p_partkey"),
+          length(col("p_name")).cast(IntegerType).as("name_len"),
+          size(split(col("p_name"), " ")).cast(IntegerType).as("n_words"),
+          F.uppercase(trim(col("p_name"))).as("upper_name"))
+        .orderBy("p_partkey"))
+  )
+
+  /** DuckDB equivalents — identical column names/types, total ORDER BY. */
+  val oracleSql: Map[String, String] = Map(
+    "q01_scan_projection" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q02_proj_rename_cast" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS id,
+        |       CAST(c_acctbal AS DECIMAL(12,2)) AS balance
+        |FROM customer ORDER BY id""".stripMargin,
+    "q03_proj_case_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS name_upper,
+        |       lower(c_mktsegment) AS segment_lower
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q04_constant_lit" ->
+      """SELECT n_nationkey, n_name, 'etl' AS source_tag
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q05_computed_concat" ->
+      """SELECT p_partkey,
+        |       replace(lower(p_name), ' ', '.') || '.' || lower(p_brand)
+        |         || '@mycompany.com' AS email
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q06_filter_predicate" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q07_recast_null" ->
+      """SELECT o_orderkey, NULLIF(o_orderstatus, 'O') AS status_n
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q08_booler" ->
+      """SELECT event_id,
+        |       CASE WHEN event_type IN ('signup','purchase') THEN true
+        |            ELSE false END AS is_conversion
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q09_date_iso" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q10_timestamp_millis" ->
+      """SELECT event_id, epoch_ms(ts) AS ts_ms,
+        |       strftime(make_timestamp(epoch_ms(ts) * 1000),
+        |                '%Y-%m-%d %H:%M:%S.%g') AS ts_str
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q11_mac_translate" ->
+      """SELECT c_custkey,
+        |       translate(CAST(c_custkey AS VARCHAR) || '-' ||
+        |                 CAST(c_nationkey AS VARCHAR) || '-' ||
+        |                 CAST(c_custkey % 256 AS VARCHAR), '-', ':') AS mac
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q12_split_part" ->
+      """SELECT p_partkey, upper(split_part(p_name, ' ', 1)) AS first_word
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q13_sha2_hash" ->
+      """SELECT c_custkey, sha256(c_name) AS name_hash
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q14_explode_denormalize" ->
+      """SELECT p_partkey, unnest(string_split(p_type, ' ')) AS type_word
+        |FROM part ORDER BY p_partkey, type_word""".stripMargin,
+    "q15_flatten_array" ->
+      """SELECT p_partkey,
+        |       array_to_string(
+        |         flatten([[lower(p_brand)], string_split(lower(p_type), ' ')]),
+        |         ',') AS flat_str
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q16_union_manifest" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderstatus = 'O'
+        |ORDER BY o_orderkey""".stripMargin,
+    "q17_partition_derive" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS year,
+        |       CAST(month(o_orderdate) AS INT) AS month,
+        |       CAST(day(o_orderdate) AS INT) AS day
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q18_json_extract" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q19_ip_from_int" ->
+      """WITH b AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         (l_orderkey * 2654435761 + l_linenumber) & 4294967295 AS v
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |       CAST((v >> 24) & 255 AS VARCHAR) || '.' ||
+        |       CAST((v >> 16) & 255 AS VARCHAR) || '.' ||
+        |       CAST((v >> 8) & 255 AS VARCHAR) || '.' ||
+        |       CAST(v & 255 AS VARCHAR) AS ip,
+        |       v AS ip_int
+        |FROM b ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q20_dedup_exact" ->
+      """SELECT DISTINCT c_mktsegment, c_nationkey
+        |FROM customer ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+    "q21_join_enrich" ->
+      """SELECT c_custkey, c_name, n_name AS nation, r_name AS region
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q22_agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q23_window_topk" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q24_text_stats" ->
+      """SELECT p_partkey, CAST(length(p_name) AS INT) AS name_len,
+        |       CAST(len(string_split(p_name, ' ')) AS INT) AS n_words,
+        |       upper(trim(p_name)) AS upper_name
+        |FROM part ORDER BY p_partkey""".stripMargin
+  )
+}
