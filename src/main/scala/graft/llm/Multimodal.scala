@@ -1,0 +1,109 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling ([EXT] — SURVEY.md §2.7): image/audio/
+  * video payloads as opaque `binary` columns with typed metadata
+  * structs, plus decode/feature-extraction plumbing.
+  *
+  * The Spark-side plumbing — schema, batching, partition-parallel
+  * decode — is real and tested. The codec step itself is a
+  * deterministic STUB (image/audio libraries are not in this
+  * environment): [[decodeImageStub]] derives features from the raw
+  * bytes. Swapping in a real decoder changes only the function body
+  * passed to `mapPartitions`, not the pipeline shape.
+  */
+object Multimodal {
+
+  /** Metadata struct carried alongside every binary payload. */
+  val MetaSchema: StructType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("mime", StringType),
+    StructField("size_bytes", LongType),
+    StructField("content_hash", StringType)))
+
+  /** Ingest a directory of media files as (path, mod_time, payload,
+    * meta) via Spark's binaryFile source — distributed, no driver IO.
+    * `pathGlob` prunes at the file index (e.g. "*.png"). */
+  def ingestBinaryDir(spark: SparkSession, dir: String,
+      pathGlob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", pathGlob)
+      .load(dir)
+      .select(col("path"), col("modificationTime").as("mod_time"),
+        col("content").as("payload"))
+      .withColumn("meta", attachMeta(col("payload"), col("path"), lit("application/octet-stream")))
+
+  /** Build the metadata struct for a payload column. */
+  def attachMeta(payload: Column, path: Column, mime: Column): Column =
+    struct(
+      path.as("path"),
+      mime.as("mime"),
+      length(payload).cast(LongType).as("size_bytes"),
+      sha2(payload, 256).as("content_hash"))
+
+  /** Wrap a string column as a binary payload + metadata — used to
+    * exercise the multimodal plumbing against the text test tables. */
+  def binaryFromText(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      encode(col(textCol), "UTF-8").as("payload"))
+      .withColumn("meta", attachMeta(col("payload"),
+        concat(lit("mem://doc/"), col(idCol).cast(StringType)), lit("text/plain")))
+
+  /** Feature row produced by the (stubbed) image decoder. */
+  val ImageFeatureSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_channels", IntegerType),
+    StructField("features", ArrayType(FloatType))))
+
+  /** STUB image decode + feature extraction.
+    *
+    * Real pipeline shape: `mapPartitions` so each task amortizes codec
+    * init across its batch (the Scala analog of `mapInPandas` batch
+    * processing); output is a fixed-width feature vector per row.
+    *
+    * STUB semantics (deterministic fake, no codec libs here): "width"/
+    * "height" are parsed from byte length, "features" is a 16-bin byte
+    * histogram normalized to 1 — stable across runs and partitionings.
+    */
+  def decodeImageStub(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      // per-partition "codec init" would go here (once per task, not per row)
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](pIdx)
+        val n = bytes.length
+        // ??? real decoder goes here; deterministic fake below
+        val width = math.max(1, n % 1024)
+        val height = math.max(1, n / math.max(1, width))
+        val hist = new Array[Float](16)
+        var i = 0
+        while (i < n) { hist((bytes(i) & 0xff) / 16) += 1f; i += 1 }
+        val total = math.max(1, n).toFloat
+        Row(id, width, height, 3, hist.map(_ / total).toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, ImageFeatureSchema)
+  }
+
+  /** STUB frame sampling for "video" payloads: split the byte stream
+    * into `frames` equal chunks and emit one row per sampled chunk with
+    * its hash — the plumbing (explode to frame granularity, per-frame
+    * downstream ops) is the real part. */
+  def sampleFramesStub(df: DataFrame, idCol: String, payloadCol: String,
+      frames: Int = 4): DataFrame = {
+    val chunk = length(col(payloadCol)) / frames
+    df.select(col(idCol), posexplode(transform(sequence(lit(0), lit(frames - 1)),
+        f => sha2(substr(col(payloadCol), (f * chunk + 1).cast(IntegerType),
+          greatest(chunk, lit(1)).cast(IntegerType)), 256)))
+      .as(Seq("frame_idx", "frame_hash")))
+  }
+}

@@ -1,0 +1,116 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over embedding columns ([EXT] — SURVEY.md §2.7):
+  * brute-force cosine top-k as the exact baseline, hyperplane-LSH
+  * bucketing as the scale path.
+  *
+  * Scale design: the query side is always the small side — broadcast
+  * it, so brute force is a map-only pass over the corpus (no corpus
+  * shuffle; per-executor top-k via window partial aggregation). The
+  * LSH path buckets both sides on deterministic seeded hyperplane
+  * signatures so only same-bucket vectors meet. All vector math is
+  * higher-order-function expressions in double precision — codegen'd,
+  * no UDFs, no driver-side collect.
+  */
+object Similarity {
+
+  /** Cast a float-array embedding to double for exact, engine-stable
+    * arithmetic (float accumulation is order-sensitive noise). */
+  def asDouble(c: Column): Column = transform(c, _.cast(DoubleType))
+
+  /** Sequential-sum dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two (float or double) array columns. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = asDouble(a)
+    val bd = asDouble(b)
+    dot(ad, bd) / (norm(ad) * norm(bd))
+  }
+
+  /** Exact brute-force top-k: for each query vector, the k most cosine-
+    * similar corpus vectors. `queries` must be small (it is broadcast);
+    * the corpus is streamed map-side, then a single shuffle on query id
+    * ranks per-query candidates. Output: (query_id, rank, neighbor_id,
+    * cosine). */
+  def topKBruteForce(queries: DataFrame, corpus: DataFrame, qId: String,
+      cId: String, vecCol: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(qId).as("query_id"),
+      asDouble(col(vecCol)).as("qv"), norm(asDouble(col(vecCol))).as("qn"))
+    val c = corpus.select(col(cId).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"), norm(asDouble(col(vecCol))).as("cn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** Deterministic seeded random hyperplanes (rows of a planes×dim
+    * matrix), generated driver-side and inlined as a literal — tiny,
+    * broadcast with the plan. */
+  def randomPlanes(dim: Int, n: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(n)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Hyperplane-LSH signature: bit i = sign(vec · plane_i), folded into
+    * a long bucket id. Vectors with high cosine land in equal buckets
+    * with high probability (random-hyperplane LSH). */
+  def hyperplaneSignature(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    val v = asDouble(vec)
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val plane = array(p.map(lit): _*)
+      when(dot(v, plane) > 0.0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k via multi-band hyperplane LSH: `bands`
+    * independent signatures of `bitsPerBand` bits; query and corpus
+    * join on any matching (band, bucket); candidates are ranked
+    * exactly. Recall rises with bands, cost with bitsPerBand⁻¹.
+    * Falls back to fewer than k rows for queries whose buckets are
+    * sparse — callers wanting guaranteed k use [[topKBruteForce]]. */
+  def topKLsh(queries: DataFrame, corpus: DataFrame, qId: String,
+      cId: String, vecCol: String, k: Int = 5, bands: Int = 4,
+      bitsPerBand: Int = 8, seed: Long = 42L, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def banded(df: DataFrame, id: String, outId: String): DataFrame = {
+      val sigs = (0 until bands).map { b =>
+        hyperplaneSignature(col(vecCol),
+          randomPlanes(dim, bitsPerBand, seed + b)).as(s"b$b")
+      }
+      df.select((col(id).as(outId) +: asDouble(col(vecCol)).as("v") +: sigs): _*)
+        .select(col(outId), col("v"),
+          posexplode(array((0 until bands).map(b => col(s"b$b")): _*))
+            .as(Seq("band", "bucket")))
+    }
+    val q = banded(queries, qId, "query_id")
+      .withColumnRenamed("v", "qv")
+    val c = banded(corpus, cId, "neighbor_id")
+      .withColumnRenamed("v", "cv")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("band", "bucket"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv"))))
+          .as("cosine"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+}

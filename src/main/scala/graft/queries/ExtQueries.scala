@@ -1,0 +1,246 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+
+/** q25–q36: LLM-training-data-pipeline extension queries ([EXT] —
+  * SURVEY.md §2.7 north-star surface) over `documents`, `embeddings`,
+  * and `events`.
+  *
+  * Oracle-backed where the semantics are engine-independent (SHA-based
+  * hashing, list arithmetic, double math written identically on both
+  * sides). xxhash64-based signatures (MinHash fast path, SimHash) have
+  * no DuckDB equivalent → those queries are declared without oracle SQL
+  * and get the driver's rows-only check; their semantics are covered by
+  * scalatest instead.
+  */
+object ExtQueries {
+  private val T = Tables
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact content dedup: hash → keep lowest id (one narrow shuffle).
+    "q25_dedup_exact_hash" -> ((s, d) =>
+      Dedup.exactDedupByContent(T.documents(s, d), "text", "doc_id")
+        .orderBy("keep_id")),
+
+    // Token counting: whitespace + BPE-ish pre-tokenization proxy.
+    "q26_token_count" -> ((s, d) =>
+      T.documents(s, d)
+        .select(col("doc_id"),
+          TA.tokenCountWs(col("text")).as("ws_tokens"),
+          TA.tokenCountBpeish(col("text")).as("bpeish_tokens"))
+        .orderBy("doc_id")),
+
+    // Quality scoring: stopword/punct/word-length heuristics.
+    "q27_text_quality" -> ((s, d) =>
+      T.documents(s, d)
+        .select(col("doc_id"),
+          TA.tokenCountWs(col("text")).as("n_words"),
+          TA.avgWordLen(col("text")).as("avg_word_len"),
+          TA.stopwordRatio(col("text"), Seq("the", "a")).as("stop_ratio"),
+          TA.punctRatio(col("text")).as("punct_ratio"))
+        .orderBy("doc_id")),
+
+    // Language-ID heuristic signal: en-stopword hit ratio + threshold flag.
+    "q28_lang_stopwords" -> ((s, d) =>
+      T.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          TA.stopwordRatio(col("text"), Seq("the", "a", "and", "of", "to"))
+            .as("en_stop_ratio"))
+        .withColumn("is_en_like", col("en_stop_ratio") > 0.05)
+        .orderBy("doc_id")),
+
+    // Document fingerprint: min-SHA256 over word 5-grams (1-perm MinHash).
+    "q29_fingerprint" -> ((s, d) =>
+      T.documents(s, d)
+        .select(col("doc_id"), TA.fingerprint(col("text"), 5).as("fingerprint"))
+        .orderBy("doc_id")),
+
+    // N-gram Jaccard near-dup, blocked by lang to bound the pair space.
+    "q30_ngram_jaccard_pairs" -> ((s, d) => {
+      val sh = T.documents(s, d).select(col("doc_id"), col("lang"),
+        Dedup.shingleHashes(col("text"), 3).as("sh"))
+      val l = sh.as("l")
+      val r = sh.as("r")
+      l.join(r, col("l.lang") === col("r.lang") &&
+          col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+          Dedup.jaccard(col("l.sh"), col("r.sh")).as("jaccard"))
+        .filter(col("jaccard") >= 0.03)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Portable MinHash signature (SHA-based, 8 perms) — oracle-able.
+    "q31_minhash_sha" -> ((s, d) =>
+      T.documents(s, d)
+        .select(col("doc_id"),
+          array_join(Dedup.minHashSignatureSha(col("text"), 8, 3), ",")
+            .as("minhash_sig"))
+        .orderBy("doc_id")),
+
+    // MinHash+LSH banding candidates (xxhash64 fast path) — rows-only.
+    "q32_minhash_lsh_pairs" -> ((s, d) =>
+      Dedup.minhashCandidates(T.documents(s, d), "doc_id", "text",
+          bands = 8, rowsPerBand = 4)
+        .orderBy("id_a", "id_b")),
+
+    // SimHash 64-bit signatures (xxhash64 bit votes) — rows-only.
+    "q33_simhash" -> ((s, d) =>
+      T.documents(s, d)
+        .select(col("doc_id"), Dedup.simHash64("text").as("simhash"))
+        .orderBy("doc_id")),
+
+    // ANN: exact brute-force cosine top-5 for 8 query vectors.
+    "q34_ann_cosine_topk" -> ((s, d) => {
+      val emb = T.embeddings(s, d)
+      Similarity.topKBruteForce(
+          emb.filter(col("vec_id") < 8), emb, "vec_id", "vec_id", "embedding", 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine_r"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ANN scale path: hyperplane-LSH bucketed top-k — rows-only
+    // (seeded-random planes are engine-local by construction).
+    "q35_ann_lsh_topk" -> ((s, d) => {
+      val emb = T.embeddings(s, d)
+      Similarity.topKLsh(emb.filter(col("vec_id") < 8), emb,
+          "vec_id", "vec_id", "embedding", k = 5, bands = 4, bitsPerBand = 8)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Multimodal plumbing: binary payload + typed metadata struct.
+    "q36_multimodal_meta" -> ((s, d) =>
+      Multimodal.binaryFromText(T.documents(s, d), "text", "doc_id")
+        .select(col("doc_id"),
+          col("meta.size_bytes").as("size_bytes"),
+          col("meta.content_hash").as("content_hash"),
+          col("meta.mime").as("mime"))
+        .orderBy("doc_id")),
+
+    // Time-series rollup on the stream-shaped table (batch counterpart
+    // of the streaming windowed aggregation in graft.streaming).
+    "q37_hourly_rollup" -> ((s, d) => {
+      val ev = T.events(s, d)
+      ev.select(
+          date_format(timestamp_millis(T.tsMillis(ev, "ts")), "yyyy-MM-dd HH")
+            .as("hour"),
+          col("user_id"), col("value"))
+        .groupBy("hour")
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(18, 2))
+            .as("sum_value"))
+        .orderBy("hour")
+    })
+  )
+
+  /** DuckDB oracles for the engine-independent subset. */
+  val oracleSql: Map[String, String] = Map(
+    "q25_dedup_exact_hash" ->
+      """SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
+        |       count(*) AS n_dupes
+        |FROM documents GROUP BY sha256(text) ORDER BY keep_id""".stripMargin,
+    "q26_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT)
+        |    AS bpeish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q27_text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(w) AS INT) AS n_words,
+        |  CAST(length(text) AS DOUBLE) / len(w) AS avg_word_len,
+        |  CAST(len(list_filter(w, x -> x = 'the' OR x = 'a')) AS DOUBLE)
+        |    / len(w) AS stop_ratio,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |    / length(text) AS punct_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q28_lang_stopwords" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CAST(len(list_filter(w, x -> x IN ('the','a','and','of','to'))) AS DOUBLE)
+        |    / len(w) AS en_stop_ratio,
+        |  (CAST(len(list_filter(w, x -> x IN ('the','a','and','of','to'))) AS DOUBLE)
+        |    / len(w)) > 0.05 AS is_en_like
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q29_fingerprint" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents)
+        |SELECT doc_id,
+        |  list_min(list_transform(
+        |    generate_series(1, greatest(len(w) - 4, 1)),
+        |    i -> sha256(array_to_string(w[i:i+4], ' ')))) AS fingerprint
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q30_ngram_jaccard_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         list_distinct(list_transform(
+        |           generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 1)),
+        |           i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' '))) AS sh
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |FROM t a JOIN t b
+        |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.03
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q31_minhash_sha" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 1)),
+        |      i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' '))) AS sh
+        |  FROM documents)
+        |SELECT doc_id,
+        |  array_to_string(list_transform(generate_series(0, 7),
+        |    j -> list_min(list_transform(sh,
+        |      s -> sha256(s || '|' || CAST(j AS VARCHAR))))), ',') AS minhash_sig
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q34_ann_cosine_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 8),
+        |c AS (
+        |  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT query_id, neighbor_id,
+        |         list_cosine_similarity(qv, cv) AS cosine
+        |  FROM q CROSS JOIN c),
+        |r AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |         CAST(row_number() OVER (PARTITION BY query_id
+        |           ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+        |  FROM s)
+        |SELECT query_id, rank, neighbor_id, round(cosine, 4) AS cosine_r
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q36_multimodal_meta" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
+        |       sha256(text) AS content_hash,
+        |       'text/plain' AS mime
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q37_hourly_rollup" ->
+      """SELECT strftime(ts, '%Y-%m-%d %H') AS hour,
+        |       count(*) AS n_events,
+        |       count(DISTINCT user_id) AS n_users,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY hour""".stripMargin
+  )
+}
