@@ -1,0 +1,97 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat again and again today"), // near dup of 1
+    (4L, "completely different content about spark shuffles and partitions here"),
+    (5L, "another unrelated document mentioning catalyst optimizer rules only")
+  ).toDF("id", "text")
+
+  test("exactDedupByContent groups identical texts, keeps min id") {
+    val r = Dedup.exactDedupByContent(docs, "text", "id")
+      .orderBy("keep_id").collect()
+    assert(r.length === 4)
+    assert(r(0).getAs[Long]("keep_id") === 1L)
+    assert(r(0).getAs[Long]("n_dupes") === 2L)
+    assert(r.map(_.getAs[Long]("n_dupes")).sum === 5L)
+  }
+
+  test("shingles produce distinct word n-grams") {
+    val sh = Seq("a b c d").toDF("t")
+      .select(Dedup.shingles(col("t"), 2)).collect()(0).getSeq[String](0)
+    assert(sh.toSet === Set("a b", "b c", "c d"))
+    // short text falls back to whole-text shingle
+    val short = Seq("hi").toDF("t")
+      .select(Dedup.shingles(col("t"), 3)).collect()(0).getSeq[String](0)
+    assert(short === Seq("hi"))
+  }
+
+  test("jaccard exact values") {
+    val j = Seq(1).toDF("x").select(Dedup.jaccard(
+      array(lit("a"), lit("b"), lit("c")),
+      array(lit("b"), lit("c"), lit("d")))).collect()(0).getDouble(0)
+    assert(j === 0.5) // |∩|=2, |∪|=4
+  }
+
+  test("minhash signature: identical texts agree, est tracks exact jaccard") {
+    val sigs = docs.select(col("id"),
+      Dedup.minHashSignature(col("text"), 64, 3).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) === sigs(2L)) // identical text → identical signature
+    def agree(a: Seq[Long], b: Seq[Long]): Double =
+      a.zip(b).count { case (x, y) => x == y }.toDouble / a.size
+    // near-dup (1,3): high agreement; unrelated (1,4): low
+    assert(agree(sigs(1L), sigs(3L)) > 0.5)
+    assert(agree(sigs(1L), sigs(4L)) < 0.2)
+  }
+
+  test("minhashCandidates finds planted near-dups via LSH banding only") {
+    val pairs = Dedup.minhashCandidates(docs, "id", "text", bands = 8, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // exact dup always collides
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.contains((4L, 5L))) // unrelated must not pair
+  }
+
+  test("nearDuplicatesMinhash verifies with exact jaccard threshold") {
+    val r = Dedup.nearDuplicatesMinhash(docs, "id", "text",
+      threshold = 0.99, bands = 8, rowsPerBand = 4)
+      .collect().map(x => (x.getAs[Long]("id_a"), x.getAs[Long]("id_b"))).toSet
+    assert(r === Set((1L, 2L))) // only the exact dup survives jaccard ≥ .99
+  }
+
+  test("simHash64: identical text → equal hash; near dup → small hamming") {
+    val sigs = docs.select(col("id"), Dedup.simHash64("text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(3L)) < ham(sigs(1L), sigs(4L)))
+    assert(ham(sigs(1L), sigs(3L)) <= 16)
+  }
+
+  test("simhashPairs blocks on 16-bit chunks and bounds hamming") {
+    val pairs = Dedup.simhashPairs(docs, "id", "text", maxHamming = 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((4L, 5L)))
+  }
+
+  test("embeddingNearDup finds planted identical vectors") {
+    val vecs = Seq(
+      (1L, Seq.tabulate(8)(i => math.sin(i + 1).toFloat)),
+      (2L, Seq.tabulate(8)(i => math.sin(i + 1).toFloat)), // identical
+      (3L, Seq.tabulate(8)(i => math.cos(3 * i + 2).toFloat))
+    ).toDF("id", "vec")
+    val r = Dedup.embeddingNearDup(vecs, "id", "vec",
+      threshold = 0.99, dim = 8, planes = 8)
+      .collect().map(x => (x.getAs[Long]("id_a"), x.getAs[Long]("id_b"))).toSet
+    assert(r === Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  test("cosine of known vectors") {
+    val r = Seq(1).toDF("x").select(
+      Similarity.cosine(array(lit(1.0f), lit(0.0f)), array(lit(1.0f), lit(1.0f))),
+      Similarity.cosine(array(lit(1.0f), lit(0.0f)), array(lit(0.0f), lit(1.0f))),
+      Similarity.cosine(array(lit(2.0f), lit(0.0f)), array(lit(5.0f), lit(0.0f))))
+      .collect()(0)
+    assert(math.abs(r.getDouble(0) - math.sqrt(0.5)) < 1e-12)
+    assert(r.getDouble(1) === 0.0)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+  }
+
+  private val corpus = {
+    val rng = new scala.util.Random(7)
+    val base = Seq.fill(16)(rng.nextGaussian().toFloat)
+    // vec 100 ≈ vec 0 (planted neighbor); rest random
+    val rows = (0L, base) +: (100L, base.map(x => (x * 1.001f))) +:
+      Seq.tabulate(60) { i => (i + 1L, Seq.fill(16)(rng.nextGaussian().toFloat)) }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("topKBruteForce: self is rank 1, planted neighbor rank 2") {
+    val r = Similarity.topKBruteForce(
+      corpus.filter(col("vec_id") === 0), corpus, "vec_id", "vec_id", "embedding", 3)
+      .orderBy("rank").collect()
+    assert(r(0).getAs[Long]("neighbor_id") === 0L)
+    assert(math.abs(r(0).getAs[Double]("cosine") - 1.0) < 1e-12)
+    assert(r(1).getAs[Long]("neighbor_id") === 100L)
+    assert(r(1).getAs[Double]("cosine") > 0.999)
+  }
+
+  test("topKLsh recovers the planted neighbor (high-recall config)") {
+    val r = Similarity.topKLsh(
+      corpus.filter(col("vec_id") === 0), corpus, "vec_id", "vec_id",
+      "embedding", k = 3, bands = 6, bitsPerBand = 4, dim = 16)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(r.contains(0L) && r.contains(100L))
+  }
+
+  test("hyperplane signature: equal vectors share buckets, deterministic") {
+    val planes = Similarity.randomPlanes(4, 8, seed = 42L)
+    assert(planes === Similarity.randomPlanes(4, 8, seed = 42L))
+    val sigs = Seq(
+      (1L, Seq(1f, 2f, 3f, 4f)), (2L, Seq(1f, 2f, 3f, 4f)),
+      (3L, Seq(-1f, -2f, -3f, -4f)))
+      .toDF("id", "v")
+      .select(col("id"), Similarity.hyperplaneSignature(col("v"), planes).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L) !== sigs(3L)) // antipodal vector flips every bit
+  }
+}
