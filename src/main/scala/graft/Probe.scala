@@ -14,6 +14,11 @@ object Probe {
     val e = SparkEntry.entry(spark)
     println(s"ENTRY_ROWS=${e.count()}")
     e.show(5, false)
+    // round-trip the flagship result through the JSONL sink/source pair
+    val out = java.nio.file.Files.createTempDirectory("graft-probe").toString
+    graft.io.Sinks.jsonl(e, s"$out/jsonl")
+    val back = graft.io.Sources.jsonl(spark, Seq(s"$out/jsonl"))
+    println(s"JSONL_ROUNDTRIP_ROWS=${back.count()}")
     spark.stop()
   }
 }

@@ -15,23 +15,37 @@ import graft.ops.{functions => F}
   */
 object SparkEntry {
 
-  /** Flagship: the reference's extract→transform pipeline shape over the
-    * stream-shaped `events` table (SURVEY.md §7.5) — rename/cast,
-    * booler, JSON extraction, ms-recast, ISO serialization.
+  /** Flagship (SURVEY.md §7.5): the reference's full staged pipeline —
+    * extract (raw pass-through) → transform (declared-schema Model
+    * compile: rename/cast/booler/JSON-extract/uppercase) → load (typed
+    * result) — run through graft.pipeline with parquet interchange and
+    * manifest commits, over the stream-shaped `events` table.
     * Driver smoke-checks rows > 0 on sf0.001. */
   def entry(spark: SparkSession): DataFrame = {
+    import graft.model.{Field, Model}
+    import graft.pipeline.{Manifest, Pipeline, Stage}
     val d = "/root/testdata/sf0.001"
     val ev = Tables.events(spark, d)
-    ev.select(
-        col("event_id").as("id"),
-        F.recastTimestamp(Tables.tsMillis(ev, "ts")).as("event_time"),
-        F.uppercase(col("event_type")).as("kind"),
-        F.boolerLax(
-          when(col("event_type").isin("signup", "purchase"), "yes")
-            .otherwise("no")).as("is_conversion"),
-        col("value").cast("decimal(12,2)").as("amount"),
-        F.jsonGet(col("props"), "$.k").cast("int").as("k"))
-      .filter(col("amount") > 0)
+
+    val enrichedEvent = Model("EnrichedEvent", Seq(
+      Field("id", source = Some("event_id")),
+      Field("event_time",
+        computed = Some(F.recastTimestamp(Tables.tsMillis(ev, "ts")))),
+      Field("kind", source = Some("event_type"), transform = F.uppercase),
+      Field("is_conversion", computed = Some(F.boolerLax(
+        when(col("event_type").isin("signup", "purchase"), "yes")
+          .otherwise("no")))),
+      Field("amount", source = Some("value"),
+        cast = Some(org.apache.spark.sql.types.DecimalType(12, 2))),
+      Field("k", computed = Some(F.jsonGet(col("props"), "$.k").cast("int")))))
+
+    val root = java.nio.file.Files.createTempDirectory("graft-entry").toString
+    val pipe = Pipeline("enriched_events", Seq(
+      Stage("extract", identity),
+      Stage("transform", enrichedEvent.compile,
+        post = Seq(df => df.filter(col("amount") > 0)))), root)
+    pipe.run(spark, ev, pkey = "events-sf0.001",
+      manifest = Some(new Manifest(spark, s"$root/_manifest")))
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,88 @@
+package graft.io
+
+import java.sql.DriverManager
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{functions => F}
+
+/** Writers — the reference's sink surface (SURVEY.md §2.2):
+  * JSONL(.gz) streaming writer (B1), dated partition layout (B6),
+  * JDBC bulk append / batched upsert load (B3-B5).
+  *
+  * Atomic commit (B2's temp→rename) is Spark's FileOutputCommitter —
+  * already the same protocol. The JDBC paths are distributed
+  * (per-partition connections), unlike the reference's
+  * whole-file-in-memory executemany (pipeline.py:639).
+  */
+object Sinks {
+
+  /** JSONL writer, gzip on by default (DATA_COMPRESSION=True,
+    * data_pipes/__init__.py:95). Timestamps serialize ISO+Z like
+    * ext/serializers.py:12-14. */
+  def jsonl(df: DataFrame, dir: String, compress: Boolean = true,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+    (if (compress) w.option("compression", "gzip") else w).json(dir)
+  }
+
+  /** Dated partitioned layout `<root>/<dir>/year=YYYY/month=MM/day=DD`
+    * derived from `tsCol` — the engine's form of the reference's
+    * `<stage>/<dir>/YYYY/MM/DD/<file>` path scheme (pipeline.py:786-792).
+    * Partition values survive as directory structure → partition
+    * pruning on read. */
+  def datedPartitioned(df: DataFrame, root: String, dirName: String,
+      tsCol: String, format: String = "parquet",
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    F.datedPartitions(df, tsCol)
+      .write.mode(mode)
+      .partitionBy("year", "month", "day")
+      .format(format)
+      .save(s"$root/$dirName")
+
+  /** Bulk DB load (B3) — distributed `df.write.jdbc` append with
+    * executemany batching (`batchsize`, B5's `batches=n`). */
+  def jdbcAppend(df: DataFrame, url: String, table: String,
+      batchSize: Int = 10000, props: Properties = new Properties()): Unit = {
+    props.setProperty("batchsize", batchSize.toString)
+    df.write.mode(SaveMode.Append).jdbc(url, table, props)
+  }
+
+  /** Row-wise upsert load (B4, decorators.py:273-294 merge pattern):
+    * per-partition connections, DELETE+INSERT keyed on `keyCols` per
+    * batch — idempotent (safe to replay a stage, the reference's
+    * exactly-once answer, SURVEY.md §7 hard part (d)). ANSI SQL only,
+    * so it runs on any JDBC target. */
+  def jdbcUpsert(df: DataFrame, url: String, table: String,
+      keyCols: Seq[String], batchSize: Int = 1000): Unit = {
+    val schema = df.schema
+    val cols = schema.fieldNames.toSeq
+    val insertSql = s"INSERT INTO $table (${cols.mkString(",")}) VALUES (${cols.map(_ => "?").mkString(",")})"
+    val deleteSql = s"DELETE FROM $table WHERE ${keyCols.map(k => s"$k = ?").mkString(" AND ")}"
+    val keyIdx = keyCols.map(schema.fieldIndex)
+    df.foreachPartition { rows: Iterator[Row] =>
+      val conn = DriverManager.getConnection(url)
+      conn.setAutoCommit(false)
+      try {
+        val del = conn.prepareStatement(deleteSql)
+        val ins = conn.prepareStatement(insertSql)
+        var n = 0
+        rows.foreach { r =>
+          keyIdx.zipWithIndex.foreach { case (ki, pi) =>
+            del.setObject(pi + 1, r.get(ki)) }
+          del.addBatch()
+          cols.indices.foreach(i => ins.setObject(i + 1, r.get(i)))
+          ins.addBatch()
+          n += 1
+          if (n % batchSize == 0) {
+            del.executeBatch(); ins.executeBatch(); conn.commit()
+          }
+        }
+        del.executeBatch(); ins.executeBatch(); conn.commit()
+      } finally conn.close()
+    }
+  }
+}

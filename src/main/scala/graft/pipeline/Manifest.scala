@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import java.time.Instant
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lineage / state manifest — the reference's `__etl_data_objects`
+  * control table (tables.py:90-236; SURVEY.md §3.3) as an append-only
+  * parquet commit log with latest-wins reads.
+  *
+  * One row per (pkey, stage) completion event; current state = the
+  * latest event per key (window dedup). Append-only writes make every
+  * state change atomic via the file committer — no read-modify-write
+  * races between concurrent stage jobs, and the full history stays
+  * queryable (the reference keeps booleans only; we keep the log and
+  * derive the booleans).
+  */
+final class Manifest(spark: SparkSession, dir: String) {
+  import spark.implicits._
+
+  private val schemaDf = Seq.empty[(String, String, String, String, Long)]
+    .toDF("pkey", "pipeline", "stage", "path", "at")
+
+  /** Record a stage completion for pkey (reference DataObject.upsert,
+    * tables.py:139-157 — fired after the stage file commit). */
+  def markDone(pkey: String, pipeline: String, stage: String, path: String): Unit =
+    Seq((pkey, pipeline, stage, path, Instant.now().toEpochMilli))
+      .toDF("pkey", "pipeline", "stage", "path", "at")
+      .write.mode(SaveMode.Append).parquet(dir)
+
+  /** Raw event log (empty frame when nothing recorded yet). */
+  def log(): DataFrame =
+    try spark.read.parquet(dir)
+    catch { case _: Exception => schemaDf }
+
+  /** Current per-(pkey, stage) state: latest event wins. */
+  def state(): DataFrame = {
+    val w = Window.partitionBy("pkey", "stage").orderBy(col("at").desc)
+    log().withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Stage booleans per pkey — the reference's
+    * [uploaded, extracted, transformed, loaded] row shape. */
+  def stageFlags(stageOrder: Seq[String]): DataFrame = {
+    val flags = stageOrder.map(s =>
+      max(when(col("stage") === s, true).otherwise(false)).as(s"${s}_done"))
+    state().groupBy("pkey").agg(flags.head, flags.tail: _*)
+  }
+
+  /** First incomplete stage for pkey (reference `_next`,
+    * tables.py:124-137): the stage after the last completed one in
+    * declared order; None when all declared stages are done. */
+  def nextStage(pkey: String, stageOrder: Seq[String]): Option[String] = {
+    val done = state().filter(col("pkey") === pkey)
+      .select("stage").as[String].collect().toSet
+    stageOrder.find(!done.contains(_))
+  }
+
+  /** Pkeys with at least one completed stage but not all — the restart
+    * set for `restart_stalled_pipelines` (tasks.py:22-29), optionally
+    * aged by `olderThanMillis` against each pkey's LAST activity. */
+  def stalled(stageOrder: Seq[String], olderThanMillis: Long = 0): DataFrame = {
+    val cutoff = Instant.now().toEpochMilli - olderThanMillis
+    state().groupBy("pkey")
+      .agg(collect_set("stage").as("done"), max("at").as("last_at"))
+      .filter(size(col("done")) < stageOrder.size && col("last_at") <= cutoff)
+      .select("pkey", "done", "last_at")
+  }
+}

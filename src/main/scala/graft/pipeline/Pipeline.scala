@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Stage graph — the reference's four-stage chain re-expressed as
+  * composable `DataFrame => DataFrame` stages (SURVEY.md §7.4).
+  *
+  * Reference semantics preserved:
+  *  - fixed stage order upload → extract → transform → load
+  *    (utils.py:16 TASK_KEYS);
+  *  - declared stages must be consecutive: transform requires extract,
+  *    load requires transform unless load-only (pipeline.py:108-118) —
+  *    enforced at construction (PipelineError analog);
+  *  - per-stage pre/post hooks (§2.9): pre-hooks rewrite the stage
+  *    input frame (the manifest-rewrite analog), post-hooks rewrite /
+  *    filter rows (post_extract / post_transform semantics — a hook
+  *    returning a filtered frame drops rows exactly like a None-returning
+  *    reference post-processor);
+  *  - stage-to-stage interchange is a file (parquet dir per stage), so
+  *    every stage boundary is inspectable and restartable (§3.3).
+  *
+  * At scale each stage is one declarative Spark job; the orchestrator
+  * never touches row data on the driver.
+  */
+object Stages {
+  val Order: Seq[String] = Seq("upload", "extract", "transform", "load")
+}
+
+final class PipelineDeclarationError(msg: String) extends IllegalArgumentException(msg)
+
+final case class Stage(
+    name: String,
+    core: DataFrame => DataFrame,
+    pre: Seq[DataFrame => DataFrame] = Seq.empty,
+    post: Seq[DataFrame => DataFrame] = Seq.empty) {
+  def apply(df: DataFrame): DataFrame = {
+    val in = pre.foldLeft(df)((d, h) => h(d))
+    val out = core(in)
+    post.foldLeft(out)((d, h) => h(d))
+  }
+}
+
+final case class Pipeline(
+    name: String,
+    stages: Seq[Stage],
+    /** Root directory for inter-stage parquet interchange. */
+    root: String) {
+
+  {
+    val declared = stages.map(_.name)
+    val unknown = declared.filterNot(Stages.Order.contains)
+    if (unknown.nonEmpty)
+      throw new PipelineDeclarationError(s"unknown stages: ${unknown.mkString(",")}")
+    if (declared.distinct.size != declared.size)
+      throw new PipelineDeclarationError(s"duplicate stage declarations")
+    // consecutive-stage rule (pipeline.py:108-118): declared stages must
+    // form a contiguous run of the canonical order (load-only allowed).
+    val idx = declared.map(Stages.Order.indexOf).sorted
+    if (idx.nonEmpty && idx.zip(idx.tail).exists { case (a, b) => b != a + 1 })
+      throw new PipelineDeclarationError(
+        s"stages must be consecutive (${Stages.Order.mkString("→")}); got ${declared.mkString(",")}")
+  }
+
+  private val byName: Map[String, Stage] = stages.map(s => s.name -> s).toMap
+  private val ordered: Seq[Stage] =
+    Stages.Order.flatMap(n => stages.find(_.name == n))
+
+  def stageDir(stage: String, pkey: String): String = s"$root/$stage/$name/$pkey"
+
+  /** Run all stages from `from` (default: first declared) on `input`,
+    * writing each stage's output to its interchange dir and upserting
+    * the manifest after each commit (write-then-record, B2 order). */
+  def run(spark: SparkSession, input: DataFrame, pkey: String,
+      manifest: Option[Manifest] = None,
+      from: Option[String] = None): DataFrame = {
+    val start = from.getOrElse(ordered.head.name)
+    val startIdx = ordered.indexWhere(_.name == start)
+    if (startIdx < 0)
+      throw new PipelineDeclarationError(s"stage $start not declared on $name")
+    var df = input
+    ordered.drop(startIdx).foreach { st =>
+      df = st(df)
+      val dir = stageDir(st.name, pkey)
+      df.write.mode("overwrite").parquet(dir)
+      manifest.foreach(_.markDone(pkey, name, st.name, dir))
+      df = spark.read.parquet(dir) // next stage reads the committed file
+    }
+    df
+  }
+
+  /** Resume a pkey from its first incomplete stage (reference
+    * `advance`, pipeline.py:456-485 + tables.py:159-196): reads the
+    * previous stage's committed file and continues. Returns None when
+    * the object is already complete. */
+  def advance(spark: SparkSession, pkey: String, manifest: Manifest): Option[DataFrame] = {
+    manifest.nextStage(pkey, ordered.map(_.name)) match {
+      case None => None
+      case Some(next) =>
+        val i = ordered.indexWhere(_.name == next)
+        val input =
+          if (i == 0)
+            throw new PipelineDeclarationError(
+              s"$pkey has no completed stages; run() it instead")
+          else spark.read.parquet(stageDir(ordered(i - 1).name, pkey))
+        Some(run(spark, input, pkey, Some(manifest), Some(next)))
+    }
+  }
+}

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{DecimalType, StructType}
+
+/** Structured Streaming surface (SURVEY.md §1.1 "Stream" row): the
+  * reference has no stream abstraction — incremental arrival is
+  * re-running the pipeline per new file (tasks.py:22-29). The Spark
+  * counterpart is a file-source stream with `Trigger.AvailableNow`,
+  * which processes exactly the files that have arrived and stops —
+  * same semantics, plus watermarked windowed aggregation and custom
+  * session state the reference cannot express.
+  */
+object Streaming {
+
+  /** Incremental file source over a landing directory. */
+  def fileStream(spark: SparkSession, dir: String, schema: StructType,
+      format: String = "parquet"): DataFrame =
+    spark.readStream.schema(schema).format(format).load(dir)
+
+  /** Streaming counterpart of q37: watermarked tumbling-window rollup.
+    * Append mode + watermark bounds state: at 100 TB/day the state store
+    * holds only open windows, not history. */
+  def hourlyRollup(events: DataFrame, tsCol: String, valueCol: String,
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_millis(expr(s"`$tsCol` div 1000000L")))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), "1 hour"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast(DecimalType(18, 2))).as("sum_value"))
+      .select(col("window.start").as("hour_start"),
+        col("n_events"), col("sum_value"))
+
+  final case class Click(user_id: Long, ts_ms: Long, event_type: String)
+  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class Session(user_id: Long, session_start: Long,
+      session_end: Long, n_events: Int, closed: Boolean)
+
+  /** Gap-based sessionization via flatMapGroupsWithState — the custom
+    * stateful operator class the reference's four fixed stages cannot
+    * express. Emits closed sessions as the gap passes; holds the open
+    * session in the state store (bounded: one state row per active key). */
+  def sessionize(events: Dataset[Click], gapMillis: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Click], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts_ms)
+          var cur = state.getOption
+          val closed = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if e.ts_ms - s.last <= gapMillis =>
+                cur = Some(s.copy(last = e.ts_ms, n = s.n + 1))
+              case Some(s) =>
+                closed += Session(userId, s.start, s.last, s.n, closed = true)
+                cur = Some(SessionState(e.ts_ms, e.ts_ms, 1))
+              case None =>
+                cur = Some(SessionState(e.ts_ms, e.ts_ms, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+}

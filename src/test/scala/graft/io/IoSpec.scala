@@ -1,0 +1,107 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+class IoSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-io").toString
+
+  test("jsonl round-trip with gzip compression (B1 semantics)") {
+    val dir = tmp() + "/out"
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    Sinks.jsonl(df, dir)
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".json.gz"))) // gzip default on
+    val back = Sources.jsonl(spark, Seq(dir)).orderBy("id").collect()
+    assert(back.map(r => (r.getAs[Long]("id"), r.getAs[String]("v"))).toSeq
+      === Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("csv reader: DictReader semantics — header names, all strings (A3)") {
+    val dir = tmp()
+    Files.writeString(java.nio.file.Paths.get(dir, "t.csv"),
+      "id,qty\n1,2.5\n3,4.5\n")
+    val df = Sources.csv(spark, Seq(s"$dir/t.csv"))
+    assert(df.schema.fields.forall(_.dataType.typeName === "string"))
+    assert(df.orderBy("id").collect().map(_.getString(1)).toSeq === Seq("2.5", "4.5"))
+  }
+
+  test("auto dispatch on extension (pipeline.py:721-735 ext sniffing)") {
+    val dir = tmp()
+    Files.writeString(java.nio.file.Paths.get(dir, "t.csv"), "a\nx\n")
+    assert(Sources.auto(spark, Seq(s"$dir/t.csv")).columns.toSeq === Seq("a"))
+    Files.writeString(java.nio.file.Paths.get(dir, "t.jsonl"), "{\"b\": 1}\n")
+    assert(Sources.auto(spark, Seq(s"$dir/t.jsonl")).columns.toSeq === Seq("b"))
+  }
+
+  test("datedPartitioned: year/month/day directory layout + pruning (B6)") {
+    val root = tmp()
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-03-05 10:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-03-06 11:00:00"))
+    ).toDF("id", "created")
+    Sinks.datedPartitioned(df, root, "things", "created")
+    assert(new java.io.File(s"$root/things/year=2024/month=3/day=5").exists())
+    val pruned = spark.read.parquet(s"$root/things")
+      .filter(col("day") === 5)
+    assert(pruned.collect().map(_.getAs[Long]("id")).toSeq === Seq(1L))
+  }
+
+  test("jdbcAppend + jdbcUpsert against embedded Derby (B3/B4)") {
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE loads (id BIGINT, v VARCHAR(32))")
+    conn.close()
+
+    Sinks.jdbcAppend(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), url, "loads")
+    val props = new java.util.Properties()
+    assert(spark.read.jdbc(url, "loads", props).count() === 2)
+
+    // upsert: replace id=2, insert id=3 — idempotent on replay
+    val up = Seq((2L, "b2"), (3L, "c")).toDF("id", "v")
+    Sinks.jdbcUpsert(up, url, "loads", Seq("id"))
+    Sinks.jdbcUpsert(up, url, "loads", Seq("id")) // replay must not duplicate
+    val got = spark.read.jdbc(url, "loads", props).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+  }
+
+  test("HttpSource: success, retry-then-success on 503, fail-fast on 404") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+      val b = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, if (b.isEmpty) -1 else b.length)
+      if (b.nonEmpty) ex.getResponseBody.write(b)
+      ex.close()
+    }
+    server.createContext("/ok", (ex: HttpExchange) =>
+      respond(ex, 200, "{\"x\": 1}\n{\"x\": 2}"))
+    server.createContext("/flaky", (ex: HttpExchange) => {
+      if (hits.incrementAndGet() <= 2) respond(ex, 503, "")
+      else respond(ex, 200, "recovered")
+    })
+    server.createContext("/gone", (ex: HttpExchange) => respond(ex, 404, ""))
+    server.start()
+    val base = s"http://localhost:${server.getAddress.getPort}"
+    try {
+      val cfg = HttpSourceConfig(backoffFactorSeconds = 0.01)
+      // staged fetch feeds the distributed reader
+      val df = HttpSource.fetchJsonlToStaging(spark, s"$base/ok", tmp(), "page1", cfg)
+      assert(df.orderBy("x").collect().map(_.getAs[Long]("x")).toSeq === Seq(1L, 2L))
+      // 503 is on the force-retry list (ext/clients.py:16-19)
+      assert(HttpSource.fetch(s"$base/flaky", cfg) === "recovered")
+      assert(hits.get() === 3)
+      // 404 is NOT retryable → immediate failure
+      val e = intercept[HttpSourceException] { HttpSource.fetch(s"$base/gone", cfg) }
+      assert(e.getMessage.contains("404"))
+    } finally server.stop(0)
+  }
+}

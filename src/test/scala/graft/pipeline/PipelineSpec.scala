@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+import graft.ops.{functions => F}
+
+class PipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft-pipe").toString
+
+  private val extract = Stage("extract", identity)
+  private val transform = Stage("transform",
+    df => df.select(col("id"), F.uppercase(col("v")).as("v")),
+    post = Seq(df => df.filter(col("id") > 0))) // post-hook row drop (E1)
+
+  test("consecutive-stage validation (pipeline.py:108-118)") {
+    Pipeline("p", Seq(extract, transform), tmp()) // ok
+    Pipeline("loadonly", Seq(Stage("load", identity)), tmp()) // load-only ok
+    val e = intercept[PipelineDeclarationError] {
+      Pipeline("bad", Seq(Stage("extract", identity), Stage("load", identity)), tmp())
+    }
+    assert(e.getMessage.contains("consecutive"))
+    intercept[PipelineDeclarationError] {
+      Pipeline("bad2", Seq(Stage("weird", identity)), tmp())
+    }
+  }
+
+  test("run: stage chain writes interchange files + manifest per commit") {
+    val root = tmp()
+    val p = Pipeline("users", Seq(extract, transform), root)
+    val m = new Manifest(spark, s"$root/_manifest")
+    val in = Seq((0L, "drop"), (1L, "ada"), (2L, "alan")).toDF("id", "v")
+
+    val out = p.run(spark, in, pkey = "file1", manifest = Some(m))
+    assert(out.orderBy("id").collect().map(_.getString(1)).toSeq === Seq("ADA", "ALAN"))
+    // interchange files exist per stage (inspectability, §3.3)
+    assert(spark.read.parquet(p.stageDir("extract", "file1")).count() === 3)
+    assert(spark.read.parquet(p.stageDir("transform", "file1")).count() === 2)
+    // manifest recorded both stages
+    assert(m.nextStage("file1", Seq("extract", "transform")) === None)
+    val flags = m.stageFlags(Seq("extract", "transform")).collect()(0)
+    assert(flags.getAs[Boolean]("extract_done") && flags.getAs[Boolean]("transform_done"))
+  }
+
+  test("advance resumes from first incomplete stage (§3.3 recovery)") {
+    val root = tmp()
+    val p = Pipeline("users", Seq(extract, transform), root)
+    val m = new Manifest(spark, s"$root/_manifest")
+    val in = Seq((1L, "ada")).toDF("id", "v")
+
+    // simulate a crash after extract: run only extract, record it
+    val extracted = extract(in)
+    extracted.write.mode("overwrite").parquet(p.stageDir("extract", "f2"))
+    m.markDone("f2", "users", "extract", p.stageDir("extract", "f2"))
+    assert(m.nextStage("f2", Seq("extract", "transform")) === Some("transform"))
+
+    val resumed = p.advance(spark, "f2", m)
+    assert(resumed.isDefined)
+    assert(resumed.get.collect()(0).getString(1) === "ADA")
+    assert(m.nextStage("f2", Seq("extract", "transform")) === None)
+    assert(p.advance(spark, "f2", m) === None) // complete → nothing to do
+  }
+
+  test("stalled: incomplete objects surface for restart (tasks.py:22-29)") {
+    val root = tmp()
+    val m = new Manifest(spark, s"$root/_manifest")
+    m.markDone("stuck", "users", "extract", "x")
+    m.markDone("done", "users", "extract", "x")
+    m.markDone("done", "users", "transform", "x")
+    val stalled = m.stalled(Seq("extract", "transform"))
+      .collect().map(_.getAs[String]("pkey")).toSeq
+    assert(stalled === Seq("stuck"))
+  }
+
+  test("manifest latest-wins on re-commit (tables.py upsert semantics)") {
+    val root = tmp()
+    val m = new Manifest(spark, s"$root/_manifest")
+    m.markDone("k", "p", "extract", "path-v1")
+    m.markDone("k", "p", "extract", "path-v2")
+    val st = m.state().filter(col("pkey") === "k").collect()
+    assert(st.length === 1)
+    assert(st(0).getAs[String]("path") === "path-v2")
+  }
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkSuite
+
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("file-stream hourly rollup matches the batch rollup (q37 counterpart)") {
+    // stage the sf0.001 events table into a streaming landing dir
+    val land = Files.createTempDirectory("graft-stream").toString
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    events.write.mode("overwrite").parquet(land)
+    val schema = spark.read.parquet(land).schema
+
+    val stream = Streaming.fileStream(spark, land, schema)
+    val q = Streaming.hourlyRollup(stream, "ts", "value")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("rollup")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", land + "-ckpt")
+      .start()
+    q.awaitTermination(120000)
+
+    // append mode emits only watermark-closed windows; every emitted
+    // window must match the batch aggregation exactly
+    val streamed = spark.table("rollup")
+      .select(col("hour_start").cast("long").as("h"), col("n_events"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = events
+      .select(timestamp_millis(expr("ts div 1000000")).as("t"), col("value"))
+      .groupBy(date_trunc("hour", col("t")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getTimestamp(0).getTime / 1000 -> r.getLong(1)).toMap
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (h, n) => assert(batch(h) === n, s"window $h") }
+  }
+
+  test("sessionize: gap-based sessions with state across batches") {
+    val land = Files.createTempDirectory("graft-sess").toString
+    val gap = 60000L // 1 minute
+    // user 1: two sessions (events at t=0,10s then t=10min);
+    // user 2: one session
+    val batch1 = Seq(
+      Streaming.Click(1L, 0L, "a"), Streaming.Click(1L, 10000L, "b"),
+      Streaming.Click(2L, 5000L, "x"))
+    val batch2 = Seq(
+      Streaming.Click(1L, 600000L, "c"), Streaming.Click(2L, 20000L, "y"))
+    batch1.toDS().write.mode("overwrite").parquet(land + "/b1")
+    val schema = spark.read.parquet(land + "/b1").schema
+
+    batch2.toDS().write.mode("overwrite").parquet(land + "/b2") // arrives "later" but AvailableNow reads all
+    val clicks = Streaming.fileStream(spark, land + "/*", schema).as[Streaming.Click]
+    val q = Streaming.sessionize(clicks, gap)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", land + "-ckpt")
+      .start()
+    q.awaitTermination(120000)
+
+    // user 1's first session (2 events, 0-10s) must close because the
+    // 10-minute event exceeds the gap; open sessions stay in state
+    val closed = spark.table("sessions").as[Streaming.Session].collect()
+    assert(closed.exists(s =>
+      s.user_id == 1L && s.n_events == 2 && s.session_start == 0L && s.session_end == 10000L))
+    assert(!closed.exists(_.user_id == 2L)) // user 2 never exceeded the gap
+  }
+}
