@@ -32,12 +32,19 @@ object Dedup {
     df.groupBy(sha2(col(textCol), 256).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dupes"))
 
-  /** Distinct word `n`-gram shingles of a text column. */
-  def shingles(c: Column, n: Int = 3): Column = {
-    val w = TextAnalysis.tokens(c)
-    val starts = sequence(lit(1), greatest(size(w) - (n - 1), lit(1)))
-    array_distinct(transform(starts, i => concat_ws(" ", slice(w, i, lit(n)))))
-  }
+  /** Distinct word `n`-gram shingles of a text column.
+    *
+    * The single-element `aggregate` is a let-binding: it evaluates the
+    * token split ONCE and exposes it as the lambda-bound `w`. A naive
+    * `transform(starts, i => slice(w, i, n))` would re-evaluate the
+    * captured split expression at every window position (interpreted
+    * lambdas re-evaluate captured subtrees) — O(len²) tokenization. */
+  def shingles(c: Column, n: Int = 3): Column =
+    aggregate(array(TextAnalysis.tokens(c)),
+      array().cast(ArrayType(StringType)),
+      (_, w) => array_distinct(
+        transform(sequence(lit(1), greatest(size(w) - (n - 1), lit(1))),
+          i => concat_ws(" ", slice(w, i, lit(n))))))
 
   /** Distinct shingles hashed to 64-bit — set operations on longs are
     * several times cheaper than on strings, and Jaccard over the hashed
@@ -58,23 +65,63 @@ object Dedup {
     * one-pass minwise scheme without re-hashing strings per
     * permutation. Array<long> of length `numHashes`. */
   def minHashSignature(c: Column, numHashes: Int = 32, shingleN: Int = 3): Column = {
-    // XOR + re-hash mixing (no multiply: ANSI mode forbids wrap-around
-    // overflow); hashing a fixed 8-byte long is cheap.
+    // Loop inversion matters: a naive transform(perms, j =>
+    // array_min(transform(hs, ...))) re-evaluates the captured shingle
+    // pipeline once PER PERMUTATION (interpreted lambdas re-evaluate
+    // captured subtrees), turning O(shingles × perms) hashing into
+    // O(shingles × perms) full re-shingling. Aggregating over hs with an
+    // array-of-minima accumulator evaluates the shingle pipeline exactly
+    // once. XOR + re-hash mixing (no multiply: ANSI mode forbids
+    // wrap-around overflow); hashing a fixed 8-byte long is cheap.
     val hs = transform(shingles(c, shingleN), s => xxhash64(s))
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      j => array_min(transform(hs,
-        h => xxhash64(h.bitwiseXOR(j * lit(2654435761L))))))
+    aggregate(hs,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
+        (m, j) => least(m, xxhash64(h.bitwiseXOR(j * lit(2654435761L))))))
   }
 
   /** MinHash signature, portable path: SHA-256(shingle ++ "|" ++ perm)
     * lexicographic minima — engine-independent (DuckDB-oracle-able),
     * ~4× slower than the xxhash64 path; use for cross-engine parity
     * checks, not production scale. Array<string>. */
-  def minHashSignatureSha(c: Column, numHashes: Int = 8, shingleN: Int = 3): Column = {
-    val sh = shingles(c, shingleN)
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      j => array_min(transform(sh,
-        s => sha2(concat(s, lit("|"), j.cast(StringType)), 256))))
+  def minHashSignatureSha(c: Column, numHashes: Int = 8, shingleN: Int = 3): Column =
+    // same loop inversion as the fast path: one pass over the shingles
+    aggregate(shingles(c, shingleN),
+      array_repeat(lit("~"), numHashes), // '~' > any hex digit
+      (acc, s) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
+        (m, j) => least(m, sha2(concat(s, lit("|"), j.cast(StringType)), 256))))
+
+  /** Exact Jaccard-similar pairs via an inverted shingle index: explode
+    * (doc, shingle) rows, self-join on the shingle (plus optional
+    * blocking columns), count shared shingles per pair, derive Jaccard
+    * from the counts. Only pairs that share ≥1 shingle are ever
+    * materialized, so cost is Σ_g C(df_g, 2) (document frequency per
+    * shingle) instead of the all-pairs O(n²·|set|) of pairwise
+    * intersection — the standard set-similarity join shape. Output:
+    * (doc_a, doc_b, jaccard) for jaccard ≥ threshold, doc_a < doc_b. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String] = Seq.empty, shingleN: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val base = df.select(
+      (col(idCol).as("id") +: blockCols.map(col)) :+
+        shingleHashes(col(textCol), shingleN).as("sh"): _*)
+    val ex = base.select(
+      (col("id") +: blockCols.map(col)) ++
+        Seq(size(col("sh")).as("sz"), explode(col("sh")).as("g")): _*)
+    val l = ex.as("l")
+    val r = ex.as("r")
+    val joinCond = (col("l.g") === col("r.g")) +:
+      blockCols.map(c => col(s"l.$c") === col(s"r.$c")) :+
+      (col("l.id") < col("r.id"))
+    val inter = l.join(r, joinCond.reduce(_ && _))
+      .groupBy(col("l.id").as("doc_a"), col("r.id").as("doc_b"),
+        col("l.sz").as("sz_a"), col("r.sz").as("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast(DoubleType) /
+          (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Candidate near-duplicate pairs via MinHash + LSH banding.
@@ -86,22 +133,35 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 8, rowsPerBand: Int = 4, shingleN: Int = 3): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sigs = df.select(
-      col(idCol).as("id"),
-      minHashSignature(col(textCol), numHashes, shingleN).as("sig"))
-    // One row per (doc, band); band bucket = numeric fold of the band's
-    // signature slice. The repartition forces an exchange that (a) stops
-    // CollapseProject from re-inlining the signature computation into
-    // every downstream consumer and (b) is REUSED by both sides of the
-    // self-join (ReusedExchange) — signatures are computed exactly once
-    // per document, then read from shuffle files.
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    // Two deliberate exchanges around the signature projection:
+    //  - BEFORE: a small parquet file is one input split, so the
+    //    CPU-bound signature pass would otherwise run on a single task;
+    //    spreading (id, text) first makes it embarrassingly parallel —
+    //    the shape that holds at 100 TB where compute dwarfs shuffle.
+    //  - AFTER: a collapse guard. Interpreted higher-order lambdas
+    //    re-evaluate captured subtrees per invocation, so if
+    //    CollapseProject merges the band projection into this one, the
+    //    full signature is recomputed once per band per row. Shuffling
+    //    (id, sig) — numHashes longs per doc — is orders of magnitude
+    //    cheaper.
+    val sigs = df.select(col(idCol).as("id"), col(textCol).as("t"))
+      .repartition(p)
+      .select(col("id"),
+        minHashSignature(col("t"), numHashes, shingleN).as("sig"))
+      .repartition(p)
+    // One row per (doc, band); band bucket = hash fold of the band's
+    // signature slice (sig is a materialized column here, so the fold
+    // is cheap array arithmetic). The band join itself is left to the
+    // planner: the banded frame is small relative to the corpus text,
+    // so AQE broadcasts it; at larger scale it falls back to a shuffled
+    // hash join on (band, bh).
     val banded = sigs.select(col("id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => aggregate(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
             lit(1125899906842597L), (acc, x) => xxhash64(acc.bitwiseXOR(x)))))
           .as(Seq("band", "bh")))
       .select("id", "sig", "band", "bh")
-      .repartition(col("band"), col("bh"))
     val l = banded.as("l")
     val r = banded.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&

@@ -85,10 +85,11 @@ object TextAnalysis {
     * `shingleLen`-grams — a 1-permutation MinHash usable as a cheap
     * near-dup blocking key / content fingerprint. Texts shorter than
     * one shingle hash their full token join. */
-  def fingerprint(c: Column, shingleLen: Int = 5): Column = {
-    val w = tokens(c)
-    val starts = sequence(lit(1), greatest(size(w) - (shingleLen - 1), lit(1)))
-    array_min(transform(starts,
-      i => sha2(concat_ws(" ", slice(w, i, lit(shingleLen))), 256)))
-  }
+  def fingerprint(c: Column, shingleLen: Int = 5): Column =
+    // single-element aggregate = let-binding: tokenize once, then hash
+    // each sliding window (see Dedup.shingles for the rationale)
+    aggregate(array(tokens(c)), lit("~"),
+      (_, w) => array_min(
+        transform(sequence(lit(1), greatest(size(w) - (shingleLen - 1), lit(1))),
+          i => sha2(concat_ws(" ", slice(w, i, lit(shingleLen))), 256))))
 }

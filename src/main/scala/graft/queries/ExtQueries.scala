@@ -60,19 +60,13 @@ object ExtQueries {
         .select(col("doc_id"), TA.fingerprint(col("text"), 5).as("fingerprint"))
         .orderBy("doc_id")),
 
-    // N-gram Jaccard near-dup, blocked by lang to bound the pair space.
-    "q30_ngram_jaccard_pairs" -> ((s, d) => {
-      val sh = T.documents(s, d).select(col("doc_id"), col("lang"),
-        Dedup.shingleHashes(col("text"), 3).as("sh"))
-      val l = sh.as("l")
-      val r = sh.as("r")
-      l.join(r, col("l.lang") === col("r.lang") &&
-          col("l.doc_id") < col("r.doc_id"))
-        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-          Dedup.jaccard(col("l.sh"), col("r.sh")).as("jaccard"))
-        .filter(col("jaccard") >= 0.03)
-        .orderBy("doc_a", "doc_b")
-    }),
+    // N-gram Jaccard near-dup via inverted shingle index, blocked by
+    // lang — shuffles Σ|shingles| rows, never materializes the O(n²)
+    // pair space (SURVEY.md scale posture).
+    "q30_ngram_jaccard_pairs" -> ((s, d) =>
+      Dedup.jaccardPairs(T.documents(s, d), "doc_id", "text",
+          blockCols = Seq("lang"), shingleN = 3, threshold = 0.03)
+        .orderBy("doc_a", "doc_b")),
 
     // Portable MinHash signature (SHA-based, 8 perms) — oracle-able.
     "q31_minhash_sha" -> ((s, d) =>
