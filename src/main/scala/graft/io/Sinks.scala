@@ -43,6 +43,14 @@ object Sinks {
       .format(format)
       .save(s"$root/$dirName")
 
+  /** Multiplexed per-model sink (B7, pipeline.py:757-809): one stage can
+    * emit rows for several models; routing on the discriminator column
+    * via `partitionBy` lands each model in its own directory in ONE
+    * distributed write (no per-model jobs, no driver loop). */
+  def perModelFanOut(df: DataFrame, modelCol: String, root: String,
+      format: String = "parquet", mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).partitionBy(modelCol).format(format).save(root)
+
   /** Bulk DB load (B3) — distributed `df.write.jdbc` append with
     * executemany batching (`batchsize`, B5's `batches=n`). */
   def jdbcAppend(df: DataFrame, url: String, table: String,

@@ -227,6 +227,38 @@ object CoreQueries {
         .orderBy("o_custkey", "rn")
     }),
 
+    // D15: acronym-aware camel→snake (regex parity incl. global replace).
+    "q38_snake_case" -> ((s, d) =>
+      T.part(s, d)
+        .select(col("p_partkey"),
+          F.camelToSnake(concat(lit("Part"), col("p_partkey").cast(StringType),
+            lit("HTTPResponseCode"))).as("snake"))
+        .orderBy("p_partkey")),
+
+    // D12: HostName's one-input→three-output side columns (SURVEY hard
+    // part (b)), over synthesized domain\\host / fqdn / plain shapes.
+    "q39_hostname" -> ((s, d) => {
+      val shaped = T.customer(s, d).select(col("c_custkey"),
+        when(col("c_custkey") % 3 === 0,
+            concat(lit("CORP\\host"), col("c_custkey").cast(StringType)))
+          .when(col("c_custkey") % 3 === 1,
+            concat(lit("host"), col("c_custkey").cast(StringType),
+              lit(".corp.example.com")))
+          .otherwise(concat(lit("host"), col("c_custkey").cast(StringType)))
+          .as("raw"))
+      F.selectHostName(shaped, "raw", "host")
+        .select("c_custkey", "host", "host_domain", "host_fqdn")
+        .orderBy("c_custkey")
+    }),
+
+    // F2: CIDR host expansion (explode_ip_addrs, utils.py:204-217).
+    "q40_cidr_explode" -> ((s, d) =>
+      T.nation(s, d)
+        .select(col("n_nationkey"),
+          explode(F.cidrHosts(concat(lit("10.0."),
+            col("n_nationkey").cast(StringType), lit(".0/30")))).as("ip"))
+        .orderBy("n_nationkey", "ip")),
+
     // [EXT] text stats primitives.
     "q24_text_stats" -> ((s, d) =>
       T.part(s, d)
@@ -353,6 +385,41 @@ object CoreQueries {
         |           ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
         |  FROM orders)
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q38_snake_case" ->
+      """SELECT p_partkey,
+        |  lower(regexp_replace(regexp_replace(
+        |    'Part' || CAST(p_partkey AS VARCHAR) || 'HTTPResponseCode',
+        |    '([A-Z]+)([A-Z][a-z0-9])', '\1_\2', 'g'),
+        |    '([a-z0-9])([A-Z])', '\1_\2', 'g')) AS snake
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q39_hostname" ->
+      """WITH shaped AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 3 = 0
+        |           THEN 'CORP\host' || CAST(c_custkey AS VARCHAR)
+        |         WHEN c_custkey % 3 = 1
+        |           THEN 'host' || CAST(c_custkey AS VARCHAR) || '.corp.example.com'
+        |         ELSE 'host' || CAST(c_custkey AS VARCHAR) END AS raw
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  CASE WHEN contains(raw, '\') THEN upper(split_part(raw, '\', 2))
+        |       WHEN contains(raw, '.') THEN upper(split_part(raw, '.', 1))
+        |       ELSE raw END AS host,
+        |  CASE WHEN contains(raw, '\') THEN upper(split_part(raw, '\', 1))
+        |       ELSE NULL END AS host_domain,
+        |  CASE WHEN NOT contains(raw, '\') AND contains(raw, '.')
+        |       THEN upper(raw) ELSE NULL END AS host_fqdn
+        |FROM shaped ORDER BY c_custkey""".stripMargin,
+    "q40_cidr_explode" ->
+      """SELECT n_nationkey,
+        |  unnest(list_transform(
+        |    generate_series(167772160 + n_nationkey * 256 + 1,
+        |                    167772160 + n_nationkey * 256 + 2),
+        |    i -> CAST((i >> 24) & 255 AS VARCHAR) || '.' ||
+        |         CAST((i >> 16) & 255 AS VARCHAR) || '.' ||
+        |         CAST((i >> 8) & 255 AS VARCHAR) || '.' ||
+        |         CAST(i & 255 AS VARCHAR))) AS ip
+        |FROM nation ORDER BY n_nationkey, ip""".stripMargin,
     "q24_text_stats" ->
       """SELECT p_partkey, CAST(length(p_name) AS INT) AS name_len,
         |       CAST(len(string_split(p_name, ' ')) AS INT) AS n_words,

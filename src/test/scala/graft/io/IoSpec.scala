@@ -52,6 +52,15 @@ class IoSpec extends SparkSuite {
     assert(pruned.collect().map(_.getAs[Long]("id")).toSeq === Seq(1L))
   }
 
+  test("perModelFanOut routes rows by discriminator in one write (B7)") {
+    val root = tmp()
+    val df = Seq((1L, "users", "a"), (2L, "orders", "b"), (3L, "users", "c"))
+      .toDF("id", "_model", "v")
+    Sinks.perModelFanOut(df, "_model", root)
+    assert(spark.read.parquet(s"$root/_model=users").count() === 2)
+    assert(spark.read.parquet(s"$root/_model=orders").count() === 1)
+  }
+
   test("jdbcAppend + jdbcUpsert against embedded Derby (B3/B4)") {
     val url = "jdbc:derby:memory:graftdb;create=true"
     val conn = java.sql.DriverManager.getConnection(url)
