@@ -1,0 +1,25 @@
+package graft.expressions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+/** Registration for graft's native Catalyst expressions.
+  *
+  * Two entry points:
+  *  - `.config("spark.sql.extensions", "graft.expressions.GraftExtensions")`
+  *    at session build time (the SparkSessionExtensions route);
+  *  - `NativeFunctions.register(spark)` on a live session (used
+  *    internally by operators that accept any caller session).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("graft_minhash64"),
+      MinHashSig.info, MinHashSig.builder))
+  }
+}
+
+object NativeFunctions {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash64", MinHashSig.builder, "built-in")
+}

@@ -1,0 +1,79 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native MinHash signature expression — Catalyst tier (b) of the
+  * custom-operator preference order (SURVEY.md §4): the higher-order-
+  * function formulation (Dedup.minHashSignature) is semantically
+  * identical but evaluates interpreted lambdas with per-element boxing;
+  * this expression runs the whole tokenize → shingle → hash → minima
+  * pipeline in one imperative JVM loop per row.
+  *
+  * Bit-for-bit compatible with the HOF version: shingle base hash =
+  * Spark's `xxhash64(shingle_string)` (XXH64 over UTF-8 bytes, seed 42),
+  * permutation j = `xxhash64(base ^ (j * 2654435761))` — so the two
+  * implementations are interchangeable in any pipeline.
+  *
+  * CodegenFallback: the per-row work (hundreds of hashes) dwarfs the
+  * row-boxing overhead codegen would save; doGenCode is a possible
+  * round-2 refinement.
+  */
+case class MinHashSig(child: Expression, numHashes: Int, shingleN: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val tokens = text.trim.split("\\s+")
+    val n = tokens.length
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val starts = math.max(n - (shingleN - 1), 1)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < starts) {
+      sb.setLength(0)
+      var k = i
+      val end = math.min(i + shingleN, n)
+      while (k < end) {
+        if (k > i) sb.append(' ')
+        sb.append(tokens(k))
+        k += 1
+      }
+      val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val base = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
+      var j = 0
+      while (j < numHashes) {
+        val h = XXH64.hashLong(base ^ (j * 2654435761L), 42L)
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[MinHashSig].getName, "graft_minhash64")
+
+  /** SQL builder: graft_minhash64(text, numHashes, shingleN). */
+  def builder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3,
+      s"graft_minhash64 expects (text, numHashes, shingleN); got ${exprs.length} args")
+    MinHashSig(exprs.head,
+      exprs(1).eval(InternalRow.empty).asInstanceOf[Number].intValue(),
+      exprs(2).eval(InternalRow.empty).asInstanceOf[Number].intValue())
+  }
+}

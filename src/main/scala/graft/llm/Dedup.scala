@@ -134,6 +134,10 @@ object Dedup {
       bands: Int = 8, rowsPerBand: Int = 4, shingleN: Int = 3): DataFrame = {
     val numHashes = bands * rowsPerBand
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    // Native Catalyst expression for the signature (bit-identical to
+    // minHashSignature, one imperative loop per row instead of
+    // interpreted lambdas) — tier (b) of the custom-op preference order.
+    graft.expressions.NativeFunctions.register(df.sparkSession)
     // Two deliberate exchanges around the signature projection:
     //  - BEFORE: a small parquet file is one input split, so the
     //    CPU-bound signature pass would otherwise run on a single task;
@@ -148,7 +152,7 @@ object Dedup {
     val sigs = df.select(col(idCol).as("id"), col(textCol).as("t"))
       .repartition(p)
       .select(col("id"),
-        minHashSignature(col("t"), numHashes, shingleN).as("sig"))
+        expr(s"graft_minhash64(t, $numHashes, $shingleN)").as("sig"))
       .repartition(p)
     // One row per (doc, band); band bucket = hash fold of the band's
     // signature slice (sig is a materialized column here, so the fold

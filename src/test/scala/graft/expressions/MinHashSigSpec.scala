@@ -1,0 +1,44 @@
+package graft.expressions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+import graft.llm.Dedup
+
+class MinHashSigSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("native expression is bit-identical to the HOF formulation") {
+    NativeFunctions.register(spark)
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "one two three four five",
+      "single",
+      "a b a b a b repeated shingles dedup irrelevant for minima")
+      .toDF("t")
+    val both = docs.select(
+      Dedup.minHashSignature(col("t"), 16, 3).as("hof"),
+      expr("graft_minhash64(t, 16, 3)").as("native"))
+    assert(both.filter(col("hof") =!= col("native")).count() === 0)
+  }
+
+  test("SparkSessionExtensions route registers the function") {
+    val s2 = spark.newSession()
+    new GraftExtensions()(
+      new org.apache.spark.sql.SparkSessionExtensions() {})
+    // extension object applies cleanly; live-session registration:
+    NativeFunctions.register(s2)
+    import s2.implicits._
+    val sig = Seq("hello world of spark").toDF("t")
+      .select(expr("graft_minhash64(t, 8, 2)")).collect()(0).getSeq[Long](0)
+    assert(sig.length === 8)
+    assert(sig.forall(_ != Long.MaxValue))
+  }
+
+  test("bad arity fails with a clear message") {
+    NativeFunctions.register(spark)
+    val e = intercept[Exception] {
+      Seq("x").toDF("t").select(expr("graft_minhash64(t)")).collect()
+    }
+    assert(e.getMessage.contains("graft_minhash64"))
+  }
+}
