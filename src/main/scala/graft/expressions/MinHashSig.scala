@@ -2,8 +2,8 @@ package graft.expressions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
@@ -20,18 +20,26 @@ import org.apache.spark.unsafe.types.UTF8String
   * permutation j = `xxhash64(base ^ (j * 2654435761))` — so the two
   * implementations are interchangeable in any pipeline.
   *
-  * CodegenFallback: the per-row work (hundreds of hashes) dwarfs the
-  * row-boxing overhead codegen would save; doGenCode is a possible
-  * round-2 refinement.
+  * doGenCode keeps the projection inside whole-stage codegen: the
+  * generated code calls [[compute]] through a referenced instance —
+  * no per-row boxing, no codegen span break.
   */
 case class MinHashSig(child: Expression, numHashes: Int, shingleN: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash64"
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftMinHash", this, classOf[MinHashSig].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  def compute(input: UTF8String): ArrayData = {
+    val text = input.toString
     val tokens = text.trim.split("\\s+")
     val n = tokens.length
     val mins = Array.fill(numHashes)(Long.MaxValue)

@@ -116,6 +116,16 @@ object ExtQueries {
           col("meta.mime").as("mime"))
         .orderBy("doc_id")),
 
+    // Gap-based sessionization (30-min gap) — the window-function batch
+    // twin of the streaming flatMapGroupsWithState operator.
+    "q41_sessionize" -> ((s, d) => {
+      val ev = T.events(s, d)
+      graft.streaming.Streaming.sessionizeBatch(
+          ev.select(col("user_id"), T.tsMillis(ev, "ts").as("ts_ms")),
+          "user_id", "ts_ms", 30 * 60 * 1000L)
+        .orderBy("user_id", "session_seq")
+    }),
+
     // Time-series rollup on the stream-shaped table (batch counterpart
     // of the streaming windowed aggregation in graft.streaming).
     "q37_hourly_rollup" -> ((s, d) => {
@@ -230,6 +240,28 @@ object ExtQueries {
         |       sha256(text) AS content_hash,
         |       'text/plain' AS mime
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q41_sessionize" ->
+      """WITH t AS (
+        |  SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+        |f AS (
+        |  SELECT user_id, ts_ms,
+        |    CASE WHEN ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms)
+        |              > 1800000 THEN 1
+        |         WHEN lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms)
+        |              IS NULL THEN 1
+        |         ELSE 0 END AS new_session
+        |  FROM t),
+        |s AS (
+        |  SELECT user_id, ts_ms,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM f)
+        |SELECT user_id, session_seq,
+        |       min(ts_ms) AS session_start_ms,
+        |       max(ts_ms) AS session_end_ms,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
     "q37_hourly_rollup" ->
       """SELECT strftime(ts, '%Y-%m-%d %H') AS hour,
         |       count(*) AS n_events,

@@ -35,6 +35,30 @@ object Streaming {
       .select(col("window.start").as("hour_start"),
         col("n_events"), col("sum_value"))
 
+  /** Batch sessionization: the window-function formulation of gap-based
+    * sessions (lag → gap flag → running sum = session id), the exact
+    * batch twin of [[sessionize]]. One shuffle on the user key; the
+    * running sum stays inside the per-user sort — the standard
+    * sessionize-in-SQL shape that scales with user-partition parallelism. */
+  def sessionizeBatch(df: DataFrame, userCol: String, tsMsCol: String,
+      gapMillis: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(userCol).orderBy(tsMsCol)
+    val flagged = df.withColumn("_new_session",
+      when(col(tsMsCol) - lag(col(tsMsCol), 1).over(byUser) > gapMillis, 1)
+        .when(lag(col(tsMsCol), 1).over(byUser).isNull, 1)
+        .otherwise(0))
+    flagged
+      .withColumn("session_seq",
+        sum(col("_new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(
+        min(col(tsMsCol)).as("session_start_ms"),
+        max(col(tsMsCol)).as("session_end_ms"),
+        count(lit(1)).as("n_events"))
+  }
+
   final case class Click(user_id: Long, ts_ms: Long, event_type: String)
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class Session(user_id: Long, session_start: Long,

@@ -39,6 +39,20 @@ class StreamingSpec extends SparkSuite {
     streamed.foreach { case (h, n) => assert(batch(h) === n, s"window $h") }
   }
 
+  test("sessionizeBatch: closed sessions agree with the streaming operator") {
+    val gap = 60000L
+    val clicks = Seq(
+      Streaming.Click(1L, 0L, "a"), Streaming.Click(1L, 10000L, "b"),
+      Streaming.Click(1L, 600000L, "c"), // new session for user 1
+      Streaming.Click(2L, 5000L, "x"), Streaming.Click(2L, 20000L, "y"))
+    val batch = Streaming.sessionizeBatch(
+      clicks.toDS().toDF(), "user_id", "ts_ms", gap)
+      .orderBy("user_id", "session_seq").collect()
+    assert(batch.map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      === Seq((1L, 0L, 10000L, 2L), (1L, 600000L, 600000L, 1L),
+        (2L, 5000L, 20000L, 2L)))
+  }
+
   test("sessionize: gap-based sessions with state across batches") {
     val land = Files.createTempDirectory("graft-sess").toString
     val gap = 60000L // 1 minute
