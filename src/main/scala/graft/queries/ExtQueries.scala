@@ -107,6 +107,42 @@ object ExtQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Embedding near-dup pairs, exact cosine, blocked by label (the
+    // brute-force verify tier under Dedup.embeddingNearDup's LSH path).
+    "q42_embedding_pairs" -> ((s, d) => {
+      val e = T.embeddings(s, d).select(col("vec_id"), col("label"),
+        graft.llm.Similarity.asDouble(col("embedding")).as("v"))
+      val l = e.as("l")
+      val r = e.as("r")
+      l.join(r, col("l.label") === col("r.label") &&
+          col("l.vec_id") < col("r.vec_id"))
+        .select(col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"),
+          round(graft.llm.Similarity.cosine(col("l.v"), col("r.v")), 4)
+            .as("cosine_r"))
+        .filter(col("cosine_r") >= 0.35)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Composite analytical query (TPC-H Q3 shape): join + agg + top-k —
+    // the optimizer-led capability §2.7 claims (broadcast dim, partial
+    // aggregation, WindowGroupLimit).
+    "q43_revenue_topk" -> ((s, d) => {
+      val cust = T.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val ord = T.orders(s, d)
+      val li = T.lineitem(s, d)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1.0) - col("l_discount")).cast(DecimalType(18, 2))))
+          .cast(DecimalType(18, 4)).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("revenue"))
+    }),
+
     // Multimodal plumbing: binary payload + typed metadata struct.
     "q36_multimodal_meta" -> ((s, d) =>
       Multimodal.binaryFromText(T.documents(s, d), "text", "doc_id")
@@ -234,6 +270,27 @@ object ExtQueries {
         |  FROM s)
         |SELECT query_id, rank, neighbor_id, round(cosine, 4) AS cosine_r
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q42_embedding_pairs" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(a.v, b.v), 4) AS cosine_r
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.35
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q43_revenue_topk" ->
+      """SELECT l_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                CAST(1.0 - l_discount AS DECIMAL(18,2)))
+        |            AS DECIMAL(18,4)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q36_multimodal_meta" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
