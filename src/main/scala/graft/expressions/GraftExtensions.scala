@@ -15,11 +15,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier("graft_minhash64"),
       MinHashSig.info, MinHashSig.builder))
+    e.injectFunction((FunctionIdentifier("graft_dot"),
+      DotProduct.info, DotProduct.builder))
   }
 }
 
 object NativeFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash64", MinHashSig.builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", DotProduct.builder, "built-in")
+  }
 }

@@ -44,6 +44,9 @@ object Similarity {
   def topKBruteForce(queries: DataFrame, corpus: DataFrame, qId: String,
       cId: String, vecCol: String, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // norms precomputed per ROW (2n sqrt) not per PAIR (2·n·m); the
+    // pair-level hot loop is the native graft_dot primitive.
+    graft.expressions.NativeFunctions.register(corpus.sparkSession)
     val q = queries.select(col(qId).as("query_id"),
       asDouble(col(vecCol)).as("qv"), norm(asDouble(col(vecCol))).as("qn"))
     val c = corpus.select(col(cId).as("neighbor_id"),
@@ -52,7 +55,7 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id"))
     c.crossJoin(broadcast(q))
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
+        (expr("graft_dot(qv, cv)") / (col("qn") * col("cn"))).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")

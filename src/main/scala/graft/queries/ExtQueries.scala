@@ -110,14 +110,17 @@ object ExtQueries {
     // Embedding near-dup pairs, exact cosine, blocked by label (the
     // brute-force verify tier under Dedup.embeddingNearDup's LSH path).
     "q42_embedding_pairs" -> ((s, d) => {
+      graft.expressions.NativeFunctions.register(s)
       val e = T.embeddings(s, d).select(col("vec_id"), col("label"),
-        graft.llm.Similarity.asDouble(col("embedding")).as("v"))
+        graft.llm.Similarity.asDouble(col("embedding")).as("v"),
+        graft.llm.Similarity.norm(
+          graft.llm.Similarity.asDouble(col("embedding"))).as("nv"))
       val l = e.as("l")
       val r = e.as("r")
       l.join(r, col("l.label") === col("r.label") &&
           col("l.vec_id") < col("r.vec_id"))
         .select(col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"),
-          round(graft.llm.Similarity.cosine(col("l.v"), col("r.v")), 4)
+          round(expr("graft_dot(l.v, r.v)") / (col("l.nv") * col("r.nv")), 4)
             .as("cosine_r"))
         .filter(col("cosine_r") >= 0.35)
         .orderBy("id_a", "id_b")

@@ -34,6 +34,19 @@ class MinHashSigSpec extends SparkSuite {
     assert(sig.forall(_ != Long.MaxValue))
   }
 
+  test("graft_dot is bit-identical to the HOF dot and handles edge shapes") {
+    NativeFunctions.register(spark)
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (Seq(0.0), Seq(0.0)),
+      (Seq(-1.5, 2.5), Seq(2.0, 4.0))).toDF("a", "b")
+    val both = df.select(
+      graft.llm.Similarity.dot(col("a"), col("b")).as("hof"),
+      expr("graft_dot(a, b)").as("native"))
+    assert(both.filter(col("hof") =!= col("native")).count() === 0)
+    assert(both.collect()(0).getDouble(1) === 32.0)
+  }
+
   test("bad arity fails with a clear message") {
     NativeFunctions.register(spark)
     val e = intercept[Exception] {
