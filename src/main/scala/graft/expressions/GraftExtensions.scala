@@ -17,6 +17,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       MinHashSig.info, MinHashSig.builder))
     e.injectFunction((FunctionIdentifier("graft_dot"),
       DotProduct.info, DotProduct.builder))
+    e.injectFunction((FunctionIdentifier("graft_hplane_sig"),
+      HyperplaneSig.info, HyperplaneSig.builder))
+    e.injectFunction((FunctionIdentifier("graft_simhash64"),
+      SimHash64.info, SimHash64.builder))
   }
 }
 
@@ -26,5 +30,9 @@ object NativeFunctions {
       "graft_minhash64", MinHashSig.builder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", DotProduct.builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hplane_sig", HyperplaneSig.builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash64", SimHash64.builder, "built-in")
   }
 }

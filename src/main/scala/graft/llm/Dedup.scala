@@ -225,7 +225,9 @@ object Dedup {
     * the self-join runs per chunk bucket, never all-pairs. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simHash64(textCol).as("sig"))
+    graft.expressions.NativeFunctions.register(df.sparkSession)
+    val sigs = df.select(col(idCol).as("id"),
+      expr(s"graft_simhash64(`$textCol`)").as("sig"))
     val chunked = sigs.select(col("id"), col("sig"),
       posexplode(expr("transform(sequence(0,3), c -> shiftright(sig, c*16) & 65535L)"))
         .as(Seq("chunk", "ck")))

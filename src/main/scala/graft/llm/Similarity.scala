@@ -91,12 +91,16 @@ object Similarity {
       cId: String, vecCol: String, k: Int = 5, bands: Int = 4,
       bitsPerBand: Int = 8, seed: Long = 42L, dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.expressions.NativeFunctions.register(corpus.sparkSession)
     def banded(df: DataFrame, id: String, outId: String): DataFrame = {
+      // native signature expression: same planes (same seeded RNG) as
+      // hyperplaneSignature, without an nPlanes×dim literal expression
+      // tree per band. Computed over the double-cast column "v".
       val sigs = (0 until bands).map { b =>
-        hyperplaneSignature(col(vecCol),
-          randomPlanes(dim, bitsPerBand, seed + b)).as(s"b$b")
+        expr(s"graft_hplane_sig(v, $dim, $bitsPerBand, ${seed + b})").as(s"b$b")
       }
-      df.select((col(id).as(outId) +: asDouble(col(vecCol)).as("v") +: sigs): _*)
+      df.select(col(id).as(outId), asDouble(col(vecCol)).as("v"))
+        .select((col(outId) +: col("v") +: sigs): _*)
         .select(col(outId), col("v"),
           posexplode(array((0 until bands).map(b => col(s"b$b")): _*))
             .as(Seq("band", "bucket")))

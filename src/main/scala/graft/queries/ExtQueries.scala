@@ -83,10 +83,12 @@ object ExtQueries {
         .orderBy("id_a", "id_b")),
 
     // SimHash 64-bit signatures (xxhash64 bit votes) — rows-only.
-    "q33_simhash" -> ((s, d) =>
+    "q33_simhash" -> ((s, d) => {
+      graft.expressions.NativeFunctions.register(s)
       T.documents(s, d)
-        .select(col("doc_id"), Dedup.simHash64("text").as("simhash"))
-        .orderBy("doc_id")),
+        .select(col("doc_id"), expr("graft_simhash64(text)").as("simhash"))
+        .orderBy("doc_id")
+    }),
 
     // ANN: exact brute-force cosine top-5 for 8 query vectors.
     "q34_ann_cosine_topk" -> ((s, d) => {

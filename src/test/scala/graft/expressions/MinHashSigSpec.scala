@@ -47,6 +47,28 @@ class MinHashSigSpec extends SparkSuite {
     assert(both.collect()(0).getDouble(1) === 32.0)
   }
 
+  test("graft_simhash64 is bit-identical to the SQL formulation") {
+    NativeFunctions.register(spark)
+    val docs = Seq("the quick brown fox", "single", "a b a b repeated")
+      .toDF("text")
+    val both = docs.select(
+      Dedup.simHash64("text").as("hof"),
+      expr("graft_simhash64(text)").as("native"))
+    assert(both.filter(col("hof") =!= col("native")).count() === 0)
+  }
+
+  test("graft_hplane_sig buckets identically to hyperplaneSignature") {
+    NativeFunctions.register(spark)
+    val vecs = Seq(
+      Seq(1.0, -2.0, 0.5, 3.0), Seq(-1.0, 2.0, -0.5, -3.0),
+      Seq(0.1, 0.1, 0.1, 0.1)).toDF("v")
+    val planes = graft.llm.Similarity.randomPlanes(4, 8, seed = 99L)
+    val both = vecs.select(
+      graft.llm.Similarity.hyperplaneSignature(col("v"), planes).as("hof"),
+      expr("graft_hplane_sig(v, 4, 8, 99)").as("native"))
+    assert(both.filter(col("hof") =!= col("native")).count() === 0)
+  }
+
   test("bad arity fails with a clear message") {
     NativeFunctions.register(spark)
     val e = intercept[Exception] {
