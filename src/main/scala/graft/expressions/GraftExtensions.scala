@@ -21,6 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       HyperplaneSig.info, HyperplaneSig.builder))
     e.injectFunction((FunctionIdentifier("graft_simhash64"),
       SimHash64.info, SimHash64.builder))
+    e.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
+      ShingleHashes.info, ShingleHashes.builder))
   }
 }
 
@@ -34,5 +36,7 @@ object NativeFunctions {
       "graft_hplane_sig", HyperplaneSig.builder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash64", SimHash64.builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingle_hashes", ShingleHashes.builder, "built-in")
   }
 }

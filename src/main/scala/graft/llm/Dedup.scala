@@ -102,9 +102,10 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String] = Seq.empty, shingleN: Int = 3,
       threshold: Double = 0.5): DataFrame = {
+    graft.expressions.NativeFunctions.register(df.sparkSession)
     val base = df.select(
       (col(idCol).as("id") +: blockCols.map(col)) :+
-        shingleHashes(col(textCol), shingleN).as("sh"): _*)
+        expr(s"graft_shingle_hashes(`$textCol`, $shingleN)").as("sh"): _*)
     val ex = base.select(
       (col("id") +: blockCols.map(col)) ++
         Seq(size(col("sh")).as("sz"), explode(col("sh")).as("g")): _*)

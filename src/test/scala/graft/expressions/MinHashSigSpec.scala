@@ -69,6 +69,16 @@ class MinHashSigSpec extends SparkSuite {
     assert(both.filter(col("hof") =!= col("native")).count() === 0)
   }
 
+  test("graft_shingle_hashes equals the HOF shingle hashes as a set") {
+    NativeFunctions.register(spark)
+    val docs = Seq("the quick brown fox jumps", "a b a b a b", "single")
+      .toDF("text")
+    val both = docs.select(
+      array_sort(Dedup.shingleHashes(col("text"), 3)).as("hof"),
+      array_sort(expr("graft_shingle_hashes(text, 3)")).as("native"))
+    assert(both.filter(col("hof") =!= col("native")).count() === 0)
+  }
+
   test("bad arity fails with a clear message") {
     NativeFunctions.register(spark)
     val e = intercept[Exception] {
