@@ -81,6 +81,59 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Approximate top-k via IVF (inverted-file index): k-means cluster
+    * the corpus into `nlist` cells (Spark ML KMeans, seeded —
+    * deterministic), search only the `nprobe` cells whose centroids are
+    * nearest each query. The classic FAISS-style scale path: per-query
+    * work drops from O(corpus) to O(corpus × nprobe / nlist); the
+    * centroid table is tiny and broadcast. Returns exact cosine ranks
+    * within the probed cells. */
+  def topKIvf(queries: DataFrame, corpus: DataFrame, qId: String,
+      cId: String, vecCol: String, k: Int = 5, nlist: Int = 16,
+      nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    graft.expressions.NativeFunctions.register(corpus.sparkSession)
+
+    val corpusVec = corpus.select(col(cId).as("neighbor_id"),
+        asDouble(col(vecCol)).as("cv"))
+      .withColumn("features", array_to_vector(col("cv")))
+    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features")
+      .fit(corpusVec)
+    val assigned = model.transform(corpusVec)
+      .select(col("neighbor_id"), col("cv"), col("prediction").as("cell"),
+        norm(col("cv")).as("cn"))
+
+    // nprobe nearest centroids per query, by cosine against the tiny
+    // centroid table (driver-side literals, no shuffle).
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.toSeq)
+    }
+    val centDf = corpus.sparkSession.createDataFrame(centroids)
+      .toDF("cell", "centroid")
+    val q = queries.select(col(qId).as("query_id"),
+      asDouble(col(vecCol)).as("qv"), norm(asDouble(col(vecCol))).as("qn"))
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("cell"))
+    val probed = q.crossJoin(broadcast(centDf))
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"),
+        (expr("graft_dot(qv, centroid)") /
+          (col("qn") * sqrt(expr("graft_dot(centroid, centroid)")))).as("csim"))
+      .withColumn("prank", row_number().over(probeW))
+      .filter(col("prank") <= nprobe)
+      .select("query_id", "qv", "qn", "cell")
+
+    val rankW = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    assigned.join(broadcast(probed), Seq("cell"))
+      .select(col("query_id"), col("neighbor_id"),
+        (expr("graft_dot(qv, cv)") / (col("qn") * col("cn"))).as("cosine"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   /** Approximate top-k via multi-band hyperplane LSH: `bands`
     * independent signatures of `bitsPerBand` bits; query and corpus
     * join on any matching (band, bucket); candidates are ranked

@@ -100,6 +100,15 @@ object ExtQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ANN scale path #2: IVF (k-means inverted file, FAISS-style) —
+    // rows-only (clustering is engine-local by construction).
+    "q44_ann_ivf_topk" -> ((s, d) => {
+      val emb = T.embeddings(s, d)
+      Similarity.topKIvf(emb.filter(col("vec_id") < 8), emb,
+          "vec_id", "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     // ANN scale path: hyperplane-LSH bucketed top-k — rows-only
     // (seeded-random planes are engine-local by construction).
     "q35_ann_lsh_topk" -> ((s, d) => {

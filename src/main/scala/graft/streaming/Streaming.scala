@@ -35,6 +35,17 @@ object Streaming {
       .select(col("window.start").as("hour_start"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup — the training-pipeline staple of dropping
+    * re-delivered/duplicate records as they arrive. Watermark bounds the
+    * dedup state store: keys older than the watermark are evicted, so
+    * state stays proportional to the watermark window, not the stream
+    * history (dropDuplicatesWithinWatermark semantics). */
+  def dedupStream(events: DataFrame, eventTimeCol: String,
+      watermark: String, keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Batch sessionization: the window-function formulation of gap-based
     * sessions (lag → gap flag → running sum = session id), the exact
     * batch twin of [[sessionize]]. One shuffle on the user key; the

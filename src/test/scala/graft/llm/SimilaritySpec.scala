@@ -44,6 +44,16 @@ class SimilaritySpec extends SparkSuite {
     assert(r.contains(0L) && r.contains(100L))
   }
 
+  test("topKIvf: self + planted neighbor recovered through probed cells") {
+    val r = Similarity.topKIvf(
+      corpus.filter(col("vec_id") === 0), corpus, "vec_id", "vec_id",
+      "embedding", k = 3, nlist = 4, nprobe = 2)
+      .orderBy("rank").collect()
+    assert(r.nonEmpty)
+    assert(r(0).getAs[Long]("neighbor_id") === 0L) // identical cell ⇒ self found
+    assert(r.map(_.getAs[Long]("neighbor_id")).contains(100L)) // planted
+  }
+
   test("hyperplane signature: equal vectors share buckets, deterministic") {
     val planes = Similarity.randomPlanes(4, 8, seed = 42L)
     assert(planes === Similarity.randomPlanes(4, 8, seed = 42L))

@@ -39,6 +39,25 @@ class StreamingSpec extends SparkSuite {
     streamed.foreach { case (h, n) => assert(batch(h) === n, s"window $h") }
   }
 
+  test("dedupStream drops duplicate keys within the watermark window") {
+    val land = Files.createTempDirectory("graft-dedup").toString
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), "a"),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), "a-dup"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:03"), "b"))
+      .toDF("id", "ts", "v").write.mode("overwrite").parquet(land)
+    val schema = spark.read.parquet(land).schema
+    val q = Streaming.dedupStream(
+        Streaming.fileStream(spark, land, schema), "ts", "10 minutes", Seq("id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("deduped")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", land + "-ckpt")
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("deduped").select("id").as[Long].collect().sorted
+    assert(got.toSeq === Seq(1L, 2L))
+  }
+
   test("sessionizeBatch: closed sessions agree with the streaming operator") {
     val gap = 60000L
     val clicks = Seq(
