@@ -186,7 +186,8 @@ object Dedup {
       threshold: Double = 0.7, bands: Int = 8, rowsPerBand: Int = 4,
       shingleN: Int = 3): DataFrame = {
     val cand = minhashCandidates(df, idCol, textCol, bands, rowsPerBand, shingleN)
-    val sh = df.select(col(idCol).as("sid"), shingles(col(textCol), shingleN).as("sh"))
+    val sh = df.select(col(idCol).as("sid"),
+      expr(s"graft_shingle_hashes(`$textCol`, $shingleN)").as("sh"))
     cand
       .join(sh, col("id_a") === col("sid")).withColumnRenamed("sh", "sh_a").drop("sid")
       .join(sh, col("id_b") === col("sid")).withColumnRenamed("sh", "sh_b").drop("sid")
