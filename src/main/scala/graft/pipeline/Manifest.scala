@@ -20,15 +20,23 @@ import org.apache.spark.sql.functions._
 final class Manifest(spark: SparkSession, dir: String) {
   import spark.implicits._
 
-  private val schemaDf = Seq.empty[(String, String, String, String, Long)]
-    .toDF("pkey", "pipeline", "stage", "path", "at")
+  private val schemaDf = Seq.empty[(String, String, String, String, String, Long)]
+    .toDF("pkey", "pipeline", "stage", "path", "version", "at")
 
   /** Record a stage completion for pkey (reference DataObject.upsert,
     * tables.py:139-157 — fired after the stage file commit). */
-  def markDone(pkey: String, pipeline: String, stage: String, path: String): Unit =
-    Seq((pkey, pipeline, stage, path, Instant.now().toEpochMilli))
-      .toDF("pkey", "pipeline", "stage", "path", "at")
+  def markDone(pkey: String, pipeline: String, stage: String, path: String,
+      version: String = "v0"): Unit =
+    Seq((pkey, pipeline, stage, path, version, Instant.now().toEpochMilli))
+      .toDF("pkey", "pipeline", "stage", "path", "version", "at")
       .write.mode(SaveMode.Append).parquet(dir)
+
+  /** Pipeline version the pkey's most recent commit was recorded under. */
+  def versionOf(pkey: String): Option[String] = {
+    val rows = state().filter(col("pkey") === pkey)
+      .orderBy(col("at").desc).select("version").limit(1).collect()
+    rows.headOption.map(_.getString(0))
+  }
 
   /** Raw event log (empty frame when nothing recorded yet). */
   def log(): DataFrame =

@@ -28,11 +28,20 @@ object Stages {
 
 final class PipelineDeclarationError(msg: String) extends IllegalArgumentException(msg)
 
+/** Raised when resuming an object recorded under a different pipeline
+  * version (reference `PipelineVersionError`, tables.py:191-192). */
+final class PipelineVersionError(msg: String) extends IllegalStateException(msg)
+
 final case class Stage(
     name: String,
     core: DataFrame => DataFrame,
     pre: Seq[DataFrame => DataFrame] = Seq.empty,
-    post: Seq[DataFrame => DataFrame] = Seq.empty) {
+    post: Seq[DataFrame => DataFrame] = Seq.empty,
+    /** Post-commit side-effects (reference `on_<stage>_commit` async
+      * processors, §2.9): fired after the stage file commit + manifest
+      * upsert, given (pkey, committedPath). Never part of the plan —
+      * failures log, they cannot corrupt the committed stage. */
+    onCommit: Seq[(String, String) => Unit] = Seq.empty) {
   def apply(df: DataFrame): DataFrame = {
     val in = pre.foldLeft(df)((d, h) => h(d))
     val out = core(in)
@@ -44,7 +53,12 @@ final case class Pipeline(
     name: String,
     stages: Seq[Stage],
     /** Root directory for inter-stage parquet interchange. */
-    root: String) {
+    root: String,
+    /** Pipeline version fingerprint (reference hashes stage source into
+      * a version, pipeline.py:176-221; pass e.g. Model.versionHash).
+      * Recorded on every manifest commit; `advance` refuses to resume
+      * an object recorded under a different version. */
+    version: String = "v0") {
 
   {
     val declared = stages.map(_.name)
@@ -82,7 +96,13 @@ final case class Pipeline(
       df = st(df)
       val dir = stageDir(st.name, pkey)
       df.write.mode("overwrite").parquet(dir)
-      manifest.foreach(_.markDone(pkey, name, st.name, dir))
+      manifest.foreach(_.markDone(pkey, name, st.name, dir, version))
+      st.onCommit.foreach { cb =>
+        try cb(pkey, dir)
+        catch { case e: Exception =>
+          System.err.println(s"[pipeline] on_${st.name}_commit failed for $pkey: ${e.getMessage}")
+        }
+      }
       df = spark.read.parquet(dir) // next stage reads the committed file
     }
     df
@@ -93,6 +113,13 @@ final case class Pipeline(
     * previous stage's committed file and continues. Returns None when
     * the object is already complete. */
   def advance(spark: SparkSession, pkey: String, manifest: Manifest): Option[DataFrame] = {
+    // version gate (tables.py:191-192): stale objects must be re-run
+    // from scratch under the current pipeline, not resumed mid-stream.
+    manifest.versionOf(pkey).foreach { recorded =>
+      if (recorded != version)
+        throw new PipelineVersionError(
+          s"$pkey was recorded under pipeline version $recorded; current is $version")
+    }
     manifest.nextStage(pkey, ordered.map(_.name)) match {
       case None => None
       case Some(next) =>

@@ -105,6 +105,51 @@ class PipelineSpec extends SparkSuite {
     assert(stalled === Seq("stuck"))
   }
 
+  test("advance refuses a version-mismatched object (PipelineVersionError)") {
+    val root = tmp()
+    val m = new Manifest(spark, s"$root/_manifest")
+    val pv1 = Pipeline("users", Seq(extract, transform), root, version = "hash-v1")
+    val in = Seq((1L, "ada")).toDF("id", "v")
+    extract(in).write.mode("overwrite").parquet(pv1.stageDir("extract", "f4"))
+    m.markDone("f4", "users", "extract", pv1.stageDir("extract", "f4"), "hash-v1")
+
+    val pv2 = pv1.copy(version = "hash-v2")
+    val e = intercept[PipelineVersionError] { pv2.advance(spark, "f4", m) }
+    assert(e.getMessage.contains("hash-v1"))
+    assert(pv1.advance(spark, "f4", m).isDefined) // same version resumes fine
+  }
+
+  test("onCommit side-effects fire after commit, failures stay contained") {
+    val root = tmp()
+    val fired = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val st = Stage("extract", identity,
+      onCommit = Seq(
+        (pk, path) => fired += ((pk, path)),
+        (_, _) => throw new RuntimeException("boom")))
+    val p = Pipeline("cb", Seq(st), root)
+    p.run(spark, Seq((1L, "x")).toDF("id", "v"), "f5")
+    assert(fired.toSeq === Seq(("f5", p.stageDir("extract", "f5"))))
+    // the failing hook did not abort the run; the stage file committed
+    assert(spark.read.parquet(p.stageDir("extract", "f5")).count() === 1)
+  }
+
+  test("landing zone: admission rules + dated hashed layout (A1/A2)") {
+    import graft.io.{Landing, LandingConfig, UploadRejectedException}
+    val root = tmp()
+    val src = java.nio.file.Files.createTempFile("users", ".jsonl")
+    java.nio.file.Files.writeString(src, "{\"a\":1}\n")
+    val landed = Landing.land(src, root, "users",
+      now = java.time.Instant.parse("2024-03-05T10:00:00Z"))
+    assert(landed.toString.contains("/users/2024/03/05/"))
+    assert(landed.getFileName.toString.endsWith("_" + src.getFileName.toString.replaceAll("[^A-Za-z0-9._-]", "_")))
+    intercept[UploadRejectedException] {
+      Landing.land(src, root, "users", LandingConfig(acceptExtensions = Set("csv")))
+    }
+    intercept[UploadRejectedException] {
+      Landing.land(src, root, "users", LandingConfig(active = false))
+    }
+  }
+
   test("manifest latest-wins on re-commit (tables.py upsert semantics)") {
     val root = tmp()
     val m = new Manifest(spark, s"$root/_manifest")
