@@ -1,0 +1,58 @@
+package graft.queries
+
+import graft.{SparkSuite, SparkEntry}
+
+/** Plan-quality regression guards: the physical plans the 100 TB design
+  * depends on (SCALE.md). If a refactor silently loses a pushdown, a
+  * broadcast, or the window top-k rewrite, these fail — correctness
+  * tests would not notice.
+  */
+class PlanQualitySpec extends SparkSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf)
+    // formatted mode prints scan metadata (PushedFilters/ReadSchema)
+    // unabridged; executedPlan.toString truncates it at 100 chars
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q06: both predicates pushed to the parquet scan") {
+    val p = plan("q06_filter_predicate")
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("GreaterThan(l_quantity,30.0)"), p.take(800))
+    assert(p.contains("EqualTo(l_returnflag,R)"))
+  }
+
+  test("q01: scan schema pruned to the projected columns only") {
+    val p = plan("q01_scan_projection")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_orderkey") && read.contains("l_returnflag"))
+    assert(!read.contains("l_extendedprice") && !read.contains("l_shipdate"), read)
+  }
+
+  test("q21: dimension joins broadcast (no fact-side shuffle join)") {
+    val p = plan("q21_join_enrich")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q23: window top-k uses WindowGroupLimit pushdown") {
+    val p = plan("q23_window_topk")
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
+
+  test("q43: top-N is TakeOrderedAndProject, not a global sort") {
+    val p = plan("q43_revenue_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)")
+      || p.contains("EqualTo(c_mktsegment,BUILDING)"))
+  }
+
+  test("q34: ANN brute force broadcasts queries and bounds ranks early") {
+    val p = plan("q34_ann_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+    assert(p.contains("WindowGroupLimit"))
+  }
+}
