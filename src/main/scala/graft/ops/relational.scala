@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operators Spark lacks, composed from built-ins — tier (a)
+  * of the custom-operator preference order (no custom plan nodes
+  * needed).
+  */
+object relational {
+
+  /** As-of (point-in-time) LEFT join: for every left row, attach the
+    * right row with the LARGEST `rightTime` ≤ `leftTime` within the
+    * same `on` keys; no candidate → right side null. Semantics match
+    * DuckDB's `ASOF LEFT JOIN` (equal timestamps DO match).
+    *
+    * Formulation: union both sides, one window sorted by
+    * (time, side-marker) per key, `last(right_payload, ignoreNulls)`
+    * carries the latest right row forward onto each left row. Exactly
+    * ONE shuffle (hash by `on`) + one per-partition sort — the shape
+    * that scales: no range-join explosion, no per-row lookups, and the
+    * sort is the same work a sort-merge join would do.
+    *
+    * Right rows must be unique per (on, rightTime) — pre-aggregate the
+    * right side otherwise (ties would be nondeterministic).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, on: Seq[String],
+      leftTime: String, rightTime: String): DataFrame = {
+    val lPayload = left.columns.filterNot(c => on.contains(c)).toSeq
+    val rPayload = right.columns.filterNot(c => on.contains(c) || c == rightTime).toSeq
+    val lStruct = struct(lPayload.map(col): _*)
+    val rStruct = struct(rPayload.map(col): _*)
+    val lStructType = org.apache.spark.sql.types.StructType(
+      lPayload.map(c => left.schema(c)))
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rPayload.map(c => right.schema(c)))
+
+    val lU = left.select(
+      (on.map(col) :+ col(leftTime).as("_t") :+ lit(1).as("_side") :+
+        lStruct.as("_l") :+ lit(null).cast(rStructType).as("_r")): _*)
+    val rU = right.select(
+      (on.map(col) :+ col(rightTime).as("_t") :+ lit(0).as("_side") :+
+        lit(null).cast(lStructType).as("_l") :+ rStruct.as("_r")): _*)
+
+    // right rows sort BEFORE left rows at equal time (_side 0 < 1), so
+    // an exactly-equal right timestamp is visible to the left row.
+    val w = Window.partitionBy(on.map(col): _*)
+      .orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val joined = lU.unionByName(rU)
+      .withColumn("_rmatch", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+
+    val outCols =
+      on.map(col) ++
+        lPayload.map(c => col(s"_l.$c").as(c)) ++
+        rPayload.map(c => col(s"_rmatch.$c").as(c))
+    joined.select(outCols: _*)
+  }
+}

@@ -157,6 +157,24 @@ object ExtQueries {
           col("revenue"))
     }),
 
+    // As-of (point-in-time) join: each event picks the customer's
+    // latest order at-or-before the event — composed from built-ins
+    // (union + window), one shuffle. Oracle: DuckDB's native ASOF JOIN.
+    "q45_asof_join" -> ((s, d) => {
+      val ev = T.events(s, d)
+      val left = ev.select(col("event_id"), col("user_id").as("custkey"),
+        T.tsMillis(ev, "ts").as("t_ms"))
+      val right = T.orders(s, d)
+        .groupBy(col("o_custkey").as("custkey"),
+          // o_orderdate is TIMESTAMP_NTZ; cast is identity under UTC session
+          unix_millis(col("o_orderdate").cast(TimestampType)).as("od_ms"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      graft.ops.relational.asofJoin(left, right, Seq("custkey"), "t_ms", "od_ms")
+        .select("event_id", "custkey", "o_orderkey", "order_date")
+        .orderBy("event_id")
+    }),
+
     // Multimodal plumbing: binary payload + typed metadata struct.
     "q36_multimodal_meta" -> ((s, d) =>
       Multimodal.binaryFromText(T.documents(s, d), "text", "doc_id")
@@ -284,6 +302,19 @@ object ExtQueries {
         |  FROM s)
         |SELECT query_id, rank, neighbor_id, round(cosine, 4) AS cosine_r
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q45_asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id AS custkey, epoch_ms(ts) AS t_ms
+        |  FROM events),
+        |o AS (
+        |  SELECT o_custkey AS custkey, epoch_ms(o_orderdate) AS od_ms,
+        |         strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |         max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2, 3)
+        |SELECT e.event_id, e.custkey, o.o_orderkey, o.order_date
+        |FROM e ASOF LEFT JOIN o
+        |  ON e.custkey = o.custkey AND e.t_ms >= o.od_ms
+        |ORDER BY event_id""".stripMargin,
     "q42_embedding_pairs" ->
       """WITH e AS (
         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
