@@ -211,6 +211,18 @@ object functions {
   def flattenDeep(c: Column, depth: Int): Column =
     (1 until depth).foldLeft(c)((acc, _) => flatten(acc))
 
+  /** Fully-recursive flatten, matching the reference's arbitrary-depth
+    * semantics: the nesting depth is STATIC in the schema, so the right
+    * number of `flatten` applications is derived from the column's
+    * DataType — still a pure Catalyst expression chain, no UDF. */
+  def flattenAll(df: DataFrame, colName: String): DataFrame = {
+    def depth(dt: org.apache.spark.sql.types.DataType): Int = dt match {
+      case ArrayType(inner, _) => 1 + depth(inner)
+      case _                   => 0
+    }
+    df.withColumn(colName, flattenDeep(col(colName), depth(df.schema(colName).dataType)))
+  }
+
   // ── writer-layout helpers (pipeline.py:786-792; model.py:57-63) ───────
 
   /** Derive the reference's dated partition layout columns

@@ -182,6 +182,15 @@ class OpsFunctionsSpec extends SparkSuite {
     assert(df.collect()(0).getSeq[Int](0) === Seq(1, 2, 3, 4))
   }
 
+  test("flattenAll derives depth from schema (reference full-recursive flatten)") {
+    val df = Seq((1, Seq(Seq(Seq(1, 2), Seq(3)), Seq(Seq(4))))).toDF("id", "xs")
+    val flat = F.flattenAll(df, "xs")
+    assert(flat.collect()(0).getSeq[Int](1) === Seq(1, 2, 3, 4))
+    // already-flat column is a no-op
+    val flat1 = F.flattenAll(Seq((1, Seq(7, 8))).toDF("id", "xs"), "xs")
+    assert(flat1.collect()(0).getSeq[Int](1) === Seq(7, 8))
+  }
+
   test("tableize naming defaults (model.py:57-59 inflection.tableize)") {
     assert(F.tableize("UserProfile") === "user_profiles")
     assert(F.tableize("Company") === "companies")
