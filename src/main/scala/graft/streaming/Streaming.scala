@@ -35,6 +35,37 @@ object Streaming {
       .select(col("window.start").as("hour_start"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming staged pipeline: the reference's incremental-arrival
+    * story (a Celery beat re-runs the pipeline per new file,
+    * tasks.py:22-29) as a file-source stream with `Trigger.AvailableNow`
+    * — process exactly the files that have arrived, commit each
+    * micro-batch through the SAME transform + manifest protocol as the
+    * batch pipeline, then stop. Checkpointing makes re-invocation
+    * process only NEW files: the reference's restart semantics, state
+    * kept by Spark instead of a control DB.
+    *
+    * `transform` is typically `Model.compile`; each batch lands in
+    * `outDir` (append) and is recorded in the manifest as
+    * `batch-<id>`. */
+  def runPipelineAvailableNow(spark: SparkSession, landingDir: String,
+      schema: StructType, transform: DataFrame => DataFrame, outDir: String,
+      checkpointDir: String, pipelineName: String,
+      manifest: Option[graft.pipeline.Manifest] = None,
+      format: String = "parquet"): Unit = {
+    val q = fileStream(spark, landingDir, schema, format)
+      .transform(transform)
+      .writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.write.mode("append").parquet(outDir)
+        manifest.foreach(_.markDone(s"batch-$id", pipelineName, "transform", outDir))
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming exact dedup — the training-pipeline staple of dropping
     * re-delivered/duplicate records as they arrive. Watermark bounds the
     * dedup state store: keys older than the watermark are evicted, so

@@ -39,6 +39,31 @@ class StreamingSpec extends SparkSuite {
     streamed.foreach { case (h, n) => assert(batch(h) === n, s"window $h") }
   }
 
+  test("streaming pipeline: AvailableNow processes only new files on re-run") {
+    val base = Files.createTempDirectory("graft-spipe").toString
+    val land = s"$base/landing"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    new java.io.File(land).mkdirs()
+    val m = new graft.pipeline.Manifest(spark, s"$base/_manifest")
+    val transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => df.select(col("id"), upper(col("v")).as("v"))
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$land/f1")
+    val schema = spark.read.parquet(s"$land/f1").schema
+
+    Streaming.runPipelineAvailableNow(spark, s"$land/*", schema, transform,
+      out, ckpt, "spipe", Some(m))
+    assert(spark.read.parquet(out).count() === 2)
+
+    // second arrival: only the new file is processed (checkpoint state)
+    Seq((3L, "c")).toDF("id", "v").write.mode("overwrite").parquet(s"$land/f2")
+    Streaming.runPipelineAvailableNow(spark, s"$land/*", schema, transform,
+      out, ckpt, "spipe", Some(m))
+    val rows = spark.read.parquet(out).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows === Seq((1L, "A"), (2L, "B"), (3L, "C"))) // no reprocessing dups
+    assert(m.log().count() >= 2) // per-batch manifest commits recorded
+  }
+
   test("dedupStream drops duplicate keys within the watermark window") {
     val land = Files.createTempDirectory("graft-dedup").toString
     Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), "a"),
