@@ -259,6 +259,34 @@ object CoreQueries {
             col("n_nationkey").cast(StringType), lit(".0/30")))).as("ip"))
         .orderBy("n_nationkey", "ip")),
 
+    // §2.7 grouping-sets capability: ROLLUP with sentinel-coalesced
+    // subtotal rows (avoids engine-specific NULL ordering).
+    "q46_rollup_agg" -> ((s, d) =>
+      T.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DecimalType(18, 2))
+            .as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n"))
+        .orderBy("rf", "ls")),
+
+    // §2.7 set-operator capability: INTERSECT / EXCEPT (distinct).
+    "q47_set_ops" -> ((s, d) => {
+      val o = T.orders(s, d)
+      val highPrio = o.filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_custkey")
+      val openOrders = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+      highPrio.intersect(openOrders)
+        .withColumn("bucket", lit("both"))
+        .unionByName(
+          highPrio.except(openOrders).withColumn("bucket", lit("high_prio_only")))
+        .orderBy("bucket", "o_custkey")
+    }),
+
     // [EXT] text stats primitives.
     "q24_text_stats" -> ((s, d) =>
       T.part(s, d)
@@ -420,6 +448,24 @@ object CoreQueries {
         |         CAST((i >> 8) & 255 AS VARCHAR) || '.' ||
         |         CAST(i & 255 AS VARCHAR))) AS ip
         |FROM nation ORDER BY n_nationkey, ip""".stripMargin,
+    "q46_rollup_agg" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "q47_set_ops" ->
+      """WITH hp AS (
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT','2-HIGH')),
+        |op AS (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |SELECT * FROM (
+        |  SELECT o_custkey, 'both' AS bucket FROM (SELECT * FROM hp INTERSECT SELECT * FROM op)
+        |  UNION ALL
+        |  SELECT o_custkey, 'high_prio_only' AS bucket FROM (SELECT * FROM hp EXCEPT SELECT * FROM op))
+        |ORDER BY bucket, o_custkey""".stripMargin,
     "q24_text_stats" ->
       """SELECT p_partkey, CAST(length(p_name) AS INT) AS name_len,
         |       CAST(len(string_split(p_name, ' ')) AS INT) AS n_words,
