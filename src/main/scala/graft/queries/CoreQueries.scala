@@ -31,11 +31,15 @@ object CoreQueries {
         .orderBy("l_orderkey", "l_linenumber")),
 
     // C1: rename + cast (marshmallow declared-field projection).
+    // Terminal decimals are re-cast to DOUBLE: the value is exact after
+    // the DECIMAL(12,2) quantization, and a double final representation
+    // hashes identically across engines (decimal wire formats do not).
     "q02_proj_rename_cast" -> ((s, d) =>
       T.customer(s, d)
         .select(
           col("c_custkey").cast(StringType).as("id"),
-          col("c_acctbal").cast(DecimalType(12, 2)).as("balance"))
+          col("c_acctbal").cast(DecimalType(12, 2)).cast(DoubleType)
+            .as("balance"))
         .orderBy("id")),
 
     // D1/D2: null-safe case functions.
@@ -205,11 +209,16 @@ object CoreQueries {
       val qty = col("l_quantity").cast(DecimalType(18, 2))
       val price = col("l_extendedprice").cast(DecimalType(18, 2))
       val disc = (lit(1.0) - col("l_discount")).cast(DecimalType(18, 2))
+      // Sums run in DECIMAL (exact, order-independent); the FINAL columns
+      // are DOUBLE so the output representation hashes identically across
+      // engines (a decimal's wire format does not).
       li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(qty).cast(DecimalType(18, 2)).as("sum_qty"),
-          sum(price).cast(DecimalType(18, 2)).as("sum_base_price"),
-          sum(price * disc).cast(DecimalType(18, 4)).as("sum_disc_price"),
+          sum(qty).cast(DecimalType(18, 2)).cast(DoubleType).as("sum_qty"),
+          sum(price).cast(DecimalType(18, 2)).cast(DoubleType)
+            .as("sum_base_price"),
+          sum(price * disc).cast(DecimalType(18, 4)).cast(DoubleType)
+            .as("sum_disc_price"),
           (sum(qty).cast(DoubleType) / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
@@ -266,7 +275,7 @@ object CoreQueries {
         .rollup("l_returnflag", "l_linestatus")
         .agg(
           sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DecimalType(18, 2))
-            .as("sum_qty"),
+            .cast(DoubleType).as("sum_qty"),
           count(lit(1)).as("n"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
@@ -305,7 +314,7 @@ object CoreQueries {
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q02_proj_rename_cast" ->
       """SELECT CAST(c_custkey AS VARCHAR) AS id,
-        |       CAST(c_acctbal AS DECIMAL(12,2)) AS balance
+        |       CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS balance
         |FROM customer ORDER BY id""".stripMargin,
     "q03_proj_case_funcs" ->
       """SELECT c_custkey, upper(c_name) AS name_upper,
@@ -398,10 +407,10 @@ object CoreQueries {
         |ORDER BY c_custkey""".stripMargin,
     "q22_agg_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |           CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS sum_disc_price,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
@@ -451,7 +460,7 @@ object CoreQueries {
     "q46_rollup_agg" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
         |       coalesce(l_linestatus, 'ALL') AS ls,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
         |       count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,

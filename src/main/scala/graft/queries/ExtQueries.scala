@@ -147,9 +147,10 @@ object ExtQueries {
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
+        // exact decimal sum; DOUBLE final representation (hash-portable)
         .agg(sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
             (lit(1.0) - col("l_discount")).cast(DecimalType(18, 2))))
-          .cast(DecimalType(18, 4)).as("revenue"))
+          .cast(DecimalType(18, 4)).cast(DoubleType).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
         .select(col("l_orderkey"),
@@ -207,7 +208,7 @@ object ExtQueries {
           count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"),
           sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(18, 2))
-            .as("sum_value"))
+            .cast(DoubleType).as("sum_value"))
         .orderBy("hour")
     })
   )
@@ -327,9 +328,9 @@ object ExtQueries {
     "q43_revenue_topk" ->
       """SELECT l_orderkey,
         |       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
         |                CAST(1.0 - l_discount AS DECIMAL(18,2)))
-        |            AS DECIMAL(18,4)) AS revenue
+        |            AS DECIMAL(18,4)) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -368,7 +369,7 @@ object ExtQueries {
       """SELECT strftime(ts, '%Y-%m-%d %H') AS hour,
         |       count(*) AS n_events,
         |       count(DISTINCT user_id) AS n_users,
-        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        |       CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY hour""".stripMargin
   )
 }
