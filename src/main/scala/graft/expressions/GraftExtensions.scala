@@ -23,6 +23,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       SimHash64.info, SimHash64.builder))
     e.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
       ShingleHashes.info, ShingleHashes.builder))
+    e.injectFunction((FunctionIdentifier("graft_ip_to_int"),
+      IpToInt.info, IpToInt.builder))
+    e.injectFunction((FunctionIdentifier("graft_ip_to_int_big"),
+      IpToIntBig.info, IpToIntBig.builder))
+    e.injectFunction((FunctionIdentifier("graft_recast_ip"),
+      IpRecast.info, IpRecast.builder))
+    e.injectFunction((FunctionIdentifier("graft_cidr_hosts"),
+      CidrHostsGen.info, CidrHostsGen.builder))
   }
 }
 
@@ -38,5 +46,13 @@ object NativeFunctions {
       "graft_simhash64", SimHash64.builder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingle_hashes", ShingleHashes.builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ip_to_int", IpToInt.builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ip_to_int_big", IpToIntBig.builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_recast_ip", IpRecast.builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cidr_hosts", CidrHostsGen.builder, "built-in")
   }
 }

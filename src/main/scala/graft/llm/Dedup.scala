@@ -101,7 +101,7 @@ object Dedup {
     * (doc_a, doc_b, jaccard) for jaccard ≥ threshold, doc_a < doc_b. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String] = Seq.empty, shingleN: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, dfCap: Long = 10000L): DataFrame = {
     graft.expressions.NativeFunctions.register(df.sparkSession)
     val base = df.select(
       (col(idCol).as("id") +: blockCols.map(col)) :+
@@ -109,16 +109,39 @@ object Dedup {
     val ex = base.select(
       (col("id") +: blockCols.map(col)) ++
         Seq(size(col("sh")).as("sz"), explode(col("sh")).as("g")): _*)
-    val l = ex.as("l")
-    val r = ex.as("r")
+    // Hot-shingle guard: the inverted-index join costs Σ_g C(df_g, 2), so
+    // ONE boilerplate shingle with df=1M yields 5·10¹¹ join rows — the
+    // scale-killer at 100 TB. Shingles with document frequency > dfCap
+    // are excluded from CANDIDATE GENERATION only; their contribution to
+    // the intersection is added back exactly via tiny per-doc hot-shingle
+    // sets, so every emitted pair carries its EXACT Jaccard. The sole
+    // semantic delta: a pair whose shared shingles are ALL hot (pure
+    // boilerplate overlap — not a near-dup signal) is not emitted.
+    val hot = ex.groupBy("g").agg(count(lit(1)).as("df_g"))
+      .filter(col("df_g") > dfCap).select("g")
+    val rare = ex.join(broadcast(hot), Seq("g"), "left_anti")
+    // per-doc sets of hot shingles (empty at test scale; ≤ distinct-hot
+    // long values per doc at 100 TB — KBs, never the full shingle set)
+    val docHot = ex.join(broadcast(hot), Seq("g"))
+      .groupBy("id").agg(collect_set(col("g")).as("hot_set"))
+    val l = rare.as("l")
+    val r = rare.as("r")
     val joinCond = (col("l.g") === col("r.g")) +:
       blockCols.map(c => col(s"l.$c") === col(s"r.$c")) :+
       (col("l.id") < col("r.id"))
-    val inter = l.join(r, joinCond.reduce(_ && _))
+    val interRare = l.join(r, joinCond.reduce(_ && _))
       .groupBy(col("l.id").as("doc_a"), col("r.id").as("doc_b"),
         col("l.sz").as("sz_a"), col("r.sz").as("sz_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
+      .agg(count(lit(1)).as("inter_rare"))
+    val emptyHot = array().cast(ArrayType(LongType))
+    interRare
+      .join(docHot.select(col("id").as("doc_a"), col("hot_set").as("hot_a")),
+        Seq("doc_a"), "left")
+      .join(docHot.select(col("id").as("doc_b"), col("hot_set").as("hot_b")),
+        Seq("doc_b"), "left")
+      .withColumn("inter", col("inter_rare") +
+        size(array_intersect(coalesce(col("hot_a"), emptyHot),
+          coalesce(col("hot_b"), emptyHot))))
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast(DoubleType) /
           (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
@@ -241,6 +264,41 @@ object Dedup {
         hamming64(col("l.sig"), col("r.sig")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** Exact within-block embedding pairs — the brute-force verify tier.
+    * Emits EVERY within-block pair with its exact cosine, so cost is
+    * quadratic in block size by definition; a fail-fast guard bounds
+    * that: any block larger than `maxBlock` rows raises with the block
+    * named rather than silently grinding through C(n,2) pairs — at
+    * 100 TB a skewed block must route through the LSH tier
+    * ([[embeddingNearDup]]), and this guard is what enforces the
+    * routing decision instead of leaving it to luck. The guard rides
+    * the join key expression (a broadcast of per-block counts), so it
+    * costs one tiny aggregate, no extra action. */
+  def embeddingPairsExact(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, maxBlock: Long = 10000L): DataFrame = {
+    graft.expressions.NativeFunctions.register(df.sparkSession)
+    val e = df.select(col(idCol).as("id"), col(blockCol).as("block"),
+      Similarity.asDouble(col(vecCol)).as("v"),
+      Similarity.norm(Similarity.asDouble(col(vecCol))).as("nv"))
+    val counts = e.groupBy("block").agg(count(lit(1)).as("block_n"))
+    val guarded = e.join(broadcast(counts), Seq("block"))
+      .withColumn("block",
+        when(col("block_n") > maxBlock,
+          raise_error(concat(
+            lit("embeddingPairsExact: block '"), col("block").cast(StringType),
+            lit(s"' exceeds maxBlock=$maxBlock ("), col("block_n").cast(StringType),
+            lit(" rows, quadratic pair cost); use Dedup.embeddingNearDup "
+              + "(LSH tier) or raise maxBlock explicitly")))
+            .cast(e.schema("block").dataType))
+          .otherwise(col("block")))
+      .drop("block_n")
+    val l = guarded.as("l")
+    val r = guarded.as("r")
+    l.join(r, col("l.block") === col("r.block") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        (expr("graft_dot(l.v, r.v)") / (col("l.nv") * col("r.nv"))).as("cosine"))
   }
 
   /** Embedding-cosine near-duplicates: pairs with cosine ≥ threshold,

@@ -99,8 +99,14 @@ object Similarity {
     val corpusVec = corpus.select(col(cId).as("neighbor_id"),
         asDouble(col(vecCol)).as("cv"))
       .withColumn("features", array_to_vector(col("cv")))
+    // KMeans makes one full pass per iteration; uncached, every pass
+    // re-reads and re-casts the parquet — the dominant cost of this
+    // operator. Cache for the duration of training only (the single
+    // post-fit assignment pass re-scans once, which is the cheap part).
+    corpusVec.cache()
     val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features")
       .fit(corpusVec)
+    corpusVec.unpersist(blocking = false)
     val assigned = model.transform(corpusVec)
       .select(col("neighbor_id"), col("cv"), col("prediction").as("cell"),
         norm(col("cv")).as("cn"))

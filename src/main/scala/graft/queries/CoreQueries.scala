@@ -260,12 +260,14 @@ object CoreQueries {
         .orderBy("c_custkey")
     }),
 
-    // F2: CIDR host expansion (explode_ip_addrs, utils.py:204-217).
+    // F2: CIDR host expansion (explode_ip_addrs, utils.py:204-217) —
+    // streamed through the native Generator (v4+v6, fail-fast host cap)
+    // rather than a materialized array; same rows, scale-safe.
     "q40_cidr_explode" -> ((s, d) =>
       T.nation(s, d)
         .select(col("n_nationkey"),
-          explode(F.cidrHosts(concat(lit("10.0."),
-            col("n_nationkey").cast(StringType), lit(".0/30")))).as("ip"))
+          F.explodeCidr(concat(lit("10.0."),
+            col("n_nationkey").cast(StringType), lit(".0/30"))).as("ip"))
         .orderBy("n_nationkey", "ip")),
 
     // §2.7 grouping-sets capability: ROLLUP with sentinel-coalesced

@@ -118,24 +118,17 @@ object ExtQueries {
         .orderBy("query_id", "rank")
     }),
 
-    // Embedding near-dup pairs, exact cosine, blocked by label (the
-    // brute-force verify tier under Dedup.embeddingNearDup's LSH path).
-    "q42_embedding_pairs" -> ((s, d) => {
-      graft.expressions.NativeFunctions.register(s)
-      val e = T.embeddings(s, d).select(col("vec_id"), col("label"),
-        graft.llm.Similarity.asDouble(col("embedding")).as("v"),
-        graft.llm.Similarity.norm(
-          graft.llm.Similarity.asDouble(col("embedding"))).as("nv"))
-      val l = e.as("l")
-      val r = e.as("r")
-      l.join(r, col("l.label") === col("r.label") &&
-          col("l.vec_id") < col("r.vec_id"))
-        .select(col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"),
-          round(expr("graft_dot(l.v, r.v)") / (col("l.nv") * col("r.nv")), 4)
-            .as("cosine_r"))
+    // Embedding near-dup pairs, exact cosine, blocked by label — the
+    // brute-force verify tier, now through Dedup.embeddingPairsExact:
+    // quadratic-in-block by definition, so the operator carries a
+    // fail-fast block-size guard (oversized blocks must route through
+    // the embeddingNearDup LSH tier instead of silently exploding).
+    "q42_embedding_pairs" -> ((s, d) =>
+      Dedup.embeddingPairsExact(T.embeddings(s, d), "vec_id", "embedding",
+          "label")
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine_r"))
         .filter(col("cosine_r") >= 0.35)
-        .orderBy("id_a", "id_b")
-    }),
+        .orderBy("id_a", "id_b")),
 
     // Composite analytical query (TPC-H Q3 shape): join + agg + top-k —
     // the optimizer-led capability §2.7 claims (broadcast dim, partial

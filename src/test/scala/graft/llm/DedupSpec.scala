@@ -94,4 +94,52 @@ class DedupSpec extends SparkSuite {
       .collect().map(x => (x.getAs[Long]("id_a"), x.getAs[Long]("id_b"))).toSet
     assert(r === Set((1L, 2L)))
   }
+
+  test("jaccardPairs hot-shingle cap keeps exact jaccard for emitted pairs") {
+    // "common common common" shingle appears in every doc (df=4 > cap=3);
+    // docs 1/2 also share rare content, docs 3/4 share ONLY the hot
+    // boilerplate shingle.
+    val boiler = "common common common"
+    val d = Seq(
+      (1L, s"alpha beta gamma delta $boiler"),
+      (2L, s"alpha beta gamma delta epsilon $boiler"),
+      (3L, s"one two three $boiler"),
+      (4L, s"four five six $boiler")
+    ).toDF("id", "text")
+    val capped = Dedup.jaccardPairs(d, "id", "text", shingleN = 3,
+        threshold = 0.01, dfCap = 3)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    val uncapped = Dedup.jaccardPairs(d, "id", "text", shingleN = 3,
+        threshold = 0.01, dfCap = 1000000)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    // pairs surfaced under the cap carry EXACT jaccard (hot contribution
+    // added back via the per-doc hot sets)
+    assert(capped.keySet.contains((1L, 2L)))
+    capped.foreach { case (k, j) => assert(j === uncapped(k)) }
+    // boilerplate-only pairs are the (documented) delta
+    assert(!capped.keySet.contains((3L, 4L)))
+    assert(uncapped.keySet.contains((3L, 4L)))
+  }
+
+  test("embeddingPairsExact: exact cosine within block, fail-fast over cap") {
+    val vecs = Seq(
+      (1L, "a", Seq.tabulate(8)(i => math.sin(i + 1).toFloat)),
+      (2L, "a", Seq.tabulate(8)(i => math.sin(i + 1).toFloat)),
+      (3L, "b", Seq.tabulate(8)(i => math.cos(3 * i + 2).toFloat))
+    ).toDF("id", "block", "vec")
+    val got = Dedup.embeddingPairsExact(vecs, "id", "vec", "block")
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("cosine")).toMap
+    assert(got.keySet === Set((1L, 2L))) // cross-block pairs never form
+    assert(math.abs(got((1L, 2L)) - 1.0) < 1e-12)
+    val err = intercept[Exception] {
+      Dedup.embeddingPairsExact(vecs, "id", "vec", "block", maxBlock = 1L)
+        .collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " " + messages(t.getCause)
+    assert(messages(err).contains("embeddingNearDup"))
+  }
 }
