@@ -152,13 +152,41 @@ object functions {
       when(has, element_at(parts, -1)).otherwise(c).as("right"))
   }
 
-  /** `HostName` field (fields.py:85-105) — one input, three outputs:
-    * `DOM\\host` → host=upper(host), domain=upper(DOM), fqdn=null;
-    * `host.dom.tld` → host=upper(first label), domain=null, fqdn=upper(all);
-    * plain → host unchanged, domain/fqdn null. Returned as a struct; use
-    * [[selectHostName]] to flatten into real columns (SURVEY.md §7 hard
-    * part (b)). */
+  /** `HostName` field (fields.py:85-105) — one input, three outputs,
+    * EXACT reference semantics (CPython-derived vectors in
+    * OpsFunctionsSpec):
+    *  - `DOM\\host[\\…]` → host=upper(v[1]) (the SECOND backslash
+    *    segment — `'a\\b\\c'.split('\\')[1]` is `'b'`), domain=v[0]
+    *    ORIGINAL case (fields.py:93 stores `v[0]` unchanged; only the
+    *    returned host is `.upper()`ed), fqdn=null;
+    *  - `host.dom.tld` → host=upper(first label) (`split('.', 1)`),
+    *    fqdn=the ORIGINAL full value (fields.py:99), domain=null;
+    *  - plain token (no `\\`/`.`) → falls off `_serialize`'s end →
+    *    host NULL, domain/fqdn null.
+    * Returned as a struct; use [[selectHostName]] to flatten into real
+    * columns (SURVEY.md §7 hard part (b)). For the friendlier behavior
+    * (upper-cased side outputs, plain passthrough) use
+    * [[hostNameLenient]]. */
   def hostName(c: Column): Column = {
+    val hasBs = c.contains("\\")
+    val hasDot = c.contains(".")
+    val bs = split(c, "\\\\")
+    struct(
+      when(hasBs, upper(element_at(bs, 2)))
+        .when(hasDot, upper(element_at(split(c, "\\.", 2), 1)))
+        .otherwise(lit(null).cast(StringType)).as("host"),
+      when(hasBs, element_at(bs, 1))
+        .otherwise(lit(null).cast(StringType)).as("domain"),
+      when(not(hasBs) && hasDot, c)
+        .otherwise(lit(null).cast(StringType)).as("fqdn"))
+  }
+
+  /** Divergent-but-friendlier HostName variant (round-1 behavior, kept
+    * behind its own name as SURVEY.md §2.3 D3 does for titlecase):
+    * upper-cases the domain/fqdn side outputs, takes the LAST backslash
+    * segment as the host, and passes plain tokens through unchanged
+    * instead of nulling them. NOT reference parity — see [[hostName]]. */
+  def hostNameLenient(c: Column): Column = {
     val hasBs = c.contains("\\")
     val hasDot = c.contains(".")
     val bs = split(c, "\\\\")

@@ -443,11 +443,11 @@ object CoreQueries {
         |SELECT c_custkey,
         |  CASE WHEN contains(raw, '\') THEN upper(split_part(raw, '\', 2))
         |       WHEN contains(raw, '.') THEN upper(split_part(raw, '.', 1))
-        |       ELSE raw END AS host,
-        |  CASE WHEN contains(raw, '\') THEN upper(split_part(raw, '\', 1))
+        |       ELSE NULL END AS host,
+        |  CASE WHEN contains(raw, '\') THEN split_part(raw, '\', 1)
         |       ELSE NULL END AS host_domain,
         |  CASE WHEN NOT contains(raw, '\') AND contains(raw, '.')
-        |       THEN upper(raw) ELSE NULL END AS host_fqdn
+        |       THEN raw ELSE NULL END AS host_fqdn
         |FROM shaped ORDER BY c_custkey""".stripMargin,
     "q40_cidr_explode" ->
       """SELECT n_nationkey,

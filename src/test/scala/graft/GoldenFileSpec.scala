@@ -76,7 +76,8 @@ class GoldenFileSpec extends SparkSuite {
 
     val r2 = out(1)
     assert(r2.getAs[String]("hostname") === "DB02")
-    assert(r2.getAs[String]("hostname_fqdn") === "DB02.CORP.EXAMPLE.COM")
+    // FIXTURES.md §2.2: _fqdn keeps the ORIGINAL case (fields.py:99)
+    assert(r2.getAs[String]("hostname_fqdn") === "db02.corp.example.com")
     assert(r2.getAs[String]("ip_str") === "10.0.0.1")
     assert(r2.getAs[String]("seen") === null)
     assert(r2.getAs[Boolean]("active_b") === false)

@@ -105,9 +105,30 @@ class OpsFunctionsSpec extends SparkSuite {
     assert(r(1) === Row(null, "plain"))
   }
 
-  test("hostName three branches (fields.py:85-105)") {
+  test("hostName exact reference parity (fields.py:85-105, CPython vectors)") {
+    // expected tuples produced by executing the reference _serialize
+    // logic under CPython (host, _domain, _fqdn):
+    val vectors = Seq(
+      ("Corp\\hostA", Row("HOSTA", "Corp", null)), // domain keeps case
+      ("a\\b\\c", Row("B", "a", null)), // v[1], NOT the last segment
+      ("web01.Corp.Example.com",
+        Row("WEB01", null, "web01.Corp.Example.com")), // fqdn keeps case
+      ("plainhost", Row(null, null, null)), // falls off _serialize → None
+      ("x.", Row("X", null, "x.")),
+      ("\\x", Row("X", "", null)),
+      ("x\\", Row("", "x", null)),
+      ("Dom\\Host.example.com", Row("HOST.EXAMPLE.COM", "Dom", null)))
+    val r = vectors.map(_._1).toDF("v")
+      .select(F.hostName(col("v")).as("h"))
+      .select("h.host", "h.domain", "h.fqdn").collect()
+    vectors.zip(r).foreach { case ((in, want), got) =>
+      assert(got === want, s"input '$in'")
+    }
+  }
+
+  test("hostNameLenient keeps the divergent friendly behavior") {
     val r = Seq("corp\\web01", "web01.corp.example.com", "web01")
-      .toDF("v").select(F.hostName(col("v")).as("h"))
+      .toDF("v").select(F.hostNameLenient(col("v")).as("h"))
       .select("h.host", "h.domain", "h.fqdn").collect()
     assert(r(0) === Row("WEB01", "CORP", null))
     assert(r(1) === Row("WEB01", null, "WEB01.CORP.EXAMPLE.COM"))
@@ -117,7 +138,7 @@ class OpsFunctionsSpec extends SparkSuite {
   test("selectHostName flattens side-output columns") {
     val df = F.selectHostName(Seq("corp\\web01").toDF("src"), "src", "host")
     assert(df.columns.toSeq === Seq("src", "host", "host_domain", "host_fqdn"))
-    assert(df.collect()(0) === Row("corp\\web01", "WEB01", "CORP", null))
+    assert(df.collect()(0) === Row("corp\\web01", "WEB01", "corp", null))
   }
 
   test("sha224 known vectors (reference 'sha256' is really SHA-224, utils.py:35-36)") {
