@@ -2,6 +2,8 @@ package graft.io
 
 import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.net.URLEncoder
+import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardOpenOption}
 import java.time.Duration
 
@@ -12,33 +14,133 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * SURVEY.md §2.1 A4): the engine stays pure (executors read files),
   * while the connector carries the reference's resilience knobs —
   * connect/read timeouts (5.01 s / 32 s), bounded retries with
-  * exponential backoff (total 5, factor 0.3), and a force-retry status
-  * list {409,500,502,503,504,598,599} (ext/clients.py:15-19, 349-366).
+  * exponential backoff (total 5, factor 0.3), a force-retry status
+  * list {409,500,502,503,504,598,599} (ext/clients.py:15-19, 349-366),
+  * and the auth surface: static credentials (`HTTPAuthenticator`,
+  * clients.py:369-420 — headers/params/cookies attached to every
+  * request) plus the login flow (`HTTPLogin`, clients.py:423-448 — a
+  * login request whose JSON response BECOMES the session auth, exactly
+  * the reference's `auth_handler`/`login_handler` chain), with one
+  * re-login retry on 401 for expired tokens.
   */
+
+/** Static request decoration, mirroring `HTTPAuthenticator`: headers
+  * merged in, params appended to the query string, cookies sent as a
+  * `Cookie` header. Empty maps are no-ops (the reference deletes unset
+  * attributes). */
+final case class HttpAuth(
+    headers: Map[String, String] = Map.empty,
+    params: Map[String, String] = Map.empty,
+    cookies: Map[String, String] = Map.empty) {
+  def isEmpty: Boolean = headers.isEmpty && params.isEmpty && cookies.isEmpty
+  def merged(over: HttpAuth): HttpAuth = HttpAuth(
+    headers ++ over.headers, params ++ over.params, cookies ++ over.cookies)
+}
+
+/** Login event config, mirroring `HTTPLogin` (clients.py:423-448):
+  * `method` + absolute `url` (+ optional `endpoint`) are required; the
+  * login request itself may carry static auth (the reference passes the
+  * `auth` configuration into the login client). The login RESPONSE must
+  * be a JSON object whose `headers`/`params`/`cookies` keys form the
+  * session auth (`login_handler` returns `r.json()` and feeds it to
+  * `HTTPAuthenticator`). */
+final case class HttpLoginConfig(
+    method: String,
+    url: String,
+    endpoint: String = "",
+    auth: HttpAuth = HttpAuth(),
+    body: String = "")
+
 final case class HttpSourceConfig(
     connectTimeoutMillis: Long = 5010,
     readTimeoutMillis: Long = 32000,
     maxRetries: Int = 5,
     backoffFactorSeconds: Double = 0.3,
     retryStatuses: Set[Int] = Set(409, 500, 502, 503, 504, 598, 599),
-    headers: Map[String, String] = Map.empty)
+    headers: Map[String, String] = Map.empty,
+    auth: HttpAuth = HttpAuth(),
+    login: Option[HttpLoginConfig] = None)
 
 final class HttpSourceException(msg: String) extends RuntimeException(msg)
 
 object HttpSource {
 
-  /** GET `url` with retry/backoff; returns the body. Retries on IO
-    * errors and on the configured status list; other non-2xx fail
-    * immediately (mirrors urllib3 Retry force-list semantics). */
-  def fetch(url: String, cfg: HttpSourceConfig = HttpSourceConfig()): String = {
-    val client = HttpClient.newBuilder()
+  private def newClient(cfg: HttpSourceConfig): HttpClient =
+    HttpClient.newBuilder()
       .connectTimeout(Duration.ofMillis(cfg.connectTimeoutMillis))
       .build()
-    val reqB = HttpRequest.newBuilder(URI.create(url))
+
+  private def withQuery(url: String, params: Map[String, String]): String =
+    if (params.isEmpty) url
+    else {
+      val qs = params.map { case (k, v) =>
+        URLEncoder.encode(k, StandardCharsets.UTF_8) + "=" +
+          URLEncoder.encode(v, StandardCharsets.UTF_8)
+      }.mkString("&")
+      url + (if (url.contains("?")) "&" else "?") + qs
+    }
+
+  private def buildRequest(method: String, url: String, cfg: HttpSourceConfig,
+      auth: HttpAuth, body: String = ""): HttpRequest = {
+    val reqB = HttpRequest.newBuilder(URI.create(withQuery(url, auth.params)))
       .timeout(Duration.ofMillis(cfg.readTimeoutMillis))
-      .GET()
+    method.toUpperCase match {
+      case "GET" => reqB.GET()
+      case "DELETE" => reqB.DELETE()
+      case m => reqB.method(m, HttpRequest.BodyPublishers.ofString(body))
+    }
     cfg.headers.foreach { case (k, v) => reqB.header(k, v) }
-    val req = reqB.build()
+    auth.headers.foreach { case (k, v) => reqB.header(k, v) }
+    if (auth.cookies.nonEmpty)
+      reqB.header("Cookie",
+        auth.cookies.map { case (k, v) => s"$k=$v" }.mkString("; "))
+    reqB.build()
+  }
+
+  /** Parse a login response body into session auth — the
+    * `login_handler` → `HTTPAuthenticator(**r.json())` chain. Accepts
+    * the reference's kwargs aliases (`headers`/`header`,
+    * `params`/`parameters`, `cookies`/`cookie`). */
+  private[io] def parseLoginAuth(json: String): HttpAuth = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import scala.jdk.CollectionConverters._
+    val root =
+      try new ObjectMapper().readTree(json)
+      catch {
+        case e: Exception =>
+          throw new HttpSourceException(s"login response is not JSON: ${e.getMessage}")
+      }
+    def section(names: String*): Map[String, String] =
+      names.iterator.map(root.get).find(n => n != null && n.isObject)
+        .map(_.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+        .getOrElse(Map.empty)
+    HttpAuth(
+      headers = section("headers", "header"),
+      params = section("params", "parameters"),
+      cookies = section("cookies", "cookie"))
+  }
+
+  /** Execute the configured login event and return the granted auth. */
+  def login(cfg: HttpSourceConfig): HttpAuth = {
+    val lc = cfg.login.getOrElse(
+      throw new HttpSourceException("login() called without a login configuration"))
+    val req = buildRequest(lc.method, lc.url + lc.endpoint, cfg, lc.auth, lc.body)
+    val resp = newClient(cfg).send(req, HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() < 200 || resp.statusCode() >= 300)
+      throw new HttpSourceException(
+        s"login ${lc.method} ${lc.url}${lc.endpoint} failed with status ${resp.statusCode()}")
+    parseLoginAuth(resp.body())
+  }
+
+  /** GET `url` with retry/backoff; returns the body. Retries on IO
+    * errors and on the configured status list; other non-2xx fail
+    * immediately (mirrors urllib3 Retry force-list semantics). When a
+    * login flow is configured, logs in up front, and re-logs-in ONCE on
+    * a 401 (expired token) before failing. */
+  def fetch(url: String, cfg: HttpSourceConfig = HttpSourceConfig()): String = {
+    val client = newClient(cfg)
+    var auth = cfg.auth.merged(cfg.login.map(_ => login(cfg)).getOrElse(HttpAuth()))
+    var reloggedIn = false
 
     var attempt = 0
     var lastErr: String = ""
@@ -49,19 +151,27 @@ object HttpSource {
         Thread.sleep(sleepMs)
       }
       try {
+        val req = buildRequest("GET", url, cfg, auth)
         val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
         val code = resp.statusCode()
         if (code >= 200 && code < 300) return resp.body()
-        else if (cfg.retryStatuses.contains(code)) {
+        else if (code == 401 && cfg.login.isDefined && !reloggedIn) {
+          // token expiry: one fresh login, retry without burning a
+          // backoff attempt (the server answered; this is not flakiness)
+          auth = cfg.auth.merged(login(cfg))
+          reloggedIn = true
+        } else if (cfg.retryStatuses.contains(code)) {
           lastErr = s"status $code"
+          attempt += 1
         } else {
           throw new HttpSourceException(s"GET $url failed with non-retryable status $code")
         }
       } catch {
         case e: HttpSourceException => throw e
-        case e: Exception => lastErr = e.getMessage
+        case e: Exception =>
+          lastErr = e.getMessage
+          attempt += 1
       }
-      attempt += 1
     }
     throw new HttpSourceException(
       s"GET $url failed after ${cfg.maxRetries} retries: $lastErr")

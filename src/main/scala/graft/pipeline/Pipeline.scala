@@ -26,7 +26,26 @@ object Stages {
   val Order: Seq[String] = Seq("upload", "extract", "transform", "load")
 }
 
+object Pipeline {
+  /** Shared daemon pool for fire-and-forget commit hooks (the broker-
+    * worker analog). Small and bounded: hooks are notifications, not
+    * data-plane work. */
+  private[pipeline] lazy val hookPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(4, r => {
+      val t = new Thread(r, "graft-commit-hooks")
+      t.setDaemon(true)
+      t
+    })
+}
+
 final class PipelineDeclarationError(msg: String) extends IllegalArgumentException(msg)
+
+/** Raised when a stage produces zero rows under `failOnEmpty` — the
+  * reference's `PipelineDataError` (`_writer` refuses to hand an empty
+  * payload to the loader, pipeline.py:811-816). The empty output is
+  * NOT recorded in the manifest, so the object resumes from the stage
+  * that emptied out. */
+final class PipelineDataError(msg: String) extends IllegalStateException(msg)
 
 /** Raised when resuming an object recorded under a different pipeline
   * version (reference `PipelineVersionError`, tables.py:191-192). */
@@ -58,7 +77,18 @@ final case class Pipeline(
       * a version, pipeline.py:176-221; pass e.g. Model.versionHash).
       * Recorded on every manifest commit; `advance` refuses to resume
       * an object recorded under a different version. */
-    version: String = "v0") {
+    version: String = "v0",
+    /** Reference `PipelineDataError` semantics (pipeline.py:811-816):
+      * refuse to commit a zero-row stage. Off by default — empty
+      * partitions are routine in incremental runs; turn on where an
+      * empty stage means upstream breakage. */
+    failOnEmpty: Boolean = false,
+    /** Run `onCommit` callbacks on a background daemon pool instead of
+      * inline — the reference dispatches `on_<stage>_commit` through the
+      * broker's `.delay` (fire-and-forget, decorators.py:297-355), so a
+      * slow callback must not stall the stage chain. `awaitCommitHooks`
+      * drains in-flight callbacks (tests / orderly shutdown). */
+    asyncCommitHooks: Boolean = true) {
 
   {
     val declared = stages.map(_.name)
@@ -96,16 +126,40 @@ final case class Pipeline(
       df = st(df)
       val dir = stageDir(st.name, pkey)
       df.write.mode("overwrite").parquet(dir)
+      df = spark.read.parquet(dir) // next stage reads the committed file
+      // empty-guard BEFORE the manifest record (write-then-record means
+      // an unrecorded empty dir is simply overwritten on re-run); the
+      // count is parquet footer metadata, not a data scan.
+      if (failOnEmpty && df.isEmpty)
+        throw new PipelineDataError(
+          s"stage ${st.name} produced 0 rows for $pkey (pipeline $name)")
       manifest.foreach(_.markDone(pkey, name, st.name, dir, version))
       st.onCommit.foreach { cb =>
-        try cb(pkey, dir)
-        catch { case e: Exception =>
-          System.err.println(s"[pipeline] on_${st.name}_commit failed for $pkey: ${e.getMessage}")
-        }
+        val task: Runnable = () =>
+          try cb(pkey, dir)
+          catch { case e: Exception =>
+            System.err.println(s"[pipeline] on_${st.name}_commit failed for $pkey: ${e.getMessage}")
+          }
+        if (asyncCommitHooks) inFlight.add(Pipeline.hookPool.submit(task))
+        else task.run()
       }
-      df = spark.read.parquet(dir) // next stage reads the committed file
     }
     df
+  }
+
+  private val inFlight = new java.util.concurrent.ConcurrentLinkedQueue[java.util.concurrent.Future[_]]()
+
+  /** Block until every async `onCommit` callback scheduled by this
+    * pipeline has finished (no-op when `asyncCommitHooks = false`). */
+  def awaitCommitHooks(timeoutMillis: Long = 60000): Unit = {
+    val deadline = System.nanoTime() + timeoutMillis * 1000000L
+    var f = inFlight.poll()
+    while (f != null) {
+      val left = math.max(1L, (deadline - System.nanoTime()) / 1000000L)
+      try f.get(left, java.util.concurrent.TimeUnit.MILLISECONDS)
+      catch { case _: java.util.concurrent.ExecutionException => () }
+      f = inFlight.poll()
+    }
   }
 
   /** Resume a pkey from its first incomplete stage (reference

@@ -150,6 +150,43 @@ class PipelineSpec extends SparkSuite {
     }
   }
 
+  test("failOnEmpty: zero-row stage raises PipelineDataError, not recorded") {
+    val root = tmp()
+    val empties = Stage("transform", df => df.filter(col("id") < 0))
+    val p = Pipeline("users", Seq(extract, empties), root, failOnEmpty = true)
+    val m = new Manifest(spark, s"$root/_manifest")
+    val in = Seq((1L, "ada")).toDF("id", "v")
+    val e = intercept[PipelineDataError] {
+      p.run(spark, in, pkey = "f9", manifest = Some(m))
+    }
+    assert(e.getMessage.contains("transform"))
+    // extract committed, transform did NOT (resumable from transform)
+    assert(m.nextStage("f9", Seq("extract", "transform")) === Some("transform"))
+    // default (failOnEmpty = false) commits the empty stage as today
+    val p2 = Pipeline("users2", Seq(extract, empties), tmp())
+    assert(p2.run(spark, in, pkey = "f9").isEmpty)
+  }
+
+  test("onCommit hooks run off the hot path (broker .delay analog)") {
+    val root = tmp()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val fired = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val slowHook: (String, String) => Unit = (pk, dir) => {
+      gate.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      fired.set(s"$pk:$dir")
+    }
+    val st = Stage("extract", identity, onCommit = Seq(slowHook))
+    val p = Pipeline("users", Seq(st), root)
+    val in = Seq((1L, "ada")).toDF("id", "v")
+    // run returns while the hook is still BLOCKED on the gate — inline
+    // execution would deadlock-timeout here, so completion proves async
+    p.run(spark, in, pkey = "f1")
+    assert(fired.get() === "") // hook has not completed yet
+    gate.countDown()
+    p.awaitCommitHooks()
+    assert(fired.get() === s"f1:${p.stageDir("extract", "f1")}")
+  }
+
   test("manifest latest-wins on re-commit (tables.py upsert semantics)") {
     val root = tmp()
     val m = new Manifest(spark, s"$root/_manifest")
