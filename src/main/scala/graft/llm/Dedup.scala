@@ -244,6 +244,63 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Portable SimHash (SHA-based, 60-bit): per-token hash = first 15
+    * hex chars of sha256 as an integer (60 bits — positive BIGINT in
+    * every engine), each bit votes ±1, sign of the vote forms the
+    * signature. Cross-engine reproducible (DuckDB:
+    * `('0x'||substr(sha256(t),1,15))::BIGINT`) — the oracle tier for
+    * [[simHash64]]'s xxhash64 fast path, same shape as
+    * [[minHashSignatureSha]] vs the native signature. */
+  def simHashSha(textColName: String, bits: Int = 60): Column = {
+    // each token hashed ONCE (transform), then votes accumulate over the
+    // hashed longs — the let-binding shape that avoids re-evaluating the
+    // hash per bit position (interpreted-lambda capture trap)
+    val hs = s"transform(split(trim(`$textColName`), '\\\\s+'), " +
+      "t -> cast(conv(substr(sha2(t, 256), 1, 15), 16, 10) as bigint))"
+    val votes =
+      s"""aggregate($hs, array_repeat(0L, $bits),
+         |  (acc, h) -> zip_with(acc, sequence(0, ${bits - 1}),
+         |    (a, i) -> a + CASE WHEN (shiftright(h, i) & 1L) = 1L
+         |                  THEN 1L ELSE -1L END))""".stripMargin
+    expr(
+      s"""aggregate(
+         |  zip_with($votes, sequence(0, ${bits - 1}),
+         |    (v, i) -> CASE WHEN v > 0L THEN shiftleft(1L, i) ELSE 0L END),
+         |  0L, (acc, b) -> acc | b)""".stripMargin)
+  }
+
+  /** MinHash+LSH banding candidates, portable tier: bands over the
+    * SHA-based signature ([[minHashSignatureSha]]), bucket key = the
+    * band's signature slice joined verbatim (strings — no engine hash
+    * in the bucket id, so DuckDB reproduces the buckets exactly).
+    * Same join shape as [[minhashCandidates]] (never all-pairs); use
+    * the native tier at scale, this one for cross-engine verification. */
+  def minhashCandidatesSha(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, rowsPerBand: Int = 2, shingleN: Int = 3): DataFrame = {
+    val n = bands * rowsPerBand
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    // same barriers as the native tier: spread rows before the CPU-bound
+    // signature pass; stop CollapseProject from inlining the signature
+    // HOF into the per-band explode (one re-eval per band otherwise)
+    val sigs = df.select(col(idCol).as("id"), col(textCol).as("t"))
+      .repartition(p)
+      .select(col("id"), minHashSignatureSha(col("t"), n, shingleN).as("sig"))
+      .repartition(p)
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => array_join(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), "|")))
+        .as(Seq("band", "bucket")))
+    val l = banded.as("l")
+    val r = banded.as("r")
+    l.join(r, col("l.band") === col("r.band") &&
+        col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"),
+        (aggregate(zip_with(col("l.sig"), col("r.sig"),
+          (a, b) => when(a === b, 1.0).otherwise(0.0)),
+          lit(0.0), (acc, x) => acc + x) / n).as("est_jaccard"))
+      .distinct()
+  }
+
   /** SimHash near-duplicate candidate pairs with hamming ≤ maxHamming.
     * Blocking: split each signature into four 16-bit chunks — pairs
     * within hamming ≤ 3 share at least one exact chunk (pigeonhole), so

@@ -76,19 +76,21 @@ object ExtQueries {
             .as("minhash_sig"))
         .orderBy("doc_id")),
 
-    // MinHash+LSH banding candidates (xxhash64 fast path) — rows-only.
+    // MinHash+LSH banding candidates, portable tier: SHA signature,
+    // verbatim-slice bucket keys → DuckDB reproduces the exact buckets
+    // and agreement fractions (the native xxhash64 tier keeps its
+    // bit-parity + planted-dup spec coverage in DedupSpec).
     "q32_minhash_lsh_pairs" -> ((s, d) =>
-      Dedup.minhashCandidates(T.documents(s, d), "doc_id", "text",
-          bands = 8, rowsPerBand = 4)
-        .orderBy("id_a", "id_b")),
+      Dedup.minhashCandidatesSha(T.documents(s, d), "doc_id", "text",
+          bands = 4, rowsPerBand = 2)
+        .orderBy("doc_a", "doc_b")),
 
-    // SimHash 64-bit signatures (xxhash64 bit votes) — rows-only.
-    "q33_simhash" -> ((s, d) => {
-      graft.expressions.NativeFunctions.register(s)
+    // SimHash signatures, portable tier (SHA-based 60-bit bit votes) —
+    // oracle-able; the native graft_simhash64 tier stays spec-covered.
+    "q33_simhash" -> ((s, d) =>
       T.documents(s, d)
-        .select(col("doc_id"), expr("graft_simhash64(text)").as("simhash"))
-        .orderBy("doc_id")
-    }),
+        .select(col("doc_id"), Dedup.simHashSha("text").as("simhash"))
+        .orderBy("doc_id")),
 
     // ANN: exact brute-force cosine top-5 for 8 query vectors.
     "q34_ann_cosine_topk" -> ((s, d) => {
@@ -278,6 +280,43 @@ object ExtQueries {
         |    j -> list_min(list_transform(sh,
         |      s -> sha256(s || '|' || CAST(j AS VARCHAR))))), ',') AS minhash_sig
         |FROM t ORDER BY doc_id""".stripMargin,
+    "q32_minhash_lsh_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 1)),
+        |      i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' '))) AS sh
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(0, 7),
+        |      j -> list_min(list_transform(sh,
+        |        s -> sha256(s || '|' || CAST(j AS VARCHAR))))) AS sig
+        |  FROM t),
+        |banded AS (
+        |  SELECT doc_id, sig, b.band AS band,
+        |         array_to_string(sig[b.band*2+1 : b.band*2+2], '|') AS bucket
+        |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b)
+        |SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+        |  list_sum(list_transform(generate_series(1, 8),
+        |    i -> CASE WHEN a.sig[i] = c.sig[i] THEN 1.0 ELSE 0.0 END)) / 8
+        |    AS est_jaccard
+        |FROM banded a
+        |JOIN banded c ON a.band = c.band AND a.bucket = c.bucket
+        |             AND a.doc_id < c.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q33_simhash" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> ('0x' || substr(sha256(t), 1, 15))::BIGINT) AS hs
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(list_sum(list_transform(generate_series(0, 59),
+        |    i -> CASE WHEN list_sum(list_transform(hs,
+        |           h -> CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+        |         THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) AS simhash
+        |FROM h ORDER BY doc_id""".stripMargin,
     "q34_ann_cosine_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

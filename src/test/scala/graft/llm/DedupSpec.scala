@@ -95,6 +95,26 @@ class DedupSpec extends SparkSuite {
     assert(r === Set((1L, 2L)))
   }
 
+  test("simHashSha: identical text agrees; near dup closer than unrelated") {
+    val sigs = docs.select(col("id"), Dedup.simHashSha("text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(3L)) < ham(sigs(1L), sigs(4L)))
+    sigs.values.foreach(s => assert(s >= 0L)) // 60-bit: BIGINT-positive everywhere
+  }
+
+  test("minhashCandidatesSha: planted dup pairs surface, est in [0,1]") {
+    val pairs = Dedup.minhashCandidatesSha(docs, "id", "text",
+        bands = 4, rowsPerBand = 2)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("est_jaccard")).toMap
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs((1L, 2L)) === 1.0) // identical docs agree on every perm
+    assert(!pairs.keySet.contains((4L, 5L))) // unrelated must not bucket
+    pairs.values.foreach(e => assert(e >= 0.0 && e <= 1.0))
+  }
+
   test("jaccardPairs hot-shingle cap keeps exact jaccard for emitted pairs") {
     // "common common common" shingle appears in every doc (df=4 > cap=3);
     // docs 1/2 also share rare content, docs 3/4 share ONLY the hot
