@@ -17,7 +17,12 @@ import org.apache.spark.sql.functions._
   * queryable (the reference keeps booleans only; we keep the log and
   * derive the booleans).
   */
-final class Manifest(spark: SparkSession, dir: String) {
+final class Manifest(spark: SparkSession, dir: String,
+    /** Compact the commit log once it accumulates this many files —
+      * every `markDone` appends one tiny parquet file (that is what
+      * makes it atomic), so a high-frequency streaming committer would
+      * otherwise grow an unbounded small-file listing. 0 disables. */
+    autoCompactFiles: Int = 256) {
   import spark.implicits._
 
   private val schemaDf = Seq.empty[(String, String, String, String, String, Long)]
@@ -26,10 +31,36 @@ final class Manifest(spark: SparkSession, dir: String) {
   /** Record a stage completion for pkey (reference DataObject.upsert,
     * tables.py:139-157 — fired after the stage file commit). */
   def markDone(pkey: String, pipeline: String, stage: String, path: String,
-      version: String = "v0"): Unit =
+      version: String = "v0"): Unit = {
     Seq((pkey, pipeline, stage, path, version, Instant.now().toEpochMilli))
       .toDF("pkey", "pipeline", "stage", "path", "version", "at")
       .write.mode(SaveMode.Append).parquet(dir)
+    if (autoCompactFiles > 0 && dataFileCount() > autoCompactFiles) compact()
+  }
+
+  private def fs: org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def dataFileCount(): Int =
+    try fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    catch { case _: Exception => 0 }
+
+  /** Rewrite the commit log as one parquet file. The manifest is
+    * control-plane metadata (one row per (pkey, stage) event — KBs), so
+    * a driver-side collect is the honest tool here, not a data-plane
+    * violation. `keepHistory = false` additionally drops superseded
+    * events (latest-wins snapshot). Single-writer: concurrent
+    * `markDone`s during a compaction can be lost — compact from the
+    * owner of the log, exactly like any checkpoint-log maintenance. */
+  def compact(keepHistory: Boolean = true): Unit = {
+    val src = if (keepHistory) log() else state()
+    val rows = src.collect().toIndexedSeq
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, numSlices = 1), src.schema)
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+  }
 
   /** Pipeline version the pkey's most recent commit was recorded under. */
   def versionOf(pkey: String): Option[String] = {

@@ -196,4 +196,29 @@ class PipelineSpec extends SparkSuite {
     assert(st.length === 1)
     assert(st(0).getAs[String]("path") === "path-v2")
   }
+
+  test("manifest compaction bounds the small-file log, preserves state") {
+    val dir = s"${tmp()}/_manifest"
+    def files(): Int = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    // explicit compact: 8 commit files → 1, identical latest-wins state
+    val m = new Manifest(spark, dir, autoCompactFiles = 0)
+    (1 to 4).foreach(i => m.markDone(s"k$i", "p", "extract", s"path$i"))
+    (1 to 4).foreach(i => m.markDone(s"k$i", "p", "extract", s"path$i-v2"))
+    assert(files() === 8)
+    val before = m.state().orderBy("pkey").collect().toSeq
+    m.compact()
+    assert(files() === 1)
+    assert(m.state().orderBy("pkey").collect().toSeq === before)
+    assert(m.log().count() === 8) // keepHistory default preserves the log
+    m.compact(keepHistory = false)
+    assert(m.log().count() === 4) // snapshot drops superseded events
+    // auto-compaction: threshold 3 keeps the listing bounded
+    val dir2 = s"${tmp()}/_manifest2"
+    val m2 = new Manifest(spark, dir2, autoCompactFiles = 3)
+    (1 to 10).foreach(i => m2.markDone(s"k$i", "p", "extract", s"path$i"))
+    assert(new java.io.File(dir2).listFiles()
+      .count(_.getName.endsWith(".parquet")) <= 4)
+    assert(m2.state().count() === 10)
+  }
 }
