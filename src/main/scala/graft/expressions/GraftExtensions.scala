@@ -31,6 +31,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       IpRecast.info, IpRecast.builder))
     e.injectFunction((FunctionIdentifier("graft_cidr_hosts"),
       CidrHostsGen.info, CidrHostsGen.builder))
+    e.injectFunction((FunctionIdentifier("graft_titlecase"),
+      TitleCase.info, TitleCase.builder))
   }
 }
 
@@ -54,5 +56,7 @@ object NativeFunctions {
       "graft_recast_ip", IpRecast.builder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cidr_hosts", CidrHostsGen.builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_titlecase", TitleCase.builder, "built-in")
   }
 }

@@ -29,11 +29,17 @@ object functions {
   /** Null-safe uppercase (reference `uppercase`, utils.py:113-119). */
   def uppercase(c: Column): Column = upper(c)
 
-  /** Title-case (reference `titlecase`, utils.py:122-128). NOTE: Python
-    * `str.title()` uppercases after ANY non-alpha (`o'neil` → `O'Neil`)
-    * while `initcap` is whitespace-word based; divergence documented and
-    * unit-tested (SURVEY.md §2.3 D3). */
-  def titlecase(c: Column): Column = initcap(c)
+  /** Title-case (reference `titlecase`, utils.py:122-128) — EXACT
+    * CPython `str.title()` parity via the native `graft_titlecase`
+    * expression (`o'neil` → `O'Neil`, `a1b` → `A1B`, Unicode Lt
+    * mapping). The round-1 `initcap` approximation remains as
+    * [[titlecaseInitcap]] for whitespace-word semantics. */
+  def titlecase(c: Column): Column =
+    bridge.column(expressions.TitleCase(bridge.expression(c)))
+
+  /** Whitespace-word title-case (Spark `initcap`) — NOT Python parity;
+    * kept for callers who want the Spark-native behavior. */
+  def titlecaseInitcap(c: Column): Column = initcap(c)
 
   // ── null / type recasts (utils.py:131-177) ────────────────────────────
 

@@ -306,7 +306,38 @@ object CoreQueries {
           length(col("p_name")).cast(IntegerType).as("name_len"),
           size(split(col("p_name"), " ")).cast(IntegerType).as("n_words"),
           F.uppercase(trim(col("p_name"))).as("upper_name"))
-        .orderBy("p_partkey"))
+        .orderBy("p_partkey")),
+
+    // D13: splitter (utils.py:84-101) — backslash split to (left, right)
+    // struct columns, no-backslash → (null, input).
+    "q48_splitter" -> ((s, d) => {
+      val shaped = T.customer(s, d).select(col("c_custkey"),
+        when(col("c_custkey") % 2 === 0,
+          concat(lit("DOM\\acct"), col("c_custkey").cast(StringType)))
+          .otherwise(concat(lit("user"), col("c_custkey").cast(StringType)))
+          .as("raw"))
+      val sp = F.splitter(col("raw"))
+      shaped.select(col("c_custkey"),
+          sp.getField("left").as("left_part"),
+          sp.getField("right").as("right_part"))
+        .orderBy("c_custkey")
+    }),
+
+    // D6: time-of-day serialization with µs→ms truncation (fields.py:72-82).
+    "q49_time_ms" -> ((s, d) =>
+      T.orders(s, d)
+        .select(col("o_orderkey"),
+          F.timeMs(timestamp_micros(col("o_orderkey") * 1234567L + 999999L))
+            .as("t_ms"))
+        .orderBy("o_orderkey")),
+
+    // D10: recast_ip through the native full-range expression (IPv4 span
+    // here — the oracle formats dotted quads; IPv6 arms are spec-covered).
+    "q50_recast_ip" -> ((s, d) =>
+      T.customer(s, d)
+        .select(col("c_custkey"),
+          F.recastIp((col("c_custkey") * 2654435761L) % 4294967296L).as("ip"))
+        .orderBy("c_custkey"))
   )
 
   /** DuckDB equivalents — identical column names/types, total ORDER BY. */
@@ -481,6 +512,34 @@ object CoreQueries {
       """SELECT p_partkey, CAST(length(p_name) AS INT) AS name_len,
         |       CAST(len(string_split(p_name, ' ')) AS INT) AS n_words,
         |       upper(trim(p_name)) AS upper_name
-        |FROM part ORDER BY p_partkey""".stripMargin
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q48_splitter" ->
+      """WITH shaped AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 2 = 0
+        |         THEN 'DOM\acct' || CAST(c_custkey AS VARCHAR)
+        |         ELSE 'user' || CAST(c_custkey AS VARCHAR) END AS raw
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  CASE WHEN contains(raw, '\') THEN split_part(raw, '\', 1)
+        |       ELSE NULL END AS left_part,
+        |  CASE WHEN contains(raw, '\') THEN string_split(raw, '\')[-1]
+        |       ELSE raw END AS right_part
+        |FROM shaped ORDER BY c_custkey""".stripMargin,
+    "q49_time_ms" ->
+      """SELECT o_orderkey,
+        |       strftime(make_timestamp(o_orderkey * 1234567 + 999999),
+        |                '%H:%M:%S.%g') AS t_ms
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q50_recast_ip" ->
+      """SELECT c_custkey,
+        |  CAST(((c_custkey * 2654435761) % 4294967296) >> 24 & 255 AS VARCHAR)
+        |  || '.' ||
+        |  CAST(((c_custkey * 2654435761) % 4294967296) >> 16 & 255 AS VARCHAR)
+        |  || '.' ||
+        |  CAST(((c_custkey * 2654435761) % 4294967296) >> 8 & 255 AS VARCHAR)
+        |  || '.' ||
+        |  CAST(((c_custkey * 2654435761) % 4294967296) & 255 AS VARCHAR) AS ip
+        |FROM customer ORDER BY c_custkey""".stripMargin
   )
 }

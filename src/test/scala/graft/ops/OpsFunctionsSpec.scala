@@ -25,11 +25,31 @@ class OpsFunctionsSpec extends SparkSuite {
     assert(overStrings(Seq(Some("AbC"), None), F.uppercase) === Seq("ABC", null))
   }
 
-  test("titlecase = initcap; documented divergence from Python str.title") {
-    // Python: "o'neil".title() == "O'Neil"; initcap treats ' as in-word →
-    // divergence is accepted + documented (SURVEY.md §2.3 D3).
-    assert(overStrings(Seq(Some("hello world")), F.titlecase) === Seq("Hello World"))
-    assert(overStrings(Seq(Some("o'neil")), F.titlecase) === Seq("O'neil"))
+  test("titlecase exact CPython str.title parity (utils.py:122-128)") {
+    // every expected value is CPython's str.title() output
+    val vectors = Seq(
+      "hello world" -> "Hello World",
+      "o'neil" -> "O'Neil", // cased state resets at apostrophe
+      "they're bill's friends from the UK" ->
+        "They'Re Bill'S Friends From The Uk",
+      "3a 4b" -> "3A 4B", // digits are uncased
+      "HELLO-world" -> "Hello-World",
+      "a1b c2d" -> "A1B C2D",
+      "élan vital" -> "Élan Vital",
+      "ǆungla" -> "ǅungla", // Unicode TITLECASE mapping, not uppercase
+      "don’t stop" -> "Don’T Stop",
+      "foo_bar" -> "Foo_Bar",
+      "123" -> "123",
+      "MIXeD CaSe" -> "Mixed Case",
+      "  spaced  " -> "  Spaced  ",
+      "" -> "")
+    assert(overStrings(vectors.map(v => Some(v._1)), F.titlecase)
+      === vectors.map(_._2))
+    assert(overStrings(Seq(None), F.titlecase) === Seq(null))
+  }
+
+  test("titlecaseInitcap keeps the whitespace-word Spark behavior") {
+    assert(overStrings(Seq(Some("o'neil")), F.titlecaseInitcap) === Seq("O'neil"))
   }
 
   test("booler truth table (utils.py:131-143)") {
