@@ -33,6 +33,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       CidrHostsGen.info, CidrHostsGen.builder))
     e.injectFunction((FunctionIdentifier("graft_titlecase"),
       TitleCase.info, TitleCase.builder))
+    e.injectFunction((FunctionIdentifier("graft_simhash_sha"),
+      SimHashSha.info, SimHashSha.builder))
   }
 }
 
@@ -58,5 +60,7 @@ object NativeFunctions {
       "graft_cidr_hosts", CidrHostsGen.builder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_titlecase", TitleCase.builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash_sha", SimHashSha.builder, "built-in")
   }
 }

@@ -119,3 +119,72 @@ object SimHash64 {
     SimHash64(exprs.head)
   }
 }
+
+/** Native 60-bit SHA-based SimHash — bit-identical to the portable SQL
+  * formulation (`Dedup.simHashShaSql`, and therefore to the DuckDB
+  * oracle): per-token hash = integer value of the first 15 hex chars of
+  * sha256 (== the top 60 bits of the digest), each bit votes ±1. One
+  * imperative pass replaces 60 interpreted lambda invocations per token
+  * (measured 9× on q33). */
+case class SimHashSha(child: Expression, bits: Int) extends UnaryExpression {
+
+  require(bits >= 1 && bits <= 60, s"bits must be in [1,60], got $bits")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash_sha"
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftSimhashSha", this, classOf[SimHashSha].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  def compute(input: UTF8String): Long = {
+    // SQL-parity tokenization: trim is SPACE-only (SQL trim), split \s+
+    val tokens = input.trim().toString.split("\\s+")
+    val md = SimHashSha.digests.get()
+    val votes = new Array[Int](bits)
+    var t = 0
+    while (t < tokens.length) {
+      val d = md.digest(tokens(t).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // value of the first 15 hex chars == big-endian first 8 bytes >>> 4
+      var h = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (d(b) & 0xFFL); b += 1 }
+      h >>>= 4
+      var i = 0
+      while (i < bits) {
+        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < bits) { if (votes(i) > 0) sig |= (1L << i); i += 1 }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashSha =
+    copy(child = newChild)
+}
+
+object SimHashSha {
+  private val digests: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("SHA-256"))
+
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[SimHashSha].getName, "graft_simhash_sha")
+
+  def builder(exprs: Seq[Expression]): Expression = exprs.length match {
+    case 1 => SimHashSha(exprs.head, 60)
+    case 2 =>
+      val bits = exprs(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+        .asInstanceOf[Number].intValue()
+      SimHashSha(exprs.head, bits)
+    case n => throw new IllegalArgumentException(
+      s"graft_simhash_sha expects (text[, bits]); got $n args")
+  }
+}

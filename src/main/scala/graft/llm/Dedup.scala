@@ -249,9 +249,20 @@ object Dedup {
     * every engine), each bit votes ±1, sign of the vote forms the
     * signature. Cross-engine reproducible (DuckDB:
     * `('0x'||substr(sha256(t),1,15))::BIGINT`) — the oracle tier for
-    * [[simHash64]]'s xxhash64 fast path, same shape as
-    * [[minHashSignatureSha]] vs the native signature. */
-  def simHashSha(textColName: String, bits: Int = 60): Column = {
+    * [[simHash64]]'s xxhash64 fast path. Computed by the native
+    * `graft_simhash_sha` expression (one imperative pass, 9× the
+    * interpreted-HOF formulation, bit-parity spec-locked against
+    * [[simHashShaSql]]). */
+  def simHashSha(textCol: Column, bits: Int = 60): Column = {
+    val b = org.apache.spark.sql.GraftColumnBridge
+    b.column(graft.expressions.SimHashSha(b.expression(textCol), bits))
+  }
+
+  /** The SQL-expression formulation of [[simHashSha]] — the executable
+    * spec the native expression is bit-parity-tested against (and the
+    * shape the DuckDB oracle mirrors). Interpreted lambdas: use the
+    * native form in data paths. */
+  def simHashShaSql(textColName: String, bits: Int = 60): Column = {
     // each token hashed ONCE (transform), then votes accumulate over the
     // hashed longs — the let-binding shape that avoids re-evaluating the
     // hash per bit position (interpreted-lambda capture trap)

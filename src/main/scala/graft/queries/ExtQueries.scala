@@ -89,7 +89,7 @@ object ExtQueries {
     // oracle-able; the native graft_simhash64 tier stays spec-covered.
     "q33_simhash" -> ((s, d) =>
       T.documents(s, d)
-        .select(col("doc_id"), Dedup.simHashSha("text").as("simhash"))
+        .select(col("doc_id"), Dedup.simHashSha(col("text")).as("simhash"))
         .orderBy("doc_id")),
 
     // ANN: exact brute-force cosine top-5 for 8 query vectors.

@@ -96,12 +96,25 @@ class DedupSpec extends SparkSuite {
   }
 
   test("simHashSha: identical text agrees; near dup closer than unrelated") {
-    val sigs = docs.select(col("id"), Dedup.simHashSha("text").as("s"))
+    val sigs = docs.select(col("id"), Dedup.simHashSha(col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sigs(1L) === sigs(2L))
     def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     assert(ham(sigs(1L), sigs(3L)) < ham(sigs(1L), sigs(4L)))
     sigs.values.foreach(s => assert(s >= 0L)) // 60-bit: BIGINT-positive everywhere
+  }
+
+  test("native graft_simhash_sha is bit-identical to the SQL formulation") {
+    val mixed = docs.union(Seq(
+      (6L, "  leading and trailing  "),
+      (7L, "single"),
+      (8L, "tabs\tand\nnewlines stay significant")
+    ).toDF("id", "text"))
+    val bad = mixed.select(
+        Dedup.simHashSha(col("text")).as("native"),
+        Dedup.simHashShaSql("text").as("sql"))
+      .filter(col("native") =!= col("sql"))
+    assert(bad.count() === 0)
   }
 
   test("minhashCandidatesSha: planted dup pairs surface, est in [0,1]") {
