@@ -35,6 +35,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       TitleCase.info, TitleCase.builder))
     e.injectFunction((FunctionIdentifier("graft_simhash_sha"),
       SimHashSha.info, SimHashSha.builder))
+    e.injectFunction((FunctionIdentifier("graft_minhash_sha"),
+      MinHashShaSig.info, MinHashShaSig.builder))
   }
 }
 
@@ -62,5 +64,7 @@ object NativeFunctions {
       "graft_titlecase", TitleCase.builder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash_sha", SimHashSha.builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_sha", MinHashShaSig.builder, "built-in")
   }
 }

@@ -72,6 +72,104 @@ case class MinHashSig(child: Expression, numHashes: Int, shingleN: Int)
     copy(child = newChild)
 }
 
+/** Native SHA-based MinHash signature — the portable (oracle-able) tier
+  * of `graft_minhash64`, one imperative pass. Exactly
+  * `Dedup.minHashSignatureShaSql`'s semantics: signature[j] = the
+  * lexicographic minimum over shingles of `sha256(shingle || '|' || j)`
+  * hex. Two structural savings over the HOF form, neither changing the
+  * result: duplicate shingles are not deduped (minima are
+  * duplication-invariant), and candidates compare as raw digest bytes
+  * (hex is order-isomorphic to unsigned bytes) with only the final
+  * minima hex-encoded. */
+case class MinHashShaSig(child: Expression, numHashes: Int, shingleN: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sha"
+
+  // "|j" suffix bytes per permutation, built once per expression
+  private val permSuffix: Array[Array[Byte]] =
+    Array.tabulate(numHashes)(j => ("|" + j).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftMinHashSha", this, classOf[MinHashShaSig].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  def compute(input: UTF8String): ArrayData = {
+    val tokens = input.trim().toString.split("\\s+")
+    val n = tokens.length
+    val starts = math.max(n - (shingleN - 1), 1)
+    val md = MinHashShaSig.digests.get()
+    val mins = new Array[Array[Byte]](numHashes)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < starts) {
+      sb.setLength(0)
+      var k = i
+      val end = math.min(i + shingleN, n)
+      while (k < end) {
+        if (k > i) sb.append(' ')
+        sb.append(tokens(k))
+        k += 1
+      }
+      val sBytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var j = 0
+      while (j < numHashes) {
+        md.update(sBytes)
+        md.update(permSuffix(j))
+        val d = md.digest()
+        if (mins(j) == null || java.util.Arrays.compareUnsigned(d, mins(j)) < 0)
+          mins(j) = d
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](numHashes)
+    var j = 0
+    while (j < numHashes) {
+      out(j) = UTF8String.fromString(MinHashShaSig.hex(mins(j)))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashShaSig =
+    copy(child = newChild)
+}
+
+object MinHashShaSig {
+  private val digests: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("SHA-256"))
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  private[expressions] def hex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(2 * i) = hexChars((bytes(i) >> 4) & 0xF)
+      out(2 * i + 1) = hexChars(bytes(i) & 0xF)
+      i += 1
+    }
+    new String(out)
+  }
+
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[MinHashShaSig].getName, "graft_minhash_sha")
+
+  def builder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3,
+      s"graft_minhash_sha expects (text, numHashes, shingleN); got ${exprs.length} args")
+    def intArg(i: Int) = exprs(i).eval(InternalRow.empty).asInstanceOf[Number].intValue()
+    MinHashShaSig(exprs.head, intArg(1), intArg(2))
+  }
+}
+
 object MinHashSig {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[MinHashSig].getName, "graft_minhash64")

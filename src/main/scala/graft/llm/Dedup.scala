@@ -81,10 +81,20 @@ object Dedup {
   }
 
   /** MinHash signature, portable path: SHA-256(shingle ++ "|" ++ perm)
-    * lexicographic minima — engine-independent (DuckDB-oracle-able),
-    * ~4× slower than the xxhash64 path; use for cross-engine parity
-    * checks, not production scale. Array<string>. */
-  def minHashSignatureSha(c: Column, numHashes: Int = 8, shingleN: Int = 3): Column =
+    * lexicographic minima — engine-independent (DuckDB-oracle-able).
+    * Computed by the native `graft_minhash_sha` expression (one
+    * imperative pass; bit-parity spec-locked against
+    * [[minHashSignatureShaSql]]). Array<string>. */
+  def minHashSignatureSha(c: Column, numHashes: Int = 8, shingleN: Int = 3): Column = {
+    val b = org.apache.spark.sql.GraftColumnBridge
+    b.column(graft.expressions.MinHashShaSig(b.expression(c), numHashes, shingleN))
+  }
+
+  /** The SQL-expression formulation of [[minHashSignatureSha]] — the
+    * executable spec the native expression is parity-tested against
+    * (and the shape the DuckDB oracle mirrors). Interpreted lambdas:
+    * use the native form in data paths. */
+  def minHashSignatureShaSql(c: Column, numHashes: Int = 8, shingleN: Int = 3): Column =
     // same loop inversion as the fast path: one pass over the shingles
     aggregate(shingles(c, shingleN),
       array_repeat(lit("~"), numHashes), // '~' > any hex digit

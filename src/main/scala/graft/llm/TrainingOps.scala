@@ -1,0 +1,96 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-corpus assembly operators ([EXT] — the pipeline steps
+  * between "deduplicated documents" and "training shards" that every
+  * large-scale LLM data pipeline needs):
+  *
+  *  - deterministic train/val/test split assignment,
+  *  - token-budget packing (documents → fixed-budget packs),
+  *  - benchmark decontamination (n-gram containment against eval sets).
+  *
+  * All three are declarative single-pass plans with engine-independent
+  * (DuckDB-oracle-able) semantics.
+  */
+object TrainingOps {
+
+  /** Deterministic split assignment: `split` column ∈ `fractions` keys,
+    * chosen by a salted SHA-256 bucket of the id — NOT `rand()`:
+    *  - stable under reruns, repartitioning, and engine changes (the
+    *    bucket is data-derived, so the same doc lands in the same split
+    *    on any cluster, any day — rand() splits silently leak val into
+    *    train on every recompute);
+    *  - portable: bucket = first 15 hex chars of sha256("<id>:<salt>")
+    *    mod 10000, reproducible in any engine with sha256.
+    * Fractions are quantized to 1/10000 and must sum to 1. */
+  def splitAssign(df: DataFrame, idCol: String,
+      fractions: Seq[(String, Double)], salt: String = "graft"): DataFrame = {
+    require(fractions.nonEmpty, "at least one split required")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    val bucket = expr(
+      s"cast(conv(substr(sha2(concat(cast(`$idCol` as string), ':', '$salt'), 256), " +
+        "1, 15), 16, 10) as bigint) % 10000")
+    val thresholds = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => math.round(c * 10000).toInt)
+    val assign = fractions.map(_._1).zip(thresholds).init
+      .foldRight(lit(fractions.last._1)) { case ((name, th), rest) =>
+        when(bucket < th, lit(name)).otherwise(rest)
+      }
+    df.withColumn("split", assign)
+  }
+
+  /** Token-budget packing: assign each document to a pack of ~`budget`
+    * tokens, filling packs in `orderCol` order WITHIN each `shardCol`
+    * partition — `pack_id` is shard-local ((shard, pack_id) is the pack
+    * key). A document is assigned to the pack where its running offset
+    * starts: pack_id = floor((cumsum(tokens) − tokens) / budget).
+    *
+    * Sharding is load-bearing at 100 TB: a single global packing order
+    * is a one-partition window (the whole corpus through one task).
+    * Partitioning by a shard key keeps the window shuffle-parallel;
+    * packs never cross shards, which is what training-shard layouts
+    * want anyway. */
+  def packByTokenBudget(df: DataFrame, shardCol: String, orderCol: String,
+      tokens: Column, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(shardCol).orderBy(orderCol)
+    df.withColumn("_toks", tokens)
+      .withColumn("pack_id",
+        floor((sum(col("_toks")).over(w) - col("_toks")) / budget))
+      .drop("_toks")
+  }
+
+  /** Benchmark decontamination: for each corpus document, the n-gram
+    * CONTAINMENT of each probe (eval/benchmark) document —
+    * |shingles(corpus) ∩ shingles(probe)| / |shingles(probe)| — kept
+    * where ≥ `threshold`. Containment (not Jaccard) is the standard
+    * contamination signal: a 10-token benchmark item fully quoted
+    * inside a 10k-token document has tiny Jaccard but containment 1.
+    *
+    * Scale shape: the probe side is small by definition (benchmarks),
+    * so its exploded shingle index is BROADCAST — the corpus never
+    * shuffles for the join; only matched (corpus_id, probe_id) pairs
+    * reach the counting aggregate. String shingles keep the operator
+    * engine-portable; the broadcast is |probe shingles|, not corpus. */
+  def decontaminate(corpus: DataFrame, probes: DataFrame,
+      corpusId: String, probeId: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val cEx = corpus.select(col(corpusId).as("corpus_id"),
+      explode(Dedup.shingles(col(textCol), shingleN)).as("g"))
+    val pEx = probes.select(col(probeId).as("probe_id"),
+        Dedup.shingles(col(textCol), shingleN).as("psh"))
+      .select(col("probe_id"), size(col("psh")).as("probe_sz"),
+        explode(col("psh")).as("g"))
+    cEx.join(broadcast(pEx), Seq("g"))
+      .groupBy("corpus_id", "probe_id", "probe_sz")
+      .agg(count(lit(1)).as("inter"))
+      .select(col("corpus_id"), col("probe_id"),
+        (col("inter").cast(DoubleType) / col("probe_sz")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import graft.llm.{Dedup, Multimodal, Similarity, TrainingOps, TextAnalysis => TA}
 
 /** q25–q36: LLM-training-data-pipeline extension queries ([EXT] —
   * SURVEY.md §2.7 north-star surface) over `documents`, `embeddings`,
@@ -205,11 +205,71 @@ object ExtQueries {
           sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(18, 2))
             .cast(DoubleType).as("sum_value"))
         .orderBy("hour")
+    }),
+
+    // [EXT] deterministic train/val/test split — salted-hash bucket,
+    // stable under reruns/repartitioning (rand() is not), portable.
+    "q51_split_assign" -> ((s, d) =>
+      TrainingOps.splitAssign(T.documents(s, d), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")
+        .orderBy("doc_id")),
+
+    // [EXT] token-budget packing, sharded by lang (shard-parallel
+    // window — a global packing order would be a one-task window).
+    "q52_token_packing" -> ((s, d) =>
+      TrainingOps.packByTokenBudget(T.documents(s, d), "lang", "doc_id",
+          graft.llm.TextAnalysis.tokenCountWs(col("text")).cast(LongType),
+          budget = 512)
+        .select("doc_id", "lang", "pack_id")
+        .orderBy("doc_id")),
+
+    // [EXT] benchmark decontamination: n-gram containment of a probe
+    // set (every 97th doc as the stand-in benchmark) in each corpus
+    // doc; probe shingle index broadcast, corpus never shuffles.
+    "q53_decontam" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      TrainingOps.decontaminate(docs, docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "doc_id", "text", shingleN = 3, threshold = 0.5)
+        .orderBy("corpus_id", "probe_id")
     })
   )
 
   /** DuckDB oracles for the engine-independent subset. */
   val oracleSql: Map[String, String] = Map(
+    "q51_split_assign" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 8000 THEN 'train'
+        |       WHEN b < 9000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || ':graft'), 1, 15))::BIGINT
+        |          % 10000 AS b
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q52_token_packing" ->
+      """SELECT doc_id, lang,
+        |  CAST(floor((sum(toks) OVER (PARTITION BY lang ORDER BY doc_id)
+        |              - toks) / 512) AS BIGINT) AS pack_id
+        |FROM (SELECT doc_id, lang,
+        |        len(regexp_split_to_array(trim(text), '\s+')) AS toks
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q53_decontam" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 1)),
+        |      i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' '))) AS sh
+        |  FROM documents),
+        |p AS (SELECT doc_id AS probe_id, sh AS psh, len(sh) AS probe_sz
+        |      FROM sh WHERE doc_id % 97 = 0)
+        |SELECT c.doc_id AS corpus_id, p.probe_id,
+        |       CAST(len(list_intersect(c.sh, p.psh)) AS DOUBLE) / p.probe_sz
+        |         AS containment
+        |FROM sh c CROSS JOIN p
+        |WHERE CAST(len(list_intersect(c.sh, p.psh)) AS DOUBLE) / p.probe_sz >= 0.5
+        |ORDER BY corpus_id, probe_id""".stripMargin,
     "q25_dedup_exact_hash" ->
       """SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
         |       count(*) AS n_dupes

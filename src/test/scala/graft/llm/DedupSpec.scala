@@ -104,6 +104,19 @@ class DedupSpec extends SparkSuite {
     sigs.values.foreach(s => assert(s >= 0L)) // 60-bit: BIGINT-positive everywhere
   }
 
+  test("native graft_minhash_sha matches the SQL formulation exactly") {
+    val mixed = docs.union(Seq(
+      (6L, "  leading and trailing  "),
+      (7L, "single"),
+      (8L, "a b")
+    ).toDF("id", "text"))
+    val bad = mixed.select(
+        Dedup.minHashSignatureSha(col("text"), 8, 3).as("native"),
+        Dedup.minHashSignatureShaSql(col("text"), 8, 3).as("sql"))
+      .filter(col("native") =!= col("sql"))
+    assert(bad.count() === 0)
+  }
+
   test("native graft_simhash_sha is bit-identical to the SQL formulation") {
     val mixed = docs.union(Seq(
       (6L, "  leading and trailing  "),
