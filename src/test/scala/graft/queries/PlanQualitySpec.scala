@@ -55,4 +55,34 @@ class PlanQualitySpec extends SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
     assert(p.contains("WindowGroupLimit"))
   }
+
+  test("q19: IP round-trip runs on native expressions, no regex per row") {
+    val p = plan("q19_ip_from_int")
+    assert(p.contains("graft_ip_to_int"), p.take(800))
+    // the old Column-composed parser re-evaluated an rlike per reference
+    assert(!p.contains("RLIKE") && !p.contains("rlike"))
+  }
+
+  test("q40: CIDR expansion is a streamed Generate, not an array explode") {
+    val p = plan("q40_cidr_explode")
+    assert(p.contains("graft_cidr_hosts"), p.take(800))
+  }
+
+  test("q42: guarded exact pairs — per-block counts broadcast, no cartesian") {
+    val p = plan("q42_embedding_pairs")
+    assert(p.contains("BroadcastExchange"), p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q53: decontamination broadcasts the probe index; corpus side map-only") {
+    val p = plan("q53_decontam")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q52: token packing window is shard-partitioned, not single-partition") {
+    val p = plan("q52_token_packing")
+    // a global-order window would show 'SinglePartition' in the exchange
+    assert(p.contains("hashpartitioning(lang"), p.take(1200))
+  }
 }
