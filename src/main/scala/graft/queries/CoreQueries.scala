@@ -337,7 +337,26 @@ object CoreQueries {
       T.customer(s, d)
         .select(col("c_custkey"),
           F.recastIp((col("c_custkey") * 2654435761L) % 4294967296L).as("ip"))
-        .orderBy("c_custkey"))
+        .orderBy("c_custkey")),
+
+    // C1 + Nested: a sub-model projecting INSIDE a struct column
+    // (marshmallow Nested → StructType), flattened for the oracle.
+    "q54_nested_model" -> ((s, d) => {
+      import graft.model.{Field, Model}
+      val src = T.customer(s, d).select(col("c_custkey").as("id"),
+        struct(col("c_name").as("name"), col("c_acctbal").as("bal")).as("person"))
+      val person = Model("Person", Seq(
+        Field("name_upper", source = Some("name"), transform = F.uppercase),
+        Field("bal_r", source = Some("bal"), cast = Some(DecimalType(12, 2)),
+          transform = _.cast(DoubleType))))
+      Model("Rec", Seq(
+          Field("id"),
+          Field("who", source = Some("person"), nested = Some(person))))
+        .compile(src)
+        .select(col("id"), col("who.name_upper").as("name_upper"),
+          col("who.bal_r").as("bal"))
+        .orderBy("id")
+    })
   )
 
   /** DuckDB equivalents — identical column names/types, total ORDER BY. */
@@ -540,6 +559,10 @@ object CoreQueries {
         |  CAST(((c_custkey * 2654435761) % 4294967296) >> 8 & 255 AS VARCHAR)
         |  || '.' ||
         |  CAST(((c_custkey * 2654435761) % 4294967296) & 255 AS VARCHAR) AS ip
-        |FROM customer ORDER BY c_custkey""".stripMargin
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q54_nested_model" ->
+      """SELECT c_custkey AS id, upper(c_name) AS name_upper,
+        |       CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal
+        |FROM customer ORDER BY id""".stripMargin
   )
 }

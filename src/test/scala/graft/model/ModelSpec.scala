@@ -74,4 +74,63 @@ class ModelSpec extends SparkSuite {
     val m = Model("N", Seq(Field("inner", source = Some("s._1"))))
     assert(m.compile(nested).collect()(0).getString(0) === "x")
   }
+
+  test("nested sub-model reshapes struct members (marshmallow Nested)") {
+    val df = Seq((1L, ("ada", 42.5)), (2L, ("alan", 7.25)))
+      .toDF("id", "person")
+    val person = Model("Person", Seq(
+      Field("name_upper", source = Some("_1"), transform = F.uppercase),
+      Field("score", source = Some("_2"),
+        cast = Some(org.apache.spark.sql.types.LongType))))
+    val m = Model("Rec", Seq(
+      Field("id"),
+      Field("who", source = Some("person"), nested = Some(person))))
+    val out = m.compile(df).orderBy("id").collect()
+    val row1 = out(0).getStruct(1)
+    assert(row1.getString(0) === "ADA" && row1.getLong(1) === 42L)
+    assert(m.compile(df).schema("who").dataType.asInstanceOf[
+      org.apache.spark.sql.types.StructType].fieldNames.toSeq
+      === Seq("name_upper", "score"))
+    // version hash sees nested declaration changes
+    val changed = Model("Rec", Seq(
+      Field("id"),
+      Field("who", source = Some("person"), nested = Some(
+        person.copy(fields = person.fields.map {
+          case f if f.name == "name_upper" => f.copy(transform = F.lowercase)
+          case f => f
+        })))))
+    assert(changed.versionHash !== m.versionHash)
+    // nested models must not declare denormalize
+    intercept[ModelDeclarationError] {
+      Model("Bad", Seq(Field("who", nested = Some(
+        Model("Sub", Seq(Field("xs", denormalize = true)))))))
+    }
+  }
+
+  test("fieldtypes: uuid/email/url validate lax (null) and strict (raise)") {
+    import graft.model.{fieldtypes => FT}
+    def run(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+        vals: String*): Seq[String] =
+      vals.toDF("v").select(f(col("v"))).collect().toSeq
+        .map(r => if (r.isNullAt(0)) null else r.getString(0))
+    assert(run(FT.uuid(_), "123e4567-e89b-12d3-a456-426614174000", "nope")
+      === Seq("123e4567-e89b-12d3-a456-426614174000", null))
+    assert(run(FT.email(_), "ada.lovelace@mycompany.com", "not-an-email", "a@b")
+      === Seq("ada.lovelace@mycompany.com", null, null))
+    assert(run(FT.url(_), "https://example.com/x", "ftp://host:21/f", "example.com")
+      === Seq("https://example.com/x", "ftp://host:21/f", null))
+    val e = intercept[Exception] {
+      Seq("nope").toDF("v").select(FT.uuid(col("v"), strict = true)).collect()
+    }
+    assert(e.getMessage.contains("uuid") ||
+      Option(e.getCause).exists(_.getMessage.contains("uuid")))
+  }
+
+  test("fieldtypes: timedelta seconds round-trip (marshmallow TimeDelta)") {
+    import graft.model.{fieldtypes => FT}
+    val secs = Seq(90061L).toDF("s")
+      .select(FT.timeDeltaToSeconds(FT.timeDeltaFromSeconds(col("s"))))
+      .collect()(0).getLong(0)
+    assert(secs === 90061L)
+  }
 }
