@@ -51,6 +51,15 @@ final case class HttpLoginConfig(
     auth: HttpAuth = HttpAuth(),
     body: String = "")
 
+/** Logout event config (reference `logout_handler`, clients.py:306-330):
+  * a request fired at session close — token revocation, audit trail.
+  * `endpoint` may be empty (the reference logs a hint and posts to the
+  * base URL). */
+final case class HttpLogoutConfig(
+    method: String,
+    url: String,
+    endpoint: String = "")
+
 final case class HttpSourceConfig(
     connectTimeoutMillis: Long = 5010,
     readTimeoutMillis: Long = 32000,
@@ -59,7 +68,8 @@ final case class HttpSourceConfig(
     retryStatuses: Set[Int] = Set(409, 500, 502, 503, 504, 598, 599),
     headers: Map[String, String] = Map.empty,
     auth: HttpAuth = HttpAuth(),
-    login: Option[HttpLoginConfig] = None)
+    login: Option[HttpLoginConfig] = None,
+    logout: Option[HttpLogoutConfig] = None)
 
 final class HttpSourceException(msg: String) extends RuntimeException(msg)
 
@@ -176,6 +186,21 @@ object HttpSource {
     throw new HttpSourceException(
       s"GET $url failed after ${cfg.maxRetries} retries: $lastErr")
   }
+
+  /** Execute the configured logout event (context-manager close analog,
+    * clients.py:253-257 + 306-330). Carries the current session auth so
+    * token-revocation endpoints see the token being revoked. No-op when
+    * unconfigured (the reference installs a `not_implemented` thunk).
+    * Failures are swallowed: a failed logout must not fail the job that
+    * already fetched its data. */
+  def logout(cfg: HttpSourceConfig, auth: HttpAuth = HttpAuth()): Unit =
+    cfg.logout.foreach { lo =>
+      try {
+        val req = buildRequest(lo.method, lo.url + lo.endpoint, cfg,
+          cfg.auth.merged(auth))
+        newClient(cfg).send(req, HttpResponse.BodyHandlers.ofString())
+      } catch { case _: Exception => () }
+    }
 
   /** Fetch a JSONL payload to a staging file, then hand it to the
     * distributed reader — the fetch is driver-side (small, one API

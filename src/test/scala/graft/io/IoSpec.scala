@@ -189,4 +189,26 @@ class IoSpec extends SparkSuite {
       assert(e.getMessage.contains("login"))
     } finally server.stop(0)
   }
+
+  test("HttpSource logout: fires with session auth, failures swallowed") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    val revoked = new java.util.concurrent.atomic.AtomicReference[String]("")
+    server.createContext("/logout", (ex: HttpExchange) => {
+      revoked.set(ex.getRequestHeaders.getFirst("Authorization"))
+      ex.sendResponseHeaders(204, -1); ex.close()
+    })
+    server.start()
+    val base = s"http://localhost:${server.getAddress.getPort}"
+    try {
+      val cfg = HttpSourceConfig(
+        logout = Some(HttpLogoutConfig("POST", base, "/logout")))
+      HttpSource.logout(cfg, HttpAuth(headers = Map("Authorization" -> "Token t9")))
+      assert(revoked.get() === "Token t9")
+      // unreachable logout endpoint must not throw
+      val dead = cfg.copy(logout = Some(HttpLogoutConfig("POST",
+        "http://localhost:1", "/logout")))
+      HttpSource.logout(dead) // no exception
+    } finally server.stop(0)
+  }
 }

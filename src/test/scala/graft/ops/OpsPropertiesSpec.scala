@@ -83,4 +83,24 @@ object OpsPropertiesSpec extends Properties("graft.ops") {
         df.filter(col("self") =!= 1.0).count() == 0L
       }
     }
+
+  // pure-kernel properties (no Spark job): the full 128-bit IP space
+  private val bigGen: Gen[BigInt] = for {
+    bits <- Gen.chooseNum(1, 128)
+    bytes <- Gen.listOfN((bits + 7) / 8, Gen.chooseNum(0, 255))
+  } yield BigInt((0.toByte +: bytes.map(_.toByte)).toArray)
+    .mod(BigInt(2).pow(128))
+  property("ip format→parse round-trips the full 128-bit space") =
+    Prop.forAll(Gen.listOfN(200, bigGen)) { vs =>
+      vs.forall { v =>
+        import graft.expressions.IpKernel
+        val s = IpKernel.formatAddress(v.bigInteger)
+        s != null && {
+          val back = IpKernel.parseInterface(s)
+          back != null && BigInt(back.value) == v &&
+            // canonical form is a fixed point of format∘parse
+            IpKernel.formatAddress(back.value) == s
+        }
+      }
+    }
 }
