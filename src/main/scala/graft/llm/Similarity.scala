@@ -90,7 +90,7 @@ object Similarity {
     * within the probed cells. */
   def topKIvf(queries: DataFrame, corpus: DataFrame, qId: String,
       cId: String, vecCol: String, k: Int = 5, nlist: Int = 16,
-      nprobe: Int = 4, seed: Long = 42L): DataFrame = {
+      nprobe: Int = 4, seed: Long = 42L, maxIter: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -104,7 +104,12 @@ object Similarity {
     // operator. Cache for the duration of training only (the single
     // post-fit assignment pass re-scans once, which is the cheap part).
     corpusVec.cache()
-    val model = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("features")
+    // IVF cells only need coarse partitioning quality — a few Lloyd
+    // iterations; recall comes from nprobe, not centroid convergence
+    // (FAISS trains coarse quantizers the same way). Deterministic via
+    // the fixed seed regardless of iteration count.
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("features")
       .fit(corpusVec)
     corpusVec.unpersist(blocking = false)
     val assigned = model.transform(corpusVec)

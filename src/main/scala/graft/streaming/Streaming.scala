@@ -77,6 +77,25 @@ object Streaming {
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Stream-stream equi-join with a bounded event-time constraint: each
+    * left row matches right rows whose event time is within
+    * [left − lag, left]. Both sides carry watermarks AND the join
+    * condition carries the time bound — that pair is what lets Spark
+    * evict state (without it, a stream-stream join buffers both streams
+    * forever; the state store would BE the streams at 100 TB). Columns
+    * from the right side are prefixed to avoid collisions. */
+  def enrichStream(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTimeCol: String, rightTimeCol: String,
+      watermark: String, maxLag: String, rightPrefix: String = "r_"): DataFrame = {
+    val l = left.withWatermark(leftTimeCol, watermark)
+    val r0 = right.withWatermark(rightTimeCol, watermark)
+    val r = r0.columns.foldLeft(r0)((d, c) => d.withColumnRenamed(c, rightPrefix + c))
+    l.join(r,
+      col(keyCol) === col(rightPrefix + keyCol) &&
+        col(rightPrefix + rightTimeCol)
+          .between(col(leftTimeCol) - expr(s"INTERVAL $maxLag"), col(leftTimeCol)))
+  }
+
   /** Batch sessionization: the window-function formulation of gap-based
     * sessions (lag → gap flag → running sum = session id), the exact
     * batch twin of [[sessionize]]. One shuffle on the user key; the

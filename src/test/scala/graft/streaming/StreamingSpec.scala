@@ -83,6 +83,37 @@ class StreamingSpec extends SparkSuite {
     assert(got.toSeq === Seq(1L, 2L))
   }
 
+  test("enrichStream: stream-stream join honors the event-time bound") {
+    val landL = Files.createTempDirectory("graft-ssl").toString
+    val landR = Files.createTempDirectory("graft-ssr").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // clicks (left) enriched by impressions (right) within 1 minute back
+    Seq((1L, ts("2024-01-01 00:05:00"), "click-a"),
+      (2L, ts("2024-01-01 00:10:00"), "click-b"))
+      .toDF("key", "ts", "what").write.mode("overwrite").parquet(landL)
+    Seq((1L, ts("2024-01-01 00:04:30"), "imp-in-window"),
+      (1L, ts("2024-01-01 00:01:00"), "imp-too-old"), // > 1 min before click
+      (1L, ts("2024-01-01 00:05:30"), "imp-after-click"), // future: excluded
+      (2L, ts("2024-01-01 00:09:59"), "imp-b"))
+      .toDF("key", "ts", "what").write.mode("overwrite").parquet(landR)
+    val sL = spark.read.parquet(landL).schema
+    val sR = spark.read.parquet(landR).schema
+    val joined = Streaming.enrichStream(
+      Streaming.fileStream(spark, landL, sL),
+      Streaming.fileStream(spark, landR, sR),
+      "key", "ts", "ts", watermark = "10 minutes", maxLag = "1 MINUTE")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("enriched")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", landL + "-ckpt")
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("enriched")
+      .select("what", "r_what").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("click-a", "imp-in-window"), ("click-b", "imp-b")))
+  }
+
   test("sessionizeBatch: closed sessions agree with the streaming operator") {
     val gap = 60000L
     val clicks = Seq(
