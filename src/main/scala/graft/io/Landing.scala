@@ -15,7 +15,11 @@ final case class LandingConfig(
     /** Accepted extensions (reference `upload_accept`). */
     acceptExtensions: Set[String] = Set("jsonl", "json", "csv", "gz", "parquet"),
     /** Admission toggle (reference `upload_active`). */
-    active: Boolean = true)
+    active: Boolean = true,
+    /** Minimum uploader role (reference `upload_role` + ext/roles.py
+      * `require_role`: readonly=1 < superuser=2 < admin=3). 0 disables
+      * the gate. */
+    requiredRole: Int = 0)
 
 final class UploadRejectedException(msg: String) extends RuntimeException(msg)
 
@@ -26,11 +30,25 @@ object Landing {
     Paths.get(name).getFileName.toString.replaceAll("[^A-Za-z0-9._-]", "_")
 
   /** Admission check (reference __init__.py:245-265): extension ∈
-    * accepted set and uploads active. Throws UploadRejectedException
-    * (maps to the reference's 400/415 responses). */
-  def admit(fileName: String, cfg: LandingConfig): Unit = {
+    * accepted set, uploads active, and uploader role sufficient.
+    * Throws UploadRejectedException (maps to the reference's
+    * 400/403/415 responses). `uploaderRole = None` mirrors the
+    * reference's roles-not-implemented arm (roles.py:20-22): warn-and-
+    * allow, because a deployment without user roles must not lose
+    * uploads. */
+  def admit(fileName: String, cfg: LandingConfig,
+      uploaderRole: Option[Int] = None): Unit = {
     if (!cfg.active)
       throw new UploadRejectedException("uploads are not active for this model")
+    if (cfg.requiredRole > 0) uploaderRole match {
+      case Some(r) if r < cfg.requiredRole =>
+        throw new UploadRejectedException(
+          s"role $r below required ${cfg.requiredRole} (403)")
+      case None =>
+        System.err.println("[landing] roles not implemented on uploader; " +
+          "permissions not evaluated (roles.py:20-22 warn arm)")
+      case _ => ()
+    }
     val ext = fileName.split('.').drop(1).lastOption.getOrElse("")
     val ext2 = fileName.split('.').drop(1).takeRight(2).headOption.getOrElse(ext)
     if (!cfg.acceptExtensions.contains(ext) && !cfg.acceptExtensions.contains(ext2))
@@ -43,9 +61,9 @@ object Landing {
     * filename scheme __init__.py:255-258 + dated layout
     * pipeline.py:487-497). Returns the landed path. */
   def land(src: Path, root: String, dirName: String, cfg: LandingConfig = LandingConfig(),
-      now: Instant = Instant.now()): Path = {
+      now: Instant = Instant.now(), uploaderRole: Option[Int] = None): Path = {
     val name = safeName(src.getFileName.toString)
-    admit(name, cfg)
+    admit(name, cfg, uploaderRole)
     val d = now.atZone(ZoneOffset.UTC)
     val md = java.security.MessageDigest.getInstance("SHA-224")
     val hash8 = md.digest(s"${now.toEpochMilli}$name".getBytes("UTF-8"))

@@ -148,6 +148,13 @@ class PipelineSpec extends SparkSuite {
     intercept[UploadRejectedException] {
       Landing.land(src, root, "users", LandingConfig(active = false))
     }
+    // role gate (roles.py: readonly=1 < superuser=2 < admin=3)
+    val gated = LandingConfig(requiredRole = 2)
+    intercept[UploadRejectedException] {
+      Landing.land(src, root, "users", gated, uploaderRole = Some(1))
+    }
+    Landing.land(src, root, "users", gated, uploaderRole = Some(3))
+    Landing.land(src, root, "users", gated) // roles-unimplemented: warn-and-allow
   }
 
   test("failOnEmpty: zero-row stage raises PipelineDataError, not recorded") {
