@@ -51,6 +51,24 @@ object Sinks {
       format: String = "parquet", mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).partitionBy(modelCol).format(format).save(root)
 
+  /** Bucketed table writer — the co-located-join layout for tables
+    * that are JOINED REPEATEDLY on the same key at 100 TB: rows are
+    * hash-bucketed (and bucket-sorted) on the join key at WRITE time,
+    * so every subsequent join/aggregation on that key runs with NO
+    * shuffle exchange on either pre-bucketed side — the shuffle is
+    * paid once at layout time instead of once per query. Catalog
+    * tables only (bucket metadata lives in the catalog), hence
+    * `saveAsTable`. See SinksSpec for the plan-level no-Exchange
+    * guarantee this buys. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      buckets: Int, format: String = "parquet",
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .format(format)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+
   /** Bulk DB load (B3) — distributed `df.write.jdbc` append with
     * executemany batching (`batchsize`, B5's `batches=n`). */
   def jdbcAppend(df: DataFrame, url: String, table: String,

@@ -190,6 +190,26 @@ class IoSpec extends SparkSuite {
     } finally server.stop(0)
   }
 
+  test("bucketed tables join with no shuffle exchange on either side") {
+    import spark.implicits._
+    val facts = (1L to 2000L).map(i => (i % 97, s"f$i")).toDF("k", "fv")
+    val dims = (0L until 97L).map(i => (i, s"d$i")).toDF("k", "dv")
+    Sinks.writeBucketed(facts, "b_facts", Seq("k"), buckets = 8)
+    Sinks.writeBucketed(dims, "b_dims", Seq("k"), buckets = 8)
+    try {
+      // disable broadcast so the join would OTHERWISE be a shuffled SMJ
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_facts").join(spark.table("b_dims"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"), plan.take(1500))
+      assert(joined.count() === 2000L)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_facts")
+      spark.sql("DROP TABLE IF EXISTS b_dims")
+    }
+  }
+
   test("HttpSource logout: fires with session auth, failures swallowed") {
     import com.sun.net.httpserver.{HttpExchange, HttpServer}
     val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
