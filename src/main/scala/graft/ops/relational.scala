@@ -59,4 +59,46 @@ object relational {
         rPayload.map(c => col(s"_rmatch.$c").as(c))
     joined.select(outCols: _*)
   }
+
+  /** Point-in-interval range join: INNER join of `points` rows against
+    * `intervals` rows where `startCol ≤ pointCol ≤ endCol` (inclusive
+    * both ends).
+    *
+    * A naive non-equi join plans as BroadcastNestedLoop — O(n·m)
+    * comparisons and a broadcast of a whole side; the classic
+    * bucketized formulation makes it an EQUI join: intervals explode to
+    * one row per `bucketWidth`-wide bucket they overlap, points hash to
+    * their single containing bucket, the join runs on the bucket key,
+    * and the exact range predicate filters residually. Each matching
+    * pair meets in EXACTLY one bucket (the point's), so no dedup pass
+    * is needed. Cost: shuffle of |points| + Σ span/width interval
+    * replicas — scale-tunable via `bucketWidth` (≈ median interval
+    * span is the usual choice).
+    *
+    * Same fail-fast posture as the CIDR generator: an interval wider
+    * than `maxBucketsPerInterval` buckets raises with the offending
+    * span named, instead of silently exploding one dirty
+    * [0, MAX_LONG] row into 10⁹ replicas. */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, pointCol: String,
+      startCol: String, endCol: String, bucketWidth: Long,
+      maxBucketsPerInterval: Long = 4096): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val bStart = floor(col(startCol) / bucketWidth).cast("long")
+    val bEnd = floor(col(endCol) / bucketWidth).cast("long")
+    val guarded = when(bEnd - bStart >= maxBucketsPerInterval,
+      raise_error(concat(
+        lit(s"rangeJoin: interval ["), col(startCol).cast("string"),
+        lit(", "), col(endCol).cast("string"),
+        lit(s"] spans >= $maxBucketsPerInterval buckets of width $bucketWidth; "
+          + "raise bucketWidth or maxBucketsPerInterval explicitly")))
+        .cast("long"))
+      .otherwise(bEnd)
+    val iv = intervals
+      .filter(col(startCol) <= col(endCol))
+      .withColumn("_b", explode(sequence(bStart, guarded)))
+    val pts = points.withColumn("_b", floor(col(pointCol) / bucketWidth).cast("long"))
+    pts.join(iv, Seq("_b"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("_b")
+  }
 }

@@ -356,6 +356,32 @@ object CoreQueries {
         .select(col("id"), col("who.name_upper").as("name_upper"),
           col("who.bal_r").as("bal"))
         .orderBy("id")
+    }),
+
+    // §2.7 multi-hop dimension join over the otherwise-unexercised
+    // supplier/region tables: both dims broadcast, fact never shuffles
+    // for the joins.
+    "q55_supplier_region" -> ((s, d) =>
+      T.supplier(s, d)
+        .join(broadcast(T.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(T.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("s_acctbal").cast(DecimalType(18, 2)))
+            .cast(DecimalType(18, 2)).cast(DoubleType).as("sum_bal"))
+        .orderBy("r_name")),
+
+    // [EXT] bucketized point-in-interval range join — equi-join on
+    // bucket keys + residual predicate, never BroadcastNestedLoop.
+    "q56_range_join" -> ((s, d) => {
+      val ivs = T.nation(s, d).select(col("n_nationkey"),
+        (col("n_nationkey") * 100L).as("lo"),
+        (col("n_nationkey") * 100L + 150L).as("hi"))
+      val pts = T.customer(s, d).select(col("c_custkey"),
+        (col("c_custkey") % 2500L).as("p"))
+      graft.ops.relational.rangeJoin(pts, ivs, "p", "lo", "hi", bucketWidth = 128L)
+        .select("c_custkey", "n_nationkey", "p")
+        .orderBy("c_custkey", "n_nationkey")
     })
   )
 
@@ -563,6 +589,20 @@ object CoreQueries {
     "q54_nested_model" ->
       """SELECT c_custkey AS id, upper(c_name) AS name_upper,
         |       CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal
-        |FROM customer ORDER BY id""".stripMargin
+        |FROM customer ORDER BY id""".stripMargin,
+    "q55_supplier_region" ->
+      """SELECT r_name, count(*) AS n_suppliers,
+        |       CAST(CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |            AS DOUBLE) AS sum_bal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q56_range_join" ->
+      """SELECT c_custkey, n_nationkey, c_custkey % 2500 AS p
+        |FROM customer
+        |JOIN nation ON (c_custkey % 2500) BETWEEN n_nationkey * 100
+        |                                      AND n_nationkey * 100 + 150
+        |ORDER BY c_custkey, n_nationkey""".stripMargin
   )
 }

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.functions.col
 import graft.SparkSuite
 
 class RelationalSpec extends SparkSuite {
@@ -28,5 +29,38 @@ class RelationalSpec extends SparkSuite {
     val right = Seq((1, 100L, "early"), (1, 200L, "late")).toDF("k", "rt", "v")
     val got = relational.asofJoin(left, right, Seq("k"), "t", "rt").collect()
     assert(got(0).getAs[String]("v") === "early")
+  }
+
+  test("rangeJoin matches a brute-force non-equi join exactly") {
+    val rng = new scala.util.Random(7)
+    val pts = (1 to 300).map(i => (i.toLong, rng.nextInt(2000).toLong - 500))
+      .toDF("pid", "p")
+    val ivs = (1 to 60).map { i =>
+      val lo = rng.nextInt(1800).toLong - 600
+      (i.toLong, lo, lo + rng.nextInt(200).toLong)
+    }.toDF("iid", "lo", "hi")
+    val got = relational.rangeJoin(pts, ivs, "p", "lo", "hi", bucketWidth = 64)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = pts.crossJoin(ivs)
+      .filter(col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want) // incl. boundary-inclusive + negative domains
+    assert(got.nonEmpty)
+    // equi-join plan: no nested-loop / cartesian fallback
+    val plan = relational.rangeJoin(pts, ivs, "p", "lo", "hi", 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.take(1200))
+  }
+
+  test("rangeJoin fails fast on an interval wider than the bucket cap") {
+    val pts = Seq((1L, 5L)).toDF("pid", "p")
+    val ivs = Seq((1L, 0L, Long.MaxValue / 2)).toDF("iid", "lo", "hi")
+    val e = intercept[Exception] {
+      relational.rangeJoin(pts, ivs, "p", "lo", "hi", bucketWidth = 1000).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " " + msgs(t.getCause)
+    assert(msgs(e).contains("rangeJoin"))
   }
 }
