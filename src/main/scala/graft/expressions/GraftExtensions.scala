@@ -37,6 +37,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       SimHashSha.info, SimHashSha.builder))
     e.injectFunction((FunctionIdentifier("graft_minhash_sha"),
       MinHashShaSig.info, MinHashShaSig.builder))
+    e.injectFunction((FunctionIdentifier("graft_heavy_hitters"),
+      HeavyHittersAgg.info, HeavyHittersAgg.builder))
   }
 }
 
@@ -66,5 +68,7 @@ object NativeFunctions {
       "graft_simhash_sha", SimHashSha.builder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash_sha", MinHashShaSig.builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_heavy_hitters", HeavyHittersAgg.builder, "built-in")
   }
 }

@@ -224,6 +224,21 @@ object ExtQueries {
         .select("doc_id", "lang", "pack_id")
         .orderBy("doc_id")),
 
+    // [EXT] SpaceSaving heavy-hitters aggregate (native
+    // TypedImperativeAggregate): top event types per user bucket.
+    // Capacity (32) exceeds the distinct event-type count, so the
+    // sketch is provably EXACT here and the flat-count oracle applies;
+    // the same plan at 100 TB carries ≤32 entries per group per
+    // partition instead of a full (group, item) count table.
+    "q57_heavy_hitters" -> ((s, d) =>
+      T.events(s, d)
+        .groupBy((col("user_id") % 10).as("bucket"))
+        .agg(graft.llm.Sketches.heavyHitters(col("event_type"), 32).as("hh"))
+        .select(col("bucket"), explode(col("hh")).as("h"))
+        .select(col("bucket"), col("h.item").as("item"),
+          col("h.cnt").as("cnt"), col("h.err").as("err"))
+        .orderBy(col("bucket"), col("cnt").desc, col("item"))),
+
     // [EXT] benchmark decontamination: n-gram containment of a probe
     // set (every 97th doc as the stand-in benchmark) in each corpus
     // doc; probe shingle index broadcast, corpus never shuffles.
@@ -237,6 +252,11 @@ object ExtQueries {
 
   /** DuckDB oracles for the engine-independent subset. */
   val oracleSql: Map[String, String] = Map(
+    "q57_heavy_hitters" ->
+      """SELECT user_id % 10 AS bucket, event_type AS item,
+        |       count(*) AS cnt, CAST(0 AS BIGINT) AS err
+        |FROM events GROUP BY 1, 2
+        |ORDER BY bucket, cnt DESC, item""".stripMargin,
     "q51_split_assign" ->
       """SELECT doc_id,
         |  CASE WHEN b < 8000 THEN 'train'

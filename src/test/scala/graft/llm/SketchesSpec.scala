@@ -1,0 +1,50 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+class SketchesSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("heavyHitters exact regime: distinct ≤ capacity ⇒ counts exact, err 0") {
+    val df = (1 to 1000).map(i => (i % 3, s"item${i % 7}")).toDF("g", "x")
+      .repartition(8) // force multi-partition partial/merge chain
+    val got = df.groupBy("g")
+      .agg(Sketches.heavyHitters(col("x"), capacity = 16).as("hh"))
+      .select(col("g"), explode(col("hh")).as("h"))
+      .select(col("g"), col("h.item"), col("h.cnt"), col("h.err"))
+      .collect().map(r => (r.getInt(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val want = df.groupBy("g", "x").count()
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, (cnt, err)) =>
+      assert(cnt === want(k), k)
+      assert(err === 0L, k)
+    }
+  }
+
+  test("heavyHitters over capacity: state bounded, dominant item surfaces") {
+    // one overwhelming item + a long tail of singletons
+    val rows = Seq.fill(5000)("whale") ++ (1 to 500).map(i => s"tail$i")
+    val got = rows.toDF("x").repartition(8)
+      .agg(Sketches.heavyHitters(col("x"), capacity = 8).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.item"), col("h.cnt"), col("h.err"))
+      .collect()
+    assert(got.length <= 8) // capacity bound holds through merges
+    val top = got.head
+    assert(top.getString(0) === "whale")
+    // SpaceSaving may overestimate, never by more than the err bound
+    assert(top.getLong(1) >= 5000L)
+    assert(top.getLong(1) - top.getLong(2) <= 5000L)
+  }
+
+  test("heavyHitters ignores nulls, deterministic output order") {
+    val df = Seq(Some("a"), Some("a"), Some("b"), None).toDF("x")
+    val out = df.agg(Sketches.heavyHitters(col("x"), 4).as("hh"))
+      .select(explode(col("hh")).as("h")).select("h.item", "h.cnt")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out === Seq(("a", 2L), ("b", 1L)))
+  }
+}
