@@ -85,4 +85,17 @@ class PlanQualitySpec extends SparkSuite {
     // a global-order window would show 'SinglePartition' in the exchange
     assert(p.contains("hashpartitioning(lang"), p.take(1200))
   }
+
+  test("q57: sketch aggregate is partial — the shuffle carries summaries") {
+    val p = plan("q57_heavy_hitters")
+    // partial + final ObjectHashAggregate around the exchange: map-side
+    // summaries move, never raw (group, item) rows
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p.take(1200))
+  }
+
+  test("q56: range join plans as an equi join, not nested loop") {
+    val p = plan("q56_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1200))
+  }
 }
