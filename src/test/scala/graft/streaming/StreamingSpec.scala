@@ -83,6 +83,29 @@ class StreamingSpec extends SparkSuite {
     assert(got.toSeq === Seq(1L, 2L))
   }
 
+  test("heavyHitters sketch aggregates incrementally in a stream") {
+    val land = Files.createTempDirectory("graft-hh").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    (Seq.fill(30)(("a", ts("2024-01-01 00:00:01"))) ++
+      Seq.fill(5)(("b", ts("2024-01-01 00:00:02"))) ++
+      Seq.fill(1)(("c", ts("2024-01-01 00:00:03"))))
+      .toDF("item", "ts").write.mode("overwrite").parquet(land)
+    val schema = spark.read.parquet(land).schema
+    val q = Streaming.fileStream(spark, land, schema)
+      .groupBy()
+      .agg(graft.llm.Sketches.heavyHitters(col("item"), 8).as("hh"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hh_stream")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", land + "-ckpt")
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("hh_stream")
+      .select(explode(col("hh")).as("h")).select("h.item", "h.cnt")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(("a", 30L), ("b", 5L), ("c", 1L)))
+  }
+
   test("enrichStream: stream-stream join honors the event-time bound") {
     val landL = Files.createTempDirectory("graft-ssl").toString
     val landR = Files.createTempDirectory("graft-ssr").toString
