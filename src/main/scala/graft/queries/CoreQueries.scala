@@ -7,7 +7,9 @@ import org.apache.spark.sql.types._
 import graft.Tables
 import graft.ops.{functions => F}
 
-/** q01–q24: the reference-parity query inventory (SURVEY.md §2.8).
+/** q01–q24, q38–q40, q46–q50, q54–q56: the reference-parity query
+  * inventory (SURVEY.md §2.8) plus relational-capability queries
+  * (ROLLUP, set ops, nested models, multi-hop dim joins, range join).
   *
   * Each query exercises one operator row from SURVEY.md §2 over the
   * driver test tables, and has a DuckDB oracle in [[oracleSql]] with

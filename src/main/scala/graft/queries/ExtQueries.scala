@@ -7,16 +7,18 @@ import org.apache.spark.sql.types._
 import graft.Tables
 import graft.llm.{Dedup, Multimodal, Similarity, TrainingOps, TextAnalysis => TA}
 
-/** q25–q36: LLM-training-data-pipeline extension queries ([EXT] —
-  * SURVEY.md §2.7 north-star surface) over `documents`, `embeddings`,
-  * and `events`.
+/** q25–q37, q41–q45, q51–q53, q57: LLM-training-data-pipeline extension
+  * queries ([EXT] — SURVEY.md §2.7 north-star surface) over `documents`,
+  * `embeddings`, and `events`: dedup (exact/MinHash/SimHash/Jaccard/
+  * embedding), ANN (brute/LSH/IVF), text analysis, multimodal plumbing,
+  * streaming batch-twins, training-corpus assembly (split/pack/
+  * decontaminate), and the heavy-hitters sketch.
   *
-  * Oracle-backed where the semantics are engine-independent (SHA-based
-  * hashing, list arithmetic, double math written identically on both
-  * sides). xxhash64-based signatures (MinHash fast path, SimHash) have
-  * no DuckDB equivalent → those queries are declared without oracle SQL
-  * and get the driver's rows-only check; their semantics are covered by
-  * scalatest instead.
+  * Oracle-backed wherever the semantics are engine-independent —
+  * including the SimHash/MinHash-LSH portable SHA tiers (the xxhash64
+  * native tiers are bit-parity spec-locked against them). Only
+  * seeded-RNG hyperplanes (q35) and KMeans cells (q44) are rows-only:
+  * their randomness is engine-local by construction.
   */
 object ExtQueries {
   private val T = Tables
