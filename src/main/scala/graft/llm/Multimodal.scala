@@ -106,4 +106,63 @@ object Multimodal {
           greatest(chunk, lit(1)).cast(IntegerType)), 256)))
       .as(Seq("frame_idx", "frame_hash")))
   }
+
+  /** STUB image resize: emit a payload downsampled to `targetBytes` by
+    * stride-sampling the byte stream, with before/after dims in the
+    * output schema. Real pipeline shape: a resize is a per-row payload
+    * transform whose OUTPUT feeds the same decode/feature plumbing —
+    * so it must stay a (binary → binary) map with metadata, which is
+    * exactly what a real codec-backed resize would be. Deterministic:
+    * stride depends only on payload length. */
+  def resizeImageStub(df: DataFrame, idCol: String, payloadCol: String,
+      targetBytes: Int = 4096): DataFrame = {
+    val spark = df.sparkSession
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("orig_bytes", LongType),
+      StructField("payload", BinaryType),
+      StructField("meta", MetaSchema)))
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](pIdx)
+        // ??? real resampling codec goes here; deterministic stride below
+        val out =
+          if (bytes.length <= targetBytes) bytes
+          else {
+            val stride = math.max(1, bytes.length / targetBytes)
+            val resized = new Array[Byte]((bytes.length + stride - 1) / stride)
+            var i = 0
+            while (i < resized.length) { resized(i) = bytes(i * stride); i += 1 }
+            resized
+          }
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        val hash = md.digest(out).map("%02x".format(_)).mkString
+        Row(id, bytes.length.toLong, out,
+          Row(s"mem://resized/$id", "application/octet-stream",
+            out.length.toLong, hash))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** STUB audio feature extraction: fixed-width window energy profile
+    * over the byte stream (`windows` values per payload) — the shape of
+    * a real frame-energy/VAD pass: one fixed-length `Array[Float]` row
+    * per payload, computed partition-parallel, schema independent of
+    * payload size. */
+  def audioFeaturesStub(payloadCol: String, windows: Int = 8): Column = {
+    val p = col(payloadCol)
+    val w = length(p) / windows
+    transform(sequence(lit(0), lit(windows - 1)), i => {
+      val win = substr(p, (i * w + 1).cast(IntegerType),
+        greatest(w, lit(1)).cast(IntegerType))
+      // ??? real per-window energy goes here; crc32 scaled to [0,1) is
+      // the deterministic stand-in (division promotes to double → cast
+      // back to the FloatType feature convention)
+      ((crc32(win) % 1000L) / 1000.0).cast(FloatType)
+    })
+  }
 }

@@ -50,4 +50,36 @@ class MultimodalSpec extends SparkSuite {
     assert(hashes.length === 4)
     assert(hashes.distinct.length === 4) // different chunks → different hashes
   }
+
+  test("resizeImageStub: bounded payload, fresh metadata, repartition-stable") {
+    import spark.implicits._
+    val big = Seq((1L, Array.tabulate(100000)(_.toByte)),
+      (2L, Array.tabulate(100)(_.toByte))).toDF("id", "payload")
+    val out = Multimodal.resizeImageStub(big, "id", "payload", targetBytes = 4096)
+      .orderBy("id").collect()
+    val r1 = out(0)
+    assert(r1.getLong(1) === 100000L) // orig size preserved in schema
+    val resized = r1.getAs[Array[Byte]]("payload")
+    assert(resized.length <= 8192 && resized.length >= 2048) // ~target, bounded
+    assert(r1.getStruct(3).getAs[Long]("size_bytes") === resized.length.toLong)
+    // small payloads pass through untouched
+    assert(out(1).getAs[Array[Byte]]("payload").length === 100)
+    // deterministic under repartitioning (stride depends on bytes only)
+    val again = Multimodal.resizeImageStub(big.repartition(5), "id", "payload", 4096)
+      .orderBy("id").collect()
+    assert(again(0).getStruct(3).getAs[String]("content_hash")
+      === r1.getStruct(3).getAs[String]("content_hash"))
+  }
+
+  test("audioFeaturesStub: fixed-width deterministic window profile") {
+    import spark.implicits._
+    val bin = Seq((1L, Array.tabulate(1000)(i => (i * 7).toByte)),
+      (2L, Array.tabulate(1000)(i => (i * 13).toByte))).toDF("id", "payload")
+    val feats = bin.select(col("id"),
+        Multimodal.audioFeaturesStub("payload", windows = 8).as("f"))
+      .orderBy("id").collect().map(_.getSeq[Float](1))
+    assert(feats.forall(_.length === 8)) // schema independent of payload size
+    assert(feats.forall(_.forall(v => v >= 0f && v < 1f)))
+    assert(feats(0) !== feats(1)) // different payloads → different profiles
+  }
 }
