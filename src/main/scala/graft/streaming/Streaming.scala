@@ -20,6 +20,28 @@ object Streaming {
       format: String = "parquet"): DataFrame =
     spark.readStream.schema(schema).format(format).load(dir)
 
+  /** Streaming DB load: `foreachBatch` → the replay-idempotent JDBC
+    * upsert (B4) — the streaming tier of the reference's load stage.
+    * End-to-end effectively-once WITHOUT a transactional sink: the
+    * checkpoint makes batch delivery at-least-once, and keyed upsert
+    * makes redelivery a no-op, so a crash between "batch written" and
+    * "checkpoint advanced" re-merges the same rows instead of
+    * duplicating them. Returns the started query (caller owns
+    * termination). */
+  def jdbcUpsertSink(stream: DataFrame, checkpoint: String, url: String,
+      table: String, keyCols: Seq[String],
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.io.Sinks.jdbcUpsert(batch.toDF(), url, table, keyCols)
+      }
+      .start()
+
   /** Streaming counterpart of q37: watermarked tumbling-window rollup.
     * Append mode + watermark bounds state: at 100 TB/day the state store
     * holds only open windows, not history. */
