@@ -69,16 +69,39 @@ final case class HttpSourceConfig(
     headers: Map[String, String] = Map.empty,
     auth: HttpAuth = HttpAuth(),
     login: Option[HttpLoginConfig] = None,
-    logout: Option[HttpLogoutConfig] = None)
+    logout: Option[HttpLogoutConfig] = None,
+    /** HTTP proxy `host:port` (reference `proxy_handler`,
+      * clients.py:331-347 — same proxy for http/https). */
+    proxy: Option[String] = None,
+    /** Response event hooks (reference session `hooks` +
+      * `print_request` logger, clients.py:249-251): called with
+      * (method, url, status) after EVERY response, including retried
+      * attempts and login/logout events. Observability only — hook
+      * failures are swallowed, they cannot fail a fetch. */
+    onResponse: Seq[(String, String, Int) => Unit] = Seq.empty)
 
 final class HttpSourceException(msg: String) extends RuntimeException(msg)
 
 object HttpSource {
 
-  private def newClient(cfg: HttpSourceConfig): HttpClient =
-    HttpClient.newBuilder()
+  private def newClient(cfg: HttpSourceConfig): HttpClient = {
+    val b = HttpClient.newBuilder()
       .connectTimeout(Duration.ofMillis(cfg.connectTimeoutMillis))
-      .build()
+    cfg.proxy.foreach { p =>
+      val (host, port) = p.split(":", 2) match {
+        case Array(h, pt) => (h, pt.toInt)
+        case _ => (p, 80)
+      }
+      b.proxy(java.net.ProxySelector.of(new java.net.InetSocketAddress(host, port)))
+    }
+    b.build()
+  }
+
+  private def fireHooks(cfg: HttpSourceConfig, method: String, url: String,
+      status: Int): Unit =
+    cfg.onResponse.foreach { h =>
+      try h(method, url, status) catch { case _: Exception => () }
+    }
 
   private def withQuery(url: String, params: Map[String, String]): String =
     if (params.isEmpty) url
@@ -136,6 +159,7 @@ object HttpSource {
       throw new HttpSourceException("login() called without a login configuration"))
     val req = buildRequest(lc.method, lc.url + lc.endpoint, cfg, lc.auth, lc.body)
     val resp = newClient(cfg).send(req, HttpResponse.BodyHandlers.ofString())
+    fireHooks(cfg, lc.method, lc.url + lc.endpoint, resp.statusCode())
     if (resp.statusCode() < 200 || resp.statusCode() >= 300)
       throw new HttpSourceException(
         s"login ${lc.method} ${lc.url}${lc.endpoint} failed with status ${resp.statusCode()}")
@@ -164,6 +188,7 @@ object HttpSource {
         val req = buildRequest("GET", url, cfg, auth)
         val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
         val code = resp.statusCode()
+        fireHooks(cfg, "GET", url, code)
         if (code >= 200 && code < 300) return resp.body()
         else if (code == 401 && cfg.login.isDefined && !reloggedIn) {
           // token expiry: one fresh login, retry without burning a
@@ -198,7 +223,8 @@ object HttpSource {
       try {
         val req = buildRequest(lo.method, lo.url + lo.endpoint, cfg,
           cfg.auth.merged(auth))
-        newClient(cfg).send(req, HttpResponse.BodyHandlers.ofString())
+        val resp = newClient(cfg).send(req, HttpResponse.BodyHandlers.ofString())
+        fireHooks(cfg, lo.method, lo.url + lo.endpoint, resp.statusCode())
       } catch { case _: Exception => () }
     }
 

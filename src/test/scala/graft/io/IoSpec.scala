@@ -210,6 +210,30 @@ class IoSpec extends SparkSuite {
     }
   }
 
+  test("HttpSource response hooks observe every attempt (print_request analog)") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    server.createContext("/flaky2", (ex: HttpExchange) => {
+      val code = if (hits.incrementAndGet() <= 1) 503 else 200
+      val b = "ok".getBytes("UTF-8")
+      ex.sendResponseHeaders(code, if (code == 200) b.length else -1)
+      if (code == 200) ex.getResponseBody.write(b)
+      ex.close()
+    })
+    server.start()
+    val base = s"http://localhost:${server.getAddress.getPort}"
+    try {
+      val seen = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+      val boom: (String, String, Int) => Unit = (_, _, _) => throw new RuntimeException("hookfail")
+      val cfg = HttpSourceConfig(backoffFactorSeconds = 0.01,
+        onResponse = Seq((m, _, s) => seen.synchronized { seen += (m -> s) }, boom))
+      assert(HttpSource.fetch(s"$base/flaky2", cfg) === "ok")
+      // hook saw BOTH attempts (503 then 200); the throwing hook was contained
+      assert(seen.toSeq === Seq(("GET", 503), ("GET", 200)))
+    } finally server.stop(0)
+  }
+
   test("HttpSource logout: fires with session auth, failures swallowed") {
     import com.sun.net.httpserver.{HttpExchange, HttpServer}
     val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
