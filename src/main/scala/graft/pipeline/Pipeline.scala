@@ -162,6 +162,24 @@ final case class Pipeline(
     }
   }
 
+  /** Restart every stalled object (reference
+    * `restart_stalled_pipelines`, tasks.py:22-29): advance each pkey
+    * the manifest shows incomplete, skipping — exactly like the
+    * reference's `except (StopPipeline, PipelineVersionError)` —
+    * objects that are version-stale (they need a fresh `run`) or
+    * already complete. The pkey listing is control-plane rows (KBs);
+    * each advance is a distributed job. Returns the pkeys that
+    * actually advanced. */
+  def restartStalled(spark: SparkSession, manifest: Manifest,
+      olderThanMillis: Long = 0): Seq[String] = {
+    val stalledKeys = manifest.stalled(ordered.map(_.name), olderThanMillis)
+      .select("pkey").collect().map(_.getString(0)).toSeq.sorted
+    stalledKeys.flatMap { pkey =>
+      try advance(spark, pkey, manifest).map(_ => pkey)
+      catch { case _: PipelineVersionError => None }
+    }
+  }
+
   /** Resume a pkey from its first incomplete stage (reference
     * `advance`, pipeline.py:456-485 + tables.py:159-196): reads the
     * previous stage's committed file and continues. Returns None when

@@ -157,6 +157,23 @@ class PipelineSpec extends SparkSuite {
     Landing.land(src, root, "users", gated) // roles-unimplemented: warn-and-allow
   }
 
+  test("restartStalled advances incomplete objects, skips version-stale ones") {
+    val root = tmp()
+    val p = Pipeline("users", Seq(extract, transform), root, version = "v1")
+    val m = new Manifest(spark, s"$root/_manifest")
+    val in = Seq((1L, "ada"), (2L, "alan")).toDF("id", "v")
+    // f1: complete; f2: extract only (stalled); f3: stalled under old version
+    p.run(spark, in, "f1", Some(m))
+    in.write.mode("overwrite").parquet(p.stageDir("extract", "f2"))
+    m.markDone("f2", "users", "extract", p.stageDir("extract", "f2"), "v1")
+    in.write.mode("overwrite").parquet(p.stageDir("extract", "f3"))
+    m.markDone("f3", "users", "extract", p.stageDir("extract", "f3"), "v0")
+    val advanced = p.restartStalled(spark, m)
+    assert(advanced === Seq("f2")) // f1 complete, f3 version-stale → skipped
+    assert(m.nextStage("f2", Seq("extract", "transform")) === None)
+    assert(m.nextStage("f3", Seq("extract", "transform")) === Some("transform"))
+  }
+
   test("failOnEmpty: zero-row stage raises PipelineDataError, not recorded") {
     val root = tmp()
     val empties = Stage("transform", df => df.filter(col("id") < 0))
