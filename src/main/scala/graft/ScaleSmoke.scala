@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale smoke — empirical backing for SCALE.md's per-operator claims:
+  * run the heavy [EXT] operators over a SYNTHETIC corpus 20-100× the
+  * sf0.1 bench corpus and report wall seconds + output rows as one
+  * JSON line. The corpus is generated distributed (spark.range →
+  * expression-built text with planted near-duplicate structure), so
+  * the harness itself has no driver bottleneck and no external input.
+  *
+  * `runMain graft.ScaleSmoke [nDocs]` (default 1,000,000 ≈ 20× sf0.1's
+  * documents table).
+  */
+object ScaleSmoke {
+
+  /** Synthetic docs: ~30 words from a hash-derived vocabulary; every
+    * 10th doc is a near-dup of its predecessor (one word changed), so
+    * dedup operators have planted structure to find. */
+  def syntheticDocs(spark: SparkSession, n: Long): DataFrame = {
+    val base = spark.range(n).select(col("id"),
+      // seed depends on the dup-group so id and id-1 share text
+      when(col("id") % 10 === 0, col("id") - 1).otherwise(col("id")).as("seed"))
+    base.select(col("id"),
+      concat_ws(" ",
+        (0 until 30).map(i =>
+          concat(lit("w"), pmod(xxhash64(col("seed") + lit(i * 7919)), lit(5000))
+            .cast("string"))): _*).as("text0"))
+      .select(col("id"),
+        // the near-dup delta: docs in a dup pair differ in one trailing word
+        when(col("id") % 10 === 0, concat(col("text0"), lit(" tail"),
+            (col("id") % 97).cast("string")))
+          .otherwise(col("text0")).as("text"),
+        (col("id") % 16).cast("string").as("lang"))
+  }
+
+  private def timed(name: String, df: => DataFrame): (String, Double) = {
+    val t0 = System.nanoTime()
+    df.write.format("noop").mode("overwrite").save()
+    (name, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.llm.{Dedup, TrainingOps, TextAnalysis => TA}
+
+    val docs = syntheticDocs(spark, n).cache()
+    docs.count() // materialize the corpus outside the timings
+
+    val results = Seq(
+      timed("exact_dedup", Dedup.exactDedupByContent(docs, "text", "id")),
+      timed("minhash_lsh_candidates",
+        Dedup.minhashCandidates(docs, "id", "text", bands = 8, rowsPerBand = 4)),
+      timed("simhash_pairs", Dedup.simhashPairs(docs, "id", "text")),
+      timed("text_quality", docs.select(col("id"),
+        TA.tokenCountWs(col("text")), TA.avgWordLen(col("text")),
+        TA.punctRatio(col("text")))),
+      timed("split_assign", TrainingOps.splitAssign(docs, "id",
+        Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01))),
+      timed("token_packing", TrainingOps.packByTokenBudget(docs, "lang", "id",
+        TA.tokenCountWs(col("text")).cast("long"), budget = 4096)))
+
+    docs.unpersist()
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"scale_smoke","n_docs":$n,"ops":$qs,"total":${results.map(_._2).sum}}"""
+    spark.stop()
+    println(json)
+  }
+}

@@ -39,6 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       MinHashShaSig.info, MinHashShaSig.builder))
     e.injectFunction((FunctionIdentifier("graft_heavy_hitters"),
       HeavyHittersAgg.info, HeavyHittersAgg.builder))
+    e.injectFunction((FunctionIdentifier("graft_band_fold"),
+      BandFold.info, BandFold.builder))
+    e.injectFunction((FunctionIdentifier("graft_sig_agreement"),
+      SigAgreement.info, SigAgreement.builder))
   }
 }
 
@@ -70,5 +74,9 @@ object NativeFunctions {
       "graft_minhash_sha", MinHashShaSig.builder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_heavy_hitters", HeavyHittersAgg.builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_band_fold", BandFold.builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sig_agreement", SigAgreement.builder, "built-in")
   }
 }

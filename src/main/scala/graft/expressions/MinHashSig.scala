@@ -72,6 +72,117 @@ case class MinHashSig(child: Expression, numHashes: Int, shingleN: Int)
     copy(child = newChild)
 }
 
+/** `graft_band_fold(sig, bands, rowsPerBand)` — fold a MinHash
+  * signature array into per-band bucket ids, bit-identical to the SQL
+  * chain `aggregate(slice(sig, b·r+1, r), 1125899906842597L,
+  * (acc, x) -> xxhash64(acc ^ x))` (XXH64.hashLong seed 42 IS Spark's
+  * `xxhash64(long)`). One imperative pass instead of `bands`
+  * interpreted aggregate lambdas per row — the banding step showed up
+  * as the dominant cost in the 1M-doc scale smoke. */
+case class BandFold(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_band_fold"
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBandFold", this, classOf[BandFold].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  def compute(sig: ArrayData): ArrayData = {
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 1125899906842597L
+      var j = 0
+      while (j < rowsPerBand) {
+        acc = XXH64.hashLong(acc ^ sig.getLong(b * rowsPerBand + j), 42L)
+        j += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BandFold =
+    copy(child = newChild)
+}
+
+object BandFold {
+  val info: ExpressionInfo = new ExpressionInfo(classOf[BandFold].getName, "graft_band_fold")
+  def builder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3,
+      s"graft_band_fold expects (sig, bands, rowsPerBand); got ${exprs.length} args")
+    def intArg(i: Int) = exprs(i).eval(InternalRow.empty).asInstanceOf[Number].intValue()
+    BandFold(exprs.head, intArg(1), intArg(2))
+  }
+}
+
+/** `graft_sig_agreement(a, b)` — fraction of positions where two
+  * signature arrays agree (the MinHash Jaccard estimate), for long AND
+  * string signatures. One imperative pass per PAIR: the zip_with +
+  * aggregate formulation it replaces ran ~64 interpreted lambda
+  * invocations per joined candidate pair, which the 1M-doc scale smoke
+  * measured as the dominant cost of the whole LSH pipeline (48s of a
+  * 58s chain). */
+case class SigAgreement(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "graft_sig_agreement"
+
+  // lazy: children are unresolved at construction time in the SQL path
+  private lazy val elementIsString: Boolean = left.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftSigAgree", this, classOf[SigAgreement].getName)
+    nullSafeCodeGen(ctx, ev, (l, r) => s"${ev.value} = $ref.compute($l, $r);")
+  }
+
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    if (n == 0) return 0.0
+    var agree = 0
+    var i = 0
+    if (elementIsString) {
+      while (i < n) {
+        if (a.getUTF8String(i).equals(b.getUTF8String(i))) agree += 1
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        if (a.getLong(i) == b.getLong(i)) agree += 1
+        i += 1
+      }
+    }
+    agree.toDouble / n
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SigAgreement = copy(left = newLeft, right = newRight)
+}
+
+object SigAgreement {
+  val info: ExpressionInfo = new ExpressionInfo(
+    classOf[SigAgreement].getName, "graft_sig_agreement")
+  def builder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"graft_sig_agreement expects (sigA, sigB); got ${exprs.length} args")
+    SigAgreement(exprs.head, exprs(1))
+  }
+}
+
 /** Native SHA-based MinHash signature — the portable (oracle-able) tier
   * of `graft_minhash64`, one imperative pass. Exactly
   * `Dedup.minHashSignatureShaSql`'s semantics: signature[j] = the

@@ -188,28 +188,38 @@ object Dedup {
       .select(col("id"),
         expr(s"graft_minhash64(t, $numHashes, $shingleN)").as("sig"))
       .repartition(p)
-    // One row per (doc, band); band bucket = hash fold of the band's
-    // signature slice (sig is a materialized column here, so the fold
-    // is cheap array arithmetic). The band join itself is left to the
-    // planner: the banded frame is small relative to the corpus text,
-    // so AQE broadcasts it; at larger scale it falls back to a shuffled
-    // hash join on (band, bh).
-    val banded = sigs.select(col("id"), col("sig"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => aggregate(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
-            lit(1125899906842597L), (acc, x) => xxhash64(acc.bitwiseXOR(x)))))
-          .as(Seq("band", "bh")))
-      .select("id", "sig", "band", "bh")
+    // One row per (doc, band); band bucket = native graft_band_fold of
+    // the signature slices (bit-identical to the SQL xxhash64 chain it
+    // replaced, one imperative pass instead of `bands` interpreted
+    // aggregates per row — the 1M-doc scale smoke showed the lambda
+    // banding as the dominant cost). The band join itself is left to
+    // the planner: the banded frame is small relative to the corpus
+    // text, so AQE broadcasts it; at larger scale it falls back to a
+    // shuffled hash join on (band, bh).
+    // The candidate self-join carries (id, band, bh) ONLY — 24 bytes a
+    // row. Keeping the signature out of the join matters more than any
+    // per-pair math: with sigs attached, every banded replica drags a
+    // numHashes-long array through the exchange (measured 4 GB and 4×
+    // the wall time at 1M docs). Signatures re-attach afterwards for
+    // the (distinct, far smaller) candidate set only — the same
+    // fetch-back shape the verify tier uses.
+    val banded = sigs.select(col("id"),
+      posexplode(expr(s"graft_band_fold(sig, $bands, $rowsPerBand)"))
+        .as(Seq("band", "bh")))
     val l = banded.as("l")
     val r = banded.as("r")
-    l.join(r, col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
-        col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        (aggregate(zip_with(col("l.sig"), col("r.sig"),
-          (a, b) => when(a === b, 1.0).otherwise(0.0)),
-          lit(0.0), (acc, x) => acc + x) / (bands * rowsPerBand))
-          .as("est_jaccard"))
+    val candidates = l.join(r,
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
+    candidates
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      // native agreement: one imperative pass per candidate pair (the
+      // interpreted zip_with chain was itself a 60µs-per-pair cost)
+      .select(col("id_a"), col("id_b"),
+        expr("graft_sig_agreement(sig_a, sig_b)").as("est_jaccard"))
   }
 
   /** Near-duplicates = LSH candidates verified with exact shingle
@@ -298,6 +308,7 @@ object Dedup {
     * the native tier at scale, this one for cross-engine verification. */
   def minhashCandidatesSha(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, rowsPerBand: Int = 2, shingleN: Int = 3): DataFrame = {
+    graft.expressions.NativeFunctions.register(df.sparkSession)
     val n = bands * rowsPerBand
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
     // same barriers as the native tier: spread rows before the CPU-bound
@@ -307,19 +318,23 @@ object Dedup {
       .repartition(p)
       .select(col("id"), minHashSignatureSha(col("t"), n, shingleN).as("sig"))
       .repartition(p)
-    val banded = sigs.select(col("id"), col("sig"),
+    // same join shape as the native tier: candidates carry (id, band,
+    // bucket) only; signatures re-attach for the distinct candidates
+    val banded = sigs.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => array_join(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), "|")))
         .as(Seq("band", "bucket")))
     val l = banded.as("l")
     val r = banded.as("r")
-    l.join(r, col("l.band") === col("r.band") &&
+    val candidates = l.join(r, col("l.band") === col("r.band") &&
         col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"),
-        (aggregate(zip_with(col("l.sig"), col("r.sig"),
-          (a, b) => when(a === b, 1.0).otherwise(0.0)),
-          lit(0.0), (acc, x) => acc + x) / n).as("est_jaccard"))
+      .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
       .distinct()
+    candidates
+      .join(sigs.select(col("id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigs.select(col("id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("graft_sig_agreement(sig_a, sig_b)").as("est_jaccard"))
   }
 
   /** SimHash near-duplicate candidate pairs with hamming ≤ maxHamming.

@@ -79,6 +79,20 @@ class MinHashSigSpec extends SparkSuite {
     assert(both.filter(col("hof") =!= col("native")).count() === 0)
   }
 
+  test("graft_band_fold is bit-identical to the SQL xxhash64 fold chain") {
+    NativeFunctions.register(spark)
+    val docs = Seq("the quick brown fox jumps over the lazy dog",
+      "a b a b a b", "single").toDF("text")
+    val sigs = docs.select(expr("graft_minhash64(text, 32, 3)").as("sig"))
+    val both = sigs.select(
+      expr("graft_band_fold(sig, 8, 4)").as("native"),
+      transform(sequence(lit(0), lit(7)),
+        b => aggregate(slice(col("sig"), b * 4 + 1, lit(4)),
+          lit(1125899906842597L),
+          (acc, x) => xxhash64(acc.bitwiseXOR(x)))).as("sql"))
+    assert(both.filter(col("native") =!= col("sql")).count() === 0)
+  }
+
   test("bad arity fails with a clear message") {
     NativeFunctions.register(spark)
     val e = intercept[Exception] {
