@@ -188,21 +188,16 @@ object Dedup {
       .select(col("id"),
         expr(s"graft_minhash64(t, $numHashes, $shingleN)").as("sig"))
       .repartition(p)
-    // One row per (doc, band); band bucket = native graft_band_fold of
-    // the signature slices (bit-identical to the SQL xxhash64 chain it
-    // replaced, one imperative pass instead of `bands` interpreted
-    // aggregates per row — the 1M-doc scale smoke showed the lambda
-    // banding as the dominant cost). The band join itself is left to
-    // the planner: the banded frame is small relative to the corpus
-    // text, so AQE broadcasts it; at larger scale it falls back to a
-    // shuffled hash join on (band, bh).
-    // The candidate self-join carries (id, band, bh) ONLY — 24 bytes a
-    // row. Keeping the signature out of the join matters more than any
-    // per-pair math: with sigs attached, every banded replica drags a
-    // numHashes-long array through the exchange (measured 4 GB and 4×
-    // the wall time at 1M docs). Signatures re-attach afterwards for
-    // the (distinct, far smaller) candidate set only — the same
-    // fetch-back shape the verify tier uses.
+    // One row per (doc, band); band bucket = native graft_band_fold
+    // (bit-identical to the SQL xxhash64 fold chain, one imperative
+    // pass per row). The candidate self-join then carries
+    // (id, band, bh) ONLY — 24 bytes a row: with signatures attached,
+    // every banded replica drags a numHashes-long array through the
+    // exchange (measured 4 GB and 4× the wall time at 1M docs).
+    // Signatures re-attach afterwards for the (distinct, far smaller)
+    // candidate set — the same fetch-back shape the verify tier uses.
+    // The join strategy stays with the planner: AQE broadcasts the
+    // banded frame at small scale, shuffled hash join beyond.
     val banded = sigs.select(col("id"),
       posexplode(expr(s"graft_band_fold(sig, $bands, $rowsPerBand)"))
         .as(Seq("band", "bh")))
