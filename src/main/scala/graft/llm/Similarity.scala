@@ -169,17 +169,26 @@ object Similarity {
           posexplode(array((0 until bands).map(b => col(s"b$b")): _*))
             .as(Seq("band", "bucket")))
     }
-    val q = banded(queries, qId, "query_id")
-      .withColumnRenamed("v", "qv")
-    val c = banded(corpus, cId, "neighbor_id")
-      .withColumnRenamed("v", "cv")
+    // Bucket join carries ids + bucket keys ONLY (the same sig-pruning
+    // shape as Dedup.minhashCandidates: dragging vectors through the
+    // banded exchange is the measured scale-killer). Vectors re-attach
+    // for the distinct candidate pairs, where the pair-level math runs
+    // on the native graft_dot with norms computed once per row.
+    val q = banded(queries, qId, "query_id").drop("v")
+    val c = banded(corpus, cId, "neighbor_id").drop("v")
+    val candidates = c.join(broadcast(q), Seq("band", "bucket"))
+      .select("query_id", "neighbor_id").distinct()
+    val qVec = queries.select(col(qId).as("query_id"),
+      asDouble(col(vecCol)).as("qv"), norm(asDouble(col(vecCol))).as("qn"))
+    val cVec = corpus.select(col(cId).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"), norm(asDouble(col(vecCol))).as("cn"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    c.join(broadcast(q), Seq("band", "bucket"))
+    candidates
+      .join(broadcast(qVec), Seq("query_id"))
+      .join(cVec, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        (dot(col("qv"), col("cv")) / (norm(col("qv")) * norm(col("cv"))))
-          .as("cosine"))
-      .distinct()
+        (expr("graft_dot(qv, cv)") / (col("qn") * col("cn"))).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
