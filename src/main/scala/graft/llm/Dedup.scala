@@ -394,14 +394,30 @@ object Dedup {
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, dim: Int = 64, planes: Int = 16,
       seed: Long = 42L): DataFrame = {
-    val withSig = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+    graft.expressions.NativeFunctions.register(df.sparkSession)
+    // bucket join carries (id, bucket) only — vectors re-attach for the
+    // distinct candidate pairs (see minhashCandidates for the measured
+    // rationale); pair-level cosine runs on the native graft_dot with
+    // norms computed once per row
+    val withSig = df.select(col(idCol).as("id"),
       Similarity.hyperplaneSignature(col(vecCol), Similarity.randomPlanes(
         dim = dim, n = planes, seed = seed)).as("bucket"))
     val l = withSig.as("l")
     val r = withSig.as("r")
-    l.join(r, col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        Similarity.cosine(col("l.vec"), col("r.vec")).as("cosine"))
+    val candidates = l.join(r,
+        col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    val vecs = df.select(col(idCol).as("id"),
+      Similarity.asDouble(col(vecCol)).as("v"),
+      Similarity.norm(Similarity.asDouble(col(vecCol))).as("n"))
+    candidates
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na")),
+        Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (expr("graft_dot(va, vb)") / (col("na") * col("nb"))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }
