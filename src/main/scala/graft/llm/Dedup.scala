@@ -335,19 +335,34 @@ object Dedup {
   /** SimHash near-duplicate candidate pairs with hamming ≤ maxHamming.
     * Blocking: split each signature into four 16-bit chunks — pairs
     * within hamming ≤ 3 share at least one exact chunk (pigeonhole), so
-    * the self-join runs per chunk bucket, never all-pairs. */
+    * the self-join runs per chunk bucket, never all-pairs.
+    *
+    * Occupancy math the caller must own (measured at the 1M-doc scale
+    * smoke): expected candidate pairs ≈ 4·n²/2¹⁷ for n docs with
+    * uniform signatures, so cost grows quadratically in the docs per
+    * bucket — ~28M pairs at n=1M, unusable by n=100M WITHOUT sharding.
+    * The pigeonhole fixes the chunk width (64/(maxHamming+1) bits), so
+    * the scale lever is `blockCols`: shard by language / length bucket
+    * / source so each block's n stays ≤ ~10M, exactly like
+    * [[jaccardPairs]]. Near-dups across different blocks are the
+    * (documented) recall trade. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, blockCols: Seq[String] = Seq.empty): DataFrame = {
     graft.expressions.NativeFunctions.register(df.sparkSession)
-    val sigs = df.select(col(idCol).as("id"),
-      expr(s"graft_simhash64(`$textCol`)").as("sig"))
-    val chunked = sigs.select(col("id"), col("sig"),
-      posexplode(expr("transform(sequence(0,3), c -> shiftright(sig, c*16) & 65535L)"))
-        .as(Seq("chunk", "ck")))
+    val sigs = df.select(
+      (col(idCol).as("id") +: blockCols.map(col)) :+
+        expr(s"graft_simhash64(`$textCol`)").as("sig"): _*)
+    val chunked = sigs.select(
+      (col("id") +: blockCols.map(col)) ++ Seq(col("sig"),
+        posexplode(expr("transform(sequence(0,3), c -> shiftright(sig, c*16) & 65535L)"))
+          .as(Seq("chunk", "ck"))): _*)
     val l = chunked.as("l")
     val r = chunked.as("r")
-    l.join(r, col("l.chunk") === col("r.chunk") && col("l.ck") === col("r.ck") &&
-        col("l.id") < col("r.id"))
+    val joinCond = Seq(col("l.chunk") === col("r.chunk"),
+      col("l.ck") === col("r.ck")) ++
+      blockCols.map(c => col(s"l.$c") === col(s"r.$c")) :+
+      (col("l.id") < col("r.id"))
+    l.join(r, joinCond.reduce(_ && _))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         hamming64(col("l.sig"), col("r.sig")).as("hamming"))
       .filter(col("hamming") <= maxHamming)

@@ -83,6 +83,23 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.contains((4L, 5L)))
   }
 
+  test("simhashPairs blockCols shard the bucket space (scale lever)") {
+    val sharded = docs.withColumn("shard",
+      when(col("id") <= 2, "a").otherwise("b"))
+    // same-shard dup pair survives; forcing the dup pair into different
+    // shards removes it (the documented cross-block recall trade)
+    val sameShard = Dedup.simhashPairs(sharded, "id", "text",
+        maxHamming = 3, blockCols = Seq("shard"))
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(sameShard.contains((1L, 2L)))
+    val split = docs.withColumn("shard",
+      when(col("id") === 1, "a").otherwise("b"))
+    val crossShard = Dedup.simhashPairs(split, "id", "text",
+        maxHamming = 3, blockCols = Seq("shard"))
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(!crossShard.contains((1L, 2L)))
+  }
+
   test("embeddingNearDup finds planted identical vectors") {
     val vecs = Seq(
       (1L, Seq.tabulate(8)(i => math.sin(i + 1).toFloat)),
