@@ -43,6 +43,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       BandFold.info, BandFold.builder))
     e.injectFunction((FunctionIdentifier("graft_sig_agreement"),
       SigAgreement.info, SigAgreement.builder))
+    e.injectFunction((FunctionIdentifier("graft_camel_to_snake"),
+      CamelToSnakeRef.info, CamelToSnakeRef.builder))
   }
 }
 
@@ -78,5 +80,7 @@ object NativeFunctions {
       "graft_band_fold", BandFold.builder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_sig_agreement", SigAgreement.builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_camel_to_snake", CamelToSnakeRef.builder, "built-in")
   }
 }

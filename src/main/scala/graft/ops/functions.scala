@@ -45,9 +45,11 @@ object functions {
 
   /** `booler` (utils.py:131-143): case-insensitive
     * {yes,y,1,true,t}→true, {no,n,0,false,f}→false, ''/null→null,
-    * anything else raises (reference raises ValueError). */
+    * anything else raises (reference raises ValueError). NO whitespace
+    * trimming — the reference lowercases the raw string, so `' yes '`
+    * is invalid (fuzz-locked against the extracted reference fn). */
   def booler(c: Column): Column = {
-    val s = lower(trim(c.cast(StringType)))
+    val s = lower(c.cast(StringType))
     when(c.isNull || s === "", lit(null).cast(BooleanType))
       .when(s.isin("yes", "y", "1", "true", "t"), lit(true))
       .when(s.isin("no", "n", "0", "false", "f"), lit(false))
@@ -58,7 +60,7 @@ object functions {
   /** Like [[booler]] but invalid values → null instead of error — the
     * permissive variant for exploratory scans over dirty data. */
   def boolerLax(c: Column): Column = {
-    val s = lower(trim(c.cast(StringType)))
+    val s = lower(c.cast(StringType))
     when(s.isin("yes", "y", "1", "true", "t"), lit(true))
       .when(s.isin("no", "n", "0", "false", "f"), lit(false))
       .otherwise(lit(null).cast(BooleanType))
@@ -223,9 +225,19 @@ object functions {
     * (utils.py:35-36: `hashlib.sha224`). Kept under an honest name. */
   def sha224(c: Column): Column = sha2(c.cast(StringType), 224)
 
-  /** `camel_to_snake_case` (utils.py:181-192): acronym-aware
-    * CamelCase → snake_case (`HTTPResponse` → `http_response`). */
-  def camelToSnake(c: Column): Column = {
+  /** `camel_to_snake_case` (utils.py:181-192) — EXACT reference
+    * semantics via the native `graft_camel_to_snake` expression: only
+    * ASCII uppercase runs followed by [a-z0-9] are rewritten and
+    * lowercased; everything else passes through (fuzz-locked against
+    * the extracted reference function). */
+  def camelToSnake(c: Column): Column =
+    bridge.column(expressions.CamelToSnakeRef(bridge.expression(c)))
+
+  /** The simplified whole-string-lowercasing variant (round-1 behavior,
+    * oracle-expressible in plain SQL — used by q38): acronym-aware
+    * split, then `lower` over the WHOLE result. NOT reference parity
+    * for non-ASCII/trailing-acronym inputs — see [[camelToSnake]]. */
+  def camelToSnakeSimple(c: Column): Column = {
     val acronyms = regexp_replace(c, "([A-Z]+)([A-Z][a-z0-9])", "$1_$2")
     val words = regexp_replace(acronyms, "([a-z0-9])([A-Z])", "$1_$2")
     lower(regexp_replace(words, "^_+", ""))

@@ -242,7 +242,7 @@ object CoreQueries {
     "q38_snake_case" -> ((s, d) =>
       T.part(s, d)
         .select(col("p_partkey"),
-          F.camelToSnake(concat(lit("Part"), col("p_partkey").cast(StringType),
+          F.camelToSnakeSimple(concat(lit("Part"), col("p_partkey").cast(StringType),
             lit("HTTPResponseCode"))).as("snake"))
         .orderBy("p_partkey")),
 

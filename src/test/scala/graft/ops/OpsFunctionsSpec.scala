@@ -169,17 +169,30 @@ class OpsFunctionsSpec extends SparkSuite {
       === "d14a028c2a3a2bc9476102bb288234c415a2b01f828ea62ac5b3e42f")
   }
 
-  test("camelToSnake acronym-aware (utils.py:181-192)") {
+  test("camelToSnake exact reference parity (utils.py:181-192)") {
+    // expected values are the extracted reference function's outputs:
+    // only [A-Z]+ runs followed by [a-z0-9] are rewritten+lowercased;
+    // everything else (trailing acronyms, non-ASCII case) passes through
     val cases = Map(
       "CamelCase" -> "camel_case",
       "HTTPResponse" -> "http_response",
+      "HTTPResponseCode" -> "http_response_code",
       "camelCase" -> "camel_case",
       "already_snake" -> "already_snake",
-      "ABC" -> "abc",
+      "ABC" -> "ABC", // trailing acronym: UNCHANGED (no [a-z0-9] follows)
+      "simpleXML" -> "simpleXML",
+      "xY" -> "xY",
+      "myABCDef" -> "my_abc_def",
+      "_Leading" -> "leading", // lstrip('_') removes pre-existing leads too
       "getHTTPResponseCode" -> "get_http_response_code")
     cases.foreach { case (in, want) =>
       assert(one[String](F.camelToSnake(lit(in))) === want, s"input $in")
     }
+  }
+
+  test("camelToSnakeSimple keeps the whole-string-lowercase variant (q38)") {
+    assert(one[String](F.camelToSnakeSimple(lit("HTTPResponse"))) === "http_response")
+    assert(one[String](F.camelToSnakeSimple(lit("ABC"))) === "abc")
   }
 
   test("date/time serialization (fields.py:45-82)") {
