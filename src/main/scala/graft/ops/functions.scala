@@ -151,13 +151,16 @@ object functions {
   // ── splitters (utils.py:84-101; fields.py:85-105) ─────────────────────
 
   /** `splitter` (utils.py:84-101): split `domain\\cn` on backslash →
-    * struct(left, right). No backslash → left=null, right=input. */
+    * struct(left = split[0], right = split[-1]) — EXACTLY the
+    * reference: with no backslash `split` returns `[s]`, so BOTH sides
+    * are the whole input (not null — fuzz-locked against the extracted
+    * reference function). Null input → (null, null) like the
+    * AttributeError arm. */
   def splitter(c: Column): Column = {
     val parts = split(c, "\\\\")
-    val has = c.contains("\\")
     struct(
-      when(has, element_at(parts, 1)).otherwise(lit(null).cast(StringType)).as("left"),
-      when(has, element_at(parts, -1)).otherwise(c).as("right"))
+      element_at(parts, 1).as("left"),
+      element_at(parts, -1).as("right"))
   }
 
   /** `HostName` field (fields.py:85-105) — one input, three outputs,

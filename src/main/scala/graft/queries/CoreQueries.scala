@@ -568,10 +568,8 @@ object CoreQueries {
         |         ELSE 'user' || CAST(c_custkey AS VARCHAR) END AS raw
         |  FROM customer)
         |SELECT c_custkey,
-        |  CASE WHEN contains(raw, '\') THEN split_part(raw, '\', 1)
-        |       ELSE NULL END AS left_part,
-        |  CASE WHEN contains(raw, '\') THEN string_split(raw, '\')[-1]
-        |       ELSE raw END AS right_part
+        |  split_part(raw, '\', 1) AS left_part,
+        |  string_split(raw, '\')[-1] AS right_part
         |FROM shaped ORDER BY c_custkey""".stripMargin,
     "q49_time_ms" ->
       """SELECT o_orderkey,

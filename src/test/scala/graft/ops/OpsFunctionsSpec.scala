@@ -117,12 +117,16 @@ class OpsFunctionsSpec extends SparkSuite {
     assert(hosts("not-an-ip") === Seq())                    // invalid → skipped
   }
 
-  test("splitter (utils.py:84-101)") {
-    val r = Seq("DOM\\alice", "plain").toDF("v")
+  test("splitter exact reference parity (utils.py:84-101)") {
+    // reference: split[0] / split[-1] — a no-backslash value returns the
+    // WHOLE string on BOTH sides (split yields [s]); multi-backslash
+    // takes first and last segments
+    val r = Seq("DOM\\alice", "plain", "a\\b\\c").toDF("v")
       .select(F.splitter(col("v")).as("s")).select("s.left", "s.right")
       .collect()
     assert(r(0) === Row("DOM", "alice"))
-    assert(r(1) === Row(null, "plain"))
+    assert(r(1) === Row("plain", "plain"))
+    assert(r(2) === Row("a", "c"))
   }
 
   test("hostName exact reference parity (fields.py:85-105, CPython vectors)") {

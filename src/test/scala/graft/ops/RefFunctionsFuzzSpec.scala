@@ -64,7 +64,7 @@ class RefFunctionsFuzzSpec extends SparkSuite {
          |src = open("$refPath", encoding="utf-8").read()
          |tree = ast.parse(src)
          |wanted = {"camel_to_snake_case", "titlecase", "lowercase",
-         |          "uppercase", "booler", "recast_mac"}
+         |          "uppercase", "booler", "recast_mac", "splitter"}
          |ns = {"re": re}
          |for node in tree.body:
          |    if isinstance(node, ast.FunctionDef) and node.name in wanted:
@@ -86,7 +86,9 @@ class RefFunctionsFuzzSpec extends SparkSuite {
          |        "lower": safe(ns["lowercase"], s),
          |        "upper": safe(ns["uppercase"], s),
          |        "booler": safe(ns["booler"], s),
-         |        "mac": safe(ns["recast_mac"], s)})
+         |        "mac": safe(ns["recast_mac"], s),
+         |        "sleft": safe(lambda v: ns["splitter"](v, left=True), s),
+         |        "sright": safe(lambda v: ns["splitter"](v, right=True), s)})
          |print(json.dumps(out))
          |""".stripMargin
     val scriptFile = Files.createTempFile("reffuzz", ".py")
@@ -106,7 +108,9 @@ class RefFunctionsFuzzSpec extends SparkSuite {
         F.lowercase(col("v")).as("lower"),
         F.uppercase(col("v")).as("upper"),
         F.boolerLax(col("v")).as("booler"),
-        F.recastMac(col("v")).as("mac"))
+        F.recastMac(col("v")).as("mac"),
+        F.splitter(col("v")).getField("left").as("sleft"),
+        F.splitter(col("v")).getField("right").as("sright"))
       .collect().map(r => r.getString(0) -> r).toMap
 
     var checked = 0
@@ -128,7 +132,8 @@ class RefFunctionsFuzzSpec extends SparkSuite {
       }
       Seq("snake" -> exp("snake"), "title" -> exp("title"),
         "lower" -> exp("lower"), "upper" -> exp("upper"),
-        "mac" -> exp("mac"), "booler" -> expBooler).foreach { case (field, want) =>
+        "mac" -> exp("mac"), "booler" -> expBooler,
+        "sleft" -> exp("sleft"), "sright" -> exp("sright")).foreach { case (field, want) =>
         val g = str(field)
         if (g != want) diffs += s"'$in' $field: engine=$g reference=$want"
         checked += 1

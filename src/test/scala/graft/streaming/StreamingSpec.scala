@@ -23,7 +23,7 @@ class StreamingSpec extends SparkSuite {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", land + "-ckpt")
       .start()
-    q.awaitTermination(120000)
+    q.awaitTermination(300000)
 
     // append mode emits only watermark-closed windows; every emitted
     // window must match the batch aggregation exactly
@@ -78,7 +78,7 @@ class StreamingSpec extends SparkSuite {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", land + "-ckpt")
       .start()
-    q.awaitTermination(120000)
+    q.awaitTermination(300000)
     val got = spark.table("deduped").select("id").as[Long].collect().sorted
     assert(got.toSeq === Seq(1L, 2L))
   }
@@ -97,7 +97,7 @@ class StreamingSpec extends SparkSuite {
     def runOnce(): Unit = {
       val q = Streaming.jdbcUpsertSink(
         Streaming.fileStream(spark, land, schema), ckpt, url, "sload", Seq("id"))
-      q.awaitTermination(120000)
+      q.awaitTermination(300000)
     }
     runOnce()
     val props = new java.util.Properties()
@@ -130,7 +130,7 @@ class StreamingSpec extends SparkSuite {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", land + "-ckpt")
       .start()
-    q.awaitTermination(120000)
+    q.awaitTermination(300000)
     val got = spark.table("hh_stream")
       .select(explode(col("hh")).as("h")).select("h.item", "h.cnt")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
@@ -161,7 +161,7 @@ class StreamingSpec extends SparkSuite {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", landL + "-ckpt")
       .start()
-    q.awaitTermination(120000)
+    q.awaitTermination(300000)
     val got = spark.table("enriched")
       .select("what", "r_what").collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
@@ -203,7 +203,7 @@ class StreamingSpec extends SparkSuite {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", land + "-ckpt")
       .start()
-    q.awaitTermination(120000)
+    q.awaitTermination(300000)
 
     // user 1's first session (2 events, 0-10s) must close because the
     // 10-minute event exceeds the gap; open sessions stay in state
