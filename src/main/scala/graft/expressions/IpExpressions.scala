@@ -439,7 +439,7 @@ case class CidrHostsGen(child: Expression, maxHosts: Long)
     val iface = IpKernel.parseInterface(v.asInstanceOf[UTF8String].toString)
     if (iface == null) return Iterator.empty
     val bits = if (iface.isV4) 32 else 128
-    if (iface.prefix == bits) return singleRow(iface.value)
+    if (iface.prefix == bits) return singleRow(iface.value, iface.isV4)
     val span = BigInteger.ONE.shiftLeft(bits - iface.prefix)
     val network = iface.value.andNot(span.subtract(BigInteger.ONE))
     val top = network.add(span).subtract(BigInteger.ONE)
@@ -452,25 +452,34 @@ case class CidrHostsGen(child: Expression, maxHosts: Long)
       throw new IllegalArgumentException(
         s"graft_cidr_hosts: '$v' expands to $n addresses (> maxHosts=$maxHosts); " +
           "raise the cap explicitly or pre-filter wide CIDRs")
+    val v4 = iface.isV4
     new Iterator[InternalRow] {
       private var cur = lo
       override def hasNext: Boolean = cur.compareTo(hi) <= 0
       override def next(): InternalRow = {
-        val row = InternalRow(UTF8String.fromString(IpKernel.formatAddress(cur)))
+        val row = InternalRow(UTF8String.fromString(CidrHostsGen.fmt(cur, v4)))
         cur = cur.add(BigInteger.ONE)
         row
       }
     }
   }
 
-  private def singleRow(value: BigInteger): Iterator[InternalRow] =
-    Iterator.single(InternalRow(UTF8String.fromString(IpKernel.formatAddress(value))))
+  private def singleRow(value: BigInteger, isV4: Boolean): Iterator[InternalRow] =
+    Iterator.single(InternalRow(UTF8String.fromString(CidrHostsGen.fmt(value, isV4))))
 
   override protected def withNewChildInternal(newChild: Expression): CidrHostsGen =
     copy(child = newChild)
 }
 
 object CidrHostsGen {
+  /** Family-aware formatting: a v6 network's low addresses (::, ::1)
+    * are SMALL integers but must print as v6 — magnitude-based
+    * `formatAddress` is only correct for `recast_ip`'s typeless int
+    * input (divergence found by the reference-function fuzz on
+    * `::/127`). */
+  private[expressions] def fmt(value: BigInteger, isV4: Boolean): String =
+    if (isV4) IpKernel.formatV4(value.longValue()) else IpKernel.formatV6(value)
+
   val DefaultMaxHosts: Long = 1L << 20
   val info: ExpressionInfo = new ExpressionInfo(classOf[CidrHostsGen].getName, "graft_cidr_hosts")
   def builder(exprs: Seq[Expression]): Expression = exprs.length match {
