@@ -50,10 +50,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.CoreQueries.queries ++ graft.queries.ExtQueries.queries
+    graft.queries.CoreQueries.queries ++ graft.queries.ExtQueries.queries ++
+      graft.queries.R3Queries.queries
 
   /** For each key in queries, equivalent DuckDB SQL on the same parquet
     * tables. Omitted keys → driver records a weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    graft.queries.CoreQueries.oracleSql ++ graft.queries.ExtQueries.oracleSql
+    graft.queries.CoreQueries.oracleSql ++ graft.queries.ExtQueries.oracleSql ++
+      graft.queries.R3Queries.oracleSql
 }

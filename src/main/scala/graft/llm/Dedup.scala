@@ -158,6 +158,61 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Per-document duplicate-shingle statistics (C4-style corpus
+    * repetition audit): for each document, how many of its distinct
+    * `n`-gram shingles also occur in at least one OTHER document, and
+    * what fraction of the document that is. High `shared_frac` flags
+    * boilerplate-heavy documents before pair-level dedup runs.
+    *
+    * Cost is linear in total shingle count — the inverted index is only
+    * COUNTED per shingle (Σ df), never self-joined (no Σ df² pair
+    * blow-up), so no df-cap is needed: this is the cheap audit you run
+    * to CHOOSE the df-cap for [[jaccardPairs]] at 100 TB. Two shuffles
+    * (by shingle with map-side partial agg, then by doc id). Shingle
+    * strings stay strings here for oracle portability; the counts are
+    * identical under hashing. */
+  def dupShingleStats(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3): DataFrame = {
+    val ex = df.select(col(idCol).as("doc_id"),
+        explode(shingles(col(textCol), shingleN)).as("g"))
+    // shingles() emits DISTINCT shingles per doc, so df_g = document
+    // frequency and per-doc counts need no dedup pass.
+    val dfg = ex.groupBy("g").agg(count(lit(1)).as("df_g"))
+    ex.join(dfg, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df_g") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        (col("n_shared").cast(DoubleType) / col("n_shingles"))
+          .as("shared_frac"))
+  }
+
+  /** Normalization-exact dedup, keep-best: documents whose text is
+    * identical after whitespace/case normalization collapse to one
+    * representative — the highest-`qualityCol` row (ties broken by
+    * smallest id, so the choice is total and deterministic). This is
+    * the standard first dedup pass of a training-data pipeline (cheap,
+    * exact, removes the bulk) run before MinHash/SimHash near-dup.
+    *
+    * One hash-shuffle on the 64-hex content key; the per-key sort is a
+    * window over groups whose size = duplicate multiplicity (tiny), so
+    * the plan survives 100× data with no skew beyond genuinely
+    * mass-duplicated content. */
+  def normalizedKeepBest(df: DataFrame, idCol: String, textCol: String,
+      qualityCol: Column): DataFrame = {
+    val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    val withKey = df.withColumn("content_hash", sha2(norm, 256))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("content_hash"))
+      .orderBy(qualityCol.desc, col(idCol))
+    withKey
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("n_dupes", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("content_hash"))))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
   /** Candidate near-duplicate pairs via MinHash + LSH banding.
     * Signature length = bands × rowsPerBand. Output: (id_a, id_b,
     * est_jaccard) with id_a < id_b, est_jaccard = signature agreement

@@ -84,6 +84,61 @@ object TextAnalysis {
       .otherwise(lit("und"))
   }
 
+  /** Gopher-style repetition statistics, computed map-only (no shuffle):
+    * `struct(n_tokens, distinct_ratio, top_token_frac)` where
+    * `top_token_frac` is the fraction of tokens occupied by the single
+    * most frequent token and `distinct_ratio` = distinct/total tokens.
+    * High top-token fraction or low distinct ratio flags the
+    * boilerplate/spam documents the Gopher repetition rules drop.
+    *
+    * The relational formulation (explode → groupBy(doc, token) →
+    * groupBy(doc)) shuffles every token occurrence in the corpus —
+    * ~1e12 rows at 100 TB. Here the most-frequent-token count is the
+    * longest run of equal adjacent elements in the SORTED token array:
+    * O(n log n) per row inside whole-stage codegen, zero exchanges.
+    * The single-element outer `aggregate` is a let-binding so the
+    * tokenize+sort subtree evaluates once (HOF arguments are otherwise
+    * re-evaluated per reference). */
+  def repetitionStats(c: Column): Column =
+    aggregate(array(sort_array(tokens(c))), // let-bind sorted tokens
+      lit(null).cast(StructType(Seq(
+        StructField("n_tokens", IntegerType),
+        StructField("distinct_ratio", DoubleType),
+        StructField("top_token_frac", DoubleType)))),
+      (_, w) => {
+        // longest equal-adjacent run via an index fold: state is
+        // (current run, best run); w(i) == w(i-1) extends the run.
+        // Guarded for size-1 arrays: sequence(1, 0) is DESCENDING in
+        // Spark, and element_at(w, 0) raises.
+        val best = when(size(w) <= 1, size(w)).otherwise(aggregate(
+          sequence(lit(1), size(w) - 1),
+          struct(lit(1).as("run"), lit(1).as("best")),
+          (st, i) => {
+            val run = when(element_at(w, i + 1) === element_at(w, i),
+              st.getField("run") + 1).otherwise(lit(1))
+            struct(run.as("run"),
+              greatest(st.getField("best"), run).as("best"))
+          },
+          st => st.getField("best")))
+        val n = size(w).cast(DoubleType)
+        struct(
+          size(w).as("n_tokens"),
+          (size(array_distinct(w)).cast(DoubleType) / n).as("distinct_ratio"),
+          (best.cast(DoubleType) / n).as("top_token_frac"))
+      })
+
+  /** PII scrubbing: replace email addresses and 16-digit card-shaped
+    * numbers with typed placeholder tags. Patterns are deliberately
+    * RE2-compatible (no lookahead/backrefs) so the same regex runs in
+    * any engine; `regexp_replace` replaces ALL occurrences. Map-only,
+    * codegen'd — scales linearly. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val CardPattern = "[0-9]{4}(-[0-9]{4}){3}|[0-9]{16}"
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, lit(EmailPattern), lit("<EMAIL>")),
+      lit(CardPattern), lit("<CARD>"))
+
   /** Document fingerprint: minimum SHA-256 over sliding word
     * `shingleLen`-grams — a 1-permutation MinHash usable as a cheap
     * near-dup blocking key / content fingerprint. Texts shorter than

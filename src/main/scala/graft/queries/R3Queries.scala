@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.llm.{Dedup, Sketches, TextAnalysis => TA}
+
+/** q58–q65: round-3 additions.
+  *
+  * Training-data pipeline ([EXT]): Gopher-style repetition filters
+  * (q58), C4-style cross-document duplicate-shingle audit (q59),
+  * portable KMV distinct sketch (q60), PII scrubbing (q63),
+  * normalization-exact keep-best dedup (q64).
+  *
+  * Relational capability (SURVEY.md §2.7): pivot (q61), semi/anti join
+  * (q62), nearest-rank percentiles (q65).
+  *
+  * Every query is DuckDB-oracle-backed and ends in a total ORDER BY.
+  */
+object R3Queries {
+  private val T = Tables
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // [EXT] Gopher repetition rules, map-only: the most-frequent-token
+    // fraction comes from a sorted-array run fold, not an explode —
+    // zero shuffles (the relational shape would shuffle every token
+    // occurrence in the corpus).
+    "q58_repetition_stats" -> ((s, d) =>
+      T.documents(s, d)
+        .select(col("doc_id"), TA.repetitionStats(col("text")).as("r"))
+        .select(col("doc_id"), col("r.n_tokens").as("n_tokens"),
+          col("r.distinct_ratio").as("distinct_ratio"),
+          col("r.top_token_frac").as("top_token_frac"))
+        .orderBy("doc_id")),
+
+    // [EXT] cross-doc duplicate-shingle audit: inverted index COUNTED
+    // (Σ df, linear), never self-joined (no Σ df² pair blow-up) — the
+    // audit that sizes jaccardPairs' df-cap at scale.
+    "q59_dup_shingles" -> ((s, d) =>
+      Dedup.dupShingleStats(T.documents(s, d), "doc_id", "text", shingleN = 3)
+        .orderBy("doc_id")),
+
+    // [EXT] KMV distinct sketch vs exact, per event type. Portable by
+    // construction (SHA-256-derived hashes), unlike HLL.
+    "q60_kmv_distinct" -> ((s, d) =>
+      Sketches.kmvDistinct(T.events(s, d), Seq("event_type"), "user_id", k = 64)
+        .select("event_type", "exact_distinct", "n_kept", "kmv_est")
+        .orderBy("event_type")),
+
+    // §2.7 pivot: order counts by priority × status, explicit value
+    // list (no extra distinct-values pass over the data).
+    "q61_pivot" -> ((s, d) =>
+      T.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("O"), lit(0L)).as("n_open"),
+          coalesce(col("F"), lit(0L)).as("n_filled"),
+          coalesce(col("P"), lit(0L)).as("n_pending"))
+        .orderBy("o_orderpriority")),
+
+    // §2.7 semi/anti join: customers with vs without orders per
+    // segment. Both probes share one build side; the counts-only
+    // aggregates are tiny, their full-outer stitch is trivial.
+    "q62_semi_anti" -> ((s, d) => {
+      val c = T.customer(s, d)
+      val okeys = T.orders(s, d).select(col("o_custkey"))
+      val withO = c.join(okeys, c("c_custkey") === okeys("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_with"))
+      val withoutO = c.join(okeys, c("c_custkey") === okeys("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_without"))
+      withO.join(withoutO, Seq("c_mktsegment"), "full_outer")
+        .select(col("c_mktsegment"),
+          coalesce(col("n_with"), lit(0L)).as("n_with"),
+          coalesce(col("n_without"), lit(0L)).as("n_without"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // [EXT] PII scrubbing over a synthesized doc (testdata carries no
+    // real PII): email + card-number patterns → typed tags. RE2-safe
+    // patterns, all-occurrence replace, map-only.
+    "q63_pii_scrub" -> ((s, d) =>
+      T.part(s, d)
+        .select(col("p_partkey"),
+          concat(col("p_name"), lit(" contact "),
+            regexp_replace(lower(col("p_brand")), "#", ""),
+            lit("@example.com card 4111-1111-1111-"),
+            lpad(pmod(col("p_partkey"), lit(10000)).cast(StringType), 4, "0"))
+            .as("raw"))
+        .select(col("p_partkey"), TA.scrubPii(col("raw")).as("scrubbed"))
+        .orderBy("p_partkey")),
+
+    // [EXT] normalization-exact dedup keeping the highest-quality
+    // representative (quality = n_chars here): the cheap exact pass a
+    // pipeline runs before MinHash/SimHash near-dup.
+    "q64_norm_dedup" -> ((s, d) =>
+      Dedup.normalizedKeepBest(T.documents(s, d), "doc_id", "text",
+          col("n_chars"))
+        .select(col("doc_id"), col("content_hash"), col("n_dupes"))
+        .orderBy("doc_id")),
+
+    // §2.7 percentiles, nearest-rank formulation: value at rank
+    // ceil(p·n) — picks an ELEMENT, no interpolation arithmetic, so the
+    // result is bit-identical across engines (percentile_cont's
+    // lower+(upper-lower)·f leaves IEEE rounding to the implementation).
+    // At 100 TB swap in approx_percentile: same plan minus the
+    // per-group sort.
+    "q65_percentile_rank" -> ((s, d) => {
+      val t = T.lineitem(s, d).select(col("l_returnflag").as("flag"),
+        col("l_quantity").cast(DoubleType).as("v"))
+      val w = Window.partitionBy("flag").orderBy("v")
+      val cw = Window.partitionBy("flag")
+      t.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(cw))
+        .groupBy("flag")
+        .agg(
+          max(when(col("rn") === ceil(lit(0.5) * col("n")).cast(LongType),
+            col("v"))).as("p50_qty"),
+          max(when(col("rn") === ceil(lit(0.95) * col("n")).cast(LongType),
+            col("v"))).as("p95_qty"))
+        .orderBy("flag")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q58_repetition_stats" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, tok, count(*) AS c FROM w GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, sum(c) AS n, count(*) AS dd, max(c) AS m
+        |        FROM cnt GROUP BY 1)
+        |SELECT doc_id, CAST(n AS INT) AS n_tokens,
+        |       CAST(dd AS DOUBLE) / n AS distinct_ratio,
+        |       CAST(m AS DOUBLE) / n AS top_token_frac
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    "q59_dup_shingles" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 1)),
+        |    i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' ')))) AS g
+        |  FROM documents),
+        |d AS (SELECT g, count(*) AS df_g FROM sh GROUP BY 1)
+        |SELECT sh.doc_id, count(*) AS n_shingles,
+        |       count(*) FILTER (WHERE d.df_g > 1) AS n_shared,
+        |       CAST(count(*) FILTER (WHERE d.df_g > 1) AS DOUBLE)
+        |         / count(*) AS shared_frac
+        |FROM sh JOIN d USING (g)
+        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
+    "q60_kmv_distinct" ->
+      """WITH dist AS (
+        |  SELECT DISTINCT event_type,
+        |    ('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM events),
+        |r AS (SELECT event_type, h,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |      FROM dist),
+        |a AS (SELECT event_type, count(*) AS exact_distinct,
+        |        max(CASE WHEN rn <= 64 THEN h END) AS kth,
+        |        count(*) FILTER (WHERE rn <= 64) AS n_kept
+        |      FROM r GROUP BY 1)
+        |SELECT event_type, exact_distinct, n_kept,
+        |  CASE WHEN exact_distinct < 64 THEN CAST(exact_distinct AS DOUBLE)
+        |       ELSE 63.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE) END
+        |    AS kmv_est
+        |FROM a ORDER BY event_type""".stripMargin,
+    "q61_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q62_semi_anti" ->
+      """SELECT c_mktsegment,
+        |  count(*) FILTER (WHERE EXISTS (
+        |    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_with,
+        |  count(*) FILTER (WHERE NOT EXISTS (
+        |    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_without
+        |FROM customer c GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q63_pii_scrub" ->
+      """SELECT p_partkey,
+        |  regexp_replace(regexp_replace(
+        |    p_name || ' contact ' || replace(lower(p_brand), '#', '')
+        |      || '@example.com card 4111-1111-1111-'
+        |      || lpad(CAST(p_partkey % 10000 AS VARCHAR), 4, '0'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{4}(-[0-9]{4}){3}|[0-9]{16}', '<CARD>', 'g') AS scrubbed
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q64_norm_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |    sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |      AS content_hash
+        |  FROM documents),
+        |r AS (SELECT doc_id, content_hash,
+        |        row_number() OVER (PARTITION BY content_hash
+        |                           ORDER BY n_chars DESC, doc_id) AS rn,
+        |        count(*) OVER (PARTITION BY content_hash) AS n_dupes
+        |      FROM t)
+        |SELECT doc_id, content_hash, n_dupes FROM r
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q65_percentile_rank" ->
+      """WITH t AS (
+        |  SELECT l_returnflag AS flag, CAST(l_quantity AS DOUBLE) AS v
+        |  FROM lineitem),
+        |r AS (SELECT flag, v,
+        |        row_number() OVER (PARTITION BY flag ORDER BY v) AS rn,
+        |        count(*) OVER (PARTITION BY flag) AS n
+        |      FROM t)
+        |SELECT flag,
+        |  max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN v END)
+        |    AS p50_qty,
+        |  max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN v END)
+        |    AS p95_qty
+        |FROM r GROUP BY flag ORDER BY flag""".stripMargin
+  )
+}

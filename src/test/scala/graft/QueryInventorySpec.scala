@@ -7,11 +7,14 @@ package graft
   */
 class QueryInventorySpec extends SparkSuite {
 
-  test("no key collisions between core and ext query maps") {
+  test("no key collisions between per-module query maps") {
     val core = graft.queries.CoreQueries.queries.keySet
     val ext = graft.queries.ExtQueries.queries.keySet
+    val r3 = graft.queries.R3Queries.queries.keySet
     assert((core & ext).isEmpty, s"colliding keys: ${core & ext}")
-    assert(SparkEntry.queries.size === core.size + ext.size)
+    assert((core & r3).isEmpty, s"colliding keys: ${core & r3}")
+    assert((ext & r3).isEmpty, s"colliding keys: ${ext & r3}")
+    assert(SparkEntry.queries.size === core.size + ext.size + r3.size)
   }
 
   test("every oracle key has a matching query") {

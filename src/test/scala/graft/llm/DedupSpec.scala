@@ -205,4 +205,31 @@ class DedupSpec extends SparkSuite {
       if (t == null) "" else t.getMessage + " " + messages(t.getCause)
     assert(messages(err).contains("embeddingNearDup"))
   }
+
+  test("dupShingleStats counts cross-doc shingle sharing, linear shape") {
+    val r = Dedup.dupShingleStats(docs, "id", "text", shingleN = 3)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_shingles"), x.getAs[Long]("n_shared"),
+          x.getAs[Double]("shared_frac"))).toMap
+    // docs 1 and 2 are identical ⇒ every shingle shared
+    assert(r(1L)._3 === 1.0 && r(2L)._3 === 1.0)
+    // doc 3 differs by one word mid-text: shares all shingles not
+    // covering the changed token
+    assert(r(3L)._2 > 0 && r(3L)._3 < 1.0)
+    // docs 4 and 5 share nothing
+    assert(r(4L)._2 === 0L && r(5L)._2 === 0L)
+  }
+
+  test("normalizedKeepBest: case/whitespace-insensitive, keeps best quality") {
+    val df = Seq(
+      (1L, "The Quick  Brown   Fox", 10),
+      (2L, "the quick brown fox", 22),     // same after norm, higher quality
+      (3L, "the quick brown fox", 22),     // tie ⇒ min id (2) wins
+      (4L, "something else entirely", 5)
+    ).toDF("id", "text", "q")
+    val kept = Dedup.normalizedKeepBest(df, "id", "text", col("q"))
+      .select("id", "n_dupes").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept === Map(2L -> 3L, 4L -> 1L))
+  }
 }

@@ -47,4 +47,21 @@ class SketchesSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(out === Seq(("a", 2L), ("b", 1L)))
   }
+
+  test("kmvDistinct: exact below k, bounded relative error above") {
+    // group "small": 40 distinct < k=64 ⇒ exact path
+    // group "big": 5000 distinct ⇒ estimator path
+    val rows = (1 to 40).map(i => ("small", i.toLong)) ++
+      (1 to 5000).flatMap(i => Seq(("big", i.toLong), ("big", i.toLong)))
+    val out = Sketches.kmvDistinct(rows.toDF("g", "v"), Seq("g"), "v", k = 64)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("exact_distinct"), r.getAs[Long]("n_kept"),
+          r.getAs[Double]("kmv_est"))).toMap
+    val (se, sk, sEst) = out("small")
+    assert(se === 40L && sk === 40L && sEst === 40.0)
+    val (be, bk, bEst) = out("big")
+    assert(be === 5000L && bk === 64L)
+    // KMV with k=64 has σ ≈ 1/√(k−2) ≈ 12.7%; 4σ bound
+    assert(math.abs(bEst - 5000.0) / 5000.0 < 0.5, s"est=$bEst")
+  }
 }

@@ -55,4 +55,36 @@ class TextAnalysisSpec extends SparkSuite {
       "one two three four five six seven eight nine ten")
     assert(c <= a)
   }
+
+  test("repetitionStats: run-fold equals token frequency max; edge cases") {
+    def stats(t: String): (Int, Double, Double) = {
+      val r = Seq(t).toDF("t")
+        .select(TextAnalysis.repetitionStats(col("t")).as("r"))
+        .select("r.n_tokens", "r.distinct_ratio", "r.top_token_frac")
+        .collect()(0)
+      (r.getInt(0), r.getDouble(1), r.getDouble(2))
+    }
+    // "spam" 3 of 6 tokens — top fraction 0.5, distinct 4/6
+    assert(stats("spam a spam b spam c") === ((6, 4.0 / 6, 0.5)))
+    // all distinct
+    assert(stats("a b c d") === ((4, 1.0, 0.25)))
+    // all identical
+    assert(stats("x x x") === ((3, 1.0 / 3, 1.0)))
+    // single token (the sequence-fold guard path)
+    assert(stats("only") === ((1, 1.0, 1.0)))
+    // runs must count in SORTED order, not input order: interleaved
+    // "a b a b a" has max run 1 in input order but frequency 3
+    assert(stats("a b a b a")._3 === 0.6)
+  }
+
+  test("scrubPii replaces every email and card occurrence, leaves text") {
+    def scrub(t: String): String =
+      Seq(t).toDF("t").select(TextAnalysis.scrubPii(col("t")))
+        .collect()(0).getString(0)
+    assert(scrub("mail a.user+tag@sub.example.org now") === "mail <EMAIL> now")
+    assert(scrub("card 4111-1111-1111-1234.") === "card <CARD>.")
+    assert(scrub("raw 4111111111111234 ok") === "raw <CARD> ok")
+    assert(scrub("x@y.io and z@w.co!") === "<EMAIL> and <EMAIL>!")
+    assert(scrub("no pii here 1234-56") === "no pii here 1234-56")
+  }
 }
