@@ -175,10 +175,12 @@ object Dedup {
       shingleN: Int = 3): DataFrame = {
     val ex = df.select(col(idCol).as("doc_id"),
         explode(shingles(col(textCol), shingleN)).as("g"))
-    // shingles() emits DISTINCT shingles per doc, so df_g = document
-    // frequency and per-doc counts need no dedup pass.
-    val dfg = ex.groupBy("g").agg(count(lit(1)).as("df_g"))
-    ex.join(dfg, Seq("g"))
+    // shingles() emits DISTINCT shingles per doc, so the per-shingle
+    // partition count IS document frequency — an unordered count window
+    // annotates each occurrence in the SAME exchange that grouped it
+    // (an agg + join-back would shuffle the exploded set twice more).
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    ex.withColumn("df_g", count(lit(1)).over(wg))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("df_g") > 1, 1L).otherwise(0L)).as("n_shared"))

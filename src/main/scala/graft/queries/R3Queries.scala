@@ -107,20 +107,29 @@ object R3Queries {
     // ceil(p·n) — picks an ELEMENT, no interpolation arithmetic, so the
     // result is bit-identical across engines (percentile_cont's
     // lower+(upper-lower)·f leaves IEEE rounding to the implementation).
-    // At 100 TB swap in approx_percentile: same plan minus the
-    // per-group sort.
+    //
+    // Computed from the per-group VALUE DISTRIBUTION, not a row-level
+    // window: a row-number window partitioned by 3 flags would sort all
+    // rows in 3 tasks (parallelism = group count — a scale-killer). Here
+    // the only row-level pass is a map-side-combined groupBy(flag, v);
+    // the windows run over ≤|distinct v| rows per group. The rank-r
+    // value is the smallest v whose cumulative count ≥ r. For
+    // high-cardinality value columns swap in approx_percentile.
     "q65_percentile_rank" -> ((s, d) => {
       val t = T.lineitem(s, d).select(col("l_returnflag").as("flag"),
         col("l_quantity").cast(DoubleType).as("v"))
-      val w = Window.partitionBy("flag").orderBy("v")
-      val cw = Window.partitionBy("flag")
-      t.withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(cw))
+      val dist = t.groupBy("flag", "v").agg(count(lit(1)).as("c"))
+      val cum = Window.partitionBy("flag").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy("flag")
+      dist
+        .withColumn("cum", sum(col("c")).over(cum))
+        .withColumn("n", sum(col("c")).over(tot))
         .groupBy("flag")
         .agg(
-          max(when(col("rn") === ceil(lit(0.5) * col("n")).cast(LongType),
+          min(when(col("cum") >= ceil(lit(0.5) * col("n")).cast(LongType),
             col("v"))).as("p50_qty"),
-          max(when(col("rn") === ceil(lit(0.95) * col("n")).cast(LongType),
+          min(when(col("cum") >= ceil(lit(0.95) * col("n")).cast(LongType),
             col("v"))).as("p95_qty"))
         .orderBy("flag")
     })
