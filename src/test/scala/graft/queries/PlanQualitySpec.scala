@@ -98,4 +98,47 @@ class PlanQualitySpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       p.take(1200))
   }
+
+  test("q58: repetition stats are map-only — no hash exchange before the sort") {
+    val p = plan("q58_repetition_stats")
+    // only the deterministic final ORDER BY may repartition (range);
+    // the stats themselves must not shuffle token occurrences
+    assert(!p.contains("hashpartitioning"), p.take(1200))
+  }
+
+  test("q63: PII scrub is map-only") {
+    val p = plan("q63_pii_scrub")
+    assert(!p.contains("hashpartitioning"), p.take(1200))
+  }
+
+  test("q59: shingle audit = one shingle exchange + one doc exchange, no join") {
+    val p = plan("q59_dup_shingles")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      p.take(1200))
+    // formatted mode lists operators and arguments separately; count
+    // the argument renderings of hash exchanges
+    val hashEx = "Arguments: hashpartitioning".r.findAllIn(p).size
+    assert(hashEx === 2, s"expected 2 hash exchanges, got $hashEx\n${p.take(1200)}")
+  }
+
+  test("q62: semi/anti probes plan as hash joins, never nested loop") {
+    val p = plan("q62_semi_anti")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q65: percentiles aggregate the value distribution, not a row window") {
+    val p = plan("q65_percentile_rank")
+    // the only full-data pass is the map-side-combined groupBy(flag, v):
+    // its exchange keys on BOTH columns; a row-level rank window would
+    // exchange on flag alone with all rows
+    assert(p.contains("hashpartitioning(flag") , p.take(1200))
+    assert(p.contains("partial_count") || p.contains("partial count")
+      || "HashAggregate".r.findAllIn(p).size >= 2, p.take(1200))
+  }
+
+  test("q64: keep-best dedup partitions by content hash") {
+    val p = plan("q64_norm_dedup")
+    assert(p.contains("hashpartitioning(content_hash"), p.take(1200))
+  }
 }
