@@ -101,4 +101,33 @@ object relational {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("_b")
   }
+
+  /** Skew-salted INNER equi-join: the fact side's hot keys are spread
+    * over `salts` sub-partitions by salting the join key; the dimension
+    * side replicates each row once per salt so every (key, salt) pair
+    * still meets. Results are identical to `fact.join(dim, on)` — only
+    * the partitioning changes: a key holding 30% of the fact rows
+    * occupies `salts` reducers instead of one.
+    *
+    * The salt is derived from the whole fact row (xxhash64), not
+    * rand(): deterministic under reruns and retries (a rand() salt
+    * re-rolls on task retry and can double-count with speculative
+    * execution).
+    *
+    * Prefer AQE's skew-join split (on by default) when it applies — it
+    * needs no dim replication. Manual salting is for the cases AQE
+    * can't fix: skewed AGGREGATION feeding the join, joins inside
+    * cached/checkpointed subtrees, or deterministic-layout requirements.
+    * Replication cost: |dim| × salts rows — size `salts` to the skew
+    * factor, not higher. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, on: Seq[String],
+      salts: Int): DataFrame = {
+    require(salts >= 1, "salts must be >= 1")
+    val factCols = fact.columns.toSeq
+    val f = fact.withColumn("_salt",
+      pmod(xxhash64(struct(factCols.map(col): _*)), lit(salts)).cast("int"))
+    val d = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    f.join(d, on :+ "_salt").drop("_salt")
+  }
 }

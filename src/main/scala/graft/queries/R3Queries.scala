@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.llm.{Dedup, Sketches, TextAnalysis => TA}
+import graft.llm.{Dedup, Search, Sketches, TextAnalysis => TA}
 
 /** q58–q65: round-3 additions.
   *
@@ -132,7 +132,15 @@ object R3Queries {
           min(when(col("cum") >= ceil(lit(0.95) * col("n")).cast(LongType),
             col("v"))).as("p95_qty"))
         .orderBy("flag")
-    })
+    }),
+
+    // [EXT] keyword search: TF×(N/df) ranking in integer micropoints —
+    // scores sum exactly, so the ranking is engine-portable (a float
+    // sum would be aggregation-order-dependent). Corpus scan map-only:
+    // tokens filter to query terms before any shuffle.
+    "q66_keyword_search" -> ((s, d) =>
+      Search.keywordSearch(T.documents(s, d), "doc_id", "text",
+        terms = Seq("spark", "join", "window"), k = 20))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -214,6 +222,21 @@ object R3Queries {
         |      FROM t)
         |SELECT doc_id, content_hash, n_dupes FROM r
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q66_keyword_search" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |f AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |      WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2),
+        |d AS (SELECT doc_id, tf,
+        |        count(*) OVER (PARTITION BY term) AS df_t FROM f),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id,
+        |  CAST(sum(CAST(round(1e6 * tf * n_docs / df_t) AS BIGINT)) AS BIGINT)
+        |    AS score,
+        |  count(*) AS n_terms
+        |FROM d, n GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "q65_percentile_rank" ->
       """WITH t AS (
         |  SELECT l_returnflag AS flag, CAST(l_quantity AS DOUBLE) AS v

@@ -63,4 +63,24 @@ class RelationalSpec extends SparkSuite {
       if (t == null) "" else t.getMessage + " " + msgs(t.getCause)
     assert(msgs(e).contains("rangeJoin"))
   }
+
+  test("saltedJoin: identical rows to the plain join, salt never leaks") {
+    // skewed fact: key 1 dominates
+    val fact = ((1 to 500).map(i => (1L, s"f$i")) ++
+      (1 to 20).map(i => (2L, s"g$i")) ++ Seq((3L, "h1")))
+      .toDF("k", "payload")
+    val dim = Seq((1L, "one"), (2L, "two"), (4L, "four")).toDF("k", "name")
+    val got = relational.saltedJoin(fact, dim, Seq("k"), salts = 8)
+    assert(got.columns.toSeq === Seq("k", "payload", "name"))
+    val want = fact.join(dim, Seq("k"))
+    assert(got.collect().map(_.toSeq).toSet === want.collect().map(_.toSeq).toSet)
+    assert(got.count() === want.count()) // multiplicity preserved too
+  }
+
+  test("saltedJoin with salts=1 degenerates to the plain join") {
+    val fact = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val dim = Seq((1L, "x")).toDF("k", "w")
+    val got = relational.saltedJoin(fact, dim, Seq("k"), salts = 1).collect()
+    assert(got.map(_.toSeq).toSet === Set(Seq(1L, "a", "x")))
+  }
 }
