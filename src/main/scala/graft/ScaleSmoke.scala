@@ -66,7 +66,18 @@ object ScaleSmoke {
       timed("split_assign", TrainingOps.splitAssign(docs, "id",
         Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01))),
       timed("token_packing", TrainingOps.packByTokenBudget(docs, "lang", "id",
-        TA.tokenCountWs(col("text")).cast("long"), budget = 4096)))
+        TA.tokenCountWs(col("text")).cast("long"), budget = 4096)),
+      timed("repetition_stats", docs.select(col("id"),
+        TA.repetitionStats(col("text")))),
+      timed("dup_shingle_audit",
+        Dedup.dupShingleStats(docs, "id", "text", shingleN = 3)),
+      timed("kmv_distinct",
+        graft.llm.Sketches.kmvDistinct(docs, Seq("lang"), "text", k = 256)),
+      timed("norm_dedup_keep_best",
+        Dedup.normalizedKeepBest(docs, "id", "text", length(col("text")))),
+      timed("keyword_search",
+        graft.llm.Search.keywordSearch(docs, "id", "text",
+          terms = Seq("w17", "w4242", "w999"), k = 100)))
 
     docs.unpersist()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
