@@ -103,4 +103,31 @@ object OpsPropertiesSpec extends Properties("graft.ops") {
         }
       }
     }
+
+  // repetitionStats' sorted-run fold must equal the direct frequency
+  // computation for any token multiset (skewed vocab to force runs)
+  private val docGen: Gen[List[String]] = for {
+    n <- Gen.chooseNum(1, 60)
+    ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "dd", "e1", "zz"))
+  } yield ws
+  property("repetitionStats run-fold equals direct token frequencies") =
+    Prop.forAll(Gen.listOfN(20, docGen)) { docsList =>
+      docsList.isEmpty || {
+        val rows = docsList.zipWithIndex.map { case (ws, i) =>
+          (i.toLong, ws.mkString(" "))
+        }
+        val got = rows.toDF("id", "t")
+          .select(col("id"),
+            graft.llm.TextAnalysis.repetitionStats(col("t")).as("r"))
+          .select(col("id"), col("r.n_tokens"), col("r.distinct_ratio"),
+            col("r.top_token_frac"))
+          .collect().map(r => r.getLong(0) ->
+            (r.getInt(1), r.getDouble(2), r.getDouble(3))).toMap
+        docsList.zipWithIndex.forall { case (ws, i) =>
+          val n = ws.length
+          val freq = ws.groupBy(identity).map(_._2.length)
+          got(i.toLong) == ((n, freq.size.toDouble / n, freq.max.toDouble / n))
+        }
+      }
+    }
 }
