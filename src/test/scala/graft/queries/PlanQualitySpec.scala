@@ -141,4 +141,10 @@ class PlanQualitySpec extends SparkSuite {
     val p = plan("q64_norm_dedup")
     assert(p.contains("hashpartitioning(content_hash"), p.take(1200))
   }
+
+  test("q66: keyword search takes top-k without a global sort; N broadcast") {
+    val p = plan("q66_keyword_search")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert(p.contains("BroadcastExchange"), p.take(1200))
+  }
 }
