@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -64,7 +65,7 @@ private[sources] final class HttpJsonlTable(props: Map[String, String])
     s"http_jsonl(${props.getOrElse("url", "<missing url>")})"
   override def schema(): StructType = HttpJsonlSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new HttpJsonlScanBuilder(props ++ options.asScala)
 }
@@ -87,14 +88,16 @@ private[sources] final class HttpJsonlScanBuilder(opts: Map[String, String])
     new HttpJsonlScan(url, pages, headers, required,
       maxRetries = opts.getOrElse("maxretries", "5").toInt,
       connectTimeoutMs = opts.getOrElse("connecttimeoutms", "5010").toLong,
-      readTimeoutMs = opts.getOrElse("readtimeoutms", "32000").toLong)
+      readTimeoutMs = opts.getOrElse("readtimeoutms", "32000").toLong,
+      pagesUrl = opts.get("pagesurl"))
   }
 }
 
 private[sources] final class HttpJsonlScan(
     url: String, pages: Int, headers: Map[String, String],
     required: StructType, maxRetries: Int, connectTimeoutMs: Long,
-    readTimeoutMs: Long) extends Scan with Batch {
+    readTimeoutMs: Long, pagesUrl: Option[String] = None)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = s"graft-http-jsonl $url [$pages pages]"
@@ -103,6 +106,60 @@ private[sources] final class HttpJsonlScan(
   override def createReaderFactory(): PartitionReaderFactory =
     new HttpJsonlReaderFactory(url, headers, required.fieldNames,
       maxRetries, connectTimeoutMs, readTimeoutMs)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new HttpJsonlMicroBatchStream(url, pages, headers, required.fieldNames,
+      maxRetries, connectTimeoutMs, readTimeoutMs).withPagesUrl(pagesUrl)
+}
+
+/** Offset = number of pages fully consumed. JSON form is the bare
+  * count, so checkpoints are human-readable. */
+private[sources] final case class HttpJsonlOffset(pages: Int) extends Offset {
+  override def json(): String = pages.toString
+}
+
+/** Incremental page consumption as a micro-batch stream — the
+  * Spark-first re-expression of the reference's SCHEDULED re-runs
+  * (celery-beat `pipeline_task` re-dispatch, tasks.py): instead of a
+  * cron re-pulling everything and deduping downstream, the stream's
+  * offset is the consumed-page count, each micro-batch reads only
+  * pages [start, end), and the checkpoint makes delivery exactly-once
+  * into transactional sinks.
+  *
+  * The page horizon comes from `latestOffset()`: a GET of the
+  * `pagesUrl` option (a cheap metadata endpoint returning the current
+  * page count as an integer body — APIs expose this as a count/total
+  * field; adapt with a template). Without `pagesUrl` the horizon is the
+  * static `pages` option (AvailableNow semantics: drain, then stop). */
+private[sources] final class HttpJsonlMicroBatchStream(
+    url: String, staticPages: Int, headers: Map[String, String],
+    fields: Array[String], maxRetries: Int, connectTimeoutMs: Long,
+    readTimeoutMs: Long) extends MicroBatchStream {
+  private var pagesUrl: Option[String] = None
+  private[sources] def withPagesUrl(u: Option[String]): this.type = {
+    pagesUrl = u; this
+  }
+
+  override def initialOffset(): Offset = HttpJsonlOffset(0)
+  override def deserializeOffset(json: String): Offset =
+    HttpJsonlOffset(json.trim.toInt)
+  override def latestOffset(): Offset = HttpJsonlOffset(pagesUrl match {
+    case Some(u) =>
+      val cfg = HttpSourceConfig(connectTimeoutMillis = connectTimeoutMs,
+        readTimeoutMillis = readTimeoutMs, maxRetries = maxRetries,
+        headers = headers)
+      HttpSource.fetch(u, cfg).trim.toInt
+    case None => staticPages
+  })
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[HttpJsonlOffset].pages
+    val e = end.asInstanceOf[HttpJsonlOffset].pages
+    (s until e).map(HttpJsonlPartition(_): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new HttpJsonlReaderFactory(url, headers, fields,
+      maxRetries, connectTimeoutMs, readTimeoutMs)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] final case class HttpJsonlPartition(page: Int)

@@ -76,6 +76,52 @@ class HttpJsonlSourceSpec extends SparkSuite {
     }
   }
 
+  test("micro-batch stream: checkpointed incremental page consumption") {
+    // mutable page horizon — the pagesUrl endpoint reports how many
+    // pages exist right now, mirroring an API's count field
+    val horizon = new java.util.concurrent.atomic.AtomicInteger(2)
+    val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)
+    def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+      val b = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, if (b.isEmpty) -1 else b.length)
+      if (b.nonEmpty) ex.getResponseBody.write(b)
+      ex.close()
+    }
+    server.createContext("/count", (ex: HttpExchange) =>
+      respond(ex, 200, horizon.get.toString))
+    server.createContext("/items", (ex: HttpExchange) => {
+      val page = Option(ex.getRequestURI.getQuery).getOrElse("")
+        .split("=").last.toInt
+      if (page < horizon.get) respond(ex, 200, s"{\"p\": $page}")
+      else respond(ex, 404, "")
+    })
+    server.start()
+    val base = s"http://localhost:${server.getAddress.getPort}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-http-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-http-out").toString
+    def drainOnce(): Seq[Int] = {
+      val q = spark.readStream.format("graft-http-jsonl")
+        .option("url", s"$base/items?page={page}")
+        .option("pagesUrl", s"$base/count")
+        .load()
+        .select(get_json_object(col("value"), "$.p").cast("int").as("p"))
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      spark.read.parquet(out).collect().map(_.getInt(0)).sorted.toSeq
+    }
+    try {
+      assert(drainOnce() === Seq(0, 1))
+      horizon.set(5) // three new pages appear upstream
+      // same checkpoint ⇒ the second drain appends ONLY pages 2..4
+      assert(drainOnce() === Seq(0, 1, 2, 3, 4))
+    } finally server.stop(0)
+  }
+
   test("missing page fails the task with a helpful error, not silence") {
     withServer(Map(0 -> "{}")) { base =>
       val e = intercept[Exception] {
