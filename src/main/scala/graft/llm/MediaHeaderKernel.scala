@@ -1,0 +1,116 @@
+package graft.llm
+
+/** Pure byte-level container-header parsing — the codec-free real part
+  * of multimodal metadata extraction. Every format's dimensions and
+  * audio parameters live in fixed or scannable header positions:
+  *
+  *  - PNG: 8-byte signature, then the IHDR chunk — width/height are
+  *    big-endian u32 at offsets 16/20 (PNG spec, RFC 2083 §4.1.1).
+  *  - GIF: "GIF87a"/"GIF89a", logical screen width/height little-endian
+  *    u16 at offsets 6/8 (GIF89a spec §18).
+  *  - BMP: "BM", BITMAPINFOHEADER width/height little-endian i32 at
+  *    offsets 18/22 (height may be negative = top-down rows).
+  *  - WAV: "RIFF" + "WAVE" + "fmt " chunk: channels u16 @22, sample
+  *    rate u32 @24, bits/sample u16 @34 (RIFF/WAVE format).
+  *  - JPEG: marker scan for SOF0/SOF1/SOF2 (baseline/extended/
+  *    progressive): each marker is 0xFF <type> <u16 length>; SOF
+  *    payload is [precision u8][height u16][width u16][channels u8]
+  *    (ITU T.81 §B.2.2).
+  *
+  * All fields are -1 when absent (the DataFrame layer maps -1 → null).
+  * Truncated or unrecognized payloads parse as "unknown" — never throw:
+  * one corrupt file must not fail a 100 TB ingest task.
+  */
+object MediaHeaderKernel {
+
+  final case class Header(format: String, width: Int = -1, height: Int = -1,
+      channels: Int = -1, sampleRate: Int = -1, bitsPerSample: Int = -1)
+
+  private val Unknown = Header("unknown")
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def u16be(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def u16le(b: Array[Byte], i: Int): Int = (u8(b, i + 1) << 8) | u8(b, i)
+  private def u32be(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def u32le(b: Array[Byte], i: Int): Long =
+    (u8(b, i + 3).toLong << 24) | (u8(b, i + 2) << 16) | (u8(b, i + 1) << 8) | u8(b, i)
+  private def i32le(b: Array[Byte], i: Int): Int = u32le(b, i).toInt
+  private def ascii(b: Array[Byte], i: Int, n: Int): String =
+    if (i + n > b.length) "" else new String(b, i, n, "US-ASCII")
+
+  /** Clamp a u32 dimension into Int range; bogus values → -1. */
+  private def dim(v: Long): Int =
+    if (v > 0 && v <= Int.MaxValue) v.toInt else -1
+
+  def parse(bytes: Array[Byte]): Header = {
+    if (bytes == null || bytes.length < 10) return Unknown
+    try {
+      if (u8(bytes, 0) == 0x89 && ascii(bytes, 1, 3) == "PNG") parsePng(bytes)
+      else if (ascii(bytes, 0, 4) == "GIF8") parseGif(bytes)
+      else if (ascii(bytes, 0, 2) == "BM") parseBmp(bytes)
+      else if (ascii(bytes, 0, 4) == "RIFF" && ascii(bytes, 8, 4) == "WAVE")
+        parseWav(bytes)
+      else if (u8(bytes, 0) == 0xff && u8(bytes, 1) == 0xd8) parseJpeg(bytes)
+      else Unknown
+    } catch { case _: Exception => Unknown }
+  }
+
+  private def parsePng(b: Array[Byte]): Header =
+    if (b.length < 24 || ascii(b, 12, 4) != "IHDR") Header("png")
+    else Header("png", dim(u32be(b, 16)), dim(u32be(b, 20)),
+      // IHDR color type @25: 0 gray, 2 rgb, 3 palette, 4 gray+a, 6 rgba
+      channels = if (b.length > 25) u8(b, 25) match {
+        case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+        case _ => -1
+      } else -1)
+
+  private def parseGif(b: Array[Byte]): Header =
+    if (b.length < 10) Header("gif")
+    else Header("gif", dim(u16le(b, 6)), dim(u16le(b, 8)))
+
+  private def parseBmp(b: Array[Byte]): Header =
+    if (b.length < 26) Header("bmp")
+    // negative height = top-down bitmap; magnitude is the pixel height
+    else Header("bmp", dim(i32le(b, 18)), dim(math.abs(i32le(b, 22))))
+
+  private def parseWav(b: Array[Byte]): Header = {
+    // walk RIFF chunks to find "fmt " (it is usually but not always
+    // the first chunk after WAVE)
+    var off = 12
+    while (off + 8 <= b.length) {
+      val id = ascii(b, off, 4)
+      val sz = u32le(b, off + 4)
+      if (id == "fmt " && off + 24 <= b.length)
+        return Header("wav",
+          channels = u16le(b, off + 10),
+          sampleRate = dim(u32le(b, off + 12)),
+          bitsPerSample = if (off + 24 <= b.length) u16le(b, off + 22) else -1)
+      off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      if (sz <= 0) return Header("wav")
+    }
+    Header("wav")
+  }
+
+  private def parseJpeg(b: Array[Byte]): Header = {
+    var off = 2
+    while (off + 4 <= b.length) {
+      if (u8(b, off) != 0xff) return Header("jpeg") // lost marker sync
+      val marker = u8(b, off + 1)
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) off += 2
+      else {
+        val len = u16be(b, off + 2)
+        if (len < 2) return Header("jpeg")
+        // SOF0 (baseline) / SOF1 (extended) / SOF2 (progressive)
+        if ((marker == 0xc0 || marker == 0xc1 || marker == 0xc2)
+            && off + 9 < b.length)
+          return Header("jpeg",
+            width = dim(u16be(b, off + 7)),
+            height = dim(u16be(b, off + 5)),
+            channels = u8(b, off + 9))
+        off += 2 + len
+      }
+    }
+    Header("jpeg")
+  }
+}

@@ -53,6 +53,42 @@ object Multimodal {
       .withColumn("meta", attachMeta(col("payload"),
         concat(lit("mem://doc/"), col(idCol).cast(StringType)), lit("text/plain")))
 
+  /** Media header metadata — REAL parsing, not a stub: container
+    * headers are plain bytes, so no codec library is needed. Formats:
+    * PNG (IHDR), GIF (logical screen), BMP (BITMAPINFOHEADER), WAV
+    * (RIFF fmt chunk), JPEG (SOF0/1/2 marker scan). Unknown/truncated
+    * payloads → format "unknown", null dims. */
+  val MediaHeaderSchema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("bits_per_sample", IntegerType)))
+
+  /** Parse container headers partition-parallel. Output:
+    * (id, format, width, height, channels, sample_rate,
+    * bits_per_sample). This is the real half of the multimodal decode
+    * story — dimension/channel metadata drives routing, filtering, and
+    * batch shaping long before pixel decode runs. */
+  def parseMediaHeaders(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val schema = StructType(StructField("id", LongType) +: MediaHeaderSchema.fields.toSeq)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val h = MediaHeaderKernel.parse(r.getAs[Array[Byte]](pIdx))
+        Row(r.getLong(idIdx), h.format,
+          orNull(h.width), orNull(h.height), orNull(h.channels),
+          orNull(h.sampleRate), orNull(h.bitsPerSample))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  private def orNull(v: Int): Any = if (v < 0) null else v
+
   /** Feature row produced by the (stubbed) image decoder. */
   val ImageFeatureSchema: StructType = StructType(Seq(
     StructField("id", LongType),

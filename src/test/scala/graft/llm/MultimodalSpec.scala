@@ -71,6 +71,66 @@ class MultimodalSpec extends SparkSuite {
       === r1.getStruct(3).getAs[String]("content_hash"))
   }
 
+  test("MediaHeaderKernel parses real container headers (no codec libs)") {
+    import MediaHeaderKernel.parse
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+
+    // PNG: sig + IHDR length/type + 640×480, color type 6 (RGBA)
+    val png = bytes(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13) ++ "IHDR".getBytes ++
+      bytes(0, 0, 2, 0x80, 0, 0, 1, 0xe0, 8, 6)
+    val hp = parse(png)
+    assert((hp.format, hp.width, hp.height, hp.channels) === (("png", 640, 480, 4)))
+
+    // GIF89a 320×200 (little-endian u16)
+    val gif = "GIF89a".getBytes ++ bytes(0x40, 0x01, 0xc8, 0x00, 0, 0, 0, 0)
+    assert(parse(gif).copy() === MediaHeaderKernel.Header("gif", 320, 200))
+
+    // BMP with top-down (negative) height -600, width 800
+    val bmp = "BM".getBytes ++ new Array[Byte](16) ++
+      bytes(0x20, 3, 0, 0) ++ bytes(0xa8, 0xfd, 0xff, 0xff) ++ new Array[Byte](4)
+    val hb = parse(bmp)
+    assert((hb.format, hb.width, hb.height) === (("bmp", 800, 600)))
+
+    // WAV 2ch 44100Hz 16-bit, fmt NOT first (JUNK chunk before it)
+    val junk = "JUNK".getBytes ++ bytes(4, 0, 0, 0) ++ new Array[Byte](4)
+    val fmt = "fmt ".getBytes ++ bytes(16, 0, 0, 0) ++
+      bytes(1, 0, 2, 0, 0x44, 0xac, 0, 0) ++ new Array[Byte](6) ++ bytes(16, 0)
+    val wav = "RIFF".getBytes ++ bytes(0xff, 0, 0, 0) ++ "WAVE".getBytes ++ junk ++ fmt
+    val hw = parse(wav)
+    assert((hw.format, hw.channels, hw.sampleRate, hw.bitsPerSample)
+      === (("wav", 2, 44100, 16)))
+
+    // JPEG: SOI, APP0 skipped by length, then SOF0 1024×768, 3 channels
+    val app0 = bytes(0xff, 0xe0, 0, 4, 0, 0)
+    val sof0 = bytes(0xff, 0xc0, 0, 11, 8, 3, 0, 4, 0, 3)
+    val jpg = bytes(0xff, 0xd8) ++ app0 ++ sof0
+    val hj = parse(jpg)
+    assert((hj.format, hj.width, hj.height, hj.channels) === (("jpeg", 1024, 768, 3)))
+
+    // corrupt/truncated/unknown payloads never throw
+    assert(parse(null).format === "unknown")
+    assert(parse(bytes(1, 2, 3)).format === "unknown")
+    assert(parse("GIF8".getBytes ++ bytes(1)).format === "unknown")
+    assert(parse(bytes(0xff, 0xd8, 0x00, 0x11, 1, 1, 1, 1, 1, 1)).format === "jpeg")
+  }
+
+  test("parseMediaHeaders: partition-parallel, nulls for absent fields") {
+    import spark.implicits._
+    val png = Array[Byte](0x89.toByte) ++ "PNG".getBytes ++
+      Array[Byte](0x0d, 0x0a, 0x1a, 0x0a, 0, 0, 0, 13) ++ "IHDR".getBytes ++
+      Array[Byte](0, 0, 0, 16, 0, 0, 0, 16, 8, 2)
+    val noise = Array.tabulate(64)(i => (i * 31).toByte)
+    val df = Seq((1L, png), (2L, noise)).toDF("id", "payload").repartition(2)
+    val out = Multimodal.parseMediaHeaders(df, "id", "payload")
+      .orderBy("id").collect()
+    assert(out(0).getAs[String]("format") === "png")
+    assert(out(0).getAs[Int]("width") === 16 && out(0).getAs[Int]("channels") === 3)
+    assert(out(0).isNullAt(out(0).fieldIndex("sample_rate"))) // image: no audio fields
+    assert(out(1).getAs[String]("format") === "unknown")
+    assert(out(1).isNullAt(out(1).fieldIndex("width")))
+  }
+
   test("audioFeaturesStub: fixed-width deterministic window profile") {
     import spark.implicits._
     val bin = Seq((1L, Array.tabulate(1000)(i => (i * 7).toByte)),
