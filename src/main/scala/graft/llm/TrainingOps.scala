@@ -18,6 +18,55 @@ import org.apache.spark.sql.types._
   */
 object TrainingOps {
 
+  /** Overlapping token-window chunks (retrieval / context assembly):
+    * chunk k covers tokens [k·stride+1, k·stride+window] with
+    * stride = window − overlap, so consecutive chunks share `overlap`
+    * tokens. Output: (id, chunk_id, chunk_text, n_tokens) — one row per
+    * chunk, map-only (tokenize → window slices → posexplode; no
+    * shuffle). Distinct from [[packByTokenBudget]]: packing groups
+    * whole documents INTO budgets, chunking splits documents into
+    * windows. */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+      window: Int, overlap: Int): DataFrame = {
+    require(window > 0 && overlap >= 0 && overlap < window,
+      s"need 0 <= overlap < window, got window=$window overlap=$overlap")
+    val stride = window - overlap
+    // let-bind the token array (HOF args re-evaluate per reference)
+    val chunks = aggregate(
+      array(graft.llm.TextAnalysis.tokens(col(textCol))),
+      lit(null).cast(ArrayType(StringType)),
+      (_, w) => {
+        val n = size(w)
+        val nChunks = greatest(
+          ceil((n - lit(overlap)).cast(DoubleType) / stride).cast(IntegerType),
+          lit(1))
+        transform(sequence(lit(0), nChunks - 1),
+          k => concat_ws(" ", slice(w, k * stride + 1, lit(window))))
+      })
+    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_id", "chunk_text")))
+      .withColumn("n_tokens",
+        graft.llm.TextAnalysis.tokenCountWs(col("chunk_text")))
+  }
+
+  /** Deterministic per-source downsampling to target keep-rates (domain
+    * mixing): a row survives iff its salted-hash bucket falls under its
+    * source's rate. Same salted-SHA bucket as [[splitAssign]] — the
+    * sample is stable across reruns, partitionings, and engines
+    * (`rand()`-based sampling draws a different corpus every run and
+    * can't be audited). Sources missing from `rates` keep everything. */
+  def sampleByDomain(df: DataFrame, idCol: String, sourceCol: String,
+      rates: Map[String, Double], salt: String = "graft"): DataFrame = {
+    require(rates.values.forall(r => r >= 0 && r <= 1),
+      "rates must be within [0, 1]")
+    val bucket = expr(
+      s"cast(conv(substr(sha2(concat(cast(`$idCol` as string), ':', '$salt'), 256), " +
+        "1, 15), 16, 10) as bigint) % 10000")
+    val rate = rates.foldLeft(lit(1.0)) { case (acc, (src, r)) =>
+      when(col(sourceCol) === src, lit(r)).otherwise(acc)
+    }
+    df.filter(bucket < (rate * 10000).cast(LongType))
+  }
+
   /** Deterministic split assignment: `split` column ∈ `fractions` keys,
     * chosen by a salted SHA-256 bucket of the id — NOT `rand()`:
     *  - stable under reruns, repartitioning, and engine changes (the

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.llm.{Dedup, Search, Sketches, TextAnalysis => TA}
+import graft.llm.{Dedup, Search, Sketches, TrainingOps, TextAnalysis => TA}
 
 /** q58–q65: round-3 additions.
   *
@@ -140,7 +140,25 @@ object R3Queries {
     // tokens filter to query terms before any shuffle.
     "q66_keyword_search" -> ((s, d) =>
       Search.keywordSearch(T.documents(s, d), "doc_id", "text",
-        terms = Seq("spark", "join", "window"), k = 20))
+        terms = Seq("spark", "join", "window"), k = 20)),
+
+    // [EXT] overlapping token-window chunking (RAG/context assembly) —
+    // map-only; chunk text hashed so the check stays compact while
+    // still value-exact.
+    "q67_chunking" -> ((s, d) =>
+      TrainingOps.chunkByTokens(T.documents(s, d), "doc_id", "text",
+          window = 32, overlap = 8)
+        .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+          sha2(col("chunk_text"), 256).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_id")),
+
+    // [EXT] deterministic domain-mix sampling: salted-hash keep-rates
+    // per source — auditable, stable under reruns (rand() is neither).
+    "q68_domain_sample" -> ((s, d) =>
+      TrainingOps.sampleByDomain(T.documents(s, d), "doc_id", "source",
+          rates = Map("src0" -> 0.5, "src1" -> 0.0, "src2" -> 1.0))
+        .select("doc_id", "source")
+        .orderBy("doc_id"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -237,6 +255,31 @@ object R3Queries {
         |  count(*) AS n_terms
         |FROM d, n GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q67_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |n AS (SELECT doc_id, w,
+        |        greatest(CAST(ceil((len(w) - 8) / 24.0) AS INT), 1) AS nch
+        |      FROM t),
+        |c AS (SELECT doc_id,
+        |        unnest(list_transform(generate_series(0, nch - 1),
+        |          k -> CAST(k AS INT))) AS chunk_id,
+        |        unnest(list_transform(generate_series(0, nch - 1),
+        |          k -> array_to_string(w[k*24+1 : k*24+32], ' '))) AS chunk_text
+        |      FROM n)
+        |SELECT doc_id, chunk_id,
+        |  CAST(len(regexp_split_to_array(trim(chunk_text), '\s+')) AS INT)
+        |    AS n_tokens,
+        |  sha256(chunk_text) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "q68_domain_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE (('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || ':graft'), 1, 15))::BIGINT
+        |       % 10000)
+        |  < CAST((CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.0
+        |          WHEN 'src2' THEN 1.0 ELSE 1.0 END) * 10000 AS BIGINT)
+        |ORDER BY doc_id""".stripMargin,
     "q65_percentile_rank" ->
       """WITH t AS (
         |  SELECT l_returnflag AS flag, CAST(l_quantity AS DOUBLE) AS v

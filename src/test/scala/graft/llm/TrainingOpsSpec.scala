@@ -63,4 +63,45 @@ class TrainingOpsSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
   }
+
+  test("chunkByTokens: coverage, overlap, ragged tail, single-chunk docs") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "short doc")                               // < window
+    ).toDF("id", "text")
+    val out = TrainingOps.chunkByTokens(docs, "id", "text",
+        window = 4, overlap = 2)
+      .orderBy("id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    val d1 = out.filter(_._1 == 1L)
+    // stride 2 ⇒ ceil((10-2)/2) = 4 chunks
+    assert(d1.map(_._2).toSeq === Seq(0, 1, 2, 3))
+    assert(d1(0)._3 === "t1 t2 t3 t4")
+    assert(d1(1)._3 === "t3 t4 t5 t6") // 2-token overlap
+    assert(d1(3)._3 === "t7 t8 t9 t10")
+    assert(d1.forall(_._4 === 4))
+    // every token appears in at least one chunk
+    assert(d1.flatMap(_._3.split(" ")).toSet === (1 to 10).map(i => s"t$i").toSet)
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.toSeq === Seq((2L, 0, "short doc", 2)))
+  }
+
+  test("sampleByDomain: exact zero/one rates, determinism, default keep") {
+    import org.apache.spark.sql.functions.col
+    val docs = (1L to 400L).map(i => (i, s"src${i % 4}")).toDF("id", "source")
+    val kept = TrainingOps.sampleByDomain(docs, "id", "source",
+      Map("src0" -> 0.0, "src1" -> 1.0, "src2" -> 0.5))
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!bySrc.contains("src0"))          // rate 0 drops all
+    assert(bySrc("src1") === 100L)           // rate 1 keeps all
+    assert(bySrc("src3") === 100L)           // unlisted source keeps all
+    assert(bySrc("src2") > 20L && bySrc("src2") < 80L) // ~half
+    // deterministic: same rows on re-evaluation and repartitioning
+    val again = TrainingOps.sampleByDomain(docs.repartition(7), "id", "source",
+      Map("src0" -> 0.0, "src1" -> 1.0, "src2" -> 0.5))
+    assert(again.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      === kept.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
 }
