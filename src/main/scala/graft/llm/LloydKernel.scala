@@ -1,0 +1,61 @@
+package graft.llm
+
+/** In-process Lloyd k-means for coarse-quantizer training over a
+  * BOUNDED sample (see [[Similarity.topKIvf]]): the sample is O(nlist)
+  * rows collected to the driver, so training runs in microseconds with
+  * zero cluster jobs. Deterministic: initial centroids are the first k
+  * sample points (the sample itself is hash-spread, i.e. already
+  * shuffled deterministically), and ties in assignment break toward
+  * the lower cell index.
+  */
+object LloydKernel {
+
+  /** Returns `min(k, distinct points)` centroids. Empty cells keep
+    * their previous centroid (standard Lloyd practice — a cell that
+    * captured no points this round is left where it was). */
+  def fit(points: Array[Array[Double]], k: Int, maxIter: Int): Array[Array[Double]] = {
+    require(k >= 1, "k must be >= 1")
+    if (points.isEmpty) return Array.empty
+    val dim = points(0).length
+    val kk = math.min(k, points.length)
+    var centroids = Array.tabulate(kk)(i => points(i).clone())
+
+    def nearest(p: Array[Double]): Int = {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < kk) {
+        var d = 0.0
+        var j = 0
+        val cc = centroids(c)
+        while (j < dim) { val t = p(j) - cc(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+    var iter = 0
+    while (iter < maxIter) {
+      val sums = Array.ofDim[Double](kk, dim)
+      val counts = new Array[Long](kk)
+      points.foreach { p =>
+        val c = nearest(p)
+        counts(c) += 1
+        var j = 0
+        while (j < dim) { sums(c)(j) += p(j); j += 1 }
+      }
+      centroids = Array.tabulate(kk) { c =>
+        if (counts(c) == 0) centroids(c) // empty cell: keep previous
+        else {
+          val m = sums(c)
+          var j = 0
+          while (j < dim) { m(j) /= counts(c); j += 1 }
+          m
+        }
+      }
+      iter += 1
+    }
+    centroids
+  }
+}

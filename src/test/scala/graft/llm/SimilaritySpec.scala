@@ -4,6 +4,24 @@ import org.apache.spark.sql.functions._
 import graft.SparkSuite
 
 class SimilaritySpec extends SparkSuite {
+
+  test("LloydKernel: converges on separated blobs; bounded k; empty-cell safe") {
+    val blobA = Array.tabulate(50)(i => Array(0.0 + i * 0.001, 0.0))
+    val blobB = Array.tabulate(50)(i => Array(10.0 + i * 0.001, 10.0))
+    val cents = LloydKernel.fit(scala.util.Random.shuffle((blobA ++ blobB).toSeq)
+      .toArray, k = 2, maxIter = 10)
+    assert(cents.length === 2)
+    // one centroid lands in each blob
+    val xs = cents.map(_(0)).sorted
+    assert(math.abs(xs(0) - 0.025) < 0.5 && math.abs(xs(1) - 10.025) < 0.5)
+    // k > points: clamps, never throws
+    assert(LloydKernel.fit(blobA.take(3), k = 16, maxIter = 4).length === 3)
+    assert(LloydKernel.fit(Array.empty, k = 4, maxIter = 4).isEmpty)
+    // determinism: same input → same centroids
+    val again = LloydKernel.fit(blobA ++ blobB, 2, 10)
+    assert(LloydKernel.fit(blobA ++ blobB, 2, 10).map(_.toSeq).toSeq
+      === again.map(_.toSeq).toSeq)
+  }
   import spark.implicits._
 
   test("cosine of known vectors") {
