@@ -116,6 +116,14 @@ object Dedup {
     val base = df.select(
       (col(idCol).as("id") +: blockCols.map(col)) :+
         expr(s"graft_shingle_hashes(`$textCol`, $shingleN)").as("sh"): _*)
+    // The exploded set is consumed by four subtrees (df counts, both
+    // self-join sides, hot-set collection), each recomputing the
+    // scan+hash — deliberately: a shared explicit exchange was measured
+    // (round 3) and did NOT help — ReuseExchange cannot fire because the
+    // consumers sit under different parents (one inside a
+    // BroadcastExchange), so the extra full-set shuffle just added IO.
+    // Recompute-per-consumer is map-parallel and cheap relative to the
+    // joins it feeds.
     val ex = base.select(
       (col("id") +: blockCols.map(col)) ++
         Seq(size(col("sh")).as("sz"), explode(col("sh")).as("g")): _*)
