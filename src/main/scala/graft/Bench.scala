@@ -20,6 +20,44 @@ object Bench {
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Force full evaluation by consuming the executed plan's RDD, then
+    * read the plan's shuffle-write metric accumulators — per-query
+    * shuffle volume is the number the 100 TB posture hangs on, so the
+    * bench reports it next to wall time. (The noop sink evaluates just
+    * as fully but hides its QueryExecution, so the metrics would be
+    * unreachable.) */
+  private def forceAndMeasureShuffle(df: DataFrame): Long = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val qe = df.queryExecution
+    qe.executedPlan.execute().foreachPartition(
+      (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) =>
+        it.foreach(_ => ()))
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    def sumShuffle(p: SparkPlan): Long = {
+      // ReusedExchangeExec points back at an exchange that is also
+      // reachable through its original parent — count each node once
+      if (!seen.add(p)) return 0L
+      val own = p.metrics.collect {
+        case (k, m) if k == "shuffleBytesWritten"
+          || m.name.exists(_.contains("shuffle bytes written")) => m.value
+      }.sum
+      // AQE wraps materialized stages in QueryStageExec whose
+      // `children` is EMPTY — descend through the wrapped plan, or the
+      // walk sees no exchange at all
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          Seq(r.child)
+        case other => other.children
+      }
+      own + kids.map(sumShuffle).sum
+    }
+    sumShuffle(qe.executedPlan)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir =
@@ -42,9 +80,11 @@ object Bench {
     // two timed passes, per-query minimum: the driver measures n=1, and
     // single-run numbers at this scale carry ±15% JIT/GC/OS noise — the
     // min of two runs is the steady-state figure the plan actually earns
+    val shuffleBytes = scala.collection.mutable.Map[String, Long]()
     def timedPass(): Map[String, Double] = names.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try force(fn(spark, sfDir)) catch { case _: Throwable => () }
+      try shuffleBytes(name) = forceAndMeasureShuffle(fn(spark, sfDir))
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val p1 = timedPass()
@@ -52,9 +92,12 @@ object Bench {
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val sh = results.keys.map { k =>
+      s"\"" + k + "\":" + (shuffleBytes.getOrElse(k, 0L) / 1048576.0)
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"sf":"$sfDir"}"""
     try Files.write(Paths.get("/tmp/graft_bench.json"),
       (json + "\n").getBytes(StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
