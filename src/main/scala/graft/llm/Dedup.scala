@@ -223,6 +223,56 @@ object Dedup {
       .drop("_rn")
   }
 
+  /** Connected components over a near-duplicate PAIR list — the step
+    * every dedup pipeline needs between candidate pairs and "keep one
+    * per group": transitively-connected docs form one cluster labeled
+    * by its minimum id. Output: (doc_id, cluster_id) for every id
+    * appearing in `pairs`.
+    *
+    * Min-label propagation: every node starts labeled with itself;
+    * each round pushes labels across edges and keeps the per-node min.
+    * Labels only decrease, so `sum(label)` is strictly monotone and a
+    * stable sum IS convergence — the early-exit check is one cheap agg
+    * per round, no full-table diff. Rounds needed = graph diameter;
+    * near-dup clusters are dense and shallow (diameter a handful), so
+    * `maxIter` default 20 is generous — the loop raises if the graph
+    * hasn't converged by then rather than returning wrong labels.
+    * Each round is one shuffle of (edge, label); `localCheckpoint`
+    * every `checkpointEvery` rounds breaks the growing lineage that
+    * would otherwise re-execute the whole chain per action at scale. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxIter: Int = 20,
+      checkpointEvery: Int = 5): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var prevSum = Long.MaxValue
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val msgs = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      labels = labels.select(col("id"), col("label"))
+        .union(msgs)
+        .groupBy("id").agg(min(col("label")).as("label"))
+      if ((iter + 1) % checkpointEvery == 0)
+        labels = labels.localCheckpoint()
+      // null-safe: an empty pair set sums to null → 0 (converges in 2)
+      val row = labels.agg(sum(col("label"))).collect()(0)
+      val s = if (row.isNullAt(0)) 0L else row.getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: not converged after $maxIter rounds — " +
+          "graph diameter exceeds maxIter; raise it explicitly")
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Candidate near-duplicate pairs via MinHash + LSH banding.
     * Signature length = bands × rowsPerBand. Output: (id_a, id_b,
     * est_jaccard) with id_a < id_b, est_jaccard = signature agreement

@@ -158,6 +158,16 @@ object R3Queries {
       TrainingOps.sampleByDomain(T.documents(s, d), "doc_id", "source",
           rates = Map("src0" -> 0.5, "src1" -> 0.0, "src2" -> 1.0))
         .select("doc_id", "source")
+        .orderBy("doc_id")),
+
+    // [EXT] dedup clusters: near-dup pairs (same shape as q30) grouped
+    // into transitive components via min-label propagation — the step
+    // between candidate pairs and keep-one-per-cluster. Oracle is a
+    // recursive-CTE closure over the same pair list.
+    "q69_dedup_clusters" -> ((s, d) =>
+      Dedup.connectedComponents(
+          Dedup.jaccardPairs(T.documents(s, d), "doc_id", "text",
+            blockCols = Seq("lang"), shingleN = 3, threshold = 0.03))
         .orderBy("doc_id"))
   )
 
@@ -255,6 +265,26 @@ object R3Queries {
         |  count(*) AS n_terms
         |FROM d, n GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q69_dedup_clusters" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, lang,
+        |         list_distinct(list_transform(
+        |           generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 1)),
+        |           i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' '))) AS sh
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.03),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |      UNION SELECT doc_b, doc_a FROM p),
+        |reach AS (
+        |  SELECT src AS id, src AS lbl FROM e
+        |  UNION
+        |  SELECT e.dst, reach.lbl FROM reach JOIN e ON e.src = reach.id)
+        |SELECT id AS doc_id, min(lbl) AS cluster_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "q67_chunking" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
