@@ -160,6 +160,53 @@ object R3Queries {
         .select("doc_id", "source")
         .orderBy("doc_id")),
 
+    // §2.7 unpivot (wide → long): the inverse of q61's pivot, via the
+    // native Dataset.unpivot (an Expand node — one pass, no join).
+    "q71_unpivot" -> ((s, d) => {
+      val wide = T.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("O"), lit(0L)).as("n_open"),
+          coalesce(col("F"), lit(0L)).as("n_filled"),
+          coalesce(col("P"), lit(0L)).as("n_pending"))
+      wide.unpivot(
+          Array(col("o_orderpriority")),
+          Array(col("n_open"), col("n_filled"), col("n_pending")),
+          "status", "cnt")
+        .orderBy("o_orderpriority", "status")
+    }),
+
+    // [EXT] time-series gap-fill: dense (type × hour) grid from the
+    // observed span, 0-filled counts, forward-filled sums — the
+    // resample step between raw events and charts/features. Grid =
+    // distinct types × explode(sequence(lo, hi)): generated, never a
+    // driver loop; the span is a broadcast 1-row agg. Leading nulls
+    // (before a type's first observation) stay null by design.
+    "q70_gap_fill" -> ((s, d) => {
+      val ev = T.events(s, d)
+      val base = ev.select(col("event_type"),
+        (Tables.tsMillis(ev, "ts") / lit(3600000L)).cast(LongType).as("hour_id"),
+        col("value"))
+      val hourly = base.groupBy("event_type", "hour_id")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(18, 2))
+            .cast(DoubleType).as("sv"))
+      val span = base.agg(min(col("hour_id")).as("lo"), max(col("hour_id")).as("hi"))
+      val grid = base.select("event_type").distinct()
+        .crossJoin(broadcast(span))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"))).as("hour_id"))
+      val w = Window.partitionBy("event_type").orderBy("hour_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("event_type", "hour_id"), "left")
+        .select(col("event_type"), col("hour_id"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          last(col("sv"), ignoreNulls = true).over(w).as("sv_ffill"))
+        .orderBy("event_type", "hour_id")
+    }),
+
     // [EXT] dedup clusters: near-dup pairs (same shape as q30) grouped
     // into transitive components via min-label propagation — the step
     // between candidate pairs and keep-one-per-cluster. Oracle is a
@@ -265,6 +312,40 @@ object R3Queries {
         |  count(*) AS n_terms
         |FROM d, n GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q71_unpivot" ->
+      """WITH w AS (
+        |  SELECT o_orderpriority,
+        |    count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+        |    count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+        |    count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, status, cnt FROM (
+        |  SELECT o_orderpriority, 'n_open' AS status, n_open AS cnt FROM w
+        |  UNION ALL
+        |  SELECT o_orderpriority, 'n_filled', n_filled FROM w
+        |  UNION ALL
+        |  SELECT o_orderpriority, 'n_pending', n_pending FROM w)
+        |ORDER BY o_orderpriority, status""".stripMargin,
+    "q70_gap_fill" ->
+      """WITH base AS (
+        |  SELECT event_type, epoch_ms(ts) // 3600000 AS hour_id, value
+        |  FROM events),
+        |h AS (SELECT event_type, hour_id, count(*) AS n,
+        |        CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |          AS DOUBLE) AS sv
+        |      FROM base GROUP BY 1, 2),
+        |span AS (SELECT min(hour_id) AS lo, max(hour_id) AS hi FROM base),
+        |grid AS (SELECT t.event_type, g.hour_id
+        |         FROM (SELECT DISTINCT event_type FROM base) t
+        |         CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS hour_id
+        |                     FROM span) g)
+        |SELECT grid.event_type, grid.hour_id,
+        |  coalesce(h.n, 0) AS n,
+        |  last_value(h.sv IGNORE NULLS) OVER (
+        |    PARTITION BY grid.event_type ORDER BY grid.hour_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sv_ffill
+        |FROM grid LEFT JOIN h USING (event_type, hour_id)
+        |ORDER BY event_type, hour_id""".stripMargin,
     "q69_dedup_clusters" ->
       """WITH RECURSIVE t AS (
         |  SELECT doc_id, lang,
