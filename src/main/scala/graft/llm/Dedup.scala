@@ -229,14 +229,17 @@ object Dedup {
     * by its minimum id. Output: (doc_id, cluster_id) for every id
     * appearing in `pairs`.
     *
-    * Min-label propagation: every node starts labeled with itself;
-    * each round pushes labels across edges and keeps the per-node min.
-    * Labels only decrease, so `sum(label)` is strictly monotone and a
-    * stable sum IS convergence — the early-exit check is one cheap agg
-    * per round, no full-table diff. Rounds needed = graph diameter;
-    * near-dup clusters are dense and shallow (diameter a handful), so
-    * `maxIter` default 20 is generous — the loop raises if the graph
-    * hasn't converged by then rather than returning wrong labels.
+    * Min-label propagation with path-halving: every node starts
+    * labeled with itself; each round pushes labels across edges, keeps
+    * the per-node min, then shortcuts label → label-of-label (the
+    * pointer-jumping step), so convergence needs O(log diameter)
+    * rounds, not O(diameter) — the property that matters when a
+    * pathological near-dup CHAIN (each doc similar only to its
+    * neighbors) makes the diameter linear in cluster size. Labels only
+    * decrease, so `sum(label)` is strictly monotone and a stable sum
+    * IS convergence — the early-exit check is one cheap agg per round,
+    * no full-table diff. The loop raises if the graph hasn't converged
+    * by `maxIter` rather than returning wrong labels.
     * Each round is one shuffle of (edge, label), materialized by a
     * `localCheckpoint` BEFORE the convergence agg: each round's labels
     * feed two consumers (the sum and the next join), so an
@@ -263,9 +266,22 @@ object Dedup {
     while (iter < maxIter && !converged) {
       val msgs = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
-      labels = labels.select(col("id"), col("label"))
+      val propagated = labels.select(col("id"), col("label"))
         .union(msgs)
         .groupBy("id").agg(min(col("label")).as("label"))
+      // path-halving: follow one more hop through the label table —
+      // label(id) := min(label(id), label(label(id))). The label table
+      // is only the docs appearing in pairs, so this self-join is cheap
+      // relative to the halved round count it buys. The hop side is
+      // renamed via a projection: alias-only self-joins of the same
+      // plan hit ambiguous-attribute resolution.
+      val hop = propagated.select(col("id").as("_hop_id"),
+        col("label").as("_hop_label"))
+      labels = propagated
+        .join(hop, col("label") === col("_hop_id"), "left")
+        .select(col("id"),
+          least(col("label"),
+            coalesce(col("_hop_label"), col("label"))).as("label"))
       if ((iter + 1) % checkpointEvery == 0)
         labels = labels.localCheckpoint() // before the sum: see Scaladoc
       // null-safe: an empty pair set sums to null → 0 (converges in 2)
