@@ -160,6 +160,19 @@ object R3Queries {
         .select("doc_id", "source")
         .orderBy("doc_id")),
 
+    // §2.7 CUBE: all grouping-set combinations (q46 covers ROLLUP).
+    // Subtotal NULLs → 'ALL' sentinels: Spark sorts NULLS FIRST,
+    // DuckDB NULLS LAST, so raw grouping nulls can't hash-match.
+    "q72_cube" -> ((s, d) =>
+      T.orders(s, d)
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n"))
+        .orderBy("priority", "status")),
+
     // §2.7 unpivot (wide → long): the inverse of q61's pivot, via the
     // native Dataset.unpivot (an Expand node — one pass, no join).
     "q71_unpivot" -> ((s, d) => {
@@ -312,6 +325,12 @@ object R3Queries {
         |  count(*) AS n_terms
         |FROM d, n GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q72_cube" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+        |       coalesce(o_orderstatus, 'ALL') AS status,
+        |       count(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        |ORDER BY priority, status""".stripMargin,
     "q71_unpivot" ->
       """WITH w AS (
         |  SELECT o_orderpriority,
