@@ -77,7 +77,14 @@ object ScaleSmoke {
         Dedup.normalizedKeepBest(docs, "id", "text", length(col("text")))),
       timed("keyword_search",
         graft.llm.Search.keywordSearch(docs, "id", "text",
-          terms = Seq("w17", "w4242", "w999"), k = 100)))
+          terms = Seq("w17", "w4242", "w999"), k = 100)),
+      // clustering over the planted near-dup pairs: every 10th doc pairs
+      // with its predecessor ⇒ ~n/10 components of size 2 (diameter 1,
+      // so the round count exercises the convergence machinery, not
+      // deep propagation — deep chains are DedupSpec's job)
+      timed("dedup_clusters", Dedup.connectedComponents(
+        docs.filter(col("id") % 10 === 0)
+          .select(col("id").as("doc_a"), (col("id") - 1).as("doc_b")))))
 
     docs.unpersist()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
