@@ -245,10 +245,21 @@ object Dedup {
     * feed two consumers (the sum and the next join), so an
     * unmaterialized round would be recomputed twice — compounding to
     * 2^k chains between sparser checkpoints (measured: 16 s instead of
-    * ~2 s at bench scale with checkpoints every 5 rounds). */
+    * ~2 s at bench scale with checkpoints every 5 rounds).
+    *
+    * Adaptive execution tier: the edge list is the OUTPUT of pair
+    * generation — orders of magnitude smaller than the corpus — so
+    * when it fits comfortably on the driver (≤ `localEdgeThreshold`
+    * edges, checked against the materialized count), labels come from
+    * an exact in-process union-find: microseconds instead of one
+    * Spark job per round. Same min-label semantics, same output. Past
+    * the threshold the distributed loop runs — the 100 TB path. This
+    * is the broadcast-join trade: bounded driver work where the data
+    * provably fits, distributed where it doesn't. */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxIter: Int = 20,
-      checkpointEvery: Int = 1): DataFrame = {
+      checkpointEvery: Int = 1,
+      localEdgeThreshold: Long = 2000000L): DataFrame = {
     // Materialize the edge list ONCE: the iteration below runs an
     // action per round (the convergence agg), and without this every
     // round would re-execute the whole upstream pair-generation plan —
@@ -258,6 +269,8 @@ object Dedup {
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .localCheckpoint()
+    if (edges.count() <= localEdgeThreshold)
+      return componentsLocal(edges)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
     var prevSum = Long.MaxValue
@@ -296,6 +309,33 @@ object Dedup {
         s"connectedComponents: not converged after $maxIter rounds — " +
           "graph diameter exceeds maxIter; raise it explicitly")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Exact union-find on a driver-collected edge list (the small-graph
+    * tier of [[connectedComponents]]). Union by min root preserves the
+    * min-label semantics exactly. */
+  private def componentsLocal(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // union by MIN root = min-label semantics
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    parent.keys.toSeq.map(id => (id, find(id)))
+      .toDF("doc_id", "cluster_id")
   }
 
   /** Candidate near-duplicate pairs via MinHash + LSH banding.

@@ -224,18 +224,26 @@ class DedupSpec extends SparkSuite {
     // chain 1-2-3, triangle 10-11-12 (+ redundant edge), isolated pair 20-21
     val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L), (11L, 12L), (10L, 12L),
       (21L, 20L)).toDF("doc_a", "doc_b")
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    // local union-find tier (default threshold)
     val got = Dedup.connectedComponents(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    assert(got === want)
+    // distributed tier (threshold 0 forces the label-propagation loop)
+    // must agree exactly
+    val gotDist = Dedup.connectedComponents(pairs, localEdgeThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDist === want)
     // a long path exercises multi-round propagation + the checkpoint arm
     val path = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val labels = Dedup.connectedComponents(path, maxIter = 15, checkpointEvery = 3)
+    val labels = Dedup.connectedComponents(path, maxIter = 15,
+        checkpointEvery = 3, localEdgeThreshold = 0L)
       .collect().map(_.getLong(1)).distinct
     assert(labels.toSeq === Seq(1L))
     // diameter beyond maxIter raises instead of returning wrong labels
     val e = intercept[IllegalStateException] {
-      Dedup.connectedComponents(path, maxIter = 3)
+      Dedup.connectedComponents(path, maxIter = 2, localEdgeThreshold = 0L)
     }
     assert(e.getMessage.contains("not converged"))
     assert(Dedup.connectedComponents(
