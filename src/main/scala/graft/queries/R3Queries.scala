@@ -160,6 +160,20 @@ object R3Queries {
         .select("doc_id", "source")
         .orderBy("doc_id")),
 
+    // [EXT] edit-distance fuzzy matching: levenshtein between each
+    // part's name and its key-successor's — a 1:1 shifted-key equi
+    // join, linear (never the all-pairs fuzzy join, which needs the
+    // q30-style blocking machinery instead).
+    "q73_edit_distance" -> ((s, d) => {
+      val a = T.part(s, d).select(col("p_partkey"), col("p_name"))
+      val b = T.part(s, d).select(
+        (col("p_partkey") - 1).as("p_partkey"), col("p_name").as("next_name"))
+      a.join(b, Seq("p_partkey"))
+        .select(col("p_partkey"),
+          levenshtein(col("p_name"), col("next_name")).as("dist"))
+        .orderBy("p_partkey")
+    }),
+
     // §2.7 CUBE: all grouping-set combinations (q46 covers ROLLUP).
     // Subtotal NULLs → 'ALL' sentinels: Spark sorts NULLS FIRST,
     // DuckDB NULLS LAST, so raw grouping nulls can't hash-match.
@@ -325,6 +339,11 @@ object R3Queries {
         |  count(*) AS n_terms
         |FROM d, n GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q73_edit_distance" ->
+      """SELECT a.p_partkey,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+        |ORDER BY a.p_partkey""".stripMargin,
     "q72_cube" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
         |       coalesce(o_orderstatus, 'ALL') AS status,
