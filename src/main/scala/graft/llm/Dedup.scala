@@ -235,11 +235,13 @@ object Dedup {
     * pointer-jumping step), so convergence needs O(log diameter)
     * rounds, not O(diameter) — the property that matters when a
     * pathological near-dup CHAIN (each doc similar only to its
-    * neighbors) makes the diameter linear in cluster size. Labels only
-    * decrease, so `sum(label)` is strictly monotone and a stable sum
-    * IS convergence — the early-exit check is one cheap agg per round,
-    * no full-table diff. The loop raises if the graph hasn't converged
-    * by `maxIter` rather than returning wrong labels.
+    * neighbors) makes the diameter linear in cluster size. Convergence
+    * = no label changed this round, detected by probing the new vs
+    * previous label tables for ONE differing row (`limit 1`) — both
+    * sides are materialized checkpoints of node-count size, and the
+    * check is type-agnostic (a numeric-sum trick would break on
+    * string ids). The loop raises if the graph hasn't converged by
+    * `maxIter` rather than returning wrong labels.
     * Each round is one shuffle of (edge, label), materialized by a
     * `localCheckpoint` BEFORE the convergence agg: each round's labels
     * feed two consumers (the sum and the next join), so an
@@ -273,10 +275,11 @@ object Dedup {
       return componentsLocal(edges)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-    var prevSum = Long.MaxValue
+      .localCheckpoint()
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
+      val prev = labels
       val msgs = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
       val propagated = labels.select(col("id"), col("label"))
@@ -296,12 +299,11 @@ object Dedup {
           least(col("label"),
             coalesce(col("_hop_label"), col("label"))).as("label"))
       if ((iter + 1) % checkpointEvery == 0)
-        labels = labels.localCheckpoint() // before the sum: see Scaladoc
-      // null-safe: an empty pair set sums to null → 0 (converges in 2)
-      val row = labels.agg(sum(col("label"))).collect()(0)
-      val s = if (row.isNullAt(0)) 0L else row.getLong(0)
-      converged = s == prevSum
-      prevSum = s
+        labels = labels.localCheckpoint() // before the probe: see Scaladoc
+      converged = labels
+        .join(prev.withColumnRenamed("label", "_prev"), Seq("id"))
+        .filter(col("label") =!= col("_prev"))
+        .limit(1).isEmpty
       iter += 1
     }
     if (!converged)
@@ -313,14 +315,19 @@ object Dedup {
 
   /** Exact union-find on a driver-collected edge list (the small-graph
     * tier of [[connectedComponents]]). Union by min root preserves the
-    * min-label semantics exactly. */
+    * min-label semantics exactly. TYPE-PRESERVING: ids stay whatever
+    * type the pair columns carry (long, int, string, ...), compared via
+    * their natural `Comparable` order — the same order the distributed
+    * tier's `min(label)` uses — so both tiers return identical schemas
+    * and values regardless of which one ran. */
   private def componentsLocal(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
-    import spark.implicits._
-    val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .as[(Long, Long)].collect()
-    val parent = scala.collection.mutable.Map[Long, Long]()
-    def find(x: Long): Long = {
+    val idType = edges.schema("src").dataType
+    val es = edges.collect().map(r => (r.get(0), r.get(1)))
+    def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    val parent = scala.collection.mutable.Map[Any, Any]()
+    def find(x: Any): Any = {
       var r = x
       while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
       var c = x // path compression
@@ -331,11 +338,15 @@ object Dedup {
       parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) { // union by MIN root = min-label semantics
-        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
       }
     }
-    parent.keys.toSeq.map(id => (id, find(id)))
-      .toDF("doc_id", "cluster_id")
+    val rows = parent.keys.toSeq.map(id => org.apache.spark.sql.Row(id, find(id)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", idType),
+        org.apache.spark.sql.types.StructField("cluster_id", idType))))
   }
 
   /** Candidate near-duplicate pairs via MinHash + LSH banding.

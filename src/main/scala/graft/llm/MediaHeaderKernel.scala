@@ -86,8 +86,12 @@ object MediaHeaderKernel {
           channels = u16le(b, off + 10),
           sampleRate = dim(u32le(b, off + 12)),
           bitsPerSample = if (off + 24 <= b.length) u16le(b, off + 22) else -1)
-      off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
-      if (sz <= 0) return Header("wav")
+      // bound-check the UNSIGNED size as a Long BEFORE advancing: a
+      // crafted size like 0xFFFFFFF8 truncates to a negative Int whose
+      // word-aligned advance is ZERO — an infinite loop, which the
+      // try/catch cannot trap (one corrupt file must not wedge a task)
+      if (sz <= 0 || off + 8 + sz + (sz & 1) > b.length) return Header("wav")
+      off += 8 + sz.toInt + (sz.toInt & 1)
     }
     Header("wav")
   }

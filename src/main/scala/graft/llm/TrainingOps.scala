@@ -64,7 +64,11 @@ object TrainingOps {
     val rate = rates.foldLeft(lit(1.0)) { case (acc, (src, r)) =>
       when(col(sourceCol) === src, lit(r)).otherwise(acc)
     }
-    df.filter(bucket < (rate * 10000).cast(LongType))
+    // round, don't truncate: 0.3 * 10000 is 2999.999... in IEEE double,
+    // and a truncating cast would keep one bucket fewer than every
+    // engine that rounds on cast (DuckDB does) — breaking the
+    // cross-engine stability this helper exists for
+    df.filter(bucket < round(rate * 10000).cast(LongType))
   }
 
   /** Deterministic split assignment: `split` column ∈ `fractions` keys,

@@ -23,6 +23,19 @@ import graft.llm.{Dedup, Search, Sketches, TrainingOps, TextAnalysis => TA}
 object R3Queries {
   private val T = Tables
 
+  /** Order counts by priority × status, wide form — shared by q61
+    * (pivot) and q71 (unpivot) so the value list and column renames
+    * cannot desynchronize between the pair. */
+  private def orderStatusWide(s: SparkSession, d: String): DataFrame =
+    T.orders(s, d)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("O"), lit(0L)).as("n_open"),
+        coalesce(col("F"), lit(0L)).as("n_filled"),
+        coalesce(col("P"), lit(0L)).as("n_pending"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // [EXT] Gopher repetition rules, map-only: the most-frequent-token
     // fraction comes from a sorted-array run fold, not an explode —
@@ -53,15 +66,7 @@ object R3Queries {
     // §2.7 pivot: order counts by priority × status, explicit value
     // list (no extra distinct-values pass over the data).
     "q61_pivot" -> ((s, d) =>
-      T.orders(s, d)
-        .groupBy("o_orderpriority")
-        .pivot("o_orderstatus", Seq("O", "F", "P"))
-        .agg(count(lit(1)))
-        .select(col("o_orderpriority"),
-          coalesce(col("O"), lit(0L)).as("n_open"),
-          coalesce(col("F"), lit(0L)).as("n_filled"),
-          coalesce(col("P"), lit(0L)).as("n_pending"))
-        .orderBy("o_orderpriority")),
+      orderStatusWide(s, d).orderBy("o_orderpriority")),
 
     // §2.7 semi/anti join: customers with vs without orders per
     // segment. Both probes share one build side; the counts-only
@@ -189,21 +194,12 @@ object R3Queries {
 
     // §2.7 unpivot (wide → long): the inverse of q61's pivot, via the
     // native Dataset.unpivot (an Expand node — one pass, no join).
-    "q71_unpivot" -> ((s, d) => {
-      val wide = T.orders(s, d)
-        .groupBy("o_orderpriority")
-        .pivot("o_orderstatus", Seq("O", "F", "P"))
-        .agg(count(lit(1)))
-        .select(col("o_orderpriority"),
-          coalesce(col("O"), lit(0L)).as("n_open"),
-          coalesce(col("F"), lit(0L)).as("n_filled"),
-          coalesce(col("P"), lit(0L)).as("n_pending"))
-      wide.unpivot(
+    "q71_unpivot" -> ((s, d) =>
+      orderStatusWide(s, d).unpivot(
           Array(col("o_orderpriority")),
           Array(col("n_open"), col("n_filled"), col("n_pending")),
           "status", "cnt")
-        .orderBy("o_orderpriority", "status")
-    }),
+        .orderBy("o_orderpriority", "status")),
 
     // [EXT] time-series gap-fill: dense (type × hour) grid from the
     // observed span, 0-filled counts, forward-filled sums — the
@@ -426,8 +422,8 @@ object R3Queries {
       """SELECT doc_id, source FROM documents
         |WHERE (('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || ':graft'), 1, 15))::BIGINT
         |       % 10000)
-        |  < CAST((CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.0
-        |          WHEN 'src2' THEN 1.0 ELSE 1.0 END) * 10000 AS BIGINT)
+        |  < CAST(round((CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.0
+        |          WHEN 'src2' THEN 1.0 ELSE 1.0 END) * 10000) AS BIGINT)
         |ORDER BY doc_id""".stripMargin,
     "q65_percentile_rank" ->
       """WITH t AS (

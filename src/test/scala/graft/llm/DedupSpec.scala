@@ -248,6 +248,17 @@ class DedupSpec extends SparkSuite {
     assert(e.getMessage.contains("not converged"))
     assert(Dedup.connectedComponents(
       Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() === 0L)
+    // non-numeric ids: both tiers must preserve the id type and agree
+    // (URL/hash document ids are the common real-world case)
+    val sPairs = Seq(("u/b", "u/a"), ("u/b", "u/c"), ("u/x", "u/y"))
+      .toDF("doc_a", "doc_b")
+    val sWant = Map("u/a" -> "u/a", "u/b" -> "u/a", "u/c" -> "u/a",
+      "u/x" -> "u/x", "u/y" -> "u/x")
+    val sLocal = Dedup.connectedComponents(sPairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val sDist = Dedup.connectedComponents(sPairs, localEdgeThreshold = 0L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sLocal === sWant && sDist === sWant)
   }
 
   test("normalizedKeepBest: case/whitespace-insensitive, keeps best quality") {

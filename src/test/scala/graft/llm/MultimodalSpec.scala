@@ -108,6 +108,11 @@ class MultimodalSpec extends SparkSuite {
     val hj = parse(jpg)
     assert((hj.format, hj.width, hj.height, hj.channels) === (("jpeg", 1024, 768, 3)))
 
+    // crafted chunk size 0xFFFFFFF8 truncates to a NEGATIVE Int whose
+    // word-aligned advance is zero — must terminate, not spin forever
+    val evilWav = "RIFF".getBytes ++ bytes(0xff, 0, 0, 0) ++ "WAVE".getBytes ++
+      "JUNK".getBytes ++ bytes(0xf8, 0xff, 0xff, 0xff) ++ new Array[Byte](16)
+    assert(parse(evilWav).format === "wav")
     // corrupt/truncated/unknown payloads never throw
     assert(parse(null).format === "unknown")
     assert(parse(bytes(1, 2, 3)).format === "unknown")

@@ -103,5 +103,22 @@ class TrainingOpsSpec extends SparkSuite {
       Map("src0" -> 0.0, "src1" -> 1.0, "src2" -> 0.5))
     assert(again.select("id").collect().map(_.getLong(0)).sorted.toSeq
       === kept.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+    // non-dyadic rate: 0.3 * 10000 = 2999.999... in IEEE double — the
+    // threshold must ROUND to 3000 (a truncating cast keeps one bucket
+    // fewer than engines that round on cast, silently desyncing them).
+    // Deterministic: compute the salted bucket in-process and PLANT an
+    // id that lands exactly on bucket 2999 — the bucket a truncating
+    // implementation drops.
+    def bucketOf(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(s"$id:graft".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 10000
+    }
+    val edgeId = (1L to 100000L).find(bucketOf(_) == 2999L).get
+    val planted = Seq((edgeId, "src0")).toDF("id", "source")
+    val keptEdge = TrainingOps.sampleByDomain(planted, "id", "source",
+      Map("src0" -> 0.3)).count()
+    assert(keptEdge === 1L, s"bucket-2999 id $edgeId must survive rate 0.3")
   }
 }
