@@ -165,6 +165,31 @@ object R3Queries {
         .select("doc_id", "source")
         .orderBy("doc_id")),
 
+    // [EXT] funnel analysis: users converting signup → purchase within
+    // one hour, counted per signup day. An equi join on user with the
+    // time window as a residual predicate — per-user event counts
+    // bound the join fan-out, so no range-bucketing machinery is
+    // needed (genuinely wide windows route through relational
+    // .rangeJoin instead).
+    "q74_funnel" -> ((s, d) => {
+      val ev = T.events(s, d)
+      val ms = Tables.tsMillis(ev, "ts")
+      val base = ev.select(col("user_id"), col("event_type"), ms.as("ms"))
+      val su = base.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ms").as("s_ms"))
+      val pu = base.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ms").as("p_ms"))
+      su.join(pu, Seq("user_id"))
+        .filter(col("p_ms") > col("s_ms") &&
+          col("p_ms") <= col("s_ms") + lit(3600000L))
+        .select(
+          date_format(timestamp_millis(col("s_ms")), "yyyy-MM-dd").as("day"),
+          col("user_id"))
+        .groupBy("day")
+        .agg(countDistinct(col("user_id")).as("n_converted"))
+        .orderBy("day")
+    }),
+
     // [EXT] edit-distance fuzzy matching: levenshtein between each
     // part's name and its key-successor's — a 1:1 shifted-key equi
     // join, linear (never the all-pairs fuzzy join, which needs the
@@ -335,6 +360,16 @@ object R3Queries {
         |  count(*) AS n_terms
         |FROM d, n GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q74_funnel" ->
+      """WITH s AS (SELECT user_id, epoch_ms(ts) AS s_ms FROM events
+        |           WHERE event_type = 'signup'),
+        |p AS (SELECT user_id, epoch_ms(ts) AS p_ms FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT strftime(make_timestamp(s_ms * 1000), '%Y-%m-%d') AS day,
+        |       count(DISTINCT s.user_id) AS n_converted
+        |FROM s JOIN p ON s.user_id = p.user_id
+        |WHERE p_ms > s_ms AND p_ms <= s_ms + 3600000
+        |GROUP BY 1 ORDER BY day""".stripMargin,
     "q73_edit_distance" ->
       """SELECT a.p_partkey,
         |       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
