@@ -147,4 +147,22 @@ class PlanQualitySpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(1200))
     assert(p.contains("BroadcastExchange"), p.take(1200))
   }
+
+  test("q67: chunking is map-only — no hash exchange") {
+    val p = plan("q67_chunking")
+    assert(!p.contains("hashpartitioning"), p.take(1200))
+  }
+
+  test("q70: gap-fill grid is generated, span broadcast, no nested loop") {
+    val p = plan("q70_gap_fill")
+    assert(p.contains("Generate"), p.take(1200)) // explode(sequence)
+    assert(p.contains("BroadcastExchange"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q74: funnel joins on user equi-key, never nested loop") {
+    val p = plan("q74_funnel")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1200))
+  }
 }
