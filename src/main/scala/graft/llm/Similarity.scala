@@ -155,6 +155,68 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** Portable hyperplane components: plane (band b, bit j, dim i) is
+    * ±1 from the parity of the first byte of SHA-256("b:j:i") — the
+    * same engine-independent derivation trick as the MinHash/SimHash
+    * SHA tiers, so any engine reproduces the exact planes (seeded-RNG
+    * planes are engine-local). ±1 components also make the projection
+    * arithmetically exact: each term is a sign flip of the input
+    * double, so the only rounding is the sequential sum, identical in
+    * any engine that sums left-to-right. */
+  def shaPlanes(bands: Int, bits: Int, dim: Int): Array[Array[Array[Double]]] = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    Array.tabulate(bands, bits, dim) { (b, j, i) =>
+      md.reset()
+      val h = md.digest(s"$b:$j:$i".getBytes("UTF-8"))
+      if ((h(0) & 1) == 0) 1.0 else -1.0
+    }
+  }
+
+  /** [[topKLsh]] with SHA-derived planes instead of seeded-RNG ones —
+    * the ORACLE-CHECKABLE tier (q75): DuckDB rebuilds the identical
+    * planes, buckets, candidate set, and ranking. Same plan shape as
+    * the native tier: map-only signatures (bands×bits dot products per
+    * row against ±1 literal planes), key-only bucket join, exact
+    * cosine ranking of distinct candidates. */
+  def topKLshSha(queries: DataFrame, corpus: DataFrame, qId: String,
+      cId: String, vecCol: String, k: Int = 5, bands: Int = 4,
+      bitsPerBand: Int = 8, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.expressions.NativeFunctions.register(corpus.sparkSession)
+    val planes = shaPlanes(bands, bitsPerBand, dim)
+    def banded(df: DataFrame, id: String, outId: String): DataFrame = {
+      val buckets = (0 until bands).map { b =>
+        (0 until bitsPerBand).map { j =>
+          when(call_function("graft_dot", col("v"),
+            typedlit(planes(b)(j).toSeq)) >= 0, lit(1 << j)).otherwise(lit(0))
+        }.reduce(_ + _).cast(IntegerType).as(s"b$b")
+      }
+      df.select(col(id).as(outId), asDouble(col(vecCol)).as("v"))
+        .select((col(outId) +: buckets): _*)
+        .select(col(outId),
+          posexplode(array((0 until bands).map(b => col(s"b$b")): _*))
+            .as(Seq("band", "bucket")))
+    }
+    val q = banded(queries, qId, "query_id")
+    val c = banded(corpus, cId, "neighbor_id")
+    val candidates = c.join(broadcast(q), Seq("band", "bucket"))
+      .select("query_id", "neighbor_id").distinct()
+    val qVec = queries.select(col(qId).as("query_id"),
+      asDouble(col(vecCol)).as("qv"), norm(asDouble(col(vecCol))).as("qn"))
+    val cVec = corpus.select(col(cId).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"), norm(asDouble(col(vecCol))).as("cn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    candidates
+      .join(broadcast(qVec), Seq("query_id"))
+      .join(cVec, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (expr("graft_dot(qv, cv)") / (col("qn") * col("cn"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   /** Approximate top-k via multi-band hyperplane LSH: `bands`
     * independent signatures of `bitsPerBand` bits; query and corpus
     * join on any matching (band, bucket); candidates are ranked

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
-import graft.llm.{Dedup, Search, Sketches, TrainingOps, TextAnalysis => TA}
+import graft.llm.{Dedup, Search, Similarity, Sketches, TrainingOps, TextAnalysis => TA}
 
 /** q58–q65: round-3 additions.
   *
@@ -164,6 +164,19 @@ object R3Queries {
           rates = Map("src0" -> 0.5, "src1" -> 0.0, "src2" -> 1.0))
         .select("doc_id", "source")
         .orderBy("doc_id")),
+
+    // [EXT] ANN hyperplane-LSH, PORTABLE tier: planes are ±1 from
+    // SHA-256 parity (the MinHash/SimHash SHA-tier trick), so DuckDB
+    // rebuilds the identical buckets, candidate set, and ranking —
+    // the oracle-checkable sibling of q35's seeded-RNG native tier.
+    "q75_ann_lsh_sha" -> ((s, d) => {
+      val emb = T.embeddings(s, d)
+      Similarity.topKLshSha(emb.filter(col("vec_id") < 8), emb,
+          "vec_id", "vec_id", "embedding", k = 5, bands = 4, bitsPerBand = 8)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine_r"))
+        .orderBy("query_id", "rank")
+    }),
 
     // [EXT] funnel analysis: users converting signup → purchase within
     // one hour, counted per signup day. An equi join on user with the
@@ -360,6 +373,48 @@ object R3Queries {
         |  count(*) AS n_terms
         |FROM d, n GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q75_ann_lsh_sha" ->
+      """WITH pl AS (
+        |  SELECT b, j,
+        |    list(CASE WHEN ('0x' || substr(sha256(b || ':' || j || ':' || (i-1)), 1, 2))::INT % 2 = 0
+        |         THEN 1.0 ELSE -1.0 END ORDER BY i) AS h
+        |  FROM (SELECT unnest(generate_series(0, 3)) AS b),
+        |       (SELECT unnest(generate_series(0, 7)) AS j),
+        |       (SELECT unnest(generate_series(1, 64)) AS i)
+        |  GROUP BY b, j),
+        |e AS (SELECT vec_id,
+        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |      FROM embeddings),
+        |sig AS (
+        |  SELECT e.vec_id, pl.b,
+        |    CAST(sum(CASE WHEN list_sum(list_transform(generate_series(1, 64),
+        |           k -> v[k] * h[k])) >= 0 THEN 1 << j ELSE 0 END) AS INT)
+        |      AS bucket
+        |  FROM e, pl GROUP BY e.vec_id, pl.b),
+        |cand AS (
+        |  SELECT DISTINCT qs.vec_id AS query_id, cs.vec_id AS neighbor_id
+        |  FROM sig qs JOIN sig cs ON qs.b = cs.b AND qs.bucket = cs.bucket
+        |  WHERE qs.vec_id < 8),
+        |scored AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      k -> qe.v[k] * ce.v[k]))
+        |      / (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |           k -> qe.v[k] * qe.v[k])))
+        |         * sqrt(list_sum(list_transform(generate_series(1, 64),
+        |             k -> ce.v[k] * ce.v[k])))) AS cosine
+        |  FROM cand c
+        |  JOIN e qe ON qe.vec_id = c.query_id
+        |  JOIN e ce ON ce.vec_id = c.neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+        |       round(cosine, 4) AS cosine_r
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     "q74_funnel" ->
       """WITH s AS (SELECT user_id, epoch_ms(ts) AS s_ms FROM events
         |           WHERE event_type = 'signup'),

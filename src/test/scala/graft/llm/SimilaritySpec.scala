@@ -5,6 +5,25 @@ import graft.SparkSuite
 
 class SimilaritySpec extends SparkSuite {
 
+  test("topKLshSha: self-match ranks first, deterministic planes") {
+    import spark.implicits._
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(64)(j => math.sin(i * 64 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") < 3)
+    val r = Similarity.topKLshSha(q, vecs, "vec_id", "vec_id", "embedding",
+      k = 3).collect()
+    val rank1 = r.filter(_.getAs[Int]("rank") == 1)
+      .map(x => x.getAs[Long]("query_id") -> x.getAs[Long]("neighbor_id"))
+    // the query itself always shares every bucket with itself
+    assert(rank1.toSeq.sorted === Seq(0L -> 0L, 1L -> 1L, 2L -> 2L))
+    assert(r.forall(x => math.abs(x.getAs[Double]("cosine")) <= 1.0 + 1e-12))
+    // derivation is pure: identical output across invocations
+    val again = Similarity.topKLshSha(q, vecs, "vec_id", "vec_id",
+      "embedding", k = 3).collect()
+    assert(r.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("LloydKernel: converges on separated blobs; bounded k; empty-cell safe") {
     val blobA = Array.tabulate(50)(i => Array(0.0 + i * 0.001, 0.0))
     val blobB = Array.tabulate(50)(i => Array(10.0 + i * 0.001, 10.0))
