@@ -128,6 +128,9 @@ class PipelineSpec extends SparkSuite {
         (_, _) => throw new RuntimeException("boom")))
     val p = Pipeline("cb", Seq(st), root)
     p.run(spark, Seq((1L, "x")).toDF("id", "v"), "f5")
+    // hooks are ASYNC by design — await them or the assertion races
+    // the background pool (observed flaky under host IO stalls)
+    p.awaitCommitHooks()
     assert(fired.toSeq === Seq(("f5", p.stageDir("extract", "f5"))))
     // the failing hook did not abort the run; the stage file committed
     assert(spark.read.parquet(p.stageDir("extract", "f5")).count() === 1)
