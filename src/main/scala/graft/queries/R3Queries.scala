@@ -165,6 +165,54 @@ object R3Queries {
         .select("doc_id", "source")
         .orderBy("doc_id")),
 
+    // §2.7 histogram binning: explicit arithmetic bins (portable —
+    // DuckDB 1.0 lacks width_bucket), map-side-combined count.
+    "q76_histogram" -> ((s, d) =>
+      T.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"),
+          least(floor((col("l_quantity").cast(DoubleType) - 1) / 10), lit(4))
+            .cast(IntegerType).as("bin"))
+        .groupBy("flag", "bin").agg(count(lit(1)).as("n"))
+        .orderBy("flag", "bin")),
+
+    // §2.7 lag/lead: per-user deltas between consecutive event values;
+    // the window orders by (time, event_id) — a time-only order is
+    // nondeterministic under same-timestamp events.
+    "q77_lag_delta" -> ((s, d) => {
+      val ev = T.events(s, d)
+      val w = Window.partitionBy("user_id")
+        .orderBy("ms", "event_id")
+      ev.select(col("event_id"), col("user_id"),
+          Tables.tsMillis(ev, "ts").as("ms"),
+          col("value").cast(DoubleType).as("v"))
+        .withColumn("delta", col("v") - lag(col("v"), 1).over(w))
+        .select("event_id", "delta")
+        .orderBy("event_id")
+    }),
+
+    // §2.7 argmax per group, deterministically: rank by (balance desc,
+    // key) — a bare max_by/arg_max leaves ties engine-defined.
+    "q78_argmax" -> ((s, d) => {
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("balance").desc, col("c_custkey"))
+      T.customer(s, d)
+        .select(col("c_mktsegment"), col("c_custkey"),
+          col("c_acctbal").cast(DoubleType).as("balance"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .orderBy("c_mktsegment")
+    }),
+
+    // §2.7 ordered string aggregation: distinct values joined in
+    // numeric order — collect_set alone is partition-order-dependent,
+    // sort_array makes it total.
+    "q79_string_agg" -> ((s, d) =>
+      T.customer(s, d)
+        .groupBy("c_mktsegment")
+        .agg(array_join(sort_array(collect_set(col("c_nationkey"))), ",")
+          .as("nations"))
+        .orderBy("c_mktsegment")),
+
     // [EXT] ANN hyperplane-LSH, PORTABLE tier: planes are ±1 from
     // SHA-256 parity (the MinHash/SimHash SHA-tier trick), so DuckDB
     // rebuilds the identical buckets, candidate set, and ranking —
@@ -373,6 +421,31 @@ object R3Queries {
         |  count(*) AS n_terms
         |FROM d, n GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q76_histogram" ->
+      """SELECT l_returnflag AS flag,
+        |  CAST(least(floor((CAST(l_quantity AS DOUBLE) - 1) / 10), 4) AS INT)
+        |    AS bin,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY flag, bin""".stripMargin,
+    "q77_lag_delta" ->
+      """SELECT event_id,
+        |  CAST(value AS DOUBLE) - lag(CAST(value AS DOUBLE), 1) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS delta
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q78_argmax" ->
+      """SELECT c_mktsegment, c_custkey, balance FROM (
+        |  SELECT c_mktsegment, c_custkey,
+        |    CAST(c_acctbal AS DOUBLE) AS balance,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer)
+        |WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin,
+    "q79_string_agg" ->
+      """SELECT c_mktsegment,
+        |  string_agg(DISTINCT c_nationkey, ',' ORDER BY c_nationkey)
+        |    AS nations
+        |FROM customer GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "q75_ann_lsh_sha" ->
       """WITH pl AS (
         |  SELECT b, j,
