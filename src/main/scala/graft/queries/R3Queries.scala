@@ -165,6 +165,30 @@ object R3Queries {
         .select("doc_id", "source")
         .orderBy("doc_id")),
 
+    // §2.7 statistical aggregates, portably: mean/variance/stddev from
+    // EXACT decimal sums (Σx, Σx²) folded to double in one fixed
+    // expression. Spark's native stddev/var use Welford-style partition
+    // merges whose float rounding depends on merge order — correct
+    // statistically, but never hash-stable across engines or even
+    // across partitionings.
+    "q80_stats" -> ((s, d) => {
+      val q = col("l_quantity").cast(DecimalType(18, 2))
+      val sx = sum(q).cast(DecimalType(38, 2)).cast(DoubleType)
+      val sxx = sum((q * q).cast(DecimalType(38, 4)))
+        .cast(DecimalType(38, 4)).cast(DoubleType)
+      val n = count(lit(1)).cast(DoubleType)
+      T.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(sx.as("sx"), sxx.as("sxx"), n.as("n"))
+        .select(col("flag"),
+          (col("sx") / col("n")).as("mean_qty"),
+          ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+            .as("var_qty"),
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+            .as("stddev_qty"))
+        .orderBy("flag")
+    }),
+
     // §2.7 histogram binning: explicit arithmetic bins (portable —
     // DuckDB 1.0 lacks width_bucket), map-side-combined count.
     "q76_histogram" -> ((s, d) =>
@@ -421,6 +445,20 @@ object R3Queries {
         |  count(*) AS n_terms
         |FROM d, n GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q80_stats" ->
+      """WITH a AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+        |      AS DOUBLE) AS sx,
+        |    CAST(CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2))
+        |          * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+        |      AS DECIMAL(38,4)) AS DOUBLE) AS sxx,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM lineitem GROUP BY 1)
+        |SELECT flag, sx / n AS mean_qty,
+        |  (sxx - sx * sx / n) / (n - 1) AS var_qty,
+        |  sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty
+        |FROM a ORDER BY flag""".stripMargin,
     "q76_histogram" ->
       """SELECT l_returnflag AS flag,
         |  CAST(least(floor((CAST(l_quantity AS DOUBLE) - 1) / 10), 4) AS INT)
