@@ -165,6 +165,21 @@ object R3Queries {
         .select("doc_id", "source")
         .orderBy("doc_id")),
 
+    // §2.7 date arithmetic: calendar parts, day offsets, day diffs.
+    // Convention note baked into the oracle: Spark dayofweek is
+    // 1=Sunday..7, DuckDB date_part('dow') is 0=Sunday..6.
+    "q81_date_arith" -> ((s, d) =>
+      T.orders(s, d)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"),
+          month(col("o_orderdate")).as("m"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          date_add(col("o_orderdate"), 30).as("due"),
+          datediff(lit("1995-01-01").cast(DateType), col("o_orderdate"))
+            .as("days_to_95"))
+        .orderBy("o_orderkey")),
+
     // §2.7 statistical aggregates, portably: mean/variance/stddev from
     // EXACT decimal sums (Σx, Σx²) folded to double in one fixed
     // expression. Spark's native stddev/var use Welford-style partition
@@ -445,6 +460,16 @@ object R3Queries {
         |  count(*) AS n_terms
         |FROM d, n GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q81_date_arith" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(quarter(o_orderdate) AS INT) AS q,
+        |  CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(date_part('dow', o_orderdate) + 1 AS INT) AS dow,
+        |  CAST(o_orderdate AS DATE) + 30 AS due,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |       DATE '1995-01-01') AS INT) AS days_to_95
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q80_stats" ->
       """WITH a AS (
         |  SELECT l_returnflag AS flag,
