@@ -12,9 +12,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (SPARK_GRAFT_WARMUP_DIR, default sf0.001) so per-query codegen/JIT is warm
   * and an n=1 driver run measures steady state.
   *
-  * Output: one JSON line `{"metric":"total",...}` printed as the final stdout
-  * line AND written to /tmp/graft_bench.json (sbt log prefixes make stdout
-  * parsing fragile).
+  * Output: the FULL JSON `{"metric":"total",...}` (per-query seconds,
+  * shuffle MB, per-query errors) is written to /tmp/graft_bench.json and
+  * ./BENCH_FULL.json. The final stdout line is the full JSON when it fits a
+  * 2000-char tail window, else a COMPACT JSON line (total, query/error
+  * counts, path to the full file) — the driver tails stdout into a bounded
+  * buffer, and a 5+ KB single line can never parse from its tail.
+  *
+  * Integrity: per-query failures are NOT swallowed — a query that throws
+  * records its error message in the `errors` map (warmup errors count too:
+  * a query that only breaks at the timed SF still surfaces). A bench whose
+  * total went DOWN because queries crashed is indistinguishable from a
+  * speedup unless errors are first-class in the artifact.
   */
 object Bench {
   private def force(df: DataFrame): Unit =
@@ -70,11 +79,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val errors = scala.collection.mutable.Map[String, String]()
+    def recordError(name: String, t: Throwable): Unit = {
+      val msg = (s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("")}")
+        .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+      // first error wins — a warmup failure isn't masked by a timed retry
+      if (!errors.contains(name)) errors(name) = msg
+    }
     // Untimed warmup: full pipeline per query at tiny SF so JVM + whole-stage
     // codegen + shuffle machinery are initialized before the timed pass.
     if (Files.isDirectory(Paths.get(warmDir))) {
-      names.foreach { case (_, fn) =>
-        try force(fn(spark, warmDir)) catch { case _: Throwable => () }
+      names.foreach { case (name, fn) =>
+        try force(fn(spark, warmDir)) catch {
+          case t: Throwable => recordError(name, t)
+        }
       }
     }
     // two timed passes, per-query minimum: the driver measures n=1, and
@@ -84,25 +102,36 @@ object Bench {
     def timedPass(): Map[String, Double] = names.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try shuffleBytes(name) = forceAndMeasureShuffle(fn(spark, sfDir))
-      catch { case _: Throwable => () }
+      catch { case t: Throwable => recordError(name, t) }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val p1 = timedPass()
     val p2 = timedPass()
     val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val sh = results.keys.map { k =>
+    val sh = results.keys.toSeq.sorted.map { k =>
       s"\"" + k + "\":" + (shuffleBytes.getOrElse(k, 0L) / 1048576.0)
     }.mkString("{", ",", "}")
+    val errJson = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val fullPath = "/tmp/graft_bench.json"
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"sf":"$sfDir"}"""
-    try Files.write(Paths.get("/tmp/graft_bench.json"),
-      (json + "\n").getBytes(StandardCharsets.UTF_8))
-    catch { case _: Throwable => () }
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"errors":$errJson,"sf":"$sfDir"}"""
+    Seq(fullPath, "BENCH_FULL.json").foreach { p =>
+      try Files.write(Paths.get(p), (json + "\n").getBytes(StandardCharsets.UTF_8))
+      catch { case _: Throwable => () }
+    }
+    // Compact summary that survives ANY stdout tail window; same schema
+    // contract (metric/value/unit/sf) plus integrity counts + pointer.
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"full_json":"$fullPath","sf":"$sfDir"}"""
     spark.stop()
-    // Printed after spark.stop so no executor log lines follow it.
-    println(json)
+    // Printed after spark.stop so no executor log lines follow it. The
+    // final line must parse from a 2000-char tail: print the full JSON
+    // only when it fits, else the compact form (full file always written).
+    if (json.length <= 1800) println(json) else println(compact)
   }
 }

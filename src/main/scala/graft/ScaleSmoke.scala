@@ -55,6 +55,17 @@ object ScaleSmoke {
     val docs = syntheticDocs(spark, n).cache()
     docs.count() // materialize the corpus outside the timings
 
+    // Hot-key corpus: HALF the docs carry one identical boilerplate
+    // tail, so its shingles (and the token "boilerplate") have
+    // df ≈ n/2 — the planted scale-killer that the hot-key-safe df
+    // plans (no per-key count window) must complete without a
+    // single-task stall. At the default n=1M that is a df≈500k key.
+    val hot = docs.withColumn("text",
+      when(col("id") % 2 === 0, concat(col("text"),
+          lit(" copyright acme corp boilerplate all rights reserved")))
+        .otherwise(col("text"))).cache()
+    hot.count()
+
     val results = Seq(
       timed("exact_dedup", Dedup.exactDedupByContent(docs, "text", "id")),
       timed("minhash_lsh_candidates",
@@ -73,6 +84,13 @@ object ScaleSmoke {
         Dedup.dupShingleStats(docs, "id", "text", shingleN = 3)),
       timed("kmv_distinct",
         graft.llm.Sketches.kmvDistinct(docs, Seq("lang"), "text", k = 256)),
+      timed("kmv_sketch",
+        graft.llm.Sketches.kmvDistinctSketch(docs, Seq("lang"), "text", k = 256)),
+      timed("dup_shingle_audit_hot",
+        Dedup.dupShingleStats(hot, "id", "text", shingleN = 3)),
+      timed("keyword_search_hot",
+        graft.llm.Search.keywordSearch(hot, "id", "text",
+          terms = Seq("boilerplate", "w17"), k = 100)),
       timed("norm_dedup_keep_best",
         Dedup.normalizedKeepBest(docs, "id", "text", length(col("text")))),
       timed("keyword_search",
@@ -87,6 +105,7 @@ object ScaleSmoke {
           .select(col("id").as("doc_a"), (col("id") - 1).as("doc_b")))))
 
     docs.unpersist()
+    hot.unpersist()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val json =

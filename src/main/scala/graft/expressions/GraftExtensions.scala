@@ -45,6 +45,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       SigAgreement.info, SigAgreement.builder))
     e.injectFunction((FunctionIdentifier("graft_camel_to_snake"),
       CamelToSnakeRef.info, CamelToSnakeRef.builder))
+    e.injectFunction((FunctionIdentifier("graft_kmv"),
+      KmvDistinctAgg.info, KmvDistinctAgg.builder))
+    e.injectFunction((FunctionIdentifier("graft_media_header"),
+      MediaHeaderExpr.info, MediaHeaderExpr.builder))
   }
 }
 
@@ -82,5 +86,9 @@ object NativeFunctions {
       "graft_sig_agreement", SigAgreement.builder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_camel_to_snake", CamelToSnakeRef.builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kmv", KmvDistinctAgg.builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_media_header", MediaHeaderExpr.builder, "built-in")
   }
 }

@@ -175,23 +175,38 @@ object Dedup {
     * Cost is linear in total shingle count — the inverted index is only
     * COUNTED per shingle (Σ df), never self-joined (no Σ df² pair
     * blow-up), so no df-cap is needed: this is the cheap audit you run
-    * to CHOOSE the df-cap for [[jaccardPairs]] at 100 TB. Two shuffles
-    * (by shingle with map-side partial agg, then by doc id). Shingle
-    * strings stay strings here for oracle portability; the counts are
-    * identical under hashing. */
+    * to CHOOSE the df-cap for [[jaccardPairs]] at 100 TB.
+    *
+    * Hot-key posture: the audit exists FOR corpora with df=10⁶⁺
+    * boilerplate shingles, so the plan must not buffer a shingle's
+    * whole occurrence group in one task (a `count().over(partitionBy
+    * (g))` window would — each hot shingle becomes a giant spilling
+    * partition). Instead it never materializes df next to occurrences
+    * at all: shingles() emits DISTINCT shingles per doc, so a df=1
+    * shingle belongs to exactly ONE doc, and
+    *   n_shared(doc) = n_shingles(doc) − #{its shingles with df = 1}.
+    * Both sides are hash aggregates with bounded per-key state
+    * (count + min carry through map-side partials; a df=10⁶ shingle
+    * contributes one (count, min) cell, not 10⁶ buffered rows), joined
+    * doc-keyed (one row per doc, no skew). Verified against a planted
+    * hot shingle in ScaleSmoke. Shingle strings stay strings here for
+    * oracle portability; the counts are identical under hashing. */
   def dupShingleStats(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3): DataFrame = {
     val ex = df.select(col(idCol).as("doc_id"),
         explode(shingles(col(textCol), shingleN)).as("g"))
-    // shingles() emits DISTINCT shingles per doc, so the per-shingle
-    // partition count IS document frequency — an unordered count window
-    // annotates each occurrence in the SAME exchange that grouped it
-    // (an agg + join-back would shuffle the exploded set twice more).
-    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
-    ex.withColumn("df_g", count(lit(1)).over(wg))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("df_g") > 1, 1L).otherwise(0L)).as("n_shared"))
+    // Per-shingle: df and (for df=1 groups) the one owning doc. min()
+    // over a singleton group IS that doc; for df>1 the min is unused.
+    val uniqueOwner = ex.groupBy("g")
+      .agg(count(lit(1)).as("df_g"), min(col("doc_id")).as("only_doc"))
+      .filter(col("df_g") === 1)
+      .groupBy(col("only_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_unique"))
+    ex.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"))
+      .join(uniqueOwner, Seq("doc_id"), "left")
+      .withColumn("n_shared",
+        col("n_shingles") - coalesce(col("n_unique"), lit(0L)))
       .select(col("doc_id"), col("n_shingles"), col("n_shared"),
         (col("n_shared").cast(DoubleType) / col("n_shingles"))
           .as("shared_frac"))
@@ -316,16 +331,23 @@ object Dedup {
   /** Exact union-find on a driver-collected edge list (the small-graph
     * tier of [[connectedComponents]]). Union by min root preserves the
     * min-label semantics exactly. TYPE-PRESERVING: ids stay whatever
-    * type the pair columns carry (long, int, string, ...), compared via
-    * their natural `Comparable` order — the same order the distributed
-    * tier's `min(label)` uses — so both tiers return identical schemas
-    * and values regardless of which one ran. */
+    * type the pair columns carry (long, int, string, ...), compared in
+    * the SAME order the distributed tier's `min(label)` uses — for
+    * strings that is UTF-8 BYTE order (Spark's UTF8String.compareTo),
+    * NOT Java String's UTF-16 code-unit order: the two disagree for
+    * supplementary-plane characters (a surrogate-pair code unit sorts
+    * below U+E000..U+FFFF in UTF-16 but above in UTF-8), and a
+    * tier-dependent cluster label would be a correctness bug. */
   private def componentsLocal(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     val idType = edges.schema("src").dataType
     val es = edges.collect().map(r => (r.get(0), r.get(1)))
-    def lt(a: Any, b: Any): Boolean =
-      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: String, y: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(x)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
+      case _ => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    }
     val parent = scala.collection.mutable.Map[Any, Any]()
     def find(x: Any): Any = {
       var r = x

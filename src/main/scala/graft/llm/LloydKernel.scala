@@ -4,21 +4,33 @@ package graft.llm
   * BOUNDED sample (see [[Similarity.topKIvf]]): the sample is O(nlist)
   * rows collected to the driver, so training runs in microseconds with
   * zero cluster jobs. Deterministic: initial centroids are the first k
-  * sample points (the sample itself is hash-spread, i.e. already
-  * shuffled deterministically), and ties in assignment break toward
-  * the lower cell index.
+  * DISTINCT sample points in sample order (the sample itself is
+  * hash-spread, i.e. already shuffled deterministically), and ties in
+  * assignment break toward the lower cell index.
   */
 object LloydKernel {
 
-  /** Returns `min(k, distinct points)` centroids. Empty cells keep
-    * their previous centroid (standard Lloyd practice — a cell that
-    * captured no points this round is left where it was). */
+  /** Returns `min(k, distinct points)` centroids — duplicates in the
+    * sample are skipped at seeding, so no two initial centroids
+    * coincide (coincident seeds would shadow each other forever: the
+    * lower-indexed one wins every assignment and the other stays an
+    * empty cell). Empty cells keep their previous centroid (standard
+    * Lloyd practice — a cell that captured no points this round is
+    * left where it was). */
   def fit(points: Array[Array[Double]], k: Int, maxIter: Int): Array[Array[Double]] = {
     require(k >= 1, "k must be >= 1")
     if (points.isEmpty) return Array.empty
     val dim = points(0).length
-    val kk = math.min(k, points.length)
-    var centroids = Array.tabulate(kk)(i => points(i).clone())
+    val seeds = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
+    var si = 0
+    while (si < points.length && seeds.length < k) {
+      val p = points(si)
+      if (seen.add(p.toSeq)) seeds += p.clone()
+      si += 1
+    }
+    val kk = seeds.length
+    var centroids = seeds.toArray
 
     def nearest(p: Array[Double]): Int = {
       var best = 0

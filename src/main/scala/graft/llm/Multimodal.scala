@@ -8,12 +8,18 @@ import org.apache.spark.sql.types._
   * video payloads as opaque `binary` columns with typed metadata
   * structs, plus decode/feature-extraction plumbing.
   *
-  * The Spark-side plumbing — schema, batching, partition-parallel
-  * decode — is real and tested. The codec step itself is a
-  * deterministic STUB (image/audio libraries are not in this
-  * environment): [[decodeImageStub]] derives features from the raw
-  * bytes. Swapping in a real decoder changes only the function body
-  * passed to `mapPartitions`, not the pipeline shape.
+  * Decode tiers, honestly labeled:
+  *  - container-header metadata: REAL, codec-free, and columnar — the
+  *    native `graft_media_header` expression ([[parseMediaHeaders]]);
+  *  - image pixels ([[decodeImage]]) and WAV PCM ([[decodeAudio]]):
+  *    REAL decode via the JDK's built-in `javax.imageio.ImageIO`
+  *    (PNG/JPEG/BMP/GIF) and `javax.sound.sampled` (WAV) — no external
+  *    library needed;
+  *  - video frame sampling and image resize: deterministic STUBS
+  *    (genuinely codec-bound; the JDK ships no video codec or
+  *    resampler we'd trust) — the `mapPartitions` batch shape, schema,
+  *    and metadata plumbing are the real part, and a real codec swaps
+  *    into the function body only.
   */
 object Multimodal {
 
@@ -58,38 +64,24 @@ object Multimodal {
     * PNG (IHDR), GIF (logical screen), BMP (BITMAPINFOHEADER), WAV
     * (RIFF fmt chunk), JPEG (SOF0/1/2 marker scan). Unknown/truncated
     * payloads → format "unknown", null dims. */
-  val MediaHeaderSchema: StructType = StructType(Seq(
-    StructField("format", StringType, nullable = false),
-    StructField("width", IntegerType),
-    StructField("height", IntegerType),
-    StructField("channels", IntegerType),
-    StructField("sample_rate", IntegerType),
-    StructField("bits_per_sample", IntegerType)))
+  val MediaHeaderSchema: StructType = graft.expressions.MediaHeaderExpr.schema
 
-  /** Parse container headers partition-parallel. Output:
-    * (id, format, width, height, channels, sample_rate,
-    * bits_per_sample). This is the real half of the multimodal decode
-    * story — dimension/channel metadata drives routing, filtering, and
-    * batch shaping long before pixel decode runs. */
+  /** Parse container headers COLUMNAR: the native `graft_media_header`
+    * expression ([[graft.expressions.MediaHeaderExpr]], kernel:
+    * [[MediaHeaderKernel]]) stays inside whole-stage codegen — no RDD
+    * seam, no per-row deserialization, and Catalyst can prune/push
+    * around it. Output: (id, format, width, height, channels,
+    * sample_rate, bits_per_sample). Dimension/channel metadata drives
+    * routing, filtering, and batch shaping long before pixel decode
+    * runs. */
   def parseMediaHeaders(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val idIdx = df.schema.fieldIndex(idCol)
-    val pIdx = df.schema.fieldIndex(payloadCol)
-    val schema = StructType(StructField("id", LongType) +: MediaHeaderSchema.fields.toSeq)
-    val rdd = df.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val h = MediaHeaderKernel.parse(r.getAs[Array[Byte]](pIdx))
-        Row(r.getLong(idIdx), h.format,
-          orNull(h.width), orNull(h.height), orNull(h.channels),
-          orNull(h.sampleRate), orNull(h.bitsPerSample))
-      }
-    }
-    spark.createDataFrame(rdd, schema)
+    val b = org.apache.spark.sql.GraftColumnBridge
+    val h = b.column(graft.expressions.MediaHeaderExpr(
+      b.expression(col(payloadCol))))
+    df.select(col(idCol).as("id"), h.as("_h")).select(col("id"), col("_h.*"))
   }
 
-  private def orNull(v: Int): Any = if (v < 0) null else v
-
-  /** Feature row produced by the (stubbed) image decoder. */
+  /** Feature row produced by the image decoders (real + stub). */
   val ImageFeatureSchema: StructType = StructType(Seq(
     StructField("id", LongType),
     StructField("width", IntegerType),
@@ -97,16 +89,113 @@ object Multimodal {
     StructField("n_channels", IntegerType),
     StructField("features", ArrayType(FloatType))))
 
-  /** STUB image decode + feature extraction.
+  /** REAL image decode + feature extraction via the JDK's
+    * `javax.imageio.ImageIO` (PNG/JPEG/BMP/GIF — built into the JRE,
+    * no external codec library).
     *
-    * Real pipeline shape: `mapPartitions` so each task amortizes codec
-    * init across its batch (the Scala analog of `mapInPandas` batch
-    * processing); output is a fixed-width feature vector per row.
+    * Pipeline shape: `mapPartitions` so each task amortizes reader
+    * lookup across its batch; one fixed-width feature row per payload.
+    * Features = 16-bin luminance histogram of the DECODED PIXELS
+    * (ITU-R BT.601 luma from sRGB), normalized to sum 1 — deterministic
+    * for a given image, independent of partitioning.
     *
-    * STUB semantics (deterministic fake, no codec libs here): "width"/
-    * "height" are parsed from byte length, "features" is a 16-bin byte
-    * histogram normalized to 1 — stable across runs and partitionings.
-    */
+    * Undecodable/corrupt payloads yield a row with null dims and null
+    * features (never a throw — one bad file must not fail a 100 TB
+    * task); filter on `width IS NULL` to route rejects. */
+  def decodeImage(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](pIdx)
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
+        if (img == null) Row(id, null, null, null, null)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val hist = new Array[Float](16)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y) // sRGB regardless of storage model
+              val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+                + 114 * (rgb & 0xff)) / 1000
+              hist(lum / 16) += 1f
+              x += 1
+            }
+            y += 1
+          }
+          val total = (w.toLong * h).toFloat
+          Row(id, w, h, img.getColorModel.getNumComponents,
+            hist.map(_ / total).toSeq)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, ImageFeatureSchema)
+  }
+
+  /** Schema of [[decodeAudio]]: PCM stream parameters + per-window RMS
+    * energy profile (`windows` floats, payload-length-independent). */
+  val AudioFeatureSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("energy", ArrayType(FloatType))))
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV PCM —
+    * built into the JRE). Decodes the stream to normalized [-1, 1]
+    * samples (channels averaged) and emits a fixed-width per-window RMS
+    * energy profile — the shape of a frame-energy/VAD pass.
+    * Undecodable payloads → null fields, never a throw. */
+  def decodeAudio(df: DataFrame, idCol: String, payloadCol: String,
+      windows: Int = 8): DataFrame = {
+    require(windows > 0, "windows must be positive")
+    val spark = df.sparkSession
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val samples =
+          try AudioKernel.decodePcm(r.getAs[Array[Byte]](pIdx))
+          catch { case _: Exception => null }
+        if (samples == null) Row(id, null, null, null, null)
+        else {
+          val (rate, channels, mono) = samples
+          val n = mono.length
+          val energy = new Array[Float](windows)
+          if (n > 0) {
+            val per = math.max(1, (n + windows - 1) / windows)
+            var w = 0
+            while (w < windows) {
+              val from = math.min(w * per, n)
+              val to = math.min(from + per, n)
+              var acc = 0.0
+              var i = from
+              while (i < to) { acc += mono(i) * mono(i); i += 1 }
+              energy(w) = if (to > from) math.sqrt(acc / (to - from)).toFloat else 0f
+              w += 1
+            }
+          }
+          Row(id, rate, channels, n.toLong, energy.toSeq)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, AudioFeatureSchema)
+  }
+
+  /** STUB image "decode": byte-level deterministic fake with the same
+    * schema and `mapPartitions` shape as [[decodeImage]] (the REAL
+    * ImageIO tier). Kept because it works on ARBITRARY payloads (the
+    * text-table fixtures aren't decodable images) and is bit-stable
+    * for plumbing tests: "width"/"height" derive from byte length,
+    * "features" is a 16-bin raw-byte histogram normalized to 1. */
   def decodeImageStub(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     val spark = df.sparkSession
     val idIdx = df.schema.fieldIndex(idCol)
@@ -117,7 +206,7 @@ object Multimodal {
         val id = r.getLong(idIdx)
         val bytes = r.getAs[Array[Byte]](pIdx)
         val n = bytes.length
-        // ??? real decoder goes here; deterministic fake below
+        // real decoder: [[decodeImage]]; deterministic byte-level fake below
         val width = math.max(1, n % 1024)
         val height = math.max(1, n / math.max(1, width))
         val hist = new Array[Float](16)
@@ -143,13 +232,14 @@ object Multimodal {
       .as(Seq("frame_idx", "frame_hash")))
   }
 
-  /** STUB image resize: emit a payload downsampled to `targetBytes` by
-    * stride-sampling the byte stream, with before/after dims in the
-    * output schema. Real pipeline shape: a resize is a per-row payload
-    * transform whose OUTPUT feeds the same decode/feature plumbing —
-    * so it must stay a (binary → binary) map with metadata, which is
-    * exactly what a real codec-backed resize would be. Deterministic:
-    * stride depends only on payload length. */
+  /** STUB byte-level "resize": emit a payload downsampled to
+    * `targetBytes` by stride-sampling the byte stream, with
+    * before/after sizes in the output schema. Works on arbitrary
+    * payloads (unlike [[resizeImage]], the real ImageIO tier, which
+    * needs decodable images) and is bit-deterministic: stride depends
+    * only on payload length. The shape constraint both tiers share: a
+    * resize is a (binary → binary) map with fresh metadata, so its
+    * output feeds the same decode/feature plumbing. */
   def resizeImageStub(df: DataFrame, idCol: String, payloadCol: String,
       targetBytes: Int = 4096): DataFrame = {
     val spark = df.sparkSession
@@ -164,7 +254,7 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(idIdx)
         val bytes = r.getAs[Array[Byte]](pIdx)
-        // ??? real resampling codec goes here; deterministic stride below
+        // real resampler: [[resizeImage]]; deterministic stride below
         val out =
           if (bytes.length <= targetBytes) bytes
           else {
@@ -184,6 +274,54 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** REAL image resize via the JDK (`ImageIO` decode → `Graphics2D`
+    * bilinear rescale → PNG re-encode — all built into the JRE).
+    * Output: (id, orig_width, orig_height, payload, meta) where payload
+    * is the resized image as PNG and meta is fresh (size + content
+    * hash of the NEW bytes). Undecodable payloads → null fields, never
+    * a throw. Same (binary → binary) shape as [[resizeImageStub]], so
+    * downstream decode/feature plumbing is tier-agnostic. */
+  def resizeImage(df: DataFrame, idCol: String, payloadCol: String,
+      targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0, "target dims must be positive")
+    val spark = df.sparkSession
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("orig_width", IntegerType),
+      StructField("orig_height", IntegerType),
+      StructField("payload", BinaryType),
+      StructField("meta", MetaSchema)))
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](pIdx)))
+          catch { case _: Exception => null }
+        if (img == null) Row(id, null, null, null, null)
+        else {
+          val scaled = new java.awt.image.BufferedImage(
+            targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = scaled.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, targetW, targetH, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(scaled, "png", bos)
+          val out = bos.toByteArray
+          val hash = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(out).map("%02x".format(_)).mkString
+          Row(id, img.getWidth, img.getHeight, out,
+            Row(s"mem://resized/$id", "image/png", out.length.toLong, hash))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** STUB audio feature extraction: fixed-width window energy profile
     * over the byte stream (`windows` values per payload) — the shape of
     * a real frame-energy/VAD pass: one fixed-length `Array[Float]` row
@@ -195,9 +333,9 @@ object Multimodal {
     transform(sequence(lit(0), lit(windows - 1)), i => {
       val win = substr(p, (i * w + 1).cast(IntegerType),
         greatest(w, lit(1)).cast(IntegerType))
-      // ??? real per-window energy goes here; crc32 scaled to [0,1) is
-      // the deterministic stand-in (division promotes to double → cast
-      // back to the FloatType feature convention)
+      // real per-window energy: [[decodeAudio]]; crc32 scaled to [0,1)
+      // is the deterministic byte-level stand-in (division promotes to
+      // double → cast back to the FloatType feature convention)
       ((crc32(win) % 1000L) / 1000.0).cast(FloatType)
     })
   }

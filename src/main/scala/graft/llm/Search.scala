@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -25,11 +24,14 @@ object Search {
     * Scale shape: the corpus scan is map-only — tokens are filtered to
     * the query terms BEFORE any shuffle, so exchanged volume ∝ term
     * matches, not corpus size. Then: one exchange on (doc, term) for
-    * tf, a count window on term for df (same trick as
-    * [[Dedup.dupShingleStats]] — no join-back), one exchange on doc for
-    * the final score, and a TakeOrderedAndProject for the top-k (never
-    * a global sort). The corpus row count N joins in as a broadcast
-    * 1-row aggregate — no driver-side action. */
+    * tf; df comes from a groupBy-count over tf (≤ |terms| rows — tf is
+    * distinct per (doc, term), so the per-term row count IS document
+    * frequency) broadcast-joined back, NOT a count window on term — a
+    * window would buffer every document matching one term in a single
+    * task, and a common term matches most of a 100 TB corpus. Then one
+    * exchange on doc for the final score and a TakeOrderedAndProject
+    * for the top-k (never a global sort). The corpus row count N joins
+    * in as a broadcast 1-row aggregate — no driver-side action. */
   def keywordSearch(df: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k: Int = 20): DataFrame = {
     require(terms.nonEmpty, "at least one query term required")
@@ -38,10 +40,10 @@ object Search {
         explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .filter(col("term").isin(terms.map(_.asInstanceOf[Any]): _*))
     val tf = hits.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    // tf rows are distinct per (doc, term) ⇒ the per-term partition
-    // count IS document frequency.
-    val dft = tf.withColumn("df_t",
-      count(lit(1)).over(Window.partitionBy("term")))
+    // df_t: bounded-state per-term count (map-side partial), broadcast
+    // back — the df table has at most |terms| rows by construction.
+    val dfPerTerm = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+    val dft = tf.join(broadcast(dfPerTerm), Seq("term"))
     dft.join(broadcast(n))
       .withColumn("micro",
         round(lit(1e6) * col("tf") * col("n_docs") / col("df_t"))

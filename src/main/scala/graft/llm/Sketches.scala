@@ -20,32 +20,48 @@ object Sketches {
     bridge.column(graft.expressions.HeavyHittersAgg(
       bridge.expression(c), capacity).toAggregateExpression())
 
+  /** 15 hex chars of sha256 = 60 bits: fits a signed BIGINT exactly,
+    * same trick as TrainingOps.splitAssign, reproducible in DuckDB SQL.
+    * Shared by both KMV tiers so their hash spaces are identical. */
+  private def kmvHash(valueCol: String): Column = expr(
+    s"cast(conv(substr(sha2(cast(`$valueCol` as string), 256), 1, 15), " +
+      "16, 10) as bigint)")
+
+  private val twoPow60 = 1152921504606846976L // 2^60, hash-space size
+
+  /** Shared estimator: exact count when distinct < k (all hashes
+    * retained), else the classic (k-1) / kth-min-normalized-hash
+    * [Bar-Yossef et al. 2002]. One formula for both tiers so they are
+    * bit-equal (the (k-1)·2^60 product is exact in double, then a
+    * single division). */
+  private def kmvEstimate(nKept: Column, kth: Column, k: Int): Column =
+    when(nKept < k, nKept.cast(DoubleType))
+      .otherwise(lit((k - 1).toDouble) * lit(twoPow60.toDouble) /
+        kth.cast(DoubleType))
+
   /** KMV (k-minimum-values) distinct-count estimate per group —
     * PORTABLE, unlike HyperLogLog: the sketch is "the k smallest
     * SHA-256-derived 60-bit hashes of the values", so any engine with
     * sha256 reproduces it bit-for-bit (approx_count_distinct's HLL++ is
-    * engine-private and can never hash-match an oracle). Estimator:
-    * exact count when distinct < k (all hashes retained), else the
-    * classic (k-1) / kth-min-normalized-hash [Bar-Yossef et al. 2002].
+    * engine-private and can never hash-match an oracle).
     *
     * Output: one row per group with `exact_distinct` (for audit; drop
-    * at scale), `kmv_est`, and `n_kept`. Plan: one distinct-aggregate
-    * shuffle on (group, hash) with map-side partial, then a per-group
-    * rank over the DISTINCT hashes — state after dedup is the distinct
-    * value set's hashes, and only k of them survive the rank filter
-    * into the final agg. At 100 TB the same sketch drops into a
-    * TypedImperativeAggregate (a k-slot bounded heap like
-    * [[heavyHitters]]); the relational form here keeps the semantics
-    * engine-independent and oracle-checkable. */
+    * at scale), `kmv_est`, and `n_kept`. NOTE: `exact_distinct` counts
+    * distinct 60-bit HASHES, not distinct values — a 60-bit collision
+    * (birthday-expected past ~2^30 distinct values per group) makes it
+    * an undercount; it is an audit column for the small-SF oracle, not
+    * a guarantee.
+    *
+    * This relational tier is the executable oracle SPEC: plan is one
+    * distinct-aggregate shuffle on (group, hash), then a per-group rank
+    * over the distinct hashes — which lands a group's ENTIRE distinct
+    * set in one task, so it does NOT survive a billion-distinct group.
+    * The scale tier is [[kmvDistinctSketch]] (bounded state, identical
+    * values); SketchesSpec parity-tests the two. */
   def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
       k: Int = 64): DataFrame = {
     require(k >= 2, "k must be at least 2")
-    // 15 hex chars = 60 bits: fits a signed BIGINT exactly, same trick
-    // as TrainingOps.splitAssign, reproducible in DuckDB SQL.
-    val h = expr(
-      s"cast(conv(substr(sha2(cast(`$valueCol` as string), 256), 1, 15), " +
-        "16, 10) as bigint)")
-    val twoPow60 = 1152921504606846976L // 2^60, hash-space size
+    val h = kmvHash(valueCol)
     val g = groupCols.map(col)
     val dist = df.select((g :+ h.as("h")): _*).distinct()
     val w = Window.partitionBy(g: _*).orderBy(col("h"))
@@ -56,9 +72,34 @@ object Sketches {
         max(when(col("_rn") <= k, col("h"))).as("_kth"),
         sum(when(col("_rn") <= k, 1L).otherwise(0L)).as("n_kept"))
       .withColumn("kmv_est",
-        when(col("exact_distinct") < k, col("exact_distinct").cast(DoubleType))
-          .otherwise(lit((k - 1).toDouble) * lit(twoPow60.toDouble) /
-            col("_kth").cast(DoubleType)))
+        // exact_distinct < k ⟺ n_kept < k here (below k every distinct
+        // hash is retained); the sketch tier branches on n_kept, this
+        // tier keeps exact_distinct so the audit column drives the SQL.
+        kmvEstimate(col("exact_distinct"), col("_kth"), k))
       .drop("_kth")
+  }
+
+  /** KMV distinct-count, BOUNDED-STATE tier: same hash space, same
+    * estimator, same output values as [[kmvDistinct]] (minus the
+    * `exact_distinct` audit column, which by definition needs unbounded
+    * state), but computed by [[graft.expressions.KmvDistinctAgg]] — a
+    * TypedImperativeAggregate whose per-group state is k longs through
+    * the whole partial/merge/final chain. The shuffle carries one
+    * ≤(4+8k)-byte sketch per (group, map partition), never the distinct
+    * hash set, so a billion-distinct group costs the same as a
+    * 100-distinct one. This is the tier you run at 100 TB; the
+    * relational tier is the oracle spec it is parity-tested against. */
+  def kmvDistinctSketch(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, k: Int = 64): DataFrame = {
+    require(k >= 2, "k must be at least 2")
+    val g = groupCols.map(col)
+    val sk = bridge.column(graft.expressions.KmvDistinctAgg(
+      bridge.expression(col("_kmv_h")), k).toAggregateExpression())
+    df.select((g :+ kmvHash(valueCol).as("_kmv_h")): _*)
+      .groupBy(g: _*)
+      .agg(sk.as("_sk"))
+      .select((g ++ Seq(
+        col("_sk.n_kept").as("n_kept"),
+        kmvEstimate(col("_sk.n_kept"), col("_sk.kth"), k).as("kmv_est"))): _*)
   }
 }

@@ -109,10 +109,14 @@ object relational {
     * the partitioning changes: a key holding 30% of the fact rows
     * occupies `salts` reducers instead of one.
     *
-    * The salt is derived from the whole fact row (xxhash64), not
-    * rand(): deterministic under reruns and retries (a rand() salt
-    * re-rolls on task retry and can double-count with speculative
-    * execution).
+    * The salt is derived from the fact row's HASHABLE columns
+    * (xxhash64), not rand(): deterministic under reruns and retries (a
+    * rand() salt re-rolls on task retry and can double-count with
+    * speculative execution). MapType columns are excluded from the
+    * hash — xxhash64 rejects them at analysis time — and the join keys
+    * are always included, so the salt stays well-defined for any fact
+    * schema. The internal salt column name is collision-checked
+    * against both inputs.
     *
     * Prefer AQE's skew-join split (on by default) when it applies — it
     * needs no dim replication. Manual salting is for the cases AQE
@@ -120,14 +124,72 @@ object relational {
     * cached/checkpointed subtrees, or deterministic-layout requirements.
     * Replication cost: |dim| × salts rows — size `salts` to the skew
     * factor, not higher. */
+  /** n-step event funnel: for every entity, find the step-0 events
+    * from which the full chain `steps(0) → steps(1) → … → steps(n-1)`
+    * completes, where step i+1 must occur STRICTLY AFTER the matched
+    * step-i event and within `windowsMs(i)` of it. EXISTS semantics —
+    * a chain counts if ANY valid assignment of events completes it,
+    * not just the greedy-earliest one (greedy is wrong: picking the
+    * earliest step-i event can start the step-i+1 window too early and
+    * miss a completion a later step-i event would catch; FunnelSpec
+    * pins this case).
+    *
+    * Output: one row per completing (id, step-0 event):
+    * `(idCol, start_ms, end_ms)` with `end_ms` = earliest completing
+    * last-step time. Events with null id/time are ignored.
+    *
+    * Plan shape: one equi join on id per subsequent step with the time
+    * window as a residual predicate, deduplicated per step — the
+    * intermediate is (id, start, step-i time) DISTINCT, so fan-out is
+    * bounded by each entity's event count inside the window, never a
+    * cross-entity blow-up. All joins share the id hash partitioning;
+    * at 100 TB a bot entity with pathological event density bounds the
+    * blow-up at (its step-i events within window) per step — filter
+    * obvious bots upstream, as every funnel engine requires. */
+  def funnel(events: DataFrame, idCol: String, typeCol: String,
+      timeCol: String, steps: Seq[String], windowsMs: Seq[Long]): DataFrame = {
+    require(steps.length >= 2, "a funnel needs at least 2 steps")
+    require(windowsMs.length == steps.length - 1,
+      s"need ${steps.length - 1} windows for ${steps.length} steps; got ${windowsMs.length}")
+    require(windowsMs.forall(_ > 0), "windows must be positive")
+    val base = events.select(col(idCol), col(typeCol).as("_ft"),
+        col(timeCol).cast("long").as("_fms"))
+      .filter(col(idCol).isNotNull && col("_fms").isNotNull)
+    var cur = base.filter(col("_ft") === steps.head)
+      .select(col(idCol), col("_fms").as("start_ms"), col("_fms").as("_cur"))
+      .distinct()
+    steps.tail.zip(windowsMs).foreach { case (tp, win) =>
+      val nxt = base.filter(col("_ft") === tp)
+        .select(col(idCol), col("_fms").as("_nxt"))
+      cur = cur.join(nxt, Seq(idCol))
+        .filter(col("_nxt") > col("_cur") && col("_nxt") <= col("_cur") + win)
+        .select(col(idCol), col("start_ms"), col("_nxt").as("_cur"))
+        .distinct()
+    }
+    cur.groupBy(col(idCol), col("start_ms"))
+      .agg(min(col("_cur")).as("end_ms"))
+  }
+
   def saltedJoin(fact: DataFrame, dim: DataFrame, on: Seq[String],
       salts: Int): DataFrame = {
     require(salts >= 1, "salts must be >= 1")
-    val factCols = fact.columns.toSeq
-    val f = fact.withColumn("_salt",
-      pmod(xxhash64(struct(factCols.map(col): _*)), lit(salts)).cast("int"))
-    val d = dim.withColumn("_salt",
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def hashable(dt: DataType): Boolean = dt match {
+      case _: MapType => false
+      case s: StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val hashCols = fact.schema.fields
+      .filter(f => hashable(f.dataType)).map(_.name).toSeq
+    require(hashCols.nonEmpty, "fact side has no hashable columns to salt on")
+    val salt = Iterator.from(0)
+      .map(i => if (i == 0) "_salt" else s"_salt$i")
+      .find(n => !fact.columns.contains(n) && !dim.columns.contains(n)).get
+    val f = fact.withColumn(salt,
+      pmod(xxhash64(struct(hashCols.map(col): _*)), lit(salts)).cast("int"))
+    val d = dim.withColumn(salt,
       explode(sequence(lit(0), lit(salts - 1))))
-    f.join(d, on :+ "_salt").drop("_salt")
+    f.join(d, on :+ salt).drop(salt)
   }
 }

@@ -60,7 +60,17 @@ final case class Stage(
       * processors, §2.9): fired after the stage file commit + manifest
       * upsert, given (pkey, committedPath). Never part of the plan —
       * failures log, they cannot corrupt the committed stage. */
-    onCommit: Seq[(String, String) => Unit] = Seq.empty) {
+    onCommit: Seq[(String, String) => Unit] = Seq.empty,
+    /** PRE-stage fire-and-forget side effects (reference
+      * `asynchronous=True` pre-processors, decorators.py:297-355,
+      * dispatched through the broker before the stage runs,
+      * pipeline.py:504-507,532-534): given (pkey, stageName) when the
+      * stage STARTS, on the shared hook pool. Unlike `pre`, they never
+      * see or rewrite the frame — notification-plane only — and, like
+      * the reference's exclusion of async processors from the pipeline
+      * version hash (pipeline.py:184-186), they are observational:
+      * adding one must not change what the pipeline computes. */
+    asyncPre: Seq[(String, String) => Unit] = Seq.empty) {
   def apply(df: DataFrame): DataFrame = {
     val in = pre.foldLeft(df)((d, h) => h(d))
     val out = core(in)
@@ -123,6 +133,17 @@ final case class Pipeline(
       throw new PipelineDeclarationError(s"stage $start not declared on $name")
     var df = input
     ordered.drop(startIdx).foreach { st =>
+      // fire-and-forget PRE-stage notifications (decorators.py:297-355):
+      // dispatched before the stage body, never awaited by the chain.
+      st.asyncPre.foreach { cb =>
+        val task: Runnable = () =>
+          try cb(pkey, st.name)
+          catch { case e: Exception =>
+            System.err.println(s"[pipeline] async pre_${st.name} failed for $pkey: ${e.getMessage}")
+          }
+        if (asyncCommitHooks) inFlight.add(Pipeline.hookPool.submit(task))
+        else task.run()
+      }
       df = st(df)
       val dir = stageDir(st.name, pkey)
       df.write.mode("overwrite").parquet(dir)
@@ -149,8 +170,9 @@ final case class Pipeline(
 
   private val inFlight = new java.util.concurrent.ConcurrentLinkedQueue[java.util.concurrent.Future[_]]()
 
-  /** Block until every async `onCommit` callback scheduled by this
-    * pipeline has finished (no-op when `asyncCommitHooks = false`). */
+  /** Block until every async callback (`onCommit` + `asyncPre`)
+    * scheduled by this pipeline has finished (no-op when
+    * `asyncCommitHooks = false`). */
   def awaitCommitHooks(timeoutMillis: Long = 60000): Unit = {
     val deadline = System.nanoTime() + timeoutMillis * 1000000L
     var f = inFlight.poll()

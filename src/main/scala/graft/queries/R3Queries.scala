@@ -266,24 +266,20 @@ object R3Queries {
     }),
 
     // [EXT] funnel analysis: users converting signup → purchase within
-    // one hour, counted per signup day. An equi join on user with the
-    // time window as a residual predicate — per-user event counts
-    // bound the join fan-out, so no range-bucketing machinery is
-    // needed (genuinely wide windows route through relational
-    // .rangeJoin instead).
+    // one hour, counted per signup day — via the n-step
+    // relational.funnel operator (EXISTS-chain semantics, one id equi
+    // join per step with the time window as a residual predicate;
+    // per-user event counts bound the join fan-out, so no
+    // range-bucketing machinery is needed — genuinely wide windows
+    // route through relational.rangeJoin instead).
     "q74_funnel" -> ((s, d) => {
       val ev = T.events(s, d)
       val ms = Tables.tsMillis(ev, "ts")
       val base = ev.select(col("user_id"), col("event_type"), ms.as("ms"))
-      val su = base.filter(col("event_type") === "signup")
-        .select(col("user_id"), col("ms").as("s_ms"))
-      val pu = base.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ms").as("p_ms"))
-      su.join(pu, Seq("user_id"))
-        .filter(col("p_ms") > col("s_ms") &&
-          col("p_ms") <= col("s_ms") + lit(3600000L))
+      graft.ops.relational.funnel(base, "user_id", "event_type", "ms",
+          Seq("signup", "purchase"), Seq(3600000L))
         .select(
-          date_format(timestamp_millis(col("s_ms")), "yyyy-MM-dd").as("day"),
+          date_format(timestamp_millis(col("start_ms")), "yyyy-MM-dd").as("day"),
           col("user_id"))
         .groupBy("day")
         .agg(countDistinct(col("user_id")).as("n_converted"))

@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.llm.Sketches
+
+/** q82+: round-4 additions.
+  *
+  * Scale-tier promotions: the bounded-state KMV sketch (q82) is the
+  * TypedImperativeAggregate tier of q60's relational oracle spec —
+  * same hash space, same estimator, oracle-verified against the same
+  * relational SQL, but the shuffle carries k-long sketches instead of
+  * the distinct-hash set.
+  *
+  * Every query is DuckDB-oracle-backed and ends in a total ORDER BY.
+  */
+object R4Queries {
+  private val T = Tables
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // [EXT] KMV distinct, bounded-state tier: per-group state is k
+    // longs through partial/merge/final — the 100 TB form of q60. The
+    // oracle computes the same k-minimum-values relationally, so this
+    // is a full value check of the sketch path, not rows-only.
+    "q82_kmv_sketch" -> ((s, d) =>
+      Sketches.kmvDistinctSketch(
+          T.events(s, d), Seq("event_type"), "user_id", k = 64)
+        .select("event_type", "n_kept", "kmv_est")
+        .orderBy("event_type")),
+
+    // [EXT] n-step funnel via relational.funnel (EXISTS-chain
+    // semantics): view → click → purchase, each step within 24 h of
+    // the matched previous event. One id equi join per step, per-step
+    // distinct keeps the intermediate bounded by per-user in-window
+    // event counts.
+    "q83_funnel_3step" -> ((s, d) => {
+      val ev = T.events(s, d)
+      val ms = graft.Tables.tsMillis(ev, "ts")
+      val base = ev.select(col("user_id"), col("event_type"), ms.as("ms"))
+      graft.ops.relational.funnel(base, "user_id", "event_type", "ms",
+          Seq("view", "click", "purchase"), Seq(86400000L, 86400000L))
+        .orderBy("user_id", "start_ms")
+    }),
+
+    // [EXT] media-header differential test: Spark BUILDS a GIF header
+    // per part row (dims derived from the key) and PARSES it back with
+    // the native graft_media_header expression; the oracle computes
+    // the expected (format, width, height) analytically — a full
+    // value-check of the expression path with zero binary handling in
+    // the oracle.
+    "q84_media_header" -> ((s, d) => {
+      def byte(x: org.apache.spark.sql.Column) =
+        lpad(hex(x.cast("long")), 2, "0")
+      val w = pmod(col("p_partkey"), lit(300)) + 1
+      val h = pmod(col("p_partkey"), lit(200)) + 1
+      // "GIF89a" + u16le width + u16le height + 2 pad bytes (kernel
+      // requires ≥10 bytes before it recognizes any container)
+      val payload = unhex(concat(lit("474946383961"),
+        byte(pmod(w, lit(256))), byte((w / 256).cast("int")),
+        byte(pmod(h, lit(256))), byte((h / 256).cast("int")),
+        lit("0000")))
+      graft.llm.Multimodal.parseMediaHeaders(
+          T.part(s, d).select(col("p_partkey").as("pk"), payload.as("payload")),
+          "pk", "payload")
+        .select(col("id"), col("format"), col("width"), col("height"))
+        .orderBy("id")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q82_kmv_sketch" ->
+      """WITH dist AS (
+        |  SELECT DISTINCT event_type,
+        |    ('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM events),
+        |r AS (SELECT event_type, h,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |      FROM dist),
+        |a AS (SELECT event_type, count(*) AS exact_distinct,
+        |        max(CASE WHEN rn <= 64 THEN h END) AS kth,
+        |        count(*) FILTER (WHERE rn <= 64) AS n_kept
+        |      FROM r GROUP BY 1)
+        |SELECT event_type, n_kept,
+        |  CASE WHEN exact_distinct < 64 THEN CAST(exact_distinct AS DOUBLE)
+        |       ELSE 63.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE) END
+        |    AS kmv_est
+        |FROM a ORDER BY event_type""".stripMargin,
+    "q83_funnel_3step" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |v AS (SELECT DISTINCT user_id, ms AS start_ms, ms AS cur
+        |      FROM e WHERE event_type = 'view'),
+        |c AS (SELECT DISTINCT v.user_id, v.start_ms, n.ms AS cur
+        |      FROM v JOIN e n ON n.user_id = v.user_id
+        |       AND n.event_type = 'click'
+        |       AND n.ms > v.cur AND n.ms <= v.cur + 86400000),
+        |p AS (SELECT DISTINCT c.user_id, c.start_ms, n.ms AS cur
+        |      FROM c JOIN e n ON n.user_id = c.user_id
+        |       AND n.event_type = 'purchase'
+        |       AND n.ms > c.cur AND n.ms <= c.cur + 86400000)
+        |SELECT user_id, start_ms, min(cur) AS end_ms
+        |FROM p GROUP BY 1, 2 ORDER BY user_id, start_ms""".stripMargin,
+    "q84_media_header" ->
+      """SELECT p_partkey AS id, 'gif' AS format,
+        |  CAST(p_partkey % 300 + 1 AS INT) AS width,
+        |  CAST(p_partkey % 200 + 1 AS INT) AS height
+        |FROM part ORDER BY id""".stripMargin)
+}

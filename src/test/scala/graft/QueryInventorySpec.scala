@@ -8,13 +8,16 @@ package graft
 class QueryInventorySpec extends SparkSuite {
 
   test("no key collisions between per-module query maps") {
-    val core = graft.queries.CoreQueries.queries.keySet
-    val ext = graft.queries.ExtQueries.queries.keySet
-    val r3 = graft.queries.R3Queries.queries.keySet
-    assert((core & ext).isEmpty, s"colliding keys: ${core & ext}")
-    assert((core & r3).isEmpty, s"colliding keys: ${core & r3}")
-    assert((ext & r3).isEmpty, s"colliding keys: ${ext & r3}")
-    assert(SparkEntry.queries.size === core.size + ext.size + r3.size)
+    val modules = Seq(
+      "core" -> graft.queries.CoreQueries.queries.keySet,
+      "ext" -> graft.queries.ExtQueries.queries.keySet,
+      "r3" -> graft.queries.R3Queries.queries.keySet,
+      "r4" -> graft.queries.R4Queries.queries.keySet)
+    for {
+      (an, a) <- modules
+      (bn, b) <- modules if an < bn
+    } assert((a & b).isEmpty, s"colliding keys between $an and $bn: ${a & b}")
+    assert(SparkEntry.queries.size === modules.map(_._2.size).sum)
   }
 
   test("every oracle key has a matching query") {

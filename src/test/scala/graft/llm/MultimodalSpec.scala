@@ -136,6 +136,97 @@ class MultimodalSpec extends SparkSuite {
     assert(out(1).isNullAt(out(1).fieldIndex("width")))
   }
 
+  test("decodeImage: real ImageIO decode of a 2×2 PNG to known pixels") {
+    import spark.implicits._
+    // 2×2 RGB: black, white / pure red, pure blue — written by ImageIO
+    // itself so the fixture is a REAL PNG, not hand-crafted bytes
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x000000); img.setRGB(1, 0, 0xffffff)
+    img.setRGB(0, 1, 0xff0000); img.setRGB(1, 1, 0x0000ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val junk = Array.tabulate(32)(_.toByte)
+    val out = Multimodal.decodeImage(
+        Seq((1L, png), (2L, junk)).toDF("id", "payload").repartition(2),
+        "id", "payload")
+      .orderBy("id").collect()
+    val r = out(0)
+    assert((r.getInt(1), r.getInt(2), r.getInt(3)) === ((2, 2, 3)))
+    val feats = r.getSeq[Float](4)
+    assert(feats.length === 16)
+    // BT.601 luma: black=0→bin0, white=255→bin15, red=76→bin4, blue=29→bin1
+    assert(feats(0) === 0.25f && feats(15) === 0.25f)
+    assert(feats(4) === 0.25f && feats(1) === 0.25f)
+    // undecodable payload → null dims/features, no throw
+    assert(out(1).isNullAt(1) && out(1).isNullAt(4))
+  }
+
+  test("decodeAudio: real WAV PCM decode to known window energies") {
+    import spark.implicits._
+    // 16-bit mono 8kHz WAV via the JDK's own writer: first half a
+    // constant +0.5 amplitude, second half silence → RMS 0.5 then 0.0
+    val n = 8000
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](n * 2)
+    val amp = (0.5 * 32768).toInt.toShort // 16384
+    var i = 0
+    while (i < n / 2) { pcm(2 * i) = (amp & 0xff).toByte; pcm(2 * i + 1) = ((amp >> 8) & 0xff).toByte; i += 1 }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    val out = Multimodal.decodeAudio(
+        Seq((1L, wav), (2L, Array[Byte](1, 2, 3))).toDF("id", "payload"),
+        "id", "payload", windows = 4)
+      .orderBy("id").collect()
+    val r = out(0)
+    assert(r.getInt(1) === 8000 && r.getInt(2) === 1 && r.getLong(3) === n.toLong)
+    val e = r.getSeq[Float](4)
+    assert(e.length === 4)
+    assert(math.abs(e(0) - 0.5f) < 1e-3 && math.abs(e(1) - 0.5f) < 1e-3)
+    assert(e(2) === 0f && e(3) === 0f)
+    assert(out(1).isNullAt(1) && out(1).isNullAt(4)) // not a WAV → nulls
+  }
+
+  test("resizeImage: real ImageIO+Graphics2D rescale, re-encoded PNG") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 4; y <- 0 until 4) img.setRGB(x, y, 0x00ff00) // green
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val out = Multimodal.resizeImage(
+        Seq((1L, bos.toByteArray)).toDF("id", "payload"), "id", "payload",
+        targetW = 2, targetH = 2)
+      .collect()(0)
+    assert(out.getInt(1) === 4 && out.getInt(2) === 4)
+    val resized = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.getAs[Array[Byte]]("payload")))
+    assert(resized.getWidth === 2 && resized.getHeight === 2)
+    assert((resized.getRGB(0, 0) & 0xffffff) === 0x00ff00) // solid color survives
+    assert(out.getStruct(4).getAs[Long]("size_bytes")
+      === out.getAs[Array[Byte]]("payload").length.toLong)
+  }
+
+  test("parseMediaHeaders is columnar: no RDD scan seam in the plan") {
+    import spark.implicits._
+    val df = Seq((1L, Array[Byte](1, 2, 3))).toDF("id", "payload")
+    val qe = Multimodal.parseMediaHeaders(df, "id", "payload").queryExecution
+    // the analyzed plan runs through the native expression...
+    assert(qe.analyzed.toString.contains("graft_media_header"),
+      qe.analyzed.toString)
+    // ...and the physical plan has no RDD seam. (On this literal
+    // fixture the optimizer constant-folds the expression into a
+    // LocalTableScan — itself proof the expression lives inside
+    // Catalyst rather than behind an opaque mapPartitions.)
+    assert(!qe.executedPlan.toString.contains("ExistingRDD"),
+      qe.executedPlan.toString)
+  }
+
   test("audioFeaturesStub: fixed-width deterministic window profile") {
     import spark.implicits._
     val bin = Seq((1L, Array.tabulate(1000)(i => (i * 7).toByte)),

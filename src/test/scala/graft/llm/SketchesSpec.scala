@@ -48,6 +48,35 @@ class SketchesSpec extends SparkSuite {
     assert(out === Seq(("a", 2L), ("b", 1L)))
   }
 
+  test("kmv tier equality: bounded-state sketch ≡ relational oracle spec") {
+    // both regimes in one frame: a group below k (exact path) and a
+    // group far above k (estimator path), multi-partition so the
+    // sketch's partial/merge/final chain actually exercises merges
+    val rows = (1 to 40).map(i => ("small", i.toLong)) ++
+      (1 to 5000).flatMap(i => Seq(("big", i.toLong), ("big", i.toLong)))
+    val df = rows.toDF("g", "v").repartition(8)
+    val rel = Sketches.kmvDistinct(df, Seq("g"), "v", k = 64)
+      .select("g", "n_kept", "kmv_est")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_kept"), r.getAs[Double]("kmv_est"))).toMap
+    val sk = Sketches.kmvDistinctSketch(df, Seq("g"), "v", k = 64)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_kept"), r.getAs[Double]("kmv_est"))).toMap
+    // BIT-equal, not approximately equal: same hash space, same k-min
+    // set, same estimator arithmetic — the tiers are interchangeable
+    assert(sk === rel)
+  }
+
+  test("kmvDistinctSketch: nulls skipped, empty-input group handling") {
+    val df = Seq(("g1", Some(1L)), ("g1", Some(2L)), ("g1", None),
+      ("g2", None)).toDF("g", "v")
+    val out = Sketches.kmvDistinctSketch(df, Seq("g"), "v", k = 8)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_kept"), r.getAs[Double]("kmv_est"))).toMap
+    assert(out("g1") === ((2L, 2.0)))
+    assert(out("g2") === ((0L, 0.0))) // all-null group: empty sketch
+  }
+
   test("kmvDistinct: exact below k, bounded relative error above") {
     // group "small": 40 distinct < k=64 ⇒ exact path
     // group "big": 5000 distinct ⇒ estimator path

@@ -83,4 +83,72 @@ class RelationalSpec extends SparkSuite {
     val got = relational.saltedJoin(fact, dim, Seq("k"), salts = 1).collect()
     assert(got.map(_.toSeq).toSet === Set(Seq(1L, "a", "x")))
   }
+
+  test("saltedJoin tolerates MapType fact columns and _salt name clashes") {
+    import org.apache.spark.sql.functions.{col, map, lit}
+    // fact with a MapType column (unhashable by xxhash64) AND a
+    // pre-existing "_salt" column on both sides
+    val fact = Seq((1L, "a", 7), (1L, "b", 8), (2L, "c", 9))
+      .toDF("k", "v", "_salt")
+      .withColumn("m", map(lit("x"), col("v")))
+    val dim = Seq((1L, "one", 7), (2L, "two", 9)).toDF("k", "name", "_salt")
+    val got = relational.saltedJoin(fact.drop("_salt"), dim, Seq("k"), salts = 4)
+    val want = fact.drop("_salt").join(dim, Seq("k"))
+    assert(got.collect().map(_.toSeq).toSet === want.collect().map(_.toSeq).toSet)
+    // with the clash on BOTH inputs the user columns must survive intact
+    val got2 = relational.saltedJoin(fact, dim, Seq("k", "_salt"), salts = 2)
+    val want2 = fact.join(dim, Seq("k", "_salt"))
+    assert(got2.collect().map(_.toSeq).toSet === want2.collect().map(_.toSeq).toSet)
+  }
+
+  private def funnelEvents(rows: (Long, String, Long)*) =
+    rows.toSeq.toDF("uid", "etype", "ms")
+
+  test("funnel: 2-step matches the hand-built join formulation") {
+    val ev = funnelEvents(
+      (1L, "signup", 1000L), (1L, "purchase", 2000L),
+      (2L, "signup", 1000L), (2L, "purchase", 5000L), // outside window
+      (3L, "purchase", 500L), (3L, "signup", 1000L), // purchase BEFORE signup
+      (4L, "signup", 0L), (4L, "signup", 100L), (4L, "purchase", 150L))
+    val got = relational.funnel(ev, "uid", "etype", "ms",
+        Seq("signup", "purchase"), Seq(1000L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 1000L, 2000L), (4L, 0L, 150L), (4L, 100L, 150L)))
+  }
+
+  test("funnel: EXISTS semantics — greedy-earliest would miss this chain") {
+    // A@0; B@1 and B@50; C@55. Windows: B within 100 of A, C within 10
+    // of B. Greedy picks B@1 → C window (1,11] → miss; the valid chain
+    // goes through B@50 → C@55. EXISTS must find it.
+    val ev = funnelEvents(
+      (1L, "A", 0L), (1L, "B", 1L), (1L, "B", 50L), (1L, "C", 55L))
+    val got = relational.funnel(ev, "uid", "etype", "ms",
+        Seq("A", "B", "C"), Seq(100L, 10L)).collect()
+    assert(got.length === 1)
+    assert((got(0).getLong(0), got(0).getLong(1), got(0).getLong(2))
+      === ((1L, 0L, 55L)))
+  }
+
+  test("funnel: 3-step chains, strict ordering, per-step windows") {
+    val ev = funnelEvents(
+      // completes: view@0 → cart@10 → buy@15
+      (1L, "view", 0L), (1L, "cart", 10L), (1L, "buy", 15L),
+      // step-2 event equals step-1 time → NOT strictly after → incomplete
+      (2L, "view", 0L), (2L, "cart", 0L), (2L, "buy", 5L),
+      // completes only for the SECOND view start
+      (3L, "view", 0L), (3L, "view", 90L), (3L, "cart", 100L), (3L, "buy", 105L),
+      // cart in window, buy outside its window
+      (4L, "view", 0L), (4L, "cart", 10L), (4L, "buy", 500L))
+    val got = relational.funnel(ev, "uid", "etype", "ms",
+        Seq("view", "cart", "buy"), Seq(20L, 10L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 0L, 15L), (3L, 90L, 105L)))
+  }
+
+  test("funnel: plan is id-equi joins, never a nested loop") {
+    val ev = funnelEvents((1L, "a", 0L), (1L, "b", 1L), (1L, "c", 2L))
+    val p = relational.funnel(ev, "uid", "etype", "ms",
+      Seq("a", "b", "c"), Seq(10L, 10L)).queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
 }

@@ -136,6 +136,26 @@ class PipelineSpec extends SparkSuite {
     assert(spark.read.parquet(p.stageDir("extract", "f5")).count() === 1)
   }
 
+  test("asyncPre fires before the stage without stalling or mutating it") {
+    val root = tmp()
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val st = Stage("extract", identity,
+      asyncPre = Seq(
+        (pk, stage) => { seen.synchronized { seen += ((pk, stage)) }; release.await() },
+        (_, _) => throw new RuntimeException("boom")))
+    val p = Pipeline("apre", Seq(st), root)
+    // the first pre-proc BLOCKS until released — run() must complete
+    // anyway (fire-and-forget: the chain never awaits async pre-procs)
+    val out = p.run(spark, Seq((1L, "x"), (2L, "y")).toDF("id", "v"), "f6")
+    assert(out.count() === 2) // frame untouched by notification hooks
+    release.countDown()
+    p.awaitCommitHooks()
+    assert(seen.synchronized(seen.toSeq) === Seq(("f6", "extract")))
+    // the throwing pre-proc stayed contained; the stage file committed
+    assert(spark.read.parquet(p.stageDir("extract", "f6")).count() === 2)
+  }
+
   test("landing zone: admission rules + dated hashed layout (A1/A2)") {
     import graft.io.{Landing, LandingConfig, UploadRejectedException}
     val root = tmp()
@@ -156,6 +176,7 @@ class PipelineSpec extends SparkSuite {
     intercept[UploadRejectedException] {
       Landing.land(src, root, "users", gated, uploaderRole = Some(1))
     }
+    Landing.land(src, root, "users", gated, uploaderRole = Some(2)) // ≥ is inclusive
     Landing.land(src, root, "users", gated, uploaderRole = Some(3))
     Landing.land(src, root, "users", gated) // roles-unimplemented: warn-and-allow
   }
