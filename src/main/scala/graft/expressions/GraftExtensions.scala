@@ -49,6 +49,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       KmvDistinctAgg.info, KmvDistinctAgg.builder))
     e.injectFunction((FunctionIdentifier("graft_media_header"),
       MediaHeaderExpr.info, MediaHeaderExpr.builder))
+    e.injectFunction((FunctionIdentifier("graft_nfc"),
+      NfcNormalize.info, NfcNormalize.builder))
   }
 }
 
@@ -90,5 +92,7 @@ object NativeFunctions {
       "graft_kmv", KmvDistinctAgg.builder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_media_header", MediaHeaderExpr.builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nfc", NfcNormalize.builder, "built-in")
   }
 }

@@ -139,6 +139,29 @@ object TextAnalysis {
       regexp_replace(c, lit(EmailPattern), lit("<EMAIL>")),
       lit(CardPattern), lit("<CARD>"))
 
+  /** HTML stripping (web-scrape cleaning): remove tags, unescape the
+    * five XML entities, collapse whitespace, trim. Tag regex is
+    * RE2-compatible (`<[^>]+>` — no lookahead/backrefs) so the same
+    * pattern runs in any engine (oracle: q85). `&amp;` decodes LAST:
+    * the escaper encoded it first, so "&amp;lt;" round-trips to "&lt;"
+    * (literal), not "<" — decode order is the difference between
+    * unescaping and double-unescaping. Map-only, codegen'd. */
+  def stripHtml(c: Column): Column = {
+    val noTags = regexp_replace(c, lit("<[^>]+>"), lit(" "))
+    val unescaped = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (col0, (e, r)) => replace(col0, lit(e), lit(r)) }
+    trim(regexp_replace(unescaped, lit("\\s+"), lit(" ")))
+  }
+
+  /** Unicode NFC normalization — native `graft_nfc` expression (Spark
+    * has no built-in; see [[graft.expressions.NfcNormalize]] for why
+    * dedup needs it and why NFC rather than NFKC). */
+  def nfc(c: Column): Column = {
+    val b = org.apache.spark.sql.GraftColumnBridge
+    b.column(graft.expressions.NfcNormalize(b.expression(c)))
+  }
+
   /** Document fingerprint: minimum SHA-256 over sliding word
     * `shingleLen`-grams — a 1-permutation MinHash usable as a cheap
     * near-dup blocking key / content fingerprint. Texts shorter than

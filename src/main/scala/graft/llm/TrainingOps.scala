@@ -146,4 +146,52 @@ object TrainingOps {
         (col("inter").cast(DoubleType) / col("probe_sz")).as("containment"))
       .filter(col("containment") >= threshold)
   }
+
+  /** Decontamination, BEYOND-BROADCAST tier: same semantics and output
+    * as [[decontaminate]] (TrainingOpsSpec pins exact parity), for the
+    * regime where the probe-shingle index is too large to broadcast
+    * (a full eval registry at 100 TB). The join becomes a SHUFFLE
+    * join — which would exchange every corpus shingle — so a Bloom
+    * filter over the probe shingles (built distributed via
+    * treeAggregate, O(filter bits) on the driver regardless of probe
+    * count) pre-filters the corpus stream map-side first:
+    * corpus-side exchange volume drops to matching shingles + the fpp
+    * tail. False positives are eliminated by the exact join; the
+    * answer is identical, only the wire volume changes.
+    *
+    * Inserts and probes both use UTF-8 bytes (the probe path is the
+    * native `graft_bloom_contains` expression, inside codegen). */
+  def decontaminateBloom(corpus: DataFrame, probes: DataFrame,
+      corpusId: String, probeId: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.5,
+      fpp: Double = 0.01): DataFrame = {
+    val cEx = corpus.select(col(corpusId).as("corpus_id"),
+      explode(Dedup.shingles(col(textCol), shingleN)).as("g"))
+    val pEx = probes.select(col(probeId).as("probe_id"),
+        Dedup.shingles(col(textCol), shingleN).as("psh"))
+      .select(col("probe_id"), size(col("psh")).as("probe_sz"),
+        explode(col("psh")).as("g"))
+    // Build the filter over DISTINCT probe shingles, distributed; two
+    // probe-side passes (count sizes the filter, then the aggregate)
+    // are fine — the probe side is the small side by definition, and
+    // only the fixed-size filter ever reaches the driver.
+    val pg = pEx.select("g").distinct()
+    val expected = math.max(1000L, pg.count())
+    val bf = pg.rdd.map(_.getString(0)).treeAggregate(
+      org.apache.spark.util.sketch.BloomFilter.create(expected, fpp))(
+      (f, s) => { f.putBinary(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)); f },
+      (a, b) => { a.mergeInPlace(b); a })
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val b = org.apache.spark.sql.GraftColumnBridge
+    val contains = b.column(graft.expressions.BloomContains(
+      b.expression(col("g")), bos.toByteArray))
+    cEx.filter(contains)
+      .join(pEx, Seq("g")) // shuffle join: the beyond-broadcast path
+      .groupBy("corpus_id", "probe_id", "probe_sz")
+      .agg(count(lit(1)).as("inter"))
+      .select(col("corpus_id"), col("probe_id"),
+        (col("inter").cast(DoubleType) / col("probe_sz")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
 }

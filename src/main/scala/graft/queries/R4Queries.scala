@@ -66,7 +66,39 @@ object R4Queries {
           "pk", "payload")
         .select(col("id"), col("format"), col("width"), col("height"))
         .orderBy("id")
-    }))
+    }),
+
+    // [EXT] decontamination, beyond-broadcast tier: Bloom pre-filter
+    // (probe shingles, built distributed) + shuffle join. Same values
+    // as q53's broadcast tier — same oracle SQL — different wire
+    // shape for the regime where the probe index can't broadcast.
+    "q85_decontam_bloom" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      graft.llm.TrainingOps.decontaminateBloom(docs,
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "doc_id", "text", shingleN = 3, threshold = 0.5)
+        .orderBy("corpus_id", "probe_id")
+    }),
+
+    // [EXT] HTML stripping (web-scrape cleaning): deterministic HTML
+    // wrapper built around each doc, then tag-strip + entity-unescape
+    // + whitespace-collapse — RE2-compatible patterns, same pass order
+    // in the oracle.
+    "q86_html_strip" -> ((s, d) =>
+      T.documents(s, d)
+        .select(col("doc_id"), graft.llm.TextAnalysis.stripHtml(
+          concat(lit("<div class=\"doc\"><p>"), col("text"),
+            lit("</p>&amp; footer &lt;tag&gt;</div>"))).as("clean"))
+        .orderBy("doc_id")),
+
+    // [EXT] Unicode NFC normalization via the native graft_nfc
+    // expression; decomposed "e"+U+0301 composes to "é" in both
+    // engines (DuckDB: nfc_normalize).
+    "q87_nfc_normalize" -> ((s, d) =>
+      T.part(s, d)
+        .select(col("p_partkey"), graft.llm.TextAnalysis.nfc(
+          concat(col("p_name"), lit(" café"))).as("norm"))
+        .orderBy("p_partkey")))
 
   val oracleSql: Map[String, String] = Map(
     "q82_kmv_sketch" ->
@@ -106,5 +138,35 @@ object R4Queries {
       """SELECT p_partkey AS id, 'gif' AS format,
         |  CAST(p_partkey % 300 + 1 AS INT) AS width,
         |  CAST(p_partkey % 200 + 1 AS INT) AS height
-        |FROM part ORDER BY id""".stripMargin)
+        |FROM part ORDER BY id""".stripMargin,
+    // identical semantics to q53 — the tiers must agree exactly
+    "q85_decontam_bloom" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 1)),
+        |      i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' '))) AS sh
+        |  FROM documents),
+        |p AS (SELECT doc_id AS probe_id, sh AS psh, len(sh) AS probe_sz
+        |      FROM sh WHERE doc_id % 97 = 0)
+        |SELECT c.doc_id AS corpus_id, p.probe_id,
+        |       CAST(len(list_intersect(c.sh, p.psh)) AS DOUBLE) / p.probe_sz
+        |         AS containment
+        |FROM sh c CROSS JOIN p
+        |WHERE CAST(len(list_intersect(c.sh, p.psh)) AS DOUBLE) / p.probe_sz >= 0.5
+        |ORDER BY corpus_id, probe_id""".stripMargin,
+    "q86_html_strip" ->
+      """SELECT doc_id, trim(regexp_replace(
+        |  replace(replace(replace(replace(replace(
+        |    regexp_replace('<div class="doc"><p>' || text
+        |        || '</p>&amp; footer &lt;tag&gt;</div>',
+        |      '<[^>]+>', ' ', 'g'),
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |    '&amp;', '&'),
+        |  '\s+', ' ', 'g')) AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q87_nfc_normalize" ->
+      """SELECT p_partkey,
+        |  nfc_normalize(p_name || ' cafe' || chr(769)) AS norm
+        |FROM part ORDER BY p_partkey""".stripMargin)
 }

@@ -87,4 +87,32 @@ class TextAnalysisSpec extends SparkSuite {
     assert(scrub("x@y.io and z@w.co!") === "<EMAIL> and <EMAIL>!")
     assert(scrub("no pii here 1234-56") === "no pii here 1234-56")
   }
+
+  test("stripHtml: tags gone, entities decoded once, whitespace collapsed") {
+    def strip(t: String): String =
+      Seq(t).toDF("t").select(TextAnalysis.stripHtml(col("t")))
+        .collect()(0).getString(0)
+    assert(strip("<p>hello <b>world</b></p>") === "hello world")
+    assert(strip("a &lt;tag&gt; &amp; &quot;q&quot; &#39;s&#39;")
+      === "a <tag> & \"q\" 's'")
+    // single decode only: "&amp;lt;" is the ESCAPED text "&lt;" —
+    // must not double-decode to "<"
+    assert(strip("x &amp;lt; y") === "x &lt; y")
+    assert(strip("  <div>\n  spaced\tout  </div>  ") === "spaced out")
+    assert(strip("<a href=\"u\">link</a>text") === "link text")
+  }
+
+  test("nfc: composes decomposed sequences, identity on normalized text") {
+    def nfc(t: String): String =
+      Seq(t).toDF("t").select(TextAnalysis.nfc(col("t")))
+        .collect()(0).getString(0)
+    assert(nfc("café") === "café") // e + combining acute → é
+    assert(nfc("café") === "café") // already NFC: unchanged
+    assert(nfc("Å") === "Å") // A + ring → Å
+    assert(nfc("plain ascii 123") === "plain ascii 123")
+    // null propagates
+    val r = Seq(Option.empty[String]).toDF("t")
+      .select(TextAnalysis.nfc(col("t"))).collect()(0)
+    assert(r.isNullAt(0))
+  }
 }

@@ -64,6 +64,28 @@ class TrainingOpsSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
   }
 
+  test("decontaminateBloom: exact parity with the broadcast tier") {
+    // enough docs that the bloom filter actually prunes something, and
+    // a threshold low enough to produce partial-containment rows
+    val corpus = (1 to 60).map(i =>
+      (i.toLong, s"filler number $i plus the shared secret benchmark phrase " +
+        (if (i % 3 == 0) "appears here verbatim" else s"does not $i"))).toSeq
+      .toDF("id", "text").repartition(4)
+    val probes = Seq(
+      (100L, "the shared secret benchmark phrase appears here verbatim"),
+      (200L, "totally absent probe content nothing matches this"))
+      .toDF("id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("corpus_id"),
+        r.getAs[Long]("probe_id"), r.getAs[Double]("containment"))).toSet
+    val exact = rows(TrainingOps.decontaminate(corpus, probes,
+      "id", "id", "text", shingleN = 3, threshold = 0.2))
+    val bloom = rows(TrainingOps.decontaminateBloom(corpus, probes,
+      "id", "id", "text", shingleN = 3, threshold = 0.2))
+    assert(exact.nonEmpty) // fixture sanity: parity of ∅ proves nothing
+    assert(bloom === exact)
+  }
+
   test("chunkByTokens: coverage, overlap, ragged tail, single-chunk docs") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
