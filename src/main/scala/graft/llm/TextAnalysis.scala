@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -160,6 +160,42 @@ object TextAnalysis {
   def nfc(c: Column): Column = {
     val b = org.apache.spark.sql.GraftColumnBridge
     b.column(graft.expressions.NfcNormalize(b.expression(c)))
+  }
+
+  /** Corpus-relative unigram log-probability score — the cheap
+    * perplexity-style quality filter of a training pipeline (documents
+    * whose tokens are improbable under the corpus's own unigram model
+    * are disproportionately mojibake, boilerplate, or wrong-language).
+    *
+    * Two passes: (1) token counts → top-`vocabSize` vocabulary by
+    * (count desc, term) via orderBy+limit — a TakeOrdered, O(V) to the
+    * driver, never a global single-partition rank window; (2) tokens
+    * LEFT-join the BROADCAST vocab; out-of-vocabulary tokens take an
+    * add-half floor (ln(0.5/total)). Per-token log-probs land in
+    * integer MICRO-units (round(ln·10⁶)) so the per-doc sum is exact
+    * in any aggregation order — the q66 micropoint trick; a raw double
+    * sum would be order-dependent and never hash-stable.
+    *
+    * Output: (doc_id, n_tokens, sum_logprob_micro, avg_logprob). */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 1000): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val tok = df.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val counts = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("total"))
+    val vocab = counts.orderBy(col("cnt").desc, col("term")).limit(vocabSize)
+    tok.join(broadcast(vocab), Seq("term"), "left")
+      .join(broadcast(total))
+      .withColumn("_micro",
+        coalesce(
+          round(log(col("cnt").cast(DoubleType) / col("total")) * 1e6),
+          round(log(lit(0.5) / col("total")) * 1e6)).cast(LongType))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("_micro")).as("sum_logprob_micro"))
+      .withColumn("avg_logprob",
+        round(col("sum_logprob_micro") / 1e6 / col("n_tokens"), 4))
   }
 
   /** Document fingerprint: minimum SHA-256 over sliding word

@@ -98,7 +98,24 @@ object R4Queries {
       T.part(s, d)
         .select(col("p_partkey"), graft.llm.TextAnalysis.nfc(
           concat(col("p_name"), lit(" café"))).as("norm"))
-        .orderBy("p_partkey")))
+        .orderBy("p_partkey")),
+
+    // [EXT] int8 embedding quantization: symmetric per-vector scale in
+    // exact micro-units, one row per element — the 4× storage cut of
+    // an embedding store; map-only until the final deterministic sort.
+    "q88_embedding_quantize" -> ((s, d) =>
+      graft.llm.Embeddings.quantizeInt8(
+          T.embeddings(s, d).filter(col("vec_id") < 256),
+          "vec_id", "embedding")
+        .orderBy("vec_id", "idx")),
+
+    // [EXT] unigram log-prob quality score (perplexity-lite filter):
+    // top-V vocab via TakeOrdered + broadcast, OOV add-half floor,
+    // exact micropoint sums (order-independent ⇒ hash-stable).
+    "q89_unigram_logprob" -> ((s, d) =>
+      graft.llm.TextAnalysis.unigramLogProb(
+          T.documents(s, d), "doc_id", "text", vocabSize = 1000)
+        .orderBy("doc_id")))
 
   val oracleSql: Map[String, String] = Map(
     "q82_kmv_sketch" ->
@@ -168,5 +185,38 @@ object R4Queries {
     "q87_nfc_normalize" ->
       """SELECT p_partkey,
         |  nfc_normalize(p_name || ' cafe' || chr(769)) AS norm
-        |FROM part ORDER BY p_partkey""".stripMargin)
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q88_embedding_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id < 256),
+        |s AS (SELECT vec_id, v,
+        |        CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+        |             THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+        |             ELSE 0.0 END AS scale
+        |      FROM v),
+        |e AS (SELECT vec_id, scale,
+        |        unnest(list_transform(v, x -> round(x * scale))) AS q,
+        |        unnest(generate_series(0, len(v) - 1)) AS idx
+        |      FROM s)
+        |SELECT vec_id, CAST(idx AS INT) AS idx,
+        |       CAST(least(127, greatest(-127, q)) AS INT) AS qval,
+        |       CAST(round(scale * 1e6) AS BIGINT) AS scale_micro
+        |FROM e ORDER BY vec_id, idx""".stripMargin,
+    "q89_unigram_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |c AS (SELECT term, count(*) AS cnt FROM tok GROUP BY 1),
+        |t AS (SELECT sum(cnt) AS total FROM c),
+        |v AS (SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 1000),
+        |m AS (SELECT tok.doc_id,
+        |        coalesce(
+        |          CAST(round(ln(CAST(v.cnt AS DOUBLE) / total) * 1e6) AS BIGINT),
+        |          CAST(round(ln(0.5 / total) * 1e6) AS BIGINT)) AS micro
+        |      FROM tok LEFT JOIN v USING (term) CROSS JOIN t)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       CAST(sum(micro) AS BIGINT) AS sum_logprob_micro,
+        |       round(sum(micro) / 1e6 / count(*), 4) AS avg_logprob
+        |FROM m GROUP BY 1 ORDER BY doc_id""".stripMargin)
 }

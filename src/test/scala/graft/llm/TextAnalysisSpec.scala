@@ -115,4 +115,27 @@ class TextAnalysisSpec extends SparkSuite {
       .select(TextAnalysis.nfc(col("t"))).collect()(0)
     assert(r.isNullAt(0))
   }
+
+  test("unigramLogProb: exact micropoint sums, OOV floor, vocab cutoff") {
+    // vocab limit 2 keeps {"the" (4), "cat" (2)}; "dog"/"sat" are OOV
+    val docs = Seq(
+      (1L, "the cat the cat"),     // all in-vocab
+      (2L, "the dog sat"),         // two OOV tokens
+      (3L, "the")).toDF("id", "text")
+    val out = TextAnalysis.unigramLogProb(docs, "id", "text", vocabSize = 2)
+      .orderBy("doc_id").collect()
+    val total = 8.0 // tokens overall
+    def micro(p: Double) = math.round(math.log(p) * 1e6)
+    val theM = micro(4 / total); val catM = micro(2 / total)
+    val oovM = micro(0.5 / total)
+    assert(out(0).getAs[Long]("n_tokens") === 4L)
+    assert(out(0).getAs[Long]("sum_logprob_micro") === 2 * theM + 2 * catM)
+    assert(out(1).getAs[Long]("sum_logprob_micro") === theM + 2 * oovM)
+    assert(out(2).getAs[Long]("sum_logprob_micro") === theM)
+    // avg = sum / 1e6 / n rounded to 4 — exact integer inputs
+    assert(out(2).getAs[Double]("avg_logprob")
+      === BigDecimal(theM / 1e6).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // the corpus-frequent doc scores higher than the OOV-heavy one
+    assert(out(0).getAs[Double]("avg_logprob") > out(1).getAs[Double]("avg_logprob"))
+  }
 }
