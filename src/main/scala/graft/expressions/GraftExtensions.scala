@@ -51,6 +51,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       MediaHeaderExpr.info, MediaHeaderExpr.builder))
     e.injectFunction((FunctionIdentifier("graft_nfc"),
       NfcNormalize.info, NfcNormalize.builder))
+    e.injectFunction((FunctionIdentifier("graft_ksample"),
+      KSampleAgg.info, KSampleAgg.builder))
   }
 }
 
@@ -94,5 +96,7 @@ object NativeFunctions {
       "graft_media_header", MediaHeaderExpr.builder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_nfc", NfcNormalize.builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ksample", KSampleAgg.builder, "built-in")
   }
 }

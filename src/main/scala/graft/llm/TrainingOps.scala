@@ -118,6 +118,34 @@ object TrainingOps {
       .drop("_toks")
   }
 
+  /** Deterministic stratified sample: exactly min(k, distinct ids) rows
+    * per group — the ids carried by the k SMALLEST salted-SHA hashes,
+    * via the bounded-state `graft_ksample` aggregate. Uniform (SHA
+    * spreads ids evenly), rerun/partitioning/engine-stable (rand()
+    * reservoirs are none of those), and hot-stratum-safe: per-group
+    * state is ≤ k entries through partial/merge/final, where the
+    * relational rank-window spec (q90's oracle) would buffer the
+    * group's whole row set in one task. Output: (groupCols..., rank,
+    * idCol-as-string), rank 1..k in hash order. */
+  def sampleKPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
+      k: Int, salt: String = "smpl"): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val idStr = col(idCol).cast(StringType)
+    val h = expr(
+      s"cast(conv(substr(sha2(concat('$salt', cast(`$idCol` as string)), " +
+        "256), 1, 15), 16, 10) as bigint)")
+    val b = org.apache.spark.sql.GraftColumnBridge
+    val agg = b.column(graft.expressions.KSampleAgg(
+      b.expression(h), b.expression(idStr), k).toAggregateExpression())
+    val g = groupCols.map(col)
+    df.filter(col(idCol).isNotNull)
+      .groupBy(g: _*)
+      .agg(agg.as("_s"))
+      .select((g :+ posexplode(col("_s")).as(Seq("_pos", "_e"))): _*)
+      .select((g ++ Seq((col("_pos") + 1).cast(IntegerType).as("rank"),
+        col("_e.v").as(idCol))): _*)
+  }
+
   /** Benchmark decontamination: for each corpus document, the n-gram
     * CONTAINMENT of each probe (eval/benchmark) document —
     * |shingles(corpus) ∩ shingles(probe)| / |shingles(probe)| — kept

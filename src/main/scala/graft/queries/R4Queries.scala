@@ -115,7 +115,16 @@ object R4Queries {
     "q89_unigram_logprob" -> ((s, d) =>
       graft.llm.TextAnalysis.unigramLogProb(
           T.documents(s, d), "doc_id", "text", vocabSize = 1000)
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // [EXT] deterministic stratified sample: 5 users per event type as
+    // the k smallest salted-SHA hashes, via the bounded-state
+    // graft_ksample aggregate (the relational rank-window form is the
+    // oracle — it would buffer a hot stratum in one task at scale).
+    "q90_group_sample" -> ((s, d) =>
+      graft.llm.TrainingOps.sampleKPerGroup(
+          T.events(s, d), Seq("event_type"), "user_id", k = 5)
+        .orderBy("event_type", "rank")))
 
   val oracleSql: Map[String, String] = Map(
     "q82_kmv_sketch" ->
@@ -218,5 +227,17 @@ object R4Queries {
         |SELECT doc_id, count(*) AS n_tokens,
         |       CAST(sum(micro) AS BIGINT) AS sum_logprob_micro,
         |       round(sum(micro) / 1e6 / count(*), 4) AS avg_logprob
-        |FROM m GROUP BY 1 ORDER BY doc_id""".stripMargin)
+        |FROM m GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q90_group_sample" ->
+      """WITH d AS (
+        |  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS uid
+        |  FROM events WHERE user_id IS NOT NULL),
+        |h AS (SELECT event_type, uid,
+        |        ('0x' || substr(sha256('smpl' || uid), 1, 15))::BIGINT AS h
+        |      FROM d),
+        |r AS (SELECT event_type, uid,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY h, uid) AS rn
+        |      FROM h)
+        |SELECT event_type, CAST(rn AS INT) AS rank, uid AS user_id
+        |FROM r WHERE rn <= 5 ORDER BY event_type, rank""".stripMargin)
 }

@@ -64,6 +64,34 @@ class TrainingOpsSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
   }
 
+  test("sampleKPerGroup: bounded-state tier ≡ relational rank spec") {
+    import org.apache.spark.sql.expressions.Window
+    // one hot group (5000 rows over 900 distinct ids) + one tiny group
+    val rows = (1 to 5000).map(i => ("hot", (i % 900).toLong)) ++
+      (1 to 3).map(i => ("tiny", i.toLong))
+    val df = rows.toDF("g", "uid").repartition(8)
+    val got = TrainingOps.sampleKPerGroup(df, Seq("g"), "uid", k = 10)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    // relational spec: k smallest salted hashes per group over distinct ids
+    val h = expr("cast(conv(substr(sha2(concat('smpl', cast(uid as string)), " +
+      "256), 1, 15), 16, 10) as bigint)")
+    val want = df.select(col("g"), col("uid").cast("string").as("uid"))
+      .distinct()
+      .withColumn("_h", h)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("g").orderBy(col("_h"), col("uid"))))
+      .filter(col("rank") <= 10)
+      .drop("_h")
+      .collect().map(r => (r.getString(0), r.getInt(2), r.getString(1))).toSet
+    assert(got === want)
+    assert(got.count(_._1 == "hot") === 10) // exactly k from the hot stratum
+    assert(got.count(_._1 == "tiny") === 3) // min(k, |group|) from the small one
+    // determinism under a different partitioning
+    val again = TrainingOps.sampleKPerGroup(df.repartition(3), Seq("g"), "uid", 10)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(again === got)
+  }
+
   test("decontaminateBloom: exact parity with the broadcast tier") {
     // enough docs that the bloom filter actually prunes something, and
     // a threshold low enough to produce partial-containment rows
