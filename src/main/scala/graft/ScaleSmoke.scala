@@ -93,6 +93,16 @@ object ScaleSmoke {
           terms = Seq("boilerplate", "w17"), k = 100)),
       timed("norm_dedup_keep_best",
         Dedup.normalizedKeepBest(docs, "id", "text", length(col("text")))),
+      // mass-duplication hot key: HALF the corpus is one byte-identical
+      // boilerplate page, so one content_hash group has n/2 members —
+      // the window formulation would sort 500k full rows in one task;
+      // the min_by aggregate must complete with bounded state.
+      timed("keep_best_hot",
+        Dedup.normalizedKeepBest(
+          docs.withColumn("text", when(col("id") % 2 === 0,
+              lit("the exact same boilerplate page body all rights reserved"))
+            .otherwise(col("text"))),
+          "id", "text", length(col("text")))),
       timed("keyword_search",
         graft.llm.Search.keywordSearch(docs, "id", "text",
           terms = Seq("w17", "w4242", "w999"), k = 100)),

@@ -219,23 +219,30 @@ object Dedup {
     * the standard first dedup pass of a training-data pipeline (cheap,
     * exact, removes the bulk) run before MinHash/SimHash near-dup.
     *
-    * One hash-shuffle on the 64-hex content key; the per-key sort is a
-    * window over groups whose size = duplicate multiplicity (tiny), so
-    * the plan survives 100× data with no skew beyond genuinely
-    * mass-duplicated content. */
+    * BOUNDED STATE, not a window: the corpora this pass exists for
+    * contain boilerplate pages duplicated 10⁶-10⁸×, and a
+    * `row_number().over(partitionBy(content_hash))` would land such a
+    * document's ENTIRE group — full rows, text payload included — in
+    * one task (the q59/q66 scale-killer shape). Instead one
+    * `min_by` + `count` aggregate per content key: partial aggregation
+    * combines map-side, so the shuffle carries ONE winner candidate
+    * and one count per map partition per key, never the group. The
+    * ordering key `(quality IS NULL, -quality, id)` under min is
+    * exactly the window's `ORDER BY quality DESC, id ASC` (null
+    * quality last, as `desc` defaults to nulls-last) and is total
+    * because ids are unique, so the pick is deterministic.
+    * `qualityCol` must be numeric (it is negated); every quality
+    * score in this library is. */
   def normalizedKeepBest(df: DataFrame, idCol: String, textCol: String,
       qualityCol: Column): DataFrame = {
     val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
     val withKey = df.withColumn("content_hash", sha2(norm, 256))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("content_hash"))
-      .orderBy(qualityCol.desc, col(idCol))
+    val ord = struct(qualityCol.isNull, qualityCol * lit(-1), col(idCol))
     withKey
-      .withColumn("_rn", row_number().over(w))
-      .withColumn("n_dupes", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("content_hash"))))
-      .filter(col("_rn") === 1)
-      .drop("_rn")
+      .groupBy(col("content_hash").as("_ch"))
+      .agg(min_by(struct(withKey.columns.map(col): _*), ord).as("_best"),
+        count(lit(1)).as("n_dupes"))
+      .select(col("_best.*"), col("n_dupes"))
   }
 
   /** Connected components over a near-duplicate PAIR list — the step

@@ -63,7 +63,13 @@ object Sketches {
     require(k >= 2, "k must be at least 2")
     val h = kmvHash(valueCol)
     val g = groupCols.map(col)
-    val dist = df.select((g :+ h.as("h")): _*).distinct()
+    // NULL values are not distinct elements: the sketch tier's
+    // update() skips nulls, so this spec tier must too — otherwise a
+    // null in valueCol hashes to h=NULL, ranks first (NULLS FIRST in
+    // the ascending window) and inflates exact_distinct/n_kept,
+    // breaking the bit-equal-tiers invariant.
+    val dist = df.select((g :+ h.as("h")): _*)
+      .filter(col("h").isNotNull).distinct()
     val w = Window.partitionBy(g: _*).orderBy(col("h"))
     dist
       .withColumn("_rn", row_number().over(w))
@@ -96,6 +102,11 @@ object Sketches {
     val sk = bridge.column(graft.expressions.KmvDistinctAgg(
       bridge.expression(col("_kmv_h")), k).toAggregateExpression())
     df.select((g :+ kmvHash(valueCol).as("_kmv_h")): _*)
+      // mirror of the relational tier's null filter: NULL values are
+      // not distinct elements, and a group with ONLY nulls drops from
+      // both tiers (the agg skips nulls anyway — this pre-filter keeps
+      // group-existence semantics identical).
+      .filter(col("_kmv_h").isNotNull)
       .groupBy(g: _*)
       .agg(sk.as("_sk"))
       .select((g ++ Seq(

@@ -131,7 +131,7 @@ object R4Queries {
       """WITH dist AS (
         |  SELECT DISTINCT event_type,
         |    ('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
-        |  FROM events),
+        |  FROM events WHERE user_id IS NOT NULL),
         |r AS (SELECT event_type, h,
         |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
         |      FROM dist),

@@ -273,4 +273,17 @@ class DedupSpec extends SparkSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(kept === Map(2L -> 3L, 4L -> 1L))
   }
+
+  test("normalizedKeepBest: null quality loses to any value; all-null keeps min id") {
+    val df = Seq(
+      (1L, "dup text", Option(5)),
+      (2L, "dup  TEXT", None),      // null quality ⇒ non-null row 1 wins
+      (3L, "only nulls", None),
+      (4L, "ONLY  nulls", None)     // all-null group ⇒ min id 3 wins
+    ).toDF("id", "text", "q")
+    val kept = Dedup.normalizedKeepBest(df, "id", "text", col("q"))
+      .select("id", "n_dupes").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept === Map(1L -> 2L, 3L -> 2L))
+  }
 }

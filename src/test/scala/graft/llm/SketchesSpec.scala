@@ -52,8 +52,13 @@ class SketchesSpec extends SparkSuite {
     // both regimes in one frame: a group below k (exact path) and a
     // group far above k (estimator path), multi-partition so the
     // sketch's partial/merge/final chain actually exercises merges
-    val rows = (1 to 40).map(i => ("small", i.toLong)) ++
-      (1 to 5000).flatMap(i => Seq(("big", i.toLong), ("big", i.toLong)))
+    val rows: Seq[(String, Option[Long])] =
+      (1 to 40).map(i => ("small", Option(i.toLong))) ++
+      (1 to 5000).flatMap(i =>
+        Seq(("big", Option(i.toLong)), ("big", Option(i.toLong)))) ++
+      // null values must not count as distinct elements in EITHER tier,
+      // and a group with only nulls must drop from both
+      Seq(("small", None), ("small", None), ("allnull", None))
     val df = rows.toDF("g", "v").repartition(8)
     val rel = Sketches.kmvDistinct(df, Seq("g"), "v", k = 64)
       .select("g", "n_kept", "kmv_est")
@@ -65,16 +70,20 @@ class SketchesSpec extends SparkSuite {
     // BIT-equal, not approximately equal: same hash space, same k-min
     // set, same estimator arithmetic — the tiers are interchangeable
     assert(sk === rel)
+    assert(!sk.contains("allnull") && sk("small") === ((40L, 40.0)))
   }
 
-  test("kmvDistinctSketch: nulls skipped, empty-input group handling") {
+  test("kmvDistinctSketch: nulls skipped, all-null group drops (both tiers)") {
     val df = Seq(("g1", Some(1L)), ("g1", Some(2L)), ("g1", None),
       ("g2", None)).toDF("g", "v")
-    val out = Sketches.kmvDistinctSketch(df, Seq("g"), "v", k = 8)
-      .collect().map(r => r.getString(0) ->
-        (r.getAs[Long]("n_kept"), r.getAs[Double]("kmv_est"))).toMap
-    assert(out("g1") === ((2L, 2.0)))
-    assert(out("g2") === ((0L, 0.0))) // all-null group: empty sketch
+    def run(out: org.apache.spark.sql.DataFrame) =
+      out.select("g", "n_kept", "kmv_est")
+        .collect().map(r => r.getString(0) ->
+          (r.getAs[Long]("n_kept"), r.getAs[Double]("kmv_est"))).toMap
+    val sk = run(Sketches.kmvDistinctSketch(df, Seq("g"), "v", k = 8))
+    val rel = run(Sketches.kmvDistinct(df, Seq("g"), "v", k = 8))
+    assert(sk === Map("g1" -> ((2L, 2.0))))
+    assert(rel === sk)
   }
 
   test("kmvDistinct: exact below k, bounded relative error above") {

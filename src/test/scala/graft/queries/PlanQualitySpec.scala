@@ -126,6 +126,19 @@ class PlanQualitySpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q64: keep-best dedup is a bounded aggregate, not a content_hash window") {
+    val p = plan("q64_norm_dedup")
+    // a row_number/count window partitioned by content_hash buffers a
+    // mass-duplicated document's ENTIRE group (text payload included)
+    // in one task. The safe plan is min_by+count with map-side partial
+    // combine: one winner candidate per map partition crosses the wire.
+    assert(!p.contains("Window"), p.take(1200))
+    // struct-valued min_by buffer ⇒ SortAggregate, still partial+final:
+    // the partial aggregate must sit BELOW the content_hash exchange so
+    // only one candidate per map partition crosses the wire.
+    assert(p.contains("partial_min_by"), p.take(2000))
+  }
+
   test("q62: semi/anti probes plan as hash joins, never nested loop") {
     val p = plan("q62_semi_anti")
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p.take(1200))
