@@ -89,6 +89,14 @@ object Multimodal {
     StructField("n_channels", IntegerType),
     StructField("features", ArrayType(FloatType))))
 
+  /** The media ops pass `id` through untouched, so the output id field
+    * takes the INPUT column's type — every other llm operator accepts
+    * string doc-ids and the decoders must too (a `getLong` pin would
+    * throw on them). */
+  private def withIdType(schema: StructType, df: DataFrame,
+      idCol: String): StructType =
+    StructType(StructField("id", df.schema(idCol).dataType) +: schema.tail)
+
   /** REAL image decode + feature extraction via the JDK's
     * `javax.imageio.ImageIO` (PNG/JPEG/BMP/GIF — built into the JRE,
     * no external codec library).
@@ -108,7 +116,7 @@ object Multimodal {
     val pIdx = df.schema.fieldIndex(payloadCol)
     val rdd = df.rdd.mapPartitions { rows =>
       rows.map { r =>
-        val id = r.getLong(idIdx)
+        val id = r.get(idIdx)
         val bytes = r.getAs[Array[Byte]](pIdx)
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
@@ -136,7 +144,7 @@ object Multimodal {
         }
       }
     }
-    spark.createDataFrame(rdd, ImageFeatureSchema)
+    spark.createDataFrame(rdd, withIdType(ImageFeatureSchema, df, idCol))
   }
 
   /** Schema of [[decodeAudio]]: PCM stream parameters + per-window RMS
@@ -161,7 +169,7 @@ object Multimodal {
     val pIdx = df.schema.fieldIndex(payloadCol)
     val rdd = df.rdd.mapPartitions { rows =>
       rows.map { r =>
-        val id = r.getLong(idIdx)
+        val id = r.get(idIdx)
         val samples =
           try AudioKernel.decodePcm(r.getAs[Array[Byte]](pIdx))
           catch { case _: Exception => null }
@@ -187,7 +195,7 @@ object Multimodal {
         }
       }
     }
-    spark.createDataFrame(rdd, AudioFeatureSchema)
+    spark.createDataFrame(rdd, withIdType(AudioFeatureSchema, df, idCol))
   }
 
   /** STUB image "decode": byte-level deterministic fake with the same
@@ -203,7 +211,7 @@ object Multimodal {
     val rdd = df.rdd.mapPartitions { rows =>
       // per-partition "codec init" would go here (once per task, not per row)
       rows.map { r =>
-        val id = r.getLong(idIdx)
+        val id = r.get(idIdx)
         val bytes = r.getAs[Array[Byte]](pIdx)
         val n = bytes.length
         // real decoder: [[decodeImage]]; deterministic byte-level fake below
@@ -216,7 +224,7 @@ object Multimodal {
         Row(id, width, height, 3, hist.map(_ / total).toSeq)
       }
     }
-    spark.createDataFrame(rdd, ImageFeatureSchema)
+    spark.createDataFrame(rdd, withIdType(ImageFeatureSchema, df, idCol))
   }
 
   /** STUB frame sampling for "video" payloads: split the byte stream
@@ -246,13 +254,13 @@ object Multimodal {
     val idIdx = df.schema.fieldIndex(idCol)
     val pIdx = df.schema.fieldIndex(payloadCol)
     val schema = StructType(Seq(
-      StructField("id", LongType),
+      StructField("id", df.schema(idCol).dataType),
       StructField("orig_bytes", LongType),
       StructField("payload", BinaryType),
       StructField("meta", MetaSchema)))
     val rdd = df.rdd.mapPartitions { rows =>
       rows.map { r =>
-        val id = r.getLong(idIdx)
+        val id = r.get(idIdx)
         val bytes = r.getAs[Array[Byte]](pIdx)
         // real resampler: [[resizeImage]]; deterministic stride below
         val out =
@@ -288,14 +296,14 @@ object Multimodal {
     val idIdx = df.schema.fieldIndex(idCol)
     val pIdx = df.schema.fieldIndex(payloadCol)
     val schema = StructType(Seq(
-      StructField("id", LongType),
+      StructField("id", df.schema(idCol).dataType),
       StructField("orig_width", IntegerType),
       StructField("orig_height", IntegerType),
       StructField("payload", BinaryType),
       StructField("meta", MetaSchema)))
     val rdd = df.rdd.mapPartitions { rows =>
       rows.map { r =>
-        val id = r.getLong(idIdx)
+        val id = r.get(idIdx)
         val img =
           try javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](pIdx)))

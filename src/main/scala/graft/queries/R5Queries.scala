@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** q91+: round-5 additions — the REAL media decoders under the
+  * driver's DuckDB hash gate.
+  *
+  * Pattern (same as q84's GIF header test): Spark BUILDS a media
+  * container in-plan from plain SQL byte construction — an
+  * uncompressed 24-bpp BMP (q91), a PCM-16 RIFF/WAV (q92) — runs the
+  * REAL JDK decoder (`ImageIO` / `javax.sound.sampled`) over it, and
+  * the oracle computes the expected decode output ANALYTICALLY from
+  * the same arithmetic that generated the pixels/samples. Both
+  * formats are decompressed containers, so every byte is constructible
+  * with `concat`/`transform`/`unhex` — no binary handling in the
+  * oracle, yet the decoder's pixel/sample path is value-verified
+  * end-to-end (previously scalatest-only; VERDICT r4 "What's missing"
+  * #2).
+  *
+  * Every query ends in a total ORDER BY.
+  */
+object R5Queries {
+  private val T = Tables
+
+  /** Hex of the low byte of an integral column (2 chars). */
+  private def b1(c: Column): Column =
+    lpad(hex(pmod(c.cast("long"), lit(256))), 2, "0")
+
+  /** Hex of a u32 little-endian (8 chars). */
+  private def le32(c: Column): Column =
+    concat(b1(c), b1(floor(c / 256)), b1(floor(c / 65536)),
+      b1(floor(c / 16777216)))
+
+  /** Hex of a u16 little-endian (4 chars). */
+  private def le16(c: Column): Column = concat(b1(c), b1(floor(c / 256)))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // [EXT] REAL pixel decode, value-verified: per part row build a
+    // W×H uncompressed BMP (BITMAPFILEHEADER + BITMAPINFOHEADER +
+    // bottom-up BGR rows, 4-byte-aligned) whose pixel bytes derive
+    // from (key, x, y); decode with ImageIO; emit the 16-bin BT.601
+    // luminance histogram as exact per-bin PIXEL COUNTS (the
+    // normalized float × W·H rounds back to the integer count). The
+    // oracle replays the same (key, x, y) → luma → bin arithmetic —
+    // pure integer math on both sides.
+    "q91_bmp_pixel_decode" -> ((s, d) => {
+      val k = col("p_partkey")
+      val w = pmod(k, lit(6)) + 2  // 2..7 px
+      val h = pmod(k, lit(4)) + 1  // 1..4 px
+      val rowBytes = floor((w * 3 + 3) / 4) * 4
+      val imgSize = h * rowBytes
+      // pixel (x, y): stored BGR, each channel a distinct affine hash
+      def pix(x: Column, y: Column): Column = concat(
+        b1(k * 31 + x * 17 + y * 23),   // B
+        b1(k * 7 + x * 29 + y * 13),    // G
+        b1(k * 13 + x * 11 + y * 19))   // R
+      val rowPad = lit("000000").substr(lit(1), (rowBytes - w * 3) * 2)
+      val rows = array_join(
+        transform(sequence(h - 1, lit(0), lit(-1)), y =>
+          concat(array_join(
+            transform(sequence(lit(0), w - 1), x => pix(x, y)), ""),
+            rowPad)), "")
+      val payload = unhex(concat(
+        lit("424D"), le32(imgSize + 54), lit("00000000"), le32(lit(54)),
+        le32(lit(40)), le32(w), le32(h), lit("01001800"), le32(lit(0)),
+        le32(imgSize), le32(lit(0)), le32(lit(0)), le32(lit(0)),
+        le32(lit(0)), rows))
+      // 1-in-5 subsample: per-image ImageIO reader setup dominates at
+      // bench scale; thousands of decoded images still hash-gate the
+      // pixel path and the oracle applies the same predicate.
+      val decoded = graft.llm.Multimodal.decodeImage(
+        T.part(s, d).filter(pmod(k, lit(5)) === 0)
+          .select(k.as("id"), payload.as("payload")),
+        "id", "payload")
+      decoded
+        .select(col("id"), col("width"), col("height"),
+          posexplode(col("features")).as(Seq("bin", "f")))
+        .select(col("id"), col("width"), col("height"),
+          col("bin").cast("int").as("bin"),
+          round(col("f") * col("width") * col("height"))
+            .cast("int").as("npix"))
+        .orderBy("id", "bin")
+    }),
+
+    // [EXT] REAL audio decode, value-verified: per part row build a
+    // 32-sample PCM-16 mono WAV whose samples are constant within
+    // each of decodeAudio's 8 RMS windows (amplitude a_w =
+    // (key·97 + w·131) mod 4097), so every window RMS is EXACTLY
+    // a_w/32768 in IEEE double (a_w² < 2²⁴ keeps the square exact;
+    // the mean of 4 identical values is exact; sqrt recovers a_w/2¹⁵
+    // which fits a float mantissa) — multiplying back by 2¹⁵ recovers
+    // the integer amplitude bit-exactly on both engines.
+    "q92_wav_pcm_decode" -> ((s, d) => {
+      val k = col("p_partkey")
+      val rate = lit(8000) + pmod(k, lit(1000))
+      def amp(wi: Column): Column = pmod(k * 97 + wi * 131, lit(4097))
+      val samplesHex = array_join(
+        transform(sequence(lit(0), lit(31)), i => le16(amp(floor(i / 4)))),
+        "")
+      val payload = unhex(concat(
+        lit("52494646"), le32(lit(100)), lit("57415645"),    // RIFF/WAVE
+        lit("666D7420"), le32(lit(16)), lit("01000100"),     // fmt: PCM mono
+        le32(rate), le32(rate * 2), lit("02001000"),         // rates, align, bits
+        lit("64617461"), le32(lit(64)),                      // data chunk
+        samplesHex))
+      val decoded = graft.llm.Multimodal.decodeAudio(
+        T.part(s, d).filter(pmod(k, lit(5)) === 0)
+          .select(k.as("id"), payload.as("payload")),
+        "id", "payload", windows = 8)
+      decoded
+        .select(col("id"), col("sample_rate"), col("channels"),
+          col("n_samples"), posexplode(col("energy")).as(Seq("win", "e")))
+        .select(col("id"), col("sample_rate"), col("channels"),
+          col("n_samples"), col("win").cast("int").as("win"),
+          round(col("e") * 32768).cast("int").as("amp"))
+        .orderBy("id", "win")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q91_bmp_pixel_decode" ->
+      """WITH d AS (
+        |  SELECT p_partkey AS id,
+        |    CAST(p_partkey % 6 + 2 AS INT) AS width,
+        |    CAST(p_partkey % 4 + 1 AS INT) AS height
+        |  FROM part WHERE p_partkey % 5 = 0),
+        |xs AS (SELECT id, width, height,
+        |         unnest(generate_series(0, width - 1)) AS x FROM d),
+        |xy AS (SELECT id, width, height, x,
+        |         unnest(generate_series(0, height - 1)) AS y FROM xs),
+        |px AS (
+        |  SELECT id, width, height,
+        |    ((299 * ((id * 13 + x * 11 + y * 19) % 256)
+        |      + 587 * ((id * 7 + x * 29 + y * 13) % 256)
+        |      + 114 * ((id * 31 + x * 17 + y * 23) % 256)) // 1000) // 16
+        |      AS bin
+        |  FROM xy),
+        |c AS (SELECT id, width, height, bin, count(*) AS n
+        |      FROM px GROUP BY 1, 2, 3, 4),
+        |bins AS (SELECT g.id, g.width, g.height, b.bin
+        |         FROM d g, generate_series(0, 15) AS b(bin))
+        |SELECT bins.id, bins.width, bins.height,
+        |       CAST(bins.bin AS INT) AS bin,
+        |       CAST(coalesce(c.n, 0) AS INT) AS npix
+        |FROM bins LEFT JOIN c
+        |  ON bins.id = c.id AND bins.bin = c.bin
+        |ORDER BY bins.id, bins.bin""".stripMargin,
+    "q92_wav_pcm_decode" ->
+      """SELECT p_partkey AS id,
+        |  CAST(8000 + p_partkey % 1000 AS INT) AS sample_rate,
+        |  1 AS channels, CAST(32 AS BIGINT) AS n_samples,
+        |  CAST(w AS INT) AS win,
+        |  CAST((p_partkey * 97 + w * 131) % 4097 AS INT) AS amp
+        |FROM part CROSS JOIN generate_series(0, 7) AS g(w)
+        |WHERE p_partkey % 5 = 0
+        |ORDER BY id, win""".stripMargin)
+}

@@ -12,7 +12,8 @@ class QueryInventorySpec extends SparkSuite {
       "core" -> graft.queries.CoreQueries.queries.keySet,
       "ext" -> graft.queries.ExtQueries.queries.keySet,
       "r3" -> graft.queries.R3Queries.queries.keySet,
-      "r4" -> graft.queries.R4Queries.queries.keySet)
+      "r4" -> graft.queries.R4Queries.queries.keySet,
+      "r5" -> graft.queries.R5Queries.queries.keySet)
     for {
       (an, a) <- modules
       (bn, b) <- modules if an < bn

@@ -163,6 +163,29 @@ class MultimodalSpec extends SparkSuite {
     assert(out(1).isNullAt(1) && out(1).isNullAt(4))
   }
 
+  test("media decode accepts string doc-ids like every other llm operator") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(1, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val df = Seq(("doc-a", bos.toByteArray)).toDF("doc", "payload")
+    val out = Multimodal.decodeImage(df, "doc", "payload").collect()
+    assert(out.head.getString(0) === "doc-a" && out.head.getInt(1) === 1)
+    assert(Multimodal.decodeImage(df, "doc", "payload")
+      .schema("id").dataType === org.apache.spark.sql.types.StringType)
+    // stubs and audio take the same passthrough id path
+    val audio = Multimodal.decodeAudio(
+      Seq(("doc-b", Array[Byte](1, 2, 3))).toDF("doc", "payload"),
+      "doc", "payload")
+    assert(audio.collect().head.getString(0) === "doc-b")
+    val stub = Multimodal.decodeImageStub(df, "doc", "payload")
+    assert(stub.collect().head.getString(0) === "doc-a")
+    val rs = Multimodal.resizeImageStub(df, "doc", "payload")
+    assert(rs.collect().head.getString(0) === "doc-a")
+  }
+
   test("decodeAudio: real WAV PCM decode to known window energies") {
     import spark.implicits._
     // 16-bit mono 8kHz WAV via the JDK's own writer: first half a
