@@ -10,8 +10,11 @@ import org.apache.spark.sql.functions._
   * expression-built text with planted near-duplicate structure), so
   * the harness itself has no driver bottleneck and no external input.
   *
-  * `runMain graft.ScaleSmoke [nDocs]` (default 1,000,000 ≈ 20× sf0.1's
-  * documents table).
+  * `runMain graft.ScaleSmoke [nDocs] [subset]` (default 1,000,000 ≈
+  * 20× sf0.1's documents table). `subset=hot` runs only the planted
+  * hot-key scenarios — the ones whose plans were specifically
+  * rewritten for bounded state — so they can be promoted to 10M docs
+  * without paying for the full suite at that size.
   */
 object ScaleSmoke {
 
@@ -43,6 +46,7 @@ object ScaleSmoke {
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val subset = args.lift(1).getOrElse("all")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -66,53 +70,73 @@ object ScaleSmoke {
         .otherwise(col("text"))).cache()
     hot.count()
 
-    val results = Seq(
-      timed("exact_dedup", Dedup.exactDedupByContent(docs, "text", "id")),
-      timed("minhash_lsh_candidates",
+    // half the corpus lands in ONE group — the planted hot stratum for
+    // the bounded-state per-group aggregates (ksample, kmv sketch)
+    val skewLang = when(col("id") % 2 === 0, lit("hotlang"))
+      .otherwise(col("lang"))
+
+    val scenarios: Seq[(String, () => DataFrame)] = Seq(
+      "exact_dedup" ->
+        (() => Dedup.exactDedupByContent(docs, "text", "id")),
+      "minhash_lsh_candidates" -> (() =>
         Dedup.minhashCandidates(docs, "id", "text", bands = 8, rowsPerBand = 4)),
-      timed("simhash_pairs", Dedup.simhashPairs(docs, "id", "text")),
-      timed("text_quality", docs.select(col("id"),
+      "simhash_pairs" -> (() => Dedup.simhashPairs(docs, "id", "text")),
+      "text_quality" -> (() => docs.select(col("id"),
         TA.tokenCountWs(col("text")), TA.avgWordLen(col("text")),
         TA.punctRatio(col("text")))),
-      timed("split_assign", TrainingOps.splitAssign(docs, "id",
+      "split_assign" -> (() => TrainingOps.splitAssign(docs, "id",
         Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01))),
-      timed("token_packing", TrainingOps.packByTokenBudget(docs, "lang", "id",
+      "token_packing" -> (() => TrainingOps.packByTokenBudget(docs, "lang", "id",
         TA.tokenCountWs(col("text")).cast("long"), budget = 4096)),
-      timed("repetition_stats", docs.select(col("id"),
+      "repetition_stats" -> (() => docs.select(col("id"),
         TA.repetitionStats(col("text")))),
-      timed("dup_shingle_audit",
+      "dup_shingle_audit" -> (() =>
         Dedup.dupShingleStats(docs, "id", "text", shingleN = 3)),
-      timed("kmv_distinct",
+      "kmv_distinct" -> (() =>
         graft.llm.Sketches.kmvDistinct(docs, Seq("lang"), "text", k = 256)),
-      timed("kmv_sketch",
+      "kmv_sketch" -> (() =>
         graft.llm.Sketches.kmvDistinctSketch(docs, Seq("lang"), "text", k = 256)),
-      timed("dup_shingle_audit_hot",
+      "dup_shingle_audit_hot" -> (() =>
         Dedup.dupShingleStats(hot, "id", "text", shingleN = 3)),
-      timed("keyword_search_hot",
+      "keyword_search_hot" -> (() =>
         graft.llm.Search.keywordSearch(hot, "id", "text",
           terms = Seq("boilerplate", "w17"), k = 100)),
-      timed("norm_dedup_keep_best",
+      "norm_dedup_keep_best" -> (() =>
         Dedup.normalizedKeepBest(docs, "id", "text", length(col("text")))),
       // mass-duplication hot key: HALF the corpus is one byte-identical
       // boilerplate page, so one content_hash group has n/2 members —
       // the window formulation would sort 500k full rows in one task;
       // the min_by aggregate must complete with bounded state.
-      timed("keep_best_hot",
+      "keep_best_hot" -> (() =>
         Dedup.normalizedKeepBest(
           docs.withColumn("text", when(col("id") % 2 === 0,
               lit("the exact same boilerplate page body all rights reserved"))
             .otherwise(col("text"))),
           "id", "text", length(col("text")))),
-      timed("keyword_search",
+      // k-per-group sample and KMV sketch against a group holding HALF
+      // the corpus: per-group state must stay ≤k / k-longs regardless
+      "ksample_hot" -> (() =>
+        TrainingOps.sampleKPerGroup(docs.withColumn("lang", skewLang),
+          Seq("lang"), "id", k = 100)),
+      "kmv_sketch_hot" -> (() =>
+        graft.llm.Sketches.kmvDistinctSketch(
+          docs.withColumn("lang", skewLang), Seq("lang"), "text", k = 256)),
+      "keyword_search" -> (() =>
         graft.llm.Search.keywordSearch(docs, "id", "text",
           terms = Seq("w17", "w4242", "w999"), k = 100)),
       // clustering over the planted near-dup pairs: every 10th doc pairs
       // with its predecessor ⇒ ~n/10 components of size 2 (diameter 1,
       // so the round count exercises the convergence machinery, not
       // deep propagation — deep chains are DedupSpec's job)
-      timed("dedup_clusters", Dedup.connectedComponents(
+      "dedup_clusters" -> (() => Dedup.connectedComponents(
         docs.filter(col("id") % 10 === 0)
           .select(col("id").as("doc_a"), (col("id") - 1).as("doc_b")))))
+
+    val hotSet = Set("dup_shingle_audit_hot", "keyword_search_hot",
+      "keep_best_hot", "ksample_hot", "kmv_sketch_hot")
+    val selected =
+      if (subset == "hot") scenarios.filter(s => hotSet(s._1)) else scenarios
+    val results = selected.map { case (name, mk) => timed(name, mk()) }
 
     docs.unpersist()
     hot.unpersist()

@@ -125,6 +125,9 @@ object KSampleAgg {
   def builder(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 3,
       s"graft_ksample expects (hash, payload, k); got ${exprs.length} args")
+    require(exprs(2).foldable,
+      "graft_ksample: k must be a literal (foldable) expression — " +
+        s"got ${exprs(2).sql}")
     val k = exprs(2).eval(InternalRow.empty).asInstanceOf[Number].intValue()
     KSampleAgg(exprs.head, exprs(1), k)
   }

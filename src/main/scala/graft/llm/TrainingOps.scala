@@ -131,9 +131,11 @@ object TrainingOps {
       k: Int, salt: String = "smpl"): DataFrame = {
     require(k >= 1, "k must be at least 1")
     val idStr = col(idCol).cast(StringType)
-    val h = expr(
-      s"cast(conv(substr(sha2(concat('$salt', cast(`$idCol` as string)), " +
-        "256), 1, 15), 16, 10) as bigint)")
+    // Column functions, not interpolated SQL text: a quote in `salt`
+    // or a backtick in `idCol` must reach the hash as DATA, never as
+    // syntax (same 60-bit SHA-prefix hash either way).
+    val h = conv(substring(sha2(concat(lit(salt), idStr), 256), 1, 15),
+      16, 10).cast("bigint")
     val b = org.apache.spark.sql.GraftColumnBridge
     val agg = b.column(graft.expressions.KSampleAgg(
       b.expression(h), b.expression(idStr), k).toAggregateExpression())
@@ -199,12 +201,18 @@ object TrainingOps {
         Dedup.shingles(col(textCol), shingleN).as("psh"))
       .select(col("probe_id"), size(col("psh")).as("probe_sz"),
         explode(col("psh")).as("g"))
-    // Build the filter over DISTINCT probe shingles, distributed; two
-    // probe-side passes (count sizes the filter, then the aggregate)
-    // are fine — the probe side is the small side by definition, and
-    // only the fixed-size filter ever reaches the driver.
+    // Size the filter from a CHEAP upper bound — the total
+    // (pre-distinct) shingle count, one map-only pass with no shuffle
+    // — instead of an exact distinct count (which would cost a second
+    // full distinct-shuffle pass). Oversizing by the duplication
+    // factor only LOWERS the fpp (more bits per element, still
+    // O(filter bits) on the driver); the exact join removes every
+    // false positive regardless.
+    val expected = math.max(1000L, probes
+      .select(coalesce(sum(size(Dedup.shingles(col(textCol), shingleN))
+        .cast("long")), lit(0L)))
+      .first().getLong(0))
     val pg = pEx.select("g").distinct()
-    val expected = math.max(1000L, pg.count())
     val bf = pg.rdd.map(_.getString(0)).treeAggregate(
       org.apache.spark.util.sketch.BloomFilter.create(expected, fpp))(
       (f, s) => { f.putBinary(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)); f },

@@ -102,6 +102,75 @@ object relational {
       .drop("_b")
   }
 
+  /** n-step event funnel: for every entity, find the step-0 events
+    * from which the full chain `steps(0) → steps(1) → … → steps(n-1)`
+    * completes, where step i+1 must occur STRICTLY AFTER the matched
+    * step-i event and within `windowsMs(i)` of it. EXISTS semantics —
+    * a chain counts if ANY valid assignment of events completes it,
+    * not just the greedy-earliest one (greedy is wrong: picking the
+    * earliest step-i event can start the step-i+1 window too early and
+    * miss a completion a later step-i event would catch; FunnelSpec
+    * pins this case).
+    *
+    * Output: one row per completing (id, step-0 event):
+    * `(idCol, start_ms, end_ms)` with `end_ms` = earliest completing
+    * last-step time. Events with null id/time are ignored.
+    *
+    * Plan shape: one equi join on id per subsequent step with the time
+    * window as a residual predicate, deduplicated per step — the
+    * intermediate is (id, start, step-i time) DISTINCT, so fan-out is
+    * bounded by each entity's event count inside the window, never a
+    * cross-entity blow-up. All joins share the id hash partitioning;
+    * at 100 TB a bot entity with pathological event density makes the
+    * per-step blow-up quadratic in ITS event count. Either filter bots
+    * upstream, or set `maxEventsPerEntityStep`: the guard runs one
+    * bounded count aggregate and FAILS FAST naming the worst offender
+    * (the engine's rangeJoin/CIDR convention) instead of letting one
+    * entity quietly dominate the stage. */
+  def funnel(events: DataFrame, idCol: String, typeCol: String,
+      timeCol: String, steps: Seq[String], windowsMs: Seq[Long],
+      maxEventsPerEntityStep: Option[Int] = None): DataFrame = {
+    require(steps.length >= 2, "a funnel needs at least 2 steps")
+    require(windowsMs.length == steps.length - 1,
+      s"need ${steps.length - 1} windows for ${steps.length} steps; got ${windowsMs.length}")
+    require(windowsMs.forall(_ > 0), "windows must be positive")
+    val reserved = Seq("start_ms", "end_ms", "_cur", "_nxt", "_ft", "_fms")
+    require(!reserved.contains(idCol),
+      s"funnel: idCol '$idCol' collides with the funnel's output/internal " +
+        s"columns (${reserved.mkString(", ")}); rename it upstream")
+    val base = events.select(col(idCol), col(typeCol).as("_ft"),
+        col(timeCol).cast("long").as("_fms"))
+      .filter(col(idCol).isNotNull && col("_fms").isNotNull)
+    maxEventsPerEntityStep.foreach { cap =>
+      require(cap > 0, "maxEventsPerEntityStep must be positive")
+      // bounded state: groupBy count partial-aggregates map-side; the
+      // collect is ≤1 row (the worst offender via TakeOrdered)
+      val offender = base.filter(col("_ft").isin(steps: _*))
+        .groupBy(col(idCol), col("_ft")).agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > cap)
+        .orderBy(col("_n").desc).limit(1).collect()
+      offender.headOption.foreach { r =>
+        throw new IllegalArgumentException(
+          s"funnel: entity '${r.get(0)}' has ${r.getLong(2)} " +
+            s"'${r.get(1)}' events, above maxEventsPerEntityStep=$cap — " +
+            "filter it upstream or raise the cap")
+      }
+    }
+    var cur = base.filter(col("_ft") === steps.head)
+      .select(col(idCol), col("_fms").as("start_ms"), col("_fms").as("_cur"))
+      .distinct()
+    steps.tail.zip(windowsMs).foreach { case (tp, win) =>
+      val nxt = base.filter(col("_ft") === tp)
+        .select(col(idCol), col("_fms").as("_nxt"))
+      cur = cur.join(nxt, Seq(idCol))
+        .filter(col("_nxt") > col("_cur") && col("_nxt") <= col("_cur") + win)
+        .select(col(idCol), col("start_ms"), col("_nxt").as("_cur"))
+        .distinct()
+    }
+    cur.groupBy(col(idCol), col("start_ms"))
+      .agg(min(col("_cur")).as("end_ms"))
+  }
+
   /** Skew-salted INNER equi-join: the fact side's hot keys are spread
     * over `salts` sub-partitions by salting the join key; the dimension
     * side replicates each row once per salt so every (key, salt) pair
@@ -124,52 +193,6 @@ object relational {
     * cached/checkpointed subtrees, or deterministic-layout requirements.
     * Replication cost: |dim| × salts rows — size `salts` to the skew
     * factor, not higher. */
-  /** n-step event funnel: for every entity, find the step-0 events
-    * from which the full chain `steps(0) → steps(1) → … → steps(n-1)`
-    * completes, where step i+1 must occur STRICTLY AFTER the matched
-    * step-i event and within `windowsMs(i)` of it. EXISTS semantics —
-    * a chain counts if ANY valid assignment of events completes it,
-    * not just the greedy-earliest one (greedy is wrong: picking the
-    * earliest step-i event can start the step-i+1 window too early and
-    * miss a completion a later step-i event would catch; FunnelSpec
-    * pins this case).
-    *
-    * Output: one row per completing (id, step-0 event):
-    * `(idCol, start_ms, end_ms)` with `end_ms` = earliest completing
-    * last-step time. Events with null id/time are ignored.
-    *
-    * Plan shape: one equi join on id per subsequent step with the time
-    * window as a residual predicate, deduplicated per step — the
-    * intermediate is (id, start, step-i time) DISTINCT, so fan-out is
-    * bounded by each entity's event count inside the window, never a
-    * cross-entity blow-up. All joins share the id hash partitioning;
-    * at 100 TB a bot entity with pathological event density bounds the
-    * blow-up at (its step-i events within window) per step — filter
-    * obvious bots upstream, as every funnel engine requires. */
-  def funnel(events: DataFrame, idCol: String, typeCol: String,
-      timeCol: String, steps: Seq[String], windowsMs: Seq[Long]): DataFrame = {
-    require(steps.length >= 2, "a funnel needs at least 2 steps")
-    require(windowsMs.length == steps.length - 1,
-      s"need ${steps.length - 1} windows for ${steps.length} steps; got ${windowsMs.length}")
-    require(windowsMs.forall(_ > 0), "windows must be positive")
-    val base = events.select(col(idCol), col(typeCol).as("_ft"),
-        col(timeCol).cast("long").as("_fms"))
-      .filter(col(idCol).isNotNull && col("_fms").isNotNull)
-    var cur = base.filter(col("_ft") === steps.head)
-      .select(col(idCol), col("_fms").as("start_ms"), col("_fms").as("_cur"))
-      .distinct()
-    steps.tail.zip(windowsMs).foreach { case (tp, win) =>
-      val nxt = base.filter(col("_ft") === tp)
-        .select(col(idCol), col("_fms").as("_nxt"))
-      cur = cur.join(nxt, Seq(idCol))
-        .filter(col("_nxt") > col("_cur") && col("_nxt") <= col("_cur") + win)
-        .select(col(idCol), col("start_ms"), col("_nxt").as("_cur"))
-        .distinct()
-    }
-    cur.groupBy(col(idCol), col("start_ms"))
-      .agg(min(col("_cur")).as("end_ms"))
-  }
-
   def saltedJoin(fact: DataFrame, dim: DataFrame, on: Seq[String],
       salts: Int): DataFrame = {
     require(salts >= 1, "salts must be >= 1")

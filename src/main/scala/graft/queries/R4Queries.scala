@@ -228,6 +228,12 @@ object R4Queries {
         |       CAST(sum(micro) AS BIGINT) AS sum_logprob_micro,
         |       round(sum(micro) / 1e6 / count(*), 4) AS avg_logprob
         |FROM m GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // Collision caveat: on a 60-bit hash collision between DISTINCT
+    // ids, the graft_ksample aggregate keeps one id per hash (min
+    // payload) while this rank-window oracle keeps both within rank k
+    // — so the specs agree only in the collision-free regime
+    // (birthday-expected past ~2^30 distinct ids per group; the test
+    // corpora are far below). Documented rather than papered over.
     "q90_group_sample" ->
       """WITH d AS (
         |  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS uid

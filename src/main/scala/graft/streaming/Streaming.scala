@@ -15,10 +15,14 @@ import org.apache.spark.sql.types.{DecimalType, StructType}
   */
 object Streaming {
 
-  /** Incremental file source over a landing directory. */
+  /** Incremental file source over a landing directory. `options` maps
+    * straight to the source (e.g. `maxFilesPerTrigger` to bound batch
+    * size — at 100 TB an unbounded first batch is a single giant
+    * micro-batch). */
   def fileStream(spark: SparkSession, dir: String, schema: StructType,
-      format: String = "parquet"): DataFrame =
-    spark.readStream.schema(schema).format(format).load(dir)
+      format: String = "parquet",
+      options: Map[String, String] = Map.empty): DataFrame =
+    spark.readStream.schema(schema).options(options).format(format).load(dir)
 
   /** Streaming DB load: `foreachBatch` → the replay-idempotent JDBC
     * upsert (B4) — the streaming tier of the reference's load stage.

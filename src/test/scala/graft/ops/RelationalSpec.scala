@@ -151,4 +151,39 @@ class RelationalSpec extends SparkSuite {
       Seq("a", "b", "c"), Seq(10L, 10L)).queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("funnel: hot-entity guard raises naming the bot; off by default") {
+    import org.apache.spark.sql.functions.{col, concat_ws, lit, when}
+    // entity 666 is a bot: 100k step-0 events and one conversion;
+    // entity 1 is an ordinary completing chain
+    val bot = spark.range(100000L).select(
+      lit(666L).as("uid"), lit("view").as("etype"), col("id").as("ms"))
+    val rest = funnelEvents(
+      (666L, "buy", 50L), (1L, "view", 0L), (1L, "buy", 5L))
+    val ev = bot.unionByName(rest)
+    // guard on: fail fast, offender named
+    val e = intercept[IllegalArgumentException] {
+      relational.funnel(ev, "uid", "etype", "ms", Seq("view", "buy"),
+        Seq(100L), maxEventsPerEntityStep = Some(1000))
+    }
+    assert(e.getMessage.contains("666") && e.getMessage.contains("view"))
+    // guard off (default): completes, results unchanged
+    val got = relational.funnel(ev, "uid", "etype", "ms",
+        Seq("view", "buy"), Seq(100L))
+      .filter(col("uid") === 1L).collect()
+    assert(got.length === 1 && got(0).getLong(2) === 5L)
+    // cap above the hottest entity: no raise
+    assert(relational.funnel(rest, "uid", "etype", "ms",
+      Seq("view", "buy"), Seq(100L),
+      maxEventsPerEntityStep = Some(1000)).count() === 1L)
+  }
+
+  test("funnel: reserved idCol name rejected with a clear message") {
+    val ev = funnelEvents((1L, "a", 0L), (1L, "b", 1L))
+      .withColumnRenamed("uid", "start_ms")
+    val e = intercept[IllegalArgumentException] {
+      relational.funnel(ev, "start_ms", "etype", "ms", Seq("a", "b"), Seq(10L))
+    }
+    assert(e.getMessage.contains("start_ms"))
+  }
 }

@@ -39,6 +39,38 @@ class StreamingSpec extends SparkSuite {
     streamed.foreach { case (h, n) => assert(batch(h) === n, s"window $h") }
   }
 
+  test("q37 via the streaming file source is byte-identical to the batch run") {
+    // The claim the streaming layer makes everywhere: file-source
+    // ingestion + the SAME batch plan compose to the same answer. Feed
+    // the events table through readStream (forced multi-batch via
+    // maxFilesPerTrigger=1), land each micro-batch into an sf-shaped
+    // dir, then run the REGISTERED q37 on it and on the original dir —
+    // every value of every row must agree, not just window counts.
+    val base = Files.createTempDirectory("graft-parity").toString
+    val land = s"$base/landing"
+    val accum = s"$base/accum"
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    events.repartition(3).write.mode("overwrite").parquet(land)
+    val schema = spark.read.parquet(land).schema
+    val q = Streaming.fileStream(spark, land, schema,
+        options = Map("maxFilesPerTrigger" -> "1"))
+      .writeStream.outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.write.mode("append").parquet(s"$accum/events.parquet")
+      }
+      .start()
+    q.awaitTermination(300000)
+    val viaStream = graft.SparkEntry.queries("q37_hourly_rollup")(
+      spark, accum).collect().map(_.toSeq)
+    val viaBatch = graft.SparkEntry.queries("q37_hourly_rollup")(
+      spark, "/root/testdata/sf0.001").collect().map(_.toSeq)
+    assert(viaStream.nonEmpty)
+    assert(viaStream.toSeq === viaBatch.toSeq)
+  }
+
   test("streaming pipeline: AvailableNow processes only new files on re-run") {
     val base = Files.createTempDirectory("graft-spipe").toString
     val land = s"$base/landing"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
