@@ -12,6 +12,9 @@ package graft.llm
   *    offsets 18/22 (height may be negative = top-down rows).
   *  - WAV: "RIFF" + "WAVE" + "fmt " chunk: channels u16 @22, sample
   *    rate u32 @24, bits/sample u16 @34 (RIFF/WAVE format).
+  *  - AVI: "RIFF" + "AVI " + hdrl LIST's "avih" MainAVIHeader:
+  *    dwWidth/dwHeight little-endian u32 at body offsets 32/36
+  *    (RIFF/AVI format); frame DECODE is [[VideoKernel]]'s job.
   *  - JPEG: marker scan for SOF0/SOF1/SOF2 (baseline/extended/
   *    progressive): each marker is 0xFF <type> <u16 length>; SOF
   *    payload is [precision u8][height u16][width u16][channels u8]
@@ -51,6 +54,8 @@ object MediaHeaderKernel {
       else if (ascii(bytes, 0, 2) == "BM") parseBmp(bytes)
       else if (ascii(bytes, 0, 4) == "RIFF" && ascii(bytes, 8, 4) == "WAVE")
         parseWav(bytes)
+      else if (ascii(bytes, 0, 4) == "RIFF" && ascii(bytes, 8, 4) == "AVI ")
+        parseAvi(bytes)
       else if (u8(bytes, 0) == 0xff && u8(bytes, 1) == 0xd8) parseJpeg(bytes)
       else Unknown
     } catch { case _: Exception => Unknown }
@@ -94,6 +99,27 @@ object MediaHeaderKernel {
       off += 8 + sz.toInt + (sz.toInt & 1)
     }
     Header("wav")
+  }
+
+  private def parseAvi(b: Array[Byte]): Header = {
+    // walk top-level chunks to the hdrl LIST; its first chunk is the
+    // MainAVIHeader "avih" (dwWidth/dwHeight at body offsets 32/36).
+    // Same unsigned-size guard as parseWav: a crafted size must not
+    // wrap to a zero advance.
+    var off = 12
+    while (off + 12 <= b.length) {
+      val id = ascii(b, off, 4)
+      val sz = u32le(b, off + 4)
+      if (sz <= 0 || off + 8 + sz + (sz & 1) > b.length) return Header("avi")
+      if (id == "LIST" && ascii(b, off + 8, 4) == "hdrl") {
+        val c = off + 12
+        return if (ascii(b, c, 4) == "avih" && c + 48 <= b.length)
+          Header("avi", dim(u32le(b, c + 40)), dim(u32le(b, c + 44)))
+        else Header("avi")
+      }
+      off += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    Header("avi")
   }
 
   private def parseJpeg(b: Array[Byte]): Header = {

@@ -15,11 +15,14 @@ import org.apache.spark.sql.types._
   *    REAL decode via the JDK's built-in `javax.imageio.ImageIO`
   *    (PNG/JPEG/BMP/GIF) and `javax.sound.sampled` (WAV) — no external
   *    library needed;
-  *  - video frame sampling and image resize: deterministic STUBS
-  *    (genuinely codec-bound; the JDK ships no video codec or
-  *    resampler we'd trust) — the `mapPartitions` batch shape, schema,
-  *    and metadata plumbing are the real part, and a real codec swaps
-  *    into the function body only.
+  *  - video frame sampling: REAL for uncompressed RIFF/AVI 24-bpp DIB
+  *    frames ([[sampleFrames]], kernel [[VideoKernel]] — raw-bitmap
+  *    frames are plain bytes, same as BMP); compressed codecs (H.264,
+  *    VP9, MJPEG) stay out of scope honestly — the JDK ships no video
+  *    codec — with [[sampleFramesStub]] as the any-payload
+  *    plumbing tier;
+  *  - image resize: REAL via ImageIO + Graphics2D ([[resizeImage]]),
+  *    with a deterministic any-payload stub kept for plumbing tests.
   */
 object Multimodal {
 
@@ -227,10 +230,54 @@ object Multimodal {
     spark.createDataFrame(rdd, withIdType(ImageFeatureSchema, df, idCol))
   }
 
-  /** STUB frame sampling for "video" payloads: split the byte stream
-    * into `frames` equal chunks and emit one row per sampled chunk with
-    * its hash — the plumbing (explode to frame granularity, per-frame
-    * downstream ops) is the real part. */
+  /** Schema of [[sampleFrames]]: one row per sampled frame with its
+    * index, the stream dims, and the same 16-bin luminance histogram
+    * as [[decodeImage]] — so per-frame features feed the identical
+    * downstream plumbing as still images. */
+  val VideoFrameSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("features", ArrayType(FloatType))))
+
+  /** REAL video frame sampling for uncompressed RIFF/AVI (24-bpp DIB
+    * frames — kernel: [[VideoKernel]], zero codec libraries, the same
+    * trick as the BMP pixel path). Emits every `every`-th frame's
+    * 16-bin luminance histogram. Compressed codecs stay out of scope
+    * honestly (the JDK ships no video codec); the container walk,
+    * frame indexing, sampling stride, and per-frame feature plumbing
+    * here are codec-independent — a real codec swaps into the kernel
+    * only. Undecodable/compressed payloads → one null row, never a
+    * throw. */
+  def sampleFrames(df: DataFrame, idCol: String, payloadCol: String,
+      every: Int = 1): DataFrame = {
+    require(every >= 1, "every must be >= 1")
+    val spark = df.sparkSession
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.get(idIdx)
+        val s =
+          try VideoKernel.sampleFrames(r.getAs[Array[Byte]](pIdx), every)
+          catch { case _: Exception => null }
+        if (s == null) Iterator.single(Row(id, null, null, null, null, null))
+        else s.frames.iterator.map { case (fi, hist) =>
+          Row(id, fi, s.width, s.height, s.totalFrames, hist.toSeq)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, withIdType(VideoFrameSchema, df, idCol))
+  }
+
+  /** STUB frame sampling for ARBITRARY "video" payloads: split the
+    * byte stream into `frames` equal chunks and emit one row per
+    * sampled chunk with its hash. Kept alongside the REAL
+    * [[sampleFrames]] (uncompressed AVI) because it works on any
+    * payload — the plumbing-only tier for formats the kernel cannot
+    * decode. */
   def sampleFramesStub(df: DataFrame, idCol: String, payloadCol: String,
       frames: Int = 4): DataFrame = {
     val chunk = length(col(payloadCol)) / frames

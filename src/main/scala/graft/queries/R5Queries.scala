@@ -117,6 +117,74 @@ object R5Queries {
           col("n_samples"), col("win").cast("int").as("win"),
           round(col("e") * 32768).cast("int").as("amp"))
         .orderBy("id", "win")
+    }),
+
+    // [EXT] REAL video frame sampling, value-verified: per part row
+    // build an uncompressed RIFF/AVI (raw 24-bpp DIB frames — plain
+    // bytes, same trick as q91's BMP) with F frames whose pixels
+    // derive from (key, frame, x, y); sample every 2nd frame with the
+    // VideoKernel container walk; emit exact per-bin luminance pixel
+    // counts per sampled frame. The oracle replays the (key, f, x, y)
+    // → luma → bin arithmetic for even f — pure integer math both
+    // sides, zero binary handling in the oracle.
+    "q93_avi_frame_sample" -> ((s, d) => {
+      val k = col("p_partkey")
+      val w = pmod(k, lit(5)) + 2   // 2..6 px
+      val h = pmod(k, lit(3)) + 1   // 1..3 px
+      val nf = pmod(k, lit(3)) + 2  // 2..4 frames
+      val rowBytes = floor((w * 3 + 3) / 4) * 4
+      val frameBytes = h * rowBytes
+      def pix(f: Column, x: Column, y: Column): Column = concat(
+        b1(k * 31 + f * 41 + x * 17 + y * 23),  // B
+        b1(k * 7 + f * 37 + x * 29 + y * 13),   // G
+        b1(k * 13 + f * 43 + x * 11 + y * 19))  // R
+      val rowPad = lit("000000").substr(lit(1), (rowBytes - w * 3) * 2)
+      def frameHex(f: Column): Column = concat(
+        lit("30306462"), le32(frameBytes),      // "00db" + size
+        array_join(transform(sequence(lit(0), h - 1), y =>
+          concat(array_join(
+            transform(sequence(lit(0), w - 1), x => pix(f, x, y)), ""),
+            rowPad)), ""))
+      val strh = concat(lit("73747268"), le32(lit(56)),  // "strh"
+        lit("76696473"), lit("44494220"),                // "vids","DIB "
+        le32(lit(0)), lit("00000000"),                   // flags, prio+lang
+        le32(lit(0)), le32(lit(1)), le32(lit(25)),       // initial, scale, rate
+        le32(lit(0)), le32(nf), le32(lit(0)),            // start, length, bufsz
+        le32(lit(0)), le32(lit(0)),                      // quality, samplesz
+        lit("0000000000000000"))                         // rcFrame
+      val strf = concat(lit("73747266"), le32(lit(40)),  // "strf"
+        le32(lit(40)), le32(w), le32(h), lit("01001800"),
+        le32(lit(0)), le32(frameBytes), le32(lit(0)), le32(lit(0)),
+        le32(lit(0)), le32(lit(0)))
+      val strl = concat(lit("4C495354"), le32(lit(4 + 64 + 48)),
+        lit("7374726C"), strh, strf)                     // LIST strl
+      val avih = concat(lit("61766968"), le32(lit(56)),  // "avih"
+        le32(lit(40000)), le32(lit(0)), le32(lit(0)), le32(lit(0)),
+        le32(nf), le32(lit(0)), le32(lit(1)), le32(lit(0)),
+        le32(w), le32(h), le32(lit(0)), le32(lit(0)), le32(lit(0)),
+        le32(lit(0)))
+      val hdrl = concat(lit("4C495354"), le32(lit(4 + 64 + 124)),
+        lit("6864726C"), avih, strl)                     // LIST hdrl
+      val moviBody = array_join(
+        transform(sequence(lit(0), nf - 1), f => frameHex(f)), "")
+      val movi = concat(lit("4C495354"),
+        le32(nf * (frameBytes + 8) + 4), lit("6D6F7669"), moviBody)
+      val payload = unhex(concat(lit("52494646"),
+        le32(nf * (frameBytes + 8) + 4 + lit(200) + 12),
+        lit("41564920"), hdrl, movi))
+      val sampled = graft.llm.Multimodal.sampleFrames(
+        T.part(s, d).filter(pmod(k, lit(5)) === 0)
+          .select(k.as("id"), payload.as("payload")),
+        "id", "payload", every = 2)
+      sampled
+        .select(col("id"), col("frame_idx"), col("width"), col("height"),
+          col("n_frames"),
+          posexplode(col("features")).as(Seq("bin", "f")))
+        .select(col("id"), col("frame_idx"), col("width"), col("height"),
+          col("n_frames"), col("bin").cast("int").as("bin"),
+          round(col("f") * col("width") * col("height"))
+            .cast("int").as("npix"))
+        .orderBy("id", "frame_idx", "bin")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -155,5 +223,34 @@ object R5Queries {
         |  CAST((p_partkey * 97 + w * 131) % 4097 AS INT) AS amp
         |FROM part CROSS JOIN generate_series(0, 7) AS g(w)
         |WHERE p_partkey % 5 = 0
-        |ORDER BY id, win""".stripMargin)
+        |ORDER BY id, win""".stripMargin,
+    "q93_avi_frame_sample" ->
+      """WITH d AS (
+        |  SELECT p_partkey AS id,
+        |    CAST(p_partkey % 5 + 2 AS INT) AS width,
+        |    CAST(p_partkey % 3 + 1 AS INT) AS height,
+        |    CAST(p_partkey % 3 + 2 AS INT) AS n_frames
+        |  FROM part WHERE p_partkey % 5 = 0),
+        |fr AS (SELECT id, width, height, n_frames,
+        |         unnest(generate_series(0, n_frames - 1, 2)) AS fi FROM d),
+        |xs AS (SELECT id, width, height, n_frames, fi,
+        |         unnest(generate_series(0, width - 1)) AS x FROM fr),
+        |xy AS (SELECT id, width, height, n_frames, fi, x,
+        |         unnest(generate_series(0, height - 1)) AS y FROM xs),
+        |px AS (
+        |  SELECT id, fi,
+        |    ((299 * ((id * 13 + fi * 43 + x * 11 + y * 19) % 256)
+        |      + 587 * ((id * 7 + fi * 37 + x * 29 + y * 13) % 256)
+        |      + 114 * ((id * 31 + fi * 41 + x * 17 + y * 23) % 256)) // 1000) // 16
+        |      AS bin
+        |  FROM xy),
+        |c AS (SELECT id, fi, bin, count(*) AS n FROM px GROUP BY 1, 2, 3),
+        |bins AS (SELECT f.id, f.width, f.height, f.n_frames, f.fi, b.bin
+        |         FROM fr f, generate_series(0, 15) AS b(bin))
+        |SELECT bins.id, CAST(bins.fi AS INT) AS frame_idx, bins.width,
+        |       bins.height, bins.n_frames, CAST(bins.bin AS INT) AS bin,
+        |       CAST(coalesce(c.n, 0) AS INT) AS npix
+        |FROM bins LEFT JOIN c
+        |  ON bins.id = c.id AND bins.fi = c.fi AND bins.bin = c.bin
+        |ORDER BY bins.id, bins.fi, bins.bin""".stripMargin)
 }

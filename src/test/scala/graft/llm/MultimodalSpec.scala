@@ -108,6 +108,16 @@ class MultimodalSpec extends SparkSuite {
     val hj = parse(jpg)
     assert((hj.format, hj.width, hj.height, hj.channels) === (("jpeg", 1024, 768, 3)))
 
+    // AVI: hdrl LIST whose avih carries 640×360 at body offsets 32/36
+    val avih = "avih".getBytes ++ bytes(56, 0, 0, 0) ++
+      new Array[Byte](32) ++ bytes(0x80, 2, 0, 0) ++ bytes(0x68, 1, 0, 0) ++
+      new Array[Byte](16)
+    val hdrl = "LIST".getBytes ++ bytes(4 + 64, 0, 0, 0) ++
+      "hdrl".getBytes ++ avih
+    val avi = "RIFF".getBytes ++ bytes(0xff, 0, 0, 0) ++ "AVI ".getBytes ++ hdrl
+    val ha = parse(avi)
+    assert((ha.format, ha.width, ha.height) === (("avi", 640, 360)))
+
     // crafted chunk size 0xFFFFFFF8 truncates to a NEGATIVE Int whose
     // word-aligned advance is zero — must terminate, not spin forever
     val evilWav = "RIFF".getBytes ++ bytes(0xff, 0, 0, 0) ++ "WAVE".getBytes ++
@@ -184,6 +194,62 @@ class MultimodalSpec extends SparkSuite {
     assert(stub.collect().head.getString(0) === "doc-a")
     val rs = Multimodal.resizeImageStub(df, "doc", "payload")
     assert(rs.collect().head.getString(0) === "doc-a")
+  }
+
+  test("sampleFrames: real uncompressed-AVI frames to known histograms") {
+    import spark.implicits._
+    // hand-build a 2-frame 2×1 uncompressed AVI: frame 0 all black,
+    // frame 1 all white — sampling every=2 must return ONLY frame 0
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    val w = 2; val h = 1
+    val rowBytes = ((w * 3 + 3) / 4) * 4 // 8
+    def frame(value: Int): Array[Byte] =
+      fcc("00db") ++ le32(rowBytes * h) ++
+        Array.fill(w * 3)(value.toByte) ++ Array.fill(rowBytes - w * 3)(0.toByte)
+    val strh = fcc("strh") ++ le32(56) ++ fcc("vids") ++ fcc("DIB ") ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(1) ++ le32(25) ++ le32(0) ++
+      le32(2) ++ le32(0) ++ le32(0) ++ le32(0) ++ Array.fill(8)(0.toByte)
+    val strf = fcc("strf") ++ le32(40) ++ le32(40) ++ le32(w) ++ le32(h) ++
+      Array[Byte](1, 0, 24, 0) ++ le32(0) ++ le32(rowBytes * h) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strl = fcc("LIST") ++ le32(4 + strh.length + strf.length) ++
+      fcc("strl") ++ strh ++ strf
+    val avih = fcc("avih") ++ le32(56) ++ le32(40000) ++ le32(0) ++
+      le32(0) ++ le32(0) ++ le32(2) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = fcc("LIST") ++ le32(4 + avih.length + strl.length) ++
+      fcc("hdrl") ++ avih ++ strl
+    val frames = frame(0) ++ frame(0xff)
+    val movi = fcc("LIST") ++ le32(4 + frames.length) ++ fcc("movi") ++ frames
+    val avi = fcc("RIFF") ++ le32(4 + hdrl.length + movi.length) ++
+      fcc("AVI ") ++ hdrl ++ movi
+
+    val out = Multimodal.sampleFrames(
+        Seq((1L, avi), (2L, Array[Byte](1, 2, 3))).toDF("id", "payload"),
+        "id", "payload", every = 2)
+      .orderBy("id", "frame_idx").collect()
+    assert(out.length === 2)
+    val f0 = out(0)
+    assert((f0.getInt(1), f0.getInt(2), f0.getInt(3), f0.getInt(4))
+      === ((0, 2, 1, 2))) // frame 0 of 2, dims 2×1
+    val hist = f0.getSeq[Float](5)
+    assert(hist(0) === 1.0f) // all-black frame: every pixel in bin 0
+    assert(out(1).isNullAt(1) && out(1).isNullAt(5)) // junk → null row
+    // every=1 returns both frames; the white frame lands in bin 15
+    val both = Multimodal.sampleFrames(
+        Seq((1L, avi)).toDF("id", "payload"), "id", "payload", every = 1)
+      .orderBy("frame_idx").collect()
+    assert(both.length === 2 && both(1).getSeq[Float](5)(15) === 1.0f)
+    // a COMPRESSED AVI (biCompression != 0) must refuse, not mis-decode
+    val compressed = avi.clone()
+    val strfDataOff = avi.indexOfSlice(fcc("strf")) + 8
+    compressed(strfDataOff + 16) = 1 // biCompression = BI_RLE8
+    val c = Multimodal.sampleFrames(
+      Seq((1L, compressed)).toDF("id", "payload"), "id", "payload").collect()
+    assert(c.length === 1 && c(0).isNullAt(1))
   }
 
   test("decodeAudio: real WAV PCM decode to known window energies") {
