@@ -47,6 +47,8 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
     val subset = args.lift(1).getOrElse("all")
+    require(subset == "all" || subset == "hot",
+      s"unknown subset '$subset' (expected: all | hot)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
