@@ -655,4 +655,49 @@ object Dedup {
         (expr("graft_dot(va, vb)") / (col("na") * col("nb"))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** LINE-level dedup (the C4/RefinedWeb cleaning pass): remove every
+    * line whose trimmed form occurs in ≥ `minDf` DISTINCT documents —
+    * navigation bars, cookie banners, "all rights reserved" footers —
+    * and reassemble each document from its surviving lines in original
+    * order. Whitespace-only lines are dropped unconditionally. Output:
+    * `(idCol, clean_text, n_lines, n_removed)` where `n_lines` counts
+    * the document's non-empty lines before filtering. Documents with
+    * NO non-empty lines disappear (there is nothing to clean).
+    *
+    * Scale shape — aggregates only, no windows: explode is map-side;
+    * line-df is a two-level count-distinct aggregate keyed on the
+    * line's sha2 (the wire carries 64-hex keys + ids, never long line
+    * text twice); the df table joins back on the same key (shuffle
+    * co-partitioned with the agg output); reassembly groups each
+    * document's OWN lines — state bounded by single-document size,
+    * which is the irreducible unit any reassembly needs. A boilerplate
+    * line in 10⁸ docs is one aggregate cell, never a window buffer.
+    * sha2-256 collisions (two distinct trimmed lines, same hash) would
+    * merge df counts; at 2⁻¹²⁸ this is the standard content-hash
+    * assumption the exact-dedup pass already makes. */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+      minDf: Long): DataFrame = {
+    require(minDf >= 2, "minDf must be at least 2")
+    val lines = df
+      .select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("_i", "_line")))
+      .withColumn("_t", trim(col("_line")))
+      .filter(col("_t") =!= "")
+      .withColumn("_k", sha2(col("_t"), 256))
+      .drop("_t")
+    val lineDf = lines.select(col("_k"), col(idCol))
+      .groupBy("_k")
+      .agg(countDistinct(col(idCol)).as("_df"))
+    lines.join(lineDf, Seq("_k"))
+      .withColumn("_keep", col("_df") < minDf)
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws("\n", transform(
+          array_sort(collect_list(when(col("_keep"),
+            struct(col("_i").as("i"), col("_line").as("l"))))),
+          x => x.getField("l"))).as("clean_text"),
+        count(lit(1)).as("n_lines"),
+        sum(when(col("_keep"), 0L).otherwise(1L)).as("n_removed"))
+  }
 }

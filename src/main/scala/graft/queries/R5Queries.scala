@@ -185,7 +185,24 @@ object R5Queries {
           round(col("f") * col("width") * col("height"))
             .cast("int").as("npix"))
         .orderBy("id", "frame_idx", "bin")
-    }))
+    }),
+
+    // [EXT] line-level dedup (the C4/RefinedWeb boilerplate pass):
+    // every doc gets the same planted footer line (df = corpus size,
+    // removed), a cohort-shared line (df = docs per 7-residue cohort,
+    // removed at minDf=3), and a per-doc unique tail (df = 1, kept);
+    // the doc's own text line survives unless its exact text repeats
+    // in ≥3 docs. Oracle replays the same split/df/filter/reassemble.
+    "q94_line_dedup" -> ((s, d) =>
+      graft.llm.Dedup.lineDedup(
+        T.documents(s, d).select(col("doc_id"),
+          concat(col("text"),
+            lit("\ncopyright acme corp all rights reserved\ncohort "),
+            pmod(col("doc_id"), lit(7)).cast("string"),
+            lit(" shared banner\nunique tail "),
+            col("doc_id").cast("string")).as("text")),
+        "doc_id", "text", minDf = 3)
+      .orderBy("doc_id")))
 
   val oracleSql: Map[String, String] = Map(
     "q91_bmp_pixel_decode" ->
@@ -252,5 +269,26 @@ object R5Queries {
         |       CAST(coalesce(c.n, 0) AS INT) AS npix
         |FROM bins LEFT JOIN c
         |  ON bins.id = c.id AND bins.fi = c.fi AND bins.bin = c.bin
-        |ORDER BY bins.id, bins.fi, bins.bin""".stripMargin)
+        |ORDER BY bins.id, bins.fi, bins.bin""".stripMargin,
+    "q94_line_dedup" ->
+      """WITH doc AS (
+        |  SELECT doc_id, text || chr(10)
+        |    || 'copyright acme corp all rights reserved' || chr(10)
+        |    || 'cohort ' || CAST(doc_id % 7 AS VARCHAR) || ' shared banner'
+        |    || chr(10) || 'unique tail ' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents),
+        |a AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM doc),
+        |ix AS (SELECT doc_id, arr,
+        |         unnest(generate_series(1, len(arr))) AS i FROM a),
+        |l AS (SELECT doc_id, i, arr[i] AS line, trim(arr[i]) AS t
+        |      FROM ix WHERE trim(arr[i]) <> ''),
+        |d AS (SELECT t, count(DISTINCT doc_id) AS df FROM l GROUP BY 1),
+        |f AS (SELECT l.doc_id, l.i, l.line, d.df < 3 AS keep
+        |      FROM l JOIN d USING (t))
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+        |                      ORDER BY i), '') AS clean_text,
+        |  count(*) AS n_lines,
+        |  count(*) FILTER (WHERE NOT keep) AS n_removed
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

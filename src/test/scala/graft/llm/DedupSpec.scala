@@ -286,4 +286,25 @@ class DedupSpec extends SparkSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(kept === Map(1L -> 2L, 3L -> 2L))
   }
+
+  test("lineDedup removes cross-doc boilerplate lines, keeps order") {
+    val footer = "all rights reserved"
+    val df = Seq(
+      (1L, s"alpha one\n$footer\n  \nbeta two"),
+      (2L, s"gamma\n$footer\ndelta"),
+      (3L, s"$footer\nepsilon\nzeta"),
+      (4L, "  all rights reserved  \nonly unique here"),
+      (5L, "\n \n")   // no non-empty lines → no output row
+    ).toDF("id", "text")
+    val out = Dedup.lineDedup(df, "id", "text", minDf = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // footer trims equal across 4 docs (df=4 ≥ 3) → removed everywhere,
+    // incl. doc 4's padded variant; blank lines dropped; order kept
+    assert(out(1L) === (("alpha one\nbeta two", 3L, 1L)))
+    assert(out(2L) === (("gamma\ndelta", 3L, 1L)))
+    assert(out(3L) === (("epsilon\nzeta", 3L, 1L)))
+    assert(out(4L) === (("only unique here", 2L, 1L)))
+    assert(!out.contains(5L))
+  }
 }
