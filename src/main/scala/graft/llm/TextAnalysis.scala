@@ -209,4 +209,44 @@ object TextAnalysis {
       (_, w) => array_min(
         transform(sequence(lit(1), greatest(size(w) - (shingleLen - 1), lit(1))),
           i => sha2(concat_ws(" ", slice(w, i, lit(shingleLen))), 256))))
+
+  /** Multi-label public suffixes for the registrable-domain heuristic
+    * — the handful that cover the overwhelming bulk of real corpora.
+    * A full public-suffix list drops in here without changing the
+    * plan shape (it would broadcast as literals exactly like these). */
+  val MultiLabelSuffixes: Seq[String] = Seq(
+    "co.uk", "ac.uk", "gov.uk", "org.uk", "co.jp", "ne.jp",
+    "com.au", "net.au", "org.au", "com.br", "co.in", "co.nz",
+    "com.cn", "com.mx", "co.za")
+
+  /** URL provenance parts — the canonicalization every web-scrape
+    * pipeline needs before per-site dedup, domain mixing (q68), and
+    * contamination audits: `struct(host, domain, path)` where
+    *  - `host` = lowercased authority with scheme/userinfo/port
+    *    stripped and a leading `www.` removed;
+    *  - `domain` = registrable domain: last 2 labels, or last 3 when
+    *    the last 2 are a known multi-label public suffix
+    *    ([[MultiLabelSuffixes]]); single-label hosts pass through;
+    *  - `path` = the path component, query/fragment stripped (the
+    *    utm-junk defense — tracking params must not split a page's
+    *    identity).
+    * Pure codegen'd Column functions, map-only, and every step is
+    * replayable in ANSI SQL — the oracle mirrors it exactly. */
+  def urlParts(url: Column): Column = {
+    val host = regexp_replace(
+      lower(regexp_extract(url,
+        "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)", 1)),
+      "^www\\.", "")
+    val parts = split(host, "\\.")
+    val n = size(parts)
+    val last2 = when(n >= 2,
+      concat_ws(".", element_at(parts, -2), element_at(parts, -1)))
+    val last3 = when(n >= 3,
+      concat_ws(".", element_at(parts, -3), element_at(parts, -2),
+        element_at(parts, -1)))
+    val domain = when(n >= 3 && last2.isin(MultiLabelSuffixes: _*), last3)
+      .otherwise(coalesce(last2, host))
+    val path = regexp_extract(url, "://[^/]*(/[^?#]*)", 1)
+    struct(host.as("host"), domain.as("domain"), path.as("path"))
+  }
 }

@@ -202,7 +202,32 @@ object R5Queries {
             lit(" shared banner\nunique tail "),
             col("doc_id").cast("string")).as("text")),
         "doc_id", "text", minDf = 3)
-      .orderBy("doc_id")))
+      .orderBy("doc_id")),
+
+    // [EXT] URL canonicalization for provenance: four planted URL
+    // shapes per doc cohort — www + multi-label suffix + utm junk,
+    // bare http, subdomain + port, userinfo + fragment — through
+    // urlParts; the oracle replays the same regex/suffix arithmetic.
+    "q95_url_normalize" -> ((s, d) => {
+      val id = col("doc_id")
+      val url = when(pmod(id, lit(4)) === 0,
+          concat(lit("https://www."), col("source"),
+            lit(".Example.CO.UK/path/"), id.cast("string"),
+            lit("?utm_source=feed&utm_medium=rss")))
+        .when(pmod(id, lit(4)) === 1,
+          concat(lit("http://"), col("source"), lit(".example.com/a/b")))
+        .when(pmod(id, lit(4)) === 2,
+          concat(lit("https://cdn."), col("source"),
+            lit(".example.com:8080/static/img")))
+        .otherwise(
+          concat(lit("https://user@"), col("source"),
+            lit(".example.org/p#frag")))
+      T.documents(s, d)
+        .select(id, graft.llm.TextAnalysis.urlParts(url).as("u"))
+        .select(id, col("u.host").as("host"), col("u.domain").as("domain"),
+          col("u.path").as("path"))
+        .orderBy("doc_id")
+    }))
 
   val oracleSql: Map[String, String] = Map(
     "q91_bmp_pixel_decode" ->
@@ -290,5 +315,36 @@ object R5Queries {
         |                      ORDER BY i), '') AS clean_text,
         |  count(*) AS n_lines,
         |  count(*) FILTER (WHERE NOT keep) AS n_removed
-        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q95_url_normalize" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN 'https://www.' || source || '.Example.CO.UK/path/'
+        |                  || CAST(doc_id AS VARCHAR)
+        |                  || '?utm_source=feed&utm_medium=rss'
+        |      WHEN 1 THEN 'http://' || source || '.example.com/a/b'
+        |      WHEN 2 THEN 'https://cdn.' || source
+        |                  || '.example.com:8080/static/img'
+        |      ELSE 'https://user@' || source || '.example.org/p#frag'
+        |    END AS url
+        |  FROM documents),
+        |h AS (SELECT doc_id, url,
+        |        regexp_replace(lower(regexp_extract(url,
+        |          '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1)),
+        |          '^www\.', '') AS host
+        |      FROM u),
+        |p AS (SELECT doc_id, url, host,
+        |        string_split(host, '.') AS parts FROM h)
+        |SELECT doc_id, host,
+        |  CASE WHEN len(parts) >= 3
+        |         AND parts[-2] || '.' || parts[-1] IN
+        |           ('co.uk','ac.uk','gov.uk','org.uk','co.jp','ne.jp',
+        |            'com.au','net.au','org.au','com.br','co.in','co.nz',
+        |            'com.cn','com.mx','co.za')
+        |       THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
+        |       WHEN len(parts) >= 2 THEN parts[-2] || '.' || parts[-1]
+        |       ELSE host END AS domain,
+        |  regexp_extract(url, '://[^/]*(/[^?#]*)', 1) AS path
+        |FROM p ORDER BY doc_id""".stripMargin)
 }

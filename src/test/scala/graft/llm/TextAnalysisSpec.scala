@@ -138,4 +138,25 @@ class TextAnalysisSpec extends SparkSuite {
     // the corpus-frequent doc scores higher than the OOV-heavy one
     assert(out(0).getAs[Double]("avg_logprob") > out(1).getAs[Double]("avg_logprob"))
   }
+
+  test("urlParts: host/registrable-domain/path canonicalization") {
+    import spark.implicits._
+    val cases = Seq(
+      ("https://www.News.Example.CO.UK/world/42?utm_source=x",
+        ("news.example.co.uk", "example.co.uk", "/world/42")),
+      ("http://sub.a.example.com:8080/p/q#frag",
+        ("sub.a.example.com", "example.com", "/p/q")),
+      ("https://user:pw@example.org/x",
+        ("example.org", "example.org", "/x")),
+      ("ftp://www.example.com.au/f",
+        ("example.com.au", "example.com.au", "/f")),
+      ("https://localhost/admin", ("localhost", "localhost", "/admin")),
+      ("https://example.com", ("example.com", "example.com", "")),
+      ("not a url at all", ("", "", "")))
+    val out = cases.map(_._1).toDF("url")
+      .select(TextAnalysis.urlParts($"url").as("u"))
+      .select("u.host", "u.domain", "u.path")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(out.toSeq === cases.map(_._2))
+  }
 }
