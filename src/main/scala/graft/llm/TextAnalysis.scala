@@ -106,25 +106,74 @@ object TextAnalysis {
         StructField("distinct_ratio", DoubleType),
         StructField("top_token_frac", DoubleType)))),
       (_, w) => {
-        // longest equal-adjacent run via an index fold: state is
-        // (current run, best run); w(i) == w(i-1) extends the run.
-        // Guarded for size-1 arrays: sequence(1, 0) is DESCENDING in
-        // Spark, and element_at(w, 0) raises.
-        val best = when(size(w) <= 1, size(w)).otherwise(aggregate(
-          sequence(lit(1), size(w) - 1),
-          struct(lit(1).as("run"), lit(1).as("best")),
-          (st, i) => {
-            val run = when(element_at(w, i + 1) === element_at(w, i),
-              st.getField("run") + 1).otherwise(lit(1))
-            struct(run.as("run"),
-              greatest(st.getField("best"), run).as("best"))
-          },
-          st => st.getField("best")))
+        // longest equal-adjacent run = most-frequent-token count
+        // (shared fold: topRunCount)
+        val best = topRunCount(w)
         val n = size(w).cast(DoubleType)
         struct(
           size(w).as("n_tokens"),
           (size(array_distinct(w)).cast(DoubleType) / n).as("distinct_ratio"),
           (best.cast(DoubleType) / n).as("top_token_frac"))
+      })
+
+  /** Count of the most frequent whitespace token — the longest run of
+    * equal adjacent elements in the sorted token array (same fold as
+    * [[repetitionStats]], but returned as the raw INTEGER so gating
+    * thresholds can be integer cross-multiplications instead of
+    * double-ratio comparisons). Map-only, codegen'd. */
+  private def topRunCount(w: Column): Column =
+    when(size(w) <= 1, size(w)).otherwise(aggregate(
+      sequence(lit(1), size(w) - 1),
+      struct(lit(1).as("run"), lit(1).as("best")),
+      (st, i) => {
+        val run = when(element_at(w, i + 1) === element_at(w, i),
+          st.getField("run") + 1).otherwise(lit(1))
+        struct(run.as("run"),
+          greatest(st.getField("best"), run).as("best"))
+      },
+      st => st.getField("best")))
+
+  /** Composite Gopher-style quality gate — the keep/drop decision a
+    * training pipeline runs over every document, with the firing rule
+    * named (`reject_reason` = first failed rule in a fixed order, so
+    * reject statistics are stable and auditable):
+    *  - tokens: `minTokens ≤ n ≤ maxTokens`
+    *  - word_len: `minCharsPerTok·n ≤ chars ≤ maxCharsPerTok·n`
+    *  - repetition: `top_count·100 ≤ n·maxTopTokenPct`
+    *  - stopwords: `stop_hits·1000 ≥ n·minStopPermille`
+    * EVERY threshold is an integer cross-multiplication over exact
+    * counts — no double-ratio comparisons, so the verdict is
+    * bit-portable across engines and partitionings. Map-only,
+    * codegen'd; output struct carries the counts for auditing. */
+  def qualityGate(text: Column,
+      minTokens: Int = 30, maxTokens: Int = 100000,
+      minCharsPerTok: Int = 5, maxCharsPerTok: Int = 6,
+      maxTopTokenPct: Int = 10, minStopPermille: Int = 50,
+      stops: Seq[String] = Seq("the", "a", "and", "of", "to")): Column =
+    aggregate(array(sort_array(tokens(text))),
+      lit(null).cast(StructType(Seq(
+        StructField("n_tokens", IntegerType),
+        StructField("n_chars", IntegerType),
+        StructField("top_count", IntegerType),
+        StructField("stop_hits", IntegerType),
+        StructField("keep", BooleanType),
+        StructField("reject_reason", StringType)))),
+      (_, w) => {
+        val n = size(w)
+        val chars = length(text)
+        val top = topRunCount(w)
+        val stopHits = size(filter(w, x => x.isin(stops: _*)))
+        val tokOk = n >= minTokens && n <= maxTokens
+        val lenOk = chars >= lit(minCharsPerTok) * n &&
+          chars <= lit(maxCharsPerTok) * n
+        val repOk = top * 100 <= n * maxTopTokenPct
+        val stopOk = stopHits * 1000 >= n * minStopPermille
+        struct(n.as("n_tokens"), chars.as("n_chars"),
+          top.as("top_count"), stopHits.as("stop_hits"),
+          (tokOk && lenOk && repOk && stopOk).as("keep"),
+          when(!tokOk, "tokens").when(!lenOk, "word_len")
+            .when(!repOk, "repetition").when(!stopOk, "stopwords")
+            .otherwise("ok").as("reject_reason"))
       })
 
   /** PII scrubbing: replace email addresses and 16-digit card-shaped

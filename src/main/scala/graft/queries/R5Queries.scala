@@ -227,7 +227,21 @@ object R5Queries {
         .select(id, col("u.host").as("host"), col("u.domain").as("domain"),
           col("u.path").as("path"))
         .orderBy("doc_id")
-    }))
+    }),
+
+    // [EXT] composite Gopher-style quality gate: keep/drop verdict
+    // with the firing rule named, every threshold an integer
+    // cross-multiplication over exact counts (never a double-ratio
+    // compare) so the verdict is bit-portable. Map-only.
+    "q96_quality_gate" -> ((s, d) =>
+      T.documents(s, d)
+        .select(col("doc_id"),
+          graft.llm.TextAnalysis.qualityGate(col("text")).as("g"))
+        .select(col("doc_id"), col("g.n_tokens").as("n_tokens"),
+          col("g.n_chars").as("n_chars"), col("g.top_count").as("top_count"),
+          col("g.stop_hits").as("stop_hits"), col("g.keep").as("keep"),
+          col("g.reject_reason").as("reject_reason"))
+        .orderBy("doc_id")))
 
   val oracleSql: Map[String, String] = Map(
     "q91_bmp_pixel_decode" ->
@@ -346,5 +360,29 @@ object R5Queries {
         |       WHEN len(parts) >= 2 THEN parts[-2] || '.' || parts[-1]
         |       ELSE host END AS domain,
         |  regexp_extract(url, '://[^/]*(/[^?#]*)', 1) AS path
-        |FROM p ORDER BY doc_id""".stripMargin)
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "q96_quality_gate" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id, tok, count(*) AS c FROM
+        |        (SELECT doc_id, unnest(w) AS tok FROM t) u GROUP BY 1, 2),
+        |m AS (SELECT doc_id, max(c) AS top FROM c GROUP BY 1),
+        |j AS (SELECT t.doc_id, len(w) AS n, length(text) AS chars,
+        |        len(list_filter(w,
+        |          x -> x IN ('the','a','and','of','to'))) AS stop_hits,
+        |        m.top
+        |      FROM t JOIN m ON t.doc_id = m.doc_id)
+        |SELECT doc_id, CAST(n AS INT) AS n_tokens,
+        |  CAST(chars AS INT) AS n_chars, CAST(top AS INT) AS top_count,
+        |  CAST(stop_hits AS INT) AS stop_hits,
+        |  (n BETWEEN 30 AND 100000) AND (chars BETWEEN 5 * n AND 6 * n)
+        |    AND top * 100 <= n * 10 AND stop_hits * 1000 >= n * 50 AS keep,
+        |  CASE WHEN NOT (n BETWEEN 30 AND 100000) THEN 'tokens'
+        |       WHEN NOT (chars BETWEEN 5 * n AND 6 * n) THEN 'word_len'
+        |       WHEN top * 100 > n * 10 THEN 'repetition'
+        |       WHEN stop_hits * 1000 < n * 50 THEN 'stopwords'
+        |       ELSE 'ok' END AS reject_reason
+        |FROM j ORDER BY doc_id""".stripMargin)
 }

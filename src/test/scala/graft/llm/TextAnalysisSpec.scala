@@ -139,6 +139,28 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out(0).getAs[Double]("avg_logprob") > out(1).getAs[Double]("avg_logprob"))
   }
 
+  test("qualityGate: integer-exact thresholds, first-failed-rule reason") {
+    import spark.implicits._
+    def doc(words: Seq[String]) = words.mkString(" ")
+    // 5-char filler tokens keep chars/token inside the [5,6] band so
+    // only the intended rule fires in each case
+    def w(i: Int) = f"wo$i%03d"
+    val good = doc(Seq.tabulate(40)(i => if (i % 10 == 0) "the" else w(i)))
+    val tiny = "the cat"                                  // < 30 tokens
+    val repeated = doc(Seq.fill(10)("the") ++ Seq.tabulate(30)(w))
+    val noStops = doc(Seq.tabulate(40)(w))
+    val out = Seq((1L, good), (2L, tiny), (3L, repeated), (4L, noStops))
+      .toDF("id", "text")
+      .select($"id", TextAnalysis.qualityGate($"text").as("g"))
+      .select($"id", $"g.keep", $"g.reject_reason")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(out(1L) === ((true, "ok")))
+    assert(out(2L) === ((false, "tokens")))   // rule order: tokens first
+    assert(out(3L) === ((false, "repetition")))
+    assert(out(4L) === ((false, "stopwords")))
+  }
+
   test("urlParts: host/registrable-domain/path canonicalization") {
     import spark.implicits._
     val cases = Seq(
