@@ -656,6 +656,37 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Full near-dup RESOLUTION — the composition a dedup pipeline
+    * actually ships: candidate `pairs` (from any near-dup tier:
+    * MinHash/LSH, SimHash, Jaccard) → [[connectedComponents]] → ONE
+    * representative per cluster (highest `qualityCol`, ties to the
+    * smallest id — the q64 ordering), with every document in NO pair
+    * kept as its own singleton cluster. Output: one row per input doc
+    * `(idCol, cluster_id, cluster_size, kept)` — callers filter
+    * `kept` to dedup, or keep all rows for audit.
+    *
+    * Scale shape: cluster labels join back to docs on id (one
+    * shuffle); the representative is a bounded-state `min_by` argmax
+    * per cluster (one candidate per map partition crosses the wire —
+    * never a window over a mass-duplicated cluster); the winner table
+    * (one row per cluster) joins back co-partitioned on cluster_id.
+    * `qualityCol` must be numeric (negated for the ordering). */
+  def resolveNearDups(docs: DataFrame, pairs: DataFrame, idCol: String,
+      qualityCol: Column): DataFrame = {
+    val clusters = connectedComponents(pairs)
+      .withColumnRenamed("doc_id", idCol)
+    val withCluster = docs.select(col(idCol), qualityCol.as("_q"))
+      .join(clusters, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+    val best = withCluster.groupBy("cluster_id").agg(
+      min_by(col(idCol),
+        struct(col("_q").isNull, col("_q") * lit(-1), col(idCol))).as("_keep"),
+      count(lit(1)).as("cluster_size"))
+    withCluster.join(best, Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id"), col("cluster_size"),
+        (col(idCol) === col("_keep")).as("kept"))
+  }
+
   /** LINE-level dedup (the C4/RefinedWeb cleaning pass): remove every
     * line whose trimmed form occurs in ≥ `minDf` DISTINCT documents —
     * navigation bars, cookie banners, "all rights reserved" footers —

@@ -241,7 +241,21 @@ object R5Queries {
           col("g.n_chars").as("n_chars"), col("g.top_count").as("top_count"),
           col("g.stop_hits").as("stop_hits"), col("g.keep").as("keep"),
           col("g.reject_reason").as("reject_reason"))
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // [EXT] full near-dup RESOLUTION (q69's clusters + q64's
+    // keep-best, composed): Jaccard pairs → connected components →
+    // one highest-quality representative per cluster; docs in no pair
+    // are singleton clusters and kept. The oracle replays clustering
+    // with a recursive CTE and the pick with a rank window.
+    "q97_dedup_resolve" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      graft.llm.Dedup.resolveNearDups(docs,
+          graft.llm.Dedup.jaccardPairs(docs, "doc_id", "text",
+            blockCols = Seq("lang"), shingleN = 3, threshold = 0.03),
+          "doc_id", col("n_chars"))
+        .orderBy("doc_id")
+    }))
 
   val oracleSql: Map[String, String] = Map(
     "q91_bmp_pixel_decode" ->
@@ -384,5 +398,38 @@ object R5Queries {
         |       WHEN top * 100 > n * 10 THEN 'repetition'
         |       WHEN stop_hits * 1000 < n * 50 THEN 'stopwords'
         |       ELSE 'ok' END AS reject_reason
-        |FROM j ORDER BY doc_id""".stripMargin)
+        |FROM j ORDER BY doc_id""".stripMargin,
+    // q69's recursive-CTE clustering + a rank-window representative
+    // pick (the window is fine as an ORACLE; the engine side is the
+    // bounded-state min_by)
+    "q97_dedup_resolve" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, lang,
+        |         list_distinct(list_transform(
+        |           generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 1)),
+        |           i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' '))) AS sh
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.03),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |      UNION SELECT doc_b, doc_a FROM p),
+        |reach AS (
+        |  SELECT src AS id, src AS lbl FROM e
+        |  UNION
+        |  SELECT e.dst, reach.lbl FROM reach JOIN e ON e.src = reach.id),
+        |cl AS (SELECT id AS doc_id, min(lbl) AS cluster_id
+        |       FROM reach GROUP BY id),
+        |a AS (SELECT d.doc_id,
+        |        coalesce(cl.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+        |      FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+        |r AS (SELECT doc_id, cluster_id,
+        |        count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+        |        row_number() OVER (PARTITION BY cluster_id
+        |                           ORDER BY n_chars DESC, doc_id) AS rn
+        |      FROM a)
+        |SELECT doc_id, cluster_id, cluster_size, rn = 1 AS kept
+        |FROM r ORDER BY doc_id""".stripMargin)
 }

@@ -287,6 +287,21 @@ class DedupSpec extends SparkSuite {
     assert(kept === Map(1L -> 2L, 3L -> 2L))
   }
 
+  test("resolveNearDups: best-quality representative, singletons kept") {
+    val docs = Seq((1L, 10), (2L, 20), (3L, 20), (4L, 5))
+      .toDF("id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val out = Dedup.resolveNearDups(docs, pairs, "id", col("q"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // cluster {1,2,3} labeled by min id 1, size 3; quality tie 20/20
+    // between 2 and 3 → min id 2 kept; 4 is a singleton, kept
+    assert(out(1L) === ((1L, 3L, false)))
+    assert(out(2L) === ((1L, 3L, true)))
+    assert(out(3L) === ((1L, 3L, false)))
+    assert(out(4L) === ((4L, 1L, true)))
+  }
+
   test("lineDedup removes cross-doc boilerplate lines, keeps order") {
     val footer = "all rights reserved"
     val df = Seq(
