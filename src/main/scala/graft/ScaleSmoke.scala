@@ -126,6 +126,23 @@ object ScaleSmoke {
       "keyword_search" -> (() =>
         graft.llm.Search.keywordSearch(docs, "id", "text",
           terms = Seq("w17", "w4242", "w999"), k = 100)),
+      // line-level dedup with the hot key built in: EVERY doc carries
+      // the same footer line (df = n) plus a unique line — the
+      // boilerplate line must resolve as one aggregate cell, and
+      // reassembly state is bounded by per-doc line count.
+      "line_dedup_hot" -> (() =>
+        Dedup.lineDedup(
+          docs.withColumn("text", concat(col("text"),
+            lit("\ncopyright acme corp all rights reserved\nuid "),
+            col("id").cast("string"))),
+          "id", "text", minDf = 3)),
+      // full resolution over the planted near-dup pairs (~n/10
+      // clusters of 2): clustering + bounded-state representative pick
+      "dedup_resolve" -> (() =>
+        Dedup.resolveNearDups(docs,
+          docs.filter(col("id") % 10 === 0)
+            .select(col("id").as("doc_a"), (col("id") - 1).as("doc_b")),
+          "id", length(col("text")))),
       // clustering over the planted near-dup pairs: every 10th doc pairs
       // with its predecessor ⇒ ~n/10 components of size 2 (diameter 1,
       // so the round count exercises the convergence machinery, not
@@ -135,7 +152,7 @@ object ScaleSmoke {
           .select(col("id").as("doc_a"), (col("id") - 1).as("doc_b")))))
 
     val hotSet = Set("dup_shingle_audit_hot", "keyword_search_hot",
-      "keep_best_hot", "ksample_hot", "kmv_sketch_hot")
+      "keep_best_hot", "ksample_hot", "kmv_sketch_hot", "line_dedup_hot")
     val selected =
       if (subset == "hot") scenarios.filter(s => hotSet(s._1)) else scenarios
     val results = selected.map { case (name, mk) => timed(name, mk()) }
