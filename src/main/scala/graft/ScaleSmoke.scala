@@ -90,6 +90,12 @@ object ScaleSmoke {
         Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01))),
       "token_packing" -> (() => TrainingOps.packByTokenBudget(docs, "lang", "id",
         TA.tokenCountWs(col("text")).cast("long"), budget = 4096)),
+      // HALF the corpus in ONE shard: the per-shard window formulation
+      // would serialize n/2 docs through a single task; the two-phase
+      // prefix sum must stay range-partition-parallel.
+      "pack_hot" -> (() => TrainingOps.packByTokenBudget(
+        docs.withColumn("lang", skewLang), "lang", "id",
+        TA.tokenCountWs(col("text")).cast("long"), budget = 4096)),
       "repetition_stats" -> (() => docs.select(col("id"),
         TA.repetitionStats(col("text")))),
       "dup_shingle_audit" -> (() =>
@@ -152,7 +158,8 @@ object ScaleSmoke {
           .select(col("id").as("doc_a"), (col("id") - 1).as("doc_b")))))
 
     val hotSet = Set("dup_shingle_audit_hot", "keyword_search_hot",
-      "keep_best_hot", "ksample_hot", "kmv_sketch_hot", "line_dedup_hot")
+      "keep_best_hot", "ksample_hot", "kmv_sketch_hot", "line_dedup_hot",
+      "pack_hot")
     val selected =
       if (subset == "hot") scenarios.filter(s => hotSet(s._1)) else scenarios
     val results = selected.map { case (name, mk) => timed(name, mk()) }

@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -103,18 +102,110 @@ object TrainingOps {
     * key). A document is assigned to the pack where its running offset
     * starts: pack_id = floor((cumsum(tokens) − tokens) / budget).
     *
-    * Sharding is load-bearing at 100 TB: a single global packing order
-    * is a one-partition window (the whole corpus through one task).
-    * Partitioning by a shard key keeps the window shuffle-parallel;
-    * packs never cross shards, which is what training-shard layouts
-    * want anyway. */
+    * Scale shape — TWO-PHASE DISTRIBUTED PREFIX SUM, not a per-shard
+    * running-sum window. A `Window.partitionBy(shard)` cumsum pushes a
+    * whole shard through ONE task: with shard = language, the English
+    * shard of a 100 TB corpus is tens of TB serialized through a single
+    * thread. Instead:
+    *
+    *   1. range-partition + sort by (shard, order) — the one shuffle;
+    *      a hot shard spans MANY contiguous partitions;
+    *   2. pass 1: per partition, the token totals of its FIRST and
+    *      LAST shard runs (data is sorted, so a shard that spans
+    *      partitions is interior-only in the middle ones — first/last
+    *      runs capture every fragment of every spanning shard). Collect
+    *      is ≤ 2 rows per partition — bounded by the partition count,
+    *      NOT by shard cardinality or shard size;
+    *   3. driver: prefix-sum each spanning shard's fragment totals in
+    *      partition order → a tiny (pid, shard) → start-offset map,
+    *      broadcast;
+    *   4. pass 2: per-partition streaming cumsum seeded from the
+    *      broadcast offset; pack_id = floorDiv(offset_before_row,
+    *      budget).
+    *
+    * Both passes share ONE RDD lineage, so the shuffle map output is
+    * written once and reused — partition ids are consistent between
+    * passes by construction (re-sampling range boundaries per pass
+    * would not be). Only the reduce-side sort re-runs. This is genuine
+    * per-partition imperative logic — the documented last-resort seam.
+    *
+    * Null `tokens` yield a null pack_id and do not advance the running
+    * sum (matching SQL window-sum null semantics). `orderCol` ties are
+    * resolved arbitrarily (as with any non-unique window ordering) —
+    * use a unique order key for fully deterministic output. */
   def packByTokenBudget(df: DataFrame, shardCol: String, orderCol: String,
-      tokens: Column, budget: Long): DataFrame = {
+      tokens: Column, budget: Long, numPartitions: Int = 0): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val w = Window.partitionBy(shardCol).orderBy(orderCol)
-    df.withColumn("_toks", tokens)
-      .withColumn("pack_id",
-        floor((sum(col("_toks")).over(w) - col("_toks")) / budget))
+    val spark = df.sparkSession
+    val nPart = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val staged = df.withColumn("_toks", tokens.cast(LongType))
+      .repartitionByRange(nPart, col(shardCol), col(orderCol))
+      .sortWithinPartitions(shardCol, orderCol)
+    val schema = staged.schema
+    val si = schema.fieldIndex(shardCol)
+    val ti = schema.fieldIndex("_toks")
+    val rdd = staged.rdd // single lineage: both passes reuse its shuffle
+
+    // Pass 1: boundary-run totals. (pid, shard, total) for the first
+    // and (if different) last shard run of each partition.
+    val frags: Array[(Int, Any, Long)] = rdd.mapPartitionsWithIndex {
+      (pid, it) =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          var firstShard: Any = null; var firstTot = 0L
+          var curShard: Any = null; var curTot = 0L
+          var started = false
+          var haveFirst = false
+          it.foreach { r =>
+            val s = r.get(si)
+            if (!started || !java.util.Objects.equals(s, curShard)) {
+              if (started && !haveFirst) {
+                firstShard = curShard; firstTot = curTot; haveFirst = true
+              }
+              curShard = s; curTot = 0L; started = true
+            }
+            if (!r.isNullAt(ti)) curTot += r.getLong(ti)
+          }
+          if (!haveFirst) Iterator.single((pid, curShard, curTot)) // one run
+          else Iterator((pid, firstShard, firstTot), (pid, curShard, curTot))
+        }
+    }.collect()
+
+    // Driver: offsets only for shards that span >1 partition. A
+    // spanning shard is interior-only in its middle partitions, so the
+    // boundary runs above are ALL of its fragments.
+    val offsets: Map[(Int, Any), Long] = frags
+      .groupBy(_._2).iterator
+      .filter(_._2.length > 1)
+      .flatMap { case (shard, fs) =>
+        val sorted = fs.sortBy(_._1)
+        sorted.zip(sorted.scanLeft(0L)(_ + _._3))
+          .drop(1) // first fragment's offset is 0 — omit
+          .map { case ((pid, _, _), off) => (pid, shard) -> off }
+      }.toMap
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+
+    // Pass 2: streaming per-partition cumsum seeded from the offsets.
+    val packed = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var curShard: Any = null; var started = false; var cum = 0L
+      it.map { r =>
+        val s = r.get(si)
+        if (!started || !java.util.Objects.equals(s, curShard)) {
+          curShard = s; started = true
+          cum = bOffsets.value.getOrElse((pid, s), 0L)
+        }
+        val pack: Any =
+          if (r.isNullAt(ti)) null
+          else {
+            val start = cum
+            cum += r.getLong(ti)
+            java.lang.Long.valueOf(Math.floorDiv(start, budget))
+          }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ pack)
+      }
+    }
+    spark.createDataFrame(packed, schema.add("pack_id", LongType))
       .drop("_toks")
   }
 

@@ -217,8 +217,9 @@ object ExtQueries {
         .select("doc_id", "split")
         .orderBy("doc_id")),
 
-    // [EXT] token-budget packing, sharded by lang (shard-parallel
-    // window — a global packing order would be a one-task window).
+    // [EXT] token-budget packing, sharded by lang — two-phase
+    // distributed prefix sum (range partitions + broadcast offsets);
+    // a hot shard spans many tasks instead of serializing through one.
     "q52_token_packing" -> ((s, d) =>
       TrainingOps.packByTokenBudget(T.documents(s, d), "lang", "doc_id",
           graft.llm.TextAnalysis.tokenCountWs(col("text")).cast(LongType),

@@ -43,6 +43,36 @@ class TrainingOpsSpec extends SparkSuite {
     assert(packed(5L) === 0L && packed(6L) === 1L)
   }
 
+  test("packByTokenBudget: two-phase prefix sum matches the window " +
+      "formulation across partition boundaries, hot shards, nulls") {
+    import org.apache.spark.sql.expressions.Window
+    // one hot shard (60% of rows) + many tiny shards + null tokens;
+    // few docs per range partition so hot shards MUST span partitions
+    val docs = spark.range(0, 2000).select(
+      col("id"),
+      when(col("id") % 5 < 3, lit("hot"))
+        .otherwise(concat(lit("s"), (col("id") % 37).cast("string")))
+        .as("shard"),
+      when(col("id") % 101 === 0, lit(null).cast("long"))
+        .otherwise(col("id") % 300 + 1).as("toks"))
+    val got = TrainingOps.packByTokenBudget(docs, "shard", "id",
+        col("toks"), budget = 1000, numPartitions = 16)
+      .select("id", "pack_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    val w = Window.partitionBy("shard").orderBy("id")
+    val want = docs.withColumn("pack_id",
+        floor((sum(col("toks")).over(w) - col("toks")) / 1000))
+      .select("id", "pack_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    assert(got === want)
+    // schema: original columns preserved + pack_id appended
+    val out = TrainingOps.packByTokenBudget(docs, "shard", "id",
+      col("toks"), budget = 1000)
+    assert(out.columns.toSeq === Seq("id", "shard", "toks", "pack_id"))
+  }
+
   test("decontaminate: containment catches quoted benchmark items") {
     val corpus = Seq(
       (1L, "lots of filler text and then the secret benchmark question appears here verbatim today"),
