@@ -50,10 +50,14 @@ object NativeFunctions {
     * "replaced a previously registered function" warning PER CALL —
     * thousands of noise lines per bench run. The sentinel probe makes
     * re-registration a no-op (a lost race between two first calls just
-    * re-registers the same builders — harmless). */
+    * re-registers the same builders — harmless). The sentinel is the
+    * LAST table entry: a session where an older library version (or a
+    * user temp function) already claimed an early name must still get
+    * the functions added since — probing the newest name can never be
+    * masked by a stale registration. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(FunctionIdentifier(GraftFunctions.all.head._1))) {
+    if (!reg.functionExists(FunctionIdentifier(GraftFunctions.all.last._1))) {
       GraftFunctions.all.foreach { case (name, _, builder) =>
         reg.createOrReplaceTempFunction(name, builder, "built-in")
       }

@@ -227,17 +227,36 @@ object Dedup {
     * `min_by` + `count` aggregate per content key: partial aggregation
     * combines map-side, so the shuffle carries ONE winner candidate
     * and one count per map partition per key, never the group. The
-    * ordering key `(quality IS NULL, -quality, id)` under min is
-    * exactly the window's `ORDER BY quality DESC, id ASC` (null
-    * quality last, as `desc` defaults to nulls-last) and is total
-    * because ids are unique, so the pick is deterministic.
-    * `qualityCol` must be numeric (it is negated); every quality
-    * score in this library is. */
+    * ordering key ([[bestFirstOrd]]) under min is exactly the
+    * window's `ORDER BY quality DESC, id ASC` (null quality last, as
+    * `desc` defaults to nulls-last; NaN first, as DESC ranks NaN
+    * greatest) and is total because ids are unique, so the pick is
+    * deterministic. `qualityCol` must be numeric; every quality score
+    * in this library is. */
+  /** Ascending ordering key reproducing `ORDER BY q DESC NULLS LAST,
+    * id ASC` under min/min_by EXACTLY — including the two edges where
+    * plain negation diverges from the window:
+    *  - NaN: DESC ranks NaN first (sorts greatest), but −NaN is still
+    *    NaN and would rank LAST under min — so NaN gets its own level;
+    *  - integral MinValue: `q * -1` overflows back to MinValue, making
+    *    the worst row win — the negation here happens after a double
+    *    cast, which cannot overflow.
+    * Key: (q IS NULL, isnan(q) ? 0 : 1, isnan(q) ? 0 : −q, id).
+    * Qualities needing > 53 bits of integer precision would tie on the
+    * double cast (none in this library come close). */
+  private[llm] def bestFirstOrd(q: Column, id: Column): Column = {
+    val d = q.cast(DoubleType)
+    struct(q.isNull,
+      when(isnan(d), lit(0)).otherwise(lit(1)),
+      when(isnan(d), lit(0d)).otherwise(-d),
+      id)
+  }
+
   def normalizedKeepBest(df: DataFrame, idCol: String, textCol: String,
       qualityCol: Column): DataFrame = {
     val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
     val withKey = df.withColumn("content_hash", sha2(norm, 256))
-    val ord = struct(qualityCol.isNull, qualityCol * lit(-1), col(idCol))
+    val ord = bestFirstOrd(qualityCol, col(idCol))
     withKey
       .groupBy(col("content_hash").as("_ch"))
       .agg(min_by(struct(withKey.columns.map(col): _*), ord).as("_best"),
@@ -679,8 +698,7 @@ object Dedup {
       .join(clusters, Seq(idCol), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
     val best = withCluster.groupBy("cluster_id").agg(
-      min_by(col(idCol),
-        struct(col("_q").isNull, col("_q") * lit(-1), col(idCol))).as("_keep"),
+      min_by(col(idCol), bestFirstOrd(col("_q"), col(idCol))).as("_keep"),
       count(lit(1)).as("cluster_size"))
     withCluster.join(best, Seq("cluster_id"))
       .select(col(idCol), col("cluster_id"), col("cluster_size"),

@@ -94,8 +94,10 @@ object MediaHeaderKernel {
       // bound-check the UNSIGNED size as a Long BEFORE advancing: a
       // crafted size like 0xFFFFFFF8 truncates to a negative Int whose
       // word-aligned advance is ZERO — an infinite loop, which the
-      // try/catch cannot trap (one corrupt file must not wedge a task)
-      if (sz <= 0 || off + 8 + sz + (sz & 1) > b.length) return Header("wav")
+      // try/catch cannot trap (one corrupt file must not wedge a task).
+      // sz == 0 is a LEGAL empty chunk (JUNK padding) — advance past
+      // its 8-byte header (progress is guaranteed), don't bail.
+      if (off + 8 + sz + (sz & 1) > b.length) return Header("wav")
       off += 8 + sz.toInt + (sz.toInt & 1)
     }
     Header("wav")
@@ -110,7 +112,10 @@ object MediaHeaderKernel {
     while (off + 12 <= b.length) {
       val id = ascii(b, off, 4)
       val sz = u32le(b, off + 4)
-      if (sz <= 0 || off + 8 + sz + (sz & 1) > b.length) return Header("avi")
+      // zero-size JUNK chunks before hdrl are legal RIFF — advance
+      // past the 8-byte header instead of bailing (VideoKernel.walk
+      // already agreed; the two walkers must not disagree)
+      if (off + 8 + sz + (sz & 1) > b.length) return Header("avi")
       if (id == "LIST" && ascii(b, off + 8, 4) == "hdrl") {
         val c = off + 12
         return if (ascii(b, c, 4) == "avih" && c + 48 <= b.length)

@@ -299,9 +299,11 @@ object TrainingOps {
     // factor only LOWERS the fpp (more bits per element, still
     // O(filter bits) on the driver); the exact join removes every
     // false positive regardless.
+    // greatest(size, 0): size(NULL) is -1 under legacy sizeOfNull, so
+    // null-text probes would each subtract 1 from the upper bound
     val expected = math.max(1000L, probes
-      .select(coalesce(sum(size(Dedup.shingles(col(textCol), shingleN))
-        .cast("long")), lit(0L)))
+      .select(coalesce(sum(greatest(size(Dedup.shingles(col(textCol),
+        shingleN)), lit(0)).cast("long")), lit(0L)))
       .first().getLong(0))
     val pg = pEx.select("g").distinct()
     val bf = pg.rdd.map(_.getString(0)).treeAggregate(

@@ -287,6 +287,24 @@ class DedupSpec extends SparkSuite {
     assert(kept === Map(1L -> 2L, 3L -> 2L))
   }
 
+  test("normalizedKeepBest: NaN ranks first (window DESC parity); " +
+      "Long.MinValue cannot overflow-win") {
+    // ORDER BY q DESC sorts NaN greatest ⇒ the NaN row is the window's
+    // pick; plain negation would rank it last instead
+    val nan = Seq((1L, "dup a", 99.0), (2L, "DUP  a", Double.NaN))
+      .toDF("id", "text", "q")
+    val keptNan = Dedup.normalizedKeepBest(nan, "id", "text", col("q"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(keptNan === Set(2L))
+    // q * -1 on Long.MinValue overflows back to MinValue — the WORST
+    // row would beat a genuinely good one
+    val mv = Seq((1L, "dup b", Long.MinValue), (2L, "DUP  b", 7L))
+      .toDF("id", "text", "q")
+    val keptMv = Dedup.normalizedKeepBest(mv, "id", "text", col("q"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(keptMv === Set(2L))
+  }
+
   test("resolveNearDups: best-quality representative, singletons kept") {
     val docs = Seq((1L, 10), (2L, 20), (3L, 20), (4L, 5))
       .toDF("id", "q")

@@ -123,6 +123,18 @@ class MultimodalSpec extends SparkSuite {
     val evilWav = "RIFF".getBytes ++ bytes(0xff, 0, 0, 0) ++ "WAVE".getBytes ++
       "JUNK".getBytes ++ bytes(0xf8, 0xff, 0xff, 0xff) ++ new Array[Byte](16)
     assert(parse(evilWav).format === "wav")
+
+    // zero-size JUNK padding chunks are legal RIFF: the walker must
+    // advance past the 8-byte header, not abandon the metadata
+    val junk0 = "JUNK".getBytes ++ bytes(0, 0, 0, 0)
+    val wavJ0 = "RIFF".getBytes ++ bytes(0xff, 0, 0, 0) ++ "WAVE".getBytes ++
+      junk0 ++ fmt
+    val hwj = parse(wavJ0)
+    assert((hwj.format, hwj.channels, hwj.sampleRate) === (("wav", 2, 44100)))
+    val aviJ0 = "RIFF".getBytes ++ bytes(0xff, 0, 0, 0) ++ "AVI ".getBytes ++
+      junk0 ++ hdrl
+    val haj = parse(aviJ0)
+    assert((haj.format, haj.width, haj.height) === (("avi", 640, 360)))
     // corrupt/truncated/unknown payloads never throw
     assert(parse(null).format === "unknown")
     assert(parse(bytes(1, 2, 3)).format === "unknown")
