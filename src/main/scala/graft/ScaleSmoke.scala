@@ -46,9 +46,8 @@ object ScaleSmoke {
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    // subset: all | hot | comma-list of scenario names
     val subset = args.lift(1).getOrElse("all")
-    require(subset == "all" || subset == "hot",
-      s"unknown subset '$subset' (expected: all | hot)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -160,8 +159,16 @@ object ScaleSmoke {
     val hotSet = Set("dup_shingle_audit_hot", "keyword_search_hot",
       "keep_best_hot", "ksample_hot", "kmv_sketch_hot", "line_dedup_hot",
       "pack_hot")
-    val selected =
-      if (subset == "hot") scenarios.filter(s => hotSet(s._1)) else scenarios
+    val selected = subset match {
+      case "all" => scenarios
+      case "hot" => scenarios.filter(s => hotSet(s._1))
+      case names =>
+        val want = names.split(',').toSet
+        val sel = scenarios.filter(s => want(s._1))
+        require(sel.map(_._1).toSet == want,
+          s"unknown scenario(s): ${want -- sel.map(_._1).toSet}")
+        sel
+    }
     val results = selected.map { case (name, mk) => timed(name, mk()) }
 
     docs.unpersist()

@@ -34,7 +34,8 @@ object GraftFunctions {
     ("graft_kmv", KmvDistinctAgg.info, KmvDistinctAgg.builder _),
     ("graft_media_header", MediaHeaderExpr.info, MediaHeaderExpr.builder _),
     ("graft_nfc", NfcNormalize.info, NfcNormalize.builder _),
-    ("graft_ksample", KSampleAgg.info, KSampleAgg.builder _))
+    ("graft_ksample", KSampleAgg.info, KSampleAgg.builder _),
+    ("graft_langid", LangIdExpr.info, LangIdExpr.builder _))
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {

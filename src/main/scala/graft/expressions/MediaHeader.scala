@@ -43,7 +43,10 @@ case class MediaHeaderExpr(child: Expression) extends UnaryExpression {
     def n(v: Int): Any = if (v < 0) null else v
     new GenericInternalRow(Array[Any](
       UTF8String.fromString(h.format), n(h.width), n(h.height),
-      n(h.channels), n(h.sampleRate), n(h.bitsPerSample)))
+      n(h.channels), n(h.sampleRate), n(h.bitsPerSample),
+      if (h.durationMs < 0) null else h.durationMs,
+      n(h.frameCount),
+      if (h.codec == null) null else UTF8String.fromString(h.codec)))
   }
 
   override protected def withNewChildInternal(newChild: Expression): MediaHeaderExpr =
@@ -58,7 +61,10 @@ object MediaHeaderExpr {
     StructField("height", IntegerType),
     StructField("channels", IntegerType),
     StructField("sample_rate", IntegerType),
-    StructField("bits_per_sample", IntegerType)))
+    StructField("bits_per_sample", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("frame_count", IntegerType),
+    StructField("codec", StringType)))
 
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[MediaHeaderExpr].getName, "graft_media_header")

@@ -19,6 +19,16 @@ package graft.llm
   *    progressive): each marker is 0xFF <type> <u16 length>; SOF
   *    payload is [precision u8][height u16][width u16][channels u8]
   *    (ITU T.81 §B.2.2).
+  *  - MP4/MOV (ISO BMFF, ISO 14496-12): `ftyp` brand probe, then a
+  *    `moov` box walk — `mvhd` timescale+duration → duration_ms,
+  *    the `vide`-handler trak's `tkhd` 16.16-fixed dims (sample-entry
+  *    u16 dims as fallback), `stsd` sample-entry fourcc → codec,
+  *    `stsz` sample_count → frame count; a `soun`-handler trak fills
+  *    channels / sample rate / sample size. Boxes are
+  *    [u32be size][fourcc]; size 1 = u64 largesize follows, size 0 =
+  *    to end of enclosing box. Frame DECODE stays out of scope (the
+  *    JDK ships no H.264/HEVC codec) — at 100 TB the container
+  *    metadata is what routing/filtering needs before any decode.
   *
   * All fields are -1 when absent (the DataFrame layer maps -1 → null).
   * Truncated or unrecognized payloads parse as "unknown" — never throw:
@@ -27,7 +37,8 @@ package graft.llm
 object MediaHeaderKernel {
 
   final case class Header(format: String, width: Int = -1, height: Int = -1,
-      channels: Int = -1, sampleRate: Int = -1, bitsPerSample: Int = -1)
+      channels: Int = -1, sampleRate: Int = -1, bitsPerSample: Int = -1,
+      durationMs: Long = -1L, frameCount: Int = -1, codec: String = null)
 
   private val Unknown = Header("unknown")
 
@@ -57,6 +68,8 @@ object MediaHeaderKernel {
       else if (ascii(bytes, 0, 4) == "RIFF" && ascii(bytes, 8, 4) == "AVI ")
         parseAvi(bytes)
       else if (u8(bytes, 0) == 0xff && u8(bytes, 1) == 0xd8) parseJpeg(bytes)
+      else if (bytes.length >= 12 && ascii(bytes, 4, 4) == "ftyp")
+        parseMp4(bytes)
       else Unknown
     } catch { case _: Exception => Unknown }
   }
@@ -125,6 +138,129 @@ object MediaHeaderKernel {
       off += 8 + sz.toInt + (sz.toInt & 1)
     }
     Header("avi")
+  }
+
+  /** ISO-BMFF child boxes of [start, end): (fourcc, bodyStart,
+    * bodyEnd). Every advance is validated against the enclosing bounds
+    * BEFORE use — a crafted size (0 where illegal, < 8, past-end,
+    * largesize overflow) terminates the walk instead of wedging or
+    * throwing. */
+  private def mp4Boxes(b: Array[Byte], start: Int, end: Int)
+      : List[(String, Int, Int)] = {
+    val out = List.newBuilder[(String, Int, Int)]
+    var off = start
+    var done = false
+    while (!done && off + 8 <= end) {
+      val sz = u32be(b, off)
+      val typ = ascii(b, off + 4, 4)
+      var hdr = 8
+      var boxEnd: Long = off.toLong + sz
+      if (sz == 0) boxEnd = end // box extends to end of enclosing box
+      else if (sz == 1) { // u64 largesize follows the fourcc
+        if (off + 16 > end) { done = true; boxEnd = -1 }
+        else {
+          hdr = 16
+          val hi = u32be(b, off + 8)
+          // >2 GiB cannot fit the Array anyway — treat as to-end
+          boxEnd = if (hi != 0) end.toLong else off.toLong + u32be(b, off + 12)
+        }
+      } else if (sz < 8) { done = true; boxEnd = -1 } // corrupt
+      if (!done) {
+        if (boxEnd > end || boxEnd < off + hdr) done = true
+        else {
+          out += ((typ, off + hdr, boxEnd.toInt))
+          if (boxEnd.toInt == off) done = true // paranoid: no progress
+          off = boxEnd.toInt
+        }
+      }
+    }
+    out.result()
+  }
+
+  private def parseMp4(b: Array[Byte]): Header = {
+    val top = mp4Boxes(b, 0, b.length)
+    // major brand distinguishes QuickTime .mov from .mp4 proper
+    val fmt = top.find(_._1 == "ftyp") match {
+      case Some((_, s, e)) if s + 4 <= e && ascii(b, s, 2) == "qt" => "mov"
+      case _ => "mp4"
+    }
+    val moov = top.find(_._1 == "moov") match {
+      case Some(m) => m
+      case None => return Header(fmt)
+    }
+    val mBoxes = mp4Boxes(b, moov._2, moov._3)
+    var durationMs = -1L
+    mBoxes.find(_._1 == "mvhd").foreach { case (_, s, e) =>
+      if (s < e) u8(b, s) match { // version
+        case 1 if s + 32 <= e =>
+          val ts = u32be(b, s + 20)
+          val dur = (u32be(b, s + 24) << 32) | u32be(b, s + 28)
+          if (ts > 0 && dur >= 0) durationMs = dur * 1000 / ts
+        case 0 if s + 20 <= e =>
+          val ts = u32be(b, s + 12)
+          if (ts > 0) durationMs = u32be(b, s + 16) * 1000 / ts
+        case _ =>
+      }
+    }
+    var w = -1; var h = -1; var frames = -1
+    var videoCodec: String = null; var audioCodec: String = null
+    var channels = -1; var rate = -1; var bits = -1
+    mBoxes.iterator.filter(_._1 == "trak").foreach { case (_, ts0, te0) =>
+      val tb = mp4Boxes(b, ts0, te0)
+      val mdia = tb.find(_._1 == "mdia")
+      val handler = mdia.map { case (_, s, e) =>
+        mp4Boxes(b, s, e).find(_._1 == "hdlr") match {
+          case Some((_, hs, he)) if hs + 12 <= he => ascii(b, hs + 8, 4)
+          case _ => ""
+        }
+      }.getOrElse("")
+      val stbl = mdia
+        .flatMap { case (_, s, e) => mp4Boxes(b, s, e).find(_._1 == "minf") }
+        .flatMap { case (_, s, e) => mp4Boxes(b, s, e).find(_._1 == "stbl") }
+      // first stsd sample entry: [size][fourcc][6 reserved][u16 dataref]
+      val entry = stbl
+        .flatMap { case (_, s, e) => mp4Boxes(b, s, e).find(_._1 == "stsd") }
+        .collect { case (_, s, e) if s + 16 <= e => (s + 8, e) }
+      if (handler == "vide") {
+        tb.find(_._1 == "tkhd").foreach { case (_, s, e) =>
+          val wOff = s + (if (s < e && u8(b, s) == 1) 88 else 76)
+          if (wOff + 8 <= e) { // 16.16 fixed-point dims
+            val tw = (u32be(b, wOff) >> 16).toInt
+            val th = (u32be(b, wOff + 4) >> 16).toInt
+            if (tw > 0) w = tw
+            if (th > 0) h = th
+          }
+        }
+        entry.foreach { case (es, ee) =>
+          videoCodec = ascii(b, es + 4, 4)
+          // VisualSampleEntry u16 dims — fallback when tkhd is absent
+          if (w < 0 && es + 36 <= ee) {
+            w = dim(u16be(b, es + 32)); h = dim(u16be(b, es + 34))
+          }
+        }
+        stbl.flatMap { case (_, s, e) =>
+          mp4Boxes(b, s, e).find(_._1 == "stsz")
+        }.foreach { case (_, s, e) =>
+          if (s + 12 <= e) frames = dim(u32be(b, s + 8))
+        }
+      } else if (handler == "soun") {
+        entry.foreach { case (es, ee) =>
+          audioCodec = ascii(b, es + 4, 4)
+          // AudioSampleEntry: channelcount/samplesize u16 at +24/+26,
+          // samplerate 16.16 (integer part u16) at +32
+          if (es + 36 <= ee) {
+            channels = u16be(b, es + 24)
+            bits = u16be(b, es + 26)
+            rate = u16be(b, es + 32)
+          }
+        }
+      }
+    }
+    Header(fmt, width = w, height = h, channels = channels,
+      sampleRate = if (rate > 0) rate else -1,
+      bitsPerSample = if (bits > 0) bits else -1,
+      durationMs = durationMs, frameCount = frames,
+      codec = if (videoCodec != null) videoCodec else audioCodec)
   }
 
   private def parseJpeg(b: Array[Byte]): Header = {

@@ -211,6 +211,16 @@ object TextAnalysis {
     b.column(graft.expressions.NfcNormalize(b.expression(c)))
   }
 
+  /** Char-trigram language ID → struct<lang, score> — the native
+    * `graft_langid` expression over the bundled integer-weight model
+    * (see [[graft.expressions.LangIdKernel]]). Map-only, exact
+    * integer scoring, oracle-replayable; use THIS (not the stopword
+    * heuristic) as the mixing / per-language-sharding key. */
+  def langId(c: Column): Column = {
+    val b = org.apache.spark.sql.GraftColumnBridge
+    b.column(graft.expressions.LangIdExpr(b.expression(c)))
+  }
+
   /** Corpus-relative unigram log-probability score — the cheap
     * perplexity-style quality filter of a training pipeline (documents
     * whose tokens are improbable under the corpus's own unigram model
@@ -259,23 +269,42 @@ object TextAnalysis {
         transform(sequence(lit(1), greatest(size(w) - (shingleLen - 1), lit(1))),
           i => sha2(concat_ws(" ", slice(w, i, lit(shingleLen))), 256))))
 
-  /** Multi-label public suffixes for the registrable-domain heuristic
-    * — the handful that cover the overwhelming bulk of real corpora.
-    * A full public-suffix list drops in here without changing the
-    * plan shape (it would broadcast as literals exactly like these). */
-  val MultiLabelSuffixes: Seq[String] = Seq(
-    "co.uk", "ac.uk", "gov.uk", "org.uk", "co.jp", "ne.jp",
-    "com.au", "net.au", "org.au", "com.br", "co.in", "co.nz",
-    "com.cn", "com.mx", "co.za")
+  /** Multi-label public suffixes for the registrable-domain rule,
+    * loaded from the bundled resource (an ICANN-section subset of the
+    * Public Suffix List, publicsuffix.org — ~500 entries covering the
+    * ccTLD second/third levels real corpora actually hit). The list
+    * ships as plan literals (one `isin` per label count — Catalyst
+    * turns >10 literals into an O(1) InSet probe inside codegen), so
+    * growing it never changes the plan shape. PSL wildcard (`*.ck`)
+    * and exception (`!www.ck`) rules are out of scope: they cover a
+    * handful of tiny ccTLDs and are not expressible as a literal set. */
+  val MultiLabelSuffixes: Seq[String] = {
+    val in = getClass.getResourceAsStream("/graft/public_suffix_multilabel.txt")
+    require(in != null, "bundled public-suffix resource missing")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .toVector.distinct.sorted
+    finally in.close()
+  }
+
+  /** [[MultiLabelSuffixes]] split by label count: (2-label, 3-label). */
+  private val (suffixes2, suffixes3) =
+    MultiLabelSuffixes.partition(_.count(_ == '.') == 1)
+
+  /** The suffix tiers as SQL literal lists, so oracle SQL interpolates
+    * the SAME bundled list the plan uses — the two can never drift. */
+  def suffix2SqlList: String = suffixes2.map(s => s"'$s'").mkString(",")
+  def suffix3SqlList: String = suffixes3.map(s => s"'$s'").mkString(",")
 
   /** URL provenance parts — the canonicalization every web-scrape
     * pipeline needs before per-site dedup, domain mixing (q68), and
     * contamination audits: `struct(host, domain, path)` where
     *  - `host` = lowercased authority with scheme/userinfo/port
     *    stripped and a leading `www.` removed;
-    *  - `domain` = registrable domain: last 2 labels, or last 3 when
-    *    the last 2 are a known multi-label public suffix
-    *    ([[MultiLabelSuffixes]]); single-label hosts pass through;
+    *  - `domain` = registrable domain: suffix + one label, where the
+    *    suffix is the LONGEST match in [[MultiLabelSuffixes]] (3-label
+    *    beats 2-label beats the TLD default — PSL matching order);
+    *    single-label hosts pass through;
     *  - `path` = the path component, query/fragment stripped (the
     *    utm-junk defense — tracking params must not split a page's
     *    identity).
@@ -293,7 +322,11 @@ object TextAnalysis {
     val last3 = when(n >= 3,
       concat_ws(".", element_at(parts, -3), element_at(parts, -2),
         element_at(parts, -1)))
-    val domain = when(n >= 3 && last2.isin(MultiLabelSuffixes: _*), last3)
+    val last4 = when(n >= 4,
+      concat_ws(".", element_at(parts, -4), element_at(parts, -3),
+        element_at(parts, -2), element_at(parts, -1)))
+    val domain = when(n >= 4 && last3.isin(suffixes3: _*), last4)
+      .when(n >= 3 && last2.isin(suffixes2: _*), last3)
       .otherwise(coalesce(last2, host))
     val path = regexp_extract(url, "://[^/]*(/[^?#]*)", 1)
     struct(host.as("host"), domain.as("domain"), path.as("path"))

@@ -345,7 +345,7 @@ object R5Queries {
         |  count(*) FILTER (WHERE NOT keep) AS n_removed
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q95_url_normalize" ->
-      """WITH u AS (
+      s"""WITH u AS (
         |  SELECT doc_id,
         |    CASE doc_id % 4
         |      WHEN 0 THEN 'https://www.' || source || '.Example.CO.UK/path/'
@@ -360,16 +360,19 @@ object R5Queries {
         |h AS (SELECT doc_id, url,
         |        regexp_replace(lower(regexp_extract(url,
         |          '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1)),
-        |          '^www\.', '') AS host
+        |          '^www\\.', '') AS host
         |      FROM u),
         |p AS (SELECT doc_id, url, host,
         |        string_split(host, '.') AS parts FROM h)
         |SELECT doc_id, host,
-        |  CASE WHEN len(parts) >= 3
+        |  CASE WHEN len(parts) >= 4
+        |         AND parts[-3] || '.' || parts[-2] || '.' || parts[-1] IN
+        |           (${graft.llm.TextAnalysis.suffix3SqlList})
+        |       THEN parts[-4] || '.' || parts[-3] || '.' || parts[-2]
+        |            || '.' || parts[-1]
+        |       WHEN len(parts) >= 3
         |         AND parts[-2] || '.' || parts[-1] IN
-        |           ('co.uk','ac.uk','gov.uk','org.uk','co.jp','ne.jp',
-        |            'com.au','net.au','org.au','com.br','co.in','co.nz',
-        |            'com.cn','com.mx','co.za')
+        |           (${graft.llm.TextAnalysis.suffix2SqlList})
         |       THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
         |       WHEN len(parts) >= 2 THEN parts[-2] || '.' || parts[-1]
         |       ELSE host END AS domain,

@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** q98+: round-6 additions.
+  *
+  * q98 extends the q84/q91-q93 pattern to ISO BMFF: Spark BUILDS a
+  * spec-complete minimal MP4 in-plan (ftyp + moov{mvhd,
+  * trak{tkhd, mdia{hdlr vide, minf{stbl{stsd avc1, stsz}}}}}) whose
+  * metadata fields derive from the part key, parses it back with the
+  * native `graft_media_header` expression, and the oracle computes the
+  * expected (format, dims, duration, frame count, codec) analytically.
+  * Box sizes are CONSTANT (fixed-length boxes) — only field bytes
+  * vary — so the container assembles from hex literals + key-derived
+  * big-endian fields with zero binary handling in the oracle.
+  *
+  * Every query ends in a total ORDER BY.
+  */
+object R6Queries {
+  private val T = Tables
+
+  /** Hex of a u32 big-endian (8 chars). */
+  private def be32(c: Column): Column = lpad(hex(c.cast("long")), 8, "0")
+
+  /** Hex of a u16 big-endian (4 chars). */
+  private def be16(c: Column): Column =
+    lpad(hex(pmod(c.cast("long"), lit(65536))), 4, "0")
+
+  private def z(nBytes: Int): String = "0" * (2 * nBytes)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // [EXT] MP4/MOV container metadata (the routing/filtering pass a
+    // 100 TB multimodal corpus runs BEFORE any decode): minimal valid
+    // ISO BMFF built per part row, walked back natively. mvhd
+    // timescale is 1000, so duration_ms === the planted duration.
+    "q98_mp4_metadata" -> ((s, d) => {
+      val k = col("p_partkey")
+      val w = pmod(k, lit(300)) + 1      // tkhd/avc1 dims
+      val h = pmod(k, lit(200)) + 1
+      val dur = pmod(k, lit(5000)) + 1000 // ms (timescale 1000)
+      val frames = pmod(k, lit(50)) + 1   // stsz sample_count
+      // VisualSampleEntry 'avc1' (86 B): 6 reserved + dataref 1,
+      // predefined/reserved, u16 dims, 72dpi 16.16 resolutions,
+      // frame_count 1, 32-B compressor name, depth 24, predefined -1
+      val entry = concat(
+        lit("0000005661766331" + z(6) + "00010000" + "0000" + z(12)),
+        be16(w), be16(h),
+        lit("00480000" + "00480000" + z(4) + "0001" + z(32) + "0018" + "FFFF"))
+      val stsd = concat(lit("0000006673747364" + z(4) + "00000001"), entry)
+      val stsz = concat(lit("000000147374737A" + z(4) + z(4)), be32(frames))
+      val stbl = concat(lit("000000827374626C"), stsd, stsz)
+      val minf = concat(lit("0000008A6D696E66"), stbl)
+      // hdlr: handler_type 'vide', empty (NUL) name
+      val hdlr = lit("0000002168646C72" + z(4) + z(4) + "76696465" + z(12) + "00")
+      val mdia = concat(lit("000000B36D646961"), hdlr, minf)
+      // tkhd v0 (enabled): track 1, duration, identity matrix,
+      // 16.16-fixed dims
+      val tkhd = concat(
+        lit("0000005C746B6864" + "00000003" + z(4) + z(4) + "00000001" + z(4)),
+        be32(dur),
+        lit(z(8) + z(8) +
+          "000100000000000000000000" +
+          "000000000001000000000000" +
+          "000000000000000040000000"),
+        be16(w), lit("0000"), be16(h), lit("0000"))
+      val trak = concat(lit("000001177472616B"), tkhd, mdia)
+      // mvhd v0: timescale 1000, duration = planted ms
+      val mvhd = concat(
+        lit("0000006C6D766864" + z(4) + z(4) + z(4) + "000003E8"),
+        be32(dur), lit(z(80)))
+      val moov = concat(lit("0000018B6D6F6F76"), mvhd, trak)
+      val ftyp = lit("0000001066747970" + "69736F6D" + "00000200")
+      val payload = unhex(concat(ftyp, moov))
+      graft.llm.Multimodal.parseMediaHeaders(
+          T.part(s, d).select(k.as("pk"), payload.as("payload")),
+          "pk", "payload")
+        .select(col("id"), col("format"), col("width"), col("height"),
+          col("duration_ms"), col("frame_count"), col("codec"))
+        .orderBy("id")
+    }),
+
+    // [EXT] char-trigram language ID over planted multilingual
+    // fixtures (8 languages cycled by doc key): exact integer scoring
+    // against the bundled model; the oracle rebuilds the identical
+    // argmax relationally from the SAME interpolated weight table.
+    "q99_langid" -> ((s, d) => {
+      val id = col("doc_id")
+      val text = element_at(
+        array(R6Queries.LangFixtures.map(lit): _*),
+        (pmod(id, lit(8)) + 1).cast("int"))
+      T.documents(s, d)
+        .select(id, graft.llm.TextAnalysis.langId(text).as("l"))
+        .select(id, col("l.lang").as("lang"), col("l.score").as("score"))
+        .orderBy("doc_id")
+    })
+  )
+
+  /** Planted per-language fixture sentences for q99 (index = key % 8;
+    * lowercase, apostrophe-free so both engines embed them verbatim). */
+  val LangFixtures: Seq[String] = Seq(
+    "the quick brown fox jumps over the lazy dog and the children are playing in the garden with you",
+    "die kinder spielen auf der wiese und der hund ist schon wieder zu hause bei den eltern",
+    "les enfants vont à la maison pour manger et le petit chat est sur la table avec eux",
+    "el perro y el gato están en la casa que los niños tienen para jugar con ellos",
+    "il cane che gioca nella casa con i bambini per una giornata di sole e di vento",
+    "o cão não está na casa que as crianças têm para a educação e para o coração",
+    "het huis van de man is niet ver van de school en een ijsje voor het kind van de buurman",
+    "det är en dag som är för alla och barnen ska till skolan på morgonen med en vän")
+
+  /** DuckDB oracles (analytic — no binary handling). */
+  val oracleSql: Map[String, String] = Map(
+    "q98_mp4_metadata" ->
+      """SELECT p_partkey AS id, 'mp4' AS format,
+        |  CAST(p_partkey % 300 + 1 AS INT) AS width,
+        |  CAST(p_partkey % 200 + 1 AS INT) AS height,
+        |  CAST(p_partkey % 5000 + 1000 AS BIGINT) AS duration_ms,
+        |  CAST(p_partkey % 50 + 1 AS INT) AS frame_count,
+        |  'avc1' AS codec
+        |FROM part ORDER BY id""".stripMargin,
+    "q99_langid" -> {
+      val fixtures = LangFixtures.zipWithIndex
+        .map { case (t, i) => s"($i,'$t')" }.mkString(",")
+      s"""WITH s(k, text) AS (VALUES $fixtures),
+        |d AS (SELECT doc_id, s.text FROM documents s2
+        |      JOIN s ON s2.doc_id % 8 = s.k),
+        |tri AS (SELECT doc_id, unnest(list_transform(
+        |          generate_series(1, length(text) - 2),
+        |          i -> substr(lower(text), CAST(i AS INT), 3))) AS g
+        |        FROM d),
+        |w(lang, g, wt) AS
+        |  (VALUES ${graft.expressions.LangIdKernel.modelSqlValues}),
+        |sc AS (SELECT doc_id, lang, CAST(sum(wt) AS BIGINT) AS score
+        |       FROM tri JOIN w USING (g) GROUP BY 1, 2),
+        |r AS (SELECT doc_id, lang, score, row_number() OVER
+        |        (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+        |      FROM sc)
+        |SELECT doc_id, lang, score FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin
+    }
+  )
+}

@@ -142,6 +142,77 @@ class MultimodalSpec extends SparkSuite {
     assert(parse(bytes(0xff, 0xd8, 0x00, 0x11, 1, 1, 1, 1, 1, 1)).format === "jpeg")
   }
 
+  test("MediaHeaderKernel parses MP4/MOV container metadata") {
+    def parse(b: Array[Byte]) = MediaHeaderKernel.parse(b)
+    def be32(v: Long): Array[Byte] = Array(
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def be16(v: Int): Array[Byte] = Array((v >> 8).toByte, v.toByte)
+    def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be32(8L + body.length) ++ fcc(typ) ++ body
+
+    def mp4(w: Int, h: Int, durMs: Long, frames: Int,
+        brand: String = "isom"): Array[Byte] = {
+      val ftyp = box("ftyp", fcc(brand) ++ be32(0x200))
+      // mvhd v0: timescale 1000 → duration field IS milliseconds
+      val mvhd = box("mvhd", new Array[Byte](12) ++ be32(1000) ++
+        be32(durMs) ++ new Array[Byte](80))
+      val tkhd = box("tkhd", be32(3) ++ new Array[Byte](8) ++ be32(1) ++
+        be32(0) ++ be32(durMs) ++ new Array[Byte](52) ++
+        be32(w.toLong << 16) ++ be32(h.toLong << 16))
+      val hdlr = box("hdlr", be32(0) ++ be32(0) ++ fcc("vide") ++
+        new Array[Byte](13))
+      val entry = be32(86) ++ fcc("avc1") ++ new Array[Byte](8) ++
+        new Array[Byte](16) ++ be16(w) ++ be16(h) ++ new Array[Byte](50)
+      val stsd = box("stsd", be32(0) ++ be32(1) ++ entry)
+      val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(frames))
+      val stbl = box("stbl", stsd ++ stsz)
+      val minf = box("minf", stbl)
+      val mdia = box("mdia", hdlr ++ minf)
+      val trak = box("trak", tkhd ++ mdia)
+      ftyp ++ box("moov", mvhd ++ trak)
+    }
+
+    val m = parse(mp4(640, 360, 12345L, 250))
+    assert((m.format, m.width, m.height, m.durationMs, m.frameCount,
+      m.codec) === (("mp4", 640, 360, 12345L, 250, "avc1")))
+    // QuickTime brand → "mov"
+    assert(parse(mp4(2, 2, 1L, 1, brand = "qt  ")).format === "mov")
+
+    // soun trak: AudioSampleEntry channels/bits/rate
+    val aentry = be32(36) ++ fcc("mp4a") ++ new Array[Byte](8) ++
+      new Array[Byte](8) ++ be16(2) ++ be16(16) ++ be16(0) ++ be16(0) ++
+      be16(44100) ++ be16(0)
+    val atrak = box("trak",
+      box("mdia", box("hdlr", be32(0) ++ be32(0) ++ fcc("soun") ++
+          new Array[Byte](13)) ++
+        box("minf", box("stbl", box("stsd", be32(0) ++ be32(1) ++ aentry)))))
+    val ftypA = box("ftyp", fcc("isom") ++ be32(0x200))
+    val a = parse(ftypA ++ box("moov", atrak))
+    assert((a.format, a.channels, a.sampleRate, a.bitsPerSample, a.codec)
+      === (("mp4", 2, 44100, 16, "mp4a")))
+
+    // mvhd v1: u32 timescale @20, u64 duration @24
+    val mvhd1 = box("mvhd", Array[Byte](1, 0, 0, 0) ++
+      new Array[Byte](16) ++ be32(1000) ++ be32(0) ++ be32(98765L) ++
+      new Array[Byte](80))
+    val v1 = parse(ftypA ++ box("moov", mvhd1))
+    assert((v1.format, v1.durationMs) === (("mp4", 98765L)))
+
+    // corrupt arms: truncated moov, size<8, size-0 tail box, crafted
+    // largesize — walk must terminate and never throw
+    val good = mp4(4, 4, 10L, 2)
+    assert(parse(good.take(40)).format === "mp4")       // truncated
+    val evil = ftypA ++ be32(7) ++ fcc("moov")          // size < 8
+    assert(parse(evil).format === "mp4")
+    val zeroTail = ftypA ++ be32(0) ++ fcc("free") ++ new Array[Byte](8)
+    assert(parse(zeroTail).format === "mp4")            // size 0 = to-end
+    val largesize = ftypA ++ be32(1) ++ fcc("moov") ++
+      be32(0xffffffffL) ++ be32(0xffffffffL)            // bogus u64 size
+    assert(parse(largesize).format === "mp4")
+    assert(parse(fcc("xxxx") ++ fcc("ftyp")).format === "unknown") // <12 B
+  }
+
   test("parseMediaHeaders: partition-parallel, nulls for absent fields") {
     import spark.implicits._
     val png = Array[Byte](0x89.toByte) ++ "PNG".getBytes ++

@@ -161,6 +161,29 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out(4L) === ((false, "stopwords")))
   }
 
+  test("langId: trigram model labels each fixture language; und fallback") {
+    import graft.expressions.LangIdKernel
+    val expect = Seq("en", "de", "fr", "es", "it", "pt", "nl", "sv")
+    graft.queries.R6Queries.LangFixtures.zip(expect).foreach { case (t, l) =>
+      val (got, score) = LangIdKernel.classify(t)
+      assert(got === l, s"'$t' → $got (want $l)")
+      assert(score > 0)
+    }
+    assert(LangIdKernel.classify("zzz qqq 12345")._1 === "und")
+    assert(LangIdKernel.classify("")._1 === "und")
+    // uppercase input folds before scoring
+    assert(LangIdKernel.classify(
+      "THE QUICK BROWN FOX AND THE LAZY DOG WITH YOU")._1 === "en")
+    // Column path: struct(lang, score); null text → null struct
+    import spark.implicits._
+    val out = Seq(Some("och det är en dag som är för alla"), None)
+      .toDF("t")
+      .select(TextAnalysis.langId($"t").as("l"))
+      .select($"l.lang", $"l.score").collect()
+    assert(out(0).getString(0) === "sv" && out(0).getLong(1) > 0)
+    assert(out(1).isNullAt(0) && out(1).isNullAt(1))
+  }
+
   test("urlParts: host/registrable-domain/path canonicalization") {
     import spark.implicits._
     val cases = Seq(
@@ -174,7 +197,25 @@ class TextAnalysisSpec extends SparkSuite {
         ("example.com.au", "example.com.au", "/f")),
       ("https://localhost/admin", ("localhost", "localhost", "/admin")),
       ("https://example.com", ("example.com", "example.com", "")),
-      ("not a url at all", ("", "", "")))
+      ("not a url at all", ("", "", "")),
+      // bundled-PSL tiers: ccTLD second levels the old 15-entry table
+      // missed, and 3-label suffixes (longest match wins)
+      ("https://shop.store.example.com.sg/item",
+        ("shop.store.example.com.sg", "example.com.sg", "/item")),
+      ("http://www.portal.example.co.kr/a",
+        ("portal.example.co.kr", "example.co.kr", "/a")),
+      ("https://news.example.com.tr/x", ("news.example.com.tr",
+        "example.com.tr", "/x")),
+      ("https://sitio.example.com.ar/y", ("sitio.example.com.ar",
+        "example.com.ar", "/y")),
+      ("https://www.district.k12.ca.us/school",
+        ("district.k12.ca.us", "district.k12.ca.us", "/school")),
+      ("https://transport.act.gov.au/buses",
+        ("transport.act.gov.au", "transport.act.gov.au", "/buses")),
+      // ca.us is itself a 2-label suffix: sacramento.ca.us registrable
+      ("https://www.sacramento.ca.us/", ("sacramento.ca.us",
+        "sacramento.ca.us", "/")))
+    assert(TextAnalysis.MultiLabelSuffixes.size > 400)
     val out = cases.map(_._1).toDF("url")
       .select(TextAnalysis.urlParts($"url").as("u"))
       .select("u.host", "u.domain", "u.path")
