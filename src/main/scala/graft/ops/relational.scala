@@ -24,9 +24,38 @@ object relational {
     *
     * Right rows must be unique per (on, rightTime) — pre-aggregate the
     * right side otherwise (ties would be nondeterministic).
-    */
+    *
+    * Degenerate-key caveat: one KEY's merged history flows through one
+    * window task (the standard as-of plan — fine for real as-of keys
+    * like instrument/device, and the same locality a sort-merge join
+    * needs). But a key holding half the table (one symbol = 50% of
+    * ticks) serializes that half through a single task. For untrusted
+    * key distributions set `maxRowsPerKey`: one bounded count
+    * aggregate FAILS FAST naming the worst offender (the funnel /
+    * rangeJoin / CIDR convention) instead of quietly stalling the
+    * stage — split such keys upstream (e.g. sub-key by day) or raise
+    * the cap deliberately. */
   def asofJoin(left: DataFrame, right: DataFrame, on: Seq[String],
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      maxRowsPerKey: Option[Long] = None): DataFrame = {
+    maxRowsPerKey.foreach { cap =>
+      require(cap > 0, "maxRowsPerKey must be positive")
+      // bounded state: per-key counts partial-aggregate map-side; the
+      // collect is ≤1 row (worst offender via TakeOrdered)
+      val keyed = left.select(on.map(col): _*)
+        .unionByName(right.select(on.map(col): _*))
+      val offender = keyed.groupBy(on.map(col): _*)
+        .agg(count(lit(1)).as("_n")).filter(col("_n") > cap)
+        .orderBy(col("_n").desc).limit(1).collect()
+      offender.headOption.foreach { r =>
+        val key = on.indices.map(r.get).mkString(", ")
+        throw new IllegalArgumentException(
+          s"asofJoin: key ($key) carries ${r.getLong(on.length)} rows " +
+            s"across both sides, above maxRowsPerKey=$cap — its whole " +
+            "history would serialize through one window task; split the " +
+            "key upstream or raise the cap")
+      }
+    }
     val lPayload = left.columns.filterNot(c => on.contains(c)).toSeq
     val rPayload = right.columns.filterNot(c => on.contains(c) || c == rightTime).toSeq
     val lStruct = struct(lPayload.map(col): _*)

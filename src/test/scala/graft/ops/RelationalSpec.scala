@@ -31,6 +31,26 @@ class RelationalSpec extends SparkSuite {
     assert(got(0).getAs[String]("v") === "early")
   }
 
+  test("asofJoin: maxRowsPerKey fails fast naming the planted hot key") {
+    // key 7 carries 600 of 700 rows across both sides — the shape that
+    // would serialize one key's merged history through one window task
+    val left = (1 to 500).map(i => (i, if (i <= 400) 7 else i, i * 10L))
+      .toDF("id", "k", "t")
+    val right = (1 to 200).map(i => (if (i <= 200) 7 else i, i * 5L, s"v$i"))
+      .toDF("k", "rt", "v")
+    val e = intercept[IllegalArgumentException] {
+      relational.asofJoin(left, right, Seq("k"), "t", "rt",
+        maxRowsPerKey = Some(100L))
+    }
+    assert(e.getMessage.contains("(7)") && e.getMessage.contains("600"))
+    // under the cap: identical output to the unguarded call
+    val a = relational.asofJoin(left, right, Seq("k"), "t", "rt")
+      .orderBy("id").collect().toSeq
+    val b = relational.asofJoin(left, right, Seq("k"), "t", "rt",
+      maxRowsPerKey = Some(1000L)).orderBy("id").collect().toSeq
+    assert(a === b)
+  }
+
   test("rangeJoin matches a brute-force non-equi join exactly") {
     val rng = new scala.util.Random(7)
     val pts = (1 to 300).map(i => (i.toLong, rng.nextInt(2000).toLong - 500))
