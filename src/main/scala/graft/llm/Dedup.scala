@@ -714,17 +714,24 @@ object Dedup {
     * the document's non-empty lines before filtering. Documents with
     * NO non-empty lines disappear (there is nothing to clean).
     *
-    * Scale shape — aggregates only, no windows: explode is map-side;
-    * line-df is a two-level count-distinct aggregate keyed on the
-    * line's sha2 (the wire carries 64-hex keys + ids, never long line
-    * text twice); the df table joins back on the same key (shuffle
-    * co-partitioned with the agg output); reassembly groups each
-    * document's OWN lines — state bounded by single-document size,
-    * which is the irreducible unit any reassembly needs. A boilerplate
-    * line in 10⁸ docs is one aggregate cell, never a window buffer.
-    * sha2-256 collisions (two distinct trimmed lines, same hash) would
-    * merge df counts; at 2⁻¹²⁸ this is the standard content-hash
-    * assumption the exact-dedup pass already makes. */
+    * Scale shape — aggregates only, no windows, and LINE TEXT CROSSES
+    * THE WIRE EXACTLY ONCE (the by-doc reassembly shuffle). Everything
+    * that decides what to drop runs on a keys-only projection
+    * `(_k, id, _i)` where `_k` is the line's sha2 as 32-byte binary
+    * (2⁻¹²⁸ collision bound — the standard content-hash assumption the
+    * exact-dedup pass already makes): line-df is a two-level
+    * count-distinct aggregate over it; the hot set (keys with
+    * df ≥ minDf — the boilerplate lines themselves, tiny in exactly
+    * the corpora this pass exists for) joins back against the SAME
+    * keys-only projection (AQE broadcasts it when small; worst case a
+    * ~40-byte-per-row shuffle, never the text); and the result folds
+    * to one `(id, drop-index set)` row per affected document, bounded
+    * by per-doc line count. The text-bearing lines then LEFT-join that
+    * per-doc set on `id` — co-partitioned with the reassembly's own
+    * `groupBy(id)`, so the join and the rebuild share one exchange.
+    * Reassembly state is bounded by single-document size, the
+    * irreducible unit any reassembly needs. A boilerplate line in 10⁸
+    * docs is one aggregate cell, never a window buffer. */
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
       minDf: Long): DataFrame = {
     require(minDf >= 2, "minDf must be at least 2")
@@ -733,13 +740,19 @@ object Dedup {
         posexplode(split(col(textCol), "\n")).as(Seq("_i", "_line")))
       .withColumn("_t", trim(col("_line")))
       .filter(col("_t") =!= "")
-      .withColumn("_k", sha2(col("_t"), 256))
+      .withColumn("_k", unhex(sha2(col("_t"), 256)))
       .drop("_t")
-    val lineDf = lines.select(col("_k"), col(idCol))
-      .groupBy("_k")
+    val keys = lines.select(col("_k"), col(idCol), col("_i"))
+    val hot = keys.groupBy("_k")
       .agg(countDistinct(col(idCol)).as("_df"))
-    lines.join(lineDf, Seq("_k"))
-      .withColumn("_keep", col("_df") < minDf)
+      .filter(col("_df") >= minDf)
+      .select("_k")
+    val dropIdx = keys.join(hot, Seq("_k"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("_i")).as("_drop"))
+    lines.drop("_k").join(dropIdx, Seq(idCol), "left")
+      .withColumn("_keep",
+        col("_drop").isNull || !array_contains(col("_drop"), col("_i")))
       .groupBy(col(idCol))
       .agg(
         concat_ws("\n", transform(

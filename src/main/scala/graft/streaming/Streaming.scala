@@ -147,6 +147,8 @@ object Streaming {
   }
 
   final case class Click(user_id: Long, ts_ms: Long, event_type: String)
+  final case class ClickT(user_id: Long, ts_ms: Long, event_type: String,
+      event_time: java.sql.Timestamp)
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class Session(user_id: Long, session_start: Long,
       session_end: Long, n_events: Int, closed: Boolean)
@@ -177,6 +179,58 @@ object Streaming {
           }
           cur.foreach(state.update)
           closed.result().iterator
+      }
+  }
+
+  /** Watermarked sessionization: like [[sessionize]] but with an
+    * EVENT-TIME TIMEOUT, so a session also closes when the watermark
+    * passes `last + gap` — the point at which no non-late event can
+    * extend it. This is the production shape: [[sessionize]]'s
+    * NoTimeout variant only closes a session when the SAME user sends
+    * a later event, so a user who goes quiet holds state forever; here
+    * the watermark both bounds the state store (quiet keys are evicted
+    * as time passes) and flushes every finished session without
+    * needing a sentinel event. Emitted rows are identical to the batch
+    * formulation ([[sessionizeBatch]]) as long as no event arrives
+    * later than the watermark delay — the parity StreamingSpec pins
+    * this byte-for-byte across micro-batches. */
+  def sessionizeEventTime(events: Dataset[Click], gapMillis: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+      .withWatermark("event_time", watermarkDelay)
+      .as[ClickT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[ClickT], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last+gap: nothing can extend this session
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.start, s.last, s.n, closed = true))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts_ms)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts_ms - s.last <= gapMillis =>
+                  cur = Some(s.copy(last = e.ts_ms, n = s.n + 1))
+                case Some(s) =>
+                  closed += Session(userId, s.start, s.last, s.n, closed = true)
+                  cur = Some(SessionState(e.ts_ms, e.ts_ms, 1))
+                case None =>
+                  cur = Some(SessionState(e.ts_ms, e.ts_ms, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMillis)
+            }
+            closed.result().iterator
+          }
       }
   }
 }

@@ -214,6 +214,61 @@ class StreamingSpec extends SparkSuite {
         (2L, 5000L, 20000L, 2L)))
   }
 
+  test("sessionizeEventTime parity: stateful sessions across micro-batches " +
+      "byte-match the batch plan") {
+    // The stateful counterpart of the q37 parity test: gap sessions via
+    // flatMapGroupsWithState + EventTimeTimeout, fed through ≥2
+    // micro-batches (maxFilesPerTrigger=1, mtime-ordered files), must
+    // emit EXACTLY the sessions the batch window formulation computes —
+    // session extension across a batch boundary, gap-closure inside a
+    // batch, and watermark-timeout flush all take the same values.
+    val gap = 60000L
+    val base = Files.createTempDirectory("graft-sess-parity").toString
+    // b1+b2 are the real corpus; u1's first session SPANS the b1/b2
+    // boundary (extended by the 30s event), then closes inside b2.
+    // NB: nothing at ts=0 — the initial watermark is epoch 0 and the
+    // late-row filter is inclusive, so an event exactly at 0 is "late"
+    val h = 3600000L
+    val b1 = Seq(Streaming.Click(1L, h, "a"), Streaming.Click(1L, h + 10000L, "b"),
+      Streaming.Click(2L, h + 5000L, "x"))
+    val b2 = Seq(Streaming.Click(1L, h + 30000L, "c"),
+      Streaming.Click(1L, h + 200000L, "d"), Streaming.Click(2L, h + 50000L, "y"))
+    // b3 advances the watermark far past every real session's last+gap;
+    // b4 triggers the micro-batch in which those timeouts FIRE (and
+    // extends u99's own session so the sentinel user never closes).
+    val b3 = Seq(Streaming.Click(99L, 10000000L, "wm"))
+    val b4 = Seq(Streaming.Click(99L, 10030000L, "wm"))
+    def stage(rows: Seq[Streaming.Click], dir: String, mtime: Long): Unit = {
+      rows.toDS().repartition(1).write.mode("overwrite").parquet(dir)
+      new java.io.File(dir).listFiles().foreach(_.setLastModified(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 100000
+    stage(b1, s"$base/land/b1", t0); stage(b2, s"$base/land/b2", t0 + 10000)
+    stage(b3, s"$base/land/b3", t0 + 20000); stage(b4, s"$base/land/b4", t0 + 30000)
+
+    val schema = spark.read.parquet(s"$base/land/b1").schema
+    val clicks = Streaming.fileStream(spark, s"$base/land/*", schema,
+      options = Map("maxFilesPerTrigger" -> "1")).as[Streaming.Click]
+    val q = Streaming.sessionizeEventTime(clicks, gap)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_parity")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    q.awaitTermination(300000)
+
+    val streamed = spark.table("sess_parity").as[Streaming.Session].collect()
+      .map(s => (s.user_id, s.session_start, s.session_end, s.n_events.toLong))
+      .sorted.toSeq
+    val batch = Streaming.sessionizeBatch(
+      (b1 ++ b2).toDS().toDF(), "user_id", "ts_ms", gap)
+      .select("user_id", "session_start_ms", "session_end_ms", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch) // u99 (still open) must NOT appear
+  }
+
   test("sessionize: gap-based sessions with state across batches") {
     val land = Files.createTempDirectory("graft-sess").toString
     val gap = 60000L // 1 minute
