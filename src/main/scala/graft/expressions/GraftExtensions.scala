@@ -35,7 +35,8 @@ object GraftFunctions {
     ("graft_media_header", MediaHeaderExpr.info, MediaHeaderExpr.builder _),
     ("graft_nfc", NfcNormalize.info, NfcNormalize.builder _),
     ("graft_ksample", KSampleAgg.info, KSampleAgg.builder _),
-    ("graft_langid", LangIdExpr.info, LangIdExpr.builder _))
+    ("graft_langid", LangIdExpr.info, LangIdExpr.builder _),
+    ("graft_warc_records", WarcRecordsGen.info, WarcRecordsGen.builder _))
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {

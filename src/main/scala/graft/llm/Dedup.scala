@@ -733,11 +733,26 @@ object Dedup {
     * irreducible unit any reassembly needs. A boilerplate line in 10⁸
     * docs is one aggregate cell, never a window buffer. */
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
-      minDf: Long): DataFrame = {
+      minDf: Long): DataFrame =
+    unitDedup(df, idCol, textCol, minDf, sep = "\n")
+      .withColumnRenamed("n_units", "n_lines")
+
+  /** Separator-generalized tier of [[lineDedup]]: dedup any
+    * newline-delimited unit — lines (`"\n"`), paragraphs (`"\n\n"`) —
+    * by cross-document frequency. Paragraph-level removal is the
+    * C4-style pass for templated page sections (promo blocks, nav
+    * footers) that repeat verbatim across a site but are too long to
+    * catch line-by-line with a meaningful df threshold. Same plan
+    * shape as [[lineDedup]] (which is `sep = "\n"`); output column is
+    * `n_units`. */
+  def unitDedup(df: DataFrame, idCol: String, textCol: String,
+      minDf: Long, sep: String): DataFrame = {
     require(minDf >= 2, "minDf must be at least 2")
+    require(sep.nonEmpty, "separator must be non-empty")
     val lines = df
       .select(col(idCol),
-        posexplode(split(col(textCol), "\n")).as(Seq("_i", "_line")))
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("_i", "_line")))
       .withColumn("_t", trim(col("_line")))
       .filter(col("_t") =!= "")
       .withColumn("_k", unhex(sha2(col("_t"), 256)))
@@ -755,11 +770,11 @@ object Dedup {
         col("_drop").isNull || !array_contains(col("_drop"), col("_i")))
       .groupBy(col(idCol))
       .agg(
-        concat_ws("\n", transform(
+        concat_ws(sep, transform(
           array_sort(collect_list(when(col("_keep"),
             struct(col("_i").as("i"), col("_line").as("l"))))),
           x => x.getField("l"))).as("clean_text"),
-        count(lit(1)).as("n_lines"),
+        count(lit(1)).as("n_units"),
         sum(when(col("_keep"), 0L).otherwise(1L)).as("n_removed"))
   }
 }

@@ -239,6 +239,22 @@ object TrainingOps {
         col("_e.v").as(idCol))): _*)
   }
 
+  /** Deterministic GLOBAL uniform k-sample: the top k rows by salted
+    * content hash — the corpus-wide companion of [[sampleKPerGroup]]
+    * (eyeball sets, eval slices, "give me 10k random docs" pulls that
+    * must be rerun/partitioning/engine-stable, which `rand()` is not).
+    * Scale shape: `orderBy(hash).limit(k)` plans as
+    * TakeOrderedAndProject — per-partition top-k heaps and a driver
+    * merge of numPartitions×k rows — NEVER a global sort; k is the
+    * only driver-memory bound. SHA-256 of salt:key makes the pick
+    * uniform and collision-free for distinct keys. */
+  def sampleGlobalK(df: DataFrame, keyCol: String, k: Int,
+      salt: String = "smpl"): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val h = sha2(concat(lit(salt + ":"), col(keyCol).cast(StringType)), 256)
+    df.withColumn("_h", h).orderBy(col("_h")).limit(k).drop("_h")
+  }
+
   /** Benchmark decontamination: for each corpus document, the n-gram
     * CONTAINMENT of each probe (eval/benchmark) document —
     * |shingles(corpus) ∩ shingles(probe)| / |shingles(probe)| — kept

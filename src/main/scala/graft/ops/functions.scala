@@ -148,6 +148,15 @@ object functions {
   def explodeCidr(c: Column, maxHosts: Long = 1L << 20): Column =
     bridge.column(expressions.CidrHostsGen(bridge.expression(c), maxHosts))
 
+  /** Explode a WARC file (binary column, plain or gzipped) into its
+    * records — the web-archive ingestion seam ([EXT]; the reference
+    * reads JSONL/CSV only). Generator, so the per-record rows stream
+    * inside the plan and downstream status/MIME filters compose with
+    * pruning. Corrupt payloads yield zero rows, never a throw. Use in
+    * `select`: `df.select(col("k"), F.warcRecords(col("payload")).as("r"))`. */
+  def warcRecords(c: Column): Column =
+    bridge.column(expressions.WarcRecordsGen(bridge.expression(c)))
+
   // ── splitters (utils.py:84-101; fields.py:85-105) ─────────────────────
 
   /** `splitter` (utils.py:84-101): split `domain\\cn` on backslash →

@@ -95,7 +95,80 @@ object R6Queries {
         .select(id, graft.llm.TextAnalysis.langId(text).as("l"))
         .select(id, col("l.lang").as("lang"), col("l.score").as("score"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // [EXT] PARAGRAPH-level boilerplate dedup (q94's separator-
+    // generalized tier): every doc gets a corpus-wide sponsored
+    // paragraph (removed), a 5-residue cohort promo block (removed at
+    // minDf=3), and a unique paragraph (kept); the doc's own text is
+    // one unit unless it happens to contain blank lines. Oracle
+    // replays the same split/df/filter/reassemble on the double
+    // newline.
+    "q100_para_dedup" -> ((s, d) =>
+      graft.llm.Dedup.unitDedup(
+        T.documents(s, d).select(col("doc_id"),
+          concat(col("text"),
+            lit("\n\nsponsored content visit our partner store"),
+            lit("\n\ncohort "), pmod(col("doc_id"), lit(5)).cast("string"),
+            lit(" promo paragraph block"),
+            lit("\n\nunique paragraph "),
+            col("doc_id").cast("string")).as("text")),
+        "doc_id", "text", minDf = 3, sep = "\n\n")
+      .orderBy("doc_id")),
+
+    // [EXT] WARC ingestion (the Common Crawl record walk): each part
+    // row becomes a two-record WARC file built in-plan — an
+    // application/http response (status/MIME/body decomposed) and a
+    // warc-fields metadata record (raw block) — exploded back through
+    // the graft_warc_records Generator. The oracle rebuilds every
+    // field analytically, string-side (no binary in DuckDB).
+    "q101_warc_extract" -> ((s, d) => {
+      val k = col("p_partkey")
+      val crlf = "\r\n"
+      val uri = concat(lit("http://example.com/doc/"), k.cast("string"))
+      val body1 = concat(lit("body "),
+        expr("repeat('x', CAST(p_partkey % 17 AS INT))"))
+      val status = when(pmod(k, lit(2)) === 0, lit("200 OK"))
+        .otherwise(lit("404 Not Found"))
+      val block1 = concat(lit("HTTP/1.1 "), status,
+        lit(crlf + "Content-Type: text/html" + crlf + crlf), body1)
+      val rec1 = concat(
+        lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+          "WARC-Target-URI: "), uri,
+        lit(crlf + "WARC-Date: 2024-01-01T00:00:00Z" + crlf +
+          "Content-Type: application/http; msgtype=response" + crlf +
+          "Content-Length: "), length(block1).cast("string"),
+        lit(crlf + crlf), block1, lit(crlf + crlf))
+      val body2 = concat(lit("k: "), k.cast("string"))
+      val rec2 = concat(
+        lit("WARC/1.0" + crlf + "WARC-Type: metadata" + crlf +
+          "WARC-Target-URI: "), uri,
+        lit(crlf + "Content-Type: application/warc-fields" + crlf +
+          "Content-Length: "), length(body2).cast("string"),
+        lit(crlf + crlf), body2, lit(crlf + crlf))
+      T.part(s, d)
+        .select(k.as("id"), concat(rec1, rec2).cast("binary").as("w"))
+        .select(col("id"),
+          graft.ops.functions.warcRecords(col("w"))
+            .as(Seq("rec_idx", "warc_type", "target_uri", "warc_date",
+              "content_type", "content_length", "http_status",
+              "http_content_type", "body")))
+        .select(col("id"), col("rec_idx"), col("warc_type"),
+          col("target_uri"), col("warc_date"), col("content_length"),
+          col("http_status"), col("http_content_type"),
+          col("body").cast("string").as("body_text"))
+        .orderBy("id", "rec_idx")
+    }),
+
+    // [EXT] deterministic global uniform sample: top-100 documents by
+    // salted SHA-256 — TakeOrderedAndProject (per-partition heaps +
+    // 32×k driver merge), never a global sort. The oracle replays the
+    // identical hash order.
+    "q102_corpus_sample" -> ((s, d) =>
+      graft.llm.TrainingOps.sampleGlobalK(
+        T.documents(s, d).select(col("doc_id"), col("source")),
+        "doc_id", k = 100, salt = "s6")
+      .orderBy("doc_id"))
   )
 
   /** Planted per-language fixture sentences for q99 (index = key % 8;
@@ -139,6 +212,64 @@ object R6Queries {
         |      FROM sc)
         |SELECT doc_id, lang, score FROM r WHERE rn = 1
         |ORDER BY doc_id""".stripMargin
-    }
+    },
+    "q100_para_dedup" ->
+      """WITH doc AS (
+        |  SELECT doc_id, text
+        |    || chr(10) || chr(10) || 'sponsored content visit our partner store'
+        |    || chr(10) || chr(10) || 'cohort ' || CAST(doc_id % 5 AS VARCHAR)
+        |    || ' promo paragraph block'
+        |    || chr(10) || chr(10) || 'unique paragraph '
+        |    || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents),
+        |a AS (SELECT doc_id,
+        |        string_split(text, chr(10) || chr(10)) AS arr FROM doc),
+        |ix AS (SELECT doc_id, arr,
+        |         unnest(generate_series(1, len(arr))) AS i FROM a),
+        |l AS (SELECT doc_id, i, arr[i] AS line, trim(arr[i]) AS t
+        |      FROM ix WHERE trim(arr[i]) <> ''),
+        |d AS (SELECT t, count(DISTINCT doc_id) AS df FROM l GROUP BY 1),
+        |f AS (SELECT l.doc_id, l.i, l.line, d.df < 3 AS keep
+        |      FROM l JOIN d USING (t))
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN keep THEN line END,
+        |                      chr(10) || chr(10) ORDER BY i), '') AS clean_text,
+        |  count(*) AS n_units,
+        |  count(*) FILTER (WHERE NOT keep) AS n_removed
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q101_warc_extract" ->
+      """WITH r0 AS (
+        |  SELECT p_partkey AS id, 0 AS rec_idx, 'response' AS warc_type,
+        |    'http://example.com/doc/' || CAST(p_partkey AS VARCHAR) AS target_uri,
+        |    '2024-01-01T00:00:00Z' AS warc_date,
+        |    CAST(length('HTTP/1.1 '
+        |      || CASE WHEN p_partkey % 2 = 0 THEN '200 OK'
+        |              ELSE '404 Not Found' END
+        |      || chr(13) || chr(10) || 'Content-Type: text/html'
+        |      || chr(13) || chr(10) || chr(13) || chr(10)
+        |      || 'body ' || repeat('x', CAST(p_partkey % 17 AS INT)))
+        |      AS BIGINT) AS content_length,
+        |    CAST(CASE WHEN p_partkey % 2 = 0 THEN 200 ELSE 404 END AS INT)
+        |      AS http_status,
+        |    'text/html' AS http_content_type,
+        |    'body ' || repeat('x', CAST(p_partkey % 17 AS INT)) AS body_text
+        |  FROM part),
+        |r1 AS (
+        |  SELECT p_partkey AS id, 1 AS rec_idx, 'metadata' AS warc_type,
+        |    'http://example.com/doc/' || CAST(p_partkey AS VARCHAR) AS target_uri,
+        |    CAST(NULL AS VARCHAR) AS warc_date,
+        |    CAST(length('k: ' || CAST(p_partkey AS VARCHAR)) AS BIGINT)
+        |      AS content_length,
+        |    CAST(NULL AS INT) AS http_status,
+        |    CAST(NULL AS VARCHAR) AS http_content_type,
+        |    'k: ' || CAST(p_partkey AS VARCHAR) AS body_text
+        |  FROM part)
+        |SELECT * FROM (SELECT * FROM r0 UNION ALL SELECT * FROM r1)
+        |ORDER BY id, rec_idx""".stripMargin,
+    "q102_corpus_sample" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source FROM documents
+        |  ORDER BY sha256('s6:' || CAST(doc_id AS VARCHAR)) LIMIT 100)
+        |ORDER BY doc_id""".stripMargin
   )
 }

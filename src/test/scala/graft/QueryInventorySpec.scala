@@ -28,7 +28,7 @@ class QueryInventorySpec extends SparkSuite {
   }
 
   test("query ids are canonical qNN_snake_case") {
-    val bad = SparkEntry.queries.keySet.filterNot(_.matches("q\\d{2}_[a-z0-9_]+"))
+    val bad = SparkEntry.queries.keySet.filterNot(_.matches("q\\d{2,}_[a-z0-9_]+"))
     assert(bad.isEmpty, s"non-canonical ids: $bad")
   }
 }

@@ -340,4 +340,23 @@ class DedupSpec extends SparkSuite {
     assert(out(4L) === (("only unique here", 2L, 1L)))
     assert(!out.contains(5L))
   }
+
+  test("unitDedup with paragraph separator removes repeated blocks") {
+    val promo = "sponsored content\nvisit our store" // multi-LINE paragraph
+    val df = Seq(
+      (1L, s"intro one\nstill intro\n\n$promo\n\nbody one"),
+      (2L, s"intro two\n\n$promo\n\nbody two"),
+      (3L, s"$promo\n\nbody three"),
+      (4L, "no promo here\n\nsecond para")
+    ).toDF("id", "text")
+    val out = Dedup.unitDedup(df, "id", "text", minDf = 3, sep = "\n\n")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // the promo PARAGRAPH (df=3) is removed as a unit — its inner
+    // newline never splits it; single-newline text stays one unit
+    assert(out(1L) === (("intro one\nstill intro\n\nbody one", 3L, 1L)))
+    assert(out(2L) === (("intro two\n\nbody two", 3L, 1L)))
+    assert(out(3L) === (("body three", 2L, 1L)))
+    assert(out(4L) === (("no promo here\n\nsecond para", 2L, 0L)))
+  }
 }

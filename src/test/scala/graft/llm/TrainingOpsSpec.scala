@@ -201,4 +201,27 @@ class TrainingOpsSpec extends SparkSuite {
       Map("src0" -> 0.3)).count()
     assert(keptEdge === 1L, s"bucket-2999 id $edgeId must survive rate 0.3")
   }
+
+  test("sampleGlobalK: deterministic top-k by salted hash, never a sort") {
+    val docs = (1L to 1000L).map(i => (i, s"d$i")).toDF("id", "v")
+    val got = TrainingOps.sampleGlobalK(docs, "id", k = 25, salt = "t")
+    assert(got.columns.toSeq === Seq("id", "v")) // helper column dropped
+    val ids = got.collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids.length === 25)
+    // the pick is exactly the 25 smallest salted SHA-256 values,
+    // recomputed in-process — engine-stable, not rand()
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val expect = (1L to 1000L).sortBy(i =>
+      md.digest(s"t:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      .take(25).sorted
+    assert(ids === expect)
+    // partitioning-invariant
+    val again = TrainingOps.sampleGlobalK(docs.repartition(13), "id", 25, "t")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(again === ids)
+    // plan shape: per-partition top-k + driver merge, no global sort
+    val plan = TrainingOps.sampleGlobalK(docs, "id", 25, "t")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+  }
 }

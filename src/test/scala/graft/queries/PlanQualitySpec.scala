@@ -197,4 +197,30 @@ class PlanQualitySpec extends SparkSuite {
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p.take(1200))
     assert(!p.contains("Window"), p.take(1200))
   }
+
+  test("q94: line text never shuffles by line-hash — keys-only decision") {
+    val p = plan("q94_line_dedup")
+    // an exchange keyed on the line hash `_k` that also carries the
+    // `_line` text column is the r5 shape this plan removed (2.3× at
+    // 10M docs): the drop decision must shuffle the keys-only
+    // projection, text moves only in the by-id reassembly exchange
+    assert(!p.contains("Window"), p.take(1200))
+    val exchangeBlocks =
+      "\\(\\d+\\) Exchange[\\s\\S]*?Arguments: [^\\n]*".r.findAllIn(p).toSeq
+    val byLineKey = exchangeBlocks.filter(_.contains("hashpartitioning(_k"))
+    assert(byLineKey.nonEmpty, p.take(1200))
+    assert(byLineKey.forall(b => !b.contains("_line")),
+      byLineKey.mkString("\n\n"))
+  }
+
+  test("q101: WARC explode is a streamed Generate in-plan") {
+    val p = plan("q101_warc_extract")
+    assert(p.contains("Generate"), p.take(1200))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1200)) // map-only
+  }
+
+  test("q102: global sample is TakeOrderedAndProject, never a full sort") {
+    val p = plan("q102_corpus_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+  }
 }
