@@ -543,21 +543,8 @@ object Dedup {
   def minhashCandidatesSha(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, rowsPerBand: Int = 2, shingleN: Int = 3): DataFrame = {
     graft.expressions.NativeFunctions.register(df.sparkSession)
-    val n = bands * rowsPerBand
-    val p = df.sparkSession.sessionState.conf.numShufflePartitions
-    // same barriers as the native tier: spread rows before the CPU-bound
-    // signature pass; stop CollapseProject from inlining the signature
-    // HOF into the per-band explode (one re-eval per band otherwise)
-    val sigs = df.select(col(idCol).as("id"), col(textCol).as("t"))
-      .repartition(p)
-      .select(col("id"), minHashSignatureSha(col("t"), n, shingleN).as("sig"))
-      .repartition(p)
-    // same join shape as the native tier: candidates carry (id, band,
-    // bucket) only; signatures re-attach for the distinct candidates
-    val banded = sigs.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => array_join(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), "|")))
-        .as(Seq("band", "bucket")))
+    val (sigs, banded) = shaBanded(df, idCol, textCol, bands, rowsPerBand,
+      shingleN)
     val l = banded.as("l")
     val r = banded.as("r")
     val candidates = l.join(r, col("l.band") === col("r.band") &&
@@ -569,6 +556,72 @@ object Dedup {
       .join(sigs.select(col("id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         expr("graft_sig_agreement(sig_a, sig_b)").as("est_jaccard"))
+  }
+
+  /** SHA-tier signatures + per-band bucket rows, shared by
+    * [[minhashCandidatesSha]] (self-join) and [[dedupIncremental]]
+    * (cross-corpus probe). The repartition barriers spread rows before
+    * the CPU-bound signature pass and stop CollapseProject from
+    * inlining the signature HOF into the per-band explode (one re-eval
+    * per band otherwise). Returns (sigs(id, sig), banded(id, band,
+    * bucket)). */
+  private def shaBanded(df: DataFrame, idCol: String, textCol: String,
+      bands: Int, rowsPerBand: Int, shingleN: Int): (DataFrame, DataFrame) = {
+    val n = bands * rowsPerBand
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    val sigs = df.select(col(idCol).as("id"), col(textCol).as("t"))
+      .repartition(p)
+      .select(col("id"), minHashSignatureSha(col("t"), n, shingleN).as("sig"))
+      .repartition(p)
+    val banded = sigs.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => array_join(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), "|")))
+        .as(Seq("band", "bucket")))
+    (sigs, banded)
+  }
+
+  /** Incremental (cross-corpus) dedup — the nightly-crawl admission
+    * pass: flag every NEW-batch document against an EXISTING corpus
+    * without ever joining text to text. Two tiers in one output row
+    * per new doc:
+    *   - `exact_dup`: the trimmed text's sha2 exists in the corpus
+    *     (content-hash membership — the q20/q25 exact tier, probed
+    *     against the other table);
+    *   - `near_candidates`: how many distinct corpus docs share ≥1
+    *     MinHash/LSH band bucket (SHA tier — cross-engine-verifiable,
+    *     same banding as [[minhashCandidatesSha]]); 0 = no candidate.
+    * The caller drops `exact_dup` rows and routes near-candidates to
+    * verification (jaccard / resolution) — this operator only decides
+    * WHO must be checked, which is the part that touches 100 TB.
+    *
+    * Scale shape: the corpus side reduces to DISTINCT hashes and
+    * (band, bucket, id) triples — keys only, aggregated before any
+    * join; both probes are equi-joins a hot bucket cannot serialize
+    * (AQE skew-splits; candidate counting is a bounded count-distinct
+    * aggregate per new doc, never a collected list). */
+  def dedupIncremental(newDf: DataFrame, corpusDf: DataFrame,
+      idCol: String, textCol: String, bands: Int = 4, rowsPerBand: Int = 2,
+      shingleN: Int = 3): DataFrame = {
+    val newHash = newDf.select(col(idCol),
+      sha2(trim(col(textCol)), 256).as("_h"))
+    val corpusHash = corpusDf
+      .select(sha2(trim(col(textCol)), 256).as("_h"))
+      .distinct()
+      .withColumn("_e", lit(true))
+    val exact = newHash.join(corpusHash, Seq("_h"), "left")
+      .select(col(idCol), coalesce(col("_e"), lit(false)).as("exact_dup"))
+    val (_, bNew) = shaBanded(newDf, idCol, textCol, bands, rowsPerBand,
+      shingleN)
+    val (_, bCor) = shaBanded(corpusDf, idCol, textCol, bands, rowsPerBand,
+      shingleN)
+    val near = bNew.join(
+        bCor.select(col("band"), col("bucket"), col("id").as("_cid")),
+        Seq("band", "bucket"))
+      .groupBy(col("id"))
+      .agg(countDistinct(col("_cid")).as("near_candidates"))
+    exact.join(near.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("exact_dup"),
+        coalesce(col("near_candidates"), lit(0L)).as("near_candidates"))
   }
 
   /** SimHash near-duplicate candidate pairs with hamming ≤ maxHamming.

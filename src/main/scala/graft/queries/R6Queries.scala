@@ -168,7 +168,22 @@ object R6Queries {
       graft.llm.TrainingOps.sampleGlobalK(
         T.documents(s, d).select(col("doc_id"), col("source")),
         "doc_id", k = 100, salt = "s6")
-      .orderBy("doc_id"))
+      .orderBy("doc_id")),
+
+    // [EXT] incremental dedup: a derived "tonight's crawl" batch
+    // (every 10th doc, half verbatim = exact dups, half with one
+    // appended token = near dups) admitted against the full corpus.
+    // Oracle replays the content-hash membership and the q32 SHA
+    // banding cross-join, counting distinct corpus bucket-mates.
+    "q103_dedup_incremental" -> ((s, d) => {
+      val corpus = T.documents(s, d)
+      val newb = corpus.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          when(pmod(col("doc_id"), lit(20)) === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" almost"))).as("text"))
+      graft.llm.Dedup.dedupIncremental(newb, corpus, "doc_id", "text")
+        .orderBy("doc_id")
+    })
   )
 
   /** Planted per-language fixture sentences for q99 (index = key % 8;
@@ -270,6 +285,56 @@ object R6Queries {
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source FROM documents
         |  ORDER BY sha256('s6:' || CAST(doc_id AS VARCHAR)) LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
+    "q103_dedup_incremental" ->
+      """WITH newb AS (
+        |  SELECT doc_id + 1000000 AS id,
+        |    CASE WHEN doc_id % 20 = 0 THEN text
+        |         ELSE text || ' almost' END AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |ch AS (SELECT DISTINCT sha256(trim(text)) AS h FROM documents),
+        |ex AS (SELECT id,
+        |         sha256(trim(text)) IN (SELECT h FROM ch) AS exact_dup
+        |       FROM newb),
+        |tn AS (
+        |  SELECT id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 1)),
+        |      i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' '))) AS sh
+        |  FROM newb),
+        |tc AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 1)),
+        |      i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' '))) AS sh
+        |  FROM documents),
+        |sn AS (
+        |  SELECT id,
+        |    list_transform(generate_series(0, 7),
+        |      j -> list_min(list_transform(sh,
+        |        s -> sha256(s || '|' || CAST(j AS VARCHAR))))) AS sig
+        |  FROM tn),
+        |sc AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(0, 7),
+        |      j -> list_min(list_transform(sh,
+        |        s -> sha256(s || '|' || CAST(j AS VARCHAR))))) AS sig
+        |  FROM tc),
+        |bn AS (
+        |  SELECT id, b.band AS band,
+        |         array_to_string(sig[b.band*2+1 : b.band*2+2], '|') AS bucket
+        |  FROM sn CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b),
+        |bc AS (
+        |  SELECT doc_id, b.band AS band,
+        |         array_to_string(sig[b.band*2+1 : b.band*2+2], '|') AS bucket
+        |  FROM sc CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b),
+        |near AS (
+        |  SELECT bn.id, count(DISTINCT bc.doc_id) AS near_candidates
+        |  FROM bn JOIN bc ON bn.band = bc.band AND bn.bucket = bc.bucket
+        |  GROUP BY bn.id)
+        |SELECT e.id AS doc_id, e.exact_dup,
+        |  CAST(coalesce(n.near_candidates, 0) AS BIGINT) AS near_candidates
+        |FROM ex e LEFT JOIN near n ON e.id = n.id
         |ORDER BY doc_id""".stripMargin
   )
 }

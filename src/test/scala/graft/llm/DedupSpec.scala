@@ -341,6 +341,27 @@ class DedupSpec extends SparkSuite {
     assert(!out.contains(5L))
   }
 
+  test("dedupIncremental flags exact and near dups against a corpus") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, base),
+      (2L, "completely different content about databases and engines"),
+      (3L, "another unrelated document body entirely")).toDF("id", "text")
+    val newb = Seq(
+      (10L, base),                    // byte-identical → exact dup
+      (11L, base + " tail"),          // one-token delta → near candidate
+      (12L, "wholly novel text that matches nothing at all in there"))
+      .toDF("id", "text")
+    val out = Dedup.dedupIncremental(newb, corpus, "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2))))
+      .toMap
+    assert(out.keySet === Set(10L, 11L, 12L)) // one row per new doc
+    assert(out(10L)._1 === true)
+    assert(out(10L)._2 >= 1L) // identical signature shares every band
+    assert(out(11L) === ((false, 1L))) // 29/31 shingles shared → banded
+    assert(out(12L) === ((false, 0L)))
+  }
+
   test("unitDedup with paragraph separator removes repeated blocks") {
     val promo = "sponsored content\nvisit our store" // multi-LINE paragraph
     val df = Seq(
