@@ -154,7 +154,16 @@ object ScaleSmoke {
       // deep propagation — deep chains are DedupSpec's job)
       "dedup_clusters" -> (() => Dedup.connectedComponents(
         docs.filter(col("id") % 10 === 0)
-          .select(col("id").as("doc_a"), (col("id") - 1).as("doc_b")))))
+          .select(col("id").as("doc_a"), (col("id") - 1).as("doc_b")))),
+      // incremental admission: "tonight's crawl" = every 10th doc
+      // byte-identical to a corpus doc — exact tier catches all of
+      // them; the banding probe joins keys-only against the n-doc
+      // corpus with the mass-dup-bucket guard active (default cap)
+      "dedup_incremental" -> (() =>
+        Dedup.dedupIncremental(
+          docs.filter(col("id") % 10 === 0)
+            .select((col("id") + 100000000L).as("id"), col("text")),
+          docs, "id", "text")))
 
     val hotSet = Set("dup_shingle_audit_hot", "keyword_search_hot",
       "keep_best_hot", "ksample_hot", "kmv_sketch_hot", "line_dedup_hot",

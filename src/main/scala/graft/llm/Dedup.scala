@@ -596,12 +596,18 @@ object Dedup {
     *
     * Scale shape: the corpus side reduces to DISTINCT hashes and
     * (band, bucket, id) triples — keys only, aggregated before any
-    * join; both probes are equi-joins a hot bucket cannot serialize
-    * (AQE skew-splits; candidate counting is a bounded count-distinct
-    * aggregate per new doc, never a collected list). */
+    * join; candidate counting is a bounded count-distinct aggregate
+    * per new doc, never a collected list. The quadratic hazard is a
+    * MASS-DUP bucket (a boilerplate page duplicated k times in the
+    * corpus meets m copies in the batch ⇒ m×k candidate rows):
+    * `maxBucket` fail-fasts when any corpus bucket exceeds it, naming
+    * the offender (one bounded agg + ≤1-row collect, the funnel /
+    * embeddingPairsExact convention) — run exact dedup over the corpus
+    * first; a bucket that hot means byte-identical pages, which the
+    * hash tier removes for free. 0 disables the check. */
   def dedupIncremental(newDf: DataFrame, corpusDf: DataFrame,
       idCol: String, textCol: String, bands: Int = 4, rowsPerBand: Int = 2,
-      shingleN: Int = 3): DataFrame = {
+      shingleN: Int = 3, maxBucket: Long = 1L << 20): DataFrame = {
     val newHash = newDf.select(col(idCol),
       sha2(trim(col(textCol)), 256).as("_h"))
     val corpusHash = corpusDf
@@ -614,6 +620,19 @@ object Dedup {
       shingleN)
     val (_, bCor) = shaBanded(corpusDf, idCol, textCol, bands, rowsPerBand,
       shingleN)
+    if (maxBucket > 0) {
+      val hot = bCor.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > maxBucket)
+        .orderBy(col("_n").desc).limit(1).collect()
+      hot.headOption.foreach { r =>
+        throw new IllegalArgumentException(
+          s"dedupIncremental: corpus LSH bucket band=${r.get(0)} holds " +
+            s"${r.getLong(2)} docs (> maxBucket=$maxBucket) — candidate " +
+            "join would be quadratic; exact-dedup the corpus first or " +
+            "raise maxBucket explicitly")
+      }
+    }
     val near = bNew.join(
         bCor.select(col("band"), col("bucket"), col("id").as("_cid")),
         Seq("band", "bucket"))

@@ -362,6 +362,22 @@ class DedupSpec extends SparkSuite {
     assert(out(12L) === ((false, 0L)))
   }
 
+  test("dedupIncremental fail-fasts on a mass-dup corpus bucket") {
+    val page = "the exact same boilerplate page body all over the corpus"
+    val corpus = (1L to 5L).map(i => (i, page)).toDF("id", "text")
+    val newb = Seq((10L, page)).toDF("id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupIncremental(newb, corpus, "id", "text", maxBucket = 3).count()
+    }
+    assert(e.getMessage.contains("maxBucket=3"))
+    assert(e.getMessage.contains("5 docs"))
+    // 0 disables the guard; the tiny case still answers exactly
+    val out = Dedup.dedupIncremental(newb, corpus, "id", "text", maxBucket = 0)
+      .collect()
+    assert(out.length === 1 && out.head.getBoolean(1) === true
+      && out.head.getLong(2) === 5L)
+  }
+
   test("unitDedup with paragraph separator removes repeated blocks") {
     val promo = "sponsored content\nvisit our store" // multi-LINE paragraph
     val df = Seq(
