@@ -53,4 +53,57 @@ object Search {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Full Okapi BM25 top-k: per-(doc, term) score
+    * `idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))` with
+    * `idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))`, rounded to integer
+    * micropoints BEFORE the per-doc sum — so the sum is exact long
+    * arithmetic and the ranking is engine-portable (the per-row
+    * double expression has ONE evaluation order, mirrored verbatim in
+    * the oracle SQL; only the already-rounded longs aggregate).
+    * `dl/avgdl` is computed as `dl·N/sumDl` so the only corpus-global
+    * inputs are two exact longs.
+    *
+    * Scale shape (same skeleton as [[keywordSearch]]): corpus stats
+    * (N, Σdl) are ONE map-only 1-row aggregate, broadcast back; docs
+    * are filtered to those overlapping the query terms BEFORE any
+    * shuffle (`arrays_overlap` is map-side), so exchanged volume ∝
+    * matching docs; dl rides the groupBy key (functionally dependent
+    * on doc_id) instead of a corpus-sized join; per-term df is a
+    * bounded ≤|terms|-row aggregate broadcast back — never a count
+    * window, which would buffer every document matching a common term
+    * in one task; top-k is TakeOrderedAndProject, never a global
+    * sort. */
+  def bm25Search(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int = 20, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "at least one query term required")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val stats = df.agg(count(lit(1)).as("n_docs"),
+      sum(size(toks)).as("sum_dl"))
+    val hits = df
+      .filter(arrays_overlap(toks, array(terms.map(lit): _*)))
+      .select(col(idCol).as("doc_id"), size(toks).as("dl"),
+        explode(toks).as("term"))
+      .filter(col("term").isin(terms.map(_.asInstanceOf[Any]): _*))
+    val tf = hits.groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfPerTerm = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
+    val k1c = lit(k1)
+    val bc = lit(b)
+    tf.join(broadcast(dfPerTerm), Seq("term"))
+      .join(broadcast(stats))
+      .withColumn("micro",
+        round(lit(1e6) *
+          log(lit(1.0) + (col("n_docs") - col("df_t") + lit(0.5)) /
+            (col("df_t") + lit(0.5))) *
+          (col("tf") * (k1c + lit(1.0))) /
+          (col("tf") + k1c * ((lit(1.0) - bc) +
+            bc * col("dl") * col("n_docs") / col("sum_dl"))))
+        .cast(LongType))
+      .groupBy("doc_id")
+      .agg(sum(col("micro")).as("score"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -183,7 +183,16 @@ object R6Queries {
             .otherwise(concat(col("text"), lit(" almost"))).as("text"))
       graft.llm.Dedup.dedupIncremental(newb, corpus, "doc_id", "text")
         .orderBy("doc_id")
-    })
+    }),
+
+    // [EXT] full Okapi BM25 ranking (q66's micropoint skeleton + idf
+    // and length normalization): the per-row double expression has one
+    // evaluation order, mirrored verbatim in the oracle; rounding to
+    // long micropoints happens BEFORE the per-doc sum, so aggregation
+    // order cannot change the ranking.
+    "q104_bm25" -> ((s, d) =>
+      graft.llm.Search.bm25Search(T.documents(s, d), "doc_id", "text",
+        terms = Seq("spark", "join", "window"), k = 20))
   )
 
   /** Planted per-language fixture sentences for q99 (index = key % 8;
@@ -335,6 +344,33 @@ object R6Queries {
         |SELECT e.id AS doc_id, e.exact_dup,
         |  CAST(coalesce(n.near_candidates, 0) AS BIGINT) AS near_candidates
         |FROM ex e LEFT JOIN near n ON e.id = n.id
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // e-notation literals force DOUBLE (a bare 0.5 is DECIMAL in
+    // DuckDB, whose division scale would diverge from Spark's double
+    // math); the expression tree mirrors bm25Search token for token.
+    "q104_bm25" ->
+      """WITH stats AS (
+        |  SELECT count(*) AS n_docs,
+        |    sum(len(regexp_split_to_array(trim(text), '\s+'))) AS sum_dl
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS dl,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |f AS (SELECT doc_id, dl, term, count(*) AS tf FROM tok
+        |      WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2, 3),
+        |d AS (SELECT doc_id, dl, term, tf,
+        |        count(*) OVER (PARTITION BY term) AS df_t FROM f)
+        |SELECT doc_id,
+        |  CAST(sum(CAST(round(1e6 *
+        |    ln(1e0 + (n_docs - df_t + 5e-1) / (df_t + 5e-1)) *
+        |    (tf * (1.2e0 + 1e0)) /
+        |    (tf + 1.2e0 * ((1e0 - 7.5e-1) +
+        |      7.5e-1 * dl * n_docs / sum_dl))) AS BIGINT)) AS BIGINT)
+        |    AS score,
+        |  count(*) AS n_terms
+        |FROM d, stats GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
   )
 }

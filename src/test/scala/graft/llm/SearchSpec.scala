@@ -30,4 +30,38 @@ class SearchSpec extends SparkSuite {
       .collect()
     assert(r.length === 1 && r(0).getAs[Long]("doc_id") === 1L)
   }
+
+  // scalar replay of bm25Search's per-row expression, same IEEE op order
+  private def bm25Micro(tf: Long, dft: Long, n: Long, dl: Long,
+      sumDl: Long): Long =
+    math.round(1e6 *
+      math.log(1.0 + (n - dft + 0.5) / (dft + 0.5)) *
+      (tf * (1.2 + 1.0)) /
+      (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl * n / sumDl)))
+
+  test("bm25Search: idf + length normalization, micropoint-exact") {
+    // all docs dl=4 ⇒ dl·N/sumDl = 1; df(spark)=df(window)=2, N=4
+    val r = Search.bm25Search(docs, "id", "text",
+      terms = Seq("spark", "window"), k = 10).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("score"),
+        x.getAs[Long]("n_terms")))
+    val m = (tf: Long) => bm25Micro(tf, 2, 4, 4, 16)
+    // doc2 hits both terms once; tf saturation ranks it above doc1's tf=3
+    assert(r.map(_._1).toSeq === Seq(2L, 1L, 3L))
+    assert(r.map(_._2).toSeq === Seq(2 * m(1), m(3), m(2)))
+    assert(r.map(_._3).toSeq === Seq(2L, 1L, 1L))
+  }
+
+  test("bm25Search: longer doc with equal tf scores lower (b > 0)") {
+    val docs2 = Seq(
+      (1L, "spark a b c"),
+      (2L, "spark a b c d e f g h i j k l m n o")
+    ).toDF("id", "text")
+    val r = Search.bm25Search(docs2, "id", "text", Seq("spark"), k = 10)
+      .collect().map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("score")))
+    assert(r.map(_._1).toSeq === Seq(1L, 2L))
+    assert(r(0)._2 === bm25Micro(1, 2, 2, 4, 20))
+    assert(r(1)._2 === bm25Micro(1, 2, 2, 16, 20))
+    assert(r(0)._2 > r(1)._2)
+  }
 }

@@ -223,4 +223,11 @@ class PlanQualitySpec extends SparkSuite {
     val p = plan("q102_corpus_sample")
     assert(p.contains("TakeOrderedAndProject"), p.take(1200))
   }
+
+  test("q104: BM25 keeps q66's shape — top-k heap, broadcast df, no window") {
+    val p = plan("q104_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert(p.contains("BroadcastExchange"), p.take(1200))
+    assert(!p.contains("Window"), p.take(1200))
+  }
 }
