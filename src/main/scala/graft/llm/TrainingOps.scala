@@ -209,6 +209,28 @@ object TrainingOps {
       .drop("_toks")
   }
 
+  /** Budget-limited greedy corpus selection: walk the corpus in
+    * `orderBy` order (best-first — e.g. quality descending with an id
+    * tiebreak) and keep every document whose running token offset
+    * STARTS inside `budget` — i.e. pack 0 of [[packByTokenBudget]]
+    * with a single global shard. "Give me the best B tokens" is the
+    * final step of most curation pipelines.
+    *
+    * Scale shape: the single-shard case is exactly the regime the
+    * two-phase prefix sum exists for — a window formulation
+    * (`sum().over(Window.orderBy(...))`) would serialize the WHOLE
+    * CORPUS through one task; here the range partitioner spreads the
+    * one shard across every partition, the driver sees ≤ 2
+    * boundary-fragment rows per partition, and each task streams its
+    * own slice. */
+  def selectByTokenBudget(df: DataFrame, orderBy: Column, tokens: Column,
+      budget: Long): DataFrame =
+    packByTokenBudget(
+        df.withColumn("_ord", orderBy).withColumn("_shard", lit(0)),
+        "_shard", "_ord", tokens, budget)
+      .filter(col("pack_id") === 0)
+      .drop("_ord", "_shard", "pack_id")
+
   /** Deterministic stratified sample: exactly min(k, distinct ids) rows
     * per group — the ids carried by the k SMALLEST salted-SHA hashes,
     * via the bounded-state `graft_ksample` aggregate. Uniform (SHA
@@ -237,6 +259,67 @@ object TrainingOps {
       .select((g :+ posexplode(col("_s")).as(Seq("_pos", "_e"))): _*)
       .select((g ++ Seq((col("_pos") + 1).cast(IntegerType).as("rank"),
         col("_e.v").as(idCol))): _*)
+  }
+
+  /** Temperature-weighted domain mixing with EXACT integer quotas:
+    * domain d gets `target_d = floor(totalDocs · w_d / Σw)` documents,
+    * where `w_d = round(1e6 · n_d^alpha)` — the standard
+    * `p ∝ count^α` temperature rebalancing (α=1 proportional, α→0
+    * uniform), quantized to long micropoints so the quota arithmetic
+    * is exact integer division (a float Σw would be summation-order-
+    * dependent and never engine-portable). The per-domain pick is the
+    * target_d smallest salted-SHA hashes ([[sampleKPerGroup]]'s
+    * bounded-state aggregate) — rerun/partitioning/engine-stable.
+    *
+    * Scale shape: per-domain counts are ONE bounded aggregate,
+    * collected only up to `maxDomains` rows (fail-fast past it — the
+    * driver never holds an unbounded domain list); quota math is
+    * driver-side BigInt (exact, overflow-free); the pick is the
+    * `graft_ksample` aggregate with per-group state ≤ max target,
+    * never a rank window buffering a hot domain in one task; targets
+    * join back as a broadcast ≤ maxDomains-row table. Floor quotas can
+    * undershoot `totalDocs` by < #domains (largest-remainder
+    * redistribution is deliberately NOT applied — it would make every
+    * quota depend on every float remainder). For totals where
+    * per-group state ≥ max target is too large, derive RATES from the
+    * same weights and use [[sampleByDomain]] instead.
+    *
+    * Output: (sourceCol, rank, idCol-as-string), rank 1..target_d in
+    * hash order; domains whose quota floors to 0 are absent. */
+  def mixByTemperature(df: DataFrame, idCol: String, sourceCol: String,
+      totalDocs: Long, alpha: Double, salt: String = "mix",
+      maxDomains: Int = 10000): DataFrame = {
+    require(totalDocs > 0, "totalDocs must be positive")
+    require(alpha > 0 && alpha <= 1, s"need 0 < alpha <= 1, got $alpha")
+    val spark = df.sparkSession
+    val rows = df.filter(col(idCol).isNotNull && col(sourceCol).isNotNull)
+    val counts = rows.groupBy(col(sourceCol)).agg(count(lit(1)).as("_n"))
+      .limit(maxDomains + 1).collect()
+    require(counts.length <= maxDomains,
+      s"mixByTemperature: more than maxDomains=$maxDomains distinct " +
+        s"`$sourceCol` values — quota mixing needs a bounded domain " +
+        "list; pre-aggregate sources or raise maxDomains explicitly")
+    val weights = counts.map(r =>
+      (r.get(0), math.round(1e6 * math.pow(r.getLong(1).toDouble, alpha))))
+    val totalW = weights.iterator.map(w => BigInt(w._2)).sum
+    val targets = weights
+      .map { case (s, w) => (s, (BigInt(totalDocs) * w / totalW).toLong) }
+      .filter(_._2 > 0)
+    require(targets.nonEmpty,
+      s"mixByTemperature: every domain quota floored to 0 — totalDocs=" +
+        s"$totalDocs is too small for ${counts.length} domains")
+    val maxT = targets.map(_._2).max
+    require(maxT <= Int.MaxValue, "per-domain target exceeds Int range")
+    val srcType = df.schema(df.schema.fieldIndex(sourceCol)).dataType
+    val tDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        targets.toSeq.map { case (s, t) => org.apache.spark.sql.Row(s, t) }, 1),
+      StructType(Seq(StructField(sourceCol, srcType),
+        StructField("_target", LongType))))
+    sampleKPerGroup(rows, Seq(sourceCol), idCol, maxT.toInt, salt)
+      .join(broadcast(tDf), Seq(sourceCol))
+      .filter(col("rank") <= col("_target"))
+      .drop("_target")
   }
 
   /** Deterministic GLOBAL uniform k-sample: the top k rows by salted

@@ -192,7 +192,31 @@ object R6Queries {
     // order cannot change the ranking.
     "q104_bm25" -> ((s, d) =>
       graft.llm.Search.bm25Search(T.documents(s, d), "doc_id", "text",
-        terms = Seq("spark", "join", "window"), k = 20))
+        terms = Seq("spark", "join", "window"), k = 20)),
+
+    // [EXT] temperature-weighted domain mixing (p ∝ count^α): exact
+    // integer quotas from micropoint-quantized pow weights (BigInt /
+    // HUGEINT floor division on both sides), per-domain pick = the
+    // quota smallest salted hashes via the bounded-state ksample
+    // aggregate. The oracle replays weights, quotas, and hash ranks.
+    "q105_temperature_mix" -> ((s, d) =>
+      graft.llm.TrainingOps.mixByTemperature(
+        T.documents(s, d).select(col("doc_id"), col("source")),
+        "doc_id", "source", totalDocs = 200, alpha = 0.7, salt = "t6")
+      .orderBy("source", "rank")),
+
+    // [EXT] budget-limited greedy selection ("the best 20k tokens"):
+    // longest-docs-first with an id tiebreak, keep while the running
+    // token offset starts inside the budget. Runs the q52 two-phase
+    // prefix sum in its single-global-shard degenerate case — the
+    // shape a window cumsum would serialize through one task.
+    "q106_budget_select" -> ((s, d) =>
+      graft.llm.TrainingOps.selectByTokenBudget(
+        T.documents(s, d).select(col("doc_id"), col("n_chars"),
+          graft.llm.TextAnalysis.tokenCountWs(col("text")).as("n_tokens")),
+        orderBy = struct((-col("n_chars")).as("q"), col("doc_id").as("i")),
+        tokens = col("n_tokens"), budget = 20000L)
+      .orderBy("doc_id"))
   )
 
   /** Planted per-language fixture sentences for q99 (index = key % 8;
@@ -371,6 +395,40 @@ object R6Queries {
         |    AS score,
         |  count(*) AS n_terms
         |FROM d, stats GROUP BY doc_id
-        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q105_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents
+        |           WHERE doc_id IS NOT NULL AND source IS NOT NULL
+        |           GROUP BY 1),
+        |w AS (SELECT source,
+        |        CAST(round(1e6 * pow(n, 7e-1)) AS BIGINT) AS w FROM c),
+        |tw AS (SELECT sum(CAST(w AS HUGEINT)) AS tot FROM w),
+        |t AS (SELECT source,
+        |        CAST(CAST(200 AS HUGEINT) * w // tot AS BIGINT) AS target
+        |      FROM w, tw),
+        |d AS (SELECT DISTINCT source, CAST(doc_id AS VARCHAR) AS id
+        |      FROM documents
+        |      WHERE doc_id IS NOT NULL AND source IS NOT NULL),
+        |h AS (SELECT source, id,
+        |        ('0x' || substr(sha256('t6' || id), 1, 15))::BIGINT AS h
+        |      FROM d),
+        |r AS (SELECT source, id,
+        |        row_number() OVER (PARTITION BY source ORDER BY h, id)
+        |          AS rn FROM h)
+        |SELECT r.source, CAST(rn AS INT) AS rank, id AS doc_id
+        |FROM r JOIN t USING (source) WHERE rn <= target
+        |ORDER BY source, rank""".stripMargin,
+    "q106_budget_select" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT)
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_chars, n_tokens,
+        |        sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+        |          ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM t)
+        |SELECT doc_id, n_chars, n_tokens FROM c
+        |WHERE cum - n_tokens < 20000 ORDER BY doc_id""".stripMargin
   )
 }

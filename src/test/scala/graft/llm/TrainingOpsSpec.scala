@@ -224,4 +224,55 @@ class TrainingOpsSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
   }
+
+  test("mixByTemperature: exact floor quotas from micropoint pow weights") {
+    val df = ((1L to 8L).map(i => (i, "a")) ++ Seq((9L, "b")))
+      .toDF("id", "source")
+    // alpha=0.5: w_a = round(1e6·√8) = 2828427, w_b = 1e6,
+    // Σw = 3828427; T=6 ⇒ target_a = ⌊6·w_a/Σw⌋ = 4, target_b = 1
+    val r = TrainingOps.mixByTemperature(df, "id", "source",
+      totalDocs = 6, alpha = 0.5, salt = "tm").collect()
+      .map(x => (x.getAs[String]("source"), x.getAs[Int]("rank")))
+      .sorted.toSeq
+    assert(r === Seq(("a", 1), ("a", 2), ("a", 3), ("a", 4), ("b", 1)))
+    // alpha=1 is proportional: targets 5 and 0 — domain b disappears
+    val p = TrainingOps.mixByTemperature(df, "id", "source",
+      totalDocs = 6, alpha = 1.0, salt = "tm").collect()
+    assert(p.forall(_.getAs[String]("source") == "a") && p.length === 5)
+  }
+
+  test("selectByTokenBudget: greedy best-first fill, boundary doc kept") {
+    val df = Seq(
+      (1L, 90L, 10),  // q=90: starts at 0   — kept
+      (2L, 80L, 12),  // q=80: starts at 10  — kept
+      (3L, 70L, 20),  // q=70: starts at 22  — kept (straddles budget 25)
+      (4L, 60L, 5),   // q=60: starts at 42  — dropped
+      (5L, 90L, 8)    // q=90, id tiebreak after 1: starts at 10? no —
+                      // (90,1) then (90,5): 5 starts at 10, shifts 2..4
+    ).toDF("id", "q", "toks")
+    // order: (90,1)@0, (90,5)@10, (80,2)@18, (70,3)@30, (60,4)@50
+    val kept = TrainingOps.selectByTokenBudget(df,
+      orderBy = struct((-col("q")).as("a"), col("id").as("b")),
+      tokens = col("toks"), budget = 25L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(1L, 2L, 5L)) // id 3 starts at 30 ≥ 25
+    assert(TrainingOps.selectByTokenBudget(df,
+      orderBy = struct((-col("q")).as("a"), col("id").as("b")),
+      tokens = col("toks"), budget = 1000L).count() === 5)
+  }
+
+  test("mixByTemperature: bounded domain list and zero-quota fail-fasts") {
+    val many = (1L to 30L).map(i => (i, s"s$i")).toDF("id", "source")
+    val e1 = intercept[IllegalArgumentException] {
+      TrainingOps.mixByTemperature(many, "id", "source",
+        totalDocs = 10, alpha = 0.5, maxDomains = 20)
+    }
+    assert(e1.getMessage.contains("maxDomains=20"))
+    // 30 equal-weight domains, T=10 ⇒ every quota floors to 0
+    val e2 = intercept[IllegalArgumentException] {
+      TrainingOps.mixByTemperature(many, "id", "source",
+        totalDocs = 10, alpha = 0.5)
+    }
+    assert(e2.getMessage.contains("floored to 0"))
+  }
 }

@@ -230,4 +230,9 @@ class PlanQualitySpec extends SparkSuite {
     assert(p.contains("BroadcastExchange"), p.take(1200))
     assert(!p.contains("Window"), p.take(1200))
   }
+
+  test("q106: budget selection never plans a global cumsum window") {
+    val p = plan("q106_budget_select")
+    assert(!p.contains("Window"), p.take(1200))
+  }
 }
