@@ -216,7 +216,72 @@ object R6Queries {
           graft.llm.TextAnalysis.tokenCountWs(col("text")).as("n_tokens")),
         orderBy = struct((-col("n_chars")).as("q"), col("doc_id").as("i")),
         tokens = col("n_tokens"), budget = 20000L)
-      .orderBy("doc_id"))
+      .orderBy("doc_id")),
+
+    // [EXT] robots-exclusion filtering (RFC 9309 longest-match core):
+    // planted per-host rule registry exercises longest-prefix
+    // override, deny-all + allow-subtree, tie→allow, and the
+    // no-rule default-allow arm. The oracle replays the same
+    // longest/allow/prefix ordering with a rank window.
+    "q107_robots_filter" -> ((s, d) => {
+      import s.implicits._
+      val id = col("doc_id")
+      val urls = T.documents(s, d).select(id,
+        concat(col("source"), lit(".example.com")).as("host"),
+        when(pmod(id, lit(4)) === 0,
+            concat(lit("/private/"), id.cast("string")))
+          .when(pmod(id, lit(4)) === 1, lit("/public/a"))
+          .when(pmod(id, lit(4)) === 2, lit("/public/tmp/x"))
+          .otherwise(lit("/")).as("path"))
+      val rules = Seq(
+        ("src0.example.com", false, "/private/"),
+        ("src0.example.com", true, "/private/1"),
+        ("src1.example.com", false, "/"),
+        ("src1.example.com", true, "/public/"),
+        ("src2.example.com", false, "/public/tmp/"),
+        ("src3.example.com", true, "/private/"),
+        ("src3.example.com", false, "/private/")
+      ).toDF("host", "allow", "prefix")
+      graft.llm.Crawl.robotsFilter(urls, "doc_id", "host", "path", rules)
+        .orderBy("doc_id")
+    }),
+
+    // [EXT] outlink extraction for the crawl frontier: root-relative
+    // links resolve against the host, absolute links pass, fragments /
+    // mailto / protocol-relative / dir-relative drop. Map-only.
+    "q108_extract_links" -> ((s, d) => {
+      val id = col("doc_id")
+      val html = concat(
+        lit("<p><a href=\"/about\">a</a>"),
+        lit("<a href=\"https://ext.example.org/p/"), id.cast("string"),
+        lit("\">e</a>"),
+        when(pmod(id, lit(3)) === 0, lit("<a href=\"#top\">t</a>"))
+          .otherwise(lit("<a href=\"../rel\">r</a>")),
+        when(pmod(id, lit(2)) === 0,
+            lit("<a href=\"mailto:x@y\">m</a>" +
+              "<a href=\"//cdn.example.net/z\">c</a>"))
+          .otherwise(lit("<a href=\"/item?id=1\">i</a>")))
+      graft.llm.Crawl.extractLinks(
+          T.documents(s, d).select(id, html.as("html"),
+            concat(col("source"), lit(".example.com")).as("host")),
+          "doc_id", "html", "host")
+        .orderBy("doc_id", "link_idx")
+    }),
+
+    // [EXT] crawl-graph PageRank, 3 iterations, exact integer
+    // micro-unit arithmetic: a planted 2-regular doc graph
+    // (i → 7i mod N, i → 13i+1 mod N); the oracle unrolls the same
+    // three integer iterations — bit-identical ranks.
+    "q109_pagerank" -> ((s, d) => {
+      val docs = T.documents(s, d).select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val withN = docs.join(broadcast(n))
+      val e = withN.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 7, col("n")).as("dst"))
+        .union(withN.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 13 + 1, col("n")).as("dst")))
+      graft.llm.Crawl.pageRankInt(e, iters = 3).orderBy("node")
+    })
   )
 
   /** Planted per-language fixture sentences for q99 (index = key % 8;
@@ -429,6 +494,95 @@ object R6Queries {
         |          ROWS UNBOUNDED PRECEDING) AS cum
         |      FROM t)
         |SELECT doc_id, n_chars, n_tokens FROM c
-        |WHERE cum - n_tokens < 20000 ORDER BY doc_id""".stripMargin
+        |WHERE cum - n_tokens < 20000 ORDER BY doc_id""".stripMargin,
+    "q107_robots_filter" ->
+      """WITH u AS (
+        |  SELECT doc_id, source || '.example.com' AS host,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN '/private/' || CAST(doc_id AS VARCHAR)
+        |      WHEN 1 THEN '/public/a'
+        |      WHEN 2 THEN '/public/tmp/x'
+        |      ELSE '/' END AS path
+        |  FROM documents),
+        |r(host, allow, prefix) AS (VALUES
+        |  ('src0.example.com', false, '/private/'),
+        |  ('src0.example.com', true, '/private/1'),
+        |  ('src1.example.com', false, '/'),
+        |  ('src1.example.com', true, '/public/'),
+        |  ('src2.example.com', false, '/public/tmp/'),
+        |  ('src3.example.com', true, '/private/'),
+        |  ('src3.example.com', false, '/private/')),
+        |m AS (SELECT u.doc_id, r.allow, r.prefix,
+        |        row_number() OVER (PARTITION BY u.doc_id
+        |          ORDER BY length(r.prefix) DESC, r.allow DESC,
+        |            r.prefix DESC) AS rn
+        |      FROM u JOIN r ON u.host = r.host
+        |        AND starts_with(u.path, r.prefix))
+        |SELECT u.doc_id, u.host, u.path,
+        |  coalesce(b.allow, true) AS allowed,
+        |  b.prefix AS matched_prefix
+        |FROM u LEFT JOIN (SELECT doc_id, allow, prefix FROM m
+        |                  WHERE rn = 1) b USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q108_extract_links" ->
+      """WITH h AS (
+        |  SELECT doc_id, source || '.example.com' AS host,
+        |    '<p><a href="/about">a</a>'
+        |    || '<a href="https://ext.example.org/p/'
+        |    || CAST(doc_id AS VARCHAR) || '">e</a>'
+        |    || CASE WHEN doc_id % 3 = 0 THEN '<a href="#top">t</a>'
+        |            ELSE '<a href="../rel">r</a>' END
+        |    || CASE WHEN doc_id % 2 = 0
+        |            THEN '<a href="mailto:x@y">m</a>'
+        |                 || '<a href="//cdn.example.net/z">c</a>'
+        |            ELSE '<a href="/item?id=1">i</a>' END AS html
+        |  FROM documents),
+        |l AS (SELECT doc_id,
+        |        list_filter(list_transform(
+        |          regexp_extract_all(html, 'href="([^"]*)"', 1),
+        |          x -> CASE
+        |            WHEN starts_with(x, 'http://')
+        |              OR starts_with(x, 'https://') THEN x
+        |            WHEN starts_with(x, '//') THEN NULL
+        |            WHEN starts_with(x, '/') THEN 'https://' || host || x
+        |            ELSE NULL END),
+        |          x -> x IS NOT NULL) AS links
+        |      FROM h),
+        |ix AS (SELECT doc_id, links,
+        |         unnest(generate_series(1, len(links))) AS i FROM l)
+        |SELECT doc_id, CAST(i - 1 AS INT) AS link_idx, links[i] AS url
+        |FROM ix ORDER BY doc_id, link_idx""".stripMargin,
+    "q109_pagerank" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |e AS (SELECT doc_id AS src, (doc_id * 7) % n AS dst
+        |      FROM documents, nn
+        |      UNION ALL
+        |      SELECT doc_id AS src, (doc_id * 13 + 1) % n AS dst
+        |      FROM documents, nn),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+        |c1 AS (SELECT e.dst AS node, sum(r0.rank // od.outdeg) AS cs
+        |       FROM e JOIN r0 ON e.src = r0.node
+        |       JOIN od ON e.src = od.src GROUP BY 1),
+        |r1 AS (SELECT nodes.node,
+        |         CAST(150000 + (85 * coalesce(cs, 0)) // 100 AS BIGINT)
+        |           AS rank
+        |       FROM nodes LEFT JOIN c1 USING (node)),
+        |c2 AS (SELECT e.dst AS node, sum(r1.rank // od.outdeg) AS cs
+        |       FROM e JOIN r1 ON e.src = r1.node
+        |       JOIN od ON e.src = od.src GROUP BY 1),
+        |r2 AS (SELECT nodes.node,
+        |         CAST(150000 + (85 * coalesce(cs, 0)) // 100 AS BIGINT)
+        |           AS rank
+        |       FROM nodes LEFT JOIN c2 USING (node)),
+        |c3 AS (SELECT e.dst AS node, sum(r2.rank // od.outdeg) AS cs
+        |       FROM e JOIN r2 ON e.src = r2.node
+        |       JOIN od ON e.src = od.src GROUP BY 1),
+        |r3 AS (SELECT nodes.node,
+        |         CAST(150000 + (85 * coalesce(cs, 0)) // 100 AS BIGINT)
+        |           AS rank
+        |       FROM nodes LEFT JOIN c3 USING (node))
+        |SELECT node, rank FROM r3 ORDER BY node""".stripMargin
   )
 }
