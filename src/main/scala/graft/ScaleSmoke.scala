@@ -163,11 +163,29 @@ object ScaleSmoke {
         Dedup.dedupIncremental(
           docs.filter(col("id") % 10 === 0)
             .select((col("id") + 100000000L).as("id"), col("text")),
-          docs, "id", "text")))
+          docs, "id", "text")),
+      // budget selection = the two-phase prefix sum with ONE global
+      // shard — the degenerate case a window cumsum would serialize
+      // entirely through a single task; budget ≈ half the corpus's
+      // tokens so the cut lands mid-corpus
+      "budget_select_hot" -> (() =>
+        TrainingOps.selectByTokenBudget(docs,
+          orderBy = struct((-length(col("text"))).as("q"), col("id").as("i")),
+          tokens = TA.tokenCountWs(col("text")).cast("long"),
+          budget = n * 15L)),
+      // 3 integer PageRank iterations over a 2-regular n-node graph:
+      // per-iteration cost = one src equi-join + one dst-keyed sum
+      "pagerank" -> (() => {
+        val e = docs.select(col("id").as("src"),
+            pmod(col("id") * 7, lit(n)).as("dst"))
+          .union(docs.select(col("id").as("src"),
+            pmod(col("id") * 13 + 1, lit(n)).as("dst")))
+        graft.llm.Crawl.pageRankInt(e, iters = 3)
+      }))
 
     val hotSet = Set("dup_shingle_audit_hot", "keyword_search_hot",
       "keep_best_hot", "ksample_hot", "kmv_sketch_hot", "line_dedup_hot",
-      "pack_hot")
+      "pack_hot", "budget_select_hot", "pagerank")
     val selected = subset match {
       case "all" => scenarios
       case "hot" => scenarios.filter(s => hotSet(s._1))

@@ -103,6 +103,32 @@ object Streaming {
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Streaming corpus admission — the incremental tier of
+    * `Dedup.dedupIncremental`'s exact arm: each arriving document is
+    * flagged `exact_dup` iff its normalized content hash already
+    * exists in the STATIC corpus. A stream-static LEFT join on the
+    * 64-hex hash key: stateless (no watermark needed — the static
+    * side is re-planned per micro-batch, the stream side passes
+    * through), so state is zero regardless of stream history; the
+    * corpus side reduces to DISTINCT hashes — keys only, text never
+    * joins text. Near-dup banding stays in the batch operator: its
+    * per-doc candidate count is a stateful aggregate a nightly batch
+    * admission runs bounded, where a stream would hold it forever.
+    * StreamingSpec pins byte-parity with the batch expression across
+    * micro-batches. */
+  def admitAgainstCorpus(newStream: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val corpusHash = corpus
+      .select(sha2(trim(col(textCol)), 256).as("_h")).distinct()
+      .withColumn("_dup", lit(true))
+    newStream
+      .select(col(idCol), col(textCol),
+        sha2(trim(col(textCol)), 256).as("_h"))
+      .join(corpusHash, Seq("_h"), "left")
+      .select(col(idCol), col(textCol),
+        coalesce(col("_dup"), lit(false)).as("exact_dup"))
+  }
+
   /** Stream-stream equi-join with a bounded event-time constraint: each
     * left row matches right rows whose event time is within
     * [left − lag, left]. Both sides carry watermarks AND the join

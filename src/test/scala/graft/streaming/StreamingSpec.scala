@@ -71,6 +71,46 @@ class StreamingSpec extends SparkSuite {
     assert(viaStream.toSeq === viaBatch.toSeq)
   }
 
+  test("admitAgainstCorpus: stream-static dedup admission, batch parity") {
+    val base = Files.createTempDirectory("graft-admit").toString
+    val corpus = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "delta epsilon zeta"),
+      (3L, "eta theta iota")
+    ).toDF("id", "text")
+    // new batch: one verbatim dup, one whitespace-normalized dup
+    // (trim catches it), one fresh doc — split over 3 files so the
+    // join runs across ≥3 micro-batches
+    val newDocs = Seq(
+      (10L, "alpha beta gamma"),
+      (11L, "  delta epsilon zeta  "),
+      (12L, "brand new text")
+    ).toDF("id", "text")
+    newDocs.repartition(3).write.mode("overwrite").parquet(s"$base/land")
+    val schema = spark.read.parquet(s"$base/land").schema
+    val stream = Streaming.fileStream(spark, s"$base/land", schema,
+      options = Map("maxFilesPerTrigger" -> "1"))
+    val q = Streaming.admitAgainstCorpus(stream, corpus, "id", "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("admit")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    q.awaitTermination(300000)
+    val streamed = spark.table("admit").collect()
+      .map(r => (r.getLong(0), r.getBoolean(2))).sorted.toSeq
+    assert(streamed === Seq((10L, true), (11L, true), (12L, false)))
+    // byte-parity with the batch formulation of the same operator
+    val batch = Streaming.admitAgainstCorpus(
+        spark.read.parquet(s"$base/land"), corpus, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+      .sorted.toSeq
+    val viaStream = spark.table("admit").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+      .sorted.toSeq
+    assert(viaStream === batch)
+  }
+
   test("streaming pipeline: AvailableNow processes only new files on re-run") {
     val base = Files.createTempDirectory("graft-spipe").toString
     val land = s"$base/landing"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
