@@ -105,11 +105,16 @@ object Crawl {
     require(iters >= 1, "iters must be at least 1")
     require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       s"need 0 <= dampNum <= dampDen, got $dampNum/$dampDen")
-    val e = edges.select(col("src"), col("dst"))
+    // Materialize the loop invariants ONCE (lineage truncation, the
+    // connectedComponents convention): without this the unrolled plan
+    // re-derives edges/nodes/outdeg inside EVERY iteration — the
+    // edge-generation subtree executed 16× per 3 iterations in the
+    // pre-checkpoint PlanAudit.
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     val eo = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")),
-      Seq("src"))
+      Seq("src")).localCheckpoint()
     val base = 1000000L * (dampDen - dampNum) / dampDen
     var ranks = nodes.select(col("node"), lit(1000000L).as("rank"))
     for (_ <- 1 to iters) {
