@@ -203,6 +203,41 @@ object TextAnalysis {
     trim(regexp_replace(unescaped, lit("\\s+"), lit(" ")))
   }
 
+  /** Block-level tags that delimit content blocks for [[mainContent]]
+    * (opening or closing, attributes allowed, case-insensitive). */
+  private val BlockTagPattern =
+    "(?i)</?(?:p|div|td|th|h[1-6]|li|ul|ol|table|tr|article|section|" +
+      "header|footer|nav|aside|blockquote|br)[^>]*>"
+
+  /** Main-content extraction (a jusText/trafilatura-lite heuristic —
+    * the boilerplate-removal pass between "raw fetched HTML" and
+    * "corpus document"): split the page into blocks at block-level
+    * tags, strip each block ([[stripHtml]] semantics), and keep blocks
+    * that are long enough (`>= minChars` stripped chars) AND not
+    * link-dominated (`anchorChars·100 <= maxLinkDensityPct·textChars`
+    * — integer cross-multiplication, so the verdict is bit-portable
+    * like q96's gates). Navigation bars, share widgets, and footer
+    * link rows are short and/or link-dense; article prose is neither.
+    * Kept blocks re-join with newlines in page order. Anchor chars
+    * count simple `<a ...>text</a>` bodies (nested markup inside an
+    * anchor does not match — deterministic, mirrored in the oracle).
+    * Map-only: one split + in-array transform/filter, no shuffle. */
+  def mainContent(c: Column, minChars: Int = 20,
+      maxLinkDensityPct: Int = 30): Column = {
+    val scored = transform(split(c, BlockTagPattern), b => {
+      val txt = stripHtml(b)
+      val aChars = aggregate(
+        regexp_extract_all(b, lit("(?i)<a[^>]*>([^<]*)</a>"), lit(1)),
+        lit(0), (acc, x) => acc + length(x))
+      struct(txt.as("t"),
+        (length(txt) >= minChars &&
+          aChars * 100 <= lit(maxLinkDensityPct) * length(txt)).as("keep"))
+    })
+    concat_ws("\n",
+      transform(filter(scored, s => s.getField("keep")),
+        s => s.getField("t")))
+  }
+
   /** Unicode NFC normalization — native `graft_nfc` expression (Spark
     * has no built-in; see [[graft.expressions.NfcNormalize]] for why
     * dedup needs it and why NFC rather than NFKC). */

@@ -281,6 +281,26 @@ object R6Queries {
         .union(withN.select(col("doc_id").as("src"),
           pmod(col("doc_id") * 13 + 1, col("n")).as("dst")))
       graft.llm.Crawl.pageRankInt(e, iters = 3).orderBy("node")
+    }),
+
+    // [EXT] main-content extraction (jusText-lite boilerplate
+    // removal): planted page = nav links + article prose + a short
+    // block + a share widget + footer links; only the prose survives
+    // the (length, link-density) gates. Integer cross-multiplication
+    // verdicts; the oracle replays the identical split/strip/score.
+    "q110_main_content" -> ((s, d) => {
+      val html = concat(
+        lit("<nav><a href=\"/\">home</a> <a href=\"/about\">about</a> " +
+          "<a href=\"/contact\">contact</a></nav><div id=\"main\"><p>"),
+        col("text"),
+        lit("</p><p>short</p><div class=\"share\">" +
+          "<a href=\"/s\">share this page now</a></div>" +
+          "<footer><a href=\"/terms\">terms</a> " +
+          "<a href=\"/privacy\">privacy</a></footer></div>"))
+      T.documents(s, d)
+        .select(col("doc_id"),
+          graft.llm.TextAnalysis.mainContent(html).as("content"))
+        .orderBy("doc_id")
     })
   )
 
@@ -583,6 +603,31 @@ object R6Queries {
         |         CAST(150000 + (85 * coalesce(cs, 0)) // 100 AS BIGINT)
         |           AS rank
         |       FROM nodes LEFT JOIN c3 USING (node))
-        |SELECT node, rank FROM r3 ORDER BY node""".stripMargin
+        |SELECT node, rank FROM r3 ORDER BY node""".stripMargin,
+    "q110_main_content" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<nav><a href="/">home</a> <a href="/about">about</a> <a href="/contact">contact</a></nav><div id="main"><p>'
+        |  || text ||
+        |  '</p><p>short</p><div class="share"><a href="/s">share this page now</a></div><footer><a href="/terms">terms</a> <a href="/privacy">privacy</a></footer></div>'
+        |  AS html FROM documents),
+        |s AS (SELECT doc_id, list_transform(
+        |        regexp_split_to_array(html,
+        |          '(?i)</?(?:p|div|td|th|h[1-6]|li|ul|ol|table|tr|article|section|header|footer|nav|aside|blockquote|br)[^>]*>'),
+        |        x -> struct_pack(
+        |          t := trim(regexp_replace(replace(replace(replace(replace(replace(
+        |                 regexp_replace(x, '<[^>]+>', ' ', 'g'),
+        |                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |                 '&amp;', '&'), '\s+', ' ', 'g')),
+        |          a := coalesce(list_sum(list_transform(
+        |                 regexp_extract_all(x, '(?i)<a[^>]*>([^<]*)</a>', 1),
+        |                 y -> length(y))), 0))) AS blks
+        |      FROM h),
+        |k AS (SELECT doc_id, list_filter(blks,
+        |        b -> length(b.t) >= 20 AND b.a * 100 <= 30 * length(b.t))
+        |        AS kept
+        |      FROM s)
+        |SELECT doc_id,
+        |  array_to_string(list_transform(kept, b -> b.t), chr(10)) AS content
+        |FROM k ORDER BY doc_id""".stripMargin
   )
 }

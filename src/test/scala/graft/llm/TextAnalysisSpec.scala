@@ -222,4 +222,28 @@ class TextAnalysisSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
     assert(out.toSeq === cases.map(_._2))
   }
+
+  test("mainContent: keeps prose, drops nav / short / link-dense blocks") {
+    val prose = "this is a long enough paragraph of real article prose"
+    val page =
+      """<nav><a href="/">home</a> <a href="/x">about us page</a></nav>""" +
+      s"<div><p>$prose</p><p>short</p>" +
+      """<div class="share"><a href="/s">share this page right now</a></div>""" +
+      s"<p>$prose again</p></div>"
+    val got = Seq(page).toDF("h")
+      .select(TextAnalysis.mainContent(col("h")))
+      .collect()(0).getString(0)
+    assert(got === s"$prose\n$prose again")
+    // link density is relative: a long block with ONE small link stays
+    val mixed = s"<p>$prose <a href=\"/r\">ref</a></p>"
+    val got2 = Seq(mixed).toDF("h")
+      .select(TextAnalysis.mainContent(col("h")))
+      .collect()(0).getString(0)
+    assert(got2 === s"$prose ref")
+    // pure-boilerplate page yields the empty string, not null
+    val got3 = Seq("""<nav><a href="/">home</a></nav>""").toDF("h")
+      .select(TextAnalysis.mainContent(col("h")))
+      .collect()(0).getString(0)
+    assert(got3 === "")
+  }
 }
