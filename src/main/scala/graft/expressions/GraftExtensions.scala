@@ -36,7 +36,8 @@ object GraftFunctions {
     ("graft_nfc", NfcNormalize.info, NfcNormalize.builder _),
     ("graft_ksample", KSampleAgg.info, KSampleAgg.builder _),
     ("graft_langid", LangIdExpr.info, LangIdExpr.builder _),
-    ("graft_warc_records", WarcRecordsGen.info, WarcRecordsGen.builder _))
+    ("graft_warc_records", WarcRecordsGen.info, WarcRecordsGen.builder _),
+    ("graft_deflate_size", DeflateSize.info, DeflateSize.builder _))
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {

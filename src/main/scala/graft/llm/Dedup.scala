@@ -849,4 +849,32 @@ object Dedup {
         count(lit(1)).as("n_units"),
         sum(when(col("_keep"), 0L).otherwise(1L)).as("n_removed"))
   }
+
+  /** WITHIN-document repeated-unit removal — the intra-doc complement
+    * of [[unitDedup]] (which needs cross-doc df): keep the FIRST
+    * occurrence of each trimmed-identical unit inside a document, drop
+    * later repeats (scraped pages duplicate their own nav/promo blocks;
+    * generation artifacts repeat sentences). Blank units always stay —
+    * they are formatting, not content. Output mirrors [[unitDedup]]:
+    * (id, clean_text, n_units, n_removed).
+    *
+    * Scale shape: map-only — one split, one in-array indexed
+    * filter (O(units²) per doc, bounded by single-doc size), no
+    * shuffle, no state. */
+  def dedupUnitsWithinDoc(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val units = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    val kept = filter(
+      transform(units, (u, i) => struct(u.as("l"), i.as("i"))),
+      s => {
+        val t = trim(s.getField("l"))
+        t === "" || size(filter(slice(units, lit(1), s.getField("i")),
+          p => trim(p) === t)) === 0
+      })
+    df.select(col(idCol),
+      concat_ws(sep, transform(kept, s => s.getField("l")))
+        .as("clean_text"),
+      size(units).cast("long").as("n_units"),
+      (size(units) - size(kept)).cast("long").as("n_removed"))
+  }
 }

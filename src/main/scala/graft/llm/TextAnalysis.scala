@@ -256,6 +256,21 @@ object TextAnalysis {
     b.column(graft.expressions.LangIdExpr(b.expression(c)))
   }
 
+  /** Compression-ratio quality signal (Gopher's repetitiousness
+    * filter): DEFLATE-compressed size over UTF-8 size. Near-0 ratios
+    * are template/repetition junk; near-1 (or >1 on short inputs —
+    * DEFLATE has fixed overhead) is incompressible, often encoded
+    * junk; prose sits between. Map-only native expression with
+    * per-task Deflater reuse. NOT oracle-portable by design (DEFLATE
+    * length is implementation-defined) — gate with it, don't
+    * hash-compare it across engines; TextAnalysisSpec pins the
+    * ordering and determinism properties instead. */
+  def compressionRatio(c: Column): Column = {
+    val b = org.apache.spark.sql.GraftColumnBridge
+    val sz = b.column(graft.expressions.DeflateSize(b.expression(c)))
+    sz.cast(DoubleType) / octet_length(c)
+  }
+
   /** Corpus-relative unigram log-probability score — the cheap
     * perplexity-style quality filter of a training pipeline (documents
     * whose tokens are improbable under the corpus's own unigram model

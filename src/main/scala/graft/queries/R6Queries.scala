@@ -301,7 +301,22 @@ object R6Queries {
         .select(col("doc_id"),
           graft.llm.TextAnalysis.mainContent(html).as("content"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // [EXT] WITHIN-doc repeated-unit removal (intra-doc complement of
+    // q100's cross-doc dedup): every doc carries its own promo line
+    // twice and a blank; the repeat drops, the first stays, blanks
+    // stay. Map-only; the oracle replays the indexed first-occurrence
+    // filter in DuckDB lambdas.
+    "q111_intra_doc_dedup" -> ((s, d) =>
+      graft.llm.Dedup.dedupUnitsWithinDoc(
+        T.documents(s, d).select(col("doc_id"),
+          concat(col("text"),
+            lit("\npromo block "), pmod(col("doc_id"), lit(7)).cast("string"),
+            lit("\n\npromo block "), pmod(col("doc_id"), lit(7)).cast("string"),
+            lit("\nunique tail "), col("doc_id").cast("string")).as("text")),
+        "doc_id", "text")
+      .orderBy("doc_id"))
   )
 
   /** Planted per-language fixture sentences for q99 (index = key % 8;
@@ -628,6 +643,26 @@ object R6Queries {
         |      FROM s)
         |SELECT doc_id,
         |  array_to_string(list_transform(kept, b -> b.t), chr(10)) AS content
+        |FROM k ORDER BY doc_id""".stripMargin,
+    "q111_intra_doc_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, text
+        |    || chr(10) || 'promo block ' || CAST(doc_id % 7 AS VARCHAR)
+        |    || chr(10) || chr(10) || 'promo block '
+        |    || CAST(doc_id % 7 AS VARCHAR)
+        |    || chr(10) || 'unique tail ' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents),
+        |u AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM d),
+        |k AS (SELECT doc_id, l, list_filter(
+        |        list_transform(l, (x, i) -> struct_pack(t := x, i := i)),
+        |        s -> trim(s.t) = '' OR len(list_filter(l[1:s.i-1],
+        |               p -> trim(p) = trim(s.t))) = 0) AS kept
+        |      FROM u)
+        |SELECT doc_id,
+        |  array_to_string(list_transform(kept, s -> s.t), chr(10))
+        |    AS clean_text,
+        |  CAST(len(l) AS BIGINT) AS n_units,
+        |  CAST(len(l) - len(kept) AS BIGINT) AS n_removed
         |FROM k ORDER BY doc_id""".stripMargin
   )
 }

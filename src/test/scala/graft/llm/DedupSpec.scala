@@ -378,6 +378,21 @@ class DedupSpec extends SparkSuite {
       && out.head.getLong(2) === 5L)
   }
 
+  test("dedupUnitsWithinDoc: first occurrence stays, blanks stay") {
+    val df = Seq(
+      (1L, "alpha\npromo\nbeta\npromo\n\npromo \ngamma"),
+      (2L, "one\ntwo"),
+      (3L, "same\nsame\nsame")
+    ).toDF("id", "text")
+    val out = Dedup.dedupUnitsWithinDoc(df, "id", "text").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // trimmed-identical "promo " drops too; the blank unit survives
+    assert(out(1L) === (("alpha\npromo\nbeta\n\ngamma", 7L, 2L)))
+    assert(out(2L) === (("one\ntwo", 2L, 0L)))
+    assert(out(3L) === (("same", 3L, 2L)))
+  }
+
   test("unitDedup with paragraph separator removes repeated blocks") {
     val promo = "sponsored content\nvisit our store" // multi-LINE paragraph
     val df = Seq(

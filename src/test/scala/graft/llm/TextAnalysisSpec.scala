@@ -246,4 +246,25 @@ class TextAnalysisSpec extends SparkSuite {
       .collect()(0).getString(0)
     assert(got3 === "")
   }
+
+  test("compressionRatio: repetitive < prose < random; deterministic") {
+    val rnd = new scala.util.Random(42)
+    val repetitive = "spam ham " * 200
+    val prose = ("the quick brown fox jumps over the lazy dog while " +
+      "seventeen researchers compare compression ratios ") * 10
+    val random = (1 to 1600).map(_ => rnd.nextPrintableChar()).mkString
+    val rows = Seq((1L, repetitive), (2L, prose), (3L, random))
+      .toDF("id", "t")
+      .select(col("id"), TextAnalysis.compressionRatio(col("t")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows(1L) < rows(2L) && rows(2L) < rows(3L), rows.toString)
+    assert(rows(1L) < 0.1 && rows(3L) > 0.5, rows.toString)
+    // same session, same inputs, same answer (ThreadLocal reuse must
+    // not leak state across rows)
+    val again = Seq((1L, repetitive), (2L, prose), (3L, random))
+      .toDF("id", "t").repartition(3)
+      .select(col("id"), TextAnalysis.compressionRatio(col("t")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again === rows)
+  }
 }
