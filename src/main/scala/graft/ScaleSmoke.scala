@@ -181,7 +181,21 @@ object ScaleSmoke {
           .union(docs.select(col("id").as("src"),
             pmod(col("id") * 13 + 1, lit(n)).as("dst")))
         graft.llm.Crawl.pageRankInt(e, iters = 3)
-      }))
+      }),
+      // map-only text passes: honest per-doc regex/HOF cost at corpus
+      // scale (no shuffle — the number to watch is µs/doc)
+      "main_content" -> (() => docs.select(col("id"),
+        TA.mainContent(concat(
+          lit("<nav><a href=\"/\">home</a> <a href=\"/a\">about</a></nav><p>"),
+          col("text"),
+          lit("</p><div class=\"share\"><a href=\"/s\">share this now</a></div>")))
+          .as("content"))),
+      "intra_doc_dedup" -> (() => Dedup.dedupUnitsWithinDoc(
+        docs.withColumn("text", concat(col("text"),
+          lit("\npromo line\npromo line\nuid "), col("id").cast("string"))),
+        "id", "text")),
+      "compression_ratio" -> (() => docs.select(col("id"),
+        TA.compressionRatio(col("text")).as("r"))))
 
     val hotSet = Set("dup_shingle_audit_hot", "keyword_search_hot",
       "keep_best_hot", "ksample_hot", "kmv_sketch_hot", "line_dedup_hot",
