@@ -859,11 +859,24 @@ object Dedup {
     * (id, clean_text, n_units, n_removed).
     *
     * Scale shape: map-only — one split, one in-array indexed
-    * filter (O(units²) per doc, bounded by single-doc size), no
-    * shuffle, no state. */
+    * filter, no shuffle, no state. The filter is O(units²) per doc,
+    * so one degenerate document (a log dump split into 10⁶ lines =
+    * 10¹² compares) could stall its task for hours: `maxUnits`
+    * fail-fasts in-plan (raise_error naming the doc) before the
+    * quadratic work starts — the funnel/embeddingPairs convention.
+    * 0 disables the guard. */
   def dedupUnitsWithinDoc(df: DataFrame, idCol: String, textCol: String,
-      sep: String = "\n"): DataFrame = {
-    val units = split(col(textCol), java.util.regex.Pattern.quote(sep))
+      sep: String = "\n", maxUnits: Int = 10000): DataFrame = {
+    val rawUnits = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    val units =
+      if (maxUnits <= 0) rawUnits
+      else when(size(rawUnits) > maxUnits,
+          raise_error(concat(lit("dedupUnitsWithinDoc: doc "),
+            col(idCol).cast("string"),
+            lit(s" has more than maxUnits=$maxUnits units (the " +
+              "first-occurrence filter is O(units²) per doc); " +
+              "split upstream or raise maxUnits explicitly"))))
+        .otherwise(rawUnits)
     val kept = filter(
       transform(units, (u, i) => struct(u.as("l"), i.as("i"))),
       s => {

@@ -393,6 +393,21 @@ class DedupSpec extends SparkSuite {
     assert(out(3L) === (("same", 3L, 2L)))
   }
 
+  test("dedupUnitsWithinDoc fail-fasts on a degenerate unit count") {
+    val big = (1 to 50).map(i => s"line $i").mkString("\n")
+    val df = Seq((7L, big)).toDF("id", "text")
+    val e = intercept[Exception] {
+      Dedup.dedupUnitsWithinDoc(df, "id", "text", maxUnits = 10).count()
+    }
+    assert(e.getMessage.contains("maxUnits=10")
+      || e.getCause != null && e.getCause.getMessage.contains("maxUnits=10"),
+      e.getMessage)
+    // 0 disables; the 50-unit doc still answers
+    val ok = Dedup.dedupUnitsWithinDoc(df, "id", "text", maxUnits = 0)
+      .collect()(0)
+    assert(ok.getLong(2) === 50L && ok.getLong(3) === 0L)
+  }
+
   test("unitDedup with paragraph separator removes repeated blocks") {
     val promo = "sponsored content\nvisit our store" // multi-LINE paragraph
     val df = Seq(
