@@ -51,6 +51,26 @@ object Sinks {
       format: String = "parquet", mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).partitionBy(modelCol).format(format).save(root)
 
+  /** Training-shard export: pack documents into ~`budget`-token packs
+    * (the two-phase prefix sum of `TrainingOps.packByTokenBudget` —
+    * never a per-shard window) and land one directory per
+    * (shard, pack) in ONE distributed write: `partitionBy` routes
+    * rows to `<shardCol>=<v>/pack_id=<n>/` dynamically, no per-pack
+    * jobs, no driver loop. The standard last step of a curation
+    * pipeline — "emit the corpus as ~N-token training shards" — as a
+    * single action whose output a trainer can stream directory by
+    * directory. */
+  def writePackedShards(df: DataFrame, shardCol: String, orderCol: String,
+      tokens: org.apache.spark.sql.Column, budget: Long, outDir: String,
+      format: String = "parquet",
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    graft.llm.TrainingOps.packByTokenBudget(df, shardCol, orderCol,
+        tokens, budget)
+      .write.mode(mode)
+      .partitionBy(shardCol, "pack_id")
+      .format(format)
+      .save(outDir)
+
   /** Bucketed table writer — the co-located-join layout for tables
     * that are JOINED REPEATEDLY on the same key at 100 TB: rows are
     * hash-bucketed (and bucket-sorted) on the join key at WRITE time,

@@ -190,6 +190,30 @@ class IoSpec extends SparkSuite {
     } finally server.stop(0)
   }
 
+  test("writePackedShards: one directory per (shard, pack), packs intact") {
+    import spark.implicits._
+    val docs = Seq(
+      ("en", 1L, 30), ("en", 2L, 30), ("en", 3L, 30), // en: packs 0,0,1
+      ("de", 4L, 55), ("de", 5L, 55)                  // de: starts 0,55 -> packs 0,1
+    ).toDF("lang", "id", "toks")
+    val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    Sinks.writePackedShards(docs, "lang", "id", col("toks"),
+      budget = 50, outDir = out)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .flatMap(l => l.listFiles().filter(_.isDirectory)
+        .map(p => s"${l.getName}/${p.getName}")).sorted.toSeq
+    assert(dirs === Seq("lang=de/pack_id=0", "lang=de/pack_id=1",
+      "lang=en/pack_id=0", "lang=en/pack_id=1"))
+    // round trip: partition columns reconstruct the exact assignment
+    // (partition-value inference narrows pack_id to int on read)
+    val back = spark.read.parquet(out)
+      .select(col("lang"), col("id"), col("pack_id").cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(back === Seq(("de", 4L, 0L), ("de", 5L, 1L),
+      ("en", 1L, 0L), ("en", 2L, 0L), ("en", 3L, 1L)))
+  }
+
   test("bucketed tables join with no shuffle exchange on either side") {
     import spark.implicits._
     val facts = (1L to 2000L).map(i => (i % 97, s"f$i")).toDF("k", "fv")
