@@ -877,13 +877,20 @@ object Dedup {
               "first-occurrence filter is O(units²) per doc); " +
               "split upstream or raise maxUnits explicitly"))))
         .otherwise(rawUnits)
-    val kept = filter(
-      transform(units, (u, i) => struct(u.as("l"), i.as("i"))),
-      s => {
-        val t = trim(s.getField("l"))
-        t === "" || size(filter(slice(units, lit(1), s.getField("i")),
-          p => trim(p) === t)) === 0
-      })
+    // let-bind the unit array (HOF args re-evaluate per reference —
+    // the chunkByTokens trick): without this, every slice() inside the
+    // per-element lambda re-splits the full text, turning the intended
+    // O(units²) trims into O(units)·full-text regex splits on top
+    val kept = aggregate(
+      array(units),
+      lit(null).cast("array<struct<l:string,i:int>>"),
+      (_, w) => filter(
+        transform(w, (u, i) => struct(u.as("l"), i.as("i"))),
+        s => {
+          val t = trim(s.getField("l"))
+          t === "" || size(filter(slice(w, lit(1), s.getField("i")),
+            p => trim(p) === t)) === 0
+        }))
     df.select(col(idCol),
       concat_ws(sep, transform(kept, s => s.getField("l")))
         .as("clean_text"),

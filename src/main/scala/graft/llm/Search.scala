@@ -62,7 +62,11 @@ object Search {
     * double expression has ONE evaluation order, mirrored verbatim in
     * the oracle SQL; only the already-rounded longs aggregate).
     * `dl/avgdl` is computed as `dl·N/sumDl` so the only corpus-global
-    * inputs are two exact longs.
+    * inputs are two exact longs. Unlike [[keywordSearch]] (integer
+    * counts only), the idf term needs `ln` — correctly-rounded-to-
+    * ~1-ulp in both engines' libms, so a micropoint could differ only
+    * when 10⁶·idf·tfNorm lands within an ulp of a half-integer: the
+    * same measure-zero exposure q89/q99 accept for `ln`.
     *
     * Scale shape (same skeleton as [[keywordSearch]]): corpus stats
     * (N, Σdl) are ONE map-only 1-row aggregate, broadcast back; docs

@@ -226,16 +226,22 @@ object TextAnalysis {
       maxLinkDensityPct: Int = 30): Column = {
     val scored = transform(split(c, BlockTagPattern), b => {
       val txt = stripHtml(b)
+      // long verdict math: a single multi-MB link-farm block would
+      // wrap aChars*100 in 32 bits and flip the keep decision (the
+      // oracle computes in BIGINT)
       val aChars = aggregate(
         regexp_extract_all(b, lit("(?i)<a[^>]*>([^<]*)</a>"), lit(1)),
-        lit(0), (acc, x) => acc + length(x))
+        lit(0L), (acc, x) => acc + length(x))
       struct(txt.as("t"),
         (length(txt) >= minChars &&
-          aChars * 100 <= lit(maxLinkDensityPct) * length(txt)).as("keep"))
+          aChars * 100L <= lit(maxLinkDensityPct.toLong) *
+            length(txt).cast("long")).as("keep"))
     })
-    concat_ws("\n",
+    // null-propagating (when() guard): concat_ws would fold a NULL
+    // page to '' while the oracle's array_to_string propagates NULL
+    when(c.isNotNull, concat_ws("\n",
       transform(filter(scored, s => s.getField("keep")),
-        s => s.getField("t")))
+        s => s.getField("t"))))
   }
 
   /** Unicode NFC normalization — native `graft_nfc` expression (Spark
@@ -264,11 +270,16 @@ object TextAnalysis {
     * per-task Deflater reuse. NOT oracle-portable by design (DEFLATE
     * length is implementation-defined) — gate with it, don't
     * hash-compare it across engines; TextAnalysisSpec pins the
-    * ordering and determinism properties instead. */
+    * ordering and determinism properties instead. Empty text has no
+    * meaningful ratio (0/0 bytes) — returns NULL, spec-pinned, so
+    * gates must decide empties explicitly (an isNull arm), not
+    * inherit a silent drop. */
   def compressionRatio(c: Column): Column = {
     val b = org.apache.spark.sql.GraftColumnBridge
     val sz = b.column(graft.expressions.DeflateSize(b.expression(c)))
-    sz.cast(DoubleType) / octet_length(c)
+    // the guard is load-bearing under ANSI mode (default): an
+    // unguarded divide THROWS on the first empty document
+    when(octet_length(c) > 0, sz.cast(DoubleType) / octet_length(c))
   }
 
   /** Corpus-relative unigram log-probability score — the cheap

@@ -280,9 +280,14 @@ object TrainingOps {
     * join back as a broadcast ≤ maxDomains-row table. Floor quotas can
     * undershoot `totalDocs` by < #domains (largest-remainder
     * redistribution is deliberately NOT applied — it would make every
-    * quota depend on every float remainder). For totals where
-    * per-group state ≥ max target is too large, derive RATES from the
-    * same weights and use [[sampleByDomain]] instead.
+    * quota depend on every float remainder). Quotas are capped at the
+    * ksample state bound (65536 per domain — fail-fast names the
+    * remedy); for larger totals derive RATES from the same weights and
+    * use [[sampleByDomain]] instead. The one non-integer step is
+    * `pow(n, α)` itself: JVM `Math.pow` and the oracle's `pow` are
+    * correctly-rounded-to-~1-ulp libm calls, so a quota could shift by
+    * 1 only when 10⁶·n^α lands within an ulp of a half-integer —
+    * the same measure-zero exposure q89/q99 accept for `ln`.
     *
     * Output: (sourceCol, rank, idCol-as-string), rank 1..target_d in
     * hash order; domains whose quota floors to 0 are absent. */
@@ -309,7 +314,13 @@ object TrainingOps {
       s"mixByTemperature: every domain quota floored to 0 — totalDocs=" +
         s"$totalDocs is too small for ${counts.length} domains")
     val maxT = targets.map(_._2).max
-    require(maxT <= Int.MaxValue, "per-domain target exceeds Int range")
+    // graft_ksample's hard state cap — fail HERE with the remedy named,
+    // not inside KSampleAgg's constructor with a bare k-range message
+    require(maxT <= 65536,
+      s"mixByTemperature: largest domain quota $maxT exceeds the " +
+        "ksample state cap (65536 per group); for totals this large " +
+        "derive RATES from the same count^alpha weights and use " +
+        "sampleByDomain instead")
     val srcType = df.schema(df.schema.fieldIndex(sourceCol)).dataType
     val tDf = spark.createDataFrame(
       spark.sparkContext.parallelize(

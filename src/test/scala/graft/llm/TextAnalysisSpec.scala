@@ -245,6 +245,12 @@ class TextAnalysisSpec extends SparkSuite {
       .select(TextAnalysis.mainContent(col("h")))
       .collect()(0).getString(0)
     assert(got3 === "")
+    // NULL page propagates NULL (oracle array_to_string semantics),
+    // distinct from the empty-but-present page above
+    val got4 = Seq(Option.empty[String]).toDF("h")
+      .select(TextAnalysis.mainContent(col("h")))
+      .collect()(0)
+    assert(got4.isNullAt(0))
   }
 
   test("compressionRatio: repetitive < prose < random; deterministic") {
@@ -266,5 +272,10 @@ class TextAnalysisSpec extends SparkSuite {
       .select(col("id"), TextAnalysis.compressionRatio(col("t")).as("r"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(again === rows)
+    // empty text: no meaningful ratio (0 bytes) -> NULL, pinned so
+    // gates must decide empties explicitly
+    val empty = Seq((1L, "")).toDF("id", "t")
+      .select(TextAnalysis.compressionRatio(col("t"))).collect()(0)
+    assert(empty.isNullAt(0))
   }
 }
