@@ -71,6 +71,37 @@ object Sinks {
       .format(format)
       .save(outDir)
 
+  /** Deterministically SHUFFLED shard export: a reproducible global
+    * permutation of the corpus for training order — shard =
+    * salted-SHA bucket of the key (`shard=<n>/` directories via
+    * dynamic partitionBy), rows within each shard sorted by the full
+    * hash. Rerunning produces byte-identical shard contents and order
+    * (`rand()`/`orderBy(rand())` shuffles produce a different corpus
+    * order every run and cannot be audited), and no stage ever global-
+    * sorts: the permutation is the hash itself, the one exchange is
+    * the dynamic-partition write, and the in-shard sort is
+    * per-partition. Training epochs that want different orders vary
+    * `salt`. */
+  def writeShuffledShards(df: DataFrame, keyCol: String, outDir: String,
+      numShards: Int, salt: String = "shuf",
+      format: String = "parquet",
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(numShards >= 1, "numShards must be at least 1")
+    val h = sha2(concat(lit(salt + ":"),
+      df(keyCol).cast(org.apache.spark.sql.types.StringType)), 256)
+    df.withColumn("_h", h)
+      .withColumn("shard",
+        pmod(conv(substring(col("_h"), 1, 8), 16, 10), lit(numShards))
+          .cast(org.apache.spark.sql.types.IntegerType))
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "_h")
+      .drop("_h")
+      .write.mode(mode)
+      .partitionBy("shard")
+      .format(format)
+      .save(outDir)
+  }
+
   /** Bucketed table writer — the co-located-join layout for tables
     * that are JOINED REPEATEDLY on the same key at 100 TB: rows are
     * hash-bucketed (and bucket-sorted) on the join key at WRITE time,

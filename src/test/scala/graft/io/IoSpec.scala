@@ -214,6 +214,43 @@ class IoSpec extends SparkSuite {
       ("en", 1L, 0L), ("en", 2L, 0L), ("en", 3L, 1L)))
   }
 
+  test("writeShuffledShards: reproducible permutation, no global sort") {
+    import spark.implicits._
+    val docs = (1L to 500L).map(i => (i, s"doc$i")).toDF("id", "text")
+    val out1 = java.nio.file.Files.createTempDirectory("graft-shuf1").toString
+    val out2 = java.nio.file.Files.createTempDirectory("graft-shuf2").toString
+    Sinks.writeShuffledShards(docs, "id", out1, numShards = 4, salt = "e0")
+    Sinks.writeShuffledShards(docs.repartition(7), "id", out2,
+      numShards = 4, salt = "e0")
+    def shardSeqs(dir: String): Map[Int, Seq[Long]] =
+      new java.io.File(dir).listFiles().filter(_.getName.startsWith("shard="))
+        .map { d =>
+          val n = d.getName.stripPrefix("shard=").toInt
+          // one file per shard: single-split read preserves row order
+          val f = d.listFiles().filter(_.getName.endsWith(".parquet"))
+          assert(f.length === 1, s"expected one file in ${d.getName}")
+          n -> spark.read.parquet(f(0).getPath).select("id")
+            .collect().map(_.getLong(0)).toSeq
+        }.toMap
+    val s1 = shardSeqs(out1)
+    val s2 = shardSeqs(out2)
+    // same shards, same contents, same in-shard order — regardless of
+    // the input's partitioning
+    assert(s1 === s2)
+    assert(s1.values.flatten.toSeq.sorted === (1L to 500L))
+    // in-shard order is the salted-hash order, recomputed in-process
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def hash(i: Long): String =
+      md.digest(s"e0:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s1.foreach { case (_, ids) =>
+      assert(ids === ids.sortBy(hash), "in-shard order must be hash order")
+    }
+    // a different salt is a different permutation (epoch reshuffle)
+    val out3 = java.nio.file.Files.createTempDirectory("graft-shuf3").toString
+    Sinks.writeShuffledShards(docs, "id", out3, numShards = 4, salt = "e1")
+    assert(shardSeqs(out3) !== s1)
+  }
+
   test("bucketed tables join with no shuffle exchange on either side") {
     import spark.implicits._
     val facts = (1L to 2000L).map(i => (i % 97, s"f$i")).toDF("k", "fv")
