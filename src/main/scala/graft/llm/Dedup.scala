@@ -600,11 +600,12 @@ object Dedup {
     * per new doc, never a collected list. The quadratic hazard is a
     * MASS-DUP bucket (a boilerplate page duplicated k times in the
     * corpus meets m copies in the batch ⇒ m×k candidate rows):
-    * `maxBucket` fail-fasts when any corpus bucket exceeds it, naming
-    * the offender (one bounded agg + ≤1-row collect, the funnel /
-    * embeddingPairsExact convention) — run exact dedup over the corpus
-    * first; a bucket that hot means byte-identical pages, which the
-    * hash tier removes for free. 0 disables the check. */
+    * `maxBucket` fail-fasts when any bucket on EITHER side exceeds
+    * it, naming the side, band and bucket (one bounded agg + ≤1-row
+    * collect, the funnel / embeddingPairsExact convention) — run
+    * exact dedup over that side first; a bucket that hot means
+    * byte-identical pages, which the hash tier removes for free.
+    * 0 disables the check. */
   def dedupIncremental(newDf: DataFrame, corpusDf: DataFrame,
       idCol: String, textCol: String, bands: Int = 4, rowsPerBand: Int = 2,
       shingleN: Int = 3, maxBucket: Long = 1L << 20): DataFrame = {
@@ -616,20 +617,35 @@ object Dedup {
       .withColumn("_e", lit(true))
     val exact = newHash.join(corpusHash, Seq("_h"), "left")
       .select(col(idCol), coalesce(col("_e"), lit(false)).as("exact_dup"))
-    val (_, bNew) = shaBanded(newDf, idCol, textCol, bands, rowsPerBand,
+    val (_, bNew0) = shaBanded(newDf, idCol, textCol, bands, rowsPerBand,
       shingleN)
-    val (_, bCor) = shaBanded(corpusDf, idCol, textCol, bands, rowsPerBand,
+    val (_, bCor0) = shaBanded(corpusDf, idCol, textCol, bands, rowsPerBand,
       shingleN)
+    // the guard forces a pass over both banded sides anyway — checkpoint
+    // them so the candidate join reuses the materialization instead of
+    // re-running the CPU-bound SHA signature pass over the full corpus
+    val (bNew, bCor) =
+      if (maxBucket > 0) (bNew0.localCheckpoint(), bCor0.localCheckpoint())
+      else (bNew0, bCor0)
     if (maxBucket > 0) {
-      val hot = bCor.groupBy(col("band"), col("bucket"))
+      // BOTH sides: the documented hazard is m batch copies × k corpus
+      // copies — a mass-dup batch (m huge) is quadratic even against a
+      // modest corpus bucket, so capping only the corpus side is half
+      // a guard
+      val hot = bCor.select(lit("corpus").as("_side"), col("band"),
+          col("bucket"))
+        .union(bNew.select(lit("batch").as("_side"), col("band"),
+          col("bucket")))
+        .groupBy(col("_side"), col("band"), col("bucket"))
         .agg(count(lit(1)).as("_n"))
         .filter(col("_n") > maxBucket)
         .orderBy(col("_n").desc).limit(1).collect()
       hot.headOption.foreach { r =>
         throw new IllegalArgumentException(
-          s"dedupIncremental: corpus LSH bucket band=${r.get(0)} holds " +
-            s"${r.getLong(2)} docs (> maxBucket=$maxBucket) — candidate " +
-            "join would be quadratic; exact-dedup the corpus first or " +
+          s"dedupIncremental: ${r.getString(0)} LSH bucket " +
+            s"band=${r.get(1)} bucket=${r.get(2)} holds " +
+            s"${r.getLong(3)} docs (> maxBucket=$maxBucket) — candidate " +
+            "join would be quadratic; exact-dedup that side first or " +
             "raise maxBucket explicitly")
       }
     }

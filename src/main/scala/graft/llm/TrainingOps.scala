@@ -341,12 +341,16 @@ object TrainingOps {
     * TakeOrderedAndProject — per-partition top-k heaps and a driver
     * merge of numPartitions×k rows — NEVER a global sort; k is the
     * only driver-memory bound. SHA-256 of salt:key makes the pick
-    * uniform and collision-free for distinct keys. */
+    * uniform and collision-free for distinct keys. NULL-key rows are
+    * excluded (the [[sampleKPerGroup]] convention): a null key hashes
+    * to a null sort key, which ascending order would place FIRST —
+    * every null row would silently crowd out the uniform pick. */
   def sampleGlobalK(df: DataFrame, keyCol: String, k: Int,
       salt: String = "smpl"): DataFrame = {
     require(k >= 1, "k must be at least 1")
     val h = sha2(concat(lit(salt + ":"), col(keyCol).cast(StringType)), 256)
-    df.withColumn("_h", h).orderBy(col("_h")).limit(k).drop("_h")
+    df.filter(col(keyCol).isNotNull)
+      .withColumn("_h", h).orderBy(col("_h")).limit(k).drop("_h")
   }
 
   /** Benchmark decontamination: for each corpus document, the n-gram

@@ -51,20 +51,26 @@ object WarcKernel {
     walk(buf)
   }
 
-  /** All gzip members, capped at [[MaxInflated]]; null on corrupt gzip. */
-  private def inflate(bytes: Array[Byte]): Array[Byte] =
+  /** All gzip members, capped at [[MaxInflated]]. A mid-stream gzip
+    * error (truncated member — the motivating one-bad-file case, and
+    * `.gz` IS the format Common Crawl ships) keeps everything
+    * decompressed so far: the complete leading members' records must
+    * survive per the fail-open contract, not vanish with the damaged
+    * tail. */
+  private def inflate(bytes: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(bytes.length, 16 * 1024 * 1024) * 4)
     try {
       val in = new GZIPInputStream(new ByteArrayInputStream(bytes), 64 * 1024)
-      val out = new java.io.ByteArrayOutputStream(
-        math.min(bytes.length, 16 * 1024 * 1024) * 4)
       val chunk = new Array[Byte](64 * 1024)
       var n = in.read(chunk)
       while (n >= 0 && out.size() <= MaxInflated - n) {
         out.write(chunk, 0, n)
         n = in.read(chunk)
       }
-      out.toByteArray
-    } catch { case _: java.io.IOException => null }
+    } catch { case _: java.io.IOException => () }
+    out.toByteArray
+  }
 
   private def walk(buf: Array[Byte]): Seq[Record] = {
     val out = Seq.newBuilder[Record]
@@ -110,15 +116,24 @@ object WarcKernel {
     var httpCt: String = null
     var body = block
     val statusEnd = lineEnd(block, 0)
-    if (statusEnd > 0 && startsWith(block, 0, "HTTP/")) {
+    if (statusEnd > 0) {
       val line = new String(block, 0, statusEnd, "ISO-8859-1")
       val parts = line.split(" ", 3)
-      if (parts.length >= 2)
-        try status = parts(1).toInt catch { case _: NumberFormatException => }
-      val (httpHeaders, bodyOff) = readHeaders(block, nextLine(block, statusEnd))
-      if (bodyOff >= 0) {
-        httpCt = httpHeaders.getOrElse("content-type", null)
-        body = java.util.Arrays.copyOfRange(block, bodyOff, block.length)
+      val isStatusLine = startsWith(block, 0, "HTTP/")
+      // a request record's first line is "<METHOD> <target> HTTP/x.y"
+      // — decompose it too (headers stripped from body, Content-Type
+      // surfaced), with status staying the no-status sentinel
+      val isRequestLine = !isStatusLine && parts.length == 3 &&
+        parts(2).startsWith("HTTP/")
+      if (isStatusLine || isRequestLine) {
+        if (isStatusLine && parts.length >= 2)
+          try status = parts(1).toInt catch { case _: NumberFormatException => }
+        val (httpHeaders, bodyOff) =
+          readHeaders(block, nextLine(block, statusEnd))
+        if (bodyOff >= 0) {
+          httpCt = httpHeaders.getOrElse("content-type", null)
+          body = java.util.Arrays.copyOfRange(block, bodyOff, block.length)
+        }
       }
     }
     Record(headers.getOrElse("warc-type", null),

@@ -179,6 +179,33 @@ object Streaming {
   final case class Session(user_id: Long, session_start: Long,
       session_end: Long, n_events: Int, closed: Boolean)
 
+  /** Advance the open session with one event. Events are sorted within
+    * a micro-batch, but a NON-LATE out-of-order event can still arrive
+    * from a later batch (its time under the open session's span):
+    * merge it conservatively into the span (min start / max last —
+    * `s.copy(last = e)` would REWIND the session and could emit
+    * end < start), and treat an event a full gap BEFORE the open
+    * session as its own already-closed singleton (the batch plan would
+    * have closed that session long ago). Exact batch parity therefore
+    * holds when each key's events arrive in event-time order across
+    * micro-batches; the out-of-order arms guarantee sessions never
+    * invert, the honest bound for a single-pass stateful operator. */
+  private[streaming] def advance(userId: Long, e: Long,
+      cur: Option[SessionState],
+      gapMillis: Long,
+      closed: scala.collection.mutable.Builder[Session, Seq[Session]])
+      : Option[SessionState] = cur match {
+    case Some(s) if e >= s.start - gapMillis && e - s.last <= gapMillis =>
+      Some(SessionState(math.min(s.start, e), math.max(s.last, e), s.n + 1))
+    case Some(s) if e > s.last => // a real gap forward: close, reopen
+      closed += Session(userId, s.start, s.last, s.n, closed = true)
+      Some(SessionState(e, e, 1))
+    case Some(s) => // orphan a full gap BEFORE the open session
+      closed += Session(userId, e, e, 1, closed = true)
+      Some(s)
+    case None => Some(SessionState(e, e, 1))
+  }
+
   /** Gap-based sessionization via flatMapGroupsWithState — the custom
     * stateful operator class the reference's four fixed stages cannot
     * express. Emits closed sessions as the gap passes; holds the open
@@ -193,15 +220,7 @@ object Streaming {
           var cur = state.getOption
           val closed = Seq.newBuilder[Session]
           sorted.foreach { e =>
-            cur match {
-              case Some(s) if e.ts_ms - s.last <= gapMillis =>
-                cur = Some(s.copy(last = e.ts_ms, n = s.n + 1))
-              case Some(s) =>
-                closed += Session(userId, s.start, s.last, s.n, closed = true)
-                cur = Some(SessionState(e.ts_ms, e.ts_ms, 1))
-              case None =>
-                cur = Some(SessionState(e.ts_ms, e.ts_ms, 1))
-            }
+            cur = advance(userId, e.ts_ms, cur, gapMillis, closed)
           }
           cur.foreach(state.update)
           closed.result().iterator
@@ -217,9 +236,12 @@ object Streaming {
     * the watermark both bounds the state store (quiet keys are evicted
     * as time passes) and flushes every finished session without
     * needing a sentinel event. Emitted rows are identical to the batch
-    * formulation ([[sessionizeBatch]]) as long as no event arrives
-    * later than the watermark delay — the parity StreamingSpec pins
-    * this byte-for-byte across micro-batches. */
+    * formulation ([[sessionizeBatch]]) as long as each key's events
+    * arrive in event-time order across micro-batches (within a batch,
+    * sorting handles it) — the parity StreamingSpec pins this
+    * byte-for-byte across micro-batches. A non-late but out-of-order
+    * cross-batch arrival takes [[advance]]'s conservative merge arms
+    * (sessions never rewind or invert) rather than exact parity. */
   def sessionizeEventTime(events: Dataset[Click], gapMillis: Long,
       watermarkDelay: String = "0 seconds"): Dataset[Session] = {
     import events.sparkSession.implicits._
@@ -241,15 +263,7 @@ object Streaming {
             var cur = state.getOption
             val closed = Seq.newBuilder[Session]
             sorted.foreach { e =>
-              cur match {
-                case Some(s) if e.ts_ms - s.last <= gapMillis =>
-                  cur = Some(s.copy(last = e.ts_ms, n = s.n + 1))
-                case Some(s) =>
-                  closed += Session(userId, s.start, s.last, s.n, closed = true)
-                  cur = Some(SessionState(e.ts_ms, e.ts_ms, 1))
-                case None =>
-                  cur = Some(SessionState(e.ts_ms, e.ts_ms, 1))
-              }
+              cur = advance(userId, e.ts_ms, cur, gapMillis, closed)
             }
             cur.foreach { s =>
               state.update(s)

@@ -408,6 +408,19 @@ class DedupSpec extends SparkSuite {
     assert(ok.getLong(2) === 50L && ok.getLong(3) === 0L)
   }
 
+  test("dedupIncremental guard also fires on a mass-dup BATCH bucket") {
+    val page = "the same error page replicated through the whole crawl"
+    val corpus = Seq((1L, "alpha doc one"), (2L, "beta doc two"),
+      (3L, "gamma doc three")).toDF("id", "text")
+    val newb = (10L to 14L).map(i => (i, page)).toDF("id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupIncremental(newb, corpus, "id", "text", maxBucket = 3)
+        .count()
+    }
+    assert(e.getMessage.contains("batch") &&
+      e.getMessage.contains("bucket="), e.getMessage)
+  }
+
   test("unitDedup with paragraph separator removes repeated blocks") {
     val promo = "sponsored content\nvisit our store" // multi-LINE paragraph
     val df = Seq(

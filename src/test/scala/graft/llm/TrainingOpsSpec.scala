@@ -225,6 +225,14 @@ class TrainingOpsSpec extends SparkSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
   }
 
+  test("sampleGlobalK: null keys excluded, never crowding the pick") {
+    val df = ((1L to 10L).map(Option(_)) ++ Seq.fill(30)(Option.empty[Long]))
+      .toDF("id")
+    val got = TrainingOps.sampleGlobalK(df, "id", k = 20, salt = "n")
+    assert(got.count() === 10)
+    assert(got.filter(col("id").isNull).count() === 0)
+  }
+
   test("mixByTemperature: exact floor quotas from micropoint pow weights") {
     val df = ((1L to 8L).map(i => (i, "a")) ++ Seq((9L, "b")))
       .toDF("id", "source")

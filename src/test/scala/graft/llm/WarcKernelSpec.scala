@@ -74,6 +74,39 @@ class WarcKernelSpec extends AnyFunSuite {
     assert(rs.head.targetUri === "http://t/1")
   }
 
+  test("truncated gzip member: the complete leading members survive") {
+    def gz(s: String): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(s.getBytes("ISO-8859-1")); g.close()
+      bo.toByteArray
+    }
+    val whole = gz(response("http://z/1", "200 OK", "text/html", "keep me")) ++
+      gz(metadata("http://z/2", "to be damaged"))
+    // cut inside the SECOND member: the first member's record must
+    // survive the mid-stream EOFException (fail-open contract)
+    val cut = java.util.Arrays.copyOfRange(whole, 0, whole.length - 6)
+    val rs = WarcKernel.parse(cut)
+    assert(rs.nonEmpty && rs.head.targetUri === "http://z/1")
+    assert(new String(rs.head.body, "ISO-8859-1") === "keep me")
+  }
+
+  test("request records decompose too: headers stripped, no status") {
+    val body = "q=spark"
+    val block = s"POST /search HTTP/1.1${crlf}Content-Type: " +
+      s"application/x-www-form-urlencoded$crlf$crlf" + body
+    val rec = s"WARC/1.0${crlf}WARC-Type: request$crlf" +
+      s"WARC-Target-URI: http://r/1$crlf" +
+      s"Content-Type: application/http; msgtype=request$crlf" +
+      s"Content-Length: ${block.length}$crlf$crlf" + block + crlf + crlf
+    val rs = WarcKernel.parse(rec.getBytes("ISO-8859-1"))
+    assert(rs.length === 1)
+    assert(rs.head.recType === "request")
+    assert(rs.head.httpStatus === -1) // requests have no status
+    assert(rs.head.httpContentType === "application/x-www-form-urlencoded")
+    assert(new String(rs.head.body, "ISO-8859-1") === body)
+  }
+
   test("garbage, null, and missing Content-Length yield no records") {
     assert(WarcKernel.parse("not a warc at all".getBytes) === Nil)
     assert(WarcKernel.parse(null) === Nil)

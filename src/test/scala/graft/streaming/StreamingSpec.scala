@@ -309,6 +309,24 @@ class StreamingSpec extends SparkSuite {
     assert(streamed === batch) // u99 (still open) must NOT appear
   }
 
+  test("advance: out-of-order events never rewind or invert a session") {
+    // non-late event inside the open span: merge min/max (a rewind to
+    // last=e would emit session_end before already-seen events)
+    val b1 = Seq.newBuilder[Streaming.Session]
+    val s1 = Streaming.advance(1L, 9500L,
+      Some(Streaming.SessionState(10000L, 20000L, 2)), 60000L, b1)
+    assert(s1.get === Streaming.SessionState(9500L, 20000L, 3))
+    assert(b1.result().isEmpty)
+    // event a full gap BEFORE the open session: its own closed
+    // singleton (batch would have closed it long ago); span untouched
+    val b2 = Seq.newBuilder[Streaming.Session]
+    val s2 = Streaming.advance(1L, 0L,
+      Some(Streaming.SessionState(100000L, 200000L, 2)), 1000L, b2)
+    assert(s2.get === Streaming.SessionState(100000L, 200000L, 2))
+    assert(b2.result() ===
+      Seq(Streaming.Session(1L, 0L, 0L, 1, closed = true)))
+  }
+
   test("sessionize: gap-based sessions with state across batches") {
     val land = Files.createTempDirectory("graft-sess").toString
     val gap = 60000L // 1 minute
