@@ -168,8 +168,9 @@ object MediaHeaderKernel {
       if (!done) {
         if (boxEnd > end || boxEnd < off + hdr) done = true
         else {
+          // boxEnd >= off + hdr >= off + 8 here, so progress is
+          // guaranteed by the bounds check above
           out += ((typ, off + hdr, boxEnd.toInt))
-          if (boxEnd.toInt == off) done = true // paranoid: no progress
           off = boxEnd.toInt
         }
       }
@@ -195,10 +196,16 @@ object MediaHeaderKernel {
         case 1 if s + 32 <= e =>
           val ts = u32be(b, s + 20)
           val dur = (u32be(b, s + 24) << 32) | u32be(b, s + 28)
-          if (ts > 0 && dur >= 0) durationMs = dur * 1000 / ts
+          // dur < 0 covers the 64-bit all-ones unknown sentinel; the
+          // multiply bound keeps dur*1000 from wrapping to garbage
+          if (ts > 0 && dur >= 0 && dur <= Long.MaxValue / 1000)
+            durationMs = dur * 1000 / ts
         case 0 if s + 20 <= e =>
           val ts = u32be(b, s + 12)
-          if (ts > 0) durationMs = u32be(b, s + 16) * 1000 / ts
+          val dur = u32be(b, s + 16)
+          // 0xFFFFFFFF is "duration unknown" (ISO 14496-12 §8.2.2.3)
+          // — common in fragmented-MP4/DASH init segments
+          if (ts > 0 && dur != 0xFFFFFFFFL) durationMs = dur * 1000 / ts
         case _ =>
       }
     }

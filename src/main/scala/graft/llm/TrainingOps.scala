@@ -96,6 +96,20 @@ object TrainingOps {
     df.withColumn("split", assign)
   }
 
+  /** Canonical run-detection key for [[packByTokenBudget]]: Row.get
+    * returns reference types whose `equals` diverges from SQL VALUE
+    * equality for two cases — Array[Byte] (identity equals: every row
+    * would look like its own run, silently zeroing all pack offsets)
+    * and ±0.0 (sort treats them equal, boxed equals does not, breaking
+    * the interior-only fragment invariant). Map both to value-equal
+    * forms. */
+  private def runKey(v: Any): Any = v match {
+    case a: Array[Byte] => scala.collection.immutable.ArraySeq.unsafeWrapArray(a)
+    case d: java.lang.Double if d.doubleValue == 0.0 => java.lang.Double.valueOf(0.0)
+    case f: java.lang.Float if f.floatValue == 0.0f => java.lang.Float.valueOf(0.0f)
+    case x => x
+  }
+
   /** Token-budget packing: assign each document to a pack of ~`budget`
     * tokens, filling packs in `orderCol` order WITHIN each `shardCol`
     * partition — `pack_id` is shard-local ((shard, pack_id) is the pack
@@ -139,7 +153,9 @@ object TrainingOps {
     val spark = df.sparkSession
     val nPart = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    val staged = df.withColumn("_toks", tokens.cast(LongType))
+    // withColumn-replace semantics for re-packing already-packed input
+    val base = if (df.columns.contains("pack_id")) df.drop("pack_id") else df
+    val staged = base.withColumn("_toks", tokens.cast(LongType))
       .repartitionByRange(nPart, col(shardCol), col(orderCol))
       .sortWithinPartitions(shardCol, orderCol)
     val schema = staged.schema
@@ -158,7 +174,7 @@ object TrainingOps {
           var started = false
           var haveFirst = false
           it.foreach { r =>
-            val s = r.get(si)
+            val s = runKey(r.get(si))
             if (!started || !java.util.Objects.equals(s, curShard)) {
               if (started && !haveFirst) {
                 firstShard = curShard; firstTot = curTot; haveFirst = true
@@ -190,7 +206,7 @@ object TrainingOps {
     val packed = rdd.mapPartitionsWithIndex { (pid, it) =>
       var curShard: Any = null; var started = false; var cum = 0L
       it.map { r =>
-        val s = r.get(si)
+        val s = runKey(r.get(si))
         if (!started || !java.util.Objects.equals(s, curShard)) {
           curShard = s; started = true
           cum = bOffsets.value.getOrElse((pid, s), 0L)

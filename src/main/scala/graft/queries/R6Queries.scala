@@ -357,8 +357,11 @@ object R6Queries {
         |       FROM tri JOIN w USING (g) GROUP BY 1, 2),
         |r AS (SELECT doc_id, lang, score, row_number() OVER
         |        (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
-        |      FROM sc)
-        |SELECT doc_id, lang, score FROM r WHERE rn = 1
+        |      FROM sc WHERE score > 0)
+        |SELECT d.doc_id, coalesce(b.lang, 'und') AS lang,
+        |  CAST(coalesce(b.score, 0) AS BIGINT) AS score
+        |FROM d LEFT JOIN (SELECT doc_id, lang, score FROM r
+        |                  WHERE rn = 1) b USING (doc_id)
         |ORDER BY doc_id""".stripMargin
     },
     "q100_para_dedup" ->

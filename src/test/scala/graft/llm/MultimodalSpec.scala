@@ -199,6 +199,18 @@ class MultimodalSpec extends SparkSuite {
     val v1 = parse(ftypA ++ box("moov", mvhd1))
     assert((v1.format, v1.durationMs) === (("mp4", 98765L)))
 
+    // mvhd v0 all-ones duration = "unknown" (ISO 14496-12 §8.2.2.3,
+    // the fragmented-MP4/DASH init-segment convention) — must report
+    // absent, not ~49.7 days
+    val unk = parse(mp4(640, 360, 0xFFFFFFFFL, 250))
+    assert(unk.durationMs === -1L)
+    // mvhd v1 duration too large to scale to ms without overflow:
+    // absent, never a wrapped garbage value
+    val mvhdBig = box("mvhd", Array[Byte](1, 0, 0, 0) ++
+      new Array[Byte](16) ++ be32(1000) ++ be32(0x7fffffffL) ++
+      be32(0xffffffffL) ++ new Array[Byte](80))
+    assert(parse(ftypA ++ box("moov", mvhdBig)).durationMs === -1L)
+
     // corrupt arms: truncated moov, size<8, size-0 tail box, crafted
     // largesize — walk must terminate and never throw
     val good = mp4(4, 4, 10L, 2)

@@ -225,6 +225,30 @@ class TrainingOpsSpec extends SparkSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
   }
 
+  test("packByTokenBudget: binary shard keys group by value, not identity") {
+    // every Row.get returns a FRESH Array[Byte]: identity equals would
+    // treat each row as its own run and zero every offset
+    val df = (1L to 6L).map(i => (Array[Byte](1, 2), i, 10))
+      .toDF("shard", "id", "toks")
+    val out = TrainingOps.packByTokenBudget(df, "shard", "id",
+        col("toks").cast("long"), budget = 25)
+      .select("id", "pack_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // starts 0,10,20,30,40,50 -> packs 0,0,0,1,1,2
+    assert(out === Map(1L -> 0L, 2L -> 0L, 3L -> 0L,
+      4L -> 1L, 5L -> 1L, 6L -> 2L))
+  }
+
+  test("packByTokenBudget: re-packing replaces pack_id, no duplicate") {
+    val df = Seq(("a", 1L, 10)).toDF("shard", "id", "toks")
+    val once = TrainingOps.packByTokenBudget(df, "shard", "id",
+      col("toks").cast("long"), budget = 25)
+    val twice = TrainingOps.packByTokenBudget(once, "shard", "id",
+      col("toks").cast("long"), budget = 5)
+    assert(twice.columns.count(_ == "pack_id") === 1)
+    assert(twice.select("pack_id").collect()(0).getLong(0) === 0L)
+  }
+
   test("sampleGlobalK: null keys excluded, never crowding the pick") {
     val df = ((1L to 10L).map(Option(_)) ++ Seq.fill(30)(Option.empty[Long]))
       .toDF("id")
