@@ -109,12 +109,18 @@ object Crawl {
     // connectedComponents convention): without this the unrolled plan
     // re-derives edges/nodes/outdeg inside EVERY iteration — the
     // edge-generation subtree executed 16× per 3 iterations in the
-    // pre-checkpoint PlanAudit.
+    // pre-checkpoint PlanAudit. Both invariants checkpoint ALREADY
+    // HASH-PARTITIONED on their join keys (localCheckpoint preserves
+    // outputPartitioning), so each iteration's joins re-shuffle only
+    // the iteration-varying ranks side — at web scale the edge table
+    // dwarfs the rank table, and moving it once instead of per
+    // iteration is the dominant cost of the loop.
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+      .union(e.select(col("dst").as("node"))).distinct()
+      .repartition(col("node")).localCheckpoint()
     val eo = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")),
-      Seq("src")).localCheckpoint()
+      Seq("src")).repartition(col("src")).localCheckpoint()
     val base = 1000000L * (dampDen - dampNum) / dampDen
     var ranks = nodes.select(col("node"), lit(1000000L).as("rank"))
     for (_ <- 1 to iters) {
