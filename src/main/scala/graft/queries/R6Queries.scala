@@ -303,6 +303,53 @@ object R6Queries {
         .orderBy("doc_id")
     }),
 
+    // [EXT] the END-TO-END crawl ingestion chain in ONE call: WARC
+    // record parse (q101's Generator) → HTTP 200 filter → main-content
+    // extraction (q110's gates) → token count + keep verdict. A third
+    // of the pages are link-farm-only (no prose blocks) and fail the
+    // keep gate with empty content. Map-only throughout — the whole
+    // chain is one Generate + in-array lambdas, no shuffle before the
+    // final ORDER BY. The oracle rebuilds the response analytically
+    // and replays the q110 strip/score lambdas.
+    "q112_warc_ingest" -> ((s, d) => {
+      val k = col("p_partkey")
+      val crlf = "\r\n"
+      val prosePage = concat(
+        lit("<nav><a href=\"/\">home</a> <a href=\"/a\">about</a></nav><p>"),
+        col("p_name"), lit(" "), col("p_name"),
+        lit(" quality prose body</p><div class=\"share\">" +
+          "<a href=\"/s\">share this page</a></div>"))
+      val farmPage = lit("<nav><a href=\"/\">home</a> " +
+        "<a href=\"/a\">about</a></nav><div class=\"share\">" +
+        "<a href=\"/s\">share this page</a></div>")
+      val html = when(pmod(k, lit(3)) === 0, farmPage).otherwise(prosePage)
+      val status = when(pmod(k, lit(2)) === 0, lit("200 OK"))
+        .otherwise(lit("404 Not Found"))
+      val block = concat(lit("HTTP/1.1 "), status,
+        lit(crlf + "Content-Type: text/html" + crlf + crlf), html)
+      val rec = concat(
+        lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+          "WARC-Target-URI: http://example.com/p/"), k.cast("string"),
+        lit(crlf + "Content-Type: application/http; msgtype=response" +
+          crlf + "Content-Length: "), length(block).cast("string"),
+        lit(crlf + crlf), block, lit(crlf + crlf))
+      T.part(s, d)
+        .select(k.as("id"), rec.cast("binary").as("w"))
+        .select(col("id"),
+          graft.ops.functions.warcRecords(col("w"))
+            .as(Seq("rec_idx", "warc_type", "target_uri", "warc_date",
+              "content_type", "content_length", "http_status",
+              "http_content_type", "body")))
+        .filter(col("http_status") === 200)
+        .select(col("id"), col("http_status"),
+          graft.llm.TextAnalysis.mainContent(col("body").cast("string"))
+            .as("content"))
+        .withColumn("n_tokens",
+          graft.llm.TextAnalysis.tokenCountWs(col("content")))
+        .withColumn("keep", length(col("content")) >= 20)
+        .orderBy("id")
+    }),
+
     // [EXT] WITHIN-doc repeated-unit removal (intra-doc complement of
     // q100's cross-doc dedup): every doc carries its own promo line
     // twice and a blank; the repeat drops, the first stays, blanks
@@ -645,8 +692,40 @@ object R6Queries {
         |        AS kept
         |      FROM s)
         |SELECT doc_id,
-        |  array_to_string(list_transform(kept, b -> b.t), chr(10)) AS content
+        |  coalesce(array_to_string(list_transform(kept, b -> b.t),
+        |    chr(10)), '') AS content
         |FROM k ORDER BY doc_id""".stripMargin,
+    "q112_warc_ingest" ->
+      """WITH h AS (SELECT p_partkey AS id,
+        |    CASE WHEN p_partkey % 3 = 0
+        |      THEN '<nav><a href="/">home</a> <a href="/a">about</a></nav><div class="share"><a href="/s">share this page</a></div>'
+        |      ELSE '<nav><a href="/">home</a> <a href="/a">about</a></nav><p>'
+        |        || p_name || ' ' || p_name
+        |        || ' quality prose body</p><div class="share"><a href="/s">share this page</a></div>'
+        |    END AS html
+        |  FROM part WHERE p_partkey % 2 = 0),
+        |s AS (SELECT id, html, list_transform(
+        |        regexp_split_to_array(html,
+        |          '(?i)</?(?:p|div|td|th|h[1-6]|li|ul|ol|table|tr|article|section|header|footer|nav|aside|blockquote|br)[^>]*>'),
+        |        x -> struct_pack(
+        |          t := trim(regexp_replace(replace(replace(replace(replace(replace(
+        |                 regexp_replace(x, '<[^>]+>', ' ', 'g'),
+        |                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |                 '&amp;', '&'), '\s+', ' ', 'g')),
+        |          a := coalesce(list_sum(list_transform(
+        |                 regexp_extract_all(x, '(?i)<a[^>]*>([^<]*)</a>', 1),
+        |                 y -> length(y))), 0))) AS blks
+        |      FROM h),
+        |c AS (SELECT id, coalesce(array_to_string(list_transform(
+        |        list_filter(blks,
+        |          b -> length(b.t) >= 20 AND b.a * 100 <= 30 * length(b.t)),
+        |        b -> b.t), chr(10)), '') AS content
+        |      FROM s)
+        |SELECT id, CAST(200 AS INT) AS http_status, content,
+        |  CAST(len(regexp_split_to_array(trim(content), '\s+')) AS INT)
+        |    AS n_tokens,
+        |  length(content) >= 20 AS keep
+        |FROM c ORDER BY id""".stripMargin,
     "q111_intra_doc_dedup" ->
       """WITH d AS (
         |  SELECT doc_id, text
