@@ -12,8 +12,11 @@ object relational {
 
   /** As-of (point-in-time) LEFT join: for every left row, attach the
     * right row with the LARGEST `rightTime` ≤ `leftTime` within the
-    * same `on` keys; no candidate → right side null. Semantics match
-    * DuckDB's `ASOF LEFT JOIN` (equal timestamps DO match).
+    * same `on` keys (`direction = "backward"`, the default) — or, with
+    * `direction = "forward"`, the SMALLEST `rightTime` ≥ `leftTime`
+    * (next-quote-after-trade, next-restock-after-sale); no candidate →
+    * right side null. Semantics match DuckDB's `ASOF LEFT JOIN` with
+    * `>=` / `<=` respectively (equal timestamps DO match).
     *
     * Formulation: union both sides, one window sorted by
     * (time, side-marker) per key, `last(right_payload, ignoreNulls)`
@@ -37,7 +40,11 @@ object relational {
     * the cap deliberately. */
   def asofJoin(left: DataFrame, right: DataFrame, on: Seq[String],
       leftTime: String, rightTime: String,
-      maxRowsPerKey: Option[Long] = None): DataFrame = {
+      maxRowsPerKey: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward or forward, got $direction")
+    val forward = direction == "forward"
     maxRowsPerKey.foreach { cap =>
       require(cap > 0, "maxRowsPerKey must be positive")
       // bounded state: per-key counts partial-aggregate map-side; the
@@ -65,22 +72,31 @@ object relational {
     val rStructType = org.apache.spark.sql.types.StructType(
       rPayload.map(c => right.schema(c)))
 
+    // side markers order ties so an exactly-equal right timestamp is
+    // visible to the left row: backward scans the preceding frame, so
+    // right sorts BEFORE left at equal time; forward scans the
+    // following frame, so right sorts AFTER left.
+    val (lSide, rSide) = if (forward) (0, 1) else (1, 0)
     val lU = left.select(
-      (on.map(col) :+ col(leftTime).as("_t") :+ lit(1).as("_side") :+
+      (on.map(col) :+ col(leftTime).as("_t") :+ lit(lSide).as("_side") :+
         lStruct.as("_l") :+ lit(null).cast(rStructType).as("_r")): _*)
     val rU = right.select(
-      (on.map(col) :+ col(rightTime).as("_t") :+ lit(0).as("_side") :+
+      (on.map(col) :+ col(rightTime).as("_t") :+ lit(rSide).as("_side") :+
         lit(null).cast(lStructType).as("_l") :+ rStruct.as("_r")): _*)
 
-    // right rows sort BEFORE left rows at equal time (_side 0 < 1), so
-    // an exactly-equal right timestamp is visible to the left row.
-    val w = Window.partitionBy(on.map(col): _*)
+    val base = Window.partitionBy(on.map(col): _*)
       .orderBy(col("_t"), col("_side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val (frame, pick) =
+      if (forward)
+        (base.rowsBetween(Window.currentRow, Window.unboundedFollowing),
+          first(col("_r"), ignoreNulls = true))
+      else
+        (base.rowsBetween(Window.unboundedPreceding, Window.currentRow),
+          last(col("_r"), ignoreNulls = true))
 
     val joined = lU.unionByName(rU)
-      .withColumn("_rmatch", last(col("_r"), ignoreNulls = true).over(w))
-      .filter(col("_side") === 1)
+      .withColumn("_rmatch", pick.over(frame))
+      .filter(col("_side") === lSide)
 
     val outCols =
       on.map(col) ++

@@ -350,6 +350,26 @@ object R6Queries {
         .orderBy("id")
     }),
 
+    // [EXT] FORWARD as-of join (next-order-after-event, the
+    // next-quote-after-trade shape): q45's backward twin — smallest
+    // right time >= left time per key, equal timestamps match. Oracle:
+    // DuckDB native ASOF with <=.
+    "q113_asof_forward" -> ((s, d) => {
+      val ev = T.events(s, d)
+      val left = ev.select(col("event_id"), col("user_id").as("custkey"),
+        T.tsMillis(ev, "ts").as("t_ms"))
+      val right = T.orders(s, d)
+        .groupBy(col("o_custkey").as("custkey"),
+          unix_millis(col("o_orderdate")
+            .cast(org.apache.spark.sql.types.TimestampType)).as("od_ms"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      graft.ops.relational.asofJoin(left, right, Seq("custkey"),
+          "t_ms", "od_ms", direction = "forward")
+        .select("event_id", "custkey", "o_orderkey", "order_date")
+        .orderBy("event_id")
+    }),
+
     // [EXT] WITHIN-doc repeated-unit removal (intra-doc complement of
     // q100's cross-doc dedup): every doc carries its own promo line
     // twice and a blank; the repeat drops, the first stays, blanks
@@ -695,6 +715,19 @@ object R6Queries {
         |  coalesce(array_to_string(list_transform(kept, b -> b.t),
         |    chr(10)), '') AS content
         |FROM k ORDER BY doc_id""".stripMargin,
+    "q113_asof_forward" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id AS custkey, epoch_ms(ts) AS t_ms
+        |  FROM events),
+        |o AS (
+        |  SELECT o_custkey AS custkey, epoch_ms(o_orderdate) AS od_ms,
+        |         strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |         max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2, 3)
+        |SELECT e.event_id, e.custkey, o.o_orderkey, o.order_date
+        |FROM e ASOF LEFT JOIN o
+        |  ON e.custkey = o.custkey AND e.t_ms <= o.od_ms
+        |ORDER BY event_id""".stripMargin,
     "q112_warc_ingest" ->
       """WITH h AS (SELECT p_partkey AS id,
         |    CASE WHEN p_partkey % 3 = 0

@@ -31,6 +31,23 @@ class RelationalSpec extends SparkSuite {
     assert(got(0).getAs[String]("v") === "early")
   }
 
+  test("asofJoin forward: earliest at-or-after, equal-time matches") {
+    val left = Seq((1, 1, 100L), (2, 1, 150L), (3, 1, 250L), (4, 2, 50L),
+      (5, 3, 10L)).toDF("id", "k", "t")
+    val right = Seq((1, 100L, "a"), (1, 200L, "b"), (2, 20L, "c"))
+      .toDF("k", "rt", "v")
+    val got = relational.asofJoin(left, right, Seq("k"), "t", "rt",
+        direction = "forward")
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[String]("v"))).toSeq
+    assert(got === Seq(
+      (1, "a"),   // exact-equal timestamp matches
+      (2, "b"),   // earliest >= 150 is 200/'b'
+      (3, null),  // right exists but only earlier (200 < 250)
+      (4, null),  // 20 < 50: nothing at-or-after
+      (5, null))) // key absent on right
+  }
+
   test("asofJoin: maxRowsPerKey fails fast naming the planted hot key") {
     // key 7 carries 600 of 700 rows across both sides — the shape that
     // would serialize one key's merged history through one window task
