@@ -20,6 +20,31 @@ object Sketches {
     bridge.column(graft.expressions.HeavyHittersAgg(
       bridge.expression(c), capacity).toAggregateExpression())
 
+  /** Pre-join skew diagnosis: the top-k join-key values by frequency
+    * with their share of the table — the number that decides between
+    * a plain join, AQE skew splitting, and `saltedJoin` (this
+    * engine's documented escalation ladder). One bounded-state
+    * SpaceSaving aggregate over the whole table (state ≤ capacity
+    * entries through partial/merge/final — never a groupBy of the
+    * full key space, which for a URL/host key is corpus-sized).
+    * Output: (key, cnt, err, share) sorted by cnt desc; `share` is
+    * cnt / total rows (nulls in key columns participate — a
+    * mostly-null join key IS a skew hazard). */
+  def diagnoseSkew(df: DataFrame, keyCols: Seq[String], k: Int = 20,
+      capacity: Int = 4096): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    val key = concat_ws("\u0001",
+      keyCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+    df.agg(heavyHitters(key, capacity).as("_hh"),
+        count(lit(1)).as("_total"))
+      .select(explode(col("_hh")).as("h"), col("_total"))
+      .select(col("h.item").as("key"), col("h.cnt").as("cnt"),
+        col("h.err").as("err"),
+        (col("h.cnt").cast("double") / col("_total")).as("share"))
+      .orderBy(col("cnt").desc, col("key"))
+      .limit(k)
+  }
+
   /** 15 hex chars of sha256 = 60 bits: fits a signed BIGINT exactly,
     * same trick as TrainingOps.splitAssign, reproducible in DuckDB SQL.
     * Shared by both KMV tiers so their hash spaces are identical. */

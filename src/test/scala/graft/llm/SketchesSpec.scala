@@ -102,4 +102,21 @@ class SketchesSpec extends SparkSuite {
     // KMV with k=64 has σ ≈ 1/√(k−2) ≈ 12.7%; 4σ bound
     assert(math.abs(bEst - 5000.0) / 5000.0 < 0.5, s"est=$bEst")
   }
+
+  test("diagnoseSkew: hot keys surface with exact shares; nulls count") {
+    import org.apache.spark.sql.functions.col
+    // key 7 = 50% of rows, key 8 = 25%, null = 12.5%, rest unique-ish
+    val rows = Seq.fill(400)(Option(7L)) ++ Seq.fill(200)(Option(8L)) ++
+      Seq.fill(100)(Option.empty[Long]) ++ (100L to 199L).map(Option(_))
+    val out = Sketches.diagnoseSkew(rows.toDF("k"), Seq("k"), k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+    assert(out.length === 3)
+    assert(out(0) === (("7", 400L, 0.5)))
+    assert(out(1) === (("8", 200L, 0.25)))
+    assert(out(2)._2 === 100L) // the null bucket, sentinel-keyed
+    // capacity 4096 >> 103 distinct keys: counts exact (err = 0)
+    val errs = Sketches.diagnoseSkew(rows.toDF("k"), Seq("k"), k = 3)
+      .collect().map(_.getLong(2))
+    assert(errs.forall(_ === 0L))
+  }
 }
