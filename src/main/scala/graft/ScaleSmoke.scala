@@ -76,6 +76,16 @@ object ScaleSmoke {
     val skewLang = when(col("id") % 2 === 0, lit("hotlang"))
       .otherwise(col("lang"))
 
+    // Prebuilt signature store for the admit_store scenario: eager
+    // localCheckpoints, so forcing this lazy val (below, OUTSIDE the
+    // timed region) pays the corpus signature pass once up front —
+    // the scenario then measures the probe alone.
+    lazy val sigStore = {
+      val s = Dedup.buildSignatureStore(docs, "id", "text")
+      s.copy(hashes = s.hashes.localCheckpoint(),
+        banded = s.banded.localCheckpoint())
+    }
+
     val scenarios: Seq[(String, () => DataFrame)] = Seq(
       "exact_dedup" ->
         (() => Dedup.exactDedupByContent(docs, "text", "id")),
@@ -164,6 +174,16 @@ object ScaleSmoke {
           docs.filter(col("id") % 10 === 0)
             .select((col("id") + 100000000L).as("id"), col("text")),
           docs, "id", "text")),
+      // the same admission through a PREBUILT signature store: the
+      // corpus's hash set + band index are materialized before the
+      // timer starts (forced below), so the measured cost is the
+      // nightly batch alone — the delta vs dedup_incremental is what
+      // re-signaturing the immutable corpus costs every run
+      "admit_store" -> (() =>
+        sigStore.admit(
+          docs.filter(col("id") % 10 === 0)
+            .select((col("id") + 100000000L).as("id"), col("text")),
+          "id", "text")),
       // budget selection = the two-phase prefix sum with ONE global
       // shard — the degenerate case a window cumsum would serialize
       // entirely through a single task; budget ≈ half the corpus's
@@ -210,6 +230,8 @@ object ScaleSmoke {
           s"unknown scenario(s): ${want -- sel.map(_._1).toSet}")
         sel
     }
+    // materialize the store before any timer runs
+    if (selected.exists(_._1 == "admit_store")) { sigStore; () }
     val results = selected.map { case (name, mk) => timed(name, mk()) }
 
     docs.unpersist()

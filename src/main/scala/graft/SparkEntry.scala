@@ -52,12 +52,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++ graft.queries.ExtQueries.queries ++
       graft.queries.R3Queries.queries ++ graft.queries.R4Queries.queries ++
-      graft.queries.R5Queries.queries ++ graft.queries.R6Queries.queries
+      graft.queries.R5Queries.queries ++ graft.queries.R6Queries.queries ++
+      graft.queries.R7Queries.queries
 
   /** For each key in queries, equivalent DuckDB SQL on the same parquet
     * tables. Omitted keys → driver records a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracleSql ++ graft.queries.ExtQueries.oracleSql ++
       graft.queries.R3Queries.oracleSql ++ graft.queries.R4Queries.oracleSql ++
-      graft.queries.R5Queries.oracleSql ++ graft.queries.R6Queries.oracleSql
+      graft.queries.R5Queries.oracleSql ++ graft.queries.R6Queries.oracleSql ++
+      graft.queries.R7Queries.oracleSql
 }

@@ -609,33 +609,153 @@ object Dedup {
   def dedupIncremental(newDf: DataFrame, corpusDf: DataFrame,
       idCol: String, textCol: String, bands: Int = 4, rowsPerBand: Int = 2,
       shingleN: Int = 3, maxBucket: Long = 1L << 20): DataFrame = {
+    val store = buildSignatureStore(corpusDf, idCol, textCol, bands,
+      rowsPerBand, shingleN)
+    // the guard forces a pass over the corpus banded side anyway —
+    // checkpoint it so the candidate join reuses the materialization
+    // instead of re-running the CPU-bound SHA signature pass over the
+    // full corpus
+    val banded =
+      if (maxBucket > 0) store.banded.localCheckpoint() else store.banded
+    admitCore(newDf, store.copy(banded = banded), idCol, textCol,
+      maxBucket, guardCorpusSide = true)
+  }
+
+  /** Precomputed corpus-side signatures for incremental admission:
+    * `hashes(content_hash)` = DISTINCT sha2 of the trimmed text (the
+    * exact tier's membership set) and `banded(band, bucket, id)` = the
+    * SHA-tier LSH bucket rows (the near tier's probe index), plus the
+    * banding parameters they were built with so a probe can never run
+    * with mismatched banding. The point: the corpus is IMMUTABLE
+    * between admission runs, so its signatures should be computed once
+    * — not re-derived from 100 TB of raw text every nightly batch /
+    * micro-batch, which is otherwise the dominant cost of the whole
+    * admission job. Build with [[buildSignatureStore]] (in-session),
+    * persist with [[writeSignatureStore]] (bucketed catalog tables →
+    * exchange-free corpus side on every later probe), reload with
+    * [[readSignatureStore]]. */
+  final case class SignatureStore(hashes: DataFrame, banded: DataFrame,
+      bands: Int, rowsPerBand: Int, shingleN: Int) {
+
+    /** Admit a new batch against this precomputed corpus: same output
+      * contract as [[dedupIncremental]] (id, exact_dup,
+      * near_candidates). Only the BATCH side is signatured here; the
+      * corpus side is probed as-is. `maxBucket` fail-fasts on a
+      * mass-dup BATCH bucket (the corpus side was validated when the
+      * store was built/written — see [[writeSignatureStore]]); 0
+      * disables the check. */
+    def admit(newDf: DataFrame, idCol: String, textCol: String,
+        maxBucket: Long = 1L << 20): DataFrame =
+      admitCore(newDf, this, idCol, textCol, maxBucket,
+        guardCorpusSide = false)
+  }
+
+  /** Derive a [[SignatureStore]] from a corpus DataFrame. Lazy (plain
+    * DataFrames) — the signature pass runs when the store is first
+    * used; persist with [[writeSignatureStore]] to pay it exactly
+    * once across admission runs. */
+  def buildSignatureStore(corpusDf: DataFrame, idCol: String,
+      textCol: String, bands: Int = 4, rowsPerBand: Int = 2,
+      shingleN: Int = 3): SignatureStore = {
+    val hashes = corpusDf
+      .select(sha2(trim(col(textCol)), 256).as("content_hash"))
+      .distinct()
+    val (_, banded) = shaBanded(corpusDf, idCol, textCol, bands,
+      rowsPerBand, shingleN)
+    SignatureStore(hashes, banded.select(col("band"), col("bucket"),
+      col("id")), bands, rowsPerBand, shingleN)
+  }
+
+  /** Materialize a corpus's [[SignatureStore]] as bucketed catalog
+    * tables (`<prefix>_hashes` bucketed on content_hash,
+    * `<prefix>_banded` bucketed on (band, bucket), `<prefix>_meta`
+    * recording the banding parameters): the one-time layout cost that
+    * makes every subsequent admission probe exchange-free on the
+    * corpus side — the nightly job shuffles only the nightly batch,
+    * never the 100 TB corpus (see IoSpec's no-Exchange pin on
+    * bucketed joins). The corpus-side mass-dup-bucket guard runs HERE,
+    * once, instead of on every probe: a bucket hotter than
+    * `maxBucket` fails the write naming band and bucket. */
+  def writeSignatureStore(corpusDf: DataFrame, idCol: String,
+      textCol: String, tablePrefix: String, buckets: Int = 32,
+      bands: Int = 4, rowsPerBand: Int = 2, shingleN: Int = 3,
+      maxBucket: Long = 1L << 20): Unit = {
+    val store = buildSignatureStore(corpusDf, idCol, textCol, bands,
+      rowsPerBand, shingleN)
+    val banded =
+      if (maxBucket > 0) store.banded.localCheckpoint() else store.banded
+    if (maxBucket > 0) {
+      val hot = banded.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > maxBucket)
+        .orderBy(col("_n").desc).limit(1).collect()
+      hot.headOption.foreach { r =>
+        throw new IllegalArgumentException(
+          s"writeSignatureStore: corpus LSH bucket band=${r.get(0)} " +
+            s"bucket=${r.get(1)} holds ${r.getLong(2)} docs " +
+            s"(> maxBucket=$maxBucket) — admission probes against it " +
+            "would be quadratic; exact-dedup the corpus first or " +
+            "raise maxBucket explicitly")
+      }
+    }
+    graft.io.Sinks.writeBucketed(store.hashes, s"${tablePrefix}_hashes",
+      Seq("content_hash"), buckets)
+    graft.io.Sinks.writeBucketed(banded, s"${tablePrefix}_banded",
+      Seq("band", "bucket"), buckets)
+    val spark = corpusDf.sparkSession
+    import spark.implicits._
+    Seq((bands, rowsPerBand, shingleN))
+      .toDF("bands", "rows_per_band", "shingle_n")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"${tablePrefix}_meta")
+  }
+
+  /** Reload a persisted [[SignatureStore]]; banding parameters come
+    * from the `<prefix>_meta` table, so probes can never silently run
+    * with banding that differs from what the store was built with. */
+  def readSignatureStore(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String): SignatureStore = {
+    val m = spark.table(s"${tablePrefix}_meta").head()
+    SignatureStore(
+      spark.table(s"${tablePrefix}_hashes"),
+      spark.table(s"${tablePrefix}_banded"),
+      m.getAs[Int]("bands"), m.getAs[Int]("rows_per_band"),
+      m.getAs[Int]("shingle_n"))
+  }
+
+  /** Shared probe core for [[dedupIncremental]] and
+    * [[SignatureStore.admit]]: signatures the batch side, probes the
+    * (precomputed or inline) corpus hashes + banded index, and applies
+    * the mass-dup-bucket guard over the batch side (plus the corpus
+    * side when `guardCorpusSide` — the inline path, where the corpus
+    * has not been validated by a store write). */
+  private def admitCore(newDf: DataFrame, store: SignatureStore,
+      idCol: String, textCol: String, maxBucket: Long,
+      guardCorpusSide: Boolean): DataFrame = {
     val newHash = newDf.select(col(idCol),
       sha2(trim(col(textCol)), 256).as("_h"))
-    val corpusHash = corpusDf
-      .select(sha2(trim(col(textCol)), 256).as("_h"))
-      .distinct()
+    val corpusHash = store.hashes
+      .select(col("content_hash").as("_h"))
       .withColumn("_e", lit(true))
     val exact = newHash.join(corpusHash, Seq("_h"), "left")
       .select(col(idCol), coalesce(col("_e"), lit(false)).as("exact_dup"))
-    val (_, bNew0) = shaBanded(newDf, idCol, textCol, bands, rowsPerBand,
-      shingleN)
-    val (_, bCor0) = shaBanded(corpusDf, idCol, textCol, bands, rowsPerBand,
-      shingleN)
-    // the guard forces a pass over both banded sides anyway — checkpoint
-    // them so the candidate join reuses the materialization instead of
-    // re-running the CPU-bound SHA signature pass over the full corpus
-    val (bNew, bCor) =
-      if (maxBucket > 0) (bNew0.localCheckpoint(), bCor0.localCheckpoint())
-      else (bNew0, bCor0)
+    val (_, bNew0) = shaBanded(newDf, idCol, textCol, store.bands,
+      store.rowsPerBand, store.shingleN)
+    val bNew = if (maxBucket > 0) bNew0.localCheckpoint() else bNew0
     if (maxBucket > 0) {
-      // BOTH sides: the documented hazard is m batch copies × k corpus
-      // copies — a mass-dup batch (m huge) is quadratic even against a
-      // modest corpus bucket, so capping only the corpus side is half
-      // a guard
-      val hot = bCor.select(lit("corpus").as("_side"), col("band"),
-          col("bucket"))
-        .union(bNew.select(lit("batch").as("_side"), col("band"),
-          col("bucket")))
+      // the documented hazard is m batch copies × k corpus copies — a
+      // mass-dup batch (m huge) is quadratic even against a modest
+      // corpus bucket, so the batch side is checked on EVERY probe;
+      // the corpus side is checked inline only when no store write
+      // already validated it
+      val batchSide = bNew.select(lit("batch").as("_side"), col("band"),
+        col("bucket"))
+      val sides =
+        if (guardCorpusSide)
+          store.banded.select(lit("corpus").as("_side"), col("band"),
+            col("bucket")).union(batchSide)
+        else batchSide
+      val hot = sides
         .groupBy(col("_side"), col("band"), col("bucket"))
         .agg(count(lit(1)).as("_n"))
         .filter(col("_n") > maxBucket)
@@ -650,7 +770,8 @@ object Dedup {
       }
     }
     val near = bNew.join(
-        bCor.select(col("band"), col("bucket"), col("id").as("_cid")),
+        store.banded.select(col("band"), col("bucket"),
+          col("id").as("_cid")),
         Seq("band", "bucket"))
       .groupBy(col("id"))
       .agg(countDistinct(col("_cid")).as("near_candidates"))

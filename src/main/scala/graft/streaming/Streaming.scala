@@ -105,7 +105,9 @@ object Streaming {
 
   /** Streaming corpus admission — the incremental tier of
     * `Dedup.dedupIncremental`'s exact arm: each arriving document is
-    * flagged `exact_dup` iff its normalized content hash already
+    * flagged `exact_dup` iff its TRIMMED content hash (sha2 of
+    * `trim(text)` — no case folding or interior-whitespace collapse;
+    * that is `Dedup.normalizedKeepBest`'s stronger key) already
     * exists in the STATIC corpus. A stream-static LEFT join on the
     * 64-hex hash key: stateless (no watermark needed — the static
     * side is re-planned per micro-batch, the stream side passes
@@ -114,12 +116,34 @@ object Streaming {
     * joins text. Near-dup banding stays in the batch operator: its
     * per-doc candidate count is a stateful aggregate a nightly batch
     * admission runs bounded, where a stream would hold it forever.
+    *
+    * The static side is re-PLANNED per micro-batch, so hashing +
+    * distincting the raw corpus here re-pays the corpus's CPU-bound
+    * SHA pass on every trigger. For anything bigger than a toy
+    * corpus, precompute the hash set once
+    * (`Dedup.buildSignatureStore(...).hashes`, or the persisted
+    * `<prefix>_hashes` bucketed table) and pass it to
+    * [[admitAgainstHashes]] — then the per-trigger re-plan is a scan
+    * of precomputed keys, not a re-signature of the corpus.
     * StreamingSpec pins byte-parity with the batch expression across
-    * micro-batches. */
+    * micro-batches for both entry points. */
   def admitAgainstCorpus(newStream: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    admitAgainstHashes(newStream,
+      corpus.select(sha2(trim(col(textCol)), 256).as("content_hash"))
+        .distinct(),
+      idCol, textCol)
+
+  /** [[admitAgainstCorpus]] with the corpus side already reduced to
+    * its distinct trimmed-content hashes (`content_hash` — the layout
+    * `Dedup.writeSignatureStore` persists): the per-micro-batch
+    * static-side re-plan touches precomputed keys only, so the
+    * corpus's SHA pass is paid once at store-build time, not once per
+    * trigger. */
+  def admitAgainstHashes(newStream: DataFrame, corpusHashes: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    val corpusHash = corpus
-      .select(sha2(trim(col(textCol)), 256).as("_h")).distinct()
+    val corpusHash = corpusHashes
+      .select(col("content_hash").as("_h"))
       .withColumn("_dup", lit(true))
     newStream
       .select(col(idCol), col(textCol),

@@ -439,4 +439,86 @@ class DedupSpec extends SparkSuite {
     assert(out(3L) === (("body three", 2L, 1L)))
     assert(out(4L) === (("no promo here\n\nsecond para", 2L, 0L)))
   }
+
+  test("signature store: admit matches the inline dedupIncremental") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, base),
+      (2L, "completely different content about databases and engines"),
+      (3L, "another unrelated document body entirely")).toDF("id", "text")
+    val newb = Seq(
+      (10L, base),
+      (11L, base + " tail"),
+      (12L, "wholly novel text that matches nothing at all in there"))
+      .toDF("id", "text")
+    val inline = Dedup.dedupIncremental(newb, corpus, "id", "text")
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val store = Dedup.buildSignatureStore(corpus, "id", "text")
+    val viaStore = store.admit(newb, "id", "text")
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(viaStore === inline)
+  }
+
+  test("signature store: write/read roundtrip, exchange-free corpus probe") {
+    val base = (1 to 30).map(i => s"v$i").mkString(" ")
+    val corpus = Seq(
+      (1L, base),
+      (2L, "totally separate subject matter in this one"),
+      (3L, "and a third body about something else again")).toDF("id", "text")
+    val newb = Seq((10L, base), (11L, base + " tail"),
+      (12L, "nothing shared with the corpus at all here")).toDF("id", "text")
+    Dedup.writeSignatureStore(corpus, "id", "text", "sig_store_t", buckets = 4)
+    try {
+      val store = Dedup.readSignatureStore(spark, "sig_store_t")
+      assert(store.bands === 4 && store.rowsPerBand === 2
+        && store.shingleN === 3)
+      val viaStore = store.admit(newb, "id", "text")
+        .orderBy("id").collect().map(_.toSeq).toSeq
+      val inline = Dedup.dedupIncremental(newb, corpus, "id", "text")
+        .orderBy("id").collect().map(_.toSeq).toSeq
+      assert(viaStore === inline)
+      // the probe join against the bucketed hash table shuffles ONLY
+      // the batch side: exactly one Exchange (the batch), zero on the
+      // corpus scan
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val probe = newb
+          .select(col("id"), sha2(trim(col("text")), 256).as("content_hash"))
+          .join(spark.table("sig_store_t_hashes"), Seq("content_hash"))
+        val plan = probe.queryExecution.executedPlan.toString
+        val exchanges = "Exchange hashpartitioning".r
+          .findAllIn(plan).length
+        assert(exchanges <= 1, plan.take(1500))
+        probe.count()
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sig_store_t_hashes")
+      spark.sql("DROP TABLE IF EXISTS sig_store_t_banded")
+      spark.sql("DROP TABLE IF EXISTS sig_store_t_meta")
+    }
+  }
+
+  test("writeSignatureStore fail-fasts on a mass-dup corpus bucket") {
+    val page = "one boilerplate page body duplicated across the whole corpus"
+    val corpus = (1L to 5L).map(i => (i, page)).toDF("id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.writeSignatureStore(corpus, "id", "text", "sig_store_hot",
+        maxBucket = 3)
+    }
+    assert(e.getMessage.contains("corpus") &&
+      e.getMessage.contains("maxBucket=3"), e.getMessage)
+  }
+
+  test("store admit guard fires on a mass-dup BATCH bucket") {
+    val page = "the same error page replicated through the whole crawl"
+    val corpus = Seq((1L, "alpha doc one"), (2L, "beta doc two"),
+      (3L, "gamma doc three")).toDF("id", "text")
+    val newb = (10L to 14L).map(i => (i, page)).toDF("id", "text")
+    val store = Dedup.buildSignatureStore(corpus, "id", "text")
+    val e = intercept[IllegalArgumentException] {
+      store.admit(newb, "id", "text", maxBucket = 3).count()
+    }
+    assert(e.getMessage.contains("batch") &&
+      e.getMessage.contains("bucket="), e.getMessage)
+  }
 }

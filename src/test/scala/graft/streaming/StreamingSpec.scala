@@ -111,6 +111,47 @@ class StreamingSpec extends SparkSuite {
     assert(viaStream === batch)
   }
 
+  test("admitAgainstHashes: pre-hashed static side, byte parity") {
+    val base = Files.createTempDirectory("graft-admith").toString
+    val corpus = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "delta epsilon zeta"),
+      (3L, "eta theta iota")
+    ).toDF("id", "text")
+    val newDocs = Seq(
+      (10L, "alpha beta gamma"),
+      (11L, "  delta epsilon zeta  "),
+      (12L, "brand new text")
+    ).toDF("id", "text")
+    newDocs.repartition(3).write.mode("overwrite").parquet(s"$base/land")
+    // the precomputed corpus side — built once (signature-store
+    // layout), NOT re-derived from text per micro-batch
+    val hashes = graft.llm.Dedup
+      .buildSignatureStore(corpus, "id", "text").hashes
+      .localCheckpoint()
+    val schema = spark.read.parquet(s"$base/land").schema
+    val stream = Streaming.fileStream(spark, s"$base/land", schema,
+      options = Map("maxFilesPerTrigger" -> "1"))
+    val q = Streaming.admitAgainstHashes(stream, hashes, "id", "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("admith")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    q.awaitTermination(300000)
+    val viaHashes = spark.table("admith").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+      .sorted.toSeq
+    // byte-parity with the raw-corpus entry point (batch formulation)
+    val viaCorpus = Streaming.admitAgainstCorpus(
+        spark.read.parquet(s"$base/land"), corpus, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+      .sorted.toSeq
+    assert(viaHashes === viaCorpus)
+    assert(viaHashes.map(t => (t._1, t._3)) ===
+      Seq((10L, true), (11L, true), (12L, false)))
+  }
+
   test("streaming pipeline: AvailableNow processes only new files on re-run") {
     val base = Files.createTempDirectory("graft-spipe").toString
     val land = s"$base/landing"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
