@@ -209,6 +209,26 @@ object TextAnalysis {
     "(?i)</?(?:p|div|td|th|h[1-6]|li|ul|ol|table|tr|article|section|" +
       "header|footer|nav|aside|blockquote|br)[^>]*>"
 
+  /** Elements whose CONTENT is not page text. */
+  val NonContentTags: Seq[String] = Seq("script", "style", "noscript")
+
+  /** Remove the content of `<script>`/`<style>`/`<noscript>` elements
+    * and HTML comments — the pass jusText/trafilatura run BEFORE any
+    * block scoring. Tag-only stripping ([[stripHtml]]) removes the
+    * `<script>` markers but leaves the JavaScript/CSS BODY behind,
+    * and inline code is exactly the kind of long, link-free run that
+    * passes a (length, link-density) gate and lands in a "clean"
+    * corpus as prose; the element span has to go as a whole. One
+    * RE2-compatible non-greedy replace per tag (no backreferences, so
+    * the same patterns run in the DuckDB oracle); an UNCLOSED tag
+    * keeps its content (no close marker to bound the span —
+    * documented, spec-pinned). Map-only, codegen'd. */
+  def dropNonContent(c: Column): Column = {
+    val noComments = regexp_replace(c, lit("(?s)<!--.*?-->"), lit(" "))
+    NonContentTags.foldLeft(noComments)((acc, t) =>
+      regexp_replace(acc, lit(s"(?is)<$t[^>]*>.*?</$t\\s*>"), lit(" ")))
+  }
+
   /** Main-content extraction (a jusText/trafilatura-lite heuristic —
     * the boilerplate-removal pass between "raw fetched HTML" and
     * "corpus document"): split the page into blocks at block-level
@@ -221,10 +241,15 @@ object TextAnalysis {
     * Kept blocks re-join with newlines in page order. Anchor chars
     * count simple `<a ...>text</a>` bodies (nested markup inside an
     * anchor does not match — deterministic, mirrored in the oracle).
+    * `<script>`/`<style>`/`<noscript>` element spans and HTML
+    * comments are removed FIRST ([[dropNonContent]]) — script/style
+    * are not block tags and their bodies are not markup, so without
+    * this pass inline JS/CSS would survive as a long link-free
+    * "block" and pass both gates.
     * Map-only: one split + in-array transform/filter, no shuffle. */
   def mainContent(c: Column, minChars: Int = 20,
       maxLinkDensityPct: Int = 30): Column = {
-    val scored = transform(split(c, BlockTagPattern), b => {
+    val scored = transform(split(dropNonContent(c), BlockTagPattern), b => {
       val txt = stripHtml(b)
       // long verdict math: a single multi-MB link-farm block would
       // wrap aChars*100 in 32 bits and flip the keep decision (the

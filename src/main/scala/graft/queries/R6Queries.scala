@@ -284,14 +284,21 @@ object R6Queries {
     }),
 
     // [EXT] main-content extraction (jusText-lite boilerplate
-    // removal): planted page = nav links + article prose + a short
-    // block + a share widget + footer links; only the prose survives
-    // the (length, link-density) gates. Integer cross-multiplication
-    // verdicts; the oracle replays the identical split/strip/score.
+    // removal): planted page = nav links + inline script/style + an
+    // HTML comment + article prose + a short block + a share widget +
+    // footer links; only the prose survives the (length, link-density)
+    // gates — the script/style BODIES are long and link-free, so they
+    // would pass both gates if the element spans were not dropped
+    // before scoring. Integer cross-multiplication verdicts; the
+    // oracle replays the identical span-removal/split/strip/score.
     "q110_main_content" -> ((s, d) => {
       val html = concat(
         lit("<nav><a href=\"/\">home</a> <a href=\"/about\">about</a> " +
-          "<a href=\"/contact\">contact</a></nav><div id=\"main\"><p>"),
+          "<a href=\"/contact\">contact</a></nav>" +
+          "<script type=\"text/javascript\">var tracker = 1; " +
+          "function track(x){return x + 42;}</script>" +
+          "<style>.share{color:red;font-size:12px;margin:0 auto}</style>" +
+          "<!-- rendered by engine --><div id=\"main\"><p>"),
         col("text"),
         lit("</p><p>short</p><div class=\"share\">" +
           "<a href=\"/s\">share this page now</a></div>" +
@@ -315,13 +322,16 @@ object R6Queries {
       val k = col("p_partkey")
       val crlf = "\r\n"
       val prosePage = concat(
-        lit("<nav><a href=\"/\">home</a> <a href=\"/a\">about</a></nav><p>"),
+        lit("<nav><a href=\"/\">home</a> <a href=\"/a\">about</a></nav>" +
+          "<script>var hits = 0; function bump(n){return n + hits;}" +
+          "</script><p>"),
         col("p_name"), lit(" "), col("p_name"),
         lit(" quality prose body</p><div class=\"share\">" +
           "<a href=\"/s\">share this page</a></div>"))
       val farmPage = lit("<nav><a href=\"/\">home</a> " +
-        "<a href=\"/a\">about</a></nav><div class=\"share\">" +
-        "<a href=\"/s\">share this page</a></div>")
+        "<a href=\"/a\">about</a></nav>" +
+        "<style>.share{display:flex;align-items:center}</style>" +
+        "<div class=\"share\"><a href=\"/s\">share this page</a></div>")
       val html = when(pmod(k, lit(3)) === 0, farmPage).otherwise(prosePage)
       val status = when(pmod(k, lit(2)) === 0, lit("200 OK"))
         .otherwise(lit("404 Not Found"))
@@ -691,10 +701,17 @@ object R6Queries {
         |SELECT node, rank FROM r3 ORDER BY node""".stripMargin,
     "q110_main_content" ->
       """WITH h AS (SELECT doc_id,
-        |  '<nav><a href="/">home</a> <a href="/about">about</a> <a href="/contact">contact</a></nav><div id="main"><p>'
+        |  '<nav><a href="/">home</a> <a href="/about">about</a> <a href="/contact">contact</a></nav><script type="text/javascript">var tracker = 1; function track(x){return x + 42;}</script><style>.share{color:red;font-size:12px;margin:0 auto}</style><!-- rendered by engine --><div id="main"><p>'
         |  || text ||
         |  '</p><p>short</p><div class="share"><a href="/s">share this page now</a></div><footer><a href="/terms">terms</a> <a href="/privacy">privacy</a></footer></div>'
         |  AS html FROM documents),
+        |hc AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |    '(?s)<!--.*?-->', ' ', 'g'),
+        |    '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g'),
+        |    '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g'),
+        |    '(?is)<noscript[^>]*>.*?</noscript\s*>', ' ', 'g') AS html
+        |  FROM h),
         |s AS (SELECT doc_id, list_transform(
         |        regexp_split_to_array(html,
         |          '(?i)</?(?:p|div|td|th|h[1-6]|li|ul|ol|table|tr|article|section|header|footer|nav|aside|blockquote|br)[^>]*>'),
@@ -706,7 +723,7 @@ object R6Queries {
         |          a := coalesce(list_sum(list_transform(
         |                 regexp_extract_all(x, '(?i)<a[^>]*>([^<]*)</a>', 1),
         |                 y -> length(y))), 0))) AS blks
-        |      FROM h),
+        |      FROM hc),
         |k AS (SELECT doc_id, list_filter(blks,
         |        b -> length(b.t) >= 20 AND b.a * 100 <= 30 * length(b.t))
         |        AS kept
@@ -731,12 +748,19 @@ object R6Queries {
     "q112_warc_ingest" ->
       """WITH h AS (SELECT p_partkey AS id,
         |    CASE WHEN p_partkey % 3 = 0
-        |      THEN '<nav><a href="/">home</a> <a href="/a">about</a></nav><div class="share"><a href="/s">share this page</a></div>'
-        |      ELSE '<nav><a href="/">home</a> <a href="/a">about</a></nav><p>'
+        |      THEN '<nav><a href="/">home</a> <a href="/a">about</a></nav><style>.share{display:flex;align-items:center}</style><div class="share"><a href="/s">share this page</a></div>'
+        |      ELSE '<nav><a href="/">home</a> <a href="/a">about</a></nav><script>var hits = 0; function bump(n){return n + hits;}</script><p>'
         |        || p_name || ' ' || p_name
         |        || ' quality prose body</p><div class="share"><a href="/s">share this page</a></div>'
         |    END AS html
         |  FROM part WHERE p_partkey % 2 = 0),
+        |hc AS (SELECT id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |    '(?s)<!--.*?-->', ' ', 'g'),
+        |    '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g'),
+        |    '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g'),
+        |    '(?is)<noscript[^>]*>.*?</noscript\s*>', ' ', 'g') AS html
+        |  FROM h),
         |s AS (SELECT id, html, list_transform(
         |        regexp_split_to_array(html,
         |          '(?i)</?(?:p|div|td|th|h[1-6]|li|ul|ol|table|tr|article|section|header|footer|nav|aside|blockquote|br)[^>]*>'),
@@ -748,7 +772,7 @@ object R6Queries {
         |          a := coalesce(list_sum(list_transform(
         |                 regexp_extract_all(x, '(?i)<a[^>]*>([^<]*)</a>', 1),
         |                 y -> length(y))), 0))) AS blks
-        |      FROM h),
+        |      FROM hc),
         |c AS (SELECT id, coalesce(array_to_string(list_transform(
         |        list_filter(blks,
         |          b -> length(b.t) >= 20 AND b.a * 100 <= 30 * length(b.t)),

@@ -253,6 +253,37 @@ class TextAnalysisSpec extends SparkSuite {
     assert(got4.isNullAt(0))
   }
 
+  test("mainContent: script/style/noscript bodies never reach clean text") {
+    val prose = "this is a long enough paragraph of real article prose"
+    // the JS body is long, link-free prose-shaped text — it PASSES the
+    // (length, link-density) gates, so only span removal keeps it out
+    val js = "var analyticsTracker = 1; function recordPageView(x) " +
+      "{ return x + 42; } window.onload = recordPageView;"
+    val css = ".main { color: red; font-size: 12px; margin: 0 auto; }"
+    val page =
+      s"""<SCRIPT type="text/javascript">$js</SCRIPT>""" +
+      s"<style>$css</style><noscript>enable javascript to view</noscript>" +
+      s"<!-- rendered at request time --><p>$prose</p>"
+    val got = Seq(page).toDF("h")
+      .select(TextAnalysis.mainContent(col("h")))
+      .collect()(0).getString(0)
+    assert(got === prose)
+    assert(!got.contains("analyticsTracker") && !got.contains("color"))
+    // multi-line script spans drop too ((?s) dotall)
+    val multi = s"<script>\nvar a = 1;\nvar b = 2;\n</script><p>$prose</p>"
+    val got2 = Seq(multi).toDF("h")
+      .select(TextAnalysis.mainContent(col("h")))
+      .collect()(0).getString(0)
+    assert(got2 === prose)
+    // an UNCLOSED script has no bounding close marker: its content
+    // survives (documented limit — not silently half-removed)
+    val unclosed = s"<script>var x = 99;<p>$prose</p>"
+    val got3 = Seq(unclosed).toDF("h")
+      .select(TextAnalysis.mainContent(col("h")))
+      .collect()(0).getString(0)
+    assert(got3.contains(prose))
+  }
+
   test("compressionRatio: repetitive < prose < random; deterministic") {
     val rnd = new scala.util.Random(42)
     val repetitive = "spam ham " * 200
