@@ -28,11 +28,13 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
-  /** `events.ts` is parquet `timestamp[ns]`; normalize to epoch
-    * milliseconds (bigint) regardless of how the reader surfaces it
-    * (TimestampType/NTZ at µs precision, or raw nanos long under
-    * `spark.sql.legacy.parquet.nanosAsLong`). UTC session TZ makes the
-    * NTZ→timestamp cast an identity. */
+  /** Normalize `events.ts` to epoch milliseconds (bigint) regardless
+    * of how the parquet stores it and the reader surfaces it: driver
+    * generations have shipped both `timestamp[ns]` (surfaced as a raw
+    * nanos long under `spark.sql.legacy.parquet.nanosAsLong`) and
+    * `timestamp[us]` (surfaced as TimestampType/NTZ) — every consumer
+    * goes through this one type switch instead of assuming either.
+    * UTC session TZ makes the NTZ→timestamp cast an identity. */
   def tsMillis(df: DataFrame, name: String): Column =
     df.schema(name).dataType match {
       case org.apache.spark.sql.types.LongType =>

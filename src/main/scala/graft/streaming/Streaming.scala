@@ -52,7 +52,8 @@ object Streaming {
   def hourlyRollup(events: DataFrame, tsCol: String, valueCol: String,
       watermark: String = "2 hours"): DataFrame =
     events
-      .withColumn("event_time", timestamp_millis(expr(s"`$tsCol` div 1000000L")))
+      .withColumn("event_time",
+        timestamp_millis(graft.Tables.tsMillis(events, tsCol)))
       .withWatermark("event_time", watermark)
       .groupBy(window(col("event_time"), "1 hour"))
       .agg(

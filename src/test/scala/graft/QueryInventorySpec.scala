@@ -14,7 +14,8 @@ class QueryInventorySpec extends SparkSuite {
       "r3" -> graft.queries.R3Queries.queries.keySet,
       "r4" -> graft.queries.R4Queries.queries.keySet,
       "r5" -> graft.queries.R5Queries.queries.keySet,
-      "r6" -> graft.queries.R6Queries.queries.keySet)
+      "r6" -> graft.queries.R6Queries.queries.keySet,
+      "r7" -> graft.queries.R7Queries.queries.keySet)
     for {
       (an, a) <- modules
       (bn, b) <- modules if an < bn

@@ -31,7 +31,8 @@ class StreamingSpec extends SparkSuite {
       .select(col("hour_start").cast("long").as("h"), col("n_events"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val batch = events
-      .select(timestamp_millis(expr("ts div 1000000")).as("t"), col("value"))
+      .select(timestamp_millis(graft.Tables.tsMillis(events, "ts")).as("t"),
+        col("value"))
       .groupBy(date_trunc("hour", col("t")).as("h"))
       .agg(count(lit(1)).as("n"))
       .collect().map(r => r.getTimestamp(0).getTime / 1000 -> r.getLong(1)).toMap
