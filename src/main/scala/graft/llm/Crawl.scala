@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Crawl-pipeline operators ([EXT]): the steps between "fetched page"
@@ -10,69 +10,166 @@ import org.apache.spark.sql.functions._
   */
 object Crawl {
 
-  /** Robots-exclusion filtering (RFC 9309 longest-match core, over a
-    * pre-parsed rule table): for each URL, the matching rule with the
-    * LONGEST path prefix decides; on a length tie the ALLOW rule wins
-    * (the RFC's least-restrictive tiebreak); a URL with no matching
-    * rule is allowed. `rules` columns: (host, allow: boolean, prefix).
-    * Literal prefixes only — the `*`/`$` wildcard forms of RFC 9309
-    * §2.2.3 are out of scope here; a registry materializer would
-    * expand them to literal alternatives first.
+  /** Robots-exclusion filtering (RFC 9309 longest-match, over a
+    * pre-parsed rule table) — WITH the `*`/`$` wildcard forms of
+    * RFC 9309 §2.2.3: `*` matches any character sequence, a trailing
+    * `$` anchors the end of the URL path (a non-trailing `$` is
+    * literal, the reference-parser convention). Each rule pattern is
+    * translated IN-PLAN to an anchored regex on the (tiny) rules side:
+    * regex metacharacters escaped, `*` → `.*`, trailing `$` → anchor.
+    * For each URL the matching rule with the most matched OCTETS
+    * decides — specificity is the length of the (greedy) matched TEXT,
+    * the RFC's "match that has the most octets" read directly; for a
+    * literal prefix this is exactly the prefix length, so the
+    * wildcard-free behavior is unchanged. On a specificity tie the
+    * ALLOW rule wins (the RFC's least-restrictive tiebreak); a URL
+    * with no matching rule is allowed. `rules` columns:
+    * (host, allow: boolean, prefix).
     *
     * Scale shape: the rule registry joins on the host equi-key —
     * broadcast by default (robots rules are tiny next to a crawl), or
     * a shuffle equi-join with `broadcastRules = false` when the
     * registry itself is corpus-sized; the per-URL winner is a single
-    * bounded `max(struct(prefix_len, allow, prefix))` aggregate (state
+    * bounded `max(struct(match_len, allow, prefix))` aggregate (state
     * = one struct per URL), never a rank window — a popular host's
-    * URLs never serialize through one task.
+    * URLs never serialize through one task. The regex pattern column
+    * is non-foldable, so the matcher recompiles when the pattern
+    * changes row-to-row — microseconds against a registry of rule
+    * count R; for a corpus-sized registry, materialize the translated
+    * regex column once and reuse it.
     *
-    * Same-length same-type duplicate prefixes are impossible
-    * (identical rules); same-length same-type DIFFERENT prefixes
-    * break the tie on the lexicographically larger prefix —
-    * deterministic, mirrored in the oracle. */
+    * Contract: `idCol` must identify a row (the winner is aggregated
+    * per id and joined back, so every OTHER column of `urls` passes
+    * through untouched; duplicate ids would cross their paths' rules).
+    * Same-length same-type DIFFERENT patterns break the tie on the
+    * lexicographically larger pattern — deterministic, mirrored in
+    * the oracle. */
   def robotsFilter(urls: DataFrame, idCol: String, hostCol: String,
       pathCol: String, rules: DataFrame,
       broadcastRules: Boolean = true): DataFrame = {
+    // pattern → anchored regex, computed once per RULE row (not per URL)
+    val hasEnd = col("prefix").endsWith("$")
+    val body = when(hasEnd,
+      expr("substring(prefix, 1, length(prefix)-1)")).otherwise(col("prefix"))
+    val escaped =
+      regexp_replace(body, lit("[.^+?(){}\\[\\]|$\\\\]"), lit("\\\\$0"))
+    val rx = concat(lit("^"), replace(escaped, lit("*"), lit(".*")),
+      when(hasEnd, lit("$")).otherwise(lit("")))
     val r0 = rules.select(col("host").as("_rhost"),
-      col("allow").as("_rallow"), col("prefix").as("_rprefix"))
+      col("allow").as("_rallow"), col("prefix").as("_rprefix"),
+      rx.as("_rx"))
     val r = if (broadcastRules) broadcast(r0) else r0
-    urls.join(r, urls(hostCol) === col("_rhost") &&
-        col(pathCol).startsWith(col("_rprefix")), "left")
-      .groupBy(col(idCol), col(hostCol), col(pathCol))
+    val u = urls.select(col(idCol).as("_uid"), col(hostCol).as("_uhost"),
+      col(pathCol).as("_upath"))
+    val winners = u.join(r, col("_uhost") === col("_rhost") &&
+        expr("_upath RLIKE _rx"), "left")
+      .groupBy(col("_uid"))
       .agg(max(when(col("_rprefix").isNotNull,
-        struct(length(col("_rprefix")).as("l"),
+        struct(length(expr("regexp_extract(_upath, _rx, 0)")).as("l"),
           col("_rallow").cast("int").as("a"),
           col("_rprefix").as("p")))).as("_best"))
-      .select(col(idCol), col(hostCol), col(pathCol),
+    urls.join(winners, urls(idCol) === winners("_uid"), "left")
+      .select(urls.columns.map(urls(_)) ++ Seq(
         coalesce(col("_best.a") === 1, lit(true)).as("allowed"),
-        col("_best.p").as("matched_prefix"))
+        col("_best.p").as("matched_prefix")): _*)
   }
 
-  /** Outlink extraction for the crawl frontier: every double-quoted
-    * `href` attribute value, resolved to an absolute URL — absolute
-    * http(s) links pass through, root-relative paths (`/...`) resolve
-    * against `https://<host>`, and everything else (fragments,
-    * `mailto:`, `javascript:`, protocol-relative, dir-relative) is
-    * dropped — the frontier wants fetchable absolute URLs, and
-    * dir-relative resolution needs the page's full path, which a
-    * corpus row often lacks. Map-only: regexp scan → in-array
-    * transform/filter → posexplode; no shuffle.
+  /** An href attribute VALUE in any of HTML's three quoting forms:
+    * double-quoted, single-quoted, or unquoted (unquoted values run to
+    * the first whitespace, quote, or `>`). */
+  private val HrefValue = "(\"[^\"]*\"|'[^']*'|[^\\s\"'>]+)"
+  private val HrefPattern = "(?i)href\\s*=\\s*" + HrefValue
+  private val BaseHrefPattern = "(?i)<base[^>]*href\\s*=\\s*" + HrefValue
+
+  /** Strip the quoting form off a matched [[HrefValue]] token. */
+  private def unquote(x: Column): Column =
+    when(x.startsWith("\"") || x.startsWith("'"),
+      x.substr(lit(2), length(x) - 2)).otherwise(x)
+
+  /** One pass of RFC 3986 dot-segment removal: `/./` collapses,
+    * `/seg/../` pops, a root-level `/../` is ignored (RFC 3986
+    * §5.2.4's "if the buffer is empty" arm). All replaces are global
+    * per pass; one pass resolves one nesting level. */
+  private def dotPass(p: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(p,
+      lit("/\\./"), lit("/")),
+      lit("/[^/]+/\\.\\./"), lit("/")),
+      lit("^/\\.\\./"), lit("/"))
+
+  /** Dot-segments a crawler must not emit verbatim (`/a/../b` is the
+    * same resource as `/b`): trailing bare `.`/`..` get their slash,
+    * then [[dotPass]] runs a FIXED 10 rounds — paths nested deeper
+    * than 10 dot-segment levels keep their residue (bounded by
+    * construction so the same computation replays in the oracle's
+    * recursive CTE; real hrefs are 1-2 levels). Applies to the whole
+    * path+query string — a query string containing `/../` is
+    * normalized too (degenerate; documented rather than special-
+    * cased). */
+  private def normalizeDots(p: Column): Column = {
+    val pre = regexp_replace(regexp_replace(p,
+      lit("/\\.$"), lit("/./")), lit("/\\.\\.$"), lit("/../"))
+    (1 to 10).foldLeft(pre)((acc, _) => dotPass(acc))
+  }
+
+  /** Outlink extraction for the crawl frontier: every `href` attribute
+    * value in any quoting form (double-, single-, or unquoted),
+    * resolved to an absolute URL per RFC 3986 resolution against the
+    * page's base:
+    *  - absolute http(s) links pass through verbatim;
+    *  - non-http(s) schemes (`mailto:`, `javascript:`, `data:`, …),
+    *    empty values, pure fragments (`#…`), and query-only links
+    *    (`?…`) are dropped — the frontier wants fetchable URLs;
+    *  - protocol-relative `//host/p` resolves with the `https` scheme;
+    *  - root-relative `/p` resolves against the base's scheme+host;
+    *  - dir-relative `p` resolves against the base DIRECTORY;
+    * where the base is the page's first `<base href>` when present
+    * and absolute-http(s) (relative `<base>` values are ignored —
+    * resolving them needs the page URL, which then IS the base), else
+    * `https://<hostCol><pathCol>` (page path defaults to `/` when
+    * `pathCol` is not supplied — dir-relative links then resolve
+    * against the site root). Resolved relative links get dot-segment
+    * normalization ([[normalizeDots]]); absolute links pass through
+    * unnormalized. `<base>` tags are removed before the href scan so
+    * the base URL itself is never emitted as an outlink. Map-only:
+    * regexp scan → in-array transform/filter → posexplode; no
+    * shuffle.
     *
     * Output: (idCol, link_idx, url) — link_idx is the 0-based position
     * among the KEPT links, so downstream joins have a stable per-page
     * ordinal. */
   def extractLinks(df: DataFrame, idCol: String, htmlCol: String,
-      hostCol: String): DataFrame = {
-    val raw =
-      regexp_extract_all(col(htmlCol), lit("href=\"([^\"]*)\""), lit(1))
+      hostCol: String, pathCol: String = null): DataFrame = {
+    val html = col(htmlCol)
+    val baseRaw = unquote(regexp_extract(html, BaseHrefPattern, 1))
+    val baseAbs = when(baseRaw.rlike("(?i)^https?://"), baseRaw)
+    val baseRoot = coalesce(
+      regexp_extract(baseAbs, "(?i)^https?://[^/?#]*", 0),
+      concat(lit("https://"), col(hostCol)))
+    val pagePath =
+      if (pathCol == null) lit("/") else coalesce(col(pathCol), lit("/"))
+    val basePathRaw =
+      regexp_extract(baseAbs, "(?i)^https?://[^/?#]*(/[^?#]*)", 1)
+    val basePath = when(baseAbs.isNotNull,
+      when(basePathRaw === "", lit("/")).otherwise(basePathRaw))
+      .otherwise(pagePath)
+    val baseDir = {
+      val d = regexp_extract(basePath, "^(.*/)", 1)
+      when(d === "", lit("/")).otherwise(d)
+    }
+    val sansBase = regexp_replace(html, lit("(?i)<base[^>]*>"), lit(" "))
+    val raw = regexp_extract_all(sansBase, lit(HrefPattern), lit(1))
     val resolved = filter(
-      transform(raw, l =>
-        when(l.startsWith("http://") || l.startsWith("https://"), l)
-          .when(l.startsWith("//"), lit(null)) // protocol-relative: ambiguous
-          .when(l.startsWith("/"),
-            concat(lit("https://"), col(hostCol), l))
-          .otherwise(lit(null))),
+      transform(raw, t => {
+        val l = unquote(t)
+        when(l.rlike("(?i)^https?://"), l)
+          .when(l.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"),
+            lit(null).cast("string"))
+          .when(l.startsWith("//"), concat(lit("https:"), l))
+          .when(l.startsWith("/"), concat(baseRoot, normalizeDots(l)))
+          .when(l === "" || l.startsWith("#") || l.startsWith("?"),
+            lit(null).cast("string"))
+          .otherwise(concat(baseRoot, normalizeDots(concat(baseDir, l))))
+      }),
       l => l.isNotNull)
     df.select(col(idCol),
       posexplode(resolved).as(Seq("link_idx", "url")))

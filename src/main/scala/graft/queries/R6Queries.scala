@@ -218,11 +218,16 @@ object R6Queries {
         tokens = col("n_tokens"), budget = 20000L)
       .orderBy("doc_id")),
 
-    // [EXT] robots-exclusion filtering (RFC 9309 longest-match core):
-    // planted per-host rule registry exercises longest-prefix
-    // override, deny-all + allow-subtree, tie→allow, and the
-    // no-rule default-allow arm. The oracle replays the same
-    // longest/allow/prefix ordering with a rank window.
+    // [EXT] robots-exclusion filtering (RFC 9309 longest-match, with
+    // §2.2.3 wildcards): planted per-host rule registry exercises
+    // longest-match override, deny-all + allow-subtree, tie→allow,
+    // the no-rule default-allow arm, a mid-pattern `*` whose greedy
+    // match out-specifies the literal prefix AND the literal allow
+    // (`/private/*` beats `/private/1` on `/private/12`), a `$`-
+    // anchored extension rule (`/*.php$`), and a literal-vs-wildcard
+    // specificity tie (`/files/p1.php` vs `/*.php$` → allow). The
+    // oracle replays the same pattern→regex translation and the
+    // matched-text-length/allow/pattern ordering with a rank window.
     "q107_robots_filter" -> ((s, d) => {
       import s.implicits._
       val id = col("doc_id")
@@ -232,27 +237,44 @@ object R6Queries {
             concat(lit("/private/"), id.cast("string")))
           .when(pmod(id, lit(4)) === 1, lit("/public/a"))
           .when(pmod(id, lit(4)) === 2, lit("/public/tmp/x"))
-          .otherwise(lit("/")).as("path"))
+          .otherwise(concat(lit("/files/p"), pmod(id, lit(3)).cast("string"),
+            lit(".php"))).as("path"))
       val rules = Seq(
         ("src0.example.com", false, "/private/"),
         ("src0.example.com", true, "/private/1"),
+        ("src0.example.com", false, "/private/*"),
         ("src1.example.com", false, "/"),
         ("src1.example.com", true, "/public/"),
         ("src2.example.com", false, "/public/tmp/"),
+        ("src2.example.com", true, "/public/*/x"),
         ("src3.example.com", true, "/private/"),
-        ("src3.example.com", false, "/private/")
+        ("src3.example.com", false, "/private/"),
+        ("src3.example.com", false, "/*.php$"),
+        ("src3.example.com", true, "/files/p1.php")
       ).toDF("host", "allow", "prefix")
       graft.llm.Crawl.robotsFilter(urls, "doc_id", "host", "path", rules)
         .orderBy("doc_id")
     }),
 
-    // [EXT] outlink extraction for the crawl frontier: root-relative
-    // links resolve against the host, absolute links pass, fragments /
-    // mailto / protocol-relative / dir-relative drop. Map-only.
+    // [EXT] outlink extraction for the crawl frontier, across HTML's
+    // three href quoting forms: root-relative links resolve against
+    // the base (a planted <base href> on every 5th doc, else the
+    // page's own URL), dir-relative links resolve against the base
+    // DIRECTORY with dot-segment normalization, protocol-relative
+    // resolves as https, absolute links pass, fragments / mailto
+    // drop. Map-only; the oracle replays the same token scan,
+    // resolution chain, and a 10-round dot-segment recursion.
     "q108_extract_links" -> ((s, d) => {
       val id = col("doc_id")
       val html = concat(
+        when(pmod(id, lit(5)) === 0,
+          lit("<base href=\"https://b.example.org/dir/\">"))
+          .otherwise(lit("")),
         lit("<p><a href=\"/about\">a</a>"),
+        lit("<a href='/sq/"), pmod(id, lit(7)).cast("string"),
+        lit("'>s</a>"),
+        lit("<a href=img/i"), pmod(id, lit(5)).cast("string"),
+        lit(".png>u</a>"),
         lit("<a href=\"https://ext.example.org/p/"), id.cast("string"),
         lit("\">e</a>"),
         when(pmod(id, lit(3)) === 0, lit("<a href=\"#top\">t</a>"))
@@ -263,8 +285,10 @@ object R6Queries {
           .otherwise(lit("<a href=\"/item?id=1\">i</a>")))
       graft.llm.Crawl.extractLinks(
           T.documents(s, d).select(id, html.as("html"),
-            concat(col("source"), lit(".example.com")).as("host")),
-          "doc_id", "html", "host")
+            concat(col("source"), lit(".example.com")).as("host"),
+            concat(lit("/sec/p"), pmod(id, lit(4)).cast("string"),
+              lit("/index.html")).as("path")),
+          "doc_id", "html", "host", "path")
         .orderBy("doc_id", "link_idx")
     }),
 
@@ -617,22 +641,34 @@ object R6Queries {
         |      WHEN 0 THEN '/private/' || CAST(doc_id AS VARCHAR)
         |      WHEN 1 THEN '/public/a'
         |      WHEN 2 THEN '/public/tmp/x'
-        |      ELSE '/' END AS path
+        |      ELSE '/files/p' || CAST(doc_id % 3 AS VARCHAR) || '.php'
+        |    END AS path
         |  FROM documents),
         |r(host, allow, prefix) AS (VALUES
         |  ('src0.example.com', false, '/private/'),
         |  ('src0.example.com', true, '/private/1'),
+        |  ('src0.example.com', false, '/private/*'),
         |  ('src1.example.com', false, '/'),
         |  ('src1.example.com', true, '/public/'),
         |  ('src2.example.com', false, '/public/tmp/'),
+        |  ('src2.example.com', true, '/public/*/x'),
         |  ('src3.example.com', true, '/private/'),
-        |  ('src3.example.com', false, '/private/')),
-        |m AS (SELECT u.doc_id, r.allow, r.prefix,
+        |  ('src3.example.com', false, '/private/'),
+        |  ('src3.example.com', false, '/*.php$'),
+        |  ('src3.example.com', true, '/files/p1.php')),
+        |r2 AS (SELECT host, allow, prefix,
+        |  '^' || replace(regexp_replace(
+        |      CASE WHEN prefix LIKE '%$'
+        |        THEN substr(prefix, 1, length(prefix)-1) ELSE prefix END,
+        |      '([.^+?(){}\[\]|$\\])', '\\\1', 'g'), '*', '.*')
+        |    || CASE WHEN prefix LIKE '%$' THEN '$' ELSE '' END AS rx
+        |  FROM r),
+        |m AS (SELECT u.doc_id, r2.allow, r2.prefix,
         |        row_number() OVER (PARTITION BY u.doc_id
-        |          ORDER BY length(r.prefix) DESC, r.allow DESC,
-        |            r.prefix DESC) AS rn
-        |      FROM u JOIN r ON u.host = r.host
-        |        AND starts_with(u.path, r.prefix))
+        |          ORDER BY length(regexp_extract(u.path, r2.rx, 0)) DESC,
+        |            r2.allow DESC, r2.prefix DESC) AS rn
+        |      FROM u JOIN r2 ON u.host = r2.host
+        |        AND regexp_matches(u.path, r2.rx))
         |SELECT u.doc_id, u.host, u.path,
         |  coalesce(b.allow, true) AS allowed,
         |  b.prefix AS matched_prefix
@@ -640,9 +676,14 @@ object R6Queries {
         |                  WHERE rn = 1) b USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "q108_extract_links" ->
-      """WITH h AS (
+      """WITH RECURSIVE h AS (
         |  SELECT doc_id, source || '.example.com' AS host,
-        |    '<p><a href="/about">a</a>'
+        |    '/sec/p' || CAST(doc_id % 4 AS VARCHAR) || '/index.html' AS path,
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN '<base href="https://b.example.org/dir/">' ELSE '' END
+        |    || '<p><a href="/about">a</a>'
+        |    || '<a href=''/sq/' || CAST(doc_id % 7 AS VARCHAR) || '''>s</a>'
+        |    || '<a href=img/i' || CAST(doc_id % 5 AS VARCHAR) || '.png>u</a>'
         |    || '<a href="https://ext.example.org/p/'
         |    || CAST(doc_id AS VARCHAR) || '">e</a>'
         |    || CASE WHEN doc_id % 3 = 0 THEN '<a href="#top">t</a>'
@@ -652,21 +693,81 @@ object R6Queries {
         |                 || '<a href="//cdn.example.net/z">c</a>'
         |            ELSE '<a href="/item?id=1">i</a>' END AS html
         |  FROM documents),
-        |l AS (SELECT doc_id,
-        |        list_filter(list_transform(
-        |          regexp_extract_all(html, 'href="([^"]*)"', 1),
-        |          x -> CASE
-        |            WHEN starts_with(x, 'http://')
-        |              OR starts_with(x, 'https://') THEN x
-        |            WHEN starts_with(x, '//') THEN NULL
-        |            WHEN starts_with(x, '/') THEN 'https://' || host || x
-        |            ELSE NULL END),
-        |          x -> x IS NOT NULL) AS links
-        |      FROM h),
-        |ix AS (SELECT doc_id, links,
-        |         unnest(generate_series(1, len(links))) AS i FROM l)
-        |SELECT doc_id, CAST(i - 1 AS INT) AS link_idx, links[i] AS url
-        |FROM ix ORDER BY doc_id, link_idx""".stripMargin,
+        |b AS (SELECT doc_id, host, path, html,
+        |    CASE WHEN bq LIKE '"%' OR bq LIKE '''%'
+        |         THEN substr(bq, 2, length(bq)-2) ELSE bq END AS braw
+        |  FROM (SELECT h.*, regexp_extract(html,
+        |      '(?i)<base[^>]*href\s*=\s*("[^"]*"|''[^'']*''|[^\s"''>]+)',
+        |      1) AS bq FROM h)),
+        |bb AS (SELECT doc_id, host, path, html,
+        |    CASE WHEN regexp_matches(braw, '(?i)^https?://') THEN braw
+        |    END AS babs FROM b),
+        |bs AS (SELECT doc_id, html,
+        |    coalesce(regexp_extract(babs, '(?i)^https?://[^/?#]*', 0),
+        |             'https://' || host) AS broot,
+        |    CASE WHEN babs IS NOT NULL THEN
+        |        (CASE WHEN regexp_extract(babs,
+        |                '(?i)^https?://[^/?#]*(/[^?#]*)', 1) = ''
+        |              THEN '/'
+        |              ELSE regexp_extract(babs,
+        |                '(?i)^https?://[^/?#]*(/[^?#]*)', 1) END)
+        |      ELSE coalesce(path, '/') END AS bpath
+        |  FROM bb),
+        |bd AS (SELECT doc_id, html, broot,
+        |    CASE WHEN regexp_extract(bpath, '^(.*/)', 1) = '' THEN '/'
+        |         ELSE regexp_extract(bpath, '^(.*/)', 1) END AS bdir
+        |  FROM bs),
+        |tok AS (SELECT doc_id, broot, bdir,
+        |    regexp_extract_all(
+        |      regexp_replace(html, '(?i)<base[^>]*>', ' ', 'g'),
+        |      '(?i)href\s*=\s*("[^"]*"|''[^'']*''|[^\s"''>]+)', 1) AS toks
+        |  FROM bd),
+        |ix AS (SELECT doc_id, broot, bdir, toks,
+        |    unnest(generate_series(1, len(toks))) AS i FROM tok),
+        |t2 AS (SELECT doc_id, broot, bdir, i,
+        |    CASE WHEN toks[i] LIKE '"%' OR toks[i] LIKE '''%'
+        |         THEN substr(toks[i], 2, length(toks[i])-2)
+        |         ELSE toks[i] END AS l
+        |  FROM ix),
+        |res AS (SELECT doc_id, i,
+        |    CASE WHEN regexp_matches(l, '(?i)^https?://') THEN l
+        |         WHEN regexp_matches(l, '^[A-Za-z][A-Za-z0-9+.-]*:')
+        |           THEN NULL
+        |         WHEN l LIKE '//%' THEN 'https:' || l
+        |         ELSE NULL END AS final,
+        |    CASE WHEN regexp_matches(l, '(?i)^https?://') THEN NULL
+        |         WHEN regexp_matches(l, '^[A-Za-z][A-Za-z0-9+.-]*:')
+        |           THEN NULL
+        |         WHEN l LIKE '//%' THEN NULL
+        |         WHEN l LIKE '/%' THEN broot
+        |         WHEN l = '' OR l LIKE '#%' OR l LIKE '?%' THEN NULL
+        |         ELSE broot END AS root,
+        |    CASE WHEN regexp_matches(l, '(?i)^https?://') THEN NULL
+        |         WHEN regexp_matches(l, '^[A-Za-z][A-Za-z0-9+.-]*:')
+        |           THEN NULL
+        |         WHEN l LIKE '//%' THEN NULL
+        |         WHEN l LIKE '/%' THEN l
+        |         WHEN l = '' OR l LIKE '#%' OR l LIKE '?%' THEN NULL
+        |         ELSE bdir || l END AS p
+        |  FROM t2),
+        |rec AS (
+        |  SELECT doc_id, i, final, root,
+        |    regexp_replace(regexp_replace(p,
+        |      '/\.$', '/./'), '/\.\.$', '/../') AS p, 0 AS it
+        |  FROM res
+        |  UNION ALL
+        |  SELECT doc_id, i, final, root,
+        |    regexp_replace(regexp_replace(regexp_replace(p,
+        |      '/\./', '/', 'g'), '/[^/]+/\.\./', '/', 'g'),
+        |      '^/\.\./', '/'), it + 1
+        |  FROM rec WHERE it < 10),
+        |kept AS (SELECT doc_id, i, coalesce(final, root || p) AS url
+        |  FROM rec WHERE it = 10 AND coalesce(final, root || p) IS NOT NULL)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1
+        |    AS INT) AS link_idx,
+        |  url
+        |FROM kept ORDER BY doc_id, link_idx""".stripMargin,
     "q109_pagerank" ->
       """WITH nn AS (SELECT count(*) AS n FROM documents),
         |e AS (SELECT doc_id AS src, (doc_id * 7) % n AS dst

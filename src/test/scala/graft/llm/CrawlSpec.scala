@@ -38,6 +38,53 @@ class CrawlSpec extends SparkSuite {
     assert(r(7L) === ((true, None)))
   }
 
+  test("robotsFilter: RFC 9309 wildcards — *, $-anchor, matched-text specificity") {
+    val wr = Seq(
+      // greedy * out-specifies the literal prefix it extends
+      ("w.com", false, "/private/*"),
+      ("w.com", true, "/private/1"),
+      // $-anchored extension rule
+      ("w.com", false, "/*.php$"),
+      // literal that TIES the wildcard's matched length -> allow wins
+      ("w.com", true, "/files/p1.php"),
+      // mid-pattern star
+      ("w.com", true, "/pub/*/x"),
+      ("w.com", false, "/pub/")
+    ).toDF("host", "allow", "prefix")
+    val wu = Seq(
+      (1L, "w.com", "/private/1"),    // literal 10 ties wildcard 10 -> allow
+      (2L, "w.com", "/private/12"),   // wildcard matches 11 > literal 10 -> deny
+      (3L, "w.com", "/files/p1.php"), // /*.php$ 13 ties literal 13 -> allow
+      (4L, "w.com", "/files/p2.php"), // only /*.php$ matches fully -> deny
+      (5L, "w.com", "/files/p2.phpx"),// $ anchor: no .php$ match -> allow
+      (6L, "w.com", "/pub/a/x"),      // /pub/*/x matches 8 > /pub/ 5 -> allow
+      (7L, "w.com", "/pub/a/y")       // only /pub/ matches -> deny
+    ).toDF("id", "host", "path")
+    val r = Crawl.robotsFilter(wu, "id", "host", "path", wr)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getBoolean(3), Option(x.getString(4))))).toMap
+    assert(r(1L) === ((true, Some("/private/1"))))
+    assert(r(2L) === ((false, Some("/private/*"))))
+    assert(r(3L) === ((true, Some("/files/p1.php"))))
+    assert(r(4L) === ((false, Some("/*.php$"))))
+    assert(r(5L) === ((true, None)))
+    assert(r(6L) === ((true, Some("/pub/*/x"))))
+    assert(r(7L) === ((false, Some("/pub/"))))
+  }
+
+  test("robotsFilter: payload columns pass through the join-back untouched") {
+    val u = Seq((1L, "a.com", "/private/secret", "payload-1", 42),
+      (2L, "d.com", "/ok", "payload-2", 7))
+      .toDF("id", "host", "path", "extra", "num")
+    val r = Crawl.robotsFilter(u, "id", "host", "path", rules)
+      .orderBy("id").collect()
+    assert(r.map(_.schema.fieldNames.toSeq).head ===
+      Seq("id", "host", "path", "extra", "num", "allowed", "matched_prefix"))
+    assert(r.map(x => (x.getLong(0), x.getString(3), x.getInt(4),
+      x.getBoolean(5))).toSeq ===
+      Seq((1L, "payload-1", 42, false), (2L, "payload-2", 7, true)))
+  }
+
   test("robotsFilter: shuffle-join tier agrees with the broadcast tier") {
     val a = Crawl.robotsFilter(urls, "id", "host", "path", rules)
       .orderBy("id").collect().toSeq
@@ -55,9 +102,57 @@ class CrawlSpec extends SparkSuite {
     ).toDF("id", "html", "host")
     val r = Crawl.extractLinks(df, "id", "html", "host").collect()
       .map(x => (x.getLong(0), x.getInt(1), x.getString(2))).toSeq
+    // protocol-relative resolves as https; dir-relative against the
+    // site root (no pathCol) with the root-level '..' ignored
     assert(r === Seq(
       (1L, 0, "https://h.com/a"),
-      (1L, 1, "https://e.org/p")))
+      (1L, 1, "https://e.org/p"),
+      (1L, 2, "https://cdn.e.org/c"),
+      (1L, 3, "https://h.com/rel")))
+  }
+
+  test("extractLinks: single-quoted and unquoted hrefs, all forms interleave in order") {
+    val df = Seq(
+      (1L, """<a href="/dq">d</a><a href='/sq'>s</a>""" +
+        """<a href=/uq>u</a><a href = "/sp">w</a>""", "h.com")
+    ).toDF("id", "html", "host")
+    val r = Crawl.extractLinks(df, "id", "html", "host").collect()
+      .map(x => (x.getInt(1), x.getString(2))).toSeq
+    assert(r === Seq((0, "https://h.com/dq"), (1, "https://h.com/sq"),
+      (2, "https://h.com/uq"), (3, "https://h.com/sp")))
+  }
+
+  test("extractLinks: base href wins over host; base tag itself never emitted") {
+    val df = Seq(
+      (1L, """<base href="https://b.org/dir/sub/"><a href="/r">x</a>""" +
+        """<a href="img/i.png">i</a><a href="../up">u</a>""", "h.com"),
+      // relative <base> is ignored -> falls back to the host root
+      (2L, """<base href="/nope/"><a href="img/i.png">i</a>""", "h.com")
+    ).toDF("id", "html", "host")
+    val r = Crawl.extractLinks(df, "id", "html", "host").collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getString(2))).toSeq
+    assert(r === Seq(
+      (1L, 0, "https://b.org/r"),
+      (1L, 1, "https://b.org/dir/sub/img/i.png"),
+      (1L, 2, "https://b.org/dir/up"),
+      (2L, 0, "https://h.com/img/i.png")))
+  }
+
+  test("extractLinks: dir-relative resolves against the page path; dot-segments collapse") {
+    val df = Seq(
+      (1L, """<a href="img/x.png">a</a><a href="../sib">b</a>""" +
+        """<a href="./here">c</a><a href="a/b/../../c">d</a>""",
+        "h.com", "/sec/p1/index.html"),
+      (2L, """<a href="x">n</a>""", "h.com", null)
+    ).toDF("id", "html", "host", "path")
+    val r = Crawl.extractLinks(df, "id", "html", "host", "path").collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getString(2))).toSeq
+    assert(r === Seq(
+      (1L, 0, "https://h.com/sec/p1/img/x.png"),
+      (1L, 1, "https://h.com/sec/sib"),
+      (1L, 2, "https://h.com/sec/p1/here"),
+      (1L, 3, "https://h.com/sec/p1/c"),
+      (2L, 0, "https://h.com/x")))
   }
 
   test("pageRankInt: exact integer ranks, hand-computed 2 iterations") {
