@@ -355,16 +355,19 @@ object TextAnalysis {
         transform(sequence(lit(1), greatest(size(w) - (shingleLen - 1), lit(1))),
           i => sha2(concat_ws(" ", slice(w, i, lit(shingleLen))), 256))))
 
-  /** Multi-label public suffixes for the registrable-domain rule,
-    * loaded from the bundled resource (an ICANN-section subset of the
-    * Public Suffix List, publicsuffix.org — ~500 entries covering the
-    * ccTLD second/third levels real corpora actually hit). The list
-    * ships as plan literals (one `isin` per label count — Catalyst
+  /** Public-suffix rules for the registrable-domain logic, loaded from
+    * the bundled resource (an ICANN-section subset of the Public
+    * Suffix List, publicsuffix.org — ~800 entries covering the ccTLD
+    * second/third levels real corpora actually hit, in PSL syntax:
+    * literal suffixes, `*.<tld>` wildcards, `!<host>` exceptions).
+    * All tiers ship as plan literals (one `isin` per tier — Catalyst
     * turns >10 literals into an O(1) InSet probe inside codegen), so
-    * growing it never changes the plan shape. PSL wildcard (`*.ck`)
-    * and exception (`!www.ck`) rules are out of scope: they cover a
-    * handful of tiny ccTLDs and are not expressible as a literal set. */
-  val MultiLabelSuffixes: Seq[String] = {
+    * growing the list never changes the plan shape. Wildcard scope:
+    * the `*.X` form (one wildcard label directly under a TLD) and its
+    * `!Y.X` exceptions — the only wildcard shapes in the ICANN ccTLD
+    * section this subset covers; deeper wildcard rules
+    * (`*.name.tld`) would be one more literal tier. */
+  private val pslLines: Vector[String] = {
     val in = getClass.getResourceAsStream("/graft/public_suffix_multilabel.txt")
     require(in != null, "bundled public-suffix resource missing")
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
@@ -373,14 +376,36 @@ object TextAnalysis {
     finally in.close()
   }
 
+  /** Literal multi-label public suffixes (wildcards/exceptions split
+    * out into [[WildcardTlds]] / [[PslExceptions]]). */
+  val MultiLabelSuffixes: Seq[String] =
+    pslLines.filterNot(l => l.startsWith("*.") || l.startsWith("!"))
+
+  /** TLDs under which EVERY second-level label is a public suffix
+    * (`*.ck` → suffix = `<anything>.ck`). */
+  val WildcardTlds: Seq[String] =
+    pslLines.filter(_.startsWith("*.")).map(_.drop(2))
+
+  /** Exception hosts carved out of a wildcard rule (`!www.ck` → the
+    * registrable domain of `[…].www.ck` is `www.ck` itself). */
+  val PslExceptions: Seq[String] =
+    pslLines.filter(_.startsWith("!")).map(_.drop(1))
+
   /** [[MultiLabelSuffixes]] split by label count: (2-label, 3-label). */
   private val (suffixes2, suffixes3) =
     MultiLabelSuffixes.partition(_.count(_ == '.') == 1)
 
+  /** SQL string literal with embedded single quotes doubled — the
+    * resource files are clean today, but un-escaped interpolation is
+    * one data edit away from silently breaking the oracle query. */
+  private def sqlLit(s: String): String = s"'${s.replace("'", "''")}'"
+
   /** The suffix tiers as SQL literal lists, so oracle SQL interpolates
     * the SAME bundled list the plan uses — the two can never drift. */
-  def suffix2SqlList: String = suffixes2.map(s => s"'$s'").mkString(",")
-  def suffix3SqlList: String = suffixes3.map(s => s"'$s'").mkString(",")
+  def suffix2SqlList: String = suffixes2.map(sqlLit).mkString(",")
+  def suffix3SqlList: String = suffixes3.map(sqlLit).mkString(",")
+  def wildcardTldSqlList: String = WildcardTlds.map(sqlLit).mkString(",")
+  def pslExceptionSqlList: String = PslExceptions.map(sqlLit).mkString(",")
 
   /** URL provenance parts — the canonicalization every web-scrape
     * pipeline needs before per-site dedup, domain mixing (q68), and
@@ -388,9 +413,13 @@ object TextAnalysis {
     *  - `host` = lowercased authority with scheme/userinfo/port
     *    stripped and a leading `www.` removed;
     *  - `domain` = registrable domain: suffix + one label, where the
-    *    suffix is the LONGEST match in [[MultiLabelSuffixes]] (3-label
-    *    beats 2-label beats the TLD default — PSL matching order);
-    *    single-label hosts pass through;
+    *    suffix is the PSL's prevailing rule: an exception
+    *    ([[PslExceptions]], `!www.ck`) beats everything and IS the
+    *    registrable domain; else the longest match among 3-label
+    *    literals, `*.tld` wildcards ([[WildcardTlds]] — the wildcard
+    *    expands to a 2-label suffix), 2-label literals, and the TLD
+    *    default; single-label hosts (and hosts that EQUAL a public
+    *    suffix, which have no registrable domain) pass through;
     *  - `path` = the path component, query/fragment stripped (the
     *    utm-junk defense — tracking params must not split a page's
     *    identity).
@@ -411,7 +440,9 @@ object TextAnalysis {
     val last4 = when(n >= 4,
       concat_ws(".", element_at(parts, -4), element_at(parts, -3),
         element_at(parts, -2), element_at(parts, -1)))
-    val domain = when(n >= 4 && last3.isin(suffixes3: _*), last4)
+    val domain = when(n >= 2 && last2.isin(PslExceptions: _*), last2)
+      .when(n >= 4 && last3.isin(suffixes3: _*), last4)
+      .when(n >= 3 && element_at(parts, -1).isin(WildcardTlds: _*), last3)
       .when(n >= 3 && last2.isin(suffixes2: _*), last3)
       .otherwise(coalesce(last2, host))
     val path = regexp_extract(url, "://[^/]*(/[^?#]*)", 1)

@@ -204,24 +204,31 @@ object R5Queries {
         "doc_id", "text", minDf = 3)
       .orderBy("doc_id")),
 
-    // [EXT] URL canonicalization for provenance: four planted URL
+    // [EXT] URL canonicalization for provenance: six planted URL
     // shapes per doc cohort — www + multi-label suffix + utm junk,
-    // bare http, subdomain + port, userinfo + fragment — through
-    // urlParts; the oracle replays the same regex/suffix arithmetic.
+    // bare http, subdomain + port, userinfo + fragment, a `*.ck`
+    // wildcard-suffix host, and a `!www.ck` exception host — through
+    // urlParts; the oracle replays the same regex/suffix arithmetic
+    // including the wildcard/exception tiers.
     "q95_url_normalize" -> ((s, d) => {
       val id = col("doc_id")
-      val url = when(pmod(id, lit(4)) === 0,
+      val url = when(pmod(id, lit(6)) === 0,
           concat(lit("https://www."), col("source"),
             lit(".Example.CO.UK/path/"), id.cast("string"),
             lit("?utm_source=feed&utm_medium=rss")))
-        .when(pmod(id, lit(4)) === 1,
+        .when(pmod(id, lit(6)) === 1,
           concat(lit("http://"), col("source"), lit(".example.com/a/b")))
-        .when(pmod(id, lit(4)) === 2,
+        .when(pmod(id, lit(6)) === 2,
           concat(lit("https://cdn."), col("source"),
             lit(".example.com:8080/static/img")))
-        .otherwise(
+        .when(pmod(id, lit(6)) === 3,
           concat(lit("https://user@"), col("source"),
             lit(".example.org/p#frag")))
+        .when(pmod(id, lit(6)) === 4,
+          concat(lit("https://shop."), col("source"), lit(".ck/w/"),
+            id.cast("string")))
+        .otherwise(
+          concat(lit("https://b."), col("source"), lit(".www.ck/e")))
       T.documents(s, d)
         .select(id, graft.llm.TextAnalysis.urlParts(url).as("u"))
         .select(id, col("u.host").as("host"), col("u.domain").as("domain"),
@@ -347,14 +354,17 @@ object R5Queries {
     "q95_url_normalize" ->
       s"""WITH u AS (
         |  SELECT doc_id,
-        |    CASE doc_id % 4
+        |    CASE doc_id % 6
         |      WHEN 0 THEN 'https://www.' || source || '.Example.CO.UK/path/'
         |                  || CAST(doc_id AS VARCHAR)
         |                  || '?utm_source=feed&utm_medium=rss'
         |      WHEN 1 THEN 'http://' || source || '.example.com/a/b'
         |      WHEN 2 THEN 'https://cdn.' || source
         |                  || '.example.com:8080/static/img'
-        |      ELSE 'https://user@' || source || '.example.org/p#frag'
+        |      WHEN 3 THEN 'https://user@' || source || '.example.org/p#frag'
+        |      WHEN 4 THEN 'https://shop.' || source || '.ck/w/'
+        |                  || CAST(doc_id AS VARCHAR)
+        |      ELSE 'https://b.' || source || '.www.ck/e'
         |    END AS url
         |  FROM documents),
         |h AS (SELECT doc_id, url,
@@ -365,11 +375,19 @@ object R5Queries {
         |p AS (SELECT doc_id, url, host,
         |        string_split(host, '.') AS parts FROM h)
         |SELECT doc_id, host,
-        |  CASE WHEN len(parts) >= 4
+        |  CASE WHEN len(parts) >= 2
+        |         AND parts[-2] || '.' || parts[-1] IN
+        |           (${graft.llm.TextAnalysis.pslExceptionSqlList})
+        |       THEN parts[-2] || '.' || parts[-1]
+        |       WHEN len(parts) >= 4
         |         AND parts[-3] || '.' || parts[-2] || '.' || parts[-1] IN
         |           (${graft.llm.TextAnalysis.suffix3SqlList})
         |       THEN parts[-4] || '.' || parts[-3] || '.' || parts[-2]
         |            || '.' || parts[-1]
+        |       WHEN len(parts) >= 3
+        |         AND parts[-1] IN
+        |           (${graft.llm.TextAnalysis.wildcardTldSqlList})
+        |       THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
         |       WHEN len(parts) >= 3
         |         AND parts[-2] || '.' || parts[-1] IN
         |           (${graft.llm.TextAnalysis.suffix2SqlList})

@@ -214,7 +214,19 @@ class TextAnalysisSpec extends SparkSuite {
         ("transport.act.gov.au", "transport.act.gov.au", "/buses")),
       // ca.us is itself a 2-label suffix: sacramento.ca.us registrable
       ("https://www.sacramento.ca.us/", ("sacramento.ca.us",
-        "sacramento.ca.us", "/")))
+        "sacramento.ca.us", "/")),
+      // PSL wildcard *.ck: any 2nd-level label is a public suffix, so
+      // shop.biz.ck is the registrable domain of its own subtree
+      ("https://www.shop.biz.ck/item", ("shop.biz.ck", "shop.biz.ck", "/item")),
+      ("https://deep.shop.biz.ck/x", ("deep.shop.biz.ck", "shop.biz.ck", "/x")),
+      // host that EQUALS the wildcard public suffix: no registrable
+      // domain -> passes through (same degenerate rule as literals)
+      ("https://biz.ck/", ("biz.ck", "biz.ck", "/")),
+      // PSL exception !www.ck: www.ck IS registrable despite *.ck
+      ("https://b.www.ck/e", ("b.www.ck", "www.ck", "/e")),
+      // *.np wildcard beats the literal com.np tie harmlessly (same
+      // label count -> same registrable domain either way)
+      ("https://www.site.com.np/p", ("site.com.np", "site.com.np", "/p")))
     assert(TextAnalysis.MultiLabelSuffixes.size > 400)
     val out = cases.map(_._1).toDF("url")
       .select(TextAnalysis.urlParts($"url").as("u"))
