@@ -144,10 +144,20 @@ object TextAnalysis {
     * EVERY threshold is an integer cross-multiplication over exact
     * counts — no double-ratio comparisons, so the verdict is
     * bit-portable across engines and partitionings. Map-only,
-    * codegen'd; output struct carries the counts for auditing. */
+    * codegen'd; output struct carries the counts for auditing.
+    *
+    * `chars` is `length(text)` — it counts the separator characters
+    * BETWEEN tokens, not bare word lengths. The default band [4n, 11n]
+    * is the Gopher mean-word-length rule (3 ≤ mean ≤ 10) adjusted for
+    * single-space separation: mean word length w over n words gives
+    * chars = w·n + (n−1), so w ∈ [3, 10] ⇔ chars ∈ [4n−1, 11n−1];
+    * the integer band keeps the cross-multiplication form at the cost
+    * of the one-off-the-floor boundary (a doc of ALL exactly-3-char
+    * words lands 1 char under 4n — acceptable for a heuristic gate;
+    * pass explicit bounds to move the band). */
   def qualityGate(text: Column,
       minTokens: Int = 30, maxTokens: Int = 100000,
-      minCharsPerTok: Int = 5, maxCharsPerTok: Int = 6,
+      minCharsPerTok: Int = 4, maxCharsPerTok: Int = 11,
       maxTopTokenPct: Int = 10, minStopPermille: Int = 50,
       stops: Seq[String] = Seq("the", "a", "and", "of", "to")): Column =
     aggregate(array(sort_array(tokens(text))),

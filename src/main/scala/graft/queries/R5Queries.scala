@@ -412,10 +412,10 @@ object R5Queries {
         |SELECT doc_id, CAST(n AS INT) AS n_tokens,
         |  CAST(chars AS INT) AS n_chars, CAST(top AS INT) AS top_count,
         |  CAST(stop_hits AS INT) AS stop_hits,
-        |  (n BETWEEN 30 AND 100000) AND (chars BETWEEN 5 * n AND 6 * n)
+        |  (n BETWEEN 30 AND 100000) AND (chars BETWEEN 4 * n AND 11 * n)
         |    AND top * 100 <= n * 10 AND stop_hits * 1000 >= n * 50 AS keep,
         |  CASE WHEN NOT (n BETWEEN 30 AND 100000) THEN 'tokens'
-        |       WHEN NOT (chars BETWEEN 5 * n AND 6 * n) THEN 'word_len'
+        |       WHEN NOT (chars BETWEEN 4 * n AND 11 * n) THEN 'word_len'
         |       WHEN top * 100 > n * 10 THEN 'repetition'
         |       WHEN stop_hits * 1000 < n * 50 THEN 'stopwords'
         |       ELSE 'ok' END AS reject_reason

@@ -161,6 +161,26 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out(4L) === ((false, "stopwords")))
   }
 
+  test("qualityGate: default word-len band is the whitespace-adjusted Gopher 3-10 rule") {
+    import spark.implicits._
+    // mean word length 2 (below Gopher's 3): chars = 2n + n-1 = 3n-1 < 4n
+    val short2 = (Seq.fill(15)("ab") ++ Seq.fill(15)("of")).mkString(" ")
+    // mean word length 12 (above Gopher's 10): chars = 13n-1 > 11n
+    val long12 = Seq.tabulate(30)(i => f"abcdefghi$i%03d").mkString(" ")
+    // mean word length ~5 with stopwords at exactly the 10% top-token
+    // cap: inside [4n, 11n], passes every other rule too
+    val mid = (0 until 30).map(i => if (i % 10 == 0) "the" else f"tok$i%02d")
+      .mkString(" ")
+    val out = Seq((1L, short2), (2L, long12), (3L, mid)).toDF("id", "text")
+      .select($"id", TextAnalysis.qualityGate($"text").as("g"))
+      .select($"id", $"g.keep", $"g.reject_reason")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(out(1L) === ((false, "word_len")))
+    assert(out(2L) === ((false, "word_len")))
+    assert(out(3L) === ((true, "ok")))
+  }
+
   test("langId: trigram model labels each fixture language; und fallback") {
     import graft.expressions.LangIdKernel
     val expect = Seq("en", "de", "fr", "es", "it", "pt", "nl", "sv")
