@@ -70,7 +70,10 @@ object LangIdKernel {
     }
     rows.sortBy(r => (r._1, r._2)).foreach { case (l, g, w) =>
       if (b.nonEmpty) b.append(",")
-      b.append(s"('$l','$g',$w)")
+      // double embedded quotes: a future model trigram containing an
+      // apostrophe must not silently alter the interpolated oracle SQL
+      val ge = g.replace("'", "''")
+      b.append(s"('$l','$ge',$w)")
     }
     b.result()
   }

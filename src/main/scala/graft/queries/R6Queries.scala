@@ -83,14 +83,15 @@ object R6Queries {
     }),
 
     // [EXT] char-trigram language ID over planted multilingual
-    // fixtures (8 languages cycled by doc key): exact integer scoring
+    // fixtures (13 languages cycled by doc key, incl. Cyrillic /
+    // Arabic / Han / kana / Hangul rows): exact integer scoring
     // against the bundled model; the oracle rebuilds the identical
     // argmax relationally from the SAME interpolated weight table.
     "q99_langid" -> ((s, d) => {
       val id = col("doc_id")
       val text = element_at(
         array(R6Queries.LangFixtures.map(lit): _*),
-        (pmod(id, lit(8)) + 1).cast("int"))
+        (pmod(id, lit(13)) + 1).cast("int"))
       T.documents(s, d)
         .select(id, graft.llm.TextAnalysis.langId(text).as("l"))
         .select(id, col("l.lang").as("lang"), col("l.score").as("score"))
@@ -420,8 +421,10 @@ object R6Queries {
       .orderBy("doc_id"))
   )
 
-  /** Planted per-language fixture sentences for q99 (index = key % 8;
-    * lowercase, apostrophe-free so both engines embed them verbatim). */
+  /** Planted per-language fixture sentences for q99 (index = key % 13;
+    * lowercase, apostrophe-free so both engines embed them verbatim).
+    * The last five exercise the non-Latin model rows: Cyrillic,
+    * Arabic, Han, kana-only Japanese, Hangul. */
   val LangFixtures: Seq[String] = Seq(
     "the quick brown fox jumps over the lazy dog and the children are playing in the garden with you",
     "die kinder spielen auf der wiese und der hund ist schon wieder zu hause bei den eltern",
@@ -430,7 +433,12 @@ object R6Queries {
     "il cane che gioca nella casa con i bambini per una giornata di sole e di vento",
     "o cão não está na casa que as crianças têm para a educação e para o coração",
     "het huis van de man is niet ver van de school en een ijsje voor het kind van de buurman",
-    "det är en dag som är för alla och barnen ska till skolan på morgonen med en vän")
+    "det är en dag som är för alla och barnen ska till skolan på morgonen med en vän",
+    "дети играют в саду и собака уже дома у родителей что они любят",
+    "الاطفال يلعبون في البيت مع الكلب والقطة في الحديقة من الصباح",
+    "孩子们在花园里玩耍我们的房子很大他们喜欢这个地方",
+    "こどもたちはにわであそんでいますわたしたちのいえはおおきいです",
+    "아이들은 정원에서 놀고 있다 우리 집은 아주 크다 그들은 이곳을 좋아한다")
 
   /** DuckDB oracles (analytic — no binary handling). */
   val oracleSql: Map[String, String] = Map(
@@ -447,7 +455,7 @@ object R6Queries {
         .map { case (t, i) => s"($i,'$t')" }.mkString(",")
       s"""WITH s(k, text) AS (VALUES $fixtures),
         |d AS (SELECT doc_id, s.text FROM documents s2
-        |      JOIN s ON s2.doc_id % 8 = s.k),
+        |      JOIN s ON s2.doc_id % 13 = s.k),
         |tri AS (SELECT doc_id, unnest(list_transform(
         |          generate_series(1, length(text) - 2),
         |          i -> substr(lower(text), CAST(i AS INT), 3))) AS g

@@ -183,7 +183,8 @@ class TextAnalysisSpec extends SparkSuite {
 
   test("langId: trigram model labels each fixture language; und fallback") {
     import graft.expressions.LangIdKernel
-    val expect = Seq("en", "de", "fr", "es", "it", "pt", "nl", "sv")
+    val expect = Seq("en", "de", "fr", "es", "it", "pt", "nl", "sv",
+      "ru", "ar", "zh", "ja", "ko")
     graft.queries.R6Queries.LangFixtures.zip(expect).foreach { case (t, l) =>
       val (got, score) = LangIdKernel.classify(t)
       assert(got === l, s"'$t' → $got (want $l)")
