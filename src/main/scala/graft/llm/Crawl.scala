@@ -185,8 +185,13 @@ object Crawl {
     * Per iteration: `contrib(u→v) = rank(u) div outdeg(u)`,
     * `rank'(v) = (10⁶·(dampDen−dampNum)) div dampDen +
     * (dampNum·Σcontrib(v)) div dampDen`. Dangling-node mass is
-    * DROPPED (not redistributed) — the deterministic choice; dangling
-    * nodes still receive the base term and in-contributions.
+    * DROPPED by default — the deterministic, action-free choice;
+    * dangling nodes still receive the base term and
+    * in-contributions. `redistributeDangling = true` instead adds
+    * `danglingSum div N` (exact integral division; danglingSum is a
+    * bounded 1-row action per iteration) to EVERY node's contribution
+    * sum before the damping multiply — total mass is conserved up to
+    * the two floor divisions.
     *
     * Scale shape: nodes/outdeg are plain aggregates; each iteration
     * is one equi-join on src plus one sum keyed by dst — map-side
@@ -197,11 +202,13 @@ object Crawl {
     * iterations if you push to convergence-scale counts. Σcontrib
     * must stay under 2⁶³/dampNum — holds through ~10¹⁴ nodes at
     * micro-unit scale. Output: (node, rank). */
-  def pageRankInt(edges: DataFrame, iters: Int, dampNum: Long = 85,
-      dampDen: Long = 100): DataFrame = {
-    require(iters >= 1, "iters must be at least 1")
-    require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
-      s"need 0 <= dampNum <= dampDen, got $dampNum/$dampDen")
+  /** The materialized loop invariants of an integer-PageRank run:
+    * `(edges, nodes, edges-with-outdeg, dangling-nodes)` — see
+    * [[pageRankInt]] for why they localCheckpoint pre-partitioned. */
+  private case class PrInvariants(e: DataFrame, nodes: DataFrame,
+    eo: DataFrame, dangling: DataFrame)
+
+  private def prInvariants(edges: DataFrame): PrInvariants = {
     // Materialize the loop invariants ONCE (lineage truncation, the
     // connectedComponents convention): without this the unrolled plan
     // re-derives edges/nodes/outdeg inside EVERY iteration — the
@@ -218,17 +225,107 @@ object Crawl {
       .repartition(col("node")).localCheckpoint()
     val eo = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")),
       Seq("src")).repartition(col("src")).localCheckpoint()
+    val dangling = nodes.join(e.select(col("src").as("node")).distinct(),
+      Seq("node"), "left_anti").localCheckpoint()
+    PrInvariants(e, nodes, eo, dangling)
+  }
+
+  /** One exact-integer PageRank iteration. `extraContrib` is added to
+    * every node's contribution sum BEFORE the damping multiply — 0 in
+    * the mass-dropping mode, `danglingSum div N` in the
+    * redistribution arm. */
+  private def prStep(inv: PrInvariants, ranks: DataFrame, base: Long,
+      dampNum: Long, dampDen: Long, extraContrib: Long): DataFrame = {
+    val contrib = inv.eo.join(ranks, inv.eo("src") === ranks("node"))
+      .select(col("dst").as("node"), expr("rank div outdeg").as("c"))
+      .groupBy("node").agg(sum(col("c")).as("cs"))
+    inv.nodes.join(contrib, Seq("node"), "left")
+      .select(col("node"), (lit(base) +
+        expr(s"($dampNum * (coalesce(cs, CAST(0 AS BIGINT)) + " +
+          s"CAST($extraContrib AS BIGINT))) div $dampDen"))
+        .cast("long").as("rank"))
+  }
+
+  /** Σ rank over dangling nodes (one bounded 1-row action). */
+  private def danglingSum(inv: PrInvariants, ranks: DataFrame): Long = {
+    val r = inv.dangling.join(ranks, Seq("node"))
+      .agg(sum(col("rank"))).collect()(0)
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  def pageRankInt(edges: DataFrame, iters: Int, dampNum: Long = 85,
+      dampDen: Long = 100,
+      redistributeDangling: Boolean = false): DataFrame = {
+    require(iters >= 1, "iters must be at least 1")
+    require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
+      s"need 0 <= dampNum <= dampDen, got $dampNum/$dampDen")
+    val inv = prInvariants(edges)
     val base = 1000000L * (dampDen - dampNum) / dampDen
-    var ranks = nodes.select(col("node"), lit(1000000L).as("rank"))
-    for (_ <- 1 to iters) {
-      val contrib = eo.join(ranks, eo("src") === ranks("node"))
-        .select(col("dst").as("node"), expr("rank div outdeg").as("c"))
-        .groupBy("node").agg(sum(col("c")).as("cs"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"), (lit(base) +
-          expr(s"($dampNum * coalesce(cs, CAST(0 AS BIGINT))) div $dampDen"))
-          .cast("long").as("rank"))
+    // The redistribution arm needs the CURRENT dangling mass each
+    // iteration — a 1-row action per iteration (N is one more). The
+    // default mass-dropping mode stays action-free and lazily
+    // composable, exactly as before.
+    lazy val n = inv.nodes.count()
+    var ranks = inv.nodes.select(col("node"), lit(1000000L).as("rank"))
+    for (i <- 1 to iters) {
+      val extra =
+        if (!redistributeDangling) 0L
+        else if (n == 0L) 0L
+        else danglingSum(inv, ranks) / n
+      ranks = prStep(inv, ranks, base, dampNum, dampDen, extra)
+      // under redistribution every iteration runs an action over the
+      // ranks lineage — truncate it so iteration i is O(1) deep, not
+      // O(i) (the convergence-mode cadence rationale, forced here)
+      if (redistributeDangling && i < iters) ranks = ranks.localCheckpoint()
     }
     ranks
+  }
+
+  /** Iterate-to-convergence PageRank: run [[pageRankInt]] iterations
+    * until the largest per-node rank change is ≤ `tolMicro`
+    * micro-units (or `maxIters`), localCheckpointing the rank table
+    * every `checkpointEvery` iterations — the Scaladoc warning on the
+    * fixed-iteration form (lineage grows linearly in iters) is the
+    * reason this mode REQUIRES a cadence: each iteration runs a
+    * 1-row max-|Δ| action, and without periodic truncation iteration
+    * i would recompute an i-deep plan. A smaller cadence trades
+    * checkpoint IO for recompute depth (each delta action re-derives
+    * at most `checkpointEvery` iterations).
+    *
+    * Returns (ranks, iterationsRun); `iterationsRun < maxIters` means
+    * the tolerance was met. Same exact-integer semantics as
+    * [[pageRankInt]] — a converged run's ranks equal the
+    * fixed-iteration run at the same count, spec-pinned. */
+  def pageRankConverge(edges: DataFrame, maxIters: Int, tolMicro: Long,
+      dampNum: Long = 85, dampDen: Long = 100, checkpointEvery: Int = 5,
+      redistributeDangling: Boolean = false): (DataFrame, Int) = {
+    require(maxIters >= 1, "maxIters must be at least 1")
+    require(tolMicro >= 0, "tolMicro must be non-negative")
+    require(checkpointEvery >= 1, "checkpointEvery must be at least 1")
+    require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
+      s"need 0 <= dampNum <= dampDen, got $dampNum/$dampDen")
+    val inv = prInvariants(edges)
+    val base = 1000000L * (dampDen - dampNum) / dampDen
+    lazy val n = inv.nodes.count()
+    var ranks = inv.nodes.select(col("node"), lit(1000000L).as("rank"))
+      .localCheckpoint()
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      val extra =
+        if (!redistributeDangling) 0L
+        else if (n == 0L) 0L
+        else danglingSum(inv, ranks) / n
+      var next = prStep(inv, ranks, base, dampNum, dampDen, extra)
+      if ((it + 1) % checkpointEvery == 0) next = next.localCheckpoint()
+      val d = ranks.join(next.withColumnRenamed("rank", "rank_next"),
+          Seq("node"))
+        .agg(max(abs(col("rank_next") - col("rank")))).collect()(0)
+      val delta = if (d.isNullAt(0)) 0L else d.getLong(0)
+      ranks = next
+      it += 1
+      converged = delta <= tolMicro
+    }
+    (ranks, it)
   }
 }

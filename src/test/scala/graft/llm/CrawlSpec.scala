@@ -173,4 +173,47 @@ class CrawlSpec extends SparkSuite {
     // r1: node1 = base (no in-edges); node2 = base + 85*1e6/100
     assert(r === Seq((1L, 150000L), (2L, 1000000L)))
   }
+
+  test("pageRankInt: dangling redistribution conserves mass, hand-computed") {
+    val e = Seq((1L, 2L)).toDF("src", "dst") // node 2 dangles; N = 2
+    // iter1: danglingSum = rank(2) = 1e6, share = 5e5
+    //   node1 = 150000 + 85*(0 + 500000)//100       = 575000
+    //   node2 = 150000 + 85*(1000000 + 500000)//100 = 1425000
+    val r = Crawl.pageRankInt(e, iters = 1, redistributeDangling = true)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    assert(r === Seq((1L, 575000L), (2L, 1425000L)))
+    assert(r.map(_._2).sum === 2000000L) // mass conserved exactly here
+    // second iteration stays exact-integer deterministic
+    val r2 = Crawl.pageRankInt(e, iters = 2, redistributeDangling = true)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    // iter2: danglingSum = 1425000, share = 712500
+    //   node1 = 150000 + 85*712500//100            = 755625
+    //   node2 = 150000 + 85*(575000 + 712500)//100 = 1244375
+    assert(r2 === Seq((1L, 755625L), (2L, 1244375L)))
+  }
+
+  test("pageRankConverge: stops under tol, equals the fixed-iter run, cadence-invariant") {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val (ranks, it) = Crawl.pageRankConverge(e, maxIters = 60,
+      tolMicro = 10L, checkpointEvery = 3)
+    assert(it < 60, "should converge well before maxIters")
+    val got = ranks.collect().map(x => (x.getLong(0), x.getLong(1)))
+      .sorted.toSeq
+    // exact-integer semantics: the converged table IS the fixed-iter
+    // table at the same iteration count
+    val fixed = Crawl.pageRankInt(e, iters = it).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    assert(got === fixed)
+    // checkpoint cadence must not change values (only lineage depth)
+    val (r1, it1) = Crawl.pageRankConverge(e, maxIters = 60,
+      tolMicro = 10L, checkpointEvery = 1)
+    assert(it1 === it)
+    assert(r1.collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      === got)
+    // converged state: one more iteration moves every rank <= tol
+    val next = Crawl.pageRankInt(e, iters = it + 1).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    val cur = got.toMap
+    assert(cur.forall { case (k, v) => math.abs(next(k) - v) <= 10L })
+  }
 }
