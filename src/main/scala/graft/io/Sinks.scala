@@ -87,6 +87,12 @@ object Sinks {
       format: String = "parquet",
       mode: SaveMode = SaveMode.Overwrite): Unit = {
     require(numShards >= 1, "numShards must be at least 1")
+    // withColumn REPLACES an existing column silently — an input that
+    // already carries `shard` (or the `_h` scratch name) would have
+    // its data overwritten in the exported corpus
+    require(!df.columns.contains("shard") && !df.columns.contains("_h"),
+      "input must not already have 'shard' or '_h' columns — " +
+        "rename them before the shuffled-shard export")
     val h = sha2(concat(lit(salt + ":"),
       df(keyCol).cast(org.apache.spark.sql.types.StringType)), 256)
     df.withColumn("_h", h)
