@@ -215,7 +215,45 @@ object ScaleSmoke {
           lit("\npromo line\npromo line\nuid "), col("id").cast("string"))),
         "id", "text")),
       "compression_ratio" -> (() => docs.select(col("id"),
-        TA.compressionRatio(col("text")).as("r"))))
+        TA.compressionRatio(col("text")).as("r"))),
+      // outlink extraction across all three quoting forms + base-dir
+      // resolution + the 10-round dot-segment pass: the heaviest
+      // map-only regex pipeline in the engine — the number to watch
+      // is µs/page (still zero shuffle)
+      "extract_links" -> (() => graft.llm.Crawl.extractLinks(
+        docs.select(col("id"),
+          concat(lit("<a href=\"/about\">a</a><a href='/p/"),
+            pmod(col("id"), lit(97)).cast("string"),
+            lit("'>b</a><a href=img/x.png>c</a><a href=\"../rel\">d</a>"),
+            lit("<a href=\"https://ext.example.org/q\">e</a>")).as("html"),
+          concat(lit("h"), pmod(col("id"), lit(1000)).cast("string"),
+            lit(".example.com")).as("host"),
+          lit("/sec/p1/index.html").as("path")),
+        "id", "html", "host", "path")),
+      // robots wildcard filtering at crawl scale: a broadcast rule
+      // registry incl. * and $ patterns against n URLs concentrated
+      // on 1000 hosts — per-URL cost is the regex probe + the bounded
+      // max(struct) winner, never a rank window
+      "robots_wildcard" -> (() => {
+        import spark.implicits._
+        val rules = (0 until 1000).flatMap(h => Seq(
+          (s"h$h.example.com", false, "/private/*"),
+          (s"h$h.example.com", true, "/private/open"),
+          (s"h$h.example.com", false, "/*.php$"),
+          (s"h$h.example.com", true, "/pub/"))).toDF("host", "allow", "prefix")
+        graft.llm.Crawl.robotsFilter(
+          docs.select(col("id"),
+            concat(lit("h"), pmod(col("id"), lit(1000)).cast("string"),
+              lit(".example.com")).as("host"),
+            when(col("id") % 3 === 0,
+                concat(lit("/private/"), col("id").cast("string")))
+              .when(col("id") % 3 === 1,
+                concat(lit("/files/"), col("id").cast("string"),
+                  lit(".php")))
+              .otherwise(concat(lit("/pub/"), col("id").cast("string")))
+              .as("path")),
+          "id", "host", "path", rules)
+      }))
 
     val hotSet = Set("dup_shingle_audit_hot", "keyword_search_hot",
       "keep_best_hot", "ksample_hot", "kmv_sketch_hot", "line_dedup_hot",

@@ -30,6 +30,54 @@ object R7Queries {
       val store = graft.llm.Dedup.buildSignatureStore(corpus, "doc_id",
         "text")
       store.admit(newb, "doc_id", "text").orderBy("doc_id")
+    }),
+
+    // [EXT] end-to-end crawl-frontier construction (the q112 pattern
+    // for the crawl side): page HTML → outlink extraction (incl. a
+    // dir-relative link that dot-normalizes) → URL canonicalization →
+    // DISTINCT frontier → RFC 9309 robots filtering with wildcard
+    // rules ('/doc/*' deny overridden by a '/doc/7' literal tie→allow,
+    // an ext-host deny-all with an allow '/p/*' carve-out) → the
+    // allowed frontier keyed by registrable domain. The per-source
+    // rule registry is DERIVED from the corpus (distinct sources), so
+    // the whole chain is one composition: extractLinks → urlParts →
+    // distinct → robotsFilter → filter. The oracle computes the
+    // resolved links analytically (the fixture's three links have
+    // closed-form resolutions) and replays the robots translation.
+    "q115_crawl_frontier" -> ((s, d) => {
+      import s.implicits._
+      val id = col("doc_id")
+      val html = concat(
+        lit("<a href=\"/doc/"), pmod(id, lit(50)).cast("string"),
+        lit("\">d</a><a href=\"../shared/page\">s</a>"),
+        lit("<a href=\"https://ext.example.org/p/"),
+        pmod(id, lit(20)).cast("string"), lit("\">e</a>"))
+      val pages = T.documents(s, d).select(id, html.as("html"),
+        concat(col("source"), lit(".example.com")).as("host"),
+        lit("/sec/a/index.html").as("path"))
+      val links = graft.llm.Crawl.extractLinks(
+        pages, "doc_id", "html", "host", "path")
+      val withParts = links
+        .select(col("url"),
+          graft.llm.TextAnalysis.urlParts(col("url")).as("u"))
+        .select(col("url"), col("u.host").as("lhost"),
+          col("u.domain").as("domain"), col("u.path").as("lpath"))
+        .distinct()
+      val srcHosts = T.documents(s, d).select(col("source")).distinct()
+        .select(concat(col("source"), lit(".example.com")).as("host"))
+      val rules = srcHosts
+        .select(col("host"), lit(false).as("allow"),
+          lit("/doc/*").as("prefix"))
+        .union(srcHosts.select(col("host"), lit(true).as("allow"),
+          lit("/doc/7").as("prefix")))
+        .union(Seq(("ext.example.org", false, "/"),
+          ("ext.example.org", true, "/p/*"))
+          .toDF("host", "allow", "prefix"))
+      graft.llm.Crawl.robotsFilter(withParts, "url", "lhost", "lpath",
+          rules)
+        .filter(col("allowed"))
+        .select(col("domain"), col("url"))
+        .orderBy("domain", "url")
     })
   )
 
@@ -83,6 +131,52 @@ object R7Queries {
         |SELECT e.id AS doc_id, e.exact_dup,
         |  CAST(coalesce(n.near_candidates, 0) AS BIGINT) AS near_candidates
         |FROM ex e LEFT JOIN near n ON e.id = n.id
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "q115_crawl_frontier" ->
+      """WITH l AS (
+        |  SELECT DISTINCT 'https://' || source || '.example.com/doc/'
+        |    || CAST(doc_id % 50 AS VARCHAR) AS url FROM documents
+        |  UNION
+        |  SELECT DISTINCT 'https://' || source
+        |    || '.example.com/sec/shared/page' FROM documents
+        |  UNION
+        |  SELECT DISTINCT 'https://ext.example.org/p/'
+        |    || CAST(doc_id % 20 AS VARCHAR) FROM documents),
+        |p AS (SELECT url,
+        |    regexp_replace(lower(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1)),
+        |      '^www\.', '') AS lhost,
+        |    regexp_extract(url, '://[^/]*(/[^?#]*)', 1) AS lpath
+        |  FROM l),
+        |d2 AS (SELECT url, lhost, lpath,
+        |    regexp_extract(lhost, '([^.]+\.[^.]+)$', 1) AS domain
+        |  FROM p),
+        |r(host, allow, prefix) AS (
+        |  SELECT DISTINCT source || '.example.com', false, '/doc/*'
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT DISTINCT source || '.example.com', true, '/doc/7'
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES ('ext.example.org', false, '/'),
+        |                        ('ext.example.org', true, '/p/*'))),
+        |r2 AS (SELECT host, allow, prefix,
+        |  '^' || replace(regexp_replace(
+        |      CASE WHEN prefix LIKE '%$'
+        |        THEN substr(prefix, 1, length(prefix)-1) ELSE prefix END,
+        |      '([.^+?(){}\[\]|$\\])', '\\\1', 'g'), '*', '.*')
+        |    || CASE WHEN prefix LIKE '%$' THEN '$' ELSE '' END AS rx
+        |  FROM r),
+        |m AS (SELECT d2.url, r2.allow, r2.prefix,
+        |        row_number() OVER (PARTITION BY d2.url
+        |          ORDER BY length(regexp_extract(d2.lpath, r2.rx, 0)) DESC,
+        |            r2.allow DESC, r2.prefix DESC) AS rn
+        |      FROM d2 JOIN r2 ON d2.lhost = r2.host
+        |        AND regexp_matches(d2.lpath, r2.rx))
+        |SELECT d2.domain, d2.url
+        |FROM d2 LEFT JOIN (SELECT url, allow FROM m WHERE rn = 1) b
+        |  USING (url)
+        |WHERE coalesce(b.allow, true)
+        |ORDER BY domain, url""".stripMargin
   )
 }
