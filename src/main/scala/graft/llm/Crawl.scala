@@ -38,15 +38,24 @@ object Crawl {
     * count R; for a corpus-sized registry, materialize the translated
     * regex column once and reuse it.
     *
-    * Contract: `idCol` must identify a row (the winner is aggregated
-    * per id and joined back, so every OTHER column of `urls` passes
-    * through untouched; duplicate ids would cross their paths' rules).
-    * Same-length same-type DIFFERENT patterns break the tie on the
-    * lexicographically larger pattern — deterministic, mirrored in
-    * the oracle. */
+    * Contract: `idCol` must identify a row — the winner is a single
+    * per-id aggregate and every OTHER column of `urls` rides through
+    * it as a `first(…)` (each id's joined copies carry identical
+    * payload values, so the pick is value-deterministic; duplicate
+    * ids would collapse and cross their paths' rules). Carrying the
+    * payload through the ONE groupBy shuffle — with map-side partial
+    * aggregation collapsing the per-rule row multiplication — beats
+    * aggregating keys-only and joining back, which would shuffle the
+    * URL table a second time. Same-length same-type DIFFERENT
+    * patterns break the tie on the lexicographically larger pattern —
+    * deterministic, mirrored in the oracle. */
   def robotsFilter(urls: DataFrame, idCol: String, hostCol: String,
       pathCol: String, rules: DataFrame,
       broadcastRules: Boolean = true): DataFrame = {
+    val reserved = Seq("_uhost", "_upath", "_rhost", "_rallow",
+      "_rprefix", "_rx", "_best")
+    require(!urls.columns.exists(reserved.contains),
+      s"urls must not carry the reserved scratch columns $reserved")
     // pattern → anchored regex, computed once per RULE row (not per URL)
     val hasEnd = col("prefix").endsWith("$")
     val body = when(hasEnd,
@@ -59,17 +68,19 @@ object Crawl {
       col("allow").as("_rallow"), col("prefix").as("_rprefix"),
       rx.as("_rx"))
     val r = if (broadcastRules) broadcast(r0) else r0
-    val u = urls.select(col(idCol).as("_uid"), col(hostCol).as("_uhost"),
-      col(pathCol).as("_upath"))
-    val winners = u.join(r, col("_uhost") === col("_rhost") &&
+    val payload = urls.columns.filterNot(_ == idCol)
+    val best = max(when(col("_rprefix").isNotNull,
+      struct(length(expr("regexp_extract(_upath, _rx, 0)")).as("l"),
+        col("_rallow").cast("int").as("a"),
+        col("_rprefix").as("p")))).as("_best")
+    urls
+      .withColumn("_uhost", col(hostCol))
+      .withColumn("_upath", col(pathCol))
+      .join(r, col("_uhost") === col("_rhost") &&
         expr("_upath RLIKE _rx"), "left")
-      .groupBy(col("_uid"))
-      .agg(max(when(col("_rprefix").isNotNull,
-        struct(length(expr("regexp_extract(_upath, _rx, 0)")).as("l"),
-          col("_rallow").cast("int").as("a"),
-          col("_rprefix").as("p")))).as("_best"))
-    urls.join(winners, urls(idCol) === winners("_uid"), "left")
-      .select(urls.columns.map(urls(_)) ++ Seq(
+      .groupBy(col(idCol))
+      .agg(best, payload.map(c => first(col(c)).as(c)): _*)
+      .select(col(idCol).as(idCol) +: payload.map(col) ++: Seq(
         coalesce(col("_best.a") === 1, lit(true)).as("allowed"),
         col("_best.p").as("matched_prefix")): _*)
   }
