@@ -38,17 +38,27 @@ object Crawl {
     * count R; for a corpus-sized registry, materialize the translated
     * regex column once and reuse it.
     *
-    * Contract: `idCol` must identify a row — the winner is a single
-    * per-id aggregate and every OTHER column of `urls` rides through
-    * it as a `first(…)` (each id's joined copies carry identical
-    * payload values, so the pick is value-deterministic; duplicate
-    * ids would collapse and cross their paths' rules). Carrying the
-    * payload through the ONE groupBy shuffle — with map-side partial
-    * aggregation collapsing the per-rule row multiplication — beats
-    * aggregating keys-only and joining back, which would shuffle the
-    * URL table a second time. Same-length same-type DIFFERENT
-    * patterns break the tie on the lexicographically larger pattern —
-    * deterministic, mirrored in the oracle. */
+    * Specificity note: Google's reference parser ranks rules by the
+    * PATTERN's octet count; this operator ranks by the matched-text
+    * length (greedy), which is identical for literal rules and for
+    * wildcard-vs-wildcard ties, but lets a `*` rule's greedy match
+    * out-rank a shorter literal of the opposite polarity where the
+    * pattern-length convention would tie. The RFC's "match that has
+    * the most octets" wording supports either read; THIS one is
+    * pinned in CrawlSpec and mirrored by the oracle.
+    *
+    * Contract: rows are keyed by (idCol, hostCol, pathCol) — the
+    * winner is a single aggregate over those keys and every OTHER
+    * column of `urls` rides through it as a `first(…)` (each key's
+    * joined copies carry identical payload values, so the pick is
+    * value-deterministic; fully duplicated (id, host, path) rows
+    * collapse to one). Carrying the payload through the ONE groupBy
+    * shuffle — with map-side partial aggregation collapsing the
+    * per-rule row multiplication — beats aggregating keys-only and
+    * joining back, which would shuffle the URL table a second time.
+    * Same-length same-type DIFFERENT patterns break the tie on the
+    * lexicographically larger pattern — deterministic, mirrored in
+    * the oracle. */
   def robotsFilter(urls: DataFrame, idCol: String, hostCol: String,
       pathCol: String, rules: DataFrame,
       broadcastRules: Boolean = true): DataFrame = {
@@ -68,7 +78,8 @@ object Crawl {
       col("allow").as("_rallow"), col("prefix").as("_rprefix"),
       rx.as("_rx"))
     val r = if (broadcastRules) broadcast(r0) else r0
-    val payload = urls.columns.filterNot(_ == idCol)
+    val keyCols = Seq(idCol, hostCol, pathCol)
+    val payload = urls.columns.filterNot(keyCols.contains)
     val best = max(when(col("_rprefix").isNotNull,
       struct(length(expr("regexp_extract(_upath, _rx, 0)")).as("l"),
         col("_rallow").cast("int").as("a"),
@@ -78,9 +89,10 @@ object Crawl {
       .withColumn("_upath", col(pathCol))
       .join(r, col("_uhost") === col("_rhost") &&
         expr("_upath RLIKE _rx"), "left")
-      .groupBy(col(idCol))
+      .groupBy(col(idCol), col("_uhost"), col("_upath"))
       .agg(best, payload.map(c => first(col(c)).as(c)): _*)
-      .select(col(idCol).as(idCol) +: payload.map(col) ++: Seq(
+      .select(col(idCol) +: col("_uhost").as(hostCol) +:
+        col("_upath").as(pathCol) +: payload.map(col) ++: Seq(
         coalesce(col("_best.a") === 1, lit(true)).as("allowed"),
         col("_best.p").as("matched_prefix")): _*)
   }
@@ -90,7 +102,11 @@ object Crawl {
     * the first whitespace, quote, or `>`). */
   private val HrefValue = "(\"[^\"]*\"|'[^']*'|[^\\s\"'>]+)"
   private val HrefPattern = "(?i)href\\s*=\\s*" + HrefValue
-  private val BaseHrefPattern = "(?i)<base[^>]*href\\s*=\\s*" + HrefValue
+  // `<base\s` (not `<base[^>]*`): a tag whose name merely STARTS with
+  // "base" (<basefont>) must neither hijack the page base nor be
+  // stripped from the href scan
+  private val BaseHrefPattern = "(?i)<base\\s[^>]*href\\s*=\\s*" + HrefValue
+  private val BaseTagPattern = "(?i)<base(\\s[^>]*)?>"
 
   /** Strip the quoting form off a matched [[HrefValue]] token. */
   private def unquote(x: Column): Column =
@@ -167,22 +183,33 @@ object Crawl {
       val d = regexp_extract(basePath, "^(.*/)", 1)
       when(d === "", lit("/")).otherwise(d)
     }
-    val sansBase = regexp_replace(html, lit("(?i)<base[^>]*>"), lit(" "))
-    val raw = regexp_extract_all(sansBase, lit(HrefPattern), lit(1))
+    val sansBase = regexp_replace(html, lit(BaseTagPattern), lit(" "))
+    // Stage the base columns and the token array as PROJECTED
+    // attributes before the per-link lambda: inlining baseRoot/baseDir
+    // (regexp chains over the whole page) into transform() would
+    // re-evaluate them once per LINK instead of once per row — the
+    // HOF-argument re-evaluation hazard the shingles/repetitionStats
+    // let-bindings exist for (Catalyst won't collapse the projection
+    // back in: the aliases are non-cheap and consumed inside a lambda).
+    val staged = df.select(col(idCol),
+      baseRoot.as("_broot"), baseDir.as("_bdir"),
+      regexp_extract_all(sansBase, lit(HrefPattern), lit(1)).as("_toks"))
     val resolved = filter(
-      transform(raw, t => {
+      transform(col("_toks"), t => {
         val l = unquote(t)
         when(l.rlike("(?i)^https?://"), l)
           .when(l.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"),
             lit(null).cast("string"))
           .when(l.startsWith("//"), concat(lit("https:"), l))
-          .when(l.startsWith("/"), concat(baseRoot, normalizeDots(l)))
+          .when(l.startsWith("/"),
+            concat(col("_broot"), normalizeDots(l)))
           .when(l === "" || l.startsWith("#") || l.startsWith("?"),
             lit(null).cast("string"))
-          .otherwise(concat(baseRoot, normalizeDots(concat(baseDir, l))))
+          .otherwise(concat(col("_broot"),
+            normalizeDots(concat(col("_bdir"), l))))
       }),
       l => l.isNotNull)
-    df.select(col(idCol),
+    staged.select(col(idCol),
       posexplode(resolved).as(Seq("link_idx", "url")))
   }
 
@@ -215,9 +242,14 @@ object Crawl {
     * micro-unit scale. Output: (node, rank). */
   /** The materialized loop invariants of an integer-PageRank run:
     * `(edges, nodes, edges-with-outdeg, dangling-nodes)` — see
-    * [[pageRankInt]] for why they localCheckpoint pre-partitioned. */
+    * [[pageRankInt]] for why they localCheckpoint pre-partitioned.
+    * `dangling` is lazy (a thunk): only the redistribution arm reads
+    * it, and the default mass-dropping mode must not pay its
+    * anti-join + checkpoint job. */
   private case class PrInvariants(e: DataFrame, nodes: DataFrame,
-    eo: DataFrame, dangling: DataFrame)
+      eo: DataFrame, danglingThunk: () => DataFrame) {
+    lazy val dangling: DataFrame = danglingThunk()
+  }
 
   private def prInvariants(edges: DataFrame): PrInvariants = {
     // Materialize the loop invariants ONCE (lineage truncation, the
@@ -236,9 +268,9 @@ object Crawl {
       .repartition(col("node")).localCheckpoint()
     val eo = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")),
       Seq("src")).repartition(col("src")).localCheckpoint()
-    val dangling = nodes.join(e.select(col("src").as("node")).distinct(),
-      Seq("node"), "left_anti").localCheckpoint()
-    PrInvariants(e, nodes, eo, dangling)
+    PrInvariants(e, nodes, eo,
+      () => nodes.join(e.select(col("src").as("node")).distinct(),
+        Seq("node"), "left_anti").localCheckpoint())
   }
 
   /** One exact-integer PageRank iteration. `extraContrib` is added to

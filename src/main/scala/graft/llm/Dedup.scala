@@ -609,16 +609,13 @@ object Dedup {
   def dedupIncremental(newDf: DataFrame, corpusDf: DataFrame,
       idCol: String, textCol: String, bands: Int = 4, rowsPerBand: Int = 2,
       shingleN: Int = 3, maxBucket: Long = 1L << 20): DataFrame = {
+    // the build validates (and localCheckpoints) the corpus banded
+    // side, so the candidate join reuses that materialization instead
+    // of re-running the CPU-bound SHA signature pass over the full
+    // corpus, and admitCore only needs the batch-side guard
     val store = buildSignatureStore(corpusDf, idCol, textCol, bands,
-      rowsPerBand, shingleN)
-    // the guard forces a pass over the corpus banded side anyway —
-    // checkpoint it so the candidate join reuses the materialization
-    // instead of re-running the CPU-bound SHA signature pass over the
-    // full corpus
-    val banded =
-      if (maxBucket > 0) store.banded.localCheckpoint() else store.banded
-    admitCore(newDf, store.copy(banded = banded), idCol, textCol,
-      maxBucket, guardCorpusSide = true)
+      rowsPerBand, shingleN, validateMaxBucket = maxBucket)
+    admitCore(newDf, store, idCol, textCol, maxBucket)
   }
 
   /** Precomputed corpus-side signatures for incremental admission:
@@ -641,29 +638,56 @@ object Dedup {
       * contract as [[dedupIncremental]] (id, exact_dup,
       * near_candidates). Only the BATCH side is signatured here; the
       * corpus side is probed as-is. `maxBucket` fail-fasts on a
-      * mass-dup BATCH bucket (the corpus side was validated when the
-      * store was built/written — see [[writeSignatureStore]]); 0
-      * disables the check. */
+      * mass-dup BATCH bucket; the corpus side was validated when the
+      * store was built ([[buildSignatureStore]]'s default
+      * `validateMaxBucket`) or written ([[writeSignatureStore]]) —
+      * a store built with `validateMaxBucket = 0` skips that check
+      * and its hot corpus buckets are the caller's accepted risk; 0
+      * here disables the batch-side check. */
     def admit(newDf: DataFrame, idCol: String, textCol: String,
         maxBucket: Long = 1L << 20): DataFrame =
-      admitCore(newDf, this, idCol, textCol, maxBucket,
-        guardCorpusSide = false)
+      admitCore(newDf, this, idCol, textCol, maxBucket)
   }
 
-  /** Derive a [[SignatureStore]] from a corpus DataFrame. Lazy (plain
-    * DataFrames) — the signature pass runs when the store is first
-    * used; persist with [[writeSignatureStore]] to pay it exactly
-    * once across admission runs. */
+  /** Derive a [[SignatureStore]] from a corpus DataFrame. With the
+    * default `validateMaxBucket > 0` the banded side is
+    * localCheckpointed and the corpus-side mass-dup-bucket guard runs
+    * HERE, once (a bounded agg + ≤1-row action) — so every later
+    * probe both reuses the materialized signatures and inherits a
+    * validated corpus, making [[SignatureStore.admit]]'s batch-only
+    * guard sufficient. Pass 0 for a fully lazy, UNVALIDATED store
+    * (hot corpus buckets then become the caller's accepted risk);
+    * persist with [[writeSignatureStore]] to pay the signature pass
+    * exactly once across admission runs. */
   def buildSignatureStore(corpusDf: DataFrame, idCol: String,
       textCol: String, bands: Int = 4, rowsPerBand: Int = 2,
-      shingleN: Int = 3): SignatureStore = {
+      shingleN: Int = 3,
+      validateMaxBucket: Long = 1L << 20): SignatureStore = {
     val hashes = corpusDf
       .select(sha2(trim(col(textCol)), 256).as("content_hash"))
       .distinct()
-    val (_, banded) = shaBanded(corpusDf, idCol, textCol, bands,
+    val (_, banded0) = shaBanded(corpusDf, idCol, textCol, bands,
       rowsPerBand, shingleN)
-    SignatureStore(hashes, banded.select(col("band"), col("bucket"),
-      col("id")), bands, rowsPerBand, shingleN)
+    val keys = banded0.select(col("band"), col("bucket"), col("id"))
+    val banded =
+      if (validateMaxBucket <= 0) keys
+      else {
+        val b = keys.localCheckpoint()
+        val hot = b.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("_n"))
+          .filter(col("_n") > validateMaxBucket)
+          .orderBy(col("_n").desc).limit(1).collect()
+        hot.headOption.foreach { r =>
+          throw new IllegalArgumentException(
+            s"buildSignatureStore: corpus LSH bucket band=${r.get(0)} " +
+              s"bucket=${r.get(1)} holds ${r.getLong(2)} docs " +
+              s"(> maxBucket=$validateMaxBucket) — admission probes " +
+              "against it would be quadratic; exact-dedup the corpus " +
+              "first or raise the cap explicitly")
+        }
+        b
+      }
+    SignatureStore(hashes, banded, bands, rowsPerBand, shingleN)
   }
 
   /** Materialize a corpus's [[SignatureStore]] as bucketed catalog
@@ -673,34 +697,20 @@ object Dedup {
     * makes every subsequent admission probe exchange-free on the
     * corpus side — the nightly job shuffles only the nightly batch,
     * never the 100 TB corpus (see IoSpec's no-Exchange pin on
-    * bucketed joins). The corpus-side mass-dup-bucket guard runs HERE,
-    * once, instead of on every probe: a bucket hotter than
-    * `maxBucket` fails the write naming band and bucket. */
+    * bucketed joins). The corpus-side mass-dup-bucket guard runs at
+    * store BUILD time, once, instead of on every probe: a bucket
+    * hotter than `maxBucket` fails the build naming band and bucket. */
   def writeSignatureStore(corpusDf: DataFrame, idCol: String,
       textCol: String, tablePrefix: String, buckets: Int = 32,
       bands: Int = 4, rowsPerBand: Int = 2, shingleN: Int = 3,
       maxBucket: Long = 1L << 20): Unit = {
+    // the build runs the corpus-side guard (and checkpoints the
+    // banded keys the two writes below share)
     val store = buildSignatureStore(corpusDf, idCol, textCol, bands,
-      rowsPerBand, shingleN)
-    val banded =
-      if (maxBucket > 0) store.banded.localCheckpoint() else store.banded
-    if (maxBucket > 0) {
-      val hot = banded.groupBy(col("band"), col("bucket"))
-        .agg(count(lit(1)).as("_n"))
-        .filter(col("_n") > maxBucket)
-        .orderBy(col("_n").desc).limit(1).collect()
-      hot.headOption.foreach { r =>
-        throw new IllegalArgumentException(
-          s"writeSignatureStore: corpus LSH bucket band=${r.get(0)} " +
-            s"bucket=${r.get(1)} holds ${r.getLong(2)} docs " +
-            s"(> maxBucket=$maxBucket) — admission probes against it " +
-            "would be quadratic; exact-dedup the corpus first or " +
-            "raise maxBucket explicitly")
-      }
-    }
+      rowsPerBand, shingleN, validateMaxBucket = maxBucket)
     graft.io.Sinks.writeBucketed(store.hashes, s"${tablePrefix}_hashes",
       Seq("content_hash"), buckets)
-    graft.io.Sinks.writeBucketed(banded, s"${tablePrefix}_banded",
+    graft.io.Sinks.writeBucketed(store.banded, s"${tablePrefix}_banded",
       Seq("band", "bucket"), buckets)
     val spark = corpusDf.sparkSession
     import spark.implicits._
@@ -727,11 +737,10 @@ object Dedup {
     * [[SignatureStore.admit]]: signatures the batch side, probes the
     * (precomputed or inline) corpus hashes + banded index, and applies
     * the mass-dup-bucket guard over the batch side (plus the corpus
-    * side when `guardCorpusSide` — the inline path, where the corpus
-    * has not been validated by a store write). */
+    * side is validated where the store is BUILT — see
+    * [[buildSignatureStore]]'s `validateMaxBucket`). */
   private def admitCore(newDf: DataFrame, store: SignatureStore,
-      idCol: String, textCol: String, maxBucket: Long,
-      guardCorpusSide: Boolean): DataFrame = {
+      idCol: String, textCol: String, maxBucket: Long): DataFrame = {
     val newHash = newDf.select(col(idCol),
       sha2(trim(col(textCol)), 256).as("_h"))
     val corpusHash = store.hashes
@@ -745,27 +754,19 @@ object Dedup {
     if (maxBucket > 0) {
       // the documented hazard is m batch copies × k corpus copies — a
       // mass-dup batch (m huge) is quadratic even against a modest
-      // corpus bucket, so the batch side is checked on EVERY probe;
-      // the corpus side is checked inline only when no store write
-      // already validated it
-      val batchSide = bNew.select(lit("batch").as("_side"), col("band"),
-        col("bucket"))
-      val sides =
-        if (guardCorpusSide)
-          store.banded.select(lit("corpus").as("_side"), col("band"),
-            col("bucket")).union(batchSide)
-        else batchSide
-      val hot = sides
-        .groupBy(col("_side"), col("band"), col("bucket"))
+      // corpus bucket, so the batch side is checked on EVERY probe
+      // (the corpus side was checked once, where the store was built)
+      val hot = bNew
+        .groupBy(col("band"), col("bucket"))
         .agg(count(lit(1)).as("_n"))
         .filter(col("_n") > maxBucket)
         .orderBy(col("_n").desc).limit(1).collect()
       hot.headOption.foreach { r =>
         throw new IllegalArgumentException(
-          s"dedupIncremental: ${r.getString(0)} LSH bucket " +
-            s"band=${r.get(1)} bucket=${r.get(2)} holds " +
-            s"${r.getLong(3)} docs (> maxBucket=$maxBucket) — candidate " +
-            "join would be quadratic; exact-dedup that side first or " +
+          s"dedupIncremental: batch LSH bucket " +
+            s"band=${r.get(0)} bucket=${r.get(1)} holds " +
+            s"${r.getLong(2)} docs (> maxBucket=$maxBucket) — candidate " +
+            "join would be quadratic; exact-dedup the batch first or " +
             "raise maxBucket explicitly")
       }
     }

@@ -705,7 +705,7 @@ object R6Queries {
         |    CASE WHEN bq LIKE '"%' OR bq LIKE '''%'
         |         THEN substr(bq, 2, length(bq)-2) ELSE bq END AS braw
         |  FROM (SELECT h.*, regexp_extract(html,
-        |      '(?i)<base[^>]*href\s*=\s*("[^"]*"|''[^'']*''|[^\s"''>]+)',
+        |      '(?i)<base\s[^>]*href\s*=\s*("[^"]*"|''[^'']*''|[^\s"''>]+)',
         |      1) AS bq FROM h)),
         |bb AS (SELECT doc_id, host, path, html,
         |    CASE WHEN regexp_matches(braw, '(?i)^https?://') THEN braw
@@ -727,7 +727,7 @@ object R6Queries {
         |  FROM bs),
         |tok AS (SELECT doc_id, broot, bdir,
         |    regexp_extract_all(
-        |      regexp_replace(html, '(?i)<base[^>]*>', ' ', 'g'),
+        |      regexp_replace(html, '(?i)<base(\s[^>]*)?>', ' ', 'g'),
         |      '(?i)href\s*=\s*("[^"]*"|''[^'']*''|[^\s"''>]+)', 1) AS toks
         |  FROM bd),
         |ix AS (SELECT doc_id, broot, bdir, toks,

@@ -138,6 +138,30 @@ class CrawlSpec extends SparkSuite {
       (2L, 0, "https://h.com/img/i.png")))
   }
 
+  test("extractLinks: <basefont> neither hijacks the base nor is stripped") {
+    val df = Seq(
+      (1L, """<basefont href="https://other.example/f" size=3>""" +
+        """<a href="/p">x</a>""", "h.com")
+    ).toDF("id", "html", "host")
+    val r = Crawl.extractLinks(df, "id", "html", "host").collect()
+      .map(x => (x.getInt(1), x.getString(2))).toSeq
+    // basefont's href is scanned as a LINK (it is one under the
+    // any-attribute token scan) but must not become the page base
+    assert(r === Seq((0, "https://other.example/f"),
+      (1, "https://h.com/p")))
+  }
+
+  test("robotsFilter: one id under two paths keeps two rows with per-path rules") {
+    val u = Seq(
+      (1L, "a.com", "/private/secret"),
+      (1L, "a.com", "/index")
+    ).toDF("id", "host", "path")
+    val r = Crawl.robotsFilter(u, "id", "host", "path", rules)
+      .orderBy("path").collect()
+      .map(x => (x.getString(2), x.getBoolean(3))).toSeq
+    assert(r === Seq(("/index", true), ("/private/secret", false)))
+  }
+
   test("extractLinks: dir-relative resolves against the page path; dot-segments collapse") {
     val df = Seq(
       (1L, """<a href="img/x.png">a</a><a href="../sib">b</a>""" +
