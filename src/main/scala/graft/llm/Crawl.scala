@@ -97,6 +97,64 @@ object Crawl {
         col("_best.p").as("matched_prefix")): _*)
   }
 
+  /** Parse raw robots.txt BODIES into the (host, allow, prefix) rule
+    * table [[robotsFilter]] consumes — the registry materializer: a
+    * crawl pipeline fetches one robots.txt per host and needs its
+    * RFC 9309 groups resolved for the crawler's user-agent. Per host:
+    *  - lines split on CR?LF; `#` comments stripped; keys
+    *    (`User-agent`, `Allow`, `Disallow`) case-insensitive; other
+    *    keys (Sitemap, Crawl-delay, …) ignored;
+    *  - CONSECUTIVE User-agent lines form one group header; the
+    *    group's rules run until the next header (RFC 9309 §2.2.1);
+    *  - group selection is the RFC's most-specific-match: groups
+    *    naming `agent` exactly (case-insensitive) win; only when NO
+    *    group names it do the `*` groups apply; rules from ALL
+    *    selected groups merge;
+    *  - an empty rule value (`Disallow:` — the idiomatic allow-all)
+    *    matches nothing and is dropped.
+    * Output: (host, allow, prefix) — `prefix` may contain `*`/`$`,
+    * which [[robotsFilter]] translates.
+    *
+    * Scale shape: line explode is map-only; group assignment is a
+    * running count over each host's OWN lines (two windows partitioned
+    * by host) — robots.txt is capped at 500 KiB by the RFC, so a
+    * host's line set is bounded by protocol, not by corpus size: the
+    * one place a per-key window is the RIGHT tool. */
+  def parseRobotsTxt(df: DataFrame, hostCol: String, txtCol: String,
+      agent: String = "*"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agentLower = agent.toLowerCase(java.util.Locale.ROOT)
+    val lines = df.select(col(hostCol).as("host"),
+        posexplode(split(col(txtCol), "\r?\n")).as(Seq("idx", "line")))
+      .select(col("host"), col("idx"),
+        trim(regexp_replace(col("line"), "#.*$", "")).as("l"))
+      .select(col("host"), col("idx"),
+        lower(regexp_extract(col("l"), "^([A-Za-z-]+)\\s*:", 1)).as("k"),
+        trim(regexp_extract(col("l"), "^[A-Za-z-]+\\s*:(.*)$", 1)).as("v"))
+      .filter(col("k").isin("user-agent", "allow", "disallow"))
+    val w = Window.partitionBy("host").orderBy("idx")
+    val grouped = lines
+      .withColumn("_ua", col("k") === "user-agent")
+      // a UA line opens a NEW group iff the previous kept line wasn't
+      // one (consecutive UA lines share the header)
+      .withColumn("_start",
+        (col("_ua") && !coalesce(lag(col("_ua"), 1).over(w), lit(false)))
+          .cast("int"))
+      .withColumn("_g", sum(col("_start")).over(w))
+    val tiers = grouped.filter(col("_ua"))
+      .groupBy(col("host"), col("_g"))
+      .agg(max(when(lower(col("v")) === agentLower, 2)
+        .when(col("v") === "*", 1).otherwise(0)).as("_tier"))
+    val best = tiers.groupBy("host").agg(max(col("_tier")).as("_best"))
+    val selected = tiers.join(best, Seq("host"))
+      .filter(col("_tier") === col("_best") && col("_tier") > 0)
+      .select(col("host"), col("_g"))
+    grouped.filter(!col("_ua") && col("v") =!= "")
+      .join(selected, Seq("host", "_g"))
+      .select(col("host"), (col("k") === "allow").as("allow"),
+        col("v").as("prefix"))
+  }
+
   /** An href attribute VALUE in any of HTML's three quoting forms:
     * double-quoted, single-quoted, or unquoted (unquoted values run to
     * the first whitespace, quote, or `>`). */

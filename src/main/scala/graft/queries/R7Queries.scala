@@ -78,6 +78,33 @@ object R7Queries {
         .filter(col("allowed"))
         .select(col("domain"), col("url"))
         .orderBy("domain", "url")
+    }),
+
+    // [EXT] robots.txt PARSING (the registry materializer): 40 planted
+    // per-host robots bodies — comments, an allow-all empty Disallow,
+    // an ignored Sitemap key, and on every 3rd host a two-agent group
+    // naming the crawler — parsed for agent 'graftbot'. Hosts with an
+    // exact-agent group use ONLY its rules (RFC most-specific-match);
+    // the rest fall back to the `*` group. The oracle replays the
+    // line/key split, the consecutive-UA grouping windows, and the
+    // tier selection.
+    "q116_robots_parse" -> ((s, d) => {
+      val hosts = T.documents(s, d)
+        .select(pmod(col("doc_id"), lit(40)).as("hi")).distinct()
+      val txt = concat(
+        lit("# robots for host\nUser-agent: *\n" +
+          "Disallow: /private/   # keep out\nAllow: /private/open\n" +
+          "Disallow:\n"),
+        when(pmod(col("hi"), lit(3)) === 0,
+          lit("\nUser-agent: graftbot\nUser-agent: otherbot\n" +
+            "Disallow: /bot/*\nAllow: /bot/ok$\n")).otherwise(lit("")),
+        lit("Sitemap: https://example.com/s.xml\n"))
+      graft.llm.Crawl.parseRobotsTxt(
+          hosts.select(
+            concat(lit("h"), col("hi").cast("string"),
+              lit(".example.com")).as("host"), txt.as("txt")),
+          "host", "txt", agent = "graftbot")
+        .orderBy("host", "prefix", "allow")
     })
   )
 
@@ -177,6 +204,51 @@ object R7Queries {
         |FROM d2 LEFT JOIN (SELECT url, allow FROM m WHERE rn = 1) b
         |  USING (url)
         |WHERE coalesce(b.allow, true)
-        |ORDER BY domain, url""".stripMargin
+        |ORDER BY domain, url""".stripMargin,
+    "q116_robots_parse" ->
+      """WITH hs AS (SELECT DISTINCT doc_id % 40 AS hi FROM documents),
+        |t AS (SELECT 'h' || CAST(hi AS VARCHAR) || '.example.com' AS host,
+        |    '# robots for host' || chr(10) || 'User-agent: *' || chr(10)
+        |    || 'Disallow: /private/   # keep out' || chr(10)
+        |    || 'Allow: /private/open' || chr(10) || 'Disallow:' || chr(10)
+        |    || CASE WHEN hi % 3 = 0 THEN
+        |         chr(10) || 'User-agent: graftbot' || chr(10)
+        |         || 'User-agent: otherbot' || chr(10)
+        |         || 'Disallow: /bot/*' || chr(10)
+        |         || 'Allow: /bot/ok$' || chr(10)
+        |       ELSE '' END
+        |    || 'Sitemap: https://example.com/s.xml' || chr(10) AS txt
+        |  FROM hs),
+        |sp AS (SELECT host, regexp_split_to_array(txt, '\r?\n') AS ls
+        |  FROM t),
+        |ln AS (SELECT host, i,
+        |    trim(regexp_replace(ls[i], '#.*$', '')) AS l
+        |  FROM (SELECT host, ls,
+        |          unnest(generate_series(1, len(ls))) AS i FROM sp)),
+        |kv AS (SELECT host, i,
+        |    lower(regexp_extract(l, '^([A-Za-z-]+)\s*:', 1)) AS k,
+        |    trim(regexp_extract(l, '^[A-Za-z-]+\s*:(.*)$', 1)) AS v
+        |  FROM ln
+        |  WHERE lower(regexp_extract(l, '^([A-Za-z-]+)\s*:', 1))
+        |    IN ('user-agent', 'allow', 'disallow')),
+        |g AS (SELECT host, i, k, v, (k = 'user-agent') AS ua,
+        |    CASE WHEN k = 'user-agent' AND NOT coalesce(
+        |        lag(k = 'user-agent') OVER (PARTITION BY host ORDER BY i),
+        |        false)
+        |      THEN 1 ELSE 0 END AS st
+        |  FROM kv),
+        |g2 AS (SELECT *, sum(st) OVER (PARTITION BY host ORDER BY i
+        |    ROWS UNBOUNDED PRECEDING) AS grp FROM g),
+        |tier AS (SELECT host, grp,
+        |    max(CASE WHEN lower(v) = 'graftbot' THEN 2
+        |             WHEN v = '*' THEN 1 ELSE 0 END) AS tier
+        |  FROM g2 WHERE ua GROUP BY 1, 2),
+        |best AS (SELECT host, max(tier) AS b FROM tier GROUP BY 1),
+        |sel AS (SELECT tier.host, grp FROM tier JOIN best USING (host)
+        |  WHERE tier = b AND tier > 0)
+        |SELECT g2.host AS host, (k = 'allow') AS allow, v AS prefix
+        |FROM g2 JOIN sel ON g2.host = sel.host AND g2.grp = sel.grp
+        |WHERE NOT ua AND v <> ''
+        |ORDER BY host, prefix, allow""".stripMargin
   )
 }

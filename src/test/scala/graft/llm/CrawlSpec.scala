@@ -179,6 +179,43 @@ class CrawlSpec extends SparkSuite {
       (2L, 0, "https://h.com/x")))
   }
 
+  test("parseRobotsTxt: groups, comments, agent precedence, empty Disallow") {
+    val txt =
+      """# banner comment
+        |User-agent: *
+        |Disallow: /private/  # inline comment
+        |Allow: /private/open
+        |Disallow:
+        |
+        |User-agent: GraftBot
+        |User-agent: otherbot
+        |Disallow: /bot/*
+        |Allow: /bot/ok$
+        |Sitemap: https://a.com/s.xml
+        |Crawl-delay: 10""".stripMargin
+    val df = Seq(("a.com", txt), ("b.com",
+      "User-agent: *\nDisallow: /x/")).toDF("host", "txt")
+    // agent named by a group (case-insensitive): ONLY its rules apply
+    val bot = Crawl.parseRobotsTxt(df, "host", "txt", agent = "graftbot")
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getString(2)))
+      .toSet
+    assert(bot === Set(("a.com", false, "/bot/*"), ("a.com", true, "/bot/ok$"),
+      ("b.com", false, "/x/"))) // b.com has no graftbot group -> * applies
+    // default agent: the * groups
+    val star = Crawl.parseRobotsTxt(df, "host", "txt")
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getString(2)))
+      .toSet
+    assert(star === Set(("a.com", false, "/private/"),
+      ("a.com", true, "/private/open"), ("b.com", false, "/x/")))
+    // parsed rules feed robotsFilter directly (wildcards included)
+    val urls = Seq((1L, "a.com", "/bot/123"), (2L, "a.com", "/bot/ok"))
+      .toDF("id", "host", "path")
+    val rules = Crawl.parseRobotsTxt(df, "host", "txt", agent = "graftbot")
+    val filtered = Crawl.robotsFilter(urls, "id", "host", "path", rules)
+      .collect().map(x => x.getLong(0) -> x.getBoolean(3)).toMap
+    assert(filtered === Map(1L -> false, 2L -> true))
+  }
+
   test("pageRankInt: exact integer ranks, hand-computed 2 iterations") {
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
     // outdeg 1:2, 2:1, 3:1; base = 150000
