@@ -509,6 +509,25 @@ class DedupSpec extends SparkSuite {
       e.getMessage.contains("maxBucket=3"), e.getMessage)
   }
 
+  test("buildSignatureStore validates the corpus side at build time") {
+    // the in-session build->admit path must carry the same corpus
+    // guard as the inline operator and the store write — an
+    // unvalidated hot corpus bucket would make every later probe
+    // quadratic with no error
+    val page = "one boilerplate page body duplicated across the whole corpus"
+    val corpus = (1L to 5L).map(i => (i, page)).toDF("id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.buildSignatureStore(corpus, "id", "text",
+        validateMaxBucket = 3)
+    }
+    assert(e.getMessage.contains("corpus") &&
+      e.getMessage.contains("maxBucket=3"), e.getMessage)
+    // validateMaxBucket = 0: lazy, unvalidated — builds without error
+    val lazyStore = Dedup.buildSignatureStore(corpus, "id", "text",
+      validateMaxBucket = 0)
+    assert(lazyStore.banded.columns.toSeq === Seq("band", "bucket", "id"))
+  }
+
   test("store admit guard fires on a mass-dup BATCH bucket") {
     val page = "the same error page replicated through the whole crawl"
     val corpus = Seq((1L, "alpha doc one"), (2L, "beta doc two"),

@@ -235,4 +235,22 @@ class PlanQualitySpec extends SparkSuite {
     val p = plan("q106_budget_select")
     assert(!p.contains("Window"), p.take(1200))
   }
+
+  test("q107: robots winner is one aggregate over a broadcast rule join — no rank window, one exchange") {
+    val p = plan("q107_robots_filter")
+    assert(!p.contains("Window"), p.take(1200))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+    // ONE hash exchange (the winner groupBy); the payload rides it —
+    // a keys-only agg + join-back would cost a second URL shuffle
+    // (formatted mode lists partitioning under Arguments:)
+    val exchanges = "hashpartitioning\\(".r.findAllIn(p).length
+    assert(exchanges === 1, p.take(1500))
+  }
+
+  test("q108: outlink extraction is map-only — a Generate, no exchange") {
+    val p = plan("q108_extract_links")
+    assert(p.contains("Generate"), p.take(800))
+    assert(!p.contains("hashpartitioning("), p.take(1200))
+  }
 }
