@@ -216,7 +216,7 @@ class PlanQualitySpec extends SparkSuite {
   test("q101: WARC explode is a streamed Generate in-plan") {
     val p = plan("q101_warc_extract")
     assert(p.contains("Generate"), p.take(1200))
-    assert(!p.contains("Exchange hashpartitioning"), p.take(1200)) // map-only
+    assert(!p.contains("hashpartitioning"), p.take(1200)) // map-only
   }
 
   test("q102: global sample is TakeOrderedAndProject, never a full sort") {
