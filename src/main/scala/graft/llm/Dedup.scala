@@ -714,10 +714,78 @@ object Dedup {
       Seq("band", "bucket"), buckets)
     val spark = corpusDf.sparkSession
     import spark.implicits._
-    Seq((bands, rowsPerBand, shingleN))
-      .toDF("bands", "rows_per_band", "shingle_n")
+    Seq((bands, rowsPerBand, shingleN, buckets))
+      .toDF("bands", "rows_per_band", "shingle_n", "buckets")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .saveAsTable(s"${tablePrefix}_meta")
+  }
+
+  /** Merge an ADMITTED batch's signatures into a persisted store —
+    * the last step of the nightly loop (probe → admit → append), so
+    * tomorrow's batch dedups against today's accepted documents
+    * without ever re-signaturing the corpus. Banding parameters come
+    * from the store's meta table (a probe can never append mismatched
+    * banding); only hashes NOT already present append (the hash table
+    * stays distinct-valued) and only (band, bucket, id) rows not
+    * already present append (re-running a day is idempotent). Both
+    * anti-joins and the append writes are bucketed on the probe keys,
+    * so the corpus side stays exchange-free — the append job's cost
+    * is the batch's own signature pass.
+    *
+    * The post-append mass-dup guard checks the MERGED bucket sizes
+    * for the touched buckets only (batch bucket counts join the
+    * store's counts exchange-free): a batch that would push a bucket
+    * past `maxBucket` fails BEFORE writing, naming the bucket —
+    * without this, appends could silently grow the hot bucket the
+    * build-time guard exists to reject. 0 disables. */
+  def appendToSignatureStore(batch: DataFrame, idCol: String,
+      textCol: String, tablePrefix: String,
+      maxBucket: Long = 1L << 20): Unit = {
+    val spark = batch.sparkSession
+    val store = readSignatureStore(spark, tablePrefix)
+    val hashes = batch
+      .select(sha2(trim(col(textCol)), 256).as("content_hash"))
+      .distinct()
+    val newHashes = hashes.join(spark.table(s"${tablePrefix}_hashes"),
+      Seq("content_hash"), "left_anti")
+    val (_, banded0) = shaBanded(batch, idCol, textCol, store.bands,
+      store.rowsPerBand, store.shingleN)
+    val newBanded = banded0.select(col("band"), col("bucket"), col("id"))
+      .distinct()
+      .join(spark.table(s"${tablePrefix}_banded"),
+        Seq("band", "bucket", "id"), "left_anti")
+      .localCheckpoint() // guard + write share one signature pass
+    if (maxBucket > 0) {
+      val batchCounts = newBanded.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("_bn"))
+      val corpusCounts = spark.table(s"${tablePrefix}_banded")
+        .groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("_cn"))
+      val hot = batchCounts.join(corpusCounts, Seq("band", "bucket"),
+          "left")
+        .select(col("band"), col("bucket"),
+          (col("_bn") + coalesce(col("_cn"), lit(0L))).as("_n"))
+        .filter(col("_n") > maxBucket)
+        .orderBy(col("_n").desc).limit(1).collect()
+      hot.headOption.foreach { r =>
+        throw new IllegalArgumentException(
+          s"appendToSignatureStore: merged LSH bucket band=${r.get(0)} " +
+            s"bucket=${r.get(1)} would hold ${r.getLong(2)} docs " +
+            s"(> maxBucket=$maxBucket) — exact-dedup the batch against " +
+            "the corpus first (admit + filter) or raise the cap")
+      }
+    }
+    // append with the SAME bucket count the store was written with
+    // (recorded in the meta table) — a mismatched bucketBy append
+    // would corrupt the exchange-free layout
+    val buckets = spark.table(s"${tablePrefix}_meta").head()
+      .getAs[Int]("buckets")
+    graft.io.Sinks.writeBucketed(newHashes, s"${tablePrefix}_hashes",
+      Seq("content_hash"), buckets,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    graft.io.Sinks.writeBucketed(newBanded, s"${tablePrefix}_banded",
+      Seq("band", "bucket"), buckets,
+      mode = org.apache.spark.sql.SaveMode.Append)
   }
 
   /** Reload a persisted [[SignatureStore]]; banding parameters come

@@ -509,6 +509,66 @@ class DedupSpec extends SparkSuite {
       e.getMessage.contains("maxBucket=3"), e.getMessage)
   }
 
+  test("appendToSignatureStore: tomorrow's batch dedups against today's admits") {
+    val corpus = Seq(
+      (1L, "alpha subject matter entirely its own body here"),
+      (2L, "beta subject matter entirely different body text")).toDF("id", "text")
+    val day1 = Seq(
+      (10L, "gamma fresh document admitted on day one intact")).toDF("id", "text")
+    val day2 = Seq(
+      (20L, "gamma fresh document admitted on day one intact"), // dup of day1
+      (21L, "delta genuinely new document on day two arriving")).toDF("id", "text")
+    Dedup.writeSignatureStore(corpus, "id", "text", "sig_store_ap",
+      buckets = 4)
+    try {
+      val s1 = Dedup.readSignatureStore(spark, "sig_store_ap")
+      // day 1: gamma is new against the corpus
+      val a1 = s1.admit(day1, "id", "text").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(a1 === Map(10L -> false))
+      Dedup.appendToSignatureStore(day1, "id", "text", "sig_store_ap")
+      // day 2 probes the UPDATED store: the day-1 dup is caught
+      val s2 = Dedup.readSignatureStore(spark, "sig_store_ap")
+      val a2 = s2.admit(day2, "id", "text").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toList
+        .sortBy(_._1)
+      assert(a2.map(t => t._1 -> t._2) === List(20L -> true, 21L -> false))
+      assert(a2.head._3 >= 1L, "day-1 doc must surface as a near candidate")
+      // idempotent: re-appending day 1 adds nothing
+      Dedup.appendToSignatureStore(day1, "id", "text", "sig_store_ap")
+      val nHashes = spark.table("sig_store_ap_hashes").count()
+      Dedup.appendToSignatureStore(day1, "id", "text", "sig_store_ap")
+      assert(spark.table("sig_store_ap_hashes").count() === nHashes)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sig_store_ap_hashes")
+      spark.sql("DROP TABLE IF EXISTS sig_store_ap_banded")
+      spark.sql("DROP TABLE IF EXISTS sig_store_ap_meta")
+    }
+  }
+
+  test("appendToSignatureStore fail-fasts before growing a hot bucket") {
+    val corpus = Seq((1L, "one ordinary page body standing alone fine"))
+      .toDF("id", "text")
+    val page = "the same error page replicated through the whole batch"
+    val hot = (10L to 14L).map(i => (i, page)).toDF("id", "text")
+    Dedup.writeSignatureStore(corpus, "id", "text", "sig_store_gr",
+      buckets = 4)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Dedup.appendToSignatureStore(hot, "id", "text", "sig_store_gr",
+          maxBucket = 3)
+      }
+      assert(e.getMessage.contains("merged") &&
+        e.getMessage.contains("maxBucket=3"), e.getMessage)
+      // nothing was written: the store still holds only the corpus doc
+      assert(spark.table("sig_store_gr_hashes").count() === 1L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sig_store_gr_hashes")
+      spark.sql("DROP TABLE IF EXISTS sig_store_gr_banded")
+      spark.sql("DROP TABLE IF EXISTS sig_store_gr_meta")
+    }
+  }
+
   test("buildSignatureStore validates the corpus side at build time") {
     // the in-session build->admit path must carry the same corpus
     // guard as the inline operator and the store write — an
