@@ -155,6 +155,42 @@ object Crawl {
         col("v").as("prefix"))
   }
 
+  /** Sitemap extraction — the OTHER frontier seed next to page
+    * outlinks: parse sitemap XML (plain `<urlset>` entries and
+    * `<sitemapindex>` child-sitemap entries, sitemaps.org protocol)
+    * into (id, entry_idx, kind, url, lastmod) rows. `kind` is `url`
+    * for page entries and `sitemap` for index entries (a crawler
+    * fetches the latter recursively); `lastmod` is the raw value or
+    * NULL when absent; `<loc>` values are whitespace-trimmed and the
+    * five XML entities decode in the [[TextAnalysis.stripHtml]] order
+    * (`&amp;` last — sitemap URLs legally carry `&amp;` in query
+    * strings). Map-only: one block scan + in-array extraction →
+    * posexplode; all patterns are RE2-compatible (non-greedy, no
+    * lookahead) so the oracle replays them verbatim. Entries with an
+    * empty/missing `<loc>` drop. */
+  def extractSitemapUrls(df: DataFrame, idCol: String,
+      xmlCol: String): DataFrame = {
+    val blocks = regexp_extract_all(col(xmlCol),
+      lit("(?is)<(?:url|sitemap)>.*?</(?:url|sitemap)>"), lit(0))
+    def decode(x: Column): Column =
+      Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&amp;" -> "&")
+        .foldLeft(x) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    val entries = filter(
+      transform(blocks, b => struct(
+        when(b.rlike("(?is)^<url>"), lit("url"))
+          .otherwise(lit("sitemap")).as("kind"),
+        decode(regexp_extract(b, "(?is)<loc>\\s*([^<]*?)\\s*</loc>", 1))
+          .as("url"),
+        nullif(regexp_extract(b,
+          "(?is)<lastmod>\\s*([^<]*?)\\s*</lastmod>", 1), lit(""))
+          .as("lastmod"))),
+      e => e.getField("url") =!= "")
+    df.select(col(idCol), posexplode(entries).as(Seq("entry_idx", "e")))
+      .select(col(idCol), col("entry_idx"), col("e.kind").as("kind"),
+        col("e.url").as("url"), col("e.lastmod").as("lastmod"))
+  }
+
   /** An href attribute VALUE in any of HTML's three quoting forms:
     * double-quoted, single-quoted, or unquoted (unquoted values run to
     * the first whitespace, quote, or `>`). */

@@ -105,6 +105,37 @@ object R7Queries {
               lit(".example.com")).as("host"), txt.as("txt")),
           "host", "txt", agent = "graftbot")
         .orderBy("host", "prefix", "allow")
+    }),
+
+    // [EXT] sitemap extraction (the other frontier seed): every 4th
+    // doc carries a <sitemapindex> (child sitemaps, one without
+    // lastmod and a whitespace-padded <loc>), the rest a <urlset>
+    // with a lastmod entry, an &amp;-escaped query URL, and a
+    // loc-less entry that must drop. Map-only; the oracle computes
+    // the rows analytically.
+    "q117_sitemap" -> ((s, d) => {
+      val id = col("doc_id")
+      val k = pmod(id, lit(9))
+      val xml = when(pmod(id, lit(4)) === 0,
+        concat(
+          lit("<?xml version=\"1.0\"?><sitemapindex><sitemap><loc> " +
+            "https://s"), k.cast("string"),
+          lit(".example.com/sitemap1.xml </loc></sitemap>" +
+            "<sitemap><loc>https://s"), k.cast("string"),
+          lit(".example.com/sitemap2.xml</loc><lastmod>2024-01-0"),
+          (k + 1).cast("string"),
+          lit("</lastmod></sitemap></sitemapindex>")))
+        .otherwise(concat(
+          lit("<?xml version=\"1.0\"?><urlset><url>" +
+            "<loc>https://h.example.com/p/"), id.cast("string"),
+          lit("</loc><lastmod>2024-02-11</lastmod></url>" +
+            "<url><loc>https://h.example.com/q?a=1&amp;b="),
+          pmod(id, lit(7)).cast("string"),
+          lit("</loc></url>" +
+            "<url><lastmod>2024-03-01</lastmod></url></urlset>")))
+      graft.llm.Crawl.extractSitemapUrls(
+          T.documents(s, d).select(id, xml.as("xml")), "doc_id", "xml")
+        .orderBy("doc_id", "entry_idx")
     })
   )
 
@@ -249,6 +280,33 @@ object R7Queries {
         |SELECT g2.host AS host, (k = 'allow') AS allow, v AS prefix
         |FROM g2 JOIN sel ON g2.host = sel.host AND g2.grp = sel.grp
         |WHERE NOT ua AND v <> ''
-        |ORDER BY host, prefix, allow""".stripMargin
+        |ORDER BY host, prefix, allow""".stripMargin,
+    "q117_sitemap" ->
+      """WITH d AS (SELECT doc_id, doc_id % 9 AS k, doc_id % 7 AS m
+        |  FROM documents),
+        |rows_ AS (
+        |  SELECT doc_id, 0 AS entry_idx, 'sitemap' AS kind,
+        |    'https://s' || CAST(k AS VARCHAR) || '.example.com/sitemap1.xml'
+        |      AS url,
+        |    CAST(NULL AS VARCHAR) AS lastmod
+        |  FROM d WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'sitemap',
+        |    'https://s' || CAST(k AS VARCHAR) || '.example.com/sitemap2.xml',
+        |    '2024-01-0' || CAST(k + 1 AS VARCHAR)
+        |  FROM d WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 0, 'url',
+        |    'https://h.example.com/p/' || CAST(doc_id AS VARCHAR),
+        |    '2024-02-11'
+        |  FROM d WHERE doc_id % 4 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'url',
+        |    'https://h.example.com/q?a=1&b=' || CAST(m AS VARCHAR),
+        |    NULL
+        |  FROM d WHERE doc_id % 4 <> 0)
+        |SELECT doc_id, CAST(entry_idx AS INT) AS entry_idx, kind, url,
+        |  lastmod
+        |FROM rows_ ORDER BY doc_id, entry_idx""".stripMargin
   )
 }

@@ -216,6 +216,30 @@ class CrawlSpec extends SparkSuite {
     assert(filtered === Map(1L -> false, 2L -> true))
   }
 
+  test("extractSitemapUrls: urlset + sitemapindex, entities, drops, trim") {
+    val urlset =
+      """<?xml version="1.0"?><urlset>
+        |<url><loc> https://a.com/p1 </loc><lastmod>2024-01-02</lastmod></url>
+        |<url><loc>https://a.com/q?x=1&amp;y=2</loc></url>
+        |<url><lastmod>2024-03-01</lastmod></url>
+        |<url><loc></loc></url>
+        |</urlset>""".stripMargin
+    val index =
+      """<sitemapindex><sitemap><loc>https://a.com/s1.xml</loc></sitemap>
+        |<sitemap><loc>https://a.com/s2.xml</loc>
+        |<lastmod>2024-02-03</lastmod></sitemap></sitemapindex>""".stripMargin
+    val df = Seq((1L, urlset), (2L, index), (3L, "no xml at all"))
+      .toDF("id", "xml")
+    val r = Crawl.extractSitemapUrls(df, "id", "xml").collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getString(2), x.getString(3),
+        Option(x.getString(4)))).toSeq
+    assert(r === Seq(
+      (1L, 0, "url", "https://a.com/p1", Some("2024-01-02")),
+      (1L, 1, "url", "https://a.com/q?x=1&y=2", None),
+      (2L, 0, "sitemap", "https://a.com/s1.xml", None),
+      (2L, 1, "sitemap", "https://a.com/s2.xml", Some("2024-02-03"))))
+  }
+
   test("pageRankInt: exact integer ranks, hand-computed 2 iterations") {
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
     // outdeg 1:2, 2:1, 3:1; base = 150000
