@@ -453,4 +453,53 @@ object TrainingOps {
         (col("inter").cast(DoubleType) / col("probe_sz")).as("containment"))
       .filter(col("containment") >= threshold)
   }
+
+  /** Deterministic corpus vocabulary (tokenizer seeding / unigram
+    * model export): the `size` most frequent whitespace tokens with
+    * contiguous ids 0..V−1 assigned by (count desc, term) — the same
+    * deterministic ordering on any engine or partitioning. Counting
+    * is a map-side-combined aggregate over every token occurrence;
+    * the cut is orderBy+limit (a TakeOrdered, never a global sort);
+    * the id assignment IS a single-partition rank window — over at
+    * most `size` rows, bounded by the PARAMETER, not the corpus (the
+    * q60/q65 convention: windows are fine when the partition is
+    * provably small). Output: (token_id, term, cnt). */
+  def buildVocab(df: DataFrame, textCol: String,
+      size: Int = 32768): DataFrame = {
+    require(size > 0, "size must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val top = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(size)
+    top.select(
+      (row_number().over(Window.orderBy(col("cnt").desc, col("term")))
+        - 1).as("token_id"),
+      col("term"), col("cnt"))
+  }
+
+  /** One counting round of byte-pair-encoding tokenizer training at
+    * corpus scale: the `topK` most frequent ADJACENT CHARACTER pairs
+    * across all whitespace-token occurrences (occurrence-weighted,
+    * as BPE counts), ranked (count desc, pair) — the pair a BPE
+    * trainer would merge next, plus the candidates behind it. Pairs
+    * come from in-array substring windows (no char-array explosion);
+    * single-char tokens contribute none. Map-only until the
+    * map-side-combined pair count; top-k is a TakeOrdered. Iterating
+    * real BPE training means re-tokenizing with the merged symbol
+    * between rounds — this primitive is the per-round counting
+    * kernel, the part that touches 100 TB. */
+  def bpePairCounts(df: DataFrame, textCol: String,
+      topK: Int = 100): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val pairs = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .select(explode(
+        when(length(col("w")) >= 2,
+          transform(sequence(lit(1), length(col("w")) - 1),
+            i => col("w").substr(i, lit(2))))
+          .otherwise(array().cast("array<string>"))).as("pair"))
+    pairs.groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(topK)
+  }
 }

@@ -136,7 +136,26 @@ object R7Queries {
       graft.llm.Crawl.extractSitemapUrls(
           T.documents(s, d).select(id, xml.as("xml")), "doc_id", "xml")
         .orderBy("doc_id", "entry_idx")
-    })
+    }),
+
+    // [EXT] deterministic vocabulary build (tokenizer seeding): top
+    // 500 whitespace tokens of the documents table with contiguous
+    // (count desc, term) ids — the id-assignment window runs over at
+    // most `size` rows (parameter-bounded). Oracle replays the same
+    // count/rank.
+    "q118_vocab" -> ((s, d) =>
+      graft.llm.TrainingOps.buildVocab(
+        T.documents(s, d).select(col("text")), "text", size = 500)
+      .orderBy("token_id")),
+
+    // [EXT] one BPE counting round: the 100 most frequent adjacent
+    // character pairs across all token occurrences — the merge
+    // candidates of a tokenizer trainer's next round. Oracle replays
+    // the substring windows and the (count desc, pair) cut.
+    "q119_bpe_pairs" -> ((s, d) =>
+      graft.llm.TrainingOps.bpePairCounts(
+        T.documents(s, d).select(col("text")), "text", topK = 100)
+      .orderBy(col("cnt").desc, col("pair")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -307,6 +326,26 @@ object R7Queries {
         |  FROM d WHERE doc_id % 4 <> 0)
         |SELECT doc_id, CAST(entry_idx AS INT) AS entry_idx, kind, url,
         |  lastmod
-        |FROM rows_ ORDER BY doc_id, entry_idx""".stripMargin
+        |FROM rows_ ORDER BY doc_id, entry_idx""".stripMargin,
+    "q118_vocab" ->
+      """WITH t AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1
+        |      ORDER BY cnt DESC, term LIMIT 500)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, term) - 1
+        |    AS INT) AS token_id,
+        |  term, cnt
+        |FROM c ORDER BY token_id""".stripMargin,
+    "q119_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |p AS (SELECT unnest(list_transform(
+        |        generate_series(1, length(w) - 1),
+        |        i -> substr(w, CAST(i AS INT), 2))) AS pair
+        |      FROM w WHERE length(w) >= 2)
+        |SELECT pair, count(*) AS cnt FROM p GROUP BY 1
+        |ORDER BY cnt DESC, pair LIMIT 100""".stripMargin
   )
 }

@@ -307,4 +307,23 @@ class TrainingOpsSpec extends SparkSuite {
     }
     assert(e2.getMessage.contains("floored to 0"))
   }
+
+  test("buildVocab: contiguous ids by (count desc, term), size cut") {
+    import spark.implicits._
+    val df = Seq("b b b a a c", "a d d", "c a").toDF("text")
+    val v = TrainingOps.buildVocab(df, "text", size = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    // counts: a=4, b=3, d=2, c=2 -> cut at 3, tie c vs d broken by term
+    assert(v === Seq((0, "a", 4L), (1, "b", 3L), (2, "c", 2L)))
+  }
+
+  test("bpePairCounts: occurrence-weighted adjacent pairs, 1-char tokens skip") {
+    import spark.implicits._
+    val df = Seq("abab ab", "x ab").toDF("text")
+    val p = TrainingOps.bpePairCounts(df, "text", topK = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // 'abab' -> ab,ba,ab; 'ab' x2 -> ab,ab; 'x' -> none
+    // totals: ab=4, ba=1
+    assert(p === Seq(("ab", 4L), ("ba", 1L)))
+  }
 }
