@@ -124,13 +124,19 @@ object Crawl {
       agent: String = "*"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val agentLower = agent.toLowerCase(java.util.Locale.ROOT)
+    // RFC 9309 whitespace is space OR horizontal tab (*WS) — Spark's
+    // trim() strips only 0x20, which would leave a tab-indented line
+    // failing the anchored key regex (its rules silently attaching to
+    // the previous group) and a tab after the colon inside the prefix
+    def hTrim(c: Column): Column =
+      regexp_replace(c, "^[ \\t]+|[ \\t]+$", "")
     val lines = df.select(col(hostCol).as("host"),
         posexplode(split(col(txtCol), "\r?\n")).as(Seq("idx", "line")))
       .select(col("host"), col("idx"),
-        trim(regexp_replace(col("line"), "#.*$", "")).as("l"))
+        hTrim(regexp_replace(col("line"), "#.*$", "")).as("l"))
       .select(col("host"), col("idx"),
         lower(regexp_extract(col("l"), "^([A-Za-z-]+)\\s*:", 1)).as("k"),
-        trim(regexp_extract(col("l"), "^[A-Za-z-]+\\s*:(.*)$", 1)).as("v"))
+        hTrim(regexp_extract(col("l"), "^[A-Za-z-]+\\s*:(.*)$", 1)).as("v"))
       .filter(col("k").isin("user-agent", "allow", "disallow"))
     val w = Window.partitionBy("host").orderBy("idx")
     val grouped = lines
@@ -161,10 +167,13 @@ object Crawl {
     * into (id, entry_idx, kind, url, lastmod) rows. `kind` is `url`
     * for page entries and `sitemap` for index entries (a crawler
     * fetches the latter recursively); `lastmod` is the raw value or
-    * NULL when absent; `<loc>` values are whitespace-trimmed and the
-    * five XML entities decode in the [[TextAnalysis.stripHtml]] order
-    * (`&amp;` last — sitemap URLs legally carry `&amp;` in query
-    * strings). Map-only: one block scan + in-array extraction →
+    * NULL when absent; `<loc>` values are whitespace-trimmed and
+    * XML's five predefined entities (incl. `&apos;`, which the
+    * sitemaps.org protocol mandates for apostrophes) plus the common
+    * `&#39;` numeric reference decode with `&amp;` last (the
+    * [[TextAnalysis.stripHtml]] order — sitemap URLs legally carry
+    * `&amp;` in query strings). Map-only: one block scan + in-array
+    * extraction →
     * posexplode; all patterns are RE2-compatible (non-greedy, no
     * lookahead) so the oracle replays them verbatim. Entries with an
     * empty/missing `<loc>` drop. */
@@ -174,7 +183,7 @@ object Crawl {
       lit("(?is)<(?:url|sitemap)>.*?</(?:url|sitemap)>"), lit(0))
     def decode(x: Column): Column =
       Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-        "&#39;" -> "'", "&amp;" -> "&")
+        "&apos;" -> "'", "&#39;" -> "'", "&amp;" -> "&")
         .foldLeft(x) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
     val entries = filter(
       transform(blocks, b => struct(

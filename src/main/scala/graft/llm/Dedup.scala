@@ -742,23 +742,47 @@ object Dedup {
       textCol: String, tablePrefix: String,
       maxBucket: Long = 1L << 20): Unit = {
     val spark = batch.sparkSession
-    val store = readSignatureStore(spark, tablePrefix)
+    // ONE meta read serves banding params AND the bucket count; the
+    // append must write with the SAME bucketBy the store was created
+    // with or it would corrupt the exchange-free layout — fail with a
+    // remedy if the store predates the recorded count
+    val metaDf = spark.table(s"${tablePrefix}_meta")
+    require(metaDf.columns.contains("buckets"),
+      s"appendToSignatureStore: ${tablePrefix}_meta has no 'buckets' " +
+        "column — the store was written before bucket counts were " +
+        "recorded; rewrite it with writeSignatureStore before appending")
+    val m = metaDf.head()
+    val store = SignatureStore(
+      spark.table(s"${tablePrefix}_hashes"),
+      spark.table(s"${tablePrefix}_banded"),
+      m.getAs[Int]("bands"), m.getAs[Int]("rows_per_band"),
+      m.getAs[Int]("shingle_n"))
+    val buckets = m.getAs[Int]("buckets")
+    // null text hashes to a NULL key, which a left_anti join can never
+    // match (NULL = NULL is NULL) — it would re-append every run and
+    // break idempotency; a null document has no content to admit
     val hashes = batch
       .select(sha2(trim(col(textCol)), 256).as("content_hash"))
+      .filter(col("content_hash").isNotNull)
       .distinct()
-    val newHashes = hashes.join(spark.table(s"${tablePrefix}_hashes"),
+    val newHashes = hashes.join(store.hashes,
       Seq("content_hash"), "left_anti")
     val (_, banded0) = shaBanded(batch, idCol, textCol, store.bands,
       store.rowsPerBand, store.shingleN)
     val newBanded = banded0.select(col("band"), col("bucket"), col("id"))
       .distinct()
-      .join(spark.table(s"${tablePrefix}_banded"),
-        Seq("band", "bucket", "id"), "left_anti")
+      .join(store.banded, Seq("band", "bucket", "id"), "left_anti")
       .localCheckpoint() // guard + write share one signature pass
     if (maxBucket > 0) {
       val batchCounts = newBanded.groupBy(col("band"), col("bucket"))
         .agg(count(lit(1)).as("_bn"))
-      val corpusCounts = spark.table(s"${tablePrefix}_banded")
+      // count the corpus side for the TOUCHED buckets only: the
+      // semi-join filter is map-side against the (batch-bounded)
+      // broadcast bucket set, and the groupBy runs exchange-free on
+      // the bucketed table — guard cost ∝ batch, never the corpus
+      val touched = newBanded.select(col("band"), col("bucket")).distinct()
+      val corpusCounts = store.banded
+        .join(broadcast(touched), Seq("band", "bucket"), "left_semi")
         .groupBy(col("band"), col("bucket"))
         .agg(count(lit(1)).as("_cn"))
       val hot = batchCounts.join(corpusCounts, Seq("band", "bucket"),
@@ -775,11 +799,6 @@ object Dedup {
             "the corpus first (admit + filter) or raise the cap")
       }
     }
-    // append with the SAME bucket count the store was written with
-    // (recorded in the meta table) — a mismatched bucketBy append
-    // would corrupt the exchange-free layout
-    val buckets = spark.table(s"${tablePrefix}_meta").head()
-      .getAs[Int]("buckets")
     graft.io.Sinks.writeBucketed(newHashes, s"${tablePrefix}_hashes",
       Seq("content_hash"), buckets,
       mode = org.apache.spark.sql.SaveMode.Append)

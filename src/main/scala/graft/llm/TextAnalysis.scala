@@ -317,6 +317,19 @@ object TextAnalysis {
     when(octet_length(c) > 0, sz.cast(DoubleType) / octet_length(c))
   }
 
+  /** The `k` most frequent whitespace tokens as (term, cnt), ordered
+    * (count desc, term): map-side-combined counts + a TakeOrdered cut,
+    * never a global sort. The ONE definition of "top corpus terms" —
+    * shared by [[unigramLogProb]]'s vocabulary and
+    * `TrainingOps.buildVocab`, so the tokenization and tie-break can
+    * never drift between the scoring vocab and the exported one. */
+  def topTerms(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    df.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(k)
+  }
+
   /** Corpus-relative unigram log-probability score — the cheap
     * perplexity-style quality filter of a training pipeline (documents
     * whose tokens are improbable under the corpus's own unigram model
@@ -339,7 +352,7 @@ object TextAnalysis {
       explode(tokens(col(textCol))).as("term"))
     val counts = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum("cnt").as("total"))
-    val vocab = counts.orderBy(col("cnt").desc, col("term")).limit(vocabSize)
+    val vocab = topTerms(df.select(col(textCol)), textCol, vocabSize)
     tok.join(broadcast(vocab), Seq("term"), "left")
       .join(broadcast(total))
       .withColumn("_micro",

@@ -468,10 +468,7 @@ object TrainingOps {
       size: Int = 32768): DataFrame = {
     require(size > 0, "size must be positive")
     import org.apache.spark.sql.expressions.Window
-    val top = df
-      .select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("term")).limit(size)
+    val top = TextAnalysis.topTerms(df, textCol, size)
     top.select(
       (row_number().over(Window.orderBy(col("cnt").desc, col("term")))
         - 1).as("token_id"),

@@ -97,7 +97,8 @@ object R7Queries {
           "Disallow:\n"),
         when(pmod(col("hi"), lit(3)) === 0,
           lit("\nUser-agent: graftbot\nUser-agent: otherbot\n" +
-            "Disallow: /bot/*\nAllow: /bot/ok$\n")).otherwise(lit("")),
+            "Disallow: /bot/*\nAllow: /bot/ok$\n" +
+            "Disallow:\t/bot/tmp/\n")).otherwise(lit("")),
         lit("Sitemap: https://example.com/s.xml\n"))
       graft.llm.Crawl.parseRobotsTxt(
           hosts.select(
@@ -266,18 +267,21 @@ object R7Queries {
         |         || 'User-agent: otherbot' || chr(10)
         |         || 'Disallow: /bot/*' || chr(10)
         |         || 'Allow: /bot/ok$' || chr(10)
+        |         || 'Disallow:' || chr(9) || '/bot/tmp/' || chr(10)
         |       ELSE '' END
         |    || 'Sitemap: https://example.com/s.xml' || chr(10) AS txt
         |  FROM hs),
         |sp AS (SELECT host, regexp_split_to_array(txt, '\r?\n') AS ls
         |  FROM t),
         |ln AS (SELECT host, i,
-        |    trim(regexp_replace(ls[i], '#.*$', '')) AS l
+        |    regexp_replace(regexp_replace(ls[i], '#.*$', ''),
+        |      '^[ \t]+|[ \t]+$', '', 'g') AS l
         |  FROM (SELECT host, ls,
         |          unnest(generate_series(1, len(ls))) AS i FROM sp)),
         |kv AS (SELECT host, i,
         |    lower(regexp_extract(l, '^([A-Za-z-]+)\s*:', 1)) AS k,
-        |    trim(regexp_extract(l, '^[A-Za-z-]+\s*:(.*)$', 1)) AS v
+        |    regexp_replace(regexp_extract(l, '^[A-Za-z-]+\s*:(.*)$', 1),
+        |      '^[ \t]+|[ \t]+$', '', 'g') AS v
         |  FROM ln
         |  WHERE lower(regexp_extract(l, '^([A-Za-z-]+)\s*:', 1))
         |    IN ('user-agent', 'allow', 'disallow')),

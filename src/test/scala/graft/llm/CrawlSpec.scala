@@ -201,6 +201,15 @@ class CrawlSpec extends SparkSuite {
       .toSet
     assert(bot === Set(("a.com", false, "/bot/*"), ("a.com", true, "/bot/ok$"),
       ("b.com", false, "/x/"))) // b.com has no graftbot group -> * applies
+    // RFC 9309 *WS is space OR TAB: a tab after the colon must not
+    // survive into the prefix, and a tab-indented UA line still opens
+    // its group (space-only trim would silently misfile both)
+    val tabbed = Seq(("t.com",
+      "\tUser-agent: graftbot\nDisallow:\t/tab/\nAllow: /tab/ok"))
+      .toDF("host", "txt")
+    val tr = Crawl.parseRobotsTxt(tabbed, "host", "txt", agent = "graftbot")
+      .collect().map(r => (r.getBoolean(1), r.getString(2))).toSet
+    assert(tr === Set((false, "/tab/"), (true, "/tab/ok")))
     // default agent: the * groups
     val star = Crawl.parseRobotsTxt(df, "host", "txt")
       .collect().map(r => (r.getString(0), r.getBoolean(1), r.getString(2)))
@@ -221,6 +230,7 @@ class CrawlSpec extends SparkSuite {
       """<?xml version="1.0"?><urlset>
         |<url><loc> https://a.com/p1 </loc><lastmod>2024-01-02</lastmod></url>
         |<url><loc>https://a.com/q?x=1&amp;y=2</loc></url>
+        |<url><loc>https://a.com/o&apos;brien</loc></url>
         |<url><lastmod>2024-03-01</lastmod></url>
         |<url><loc></loc></url>
         |</urlset>""".stripMargin
@@ -236,6 +246,7 @@ class CrawlSpec extends SparkSuite {
     assert(r === Seq(
       (1L, 0, "url", "https://a.com/p1", Some("2024-01-02")),
       (1L, 1, "url", "https://a.com/q?x=1&y=2", None),
+      (1L, 2, "url", "https://a.com/o'brien", None),
       (2L, 0, "sitemap", "https://a.com/s1.xml", None),
       (2L, 1, "sitemap", "https://a.com/s2.xml", Some("2024-02-03"))))
   }

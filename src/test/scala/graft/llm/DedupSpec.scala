@@ -539,6 +539,15 @@ class DedupSpec extends SparkSuite {
       val nHashes = spark.table("sig_store_ap_hashes").count()
       Dedup.appendToSignatureStore(day1, "id", "text", "sig_store_ap")
       assert(spark.table("sig_store_ap_hashes").count() === nHashes)
+      // null-text rows have no content: they must not append a NULL
+      // hash key (which a left_anti join can never dedupe — it would
+      // re-append every run)
+      val withNull = Seq((30L, null.asInstanceOf[String])).toDF("id", "text")
+      Dedup.appendToSignatureStore(withNull, "id", "text", "sig_store_ap")
+      Dedup.appendToSignatureStore(withNull, "id", "text", "sig_store_ap")
+      assert(spark.table("sig_store_ap_hashes").count() === nHashes)
+      assert(spark.table("sig_store_ap_hashes")
+        .filter(col("content_hash").isNull).count() === 0L)
     } finally {
       spark.sql("DROP TABLE IF EXISTS sig_store_ap_hashes")
       spark.sql("DROP TABLE IF EXISTS sig_store_ap_banded")
