@@ -204,12 +204,19 @@ object Crawl {
     * double-quoted, single-quoted, or unquoted (unquoted values run to
     * the first whitespace, quote, or `>`). */
   private val HrefValue = "(\"[^\"]*\"|'[^']*'|[^\\s\"'>]+)"
-  private val HrefPattern = "(?i)href\\s*=\\s*" + HrefValue
+  // Outlinks come from ANCHOR tags only (`<a>`, and `<area>` image
+  // maps): scanning every href attribute would land `<link
+  // rel="stylesheet">` CSS, preloads, and canonical tags in the crawl
+  // frontier. `[^>]*?` keeps the match inside one tag (it cannot
+  // cross '>'), so an href elsewhere on the page never attaches to an
+  // anchor; `\s` after the name keeps <a..> from matching <area>'s
+  // prefix or <abbr>. (A '>' inside a quoted EARLIER attribute value
+  // ends the scan early — accepted edge.)
+  private val AnchorHrefPattern =
+    "(?i)<(?:a|area)\\s[^>]*?href\\s*=\\s*" + HrefValue
   // `<base\s` (not `<base[^>]*`): a tag whose name merely STARTS with
-  // "base" (<basefont>) must neither hijack the page base nor be
-  // stripped from the href scan
+  // "base" (<basefont>) must not hijack the page base
   private val BaseHrefPattern = "(?i)<base\\s[^>]*href\\s*=\\s*" + HrefValue
-  private val BaseTagPattern = "(?i)<base(\\s[^>]*)?>"
 
   /** Strip the quoting form off a matched [[HrefValue]] token. */
   private def unquote(x: Column): Column =
@@ -241,8 +248,10 @@ object Crawl {
     (1 to 10).foldLeft(pre)((acc, _) => dotPass(acc))
   }
 
-  /** Outlink extraction for the crawl frontier: every `href` attribute
-    * value in any quoting form (double-, single-, or unquoted),
+  /** Outlink extraction for the crawl frontier: every ANCHOR
+    * (`<a>`/`<area>`) `href` value in any quoting form (double-,
+    * single-, or unquoted — `<link>`/`<script>` hrefs are resource
+    * references, not outlinks, and stay out of the frontier),
     * resolved to an absolute URL per RFC 3986 resolution against the
     * page's base:
     *  - absolute http(s) links pass through verbatim;
@@ -259,10 +268,8 @@ object Crawl {
     * `pathCol` is not supplied — dir-relative links then resolve
     * against the site root). Resolved relative links get dot-segment
     * normalization ([[normalizeDots]]); absolute links pass through
-    * unnormalized. `<base>` tags are removed before the href scan so
-    * the base URL itself is never emitted as an outlink. Map-only:
-    * regexp scan → in-array transform/filter → posexplode; no
-    * shuffle.
+    * unnormalized. Map-only: regexp scan → in-array transform/filter
+    * → posexplode; no shuffle.
     *
     * Output: (idCol, link_idx, url) — link_idx is the 0-based position
     * among the KEPT links, so downstream joins have a stable per-page
@@ -286,7 +293,6 @@ object Crawl {
       val d = regexp_extract(basePath, "^(.*/)", 1)
       when(d === "", lit("/")).otherwise(d)
     }
-    val sansBase = regexp_replace(html, lit(BaseTagPattern), lit(" "))
     // Stage the base columns and the token array as PROJECTED
     // attributes before the per-link lambda: inlining baseRoot/baseDir
     // (regexp chains over the whole page) into transform() would
@@ -296,7 +302,7 @@ object Crawl {
     // back in: the aliases are non-cheap and consumed inside a lambda).
     val staged = df.select(col(idCol),
       baseRoot.as("_broot"), baseDir.as("_bdir"),
-      regexp_extract_all(sansBase, lit(HrefPattern), lit(1)).as("_toks"))
+      regexp_extract_all(html, lit(AnchorHrefPattern), lit(1)).as("_toks"))
     val resolved = filter(
       transform(col("_toks"), t => {
         val l = unquote(t)

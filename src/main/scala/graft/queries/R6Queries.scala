@@ -726,9 +726,9 @@ object R6Queries {
         |         ELSE regexp_extract(bpath, '^(.*/)', 1) END AS bdir
         |  FROM bs),
         |tok AS (SELECT doc_id, broot, bdir,
-        |    regexp_extract_all(
-        |      regexp_replace(html, '(?i)<base(\s[^>]*)?>', ' ', 'g'),
-        |      '(?i)href\s*=\s*("[^"]*"|''[^'']*''|[^\s"''>]+)', 1) AS toks
+        |    regexp_extract_all(html,
+        |      '(?i)<(?:a|area)\s[^>]*?href\s*=\s*("[^"]*"|''[^'']*''|[^\s"''>]+)',
+        |      1) AS toks
         |  FROM bd),
         |ix AS (SELECT doc_id, broot, bdir, toks,
         |    unnest(generate_series(1, len(toks))) AS i FROM tok),

@@ -138,17 +138,18 @@ class CrawlSpec extends SparkSuite {
       (2L, 0, "https://h.com/img/i.png")))
   }
 
-  test("extractLinks: <basefont> neither hijacks the base nor is stripped") {
+  test("extractLinks: anchors only — link/script/basefont hrefs stay out of the frontier") {
     val df = Seq(
-      (1L, """<basefont href="https://other.example/f" size=3>""" +
-        """<a href="/p">x</a>""", "h.com")
+      (1L, """<link rel="stylesheet" href="/style.css">""" +
+        """<basefont href="https://other.example/f" size=3>""" +
+        """<script src="/app.js"></script>""" +
+        """<a href="/p">x</a><area href="/map">""", "h.com")
     ).toDF("id", "html", "host")
     val r = Crawl.extractLinks(df, "id", "html", "host").collect()
       .map(x => (x.getInt(1), x.getString(2))).toSeq
-    // basefont's href is scanned as a LINK (it is one under the
-    // any-attribute token scan) but must not become the page base
-    assert(r === Seq((0, "https://other.example/f"),
-      (1, "https://h.com/p")))
+    // stylesheet + basefont hrefs are resource references, not
+    // outlinks; basefont must not become the page base either
+    assert(r === Seq((0, "https://h.com/p"), (1, "https://h.com/map")))
   }
 
   test("robotsFilter: one id under two paths keeps two rows with per-path rules") {
