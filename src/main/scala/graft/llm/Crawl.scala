@@ -248,6 +248,28 @@ object Crawl {
     (1 to 10).foldLeft(pre)((acc, _) => dotPass(acc))
   }
 
+  /** Canonical-URL extraction (`<link rel="canonical">`) — the page's
+    * own declared identity, and the dedup key a crawl pipeline
+    * prefers over the fetch URL (mirrors, tracking params, and mobile
+    * variants all declare one canonical). Handles both attribute
+    * orders (rel-then-href and href-then-rel, any quoting form);
+    * absolute http(s) values pass through, root-relative values
+    * resolve against `https://<host>`, anything else (other schemes,
+    * dir-relative — resolving those needs the page URL) yields NULL,
+    * as does a page with no canonical tag. First tag wins. Map-only,
+    * codegen'd; patterns RE2-compatible. */
+  def canonicalUrl(html: Column, host: Column): Column = {
+    val rel = "rel\\s*=\\s*(?:\"canonical\"|'canonical'|canonical)"
+    val relFirst = regexp_extract(html,
+      "(?i)<link\\s[^>]*?" + rel + "[^>]*?href\\s*=\\s*" + HrefValue, 1)
+    val hrefFirst = regexp_extract(html,
+      "(?i)<link\\s[^>]*?href\\s*=\\s*" + HrefValue + "[^>]*?" + rel, 1)
+    val raw = unquote(when(relFirst =!= "", relFirst).otherwise(hrefFirst))
+    when(raw.rlike("(?i)^https?://"), raw)
+      .when(raw.startsWith("/") && !raw.startsWith("//"),
+        concat(lit("https://"), host, raw))
+  }
+
   /** Outlink extraction for the crawl frontier: every ANCHOR
     * (`<a>`/`<area>`) `href` value in any quoting form (double-,
     * single-, or unquoted — `<link>`/`<script>` hrefs are resource

@@ -156,7 +156,29 @@ object R7Queries {
     "q119_bpe_pairs" -> ((s, d) =>
       graft.llm.TrainingOps.bpePairCounts(
         T.documents(s, d).select(col("text")), "text", topK = 100)
-      .orderBy(col("cnt").desc, col("pair")))
+      .orderBy(col("cnt").desc, col("pair"))),
+
+    // [EXT] canonical-URL extraction: the page-declared dedup key.
+    // Four cohorts — absolute rel-first, root-relative href-first
+    // (single-quoted value, unquoted rel), a non-canonical link tag,
+    // and no link at all (both NULL). Map-only; analytic oracle.
+    "q120_canonical" -> ((s, d) => {
+      val id = col("doc_id")
+      val html = when(pmod(id, lit(4)) === 0,
+          concat(lit("<head><link rel=\"canonical\" " +
+            "href=\"https://c.example.org/x/"), id.cast("string"),
+            lit("\"></head><p>body</p>")))
+        .when(pmod(id, lit(4)) === 1,
+          concat(lit("<head><link href='/canon/"), id.cast("string"),
+            lit("' rel=canonical></head><p>body</p>")))
+        .when(pmod(id, lit(4)) === 2,
+          lit("<head><link rel=\"stylesheet\" href=\"/s.css\"></head>"))
+        .otherwise(lit("<p>no head at all</p>"))
+      T.documents(s, d)
+        .select(id, graft.llm.Crawl.canonicalUrl(html,
+          concat(col("source"), lit(".example.com"))).as("canonical"))
+        .orderBy("doc_id")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -350,6 +372,14 @@ object R7Queries {
         |        i -> substr(w, CAST(i AS INT), 2))) AS pair
         |      FROM w WHERE length(w) >= 2)
         |SELECT pair, count(*) AS cnt FROM p GROUP BY 1
-        |ORDER BY cnt DESC, pair LIMIT 100""".stripMargin
+        |ORDER BY cnt DESC, pair LIMIT 100""".stripMargin,
+    "q120_canonical" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN 'https://c.example.org/x/' || CAST(doc_id AS VARCHAR)
+        |    WHEN 1 THEN 'https://' || source || '.example.com/canon/'
+        |                || CAST(doc_id AS VARCHAR)
+        |    ELSE NULL END AS canonical
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

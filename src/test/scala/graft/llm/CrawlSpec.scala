@@ -252,6 +252,28 @@ class CrawlSpec extends SparkSuite {
       (2L, 1, "sitemap", "https://a.com/s2.xml", Some("2024-02-03"))))
   }
 
+  test("canonicalUrl: both attribute orders, quoting forms, resolution, absence") {
+    val cases = Seq(
+      (1L, """<link rel="canonical" href="https://c.org/a">""", "h.com"),
+      (2L, """<link href='/rel/p' rel=canonical>""", "h.com"),
+      (3L, """<link rel=canonical href=https://c.org/u>""", "h.com"),
+      (4L, """<link rel="stylesheet" href="/s.css">""", "h.com"),
+      (5L, """no head""", "h.com"),
+      // dir-relative and non-http canonical: NULL (needs the page URL)
+      (6L, """<link rel="canonical" href="page.html">""", "h.com"),
+      // first tag wins
+      (7L, """<link rel="canonical" href="/one">""" +
+        """<link rel="canonical" href="/two">""", "h.com")
+    ).toDF("id", "html", "host")
+    val r = cases.select(col("id"),
+        Crawl.canonicalUrl(col("html"), col("host")).as("c"))
+      .collect().map(x => x.getLong(0) -> Option(x.getString(1))).toMap
+    assert(r === Map(
+      1L -> Some("https://c.org/a"), 2L -> Some("https://h.com/rel/p"),
+      3L -> Some("https://c.org/u"), 4L -> None, 5L -> None,
+      6L -> None, 7L -> Some("https://h.com/one")))
+  }
+
   test("pageRankInt: exact integer ranks, hand-computed 2 iterations") {
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
     // outdeg 1:2, 2:1, 3:1; base = 150000
