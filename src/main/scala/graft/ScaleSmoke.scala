@@ -230,6 +230,19 @@ object ScaleSmoke {
             lit(".example.com")).as("host"),
           lit("/sec/p1/index.html").as("path")),
         "id", "html", "host", "path")),
+      // robots.txt parsing at registry scale: one ~9-line body per
+      // host, n hosts — the per-host grouping windows are bounded by
+      // the file (RFC 500 KiB cap), so n hosts parallelize freely
+      "robots_parse" -> (() => graft.llm.Crawl.parseRobotsTxt(
+        docs.select(
+          concat(lit("h"), col("id").cast("string"),
+            lit(".example.com")).as("host"),
+          concat(lit("# gen\nUser-agent: *\nDisallow: /private/\n" +
+            "Allow: /private/open\nDisallow:\n" +
+            "User-agent: graftbot\nDisallow: /bot/"),
+            pmod(col("id"), lit(97)).cast("string"),
+            lit("/*\nAllow: /bot/ok$\n")).as("txt")),
+        "host", "txt", agent = "graftbot")),
       // robots wildcard filtering at crawl scale: a broadcast rule
       // registry incl. * and $ patterns against n URLs concentrated
       // on 1000 hosts — per-URL cost is the regex probe + the bounded
