@@ -17,35 +17,40 @@ object Crawl {
     * literal, the reference-parser convention). Each rule pattern is
     * translated IN-PLAN to an anchored regex on the (tiny) rules side:
     * regex metacharacters escaped, `*` → `.*`, trailing `$` → anchor.
-    * For each URL the matching rule with the most matched OCTETS
-    * decides — specificity is the length of the (greedy) matched TEXT,
-    * the RFC's "match that has the most octets" read directly; for a
-    * literal prefix this is exactly the prefix length, so the
-    * wildcard-free behavior is unchanged. On a specificity tie the
-    * ALLOW rule wins (the RFC's least-restrictive tiebreak); a URL
-    * with no matching rule is allowed. `rules` columns:
-    * (host, allow: boolean, prefix).
+    * For each URL the matching rule with the most PATTERN octets
+    * decides — specificity is the rule pattern's own length (trailing
+    * `$` anchor excluded), the convention of Google's reference
+    * parser, which every mainstream crawler follows; for a literal
+    * prefix this is exactly the matched-prefix length, so the
+    * wildcard-free behavior is the RFC's longest-match directly. On a
+    * specificity tie the ALLOW rule wins (the RFC's least-restrictive
+    * tiebreak); a URL with no matching rule is allowed. `rules`
+    * columns: (host, allow: boolean, prefix).
     *
     * Scale shape: the rule registry joins on the host equi-key —
     * broadcast by default (robots rules are tiny next to a crawl), or
     * a shuffle equi-join with `broadcastRules = false` when the
     * registry itself is corpus-sized; the per-URL winner is a single
-    * bounded `max(struct(match_len, allow, prefix))` aggregate (state
+    * bounded `max(struct(pattern_len, allow, prefix))` aggregate (state
     * = one struct per URL), never a rank window — a popular host's
     * URLs never serialize through one task. The regex pattern column
     * is non-foldable, so the matcher recompiles when the pattern
     * changes row-to-row — microseconds against a registry of rule
-    * count R; for a corpus-sized registry, materialize the translated
-    * regex column once and reuse it.
+    * count R. In the non-broadcast tier the translated rules side is
+    * localCheckpointed (one small eager job), so a corpus-sized
+    * registry's pattern→regex translation chain materializes once
+    * instead of re-deriving inside the join condition per probe.
     *
-    * Specificity note: Google's reference parser ranks rules by the
-    * PATTERN's octet count; this operator ranks by the matched-text
-    * length (greedy), which is identical for literal rules and for
-    * wildcard-vs-wildcard ties, but lets a `*` rule's greedy match
-    * out-rank a shorter literal of the opposite polarity where the
-    * pattern-length convention would tie. The RFC's "match that has
-    * the most octets" wording supports either read; THIS one is
-    * pinned in CrawlSpec and mirrored by the oracle.
+    * Specificity note: the RFC's "match that has the most octets"
+    * wording also admits a greedy matched-TEXT-length read, under
+    * which a short `*` rule's greedy match can out-rank a longer
+    * literal of the opposite polarity (an allow-everything star rule
+    * plus `Disallow: /private` would ALLOW `/private/x` — every
+    * mainstream parser blocks it). This operator uses the
+    * pattern-length convention so
+    * a crawler never fetches what the site operator's parser-of-
+    * record disallows; pinned in CrawlSpec and mirrored by the
+    * oracle.
     *
     * Contract: rows are keyed by (idCol, hostCol, pathCol) — the
     * winner is a single aggregate over those keys and every OTHER
@@ -63,9 +68,9 @@ object Crawl {
       pathCol: String, rules: DataFrame,
       broadcastRules: Boolean = true): DataFrame = {
     val reserved = Seq("_uhost", "_upath", "_rhost", "_rallow",
-      "_rprefix", "_rx", "_best")
+      "_rprefix", "_rlen", "_rx", "_best", "allowed", "matched_prefix")
     require(!urls.columns.exists(reserved.contains),
-      s"urls must not carry the reserved scratch columns $reserved")
+      "urls must not carry the scratch or output columns " + reserved)
     // pattern → anchored regex, computed once per RULE row (not per URL)
     val hasEnd = col("prefix").endsWith("$")
     val body = when(hasEnd,
@@ -76,12 +81,13 @@ object Crawl {
       when(hasEnd, lit("$")).otherwise(lit("")))
     val r0 = rules.select(col("host").as("_rhost"),
       col("allow").as("_rallow"), col("prefix").as("_rprefix"),
+      (length(col("prefix")) - hasEnd.cast("int")).as("_rlen"),
       rx.as("_rx"))
-    val r = if (broadcastRules) broadcast(r0) else r0
+    val r = if (broadcastRules) broadcast(r0) else r0.localCheckpoint()
     val keyCols = Seq(idCol, hostCol, pathCol)
     val payload = urls.columns.filterNot(keyCols.contains)
     val best = max(when(col("_rprefix").isNotNull,
-      struct(length(expr("regexp_extract(_upath, _rx, 0)")).as("l"),
+      struct(col("_rlen").as("l"),
         col("_rallow").cast("int").as("a"),
         col("_rprefix").as("p")))).as("_best")
     urls
@@ -248,26 +254,70 @@ object Crawl {
     (1 to 10).foldLeft(pre)((acc, _) => dotPass(acc))
   }
 
+  /** The `rel=canonical` attribute in any quoting form. The unquoted
+    * alternative is bounded by a delimiter class — without it,
+    * `rel=canonical-alt` would false-positive as a prefix match. The
+    * class differs by position: mid-tag (rel before href) the next
+    * char must be `\s` or `/`; tag-final (rel after href) it may also
+    * be the closing `>`. */
+  private def relCanonical(delim: String) =
+    "rel\\s*=\\s*(?:\"canonical\"|'canonical'|canonical" + delim + ")"
+  private val CanonRelFirst = "(?i)<link\\s[^>]*?" +
+    relCanonical("[\\s/]") + "[^>]*?href\\s*=\\s*" + HrefValue
+  private val CanonHrefFirst = "(?i)<link\\s[^>]*?href\\s*=\\s*" +
+    HrefValue + "[^>]*?" + relCanonical("[\\s/>]")
+
   /** Canonical-URL extraction (`<link rel="canonical">`) — the page's
     * own declared identity, and the dedup key a crawl pipeline
     * prefers over the fetch URL (mirrors, tracking params, and mobile
     * variants all declare one canonical). Handles both attribute
-    * orders (rel-then-href and href-then-rel, any quoting form);
-    * absolute http(s) values pass through, root-relative values
-    * resolve against `https://<host>`, anything else (other schemes,
-    * dir-relative — resolving those needs the page URL) yields NULL,
-    * as does a page with no canonical tag. First tag wins. Map-only,
+    * orders (rel-then-href and href-then-rel, any quoting form); the
+    * POSITIONALLY first canonical tag wins regardless of its
+    * attribute order (the two order-patterns' match offsets are
+    * compared — preferring one pattern unconditionally would let a
+    * later rel-first tag beat an earlier href-first one). Absolute
+    * http(s) values pass through, protocol-relative `//host/p`
+    * resolves with the https scheme, root-relative values resolve
+    * against `https://<host>`, and dir-relative values resolve
+    * against the page path's directory when `path` is supplied
+    * (dot-segments collapse, as in [[extractLinks]]) — without a
+    * `path`, dir-relative yields NULL, as do other schemes, empty
+    * values, and a page with no canonical tag. A `<base href>` tag is
+    * NOT consulted (documented limit — pages that declare both a base
+    * and a relative canonical are vanishingly rare). Map-only,
     * codegen'd; patterns RE2-compatible. */
-  def canonicalUrl(html: Column, host: Column): Column = {
-    val rel = "rel\\s*=\\s*(?:\"canonical\"|'canonical'|canonical)"
-    val relFirst = regexp_extract(html,
-      "(?i)<link\\s[^>]*?" + rel + "[^>]*?href\\s*=\\s*" + HrefValue, 1)
-    val hrefFirst = regexp_extract(html,
-      "(?i)<link\\s[^>]*?href\\s*=\\s*" + HrefValue + "[^>]*?" + rel, 1)
-    val raw = unquote(when(relFirst =!= "", relFirst).otherwise(hrefFirst))
+  def canonicalUrl(html: Column, host: Column): Column =
+    canonUrl(html, host, None)
+
+  /** [[canonicalUrl]] with the page path supplied — dir-relative
+    * canonicals resolve against the path's directory. */
+  def canonicalUrl(html: Column, host: Column, path: Column): Column =
+    canonUrl(html, host, Some(path))
+
+  private def canonUrl(html: Column, host: Column,
+      path: Option[Column]): Column = {
+    val relFirst = regexp_extract(html, CanonRelFirst, 1)
+    val hrefFirst = regexp_extract(html, CanonHrefFirst, 1)
+    val posRel = regexp_instr(html, lit(CanonRelFirst))
+    val posHref = regexp_instr(html, lit(CanonHrefFirst))
+    val raw = unquote(
+      when(posRel > 0 && (posHref === 0 || posRel <= posHref), relFirst)
+        .otherwise(hrefFirst))
+    def norm(p: Column): Column =
+      when(p.contains("/."), normalizeDots(p)).otherwise(p)
     when(raw.rlike("(?i)^https?://"), raw)
-      .when(raw.startsWith("/") && !raw.startsWith("//"),
-        concat(lit("https://"), host, raw))
+      .when(raw.startsWith("//"), concat(lit("https:"), raw))
+      .when(raw.startsWith("/"), concat(lit("https://"), host, norm(raw)))
+      .when(raw === "" || raw.startsWith("#") || raw.startsWith("?") ||
+        raw.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), lit(null).cast("string"))
+      .otherwise(path match {
+        case None => lit(null).cast("string")
+        case Some(p) =>
+          val pagePath = coalesce(p, lit("/"))
+          val d = regexp_extract(pagePath, "^(.*/)", 1)
+          val dir = when(d === "", lit("/")).otherwise(d)
+          concat(lit("https://"), host, norm(concat(dir, raw)))
+      })
   }
 
   /** Outlink extraction for the crawl frontier: every ANCHOR
@@ -289,9 +339,10 @@ object Crawl {
     * `https://<hostCol><pathCol>` (page path defaults to `/` when
     * `pathCol` is not supplied — dir-relative links then resolve
     * against the site root). Resolved relative links get dot-segment
-    * normalization ([[normalizeDots]]); absolute links pass through
-    * unnormalized. Map-only: regexp scan → in-array transform/filter
-    * → posexplode; no shuffle.
+    * normalization ([[normalizeDots]], skipped when the path has no
+    * `/.` substring — no dot-segment, no regex chain); absolute links
+    * pass through unnormalized. Map-only: regexp scan → in-array
+    * transform/filter → posexplode; no shuffle.
     *
     * Output: (idCol, link_idx, url) — link_idx is the 0-based position
     * among the KEPT links, so downstream joins have a stable per-page
@@ -325,6 +376,12 @@ object Crawl {
     val staged = df.select(col(idCol),
       baseRoot.as("_broot"), baseDir.as("_bdir"),
       regexp_extract_all(html, lit(AnchorHrefPattern), lit(1)).as("_toks"))
+    // `/.`-free paths skip the 30-regexp normalizeDots chain entirely
+    // (the overwhelmingly common case; a path with no `/.` substring
+    // has no dot-segment, so the guard is semantics-neutral and the
+    // oracle replays the unguarded recursion)
+    def norm(p: Column): Column =
+      when(p.contains("/."), normalizeDots(p)).otherwise(p)
     val resolved = filter(
       transform(col("_toks"), t => {
         val l = unquote(t)
@@ -333,11 +390,11 @@ object Crawl {
             lit(null).cast("string"))
           .when(l.startsWith("//"), concat(lit("https:"), l))
           .when(l.startsWith("/"),
-            concat(col("_broot"), normalizeDots(l)))
+            concat(col("_broot"), norm(l)))
           .when(l === "" || l.startsWith("#") || l.startsWith("?"),
             lit(null).cast("string"))
           .otherwise(concat(col("_broot"),
-            normalizeDots(concat(col("_bdir"), l))))
+            norm(concat(col("_bdir"), l))))
       }),
       l => l.isNotNull)
     staged.select(col(idCol),
@@ -466,13 +523,15 @@ object Crawl {
     * checkpoint IO for recompute depth (each delta action re-derives
     * at most `checkpointEvery` iterations).
     *
-    * Returns (ranks, iterationsRun); `iterationsRun < maxIters` means
-    * the tolerance was met. Same exact-integer semantics as
+    * Returns (ranks, iterationsRun, converged) — the flag is explicit
+    * because `iterationsRun < maxIters` alone cannot distinguish a
+    * run that converges exactly ON the maxIters-th iteration from one
+    * that hit the cap still moving. Same exact-integer semantics as
     * [[pageRankInt]] — a converged run's ranks equal the
     * fixed-iteration run at the same count, spec-pinned. */
   def pageRankConverge(edges: DataFrame, maxIters: Int, tolMicro: Long,
       dampNum: Long = 85, dampDen: Long = 100, checkpointEvery: Int = 5,
-      redistributeDangling: Boolean = false): (DataFrame, Int) = {
+      redistributeDangling: Boolean = false): (DataFrame, Int, Boolean) = {
     require(maxIters >= 1, "maxIters must be at least 1")
     require(tolMicro >= 0, "tolMicro must be non-negative")
     require(checkpointEvery >= 1, "checkpointEvery must be at least 1")
@@ -500,6 +559,6 @@ object Crawl {
       it += 1
       converged = delta <= tolMicro
     }
-    (ranks, it)
+    (ranks, it, converged)
   }
 }

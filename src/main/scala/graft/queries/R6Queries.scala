@@ -220,15 +220,16 @@ object R6Queries {
       .orderBy("doc_id")),
 
     // [EXT] robots-exclusion filtering (RFC 9309 longest-match, with
-    // §2.2.3 wildcards): planted per-host rule registry exercises
+    // §2.2.3 wildcards, pattern-octet specificity — the reference-
+    // parser convention): planted per-host rule registry exercises
     // longest-match override, deny-all + allow-subtree, tie→allow,
-    // the no-rule default-allow arm, a mid-pattern `*` whose greedy
-    // match out-specifies the literal prefix AND the literal allow
-    // (`/private/*` beats `/private/1` on `/private/12`), a `$`-
-    // anchored extension rule (`/*.php$`), and a literal-vs-wildcard
-    // specificity tie (`/files/p1.php` vs `/*.php$` → allow). The
-    // oracle replays the same pattern→regex translation and the
-    // matched-text-length/allow/pattern ordering with a rank window.
+    // the no-rule default-allow arm, a wildcard whose pattern octets
+    // TIE the literal allow (`/private/*` vs `/private/1` on
+    // `/private/1…` → allow wins the tie), a `$`-anchored extension
+    // rule (`/*.php$`, anchor excluded from the count so the
+    // `/files/p1.php` literal out-ranks it → allow). The oracle
+    // replays the same pattern→regex translation and the
+    // pattern-length/allow/pattern ordering with a rank window.
     "q107_robots_filter" -> ((s, d) => {
       import s.implicits._
       val id = col("doc_id")
@@ -665,6 +666,8 @@ object R6Queries {
         |  ('src3.example.com', false, '/*.php$'),
         |  ('src3.example.com', true, '/files/p1.php')),
         |r2 AS (SELECT host, allow, prefix,
+        |  length(prefix)
+        |    - CASE WHEN prefix LIKE '%$' THEN 1 ELSE 0 END AS plen,
         |  '^' || replace(regexp_replace(
         |      CASE WHEN prefix LIKE '%$'
         |        THEN substr(prefix, 1, length(prefix)-1) ELSE prefix END,
@@ -673,7 +676,7 @@ object R6Queries {
         |  FROM r),
         |m AS (SELECT u.doc_id, r2.allow, r2.prefix,
         |        row_number() OVER (PARTITION BY u.doc_id
-        |          ORDER BY length(regexp_extract(u.path, r2.rx, 0)) DESC,
+        |          ORDER BY r2.plen DESC,
         |            r2.allow DESC, r2.prefix DESC) AS rn
         |      FROM u JOIN r2 ON u.host = r2.host
         |        AND regexp_matches(u.path, r2.rx))

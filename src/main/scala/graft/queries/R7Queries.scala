@@ -159,24 +159,33 @@ object R7Queries {
       .orderBy(col("cnt").desc, col("pair"))),
 
     // [EXT] canonical-URL extraction: the page-declared dedup key.
-    // Four cohorts — absolute rel-first, root-relative href-first
-    // (single-quoted value, unquoted rel), a non-canonical link tag,
-    // and no link at all (both NULL). Map-only; analytic oracle.
+    // Five cohorts — absolute rel-first, root-relative href-first
+    // (single-quoted value, unquoted rel), dir-relative (unquoted
+    // href, resolves against the page path's directory), a `../`
+    // canonical (dot-segments pop), and a non-canonical link tag
+    // (NULL). Map-only; analytic oracle.
     "q120_canonical" -> ((s, d) => {
       val id = col("doc_id")
-      val html = when(pmod(id, lit(4)) === 0,
+      val html = when(pmod(id, lit(5)) === 0,
           concat(lit("<head><link rel=\"canonical\" " +
             "href=\"https://c.example.org/x/"), id.cast("string"),
             lit("\"></head><p>body</p>")))
-        .when(pmod(id, lit(4)) === 1,
+        .when(pmod(id, lit(5)) === 1,
           concat(lit("<head><link href='/canon/"), id.cast("string"),
             lit("' rel=canonical></head><p>body</p>")))
-        .when(pmod(id, lit(4)) === 2,
+        .when(pmod(id, lit(5)) === 2,
+          concat(lit("<head><link rel=canonical href=sub/c"),
+            id.cast("string"), lit(".html></head>")))
+        .when(pmod(id, lit(5)) === 3,
+          concat(lit("<head><link rel=\"canonical\" href=\"../up/"),
+            id.cast("string"), lit("\"></head>")))
+        .otherwise(
           lit("<head><link rel=\"stylesheet\" href=\"/s.css\"></head>"))
-        .otherwise(lit("<p>no head at all</p>"))
       T.documents(s, d)
         .select(id, graft.llm.Crawl.canonicalUrl(html,
-          concat(col("source"), lit(".example.com"))).as("canonical"))
+          concat(col("source"), lit(".example.com")),
+          concat(lit("/sec/p"), pmod(id, lit(4)).cast("string"),
+            lit("/index.html"))).as("canonical"))
         .orderBy("doc_id")
     })
   )
@@ -261,6 +270,8 @@ object R7Queries {
         |  SELECT * FROM (VALUES ('ext.example.org', false, '/'),
         |                        ('ext.example.org', true, '/p/*'))),
         |r2 AS (SELECT host, allow, prefix,
+        |  length(prefix)
+        |    - CASE WHEN prefix LIKE '%$' THEN 1 ELSE 0 END AS plen,
         |  '^' || replace(regexp_replace(
         |      CASE WHEN prefix LIKE '%$'
         |        THEN substr(prefix, 1, length(prefix)-1) ELSE prefix END,
@@ -269,7 +280,7 @@ object R7Queries {
         |  FROM r),
         |m AS (SELECT d2.url, r2.allow, r2.prefix,
         |        row_number() OVER (PARTITION BY d2.url
-        |          ORDER BY length(regexp_extract(d2.lpath, r2.rx, 0)) DESC,
+        |          ORDER BY r2.plen DESC,
         |            r2.allow DESC, r2.prefix DESC) AS rn
         |      FROM d2 JOIN r2 ON d2.lhost = r2.host
         |        AND regexp_matches(d2.lpath, r2.rx))
@@ -375,9 +386,14 @@ object R7Queries {
         |ORDER BY cnt DESC, pair LIMIT 100""".stripMargin,
     "q120_canonical" ->
       """SELECT doc_id,
-        |  CASE doc_id % 4
+        |  CASE doc_id % 5
         |    WHEN 0 THEN 'https://c.example.org/x/' || CAST(doc_id AS VARCHAR)
         |    WHEN 1 THEN 'https://' || source || '.example.com/canon/'
+        |                || CAST(doc_id AS VARCHAR)
+        |    WHEN 2 THEN 'https://' || source || '.example.com/sec/p'
+        |                || CAST(doc_id % 4 AS VARCHAR) || '/sub/c'
+        |                || CAST(doc_id AS VARCHAR) || '.html'
+        |    WHEN 3 THEN 'https://' || source || '.example.com/sec/up/'
         |                || CAST(doc_id AS VARCHAR)
         |    ELSE NULL END AS canonical
         |FROM documents ORDER BY doc_id""".stripMargin

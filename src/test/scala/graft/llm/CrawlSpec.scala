@@ -38,38 +38,43 @@ class CrawlSpec extends SparkSuite {
     assert(r(7L) === ((true, None)))
   }
 
-  test("robotsFilter: RFC 9309 wildcards — *, $-anchor, matched-text specificity") {
+  test("robotsFilter: RFC 9309 wildcards — *, $-anchor, pattern-length specificity") {
     val wr = Seq(
-      // greedy * out-specifies the literal prefix it extends
+      // wildcard whose PATTERN octets tie the literal allow
       ("w.com", false, "/private/*"),
       ("w.com", true, "/private/1"),
-      // $-anchored extension rule
+      // $-anchored extension rule ($ excluded from the octet count)
       ("w.com", false, "/*.php$"),
-      // literal that TIES the wildcard's matched length -> allow wins
       ("w.com", true, "/files/p1.php"),
       // mid-pattern star
       ("w.com", true, "/pub/*/x"),
-      ("w.com", false, "/pub/")
+      ("w.com", false, "/pub/"),
+      // the reference-parser shape: a short wildcard allow must NOT
+      // out-rank a longer literal deny (greedy matched-text would)
+      ("v.com", true, "/*"),
+      ("v.com", false, "/private")
     ).toDF("host", "allow", "prefix")
     val wu = Seq(
       (1L, "w.com", "/private/1"),    // literal 10 ties wildcard 10 -> allow
-      (2L, "w.com", "/private/12"),   // wildcard matches 11 > literal 10 -> deny
-      (3L, "w.com", "/files/p1.php"), // /*.php$ 13 ties literal 13 -> allow
-      (4L, "w.com", "/files/p2.php"), // only /*.php$ matches fully -> deny
+      (2L, "w.com", "/private/12"),   // same two patterns match -> allow
+      (3L, "w.com", "/files/p1.php"), // literal 13 > /*.php$ 6 -> allow
+      (4L, "w.com", "/files/p2.php"), // only /*.php$ matches -> deny
       (5L, "w.com", "/files/p2.phpx"),// $ anchor: no .php$ match -> allow
-      (6L, "w.com", "/pub/a/x"),      // /pub/*/x matches 8 > /pub/ 5 -> allow
-      (7L, "w.com", "/pub/a/y")       // only /pub/ matches -> deny
+      (6L, "w.com", "/pub/a/x"),      // /pub/*/x 8 > /pub/ 5 -> allow
+      (7L, "w.com", "/pub/a/y"),      // only /pub/ matches -> deny
+      (8L, "v.com", "/private/x")     // /private 8 > /* 2 -> deny
     ).toDF("id", "host", "path")
     val r = Crawl.robotsFilter(wu, "id", "host", "path", wr)
       .collect().map(x => x.getLong(0) ->
         ((x.getBoolean(3), Option(x.getString(4))))).toMap
     assert(r(1L) === ((true, Some("/private/1"))))
-    assert(r(2L) === ((false, Some("/private/*"))))
+    assert(r(2L) === ((true, Some("/private/1"))))
     assert(r(3L) === ((true, Some("/files/p1.php"))))
     assert(r(4L) === ((false, Some("/*.php$"))))
     assert(r(5L) === ((true, None)))
     assert(r(6L) === ((true, Some("/pub/*/x"))))
     assert(r(7L) === ((false, Some("/pub/"))))
+    assert(r(8L) === ((false, Some("/private"))))
   }
 
   test("robotsFilter: payload columns pass through the join-back untouched") {
@@ -88,9 +93,14 @@ class CrawlSpec extends SparkSuite {
   test("robotsFilter: shuffle-join tier agrees with the broadcast tier") {
     val a = Crawl.robotsFilter(urls, "id", "host", "path", rules)
       .orderBy("id").collect().toSeq
-    val b = Crawl.robotsFilter(urls, "id", "host", "path", rules,
-      broadcastRules = false).orderBy("id").collect().toSeq
-    assert(a === b)
+    val nb = Crawl.robotsFilter(urls, "id", "host", "path", rules,
+      broadcastRules = false)
+    assert(a === nb.orderBy("id").collect().toSeq)
+    // the non-broadcast tier materializes the translated rules side
+    // (localCheckpoint -> ExistingRDD scan): the pattern->regex chain
+    // must not re-derive inside the join per probed row
+    val p = nb.queryExecution.executedPlan.toString
+    assert(p.contains("ExistingRDD"), p.take(1200))
   }
 
   test("extractLinks: resolution, ordering, linkless pages absent") {
@@ -259,11 +269,22 @@ class CrawlSpec extends SparkSuite {
       (3L, """<link rel=canonical href=https://c.org/u>""", "h.com"),
       (4L, """<link rel="stylesheet" href="/s.css">""", "h.com"),
       (5L, """no head""", "h.com"),
-      // dir-relative and non-http canonical: NULL (needs the page URL)
+      // dir-relative canonical: NULL without the page path
       (6L, """<link rel="canonical" href="page.html">""", "h.com"),
       // first tag wins
       (7L, """<link rel="canonical" href="/one">""" +
-        """<link rel="canonical" href="/two">""", "h.com")
+        """<link rel="canonical" href="/two">""", "h.com"),
+      // POSITIONALLY first: an earlier href-then-rel tag beats a
+      // later rel-then-href tag (naive pattern preference would flip)
+      (8L, """<link href="/pos1" rel="canonical">""" +
+        """<link rel="canonical" href="/pos2">""", "h.com"),
+      // unquoted rel must be a whole token: rel=canonical-alt is NOT
+      // a canonical declaration
+      (9L, """<link rel=canonical-alt href="/x">""", "h.com"),
+      // protocol-relative resolves with the https scheme
+      (10L, """<link rel="canonical" href="//m.c.org/pp">""", "h.com"),
+      // other schemes stay NULL
+      (11L, """<link rel="canonical" href="ftp://c.org/f">""", "h.com")
     ).toDF("id", "html", "host")
     val r = cases.select(col("id"),
         Crawl.canonicalUrl(col("html"), col("host")).as("c"))
@@ -271,7 +292,34 @@ class CrawlSpec extends SparkSuite {
     assert(r === Map(
       1L -> Some("https://c.org/a"), 2L -> Some("https://h.com/rel/p"),
       3L -> Some("https://c.org/u"), 4L -> None, 5L -> None,
-      6L -> None, 7L -> Some("https://h.com/one")))
+      6L -> None, 7L -> Some("https://h.com/one"),
+      8L -> Some("https://h.com/pos1"), 9L -> None,
+      10L -> Some("https://m.c.org/pp"), 11L -> None))
+  }
+
+  test("canonicalUrl: dir-relative resolves against the page path when supplied") {
+    val cases = Seq(
+      (1L, """<link rel="canonical" href="page.html">""", "h.com",
+        "/sec/p1/index.html"),
+      (2L, """<link rel="canonical" href="../up/c">""", "h.com",
+        "/sec/p1/index.html"),
+      (3L, """<link rel="canonical" href="./here">""", "h.com",
+        "/sec/p1/index.html"),
+      // null page path falls back to the site root
+      (4L, """<link rel="canonical" href="x.html">""", "h.com", null),
+      // root-relative keeps working (and dot-normalizes)
+      (5L, """<link rel="canonical" href="/a/../b">""", "h.com",
+        "/sec/p1/index.html")
+    ).toDF("id", "html", "host", "path")
+    val r = cases.select(col("id"),
+        Crawl.canonicalUrl(col("html"), col("host"), col("path")).as("c"))
+      .collect().map(x => x.getLong(0) -> Option(x.getString(1))).toMap
+    assert(r === Map(
+      1L -> Some("https://h.com/sec/p1/page.html"),
+      2L -> Some("https://h.com/sec/up/c"),
+      3L -> Some("https://h.com/sec/p1/here"),
+      4L -> Some("https://h.com/x.html"),
+      5L -> Some("https://h.com/b")))
   }
 
   test("pageRankInt: exact integer ranks, hand-computed 2 iterations") {
@@ -313,9 +361,14 @@ class CrawlSpec extends SparkSuite {
 
   test("pageRankConverge: stops under tol, equals the fixed-iter run, cadence-invariant") {
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
-    val (ranks, it) = Crawl.pageRankConverge(e, maxIters = 60,
+    val (ranks, it, conv) = Crawl.pageRankConverge(e, maxIters = 60,
       tolMicro = 10L, checkpointEvery = 3)
+    assert(conv, "should report convergence explicitly")
     assert(it < 60, "should converge well before maxIters")
+    // a cap-bound run reports converged=false even though it==maxIters
+    val (_, itCap, convCap) = Crawl.pageRankConverge(e, maxIters = 2,
+      tolMicro = 0L, checkpointEvery = 1)
+    assert(itCap === 2 && !convCap)
     val got = ranks.collect().map(x => (x.getLong(0), x.getLong(1)))
       .sorted.toSeq
     // exact-integer semantics: the converged table IS the fixed-iter
@@ -324,9 +377,9 @@ class CrawlSpec extends SparkSuite {
       .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
     assert(got === fixed)
     // checkpoint cadence must not change values (only lineage depth)
-    val (r1, it1) = Crawl.pageRankConverge(e, maxIters = 60,
+    val (r1, it1, conv1) = Crawl.pageRankConverge(e, maxIters = 60,
       tolMicro = 10L, checkpointEvery = 1)
-    assert(it1 === it)
+    assert(it1 === it && conv1)
     assert(r1.collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
       === got)
     // converged state: one more iteration moves every rank <= tol
