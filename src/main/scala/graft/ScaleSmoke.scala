@@ -243,6 +243,13 @@ object ScaleSmoke {
             pmod(col("id"), lit(97)).cast("string"),
             lit("/*\nAllow: /bot/ok$\n")).as("txt")),
         "host", "txt", agent = "graftbot")),
+      // iterative BPE training, 3 merge rounds: the corpus-sized cost
+      // is the ONE distinct-word aggregation (30M token occurrences
+      // → ~5k distinct words here); each round then iterates on the
+      // word table — per-round cost is the pair aggregate over
+      // distinct words, independent of corpus row count
+      "bpe_train" -> (() => TrainingOps.trainBpe(
+        docs.select(col("text")), "text", numMerges = 3)),
       // robots wildcard filtering at crawl scale: a broadcast rule
       // registry incl. * and $ patterns against n URLs concentrated
       // on 1000 hosts — per-URL cost is the regex probe + the bounded

@@ -206,6 +206,60 @@ object Crawl {
         col("e.url").as("url"), col("e.lastmod").as("lastmod"))
   }
 
+  /** Recursive sitemap expansion — the driver loop that turns
+    * [[extractSitemapUrls]]'s per-document parse into the full
+    * frontier seed set: a `<sitemapindex>` entry (`kind='sitemap'`)
+    * points at ANOTHER sitemap that must be fetched and re-parsed,
+    * and the sitemaps.org protocol allows indexes of indexes. Per
+    * level: collect the yet-unseen child-sitemap URLs, `fetch` their
+    * bodies (`fetch` receives a one-column DataFrame named `urlCol`
+    * and returns (`urlCol`, `xmlCol`) rows — compose with the HTTP
+    * source, or a lookup join in tests; URLs it fails to return
+    * simply contribute no entries), parse, repeat to `maxDepth`
+    * levels. Already-seen
+    * sitemap URLs are never re-fetched (an index that lists itself —
+    * or two indexes listing each other — terminates instead of
+    * looping). Returns the page-URL rows (`kind='url'`) from every
+    * level, deduplicated: (url, lastmod) keyed by url, min lastmod on
+    * conflict (deterministic).
+    *
+    * Scale shape: each level is one distributed parse + one anti-join
+    * against the seen set; the driver holds NOTHING but the loop
+    * counter — URL sets stay DataFrames (the seen set
+    * localCheckpoints per level: it feeds an anti-join every later
+    * level, and without truncation level d re-derives d parses). A
+    * level with no new sitemap URLs stops the loop early; `maxDepth`
+    * bounds a hostile index chain (protocol practice is ≤2 levels). */
+  def expandSitemaps(seeds: DataFrame, urlCol: String, xmlCol: String,
+      fetch: DataFrame => DataFrame, maxDepth: Int = 5): DataFrame = {
+    require(maxDepth >= 1, "maxDepth must be at least 1")
+    def parsed(df: DataFrame): DataFrame =
+      extractSitemapUrls(df.withColumnRenamed(urlCol, "_src"), "_src",
+        xmlCol)
+    var out = parsed(seeds)
+      .select(col("kind"), col("url"), col("lastmod")).localCheckpoint()
+    var seen = seeds.select(col(urlCol).as("url")).distinct()
+      .localCheckpoint()
+    var depth = 1
+    var more = true
+    while (depth < maxDepth && more) {
+      val next = out.filter(col("kind") === "sitemap")
+        .select(col("url")).distinct()
+        .join(seen, Seq("url"), "left_anti").localCheckpoint()
+      if (next.isEmpty) more = false
+      else {
+        seen = seen.union(next).localCheckpoint()
+        val bodies = fetch(next.withColumnRenamed("url", urlCol))
+        out = out.union(parsed(bodies)
+          .select(col("kind"), col("url"), col("lastmod")))
+          .localCheckpoint()
+        depth += 1
+      }
+    }
+    out.filter(col("kind") === "url")
+      .groupBy(col("url")).agg(min(col("lastmod")).as("lastmod"))
+  }
+
   /** An href attribute VALUE in any of HTML's three quoting forms:
     * double-quoted, single-quoted, or unquoted (unquoted values run to
     * the first whitespace, quote, or `>`). */

@@ -807,6 +807,92 @@ object Dedup {
       mode = org.apache.spark.sql.SaveMode.Append)
   }
 
+  /** Rewrite one bucketed store table from the given snapshot as
+    * `<table>__compacting`, then swap it in (drop + rename). The
+    * write runs with the auto-bucketed-scan rule pinned OFF: that
+    * rule silently downgrades a bucketed read to a plain file scan
+    * when the query has no join/agg to benefit (a bare rewrite
+    * doesn't), which hands the writer the FRAGMENTED file-group
+    * partitioning and re-fragments the very layout being compacted —
+    * worse, a caller-side repartition on the bucket keys is
+    * eliminated as redundant against the table's declared
+    * partitioning before that downgrade is decided, so it cannot fix
+    * it. With the bucketed scan forced, the read yields exactly one
+    * partition per bucket (all its file fragments coalesced), the
+    * declared partitioning satisfies the write, and the job is
+    * EXCHANGE-FREE: each task holds one whole bucket and emits one
+    * file. */
+  private def rewriteBucketed(snapshot: DataFrame, table: String,
+      keys: Seq[String], buckets: Int): Unit = {
+    val spark = snapshot.sparkSession
+    val tmp = s"${table}__compacting"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val old = spark.conf.get(conf)
+    spark.conf.set(conf, "false")
+    try graft.io.Sinks.writeBucketed(snapshot, tmp, keys, buckets)
+    finally spark.conf.set(conf, old)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+  }
+
+  /** Compact a persisted signature store in place: every
+    * [[appendToSignatureStore]] night adds one file set per touched
+    * bucket, so after N nights each bucketed table holds O(N) files
+    * per bucket and the "exchange-free" probe's scan cost quietly
+    * grows N-fold. This rewrites `<prefix>_hashes` and
+    * `<prefix>_banded` preserving their bucketing (bucket count and
+    * keys from the meta table — the layout contract cannot drift),
+    * leaving ~one file per bucket; admit results are byte-identical
+    * before and after (spec-pinned). Each table rewrites via a
+    * `__compacting` shadow table then a drop + rename — the store is
+    * briefly absent between the two statements (Spark's catalog has
+    * no atomic swap), so run compaction in the nightly loop's own
+    * maintenance window, never concurrently with an append: an append
+    * committed between snapshot and swap would be silently discarded.
+    * Cost: one bounded read+write of the store's CURRENT size — at
+    * nightly-append cadence, run it weekly/monthly, amortized to
+    * noise. */
+  def compactSignatureStore(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String): Unit = {
+    val m = spark.table(s"${tablePrefix}_meta").head()
+    val buckets = m.getAs[Int]("buckets")
+    rewriteBucketed(spark.table(s"${tablePrefix}_hashes"),
+      s"${tablePrefix}_hashes", Seq("content_hash"), buckets)
+    rewriteBucketed(spark.table(s"${tablePrefix}_banded"),
+      s"${tablePrefix}_banded", Seq("band", "bucket"), buckets)
+  }
+
+  /** Retention path for DELETED corpus documents (takedowns): drop the
+    * removed ids' rows from `<prefix>_banded` (anti-join by id,
+    * bucketing-preserving rewrite — same shadow-table swap and
+    * no-concurrent-append caveat as [[compactSignatureStore]]), so
+    * removed documents stop contributing near-candidates.
+    *
+    * The HASH table is deliberately NOT touched: `<prefix>_hashes` is
+    * a distinct value set with no per-document provenance, so "does
+    * any RETAINED doc still produce this hash" is unanswerable from
+    * the store alone — removing a shared hash would un-flag incoming
+    * exact dups of documents still in the corpus. Retiring hashes
+    * needs either per-hash refcounts (not kept: they'd turn the
+    * append's distinct-valued anti-join into a read-modify-write) or
+    * a rebuild from the retained corpus — run
+    * [[writeSignatureStore]] over the post-deletion corpus when exact
+    * re-admission of taken-down content must be possible; until then
+    * a removed doc's hash keeps flagging byte-identical incoming
+    * copies, which is the safe default for takedown semantics. */
+  def removeFromSignatureStore(removeIds: DataFrame,
+      tablePrefix: String): Unit = {
+    val spark = removeIds.sparkSession
+    val m = spark.table(s"${tablePrefix}_meta").head()
+    val buckets = m.getAs[Int]("buckets")
+    val table = s"${tablePrefix}_banded"
+    val ids = removeIds.select(col(removeIds.columns.head).as("id"))
+    rewriteBucketed(
+      spark.table(table).join(broadcast(ids), Seq("id"), "left_anti"),
+      table, Seq("band", "bucket"), buckets)
+  }
+
   /** Reload a persisted [[SignatureStore]]; banding parameters come
     * from the `<prefix>_meta` table, so probes can never silently run
     * with banding that differs from what the store was built with. */

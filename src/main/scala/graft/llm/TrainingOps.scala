@@ -499,4 +499,92 @@ object TrainingOps {
     pairs.groupBy("pair").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("pair")).limit(topK)
   }
+
+  /** Symbol-boundary separator for the BPE word representation: each
+    * word is stored as `SEP sym SEP SEP sym … SEP` — every symbol
+    * carries its OWN leading and trailing separator, so the merge of
+    * pair (l, r) is the plain string replacement
+    * `SEP l SEP SEP r SEP → SEP l r SEP`, whose non-overlapping
+    * left-to-right scan IS BPE's greedy merge order ("aaaa" with pair
+    * (a,a) → [aa, aa]), and a symbol whose SUFFIX spells `l` can
+    * never false-match (the pattern demands a boundary on both
+    * sides). A single shared separator would break both properties:
+    * consecutive merges would steal each other's boundary char, and
+    * `…b SEP c…` would match pair (b, c) inside symbol "ab". U+001F
+    * (the ASCII unit separator) never occurs in natural text; tokens
+    * containing it are dropped (with the oracle in lockstep). */
+  private val BpeSep = "\u001f"
+
+  /** Iterative BPE tokenizer training — the driver-looped merge
+    * rounds that turn [[bpePairCounts]]'s counting kernel into an
+    * actual trainer. Per round: count adjacent symbol pairs across
+    * the DISTINCT-WORD table (occurrence-weighted by word frequency,
+    * as BPE counts), take the single most frequent pair
+    * (deterministic tie-break: count desc, left, right — a bounded
+    * 1-row action), merge it in every word (map-only string
+    * replacement, see [[BpeSep]]), repeat. Stops early when no
+    * adjacent pair remains. Output: (merge_idx, left, right, cnt) —
+    * the ordered merge table IS the trained tokenizer.
+    *
+    * Scale shape: text crosses the wire once — the loop's working set
+    * is the distinct-word frequency table (Zipf-bounded, orders of
+    * magnitude smaller than the corpus), re-aggregated never; each
+    * round is one map-side-combined pair aggregate + a LIMIT 1
+    * TakeOrdered + a map-only replace, with the rank table
+    * localCheckpointed every `checkpointEvery` rounds (the
+    * pageRankConverge cadence discipline — each round's 1-row action
+    * re-derives at most `checkpointEvery` replace passes). The merge
+    * list accumulates on the driver: `numMerges` rows,
+    * parameter-bounded. */
+  def trainBpe(df: DataFrame, textCol: String, numMerges: Int,
+      checkpointEvery: Int = 5): DataFrame = {
+    require(numMerges >= 1, "numMerges must be at least 1")
+    require(checkpointEvery >= 1, "checkpointEvery must be at least 1")
+    val spark = df.sparkSession
+    val sep = BpeSep
+    var words = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "" && !col("w").contains(sep))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(concat(lit(sep),
+        array_join(regexp_extract_all(col("w"), lit("."), lit(0)),
+          sep + sep), lit(sep)).as("sym"), col("freq"))
+      .localCheckpoint()
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var i = 0
+    var done = false
+    while (i < numMerges && !done) {
+      // stage the symbol array as a projected attribute before the
+      // per-pair lambda (the HOF re-evaluation discipline)
+      val top = words
+        .select(col("freq"),
+          split(col("sym").substr(lit(2), length(col("sym")) - 2),
+            sep + sep).as("ls"))
+        .select(col("freq"), explode(
+          when(size(col("ls")) >= 2,
+            transform(sequence(lit(0), size(col("ls")) - 2),
+              j => struct(element_at(col("ls"), j + 1).as("l"),
+                element_at(col("ls"), j + 2).as("r"))))
+            .otherwise(array().cast("array<struct<l:string,r:string>>")))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((i, l, r, c))
+        words = words.select(
+          replace(col("sym"), lit(sep + l + sep + sep + r + sep),
+            lit(sep + l + r + sep)).as("sym"), col("freq"))
+        if ((i + 1) % checkpointEvery == 0) words = words.localCheckpoint()
+        i += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("merge_idx", "left", "right", "cnt")
+  }
 }

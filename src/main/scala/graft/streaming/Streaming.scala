@@ -154,6 +154,69 @@ object Streaming {
         coalesce(col("_dup"), lit(false)).as("exact_dup"))
   }
 
+  /** Streaming admission with BOTH tiers of `SignatureStore.admit` —
+    * the exact content-hash flag AND the LSH band near-candidate
+    * count — against a precomputed corpus signature store, with the
+    * same output contract (id, exact_dup, near_candidates), so a
+    * micro-batch admits byte-identically to the nightly batch job
+    * (StreamingSpec pins it).
+    *
+    * The near tier cannot be the batch plan verbatim: the batch
+    * counts candidates with a per-doc aggregate AFTER the band join,
+    * and a streaming aggregation would hold per-doc state forever.
+    * Instead the count is STATELESS per row: the corpus's banded
+    * index is pre-grouped to one row per (band, bucket) carrying its
+    * id list, the arriving doc computes its `bands` bucket keys
+    * in-row (signature staged once — the HOF re-evaluation
+    * discipline), and one stream-static LEFT join PER BAND (a
+    * parameter-bounded 4-8, never data-bounded) attaches the matching
+    * id lists; `near_candidates` is the size of their flattened
+    * distinct union. No watermark, zero streaming state.
+    *
+    * Scale shape: the static side is scanned (re-planned) per
+    * trigger, touching precomputed keys only — never the corpus text;
+    * the per-bucket grouping runs exchange-free on the bucketed
+    * `<prefix>_banded` layout. The id lists are bounded by the
+    * store's build/append-time `maxBucket` guard — a store meant for
+    * streaming admission should be validated with a cap sized so a
+    * bucket's id list is comfortable in one row (the default 2²⁰ is a
+    * batch-oriented ceiling; think 10³-10⁴ here). The per-trigger
+    * mass-dup hazard on the STREAM side is bounded by the trigger
+    * size — there is no batch-side collect to guard with. */
+  def admitAgainstStore(newStream: DataFrame,
+      store: graft.llm.Dedup.SignatureStore, idCol: String,
+      textCol: String): DataFrame = {
+    val bands = store.bands
+    val rpb = store.rowsPerBand
+    val bucketIds = store.banded.groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("id")).as("_ids"))
+    val corpusHash = store.hashes
+      .select(col("content_hash").as("_h")).withColumn("_e", lit(true))
+    // signature staged as a projected attribute BEFORE the per-band
+    // slicing lambda; non-cheap alias consumed inside a lambda is not
+    // collapsed back in (the extractLinks staging rationale)
+    val sig = newStream.select(col(idCol),
+      sha2(trim(col(textCol)), 256).as("_h"),
+      graft.llm.Dedup.minHashSignatureSha(col(textCol), bands * rpb,
+        store.shingleN).as("_sig"))
+    val withBks = sig.select(col(idCol), col("_h"),
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => array_join(slice(col("_sig"), b * rpb + 1, lit(rpb)), "|"))
+        .as("_bks"))
+    val joined = (0 until bands).foldLeft(
+      withBks.join(corpusHash, Seq("_h"), "left")) { (acc, b) =>
+      val side = bucketIds.filter(col("band") === b)
+        .select(col("bucket").as(s"_bk$b"), col("_ids").as(s"_ids$b"))
+      acc.join(side, element_at(col("_bks"), b + 1) === col(s"_bk$b"),
+        "left")
+    }
+    joined.select(col(idCol),
+      coalesce(col("_e"), lit(false)).as("exact_dup"),
+      size(array_distinct(flatten(filter(
+        array((0 until bands).map(b => col(s"_ids$b")): _*),
+        a => a.isNotNull)))).cast("long").as("near_candidates"))
+  }
+
   /** Stream-stream equi-join with a bounded event-time constraint: each
     * left row matches right rows whose event time is within
     * [left − lag, left]. Both sides carry watermarks AND the join

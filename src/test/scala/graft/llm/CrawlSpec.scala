@@ -262,6 +262,46 @@ class CrawlSpec extends SparkSuite {
       (2L, 1, "sitemap", "https://a.com/s2.xml", Some("2024-02-03"))))
   }
 
+  test("expandSitemaps: 2-level index flattens, cycles terminate, lastmod keeps min") {
+    // level 0: an index listing two child sitemaps (one of which is
+    // itself an index -> level 2) plus a direct urlset entry source
+    val idx = "<sitemapindex>" +
+      "<sitemap><loc>https://a.com/s1.xml</loc></sitemap>" +
+      "<sitemap><loc>https://a.com/sub.xml</loc></sitemap>" +
+      "</sitemapindex>"
+    val sub = "<sitemapindex>" +
+      "<sitemap><loc>https://a.com/s2.xml</loc></sitemap>" +
+      // cycle back to the root index: must not loop
+      "<sitemap><loc>https://a.com/root.xml</loc></sitemap>" +
+      "</sitemapindex>"
+    val s1 = "<urlset>" +
+      "<url><loc>https://a.com/p1</loc><lastmod>2024-01-02</lastmod></url>" +
+      "<url><loc>https://a.com/p2</loc></url></urlset>"
+    val s2 = "<urlset>" +
+      "<url><loc>https://a.com/p3</loc></url>" +
+      // p1 again with a LATER lastmod: dedup keeps the min
+      "<url><loc>https://a.com/p1</loc><lastmod>2024-05-05</lastmod></url>" +
+      "</urlset>"
+    val bodies = Map("https://a.com/root.xml" -> idx,
+      "https://a.com/sub.xml" -> sub, "https://a.com/s1.xml" -> s1,
+      "https://a.com/s2.xml" -> s2)
+    val lookup = bodies.toSeq.toDF("sm_url", "xml")
+    val seeds = Seq(("https://a.com/root.xml", idx)).toDF("sm_url", "xml")
+    val fetch = (urls: org.apache.spark.sql.DataFrame) =>
+      urls.join(lookup, Seq("sm_url"))
+    val r = Crawl.expandSitemaps(seeds, "sm_url", "xml", fetch)
+      .orderBy("url").collect()
+      .map(x => (x.getString(0), Option(x.getString(1)))).toSeq
+    assert(r === Seq(
+      ("https://a.com/p1", Some("2024-01-02")),
+      ("https://a.com/p2", None),
+      ("https://a.com/p3", None)))
+    // depth cap: with maxDepth = 1 only the seed level parses
+    val shallow = Crawl.expandSitemaps(seeds, "sm_url", "xml", fetch,
+      maxDepth = 1).collect()
+    assert(shallow.isEmpty, "an index-only seed yields no page URLs at depth 1")
+  }
+
   test("canonicalUrl: both attribute orders, quoting forms, resolution, absence") {
     val cases = Seq(
       (1L, """<link rel="canonical" href="https://c.org/a">""", "h.com"),

@@ -555,6 +555,91 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("compactSignatureStore: appends fragment, compaction restores the layout, admit identical") {
+    val corpus = Seq(
+      (1L, "alpha subject matter entirely its own body here"),
+      (2L, "beta subject matter entirely different body text")).toDF("id", "text")
+    Dedup.writeSignatureStore(corpus, "id", "text", "sig_store_cp",
+      buckets = 4)
+    try {
+      // three nightly appends fragment the bucketed tables
+      for (d <- 1 to 3) {
+        val day = Seq((100L + d,
+          s"fresh nightly document number $d with its own words"))
+          .toDF("id", "text")
+        Dedup.appendToSignatureStore(day, "id", "text", "sig_store_cp")
+      }
+      val probe = Seq(
+        (90L, "fresh nightly document number 2 with its own words"),
+        (91L, "wholly unrelated probe document text here")).toDF("id", "text")
+      def admitNow() = Dedup.readSignatureStore(spark, "sig_store_cp")
+        .admit(probe, "id", "text").orderBy("id").collect()
+        .map(_.toSeq).toSeq
+      val before = admitNow()
+      val filesBefore = spark.table("sig_store_cp_banded").inputFiles.length +
+        spark.table("sig_store_cp_hashes").inputFiles.length
+      Dedup.compactSignatureStore(spark, "sig_store_cp")
+      val bandedAfter = spark.table("sig_store_cp_banded").inputFiles.length
+      val hashesAfter = spark.table("sig_store_cp_hashes").inputFiles.length
+      // ~one file per (non-empty) bucket, strictly fewer than the
+      // fragmented layout
+      assert(bandedAfter + hashesAfter < filesBefore,
+        s"expected fewer files, got $bandedAfter + $hashesAfter vs $filesBefore")
+      assert(bandedAfter <= 4 && hashesAfter <= 4)
+      // admit results byte-identical pre/post compaction
+      assert(admitNow() === before)
+      // the bucketed layout survived the shadow-table swap: the hash
+      // probe still runs with at most ONE exchange (the batch side)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val p = probe
+          .select(col("id"), sha2(trim(col("text")), 256).as("content_hash"))
+          .join(spark.table("sig_store_cp_hashes"), Seq("content_hash"))
+        val plan = p.queryExecution.executedPlan.toString
+        assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 1,
+          plan.take(1500))
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sig_store_cp_hashes")
+      spark.sql("DROP TABLE IF EXISTS sig_store_cp_banded")
+      spark.sql("DROP TABLE IF EXISTS sig_store_cp_meta")
+      spark.sql("DROP TABLE IF EXISTS sig_store_cp_hashes__compacting")
+      spark.sql("DROP TABLE IF EXISTS sig_store_cp_banded__compacting")
+    }
+  }
+
+  test("removeFromSignatureStore: near tier forgets removed ids, hash tier stays") {
+    val base = (1 to 30).map(i => s"rm$i").mkString(" ")
+    val corpus = Seq(
+      (1L, base),
+      (2L, "a second corpus document body on other topics")).toDF("id", "text")
+    Dedup.writeSignatureStore(corpus, "id", "text", "sig_store_rm",
+      buckets = 4)
+    try {
+      val probe = Seq((10L, base + " tail"), (11L, base)).toDF("id", "text")
+      def admitNow() = Dedup.readSignatureStore(spark, "sig_store_rm")
+        .admit(probe, "id", "text").collect()
+        .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+      val before = admitNow()
+      assert(before(10L)._2 >= 1L, "near-dup of doc 1 before removal")
+      assert(before(11L)._1, "exact dup of doc 1 before removal")
+      Dedup.removeFromSignatureStore(Seq(1L).toDF("id"), "sig_store_rm")
+      val after = admitNow()
+      // near candidates from the removed doc are gone
+      assert(after(10L)._2 === 0L)
+      // the hash tier is deliberately retained (no per-doc provenance):
+      // byte-identical incoming copies still flag as exact dups
+      assert(after(11L)._1)
+      assert(spark.table("sig_store_rm_banded")
+        .filter(col("id") === 1L).count() === 0L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sig_store_rm_hashes")
+      spark.sql("DROP TABLE IF EXISTS sig_store_rm_banded")
+      spark.sql("DROP TABLE IF EXISTS sig_store_rm_meta")
+      spark.sql("DROP TABLE IF EXISTS sig_store_rm_banded__compacting")
+    }
+  }
+
   test("appendToSignatureStore fail-fasts before growing a hot bucket") {
     val corpus = Seq((1L, "one ordinary page body standing alone fine"))
       .toDF("id", "text")

@@ -326,4 +326,45 @@ class TrainingOpsSpec extends SparkSuite {
     // totals: ab=4, ba=1
     assert(p === Seq(("ab", 4L), ("ba", 1L)))
   }
+
+  test("trainBpe: hand-computed merge sequence, greedy merge order, early stop") {
+    import spark.implicits._
+    // words: aaab x2, ab x3
+    val df = Seq("aaab ab ab", "aaab ab").toDF("text")
+    // round 0: pairs (a,a): 2*2=4, (a,b): 2+3=5      -> merge (a,b) 5
+    //   aaab -> [a,a,ab]; ab -> [ab]
+    // round 1: (a,a): 2, (a,ab): 2 — count tie, (a,a) < (a,ab) by
+    //   right symbol -> merge (a,a) 2;  aaab -> [aa,ab]
+    // round 2: (aa,ab): 2 -> merge;     aaab -> [aaab]
+    // round 3: no pairs left -> early stop with 3 of 4 merges
+    val m = TrainingOps.trainBpe(df, "text", numMerges = 4)
+      .orderBy("merge_idx").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(m === Seq((0, "a", "b", 5L), (1, "a", "a", 2L),
+      (2, "aa", "ab", 2L)))
+  }
+
+  test("trainBpe: greedy left-to-right within a word — aaaa counts 3 but merges 2") {
+    import spark.implicits._
+    val df = Seq("aaaa").toDF("text")
+    val m = TrainingOps.trainBpe(df, "text", numMerges = 2)
+      .orderBy("merge_idx").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    // round 0: (a,a) at 3 adjacent positions (Sennrich-style count);
+    //   the greedy merge yields [aa, aa] — NOT [aa, a, a]
+    // round 1: (aa,aa) x1
+    assert(m === Seq((0, "a", "a", 3L), (1, "aa", "aa", 1L)))
+  }
+
+  test("trainBpe: checkpoint cadence does not change the merge table") {
+    import spark.implicits._
+    val df = Seq("abcabc abc ab", "bc bc abcabc").toDF("text")
+    val a = TrainingOps.trainBpe(df, "text", numMerges = 5,
+      checkpointEvery = 1).collect().map(_.toSeq).toSeq
+    val b = TrainingOps.trainBpe(df, "text", numMerges = 5,
+      checkpointEvery = 3).collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
 }

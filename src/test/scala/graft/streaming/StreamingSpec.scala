@@ -153,6 +153,53 @@ class StreamingSpec extends SparkSuite {
       Seq((10L, true), (11L, true), (12L, false)))
   }
 
+  test("admitAgainstStore: both tiers match the batch admit across micro-batches") {
+    val base = Files.createTempDirectory("graft-admits").toString
+    val corpusBase = (1 to 30).map(i => s"s$i").mkString(" ")
+    val corpus = Seq(
+      (1L, corpusBase),
+      (2L, "a separate corpus document about other things"),
+      (3L, "and one more unrelated body of text here")
+    ).toDF("id", "text")
+    // one exact dup, one near dup (one appended token), one fresh doc
+    // — 3 files so the joins run across >=3 micro-batches
+    val newDocs = Seq(
+      (10L, corpusBase),
+      (11L, corpusBase + " tail"),
+      (12L, "wholly novel content matching nothing at all")
+    ).toDF("id", "text")
+    newDocs.repartition(3).write.mode("overwrite").parquet(s"$base/land")
+    val store = {
+      val s = graft.llm.Dedup.buildSignatureStore(corpus, "id", "text")
+      s.copy(hashes = s.hashes.localCheckpoint(),
+        banded = s.banded.localCheckpoint())
+    }
+    val schema = spark.read.parquet(s"$base/land").schema
+    val stream = Streaming.fileStream(spark, s"$base/land", schema,
+      options = Map("maxFilesPerTrigger" -> "1"))
+    val q = Streaming.admitAgainstStore(stream, store, "id", "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("admits")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    q.awaitTermination(300000)
+    val viaStream = spark.table("admits").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+      .sorted.toSeq
+    // byte-parity with the batch SignatureStore.admit over the same files
+    val viaBatch = store.admit(
+        spark.read.parquet(s"$base/land"), "id", "text")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(viaStream === viaBatch)
+    assert(viaStream.map(t => (t._1, t._2)) ===
+      Seq((10L, true), (11L, false), (12L, false)))
+    assert(viaStream(0)._3 >= 1L && viaStream(1)._3 >= 1L,
+      s"exact and near dups must surface band candidates: $viaStream")
+    assert(viaStream(2)._3 === 0L)
+  }
+
   test("streaming pipeline: AvailableNow processes only new files on re-run") {
     val base = Files.createTempDirectory("graft-spipe").toString
     val land = s"$base/landing"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
