@@ -15,7 +15,8 @@ class QueryInventorySpec extends SparkSuite {
       "r4" -> graft.queries.R4Queries.queries.keySet,
       "r5" -> graft.queries.R5Queries.queries.keySet,
       "r6" -> graft.queries.R6Queries.queries.keySet,
-      "r7" -> graft.queries.R7Queries.queries.keySet)
+      "r7" -> graft.queries.R7Queries.queries.keySet,
+      "r8" -> graft.queries.R8Queries.queries.keySet)
     for {
       (an, a) <- modules
       (bn, b) <- modules if an < bn
