@@ -83,15 +83,16 @@ object R6Queries {
     }),
 
     // [EXT] char-trigram language ID over planted multilingual
-    // fixtures (13 languages cycled by doc key, incl. Cyrillic /
-    // Arabic / Han / kana / Hangul rows): exact integer scoring
-    // against the bundled model; the oracle rebuilds the identical
-    // argmax relationally from the SAME interpolated weight table.
+    // fixtures (40 languages cycled by doc key — 13 round-7 rows plus
+    // the round-8 breadth cohort with overlapping Latin/Cyrillic
+    // scripts): exact integer scoring against the bundled model; the
+    // oracle rebuilds the identical argmax relationally from the SAME
+    // interpolated weight table.
     "q99_langid" -> ((s, d) => {
       val id = col("doc_id")
       val text = element_at(
         array(R6Queries.LangFixtures.map(lit): _*),
-        (pmod(id, lit(13)) + 1).cast("int"))
+        (pmod(id, lit(R6Queries.LangFixtures.size)) + 1).cast("int"))
       T.documents(s, d)
         .select(id, graft.llm.TextAnalysis.langId(text).as("l"))
         .select(id, col("l.lang").as("lang"), col("l.score").as("score"))
@@ -422,10 +423,14 @@ object R6Queries {
       .orderBy("doc_id"))
   )
 
-  /** Planted per-language fixture sentences for q99 (index = key % 13;
-    * lowercase, apostrophe-free so both engines embed them verbatim).
-    * The last five exercise the non-Latin model rows: Cyrillic,
-    * Arabic, Han, kana-only Japanese, Hangul. */
+  /** Planted per-language fixture sentences for q99 (index = key %
+    * LangFixtures.size; lowercase, apostrophe-free so both engines
+    * embed them verbatim), paired 1:1 with [[LangFixtureLangs]] — the
+    * label the bundled model must assign each sentence (spec-pinned
+    * in TextAnalysisSpec). Rows 14+ are the round-8 breadth cohort;
+    * close-pair sentences (id/ms, cs/sk, da/nb, fi/et, hr/sl,
+    * ru/uk/bg/sr Cyrillic) deliberately contain the orthographic
+    * discriminators their sibling lacks. */
   val LangFixtures: Seq[String] = Seq(
     "the quick brown fox jumps over the lazy dog and the children are playing in the garden with you",
     "die kinder spielen auf der wiese und der hund ist schon wieder zu hause bei den eltern",
@@ -439,7 +444,42 @@ object R6Queries {
     "الاطفال يلعبون في البيت مع الكلب والقطة في الحديقة من الصباح",
     "孩子们在花园里玩耍我们的房子很大他们喜欢这个地方",
     "こどもたちはにわであそんでいますわたしたちのいえはおおきいです",
-    "아이들은 정원에서 놀고 있다 우리 집은 아주 크다 그들은 이곳을 좋아한다")
+    "아이들은 정원에서 놀고 있다 우리 집은 아주 크다 그들은 이곳을 좋아한다",
+    "çocuklar bahçede oynuyor ve bir köpek var evde onlar bu yeri çok seviyor ve annesi bir çay içiyor",
+    "کودکان در باغ بازی می کنند خانه ی ما بزرگ است که همه جای آن را دوست دارند و کتاب های خوبی است",
+    "dzieci bawią się w ogrodzie i pies jest w domu nie mają przy sobie niczego ale się bardzo cieszą przez cały dzień",
+    "trẻ em chơi trong vườn và ngôi nhà của chúng tôi rất lớn các em rất thích nơi này và một người không thể quên",
+    "anak anak bermain di taman dan rumah kami sangat besar mereka bisa datang karena tempat ini bagus dan ada uang yang cukup",
+    "kanak kanak bermain di taman dan rumah kami sangat besar mereka boleh datang kerana tempat itu bagus dan ada wang yang cukup",
+    "děti si hrají na zahradě a pes je doma při domě je to pěkné že mají tři přátele a že je ten den dobrý",
+    "deti sa hrajú na záhrade a pes je doma ľudia sú radi že môže byť pekný deň a deti sú tu s nami",
+    "діти граються у саду і собака вже вдома що вони люблять і мама знає що все добре і пес має що їсти",
+    "децата играят в градината и кучето е вкъщи домът е голям и децата обичат това място където играят",
+    "она је у кући и пас је ту са њима породица има велику кућу и то је место које они воле",
+    "copiii se joacă în grădină și câinele doarme acasă în casă și copiii vor să vadă locul frumos și să cânte împreună",
+    "a gyerekek a kertben játszanak és a kutya otthon van az egyik házban egy nagy fa van és a gyerekek nagyon boldogok hogy ott vannak",
+    "børnene vil ikke gå væk af huset og vi kan lide at lege højt i haven og så går vi tilbage og hygger os af gode grunde",
+    "barna vil ikke gå vekk av huset og vi kan like å leke høyt i hagen og så går vi tilbake og koser oss av gode grunner",
+    "lapset leikkivät puutarhassa ja koira on kotona meillä on iso talo ja he ovat siellä koko päivän ja saavat hyvää ruokaa",
+    "lapsed mängivad aias ja koer on kodus meie maja on suur ja nad on seal iga päev ja kõik on olnud hästi tehtud",
+    "เด็ก เล่น ใน สวน และ สุนัข อยู่ ที่ บ้าน ของ เรา และ เด็ก ชอบ การ เล่น ที่ นี่",
+    "बच्चे बगीचे में खेलते हैं और कुत्ता घर में है हमारा घर बड़ा है और बच्चों को यह जगह पसंद है",
+    "শিশুরা বাগানে খেলা করে এবং কুকুর ঘরে আছে আমাদের ঘর বড় এবং শিশুরা জায়গাটা ভালোবাসে",
+    "τα παιδια παιζουν στον κηπο και ο σκυλος ειναι στο σπιτι και τα παιδια αγαπουν αυτο το μερος της πολης",
+    "הילדים משחקים בגן והכלב נמצא בבית של המשפחה הם אוהבים את המקום הזה ואת הבית של כולם",
+    "djeca se igraju u vrtu i pas je kod kuće imamo veliku kuću i djeca vole ići u školu i pjevati cijeli dan",
+    "otroci se igrajo v vrtu in pes je doma v hiši imamo veliko hišo in otroci imajo radi šolo in se veselijo",
+    "els nens passegen amb el gos al carrer i canten amb els amics aquesta tarda els nens mengen el sopar amb els pares",
+    "vaikai žaidžia sode ir šuo yra namuose kad daug žmonių nori dainuoti ir vaikai turi daug gerų dienų",
+    "bērni spēlējas dārzā un suns ir mājās un bērniem patīk tā vieta kur ir saule un viņi dzied katru dienu")
+
+  /** Expected model label per [[LangFixtures]] row. */
+  val LangFixtureLangs: Seq[String] = Seq(
+    "en", "de", "fr", "es", "it", "pt", "nl", "sv", "ru", "ar", "zh",
+    "ja", "ko",
+    "tr", "fa", "pl", "vi", "id", "ms", "cs", "sk", "uk", "bg", "sr",
+    "ro", "hu", "da", "nb", "fi", "et", "th", "hi", "bn", "el", "he",
+    "hr", "sl", "ca", "lt", "lv")
 
   /** DuckDB oracles (analytic — no binary handling). */
   val oracleSql: Map[String, String] = Map(
@@ -456,7 +496,7 @@ object R6Queries {
         .map { case (t, i) => s"($i,'$t')" }.mkString(",")
       s"""WITH s(k, text) AS (VALUES $fixtures),
         |d AS (SELECT doc_id, s.text FROM documents s2
-        |      JOIN s ON s2.doc_id % 13 = s.k),
+        |      JOIN s ON s2.doc_id % ${LangFixtures.size} = s.k),
         |tri AS (SELECT doc_id, unnest(list_transform(
         |          generate_series(1, length(text) - 2),
         |          i -> substr(lower(text), CAST(i AS INT), 3))) AS g

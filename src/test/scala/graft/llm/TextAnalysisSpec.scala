@@ -183,13 +183,18 @@ class TextAnalysisSpec extends SparkSuite {
 
   test("langId: trigram model labels each fixture language; und fallback") {
     import graft.expressions.LangIdKernel
-    val expect = Seq("en", "de", "fr", "es", "it", "pt", "nl", "sv",
-      "ru", "ar", "zh", "ja", "ko")
-    graft.queries.R6Queries.LangFixtures.zip(expect).foreach { case (t, l) =>
-      val (got, score) = LangIdKernel.classify(t)
-      assert(got === l, s"'$t' → $got (want $l)")
-      assert(score > 0)
-    }
+    // per-language vectors: all 40 fixture sentences, 1:1 with the
+    // declared label list (the same pairing q99 cycles by doc key)
+    assert(graft.queries.R6Queries.LangFixtures.size ===
+      graft.queries.R6Queries.LangFixtureLangs.size)
+    assert(graft.queries.R6Queries.LangFixtures.size === 40)
+    graft.queries.R6Queries.LangFixtures
+      .zip(graft.queries.R6Queries.LangFixtureLangs)
+      .foreach { case (t, l) =>
+        val (got, score) = LangIdKernel.classify(t)
+        assert(got === l, s"'$t' → $got (want $l)")
+        assert(score > 0)
+      }
     assert(LangIdKernel.classify("zzz qqq 12345")._1 === "und")
     assert(LangIdKernel.classify("")._1 === "und")
     // uppercase input folds before scoring
