@@ -587,4 +587,27 @@ object TrainingOps {
     import spark.implicits._
     merges.toSeq.toDF("merge_idx", "left", "right", "cnt")
   }
+
+  /** Encode whitespace tokens of `text` with a TRAINED merge table —
+    * the serving-side sibling of [[trainBpe]]: returns the flat
+    * array<string> of BPE symbols for the document, in token order.
+    * `merges` is the trainer's output collected to the driver (rank
+    * order = merge_idx order), which is parameter-bounded — a vocab's
+    * worth of rows, the same driver-residency contract as
+    * [[buildVocab]]'s id assignment. Tokens containing the internal
+    * separator are dropped exactly as the trainer drops them, so a
+    * document re-encoded against its own training run segments every
+    * token the trainer saw. Map-only: the merge table rides inside
+    * the native `graft_bpe_encode` expression (no shuffle, no
+    * broadcast join), and each token is encoded in one
+    * ranks-actually-present pass (see
+    * [[graft.expressions.BpeEncodeExpr]]). */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column = {
+    val b = org.apache.spark.sql.GraftColumnBridge
+    flatten(transform(
+      filter(TextAnalysis.tokens(text),
+        w => w =!= "" && !w.contains(BpeSep)),
+      w => b.column(
+        graft.expressions.BpeEncodeExpr(b.expression(w), merges))))
+  }
 }

@@ -26,8 +26,54 @@ object R8Queries {
     "q121_bpe_train" -> ((s, d) =>
       graft.llm.TrainingOps.trainBpe(
         T.documents(s, d).select(col("text")), "text", numMerges = 6)
-      .orderBy("merge_idx"))
+      .orderBy("merge_idx")),
+
+    // [EXT] BPE ENCODE with the trained table (the serving side):
+    // train 6 merges on the corpus, collect the parameter-bounded
+    // merge table to the driver, then re-encode every document
+    // map-only through the native graft_bpe_encode expression.
+    // The oracle replays the same 6 training rounds (carrying the
+    // word through each round this time) and joins each document
+    // token to its final segmentation relationally.
+    "q122_bpe_encode" -> ((s, d) => {
+      val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+      val merges = graft.llm.TrainingOps.trainBpe(
+        docs.select(col("text")), "text", numMerges = 6)
+        .orderBy("merge_idx").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      docs.select(col("doc_id"),
+          graft.llm.TrainingOps.bpeEncode(col("text"), merges).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_bpe_tokens"),
+          concat_ws(" ", col("toks")).as("bpe_text"))
+        .orderBy("doc_id")
+    })
   )
+
+  /** One BPE oracle round over word-carrying tables: pair counts
+    * over v{k}, top-1, merge — same arithmetic as [[bpeRound]] but
+    * each round keeps the original word alongside its symbol string,
+    * so q122 can join document tokens to their final segmentation. */
+  private def bpeRoundW(k: Int): String = {
+    val (wIn, wOut, c, t) = (s"v$k", s"v${k + 1}", s"vc$k", s"vt$k")
+    s"""$c AS (
+       |  SELECT s.l AS l, s.r AS r, CAST(sum(s.freq) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(list_transform(
+       |          generate_series(1, len(ls) - 1),
+       |          i -> struct_pack(l := ls[i], r := ls[i+1],
+       |                           freq := freq))) AS s
+       |        FROM (SELECT freq,
+       |                regexp_split_to_array(trim(sym, chr(31)),
+       |                  chr(31) || chr(31)) AS ls
+       |              FROM $wIn))
+       |  GROUP BY 1, 2),
+       |$t AS (SELECT l, r FROM $c
+       |       ORDER BY cnt DESC, l, r LIMIT 1),
+       |$wOut AS (SELECT w, replace(sym,
+       |    chr(31) || l || chr(31) || chr(31) || r || chr(31),
+       |    chr(31) || l || r || chr(31)) AS sym, freq
+       |  FROM $wIn, $t)""".stripMargin
+  }
 
   /** One BPE oracle round: pair counts over w{k}, top-1, merge. */
   private def bpeRound(k: Int): String = {
@@ -68,6 +114,41 @@ object R8Queries {
          |  r AS "right", cnt
          |FROM (${(0 until 6).map(k => s"SELECT * FROM t$k")
              .mkString(" UNION ALL ")})
-         |ORDER BY merge_idx""".stripMargin
+         |ORDER BY merge_idx""".stripMargin,
+
+    "q122_bpe_encode" ->
+      s"""WITH toks AS (
+         |  SELECT w, count(*) AS freq FROM (
+         |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         |    FROM documents)
+         |  WHERE w <> '' AND w NOT LIKE '%' || chr(31) || '%'
+         |  GROUP BY 1),
+         |v0 AS (
+         |  SELECT w, chr(31) || array_to_string(regexp_extract_all(w, '.'),
+         |    chr(31) || chr(31)) || chr(31) AS sym, freq
+         |  FROM toks),
+         |${(0 until 6).map(bpeRoundW).mkString(",\n")},
+         |seg AS (
+         |  SELECT w, regexp_split_to_array(trim(sym, chr(31)),
+         |    chr(31) || chr(31)) AS syms
+         |  FROM v6),
+         |d AS (SELECT doc_id,
+         |        regexp_split_to_array(trim(text), '\\s+') AS ws
+         |      FROM documents),
+         |tok AS (
+         |  SELECT doc_id, s.i AS ord, s.w AS w
+         |  FROM (SELECT doc_id, unnest(list_transform(
+         |          generate_series(1, len(ws)),
+         |          i -> struct_pack(i := i, w := ws[i]))) AS s
+         |        FROM d)
+         |  WHERE s.w <> '' AND s.w NOT LIKE '%' || chr(31) || '%')
+         |SELECT doc_id,
+         |  CAST(coalesce(sum(len(syms)), 0) AS INT) AS n_bpe_tokens,
+         |  coalesce(string_agg(array_to_string(syms, ' '), ' '
+         |    ORDER BY ord), '') AS bpe_text
+         |FROM d LEFT JOIN tok USING (doc_id)
+         |  LEFT JOIN seg USING (w)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
   )
 }

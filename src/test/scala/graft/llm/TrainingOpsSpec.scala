@@ -367,4 +367,56 @@ class TrainingOpsSpec extends SparkSuite {
       checkpointEvery = 3).collect().map(_.toSeq).toSeq
     assert(a === b)
   }
+
+  private def enc(text: String, merges: Seq[(String, String)]): Seq[String] = {
+    import spark.implicits._
+    Seq(text).toDF("t")
+      .select(TrainingOps.bpeEncode(col("t"), merges).as("s"))
+      .collect()(0).getSeq[String](0)
+  }
+
+  test("bpeEncode: hand vectors — greedy l-to-r, rank order, multi-token") {
+    val m = Seq(("a", "b"), ("ab", "c"))
+    assert(enc("abc", m) === Seq("abc"))
+    assert(enc("cab", m) === Seq("c", "ab"))
+    assert(enc("aabb", m) === Seq("a", "ab", "b"))
+    // greedy left-to-right within one rank: aaaa -> [aa, aa]
+    assert(enc("aaaa", Seq(("a", "a"))) === Seq("aa", "aa"))
+    // untrained chars pass through as single-char symbols
+    assert(enc("xaby", m) === Seq("x", "ab", "y"))
+    // multiple tokens flatten in document order
+    assert(enc("ab c abc", m) === Seq("ab", "c", "abc"))
+  }
+
+  test("bpeEncode: sequential rank semantics — a later merge cannot re-arm an earlier rank") {
+    // rank 0 wants (a, bc) but bc only exists AFTER rank 1 runs;
+    // Sennrich-sequential leaves [a, bc] (a priority-queue encoder
+    // would produce [abc]) — divergence documented on BpeEncodeExpr
+    assert(enc("abc", Seq(("a", "bc"), ("b", "c"))) === Seq("a", "bc"))
+    // …but a pair created by an EARLIER rank is picked up by a later
+    // one on the same pass
+    assert(enc("abc", Seq(("b", "c"), ("a", "bc"))) === Seq("abc"))
+  }
+
+  test("bpeEncode round-trips trainBpe: corpus re-encodes to the trainer's segmentation") {
+    import spark.implicits._
+    val df = Seq("abcabc abc ab abab", "bc bc abcabc aaab aaab").toDF("text")
+    val merges = TrainingOps.trainBpe(df, "text", numMerges = 4)
+      .orderBy("merge_idx").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // replay the trainer's own representation: sequential separator
+    // replaces over each distinct word must equal bpeEncode's output
+    val sep = "\u001f"
+    def replay(w: String): Seq[String] = {
+      var s = sep + w.map(c => s"$c").mkString(sep + sep) + sep
+      merges.foreach { case (l, r) =>
+        s = s.replace(sep + l + sep + sep + r + sep, sep + l + r + sep)
+      }
+      s.stripPrefix(sep).stripSuffix(sep).split(sep + sep).toSeq
+    }
+    val words = df.as[String].collect().flatMap(_.split("\\s+")).distinct
+    words.foreach { w =>
+      assert(enc(w, merges) === replay(w), s"word '$w'")
+    }
+  }
 }
