@@ -133,6 +133,84 @@ object TextAnalysis {
       },
       st => st.getField("best")))
 
+  /** Gopher's duplicate-n-gram repetition signals, word-n-gram tier —
+    * the per-doc numbers behind "fraction of characters in the most
+    * common 2/3/4-gram" and "fraction of characters in duplicated
+    * 5..10-grams". Emitted as EXACT INTEGERS (counts and char sums),
+    * never ratios: the caller divides by `doc_chars` (or n_ngrams)
+    * itself, so the whole signal is replayable bit-for-bit in any
+    * engine and gate thresholds stay integer cross-multiplications.
+    * Char sums count every occurrence's characters (occurrences ×
+    * n-gram length incl. joining spaces) — the cheap relational
+    * estimator, NOT Gopher's overlap-deduplicated character union
+    * (that needs interval merging per doc; the estimator upper-bounds
+    * it and ranks documents the same way in practice). Divergence
+    * documented here on purpose.
+    *
+    * Returns struct<n_ngrams int, top_cnt int, top_gram string,
+    * top_chars bigint, dup_chars bigint> where `top_gram` is the
+    * most frequent n-gram (ties → lexicographically smallest),
+    * `top_chars` = top_cnt × length(top_gram) and `dup_chars` =
+    * Σ over n-grams occurring ≥2 times of cnt × length.
+    *
+    * Scale shape: same plan argument as [[repetitionStats]] — the
+    * corpus-shuffling formulation (explode n-grams + groupBy doc)
+    * moves ~1e12 rows at 100 TB; here the multiset is counted as
+    * equal-adjacent runs of the per-row SORTED n-gram array:
+    * O(len log len) per row, map-only, inside whole-stage codegen. */
+  def dupNgramStats(c: Column, n: Int): Column = {
+    require(n >= 1, "n must be positive")
+    val emptyRes = struct(lit(0).as("n_ngrams"), lit(0).as("top_cnt"),
+      lit(null).cast(StringType).as("top_gram"),
+      lit(0L).as("top_chars"), lit(0L).as("dup_chars"))
+    val toks = filter(tokens(c), w => w =!= "")
+    val grams = when(size(toks) >= n,
+      sort_array(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+    // let-bind the sorted n-gram array (HOF re-evaluation discipline)
+    aggregate(array(grams), emptyRes, (_, g) => {
+      val single = struct(lit(1).as("n_ngrams"), lit(1).as("top_cnt"),
+        element_at(g, 1).as("top_gram"),
+        length(element_at(g, 1)).cast(LongType).as("top_chars"),
+        lit(0L).as("dup_chars"))
+      // fold i = 2..len: extend the current equal-adjacent run or
+      // flush it (update best on STRICTLY greater, so the first —
+      // lexicographically smallest — maximal run wins, matching the
+      // oracle's ORDER BY cnt DESC, gram)
+      def flush(st: Column, prev: Column): Column = {
+        val run = st.getField("run")
+        struct(
+          lit(1).as("run"),
+          when(run > st.getField("best"), run)
+            .otherwise(st.getField("best")).as("best"),
+          when(run > st.getField("best"), prev)
+            .otherwise(st.getField("bestg")).as("bestg"),
+          (st.getField("dup") + when(run >= 2,
+            run.cast(LongType) * length(prev)).otherwise(lit(0L)))
+            .as("dup"))
+      }
+      val folded = aggregate(sequence(lit(2), size(g)),
+        struct(lit(1).as("run"), lit(0).as("best"),
+          lit(null).cast(StringType).as("bestg"), lit(0L).as("dup")),
+        (st, i) => when(element_at(g, i) === element_at(g, i - 1),
+          struct((st.getField("run") + 1).as("run"),
+            st.getField("best").as("best"),
+            st.getField("bestg").as("bestg"),
+            st.getField("dup").as("dup")))
+          .otherwise(flush(st, element_at(g, i - 1))),
+        st => flush(st, element_at(g, size(g))))
+      val res = struct(size(g).as("n_ngrams"),
+        folded.getField("best").as("top_cnt"),
+        folded.getField("bestg").as("top_gram"),
+        (folded.getField("best").cast(LongType) *
+          length(folded.getField("bestg"))).as("top_chars"),
+        folded.getField("dup").as("dup_chars"))
+      when(g.isNull, emptyRes)
+        .when(size(g) === 1, single)
+        .otherwise(res)
+    })
+  }
+
   /** Composite Gopher-style quality gate — the keep/drop decision a
     * training pipeline runs over every document, with the firing rule
     * named (`reject_reason` = first failed rule in a fixed order, so

@@ -47,6 +47,29 @@ object R8Queries {
           size(col("toks")).as("n_bpe_tokens"),
           concat_ws(" ", col("toks")).as("bpe_text"))
         .orderBy("doc_id")
+    }),
+
+    // [EXT] Gopher duplicate-n-gram repetition signals: per doc the
+    // top-2-gram count/chars and the duplicated-5-gram char mass, all
+    // exact integers (ratios are the caller's division — see
+    // TextAnalysis.dupNgramStats for the overlap-estimator caveat).
+    // Map-only sorted-run folds; the oracle recomputes the same
+    // multisets relationally per doc.
+    "q123_dup_ngrams" -> ((s, d) => {
+      val s2 = graft.llm.TextAnalysis.dupNgramStats(col("text"), 2)
+      val s5 = graft.llm.TextAnalysis.dupNgramStats(col("text"), 5)
+      T.documents(s, d)
+        .select(col("doc_id"), s2.as("s2"), s5.as("s5"),
+          length(col("text")).cast("int").as("doc_chars"))
+        .select(col("doc_id"),
+          col("s2.n_ngrams").as("n2_ngrams"),
+          col("s2.top_cnt").as("n2_top_cnt"),
+          col("s2.top_gram").as("n2_top_gram"),
+          col("s2.top_chars").as("n2_top_chars"),
+          col("s5.n_ngrams").as("n5_ngrams"),
+          col("s5.dup_chars").as("n5_dup_chars"),
+          col("doc_chars"))
+        .orderBy("doc_id")
     })
   )
 
@@ -149,6 +172,51 @@ object R8Queries {
          |FROM d LEFT JOIN tok USING (doc_id)
          |  LEFT JOIN seg USING (w)
          |GROUP BY doc_id
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    "q123_dup_ngrams" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, list_filter(
+        |    regexp_split_to_array(trim(text), '\s+'), w -> w <> '') AS ws
+        |  FROM documents),
+        |g2 AS (
+        |  SELECT doc_id, gram, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, len(ws) - 1),
+        |      i -> array_to_string(ws[i:i+1], ' '))) AS gram
+        |    FROM d WHERE len(ws) >= 2)
+        |  GROUP BY 1, 2),
+        |a2 AS (SELECT doc_id, CAST(sum(c) AS INT) AS n2_ngrams
+        |       FROM g2 GROUP BY 1),
+        |r2 AS (SELECT doc_id, gram, c, row_number() OVER
+        |         (PARTITION BY doc_id ORDER BY c DESC, gram) AS rn
+        |       FROM g2),
+        |b2 AS (SELECT doc_id, CAST(c AS INT) AS n2_top_cnt,
+        |         gram AS n2_top_gram,
+        |         CAST(c * length(gram) AS BIGINT) AS n2_top_chars
+        |       FROM r2 WHERE rn = 1),
+        |g5 AS (
+        |  SELECT doc_id, gram, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, len(ws) - 4),
+        |      i -> array_to_string(ws[i:i+4], ' '))) AS gram
+        |    FROM d WHERE len(ws) >= 5)
+        |  GROUP BY 1, 2),
+        |a5 AS (SELECT doc_id, CAST(sum(c) AS INT) AS n5_ngrams,
+        |         CAST(coalesce(sum(CASE WHEN c >= 2
+        |           THEN c * length(gram) END), 0) AS BIGINT)
+        |           AS n5_dup_chars
+        |       FROM g5 GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(n2_ngrams, 0) AS n2_ngrams,
+        |  coalesce(n2_top_cnt, 0) AS n2_top_cnt,
+        |  n2_top_gram,
+        |  CAST(coalesce(n2_top_chars, 0) AS BIGINT) AS n2_top_chars,
+        |  coalesce(n5_ngrams, 0) AS n5_ngrams,
+        |  CAST(coalesce(n5_dup_chars, 0) AS BIGINT) AS n5_dup_chars,
+        |  CAST(length(text) AS INT) AS doc_chars
+        |FROM d LEFT JOIN a2 USING (doc_id) LEFT JOIN b2 USING (doc_id)
+        |  LEFT JOIN a5 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
   )
 }

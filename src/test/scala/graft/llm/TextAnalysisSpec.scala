@@ -56,6 +56,30 @@ class TextAnalysisSpec extends SparkSuite {
     assert(c <= a)
   }
 
+  test("dupNgramStats: hand vectors — runs, ties, singles, empties") {
+    def stats(t: String, n: Int): (Int, Int, String, Long, Long) = {
+      val r = Seq(t).toDF("t")
+        .select(TextAnalysis.dupNgramStats(col("t"), n).as("r"))
+        .select("r.n_ngrams", "r.top_cnt", "r.top_gram", "r.top_chars",
+          "r.dup_chars").collect()(0)
+      (r.getInt(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4))
+    }
+    // two tied 2-grams: lexicographically smallest wins the top slot,
+    // both contribute to dup_chars
+    assert(stats("a b a b a", 2) === ((4, 2, "a b", 6L, 12L)))
+    // all unique: first gram is top with cnt 1, nothing duplicated
+    assert(stats("x y z", 2) === ((2, 1, "x y", 3L, 0L)))
+    // exactly one gram
+    assert(stats("a b", 2) === ((1, 1, "a b", 3L, 0L)))
+    // shorter than one gram / empty → zero row with null gram
+    assert(stats("w", 2) === ((0, 0, null, 0L, 0L)))
+    assert(stats("", 2) === ((0, 0, null, 0L, 0L)))
+    // n=1 degenerates to token stats
+    assert(stats("t t t t", 1) === ((4, 4, "t", 4L, 4L)))
+    // a longer run beats an earlier shorter one
+    assert(stats("b c b c a a a b c", 2) === ((8, 3, "b c", 9L, 15L)))
+  }
+
   test("repetitionStats: run-fold equals token frequency max; edge cases") {
     def stats(t: String): (Int, Double, Double) = {
       val r = Seq(t).toDF("t")
