@@ -70,6 +70,45 @@ object R8Queries {
           col("s5.dup_chars").as("n5_dup_chars"),
           col("doc_chars"))
         .orderBy("doc_id")
+    }),
+
+    // [EXT] recursive sitemap expansion end-to-end: per nation a
+    // 2-level planted index (root sitemapindex → two child urlsets,
+    // one page listed in BOTH children with different lastmods) runs
+    // through the full fetch→parse→anti-join loop; fetch is a lookup
+    // join against the in-plan bodies table. The oracle derives the
+    // flattened frontier from the same base rows relationally —
+    // including the cross-sitemap min-lastmod pick.
+    "q124_sitemap_expand" -> ((s, d) => {
+      val nat = T.nation(s, d)
+        .select(col("n_nationkey").cast("int").as("k"))
+      val host = concat(lit("https://n"), col("k").cast("string"),
+        lit(".example"))
+      val rootXml = concat(
+        lit("<sitemapindex><sitemap><loc>"), host,
+        lit("/s1.xml</loc></sitemap><sitemap><loc>"), host,
+        lit("/s2.xml</loc></sitemap></sitemapindex>"))
+      val s1Xml = concat(
+        lit("<urlset><url><loc>"), host,
+        lit("/p1</loc><lastmod>2024-01-0"),
+        (pmod(col("k"), lit(9)) + 1).cast("string"),
+        lit("</lastmod></url><url><loc>"), host,
+        lit("/p2</loc></url><url><loc>"), host,
+        lit("/p3</loc><lastmod>2024-03-05</lastmod></url></urlset>"))
+      val s2Xml = concat(
+        lit("<urlset><url><loc>"), host,
+        lit("/p3</loc><lastmod>2024-02-02</lastmod></url><url><loc>"),
+        host, lit("/p4</loc></url></urlset>"))
+      val seeds = nat.select(
+        concat(host, lit("/sitemap.xml")).as("sm_url"), rootXml.as("xml"))
+      val bodies = nat
+        .select(concat(host, lit("/s1.xml")).as("sm_url"), s1Xml.as("xml"))
+        .union(nat.select(concat(host, lit("/s2.xml")).as("sm_url"),
+          s2Xml.as("xml")))
+      val fetch = (u: org.apache.spark.sql.DataFrame) =>
+        u.join(bodies, Seq("sm_url"))
+      graft.llm.Crawl.expandSitemaps(seeds, "sm_url", "xml", fetch)
+        .orderBy("url")
     })
   )
 
@@ -217,6 +256,20 @@ object R8Queries {
         |  CAST(length(text) AS INT) AS doc_chars
         |FROM d LEFT JOIN a2 USING (doc_id) LEFT JOIN b2 USING (doc_id)
         |  LEFT JOIN a5 USING (doc_id)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q124_sitemap_expand" ->
+      """WITH n AS (
+        |  SELECT CAST(n_nationkey AS INT) AS k,
+        |    'https://n' || CAST(CAST(n_nationkey AS INT) AS VARCHAR)
+        |      || '.example' AS h
+        |  FROM nation)
+        |SELECT url, lastmod FROM (
+        |  SELECT h || '/p1' AS url,
+        |    '2024-01-0' || CAST(k % 9 + 1 AS VARCHAR) AS lastmod FROM n
+        |  UNION ALL SELECT h || '/p2', NULL FROM n
+        |  UNION ALL SELECT h || '/p3', '2024-02-02' FROM n
+        |  UNION ALL SELECT h || '/p4', NULL FROM n)
+        |ORDER BY url""".stripMargin
   )
 }
