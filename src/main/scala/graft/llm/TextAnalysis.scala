@@ -133,6 +133,37 @@ object TextAnalysis {
       },
       st => st.getField("best")))
 
+  /** PII scrubbing — the redaction pass a training pipeline runs
+    * before text ever reaches a tokenizer: emails, IPv4 literals and
+    * international/dashed phone numbers are replaced with typed
+    * placeholder tags and counted. Patterns are deliberately
+    * RE2-compatible (character classes, bounded repeats, `\b` — no
+    * lookaround, no backrefs) so an oracle engine replays them
+    * verbatim; order is fixed (emails → IPv4 → phones) because the
+    * phone pattern could otherwise eat digit runs inside the other
+    * two. Counts are taken BEFORE any replacement, each against the
+    * original text. A conservative-by-design detector: precision
+    * over recall (a false positive deletes training signal forever;
+    * a false negative gets another chance at a later pipeline
+    * stage). Map-only, codegen'd.
+    *
+    * Returns struct<clean_text string, n_emails int, n_ipv4 int,
+    * n_phones int>. */
+  def piiScrub(c: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+    val phone = "\\+\\d{7,14}\\b|\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b"
+    val cleaned = regexp_replace(
+      regexp_replace(regexp_replace(c, email, "<EMAIL>"),
+        ipv4, "<IP>"),
+      phone, "<PHONE>")
+    struct(
+      cleaned.as("clean_text"),
+      regexp_count(c, lit(email)).cast(IntegerType).as("n_emails"),
+      regexp_count(c, lit(ipv4)).cast(IntegerType).as("n_ipv4"),
+      regexp_count(c, lit(phone)).cast(IntegerType).as("n_phones"))
+  }
+
   /** Gopher's duplicate-n-gram repetition signals, word-n-gram tier —
     * the per-doc numbers behind "fraction of characters in the most
     * common 2/3/4-gram" and "fraction of characters in duplicated

@@ -475,6 +475,37 @@ object TrainingOps {
       col("term"), col("cnt"))
   }
 
+  /** Vocabulary coverage curve — the tokenizer-sizing diagnostic: for
+    * each of the top-`size` terms (same ranking as [[buildVocab]]:
+    * count desc, term), the CUMULATIVE fraction of all corpus token
+    * occurrences a vocab cut at that rank would cover, in exact
+    * integer micro-units (`coverage_micro = (10⁶ × cum_cnt) div
+    * total` — long floor division, bit-replayable in any engine; a
+    * double ratio would be neither). Read it to answer "how big must
+    * the vocab be for ≥99% coverage" without re-running anything.
+    *
+    * Scale shape: counting is one map-side-combined aggregate; the
+    * TakeOrdered cut bounds the window input to `size` rows (the
+    * [[buildVocab]] driver-residency contract), so the running sum
+    * never windows over corpus-sized data; the 1-row total broadcast
+    * joins back. */
+  def vocabCoverage(df: DataFrame, textCol: String,
+      size: Int = 32768): DataFrame = {
+    require(size > 0, "size must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val total = tok.agg(count(lit(1)).as("total"))
+    val top = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(size)
+    val w = Window.orderBy(col("cnt").desc, col("term"))
+    top.select(row_number().over(w).as("rank"), col("term"), col("cnt"),
+        sum(col("cnt")).over(w).as("cum_cnt"))
+      .join(broadcast(total))
+      .select(col("rank"), col("term"), col("cnt"), col("cum_cnt"),
+        expr("(1000000 * cum_cnt) div total").as("coverage_micro"))
+  }
+
   /** One counting round of byte-pair-encoding tokenizer training at
     * corpus scale: the `topK` most frequent ADJACENT CHARACTER pairs
     * across all whitespace-token occurrences (occurrence-weighted,

@@ -109,7 +109,39 @@ object R8Queries {
         u.join(bodies, Seq("sm_url"))
       graft.llm.Crawl.expandSitemaps(seeds, "sm_url", "xml", fetch)
         .orderBy("url")
-    })
+    }),
+
+    // [EXT] PII scrubbing: plant a deterministic email / IPv4 /
+    // phone-pair per document, redact with typed tags, count each
+    // category against the original text. Patterns are RE2-safe so
+    // the oracle replays them verbatim (with the 'g' flag — DuckDB
+    // replaces first-match-only by default).
+    "q125_pii_scrub" -> ((s, d) => {
+      val planted = concat(col("text"),
+        lit(" contact p"), col("doc_id").cast("string"),
+        lit("@example.com or 10.0."),
+        pmod(col("doc_id"), lit(256)).cast("string"), lit("."),
+        pmod(col("doc_id"), lit(100)).cast("string"),
+        lit(" or call +49151123450"),
+        pmod(col("doc_id"), lit(10)).cast("string"),
+        lit(" or 555-123-4567 today"))
+      T.documents(s, d)
+        .select(col("doc_id"),
+          graft.llm.TextAnalysis.piiScrub(planted).as("p"))
+        .select(col("doc_id"), col("p.clean_text").as("clean_text"),
+          col("p.n_emails").as("n_emails"), col("p.n_ipv4").as("n_ipv4"),
+          col("p.n_phones").as("n_phones"))
+        .orderBy("doc_id")
+    }),
+
+    // [EXT] vocabulary coverage curve (tokenizer sizing): cumulative
+    // corpus-occurrence coverage per vocab rank in exact integer
+    // micro-units (long floor division in both engines — never a
+    // double ratio).
+    "q126_vocab_coverage" -> ((s, d) =>
+      graft.llm.TrainingOps.vocabCoverage(
+        T.documents(s, d).select(col("text")), "text", size = 200)
+        .orderBy("rank"))
   )
 
   /** One BPE oracle round over word-carrying tables: pair counts
@@ -270,6 +302,49 @@ object R8Queries {
         |  UNION ALL SELECT h || '/p2', NULL FROM n
         |  UNION ALL SELECT h || '/p3', '2024-02-02' FROM n
         |  UNION ALL SELECT h || '/p4', NULL FROM n)
-        |ORDER BY url""".stripMargin
+        |ORDER BY url""".stripMargin,
+
+    "q125_pii_scrub" ->
+      """WITH d AS (
+        |  SELECT doc_id, text
+        |    || ' contact p' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |    || ' or 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+        |    || CAST(doc_id % 100 AS VARCHAR)
+        |    || ' or call +49151123450' || CAST(doc_id % 10 AS VARCHAR)
+        |    || ' or 555-123-4567 today' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |    '<EMAIL>', 'g'),
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |    '\+\d{7,14}\b|\b\d{3}[-.]\d{3,4}[-.]\d{4}\b',
+        |    '<PHONE>', 'g') AS clean_text,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS INT) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\+\d{7,14}\b|\b\d{3}[-.]\d{3,4}[-.]\d{4}\b')) AS INT)
+        |    AS n_phones
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q126_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |t AS (SELECT term, count(*) AS cnt FROM tok
+        |      WHERE term <> '' GROUP BY 1),
+        |tot AS (SELECT count(*) AS total FROM tok WHERE term <> ''),
+        |top AS (SELECT term, cnt FROM t ORDER BY cnt DESC, term LIMIT 200),
+        |r AS (SELECT row_number() OVER (ORDER BY cnt DESC, term) AS rank,
+        |        term, cnt,
+        |        CAST(sum(cnt) OVER (ORDER BY cnt DESC, term
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt
+        |      FROM top)
+        |SELECT CAST(rank AS INT) AS rank, term, cnt, cum_cnt,
+        |  CAST((1000000 * cum_cnt) // total AS BIGINT) AS coverage_micro
+        |FROM r, tot ORDER BY rank""".stripMargin
   )
 }

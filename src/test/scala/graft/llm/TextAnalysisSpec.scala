@@ -56,6 +56,45 @@ class TextAnalysisSpec extends SparkSuite {
     assert(c <= a)
   }
 
+  test("piiScrub: redacts emails/ipv4/phones with counts; order fixed; no false hits") {
+    def scrub(t: String): (String, Int, Int, Int) = {
+      val r = Seq(t).toDF("t")
+        .select(TextAnalysis.piiScrub(col("t")).as("p"))
+        .select("p.clean_text", "p.n_emails", "p.n_ipv4", "p.n_phones")
+        .collect()(0)
+      (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3))
+    }
+    assert(scrub("mail a.b+c@ex-1.org now") ===
+      (("mail <EMAIL> now", 1, 0, 0)))
+    assert(scrub("host 10.0.0.1 and 192.168.255.3") ===
+      (("host <IP> and <IP>", 0, 2, 0)))
+    assert(scrub("call +4915112345678 or 555-123-4567") ===
+      (("call <PHONE> or <PHONE>", 0, 0, 2)))
+    // a version string is not an IP (only 3 octets), a year is not a
+    // phone, a bare @ is not an email
+    assert(scrub("v1.2.3 built 2024 by dev @ home") ===
+      (("v1.2.3 built 2024 by dev @ home", 0, 0, 0)))
+    // an IP-shaped domain is no email (the TLD must be alphabetic),
+    // but it IS an IP — and counts run against the ORIGINAL text
+    assert(scrub("x@1.2.3.4 ping") === (("x@<IP> ping", 0, 1, 0)))
+  }
+
+  test("vocabCoverage: exact micro-unit curve, rank cut, tie order") {
+    val df = Seq("b b b a a c", "a d").toDF("text")
+    // counts: a=3, b=3, c=1, d=1, total=8 → ranks by (cnt desc, term)
+    val r = TrainingOps_vocabCoverage(df)
+    assert(r === Seq(
+      (1, "a", 3L, 3L, 375000L),   // 3/8
+      (2, "b", 3L, 6L, 750000L),   // 6/8
+      (3, "c", 1L, 7L, 875000L)))  // size=3 cuts d
+  }
+
+  private def TrainingOps_vocabCoverage(df: org.apache.spark.sql.DataFrame) =
+    graft.llm.TrainingOps.vocabCoverage(df, "text", size = 3)
+      .orderBy("rank").collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getLong(2), x.getLong(3),
+        x.getLong(4))).toSeq
+
   test("dupNgramStats: hand vectors — runs, ties, singles, empties") {
     def stats(t: String, n: Int): (Int, Int, String, Long, Long) = {
       val r = Seq(t).toDF("t")
