@@ -250,6 +250,35 @@ object ScaleSmoke {
       // distinct words, independent of corpus row count
       "bpe_train" -> (() => TrainingOps.trainBpe(
         docs.select(col("text")), "text", numMerges = 3)),
+      // Gopher dup-n-gram signals: two sorted-run folds per row
+      // (2-gram top + 5-gram dup mass), map-only — corpus cost is
+      // per-row O(len log len), no shuffle
+      "dup_ngram_stats" -> (() => docs.select(col("id"),
+        TA.dupNgramStats(col("text"), 2).as("s2"),
+        TA.dupNgramStats(col("text"), 5).as("s5"))),
+      // PII scrub: six regex passes per row (3 counts + 3 replaces),
+      // map-only
+      "pii_scrub" -> (() => docs.select(col("id"),
+        TA.piiScrub(col("text")).as("p"))),
+      // vocab coverage: one map-side-combined count + a TakeOrdered
+      // cut; the running-sum window sees only `size` rows
+      "vocab_coverage" -> (() => TrainingOps.vocabCoverage(
+        docs.select(col("text")), "text", size = 32768)),
+      // BPE encode with a trained table: 3 training rounds OUTSIDE the
+      // corpus-sized path would be ideal, but the train is part of the
+      // measured scenario here so the number is end-to-end honest;
+      // the encode itself is map-only through graft_bpe_encode
+      "bpe_encode" -> (() => {
+        val merges = TrainingOps.trainBpe(
+          docs.select(col("text")), "text", numMerges = 3)
+          .orderBy("merge_idx").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        docs.select(col("id"),
+          TrainingOps.bpeEncode(col("text"), merges).as("toks"))
+      }),
+      // 40-language trigram langid: one in-plan hash-map walk per row
+      "langid" -> (() => docs.select(col("id"),
+        TA.langId(col("text")).as("l"))),
       // robots wildcard filtering at crawl scale: a broadcast rule
       // registry incl. * and $ patterns against n URLs concentrated
       // on 1000 hosts — per-URL cost is the regex probe + the bounded

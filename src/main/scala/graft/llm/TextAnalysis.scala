@@ -184,62 +184,20 @@ object TextAnalysis {
     * `top_chars` = top_cnt × length(top_gram) and `dup_chars` =
     * Σ over n-grams occurring ≥2 times of cnt × length.
     *
-    * Scale shape: same plan argument as [[repetitionStats]] — the
-    * corpus-shuffling formulation (explode n-grams + groupBy doc)
-    * moves ~1e12 rows at 100 TB; here the multiset is counted as
-    * equal-adjacent runs of the per-row SORTED n-gram array:
-    * O(len log len) per row, map-only, inside whole-stage codegen. */
+    * Scale shape: the corpus-shuffling formulation (explode n-grams +
+    * groupBy doc) moves ~1e12 rows at 100 TB; this is instead ONE
+    * O(len) hash-count pass per row inside the native
+    * `graft_dup_ngrams` kernel — map-only, no shuffle, codegen'd. A
+    * first formulation as a sorted-run `aggregate` fold measured
+    * ~108 µs/doc at 1M docs (interpreted HOFs sit outside
+    * whole-stage codegen — the SCALE.md rule); the kernel swap is a
+    * pure implementation change under the same contract, value-pinned
+    * by the unchanged spec vectors and the q123 oracle. Tie-break
+    * comparison is Java BMP string order — identical to the oracle's
+    * binary order for BMP text (the corpus scope). */
   def dupNgramStats(c: Column, n: Int): Column = {
-    require(n >= 1, "n must be positive")
-    val emptyRes = struct(lit(0).as("n_ngrams"), lit(0).as("top_cnt"),
-      lit(null).cast(StringType).as("top_gram"),
-      lit(0L).as("top_chars"), lit(0L).as("dup_chars"))
-    val toks = filter(tokens(c), w => w =!= "")
-    val grams = when(size(toks) >= n,
-      sort_array(transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n))))))
-    // let-bind the sorted n-gram array (HOF re-evaluation discipline)
-    aggregate(array(grams), emptyRes, (_, g) => {
-      val single = struct(lit(1).as("n_ngrams"), lit(1).as("top_cnt"),
-        element_at(g, 1).as("top_gram"),
-        length(element_at(g, 1)).cast(LongType).as("top_chars"),
-        lit(0L).as("dup_chars"))
-      // fold i = 2..len: extend the current equal-adjacent run or
-      // flush it (update best on STRICTLY greater, so the first —
-      // lexicographically smallest — maximal run wins, matching the
-      // oracle's ORDER BY cnt DESC, gram)
-      def flush(st: Column, prev: Column): Column = {
-        val run = st.getField("run")
-        struct(
-          lit(1).as("run"),
-          when(run > st.getField("best"), run)
-            .otherwise(st.getField("best")).as("best"),
-          when(run > st.getField("best"), prev)
-            .otherwise(st.getField("bestg")).as("bestg"),
-          (st.getField("dup") + when(run >= 2,
-            run.cast(LongType) * length(prev)).otherwise(lit(0L)))
-            .as("dup"))
-      }
-      val folded = aggregate(sequence(lit(2), size(g)),
-        struct(lit(1).as("run"), lit(0).as("best"),
-          lit(null).cast(StringType).as("bestg"), lit(0L).as("dup")),
-        (st, i) => when(element_at(g, i) === element_at(g, i - 1),
-          struct((st.getField("run") + 1).as("run"),
-            st.getField("best").as("best"),
-            st.getField("bestg").as("bestg"),
-            st.getField("dup").as("dup")))
-          .otherwise(flush(st, element_at(g, i - 1))),
-        st => flush(st, element_at(g, size(g))))
-      val res = struct(size(g).as("n_ngrams"),
-        folded.getField("best").as("top_cnt"),
-        folded.getField("bestg").as("top_gram"),
-        (folded.getField("best").cast(LongType) *
-          length(folded.getField("bestg"))).as("top_chars"),
-        folded.getField("dup").as("dup_chars"))
-      when(g.isNull, emptyRes)
-        .when(size(g) === 1, single)
-        .otherwise(res)
-    })
+    val b = org.apache.spark.sql.GraftColumnBridge
+    b.column(graft.expressions.DupNgramStatsExpr(b.expression(c), n))
   }
 
   /** Composite Gopher-style quality gate — the keep/drop decision a
