@@ -150,6 +150,77 @@ object Multimodal {
     spark.createDataFrame(rdd, withIdType(ImageFeatureSchema, df, idCol))
   }
 
+  /** Schema of [[imageDHash]]. */
+  val DHashSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("dhash", LongType)))
+
+  /** Perceptual difference-hash (dHash) over decoded image pixels —
+    * the embedding-free image NEAR-DUP key: re-encodes, resizes and
+    * small edits move few bits, so `bit_count(a ^ b) <= t` (Spark's
+    * codegen'd `bit_count` on xor) is a Hamming near-dup predicate,
+    * and the hash itself (or band substrings of it) is a bucket-join
+    * blocking key — the exact SimHash discipline, pixel-side.
+    *
+    * Definition (exact integer arithmetic end-to-end, so an oracle
+    * replays it relationally from known pixel values): sample a 9×8
+    * grid by nearest-neighbor floor index (sx = col·w div 9,
+    * sy = row·h div 8 — upsampling duplicates pixels for images
+    * smaller than the grid, no interpolation on purpose), take
+    * integer milli-luma 299·R + 587·G + 114·B per sample (no
+    * division — exact), and set bit (row·8 + col) iff the right
+    * neighbor is STRICTLY brighter. Same `mapPartitions` + ImageIO
+    * shape as [[decodeImage]]; undecodable payloads → null fields.
+    *
+    * Scale shape: map-only, one decoded image in flight per row, 72
+    * getRGB probes per image regardless of resolution. */
+  def imageDHash(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.get(idIdx)
+        val bytes = r.getAs[Array[Byte]](pIdx)
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
+        if (img == null) Row(id, null, null, null)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val lum = Array.ofDim[Int](8, 9)
+          var row = 0
+          while (row < 8) {
+            var c = 0
+            while (c < 9) {
+              val rgb = img.getRGB(c * w / 9, row * h / 8)
+              lum(row)(c) = 299 * ((rgb >> 16) & 0xff) +
+                587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)
+              c += 1
+            }
+            row += 1
+          }
+          var hash = 0L
+          row = 0
+          while (row < 8) {
+            var c = 0
+            while (c < 8) {
+              if (lum(row)(c + 1) > lum(row)(c))
+                hash |= 1L << (row * 8 + c)
+              c += 1
+            }
+            row += 1
+          }
+          Row(id, w, h, hash)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, withIdType(DHashSchema, df, idCol))
+  }
+
   /** Schema of [[decodeAudio]]: PCM stream parameters + per-window RMS
     * energy profile (`windows` floats, payload-length-independent). */
   val AudioFeatureSchema: StructType = StructType(Seq(

@@ -26,11 +26,11 @@ object R5Queries {
   private val T = Tables
 
   /** Hex of the low byte of an integral column (2 chars). */
-  private def b1(c: Column): Column =
+  private[queries] def b1(c: Column): Column =
     lpad(hex(pmod(c.cast("long"), lit(256))), 2, "0")
 
   /** Hex of a u32 little-endian (8 chars). */
-  private def le32(c: Column): Column =
+  private[queries] def le32(c: Column): Column =
     concat(b1(c), b1(floor(c / 256)), b1(floor(c / 65536)),
       b1(floor(c / 16777216)))
 

@@ -141,7 +141,45 @@ object R8Queries {
     "q126_vocab_coverage" -> ((s, d) =>
       graft.llm.TrainingOps.vocabCoverage(
         T.documents(s, d).select(col("text")), "text", size = 200)
-        .orderBy("rank"))
+        .orderBy("rank")),
+
+    // [EXT] perceptual image dHash over REAL decoded BMP pixels (the
+    // q91 planted-pixel fixture, larger dims): 9×8 nearest-neighbor
+    // grid → integer milli-luma → 64 horizontal-gradient bits — the
+    // embedding-free image near-dup key. Exact integer arithmetic
+    // end-to-end, so the oracle replays sampling, luma and bit
+    // packing relationally from the same pixel formula (bit 63 is
+    // the min-long literal: DuckDB's << throws on 1<<63).
+    "q127_image_dhash" -> ((s, d) => {
+      val k = col("p_partkey")
+      val w = pmod(k, lit(9)) + 2 // 2..10 px
+      val h = pmod(k, lit(7)) + 2 // 2..8 px
+      val rowBytes = floor((w * 3 + 3) / 4) * 4
+      val imgSize = h * rowBytes
+      def b1(c: org.apache.spark.sql.Column) = R5Queries.b1(c)
+      def le32(c: org.apache.spark.sql.Column) = R5Queries.le32(c)
+      def pix(x: org.apache.spark.sql.Column,
+          y: org.apache.spark.sql.Column) = concat(
+        b1(k * 31 + x * 17 + y * 23), // B
+        b1(k * 7 + x * 29 + y * 13),  // G
+        b1(k * 13 + x * 11 + y * 19)) // R
+      val rowPad = lit("000000").substr(lit(1), (rowBytes - w * 3) * 2)
+      val rows = array_join(
+        transform(sequence(h - 1, lit(0), lit(-1)), y =>
+          concat(array_join(
+            transform(sequence(lit(0), w - 1), x => pix(x, y)), ""),
+            rowPad)), "")
+      val payload = unhex(concat(
+        lit("424D"), le32(imgSize + 54), lit("00000000"), le32(lit(54)),
+        le32(lit(40)), le32(w), le32(h), lit("01001800"), le32(lit(0)),
+        le32(imgSize), le32(lit(0)), le32(lit(0)), le32(lit(0)),
+        le32(lit(0)), rows))
+      graft.llm.Multimodal.imageDHash(
+        T.part(s, d).filter(pmod(k, lit(5)) === 0)
+          .select(k.as("id"), payload.as("payload")),
+        "id", "payload")
+        .orderBy("id")
+    })
   )
 
   /** One BPE oracle round over word-carrying tables: pair counts
@@ -345,6 +383,37 @@ object R8Queries {
         |      FROM top)
         |SELECT CAST(rank AS INT) AS rank, term, cnt, cum_cnt,
         |  CAST((1000000 * cum_cnt) // total AS BIGINT) AS coverage_micro
-        |FROM r, tot ORDER BY rank""".stripMargin
+        |FROM r, tot ORDER BY rank""".stripMargin,
+
+    "q127_image_dhash" ->
+      """WITH d AS (
+        |  SELECT p_partkey AS id,
+        |    CAST(p_partkey % 9 + 2 AS INT) AS width,
+        |    CAST(p_partkey % 7 + 2 AS INT) AS height
+        |  FROM part WHERE p_partkey % 5 = 0),
+        |g AS (
+        |  SELECT id, width, height, r.r AS r, c.c AS c,
+        |    (c.c * width) // 9 AS sx, (r.r * height) // 8 AS sy
+        |  FROM d, generate_series(0, 7) AS r(r),
+        |       generate_series(0, 8) AS c(c)),
+        |l AS (
+        |  SELECT id, r, c,
+        |      299 * ((id * 13 + sx * 11 + sy * 19) % 256)
+        |    + 587 * ((id * 7 + sx * 29 + sy * 13) % 256)
+        |    + 114 * ((id * 31 + sx * 17 + sy * 23) % 256) AS lum
+        |  FROM g),
+        |b AS (
+        |  SELECT a.id,
+        |    CASE WHEN bb.lum > a.lum THEN
+        |      CASE WHEN a.r * 8 + a.c = 63
+        |        THEN (-9223372036854775807 - 1)
+        |        ELSE 1::BIGINT << (a.r * 8 + a.c) END
+        |      ELSE 0::BIGINT END AS bit
+        |  FROM l a JOIN l bb ON a.id = bb.id AND a.r = bb.r
+        |    AND bb.c = a.c + 1
+        |  WHERE a.c < 8)
+        |SELECT d.id, width, height, CAST(sum(bit) AS BIGINT) AS dhash
+        |FROM d JOIN b USING (id)
+        |GROUP BY 1, 2, 3 ORDER BY id""".stripMargin
   )
 }

@@ -268,6 +268,46 @@ class MultimodalSpec extends SparkSuite {
     assert(out(1).isNullAt(1) && out(1).isNullAt(4))
   }
 
+  test("imageDHash: gradient hash from known pixels; robustness properties") {
+    import spark.implicits._
+    def png(f: java.awt.image.BufferedImage => Unit, w: Int = 16,
+        h: Int = 16): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      f(img)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def hashOf(bytes: Array[Byte]): java.lang.Long = {
+      val r = Multimodal.imageDHash(
+        Seq((1L, bytes)).toDF("id", "payload"), "id", "payload").collect()(0)
+      if (r.isNullAt(3)) null else Long.box(r.getLong(3))
+    }
+    // strictly left-to-right brighter ramp → every gradient bit set
+    val ramp = png(img => for (y <- 0 until 16; x <- 0 until 16)
+      img.setRGB(x, y, 0x010101 * (x * 16)))
+    assert(hashOf(ramp) === -1L) // all 64 bits
+    // constant image → no strict increase anywhere → 0
+    val flat = png(img => for (y <- 0 until 16; x <- 0 until 16)
+      img.setRGB(x, y, 0x808080))
+    assert(hashOf(flat) === 0L)
+    // scale invariance: the same ramp at 4× resolution hashes equal
+    val ramp4x = png(img => for (y <- 0 until 64; x <- 0 until 64)
+      img.setRGB(x, y, 0x010101 * ((x / 4) * 16)), 64, 64)
+    assert(hashOf(ramp4x) === hashOf(ramp))
+    // a small local edit moves few bits (near-dup property)
+    val edited = png(img => {
+      for (y <- 0 until 16; x <- 0 until 16)
+        img.setRGB(x, y, 0x010101 * (x * 16))
+      img.setRGB(0, 0, 0xffffff)
+    })
+    val d = java.lang.Long.bitCount(hashOf(ramp) ^ hashOf(edited))
+    assert(d <= 4, s"hamming $d")
+    // undecodable payload → null hash, no throw
+    assert(hashOf(Array.tabulate(16)(_.toByte)) === null)
+  }
+
   test("media decode accepts string doc-ids like every other llm operator") {
     import spark.implicits._
     val img = new java.awt.image.BufferedImage(1, 1,
