@@ -253,4 +253,28 @@ class PlanQualitySpec extends SparkSuite {
     assert(p.contains("Generate"), p.take(800))
     assert(!p.contains("hashpartitioning("), p.take(1200))
   }
+
+  test("q123: dup-n-gram signals are one native kernel pass — no exchange, no HOF fold") {
+    val p = plan("q123_dup_ngrams")
+    assert(!p.contains("hashpartitioning("), p.take(1200))
+    assert(p.contains("graft_dup_ngrams"), p.take(1200))
+    // the retired formulation showed here as aggregate(...) lambdas
+    assert(!p.contains("lambdafunction"), p.take(1600))
+  }
+
+  test("q125: PII scrub is map-only — no exchange before the final order") {
+    val p = plan("q125_pii_scrub")
+    assert(!p.contains("hashpartitioning("), p.take(1200))
+  }
+
+  test("q126: coverage curve windows only the TakeOrdered vocab cut") {
+    val p = plan("q126_vocab_coverage")
+    // the corpus-sized side ends in a partial->final count, then a
+    // TakeOrdered bounds everything the running-sum window sees
+    assert(p.contains("TakeOrderedAndProject"), p.take(1600))
+    // exactly one hash exchange: the term count; the window input is
+    // the limit output, never a corpus-sized exchange
+    val exchanges = "hashpartitioning\\(".r.findAllIn(p).length
+    assert(exchanges <= 1, s"$exchanges hash exchanges\n" + p.take(1600))
+  }
 }
