@@ -974,10 +974,37 @@ object Dedup {
     val sigs = df.select(
       (col(idCol).as("id") +: blockCols.map(col)) :+
         expr(s"graft_simhash64(`$textCol`)").as("sig"): _*)
+    hammingPairs64(sigs, "id", "sig", maxHamming, blockCols)
+  }
+
+  /** Hamming near-dup candidate pairs over an EXISTING 64-bit
+    * signature column — the blocking join [[simhashPairs]] uses,
+    * factored out so any 64-bit perceptual signature rides the same
+    * discipline (text SimHash, image dHash
+    * [[Multimodal.imageDHash]], audio fingerprints). The signature
+    * splits into `maxHamming + 1` chunks (width 64 div (h+1); the
+    * top chunk takes the remainder bits via an UNSIGNED shift): two
+    * signatures within hamming ≤ h differ in at most h chunks, so
+    * they must agree on at least one exact chunk (pigeonhole) —
+    * the per-chunk equi-join is COMPLETE w.r.t. the threshold,
+    * never a recall trade, and the q128 oracle exploits exactly that
+    * (its all-pairs bit_count replay must equal the blocked join's
+    * output). Occupancy math and the `blockCols` sharding lever are
+    * [[simhashPairs]]'s — see its Scaladoc. */
+  def hammingPairs64(sigs: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int = 3, blockCols: Seq[String] = Seq.empty): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32,
+      "maxHamming must be in [0, 32)")
+    val n = maxHamming + 1
+    val w = 64 / n
+    val chunkExpr = (0 until n).map { c =>
+      if (c == n - 1) s"shiftrightunsigned(`$sigCol`, ${c * w})"
+      else s"shiftright(`$sigCol`, ${c * w}) & ${(1L << w) - 1}L"
+    }.mkString("array(", ", ", ")")
     val chunked = sigs.select(
-      (col("id") +: blockCols.map(col)) ++ Seq(col("sig"),
-        posexplode(expr("transform(sequence(0,3), c -> shiftright(sig, c*16) & 65535L)"))
-          .as(Seq("chunk", "ck"))): _*)
+      (col(idCol).as("id") +: blockCols.map(col)) ++ Seq(
+        col(sigCol).as("sig"),
+        posexplode(expr(chunkExpr)).as(Seq("chunk", "ck"))): _*)
     val l = chunked.as("l")
     val r = chunked.as("r")
     val joinCond = Seq(col("l.chunk") === col("r.chunk"),

@@ -152,35 +152,63 @@ object R8Queries {
     // the min-long literal: DuckDB's << throws on 1<<63).
     "q127_image_dhash" -> ((s, d) => {
       val k = col("p_partkey")
-      val w = pmod(k, lit(9)) + 2 // 2..10 px
-      val h = pmod(k, lit(7)) + 2 // 2..8 px
-      val rowBytes = floor((w * 3 + 3) / 4) * 4
-      val imgSize = h * rowBytes
-      def b1(c: org.apache.spark.sql.Column) = R5Queries.b1(c)
-      def le32(c: org.apache.spark.sql.Column) = R5Queries.le32(c)
-      def pix(x: org.apache.spark.sql.Column,
-          y: org.apache.spark.sql.Column) = concat(
-        b1(k * 31 + x * 17 + y * 23), // B
-        b1(k * 7 + x * 29 + y * 13),  // G
-        b1(k * 13 + x * 11 + y * 19)) // R
-      val rowPad = lit("000000").substr(lit(1), (rowBytes - w * 3) * 2)
-      val rows = array_join(
-        transform(sequence(h - 1, lit(0), lit(-1)), y =>
-          concat(array_join(
-            transform(sequence(lit(0), w - 1), x => pix(x, y)), ""),
-            rowPad)), "")
-      val payload = unhex(concat(
-        lit("424D"), le32(imgSize + 54), lit("00000000"), le32(lit(54)),
-        le32(lit(40)), le32(w), le32(h), lit("01001800"), le32(lit(0)),
-        le32(imgSize), le32(lit(0)), le32(lit(0)), le32(lit(0)),
-        le32(lit(0)), rows))
       graft.llm.Multimodal.imageDHash(
         T.part(s, d).filter(pmod(k, lit(5)) === 0)
-          .select(k.as("id"), payload.as("payload")),
+          .select(k.as("id"), plantedBmp(k).as("payload")),
         "id", "payload")
         .orderBy("id")
+    }),
+
+    // [EXT] image NEAR-DUP pairs over the dHash: each planted image
+    // appears under TWO ids (byte-identical twins) plus unrelated
+    // images; the Hamming blocking join (pigeonhole chunks over the
+    // 64-bit signature) must find exactly the pairs the oracle's
+    // ALL-PAIRS bit_count replay finds — the oracle proves the
+    // blocking is COMPLETE w.r.t. the threshold, not a recall trade.
+    "q128_image_neardup" -> ((s, d) => {
+      val ids = T.part(s, d)
+        .filter(pmod(col("p_partkey"), lit(5)) === 0)
+        .select(col("p_partkey").as("kk"))
+        .select(col("kk"), explode(array(lit(0), lit(1))).as("twin"))
+        .select((col("kk") * 2 + col("twin")).as("id"), col("kk"))
+      val hashed = graft.llm.Multimodal.imageDHash(
+        ids.select(col("id"), plantedBmp(col("kk")).as("payload")),
+        "id", "payload")
+        .filter(col("dhash").isNotNull)
+      graft.llm.Dedup.hammingPairs64(hashed, "id", "dhash",
+        maxHamming = 3)
+        .orderBy("id_a", "id_b")
     })
   )
+
+  /** The q91/q127 planted BMP: a 24-bit uncompressed bitmap whose
+    * every channel is a distinct affine hash of (k, x, y) — so an
+    * oracle recomputes any pixel analytically. Dims 2..10 × 2..8. */
+  private def plantedBmp(k: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val w = pmod(k, lit(9)) + 2 // 2..10 px
+    val h = pmod(k, lit(7)) + 2 // 2..8 px
+    val rowBytes = floor((w * 3 + 3) / 4) * 4
+    val imgSize = h * rowBytes
+    def pix(x: org.apache.spark.sql.Column,
+        y: org.apache.spark.sql.Column) = concat(
+      R5Queries.b1(k * 31 + x * 17 + y * 23), // B
+      R5Queries.b1(k * 7 + x * 29 + y * 13),  // G
+      R5Queries.b1(k * 13 + x * 11 + y * 19)) // R
+    val rowPad = lit("000000").substr(lit(1), (rowBytes - w * 3) * 2)
+    val rows = array_join(
+      transform(sequence(h - 1, lit(0), lit(-1)), y =>
+        concat(array_join(
+          transform(sequence(lit(0), w - 1), x => pix(x, y)), ""),
+          rowPad)), "")
+    unhex(concat(
+      lit("424D"), R5Queries.le32(imgSize + 54), lit("00000000"),
+      R5Queries.le32(lit(54)), R5Queries.le32(lit(40)),
+      R5Queries.le32(w), R5Queries.le32(h), lit("01001800"),
+      R5Queries.le32(lit(0)), R5Queries.le32(imgSize),
+      R5Queries.le32(lit(0)), R5Queries.le32(lit(0)),
+      R5Queries.le32(lit(0)), R5Queries.le32(lit(0)), rows))
+  }
 
   /** One BPE oracle round over word-carrying tables: pair counts
     * over v{k}, top-1, merge — same arithmetic as [[bpeRound]] but
@@ -414,6 +442,43 @@ object R8Queries {
         |  WHERE a.c < 8)
         |SELECT d.id, width, height, CAST(sum(bit) AS BIGINT) AS dhash
         |FROM d JOIN b USING (id)
-        |GROUP BY 1, 2, 3 ORDER BY id""".stripMargin
+        |GROUP BY 1, 2, 3 ORDER BY id""".stripMargin,
+
+    "q128_image_neardup" ->
+      """WITH ks AS (
+        |  SELECT p_partkey AS kk FROM part WHERE p_partkey % 5 = 0),
+        |ids AS (
+        |  SELECT kk * 2 + t.t AS id, kk,
+        |    CAST(kk % 9 + 2 AS INT) AS width,
+        |    CAST(kk % 7 + 2 AS INT) AS height
+        |  FROM ks, generate_series(0, 1) AS t(t)),
+        |g AS (
+        |  SELECT id, kk, r.r AS r, c.c AS c,
+        |    (c.c * width) // 9 AS sx, (r.r * height) // 8 AS sy
+        |  FROM ids, generate_series(0, 7) AS r(r),
+        |       generate_series(0, 8) AS c(c)),
+        |l AS (
+        |  SELECT id, r, c,
+        |      299 * ((kk * 13 + sx * 11 + sy * 19) % 256)
+        |    + 587 * ((kk * 7 + sx * 29 + sy * 13) % 256)
+        |    + 114 * ((kk * 31 + sx * 17 + sy * 23) % 256) AS lum
+        |  FROM g),
+        |b AS (
+        |  SELECT a.id,
+        |    CASE WHEN bb.lum > a.lum THEN
+        |      CASE WHEN a.r * 8 + a.c = 63
+        |        THEN (-9223372036854775807 - 1)
+        |        ELSE 1::BIGINT << (a.r * 8 + a.c) END
+        |      ELSE 0::BIGINT END AS bit
+        |  FROM l a JOIN l bb ON a.id = bb.id AND a.r = bb.r
+        |    AND bb.c = a.c + 1
+        |  WHERE a.c < 8),
+        |h AS (SELECT id, CAST(sum(bit) AS BIGINT) AS dhash
+        |      FROM b GROUP BY 1)
+        |SELECT a.id AS id_a, b2.id AS id_b,
+        |  CAST(bit_count(xor(a.dhash, b2.dhash)) AS INT) AS hamming
+        |FROM h a JOIN h b2 ON a.id < b2.id
+        |WHERE bit_count(xor(a.dhash, b2.dhash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

@@ -76,6 +76,29 @@ class DedupSpec extends SparkSuite {
     assert(ham(sigs(1L), sigs(3L)) <= 16)
   }
 
+  test("hammingPairs64: blocked join ≡ brute force, incl. bit-63 sigs and wider thresholds") {
+    import spark.implicits._
+    val sigs = Seq(
+      (1L, 0x0123456789abcdefL),
+      (2L, 0x0123456789abcdeeL),               // hamming 1 vs id 1
+      (3L, 0x0123456789abcde0L),               // hamming 4 vs id 1
+      (4L, 0x8000000000000000L),               // negative long (bit 63)
+      (5L, 0x8000000000000003L),               // hamming 2 vs id 4
+      (6L, 0x7fffffffffffffffL)                // far from everything
+    ).toDF("id", "sig")
+    def brute(h: Int): Set[(Long, Long, Int)] =
+      sigs.as("a").join(sigs.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id"), col("b.id"),
+          Dedup.hamming64(col("a.sig"), col("b.sig")).as("d"))
+        .filter(col("d") <= h)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    for (h <- Seq(0, 1, 3, 7)) { // 1, 2, 4, 8 chunks
+      val blocked = Dedup.hammingPairs64(sigs, "id", "sig", maxHamming = h)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(blocked === brute(h), s"maxHamming=$h")
+    }
+  }
+
   test("simhashPairs blocks on 16-bit chunks and bounds hamming") {
     val pairs = Dedup.simhashPairs(docs, "id", "text", maxHamming = 3)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
