@@ -167,6 +167,29 @@ object Crawl {
         col("v").as("prefix"))
   }
 
+  /** `Sitemap:` directives from raw robots.txt bodies — the seed
+    * source [[expandSitemaps]] starts from (robots.txt is where a
+    * host DECLARES its sitemaps; sitemaps.org §"informing search
+    * engines"). Per the protocol the directive is GROUP-INDEPENDENT
+    * — it applies regardless of any User-agent section it happens to
+    * sit in — so this is a flat per-line scan, no group resolution:
+    * case-insensitive key, RFC *WS (space/tab) trimming, `#` comment
+    * stripping, one (host, sitemap_url) row per directive with the
+    * host's own line order preserved in `idx`. Empty values drop.
+    * Map-only: line explode + anchored extract, no shuffle. */
+  def extractRobotsSitemaps(df: DataFrame, hostCol: String,
+      txtCol: String): DataFrame = {
+    def hTrim(c: Column): Column =
+      regexp_replace(c, "^[ \\t]+|[ \\t]+$", "")
+    df.select(col(hostCol).as("host"),
+        posexplode(split(col(txtCol), "\r?\n")).as(Seq("idx", "line")))
+      .select(col("host"), col("idx"),
+        hTrim(regexp_extract(
+          hTrim(regexp_replace(col("line"), "#.*$", "")),
+          "(?i)^sitemap\\s*:(.*)$", 1)).as("sitemap_url"))
+      .filter(col("sitemap_url") =!= "")
+  }
+
   /** Sitemap extraction — the OTHER frontier seed next to page
     * outlinks: parse sitemap XML (plain `<urlset>` entries and
     * `<sitemapindex>` child-sitemap entries, sitemaps.org protocol)

@@ -178,6 +178,27 @@ object R8Queries {
       graft.llm.Dedup.hammingPairs64(hashed, "id", "dhash",
         maxHamming = 3)
         .orderBy("id_a", "id_b")
+    }),
+
+    // [EXT] Sitemap: directives from robots.txt — the expandSitemaps
+    // seed source. Fixture exercises the protocol shapes: canonical
+    // casing with a trailing comment, a tab-indented lowercase
+    // directive with tab after the colon (group-independent — it
+    // sits inside a User-agent section), and an empty value (drops).
+    "q129_robots_sitemaps" -> ((s, d) => {
+      val k = col("n_nationkey").cast("int")
+      val host = concat(lit("n"), k.cast("string"), lit(".example"))
+      val txt = concat(
+        lit("User-agent: *\nDisallow: /private/\n"),
+        lit("Sitemap: https://"), host,
+        lit("/sitemap.xml   # primary\n"),
+        lit("\tsitemap:\thttps://"), host,
+        lit("/s"), pmod(k, lit(3)).cast("string"), lit(".xml\n"),
+        lit("Sitemap:\nUser-agent: bot\nDisallow: /\n"))
+      graft.llm.Crawl.extractRobotsSitemaps(
+        T.nation(s, d).select(host.as("host"), txt.as("txt")),
+        "host", "txt")
+        .orderBy("host", "idx")
     })
   )
 
@@ -479,6 +500,22 @@ object R8Queries {
         |  CAST(bit_count(xor(a.dhash, b2.dhash)) AS INT) AS hamming
         |FROM h a JOIN h b2 ON a.id < b2.id
         |WHERE bit_count(xor(a.dhash, b2.dhash)) <= 3
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q129_robots_sitemaps" ->
+      """WITH n AS (
+        |  SELECT CAST(n_nationkey AS INT) AS k,
+        |    'n' || CAST(CAST(n_nationkey AS INT) AS VARCHAR)
+        |      || '.example' AS h
+        |  FROM nation)
+        |SELECT h AS host, CAST(idx AS INT) AS idx, url AS sitemap_url
+        |FROM (
+        |  SELECT h, 2 AS idx,
+        |    'https://' || h || '/sitemap.xml' AS url FROM n
+        |  UNION ALL
+        |  SELECT h, 3 AS idx,
+        |    'https://' || h || '/s' || CAST(k % 3 AS VARCHAR)
+        |      || '.xml' AS url FROM n)
+        |ORDER BY host, idx""".stripMargin
   )
 }

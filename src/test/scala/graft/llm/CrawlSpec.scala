@@ -190,6 +190,27 @@ class CrawlSpec extends SparkSuite {
       (2L, 0, "https://h.com/x")))
   }
 
+  test("extractRobotsSitemaps: group-independent, case/WS tolerant, CRLF, empties drop") {
+    import spark.implicits._
+    val txt = "User-agent: *\r\n" +
+      "Disallow: /private/\r\n" +
+      "SITEMAP: https://a.com/one.xml  # comment\r\n" +
+      "\tsitemap:\thttps://a.com/two.xml\t\r\n" +
+      "Sitemap:\r\n" +               // empty value: drops
+      "# Sitemap: https://a.com/commented.xml\r\n" + // whole-line comment
+      "Sitemapx: https://a.com/not-a-directive\r\n" +
+      "User-agent: bot\r\n" +
+      "Sitemap: https://a.com/three.xml\r\n" // inside a group: still applies
+    val out = Crawl.extractRobotsSitemaps(
+        Seq(("a.com", txt)).toDF("host", "txt"), "host", "txt")
+      .orderBy("idx").collect()
+      .map(r => (r.getInt(1), r.getString(2))).toSeq
+    assert(out === Seq(
+      (2, "https://a.com/one.xml"),
+      (3, "https://a.com/two.xml"),
+      (8, "https://a.com/three.xml")))
+  }
+
   test("parseRobotsTxt: groups, comments, agent precedence, empty Disallow") {
     val txt =
       """# banner comment
