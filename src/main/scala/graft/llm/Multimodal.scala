@@ -221,6 +221,71 @@ object Multimodal {
     spark.createDataFrame(rdd, withIdType(DHashSchema, df, idCol))
   }
 
+  /** Schema of [[audioFingerprint]]. */
+  val AudioFingerprintSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("afp", LongType)))
+
+  /** Audio fingerprint — the third leg of the near-dup triad (text
+    * SimHash, image dHash, THIS): 64 energy-GRADIENT bits over a
+    * 65-window RMS profile, bit w set iff window w+1 is STRICTLY
+    * louder than window w. Re-encodes, level shifts (gain scales all
+    * windows together) and small edits move few bits, so
+    * `Dedup.hammingPairs64` over `afp` is the audio near-dup join.
+    * Same decode path and `mapPartitions` shape as [[decodeAudio]]
+    * (JDK WAV PCM); undecodable payloads → null fields.
+    *
+    * Window energies are RMS over equal sample slices — for
+    * constant-amplitude windows the float math is EXACT (the value,
+    * its square, and the correctly-rounded sqrt all land on
+    * representable numbers), which is what lets the q130 oracle
+    * replay the bits as pure integer amplitude comparisons. */
+  def audioFingerprint(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val windows = 65
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.get(idIdx)
+        val samples =
+          try AudioKernel.decodePcm(r.getAs[Array[Byte]](pIdx))
+          catch { case _: Exception => null }
+        if (samples == null) Row(id, null, null, null)
+        else {
+          val (rate, _, mono) = samples
+          val n = mono.length
+          val energy = new Array[Float](windows)
+          if (n > 0) {
+            val per = math.max(1, (n + windows - 1) / windows)
+            var w = 0
+            while (w < windows) {
+              val from = math.min(w * per, n)
+              val to = math.min(from + per, n)
+              var acc = 0.0
+              var i = from
+              while (i < to) { acc += mono(i) * mono(i); i += 1 }
+              energy(w) =
+                if (to > from) math.sqrt(acc / (to - from)).toFloat else 0f
+              w += 1
+            }
+          }
+          var afp = 0L
+          var w = 0
+          while (w < 64) {
+            if (energy(w + 1) > energy(w)) afp |= 1L << w
+            w += 1
+          }
+          Row(id, rate, n.toLong, afp)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, withIdType(AudioFingerprintSchema, df, idCol))
+  }
+
   /** Schema of [[decodeAudio]]: PCM stream parameters + per-window RMS
     * energy profile (`windows` floats, payload-length-independent). */
   val AudioFeatureSchema: StructType = StructType(Seq(

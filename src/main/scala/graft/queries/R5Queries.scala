@@ -35,7 +35,7 @@ object R5Queries {
       b1(floor(c / 16777216)))
 
   /** Hex of a u16 little-endian (4 chars). */
-  private def le16(c: Column): Column = concat(b1(c), b1(floor(c / 256)))
+  private[queries] def le16(c: Column): Column = concat(b1(c), b1(floor(c / 256)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // [EXT] REAL pixel decode, value-verified: per part row build a

@@ -199,6 +199,32 @@ object R8Queries {
         T.nation(s, d).select(host.as("host"), txt.as("txt")),
         "host", "txt")
         .orderBy("host", "idx")
+    }),
+
+    // [EXT] audio fingerprint over REAL decoded WAV PCM: 65
+    // constant-amplitude windows (the q92 planted-amp scheme at
+    // fingerprint width — exact float RMS) → 64 energy-gradient
+    // bits. The oracle replays every bit as a pure integer amplitude
+    // comparison; bit 63 is the min-long literal as in q127.
+    "q130_audio_fingerprint" -> ((s, d) => {
+      val k = col("p_partkey")
+      val rate = lit(8000) + pmod(k, lit(1000))
+      def amp(wi: org.apache.spark.sql.Column) =
+        pmod(k * 97 + wi * 131, lit(4097))
+      val samplesHex = array_join(
+        transform(sequence(lit(0), lit(129)),
+          i => R5Queries.le16(amp(floor(i / 2)))), "")
+      val payload = unhex(concat(
+        lit("52494646"), R5Queries.le32(lit(296)), lit("57415645"),
+        lit("666D7420"), R5Queries.le32(lit(16)), lit("01000100"),
+        R5Queries.le32(rate), R5Queries.le32(rate * 2), lit("02001000"),
+        lit("64617461"), R5Queries.le32(lit(260)),
+        samplesHex))
+      graft.llm.Multimodal.audioFingerprint(
+        T.part(s, d).filter(pmod(k, lit(5)) === 0)
+          .select(k.as("id"), payload.as("payload")),
+        "id", "payload")
+        .orderBy("id")
     })
   )
 
@@ -516,6 +542,23 @@ object R8Queries {
         |  SELECT h, 3 AS idx,
         |    'https://' || h || '/s' || CAST(k % 3 AS VARCHAR)
         |      || '.xml' AS url FROM n)
-        |ORDER BY host, idx""".stripMargin
+        |ORDER BY host, idx""".stripMargin,
+
+    "q130_audio_fingerprint" ->
+      """WITH d AS (
+        |  SELECT p_partkey AS id FROM part WHERE p_partkey % 5 = 0),
+        |b AS (
+        |  SELECT id,
+        |    CASE WHEN ((id * 97 + (w.w + 1) * 131) % 4097)
+        |           > ((id * 97 + w.w * 131) % 4097) THEN
+        |      CASE WHEN w.w = 63 THEN (-9223372036854775807 - 1)
+        |        ELSE 1::BIGINT << w.w END
+        |      ELSE 0::BIGINT END AS bit
+        |  FROM d, generate_series(0, 63) AS w(w))
+        |SELECT d.id, CAST(8000 + id % 1000 AS INT) AS sample_rate,
+        |  CAST(130 AS BIGINT) AS n_samples,
+        |  CAST(sum(bit) AS BIGINT) AS afp
+        |FROM d JOIN b USING (id)
+        |GROUP BY 1, 2, 3 ORDER BY id""".stripMargin
   )
 }

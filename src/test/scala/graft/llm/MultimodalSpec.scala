@@ -308,6 +308,37 @@ class MultimodalSpec extends SparkSuite {
     assert(hashOf(Array.tabulate(16)(_.toByte)) === null)
   }
 
+  test("audioFingerprint: gradient bits from known windows; gain invariance") {
+    import spark.implicits._
+    def wav(amps: Int => Int, n: Int = 130): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def le32(v: Int): Unit = (0 until 4).foreach(i => bos.write((v >> (8 * i)) & 0xff))
+      def le16(v: Int): Unit = (0 until 2).foreach(i => bos.write((v >> (8 * i)) & 0xff))
+      bos.write("RIFF".getBytes); le32(36 + n * 2)
+      bos.write("WAVE".getBytes); bos.write("fmt ".getBytes); le32(16)
+      le16(1); le16(1); le32(8000); le32(16000); le16(2); le16(16)
+      bos.write("data".getBytes); le32(n * 2)
+      (0 until n).foreach(i => le16(amps(i / 2) & 0xffff))
+      bos.toByteArray
+    }
+    def fp(bytes: Array[Byte]): java.lang.Long = {
+      val r = Multimodal.audioFingerprint(
+        Seq((1L, bytes)).toDF("id", "payload"), "id", "payload").collect()(0)
+      if (r.isNullAt(3)) null else Long.box(r.getLong(3))
+    }
+    // strictly rising energy ramp → all 64 bits
+    assert(fp(wav(w => 10 + w * 50)) === -1L)
+    // silence and constant level → 0
+    assert(fp(wav(_ => 0)) === 0L)
+    assert(fp(wav(_ => 1000)) === 0L)
+    // gain invariance: scaling every window together preserves every
+    // strict comparison, so the fingerprint is level-independent
+    val shape = (w: Int) => (w * 37 + 11) % 301
+    assert(fp(wav(w => shape(w))) === fp(wav(w => shape(w) * 8)))
+    // undecodable payload → null, no throw
+    assert(fp(Array.tabulate(16)(_.toByte)) === null)
+  }
+
   test("media decode accepts string doc-ids like every other llm operator") {
     import spark.implicits._
     val img = new java.awt.image.BufferedImage(1, 1,
