@@ -408,6 +408,45 @@ object Multimodal {
     spark.createDataFrame(rdd, withIdType(VideoFrameSchema, df, idCol))
   }
 
+  /** Schema of [[videoFrameDHash]]. */
+  val VideoDHashSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("total_frames", IntegerType),
+    StructField("dhash", LongType)))
+
+  /** Per-frame perceptual dHash over REAL uncompressed-AVI frames —
+    * video near-dup via the frame tier: two videos sharing most
+    * frame hashes (or a re-encode whose frames sit within a small
+    * Hamming distance) pair up through `Dedup.hammingPairs64` on
+    * (frame_idx, dhash) or on a per-video min/set-signature derived
+    * from these rows. Same grid/luma/gradient definition as
+    * [[imageDHash]], computed straight off the DIB bytes (see
+    * [[VideoKernel.frameDHashes]] for the storage-row orientation
+    * note). Undecodable payloads → one null row, never a throw. */
+  def videoFrameDHash(df: DataFrame, idCol: String, payloadCol: String,
+      every: Int = 1): DataFrame = {
+    require(every >= 1, "every must be >= 1")
+    val spark = df.sparkSession
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.get(idIdx)
+        val s =
+          try VideoKernel.frameDHashes(r.getAs[Array[Byte]](pIdx), every)
+          catch { case _: Exception => null }
+        if (s == null) Iterator.single(Row(id, null, null, null, null, null))
+        else s.frames.iterator.map { case (fi, hash) =>
+          Row(id, fi, s.width, s.height, s.totalFrames, hash)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, withIdType(VideoDHashSchema, df, idCol))
+  }
+
   /** STUB frame sampling for ARBITRARY "video" payloads: split the
     * byte stream into `frames` equal chunks and emit one row per
     * sampled chunk with its hash. Kept alongside the REAL

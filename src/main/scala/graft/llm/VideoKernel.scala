@@ -62,40 +62,54 @@ object VideoKernel {
     }
   }
 
+  /** Parsed uncompressed-AVI stream: dims + (offset, size) of every
+    * `00db` frame chunk, pre-validated (24 bpp BI_RGB, no truncated
+    * frame). Shared by the histogram and dHash extractors. */
+  private final case class Parsed(w: Int, h: Int,
+      frameChunks: IndexedSeq[(Int, Int)], rowBytes: Int)
+
+  private def parseUncompressed(bytes: Array[Byte]): Parsed = {
+    if (bytes == null || bytes.length < 12) return null
+    if (ascii(bytes, 0, 4) != "RIFF" || ascii(bytes, 8, 4) != "AVI ") return null
+    var w = -1; var h = -1; var ok = false
+    val frameChunks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    walk(bytes, 12, bytes.length) {
+      case ("LIST", "hdrl", s, n) =>
+        walk(bytes, s, s + n) {
+          case ("LIST", "strl", s2, n2) =>
+            walk(bytes, s2, s2 + n2) {
+              case ("strf", _, s3, n3) if n3 >= 20 && w < 0 =>
+                // first video stream's BITMAPINFOHEADER
+                w = i32le(bytes, s3 + 4)
+                h = math.abs(i32le(bytes, s3 + 8))
+                ok = u16le(bytes, s3 + 14) == 24 && u32le(bytes, s3 + 16) == 0L
+              case _ => ()
+            }
+          case _ => ()
+        }
+      case ("LIST", "movi", s, n) =>
+        walk(bytes, s, s + n) {
+          case (id, _, s2, n2)
+              if id.length == 4 && id.endsWith("db") => frameChunks += ((s2, n2))
+          case _ => ()
+        }
+      case _ => ()
+    }
+    if (!ok || w <= 0 || h <= 0 || frameChunks.isEmpty) return null
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    if (frameChunks.exists(_._2 < rowBytes * h)) return null // truncated frame
+    Parsed(w, h, frameChunks.toIndexedSeq, rowBytes)
+  }
+
   /** Extract every `every`-th frame (0, every, 2·every, …) of an
     * uncompressed 24-bpp AVI as a 16-bin luminance histogram. Returns
     * null for anything that is not a complete uncompressed AVI. */
   def sampleFrames(bytes: Array[Byte], every: Int): Sampled = {
-    if (bytes == null || every < 1 || bytes.length < 12) return null
-    if (ascii(bytes, 0, 4) != "RIFF" || ascii(bytes, 8, 4) != "AVI ") return null
+    if (every < 1) return null
     try {
-      var w = -1; var h = -1; var ok = false
-      val frameChunks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
-      walk(bytes, 12, bytes.length) {
-        case ("LIST", "hdrl", s, n) =>
-          walk(bytes, s, s + n) {
-            case ("LIST", "strl", s2, n2) =>
-              walk(bytes, s2, s2 + n2) {
-                case ("strf", _, s3, n3) if n3 >= 20 && w < 0 =>
-                  // first video stream's BITMAPINFOHEADER
-                  w = i32le(bytes, s3 + 4)
-                  h = math.abs(i32le(bytes, s3 + 8))
-                  ok = u16le(bytes, s3 + 14) == 24 && u32le(bytes, s3 + 16) == 0L
-                case _ => ()
-              }
-            case _ => ()
-          }
-        case ("LIST", "movi", s, n) =>
-          walk(bytes, s, s + n) {
-            case (id, _, s2, n2)
-                if id.length == 4 && id.endsWith("db") => frameChunks += ((s2, n2))
-            case _ => ()
-          }
-        case _ => ()
-      }
-      if (!ok || w <= 0 || h <= 0 || frameChunks.isEmpty) return null
-      val rowBytes = ((w * 3 + 3) / 4) * 4
-      if (frameChunks.exists(_._2 < rowBytes * h)) return null // truncated frame
+      val p = parseUncompressed(bytes)
+      if (p == null) return null
+      val Parsed(w, h, frameChunks, rowBytes) = p
       val sampled = frameChunks.indices.by(every).map { fi =>
         val (off, _) = frameChunks(fi)
         val hist = new Array[Float](16)
@@ -118,6 +132,58 @@ object VideoKernel {
         (fi, hist)
       }.toArray
       Sampled(w, h, frameChunks.length, sampled)
+    } catch { case _: Exception => null }
+  }
+
+  /** Per-frame dHash result: dims + (frame_idx, 64-bit hash) per
+    * sampled frame. */
+  final case class Hashed(width: Int, height: Int, totalFrames: Int,
+      frames: Array[(Int, Long)])
+
+  /** Per-frame perceptual dHash of every `every`-th frame — the same
+    * 9×8 nearest-neighbor grid / integer milli-luma / horizontal
+    * gradient definition as `Multimodal.imageDHash`, computed
+    * directly on the raw DIB bytes (no ImageIO round-trip). Grid row
+    * `sy` indexes STORAGE rows (first row of the frame buffer);
+    * uncompressed DIB frames are bottom-up, so hashes are of the
+    * vertically flipped image — consistent for every frame and both
+    * engines, and near-dup comparisons only ever compare hashes
+    * computed the same way. Returns null for anything that is not a
+    * complete uncompressed AVI. */
+  def frameDHashes(bytes: Array[Byte], every: Int): Hashed = {
+    if (every < 1) return null
+    try {
+      val p = parseUncompressed(bytes)
+      if (p == null) return null
+      val Parsed(w, h, frameChunks, rowBytes) = p
+      val hashed = frameChunks.indices.by(every).map { fi =>
+        val (off, _) = frameChunks(fi)
+        val lum = Array.ofDim[Int](8, 9)
+        var row = 0
+        while (row < 8) {
+          val rs = off + (row * h / 8) * rowBytes
+          var c = 0
+          while (c < 9) {
+            val px = rs + 3 * (c * w / 9)
+            lum(row)(c) = 299 * u8(bytes, px + 2) + 587 * u8(bytes, px + 1) +
+              114 * u8(bytes, px)
+            c += 1
+          }
+          row += 1
+        }
+        var hash = 0L
+        row = 0
+        while (row < 8) {
+          var c = 0
+          while (c < 8) {
+            if (lum(row)(c + 1) > lum(row)(c)) hash |= 1L << (row * 8 + c)
+            c += 1
+          }
+          row += 1
+        }
+        (fi, hash)
+      }.toArray
+      Hashed(w, h, frameChunks.length, hashed)
     } catch { case _: Exception => null }
   }
 }

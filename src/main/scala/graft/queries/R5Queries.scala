@@ -37,6 +37,57 @@ object R5Queries {
   /** Hex of a u16 little-endian (4 chars). */
   private[queries] def le16(c: Column): Column = concat(b1(c), b1(floor(c / 256)))
 
+  /** The q93 planted uncompressed AVI: nf frames of affine-hash
+    * pixels (frame index folded into every channel), dims 2..6 ×
+    * 1..3, 2..4 frames — every pixel of every frame reconstructable
+    * analytically by an oracle. Frame rows are written in STORAGE
+    * order (y = 0 first). */
+  private[queries] def plantedAvi(k: Column): Column = {
+      val w = pmod(k, lit(5)) + 2   // 2..6 px
+      val h = pmod(k, lit(3)) + 1   // 1..3 px
+      val nf = pmod(k, lit(3)) + 2  // 2..4 frames
+      val rowBytes = floor((w * 3 + 3) / 4) * 4
+      val frameBytes = h * rowBytes
+      def pix(f: Column, x: Column, y: Column): Column = concat(
+        b1(k * 31 + f * 41 + x * 17 + y * 23),  // B
+        b1(k * 7 + f * 37 + x * 29 + y * 13),   // G
+        b1(k * 13 + f * 43 + x * 11 + y * 19))  // R
+      val rowPad = lit("000000").substr(lit(1), (rowBytes - w * 3) * 2)
+      def frameHex(f: Column): Column = concat(
+        lit("30306462"), le32(frameBytes),      // "00db" + size
+        array_join(transform(sequence(lit(0), h - 1), y =>
+          concat(array_join(
+            transform(sequence(lit(0), w - 1), x => pix(f, x, y)), ""),
+            rowPad)), ""))
+      val strh = concat(lit("73747268"), le32(lit(56)),  // "strh"
+        lit("76696473"), lit("44494220"),                // "vids","DIB "
+        le32(lit(0)), lit("00000000"),                   // flags, prio+lang
+        le32(lit(0)), le32(lit(1)), le32(lit(25)),       // initial, scale, rate
+        le32(lit(0)), le32(nf), le32(lit(0)),            // start, length, bufsz
+        le32(lit(0)), le32(lit(0)),                      // quality, samplesz
+        lit("0000000000000000"))                         // rcFrame
+      val strf = concat(lit("73747266"), le32(lit(40)),  // "strf"
+        le32(lit(40)), le32(w), le32(h), lit("01001800"),
+        le32(lit(0)), le32(frameBytes), le32(lit(0)), le32(lit(0)),
+        le32(lit(0)), le32(lit(0)))
+      val strl = concat(lit("4C495354"), le32(lit(4 + 64 + 48)),
+        lit("7374726C"), strh, strf)                     // LIST strl
+      val avih = concat(lit("61766968"), le32(lit(56)),  // "avih"
+        le32(lit(40000)), le32(lit(0)), le32(lit(0)), le32(lit(0)),
+        le32(nf), le32(lit(0)), le32(lit(1)), le32(lit(0)),
+        le32(w), le32(h), le32(lit(0)), le32(lit(0)), le32(lit(0)),
+        le32(lit(0)))
+      val hdrl = concat(lit("4C495354"), le32(lit(4 + 64 + 124)),
+        lit("6864726C"), avih, strl)                     // LIST hdrl
+      val moviBody = array_join(
+        transform(sequence(lit(0), nf - 1), f => frameHex(f)), "")
+      val movi = concat(lit("4C495354"),
+        le32(nf * (frameBytes + 8) + 4), lit("6D6F7669"), moviBody)
+      unhex(concat(lit("52494646"),
+        le32(nf * (frameBytes + 8) + 4 + lit(200) + 12),
+        lit("41564920"), hdrl, movi))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // [EXT] REAL pixel decode, value-verified: per part row build a
     // W×H uncompressed BMP (BITMAPFILEHEADER + BITMAPINFOHEADER +
@@ -129,49 +180,7 @@ object R5Queries {
     // sides, zero binary handling in the oracle.
     "q93_avi_frame_sample" -> ((s, d) => {
       val k = col("p_partkey")
-      val w = pmod(k, lit(5)) + 2   // 2..6 px
-      val h = pmod(k, lit(3)) + 1   // 1..3 px
-      val nf = pmod(k, lit(3)) + 2  // 2..4 frames
-      val rowBytes = floor((w * 3 + 3) / 4) * 4
-      val frameBytes = h * rowBytes
-      def pix(f: Column, x: Column, y: Column): Column = concat(
-        b1(k * 31 + f * 41 + x * 17 + y * 23),  // B
-        b1(k * 7 + f * 37 + x * 29 + y * 13),   // G
-        b1(k * 13 + f * 43 + x * 11 + y * 19))  // R
-      val rowPad = lit("000000").substr(lit(1), (rowBytes - w * 3) * 2)
-      def frameHex(f: Column): Column = concat(
-        lit("30306462"), le32(frameBytes),      // "00db" + size
-        array_join(transform(sequence(lit(0), h - 1), y =>
-          concat(array_join(
-            transform(sequence(lit(0), w - 1), x => pix(f, x, y)), ""),
-            rowPad)), ""))
-      val strh = concat(lit("73747268"), le32(lit(56)),  // "strh"
-        lit("76696473"), lit("44494220"),                // "vids","DIB "
-        le32(lit(0)), lit("00000000"),                   // flags, prio+lang
-        le32(lit(0)), le32(lit(1)), le32(lit(25)),       // initial, scale, rate
-        le32(lit(0)), le32(nf), le32(lit(0)),            // start, length, bufsz
-        le32(lit(0)), le32(lit(0)),                      // quality, samplesz
-        lit("0000000000000000"))                         // rcFrame
-      val strf = concat(lit("73747266"), le32(lit(40)),  // "strf"
-        le32(lit(40)), le32(w), le32(h), lit("01001800"),
-        le32(lit(0)), le32(frameBytes), le32(lit(0)), le32(lit(0)),
-        le32(lit(0)), le32(lit(0)))
-      val strl = concat(lit("4C495354"), le32(lit(4 + 64 + 48)),
-        lit("7374726C"), strh, strf)                     // LIST strl
-      val avih = concat(lit("61766968"), le32(lit(56)),  // "avih"
-        le32(lit(40000)), le32(lit(0)), le32(lit(0)), le32(lit(0)),
-        le32(nf), le32(lit(0)), le32(lit(1)), le32(lit(0)),
-        le32(w), le32(h), le32(lit(0)), le32(lit(0)), le32(lit(0)),
-        le32(lit(0)))
-      val hdrl = concat(lit("4C495354"), le32(lit(4 + 64 + 124)),
-        lit("6864726C"), avih, strl)                     // LIST hdrl
-      val moviBody = array_join(
-        transform(sequence(lit(0), nf - 1), f => frameHex(f)), "")
-      val movi = concat(lit("4C495354"),
-        le32(nf * (frameBytes + 8) + 4), lit("6D6F7669"), moviBody)
-      val payload = unhex(concat(lit("52494646"),
-        le32(nf * (frameBytes + 8) + 4 + lit(200) + 12),
-        lit("41564920"), hdrl, movi))
+      val payload = R5Queries.plantedAvi(k)
       val sampled = graft.llm.Multimodal.sampleFrames(
         T.part(s, d).filter(pmod(k, lit(5)) === 0)
           .select(k.as("id"), payload.as("payload")),

@@ -225,6 +225,19 @@ object R8Queries {
           .select(k.as("id"), payload.as("payload")),
         "id", "payload")
         .orderBy("id")
+    }),
+
+    // [EXT] per-frame video dHash over REAL uncompressed-AVI frames
+    // (the q93 planted-pixel fixture): every sampled frame's 64
+    // gradient bits replayed by the oracle from the same affine
+    // pixel formula — the video tier of the near-dup family.
+    "q131_video_dhash" -> ((s, d) => {
+      val k = col("p_partkey")
+      graft.llm.Multimodal.videoFrameDHash(
+        T.part(s, d).filter(pmod(k, lit(5)) === 0)
+          .select(k.as("id"), R5Queries.plantedAvi(k).as("payload")),
+        "id", "payload", every = 2)
+        .orderBy("id", "frame_idx")
     })
   )
 
@@ -559,6 +572,46 @@ object R8Queries {
         |  CAST(130 AS BIGINT) AS n_samples,
         |  CAST(sum(bit) AS BIGINT) AS afp
         |FROM d JOIN b USING (id)
-        |GROUP BY 1, 2, 3 ORDER BY id""".stripMargin
+        |GROUP BY 1, 2, 3 ORDER BY id""".stripMargin,
+
+    "q131_video_dhash" ->
+      """WITH d AS (
+        |  SELECT p_partkey AS id,
+        |    CAST(p_partkey % 5 + 2 AS INT) AS width,
+        |    CAST(p_partkey % 3 + 1 AS INT) AS height,
+        |    CAST(p_partkey % 3 + 2 AS INT) AS total_frames
+        |  FROM part WHERE p_partkey % 5 = 0),
+        |fr AS (
+        |  SELECT id, width, height, total_frames, f.f AS frame_idx
+        |  FROM d, generate_series(0, 3) AS f(f)
+        |  WHERE f.f % 2 = 0 AND f.f < total_frames),
+        |g AS (
+        |  SELECT id, frame_idx, width, height, total_frames,
+        |    r.r AS r, c.c AS c,
+        |    (c.c * width) // 9 AS sx, (r.r * height) // 8 AS sy
+        |  FROM fr, generate_series(0, 7) AS r(r),
+        |       generate_series(0, 8) AS c(c)),
+        |l AS (
+        |  SELECT id, frame_idx, r, c,
+        |      299 * ((id * 13 + frame_idx * 43 + sx * 11 + sy * 19) % 256)
+        |    + 587 * ((id * 7 + frame_idx * 37 + sx * 29 + sy * 13) % 256)
+        |    + 114 * ((id * 31 + frame_idx * 41 + sx * 17 + sy * 23) % 256)
+        |      AS lum
+        |  FROM g),
+        |b AS (
+        |  SELECT a.id, a.frame_idx,
+        |    CASE WHEN bb.lum > a.lum THEN
+        |      CASE WHEN a.r * 8 + a.c = 63
+        |        THEN (-9223372036854775807 - 1)
+        |        ELSE 1::BIGINT << (a.r * 8 + a.c) END
+        |      ELSE 0::BIGINT END AS bit
+        |  FROM l a JOIN l bb ON a.id = bb.id
+        |    AND a.frame_idx = bb.frame_idx AND a.r = bb.r
+        |    AND bb.c = a.c + 1
+        |  WHERE a.c < 8)
+        |SELECT fr.id, CAST(frame_idx AS INT) AS frame_idx, width, height,
+        |  total_frames, CAST(sum(bit) AS BIGINT) AS dhash
+        |FROM fr JOIN b USING (id, frame_idx)
+        |GROUP BY 1, 2, 3, 4, 5 ORDER BY id, frame_idx""".stripMargin
   )
 }
