@@ -238,6 +238,51 @@ object R8Queries {
           .select(k.as("id"), R5Queries.plantedAvi(k).as("payload")),
         "id", "payload", every = 2)
         .orderBy("id", "frame_idx")
+    }),
+
+    // [EXT] per-language vocabulary (the routing table a multilingual
+    // tokenizer/mix pass keys on): top-k terms per language by
+    // (count desc, term). Scale shape: counts are map-side combined
+    // on (lang, term); the per-language rank is a WindowGroupLimit —
+    // partial top-k per partition, so a hot language never buffers
+    // its whole distinct-term set in one task.
+    "q132_vocab_per_lang" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = T.documents(s, d)
+        .select(col("lang"),
+          explode(graft.llm.TextAnalysis.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("lang", "term").agg(count(lit(1)).as("cnt"))
+      counts
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("lang")
+            .orderBy(col("cnt").desc, col("term"))))
+        .filter(col("rank") <= 10)
+        .select(col("lang"), col("rank").cast("int").as("rank"),
+          col("term"), col("cnt"))
+        .orderBy("lang", "rank")
+    }),
+
+    // [EXT] per-host frontier cap (crawl politeness): keep the top-k
+    // URLs per host by a deterministic priority — the per-trigger
+    // fetch budget. Same WindowGroupLimit shape as q132; a mega-host
+    // frontier never serializes through one task's full sort.
+    "q133_frontier_cap" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = col("o_orderkey")
+      val urls = T.orders(s, d).select(
+        concat(lit("h"), pmod(k, lit(50)).cast("string"),
+          lit(".example.com")).as("host"),
+        concat(lit("/page/"), k.cast("string")).as("path"),
+        pmod(k * 2654435761L, lit(1000003)).as("priority"))
+      urls
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("host")
+            .orderBy(col("priority").desc, col("path"))))
+        .filter(col("rank") <= 5)
+        .select(col("host"), col("rank").cast("int").as("rank"),
+          col("path"), col("priority"))
+        .orderBy("host", "rank")
     })
   )
 
@@ -612,6 +657,32 @@ object R8Queries {
         |SELECT fr.id, CAST(frame_idx AS INT) AS frame_idx, width, height,
         |  total_frames, CAST(sum(bit) AS BIGINT) AS dhash
         |FROM fr JOIN b USING (id, frame_idx)
-        |GROUP BY 1, 2, 3, 4, 5 ORDER BY id, frame_idx""".stripMargin
+        |GROUP BY 1, 2, 3, 4, 5 ORDER BY id, frame_idx""".stripMargin,
+
+    "q132_vocab_per_lang" ->
+      """WITH tok AS (
+        |  SELECT lang,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |c AS (SELECT lang, term, count(*) AS cnt FROM tok
+        |      WHERE term <> '' GROUP BY 1, 2),
+        |r AS (SELECT lang, term, cnt, row_number() OVER
+        |        (PARTITION BY lang ORDER BY cnt DESC, term) AS rank
+        |      FROM c)
+        |SELECT lang, CAST(rank AS INT) AS rank, term, cnt
+        |FROM r WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
+
+    "q133_frontier_cap" ->
+      """WITH u AS (
+        |  SELECT 'h' || CAST(o_orderkey % 50 AS VARCHAR)
+        |      || '.example.com' AS host,
+        |    '/page/' || CAST(o_orderkey AS VARCHAR) AS path,
+        |    (o_orderkey * 2654435761) % 1000003 AS priority
+        |  FROM orders),
+        |r AS (SELECT host, path, priority, row_number() OVER
+        |        (PARTITION BY host ORDER BY priority DESC, path) AS rank
+        |      FROM u)
+        |SELECT host, CAST(rank AS INT) AS rank, path, priority
+        |FROM r WHERE rank <= 5 ORDER BY host, rank""".stripMargin
   )
 }

@@ -267,6 +267,13 @@ class PlanQualitySpec extends SparkSuite {
     assert(!p.contains("hashpartitioning("), p.take(1200))
   }
 
+  test("q132/q133: per-group top-k uses WindowGroupLimit (hot group never full-sorts in one task)") {
+    for (q <- Seq("q132_vocab_per_lang", "q133_frontier_cap")) {
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"), s"$q\n" + p.take(1200))
+    }
+  }
+
   test("q126: coverage curve windows only the TakeOrdered vocab cut") {
     val p = plan("q126_vocab_coverage")
     // the corpus-sized side ends in a partial->final count, then a
