@@ -283,6 +283,30 @@ object R8Queries {
         .select(col("host"), col("rank").cast("int").as("rank"),
           col("path"), col("priority"))
         .orderBy("host", "rank")
+    }),
+
+    // [EXT] the training-data chain end-to-end in one call — the
+    // q112 counterpart for the corpus side: token-band quality
+    // filter → exact content dedup (keep-min survivor) → per-language
+    // token packing. Every stage is the audited operator (tokenCountWs
+    // / exactDedupByContent / packByTokenBudget), so the chain's plan
+    // is the composition of their pinned shapes; the oracle replays
+    // filter, min-per-hash, and the prefix-sum pack relationally.
+    "q134_training_chain" -> ((s, d) => {
+      val docs = T.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .withColumn("n_tokens",
+          graft.llm.TextAnalysis.tokenCountWs(col("text")))
+        .filter(col("n_tokens").between(5, 1000))
+      val keep = graft.llm.Dedup.exactDedupByContent(docs, "text", "doc_id")
+        .select(col("keep_id").as("doc_id"))
+      val surv = docs.join(keep, Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+      graft.llm.TrainingOps.packByTokenBudget(surv, "lang", "doc_id",
+          col("n_tokens").cast("long"), budget = 2000)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("pack_id"))
+        .orderBy("doc_id")
     })
   )
 
@@ -683,6 +707,23 @@ object R8Queries {
         |        (PARTITION BY host ORDER BY priority DESC, path) AS rank
         |      FROM u)
         |SELECT host, CAST(rank AS INT) AS rank, path, priority
-        |FROM r WHERE rank <= 5 ORDER BY host, rank""".stripMargin
+        |FROM r WHERE rank <= 5 ORDER BY host, rank""".stripMargin,
+
+    "q134_training_chain" ->
+      """WITH d0 AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT)
+        |      AS n_tokens
+        |  FROM documents),
+        |d1 AS (SELECT * FROM d0 WHERE n_tokens BETWEEN 5 AND 1000),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM d1
+        |         GROUP BY sha256(text)),
+        |surv AS (SELECT d1.doc_id, lang, n_tokens
+        |         FROM d1 JOIN keep USING (doc_id))
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(floor((sum(n_tokens) OVER
+        |    (PARTITION BY lang ORDER BY doc_id) - n_tokens) / 2000)
+        |    AS BIGINT) AS pack_id
+        |FROM surv ORDER BY doc_id""".stripMargin
   )
 }
