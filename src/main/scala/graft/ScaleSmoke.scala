@@ -279,6 +279,24 @@ object ScaleSmoke {
       // 40-language trigram langid: one in-plan hash-map walk per row
       "langid" -> (() => docs.select(col("id"),
         TA.langId(col("text")).as("l"))),
+      // perceptual hashes at 200k assets (an id-predicate slice —
+      // a limit() would funnel generation through one partition): the
+      // in-plan hex fixture GENERATION dominates these timings — the
+      // hash itself is a fixed probe count per asset (72 pixels / 65
+      // windows / 72-per-frame) regardless of media size, so the
+      // numbers are an upper bound on the kernels
+      "image_dhash" -> (() => graft.llm.Multimodal.imageDHash(
+        docs.filter(col("id") < 200000).select(col("id"),
+          graft.queries.R8Queries.plantedBmp(col("id")).as("payload")),
+        "id", "payload")),
+      "audio_fingerprint" -> (() => graft.llm.Multimodal.audioFingerprint(
+        docs.filter(col("id") < 200000).select(col("id"),
+          graft.queries.R8Queries.plantedWav(col("id")).as("payload")),
+        "id", "payload")),
+      "video_dhash" -> (() => graft.llm.Multimodal.videoFrameDHash(
+        docs.filter(col("id") < 50000).select(col("id"),
+          graft.queries.R5Queries.plantedAvi(col("id")).as("payload")),
+        "id", "payload")),
       // robots wildcard filtering at crawl scale: a broadcast rule
       // registry incl. * and $ patterns against n URLs concentrated
       // on 1000 hosts — per-URL cost is the regex probe + the bounded

@@ -42,7 +42,7 @@ object R5Queries {
     * 1..3, 2..4 frames — every pixel of every frame reconstructable
     * analytically by an oracle. Frame rows are written in STORAGE
     * order (y = 0 first). */
-  private[queries] def plantedAvi(k: Column): Column = {
+  private[graft] def plantedAvi(k: Column): Column = {
       val w = pmod(k, lit(5)) + 2   // 2..6 px
       val h = pmod(k, lit(3)) + 1   // 1..3 px
       val nf = pmod(k, lit(3)) + 2  // 2..4 frames

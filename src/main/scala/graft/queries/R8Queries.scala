@@ -208,21 +208,9 @@ object R8Queries {
     // comparison; bit 63 is the min-long literal as in q127.
     "q130_audio_fingerprint" -> ((s, d) => {
       val k = col("p_partkey")
-      val rate = lit(8000) + pmod(k, lit(1000))
-      def amp(wi: org.apache.spark.sql.Column) =
-        pmod(k * 97 + wi * 131, lit(4097))
-      val samplesHex = array_join(
-        transform(sequence(lit(0), lit(129)),
-          i => R5Queries.le16(amp(floor(i / 2)))), "")
-      val payload = unhex(concat(
-        lit("52494646"), R5Queries.le32(lit(296)), lit("57415645"),
-        lit("666D7420"), R5Queries.le32(lit(16)), lit("01000100"),
-        R5Queries.le32(rate), R5Queries.le32(rate * 2), lit("02001000"),
-        lit("64617461"), R5Queries.le32(lit(260)),
-        samplesHex))
       graft.llm.Multimodal.audioFingerprint(
         T.part(s, d).filter(pmod(k, lit(5)) === 0)
-          .select(k.as("id"), payload.as("payload")),
+          .select(k.as("id"), plantedWav(k).as("payload")),
         "id", "payload")
         .orderBy("id")
     }),
@@ -310,10 +298,30 @@ object R8Queries {
     })
   )
 
+  /** The q130 planted WAV: 130 16-bit PCM samples in 65
+    * constant-amplitude windows (amp = (k·97 + w·131) mod 4097), so
+    * float RMS per window is exact and an oracle replays the
+    * fingerprint as integer comparisons. */
+  private[graft] def plantedWav(k: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val rate = lit(8000) + pmod(k, lit(1000))
+    def amp(wi: org.apache.spark.sql.Column) =
+      pmod(k * 97 + wi * 131, lit(4097))
+    val samplesHex = array_join(
+      transform(sequence(lit(0), lit(129)),
+        i => R5Queries.le16(amp(floor(i / 2)))), "")
+    unhex(concat(
+      lit("52494646"), R5Queries.le32(lit(296)), lit("57415645"),
+      lit("666D7420"), R5Queries.le32(lit(16)), lit("01000100"),
+      R5Queries.le32(rate), R5Queries.le32(rate * 2), lit("02001000"),
+      lit("64617461"), R5Queries.le32(lit(260)),
+      samplesHex))
+  }
+
   /** The q91/q127 planted BMP: a 24-bit uncompressed bitmap whose
     * every channel is a distinct affine hash of (k, x, y) — so an
     * oracle recomputes any pixel analytically. Dims 2..10 × 2..8. */
-  private def plantedBmp(k: org.apache.spark.sql.Column)
+  private[graft] def plantedBmp(k: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {
     val w = pmod(k, lit(9)) + 2 // 2..10 px
     val h = pmod(k, lit(7)) + 2 // 2..8 px
