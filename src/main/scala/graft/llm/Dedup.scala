@@ -1235,4 +1235,86 @@ object Dedup {
       size(units).cast("long").as("n_units"),
       (size(units) - size(kept)).cast("long").as("n_removed"))
   }
+
+  /** EXACT-SUBSTRING passage dedup (the token-window tier of the
+    * cleaning family, between [[exactDedupByContent]] at document
+    * granularity and [[unitDedup]] at line/paragraph granularity):
+    * remove every token covered by a `k`-token window whose exact
+    * text occurs ≥ `minCount` times anywhere in the corpus — the
+    * repeated-passage pass of Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better" (ACL 2022), re-expressed
+    * relationally: their suffix-array scan over the concatenated
+    * corpus finds maximal repeats ≥ k tokens; every such repeat is a
+    * union of duplicated k-windows, so flagging duplicated k-windows
+    * and erasing the tokens they cover removes the same passages
+    * (erasing ALL occurrences, where the paper's dropper keeps one —
+    * the variant that needs no global occurrence ordering and is the
+    * common production simplification). Tokens are `\s+` splits of
+    * the trimmed text (the [[graft.llm.TextAnalysis.unigramLogProb]]
+    * convention); output is `(idCol, n_tokens, n_removed,
+    * clean_text)` with surviving tokens rejoined by single spaces in
+    * original order. Every input document survives — a fully-covered
+    * document comes back with `clean_text = ""` (the caller's length
+    * filter decides its fate), unlike [[unitDedup]] where an
+    * all-blank doc has nothing to reassemble.
+    *
+    * Scale shape — the [[lineDedup]] discipline at token granularity:
+    * the duplicate decision runs on a windows projection
+    * `(idCol, start, key)` whose row count ≈ token count; the
+    * occurrence count is a hash aggregate with map-side partials (a
+    * window duplicated 10⁸ times is one cell per map partition on
+    * the wire, then one reduce cell); the hot window set (tiny — the
+    * boilerplate passages themselves) joins back against the same
+    * keys-only projection and folds to one `(id, drop-position set)`
+    * row per affected doc, bounded by per-doc token count. Token
+    * text crosses the wire exactly once (the by-doc reassembly
+    * shuffle, the irreducible unit). With `byHash = true` the window
+    * key is the window text's SHA-256 (32-byte binary, the 2⁻¹²⁸
+    * standard content-hash assumption) so window TEXT never crosses
+    * the wire either — the 100 TB mode; exact-string mode exists for
+    * oracle parity and tiny corpora. Window construction is map-only
+    * (`slice` over the let-bound token array per start position —
+    * O(k·n) chars per doc, the same work the suffix-array build pays
+    * as O(n log n) comparisons). */
+  def exactSubstrDedup(df: DataFrame, idCol: String, textCol: String,
+      k: Int, minCount: Long = 2, byHash: Boolean = false): DataFrame = {
+    require(k >= 2, "window size k must be at least 2 tokens")
+    require(minCount >= 2, "minCount below 2 would erase every token")
+    val base = df.select(col(idCol),
+        split(trim(col(textCol)), "\\s+").as("_ws"))
+      .withColumn("_n", size(col("_ws")))
+    // one row per window start (1-based); docs shorter than k emit none
+    val wins = base
+      .select(col(idCol), col("_ws"),
+        explode(when(col("_n") >= k, sequence(lit(1), col("_n") - (k - 1)))
+          .otherwise(array().cast("array<int>"))).as("_s"))
+      .select(col(idCol), col("_s"),
+        concat_ws(" ", slice(col("_ws"), col("_s"), lit(k))).as("_w"))
+    val winKeyed =
+      if (byHash) wins.withColumn("_wk", unhex(sha2(col("_w"), 256))).drop("_w")
+      else wins.withColumnRenamed("_w", "_wk")
+    val dup = winKeyed.groupBy("_wk").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= minCount).select("_wk")
+    val dropIdx = winKeyed.join(dup, Seq("_wk"))
+      .select(col(idCol),
+        explode(sequence(col("_s"), col("_s") + (k - 1))).as("_p"))
+      .groupBy(col(idCol)).agg(collect_set(col("_p")).as("_drop"))
+    val toks = base
+      .select(col(idCol), col("_n"),
+        posexplode(col("_ws")).as(Seq("_p0", "_tok")))
+      .withColumn("_p", col("_p0") + 1).drop("_p0")
+    toks.join(dropIdx, Seq(idCol), "left")
+      .withColumn("_keep",
+        col("_drop").isNull || !array_contains(col("_drop"), col("_p")))
+      .groupBy(col(idCol))
+      .agg(
+        first(col("_n")).as("_nn"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("_keep"),
+            struct(col("_p").as("i"), col("_tok").as("l"))))),
+          x => x.getField("l"))).as("clean_text"),
+        sum(when(col("_keep"), 0L).otherwise(1L)).as("n_removed"))
+      .select(col(idCol), col("_nn").cast("long").as("n_tokens"),
+        col("n_removed"), col("clean_text"))
+  }
 }

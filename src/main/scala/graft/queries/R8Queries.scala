@@ -295,7 +295,21 @@ object R8Queries {
         .select(col("doc_id"), col("lang"), col("n_tokens"),
           col("pack_id"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // [EXT] exact-substring passage dedup (Lee et al. ACL 2022, the
+    // token-window formulation): erase every token covered by a
+    // 6-token window whose exact text occurs ≥2 times corpus-wide,
+    // and rebuild each document from its surviving tokens (~9% of
+    // tokens at every SF of the synthetic corpus). Exact-string
+    // window keys here for oracle parity; the byHash tier (spec-
+    // pinned equal) is the 100 TB mode where window text never
+    // crosses the wire.
+    "q135_exact_substr" -> ((s, d) =>
+      graft.llm.Dedup.exactSubstrDedup(
+          T.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text", k = 6)
+        .orderBy("doc_id"))
   )
 
   /** The q130 planted WAV: 130 16-bit PCM samples in 65
@@ -732,6 +746,35 @@ object R8Queries {
         |  CAST(floor((sum(n_tokens) OVER
         |    (PARTITION BY lang ORDER BY doc_id) - n_tokens) / 2000)
         |    AS BIGINT) AS pack_id
-        |FROM surv ORDER BY doc_id""".stripMargin
+        |FROM surv ORDER BY doc_id""".stripMargin,
+
+    "q135_exact_substr" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |n AS (SELECT doc_id, ws, len(ws) AS n FROM d),
+        |wi AS (SELECT doc_id, unnest(list_transform(range(1, n - 6 + 2),
+        |         i -> struct_pack(s := i,
+        |                w := array_to_string(ws[i:i+5], ' ')))) AS u
+        |       FROM n),
+        |wins AS (SELECT doc_id, u.s AS start, u.w AS win FROM wi),
+        |dup AS (SELECT win FROM wins GROUP BY 1 HAVING count(*) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, pos FROM (
+        |          SELECT doc_id, unnest(range(start, start + 6)) AS pos
+        |          FROM wins JOIN dup USING (win))),
+        |tok AS (SELECT doc_id, unnest(ws) AS tok,
+        |          unnest(range(1, n + 1)) AS pos FROM n),
+        |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
+        |         ANTI JOIN cov c
+        |           ON t.doc_id = c.doc_id AND t.pos = c.pos),
+        |agg AS (SELECT doc_id,
+        |          string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+        |          count(*) AS n_kept
+        |        FROM kept GROUP BY 1)
+        |SELECT n.doc_id, n.n AS n_tokens,
+        |       n.n - coalesce(a.n_kept, 0) AS n_removed,
+        |       coalesce(a.clean_text, '') AS clean_text
+        |FROM n LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -717,4 +717,64 @@ class DedupSpec extends SparkSuite {
     assert(e.getMessage.contains("batch") &&
       e.getMessage.contains("bucket="), e.getMessage)
   }
+
+  test("exactSubstrDedup erases cross-doc repeated passages, keeps order") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta unique one tail"),
+      (2L, "head alpha beta gamma delta other words"),
+      (3L, "nothing shared with anybody at all here")
+    ).toDF("id", "text")
+    val r = Dedup.exactSubstrDedup(d, "id", "text", k = 4)
+      .orderBy("id").collect()
+    // "alpha beta gamma delta" occurs in docs 1 and 2 → its 4 tokens
+    // go from both; surviving tokens keep original order
+    assert(r(0).getAs[String]("clean_text") === "unique one tail")
+    assert(r(0).getAs[Long]("n_tokens") === 7L)
+    assert(r(0).getAs[Long]("n_removed") === 4L)
+    assert(r(1).getAs[String]("clean_text") === "head other words")
+    assert(r(1).getAs[Long]("n_removed") === 4L)
+    assert(r(2).getAs[String]("clean_text") ===
+      "nothing shared with anybody at all here")
+    assert(r(2).getAs[Long]("n_removed") === 0L)
+  }
+
+  test("exactSubstrDedup: within-doc repeat, short docs, full coverage") {
+    val d = Seq(
+      // "x y z w" repeats INSIDE doc 10 → both occurrences erased
+      (10L, "x y z w mid x y z w"),
+      // shorter than k → no windows, untouched
+      (11L, "too short"),
+      // doc fully covered by a window shared with doc 13 → ""
+      (12L, "p q r s"),
+      (13L, "p q r s")
+    ).toDF("id", "text")
+    val r = Dedup.exactSubstrDedup(d, "id", "text", k = 4)
+      .orderBy("id").collect()
+    assert(r(0).getAs[String]("clean_text") === "mid")
+    assert(r(0).getAs[Long]("n_removed") === 8L)
+    assert(r(1).getAs[String]("clean_text") === "too short")
+    assert(r(1).getAs[Long]("n_removed") === 0L)
+    assert(r(2).getAs[String]("clean_text") === "")
+    assert(r(2).getAs[Long]("n_removed") === 4L)
+    assert(r(3).getAs[String]("clean_text") === "")
+    // every input doc survives, even when fully erased
+    assert(r.length === 4)
+  }
+
+  test("exactSubstrDedup byHash tier matches exact-string tier") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val exact = Dedup.exactSubstrDedup(docs, "doc_id", "text", k = 6)
+      .orderBy("doc_id").collect()
+    val hashed = Dedup.exactSubstrDedup(docs, "doc_id", "text", k = 6,
+        byHash = true)
+      .orderBy("doc_id").collect()
+    assert(exact.length === hashed.length && exact.length > 0)
+    exact.zip(hashed).foreach { case (a, b) => assert(a === b) }
+    // the pass is doing real work on this corpus (~9% of tokens)
+    val removed = exact.map(_.getAs[Long]("n_removed")).sum
+    val total = exact.map(_.getAs[Long]("n_tokens")).sum
+    assert(removed > 0 && removed < total / 2,
+      s"removed=$removed total=$total")
+  }
 }
