@@ -433,6 +433,75 @@ object TextAnalysis {
         round(col("sum_logprob_micro") / 1e6 / col("n_tokens"), 4))
   }
 
+  /** MODEL-BASED quality classifier — the learned tier above
+    * [[qualityScore]]'s fixed heuristics (the role the fastText
+    * classifier plays in public pipeline write-ups: bootstrap labels
+    * from a trusted slice, train a cheap linear text model, score the
+    * whole corpus). The model is multinomial Naive Bayes with
+    * Laplace smoothing — chosen over iterated logistic regression
+    * because NB training IS one relational aggregate (per-class token
+    * counts), so train-then-score stays a fixed declarative plan an
+    * independent SQL engine can replay exactly, no driver loop, no
+    * learning-rate nondeterminism.
+    *
+    * Per-token class log-odds land in integer MICRO-units
+    * (`round(ln·10⁶)` BEFORE summing — the [[unigramLogProb]]
+    * micropoint trick) so the per-doc sum is exact in any aggregation
+    * order. Smoothing: `w(t) = ln((c₁(t)+1)/(N₁+V)) −
+    * ln((c₀(t)+1)/(N₀+V))` with V = corpus vocabulary size; prior =
+    * `ln(D₁/D₀)` in the same micro-units. Train corpus = score corpus
+    * (the bootstrap shape), so no unseen-token arm is needed — both
+    * factors of every token's odds are materialized by the same scan.
+    *
+    * Scale shape: token counts are ONE hash aggregate with map-side
+    * partials (a token in 10⁸ docs is one cell per map partition);
+    * the per-token weight table is vocabulary-sized and joins the
+    * token stream on `term` (AQE broadcasts it when it fits; worst
+    * case a keys-plus-8-bytes shuffle, never document text); scoring
+    * folds by doc id — token text crosses the wire once. Scalar
+    * totals (N₁ N₀ V D₁ D₀) ride a broadcast 1-row cross join, in-plan.
+    *
+    * Output: (doc_id, n_tokens, score_micro, predicted) — positive
+    * `score_micro` means the posterior favors the positive class. */
+  def naiveBayesScore(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String): DataFrame = {
+    val lab = col(labelCol).cast(BooleanType)
+    val base = df.select(col(idCol).as("doc_id"), lab.as("_y"),
+      col(textCol).as("_t"))
+    val tok = base.select(col("doc_id"), col("_y"),
+      explode(tokens(col("_t"))).as("term"))
+    val counts = tok.groupBy("term").agg(
+      sum(when(col("_y"), 1L).otherwise(0L)).as("c1"),
+      sum(when(col("_y"), 0L).otherwise(1L)).as("c0"))
+    val tot = counts.agg(
+      sum("c1").as("n1"), sum("c0").as("n0"),
+      count(lit(1)).as("v"))
+    val priors = base.agg(
+      sum(when(col("_y"), 1L).otherwise(0L)).as("d1"),
+      sum(when(col("_y"), 0L).otherwise(1L)).as("d0"))
+    val weights = counts.join(broadcast(tot))
+      .withColumn("w_micro",
+        round((log((col("c1") + 1).cast(DoubleType) / (col("n1") + col("v"))) -
+               log((col("c0") + 1).cast(DoubleType) / (col("n0") + col("v"))))
+          * 1e6).cast(LongType))
+      .select("term", "w_micro")
+    tok.join(weights, Seq("term"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("w_micro").as("_sum_w"))
+      .join(broadcast(priors))
+      // an empty class has no log-odds: fail loudly, not NaN-quietly
+      .withColumn("_prior", when(col("d1") > 0 && col("d0") > 0,
+          round(log(col("d1").cast(DoubleType) / col("d0")) * 1e6)
+            .cast(LongType))
+        .otherwise(raise_error(
+          lit("naiveBayesScore: one class is empty — both label " +
+            "values must occur in the training frame"))))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("_sum_w") + col("_prior")).as("score_micro"),
+        (col("_sum_w") + col("_prior") > 0).as("predicted"))
+  }
+
   /** Document fingerprint: minimum SHA-256 over sliding word
     * `shingleLen`-grams — a 1-permutation MinHash usable as a cheap
     * near-dup blocking key / content fingerprint. Texts shorter than

@@ -309,6 +309,19 @@ object R8Queries {
       graft.llm.Dedup.exactSubstrDedup(
           T.documents(s, d).select(col("doc_id"), col("text")),
           "doc_id", "text", k = 6)
+        .orderBy("doc_id")),
+
+    // [EXT] model-based quality classifier: bootstrap labels from a
+    // trusted slice (here: the langid-tagged English cohort), train
+    // Laplace-smoothed Naive Bayes log-odds in one relational
+    // aggregate, score every document in integer micro-units — the
+    // fastText-classifier role of public pipelines with a plan an
+    // independent SQL engine replays exactly.
+    "q136_nb_quality" -> ((s, d) =>
+      graft.llm.TextAnalysis.naiveBayesScore(
+          T.documents(s, d).select(col("doc_id"), col("text"),
+            (col("lang") === "en").as("is_en")),
+          "doc_id", "text", "is_en")
         .orderBy("doc_id"))
   )
 
@@ -775,6 +788,34 @@ object R8Queries {
         |       n.n - coalesce(a.n_kept, 0) AS n_removed,
         |       coalesce(a.clean_text, '') AS clean_text
         |FROM n LEFT JOIN agg a USING (doc_id)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q136_nb_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id, (lang = 'en') AS y,
+        |    regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |tok AS (SELECT doc_id, y, unnest(ws) AS term FROM base),
+        |c AS (SELECT term,
+        |        CAST(count(*) FILTER (WHERE y) AS BIGINT) AS c1,
+        |        CAST(count(*) FILTER (WHERE NOT y) AS BIGINT) AS c0
+        |      FROM tok GROUP BY 1),
+        |t AS (SELECT sum(c1) AS n1, sum(c0) AS n0,
+        |        count(*) AS v FROM c),
+        |w AS (SELECT term,
+        |        CAST(round((ln((c1 + 1.0) / (n1 + v))
+        |          - ln((c0 + 1.0) / (n0 + v))) * 1e6) AS BIGINT) AS wm
+        |      FROM c CROSS JOIN t),
+        |p AS (SELECT CAST(round(ln(
+        |          CAST(count(*) FILTER (WHERE y) AS DOUBLE)
+        |          / count(*) FILTER (WHERE NOT y)) * 1e6) AS BIGINT)
+        |        AS prior
+        |      FROM base),
+        |s AS (SELECT doc_id, count(*) AS n_tokens,
+        |        CAST(sum(wm) AS BIGINT) AS sw
+        |      FROM tok JOIN w USING (term) GROUP BY 1)
+        |SELECT doc_id, n_tokens, sw + prior AS score_micro,
+        |       (sw + prior) > 0 AS predicted
+        |FROM s CROSS JOIN p ORDER BY doc_id""".stripMargin
   )
 }

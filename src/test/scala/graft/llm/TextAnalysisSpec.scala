@@ -410,4 +410,39 @@ class TextAnalysisSpec extends SparkSuite {
       .select(TextAnalysis.compressionRatio(col("t"))).collect()(0)
     assert(empty.isNullAt(0))
   }
+
+  test("naiveBayesScore: hand-computed Laplace log-odds in micro-units") {
+    // vocab V=4, N1=4, N0=4, priors ln(2/2)=0
+    //   w(good) = ln(4/8)-ln(1/8) = ln4  -> 1386294 micro
+    //   w(nice) = ln(2/8)-ln(1/8) = ln2  ->  693147
+    //   w(bad)  = -ln4, w(ugly) = -ln2
+    val d = Seq(
+      (1L, true, "good good"), (2L, true, "good nice"),
+      (3L, false, "bad bad"), (4L, false, "bad ugly")
+    ).toDF("id", "y", "text")
+    val r = TextAnalysis.naiveBayesScore(d, "id", "text", "y")
+      .orderBy("doc_id").collect()
+    assert(r.map(_.getAs[Long]("score_micro")).toSeq ===
+      Seq(2772588L, 2079441L, -2772588L, -2079441L))
+    assert(r.map(_.getAs[Boolean]("predicted")).toSeq ===
+      Seq(true, true, false, false))
+    assert(r.map(_.getAs[Long]("n_tokens")).toSeq === Seq(2L, 2L, 2L, 2L))
+  }
+
+  test("naiveBayesScore: non-zero prior shifts every score; empty class raises") {
+    // 2 positive docs, 1 negative -> prior = ln 2 = 693147 micro; the
+    // shared token "x" has w(x) = ln((2+1)/(2+1)) - ln((1+1)/(1+1)) = 0,
+    // so each score IS the prior
+    val d = Seq((1L, true, "x"), (2L, true, "x"), (3L, false, "x"))
+      .toDF("id", "y", "text")
+    val r = TextAnalysis.naiveBayesScore(d, "id", "text", "y")
+      .orderBy("doc_id").collect()
+    assert(r.map(_.getAs[Long]("score_micro")).toSeq ===
+      Seq(693147L, 693147L, 693147L))
+    val oneClass = Seq((1L, true, "a b"), (2L, true, "c")).toDF("id", "y", "text")
+    val e = intercept[Exception] {
+      TextAnalysis.naiveBayesScore(oneClass, "id", "text", "y").collect()
+    }
+    assert(e.getMessage.contains("class is empty"), e.getMessage)
+  }
 }
