@@ -502,6 +502,90 @@ object TextAnalysis {
         (col("_sum_w") + col("_prior") > 0).as("predicted"))
   }
 
+  /** Corpus-relative BIGRAM log-probability — one order up from
+    * [[unigramLogProb]], the model CCNet-style perplexity filtering
+    * actually wants (unigrams can't see scrambled word order; a
+    * bag-of-frequent-words spam page scores fluent under a unigram
+    * model and junk under a bigram one). Laplace-smoothed conditional:
+    * `p(w₂|w₁) = (c(w₁,w₂)+1) / (c_left(w₁)+V)` with V = corpus
+    * vocabulary size; per-bigram log-probs land in integer MICRO-units
+    * before summing (the micropoint trick — order-exact sums).
+    * Train corpus = score corpus, so every scored bigram is in the
+    * count table by construction. Single-token documents have no
+    * bigram evidence and are EXCLUDED from the output (run a length
+    * gate first, as every pipeline does).
+    *
+    * Scale shape: bigram construction is map-only (two shifted array
+    * slices zipped per doc); counts are one hash aggregate with
+    * map-side partials; the (w₁,w₂)→weight table is
+    * distinct-bigram-sized and joins the bigram stream on its own
+    * keys (AQE broadcasts when small); scoring folds by doc id.
+    *
+    * Output: (doc_id, n_bigrams, sum_logprob_micro). */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"),
+        tokens(col(textCol)).as("_ws"))
+      .withColumn("_n", size(col("_ws")))
+    val bg = base.select(col("doc_id"),
+        explode(when(col("_n") >= 2,
+            arrays_zip(slice(col("_ws"), lit(1), col("_n") - 1).as("w1"),
+                       slice(col("_ws"), lit(2), col("_n") - 1).as("w2")))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as("_p"))
+      .select(col("doc_id"), col("_p").getField("w1").as("w1"),
+        col("_p").getField("w2").as("w2"))
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val cl = c12.groupBy("w1").agg(sum("c").as("cleft"))
+    val v = base.select(explode(col("_ws")).as("_t"))
+      .agg(countDistinct(col("_t")).as("v"))
+    val w = c12.join(cl, Seq("w1")).join(broadcast(v))
+      .withColumn("lp_micro",
+        round(log((col("c") + 1).cast(DoubleType) / (col("cleft") + col("v")))
+          * 1e6).cast(LongType))
+      .select("w1", "w2", "lp_micro")
+    bg.join(w, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("lp_micro").as("sum_logprob_micro"))
+  }
+
+  /** CCNet-style perplexity banding over [[bigramLogProb]]: rank every
+    * document by mean bigram log-probability (best first, doc id
+    * tie-break) and split the corpus into `nBuckets` equal bands —
+    * band 1 ("head") is the most-fluent third under the corpus's own
+    * LM, band `nBuckets` ("tail") the least. The split reproduces SQL
+    * `ntile` EXACTLY (first `n mod k` bands take `⌊n/k⌋+1` rows) so an
+    * independent engine's ntile is a value-level oracle — but the rank
+    * itself comes from [[TrainingOps.globalRank]]'s range-parallel
+    * prefix count, NEVER a single-task global window, and the band
+    * arithmetic is per-row math against one broadcast count row.
+    * Output: bigramLogProb columns + (avg_logprob, bucket). */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 1, "nBuckets must be at least 1")
+    val scores = bigramLogProb(df, idCol, textCol)
+      .withColumn("avg_logprob",
+        round(col("sum_logprob_micro") / 1e6 / col("n_bigrams"), 4))
+    val ranked = TrainingOps.globalRank(scores,
+      Seq((col("sum_logprob_micro") / col("n_bigrams")).desc,
+        col("doc_id")))
+    val n = scores.agg(count(lit(1)).as("_nn"))
+    val k = lit(nBuckets.toLong)
+    ranked.join(broadcast(n))
+      .withColumn("_q", floor(col("_nn") / k))
+      .withColumn("_m", col("_nn") - col("_q") * k)
+      .withColumn("_cut", col("_m") * (col("_q") + 1))
+      .withColumn("bucket",
+        when(col("rank") <= col("_cut"),
+            ceil(col("rank") / (col("_q") + 1)))
+          .otherwise(col("_m") +
+            ceil((col("rank") - col("_cut")) / col("_q")))
+          .cast(IntegerType))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_logprob_micro"),
+        col("avg_logprob"), col("bucket"))
+  }
+
   /** Document fingerprint: minimum SHA-256 over sliding word
     * `shingleLen`-grams — a 1-permutation MinHash usable as a cheap
     * near-dup blocking key / content fingerprint. Texts shorter than

@@ -641,4 +641,35 @@ object TrainingOps {
       w => b.column(
         graft.expressions.BpeEncodeExpr(b.expression(w), merges))))
   }
+
+  /** EXACT 1-based global rank in `orderCols` order, appended as a
+    * `rank` column — the scale-safe replacement for a global
+    * `row_number()` window, which serializes the whole frame through
+    * ONE task (Spark's own "No Partition Defined for Window" warning).
+    * Here the range partitioner spreads the sort across every
+    * partition and the offsets come from a per-partition COUNT pass
+    * (two jobs over one shuffle lineage — the [[packByTokenBudget]]
+    * prefix-sum discipline specialized to counting): ≤ 1 count per
+    * partition to the driver, never a row. Ties in `orderCols` rank
+    * arbitrarily — pass a unique tie-break key (the same contract a
+    * window `row_number` has). Rows with NULLs in `orderCols` sort by
+    * Spark's null ordering (nulls first ascending) — align the oracle
+    * side explicitly if nulls can occur. */
+  def globalRank(df: DataFrame, orderCols: Seq[Column],
+      numPartitions: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty, "globalRank needs at least one order column")
+    require(!df.columns.contains("rank"),
+      "globalRank appends `rank` — input already has that column")
+    val spark = df.sparkSession
+    val nPart = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val staged = df.repartitionByRange(nPart, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val schema = staged.schema
+    val ranked = staged.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(ranked, schema.add("rank", LongType,
+      nullable = false))
+  }
 }

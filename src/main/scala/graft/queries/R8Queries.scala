@@ -322,6 +322,22 @@ object R8Queries {
           T.documents(s, d).select(col("doc_id"), col("text"),
             (col("lang") === "en").as("is_en")),
           "doc_id", "text", "is_en")
+        .orderBy("doc_id")),
+
+    // [EXT] CCNet-style perplexity banding: score every document
+    // under the corpus's own Laplace bigram LM (integer micro-unit
+    // logprobs), rank by mean logprob via the range-parallel global
+    // prefix count (never a single-task window), and cut the corpus
+    // into head/middle/tail thirds with exact ntile arithmetic — the
+    // oracle's ntile() is the independent check of the band formula.
+    "q137_ppl_buckets" -> ((s, d) =>
+      graft.llm.TextAnalysis.perplexityBuckets(
+          T.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text", nBuckets = 3)
+        .withColumn("ppl_band",
+          when(col("bucket") === 1, "head")
+            .when(col("bucket") === 2, "middle").otherwise("tail"))
+        .drop("bucket")
         .orderBy("doc_id"))
   )
 
@@ -816,6 +832,37 @@ object R8Queries {
         |      FROM tok JOIN w USING (term) GROUP BY 1)
         |SELECT doc_id, n_tokens, sw + prior AS score_micro,
         |       (sw + prior) > 0 AS predicted
-        |FROM s CROSS JOIN p ORDER BY doc_id""".stripMargin
+        |FROM s CROSS JOIN p ORDER BY doc_id""".stripMargin,
+
+    "q137_ppl_buckets" ->
+      """WITH base AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |n0 AS (SELECT doc_id, ws, len(ws) AS n FROM base),
+        |bg AS (SELECT doc_id, unnest(ws[1:n-1]) AS w1,
+        |         unnest(ws[2:n]) AS w2
+        |       FROM n0 WHERE n >= 2),
+        |c12 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+        |cl AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cleft
+        |       FROM c12 GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS v FROM
+        |        (SELECT unnest(ws) AS tok FROM n0)),
+        |w AS (SELECT w1, w2,
+        |        CAST(round(ln((c + 1.0) / (cleft + v)) * 1e6) AS BIGINT)
+        |          AS lp
+        |      FROM c12 JOIN cl USING (w1) CROSS JOIN v),
+        |s AS (SELECT doc_id, count(*) AS n_bigrams,
+        |        CAST(sum(lp) AS BIGINT) AS sum_logprob_micro
+        |      FROM bg JOIN w USING (w1, w2) GROUP BY 1),
+        |r AS (SELECT *,
+        |        round(sum_logprob_micro / 1e6 / n_bigrams, 4)
+        |          AS avg_logprob,
+        |        ntile(3) OVER (ORDER BY
+        |          sum_logprob_micro / n_bigrams DESC, doc_id) AS b
+        |      FROM s)
+        |SELECT doc_id, n_bigrams, sum_logprob_micro, avg_logprob,
+        |       CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |              ELSE 'tail' END AS ppl_band
+        |FROM r ORDER BY doc_id""".stripMargin
   )
 }

@@ -445,4 +445,39 @@ class TextAnalysisSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("class is empty"), e.getMessage)
   }
+
+  test("bigramLogProb: hand-computed Laplace bigram micro-units") {
+    // V=3 (a, b, and doc 3's x all count toward the vocabulary):
+    //   lp(a,b) = ln((1+1)/(1+3)) = ln 0.5 -> -693147 micro
+    //   lp(b,a) = ln((2+1)/(2+3)) = ln 0.6 -> -510826
+    val d = Seq((1L, "a b a"), (2L, "b a"), (3L, "x"))
+      .toDF("id", "text")
+    val r = TextAnalysis.bigramLogProb(d, "id", "text")
+      .orderBy("doc_id").collect()
+    // single-token doc 3 has no bigram evidence -> excluded
+    assert(r.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 2L))
+    assert(r(0).getAs[Long]("n_bigrams") === 2L)
+    assert(r(0).getAs[Long]("sum_logprob_micro") === -693147L - 510826L)
+    assert(r(1).getAs[Long]("sum_logprob_micro") === -510826L)
+  }
+
+  test("perplexityBuckets: exact ntile split sizes and monotone bands") {
+    // 7 docs, 3 buckets -> sizes 3,2,2 (n=7: q=2, m=1)
+    val texts = Seq(
+      "a a a a a a", "a a a a a b", "a a a a b b", "a a a b b b",
+      "a a b b b b", "a b b b b b", "b b b b b b")
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val r = TextAnalysis.perplexityBuckets(d, "id", "text", nBuckets = 3)
+      .collect()
+    val byBucket = r.groupBy(_.getAs[Int]("bucket")).view
+      .mapValues(_.length).toMap
+    assert(byBucket === Map(1 -> 3, 2 -> 2, 3 -> 2), byBucket.toString)
+    // bands are monotone in avg logprob: every head doc scores >= every
+    // middle doc, every middle >= every tail
+    def avgs(b: Int) = r.filter(_.getAs[Int]("bucket") == b)
+      .map(x => x.getAs[Long]("sum_logprob_micro").toDouble /
+        x.getAs[Long]("n_bigrams"))
+    assert(avgs(1).min >= avgs(2).max && avgs(2).min >= avgs(3).max)
+  }
 }

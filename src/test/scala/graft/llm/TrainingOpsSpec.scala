@@ -419,4 +419,30 @@ class TrainingOpsSpec extends SparkSuite {
       assert(enc(w, merges) === replay(w), s"word '$w'")
     }
   }
+
+  test("globalRank: exact 1-based ranks in order, desc keys, collision guard") {
+    val d = (1L to 97L).map(i => (i, (i * 37) % 101)).toDF("id", "v")
+    // ascending (v, id): rank must equal the orderBy position
+    val asc = TrainingOps.globalRank(d, Seq(col("v"), col("id")),
+        numPartitions = 7)
+      .orderBy("rank").collect()
+    val expectAsc = d.orderBy("v", "id").collect()
+    assert(asc.length === 97)
+    asc.zip(expectAsc).zipWithIndex.foreach { case ((got, want), i) =>
+      assert(got.getAs[Long]("rank") === i + 1L)
+      assert(got.getAs[Long]("id") === want.getAs[Long]("id"))
+    }
+    // descending first key
+    val desc = TrainingOps.globalRank(d, Seq(col("v").desc, col("id")),
+        numPartitions = 7)
+      .orderBy("rank").collect()
+    assert(desc.head.getAs[Long]("v") ===
+      d.agg(max("v")).collect()(0).getLong(0))
+    assert(desc.map(_.getAs[Long]("rank")).toSeq === (1L to 97L))
+    val e = intercept[IllegalArgumentException] {
+      TrainingOps.globalRank(d.withColumnRenamed("v", "rank"),
+        Seq(col("id")))
+    }
+    assert(e.getMessage.contains("rank"), e.getMessage)
+  }
 }
