@@ -502,6 +502,41 @@ object TextAnalysis {
         (col("_sum_w") + col("_prior") > 0).as("predicted"))
   }
 
+  /** C4-style blocklist filter: flag documents containing any term
+    * from a word blocklist (the "badwords" pass every public corpus
+    * pipeline runs), matched TOKEN-EXACT on lowercased whitespace
+    * tokens — substring matching is deliberately NOT offered
+    * (the classic over-blocking failure: a blocklist entry hiding
+    * inside an innocent longer word). Returns per-doc evidence, not
+    * just a verdict: hit count with multiplicity, the distinct
+    * blocked terms found (sorted, comma-joined — engine-portable
+    * unlike array columns), and `kept`. Map-only: the blocklist is
+    * a plan literal (Catalyst turns a >10-term isin into an O(1)
+    * InSet probe inside codegen — the PSL-tier pattern), so a
+    * 1000-term list costs one hash probe per token, no join, no
+    * broadcast, no shuffle. */
+  def blocklistFilter(df: DataFrame, idCol: String, textCol: String,
+      blocked: Seq[String]): DataFrame = {
+    require(blocked.nonEmpty, "blocklist must not be empty")
+    require(blocked.forall(w => w == w.toLowerCase),
+      "blocklist entries must be lowercase (tokens are lowercased)")
+    val lows = transform(tokens(col(textCol)), t => lower(t))
+    // let-bind: HOF args re-evaluate per reference (the chunkByTokens
+    // trick) — without this every use re-splits the text
+    val out = aggregate(array(lows), lit(null).cast(
+        "struct<n:long,terms:string>"),
+      (_, ts) => {
+        val hits = filter(ts, t => t.isin(blocked: _*))
+        struct(
+          size(hits).cast(LongType).as("n"),
+          array_join(array_sort(array_distinct(hits)), ",").as("terms"))
+      })
+    df.select(col(idCol).as("doc_id"),
+      out.getField("n").as("n_blocked_tokens"),
+      out.getField("terms").as("blocked_terms"),
+      (out.getField("n") === 0L).as("kept"))
+  }
+
   /** Corpus-relative BIGRAM log-probability — one order up from
     * [[unigramLogProb]], the model CCNet-style perplexity filtering
     * actually wants (unigrams can't see scrambled word order; a

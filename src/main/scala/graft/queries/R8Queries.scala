@@ -338,6 +338,16 @@ object R8Queries {
           when(col("bucket") === 1, "head")
             .when(col("bucket") === 2, "middle").otherwise("tail"))
         .drop("bucket")
+        .orderBy("doc_id")),
+
+    // [EXT] C4-style blocklist ("badwords") filter: token-exact,
+    // lowercased, with per-doc evidence — hit count, the distinct
+    // blocked terms found, and the keep verdict. Map-only InSet
+    // probe per token; no join, no shuffle.
+    "q138_blocklist" -> ((s, d) =>
+      graft.llm.TextAnalysis.blocklistFilter(
+          T.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text", Seq("dup", "fast"))
         .orderBy("doc_id"))
   )
 
@@ -863,6 +873,23 @@ object R8Queries {
         |SELECT doc_id, n_bigrams, sum_logprob_micro, avg_logprob,
         |       CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
         |              ELSE 'tail' END AS ppl_band
-        |FROM r ORDER BY doc_id""".stripMargin
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q138_blocklist" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    lower(unnest(regexp_split_to_array(trim(text), '\s+')))
+        |      AS term
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |        CAST(count(*) FILTER (WHERE term IN ('dup', 'fast'))
+        |          AS BIGINT) AS n_blocked_tokens,
+        |        coalesce(string_agg(DISTINCT term, ',' ORDER BY term)
+        |          FILTER (WHERE term IN ('dup', 'fast')), '')
+        |          AS blocked_terms
+        |      FROM tok GROUP BY 1)
+        |SELECT doc_id, n_blocked_tokens, blocked_terms,
+        |       n_blocked_tokens = 0 AS kept
+        |FROM h ORDER BY doc_id""".stripMargin
   )
 }

@@ -480,4 +480,27 @@ class TextAnalysisSpec extends SparkSuite {
         x.getAs[Long]("n_bigrams"))
     assert(avgs(1).min >= avgs(2).max && avgs(2).min >= avgs(3).max)
   }
+
+  test("blocklistFilter: token-exact, case-folded, no substring blocking") {
+    val d = Seq(
+      (1L, "clean prose only here"),
+      (2L, "some BAD and more bad stuff"),
+      // substring must NOT block: badge contains 'bad' but isn't it
+      (3L, "wearing a badge proudly"),
+      (4L, "ugly bad things")
+    ).toDF("id", "text")
+    val r = TextAnalysis.blocklistFilter(d, "id", "text",
+        Seq("bad", "ugly"))
+      .orderBy("doc_id").collect()
+    assert(r.map(_.getAs[Boolean]("kept")).toSeq ===
+      Seq(true, false, true, false))
+    assert(r(1).getAs[Long]("n_blocked_tokens") === 2L) // BAD + bad
+    assert(r(1).getAs[String]("blocked_terms") === "bad")
+    assert(r(3).getAs[String]("blocked_terms") === "bad,ugly")
+    assert(r(0).getAs[String]("blocked_terms") === "")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.blocklistFilter(d, "id", "text", Seq("Bad"))
+    }
+    assert(e.getMessage.contains("lowercase"), e.getMessage)
+  }
 }
