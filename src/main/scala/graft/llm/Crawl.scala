@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Crawl-pipeline operators ([EXT]): the steps between "fetched page"
   * and "candidate corpus document" — robots-exclusion filtering and
@@ -188,6 +189,71 @@ object Crawl {
           hTrim(regexp_replace(col("line"), "#.*$", "")),
           "(?i)^sitemap\\s*:(.*)$", 1)).as("sitemap_url"))
       .filter(col("sitemap_url") =!= "")
+  }
+
+  /** `Crawl-delay:` extraction with the SAME group resolution as
+    * [[parseRobotsTxt]] — unlike `Sitemap:`, crawl-delay is
+    * group-SCOPED (the Bing/Yandex extension convention: the delay in
+    * the group your agent matched applies to you; RFC 9309 leaves it
+    * as an "other record" inside the group). Group attribution is
+    * [[parseRobotsTxt]]'s convention with crawl-delay PROMOTED to a
+    * recognized rule line: a crawl-delay between two User-agent
+    * lines closes the first header (the delay belongs to the agent
+    * it follows), exactly as an allow/disallow line would — the
+    * behavior of parsers that honor the extension. parseRobotsTxt
+    * itself (which ignores the key) would merge such UA lines into
+    * one header; the two functions deliberately diverge on that
+    * pathological shape and nowhere else, spec-pinned. Within the
+    * selected best-tier groups the FIRST directive
+    * in file order wins (the multi-group/multi-line tie convention
+    * of the parsers that honor the extension); values must be
+    * non-negative decimal seconds — anything else (`soon`, negatives,
+    * empties) drops. Output: one `(host, crawl_delay_ms)` row per
+    * host that declares a valid delay for the agent — integer
+    * milliseconds, engine-portable.
+    *
+    * Scale shape: [[parseRobotsTxt]]'s exactly — line explode
+    * map-only, two windows PARTITIONED BY HOST (bounded by the
+    * protocol's 500 KiB robots.txt cap, not corpus size), bounded
+    * aggregates for tier/best/first resolution. */
+  def extractCrawlDelay(df: DataFrame, hostCol: String, txtCol: String,
+      agent: String = "*"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agentLower = agent.toLowerCase(java.util.Locale.ROOT)
+    def hTrim(c: Column): Column =
+      regexp_replace(c, "^[ \\t]+|[ \\t]+$", "")
+    val kv = df.select(col(hostCol).as("host"),
+        posexplode(split(col(txtCol), "\r?\n")).as(Seq("idx", "line")))
+      .select(col("host"), col("idx"),
+        hTrim(regexp_replace(col("line"), "#.*$", "")).as("l"))
+      .select(col("host"), col("idx"),
+        lower(regexp_extract(col("l"), "^([A-Za-z-]+)\\s*:", 1)).as("k"),
+        hTrim(regexp_extract(col("l"), "^[A-Za-z-]+\\s*:(.*)$", 1)).as("v"))
+      .filter(col("k").isin("user-agent", "allow", "disallow",
+        "crawl-delay"))
+    val w = Window.partitionBy("host").orderBy("idx")
+    val grouped = kv
+      .withColumn("_ua", col("k") === "user-agent")
+      .withColumn("_start",
+        (col("_ua") && !coalesce(lag(col("_ua"), 1).over(w), lit(false)))
+          .cast("int"))
+      .withColumn("_g", sum(col("_start")).over(w))
+    val tiers = grouped.filter(col("k") === "user-agent")
+      .groupBy(col("host"), col("_g"))
+      .agg(max(when(lower(col("v")) === agentLower, 2)
+        .when(col("v") === "*", 1).otherwise(0)).as("_tier"))
+    val best = tiers.groupBy("host").agg(max(col("_tier")).as("_best"))
+    val selected = tiers.join(best, Seq("host"))
+      .filter(col("_tier") === col("_best") && col("_tier") > 0)
+      .select(col("host"), col("_g"))
+    grouped.filter(col("k") === "crawl-delay" &&
+        col("v").rlike("^[0-9]+(\\.[0-9]+)?$"))
+      .join(selected, Seq("host", "_g"))
+      .groupBy(col("host"))
+      .agg(min_by(col("v"), col("idx")).as("_v"))
+      .select(col("host"),
+        round(col("_v").cast(DoubleType) * 1000).cast(LongType)
+          .as("crawl_delay_ms"))
   }
 
   /** Sitemap extraction — the OTHER frontier seed next to page

@@ -348,7 +348,73 @@ object R8Queries {
       graft.llm.TextAnalysis.blocklistFilter(
           T.documents(s, d).select(col("doc_id"), col("text")),
           "doc_id", "text", Seq("dup", "fast"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // [EXT] Crawl-delay extraction with parseRobotsTxt's group
+    // resolution: the fixture plants a * delay on every host, an
+    // agent-specific group with TWO delays (first-in-file wins) on
+    // every 3rd, a crawl-delay BETWEEN two User-agent lines on every
+    // 4th (a rule line here — it closes the first header), and an
+    // invalid value on every 5th (drops).
+    "q139_crawl_delay" -> ((s, d) => {
+      val hosts = T.documents(s, d)
+        .select(pmod(col("doc_id"), lit(40)).as("hi")).distinct()
+      val txt = concat(
+        lit("User-agent: *\nCrawl-delay: 2   # default pace\n" +
+          "Disallow: /private/\n"),
+        when(pmod(col("hi"), lit(3)) === 0,
+          lit("\nUser-agent: graftbot\nCrawl-delay:\t0.5\n" +
+            "Allow: /fast/\nCrawl-delay: 9\n")).otherwise(lit("")),
+        when(pmod(col("hi"), lit(4)) === 0,
+          lit("User-agent: extra\nCrawl-delay: 7\n" +
+            "User-agent: other\nDisallow: /x/\n")).otherwise(lit("")),
+        when(pmod(col("hi"), lit(5)) === 0,
+          lit("User-agent: slowbot\nCrawl-delay: soon\n"))
+          .otherwise(lit("")))
+      graft.llm.Crawl.extractCrawlDelay(
+          hosts.select(
+            concat(lit("h"), col("hi").cast("string"),
+              lit(".example.com")).as("host"), txt.as("txt")),
+          "host", "txt", agent = "graftbot")
+        .orderBy("host")
+    }),
+
+    // [EXT] politeness scheduling — the frontier cap (q133) composed
+    // with per-host Crawl-delay (q139 shape): each host's rank-k URL
+    // is offset (rank−1)·delay ms into the crawl window, defaulting
+    // to 1000 ms where the host declares none. The host-time budget
+    // a real fetcher enforces, computed corpus-wide in one plan.
+    "q140_politeness" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = col("o_orderkey")
+      val urls = T.orders(s, d).select(
+        concat(lit("h"), pmod(k, lit(50)).cast("string"),
+          lit(".example.com")).as("host"),
+        concat(lit("/page/"), k.cast("string")).as("path"),
+        pmod(k * 2654435761L, lit(1000003)).as("priority"))
+      val frontier = urls
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("host")
+            .orderBy(col("priority").desc, col("path"))))
+        .filter(col("rank") <= 5)
+      val hosts = T.documents(s, d)
+        .select(pmod(col("doc_id"), lit(40)).as("hi")).distinct()
+      val robots = hosts.select(
+        concat(lit("h"), col("hi").cast("string"),
+          lit(".example.com")).as("host"),
+        concat(lit("User-agent: *\nCrawl-delay: "),
+          (pmod(col("hi"), lit(4)) + 1).cast("string"),
+          lit("\nDisallow: /private/\n")).as("txt"))
+      val delays = graft.llm.Crawl.extractCrawlDelay(
+        robots, "host", "txt", agent = "graftbot")
+      frontier.join(delays, Seq("host"), "left")
+        .withColumn("delay_ms",
+          coalesce(col("crawl_delay_ms"), lit(1000L)))
+        .select(col("host"), col("rank").cast("int").as("rank"),
+          col("path"),
+          ((col("rank") - 1) * col("delay_ms")).as("fetch_offset_ms"))
+        .orderBy("host", "rank")
+    })
   )
 
   /** The q130 planted WAV: 130 16-bit PCM samples in 65
@@ -890,6 +956,91 @@ object R8Queries {
         |      FROM tok GROUP BY 1)
         |SELECT doc_id, n_blocked_tokens, blocked_terms,
         |       n_blocked_tokens = 0 AS kept
-        |FROM h ORDER BY doc_id""".stripMargin
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q139_crawl_delay" ->
+      """WITH hs AS (SELECT DISTINCT doc_id % 40 AS hi FROM documents),
+        |t AS (SELECT 'h' || CAST(hi AS VARCHAR) || '.example.com' AS host,
+        |    'User-agent: *' || chr(10)
+        |    || 'Crawl-delay: 2   # default pace' || chr(10)
+        |    || 'Disallow: /private/' || chr(10)
+        |    || CASE WHEN hi % 3 = 0 THEN
+        |         chr(10) || 'User-agent: graftbot' || chr(10)
+        |         || 'Crawl-delay:' || chr(9) || '0.5' || chr(10)
+        |         || 'Allow: /fast/' || chr(10)
+        |         || 'Crawl-delay: 9' || chr(10)
+        |       ELSE '' END
+        |    || CASE WHEN hi % 4 = 0 THEN
+        |         'User-agent: extra' || chr(10)
+        |         || 'Crawl-delay: 7' || chr(10)
+        |         || 'User-agent: other' || chr(10)
+        |         || 'Disallow: /x/' || chr(10)
+        |       ELSE '' END
+        |    || CASE WHEN hi % 5 = 0 THEN
+        |         'User-agent: slowbot' || chr(10)
+        |         || 'Crawl-delay: soon' || chr(10)
+        |       ELSE '' END AS txt
+        |  FROM hs),
+        |sp AS (SELECT host, regexp_split_to_array(txt, '\r?\n') AS ls
+        |  FROM t),
+        |ln AS (SELECT host, i,
+        |    regexp_replace(regexp_replace(ls[i], '#.*$', ''),
+        |      '^[ \t]+|[ \t]+$', '', 'g') AS l
+        |  FROM (SELECT host, ls,
+        |          unnest(generate_series(1, len(ls))) AS i FROM sp)),
+        |kv AS (SELECT host, i,
+        |    lower(regexp_extract(l, '^([A-Za-z-]+)\s*:', 1)) AS k,
+        |    regexp_replace(regexp_extract(l, '^[A-Za-z-]+\s*:(.*)$', 1),
+        |      '^[ \t]+|[ \t]+$', '', 'g') AS v
+        |  FROM ln
+        |  WHERE lower(regexp_extract(l, '^([A-Za-z-]+)\s*:', 1))
+        |    IN ('user-agent', 'allow', 'disallow', 'crawl-delay')),
+        |g AS (SELECT host, i, k, v,
+        |    CASE WHEN k = 'user-agent' AND NOT coalesce(
+        |        lag(k = 'user-agent') OVER (PARTITION BY host ORDER BY i),
+        |        false)
+        |      THEN 1 ELSE 0 END AS st
+        |  FROM kv),
+        |g2 AS (SELECT host, i, k, v,
+        |    sum(st) OVER (PARTITION BY host ORDER BY i
+        |      ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM g),
+        |tier AS (SELECT host, grp,
+        |    max(CASE WHEN lower(v) = 'graftbot' THEN 2
+        |             WHEN v = '*' THEN 1 ELSE 0 END) AS tier
+        |  FROM g2 WHERE k = 'user-agent' GROUP BY 1, 2),
+        |best AS (SELECT host, max(tier) AS b FROM tier GROUP BY 1),
+        |sel AS (SELECT tier.host, grp FROM tier JOIN best USING (host)
+        |  WHERE tier = b AND tier > 0),
+        |cd AS (SELECT g2.host AS host, v, i
+        |  FROM g2 JOIN sel ON g2.host = sel.host AND g2.grp = sel.grp
+        |  WHERE k = 'crawl-delay'
+        |    AND regexp_matches(v, '^[0-9]+(\.[0-9]+)?$'))
+        |SELECT host,
+        |  CAST(round(CAST(arg_min(v, i) AS DOUBLE) * 1000) AS BIGINT)
+        |    AS crawl_delay_ms
+        |FROM cd GROUP BY host ORDER BY host""".stripMargin,
+
+    "q140_politeness" ->
+      """WITH u AS (
+        |  SELECT 'h' || CAST(o_orderkey % 50 AS VARCHAR)
+        |      || '.example.com' AS host,
+        |    '/page/' || CAST(o_orderkey AS VARCHAR) AS path,
+        |    (o_orderkey * 2654435761) % 1000003 AS priority
+        |  FROM orders),
+        |r AS (SELECT host, path, priority, row_number() OVER
+        |        (PARTITION BY host ORDER BY priority DESC, path) AS rank
+        |      FROM u),
+        |f AS (SELECT host, rank, path FROM r WHERE rank <= 5),
+        |hs AS (SELECT DISTINCT doc_id % 40 AS hi FROM documents),
+        |dl AS (SELECT 'h' || CAST(hi AS VARCHAR) || '.example.com'
+        |         AS host,
+        |         (hi % 4 + 1) * 1000 AS crawl_delay_ms
+        |       FROM hs)
+        |SELECT f.host AS host, CAST(rank AS INT) AS rank, path,
+        |  CAST((rank - 1) * coalesce(crawl_delay_ms, 1000) AS BIGINT)
+        |    AS fetch_offset_ms
+        |FROM f LEFT JOIN dl USING (host)
+        |ORDER BY host, rank""".stripMargin
   )
 }

@@ -449,4 +449,35 @@ class CrawlSpec extends SparkSuite {
     val cur = got.toMap
     assert(cur.forall { case (k, v) => math.abs(next(k) - v) <= 10L })
   }
+
+  test("extractCrawlDelay: group scoping, first-wins, non-breaking, validation") {
+    def delay(txt: String, agent: String = "graftbot"): Option[Long] = {
+      val r = Crawl.extractCrawlDelay(
+        Seq(("h", txt)).toDF("host", "txt"), "host", "txt", agent)
+        .collect()
+      r.headOption.map(_.getAs[Long]("crawl_delay_ms"))
+    }
+    // agent group beats *, first directive in file order wins
+    assert(delay("User-agent: *\nCrawl-delay: 2\n" +
+      "User-agent: graftbot\nCrawl-delay: 0.5\nAllow: /a\n" +
+      "Crawl-delay: 9\n") === Some(500L))
+    // falls back to the * group
+    assert(delay("User-agent: *\nCrawl-delay: 2\nDisallow: /p/\n")
+      === Some(2000L))
+    // a crawl-delay BETWEEN two User-agent lines is a rule line HERE
+    // (unlike in parseRobotsTxt, which ignores the key): it closes
+    // the first header, so the delay belongs to the first agent only
+    val split = "User-agent: graftbot\nCrawl-delay: 3\n" +
+      "User-agent: second\nDisallow: /x/\n"
+    assert(delay(split) === Some(3000L))
+    assert(delay(split, agent = "second") === None)
+    // invalid values drop; a host with no valid delay emits no row
+    assert(delay("User-agent: *\nCrawl-delay: soon\n") === None)
+    assert(delay("User-agent: *\nCrawl-delay: -1\n") === None)
+    // unmatched agent with no * group: no row
+    assert(delay("User-agent: otherbot\nCrawl-delay: 4\n") === None)
+    // comments and tab whitespace handled like parseRobotsTxt
+    assert(delay("User-agent: *\nCrawl-delay:\t1.25  # slow\n")
+      === Some(1250L))
+  }
 }
