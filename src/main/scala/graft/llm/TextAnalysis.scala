@@ -502,6 +502,74 @@ object TextAnalysis {
         (col("_sum_w") + col("_prior") > 0).as("predicted"))
   }
 
+  /** Mojibake artifact → intended character, the ftfy-style repair
+    * table for the single most common encoding corruption in web
+    * corpora: UTF-8 bytes decoded as Latin-1/cp1252 (é = C3 A9 reads
+    * as "Ã©", ' = E2 80 99 reads as "â€™"). Pairs are ordered
+    * 3-byte-artifact first; no artifact string contains another
+    * pair's search key, so the replace fold can never cascade.
+    * Deliberately conservative — only unambiguous digraphs whose
+    * artifact form is vanishingly rare in legitimate text. */
+  val MojibakeTable: Seq[(String, String)] = Seq(
+    "â€™" -> "’", "â€œ" -> "“", "â€¦" -> "…",
+    "â€“" -> "–",
+    "Ã©" -> "é", "Ã¨" -> "è", "Ãª" -> "ê", "Ã£" -> "ã", "Ã§" -> "ç",
+    "Ã±" -> "ñ", "Ã¶" -> "ö", "Ã¼" -> "ü", "Ã³" -> "ó", "Ãº" -> "ú",
+    "Ã¡" -> "á", "Ã¬" -> "ì", "Ã²" -> "ò", "Ã¤" -> "ä", "Ã¥" -> "å",
+    "Ã­" -> "í")
+
+  /** Count of encoding-corruption artifacts in the text: UTF-8-as-
+    * Latin-1 lead bytes (Ã/Â followed by a Latin-1 symbol-range
+    * char) and the â€ punctuation-artifact prefix. The detection
+    * signal a cleaning gate thresholds on (clean multilingual text —
+    * Cyrillic, CJK, Arabic — never matches: those scripts don't
+    * contain the Latin-1 artifact chars). Map-only. */
+  def mojibakeCount(c: Column): Column =
+    regexp_count(c, lit("[ÃÂ][ -¿]|â€"))
+
+  /** Repair the [[MojibakeTable]] artifacts via an ordered replace
+    * fold — the relational (oracle-replayable) slice of ftfy's fix:
+    * table-driven, not a re-decode, so an independent engine applies
+    * the identical pairs. Artifacts outside the table survive (the
+    * count tells the caller). Map-only. */
+  def mojibakeRepair(c: Column): Column =
+    MojibakeTable.foldLeft(c) { case (acc, (bad, good)) =>
+      replace(acc, lit(bad), lit(good))
+    }
+
+  /** Per-script character counts + dominant script — the
+    * language-consistency signal next to [[langId]] (a doc whose
+    * langid says English but whose chars are 40% CJK is a mixed or
+    * mis-segmented page). Counts are regexp_count over Unicode
+    * ranges: latin (ASCII letters + Latin-1/Extended letters),
+    * cyrillic, arabic, cjk (Han + kana + Hangul syllables). `script`
+    * is the largest class (ties resolve in that listed order); text
+    * outside all four classes — Thai, Greek, Hebrew, Devanagari,
+    * digits-only — reports 'other', not a guess. Map-only; one pass
+    * per class. */
+  def scriptRatios(c: Column): Column = {
+    // ×/÷ (00D7/00F7) sit inside the Latin-1 letter block and are
+    // excluded; CJK = Han + hiragana/katakana + Hangul syllables
+    val nLatin = regexp_count(c, lit(
+      "[A-Za-zÀ-ÖØ-öø-ɏḀ-ỿ]"))
+    val nCyr = regexp_count(c, lit("[Ѐ-ӿ]"))
+    val nAr = regexp_count(c, lit("[؀-ۿ]"))
+    val nCjk = regexp_count(c, lit(
+      "[一-鿿぀-ヿ가-힣]"))
+    val top = greatest(nLatin, nCyr, nAr, nCjk)
+    struct(
+      length(c).cast(LongType).as("n_chars"),
+      nLatin.cast(LongType).as("n_latin"),
+      nCyr.cast(LongType).as("n_cyrillic"),
+      nAr.cast(LongType).as("n_arabic"),
+      nCjk.cast(LongType).as("n_cjk"),
+      when(top === 0, "other")
+        .when(nLatin === top, "latin")
+        .when(nCyr === top, "cyrillic")
+        .when(nAr === top, "arabic")
+        .otherwise("cjk").as("script"))
+  }
+
   /** C4-style blocklist filter: flag documents containing any term
     * from a word blocklist (the "badwords" pass every public corpus
     * pipeline runs), matched TOKEN-EXACT on lowercased whitespace

@@ -414,8 +414,58 @@ object R8Queries {
           col("path"),
           ((col("rank") - 1) * col("delay_ms")).as("fetch_offset_ms"))
         .orderBy("host", "rank")
+    }),
+
+    // [EXT] mojibake detect + repair: each doc takes its langid
+    // fixture sentence plus a curly-punctuation suffix, corrupted by
+    // the INVERSE of the repair table (real UTF-8-as-cp1252
+    // digraphs, byte-verified); the detector must count artifacts on
+    // accented-Latin rows and ZERO on clean Cyrillic/CJK/Arabic
+    // rows, and the ordered replace fold must round-trip every doc
+    // back to its clean form.
+    "q141_mojibake" -> ((s, d) => {
+      val id = col("doc_id")
+      val clean = concat(element_at(
+        array(R6Queries.LangFixtures.map(lit): _*),
+        (pmod(id, lit(R6Queries.LangFixtures.size)) + 1).cast("int")),
+        lit(MojiSuffix))
+      val corrupted = graft.llm.TextAnalysis.MojibakeTable
+        .foldLeft(clean) { case (acc, (bad, good)) =>
+          replace(acc, lit(good), lit(bad))
+        }
+      T.documents(s, d).select(id,
+          graft.llm.TextAnalysis.mojibakeCount(corrupted)
+            .cast("long").as("n_artifacts"),
+          (graft.llm.TextAnalysis.mojibakeRepair(corrupted) === clean)
+            .as("repaired_ok"))
+        .orderBy("doc_id")
+    }),
+
+    // [EXT] per-script character histogram + dominant script over
+    // the 40-language fixture cohort — the language-consistency
+    // signal next to langid; Thai/Greek/Hebrew/Devanagari rows
+    // report 'other', never a guess.
+    "q142_script_ratios" -> ((s, d) => {
+      val id = col("doc_id")
+      val text = element_at(
+        array(R6Queries.LangFixtures.map(lit): _*),
+        (pmod(id, lit(R6Queries.LangFixtures.size)) + 1).cast("int"))
+      T.documents(s, d)
+        .select(id, graft.llm.TextAnalysis.scriptRatios(text).as("r"))
+        .select(id, col("r.n_chars").as("n_chars"),
+          col("r.n_latin").as("n_latin"),
+          col("r.n_cyrillic").as("n_cyrillic"),
+          col("r.n_arabic").as("n_arabic"),
+          col("r.n_cjk").as("n_cjk"),
+          col("r.script").as("script"))
+        .orderBy("doc_id")
     })
   )
+
+  /** q141's curly-punctuation suffix — exercises the 3-byte artifact
+    * pairs the fixtures themselves (plain lowercase sentences) never
+    * contain. Shared verbatim with the oracle builder. */
+  private val MojiSuffix = " she said ’well“ … – end"
 
   /** The q130 planted WAV: 130 16-bit PCM samples in 65
     * constant-amplitude windows (amp = (k·97 + w·131) mod 4097), so
@@ -1041,6 +1091,58 @@ object R8Queries {
         |  CAST((rank - 1) * coalesce(crawl_delay_ms, 1000) AS BIGINT)
         |    AS fetch_offset_ms
         |FROM f LEFT JOIN dl USING (host)
-        |ORDER BY host, rank""".stripMargin
+        |ORDER BY host, rank""".stripMargin,
+
+    "q141_mojibake" -> {
+      val fixtures = R6Queries.LangFixtures.zipWithIndex
+        .map { case (t, i) => s"($i,'$t')" }.mkString(",")
+      val corrupt = graft.llm.TextAnalysis.MojibakeTable
+        .foldLeft("clean") { case (e, (bad, good)) =>
+          s"replace($e, '$good', '$bad')"
+        }
+      val repair = graft.llm.TextAnalysis.MojibakeTable
+        .foldLeft("corrupted") { case (e, (bad, good)) =>
+          s"replace($e, '$bad', '$good')"
+        }
+      s"""WITH s(k, t) AS (VALUES $fixtures),
+         |d AS (SELECT doc_id, s.t || '$MojiSuffix' AS clean
+         |      FROM documents s2
+         |      JOIN s ON s2.doc_id % ${R6Queries.LangFixtures.size} = s.k),
+         |c AS (SELECT doc_id, clean, $corrupt AS corrupted FROM d)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(corrupted,
+         |    '[ÃÂ][\\x{A0}-\\x{BF}]|â€')) AS BIGINT) AS n_artifacts,
+         |  $repair = clean AS repaired_ok
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
+
+    "q142_script_ratios" -> {
+      val fixtures = R6Queries.LangFixtures.zipWithIndex
+        .map { case (t, i) => s"($i,'$t')" }.mkString(",")
+      val g = "greatest(n_latin, n_cyrillic, n_arabic, n_cjk)"
+      s"""WITH s(k, t) AS (VALUES $fixtures),
+         |d AS (SELECT doc_id, s.t AS text FROM documents s2
+         |      JOIN s ON s2.doc_id % ${R6Queries.LangFixtures.size} = s.k),
+         |m AS (SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(regexp_extract_all(text,
+         |    '[A-Za-z\\x{C0}-\\x{D6}\\x{D8}-\\x{F6}\\x{F8}-\\x{24F}\\x{1E00}-\\x{1EFF}]'))
+         |    AS BIGINT) AS n_latin,
+         |  CAST(len(regexp_extract_all(text, '[\\x{400}-\\x{4FF}]'))
+         |    AS BIGINT) AS n_cyrillic,
+         |  CAST(len(regexp_extract_all(text, '[\\x{600}-\\x{6FF}]'))
+         |    AS BIGINT) AS n_arabic,
+         |  CAST(len(regexp_extract_all(text,
+         |    '[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7A3}]'))
+         |    AS BIGINT) AS n_cjk
+         | FROM d)
+         |SELECT doc_id, n_chars, n_latin, n_cyrillic, n_arabic, n_cjk,
+         |  CASE WHEN $g = 0 THEN 'other'
+         |       WHEN n_latin = $g THEN 'latin'
+         |       WHEN n_cyrillic = $g THEN 'cyrillic'
+         |       WHEN n_arabic = $g THEN 'arabic'
+         |       ELSE 'cjk' END AS script
+         |FROM m ORDER BY doc_id""".stripMargin
+    }
   )
 }

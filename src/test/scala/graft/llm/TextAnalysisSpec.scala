@@ -503,4 +503,48 @@ class TextAnalysisSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("lowercase"), e.getMessage)
   }
+
+  test("mojibake: count detects artifacts, zero on clean scripts, round-trip") {
+    def cnt(s: String): Long =
+      one[Int](TextAnalysis.mojibakeCount(col("t")).cast("int"), s).toLong
+    assert(cnt("caffÃ© and â€™") === 2L)
+    assert(cnt("plain ascii text") === 0L)
+    // clean non-Latin scripts never false-positive
+    assert(cnt("дети играют в саду") === 0L)
+    assert(cnt("孩子们在花园里玩耍") === 0L)
+    assert(cnt("الاطفال يلعبون") === 0L)
+    // corrupt every repairable char the cp1252 way, then repair: identity
+    val clean = TextAnalysis.MojibakeTable.map(_._2).mkString(" ") +
+      " und der caffé gehört très tôt"
+    val corrupted = TextAnalysis.MojibakeTable.foldLeft(clean) {
+      case (acc, (bad, good)) => acc.replace(good, bad)
+    }
+    assert(corrupted !== clean)
+    val repaired = one[String](
+      TextAnalysis.mojibakeRepair(col("t")), corrupted)
+    assert(repaired === clean)
+    assert(one[Int](TextAnalysis.mojibakeCount(col("t")).cast("int"),
+      corrupted) > 0)
+  }
+
+  test("scriptRatios: per-class counts, tie order, other fallback") {
+    def r(s: String) =
+      Seq(s).toDF("t").select(TextAnalysis.scriptRatios(col("t")).as("r"))
+        .select("r.*").collect()(0)
+    val mixed = r("hello мир 中文 مرحبا")
+    assert(mixed.getAs[Long]("n_latin") === 5L)
+    assert(mixed.getAs[Long]("n_cyrillic") === 3L)
+    assert(mixed.getAs[Long]("n_cjk") === 2L)
+    assert(mixed.getAs[Long]("n_arabic") === 5L)
+    // latin/arabic tie at 5 → listed order wins
+    assert(mixed.getAs[String]("script") === "latin")
+    assert(r("дети дома").getAs[String]("script") === "cyrillic")
+    assert(r("こども가나다").getAs[String]("script") === "cjk")
+    // × ÷ sit inside the Latin-1 block but are NOT letters
+    val sym = r("×÷ 123")
+    assert(sym.getAs[Long]("n_latin") === 0L)
+    assert(sym.getAs[String]("script") === "other")
+    // Thai is outside all four classes: report other, never a guess
+    assert(r("เด็กเล่น").getAs[String]("script") === "other")
+  }
 }
