@@ -704,4 +704,55 @@ object Crawl {
     }
     (ranks, it, converged)
   }
+
+  /** Crawl snapshot diff: classify every URL across two crawl
+    * snapshots as added / removed / changed / unchanged by content
+    * hash — the delta that drives an INCREMENTAL recrawl (only
+    * `changed`+`added` re-enter the processing pipeline; `removed`
+    * feeds takedown propagation, e.g.
+    * [[Dedup.removeFromSignatureStore]]).
+    *
+    * One full-outer shuffle join on the URL — both sides carry only
+    * (url, hash), so wire volume is two key columns regardless of
+    * page sizes; at 100 TB the pages themselves never move, and the
+    * verdict joins back to whichever side needs it by url. Callers
+    * diffing against the same base snapshot nightly should persist
+    * the old side bucketed by url (the signature-store pattern) to
+    * delete even this exchange. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      urlCol: String, hashCol: String): DataFrame = {
+    val o = oldSnap.select(col(urlCol).as("url"), col(hashCol).as("old_hash"))
+    val n = newSnap.select(col(urlCol).as("url"), col(hashCol).as("new_hash"))
+    o.join(n, Seq("url"), "full_outer")
+      .select(col("url"), col("old_hash"), col("new_hash"),
+        when(col("old_hash").isNull, "added")
+          .when(col("new_hash").isNull, "removed")
+          .when(col("old_hash") === col("new_hash"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
+  /** Crawl-trap signals: the map-only URL-shape heuristics every
+    * production crawler applies before admitting a URL to the
+    * frontier — calendar pages, session-id mazes, and symlink loops
+    * produce unbounded URL spaces whose shape is visible in the URL
+    * alone: deep paths, repeated path segments, and query-parameter
+    * blowup. Output per URL: `depth` (non-empty path segments),
+    * `dup_segments` (segments minus distinct segments — a `/a/b/a/b`
+    * loop scores 2), `n_params` (query parameters), and the
+    * composite `is_trap` verdict. Purely columnar — no shuffle, no
+    * state; at 100 TB this runs inside the frontier scan. */
+  def urlTrapSignals(urls: DataFrame, urlCol: String,
+      maxDepth: Int = 8, maxDupSegments: Int = 2,
+      maxParams: Int = 8): DataFrame = {
+    val path = regexp_extract(col(urlCol), "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val segs = filter(split(path, "/"), s => s =!= "")
+    val query = regexp_extract(col(urlCol), "\\?([^#]*)", 1)
+    urls.withColumn("depth", size(segs))
+      .withColumn("dup_segments", size(segs) - size(array_distinct(segs)))
+      .withColumn("n_params",
+        when(query === "", 0).otherwise(size(split(query, "&"))))
+      .withColumn("is_trap",
+        col("depth") > maxDepth || col("dup_segments") > maxDupSegments ||
+          col("n_params") > maxParams)
+  }
 }

@@ -110,4 +110,30 @@ object Search {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Inverted-index EXPORT: the postings table (term, doc_id, tf,
+    * positions) a serving-side search index is bulk-loaded from —
+    * the materialization step after the in-engine ranking ops
+    * ([[topK]]/BM25) prove the corpus is worth indexing. Positions
+    * are 0-based whitespace-token offsets, emitted as a
+    * comma-joined ascending string (a portable column any loader
+    * parses; an array column would make the export schema
+    * engine-specific).
+    *
+    * Scale shape: posexplode is map-only; ONE exchange on
+    * (term, doc_id) builds each posting. Per-posting state is
+    * bounded by the document's own occurrence count of one term
+    * (≤ doc length — the same per-doc bound every text kernel here
+    * relies on), never by the term's corpus frequency: a stopword
+    * with 10⁹ corpus occurrences still builds its postings in
+    * parallel across docs. The collect_list is inside that bound;
+    * sort_array makes the order deterministic under any shuffle. */
+  def buildPostings(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"),
+        array_join(transform(sort_array(collect_list(col("pos"))),
+          _.cast(StringType)), ",").as("positions"))
 }

@@ -1,0 +1,191 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Data SELECTION for training corpora ([EXT]): importance-weighted
+  * scoring against a target distribution (DSIR, Xie et al. 2023,
+  * arXiv:2302.03169), weighted sampling without replacement
+  * (Efraimidis–Spirakis 2006), and mixture epoch planning
+  * (up/down-sampling sources to a token budget, the "epoching" step
+  * every LLM data recipe ends with).
+  *
+  * Determinism contract shared by every op here: randomness is a
+  * salted SHA-256 hash of the row id mapped to a 52-bit uniform —
+  * the q102/q90 convention — so any engine with sha256 reproduces
+  * the exact sample, and re-runs are idempotent (a re-crawled corpus
+  * re-selects the same docs). Real-valued scores are exact-rounded
+  * to integer MICRO-units before any aggregation (the q89
+  * convention), so sums are order-independent ⇒ hash-stable across
+  * partitionings and engines.
+  */
+object Selection {
+
+  /** 52-bit salted hash bucket of a term: 13 hex chars of SHA-256
+    * fit a double-exact BIGINT; DuckDB replays it as
+    * `('0x' || substr(sha256(salt || '|' || term), 1, 13))::BIGINT`. */
+  private def shaBucket(term: Column, salt: String, numBuckets: Int): Column =
+    conv(substring(sha2(concat(lit(salt), lit("|"), term), 256), 1, 13),
+      16, 10).cast(LongType) % numBuckets
+
+  /** 52-bit uniform in (0, 1]: (h + 1) / 2^52 never hits 0, so
+    * ln(u) is finite without clamping. */
+  private def shaUniform(id: Column, salt: String): Column =
+    (conv(substring(sha2(concat(lit(salt), lit(":"), id.cast(StringType)),
+      256), 1, 13), 16, 10).cast(LongType) + 1L)
+      .cast(DoubleType) / lit(4503599627370496.0) // 2^52
+
+  private def tokens(textCol: String): Column =
+    split(trim(col(textCol)), "\\s+")
+
+  /** DSIR importance scores: per-document log importance weight of a
+    * hashed bag-of-words model of `target` vs one of `raw`
+    * (log p_target(doc) − p_raw(doc) under unigram models over
+    * `numBuckets` hashed term buckets, Laplace +1 smoothed). High
+    * scores = "looks like the target domain"; feeding the scores to
+    * [[sampleWeightedK]] (w = exp(score/τ)) is importance
+    * RESAMPLING, topK is importance FILTERING.
+    *
+    * 100 TB shape: both models are `numBuckets`-row aggregates
+    * (map-side-combined token counts — the only shuffles carrying
+    * corpus-sized streams are bucket-keyed and collapse to ≤ B rows).
+    * The per-bucket log-ratio table is built fully in-plan over
+    * `range(B)` (no driver collect), broadcast back onto the scored
+    * corpus's token stream, and summed per doc in exact micro-units
+    * — order-independent, so the score is partitioning-invariant.
+    * Nothing here is bounded by corpus size except the two token
+    * scans themselves.
+    *
+    * Output: (id, n_tokens, score_micro) — score_micro is the sum of
+    * per-token micro-rounded log-ratios; callers wanting a
+    * length-normalized score divide by n_tokens.
+    */
+  def dsirScores(score: DataFrame, target: DataFrame, raw: DataFrame,
+      idCol: String, textCol: String,
+      numBuckets: Int = 4096, salt: String = "dsir"): DataFrame = {
+    require(numBuckets > 0 && numBuckets <= (1 << 20),
+      s"numBuckets must be in [1, 2^20], got $numBuckets")
+    val spark = score.sparkSession
+
+    def toks(df: DataFrame): DataFrame =
+      df.select(explode(tokens(textCol)).as("_sel_term"))
+        .filter(col("_sel_term") =!= "")
+        .select(shaBucket(col("_sel_term"), salt, numBuckets).as("bucket"))
+
+    // Bucket-count models: ≤ B rows each after a map-side-combined agg.
+    val tCnt = toks(target).groupBy("bucket").agg(count(lit(1)).as("t_cnt"))
+    val rCnt = toks(raw).groupBy("bucket").agg(count(lit(1)).as("r_cnt"))
+    // Totals as 1-row aggregates, broadcast-crossed — no driver action.
+    val tTot = tCnt.agg(coalesce(sum("t_cnt"), lit(0L)).as("t_tot"))
+    val rTot = rCnt.agg(coalesce(sum("r_cnt"), lit(0L)).as("r_tot"))
+
+    // Dense B-row log-ratio table: every bucket 0..B−1 gets a row, so
+    // the scoring join needs no driver-side default constant.
+    val model = spark.range(numBuckets).toDF("bucket")
+      .join(tCnt, Seq("bucket"), "left")
+      .join(rCnt, Seq("bucket"), "left")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .select(col("bucket"),
+        round((log((coalesce(col("t_cnt"), lit(0L)) + 1L).cast(DoubleType) /
+                   (col("t_tot") + numBuckets).cast(DoubleType)) -
+               log((coalesce(col("r_cnt"), lit(0L)) + 1L).cast(DoubleType) /
+                   (col("r_tot") + numBuckets).cast(DoubleType))) * 1e6)
+          .cast(LongType).as("ratio_micro"))
+
+    score.select(col(idCol).as("_sel_id"), explode(tokens(textCol)).as("_sel_term"))
+      .filter(col("_sel_term") =!= "")
+      .select(col("_sel_id"), shaBucket(col("_sel_term"), salt, numBuckets).as("bucket"))
+      .join(broadcast(model), Seq("bucket"))
+      .groupBy("_sel_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("ratio_micro").as("score_micro"))
+      .withColumnRenamed("_sel_id", idCol)
+  }
+
+  /** Importance FILTERING: the k highest-scoring ids from a
+    * [[dsirScores]] output — (score desc, id asc), a TakeOrdered
+    * (per-partition heaps + driver merge of 32·k rows), never a
+    * global sort. */
+  def dsirTopK(scored: DataFrame, idCol: String, k: Int): DataFrame =
+    scored.orderBy(col("score_micro").desc, col(idCol)).limit(k)
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    * A-ES): each row draws key = ln(u)/w for a salted-SHA uniform
+    * u ∈ (0,1]; the k largest keys are exactly a weighted sample
+    * without replacement. One map-only pass + a TakeOrdered — no
+    * global sort, no state: the classic reservoir formulation
+    * collapses to top-k because u is a deterministic hash rather
+    * than a stateful RNG. Rows with NULL or ≤ 0 weight are excluded
+    * (they have zero selection probability; ln(u)/w would be NaN or
+    * +inf).
+    *
+    * Keys are micro-rounded BEFORE the top-k compare (ties broken by
+    * id asc), so the boundary row is engine-stable: ln() differs
+    * across engines only in final ulps, which micro-rounding
+    * absorbs — the q89 convention applied to ordering instead of
+    * summing. Output: (id, weight, key_micro), key desc. */
+  def sampleWeightedK(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: String = "wsk"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = col(weightCol).cast(DoubleType)
+    df.filter(w.isNotNull && w > 0.0)
+      .select(col(idCol).as("_sel_id"), w.as("weight"))
+      .withColumn("key_micro",
+        round(log(shaUniform(col("_sel_id"), salt)) / col("weight") * 1e6)
+          .cast(LongType))
+      .withColumnRenamed("_sel_id", idCol)
+      .orderBy(col("key_micro").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Mixture epoch planning + deterministic up/down-sampling: given
+    * per-row token counts, a target mixture weight per source, and a
+    * total token budget, compute each source's repeat factor
+    * f_s = budget·w_s / tokens_s and emit each row `floor(f_s)`
+    * times plus one more with probability frac(f_s) — the standard
+    * "epochs per source" step (Llama/GPT-style data recipes publish
+    * exactly this table). The fractional copy is a salted-SHA
+    * Bernoulli per ROW id, so the realized token count concentrates
+    * on the target and the sample is reproducible.
+    *
+    * 100 TB shape: the per-source stats are a bounded aggregate
+    * (≤ #sources rows) broadcast back — the corpus stream is touched
+    * once, map-only, and the explode multiplies rows exactly as the
+    * plan demands (that IS the upsampling; there is no cheaper
+    * shape). Unknown sources (absent from `weights`) get f_s = 0 and
+    * drop out. f_s is capped at `maxEpochs` — a fat-finger budget on
+    * one tiny source must fail loudly, not emit 10⁹ copies/row. */
+  def upsampleToMixture(df: DataFrame, idCol: String, sourceCol: String,
+      tokensCol: String, weights: Map[String, Double], budgetTokens: Long,
+      salt: String = "mix", maxEpochs: Int = 100): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.values.forall(_ >= 0.0), "weights must be >= 0")
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val wTab = weights.toSeq.sortBy(_._1).toDF(sourceCol, "_w")
+    val stats = df.groupBy(sourceCol)
+      .agg(sum(col(tokensCol).cast(LongType)).as("_src_tokens"))
+      .join(wTab, Seq(sourceCol))
+      .select(col(sourceCol),
+        (lit(budgetTokens.toDouble) * col("_w") /
+          col("_src_tokens").cast(DoubleType)).as("_f"))
+    // Fail loudly on runaway repeat factors — 1-row bounded action.
+    val worst = stats.agg(coalesce(max("_f"), lit(0.0))).first().getDouble(0)
+    require(worst <= maxEpochs,
+      f"repeat factor $worst%.1f exceeds maxEpochs=$maxEpochs — " +
+        "budget/weights imply runaway upsampling of a small source")
+
+    df.select(col(idCol).as("_sel_id"), col(sourceCol))
+      .join(broadcast(stats), Seq(sourceCol))
+      .withColumn("_copies",
+        floor(col("_f")).cast(IntegerType) +
+          when(shaUniform(col("_sel_id"), salt) < (col("_f") - floor(col("_f"))),
+            1).otherwise(0))
+      .filter(col("_copies") > 0)
+      .select(col("_sel_id").as(idCol), col(sourceCol),
+        explode(sequence(lit(1), col("_copies"))).as("epoch"))
+  }
+}

@@ -1,0 +1,246 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** q143+: round-8 second wave — data SELECTION (DSIR importance
+  * scoring, weighted sampling, mixture epoch planning), incremental
+  * crawl (snapshot diff, trap signals), and the postings export.
+  *
+  * Every query ends in a total ORDER BY.
+  */
+object R9Queries {
+  private val T = Tables
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // [EXT] DSIR importance scores (arXiv:2302.03169): hashed
+    // bag-of-words unigram models of the TARGET slice (lang='en')
+    // vs the RAW corpus over 512 SHA buckets, Laplace-smoothed;
+    // per-doc score = Σ per-token micro-rounded log-ratio — exact
+    // integer summation, order-independent. Models are ≤512-row
+    // aggregates broadcast onto the token stream; the oracle
+    // replays the identical buckets and micro arithmetic.
+    "q143_dsir_scores" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      graft.llm.Selection.dsirScores(
+          docs, docs.filter(col("lang") === "en"), docs,
+          "doc_id", "text", numBuckets = 512, salt = "dsir8")
+        .orderBy("doc_id")
+    }),
+
+    // [EXT] weighted sampling WITHOUT replacement (Efraimidis–
+    // Spirakis A-ES): key = ln(u)/w with a salted-SHA 52-bit
+    // uniform, top-50 keys = exact weighted sample. Map-only +
+    // TakeOrdered; keys are micro-rounded BEFORE the compare so the
+    // boundary row is engine-stable. Weight = n_chars (longer docs
+    // proportionally likelier).
+    "q144_weighted_sample" -> ((s, d) =>
+      graft.llm.Selection.sampleWeightedK(
+          T.documents(s, d).select(col("doc_id"),
+            col("n_chars").cast("double").as("weight")),
+          "doc_id", "weight", k = 50, salt = "ws8")
+        .orderBy("doc_id")),
+
+    // [EXT] mixture epoch planning: three sources at target weights
+    // 0.5/0.3/0.2 under a budget of 3× their combined chars —
+    // per-source repeat factor f = budget·w/T_s, each doc emitted
+    // floor(f) times + 1 more iff its salted-SHA uniform < frac(f).
+    // Per-source stats are a bounded broadcast; the explode IS the
+    // upsampling. The 1-row budget action is the parameter, not
+    // data. Oracle replays f and the Bernoulli exactly.
+    "q145_mixture_epochs" -> ((s, d) => {
+      val base = T.documents(s, d)
+        .filter(col("source").isin("src0", "src1", "src2"))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val total = base.agg(coalesce(sum("n_chars"), lit(0L)))
+        .first().getLong(0)
+      graft.llm.Selection.upsampleToMixture(base, "doc_id", "source",
+          "n_chars", Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+          budgetTokens = 3L * total, salt = "mix8")
+        .orderBy("doc_id", "epoch")
+    }),
+
+    // [EXT] crawl snapshot diff: two derived snapshots of the same
+    // URL space (old drops doc_id≡4 mod 5; new drops ≡3 mod 7 and
+    // edits ≡0 mod 3) classified added/removed/changed/unchanged by
+    // content SHA — the delta driving an incremental recrawl. ONE
+    // full-outer join on url carrying only (url, hash).
+    "q146_snapshot_diff" -> ((s, d) => {
+      val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+      val urlc = concat(lit("https://ex.com/p/"), col("doc_id"))
+      val oldSnap = docs.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+        .select(urlc.as("url"), sha2(col("text"), 256).as("h"))
+      val newSnap = docs.filter(pmod(col("doc_id"), lit(7)) =!= 3)
+        .select(urlc.as("url"),
+          sha2(when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")),
+            256).as("h"))
+      graft.llm.Crawl.snapshotDiff(oldSnap, newSnap, "url", "h")
+        .orderBy("url")
+    }),
+
+    // [EXT] crawl-trap URL signals: planted URLs with varying
+    // depth (repeated lang segment), duplicate segments, and
+    // query-param blowup; map-only columnar verdicts (depth>8 ∨
+    // dup>2 ∨ params>8). The oracle recomputes the same list ops.
+    "q147_url_traps" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val url = concat(lit("https://"), col("source"), lit(".com/cat/"),
+        col("lang"), lit("/"), col("source"), lit("/"),
+        repeat(concat(col("lang"), lit("/")),
+          pmod(col("doc_id"), lit(7)).cast("int")),
+        lit("?a=1"), repeat(lit("&b=2"),
+          pmod(col("doc_id"), lit(10)).cast("int")))
+      graft.llm.Crawl.urlTrapSignals(
+          docs.select(col("doc_id"), url.as("url")), "url")
+        .select("doc_id", "depth", "dup_segments", "n_params", "is_trap")
+        .orderBy("doc_id")
+    }),
+
+    // [EXT] postings export: the (term, doc_id, tf, positions)
+    // inverted-index table — posexplode map-only, ONE exchange on
+    // (term, doc_id); per-posting state bounded by the doc's own
+    // term count, never corpus df. Positions 0-based, ascending,
+    // comma-joined.
+    "q148_postings" -> ((s, d) =>
+      graft.llm.Search.buildPostings(
+          T.documents(s, d).filter(col("doc_id") < 100),
+          "doc_id", "text")
+        .orderBy("term", "doc_id")),
+
+    // [EXT] per-GROUP heavy hitters: the SpaceSaving aggregate of
+    // q57 run per lang over source — bounded ≤64-entry state per
+    // group through partial/merge/final; exact (err=0) here because
+    // 20 distinct sources < capacity, which is what lets the exact
+    // groupBy oracle match.
+    "q149_hh_per_group" -> ((s, d) =>
+      T.documents(s, d)
+        .groupBy("lang")
+        .agg(graft.llm.Sketches.heavyHitters(col("source"), 64).as("_hh"))
+        .select(col("lang"), explode(col("_hh")).as("h"))
+        .select(col("lang"), col("h.item").as("item"),
+          col("h.cnt").as("cnt"), col("h.err").as("err"))
+        .orderBy(col("lang"), col("cnt").desc, col("item"))))
+
+  val oracleSql: Map[String, String] = Map(
+    "q143_dsir_scores" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tk AS (SELECT doc_id, lang,
+        |         ('0x' || substr(sha256('dsir8|' || term), 1, 13))::BIGINT
+        |           % 512 AS bucket
+        |       FROM tok WHERE term <> ''),
+        |tc AS (SELECT bucket, count(*) AS t_cnt FROM tk
+        |       WHERE lang = 'en' GROUP BY 1),
+        |rc AS (SELECT bucket, count(*) AS r_cnt FROM tk GROUP BY 1),
+        |tt AS (SELECT coalesce(sum(t_cnt), 0) AS t_tot FROM tc),
+        |rt AS (SELECT coalesce(sum(r_cnt), 0) AS r_tot FROM rc),
+        |m AS (SELECT b.bucket,
+        |        CAST(round((ln(CAST(coalesce(t_cnt, 0) + 1 AS DOUBLE)
+        |                       / CAST(t_tot + 512 AS DOUBLE)) -
+        |                    ln(CAST(coalesce(r_cnt, 0) + 1 AS DOUBLE)
+        |                       / CAST(r_tot + 512 AS DOUBLE))) * 1e6)
+        |          AS BIGINT) AS ratio_micro
+        |      FROM (SELECT range AS bucket FROM range(512)) b
+        |      LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)
+        |      CROSS JOIN tt CROSS JOIN rt)
+        |SELECT tk.doc_id, count(*) AS n_tokens,
+        |       CAST(sum(ratio_micro) AS BIGINT) AS score_micro
+        |FROM tk JOIN m USING (bucket)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q144_weighted_sample" ->
+      """SELECT doc_id, weight, key_micro FROM (
+        |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+        |    CAST(round(ln(
+        |        (('0x' || substr(sha256('ws8:' || CAST(doc_id AS VARCHAR)),
+        |            1, 13))::BIGINT + 1) / 4503599627370496.0)
+        |      / CAST(n_chars AS DOUBLE) * 1e6) AS BIGINT) AS key_micro
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0
+        |  ORDER BY key_micro DESC, doc_id LIMIT 50)
+        |ORDER BY doc_id""".stripMargin,
+    "q145_mixture_epochs" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, n_chars FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2')),
+        |tot AS (SELECT 3 * coalesce(sum(n_chars), 0) AS budget FROM base),
+        |st AS (SELECT source, sum(n_chars) AS src_tokens
+        |       FROM base GROUP BY 1),
+        |wt AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3),
+        |         ('src2', 0.2)) AS t(source, w)),
+        |f AS (SELECT st.source,
+        |        CAST(budget AS DOUBLE) * CAST(w AS DOUBLE)
+        |          / CAST(src_tokens AS DOUBLE) AS f
+        |      FROM st JOIN wt USING (source) CROSS JOIN tot),
+        |c AS (SELECT b.doc_id, b.source,
+        |        CAST(floor(f) AS INT) + CASE WHEN
+        |          (('0x' || substr(sha256('mix8:' ||
+        |              CAST(b.doc_id AS VARCHAR)), 1, 13))::BIGINT + 1)
+        |            / 4503599627370496.0 < f - floor(f)
+        |          THEN 1 ELSE 0 END AS copies
+        |      FROM base b JOIN f USING (source))
+        |SELECT doc_id, source, CAST(unnest(generate_series(1, copies))
+        |    AS INT) AS epoch
+        |FROM c WHERE copies > 0
+        |ORDER BY doc_id, epoch""".stripMargin,
+    "q146_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT 'https://ex.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+        |         sha256(text) AS old_hash
+        |  FROM documents WHERE doc_id % 5 <> 4),
+        |n AS (
+        |  SELECT 'https://ex.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+        |         sha256(CASE WHEN doc_id % 3 = 0 THEN text || ' v2'
+        |                     ELSE text END) AS new_hash
+        |  FROM documents WHERE doc_id % 7 <> 3)
+        |SELECT coalesce(o.url, n.url) AS url, old_hash, new_hash,
+        |  CASE WHEN old_hash IS NULL THEN 'added'
+        |       WHEN new_hash IS NULL THEN 'removed'
+        |       WHEN old_hash = new_hash THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.url = n.url
+        |ORDER BY url""".stripMargin,
+    "q147_url_traps" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' || source || '.com/cat/' || lang || '/' || source
+        |      || '/' || repeat(lang || '/', CAST(doc_id % 7 AS INT))
+        |      || '?a=1' || repeat('&b=2', CAST(doc_id % 10 AS INT)) AS url
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |        regexp_extract(url,
+        |          '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+        |        regexp_extract(url, '\?([^#]*)', 1) AS q
+        |      FROM u),
+        |g AS (SELECT doc_id,
+        |        list_filter(str_split(path, '/'), x -> x <> '') AS segs, q
+        |      FROM p)
+        |SELECT doc_id, CAST(len(segs) AS INT) AS depth,
+        |  CAST(len(segs) - len(list_distinct(segs)) AS INT) AS dup_segments,
+        |  CAST(CASE WHEN q = '' THEN 0
+        |            ELSE len(str_split(q, '&')) END AS INT) AS n_params,
+        |  (len(segs) > 8 OR len(segs) - len(list_distinct(segs)) > 2 OR
+        |   CASE WHEN q = '' THEN 0 ELSE len(str_split(q, '&')) END > 8)
+        |    AS is_trap
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "q148_postings" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term,
+        |    unnest(range(len(regexp_split_to_array(trim(text), '\s+'))))
+        |      AS pos
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT term, doc_id, count(*) AS tf,
+        |  string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS positions
+        |FROM tok WHERE term <> ''
+        |GROUP BY 1, 2 ORDER BY term, doc_id""".stripMargin,
+    "q149_hh_per_group" ->
+      """SELECT lang, source AS item, count(*) AS cnt,
+        |       CAST(0 AS BIGINT) AS err
+        |FROM documents GROUP BY 1, 2
+        |ORDER BY lang, cnt DESC, item""".stripMargin)
+}

@@ -16,7 +16,8 @@ class QueryInventorySpec extends SparkSuite {
       "r5" -> graft.queries.R5Queries.queries.keySet,
       "r6" -> graft.queries.R6Queries.queries.keySet,
       "r7" -> graft.queries.R7Queries.queries.keySet,
-      "r8" -> graft.queries.R8Queries.queries.keySet)
+      "r8" -> graft.queries.R8Queries.queries.keySet,
+      "r9" -> graft.queries.R9Queries.queries.keySet)
     for {
       (an, a) <- modules
       (bn, b) <- modules if an < bn

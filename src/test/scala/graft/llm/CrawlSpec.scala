@@ -480,4 +480,41 @@ class CrawlSpec extends SparkSuite {
     assert(delay("User-agent: *\nCrawl-delay:\t1.25  # slow\n")
       === Some(1250L))
   }
+  test("snapshotDiff: added/removed/changed/unchanged by content hash") {
+    import spark.implicits._
+    val o = Seq(("u1", "h1"), ("u2", "h2"), ("u3", "h3")).toDF("url", "ch")
+    val n = Seq(("u2", "h2"), ("u3", "hX"), ("u4", "h4")).toDF("url", "ch")
+    val d = Crawl.snapshotDiff(o, n, "url", "ch").collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(d === Map("u1" -> "removed", "u2" -> "unchanged",
+      "u3" -> "changed", "u4" -> "added"))
+    // hash columns survive for downstream joins
+    val row = Crawl.snapshotDiff(o, n, "url", "ch")
+      .filter(org.apache.spark.sql.functions.col("url") === "u3").collect()(0)
+    assert(row.getString(1) === "h3" && row.getString(2) === "hX")
+  }
+
+  test("urlTrapSignals: depth, duplicate segments, param blowup") {
+    import spark.implicits._
+    val urls = Seq(
+      "https://a.com/x/y/z",                         // benign
+      "https://a.com/a/b/a/b/a/b",                   // dup run: 6 segs, 2 distinct
+      "https://a.com/1/2/3/4/5/6/7/8/9",             // deep: 9 > 8
+      "https://a.com/p?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9", // 9 params
+      "https://a.com/",                              // root: depth 0
+      "https://a.com/x?",                            // empty query
+      "https://a.com/x#frag"                         // fragment only
+    ).toDF("url")
+    val m = Crawl.urlTrapSignals(urls, "url").collect()
+      .map(r => r.getString(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getBoolean(4)))).toMap
+    assert(m("https://a.com/x/y/z") === ((3, 0, 0, false)))
+    assert(m("https://a.com/a/b/a/b/a/b") === ((6, 4, 0, true)))
+    assert(m("https://a.com/1/2/3/4/5/6/7/8/9") === ((9, 0, 0, true)))
+    assert(m("https://a.com/p?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9")
+      === ((1, 0, 9, true)))
+    assert(m("https://a.com/") === ((0, 0, 0, false)))
+    assert(m("https://a.com/x?") === ((1, 0, 0, false)))
+    assert(m("https://a.com/x#frag") === ((1, 0, 0, false)))
+  }
 }

@@ -64,4 +64,25 @@ class SearchSpec extends SparkSuite {
     assert(r(1)._2 === bm25Micro(1, 2, 2, 16, 20))
     assert(r(0)._2 > r(1)._2)
   }
+  test("buildPostings: tf and sorted 0-based positions per (term, doc)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a  c a"),
+      (2L, " b b "),
+      (3L, "")
+    ).toDF("id", "text")
+    val got = Search.buildPostings(docs, "id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getString(3)))).toMap
+    assert(got(("a", 1L)) === ((3L, "0,2,4")))
+    assert(got(("b", 1L)) === ((1L, "1")))
+    assert(got(("c", 1L)) === ((1L, "3")))
+    assert(got(("b", 2L)) === ((2L, "0,1")))
+    assert(!got.keySet.exists(_._2 == 3L)) // empty doc → no postings
+    // position order deterministic under repartition
+    val re = Search.buildPostings(docs.repartition(5), "id", "text")
+      .orderBy("term", "doc_id").collect().toSeq
+    assert(re === Search.buildPostings(docs, "id", "text")
+      .orderBy("term", "doc_id").collect().toSeq)
+  }
 }
