@@ -139,6 +139,99 @@ object Selection {
       .limit(k)
   }
 
+  /** Per-GROUP weighted sampling without replacement: the
+    * [[sampleWeightedK]] key (ln(u)/w, salted-SHA uniform,
+    * micro-rounded) ranked inside each group — k rows per group, the
+    * weighted sibling of `TrainingOps.sampleKPerGroup`. The
+    * row_number-≤-k filter compiles to a WindowGroupLimit: each
+    * task keeps a k-row heap per group through the rank, so a
+    * billion-row group costs O(k) state, not a full-group buffer
+    * (the same plan shape q132/q133 pinned in PlanQualitySpec).
+    * Output: group cols + (id, weight, key_micro, rank). */
+  def sampleWeightedKPerGroup(df: DataFrame, groupCols: Seq[String],
+      idCol: String, weightCol: String, k: Int,
+      salt: String = "wskg"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(groupCols.nonEmpty, "at least one group column required")
+    val w = col(weightCol).cast(DoubleType)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("key_micro").desc, col(idCol))
+    df.filter(w.isNotNull && w > 0.0)
+      .select((groupCols.map(col) :+ col(idCol) :+ w.as("weight")): _*)
+      .withColumn("key_micro",
+        round(log(shaUniform(col(idCol), salt)) / col("weight") * 1e6)
+          .cast(LongType))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+  }
+
+  /** Classifier calibration sweep: confusion counts and
+    * precision/recall at each threshold, in ONE pass over the data.
+    * Not the textbook cross-join (T× the stream): each row lands in
+    * a bucket = |{thresholds ≤ score}| (a map-only array op over the
+    * parameter-bounded threshold list), buckets aggregate to ≤ T+1
+    * rows, and each threshold's tp/fp are suffix sums over that
+    * BOUNDED table (the q60/q65 convention: windows are fine when
+    * the partition is provably parameter-sized). Precision/recall
+    * are micro-rounded; a zero denominator yields NULL in both
+    * engines by explicit guard.
+    *
+    * `labelCol` must be boolean; `scoreCol` integral (use micro
+    * scores — [[dsirScores]]' score_micro, q89's logprob micro).
+    * Output: (threshold, tp, fp, fn, tn, precision_micro,
+    * recall_micro) — one row per threshold. */
+  def calibrationSweep(df: DataFrame, scoreCol: String, labelCol: String,
+      thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    require(thresholds.distinct.size == thresholds.size,
+      "thresholds must be distinct")
+    require(thresholds.size <= 10000,
+      s"threshold list is a broadcast parameter; got ${thresholds.size}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = thresholds.sorted
+    val tArr = array(sorted.map(lit): _*)
+    // bucket b = #thresholds ≤ score ⇒ score ≥ threshold_i ⟺ b ≥ i
+    // (1-based i over the ascending-sorted list)
+    val buckets = df
+      .select(size(filter(tArr, t => t <= col(scoreCol))).as("b"),
+        col(labelCol).cast("boolean").as("y"))
+      .groupBy("b")
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("y"), 1L).otherwise(0L)).as("n_neg"))
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("b").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val suffix = buckets
+      .withColumn("tp_at", sum("n_pos").over(win))
+      .withColumn("fp_at", sum("n_neg").over(win))
+    val idx = sorted.zipWithIndex.map { case (t, i) => (t, i + 1L) }
+      .toDF("threshold", "i")
+    // threshold_i's counts sit at the SMALLEST bucket ≥ i present in
+    // the data; left-join each i to min(b ≥ i) over the bounded table.
+    broadcast(idx).join(suffix, col("b") >= col("i"), "left")
+      .groupBy("threshold", "i")
+      .agg(min(struct(col("b"), col("tp_at"), col("fp_at"))).as("s"))
+      .select(col("threshold"),
+        coalesce(col("s.tp_at"), lit(0L)).as("tp"),
+        coalesce(col("s.fp_at"), lit(0L)).as("fp"))
+      .crossJoin(broadcast(buckets.agg(
+        coalesce(sum("n_pos"), lit(0L)).as("p_tot"),
+        coalesce(sum("n_neg"), lit(0L)).as("n_tot"))))
+      .select(col("threshold"), col("tp"), col("fp"),
+        (col("p_tot") - col("tp")).as("fn"),
+        (col("n_tot") - col("fp")).as("tn"),
+        when(col("tp") + col("fp") === 0L, lit(null).cast(LongType))
+          .otherwise(round(col("tp").cast(DoubleType) * 1e6 /
+            (col("tp") + col("fp")).cast(DoubleType)).cast(LongType))
+          .as("precision_micro"),
+        when(col("p_tot") === 0L, lit(null).cast(LongType))
+          .otherwise(round(col("tp").cast(DoubleType) * 1e6 /
+            col("p_tot").cast(DoubleType)).cast(LongType))
+          .as("recall_micro"))
+  }
+
   /** Mixture epoch planning + deterministic up/down-sampling: given
     * per-row token counts, a target mixture weight per source, and a
     * total token budget, compute each source's repeat factor

@@ -110,6 +110,56 @@ object R9Queries {
           "doc_id", "text")
         .orderBy("term", "doc_id")),
 
+    // [EXT] per-GROUP weighted sampling without replacement: the
+    // A-ES key ranked inside each lang — row_number ≤ k compiles to
+    // WindowGroupLimit (k-row heap per group, never a full-group
+    // buffer). The oracle replays the identical keys and window.
+    "q150_wsk_per_group" -> ((s, d) =>
+      graft.llm.Selection.sampleWeightedKPerGroup(
+          T.documents(s, d).select(col("lang"), col("doc_id"),
+            col("n_chars").cast("double").as("w")),
+          Seq("lang"), "doc_id", "w", k = 10, salt = "wg8")
+        .orderBy("lang", "rank")),
+
+    // [EXT] canonical-URL dedup: pages sharing a page-declared
+    // canonical (planted: doc_id%50 buckets; doc_id≡1 mod 4 has no
+    // canonical tag → keys to its own URL) collapse to one kept
+    // page — the crawl-side dedup that runs BEFORE content hashing.
+    // canonicalUrl is map-only; one groupBy on the canonical key.
+    "q151_canonical_dedup" -> ((s, d) => {
+      val url = concat(lit("https://ex.com/p/"), col("doc_id"))
+      val html = when(pmod(col("doc_id"), lit(4)) =!= 1,
+          concat(lit("<html><head><link rel=\"canonical\" href=\"https://ex.com/c/"),
+            pmod(col("doc_id"), lit(50)),
+            lit("\"></head><body>x</body></html>")))
+        .otherwise(lit("<html><head></head><body>x</body></html>"))
+      T.documents(s, d).select(url.as("url"), html.as("html"))
+        .withColumn("canon", coalesce(
+          graft.llm.Crawl.canonicalUrl(col("html"), lit("ex.com")),
+          col("url")))
+        .groupBy("canon")
+        .agg(min("url").as("kept_url"), count(lit(1)).as("n_pages"))
+        .orderBy("canon")
+    }),
+
+    // [EXT] classifier calibration sweep: q143's DSIR score against
+    // the lang='en' label at 5 thresholds — ONE pass bucket
+    // histogram + suffix sums over the ≤T+1-row bounded table (not
+    // the textbook T× cross-join). The oracle cross-joins (correct
+    // at oracle scale); values match exactly.
+    "q152_calibration" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val scored = graft.llm.Selection.dsirScores(
+        docs, docs.filter(col("lang") === "en"), docs,
+        "doc_id", "text", numBuckets = 512, salt = "dsir8")
+      val labeled = scored.join(
+        docs.select(col("doc_id"), (col("lang") === "en").as("y")),
+        Seq("doc_id"))
+      graft.llm.Selection.calibrationSweep(labeled, "score_micro", "y",
+          Seq(-2000000L, -1000000L, -500000L, 0L, 100000L))
+        .orderBy("threshold")
+    }),
+
     // [EXT] per-GROUP heavy hitters: the SpaceSaving aggregate of
     // q57 run per lang over source — bounded ≤64-entry state per
     // group through partial/merge/final; exact (err=0) here because
@@ -242,5 +292,80 @@ object R9Queries {
       """SELECT lang, source AS item, count(*) AS cnt,
         |       CAST(0 AS BIGINT) AS err
         |FROM documents GROUP BY 1, 2
-        |ORDER BY lang, cnt DESC, item""".stripMargin)
+        |ORDER BY lang, cnt DESC, item""".stripMargin,
+    "q150_wsk_per_group" ->
+      """WITH k AS (
+        |  SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS weight,
+        |    CAST(round(ln(
+        |        (('0x' || substr(sha256('wg8:' || CAST(doc_id AS VARCHAR)),
+        |            1, 13))::BIGINT + 1) / 4503599627370496.0)
+        |      / CAST(n_chars AS DOUBLE) * 1e6) AS BIGINT) AS key_micro
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY lang ORDER BY key_micro DESC, doc_id)
+        |        AS rank FROM k)
+        |SELECT lang, doc_id, weight, key_micro, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 10 ORDER BY lang, rank""".stripMargin,
+    "q151_canonical_dedup" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    'https://ex.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+        |    CASE WHEN doc_id % 4 <> 1 THEN
+        |      'https://ex.com/c/' || CAST(doc_id % 50 AS VARCHAR)
+        |    END AS canon0
+        |  FROM documents)
+        |SELECT coalesce(canon0, url) AS canon, min(url) AS kept_url,
+        |       count(*) AS n_pages
+        |FROM p GROUP BY 1 ORDER BY canon""".stripMargin,
+    "q152_calibration" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tk AS (SELECT doc_id, lang,
+        |         ('0x' || substr(sha256('dsir8|' || term), 1, 13))::BIGINT
+        |           % 512 AS bucket
+        |       FROM tok WHERE term <> ''),
+        |tc AS (SELECT bucket, count(*) AS t_cnt FROM tk
+        |       WHERE lang = 'en' GROUP BY 1),
+        |rc AS (SELECT bucket, count(*) AS r_cnt FROM tk GROUP BY 1),
+        |tt AS (SELECT coalesce(sum(t_cnt), 0) AS t_tot FROM tc),
+        |rt AS (SELECT coalesce(sum(r_cnt), 0) AS r_tot FROM rc),
+        |m AS (SELECT b.bucket,
+        |        CAST(round((ln(CAST(coalesce(t_cnt, 0) + 1 AS DOUBLE)
+        |                       / CAST(t_tot + 512 AS DOUBLE)) -
+        |                    ln(CAST(coalesce(r_cnt, 0) + 1 AS DOUBLE)
+        |                       / CAST(r_tot + 512 AS DOUBLE))) * 1e6)
+        |          AS BIGINT) AS ratio_micro
+        |      FROM (SELECT range AS bucket FROM range(512)) b
+        |      LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)
+        |      CROSS JOIN tt CROSS JOIN rt),
+        |sc AS (SELECT tk.doc_id, max(tk.lang = 'en') AS y,
+        |         CAST(sum(ratio_micro) AS BIGINT) AS score
+        |       FROM tk JOIN m USING (bucket) GROUP BY 1),
+        |th AS (SELECT * FROM (VALUES (-2000000), (-1000000), (-500000),
+        |         (0), (100000)) AS t(threshold)),
+        |cx AS (SELECT threshold,
+        |         sum(CASE WHEN y AND score >= threshold
+        |               THEN 1 ELSE 0 END) AS tp,
+        |         sum(CASE WHEN NOT y AND score >= threshold
+        |               THEN 1 ELSE 0 END) AS fp,
+        |         sum(CASE WHEN y AND score < threshold
+        |               THEN 1 ELSE 0 END) AS fn,
+        |         sum(CASE WHEN NOT y AND score < threshold
+        |               THEN 1 ELSE 0 END) AS tn
+        |       FROM sc CROSS JOIN th GROUP BY 1)
+        |SELECT CAST(threshold AS BIGINT) AS threshold,
+        |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+        |  CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+        |  CASE WHEN tp + fp = 0 THEN NULL
+        |       ELSE CAST(round(CAST(tp AS DOUBLE) * 1e6
+        |              / CAST(tp + fp AS DOUBLE)) AS BIGINT)
+        |  END AS precision_micro,
+        |  CASE WHEN tp + fn = 0 THEN NULL
+        |       ELSE CAST(round(CAST(tp AS DOUBLE) * 1e6
+        |              / CAST(tp + fn AS DOUBLE)) AS BIGINT)
+        |  END AS recall_micro
+        |FROM cx ORDER BY threshold""".stripMargin)
 }

@@ -93,4 +93,63 @@ class SelectionSpec extends SparkSuite {
         .count()
     }
   }
+  test("sampleWeightedKPerGroup: k per group, same keys as the global sampler") {
+    val df = spark.range(0, 200).toDF("id")
+      .withColumn("g", pmod(col("id"), lit(4)).cast("string"))
+      .withColumn("w", lit(1.0) + col("id").cast("double"))
+    val got = Selection.sampleWeightedKPerGroup(df, Seq("g"), "id", "w",
+      k = 5, salt = "t")
+    val rows = got.collect()
+    assert(rows.length === 20)
+    val byG = rows.groupBy(_.getString(0))
+    assert(byG.keySet === Set("0", "1", "2", "3"))
+    byG.values.foreach { rs =>
+      assert(rs.length === 5)
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq === Seq(1, 2, 3, 4, 5))
+      // ranks follow (key desc, id) within the group
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[Long]("key_micro"), r.getAs[Long]("id")))
+      assert(sorted.toSeq === sorted.sortBy(t => (-t._1, t._2)).toSeq)
+    }
+    // deterministic under repartition
+    val re = Selection.sampleWeightedKPerGroup(df.repartition(7), Seq("g"),
+      "id", "w", k = 5, salt = "t")
+    assert(got.orderBy("g", "rank").collect().toSeq ===
+      re.orderBy("g", "rank").collect().toSeq)
+  }
+
+  test("calibrationSweep: confusion counts match a direct per-threshold count") {
+    val df = Seq(
+      (-100L, true), (-50L, false), (0L, true), (10L, true),
+      (50L, false), (90L, true), (200L, false)
+    ).toDF("score", "y")
+    val ths = Seq(-60L, 0L, 100L)
+    val got = Selection.calibrationSweep(df, "score", "y", ths)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val data = Seq((-100L, true), (-50L, false), (0L, true), (10L, true),
+      (50L, false), (90L, true), (200L, false))
+    for (t <- ths) {
+      val tp = data.count { case (s, y) => y && s >= t }
+      val fp = data.count { case (s, y) => !y && s >= t }
+      val fn = data.count { case (s, y) => y && s < t }
+      val tn = data.count { case (s, y) => !y && s < t }
+      assert(got(t) === ((tp.toLong, fp.toLong, fn.toLong, tn.toLong)), s"t=$t")
+    }
+    // precision/recall micro at threshold 100: tp=1 (200 is false... 90<100)
+    // scores ≥ 100: only 200L (y=false) → tp=0, fp=1 → precision 0
+    val row = Selection.calibrationSweep(df, "score", "y", Seq(100L)).collect()(0)
+    assert(row.getLong(5) === 0L)       // precision_micro = 0/1
+    assert(row.getLong(6) === 0L)       // recall_micro 0/4 = 0
+    // threshold above ALL scores: tp+fp = 0 → precision NULL
+    val hi = Selection.calibrationSweep(df, "score", "y", Seq(1000L)).collect()(0)
+    assert(hi.isNullAt(5))
+    assert(hi.getLong(6) === 0L)
+    intercept[IllegalArgumentException] {
+      Selection.calibrationSweep(df, "score", "y", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Selection.calibrationSweep(df, "score", "y", Seq(1L, 1L))
+    }
+  }
 }

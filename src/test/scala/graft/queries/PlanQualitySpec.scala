@@ -284,4 +284,28 @@ class PlanQualitySpec extends SparkSuite {
     val exchanges = "hashpartitioning\\(".r.findAllIn(p).length
     assert(exchanges <= 1, s"$exchanges hash exchanges\n" + p.take(1600))
   }
+  test("q150: per-group weighted sample uses WindowGroupLimit; q144 is map-only TakeOrdered") {
+    val p = plan("q150_wsk_per_group")
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+    val p2 = plan("q144_weighted_sample")
+    assert(p2.contains("TakeOrderedAndProject"), p2.take(1200))
+    assert(!p2.contains("hashpartitioning("), p2.take(1200))
+  }
+
+  test("q143: DSIR models broadcast back onto the token stream (no corpus-sized shuffle join)") {
+    val p = plan("q143_dsir_scores")
+    // the model side joins via broadcast; the only hash exchanges are
+    // the bucket-count aggregates (≤ numBuckets rows) and the final
+    // per-doc sum
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+  }
+
+  test("q152: calibration sweep aggregates once — no per-threshold pass over the data") {
+    val p = plan("q152_calibration")
+    // the data stream is scanned by the score pass only; thresholds
+    // join against the bounded bucket table (broadcast, no SMJ)
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+  }
 }
