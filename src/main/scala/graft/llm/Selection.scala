@@ -194,12 +194,17 @@ object Selection {
     val tArr = array(sorted.map(lit): _*)
     // bucket b = #thresholds ≤ score ⇒ score ≥ threshold_i ⟺ b ≥ i
     // (1-based i over the ascending-sorted list)
+    // localCheckpoint: the bucket table is referenced three times
+    // below (suffix sums, the threshold join, totals); without the
+    // cut Spark would recompute the full scoring pass per reference.
+    // ≤ T+1 rows — bounded by the parameter, never the data.
     val buckets = df
       .select(size(filter(tArr, t => t <= col(scoreCol))).as("b"),
         col(labelCol).cast("boolean").as("y"))
       .groupBy("b")
       .agg(sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
         sum(when(!col("y"), 1L).otherwise(0L)).as("n_neg"))
+      .localCheckpoint()
     val win = org.apache.spark.sql.expressions.Window
       .orderBy(col("b").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)

@@ -160,6 +160,69 @@ object R9Queries {
         .orderBy("threshold")
     }),
 
+    // [EXT] the crawl FRONTIER-ADMISSION chain end-to-end: outlink
+    // extraction (all quoting forms) → global frontier dedup →
+    // trap-signal filter → robots-exclusion filter (literal rules)
+    // → per-host fetch cap (WindowGroupLimit). The q112/q134
+    // counterpart for the frontier side: every stage is an already-
+    // oracle-green operator; this pins their composition. The
+    // oracle rebuilds the link set arithmetically and replays the
+    // full trap condition, the longest-match robots verdict, and
+    // the per-host rank.
+    "q153_frontier_chain" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val id = col("doc_id")
+      val hostc = concat(lit("h"), pmod(id, lit(5)).cast("string"),
+        lit(".com"))
+      val html = concat(
+        lit("<html><body><a href=\"https://h"), pmod(id, lit(5)),
+        lit(".com/cat/"), pmod(id, lit(7)),
+        lit("\">c</a><a href='/private/x"), id, lit("'>p</a>"),
+        when(pmod(id, lit(3)) === 0,
+            lit("<a href=/t/x/x/x/x/x/x/x/x/x/e>t</a>"))
+          .otherwise(lit("<a href=\"/about\">a</a>")),
+        lit("</body></html>"))
+      val pages = T.documents(s, d)
+        .select(id, hostc.as("host"), html.as("html"))
+      val links = graft.llm.Crawl
+        .extractLinks(pages, "doc_id", "html", "host")
+        .select(col("url")).distinct()
+      val safe = graft.llm.Crawl.urlTrapSignals(links, "url")
+        .filter(!col("is_trap")).select("url")
+      val parsed = safe.select(col("url"),
+        regexp_extract(col("url"), "^https://([^/]*)", 1).as("host"),
+        regexp_extract(col("url"), "^https://[^/]*(/.*)$", 1).as("path"))
+      val rules = (0 until 5).map(k => (s"h$k.com", false, "/private/"))
+        .toDF("host", "allow", "prefix")
+      graft.llm.Crawl.robotsFilter(parsed, "url", "host", "path", rules)
+        .filter(col("allowed"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("host").orderBy("url")))
+        .filter(col("rank") <= 4)
+        .select(col("host"), col("rank").cast("int").as("rank"), col("url"))
+        .orderBy("host", "rank")
+    }),
+
+    // [EXT] per-DOMAIN quality rollup: the q96 gate aggregated per
+    // source — n_docs / n_keep / token mass / exact integral
+    // keep-permille and the spam-domain verdict (keep < 50%), the
+    // domain-level filtering step (RefinedWeb-style) that runs
+    // after per-doc gating. One bounded groupBy over map-only gate
+    // columns.
+    "q154_domain_quality" -> ((s, d) =>
+      T.documents(s, d)
+        .select(col("source"),
+          graft.llm.TextAnalysis.qualityGate(col("text")).as("g"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("g.keep"), 1L).otherwise(0L)).as("n_keep"),
+          sum(col("g.n_tokens").cast("long")).as("n_tokens"))
+        .withColumn("keep_permille",
+          expr("(n_keep * 1000) div n_docs"))
+        .withColumn("low_quality", col("keep_permille") < 500)
+        .orderBy("source")),
+
     // [EXT] per-GROUP heavy hitters: the SpaceSaving aggregate of
     // q57 run per lang over source — bounded ≤64-entry state per
     // group through partial/merge/final; exact (err=0) here because
@@ -367,5 +430,69 @@ object R9Queries {
         |       ELSE CAST(round(CAST(tp AS DOUBLE) * 1e6
         |              / CAST(tp + fn AS DOUBLE)) AS BIGINT)
         |  END AS recall_micro
-        |FROM cx ORDER BY threshold""".stripMargin)
+        |FROM cx ORDER BY threshold""".stripMargin,
+    "q153_frontier_chain" ->
+      """WITH l0 AS (
+        |  SELECT DISTINCT 'https://h' || CAST(doc_id % 5 AS VARCHAR)
+        |    || '.com/cat/' || CAST(doc_id % 7 AS VARCHAR) AS url
+        |  FROM documents
+        |  UNION
+        |  SELECT 'https://h' || CAST(doc_id % 5 AS VARCHAR)
+        |    || '.com/private/x' || CAST(doc_id AS VARCHAR)
+        |  FROM documents
+        |  UNION
+        |  SELECT 'https://h' || CAST(doc_id % 5 AS VARCHAR)
+        |    || '.com/t/x/x/x/x/x/x/x/x/x/e'
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION
+        |  SELECT 'https://h' || CAST(doc_id % 5 AS VARCHAR) || '.com/about'
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |p AS (SELECT url,
+        |        regexp_extract(url, '^https://([^/]*)', 1) AS host,
+        |        regexp_extract(url, '^https://[^/]*(/.*)$', 1) AS path,
+        |        regexp_extract(url, '\?([^#]*)', 1) AS q
+        |      FROM l0),
+        |g AS (SELECT url, host, path,
+        |        list_filter(str_split(
+        |          regexp_extract(path, '^([^?#]*)', 1), '/'),
+        |          x -> x <> '') AS segs, q
+        |      FROM p),
+        |f AS (SELECT url, host, path FROM g
+        |      WHERE NOT (len(segs) > 8
+        |        OR len(segs) - len(list_distinct(segs)) > 2
+        |        OR CASE WHEN q = '' THEN 0
+        |                ELSE len(str_split(q, '&')) END > 8)),
+        |a AS (SELECT url, host FROM f WHERE path NOT LIKE '/private/%'),
+        |r AS (SELECT host, url, row_number() OVER
+        |        (PARTITION BY host ORDER BY url) AS rank FROM a)
+        |SELECT host, CAST(rank AS INT) AS rank, url
+        |FROM r WHERE rank <= 4 ORDER BY host, rank""".stripMargin,
+    "q154_domain_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text,
+        |         regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id, tok, count(*) AS c FROM
+        |        (SELECT doc_id, unnest(w) AS tok FROM t) u GROUP BY 1, 2),
+        |m AS (SELECT doc_id, max(c) AS top FROM c GROUP BY 1),
+        |j AS (SELECT t.doc_id, t.source, len(w) AS n,
+        |        length(text) AS chars,
+        |        len(list_filter(w,
+        |          x -> x IN ('the','a','and','of','to'))) AS stop_hits,
+        |        m.top
+        |      FROM t JOIN m ON t.doc_id = m.doc_id),
+        |k AS (SELECT source,
+        |        (n BETWEEN 30 AND 100000)
+        |          AND (chars BETWEEN 4 * n AND 11 * n)
+        |          AND top * 100 <= n * 10
+        |          AND stop_hits * 1000 >= n * 50 AS keep, n
+        |      FROM j)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  CAST((sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000)
+        |    // count(*) AS BIGINT) AS keep_permille,
+        |  ((sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000) // count(*))
+        |    < 500 AS low_quality
+        |FROM k GROUP BY 1 ORDER BY source""".stripMargin)
 }
