@@ -320,6 +320,48 @@ object ScaleSmoke {
               .otherwise(concat(lit("/pub/"), col("id").cast("string")))
               .as("path")),
           "id", "host", "path", rules)
+      }),
+      // DSIR scoring at corpus scale: target = 1/16 of the corpus
+      // (one lang), raw = all; the two model aggregates collapse the
+      // token streams to ≤4096 rows each, then a broadcast joins the
+      // ratio table back over the scoring stream — cost is three
+      // token scans, never a corpus-sized shuffle join
+      "dsir_scores" -> (() => graft.llm.Selection.dsirScores(
+        docs, docs.filter(col("lang") === "3"), docs, "id", "text")),
+      // weighted sampling: map-only key pass + TakeOrdered over n rows
+      "weighted_sample" -> (() => graft.llm.Selection.sampleWeightedK(
+        docs.withColumn("w", (col("id") % 1000 + 1).cast("double")),
+        "id", "w", k = 10000)),
+      // per-group weighted sample with a planted hot group (half the
+      // corpus in one lang): WindowGroupLimit keeps k rows per group
+      // per task — the hot group must not serialize through one sort
+      "weighted_sample_hot" -> (() => graft.llm.Selection
+        .sampleWeightedKPerGroup(
+          hot.withColumn("g", skewLang)
+            .withColumn("w", (col("id") % 1000 + 1).cast("double")),
+          Seq("g"), "id", "w", k = 100)),
+      // postings export with the hot-key corpus: the boilerplate
+      // tokens have df ≈ n/2, but per-posting state is bounded by the
+      // DOC's occurrence count — a corpus-frequency-sized buffer
+      // would stall here
+      "postings_hot" -> (() => graft.llm.Search.buildPostings(
+        hot, "id", "text")),
+      // frontier admission signals: map-only trap verdicts over n URLs
+      "url_traps" -> (() => graft.llm.Crawl.urlTrapSignals(
+        docs.select(col("id"), concat(lit("https://h"),
+          pmod(col("id"), lit(1000)), lit(".com/a/b/"),
+          col("id")).as("url")), "url")),
+      // snapshot diff: two n-row snapshots, one full-outer hash join
+      // on url carrying (url, hash) only
+      "snapshot_diff" -> (() => {
+        val o = docs.select(concat(lit("u"), col("id")).as("url"),
+          xxhash64(col("text")).cast("string").as("h"))
+        val nn = docs.filter(col("id") % 11 =!= 0)
+          .select(concat(lit("u"), col("id")).as("url"),
+            xxhash64(when(col("id") % 5 === 0,
+              concat(col("text"), lit("x"))).otherwise(col("text")))
+              .cast("string").as("h"))
+        graft.llm.Crawl.snapshotDiff(o, nn, "url", "h")
       }))
 
     val hotSet = Set("dup_shingle_audit_hot", "keyword_search_hot",
