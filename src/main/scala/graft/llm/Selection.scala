@@ -237,6 +237,109 @@ object Selection {
           .as("recall_micro"))
   }
 
+  /** Corpus drift monitor: KL divergence (both directions) and total
+    * variation between two snapshots' hashed-token distributions —
+    * the number a nightly admission pipeline alarms on when a crawl
+    * update shifts the corpus (new spam campaign, a source gone
+    * mojibake, a selector drifting). Same hashed bag-of-words space
+    * as [[dsirScores]] (B SHA buckets, Laplace +1), so the metric is
+    * stable under vocabulary growth.
+    *
+    * Contract: each bucket's contribution is micro-rounded BEFORE
+    * the sum (integer sum over ≤ B terms — order-independent,
+    * engine-exact); the metric is defined as that rounded sum, and
+    * the oracle replays it bucket for bucket. Output: ONE row
+    * (n_buckets, kl_ab_micro, kl_ba_micro, tv_micro).
+    *
+    * 100 TB shape: two token scans collapsing to ≤ B-row count
+    * aggregates; everything after is arithmetic over the bounded
+    * bucket table. */
+  def distributionDrift(a: DataFrame, b: DataFrame, textCol: String,
+      numBuckets: Int = 4096, salt: String = "drift"): DataFrame = {
+    require(numBuckets > 0 && numBuckets <= (1 << 20),
+      s"numBuckets must be in [1, 2^20], got $numBuckets")
+    val spark = a.sparkSession
+
+    def cnt(df: DataFrame, out: String): DataFrame =
+      df.select(explode(tokens(textCol)).as("_sel_term"))
+        .filter(col("_sel_term") =!= "")
+        .select(shaBucket(col("_sel_term"), salt, numBuckets).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(out))
+
+    val aCnt = cnt(a, "a_cnt")
+    val bCnt = cnt(b, "b_cnt")
+    val aTot = aCnt.agg(coalesce(sum("a_cnt"), lit(0L)).as("a_tot"))
+    val bTot = bCnt.agg(coalesce(sum("b_cnt"), lit(0L)).as("b_tot"))
+    val p = (coalesce(col("a_cnt"), lit(0L)) + 1L).cast(DoubleType) /
+      (col("a_tot") + numBuckets).cast(DoubleType)
+    val q = (coalesce(col("b_cnt"), lit(0L)) + 1L).cast(DoubleType) /
+      (col("b_tot") + numBuckets).cast(DoubleType)
+    spark.range(numBuckets).toDF("bucket")
+      .join(aCnt, Seq("bucket"), "left")
+      .join(bCnt, Seq("bucket"), "left")
+      .crossJoin(broadcast(aTot)).crossJoin(broadcast(bTot))
+      .select(
+        round(p * log(p / q) * 1e6).cast(LongType).as("kl_ab_c"),
+        round(q * log(q / p) * 1e6).cast(LongType).as("kl_ba_c"),
+        round(abs(p - q) / 2.0 * 1e6).cast(LongType).as("tv_c"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum("kl_ab_c").as("kl_ab_micro"),
+        sum("kl_ba_c").as("kl_ba_micro"),
+        sum("tv_c").as("tv_micro"))
+  }
+
+  /** Stratified split with EXACT per-stratum proportions: within
+    * each stratum, rows rank by a salted SHA and the rank range
+    * assigns the split — so every stratum lands `floor(n·cum_s)`
+    * boundaries exactly (plain [[TrainingOps.splitAssign]] is
+    * proportional only in expectation, which on a 100-row stratum
+    * can misallocate a whole eval set). Boundaries are exact
+    * integral arithmetic: `n · cum_micro div 10⁶`.
+    *
+    * 100 TB shape: the in-stratum rank is NOT a per-stratum window
+    * (a hot stratum would sort through one task) — it derives from
+    * ONE range-partitioned global rank over (stratum, hash) minus
+    * the stratum's broadcast start offset; per-stratum counts are a
+    * bounded aggregate. Strata count is assumed model-sized
+    * (lang × source × band), not data-sized.
+    *
+    * Output: input columns + `split`. */
+  def stratifiedSplit(df: DataFrame, strataCols: Seq[String],
+      idCol: String, splits: Seq[(String, Double)],
+      salt: String = "strat"): DataFrame = {
+    require(strataCols.nonEmpty, "at least one stratum column required")
+    require(splits.nonEmpty, "at least one split required")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got ${splits.map(_._2).sum}")
+    require(splits.map(_._1).distinct.size == splits.size,
+      "split names must be distinct")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // exact cumulative per-mille-of-a-million boundaries
+    val cums = splits.scanLeft(0L) { case (acc, (_, w)) =>
+      acc + math.round(w * 1e6)
+    }.tail
+    val named = splits.map(_._1).zip(cums)
+
+    val hashed = df.withColumn("_ss_h",
+      sha2(concat(lit(salt), lit(":"), col(idCol).cast(StringType)), 256))
+    val ranked = TrainingOps.globalRank(hashed,
+      strataCols.map(col) :+ col("_ss_h") :+ col(idCol))
+    val offsets = ranked.groupBy(strataCols.map(col): _*)
+      .agg((min("rank") - 1L).as("_ss_off"), count(lit(1)).as("_ss_n"))
+    val inRank = col("rank") - col("_ss_off") // 1-based within stratum
+    // split s ⟺ in_rank ≤ n·cum_micro div 1e6 and > previous bound
+    val assign = named.foldRight(lit(null).cast(StringType)) {
+      case ((name, cum), rest) =>
+        when(inRank <= expr(s"(_ss_n * ${cum}L) div 1000000L"), lit(name))
+          .otherwise(rest)
+    }
+    // reverse fold means the FIRST matching (smallest-cum) split wins
+    ranked.join(broadcast(offsets), strataCols)
+      .withColumn("split", assign)
+      .drop("_ss_h", "rank", "_ss_off", "_ss_n")
+  }
+
   /** Mixture epoch planning + deterministic up/down-sampling: given
     * per-row token counts, a target mixture weight per source, and a
     * total token budget, compute each source's repeat factor

@@ -223,6 +223,34 @@ object R9Queries {
         .withColumn("low_quality", col("keep_permille") < 500)
         .orderBy("source")),
 
+    // [EXT] corpus drift monitor: KL (both directions) + total
+    // variation between the en and fr token distributions over 512
+    // hashed buckets — per-bucket micro-rounded contributions summed
+    // exactly (the defined metric; the oracle replays it bucket for
+    // bucket). Two token scans → ≤512-row aggregates; arithmetic
+    // over the bounded table only.
+    "q155_corpus_drift" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      graft.llm.Selection.distributionDrift(
+          docs.filter(col("lang") === "en"),
+          docs.filter(col("lang") === "fr"),
+          "text", numBuckets = 512, salt = "drift8")
+        .orderBy("n_buckets")
+    }),
+
+    // [EXT] stratified split with EXACT per-stratum proportions:
+    // 80/10/10 within each lang, boundaries by exact integral
+    // arithmetic over a range-partitioned global rank (never a
+    // per-stratum window sort). The oracle's per-stratum
+    // row_number replays the same hash order and bounds.
+    "q156_stratified_split" -> ((s, d) =>
+      graft.llm.Selection.stratifiedSplit(
+          T.documents(s, d).select(col("doc_id"), col("lang")),
+          Seq("lang"), "doc_id",
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), salt = "ss8")
+        .select("doc_id", "lang", "split")
+        .orderBy("doc_id")),
+
     // [EXT] per-GROUP heavy hitters: the SpaceSaving aggregate of
     // q57 run per lang over source — bounded ≤64-entry state per
     // group through partial/merge/final; exact (err=0) here because
@@ -494,5 +522,51 @@ object R9Queries {
         |    // count(*) AS BIGINT) AS keep_permille,
         |  ((sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000) // count(*))
         |    < 500 AS low_quality
-        |FROM k GROUP BY 1 ORDER BY source""".stripMargin)
+        |FROM k GROUP BY 1 ORDER BY source""".stripMargin,
+    "q155_corpus_drift" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+'))
+        |    AS term
+        |  FROM documents WHERE lang IN ('en', 'fr')),
+        |tk AS (SELECT lang,
+        |         ('0x' || substr(sha256('drift8|' || term), 1, 13))::BIGINT
+        |           % 512 AS bucket
+        |       FROM tok WHERE term <> ''),
+        |ac AS (SELECT bucket, count(*) AS a_cnt FROM tk
+        |       WHERE lang = 'en' GROUP BY 1),
+        |bc AS (SELECT bucket, count(*) AS b_cnt FROM tk
+        |       WHERE lang = 'fr' GROUP BY 1),
+        |at AS (SELECT coalesce(sum(a_cnt), 0) AS a_tot FROM ac),
+        |bt AS (SELECT coalesce(sum(b_cnt), 0) AS b_tot FROM bc),
+        |m AS (SELECT
+        |        CAST(coalesce(a_cnt, 0) + 1 AS DOUBLE)
+        |          / CAST(a_tot + 512 AS DOUBLE) AS p,
+        |        CAST(coalesce(b_cnt, 0) + 1 AS DOUBLE)
+        |          / CAST(b_tot + 512 AS DOUBLE) AS q
+        |      FROM (SELECT range AS bucket FROM range(512)) b
+        |      LEFT JOIN ac USING (bucket) LEFT JOIN bc USING (bucket)
+        |      CROSS JOIN at CROSS JOIN bt)
+        |SELECT count(*) AS n_buckets,
+        |  CAST(sum(CAST(round(p * ln(p / q) * 1e6) AS BIGINT))
+        |    AS BIGINT) AS kl_ab_micro,
+        |  CAST(sum(CAST(round(q * ln(q / p) * 1e6) AS BIGINT))
+        |    AS BIGINT) AS kl_ba_micro,
+        |  CAST(sum(CAST(round(abs(p - q) / 2.0 * 1e6) AS BIGINT))
+        |    AS BIGINT) AS tv_micro
+        |FROM m ORDER BY n_buckets""".stripMargin,
+    "q156_stratified_split" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    sha256('ss8:' || CAST(doc_id AS VARCHAR)) AS hh
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |        row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id)
+        |          AS rk,
+        |        count(*) OVER (PARTITION BY lang) AS n
+        |      FROM h)
+        |SELECT doc_id, lang,
+        |  CASE WHEN rk <= (n * 800000) // 1000000 THEN 'train'
+        |       WHEN rk <= (n * 900000) // 1000000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM r ORDER BY doc_id""".stripMargin)
 }

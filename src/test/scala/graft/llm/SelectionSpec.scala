@@ -152,4 +152,54 @@ class SelectionSpec extends SparkSuite {
       Selection.calibrationSweep(df, "score", "y", Seq(1L, 1L))
     }
   }
+  test("distributionDrift: zero on identical corpora, positive and asymmetric on drift") {
+    val a = docs.filter(col("id") =!= 6L)
+    val same = Selection.distributionDrift(a, a, "text", numBuckets = 64)
+      .collect()(0)
+    assert(same.getLong(0) === 64)
+    assert(same.getLong(1) === 0L && same.getLong(2) === 0L &&
+      same.getLong(3) === 0L)
+    val b = docs.filter(col("id").isin(2L, 4L)) // french-only slice
+    val drift = Selection.distributionDrift(a, b, "text", numBuckets = 64)
+      .collect()(0)
+    assert(drift.getLong(1) > 0L && drift.getLong(2) > 0L &&
+      drift.getLong(3) > 0L)
+    // partitioning-invariant (micro contributions sum exactly)
+    val re = Selection.distributionDrift(a.repartition(5),
+      b.repartition(3), "text", numBuckets = 64).collect()(0)
+    assert(re.getLong(1) === drift.getLong(1) &&
+      re.getLong(2) === drift.getLong(2) &&
+      re.getLong(3) === drift.getLong(3))
+  }
+
+  test("stratifiedSplit: exact per-stratum proportions, deterministic") {
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("g", pmod(col("id"), lit(4)).cast("string"))
+    val sp = Selection.stratifiedSplit(df, Seq("g"), "id",
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    val counts = sp.groupBy("g", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // every stratum has exactly 250 rows -> 200/25/25, EXACT
+    for (g <- Seq("0", "1", "2", "3")) {
+      assert(counts((g, "train")) === 200L, s"stratum $g")
+      assert(counts((g, "val")) === 25L, s"stratum $g")
+      assert(counts((g, "test")) === 25L, s"stratum $g")
+    }
+    // deterministic under repartition; assignment independent of order
+    val re = Selection.stratifiedSplit(df.repartition(7), Seq("g"), "id",
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    assert(sp.orderBy("id").collect().toSeq ===
+      re.orderBy("id").collect().toSeq)
+    // odd stratum size: floor boundaries still partition exhaustively
+    val odd = Selection.stratifiedSplit(
+      spark.range(0, 7).toDF("id").withColumn("g", lit("x")),
+      Seq("g"), "id", Seq(("a", 0.5), ("b", 0.5)))
+    val oc = odd.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(oc("a") === 3L && oc("b") === 4L) // floor(7*0.5)=3, rest
+    intercept[IllegalArgumentException] {
+      Selection.stratifiedSplit(df, Seq("g"), "id",
+        Seq(("a", 0.5), ("b", 0.4)))
+    }
+  }
 }
