@@ -705,6 +705,62 @@ object Crawl {
     (ranks, it, converged)
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) over the crawl link
+    * graph in EXACT integer micro-units — the directory-page /
+    * content-page decomposition that complements PageRank's single
+    * quality prior. Per iteration (auth first, then hub from the NEW
+    * auth, the standard order):
+    * `auth_raw(v) = Σ_{u→v} hub(u)`, then every score renormalizes by
+    * the exact integral divisor `s = max(1, max(raw) div 10⁶)` —
+    * HITS is defined only up to scale, and the classic float L2
+    * normalization is summation-order-dependent, so it could never
+    * hash-match an oracle; the integral max-renorm keeps the top
+    * score at ~10⁶ with zero float ops. Multi-edges collapse
+    * (`distinct`) — HITS is an adjacency-matrix algorithm.
+    *
+    * Scale: per half-iteration one edge join + one bounded max()
+    * action (1 row); the edge list and each round's scores are
+    * localCheckpointed so iteration i is O(1) plan-deep (the
+    * pageRankInt redistribution discipline). Renorm bounds every
+    * score ≤ ~10⁶·(raw spread), so `Σ hub` over any in-degree stays
+    * far from int64 overflow at any corpus size.
+    *
+    * Output: (node, hub, auth) — micro-units, top score ≈ 10⁶. */
+  def hitsInt(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", iters: Int = 2): DataFrame = {
+    require(iters >= 1, "iters must be at least 1")
+    val e = edges.select(col(srcCol).as("_h_src"), col(dstCol).as("_h_dst"))
+      .filter(col("_h_src").isNotNull && col("_h_dst").isNotNull)
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("_h_src").as("node"))
+      .union(e.select(col("_h_dst").as("node")))
+      .distinct().localCheckpoint()
+
+    def rescaled(raw: DataFrame, out: String): DataFrame = {
+      val r = raw.localCheckpoint() // max() action + join reuse: 1 pass
+      val m = r.agg(coalesce(max("raw"), lit(0L))).first().getLong(0)
+      val s = math.max(1L, m / 1000000L)
+      nodes.join(r, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"coalesce(raw, 0L) div ${s}L").as(out))
+    }
+
+    var scores = nodes.select(col("node"), lit(1000000L).as("hub"),
+      lit(1000000L).as("auth"))
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(
+          scores.select(col("node").as("_h_src"), col("hub")), Seq("_h_src"))
+        .groupBy(col("_h_dst").as("node")).agg(sum("hub").as("raw"))
+      val auth = rescaled(aRaw, "auth")
+      val hRaw = e.join(
+          auth.select(col("node").as("_h_dst"), col("auth")), Seq("_h_dst"))
+        .groupBy(col("_h_src").as("node")).agg(sum("auth").as("raw"))
+      val hub = rescaled(hRaw, "hub")
+      scores = hub.join(auth, Seq("node")).localCheckpoint()
+    }
+    scores
+  }
+
   /** Crawl snapshot diff: classify every URL across two crawl
     * snapshots as added / removed / changed / unchanged by content
     * hash — the delta that drives an INCREMENTAL recrawl (only

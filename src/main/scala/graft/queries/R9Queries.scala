@@ -251,6 +251,54 @@ object R9Queries {
         .select("doc_id", "lang", "split")
         .orderBy("doc_id")),
 
+    // [EXT] HITS hubs/authorities over the q109 planted link graph
+    // (i→7i, i→13i+1 mod N, deduped): 2 iterations of exact integer
+    // micro-unit arithmetic with integral max-renormalization — the
+    // oracle unrolls the identical half-iterations as chained CTEs.
+    "q157_hits" -> ((s, d) => {
+      val docs = T.documents(s, d).select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val withN = docs.join(broadcast(n))
+      val e = withN.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 7, col("n")).as("dst"))
+        .union(withN.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 13 + 1, col("n")).as("dst")))
+      graft.llm.Crawl.hitsInt(e, iters = 2).orderBy("node")
+    }),
+
+    // [EXT] incremental index maintenance: the q146 snapshot diff
+    // drives a postings DELTA — changed+added docs re-index through
+    // buildPostings on the NEW text, removed+changed docs emit
+    // delete markers for the old postings. The 100 TB point: the
+    // index update costs ∝ the delta, never a corpus re-index.
+    "q158_postings_delta" -> ((s, d) => {
+      val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+      val key = col("doc_id").cast("string")
+      val oldSnap = docs.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+        .select(key.as("k"), sha2(col("text"), 256).as("h"))
+      val newText = when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(col("text"), lit(" v2"))).otherwise(col("text"))
+      val newDocs = docs.filter(pmod(col("doc_id"), lit(7)) =!= 3)
+        .select(col("doc_id"), key.as("k"), newText.as("text"))
+      val diff = graft.llm.Crawl.snapshotDiff(
+        oldSnap, newDocs.select(col("k"), sha2(col("text"), 256).as("h")),
+        "k", "h").withColumnRenamed("url", "k")
+      val upserts = graft.llm.Search.buildPostings(
+          diff.filter(col("status").isin("added", "changed"))
+            .join(newDocs.select(col("k"), col("doc_id"), col("text")),
+              Seq("k")),
+          "doc_id", "text")
+        .select(lit("upsert").as("op"), col("term"), col("doc_id"),
+          col("tf"), col("positions"))
+      val deletes = diff.filter(col("status").isin("removed", "changed"))
+        .select(lit("delete").as("op"),
+          lit(null).cast("string").as("term"),
+          col("k").cast("long").as("doc_id"),
+          lit(null).cast("long").as("tf"),
+          lit(null).cast("string").as("positions"))
+      upserts.union(deletes).orderBy("op", "doc_id", "term")
+    }),
+
     // [EXT] per-GROUP heavy hitters: the SpaceSaving aggregate of
     // q57 run per lang over source — bounded ≤64-entry state per
     // group through partial/merge/final; exact (err=0) here because
@@ -523,6 +571,70 @@ object R9Queries {
         |  ((sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000) // count(*))
         |    < 500 AS low_quality
         |FROM k GROUP BY 1 ORDER BY source""".stripMargin,
+    "q157_hits" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |e AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT doc_id AS src, (doc_id * 7) % n AS dst
+        |  FROM documents, nn
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 13 + 1) % n FROM documents, nn) t),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |a1r AS (SELECT dst AS node, CAST(count(*) AS BIGINT) * 1000000
+        |          AS raw FROM e GROUP BY 1),
+        |s1 AS (SELECT greatest(1, coalesce(max(raw), 0) // 1000000)
+        |         AS s FROM a1r),
+        |a1 AS (SELECT nodes.node, coalesce(raw, 0) // s AS auth
+        |       FROM nodes LEFT JOIN a1r USING (node) CROSS JOIN s1),
+        |h1r AS (SELECT e.src AS node, sum(a1.auth) AS raw
+        |        FROM e JOIN a1 ON e.dst = a1.node GROUP BY 1),
+        |t1 AS (SELECT greatest(1, coalesce(max(raw), 0) // 1000000)
+        |         AS s FROM h1r),
+        |h1 AS (SELECT nodes.node, coalesce(raw, 0) // s AS hub
+        |       FROM nodes LEFT JOIN h1r USING (node) CROSS JOIN t1),
+        |a2r AS (SELECT e.dst AS node, sum(h1.hub) AS raw
+        |        FROM e JOIN h1 ON e.src = h1.node GROUP BY 1),
+        |s2 AS (SELECT greatest(1, coalesce(max(raw), 0) // 1000000)
+        |         AS s FROM a2r),
+        |a2 AS (SELECT nodes.node, coalesce(raw, 0) // s AS auth
+        |       FROM nodes LEFT JOIN a2r USING (node) CROSS JOIN s2),
+        |h2r AS (SELECT e.src AS node, sum(a2.auth) AS raw
+        |        FROM e JOIN a2 ON e.dst = a2.node GROUP BY 1),
+        |t2 AS (SELECT greatest(1, coalesce(max(raw), 0) // 1000000)
+        |         AS s FROM h2r),
+        |h2 AS (SELECT nodes.node, coalesce(raw, 0) // s AS hub
+        |       FROM nodes LEFT JOIN h2r USING (node) CROSS JOIN t2)
+        |SELECT nodes.node, CAST(h2.hub AS BIGINT) AS hub,
+        |       CAST(a2.auth AS BIGINT) AS auth
+        |FROM nodes JOIN h2 USING (node) JOIN a2 USING (node)
+        |ORDER BY node""".stripMargin,
+    "q158_postings_delta" ->
+      """WITH st AS (
+        |  SELECT doc_id, text,
+        |    (doc_id % 5 <> 4) AS in_old, (doc_id % 7 <> 3) AS in_new,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END
+        |      AS ntext
+        |  FROM documents),
+        |up AS (SELECT doc_id, ntext FROM st
+        |       WHERE in_new AND ((NOT in_old) OR doc_id % 3 = 0)),
+        |tok AS (SELECT doc_id,
+        |          unnest(regexp_split_to_array(trim(ntext), '\s+'))
+        |            AS term,
+        |          unnest(range(len(regexp_split_to_array(trim(ntext),
+        |            '\s+')))) AS pos
+        |        FROM up),
+        |posts AS (SELECT 'upsert' AS op, term, doc_id,
+        |            count(*) AS tf,
+        |            string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos)
+        |              AS positions
+        |          FROM tok WHERE term <> '' GROUP BY 2, 3),
+        |del AS (SELECT 'delete' AS op, CAST(NULL AS VARCHAR) AS term,
+        |          doc_id, CAST(NULL AS BIGINT) AS tf,
+        |          CAST(NULL AS VARCHAR) AS positions
+        |        FROM st
+        |        WHERE in_old AND ((NOT in_new) OR doc_id % 3 = 0))
+        |SELECT op, term, doc_id, tf, positions FROM posts
+        |UNION ALL SELECT * FROM del
+        |ORDER BY op, doc_id, term""".stripMargin,
     "q155_corpus_drift" ->
       """WITH tok AS (
         |  SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+'))

@@ -517,4 +517,28 @@ class CrawlSpec extends SparkSuite {
     assert(m("https://a.com/x?") === ((1, 0, 0, false)))
     assert(m("https://a.com/x#frag") === ((1, 0, 0, false)))
   }
+  test("hitsInt: hand-computed 3-node graph, multi-edge dedup, determinism") {
+    import spark.implicits._
+    // 1->2, 1->3, 2->3, 3->1 (edge 1->2 duplicated: must collapse)
+    val e = Seq((1L, 2L), (1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val got = Crawl.hitsInt(e, iters = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // iter1: a_raw=(1e6,1e6,2e6) s=2 -> a=(5e5,5e5,1e6);
+    //        h_raw=(1.5e6,1e6,5e5) s=1 -> h as-is
+    // iter2: a_raw=(5e5,1.5e6,2.5e6) s=2 -> a=(25e4,75e4,125e4);
+    //        h_raw=(2e6,1.25e6,25e4) s=2 -> h=(1e6,625e3,125e3)
+    assert(got(1L) === ((1000000L, 250000L)))
+    assert(got(2L) === ((625000L, 750000L)))
+    assert(got(3L) === ((125000L, 1250000L)))
+    // deterministic under repartition
+    val re = Crawl.hitsInt(e.repartition(4), iters = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(re === got)
+    // one iteration: the first half-round values
+    val one = Crawl.hitsInt(e, iters = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(one(3L) === ((500000L, 1000000L)))
+    intercept[IllegalArgumentException] { Crawl.hitsInt(e, iters = 0) }
+  }
 }
