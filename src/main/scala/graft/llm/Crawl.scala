@@ -104,6 +104,69 @@ object Crawl {
         col("_best.p").as("matched_prefix")): _*)
   }
 
+  /** Per-host rule ARRAYS for the streaming tier: the same
+    * pattern→regex translation as [[robotsFilter]], collapsed to one
+    * row per host with a rules array — bounded per host by RFC
+    * 9309's 500 KiB robots.txt cap, so a row never outgrows a task.
+    * Build once from the registry, broadcast into
+    * [[robotsFilterStream]]. Output: (host, robots_rules). */
+  def robotsRulesByHost(rules: DataFrame): DataFrame = {
+    val hasEnd = col("prefix").endsWith("$")
+    val body = when(hasEnd,
+      expr("substring(prefix, 1, length(prefix)-1)")).otherwise(col("prefix"))
+    val escaped =
+      regexp_replace(body, lit("[.^+?(){}\\[\\]|$\\\\]"), lit("\\\\$0"))
+    val rx = concat(lit("^"), replace(escaped, lit("*"), lit(".*")),
+      when(hasEnd, lit("$")).otherwise(lit("")))
+    rules.select(col("host"), col("allow"), col("prefix"),
+        (length(col("prefix")) - hasEnd.cast("int")).as("_l"), rx.as("_rx"))
+      .groupBy("host")
+      .agg(collect_list(struct(col("_rx").as("rx"), col("_l").as("l"),
+        col("allow").as("allow"), col("prefix").as("p")))
+        .as("robots_rules"))
+  }
+
+  /** STREAMING-tier robots filtering: identical verdicts to
+    * [[robotsFilter]] (CrawlSpec pins row parity), restructured
+    * STATELESS so it runs in a Structured Streaming append query:
+    * the batch tier's winner is a groupBy max(struct) — a streaming
+    * AGGREGATION that would demand watermark state — so here the
+    * per-host rules ride in as an ARRAY via one stream-static
+    * broadcast left join and the winner folds per ROW inside an
+    * `aggregate` HOF over that array (bounded by the RFC's per-host
+    * cap). Each row pays the regex probes over its host's rules —
+    * same work as the batch join, no shuffle, no state.
+    * Tie-breaks mirror the batch tier exactly: (pattern octets,
+    * allow, prefix) lexicographic max; no match → allowed. */
+  def robotsFilterStream(urls: DataFrame, idCol: String, hostCol: String,
+      pathCol: String, rulesByHost: DataFrame): DataFrame = {
+    val reserved = Seq("_rb_host", "_rb_rules", "_rb_path", "_best",
+      "allowed", "matched_prefix")
+    require(!urls.columns.exists(reserved.contains),
+      "urls must not carry the scratch or output columns " + reserved)
+    val r = broadcast(rulesByHost.select(col("host").as("_rb_host"),
+      col("robots_rules").as("_rb_rules")))
+    urls
+      .withColumn("_rb_path", col(pathCol))
+      .join(r, col(hostCol) === col("_rb_host"), "left")
+      .withColumn("_best", expr(
+        """aggregate(
+          |  filter(coalesce(_rb_rules,
+          |           cast(array() as array<struct<rx:string,l:int,allow:boolean,p:string>>)),
+          |         x -> _rb_path rlike x.rx),
+          |  cast(null as struct<l:int,a:int,p:string>),
+          |  (acc, x) -> case
+          |    when acc is null
+          |      then named_struct('l', x.l, 'a', cast(x.allow as int), 'p', x.p)
+          |    when struct(x.l, cast(x.allow as int), x.p) >
+          |         struct(acc.l, acc.a, acc.p)
+          |      then named_struct('l', x.l, 'a', cast(x.allow as int), 'p', x.p)
+          |    else acc end)""".stripMargin))
+      .withColumn("allowed", coalesce(col("_best.a") === 1, lit(true)))
+      .withColumn("matched_prefix", col("_best.p"))
+      .drop("_rb_host", "_rb_rules", "_rb_path", "_best")
+  }
+
   /** Parse raw robots.txt BODIES into the (host, allow, prefix) rule
     * table [[robotsFilter]] consumes — the registry materializer: a
     * crawl pipeline fetches one robots.txt per host and needs its

@@ -299,6 +299,25 @@ object R9Queries {
       upserts.union(deletes).orderBy("op", "doc_id", "term")
     }),
 
+    // [EXT] IP-range enrichment (GeoIP-style): hash-derived 32-bit
+    // IPs against 64 non-uniform [k², (k+1)²)·10⁶ ranges through the
+    // bucketized rangeJoin — the equi-joinable form of an interval
+    // lookup (an inequality θ-join would be a broadcast nested loop
+    // over the corpus). The oracle uses DuckDB's native BETWEEN
+    // join; results must agree exactly.
+    "q159_ip_range_enrich" -> ((s, d) => {
+      val ips = T.documents(s, d).select(col("doc_id"),
+        pmod(col("doc_id") * 2654435761L, lit(4294967296L)).as("ip"))
+      val ranges = s.range(64).select(
+        (col("id") * col("id") * 1000000L).as("r_start"),
+        ((col("id") + 1L) * (col("id") + 1L) * 1000000L - 1L).as("r_end"),
+        concat(lit("geo"), col("id")).as("geo"))
+      graft.ops.relational.rangeJoin(ips, ranges, "ip",
+          "r_start", "r_end", bucketWidth = 1L << 22)
+        .select("doc_id", "ip", "geo")
+        .orderBy("doc_id")
+    }),
+
     // [EXT] per-GROUP heavy hitters: the SpaceSaving aggregate of
     // q57 run per lang over source — bounded ≤64-entry state per
     // group through partial/merge/final; exact (err=0) here because
@@ -571,6 +590,17 @@ object R9Queries {
         |  ((sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000) // count(*))
         |    < 500 AS low_quality
         |FROM k GROUP BY 1 ORDER BY source""".stripMargin,
+    "q159_ip_range_enrich" ->
+      """WITH ips AS (
+        |  SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS ip
+        |  FROM documents),
+        |r AS (SELECT range AS k, range * range * 1000000 AS r_start,
+        |        (range + 1) * (range + 1) * 1000000 - 1 AS r_end,
+        |        'geo' || CAST(range AS VARCHAR) AS geo
+        |      FROM range(64))
+        |SELECT doc_id, CAST(ip AS BIGINT) AS ip, geo
+        |FROM ips JOIN r ON ip BETWEEN r_start AND r_end
+        |ORDER BY doc_id""".stripMargin,
     "q157_hits" ->
       """WITH nn AS (SELECT count(*) AS n FROM documents),
         |e AS (SELECT DISTINCT src, dst FROM (

@@ -541,4 +541,39 @@ class CrawlSpec extends SparkSuite {
     assert(one(3L) === ((500000L, 1000000L)))
     intercept[IllegalArgumentException] { Crawl.hitsInt(e, iters = 0) }
   }
+  test("robotsFilterStream: row parity with the batch tier on literal and wildcard rules") {
+    val wr = Seq(
+      ("w.com", false, "/private/*"),
+      ("w.com", true, "/private/1"),
+      ("w.com", false, "/*.php$"),
+      ("w.com", true, "/files/p1.php"),
+      ("w.com", true, "/pub/*/x"),
+      ("w.com", false, "/pub/"),
+      ("v.com", true, "/*"),
+      ("v.com", false, "/private")
+    ).toDF("host", "allow", "prefix")
+    val wu = Seq(
+      (1L, "w.com", "/private/1"), (2L, "w.com", "/private/12"),
+      (3L, "w.com", "/files/p1.php"), (4L, "w.com", "/files/p2.php"),
+      (5L, "w.com", "/files/p2.phpx"), (6L, "w.com", "/pub/a/x"),
+      (7L, "w.com", "/pub/a/y"), (8L, "v.com", "/private/x"),
+      (9L, "nohost.com", "/anything")
+    ).toDF("id", "host", "path")
+    val batch = Crawl.robotsFilter(wu, "id", "host", "path", wr)
+      .select("id", "host", "path", "allowed", "matched_prefix")
+      .orderBy("id").collect().toSeq
+    val stream = Crawl.robotsFilterStream(wu, "id", "host", "path",
+        Crawl.robotsRulesByHost(wr))
+      .select("id", "host", "path", "allowed", "matched_prefix")
+      .orderBy("id").collect().toSeq
+    assert(stream === batch)
+    // payload columns pass through
+    val withPayload = wu.withColumn("extra",
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("p"), col("id")))
+    val sp = Crawl.robotsFilterStream(withPayload, "id", "host", "path",
+      Crawl.robotsRulesByHost(wr))
+    assert(sp.columns.toSeq ===
+      Seq("id", "host", "path", "extra", "allowed", "matched_prefix"))
+  }
 }

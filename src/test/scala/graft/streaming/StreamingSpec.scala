@@ -446,4 +446,52 @@ class StreamingSpec extends SparkSuite {
       s.user_id == 1L && s.n_events == 2 && s.session_start == 0L && s.session_end == 10000L))
     assert(!closed.exists(_.user_id == 2L)) // user 2 never exceeded the gap
   }
+  test("streaming frontier admission: trap filter + robots verdicts, batch parity") {
+    val base = Files.createTempDirectory("graft-frontier").toString
+    val urls = Seq(
+      (1L, "h0.com", "https://h0.com/cat/1"),
+      (2L, "h0.com", "https://h0.com/private/x2"),
+      (3L, "h1.com", "https://h1.com/a/b/a/b/a/b"),          // dup trap
+      (4L, "h1.com", "https://h1.com/1/2/3/4/5/6/7/8/9"),    // deep trap
+      (5L, "h1.com", "https://h1.com/about"),
+      (6L, "h2.com", "https://h2.com/cat/6")                  // no rules
+    ).toDF("id", "host", "url")
+    urls.repartition(3).write.mode("overwrite").parquet(s"$base/land")
+    val rules = Seq(
+      ("h0.com", false, "/private/"), ("h1.com", false, "/secret/")
+    ).toDF("host", "allow", "prefix")
+    val byHost = graft.llm.Crawl.robotsRulesByHost(rules)
+
+    def admit(df: org.apache.spark.sql.DataFrame) = {
+      val safe = graft.llm.Crawl.urlTrapSignals(df, "url")
+        .filter(!org.apache.spark.sql.functions.col("is_trap"))
+        .select("id", "host", "url")
+        .withColumn("path", org.apache.spark.sql.functions.regexp_extract(
+          org.apache.spark.sql.functions.col("url"),
+          "^https://[^/]*(/.*)$", 1))
+      graft.llm.Crawl.robotsFilterStream(safe, "id", "host", "path", byHost)
+        .filter(org.apache.spark.sql.functions.col("allowed"))
+        .select("id", "url")
+    }
+
+    val schema = spark.read.parquet(s"$base/land").schema
+    val stream = Streaming.fileStream(spark, s"$base/land", schema,
+      options = Map("maxFilesPerTrigger" -> "1"))
+    val q = admit(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("frontier")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    q.awaitTermination(300000)
+    val streamed = spark.table("frontier").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    // traps (3, 4) and robots-denied (2) are gone; stateless chain
+    assert(streamed === Seq((1L, "https://h0.com/cat/1"),
+      (5L, "https://h1.com/about"), (6L, "https://h2.com/cat/6")))
+    // byte parity with the same chain run as a batch
+    val batch = admit(spark.read.parquet(s"$base/land")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(streamed === batch)
+  }
 }
