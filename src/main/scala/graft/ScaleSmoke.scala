@@ -366,7 +366,8 @@ object ScaleSmoke {
 
     val hotSet = Set("dup_shingle_audit_hot", "keyword_search_hot",
       "keep_best_hot", "ksample_hot", "kmv_sketch_hot", "line_dedup_hot",
-      "pack_hot", "budget_select_hot", "pagerank")
+      "pack_hot", "budget_select_hot", "pagerank",
+      "weighted_sample_hot", "postings_hot")
     val selected = subset match {
       case "all" => scenarios
       case "hot" => scenarios.filter(s => hotSet(s._1))

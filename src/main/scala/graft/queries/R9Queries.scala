@@ -318,6 +318,41 @@ object R9Queries {
         .orderBy("doc_id")
     }),
 
+    // [EXT] dataset card: the one-pass corpus summary a training-
+    // data release ships — doc/token/char mass, lang+source breadth,
+    // exact-dup surplus, quality-keep count — as a tidy
+    // (metric, value) table. ONE scan; the multi-count-distinct
+    // Expand triples the aggregate's input, which is the documented
+    // price of exact breadth counts in one pass (swap KMV sketches
+    // at 100 TB if approximate breadth suffices).
+    "q160_dataset_card" -> ((s, d) => {
+      val g = graft.llm.TextAnalysis.qualityGate(col("text"))
+      T.documents(s, d)
+        .select(col("lang"), col("source"), col("n_chars"),
+          graft.llm.TextAnalysis.tokenCountWs(col("text")).cast("long")
+            .as("ntok"),
+          sha2(trim(col("text")), 256).as("h"),
+          g.getField("keep").as("keep"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("ntok").as("n_tokens"),
+          countDistinct("lang").as("n_langs"),
+          countDistinct("source").as("n_sources"),
+          (count(lit(1)) - countDistinct("h")).as("n_exact_dup_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_quality_keep"),
+          sum("n_chars").as("n_chars"))
+        .select(expr(
+          """stack(7,
+            |  'n_chars', n_chars,
+            |  'n_docs', n_docs,
+            |  'n_exact_dup_docs', n_exact_dup_docs,
+            |  'n_langs', n_langs,
+            |  'n_quality_keep', n_quality_keep,
+            |  'n_sources', n_sources,
+            |  'n_tokens', n_tokens) AS (metric, value)""".stripMargin))
+        .orderBy("metric")
+    }),
+
     // [EXT] per-GROUP heavy hitters: the SpaceSaving aggregate of
     // q57 run per lang over source — bounded ≤64-entry state per
     // group through partial/merge/final; exact (err=0) here because
@@ -590,6 +625,49 @@ object R9Queries {
         |  ((sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000) // count(*))
         |    < 500 AS low_quality
         |FROM k GROUP BY 1 ORDER BY source""".stripMargin,
+    "q160_dataset_card" ->
+      """WITH t AS (
+        |  SELECT lang, source, n_chars,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS ntok,
+        |    sha256(trim(text)) AS h,
+        |    regexp_split_to_array(trim(text), '\s+') AS w,
+        |    text
+        |  FROM documents),
+        |c AS (SELECT doc_id, tok, count(*) AS c FROM
+        |        (SELECT doc_id, unnest(regexp_split_to_array(trim(text),
+        |           '\s+')) AS tok FROM documents) u GROUP BY 1, 2),
+        |m AS (SELECT doc_id, max(c) AS top FROM c GROUP BY 1),
+        |k AS (SELECT d.doc_id,
+        |        (len(w) BETWEEN 30 AND 100000)
+        |          AND (length(d.text) BETWEEN 4 * len(w) AND 11 * len(w))
+        |          AND m.top * 100 <= len(w) * 10
+        |          AND len(list_filter(w,
+        |            x -> x IN ('the','a','and','of','to'))) * 1000
+        |            >= len(w) * 50 AS keep
+        |      FROM documents d
+        |      JOIN (SELECT doc_id, regexp_split_to_array(trim(text),
+        |              '\s+') AS w FROM documents) s ON d.doc_id = s.doc_id
+        |      JOIN m ON d.doc_id = m.doc_id),
+        |agg AS (SELECT
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |    CAST(count(*) - count(DISTINCT h) AS BIGINT)
+        |      AS n_exact_dup_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS nc
+        |  FROM t),
+        |kq AS (SELECT CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_quality_keep FROM k)
+        |SELECT metric, value FROM (
+        |  SELECT 'n_chars' AS metric, nc AS value FROM agg
+        |  UNION ALL SELECT 'n_docs', n_docs FROM agg
+        |  UNION ALL SELECT 'n_exact_dup_docs', n_exact_dup_docs FROM agg
+        |  UNION ALL SELECT 'n_langs', n_langs FROM agg
+        |  UNION ALL SELECT 'n_quality_keep', n_quality_keep FROM kq
+        |  UNION ALL SELECT 'n_sources', n_sources FROM agg
+        |  UNION ALL SELECT 'n_tokens', n_tokens FROM agg)
+        |ORDER BY metric""".stripMargin,
     "q159_ip_range_enrich" ->
       """WITH ips AS (
         |  SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS ip
