@@ -351,6 +351,22 @@ object ScaleSmoke {
         docs.select(col("id"), concat(lit("https://h"),
           pmod(col("id"), lit(1000)), lit(".com/a/b/"),
           col("id")).as("url")), "url")),
+      // HITS over the q109-shaped planted graph (2 edges/node,
+      // deduped): 2 iterations = 4 edge joins + 4 one-row max
+      // actions with checkpoint cadence
+      "hits" -> (() => {
+        val ids = docs.select(col("id"))
+        val e = ids.select(col("id").as("src"),
+            pmod(col("id") * 7, lit(n)).as("dst"))
+          .union(ids.select(col("id").as("src"),
+            pmod(col("id") * 13 + 1, lit(n)).as("dst")))
+        graft.llm.Crawl.hitsInt(e, iters = 2)
+      }),
+      // corpus drift: two half-corpus token scans collapsing to
+      // 4096-row models; everything after is bounded arithmetic
+      "drift" -> (() => graft.llm.Selection.distributionDrift(
+        docs.filter(col("id") % 2 === 0), docs.filter(col("id") % 2 === 1),
+        "text")),
       // snapshot diff: two n-row snapshots, one full-outer hash join
       // on url carrying (url, hash) only
       "snapshot_diff" -> (() => {

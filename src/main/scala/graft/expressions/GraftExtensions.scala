@@ -37,7 +37,8 @@ object GraftFunctions {
     ("graft_ksample", KSampleAgg.info, KSampleAgg.builder _),
     ("graft_langid", LangIdExpr.info, LangIdExpr.builder _),
     ("graft_warc_records", WarcRecordsGen.info, WarcRecordsGen.builder _),
-    ("graft_deflate_size", DeflateSize.info, DeflateSize.builder _))
+    ("graft_deflate_size", DeflateSize.info, DeflateSize.builder _),
+    ("graft_phrase_hits", PhraseHits.info, PhraseHits.builder _))
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {

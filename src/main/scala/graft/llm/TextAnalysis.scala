@@ -18,6 +18,17 @@ object TextAnalysis {
   /** Whitespace tokens (the reference's rows are whitespace-joined text). */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
+  /** Substring-tier phrase blocklist hits — see
+    * [[graft.expressions.PhraseHits]] for the counting contract
+    * (non-overlapping per phrase, summed; map-only codegen'd).
+    * The token-exact tier is [[blocklistFilter]]. */
+  def phraseHits(c: Column, phrases: Seq[String]): Column = {
+    require(phrases.size <= 10000,
+      s"phrase list is a scan parameter; got ${phrases.size} (cap 10000)")
+    val b = org.apache.spark.sql.GraftColumnBridge
+    b.column(graft.expressions.PhraseHits(b.expression(c), phrases))
+  }
+
   /** Whitespace token count. `regexp_count(runs)+1` is value-identical
     * to `size(split(...))` (split('') yields [''] → 1, n whitespace
     * runs separate n+1 tokens) without materializing the token array —

@@ -353,6 +353,22 @@ object R9Queries {
         .orderBy("metric")
     }),
 
+    // [EXT] substring-tier phrase blocklist: the graft_phrase_hits
+    // native expression counts non-overlapping occurrences of each
+    // phrase (replace() semantics — the oracle replays it as
+    // (len − len(replace))/len per phrase) in ONE codegen'd pass;
+    // multi-word phrases are exactly what the token-exact q138 tier
+    // cannot express. Map-only.
+    "q161_phrase_blocklist" -> ((s, d) => {
+      val phrases = Seq("table scan", "merge part", "slow small")
+      T.documents(s, d)
+        .select(col("doc_id"),
+          graft.llm.TextAnalysis.phraseHits(col("text"), phrases)
+            .as("hits"))
+        .withColumn("blocked", col("hits") > 0)
+        .orderBy("doc_id")
+    }),
+
     // [EXT] per-GROUP heavy hitters: the SpaceSaving aggregate of
     // q57 run per lang over source — bounded ≤64-entry state per
     // group through partial/merge/final; exact (err=0) here because
@@ -625,6 +641,21 @@ object R9Queries {
         |  ((sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000) // count(*))
         |    < 500 AS low_quality
         |FROM k GROUP BY 1 ORDER BY source""".stripMargin,
+    "q161_phrase_blocklist" ->
+      """SELECT doc_id,
+        |  CAST((length(text) - length(replace(text, 'table scan', '')))
+        |         // length('table scan')
+        |     + (length(text) - length(replace(text, 'merge part', '')))
+        |         // length('merge part')
+        |     + (length(text) - length(replace(text, 'slow small', '')))
+        |         // length('slow small') AS INT) AS hits,
+        |  ((length(text) - length(replace(text, 'table scan', '')))
+        |         // length('table scan')
+        |     + (length(text) - length(replace(text, 'merge part', '')))
+        |         // length('merge part')
+        |     + (length(text) - length(replace(text, 'slow small', '')))
+        |         // length('slow small')) > 0 AS blocked
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q160_dataset_card" ->
       """WITH t AS (
         |  SELECT lang, source, n_chars,

@@ -547,4 +547,42 @@ class TextAnalysisSpec extends SparkSuite {
     // Thai is outside all four classes: report other, never a guess
     assert(r("เด็กเล่น").getAs[String]("script") === "other")
   }
+  test("phraseHits: non-overlapping replace-count semantics per phrase") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a table scan then a table scan again"),
+      (2L, "tabletable scan"),        // substring still matches once
+      (3L, "aaaa"),                    // self-overlap: "aa" counts 2, not 3
+      (4L, "nothing here"),
+      (5L, "")
+    ).toDF("id", "text")
+    val two = TextAnalysis.phraseHits(col("text"),
+      Seq("table scan", "aa"))
+    val got = df.select(col("id"), two.as("h")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got(1L) === 2)
+    assert(got(2L) === 1)
+    assert(got(3L) === 2) // left-to-right skip: aa|aa
+    assert(got(4L) === 0)
+    assert(got(5L) === 0)
+    // null text -> null
+    val n = Seq((1L, Option.empty[String])).toDF("id", "text")
+      .select(TextAnalysis.phraseHits(col("text"), Seq("x")).as("h"))
+      .collect()(0)
+    assert(n.isNullAt(0))
+    // SQL registration with a foldable array literal
+    graft.expressions.NativeFunctions.register(spark)
+    df.createOrReplaceTempView("ph_docs")
+    val viaSql = spark.sql(
+      "SELECT id, graft_phrase_hits(text, array('table scan', 'aa')) " +
+      "AS h FROM ph_docs").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaSql === got)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.phraseHits(col("text"), Seq("ok", ""))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.phraseHits(col("text"), Seq("dup", "dup"))
+    }
+  }
 }
