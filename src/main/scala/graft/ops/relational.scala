@@ -42,8 +42,11 @@ object relational {
       leftTime: String, rightTime: String,
       maxRowsPerKey: Option[Long] = None,
       direction: String = "backward"): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"direction must be backward or forward, got $direction")
+    require(direction == "backward" || direction == "forward" ||
+      direction == "nearest",
+      s"direction must be backward, forward, or nearest, got $direction")
+    if (direction == "nearest")
+      return asofNearest(left, right, on, leftTime, rightTime, maxRowsPerKey)
     val forward = direction == "forward"
     maxRowsPerKey.foreach { cap =>
       require(cap > 0, "maxRowsPerKey must be positive")
@@ -98,6 +101,81 @@ object relational {
       .withColumn("_rmatch", pick.over(frame))
       .filter(col("_side") === lSide)
 
+    val outCols =
+      on.map(col) ++
+        lPayload.map(c => col(s"_l.$c").as(c)) ++
+        rPayload.map(c => col(s"_rmatch.$c").as(c))
+    joined.select(outCols: _*)
+  }
+
+  /** `direction = "nearest"` arm of [[asofJoin]]: the right row with
+    * the smallest |rightTime − leftTime| per key; exact ties prefer
+    * the BACKWARD candidate (the pandas merge_asof convention).
+    * SAME single-shuffle single-sort plan as the directional arms —
+    * both candidates come from one window pass (last-preceding +
+    * first-following over the same union), then a per-row delta
+    * compare picks the winner; never two joins stitched back
+    * together (which would need a unique left row id and a second
+    * shuffle). */
+  private def asofNearest(left: DataFrame, right: DataFrame,
+      on: Seq[String], leftTime: String, rightTime: String,
+      maxRowsPerKey: Option[Long]): DataFrame = {
+    maxRowsPerKey.foreach { cap =>
+      require(cap > 0, "maxRowsPerKey must be positive")
+      val keyed = left.select(on.map(col): _*)
+        .unionByName(right.select(on.map(col): _*))
+      val offender = keyed.groupBy(on.map(col): _*)
+        .agg(count(lit(1)).as("_n")).filter(col("_n") > cap)
+        .orderBy(col("_n").desc).limit(1).collect()
+      offender.headOption.foreach { r =>
+        val key = on.indices.map(r.get).mkString(", ")
+        throw new IllegalArgumentException(
+          s"asofJoin: key ($key) carries ${r.getLong(on.length)} rows " +
+            s"across both sides, above maxRowsPerKey=$cap — its whole " +
+            "history would serialize through one window task; split the " +
+            "key upstream or raise the cap")
+      }
+    }
+    val rtName = "_asof_rt"
+    require(!left.columns.contains(rtName) && !right.columns.contains(rtName),
+      s"asofJoin nearest: $rtName is a reserved scratch column")
+    val lPayload = left.columns.filterNot(on.contains).toSeq
+    val rPayload = right.columns
+      .filterNot(c => on.contains(c) || c == rightTime).toSeq
+    val r2 = right.withColumn(rtName, col(rightTime))
+    val lStruct = struct(lPayload.map(col): _*)
+    val rStruct = struct((rPayload :+ rtName).map(col): _*)
+    val lStructType = org.apache.spark.sql.types.StructType(
+      lPayload.map(c => left.schema(c)))
+    val rStructType = org.apache.spark.sql.types.StructType(
+      (rPayload.map(c => right.schema(c)) :+
+        org.apache.spark.sql.types.StructField(rtName,
+          right.schema(rightTime).dataType, nullable = true)))
+    // backward side order: right sorts BEFORE left at equal time, so
+    // the preceding frame sees an exactly-equal right row (delta 0 —
+    // it wins every tie anyway, which is why the following frame
+    // excluding equal-time rights loses nothing)
+    val lU = left.select(
+      (on.map(col) :+ col(leftTime).as("_t") :+ lit(1).as("_side") :+
+        lStruct.as("_l") :+ lit(null).cast(rStructType).as("_r")): _*)
+    val rU = r2.select(
+      (on.map(col) :+ col(rtName).as("_t") :+ lit(0).as("_side") :+
+        lit(null).cast(lStructType).as("_l") :+ rStruct.as("_r")): _*)
+    val base = Window.partitionBy(on.map(col): _*)
+      .orderBy(col("_t"), col("_side"))
+    val bwd = last(col("_r"), ignoreNulls = true).over(
+      base.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val fwd = first(col("_r"), ignoreNulls = true).over(
+      base.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    val joined = lU.unionByName(rU)
+      .withColumn("_b", bwd).withColumn("_f", fwd)
+      .filter(col("_side") === 1)
+      .withColumn("_rmatch",
+        when(col("_f").isNull, col("_b"))
+          .when(col("_b").isNull, col("_f"))
+          .when(col("_t") - col(s"_b.$rtName") <=
+            col(s"_f.$rtName") - col("_t"), col("_b"))
+          .otherwise(col("_f")))
     val outCols =
       on.map(col) ++
         lPayload.map(c => col(s"_l.$c").as(c)) ++

@@ -369,6 +369,27 @@ object R9Queries {
         .orderBy("doc_id")
     }),
 
+    // [EXT] NEAREST as-of join (q45 backward / q113 forward's third
+    // arm, the pandas merge_asof nearest convention — ties prefer
+    // backward): both candidates from ONE window pass over the same
+    // union, per-row delta compare picks. Oracle: two DuckDB ASOF
+    // joins + the same CASE.
+    "q162_asof_nearest" -> ((s, d) => {
+      val ev = T.events(s, d)
+      val left = ev.select(col("event_id"), col("user_id").as("custkey"),
+        T.tsMillis(ev, "ts").as("t_ms"))
+      val right = T.orders(s, d)
+        .groupBy(col("o_custkey").as("custkey"),
+          unix_millis(col("o_orderdate")
+            .cast(org.apache.spark.sql.types.TimestampType)).as("od_ms"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      graft.ops.relational.asofJoin(left, right, Seq("custkey"),
+          "t_ms", "od_ms", direction = "nearest")
+        .select("event_id", "custkey", "o_orderkey", "order_date")
+        .orderBy("event_id")
+    }),
+
     // [EXT] per-GROUP heavy hitters: the SpaceSaving aggregate of
     // q57 run per lang over source — bounded ≤64-entry state per
     // group through partial/merge/final; exact (err=0) here because
@@ -641,6 +662,34 @@ object R9Queries {
         |  ((sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000) // count(*))
         |    < 500 AS low_quality
         |FROM k GROUP BY 1 ORDER BY source""".stripMargin,
+    "q162_asof_nearest" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id AS custkey, epoch_ms(ts) AS t_ms
+        |  FROM events),
+        |o AS (
+        |  SELECT o_custkey AS custkey, epoch_ms(o_orderdate) AS od_ms,
+        |         strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |         max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2, 3),
+        |b AS (SELECT e.event_id, e.custkey, e.t_ms, o.od_ms AS b_ms,
+        |        o.o_orderkey AS b_key, o.order_date AS b_date
+        |      FROM e ASOF LEFT JOIN o
+        |        ON e.custkey = o.custkey AND e.t_ms >= o.od_ms),
+        |f AS (SELECT e.event_id, o.od_ms AS f_ms,
+        |        o.o_orderkey AS f_key, o.order_date AS f_date
+        |      FROM e ASOF LEFT JOIN o
+        |        ON e.custkey = o.custkey AND e.t_ms <= o.od_ms)
+        |SELECT b.event_id, b.custkey,
+        |  CASE WHEN f_ms IS NULL THEN b_key
+        |       WHEN b_ms IS NULL THEN f_key
+        |       WHEN (t_ms - b_ms) <= (f_ms - t_ms) THEN b_key
+        |       ELSE f_key END AS o_orderkey,
+        |  CASE WHEN f_ms IS NULL THEN b_date
+        |       WHEN b_ms IS NULL THEN f_date
+        |       WHEN (t_ms - b_ms) <= (f_ms - t_ms) THEN b_date
+        |       ELSE f_date END AS order_date
+        |FROM b JOIN f USING (event_id)
+        |ORDER BY event_id""".stripMargin,
     "q161_phrase_blocklist" ->
       """SELECT doc_id,
         |  CAST((length(text) - length(replace(text, 'table scan', '')))

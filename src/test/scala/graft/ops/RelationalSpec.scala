@@ -223,4 +223,33 @@ class RelationalSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("start_ms"))
   }
+  test("asofJoin nearest: min |delta|, ties prefer backward, one-sided arms") {
+    val left = Seq(
+      (1, 1, 100L),  // equal-time right at 100 -> delta 0 backward
+      (2, 1, 149L),  // 100 (d=49) vs 200 (d=51) -> backward 'a'
+      (3, 1, 151L),  // 100 (d=51) vs 200 (d=49) -> forward 'b'
+      (4, 1, 150L),  // exact tie d=50 -> backward 'a' (pandas convention)
+      (5, 2, 10L),   // only a LATER right exists -> forward 'c'
+      (6, 3, 10L)    // no right at all -> null
+    ).toDF("id", "k", "t")
+    val right = Seq((1, 100L, "a"), (1, 200L, "b"), (2, 60L, "c"))
+      .toDF("k", "rt", "v")
+    val got = relational.asofJoin(left, right, Seq("k"), "t", "rt",
+        direction = "nearest")
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[String]("v"))).toSeq
+    assert(got === Seq((1, "a"), (2, "a"), (3, "b"), (4, "a"),
+      (5, "c"), (6, null)))
+    // scratch column must not leak into the output
+    val cols = relational.asofJoin(left, right, Seq("k"), "t", "rt",
+      direction = "nearest").columns.toSeq
+    assert(cols === Seq("k", "id", "t", "v"))
+    // cap guard works on the nearest arm too
+    val hotLeft = Seq.tabulate(30)(i => (i, 9, i.toLong)).toDF("id", "k", "t")
+    val ex = intercept[IllegalArgumentException] {
+      relational.asofJoin(hotLeft, right, Seq("k"), "t", "rt",
+        maxRowsPerKey = Some(10), direction = "nearest")
+    }
+    assert(ex.getMessage.contains("(9)"))
+  }
 }
