@@ -288,6 +288,56 @@ object Selection {
         sum("tv_c").as("tv_micro"))
   }
 
+  /** [[distributionDrift]] per GROUP — "which source/language
+    * drifted?", the triage step after the global alarm fires. Same
+    * metric contract (per-bucket micro contributions, summed
+    * exactly). The group domain is assumed model-sized (sources,
+    * languages — the stratifiedSplit assumption): the dense
+    * group×bucket table is |groups|·B rows, all bounded aggregates.
+    * A group present on only one side scores against the uniform
+    * (all-+1-smoothing) distribution, which is exactly what "this
+    * source vanished" should alarm as. Output: one row per group. */
+  def distributionDriftByGroup(a: DataFrame, b: DataFrame,
+      groupCol: String, textCol: String, numBuckets: Int = 4096,
+      salt: String = "drift"): DataFrame = {
+    require(numBuckets > 0 && numBuckets <= (1 << 20),
+      s"numBuckets must be in [1, 2^20], got $numBuckets")
+    val spark = a.sparkSession
+
+    def cnt(df: DataFrame, out: String): DataFrame =
+      df.select(col(groupCol).as("g"),
+          explode(tokens(textCol)).as("_sel_term"))
+        .filter(col("_sel_term") =!= "")
+        .select(col("g"),
+          shaBucket(col("_sel_term"), salt, numBuckets).as("bucket"))
+        .groupBy("g", "bucket").agg(count(lit(1)).as(out))
+
+    val aCnt = cnt(a, "a_cnt")
+    val bCnt = cnt(b, "b_cnt")
+    val aTot = aCnt.groupBy("g").agg(sum("a_cnt").as("a_tot"))
+    val bTot = bCnt.groupBy("g").agg(sum("b_cnt").as("b_tot"))
+    val groups = aCnt.select("g").union(bCnt.select("g")).distinct()
+    val p = (coalesce(col("a_cnt"), lit(0L)) + 1L).cast(DoubleType) /
+      (coalesce(col("a_tot"), lit(0L)) + numBuckets).cast(DoubleType)
+    val q = (coalesce(col("b_cnt"), lit(0L)) + 1L).cast(DoubleType) /
+      (coalesce(col("b_tot"), lit(0L)) + numBuckets).cast(DoubleType)
+    groups.crossJoin(spark.range(numBuckets).toDF("bucket"))
+      .join(aCnt, Seq("g", "bucket"), "left")
+      .join(bCnt, Seq("g", "bucket"), "left")
+      .join(broadcast(aTot), Seq("g"), "left")
+      .join(broadcast(bTot), Seq("g"), "left")
+      .select(col("g"),
+        round(p * log(p / q) * 1e6).cast(LongType).as("kl_ab_c"),
+        round(q * log(q / p) * 1e6).cast(LongType).as("kl_ba_c"),
+        round(abs(p - q) / 2.0 * 1e6).cast(LongType).as("tv_c"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum("kl_ab_c").as("kl_ab_micro"),
+        sum("kl_ba_c").as("kl_ba_micro"),
+        sum("tv_c").as("tv_micro"))
+      .withColumnRenamed("g", groupCol)
+  }
+
   /** Stratified split with EXACT per-stratum proportions: within
     * each stratum, rows rank by a salted SHA and the rank range
     * assigns the split — so every stratum lands `floor(n·cum_s)`

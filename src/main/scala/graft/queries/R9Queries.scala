@@ -390,6 +390,19 @@ object R9Queries {
         .orderBy("event_id")
     }),
 
+    // [EXT] per-GROUP drift triage: q155's metric per lang between
+    // the even- and odd-doc_id halves of the corpus — "which
+    // language drifted?" after the global alarm. Dense
+    // groups×256-bucket table, all bounded aggregates.
+    "q163_drift_by_group" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      graft.llm.Selection.distributionDriftByGroup(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          "lang", "text", numBuckets = 256, salt = "drift8")
+        .orderBy("lang")
+    }),
+
     // [EXT] per-GROUP heavy hitters: the SpaceSaving aggregate of
     // q57 run per lang over source — bounded ≤64-entry state per
     // group through partial/merge/final; exact (err=0) here because
@@ -662,6 +675,41 @@ object R9Queries {
         |  ((sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000) // count(*))
         |    < 500 AS low_quality
         |FROM k GROUP BY 1 ORDER BY source""".stripMargin,
+    "q163_drift_by_group" ->
+      """WITH tok AS (
+        |  SELECT lang, doc_id % 2 AS half,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tk AS (SELECT lang, half,
+        |         ('0x' || substr(sha256('drift8|' || term), 1, 13))::BIGINT
+        |           % 256 AS bucket
+        |       FROM tok WHERE term <> ''),
+        |ac AS (SELECT lang, bucket, count(*) AS a_cnt FROM tk
+        |       WHERE half = 0 GROUP BY 1, 2),
+        |bc AS (SELECT lang, bucket, count(*) AS b_cnt FROM tk
+        |       WHERE half = 1 GROUP BY 1, 2),
+        |at AS (SELECT lang, sum(a_cnt) AS a_tot FROM ac GROUP BY 1),
+        |bt AS (SELECT lang, sum(b_cnt) AS b_tot FROM bc GROUP BY 1),
+        |gs AS (SELECT DISTINCT lang FROM (
+        |         SELECT lang FROM ac UNION ALL SELECT lang FROM bc)),
+        |m AS (SELECT gs.lang,
+        |        CAST(coalesce(a_cnt, 0) + 1 AS DOUBLE)
+        |          / CAST(coalesce(a_tot, 0) + 256 AS DOUBLE) AS p,
+        |        CAST(coalesce(b_cnt, 0) + 1 AS DOUBLE)
+        |          / CAST(coalesce(b_tot, 0) + 256 AS DOUBLE) AS q
+        |      FROM gs CROSS JOIN (SELECT range AS bucket FROM range(256)) bk
+        |      LEFT JOIN ac ON ac.lang = gs.lang AND ac.bucket = bk.bucket
+        |      LEFT JOIN bc ON bc.lang = gs.lang AND bc.bucket = bk.bucket
+        |      LEFT JOIN at ON at.lang = gs.lang
+        |      LEFT JOIN bt ON bt.lang = gs.lang)
+        |SELECT lang, count(*) AS n_buckets,
+        |  CAST(sum(CAST(round(p * ln(p / q) * 1e6) AS BIGINT))
+        |    AS BIGINT) AS kl_ab_micro,
+        |  CAST(sum(CAST(round(q * ln(q / p) * 1e6) AS BIGINT))
+        |    AS BIGINT) AS kl_ba_micro,
+        |  CAST(sum(CAST(round(abs(p - q) / 2.0 * 1e6) AS BIGINT))
+        |    AS BIGINT) AS tv_micro
+        |FROM m GROUP BY 1 ORDER BY lang""".stripMargin,
     "q162_asof_nearest" ->
       """WITH e AS (
         |  SELECT event_id, user_id AS custkey, epoch_ms(ts) AS t_ms

@@ -202,4 +202,24 @@ class SelectionSpec extends SparkSuite {
         Seq(("a", 0.5), ("b", 0.4)))
     }
   }
+  test("distributionDriftByGroup: per-group triage, one-sided groups score high") {
+    val a = Seq(("en", "spark join agg"), ("en", "spark sort"),
+      ("fr", "le chat noir"), ("xx", "only in a")).toDF("g", "text")
+    val b = Seq(("en", "spark join agg"), ("en", "spark sort"),
+      ("fr", "chien loup ours")).toDF("g", "text")
+    val got = Selection.distributionDriftByGroup(a, b, "g", "text",
+      numBuckets = 64).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(4)))).toMap
+    assert(got.keySet === Set("en", "fr", "xx"))
+    // identical en halves -> zero drift; disjoint fr tokens -> positive;
+    // one-sided xx scores against uniform -> positive
+    assert(got("en") === ((0L, 0L)))
+    assert(got("fr")._1 > 0L && got("fr")._2 > 0L)
+    assert(got("xx")._1 > 0L)
+    // partitioning-invariant
+    val re = Selection.distributionDriftByGroup(a.repartition(3),
+      b.repartition(2), "g", "text", numBuckets = 64).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(4)))).toMap
+    assert(re === got)
+  }
 }
