@@ -198,7 +198,12 @@ object Selection {
     // below (suffix sums, the threshold join, totals); without the
     // cut Spark would recompute the full scoring pass per reference.
     // ≤ T+1 rows — bounded by the parameter, never the data.
+    // NULL scores/labels are excluded up front: a null score is
+    // neither ≥ nor < any threshold (three-valued logic would count
+    // it nowhere in a direct formulation but in bucket 0 here — the
+    // filter makes both formulations agree and the contract explicit).
     val buckets = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
       .select(size(filter(tArr, t => t <= col(scoreCol))).as("b"),
         col(labelCol).cast("boolean").as("y"))
       .groupBy("b")
@@ -363,6 +368,9 @@ object Selection {
       s"split weights must sum to 1, got ${splits.map(_._2).sum}")
     require(splits.map(_._1).distinct.size == splits.size,
       "split names must be distinct")
+    val reserved = Seq("_ss_h", "_ss_off", "_ss_n", "rank", "split")
+    require(!df.columns.exists(reserved.contains),
+      "input must not carry the scratch or output columns " + reserved)
     val spark = df.sparkSession
     import spark.implicits._
     // exact cumulative per-mille-of-a-million boundaries

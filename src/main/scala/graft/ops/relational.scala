@@ -137,8 +137,9 @@ object relational {
       }
     }
     val rtName = "_asof_rt"
-    require(!left.columns.contains(rtName) && !right.columns.contains(rtName),
-      s"asofJoin nearest: $rtName is a reserved scratch column")
+    val scratch = Seq(rtName, "_t", "_side", "_l", "_r", "_b", "_f", "_rmatch")
+    require(!(left.columns ++ right.columns).exists(scratch.contains),
+      "asofJoin nearest: inputs must not carry the scratch columns " + scratch)
     val lPayload = left.columns.filterNot(on.contains).toSeq
     val rPayload = right.columns
       .filterNot(c => on.contains(c) || c == rightTime).toSeq

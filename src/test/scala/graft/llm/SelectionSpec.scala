@@ -222,4 +222,19 @@ class SelectionSpec extends SparkSuite {
       .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(4)))).toMap
     assert(re === got)
   }
+  test("calibrationSweep excludes null scores/labels; stratifiedSplit guards reserved names") {
+    val df = Seq((Some(10L), Some(true)), (None, Some(true)),
+      (Some(50L), None), (Some(-5L), Some(false)))
+      .toDF("score", "y")
+    val row = Selection.calibrationSweep(df, "score", "y", Seq(0L))
+      .collect()(0)
+    // only (10,true) and (-5,false) count: tp=1 fp=0 fn=0 tn=1
+    assert((row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getLong(4)) === ((1L, 0L, 0L, 1L)))
+    intercept[IllegalArgumentException] {
+      Selection.stratifiedSplit(
+        Seq((1L, "a", "x")).toDF("id", "g", "split"),
+        Seq("g"), "id", Seq(("a", 1.0)))
+    }
+  }
 }
