@@ -2,7 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 
 /** Crawl-pipeline operators ([EXT]): the steps between "fetched page"
   * and "candidate corpus document" — robots-exclusion filtering and
@@ -502,28 +502,39 @@ object Crawl {
 
   private def canonUrl(html: Column, host: Column,
       path: Option[Column]): Column = {
+    // LET-BIND the extracted raw value: the resolution CASE below
+    // references it ~8 times, and CASE branches defeat codegen
+    // subexpression hoisting — un-bound, each reference re-runs the
+    // two lazy-quantifier link-tag extracts per row (the r1 "loop
+    // inversion" lesson; measured 4× on q120). A 1-element aggregate
+    // makes `raw` a lambda variable, evaluated once per row. The
+    // positional compare (two extra regexp_instr passes) only runs
+    // when BOTH attribute orders matched — a page with two canonical
+    // tags, vanishingly rare.
     val relFirst = regexp_extract(html, CanonRelFirst, 1)
     val hrefFirst = regexp_extract(html, CanonHrefFirst, 1)
-    val posRel = regexp_instr(html, lit(CanonRelFirst))
-    val posHref = regexp_instr(html, lit(CanonHrefFirst))
-    val raw = unquote(
-      when(posRel > 0 && (posHref === 0 || posRel <= posHref), relFirst)
+    val rawExpr = unquote(
+      when(relFirst === "", hrefFirst)
+        .when(hrefFirst === "", relFirst)
+        .when(regexp_instr(html, lit(CanonRelFirst)) <=
+          regexp_instr(html, lit(CanonHrefFirst)), relFirst)
         .otherwise(hrefFirst))
     def norm(p: Column): Column =
       when(p.contains("/."), normalizeDots(p)).otherwise(p)
-    when(raw.rlike("(?i)^https?://"), raw)
-      .when(raw.startsWith("//"), concat(lit("https:"), raw))
-      .when(raw.startsWith("/"), concat(lit("https://"), host, norm(raw)))
-      .when(raw === "" || raw.startsWith("#") || raw.startsWith("?") ||
-        raw.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), lit(null).cast("string"))
-      .otherwise(path match {
-        case None => lit(null).cast("string")
-        case Some(p) =>
-          val pagePath = coalesce(p, lit("/"))
-          val d = regexp_extract(pagePath, "^(.*/)", 1)
-          val dir = when(d === "", lit("/")).otherwise(d)
-          concat(lit("https://"), host, norm(concat(dir, raw)))
-      })
+    aggregate(array(rawExpr), lit(null).cast(StringType), (_, raw) =>
+      when(raw.rlike("(?i)^https?://"), raw)
+        .when(raw.startsWith("//"), concat(lit("https:"), raw))
+        .when(raw.startsWith("/"), concat(lit("https://"), host, norm(raw)))
+        .when(raw === "" || raw.startsWith("#") || raw.startsWith("?") ||
+          raw.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), lit(null).cast("string"))
+        .otherwise(path match {
+          case None => lit(null).cast("string")
+          case Some(p) =>
+            val pagePath = coalesce(p, lit("/"))
+            val d = regexp_extract(pagePath, "^(.*/)", 1)
+            val dir = when(d === "", lit("/")).otherwise(d)
+            concat(lit("https://"), host, norm(concat(dir, raw)))
+        }))
   }
 
   /** Outlink extraction for the crawl frontier: every ANCHOR
