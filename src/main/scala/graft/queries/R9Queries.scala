@@ -403,6 +403,25 @@ object R9Queries {
         .orderBy("lang")
     }),
 
+    // [EXT] SEMANTIC dedup end-to-end (SemDeDup-shaped): exact
+    // blocked cosine pairs over the embeddings table → connected
+    // components → one representative per cluster (min id; quality
+    // flat) — q97's resolution composition on the EMBEDDING near-dup
+    // tier instead of the token tier. Oracle: list_cosine_similarity
+    // pairs + the recursive-CTE clustering + rank window.
+    "q164_semantic_resolve" -> ((s, d) => {
+      val emb = T.embeddings(s, d)
+      val pairs = graft.llm.Dedup.embeddingPairsExact(emb,
+          "vec_id", "embedding", "label")
+        .select(col("id_a"), col("id_b"),
+          round(col("cosine"), 4).as("c"))
+        .filter(col("c") >= 0.35)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      graft.llm.Dedup.resolveNearDups(
+          emb.select(col("vec_id")), pairs, "vec_id", lit(0.0))
+        .orderBy("vec_id")
+    }),
+
     // [EXT] per-GROUP heavy hitters: the SpaceSaving aggregate of
     // q57 run per lang over source — bounded ≤64-entry state per
     // group through partial/merge/final; exact (err=0) here because
@@ -675,6 +694,31 @@ object R9Queries {
         |  ((sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000) // count(*))
         |    < 500 AS low_quality
         |FROM k GROUP BY 1 ORDER BY source""".stripMargin,
+    "q164_semantic_resolve" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.embedding, b.embedding),
+        |          4) >= 0.35),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |      UNION SELECT doc_b, doc_a FROM p),
+        |reach AS (
+        |  SELECT src AS id, src AS lbl FROM e
+        |  UNION
+        |  SELECT e.dst, reach.lbl FROM reach JOIN e ON e.src = reach.id),
+        |cl AS (SELECT id AS vec_id, min(lbl) AS cluster_id
+        |       FROM reach GROUP BY id),
+        |a AS (SELECT d.vec_id,
+        |        coalesce(cl.cluster_id, d.vec_id) AS cluster_id
+        |      FROM embeddings d LEFT JOIN cl ON d.vec_id = cl.vec_id),
+        |r AS (SELECT vec_id, cluster_id,
+        |        count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+        |        row_number() OVER (PARTITION BY cluster_id
+        |                           ORDER BY vec_id) AS rn
+        |      FROM a)
+        |SELECT vec_id, cluster_id, cluster_size, rn = 1 AS kept
+        |FROM r ORDER BY vec_id""".stripMargin,
     "q163_drift_by_group" ->
       """WITH tok AS (
         |  SELECT lang, doc_id % 2 AS half,
