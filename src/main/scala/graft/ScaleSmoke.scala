@@ -351,6 +351,19 @@ object ScaleSmoke {
         docs.select(col("id"), concat(lit("https://h"),
           pmod(col("id"), lit(1000)), lit(".com/a/b/"),
           col("id")).as("url")), "url")),
+      // stratified split at corpus scale: ONE range-partitioned
+      // global rank (zipWithIndex) + bounded per-stratum offsets —
+      // the exact-proportions path must not cost more than a sort
+      "stratified_split" -> (() => graft.llm.Selection.stratifiedSplit(
+        docs.select(col("id"), col("lang")), Seq("lang"), "id",
+        Seq(("train", 0.9), ("val", 0.05), ("test", 0.05)))),
+      // calibration sweep: 32 thresholds over 1M scored rows in ONE
+      // pass (bucket histogram; the cross-join formulation would
+      // scan 32×)
+      "calibration" -> (() => graft.llm.Selection.calibrationSweep(
+        docs.select((col("id") % 1000).cast("long").as("score"),
+          (col("id") % 3 === 0).as("y")),
+        "score", "y", (0L until 1000L by 32L).toSeq)),
       // HITS over the q109-shaped planted graph (2 edges/node,
       // deduped): 2 iterations = 4 edge joins + 4 one-row max
       // actions with checkpoint cadence
