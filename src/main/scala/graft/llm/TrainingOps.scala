@@ -672,4 +672,64 @@ object TrainingOps {
     spark.createDataFrame(ranked, schema.add("rank", LongType,
       nullable = false))
   }
+  /** T5-style SPAN CORRUPTION (Raffel et al. 2020, arXiv:1910.10683
+    * §3.1.4), DETERMINISTIC: each whitespace token masks iff its
+    * salted-SHA uniform < `maskRate`; consecutive masked tokens form
+    * a span; span k is replaced by `<extra_id_k>` in the input and
+    * emitted as `<extra_id_k> tokens…` in the target, which ends
+    * with the closing sentinel `<extra_id_n>` — the standard
+    * denoising-objective pair. Hash-determinism (vs the paper's RNG)
+    * makes the corruption reproducible across reruns, partitionings,
+    * and engines — the same corpus always yields the same pairs, so
+    * checkpoint-resumed preprocessing never forks the dataset.
+    *
+    * ONE fold over the token array per row (map-only, no explode, no
+    * shuffle): the (masked?, span-count, input, target) state carries
+    * through an `aggregate` HOF; per-row cost ∝ document tokens.
+    * Documents with no tokens (empty/blank text) drop. Output:
+    * (idCol, n_spans, input_text, target_text). */
+  def spanCorrupt(df: DataFrame, idCol: String, textCol: String,
+      maskRate: Double = 0.15, salt: String = "t5"): DataFrame = {
+    require(maskRate > 0.0 && maskRate < 1.0,
+      s"maskRate must be in (0, 1), got $maskRate")
+    val rateMicro = math.round(maskRate * 4503599627370496.0) // ·2^52
+    val id = col(idCol)
+    val w = graft.llm.TextAnalysis.tokens(col(textCol))
+    // indexed tokens; the mask decision is a 52-bit salted hash per
+    // (doc, position) — exact integer compare, engine-portable
+    def masked(pos: Column): Column =
+      conv(substring(sha2(concat(lit(salt), lit(":"),
+        id.cast(StringType), lit(":"), pos.cast(StringType)), 256),
+        1, 13), 16, 10).cast(LongType) < rateMicro
+    val idx = transform(w, (t, i) => struct(t.as("t"), masked(i).as("m")))
+    val zero = struct(lit(false).as("prev"), lit(0).as("k"),
+      lit("").as("inp"), lit("").as("tgt"))
+    val folded = aggregate(idx, zero, (acc, e) => {
+      val sent = concat(lit("<extra_id_"), acc.getField("k").cast(StringType),
+        lit(">"))
+      struct(
+        e.getField("m").as("prev"),
+        when(e.getField("m") && !acc.getField("prev"),
+          acc.getField("k") + 1).otherwise(acc.getField("k")).as("k"),
+        when(e.getField("m") && !acc.getField("prev"),
+            concat(acc.getField("inp"), lit(" "), sent))
+          .when(e.getField("m"), acc.getField("inp"))
+          .otherwise(concat(acc.getField("inp"), lit(" "), e.getField("t")))
+          .as("inp"),
+        when(e.getField("m") && !acc.getField("prev"),
+            concat(acc.getField("tgt"), lit(" "), sent, lit(" "),
+              e.getField("t")))
+          .when(e.getField("m"),
+            concat(acc.getField("tgt"), lit(" "), e.getField("t")))
+          .otherwise(acc.getField("tgt"))
+          .as("tgt"))
+    })
+    df.filter(trim(col(textCol)) =!= "")
+      .select(id, folded.as("_sc"))
+      .select(id,
+        col("_sc.k").as("n_spans"),
+        ltrim(col("_sc.inp")).as("input_text"),
+        ltrim(concat(col("_sc.tgt"), lit(" <extra_id_"),
+          col("_sc.k").cast(StringType), lit(">"))).as("target_text"))
+  }
 }

@@ -422,6 +422,17 @@ object R9Queries {
         .orderBy("vec_id")
     }),
 
+    // [EXT] T5 span corruption, deterministic: per-(doc, position)
+    // salted-SHA mask decision at rate 0.15, consecutive masks form
+    // sentinel spans — ONE fold over the token array per row,
+    // map-only. The oracle rebuilds the spans relationally
+    // (gaps-and-islands) with the identical 52-bit threshold.
+    "q165_span_corrupt" -> ((s, d) =>
+      graft.llm.TrainingOps.spanCorrupt(
+          T.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text", maskRate = 0.15, salt = "t5")
+        .orderBy("doc_id")),
+
     // [EXT] per-GROUP heavy hitters: the SpaceSaving aggregate of
     // q57 run per lang over source — bounded ≤64-entry state per
     // group through partial/merge/final; exact (err=0) here because
@@ -694,6 +705,51 @@ object R9Queries {
         |  ((sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000) // count(*))
         |    < 500 AS low_quality
         |FROM k GROUP BY 1 ORDER BY source""".stripMargin,
+    "q165_span_corrupt" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents WHERE trim(text) <> ''),
+        |tok AS (SELECT doc_id, unnest(w) AS term,
+        |          unnest(range(len(w))) AS pos
+        |        FROM d),
+        |m AS (SELECT doc_id, pos, term,
+        |        ('0x' || substr(sha256('t5:' || CAST(doc_id AS VARCHAR)
+        |           || ':' || CAST(pos AS VARCHAR)), 1, 13))::BIGINT
+        |          < 675539944105574 AS mk
+        |      FROM tok),
+        |isl AS (SELECT doc_id, pos, term,
+        |          pos - row_number() OVER (PARTITION BY doc_id
+        |            ORDER BY pos) AS grp
+        |        FROM m WHERE mk),
+        |sp AS (SELECT doc_id, grp, min(pos) AS span_start,
+        |         string_agg(term, ' ' ORDER BY pos) AS toks
+        |       FROM isl GROUP BY 1, 2),
+        |spk AS (SELECT doc_id, span_start, toks,
+        |          CAST(row_number() OVER (PARTITION BY doc_id
+        |            ORDER BY span_start) - 1 AS INT) AS k
+        |        FROM sp),
+        |ii AS (
+        |  SELECT doc_id, pos, term FROM m WHERE NOT mk
+        |  UNION ALL
+        |  SELECT doc_id, span_start,
+        |    '<extra_id_' || CAST(k AS VARCHAR) || '>' FROM spk),
+        |inp AS (SELECT doc_id,
+        |          string_agg(term, ' ' ORDER BY pos) AS input_text
+        |        FROM ii GROUP BY 1),
+        |ns AS (SELECT doc_id, count(*) AS n_spans FROM spk GROUP BY 1),
+        |tgt AS (SELECT doc_id,
+        |          string_agg('<extra_id_' || CAST(k AS VARCHAR) || '> '
+        |            || toks, ' ' ORDER BY k) AS t
+        |        FROM spk GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(ns.n_spans, 0) AS INT) AS n_spans,
+        |  coalesce(inp.input_text, '') AS input_text,
+        |  CASE WHEN ns.n_spans IS NULL THEN '<extra_id_0>'
+        |       ELSE tgt.t || ' <extra_id_'
+        |         || CAST(ns.n_spans AS VARCHAR) || '>'
+        |  END AS target_text
+        |FROM d LEFT JOIN ns USING (doc_id) LEFT JOIN inp USING (doc_id)
+        |LEFT JOIN tgt USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q164_semantic_resolve" ->
       """WITH RECURSIVE p AS (
         |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b

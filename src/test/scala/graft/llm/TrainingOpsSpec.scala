@@ -445,4 +445,50 @@ class TrainingOpsSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("rank"), e.getMessage)
   }
+  test("spanCorrupt: reconstruction, contiguous sentinels, determinism") {
+    val df = Seq.tabulate(50)(i =>
+      (i.toLong, (0 until 40).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("id", "text") :: Nil
+    val corrupted = TrainingOps.spanCorrupt(df.head, "id", "text",
+      maskRate = 0.3, salt = "sc")
+    val rows = corrupted.collect()
+    assert(rows.length === 50)
+    var sawSpan = false
+    rows.foreach { r =>
+      val (n, inp, tgt) = (r.getInt(1), r.getString(2), r.getString(3))
+      if (n > 0) sawSpan = true
+      // target ends with the closing sentinel
+      assert(tgt.endsWith(s"<extra_id_$n>"), tgt)
+      // sentinels appear contiguously 0..n-1 in BOTH input and target
+      val sentsIn = "<extra_id_(\\d+)>".r.findAllMatchIn(inp)
+        .map(_.group(1).toInt).toSeq
+      assert(sentsIn === (0 until n), s"input sentinels: $sentsIn")
+      val sentsT = "<extra_id_(\\d+)>".r.findAllMatchIn(tgt)
+        .map(_.group(1).toInt).toSeq
+      assert(sentsT === (0 to n), s"target sentinels: $sentsT")
+      // splicing each span back into the input reconstructs the text
+      val spans = tgt.split("<extra_id_\\d+>").map(_.trim)
+        .filter(_.nonEmpty)
+      assert(spans.length === n)
+      var rebuilt = inp
+      (0 until n).foreach { k =>
+        rebuilt = rebuilt.replace(s"<extra_id_$k>", spans(k))
+      }
+      val orig = r.getLong(0)
+      assert(rebuilt.replaceAll("\\s+", " ").trim ===
+        (0 until 40).map(j => s"w${orig}_$j").mkString(" "))
+    }
+    assert(sawSpan) // rate 0.3 over 2000 tokens must mask something
+    // deterministic under repartition and rerun
+    val re = TrainingOps.spanCorrupt(df.head.repartition(7), "id", "text",
+      maskRate = 0.3, salt = "sc")
+    assert(corrupted.orderBy("id").collect().toSeq ===
+      re.orderBy("id").collect().toSeq)
+    // blank docs drop; rate bounds enforced
+    val blank = Seq((1L, "  ")).toDF("id", "text")
+    assert(TrainingOps.spanCorrupt(blank, "id", "text").count() === 0)
+    intercept[IllegalArgumentException] {
+      TrainingOps.spanCorrupt(df.head, "id", "text", maskRate = 1.0)
+    }
+  }
 }
