@@ -226,6 +226,53 @@ object relational {
       .drop("_b")
   }
 
+  /** Interval-OVERLAP join: INNER join of `a` rows against `b` rows
+    * where `[aStart, aEnd]` and `[bStart, bEnd]` intersect (inclusive
+    * ends) — sessions×incidents, downtime×orders, any two event-span
+    * sets. Same bucketization as [[rangeJoin]] (an inequality θ-join
+    * would be a broadcast nested loop): both sides replicate to the
+    * fixed-width buckets their span covers and pairs meet on the
+    * bucket equi-key. A pair overlapping across SEVERAL shared
+    * buckets would duplicate — the standard EMIT-ONCE guard keeps
+    * each pair exactly once: only the bucket containing
+    * `greatest(aStart, bStart)` (the overlap's left edge, which
+    * every overlapping pair shares) emits. No distinct pass needed —
+    * dedup by construction, so output size is the answer size.
+    * Same fail-fast as rangeJoin on spans wider than
+    * `maxBucketsPerInterval` buckets. Column names across the two
+    * inputs must be disjoint. */
+  def intervalJoin(a: DataFrame, b: DataFrame,
+      aStart: String, aEnd: String, bStart: String, bEnd: String,
+      bucketWidth: Long, maxBucketsPerInterval: Long = 4096): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val dup = a.columns.toSet & b.columns.toSet
+    require(dup.isEmpty, s"inputs share column names: $dup")
+    require(!(a.columns ++ b.columns).contains("_b"),
+      "_b is a reserved scratch column")
+
+    def buckets(df: DataFrame, s: String, e: String): DataFrame = {
+      val bs = floor(col(s) / bucketWidth).cast("long")
+      val be = floor(col(e) / bucketWidth).cast("long")
+      val guarded = when(be - bs >= maxBucketsPerInterval,
+        raise_error(concat(
+          lit("intervalJoin: interval ["), col(s).cast("string"),
+          lit(", "), col(e).cast("string"),
+          lit(s"] spans >= $maxBucketsPerInterval buckets of width "
+            + s"$bucketWidth; raise bucketWidth or maxBucketsPerInterval")))
+          .cast("long"))
+        .otherwise(be)
+      df.filter(col(s) <= col(e))
+        .withColumn("_b", explode(sequence(bs, guarded)))
+    }
+
+    buckets(a, aStart, aEnd).join(buckets(b, bStart, bEnd), Seq("_b"))
+      .filter(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd) &&
+        // emit-once: only the bucket holding the overlap's left edge
+        col("_b") === floor(greatest(col(aStart), col(bStart)) / bucketWidth)
+          .cast("long"))
+      .drop("_b")
+  }
+
   /** n-step event funnel: for every entity, find the step-0 events
     * from which the full chain `steps(0) → steps(1) → … → steps(n-1)`
     * completes, where step i+1 must occur STRICTLY AFTER the matched

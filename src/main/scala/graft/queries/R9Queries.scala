@@ -433,6 +433,26 @@ object R9Queries {
           "doc_id", "text", maskRate = 0.15, salt = "t5")
         .orderBy("doc_id")),
 
+    // [EXT] interval-OVERLAP join: two event-span sets meet on
+    // fixed-width bucket keys with the EMIT-ONCE guard (only the
+    // bucket holding the overlap's left edge emits — dedup by
+    // construction, no distinct pass). Oracle: the plain inequality
+    // join, which must agree row-for-row.
+    "q166_interval_join" -> ((s, d) => {
+      val ev = T.events(s, d)
+      val t = T.tsMillis(ev, "ts")
+      val a = ev.filter(pmod(col("event_id"), lit(3)) === 0)
+        .select(col("event_id").as("a_id"), t.as("a_s"),
+          (t + 120000L).as("a_e"))
+      val b = ev.filter(pmod(col("event_id"), lit(3)) === 1)
+        .select(col("event_id").as("b_id"), (t - 60000L).as("b_s"),
+          (t + 60000L).as("b_e"))
+      graft.ops.relational.intervalJoin(a, b, "a_s", "a_e", "b_s", "b_e",
+          bucketWidth = 60000L)
+        .select("a_id", "b_id")
+        .orderBy("a_id", "b_id")
+    }),
+
     // [EXT] per-GROUP heavy hitters: the SpaceSaving aggregate of
     // q57 run per lang over source — bounded ≤64-entry state per
     // group through partial/merge/final; exact (err=0) here because
@@ -705,6 +725,18 @@ object R9Queries {
         |  ((sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000) // count(*))
         |    < 500 AS low_quality
         |FROM k GROUP BY 1 ORDER BY source""".stripMargin,
+    "q166_interval_join" ->
+      """WITH a AS (
+        |  SELECT event_id AS a_id, epoch_ms(ts) AS a_s,
+        |         epoch_ms(ts) + 120000 AS a_e
+        |  FROM events WHERE event_id % 3 = 0),
+        |b AS (
+        |  SELECT event_id AS b_id, epoch_ms(ts) - 60000 AS b_s,
+        |         epoch_ms(ts) + 60000 AS b_e
+        |  FROM events WHERE event_id % 3 = 1)
+        |SELECT a_id, b_id FROM a JOIN b
+        |  ON a_s <= b_e AND b_s <= a_e
+        |ORDER BY a_id, b_id""".stripMargin,
     "q165_span_corrupt" ->
       """WITH d AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w

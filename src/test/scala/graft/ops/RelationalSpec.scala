@@ -252,4 +252,35 @@ class RelationalSpec extends SparkSuite {
     }
     assert(ex.getMessage.contains("(9)"))
   }
+  test("intervalJoin: brute-force parity, emit-once dedup, fail-fast guard") {
+    val a = Seq((1, 0L, 100L), (2, 50L, 60L), (3, 500L, 600L),
+      (4, 250L, 240L)) // inverted interval drops
+      .toDF("a_id", "a_s", "a_e")
+    val b = Seq((10, 90L, 200L), (11, 55L, 58L), (12, 700L, 800L),
+      (13, 0L, 1000L))
+      .toDF("b_id", "b_s", "b_e")
+    val got = relational.intervalJoin(a, b, "a_s", "a_e", "b_s", "b_e",
+        bucketWidth = 16L)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+    // brute-force reference
+    val want = (for {
+      (ai, as_, ae) <- Seq((1, 0L, 100L), (2, 50L, 60L), (3, 500L, 600L))
+      (bi, bs, be) <- Seq((10, 90L, 200L), (11, 55L, 58L), (12, 700L, 800L),
+        (13, 0L, 1000L))
+      if as_ <= be && bs <= ae
+    } yield (ai, bi)).sorted
+    assert(got === want)
+    // emit-once: pair (1, 13) shares 7 buckets at width 16 — once only
+    assert(got.count(_ == ((1, 13))) === 1)
+    intercept[Exception] {
+      relational.intervalJoin(
+        Seq((1, 0L, 10000000L)).toDF("a_id", "a_s", "a_e"), b,
+        "a_s", "a_e", "b_s", "b_e", bucketWidth = 16L).collect()
+    }
+    intercept[IllegalArgumentException] {
+      relational.intervalJoin(a, a.withColumnRenamed("a_id", "x"),
+        "a_s", "a_e", "a_s", "a_e", bucketWidth = 16L)
+    }
+  }
 }
