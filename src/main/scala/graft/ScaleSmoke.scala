@@ -351,6 +351,20 @@ object ScaleSmoke {
         docs.select(col("id"), concat(lit("https://h"),
           pmod(col("id"), lit(1000)), lit(".com/a/b/"),
           col("id")).as("url")), "url")),
+      // span corruption: one aggregate-HOF fold per doc, map-only
+      "span_corrupt" -> (() => graft.llm.TrainingOps.spanCorrupt(
+        docs, "id", "text")),
+      // interval-overlap join: 1M activity spans vs 100k incident
+      // windows on bucket equi-keys with the emit-once guard
+      "interval_join" -> (() => {
+        val aI = docs.select(col("id").as("a_id"),
+          (col("id") * 1000L).as("a_s"), (col("id") * 1000L + 5000L).as("a_e"))
+        val bI = docs.filter(col("id") % 10 === 0)
+          .select(col("id").as("b_id"), (col("id") * 1000L - 2000L).as("b_s"),
+            (col("id") * 1000L + 2000L).as("b_e"))
+        graft.ops.relational.intervalJoin(aI, bI,
+          "a_s", "a_e", "b_s", "b_e", bucketWidth = 4000L)
+      }),
       // stratified split at corpus scale: ONE range-partitioned
       // global rank (zipWithIndex) + bounded per-stratum offsets —
       // the exact-proportions path must not cost more than a sort
