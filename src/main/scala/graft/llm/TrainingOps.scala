@@ -672,6 +672,31 @@ object TrainingOps {
     spark.createDataFrame(ranked, schema.add("rank", LongType,
       nullable = false))
   }
+  /** Pack CONCATENATION — the step between [[packByTokenBudget]] and
+    * the tokenizer: each (shard, pack) becomes ONE training sequence,
+    * its documents joined in pack order by the end-of-document
+    * sentinel `sep`. Per-group state is bounded by the pack BUDGET
+    * (the parameter — a pack holds ≤ budget tokens by construction,
+    * +1 doc for the straddler), never by shard or corpus size; the
+    * in-pack order is made deterministic under any shuffle by an
+    * array_sort on (order, text) structs. Documents whose `tokens`
+    * is NULL carry a null pack_id and are excluded (they cannot be
+    * budgeted). Output: (shardCol, pack_id, n_docs, n_tokens,
+    * sequence), one row per pack. */
+  def exportPackedSequences(df: DataFrame, shardCol: String,
+      orderCol: String, textCol: String, tokens: Column, budget: Long,
+      sep: String = "<|endoftext|>"): DataFrame = {
+    val packed = packByTokenBudget(df, shardCol, orderCol, tokens, budget)
+    packed.filter(col("pack_id").isNotNull)
+      .groupBy(col(shardCol), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokens.cast(LongType)).as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col(orderCol).as("o"),
+            col(textCol).as("t")))),
+          _.getField("t")), sep).as("sequence"))
+  }
+
   /** T5-style SPAN CORRUPTION (Raffel et al. 2020, arXiv:1910.10683
     * §3.1.4), DETERMINISTIC: each whitespace token masks iff its
     * salted-SHA uniform < `maskRate`; consecutive masked tokens form

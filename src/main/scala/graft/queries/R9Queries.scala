@@ -453,6 +453,19 @@ object R9Queries {
         .orderBy("a_id", "b_id")
     }),
 
+    // [EXT] pack concatenation: q52's packs per lang at budget 512
+    // collapsed to ONE training sequence each, docs joined in pack
+    // order by an EOD sentinel — the step between packing and the
+    // tokenizer. Per-group state is budget-bounded. Oracle replays
+    // the cumsum pack ids + string_agg in doc order.
+    "q167_packed_sequences" -> ((s, d) =>
+      graft.llm.TrainingOps.exportPackedSequences(
+          T.documents(s, d).select(col("doc_id"), col("lang"), col("text")),
+          "lang", "doc_id", "text",
+          graft.llm.TextAnalysis.tokenCountWs(col("text")), budget = 512L,
+          sep = " <eod> ")
+        .orderBy("lang", "pack_id")),
+
     // [EXT] per-GROUP heavy hitters: the SpaceSaving aggregate of
     // q57 run per lang over source — bounded ≤64-entry state per
     // group through partial/merge/final; exact (err=0) here because
@@ -725,6 +738,19 @@ object R9Queries {
         |  ((sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000) // count(*))
         |    < 500 AS low_quality
         |FROM k GROUP BY 1 ORDER BY source""".stripMargin,
+    "q167_packed_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, text,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS toks
+        |  FROM documents),
+        |p AS (SELECT doc_id, lang, text, toks,
+        |        CAST(floor((sum(toks) OVER (PARTITION BY lang
+        |            ORDER BY doc_id) - toks) / 512) AS BIGINT) AS pack_id
+        |      FROM t)
+        |SELECT lang, pack_id, count(*) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |  string_agg(text, ' <eod> ' ORDER BY doc_id) AS sequence
+        |FROM p GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin,
     "q166_interval_join" ->
       """WITH a AS (
         |  SELECT event_id AS a_id, epoch_ms(ts) AS a_s,

@@ -491,4 +491,28 @@ class TrainingOpsSpec extends SparkSuite {
       TrainingOps.spanCorrupt(df.head, "id", "text", maskRate = 1.0)
     }
   }
+  test("exportPackedSequences: in-order concatenation, budget-bounded packs") {
+    val docs = Seq(
+      (1L, "a", "one two three", 3L), (2L, "a", "four five", 2L),
+      (3L, "a", "six", 1L), (4L, "b", "solo doc", 2L),
+      (5L, "a", "seven eight nine ten", 4L)
+    ).toDF("id", "shard", "text", "toks")
+    val got = TrainingOps.exportPackedSequences(docs, "shard", "id",
+        "text", col("toks"), budget = 5L, sep = " | ")
+      .orderBy("shard", "pack_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSeq
+    // shard a offsets before each doc: 0,3,5,6 -> pack ids 0,0,1,1
+    assert(got === Seq(
+      ("a", 0L, 2L, 5L, "one two three | four five"),
+      ("a", 1L, 2L, 5L, "six | seven eight nine ten"),
+      ("b", 0L, 1L, 2L, "solo doc")))
+    // deterministic under repartition
+    val re = TrainingOps.exportPackedSequences(docs.repartition(5),
+        "shard", "id", "text", col("toks"), budget = 5L, sep = " | ")
+      .orderBy("shard", "pack_id").collect().toSeq
+    assert(re === TrainingOps.exportPackedSequences(docs, "shard", "id",
+        "text", col("toks"), budget = 5L, sep = " | ")
+      .orderBy("shard", "pack_id").collect().toSeq)
+  }
 }
