@@ -697,6 +697,33 @@ object TrainingOps {
           _.getField("t")), sep).as("sequence"))
   }
 
+  /** Prefix-LM split (the PrefixLM / UL2 S-denoiser objective):
+    * split each document's tokens at a DETERMINISTIC uniform point
+    * k ∈ [1, n−1] — prefix conditions, suffix is the target. The
+    * split point is a salted-SHA uniform scaled by (n−1), so the
+    * same doc always splits identically (rerun/engine-stable, like
+    * every sampling op here). Documents with fewer than 2 tokens
+    * drop (no non-empty split exists). Map-only. Output:
+    * (idCol, n_tokens, split_at, prefix_text, target_text). */
+  def prefixLmSplit(df: DataFrame, idCol: String, textCol: String,
+      salt: String = "plm"): DataFrame = {
+    val id = col(idCol)
+    val w = graft.llm.TextAnalysis.tokens(col(textCol))
+    val u = conv(substring(sha2(concat(lit(salt), lit(":"),
+      id.cast(StringType)), 256), 1, 13), 16, 10).cast(LongType)
+      .cast(DoubleType) / lit(4503599627370496.0) // [0, 1)
+    df.select(id, w.as("_w"))
+      .withColumn("n_tokens", size(col("_w")))
+      .filter(col("n_tokens") >= 2)
+      .withColumn("split_at",
+        (lit(1) + floor(u * (col("n_tokens") - 1)).cast(IntegerType)))
+      .select(id, col("n_tokens"), col("split_at"),
+        array_join(slice(col("_w"), lit(1), col("split_at")), " ")
+          .as("prefix_text"),
+        array_join(slice(col("_w"), col("split_at") + 1,
+          col("n_tokens") - col("split_at")), " ").as("target_text"))
+  }
+
   /** T5-style SPAN CORRUPTION (Raffel et al. 2020, arXiv:1910.10683
     * §3.1.4), DETERMINISTIC: each whitespace token masks iff its
     * salted-SHA uniform < `maskRate`; consecutive masked tokens form

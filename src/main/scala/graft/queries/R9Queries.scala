@@ -466,6 +466,16 @@ object R9Queries {
           sep = " <eod> ")
         .orderBy("lang", "pack_id")),
 
+    // [EXT] prefix-LM split (UL2 S-denoiser): deterministic uniform
+    // split point k ∈ [1, n−1] per doc from a salted-SHA uniform —
+    // prefix conditions, suffix targets. Map-only; the oracle
+    // replays the identical arithmetic and array slices.
+    "q168_prefix_lm" -> ((s, d) =>
+      graft.llm.TrainingOps.prefixLmSplit(
+          T.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text", salt = "plm8")
+        .orderBy("doc_id")),
+
     // [EXT] per-GROUP heavy hitters: the SpaceSaving aggregate of
     // q57 run per lang over source — bounded ≤64-entry state per
     // group through partial/merge/final; exact (err=0) here because
@@ -738,6 +748,23 @@ object R9Queries {
         |  ((sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000) // count(*))
         |    < 500 AS low_quality
         |FROM k GROUP BY 1 ORDER BY source""".stripMargin,
+    "q168_prefix_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |n AS (SELECT doc_id, w, len(w) AS n_tokens FROM t
+        |      WHERE len(w) >= 2),
+        |k AS (SELECT doc_id, w, n_tokens,
+        |        1 + CAST(floor(
+        |          (('0x' || substr(sha256('plm8:' ||
+        |             CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+        |            / 4503599627370496.0) * (n_tokens - 1)) AS INT)
+        |          AS split_at
+        |      FROM n)
+        |SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, split_at,
+        |  array_to_string(w[1:split_at], ' ') AS prefix_text,
+        |  array_to_string(w[split_at+1:n_tokens], ' ') AS target_text
+        |FROM k ORDER BY doc_id""".stripMargin,
     "q167_packed_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, lang, text,

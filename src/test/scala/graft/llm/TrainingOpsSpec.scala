@@ -515,4 +515,26 @@ class TrainingOpsSpec extends SparkSuite {
         "text", col("toks"), budget = 5L, sep = " | ")
       .orderBy("shard", "pack_id").collect().toSeq)
   }
+  test("prefixLmSplit: prefix+suffix reconstruct, k in [1, n-1], deterministic") {
+    val df = Seq(
+      (1L, "a b c d e f"), (2L, "x y"), (3L, "solo"), (4L, ""), (5L, "  ")
+    ).toDF("id", "text")
+    val got = TrainingOps.prefixLmSplit(df, "id", "text")
+    val rows = got.collect().map(r => r.getLong(0) ->
+      ((r.getInt(1), r.getInt(2), r.getString(3), r.getString(4)))).toMap
+    // short/empty/blank docs drop
+    assert(rows.keySet === Set(1L, 2L))
+    rows.foreach { case (_, (n, k, pre, tgt)) =>
+      assert(k >= 1 && k <= n - 1)
+      assert(pre.split(" ").length === k)
+      assert((pre + " " + tgt).split(" ").length === n)
+    }
+    // doc 2 has n=2 -> k must be exactly 1
+    assert(rows(2L)._2 === 1)
+    assert(rows(2L)._3 === "x" && rows(2L)._4 === "y")
+    // deterministic under repartition
+    val re = TrainingOps.prefixLmSplit(df.repartition(3), "id", "text")
+    assert(got.orderBy("id").collect().toSeq ===
+      re.orderBy("id").collect().toSeq)
+  }
 }
