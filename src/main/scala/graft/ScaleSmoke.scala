@@ -351,6 +351,17 @@ object ScaleSmoke {
         docs.select(col("id"), concat(lit("https://h"),
           pmod(col("id"), lit(1000)), lit(".com/a/b/"),
           col("id")).as("url")), "url")),
+      // pack concatenation with the HOT shard (half the corpus in
+      // one lang): per-pack state is budget-bounded, so the mega
+      // shard spans many small packs instead of one giant group
+      "packed_sequences_hot" -> (() =>
+        graft.llm.TrainingOps.exportPackedSequences(
+          hot.withColumn("g", skewLang), "g", "id", "text",
+          graft.llm.TextAnalysis.tokenCountWs(col("text")),
+          budget = 4096L)),
+      // prefix-LM split: map-only slice per doc
+      "prefix_lm" -> (() => graft.llm.TrainingOps.prefixLmSplit(
+        docs, "id", "text")),
       // span corruption: one aggregate-HOF fold per doc, map-only
       "span_corrupt" -> (() => graft.llm.TrainingOps.spanCorrupt(
         docs, "id", "text")),
