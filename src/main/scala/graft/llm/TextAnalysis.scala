@@ -805,4 +805,43 @@ object TextAnalysis {
     val path = regexp_extract(url, "://[^/]*(/[^?#]*)", 1)
     struct(host.as("host"), domain.as("domain"), path.as("path"))
   }
+
+  /** Unicode CONFUSABLE folding — the typographic-variant
+    * normalization that runs before hashing/dedup (NFC won't touch
+    * these: curly quotes, en/em dashes, NBSP, the ellipsis glyph and
+    * the fi/fl ligatures are all distinct NFC-normal codepoints that
+    * make byte-identical prose hash differently across sources).
+    * 1→1 maps go through ONE translate pass, 1→many through three
+    * replaces; every step replays verbatim in any engine with
+    * translate/replace. Deliberately NOT NFKC (which would also fold
+    * ², ½, roman numerals — lossy beyond typography). Map-only. */
+  def foldConfusables(c: Column): Column = {
+    val folded = translate(c,
+      "‘’“”–— ",
+      "''\"\"--" + " ")
+    regexp_replace(regexp_replace(regexp_replace(folded,
+      lit("…"), lit("...")),
+      lit("ﬁ"), lit("fi")),
+      lit("ﬂ"), lit("fl"))
+  }
+
+  /** URL QUERY-PARAM canonicalization — the finer-grained sibling of
+    * [[urlParts]]' strip-everything `path`: keeps the params that
+    * select content but drops tracking params (`utm_*` plus an
+    * explicit list) and re-emits the survivors SORTED, so
+    * `?b=2&a=1&utm_source=x` and `?a=1&b=2` canonicalize identically
+    * — the crawl-frontier dedup key for sites where params DO select
+    * content (product ids, page numbers). The fragment drops.
+    * Pure list ops, map-only, engine-replayable. */
+  def canonicalizeUrlParams(url: Column,
+      dropParams: Seq[String] = Seq("fbclid", "gclid", "msclkid",
+        "ref", "source")): Column = {
+    val base = regexp_extract(url, "^([^?#]*)", 1)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val kept = array_sort(filter(split(query, "&"), p =>
+      p =!= "" && !substring_index(p, "=", 1).startsWith("utm_") &&
+        !substring_index(p, "=", 1).isin(dropParams: _*)))
+    when(size(kept) > 0, concat(base, lit("?"), array_join(kept, "&")))
+      .otherwise(base)
+  }
 }

@@ -476,6 +476,35 @@ object R9Queries {
           "doc_id", "text", salt = "plm8")
         .orderBy("doc_id")),
 
+    // [EXT] Unicode confusable folding: curly quotes, dashes, NBSP,
+    // ellipsis, fi/fl ligatures → ASCII before hashing (NFC leaves
+    // all of these distinct). One translate + three replaces,
+    // map-only; the oracle replays them verbatim.
+    "q169_fold_confusables" -> ((s, d) =>
+      T.documents(s, d)
+        .select(col("doc_id"),
+          graft.llm.TextAnalysis.foldConfusables(
+            concat(lit("‘q’ “t” – — … ﬁﬂ "), col("text")))
+            .as("folded"))
+        .orderBy("doc_id")),
+
+    // [EXT] URL query-param canonicalization: tracking params drop
+    // (utm_* + an explicit list), survivors re-emit SORTED, fragment
+    // drops — the frontier dedup key where params select content.
+    // Map-only list ops; the oracle mirrors them.
+    "q170_url_params" -> ((s, d) => {
+      val id = col("doc_id")
+      val url = concat(lit("https://s.com/p/"), id,
+        lit("?b=2&a="), pmod(id, lit(5)),
+        lit("&utm_source=x"),
+        when(pmod(id, lit(3)) === 0, lit("&fbclid=abc")).otherwise(lit("")),
+        when(pmod(id, lit(4)) === 1, lit("")).otherwise(lit("#frag")))
+      T.documents(s, d)
+        .select(id, graft.llm.TextAnalysis.canonicalizeUrlParams(url)
+          .as("canon"))
+        .orderBy("doc_id")
+    }),
+
     // [EXT] per-GROUP heavy hitters: the SpaceSaving aggregate of
     // q57 run per lang over source — bounded ≤64-entry state per
     // group through partial/merge/final; exact (err=0) here because
@@ -748,6 +777,38 @@ object R9Queries {
         |  ((sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000) // count(*))
         |    < 500 AS low_quality
         |FROM k GROUP BY 1 ORDER BY source""".stripMargin,
+    "q169_fold_confusables" ->
+      """SELECT doc_id,
+        |  replace(replace(replace(
+        |    translate('‘q’ “t” – — … ﬁﬂ' || chr(160) || text,
+        |      '‘’“”–—' || chr(160), '''''""--' || ' '),
+        |    '…', '...'), 'ﬁ', 'fi'), 'ﬂ', 'fl') AS folded
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q170_url_params" ->
+      """WITH u AS (
+        |  SELECT doc_id, 'https://s.com/p/' || CAST(doc_id AS VARCHAR)
+        |    || '?b=2&a=' || CAST(doc_id % 5 AS VARCHAR)
+        |    || '&utm_source=x'
+        |    || CASE WHEN doc_id % 3 = 0 THEN '&fbclid=abc' ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 1 THEN '' ELSE '#frag' END AS url
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |        regexp_extract(url, '^([^?#]*)', 1) AS base,
+        |        regexp_extract(url, '\?([^#]*)', 1) AS q
+        |      FROM u),
+        |k AS (SELECT doc_id, base,
+        |        list_sort(list_filter(str_split(q, '&'),
+        |          x -> x <> ''
+        |            AND NOT starts_with(split_part(x, '=', 1), 'utm_')
+        |            AND split_part(x, '=', 1) NOT IN
+        |              ('fbclid', 'gclid', 'msclkid', 'ref', 'source')))
+        |          AS kept
+        |      FROM p)
+        |SELECT doc_id,
+        |  CASE WHEN len(kept) > 0
+        |       THEN base || '?' || array_to_string(kept, '&')
+        |       ELSE base END AS canon
+        |FROM k ORDER BY doc_id""".stripMargin,
     "q168_prefix_lm" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w

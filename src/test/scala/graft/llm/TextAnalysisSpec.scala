@@ -585,4 +585,33 @@ class TextAnalysisSpec extends SparkSuite {
       TextAnalysis.phraseHits(col("text"), Seq("dup", "dup"))
     }
   }
+  test("foldConfusables + canonicalizeUrlParams vectors") {
+    import spark.implicits._
+    val folded = Seq(
+      "\u2018a\u2019 \u201cb\u201d \u2013 \u2014 \u2026 \ufb01sh \ufb02y\u00a0end"
+    ).toDF("t").select(TextAnalysis.foldConfusables(col("t")))
+      .collect()(0).getString(0)
+    assert(folded === "'a' \"b\" - - ... fish fly end")
+    // idempotent on already-clean ASCII
+    val clean = Seq("plain 'quoted' \"text\" - ... fi").toDF("t")
+      .select(TextAnalysis.foldConfusables(col("t"))).collect()(0).getString(0)
+    assert(clean === "plain 'quoted' \"text\" - ... fi")
+
+    val urls = Seq(
+      "https://a.com/p?b=2&a=1&utm_source=x&fbclid=z#f", // sort + drop
+      "https://a.com/p?a=1&b=2",                          // already canonical
+      "https://a.com/p?utm_campaign=only",                // all dropped
+      "https://a.com/p",                                  // no query
+      "https://a.com/p#frag"                              // fragment only
+    ).toDF("u")
+    val got = urls.select(col("u"),
+      TextAnalysis.canonicalizeUrlParams(col("u")).as("c")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("https://a.com/p?b=2&a=1&utm_source=x&fbclid=z#f")
+      === "https://a.com/p?a=1&b=2")
+    assert(got("https://a.com/p?a=1&b=2") === "https://a.com/p?a=1&b=2")
+    assert(got("https://a.com/p?utm_campaign=only") === "https://a.com/p")
+    assert(got("https://a.com/p") === "https://a.com/p")
+    assert(got("https://a.com/p#frag") === "https://a.com/p")
+  }
 }
