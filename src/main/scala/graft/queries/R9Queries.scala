@@ -505,6 +505,40 @@ object R9Queries {
         .orderBy("doc_id")
     }),
 
+    // [EXT] pipeline FUNNEL report: survivor counts through quality
+    // gate → exact dedup (keep-min among quality survivors) →
+    // blocklist — the stage-by-stage audit a dataset card publishes.
+    // ONE text scan + one bounded hash join; all four counts in one
+    // aggregate, emitted as a tidy (stage, n_rows) table.
+    "q171_pipeline_report" -> ((s, d) => {
+      val kq = graft.llm.TextAnalysis.qualityGate(col("text"))
+        .getField("keep")
+      val withH = T.documents(s, d)
+        .select(col("doc_id"), col("text"), kq.as("kq"),
+          sha2(trim(col("text")), 256).as("h"))
+      val win = withH.filter(col("kq")).groupBy("h")
+        .agg(min("doc_id").as("_keep"))
+      val kb = size(filter(
+        transform(graft.llm.TextAnalysis.tokens(col("text")),
+          t => lower(t)),
+        t => t.isin("dup", "fast"))) === 0
+      withH.join(win, Seq("h"), "left")
+        .withColumn("w", col("doc_id") === col("_keep"))
+        .withColumn("kb", kb)
+        .agg(count(lit(1)).as("n0"),
+          sum(when(col("kq"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("kq") && col("w"), 1L).otherwise(0L)).as("n2"),
+          sum(when(col("kq") && col("w") && col("kb"), 1L).otherwise(0L))
+            .as("n3"))
+        .select(expr(
+          """stack(4,
+            |  '0_input', n0,
+            |  '1_quality', n1,
+            |  '2_dedup', n2,
+            |  '3_blocklist', n3) AS (stage, n_rows)""".stripMargin))
+        .orderBy("stage")
+    }),
+
     // [EXT] per-GROUP heavy hitters: the SpaceSaving aggregate of
     // q57 run per lang over source — bounded ≤64-entry state per
     // group through partial/merge/final; exact (err=0) here because
@@ -777,6 +811,41 @@ object R9Queries {
         |  ((sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000) // count(*))
         |    < 500 AS low_quality
         |FROM k GROUP BY 1 ORDER BY source""".stripMargin,
+    "q171_pipeline_report" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id, tok, count(*) AS c FROM
+        |        (SELECT doc_id, unnest(w) AS tok FROM t) u GROUP BY 1, 2),
+        |m AS (SELECT doc_id, max(c) AS top FROM c GROUP BY 1),
+        |k AS (SELECT t.doc_id, t.text, t.w,
+        |        (len(w) BETWEEN 30 AND 100000)
+        |          AND (length(t.text) BETWEEN 4 * len(w) AND 11 * len(w))
+        |          AND m.top * 100 <= len(w) * 10
+        |          AND len(list_filter(w,
+        |            x -> x IN ('the','a','and','of','to'))) * 1000
+        |            >= len(w) * 50 AS kq
+        |      FROM t JOIN m ON t.doc_id = m.doc_id),
+        |win AS (SELECT sha256(trim(text)) AS h, min(doc_id) AS keep_id
+        |        FROM k WHERE kq GROUP BY 1),
+        |fl AS (SELECT k.doc_id, k.kq,
+        |         k.doc_id = win.keep_id AS w2,
+        |         len(list_filter(k.w, x -> lower(x) IN ('dup', 'fast')))
+        |           = 0 AS kb
+        |       FROM k LEFT JOIN win ON sha256(trim(k.text)) = win.h)
+        |SELECT stage, n_rows FROM (
+        |  SELECT '0_input' AS stage, CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM fl
+        |  UNION ALL SELECT '1_quality',
+        |    CAST(sum(CASE WHEN kq THEN 1 ELSE 0 END) AS BIGINT) FROM fl
+        |  UNION ALL SELECT '2_dedup',
+        |    CAST(sum(CASE WHEN kq AND w2 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM fl
+        |  UNION ALL SELECT '3_blocklist',
+        |    CAST(sum(CASE WHEN kq AND w2 AND kb THEN 1 ELSE 0 END)
+        |      AS BIGINT) FROM fl)
+        |ORDER BY stage""".stripMargin,
     "q169_fold_confusables" ->
       """SELECT doc_id,
         |  replace(replace(replace(
