@@ -539,6 +539,32 @@ object R9Queries {
         .orderBy("stage")
     }),
 
+    // [EXT] UL2 mixture-of-denoisers (arXiv:2205.05131): every doc
+    // deterministically draws an objective (R 50% / S 25% / X 25%
+    // via splitAssign), then R/X run span corruption at rates
+    // 0.15/0.5 and S runs the prefix-LM split — the full denoising
+    // training mix from one corpus pass per arm, reproducible
+    // end-to-end. The oracle replays the assignment buckets and all
+    // three arms.
+    "q172_ul2_mixture" -> ((s, d) => {
+      val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+      val asg = graft.llm.TrainingOps.splitAssign(docs, "doc_id",
+        Seq("r" -> 0.5, "s" -> 0.25, "x" -> 0.25), salt = "ul2")
+      def corrupt(obj: String, rate: Double, salt: String) =
+        graft.llm.TrainingOps.spanCorrupt(
+            asg.filter(col("split") === obj), "doc_id", "text",
+            rate, salt)
+          .select(lit(obj).as("objective"), col("doc_id"),
+            col("input_text"), col("target_text"))
+      val sArm = graft.llm.TrainingOps.prefixLmSplit(
+          asg.filter(col("split") === "s"), "doc_id", "text", "plmu8")
+        .select(lit("s").as("objective"), col("doc_id"),
+          col("prefix_text").as("input_text"), col("target_text"))
+      corrupt("r", 0.15, "t5r8").union(corrupt("x", 0.5, "t5x8"))
+        .union(sArm)
+        .orderBy("objective", "doc_id")
+    }),
+
     // [EXT] per-GROUP heavy hitters: the SpaceSaving aggregate of
     // q57 run per lang over source — bounded ≤64-entry state per
     // group through partial/merge/final; exact (err=0) here because
@@ -811,6 +837,122 @@ object R9Queries {
         |  ((sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000) // count(*))
         |    < 500 AS low_quality
         |FROM k GROUP BY 1 ORDER BY source""".stripMargin,
+    "q172_ul2_mixture" ->
+      """WITH asg AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN b < 5000 THEN 'r' WHEN b < 7500 THEN 's'
+        |         ELSE 'x' END AS obj
+        |  FROM (SELECT doc_id, text,
+        |          ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)
+        |            || ':ul2'), 1, 15))::BIGINT % 10000 AS b
+        |        FROM documents)),
+        |rtok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+'))
+        |      AS term,
+        |    unnest(range(len(regexp_split_to_array(trim(text), '\s+'))))
+        |      AS pos
+        |  FROM asg WHERE obj = 'r' AND trim(text) <> ''),
+        |rm AS (SELECT doc_id, pos, term,
+        |        ('0x' || substr(sha256('t5r8:' || CAST(doc_id AS VARCHAR)
+        |           || ':' || CAST(pos AS VARCHAR)), 1, 13))::BIGINT
+        |          < 675539944105574 AS mk
+        |      FROM rtok),
+        |risl AS (SELECT doc_id, pos, term,
+        |          pos - row_number() OVER (PARTITION BY doc_id
+        |            ORDER BY pos) AS grp
+        |        FROM rm WHERE mk),
+        |rsp AS (SELECT doc_id, grp, min(pos) AS span_start,
+        |         string_agg(term, ' ' ORDER BY pos) AS toks
+        |       FROM risl GROUP BY 1, 2),
+        |rspk AS (SELECT doc_id, span_start, toks,
+        |          CAST(row_number() OVER (PARTITION BY doc_id
+        |            ORDER BY span_start) - 1 AS INT) AS k
+        |        FROM rsp),
+        |rii AS (SELECT doc_id, pos, term FROM rm WHERE NOT mk
+        |        UNION ALL
+        |        SELECT doc_id, span_start,
+        |          '<extra_id_' || CAST(k AS VARCHAR) || '>' FROM rspk),
+        |rinp AS (SELECT doc_id, string_agg(term, ' ' ORDER BY pos)
+        |           AS input_text FROM rii GROUP BY 1),
+        |rns AS (SELECT doc_id, count(*) AS n FROM rspk GROUP BY 1),
+        |rtgt AS (SELECT doc_id,
+        |          string_agg('<extra_id_' || CAST(k AS VARCHAR) || '> '
+        |            || toks, ' ' ORDER BY k) AS t
+        |        FROM rspk GROUP BY 1),
+        |rarm AS (
+        |  SELECT 'r' AS objective, a.doc_id,
+        |    coalesce(rinp.input_text, '') AS input_text,
+        |    CASE WHEN rns.n IS NULL THEN '<extra_id_0>'
+        |         ELSE rtgt.t || ' <extra_id_' || CAST(rns.n AS VARCHAR)
+        |           || '>' END AS target_text
+        |  FROM (SELECT doc_id FROM asg WHERE obj = 'r'
+        |        AND trim(text) <> '') a
+        |  LEFT JOIN rns USING (doc_id) LEFT JOIN rinp USING (doc_id)
+        |  LEFT JOIN rtgt USING (doc_id)),
+        |xtok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+'))
+        |      AS term,
+        |    unnest(range(len(regexp_split_to_array(trim(text), '\s+'))))
+        |      AS pos
+        |  FROM asg WHERE obj = 'x' AND trim(text) <> ''),
+        |xm AS (SELECT doc_id, pos, term,
+        |        ('0x' || substr(sha256('t5x8:' || CAST(doc_id AS VARCHAR)
+        |           || ':' || CAST(pos AS VARCHAR)), 1, 13))::BIGINT
+        |          < 2251799813685248 AS mk
+        |      FROM xtok),
+        |xisl AS (SELECT doc_id, pos, term,
+        |          pos - row_number() OVER (PARTITION BY doc_id
+        |            ORDER BY pos) AS grp
+        |        FROM xm WHERE mk),
+        |xsp AS (SELECT doc_id, grp, min(pos) AS span_start,
+        |         string_agg(term, ' ' ORDER BY pos) AS toks
+        |       FROM xisl GROUP BY 1, 2),
+        |xspk AS (SELECT doc_id, span_start, toks,
+        |          CAST(row_number() OVER (PARTITION BY doc_id
+        |            ORDER BY span_start) - 1 AS INT) AS k
+        |        FROM xsp),
+        |xii AS (SELECT doc_id, pos, term FROM xm WHERE NOT mk
+        |        UNION ALL
+        |        SELECT doc_id, span_start,
+        |          '<extra_id_' || CAST(k AS VARCHAR) || '>' FROM xspk),
+        |xinp AS (SELECT doc_id, string_agg(term, ' ' ORDER BY pos)
+        |           AS input_text FROM xii GROUP BY 1),
+        |xns AS (SELECT doc_id, count(*) AS n FROM xspk GROUP BY 1),
+        |xtgt AS (SELECT doc_id,
+        |          string_agg('<extra_id_' || CAST(k AS VARCHAR) || '> '
+        |            || toks, ' ' ORDER BY k) AS t
+        |        FROM xspk GROUP BY 1),
+        |xarm AS (
+        |  SELECT 'x' AS objective, a.doc_id,
+        |    coalesce(xinp.input_text, '') AS input_text,
+        |    CASE WHEN xns.n IS NULL THEN '<extra_id_0>'
+        |         ELSE xtgt.t || ' <extra_id_' || CAST(xns.n AS VARCHAR)
+        |           || '>' END AS target_text
+        |  FROM (SELECT doc_id FROM asg WHERE obj = 'x'
+        |        AND trim(text) <> '') a
+        |  LEFT JOIN xns USING (doc_id) LEFT JOIN xinp USING (doc_id)
+        |  LEFT JOIN xtgt USING (doc_id)),
+        |sw AS (SELECT doc_id,
+        |         regexp_split_to_array(trim(text), '\s+') AS w
+        |       FROM asg WHERE obj = 's'),
+        |sn AS (SELECT doc_id, w, len(w) AS n_tokens FROM sw
+        |       WHERE len(w) >= 2),
+        |sk AS (SELECT doc_id, w, n_tokens,
+        |        1 + CAST(floor(
+        |          (('0x' || substr(sha256('plmu8:' ||
+        |             CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+        |            / 4503599627370496.0) * (n_tokens - 1)) AS INT)
+        |          AS split_at
+        |      FROM sn),
+        |sarm AS (
+        |  SELECT 's' AS objective, doc_id,
+        |    array_to_string(w[1:split_at], ' ') AS input_text,
+        |    array_to_string(w[split_at+1:n_tokens], ' ') AS target_text
+        |  FROM sk)
+        |SELECT * FROM rarm
+        |UNION ALL SELECT * FROM xarm
+        |UNION ALL SELECT * FROM sarm
+        |ORDER BY objective, doc_id""".stripMargin,
     "q171_pipeline_report" ->
       """WITH t AS (
         |  SELECT doc_id, text,
