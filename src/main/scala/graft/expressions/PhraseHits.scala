@@ -85,7 +85,10 @@ object PhraseHits {
       "graft_phrase_hits: second argument must be a foldable array<string>")
     val phrases = arr.eval() match {
       case a: ArrayData =>
-        a.toArray[UTF8String](StringType).map(_.toString).toSeq
+        val raw = a.toArray[UTF8String](StringType)
+        require(!raw.contains(null),
+          "graft_phrase_hits: phrase array must not contain NULL elements")
+        raw.map(_.toString).toSeq
       case other =>
         throw new IllegalArgumentException(
           s"graft_phrase_hits: cannot fold phrase array from $other")

@@ -511,14 +511,29 @@ object Crawl {
     // positional compare (two extra regexp_instr passes) only runs
     // when BOTH attribute orders matched — a page with two canonical
     // tags, vanishingly rare.
+    // Presence is gated on regexp_instr > 0, NOT on the extracted
+    // group being non-empty: a rel-first canonical tag with an EMPTY
+    // href is still the page's first canonical declaration, and the
+    // positional first-tag-wins rule must resolve it ("" → NULL
+    // below), not fall through to a later href-first tag. The two
+    // positions are let-bound in their own 1-element aggregate so
+    // each regex runs once per row regardless of which CASE branch
+    // references them.
     val relFirst = regexp_extract(html, CanonRelFirst, 1)
     val hrefFirst = regexp_extract(html, CanonHrefFirst, 1)
     val rawExpr = unquote(
-      when(relFirst === "", hrefFirst)
-        .when(hrefFirst === "", relFirst)
-        .when(regexp_instr(html, lit(CanonRelFirst)) <=
-          regexp_instr(html, lit(CanonHrefFirst)), relFirst)
-        .otherwise(hrefFirst))
+      aggregate(
+        array(struct(
+          regexp_instr(html, lit(CanonRelFirst)).as("r"),
+          regexp_instr(html, lit(CanonHrefFirst)).as("h"))),
+        lit(null).cast(StringType),
+        (_, p) =>
+          when(p.getField("r") === 0 && p.getField("h") === 0,
+            lit(null).cast(StringType))
+            .when(p.getField("h") === 0, relFirst)
+            .when(p.getField("r") === 0, hrefFirst)
+            .when(p.getField("r") <= p.getField("h"), relFirst)
+            .otherwise(hrefFirst)))
     def norm(p: Column): Column =
       when(p.contains("/."), normalizeDots(p)).otherwise(p)
     aggregate(array(rawExpr), lit(null).cast(StringType), (_, raw) =>

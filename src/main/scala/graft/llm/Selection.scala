@@ -373,10 +373,16 @@ object Selection {
       "input must not carry the scratch or output columns " + reserved)
     val spark = df.sparkSession
     import spark.implicits._
-    // exact cumulative per-mille-of-a-million boundaries
-    val cums = splits.scanLeft(0L) { case (acc, (_, w)) =>
+    // exact cumulative per-mille-of-a-million boundaries. The LAST
+    // boundary is pinned to exactly 1_000_000: weights like thirds
+    // pass the 1e-9 sum check but their rounded cums end at 999_999,
+    // and an unpinned final boundary would leave the last-ranked row
+    // of every stratum matching no branch (a silent NULL split — the
+    // row lost from every split).
+    val cums0 = splits.scanLeft(0L) { case (acc, (_, w)) =>
       acc + math.round(w * 1e6)
     }.tail
+    val cums = cums0.init :+ 1000000L
     val named = splits.map(_._1).zip(cums)
 
     val hashed = df.withColumn("_ss_h",

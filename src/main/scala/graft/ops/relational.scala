@@ -87,8 +87,20 @@ object relational {
       (on.map(col) :+ col(rightTime).as("_t") :+ lit(rSide).as("_side") :+
         lit(null).cast(lStructType).as("_l") :+ rStruct.as("_r")): _*)
 
-    val base = Window.partitionBy(on.map(col): _*)
-      .orderBy(col("_t"), col("_side"))
+    // Tertiary sort on the right struct makes the pick DETERMINISTIC
+    // when multiple right rows share one (key, rightTime): ordered
+    // only by (_t, _side), last()/first() would choose an arbitrary
+    // duplicate. Backward then resolves to the GREATEST right payload
+    // among equal-time duplicates, forward to the SMALLEST — stable
+    // across runs and partitionings. Skipped (documented
+    // nondeterminism) only when the right payload is unorderable
+    // (map-typed columns).
+    val base0 = Window.partitionBy(on.map(col): _*)
+    val base =
+      if (org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(rStructType))
+        base0.orderBy(col("_t"), col("_side"), col("_r"))
+      else base0.orderBy(col("_t"), col("_side"))
     val (frame, pick) =
       if (forward)
         (base.rowsBetween(Window.currentRow, Window.unboundedFollowing),
@@ -162,8 +174,17 @@ object relational {
     val rU = r2.select(
       (on.map(col) :+ col(rtName).as("_t") :+ lit(0).as("_side") :+
         lit(null).cast(lStructType).as("_l") :+ rStruct.as("_r")): _*)
-    val base = Window.partitionBy(on.map(col): _*)
-      .orderBy(col("_t"), col("_side"))
+    // Same deterministic tertiary key as the directional arms: among
+    // right duplicates at one (key, rightTime) the backward candidate
+    // is the greatest right payload, the forward candidate the
+    // smallest (both stable; without it the window order (_t, _side)
+    // leaves last()/first() free to pick an arbitrary duplicate).
+    val base0 = Window.partitionBy(on.map(col): _*)
+    val base =
+      if (org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(rStructType))
+        base0.orderBy(col("_t"), col("_side"), col("_r"))
+      else base0.orderBy(col("_t"), col("_side"))
     val bwd = last(col("_r"), ignoreNulls = true).over(
       base.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     val fwd = first(col("_r"), ignoreNulls = true).over(

@@ -345,7 +345,13 @@ class CrawlSpec extends SparkSuite {
       // protocol-relative resolves with the https scheme
       (10L, """<link rel="canonical" href="//m.c.org/pp">""", "h.com"),
       // other schemes stay NULL
-      (11L, """<link rel="canonical" href="ftp://c.org/f">""", "h.com")
+      (11L, """<link rel="canonical" href="ftp://c.org/f">""", "h.com"),
+      // STRICT positional: a first canonical tag with an EMPTY href
+      // is still the page's declaration (-> NULL); presence gates on
+      // regexp_instr, so the later tag must NOT win by virtue of the
+      // first extract being empty
+      (12L, """<link rel="canonical" href="">""" +
+        """<link href="/late" rel="canonical">""", "h.com")
     ).toDF("id", "html", "host")
     val r = cases.select(col("id"),
         Crawl.canonicalUrl(col("html"), col("host")).as("c"))
@@ -355,7 +361,7 @@ class CrawlSpec extends SparkSuite {
       3L -> Some("https://c.org/u"), 4L -> None, 5L -> None,
       6L -> None, 7L -> Some("https://h.com/one"),
       8L -> Some("https://h.com/pos1"), 9L -> None,
-      10L -> Some("https://m.c.org/pp"), 11L -> None))
+      10L -> Some("https://m.c.org/pp"), 11L -> None, 12L -> None))
   }
 
   test("canonicalUrl: dir-relative resolves against the page path when supplied") {

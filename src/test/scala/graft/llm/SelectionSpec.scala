@@ -201,6 +201,18 @@ class SelectionSpec extends SparkSuite {
       Selection.stratifiedSplit(df, Seq("g"), "id",
         Seq(("a", 0.5), ("b", 0.4)))
     }
+    // thirds regression: rounded cums end at 999_999, and without the
+    // pinned final 1_000_000 boundary the LAST-ranked row of every
+    // stratum would match no branch and silently get a NULL split
+    val thirds = Selection.stratifiedSplit(df, Seq("g"), "id",
+      Seq(("a", 1.0 / 3), ("b", 1.0 / 3), ("c", 1.0 / 3)))
+    assert(thirds.filter(col("split").isNull).count() === 0L)
+    assert(thirds.count() === 1000L)
+    val tc = thirds.groupBy("g", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    for (g <- Seq("0", "1", "2", "3")) // 250 -> 83 / 83 / 84
+      assert(tc((g, "a")) === 83L && tc((g, "b")) === 83L &&
+        tc((g, "c")) === 84L, s"stratum $g")
   }
   test("distributionDriftByGroup: per-group triage, one-sided groups score high") {
     val a = Seq(("en", "spark join agg"), ("en", "spark sort"),

@@ -584,6 +584,14 @@ class TextAnalysisSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       TextAnalysis.phraseHits(col("text"), Seq("dup", "dup"))
     }
+    // a NULL element inside the foldable array must raise the clear
+    // graft_phrase_hits message, not an NPE from the builder's map
+    val npe = intercept[Exception] {
+      spark.sql("SELECT graft_phrase_hits(text, array('a', NULL)) " +
+        "FROM ph_docs").collect()
+    }
+    assert(npe.getMessage.contains("graft_phrase_hits"),
+      s"got: ${npe.getMessage}")
   }
   test("foldConfusables + canonicalizeUrlParams vectors") {
     import spark.implicits._

@@ -252,6 +252,29 @@ class RelationalSpec extends SparkSuite {
     }
     assert(ex.getMessage.contains("(9)"))
   }
+  test("asofJoin: duplicate right rows at one (key, time) resolve deterministically") {
+    // three right rows share (k=1, rt=100); without the tertiary
+    // struct sort the window's last()/first() would pick an arbitrary
+    // duplicate, varying across runs and partitionings
+    val left = Seq((1, 1, 150L)).toDF("id", "k", "t")
+    val right = Seq((1, 100L, "a"), (1, 100L, "c"), (1, 100L, "b"))
+      .toDF("k", "rt", "v")
+    def run(dir: String, parts: Int): String =
+      relational.asofJoin(left, right.repartition(parts), Seq("k"),
+        "t", "rt", direction = dir).collect()(0).getAs[String]("v")
+    for (dir <- Seq("backward", "nearest")) {
+      val picks = (1 to 4).map(p => run(dir, p)).distinct
+      assert(picks === Seq("c"), // greatest right payload, every layout
+        s"direction=$dir picked $picks")
+    }
+    // forward frame takes the SMALLEST duplicate — also stable
+    val fl = Seq((1, 1, 50L)).toDF("id", "k", "t")
+    val fwd = (1 to 4).map { p =>
+      relational.asofJoin(fl, right.repartition(p), Seq("k"), "t", "rt",
+        direction = "forward").collect()(0).getAs[String]("v")
+    }.distinct
+    assert(fwd === Seq("a"))
+  }
   test("intervalJoin: brute-force parity, emit-once dedup, fail-fast guard") {
     val a = Seq((1, 0L, 100L), (2, 50L, 60L), (3, 500L, 600L),
       (4, 250L, 240L)) // inverted interval drops
