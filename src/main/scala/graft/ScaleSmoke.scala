@@ -76,6 +76,31 @@ object ScaleSmoke {
     val skewLang = when(col("id") % 2 === 0, lit("hotlang"))
       .otherwise(col("lang"))
 
+    // High-cardinality ZIPFIAN corpus for the BPE trainer comparison:
+    // the main synthetic corpus has only ~5k distinct words (a
+    // DEGENERATE word table — per-round recount cost is trivial there
+    // and per-round driver-job latency dominates both trainers), and
+    // a uniform-digit id corpus keeps every merge's affected-word
+    // fraction flat (~1/alphabet) — real text decays. Here each token
+    // is a Zipf-rank draw (rank = exp(u·lnV), density ∝ 1/k) over a
+    // 2n-word space, spelled in base-26 LETTERS — so the word table
+    // grows with n, pair counts are skewed like natural text, and
+    // late merges touch ever-fewer words (the decay the incremental
+    // trainer exploits).
+    lazy val bpeDocs = {
+      val v = 2.0 * n
+      val d = spark.range(n).select(
+        concat_ws(" ", (0 until 30).map { i =>
+          val u = (pmod(xxhash64(col("id") + lit(i * 7919)),
+            lit(1000000L)).cast("double") + lit(0.5)) / lit(1000000.0)
+          val rank = floor(exp(u * lit(math.log(v)))).cast("bigint")
+          translate(conv(rank.cast("string"), 10, 26),
+            "0123456789ABCDEFGHIJKLMNOP", "abcdefghijklmnopqrstuvwxyz")
+        }: _*).as("text")).cache()
+      d.count() // materialize outside the timings
+      d
+    }
+
     // Prebuilt signature store for the admit_store scenario: eager
     // localCheckpoints, so forcing this lazy val (below, OUTSIDE the
     // timed region) pays the corpus signature pass once up front —
@@ -250,6 +275,22 @@ object ScaleSmoke {
       // distinct words, independent of corpus row count
       "bpe_train" -> (() => TrainingOps.trainBpe(
         docs.select(col("text")), "text", numMerges = 3)),
+      // incremental-vs-recount cost proof at PRODUCTION-shaped merge
+      // counts over the HIGH-CARDINALITY word table (see bpeDocs): 50
+      // incremental rounds total vs 10 full-recount rounds — divide
+      // by rounds for the per-round costs. The incremental trainer's
+      // per-round shuffle touches only words containing the
+      // just-merged pair (late rounds: few), the recount trainer
+      // re-explodes every pair of every word each round
+      "bpe_train_inc50" -> (() => TrainingOps.trainBpe(
+        bpeDocs, "text", numMerges = 50)),
+      // 10-round incremental slice: (inc50 − inc10)/40 vs inc10/10
+      // exposes the per-round cost FALLING with round number as the
+      // affected-word fraction shrinks
+      "bpe_train_inc10" -> (() => TrainingOps.trainBpe(
+        bpeDocs, "text", numMerges = 10)),
+      "bpe_train_recount10" -> (() => TrainingOps.trainBpeRecount(
+        bpeDocs, "text", numMerges = 10)),
       // Gopher dup-n-gram signals: two sorted-run folds per row
       // (2-gram top + 5-gram dup mass), map-only — corpus cost is
       // per-row O(len log len), no shuffle
@@ -432,8 +473,10 @@ object ScaleSmoke {
           s"unknown scenario(s): ${want -- sel.map(_._1).toSet}")
         sel
     }
-    // materialize the store before any timer runs
+    // materialize the store / BPE corpus before any timer runs
     if (selected.exists(_._1 == "admit_store")) { sigStore; () }
+    if (selected.exists(s => s._1.startsWith("bpe_train_inc") ||
+        s._1 == "bpe_train_recount10")) { bpeDocs; () }
     val results = selected.map { case (name, mk) => timed(name, mk()) }
 
     docs.unpersist()

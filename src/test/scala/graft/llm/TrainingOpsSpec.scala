@@ -368,6 +368,27 @@ class TrainingOpsSpec extends SparkSuite {
     assert(a === b)
   }
 
+  test("trainBpe incremental ≡ trainBpeRecount: identical merge tables") {
+    import spark.implicits._
+    // rich planted corpus: tie-breaks, merges that create new winning
+    // pairs (th+e -> the), repeated-letter greedy runs, early stop —
+    // every (merge_idx, left, right, cnt) row must match the full
+    // recount reference exactly, including the reported counts
+    val df = Seq(
+      "the theme theater then the thee",
+      "theme theory the there order other",
+      "order border ordering the theme reorder",
+      "aaaa aaab ab ba abab bab",
+      "xyz xy yz zzz xyzzy").toDF("text")
+    for (n <- Seq(1, 4, 15, 60)) {
+      val inc = TrainingOps.trainBpe(df, "text", numMerges = n)
+        .orderBy("merge_idx").collect().map(_.toSeq).toSeq
+      val rec = TrainingOps.trainBpeRecount(df, "text", numMerges = n)
+        .orderBy("merge_idx").collect().map(_.toSeq).toSeq
+      assert(inc === rec, s"numMerges=$n")
+    }
+  }
+
   private def enc(text: String, merges: Seq[(String, String)]): Seq[String] = {
     import spark.implicits._
     Seq(text).toDF("t")
