@@ -630,9 +630,16 @@ object Dedup {
     * admission job. Build with [[buildSignatureStore]] (in-session),
     * persist with [[writeSignatureStore]] (bucketed catalog tables →
     * exchange-free corpus side on every later probe), reload with
-    * [[readSignatureStore]]. */
+    * [[readSignatureStore]]. `buckets`, when present (persisted
+    * stores), is the PRE-GROUPED band index — one row per
+    * (band, bucket) carrying its id list, possibly several rows per
+    * key after appends (one generation per appended batch; compaction
+    * collapses them) — built at store build time so a streaming
+    * admission never re-runs the corpus-wide collect_list groupBy
+    * per trigger (see `Streaming.admitAgainstStore`). */
   final case class SignatureStore(hashes: DataFrame, banded: DataFrame,
-      bands: Int, rowsPerBand: Int, shingleN: Int) {
+      bands: Int, rowsPerBand: Int, shingleN: Int,
+      buckets: Option[DataFrame] = None) {
 
     /** Admit a new batch against this precomputed corpus: same output
       * contract as [[dedupIncremental]] (id, exact_dup,
@@ -690,34 +697,128 @@ object Dedup {
     SignatureStore(hashes, banded, bands, rowsPerBand, shingleN)
   }
 
-  /** Materialize a corpus's [[SignatureStore]] as bucketed catalog
-    * tables (`<prefix>_hashes` bucketed on content_hash,
-    * `<prefix>_banded` bucketed on (band, bucket), `<prefix>_meta`
-    * recording the banding parameters): the one-time layout cost that
+  /** Resolved store metadata: banding parameters, bucket COUNT, the
+    * per-table versions (None ⇒ a legacy unversioned store layout —
+    * still readable; the first compaction migrates it), and the
+    * append fencing sequence (see [[compactSignatureStore]]). */
+  private[llm] final case class StoreMeta(bands: Int, rowsPerBand: Int,
+      shingleN: Int, buckets: Int, hashesVersion: Option[Int],
+      bandedVersion: Option[Int], appendSeq: Long) {
+    def hashesTable(prefix: String): String =
+      hashesVersion.map(v => s"${prefix}_v${v}_hashes")
+        .getOrElse(s"${prefix}_hashes")
+    def bandedTable(prefix: String): String =
+      bandedVersion.map(v => s"${prefix}_v${v}_banded")
+        .getOrElse(s"${prefix}_banded")
+    /** Pre-grouped band index — versioned stores only (the legacy
+      * layout has no buckets table). */
+    def bucketsTable(prefix: String): Option[String] =
+      bandedVersion.map(v => s"${prefix}_v${v}_buckets")
+    def maxVersion: Int =
+      math.max(hashesVersion.getOrElse(0), bandedVersion.getOrElse(0))
+  }
+
+  private[llm] def readStoreMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String): StoreMeta = {
+    val df = spark.table(s"${tablePrefix}_meta")
+    val m = df.head()
+    def optInt(c: String): Option[Int] =
+      if (df.columns.contains(c)) Some(m.getAs[Int](c)) else None
+    StoreMeta(m.getAs[Int]("bands"), m.getAs[Int]("rows_per_band"),
+      m.getAs[Int]("shingle_n"),
+      optInt("buckets").getOrElse(0),
+      optInt("hashes_version"), optInt("banded_version"),
+      if (df.columns.contains("append_seq")) m.getAs[Long]("append_seq")
+      else 0L)
+  }
+
+  /** Write the one-row meta table. When the table already exists with
+    * the current schema this is an INSERT OVERWRITE — a data-only
+    * replace that never unregisters the table, so readers resolving
+    * the store mid-flip see either the old row or the new row, never
+    * an absent store (the drop-and-recreate `saveAsTable` path runs
+    * only on first write or legacy-schema migration). */
+  private def writeStoreMeta(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, m: StoreMeta): Unit = {
+    import spark.implicits._
+    require(m.hashesVersion.isDefined && m.bandedVersion.isDefined,
+      "writeStoreMeta: versions must be resolved")
+    val df = Seq((m.bands, m.rowsPerBand, m.shingleN, m.buckets,
+        m.hashesVersion.get, m.bandedVersion.get, m.appendSeq))
+      .toDF("bands", "rows_per_band", "shingle_n", "buckets",
+        "hashes_version", "banded_version", "append_seq")
+    val t = s"${tablePrefix}_meta"
+    if (spark.catalog.tableExists(t) &&
+        spark.table(t).columns.sameElements(df.columns))
+      df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).insertInto(t)
+    else
+      df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(t)
+  }
+
+  /** Drop every store data table of `tablePrefix` (any `_vN_` version
+    * or the legacy unversioned names) that is not in `keep` — run
+    * AFTER a version flip, keeping the new current tables plus the
+    * just-superseded ones as grace for in-flight readers that
+    * resolved their version before the flip. */
+  private def dropSupersededStoreTables(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, keep: Set[String]): Unit = {
+    val pat = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(tablePrefix) +
+        "(_v\\d+)?_(hashes|banded|buckets)")
+    val all = spark.catalog.listTables().collect().map(_.name)
+    all.filter(t => pat.matcher(t).matches() && !keep.contains(t))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  /** The pre-grouped band index rows for a banded key set: one row
+    * per (band, bucket) with the sorted id list (sorted so a
+    * generation merge is order-independent and spec-comparable). */
+  private def groupBuckets(banded: DataFrame): DataFrame =
+    banded.groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+
+  /** Materialize a corpus's [[SignatureStore]] as VERSIONED bucketed
+    * catalog tables (`<prefix>_v1_hashes` bucketed on content_hash,
+    * `<prefix>_v1_banded` and `<prefix>_v1_buckets` bucketed on
+    * (band, bucket), `<prefix>_meta` recording the banding parameters
+    * and the current table versions): the one-time layout cost that
     * makes every subsequent admission probe exchange-free on the
     * corpus side — the nightly job shuffles only the nightly batch,
     * never the 100 TB corpus (see IoSpec's no-Exchange pin on
-    * bucketed joins). The corpus-side mass-dup-bucket guard runs at
-    * store BUILD time, once, instead of on every probe: a bucket
-    * hotter than `maxBucket` fails the build naming band and bucket. */
+    * bucketed joins). Readers resolve the current version from the
+    * ONE-ROW meta table, which is what makes maintenance
+    * ([[compactSignatureStore]] / [[removeFromSignatureStore]])
+    * non-disruptive: a new version is written completely while the
+    * current one stays live, then the meta row flips. The
+    * `_buckets` table is the band index pre-grouped to one row per
+    * (band, bucket) with its id list — built here so streaming
+    * admission never re-groups the corpus per trigger. The
+    * corpus-side mass-dup-bucket guard runs at store BUILD time,
+    * once, instead of on every probe: a bucket hotter than
+    * `maxBucket` fails the build naming band and bucket. */
   def writeSignatureStore(corpusDf: DataFrame, idCol: String,
       textCol: String, tablePrefix: String, buckets: Int = 32,
       bands: Int = 4, rowsPerBand: Int = 2, shingleN: Int = 3,
       maxBucket: Long = 1L << 20): Unit = {
     // the build runs the corpus-side guard (and checkpoints the
-    // banded keys the two writes below share)
+    // banded keys the writes below share)
     val store = buildSignatureStore(corpusDf, idCol, textCol, bands,
       rowsPerBand, shingleN, validateMaxBucket = maxBucket)
-    graft.io.Sinks.writeBucketed(store.hashes, s"${tablePrefix}_hashes",
-      Seq("content_hash"), buckets)
-    graft.io.Sinks.writeBucketed(store.banded, s"${tablePrefix}_banded",
-      Seq("band", "bucket"), buckets)
     val spark = corpusDf.sparkSession
-    import spark.implicits._
-    Seq((bands, rowsPerBand, shingleN, buckets))
-      .toDF("bands", "rows_per_band", "shingle_n", "buckets")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .saveAsTable(s"${tablePrefix}_meta")
+    graft.io.Sinks.writeBucketed(store.hashes,
+      s"${tablePrefix}_v1_hashes", Seq("content_hash"), buckets)
+    graft.io.Sinks.writeBucketed(store.banded,
+      s"${tablePrefix}_v1_banded", Seq("band", "bucket"), buckets)
+    graft.io.Sinks.writeBucketed(groupBuckets(store.banded),
+      s"${tablePrefix}_v1_buckets", Seq("band", "bucket"), buckets)
+    writeStoreMeta(spark, tablePrefix, StoreMeta(bands, rowsPerBand,
+      shingleN, buckets, Some(1), Some(1), appendSeq = 0L))
+    // a re-write is a fresh store: clear any older/legacy versions
+    dropSupersededStoreTables(spark, tablePrefix,
+      Set(s"${tablePrefix}_v1_hashes", s"${tablePrefix}_v1_banded",
+        s"${tablePrefix}_v1_buckets"))
   }
 
   /** Merge an ADMITTED batch's signatures into a persisted store —
@@ -742,22 +843,21 @@ object Dedup {
       textCol: String, tablePrefix: String,
       maxBucket: Long = 1L << 20): Unit = {
     val spark = batch.sparkSession
-    // ONE meta read serves banding params AND the bucket count; the
-    // append must write with the SAME bucketBy the store was created
-    // with or it would corrupt the exchange-free layout — fail with a
-    // remedy if the store predates the recorded count
-    val metaDf = spark.table(s"${tablePrefix}_meta")
-    require(metaDf.columns.contains("buckets"),
+    // ONE meta read serves banding params, the current table versions
+    // AND the bucket count; the append must write with the SAME
+    // bucketBy the store was created with or it would corrupt the
+    // exchange-free layout — fail with a remedy if the store predates
+    // the recorded count
+    val meta = readStoreMeta(spark, tablePrefix)
+    require(meta.buckets > 0,
       s"appendToSignatureStore: ${tablePrefix}_meta has no 'buckets' " +
         "column — the store was written before bucket counts were " +
         "recorded; rewrite it with writeSignatureStore before appending")
-    val m = metaDf.head()
     val store = SignatureStore(
-      spark.table(s"${tablePrefix}_hashes"),
-      spark.table(s"${tablePrefix}_banded"),
-      m.getAs[Int]("bands"), m.getAs[Int]("rows_per_band"),
-      m.getAs[Int]("shingle_n"))
-    val buckets = m.getAs[Int]("buckets")
+      spark.table(meta.hashesTable(tablePrefix)),
+      spark.table(meta.bandedTable(tablePrefix)),
+      meta.bands, meta.rowsPerBand, meta.shingleN)
+    val buckets = meta.buckets
     // null text hashes to a NULL key, which a left_anti join can never
     // match (NULL = NULL is NULL) — it would re-append every run and
     // break idempotency; a null document has no content to admit
@@ -799,68 +899,143 @@ object Dedup {
             "the corpus first (admit + filter) or raise the cap")
       }
     }
-    graft.io.Sinks.writeBucketed(newHashes, s"${tablePrefix}_hashes",
-      Seq("content_hash"), buckets,
+    graft.io.Sinks.writeBucketed(newHashes,
+      meta.hashesTable(tablePrefix), Seq("content_hash"), buckets,
       mode = org.apache.spark.sql.SaveMode.Append)
-    graft.io.Sinks.writeBucketed(newBanded, s"${tablePrefix}_banded",
-      Seq("band", "bucket"), buckets,
+    graft.io.Sinks.writeBucketed(newBanded,
+      meta.bandedTable(tablePrefix), Seq("band", "bucket"), buckets,
       mode = org.apache.spark.sql.SaveMode.Append)
+    // the pre-grouped band index gains ONE GENERATION of rows per
+    // append — the batch's own groups only (batch-sized, never a
+    // corpus re-group); a streaming reader merges generations per
+    // (band, bucket) and the next compaction collapses them. Id
+    // lists stay disjoint across generations because newBanded is
+    // anti-joined against the store above.
+    meta.bucketsTable(tablePrefix).foreach { bt =>
+      graft.io.Sinks.writeBucketed(groupBuckets(newBanded), bt,
+        Seq("band", "bucket"), buckets,
+        mode = org.apache.spark.sql.SaveMode.Append)
+    }
+    // bump the append fencing sequence LAST (after the data lands):
+    // a compaction that snapshotted before any of this append's
+    // writes sees the bump at flip time and cleanly aborts instead of
+    // silently discarding the append (see compactSignatureStore);
+    // legacy unversioned stores skip the bump (no fencing columns)
+    if (meta.hashesVersion.isDefined)
+      writeStoreMeta(spark, tablePrefix,
+        meta.copy(appendSeq = meta.appendSeq + 1))
   }
 
-  /** Rewrite one bucketed store table from the given snapshot as
-    * `<table>__compacting`, then swap it in (drop + rename). The
-    * write runs with the auto-bucketed-scan rule pinned OFF: that
-    * rule silently downgrades a bucketed read to a plain file scan
-    * when the query has no join/agg to benefit (a bare rewrite
-    * doesn't), which hands the writer the FRAGMENTED file-group
-    * partitioning and re-fragments the very layout being compacted —
-    * worse, a caller-side repartition on the bucket keys is
-    * eliminated as redundant against the table's declared
+  /** Rewrite one bucketed store table's content to `target` (a NEW
+    * version's table name — never the live one, so nothing here
+    * disrupts readers). The write runs with the auto-bucketed-scan
+    * rule pinned OFF: that rule silently downgrades a bucketed read
+    * to a plain file scan when the query has no join/agg to benefit
+    * (a bare rewrite doesn't), which hands the writer the FRAGMENTED
+    * file-group partitioning and re-fragments the very layout being
+    * compacted — worse, a caller-side repartition on the bucket keys
+    * is eliminated as redundant against the table's declared
     * partitioning before that downgrade is decided, so it cannot fix
     * it. With the bucketed scan forced, the read yields exactly one
     * partition per bucket (all its file fragments coalesced), the
     * declared partitioning satisfies the write, and the job is
     * EXCHANGE-FREE: each task holds one whole bucket and emits one
     * file. */
-  private def rewriteBucketed(snapshot: DataFrame, table: String,
+  private def rewriteBucketedTo(snapshot: DataFrame, target: String,
       keys: Seq[String], buckets: Int): Unit = {
     val spark = snapshot.sparkSession
-    val tmp = s"${table}__compacting"
-    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    spark.sql(s"DROP TABLE IF EXISTS $target")
     val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val old = spark.conf.get(conf)
     spark.conf.set(conf, "false")
-    try graft.io.Sinks.writeBucketed(snapshot, tmp, keys, buckets)
+    try graft.io.Sinks.writeBucketed(snapshot, target, keys, buckets)
     finally spark.conf.set(conf, old)
-    spark.sql(s"DROP TABLE $table")
-    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
   }
 
-  /** Compact a persisted signature store in place: every
+  /** Compact a persisted signature store: every
     * [[appendToSignatureStore]] night adds one file set per touched
-    * bucket, so after N nights each bucketed table holds O(N) files
-    * per bucket and the "exchange-free" probe's scan cost quietly
-    * grows N-fold. This rewrites `<prefix>_hashes` and
-    * `<prefix>_banded` preserving their bucketing (bucket count and
-    * keys from the meta table — the layout contract cannot drift),
-    * leaving ~one file per bucket; admit results are byte-identical
-    * before and after (spec-pinned). Each table rewrites via a
-    * `__compacting` shadow table then a drop + rename — the store is
-    * briefly absent between the two statements (Spark's catalog has
-    * no atomic swap), so run compaction in the nightly loop's own
-    * maintenance window, never concurrently with an append: an append
-    * committed between snapshot and swap would be silently discarded.
-    * Cost: one bounded read+write of the store's CURRENT size — at
-    * nightly-append cadence, run it weekly/monthly, amortized to
-    * noise. */
+    * bucket (and one generation of bucket-index rows), so after N
+    * nights each bucketed table holds O(N) files per bucket and the
+    * "exchange-free" probe's scan cost quietly grows N-fold. This
+    * rewrites all three data tables under the NEXT version prefix
+    * (`<prefix>_v(N+1)_*`) preserving their bucketing (bucket count
+    * and keys from the meta table — the layout contract cannot
+    * drift), leaving ~one file per bucket and ONE generation of
+    * bucket-index rows, then flips the current version in the
+    * one-row meta table. Admit results are byte-identical before and
+    * after (spec-pinned). The store is NEVER absent: the current
+    * version stays fully live while the next is written, the flip is
+    * a data-only replace of the meta row, and the just-superseded
+    * version's tables survive one more maintenance cycle as grace
+    * for in-flight readers (older versions are dropped).
+    *
+    * Concurrent appends are FENCED, not silently discarded (the
+    * failure mode of a shadow-table drop+rename swap): every append
+    * bumps `append_seq` in meta AFTER its data lands, and the flip
+    * here re-reads meta and compares the sequence against the
+    * snapshot — an append that committed anywhere between snapshot
+    * and flip aborts the compaction cleanly (the new version's
+    * tables are deleted, the current version — which fully contains
+    * the append — stays live, and the thrown error says to re-run).
+    * The snapshot-vs-flip check and the meta write are not a single
+    * CAS (Spark's catalog is non-transactional), so maintenance jobs
+    * themselves must not race each other — one maintenance
+    * orchestrator per store, the same contract any non-transactional
+    * catalog mutation has; what the fencing removes is the
+    * append-vs-maintenance lost-write hazard.
+    *
+    * A legacy unversioned store (pre-version meta) migrates here: its
+    * tables are compacted into `_v1_*` and the meta row gains the
+    * version columns. Cost: one bounded read+write of the store's
+    * CURRENT size — at nightly-append cadence, run it weekly/monthly,
+    * amortized to noise. */
   def compactSignatureStore(spark: org.apache.spark.sql.SparkSession,
-      tablePrefix: String): Unit = {
-    val m = spark.table(s"${tablePrefix}_meta").head()
-    val buckets = m.getAs[Int]("buckets")
-    rewriteBucketed(spark.table(s"${tablePrefix}_hashes"),
-      s"${tablePrefix}_hashes", Seq("content_hash"), buckets)
-    rewriteBucketed(spark.table(s"${tablePrefix}_banded"),
-      s"${tablePrefix}_banded", Seq("band", "bucket"), buckets)
+      tablePrefix: String): Unit =
+    compactSignatureStoreHooked(spark, tablePrefix, () => ())
+
+  /** [[compactSignatureStore]] with a test seam: `beforeFlip` runs
+    * after the new version's tables are fully written and before the
+    * fencing re-check + meta flip — the exact window the append
+    * fencing exists to protect. Production callers use the no-hook
+    * overload. */
+  private[graft] def compactSignatureStoreHooked(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, beforeFlip: () => Unit): Unit = {
+    val m0 = readStoreMeta(spark, tablePrefix)
+    require(m0.buckets > 0,
+      s"compactSignatureStore: ${tablePrefix}_meta has no 'buckets' " +
+        "column — rewrite the store with writeSignatureStore first")
+    val newV = m0.maxVersion + 1
+    val banded = spark.table(m0.bandedTable(tablePrefix))
+    rewriteBucketedTo(spark.table(m0.hashesTable(tablePrefix)),
+      s"${tablePrefix}_v${newV}_hashes", Seq("content_hash"), m0.buckets)
+    rewriteBucketedTo(banded,
+      s"${tablePrefix}_v${newV}_banded", Seq("band", "bucket"), m0.buckets)
+    // the bucket index regroups from the snapshot banded rows —
+    // collapsing however many append generations accumulated
+    rewriteBucketedTo(groupBuckets(banded),
+      s"${tablePrefix}_v${newV}_buckets", Seq("band", "bucket"),
+      m0.buckets)
+    beforeFlip()
+    val m1 = readStoreMeta(spark, tablePrefix)
+    if (m1.appendSeq != m0.appendSeq ||
+        m1.hashesVersion != m0.hashesVersion ||
+        m1.bandedVersion != m0.bandedVersion) {
+      Seq("hashes", "banded", "buckets").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS ${tablePrefix}_v${newV}_$t"))
+      throw new IllegalStateException(
+        s"compactSignatureStore: store $tablePrefix changed while " +
+          s"compacting (append_seq ${m0.appendSeq} -> ${m1.appendSeq}) " +
+          "— the concurrent append is preserved in the live store and " +
+          "this compaction wrote nothing; re-run it")
+    }
+    writeStoreMeta(spark, tablePrefix,
+      m1.copy(hashesVersion = Some(newV), bandedVersion = Some(newV)))
+    val keep = Set(s"${tablePrefix}_v${newV}_hashes",
+      s"${tablePrefix}_v${newV}_banded", s"${tablePrefix}_v${newV}_buckets",
+      m0.hashesTable(tablePrefix), m0.bandedTable(tablePrefix)) ++
+      m0.bucketsTable(tablePrefix)
+    dropSupersededStoreTables(spark, tablePrefix, keep)
   }
 
   /** Retention path for DELETED corpus documents (takedowns): drop the
@@ -884,26 +1059,74 @@ object Dedup {
   def removeFromSignatureStore(removeIds: DataFrame,
       tablePrefix: String): Unit = {
     val spark = removeIds.sparkSession
-    val m = spark.table(s"${tablePrefix}_meta").head()
-    val buckets = m.getAs[Int]("buckets")
-    val table = s"${tablePrefix}_banded"
+    val m0 = readStoreMeta(spark, tablePrefix)
+    require(m0.buckets > 0,
+      s"removeFromSignatureStore: ${tablePrefix}_meta has no 'buckets' " +
+        "column — rewrite the store with writeSignatureStore first")
     val ids = removeIds.select(col(removeIds.columns.head).as("id"))
-    rewriteBucketed(
-      spark.table(table).join(broadcast(ids), Seq("id"), "left_anti"),
-      table, Seq("band", "bucket"), buckets)
+    // same versioned flip + append fencing as compactSignatureStore:
+    // the filtered banded (and regrouped bucket-index) tables land
+    // under the next version while the current stays live, and a
+    // concurrent append aborts the removal cleanly rather than being
+    // silently discarded. The hash table is shared, not rewritten —
+    // its version is unchanged by design (see Scaladoc above).
+    val newV = m0.maxVersion + 1
+    val filtered = spark.table(m0.bandedTable(tablePrefix))
+      .join(broadcast(ids), Seq("id"), "left_anti")
+    rewriteBucketedTo(filtered, s"${tablePrefix}_v${newV}_banded",
+      Seq("band", "bucket"), m0.buckets)
+    rewriteBucketedTo(groupBuckets(filtered),
+      s"${tablePrefix}_v${newV}_buckets", Seq("band", "bucket"),
+      m0.buckets)
+    // a legacy (unversioned) store migrates its hash table too —
+    // meta must never point at a versioned name that doesn't exist
+    val newHashesV = m0.hashesVersion.getOrElse {
+      rewriteBucketedTo(spark.table(m0.hashesTable(tablePrefix)),
+        s"${tablePrefix}_v${newV}_hashes", Seq("content_hash"),
+        m0.buckets)
+      newV
+    }
+    val m1 = readStoreMeta(spark, tablePrefix)
+    if (m1.appendSeq != m0.appendSeq ||
+        m1.bandedVersion != m0.bandedVersion) {
+      Seq("banded", "buckets").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS ${tablePrefix}_v${newV}_$t"))
+      if (m0.hashesVersion.isEmpty)
+        spark.sql(s"DROP TABLE IF EXISTS ${tablePrefix}_v${newV}_hashes")
+      throw new IllegalStateException(
+        s"removeFromSignatureStore: store $tablePrefix changed while " +
+          s"removing (append_seq ${m0.appendSeq} -> ${m1.appendSeq}) " +
+          "— re-run the removal")
+    }
+    val mNew = m1.copy(hashesVersion = Some(newHashesV),
+      bandedVersion = Some(newV))
+    writeStoreMeta(spark, tablePrefix, mNew)
+    val keep = Set(s"${tablePrefix}_v${newV}_banded",
+      s"${tablePrefix}_v${newV}_buckets",
+      mNew.hashesTable(tablePrefix), m0.hashesTable(tablePrefix),
+      m0.bandedTable(tablePrefix)) ++
+      m0.bucketsTable(tablePrefix)
+    dropSupersededStoreTables(spark, tablePrefix, keep)
   }
 
-  /** Reload a persisted [[SignatureStore]]; banding parameters come
-    * from the `<prefix>_meta` table, so probes can never silently run
-    * with banding that differs from what the store was built with. */
+  /** Reload a persisted [[SignatureStore]]; banding parameters AND
+    * the current table versions come from the `<prefix>_meta` table,
+    * so probes can never silently run with banding that differs from
+    * what the store was built with, and maintenance flips
+    * (compaction / removal) are invisible to callers — the next read
+    * resolves the new version. The pre-grouped `buckets` index rides
+    * along when present (versioned stores); legacy unversioned stores
+    * load without it. */
   def readSignatureStore(spark: org.apache.spark.sql.SparkSession,
       tablePrefix: String): SignatureStore = {
-    val m = spark.table(s"${tablePrefix}_meta").head()
+    val m = readStoreMeta(spark, tablePrefix)
+    val buckets = m.bucketsTable(tablePrefix)
+      .filter(spark.catalog.tableExists)
+      .map(spark.table)
     SignatureStore(
-      spark.table(s"${tablePrefix}_hashes"),
-      spark.table(s"${tablePrefix}_banded"),
-      m.getAs[Int]("bands"), m.getAs[Int]("rows_per_band"),
-      m.getAs[Int]("shingle_n"))
+      spark.table(m.hashesTable(tablePrefix)),
+      spark.table(m.bandedTable(tablePrefix)),
+      m.bands, m.rowsPerBand, m.shingleN, buckets)
   }
 
   /** Shared probe core for [[dedupIncremental]] and

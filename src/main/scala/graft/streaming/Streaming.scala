@@ -173,10 +173,18 @@ object Streaming {
     * id lists; `near_candidates` is the size of their flattened
     * distinct union. No watermark, zero streaming state.
     *
-    * Scale shape: the static side is scanned (re-planned) per
-    * trigger, touching precomputed keys only — never the corpus text;
-    * the per-bucket grouping runs exchange-free on the bucketed
-    * `<prefix>_banded` layout. The id lists are bounded by the
+    * Scale shape: the static side is re-planned per trigger, but the
+    * grouped band index is PERSISTED here, so the grouping work runs
+    * once at first trigger and every later trigger reads the
+    * in-memory rows — and with a persisted store the grouping itself
+    * was already done at store build time (`<prefix>_vN_buckets`, one
+    * row per (band, bucket) with its id list; appends add one
+    * batch-sized generation of rows, merged per key below with an
+    * exchange-free aggregate on the bucketed layout, and compaction
+    * collapses them back to one). Only a store with no bucket index
+    * (in-session builds, legacy layouts) falls back to grouping the
+    * raw banded rows. One persisted copy lives per admission stream —
+    * run one stream per loaded store. The id lists are bounded by the
     * store's build/append-time `maxBucket` guard — a store meant for
     * streaming admission should be validated with a cap sized so a
     * bucket's id list is comfortable in one row (the default 2²⁰ is a
@@ -188,8 +196,16 @@ object Streaming {
       textCol: String): DataFrame = {
     val bands = store.bands
     val rpb = store.rowsPerBand
-    val bucketIds = store.banded.groupBy(col("band"), col("bucket"))
-      .agg(collect_list(col("id")).as("_ids"))
+    val bucketIds = (store.buckets match {
+      case Some(b) =>
+        // pre-grouped at store build time; per-key flatten merges the
+        // append generations (usually exactly one row per key)
+        b.groupBy(col("band"), col("bucket"))
+          .agg(flatten(collect_list(col("ids"))).as("_ids"))
+      case None =>
+        store.banded.groupBy(col("band"), col("bucket"))
+          .agg(collect_list(col("id")).as("_ids"))
+    }).persist()
     val corpusHash = store.hashes
       .select(col("content_hash").as("_h")).withColumn("_e", lit(true))
     // signature staged as a projected attribute BEFORE the per-band

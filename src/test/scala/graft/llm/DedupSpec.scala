@@ -4,6 +4,32 @@ import org.apache.spark.sql.functions._
 import graft.SparkSuite
 
 class DedupSpec extends SparkSuite {
+
+  /** All catalog tables of one signature store (any version + meta). */
+  private def storeTables(prefix: String): Seq[String] = {
+    val pat = (java.util.regex.Pattern.quote(prefix) +
+      "(_v\\d+)?_(hashes|banded|buckets|meta)").r
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(t => pat.matches(t)).toSeq
+  }
+  private def dropStore(prefix: String): Unit = {
+    storeTables(prefix).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // a run that failed mid-write can leave UNREGISTERED directories
+    // in the managed warehouse; clear them too or the next run's
+    // CREATE hits LOCATION_ALREADY_EXISTS (also why every store test
+    // calls dropStore at entry, not just in finally)
+    val wh = new java.io.File(new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    val pat = (java.util.regex.Pattern.quote(prefix) +
+      "(_v\\d+)?_(hashes|banded|buckets|meta)").r
+    Option(wh.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => pat.matches(f.getName))
+      .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
+  }
+  private def hashesTable(prefix: String): String =
+    Dedup.readStoreMeta(spark, prefix).hashesTable(prefix)
+  private def bandedTable(prefix: String): String =
+    Dedup.readStoreMeta(spark, prefix).bandedTable(prefix)
   import spark.implicits._
 
   private val docs = Seq(
@@ -490,6 +516,7 @@ class DedupSpec extends SparkSuite {
       (3L, "and a third body about something else again")).toDF("id", "text")
     val newb = Seq((10L, base), (11L, base + " tail"),
       (12L, "nothing shared with the corpus at all here")).toDF("id", "text")
+    dropStore("sig_store_t")
     Dedup.writeSignatureStore(corpus, "id", "text", "sig_store_t", buckets = 4)
     try {
       val store = Dedup.readSignatureStore(spark, "sig_store_t")
@@ -507,18 +534,14 @@ class DedupSpec extends SparkSuite {
       try {
         val probe = newb
           .select(col("id"), sha2(trim(col("text")), 256).as("content_hash"))
-          .join(spark.table("sig_store_t_hashes"), Seq("content_hash"))
+          .join(spark.table(hashesTable("sig_store_t")), Seq("content_hash"))
         val plan = probe.queryExecution.executedPlan.toString
         val exchanges = "Exchange hashpartitioning".r
           .findAllIn(plan).length
         assert(exchanges <= 1, plan.take(1500))
         probe.count()
       } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-    } finally {
-      spark.sql("DROP TABLE IF EXISTS sig_store_t_hashes")
-      spark.sql("DROP TABLE IF EXISTS sig_store_t_banded")
-      spark.sql("DROP TABLE IF EXISTS sig_store_t_meta")
-    }
+    } finally dropStore("sig_store_t")
   }
 
   test("writeSignatureStore fail-fasts on a mass-dup corpus bucket") {
@@ -541,6 +564,7 @@ class DedupSpec extends SparkSuite {
     val day2 = Seq(
       (20L, "gamma fresh document admitted on day one intact"), // dup of day1
       (21L, "delta genuinely new document on day two arriving")).toDF("id", "text")
+    dropStore("sig_store_ap")
     Dedup.writeSignatureStore(corpus, "id", "text", "sig_store_ap",
       buckets = 4)
     try {
@@ -559,29 +583,26 @@ class DedupSpec extends SparkSuite {
       assert(a2.head._3 >= 1L, "day-1 doc must surface as a near candidate")
       // idempotent: re-appending day 1 adds nothing
       Dedup.appendToSignatureStore(day1, "id", "text", "sig_store_ap")
-      val nHashes = spark.table("sig_store_ap_hashes").count()
+      val nHashes = spark.table(hashesTable("sig_store_ap")).count()
       Dedup.appendToSignatureStore(day1, "id", "text", "sig_store_ap")
-      assert(spark.table("sig_store_ap_hashes").count() === nHashes)
+      assert(spark.table(hashesTable("sig_store_ap")).count() === nHashes)
       // null-text rows have no content: they must not append a NULL
       // hash key (which a left_anti join can never dedupe — it would
       // re-append every run)
       val withNull = Seq((30L, null.asInstanceOf[String])).toDF("id", "text")
       Dedup.appendToSignatureStore(withNull, "id", "text", "sig_store_ap")
       Dedup.appendToSignatureStore(withNull, "id", "text", "sig_store_ap")
-      assert(spark.table("sig_store_ap_hashes").count() === nHashes)
-      assert(spark.table("sig_store_ap_hashes")
+      assert(spark.table(hashesTable("sig_store_ap")).count() === nHashes)
+      assert(spark.table(hashesTable("sig_store_ap"))
         .filter(col("content_hash").isNull).count() === 0L)
-    } finally {
-      spark.sql("DROP TABLE IF EXISTS sig_store_ap_hashes")
-      spark.sql("DROP TABLE IF EXISTS sig_store_ap_banded")
-      spark.sql("DROP TABLE IF EXISTS sig_store_ap_meta")
-    }
+    } finally dropStore("sig_store_ap")
   }
 
   test("compactSignatureStore: appends fragment, compaction restores the layout, admit identical") {
     val corpus = Seq(
       (1L, "alpha subject matter entirely its own body here"),
       (2L, "beta subject matter entirely different body text")).toDF("id", "text")
+    dropStore("sig_store_cp")
     Dedup.writeSignatureStore(corpus, "id", "text", "sig_store_cp",
       buckets = 4)
     try {
@@ -599,11 +620,11 @@ class DedupSpec extends SparkSuite {
         .admit(probe, "id", "text").orderBy("id").collect()
         .map(_.toSeq).toSeq
       val before = admitNow()
-      val filesBefore = spark.table("sig_store_cp_banded").inputFiles.length +
-        spark.table("sig_store_cp_hashes").inputFiles.length
+      val filesBefore = spark.table(bandedTable("sig_store_cp")).inputFiles.length +
+        spark.table(hashesTable("sig_store_cp")).inputFiles.length
       Dedup.compactSignatureStore(spark, "sig_store_cp")
-      val bandedAfter = spark.table("sig_store_cp_banded").inputFiles.length
-      val hashesAfter = spark.table("sig_store_cp_hashes").inputFiles.length
+      val bandedAfter = spark.table(bandedTable("sig_store_cp")).inputFiles.length
+      val hashesAfter = spark.table(hashesTable("sig_store_cp")).inputFiles.length
       // ~one file per (non-empty) bucket, strictly fewer than the
       // fragmented layout
       assert(bandedAfter + hashesAfter < filesBefore,
@@ -611,24 +632,100 @@ class DedupSpec extends SparkSuite {
       assert(bandedAfter <= 4 && hashesAfter <= 4)
       // admit results byte-identical pre/post compaction
       assert(admitNow() === before)
-      // the bucketed layout survived the shadow-table swap: the hash
+      // the bucketed layout survived the version flip: the hash
       // probe still runs with at most ONE exchange (the batch side)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try {
         val p = probe
           .select(col("id"), sha2(trim(col("text")), 256).as("content_hash"))
-          .join(spark.table("sig_store_cp_hashes"), Seq("content_hash"))
+          .join(spark.table(hashesTable("sig_store_cp")), Seq("content_hash"))
         val plan = p.queryExecution.executedPlan.toString
         assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 1,
           plan.take(1500))
       } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-    } finally {
-      spark.sql("DROP TABLE IF EXISTS sig_store_cp_hashes")
-      spark.sql("DROP TABLE IF EXISTS sig_store_cp_banded")
-      spark.sql("DROP TABLE IF EXISTS sig_store_cp_meta")
-      spark.sql("DROP TABLE IF EXISTS sig_store_cp_hashes__compacting")
-      spark.sql("DROP TABLE IF EXISTS sig_store_cp_banded__compacting")
-    }
+    } finally dropStore("sig_store_cp")
+  }
+
+  test("compaction fencing: an append landing mid-compaction is preserved, never discarded") {
+    val corpus = Seq(
+      (1L, "alpha subject matter entirely its own body here"),
+      (2L, "beta subject matter entirely different body text")).toDF("id", "text")
+    dropStore("sig_store_fc")
+    Dedup.writeSignatureStore(corpus, "id", "text", "sig_store_fc",
+      buckets = 4)
+    try {
+      val late = Seq(
+        (50L, "late append racing the compaction maintenance job"))
+        .toDF("id", "text")
+      val probe = Seq(
+        (90L, "late append racing the compaction maintenance job"))
+        .toDF("id", "text")
+      def admitNow() = Dedup.readSignatureStore(spark, "sig_store_fc")
+        .admit(probe, "id", "text").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      // the append commits in the window between the compaction's
+      // snapshot writes and its version flip — the exact lost-write
+      // hazard of a drop+rename swap. The fencing must ABORT the
+      // compaction (clean error, nothing flipped) with the append
+      // fully visible in the live store.
+      val v0 = Dedup.readStoreMeta(spark, "sig_store_fc")
+      val e = intercept[IllegalStateException] {
+        Dedup.compactSignatureStoreHooked(spark, "sig_store_fc", () =>
+          Dedup.appendToSignatureStore(late, "id", "text", "sig_store_fc"))
+      }
+      assert(e.getMessage.contains("re-run"), e.getMessage)
+      val v1 = Dedup.readStoreMeta(spark, "sig_store_fc")
+      assert(v1.hashesVersion === v0.hashesVersion &&
+        v1.bandedVersion === v0.bandedVersion,
+        "an aborted compaction must not flip the version")
+      assert(v1.appendSeq === v0.appendSeq + 1)
+      assert(admitNow() === Map(90L -> true),
+        "the racing append must be fully visible after the abort")
+      // the aborted attempt left no orphan next-version tables
+      val orphan = storeTables("sig_store_fc")
+        .filter(_.contains(s"_v${v0.maxVersion + 1}_"))
+      assert(orphan.isEmpty, orphan.toString)
+      // the re-run (no race this time) succeeds, keeps the append,
+      // flips the version, and retires older generations (grace: the
+      // just-superseded version may remain)
+      Dedup.compactSignatureStore(spark, "sig_store_fc")
+      val v2 = Dedup.readStoreMeta(spark, "sig_store_fc")
+      assert(v2.maxVersion === v0.maxVersion + 1)
+      assert(admitNow() === Map(90L -> true))
+    } finally dropStore("sig_store_fc")
+  }
+
+  test("version flip continuity: reader resolved before a flip keeps working; old versions retire") {
+    val corpus = Seq(
+      (1L, "gamma corpus document body standing quite alone here"))
+      .toDF("id", "text")
+    dropStore("sig_store_vf")
+    Dedup.writeSignatureStore(corpus, "id", "text", "sig_store_vf",
+      buckets = 4)
+    try {
+      val probe = Seq(
+        (90L, "gamma corpus document body standing quite alone here"))
+        .toDF("id", "text")
+      // a reader that resolved the store BEFORE the flip (the
+      // in-flight-query case): its version's tables survive one
+      // maintenance cycle as grace
+      val early = Dedup.readSignatureStore(spark, "sig_store_vf")
+      Dedup.compactSignatureStore(spark, "sig_store_vf")
+      val got = early.admit(probe, "id", "text").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(got === Map(90L -> true),
+        "pre-flip reader must still resolve its grace tables")
+      // after a SECOND cycle the v1 generation is gone, the current
+      // and grace versions remain
+      Dedup.compactSignatureStore(spark, "sig_store_vf")
+      val names = storeTables("sig_store_vf")
+      assert(!names.exists(_.contains("_v1_")), names.toString)
+      assert(names.exists(_.contains("_v3_")), names.toString)
+      val fresh = Dedup.readSignatureStore(spark, "sig_store_vf")
+        .admit(probe, "id", "text").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(fresh === Map(90L -> true))
+    } finally dropStore("sig_store_vf")
   }
 
   test("removeFromSignatureStore: near tier forgets removed ids, hash tier stays") {
@@ -636,6 +733,7 @@ class DedupSpec extends SparkSuite {
     val corpus = Seq(
       (1L, base),
       (2L, "a second corpus document body on other topics")).toDF("id", "text")
+    dropStore("sig_store_rm")
     Dedup.writeSignatureStore(corpus, "id", "text", "sig_store_rm",
       buckets = 4)
     try {
@@ -653,14 +751,9 @@ class DedupSpec extends SparkSuite {
       // the hash tier is deliberately retained (no per-doc provenance):
       // byte-identical incoming copies still flag as exact dups
       assert(after(11L)._1)
-      assert(spark.table("sig_store_rm_banded")
+      assert(spark.table(bandedTable("sig_store_rm"))
         .filter(col("id") === 1L).count() === 0L)
-    } finally {
-      spark.sql("DROP TABLE IF EXISTS sig_store_rm_hashes")
-      spark.sql("DROP TABLE IF EXISTS sig_store_rm_banded")
-      spark.sql("DROP TABLE IF EXISTS sig_store_rm_meta")
-      spark.sql("DROP TABLE IF EXISTS sig_store_rm_banded__compacting")
-    }
+    } finally dropStore("sig_store_rm")
   }
 
   test("appendToSignatureStore fail-fasts before growing a hot bucket") {
@@ -668,6 +761,7 @@ class DedupSpec extends SparkSuite {
       .toDF("id", "text")
     val page = "the same error page replicated through the whole batch"
     val hot = (10L to 14L).map(i => (i, page)).toDF("id", "text")
+    dropStore("sig_store_gr")
     Dedup.writeSignatureStore(corpus, "id", "text", "sig_store_gr",
       buckets = 4)
     try {
@@ -678,12 +772,8 @@ class DedupSpec extends SparkSuite {
       assert(e.getMessage.contains("merged") &&
         e.getMessage.contains("maxBucket=3"), e.getMessage)
       // nothing was written: the store still holds only the corpus doc
-      assert(spark.table("sig_store_gr_hashes").count() === 1L)
-    } finally {
-      spark.sql("DROP TABLE IF EXISTS sig_store_gr_hashes")
-      spark.sql("DROP TABLE IF EXISTS sig_store_gr_banded")
-      spark.sql("DROP TABLE IF EXISTS sig_store_gr_meta")
-    }
+      assert(spark.table(hashesTable("sig_store_gr")).count() === 1L)
+    } finally dropStore("sig_store_gr")
   }
 
   test("buildSignatureStore validates the corpus side at build time") {

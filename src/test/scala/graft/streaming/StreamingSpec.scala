@@ -200,6 +200,68 @@ class StreamingSpec extends SparkSuite {
     assert(viaStream(2)._3 === 0L)
   }
 
+  test("admitAgainstStore on a PERSISTED store: buckets index used, no per-trigger corpus regroup") {
+    val base = Files.createTempDirectory("graft-admitp").toString
+    val corpusBase = (1 to 30).map(i => s"p$i").mkString(" ")
+    val corpus = Seq(
+      (1L, corpusBase),
+      (2L, "a separate persisted corpus document about other things"),
+      (3L, "and one more unrelated persisted body of text here")
+    ).toDF("id", "text")
+    spark.sql("DROP TABLE IF EXISTS strm_store_v1_hashes")
+    graft.llm.Dedup.writeSignatureStore(corpus, "id", "text",
+      "strm_store", buckets = 4)
+    try {
+      val store = graft.llm.Dedup.readSignatureStore(spark, "strm_store")
+      assert(store.buckets.isDefined,
+        "a persisted store must load its pre-grouped bucket index")
+      val newDocs = Seq(
+        (10L, corpusBase),
+        (11L, corpusBase + " tail"),
+        (12L, "wholly novel content matching nothing at all")
+      ).toDF("id", "text")
+      newDocs.repartition(3).write.mode("overwrite").parquet(s"$base/land")
+      val schema = spark.read.parquet(s"$base/land").schema
+      val stream = Streaming.fileStream(spark, s"$base/land", schema,
+        options = Map("maxFilesPerTrigger" -> "1"))
+      val q = Streaming.admitAgainstStore(stream, store, "id", "text")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("admitp")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      q.awaitTermination(300000)
+      val viaStream = spark.table("admitp").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+        .sorted.toSeq
+      val viaBatch = store.admit(
+          spark.read.parquet(s"$base/land"), "id", "text")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+        .sorted.toSeq
+      assert(viaStream === viaBatch)
+      assert(viaStream.map(t => (t._1, t._2)) ===
+        Seq((10L, true), (11L, false), (12L, false)))
+      // plan pin (the VERDICT item): the per-trigger plan must not
+      // regroup the corpus-wide banded table — the band index comes
+      // from the persisted buckets table, and after the first trigger
+      // the grouped rows are served from the in-memory cache
+      val exec = q.asInstanceOf[
+          org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(!exec.contains("strm_store_v1_banded"),
+        "stream plan must not scan the raw banded table:\n" +
+          exec.take(2000))
+      assert(exec.contains("InMemoryTableScan") ||
+        exec.contains("strm_store_v1_buckets"),
+        "stream plan must read the pre-grouped bucket index:\n" +
+          exec.take(2000))
+    } finally {
+      Seq("hashes", "banded", "buckets").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS strm_store_v1_$t"))
+      spark.sql("DROP TABLE IF EXISTS strm_store_meta")
+    }
+  }
+
   test("streaming pipeline: AvailableNow processes only new files on re-run") {
     val base = Files.createTempDirectory("graft-spipe").toString
     val land = s"$base/landing"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
