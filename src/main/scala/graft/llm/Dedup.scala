@@ -1212,14 +1212,20 @@ object Dedup {
     * the per-chunk equi-join is COMPLETE w.r.t. the threshold,
     * never a recall trade, and the q128 oracle exploits exactly that
     * (its all-pairs bit_count replay must equal the blocked join's
-    * output). Occupancy math and the `blockCols` sharding lever are
-    * [[simhashPairs]]'s — see its Scaladoc. */
+    * output). Pairs agreeing on several chunks emit ONCE — from the
+    * first agreeing chunk only (a map-side signature compare), so no
+    * de-dup `.distinct()` exchange follows the join. Occupancy math
+    * and the `blockCols` sharding lever are [[simhashPairs]]'s — see
+    * its Scaladoc. */
   def hammingPairs64(sigs: DataFrame, idCol: String, sigCol: String,
       maxHamming: Int = 3, blockCols: Seq[String] = Seq.empty): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32,
       "maxHamming must be in [0, 32)")
     val n = maxHamming + 1
     val w = 64 / n
+    def chunkOf(sig: Column, c: Int): Column =
+      if (c == n - 1) shiftrightunsigned(sig, c * w)
+      else shiftright(sig, c * w).bitwiseAND(lit((1L << w) - 1))
     val chunkExpr = (0 until n).map { c =>
       if (c == n - 1) s"shiftrightunsigned(`$sigCol`, ${c * w})"
       else s"shiftright(`$sigCol`, ${c * w}) & ${(1L << w) - 1}L"
@@ -1234,11 +1240,21 @@ object Dedup {
       col("l.ck") === col("r.ck")) ++
       blockCols.map(c => col(s"l.$c") === col(s"r.$c")) :+
       (col("l.id") < col("r.id"))
+    // EMIT-ONCE: a pair within the threshold agrees on several chunks
+    // and would surface once per agreeing chunk — emit it only from
+    // the FIRST chunk both signatures agree on (a map-side compare of
+    // the joined signatures, the intervalJoin canonical-chunk
+    // discipline), which removes the de-dup `.distinct()` exchange
+    // the join otherwise needs.
+    val firstAgree = array_position(
+      array((0 until n).map(c =>
+        chunkOf(col("l.sig"), c) === chunkOf(col("r.sig"), c)): _*),
+      true) - 1
     l.join(r, joinCond.reduce(_ && _))
+      .filter(col("l.chunk").cast("long") === firstAgree)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         hamming64(col("l.sig"), col("r.sig")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   /** Exact within-block embedding pairs — the brute-force verify tier.

@@ -808,20 +808,44 @@ object TrainingOps {
   def prefixLmSplit(df: DataFrame, idCol: String, textCol: String,
       salt: String = "plm"): DataFrame = {
     val id = col(idCol)
-    val w = graft.llm.TextAnalysis.tokens(col(textCol))
+    df.select(id, prefixLmStruct(id, col(textCol), salt).as("_p"))
+      .filter(col("_p.n_tokens") >= 2)
+      .select(id, col("_p.n_tokens").as("n_tokens"),
+        col("_p.split_at").as("split_at"),
+        col("_p.prefix_text").as("prefix_text"),
+        col("_p.target_text").as("target_text"))
+  }
+
+  /** Column core of [[prefixLmSplit]]: the whole split computed
+    * in-row as struct(n_tokens, split_at, prefix_text, target_text),
+    * for single-scan compositions that dispatch a per-row objective
+    * ([[ul2Mixture]]). Rows with n_tokens < 2 carry a degenerate
+    * struct (split_at 1 of an under-2-token doc) — callers filter on
+    * `n_tokens >= 2` exactly as [[prefixLmSplit]] does. Token array
+    * and split point are let-bound (nested 1-element aggregates) so
+    * each evaluates once per row. */
+  def prefixLmStruct(id: Column, text: Column,
+      salt: String = "plm"): Column = {
+    val w = graft.llm.TextAnalysis.tokens(text)
     val u = conv(substring(sha2(concat(lit(salt), lit(":"),
       id.cast(StringType)), 256), 1, 13), 16, 10).cast(LongType)
       .cast(DoubleType) / lit(4503599627370496.0) // [0, 1)
-    df.select(id, w.as("_w"))
-      .withColumn("n_tokens", size(col("_w")))
-      .filter(col("n_tokens") >= 2)
-      .withColumn("split_at",
-        (lit(1) + floor(u * (col("n_tokens") - 1)).cast(IntegerType)))
-      .select(id, col("n_tokens"), col("split_at"),
-        array_join(slice(col("_w"), lit(1), col("split_at")), " ")
-          .as("prefix_text"),
-        array_join(slice(col("_w"), col("split_at") + 1,
-          col("n_tokens") - col("split_at")), " ").as("target_text"))
+    val outT = "struct<n_tokens:int,split_at:int," +
+      "prefix_text:string,target_text:string>"
+    aggregate(array(w), lit(null).cast(outT), (_, wv) =>
+      aggregate(
+        array(struct(size(wv).as("n"),
+          (lit(1) + floor(u * (size(wv) - 1)).cast(IntegerType))
+            .as("k"))),
+        lit(null).cast(outT),
+        (_, s) => struct(
+          s.getField("n").as("n_tokens"),
+          s.getField("k").as("split_at"),
+          array_join(slice(wv, lit(1), s.getField("k")), " ")
+            .as("prefix_text"),
+          array_join(slice(wv, s.getField("k") + 1,
+            s.getField("n") - s.getField("k")), " ")
+            .as("target_text"))))
   }
 
   /** T5-style SPAN CORRUPTION (Raffel et al. 2020, arXiv:1910.10683
@@ -842,11 +866,29 @@ object TrainingOps {
     * (idCol, n_spans, input_text, target_text). */
   def spanCorrupt(df: DataFrame, idCol: String, textCol: String,
       maskRate: Double = 0.15, salt: String = "t5"): DataFrame = {
+    val id = col(idCol)
+    df.filter(trim(col(textCol)) =!= "")
+      .select(id,
+        spanCorruptStruct(id, col(textCol), maskRate, salt).as("_sc"))
+      .select(id,
+        col("_sc.n_spans").as("n_spans"),
+        col("_sc.input_text").as("input_text"),
+        col("_sc.target_text").as("target_text"))
+  }
+
+  /** Column core of [[spanCorrupt]]: the whole corruption computed
+    * in-row as struct(n_spans, input_text, target_text), for
+    * single-scan compositions that dispatch a per-row objective
+    * ([[ul2Mixture]]). Callers exclude blank-text rows exactly as
+    * [[spanCorrupt]] does. The fold state is let-bound (a 1-element
+    * aggregate) so the HOF runs once per row however many fields the
+    * caller reads. */
+  def spanCorruptStruct(id: Column, text: Column,
+      maskRate: Double = 0.15, salt: String = "t5"): Column = {
     require(maskRate > 0.0 && maskRate < 1.0,
       s"maskRate must be in (0, 1), got $maskRate")
     val rateMicro = math.round(maskRate * 4503599627370496.0) // ·2^52
-    val id = col(idCol)
-    val w = graft.llm.TextAnalysis.tokens(col(textCol))
+    val w = graft.llm.TextAnalysis.tokens(text)
     // indexed tokens; the mask decision is a 52-bit salted hash per
     // (doc, position) — exact integer compare, engine-portable
     def masked(pos: Column): Column =
@@ -876,12 +918,61 @@ object TrainingOps {
           .otherwise(acc.getField("tgt"))
           .as("tgt"))
     })
-    df.filter(trim(col(textCol)) =!= "")
-      .select(id, folded.as("_sc"))
-      .select(id,
-        col("_sc.k").as("n_spans"),
-        ltrim(col("_sc.inp")).as("input_text"),
-        ltrim(concat(col("_sc.tgt"), lit(" <extra_id_"),
-          col("_sc.k").cast(StringType), lit(">"))).as("target_text"))
+    val outT = "struct<n_spans:int,input_text:string,target_text:string>"
+    aggregate(array(folded), lit(null).cast(outT), (_, sc) =>
+      struct(
+        sc.getField("k").as("n_spans"),
+        ltrim(sc.getField("inp")).as("input_text"),
+        ltrim(concat(sc.getField("tgt"), lit(" <extra_id_"),
+          sc.getField("k").cast(StringType), lit(">")))
+          .as("target_text")))
+  }
+
+  /** SINGLE-SCAN UL2 mixture-of-denoisers (arXiv:2205.05131): every
+    * doc deterministically draws an objective via [[splitAssign]]
+    * (default R 50% / S 25% / X 25%), then ONE pass over the corpus
+    * dispatches per row — R/X run [[spanCorruptStruct]] at their
+    * rates, S runs [[prefixLmStruct]] — instead of filtering and
+    * re-scanning the corpus once per arm (3 scans). The CASE
+    * evaluates only the taken arm's fold per row, so the work is the
+    * same as the per-arm formulation, minus two corpus scans. Arm
+    * validity matches the standalone ops: R/X drop blank-text rows,
+    * S drops docs under 2 tokens. Output:
+    * (objective, idCol, input_text, target_text). */
+  def ul2Mixture(df: DataFrame, idCol: String, textCol: String,
+      weights: Seq[(String, Double)] =
+        Seq("r" -> 0.5, "s" -> 0.25, "x" -> 0.25),
+      rRate: Double = 0.15, xRate: Double = 0.5,
+      assignSalt: String = "ul2", rSalt: String = "t5r",
+      sSalt: String = "plm", xSalt: String = "t5x"): DataFrame = {
+    require(weights.map(_._1).sorted == Seq("r", "s", "x"),
+      "weights must name exactly the objectives r, s, x")
+    val id = col(idCol)
+    val text = col(textCol)
+    val asg = splitAssign(df.select(id, text), idCol, weights, assignSalt)
+    val pairT = "struct<input_text:string,target_text:string>"
+    // uniform (input, target) pair per arm; the inner struct is
+    // let-bound so each arm's fold runs once per row
+    def pairOf(inner: Column, inField: String): Column =
+      aggregate(array(inner), lit(null).cast(pairT), (_, p) =>
+        struct(p.getField(inField).as("input_text"),
+          p.getField("target_text").as("target_text")))
+    asg
+      .filter(when(col("split") === "s",
+          size(graft.llm.TextAnalysis.tokens(text)) >= 2)
+        .otherwise(trim(text) =!= ""))
+      .select(col("split").as("objective"), id,
+        when(col("split") === "r",
+            pairOf(spanCorruptStruct(id, text, rRate, rSalt),
+              "input_text"))
+          .when(col("split") === "x",
+            pairOf(spanCorruptStruct(id, text, xRate, xSalt),
+              "input_text"))
+          .otherwise(pairOf(prefixLmStruct(id, text, sSalt),
+            "prefix_text"))
+          .as("_p"))
+      .select(col("objective"), id,
+        col("_p.input_text").as("input_text"),
+        col("_p.target_text").as("target_text"))
   }
 }

@@ -543,27 +543,16 @@ object R9Queries {
     // deterministically draws an objective (R 50% / S 25% / X 25%
     // via splitAssign), then R/X run span corruption at rates
     // 0.15/0.5 and S runs the prefix-LM split — the full denoising
-    // training mix from one corpus pass per arm, reproducible
-    // end-to-end. The oracle replays the assignment buckets and all
-    // three arms.
-    "q172_ul2_mixture" -> ((s, d) => {
-      val docs = T.documents(s, d).select(col("doc_id"), col("text"))
-      val asg = graft.llm.TrainingOps.splitAssign(docs, "doc_id",
-        Seq("r" -> 0.5, "s" -> 0.25, "x" -> 0.25), salt = "ul2")
-      def corrupt(obj: String, rate: Double, salt: String) =
-        graft.llm.TrainingOps.spanCorrupt(
-            asg.filter(col("split") === obj), "doc_id", "text",
-            rate, salt)
-          .select(lit(obj).as("objective"), col("doc_id"),
-            col("input_text"), col("target_text"))
-      val sArm = graft.llm.TrainingOps.prefixLmSplit(
-          asg.filter(col("split") === "s"), "doc_id", "text", "plmu8")
-        .select(lit("s").as("objective"), col("doc_id"),
-          col("prefix_text").as("input_text"), col("target_text"))
-      corrupt("r", 0.15, "t5r8").union(corrupt("x", 0.5, "t5x8"))
-        .union(sArm)
-        .orderBy("objective", "doc_id")
-    }),
+    // training mix in ONE corpus scan with a per-row objective
+    // dispatch (the r8 three-arm filter+union formulation re-read
+    // the corpus once per arm). The oracle replays the assignment
+    // buckets and all three arms.
+    "q172_ul2_mixture" -> ((s, d) =>
+      graft.llm.TrainingOps.ul2Mixture(
+          T.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text",
+          rSalt = "t5r8", sSalt = "plmu8", xSalt = "t5x8")
+        .orderBy("objective", "doc_id")),
 
     // [EXT] per-GROUP heavy hitters: the SpaceSaving aggregate of
     // q57 run per lang over source — bounded ≤64-entry state per

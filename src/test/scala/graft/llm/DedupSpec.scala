@@ -123,6 +123,14 @@ class DedupSpec extends SparkSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
       assert(blocked === brute(h), s"maxHamming=$h")
     }
+    // emit-once: a pair agreeing on several chunks surfaces exactly
+    // once (ids 1,2 agree on 7 of 8 chunks at h=7), with NO de-dup
+    // aggregate in the plan — the first-agreeing-chunk filter does it
+    val emitted = Dedup.hammingPairs64(sigs, "id", "sig", maxHamming = 7)
+    val rows = emitted.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows.distinct.size === rows.size, s"duplicate pairs: $rows")
+    val plan = emitted.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate"), plan.take(1500))
   }
 
   test("simhashPairs blocks on 16-bit chunks and bounds hamming") {
