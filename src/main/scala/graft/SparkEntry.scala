@@ -55,7 +55,8 @@ object SparkEntry {
       graft.queries.R5Queries.queries ++ graft.queries.R6Queries.queries ++
       graft.queries.R7Queries.queries ++
       graft.queries.R8Queries.queries ++
-      graft.queries.R9Queries.queries
+      graft.queries.R9Queries.queries ++
+      graft.queries.R10Queries.queries
 
   /** For each key in queries, equivalent DuckDB SQL on the same parquet
     * tables. Omitted keys → driver records a weaker rows-only check. */
@@ -65,5 +66,6 @@ object SparkEntry {
       graft.queries.R5Queries.oracleSql ++ graft.queries.R6Queries.oracleSql ++
       graft.queries.R7Queries.oracleSql ++
       graft.queries.R8Queries.oracleSql ++
-      graft.queries.R9Queries.oracleSql
+      graft.queries.R9Queries.oracleSql ++
+      graft.queries.R10Queries.oracleSql
 }

@@ -15,6 +15,16 @@ import org.apache.spark.sql.types.{DecimalType, StructType}
   */
 object Streaming {
 
+  /** One (band, bucket) membership row of a streaming document —
+    * input to [[streamNearSelfCheck]]'s keyed state. */
+  final case class BandRow(id: String, band: Int, bucket: String)
+
+  /** One emitted self-check candidate: `id` arrived while `prior_id`
+    * was already in the same LSH bucket within the TTL window — the
+    * pair names BOTH documents, so a consumer can flag either side. */
+  final case class StreamNearCandidate(id: String, prior_id: String,
+      band: Int, bucket: String)
+
   /** Incremental file source over a landing directory. `options` maps
     * straight to the source (e.g. `maxFilesPerTrigger` to bound batch
     * size — at 100 TB an unbounded first batch is a single giant
@@ -231,6 +241,78 @@ object Streaming {
       size(array_distinct(flatten(filter(
         array((0 until bands).map(b => col(s"_ids$b")): _*),
         a => a.isNotNull)))).cast("long").as("near_candidates"))
+  }
+
+  /** Streaming near-dup SELF-check — the tier [[admitAgainstStore]]
+    * deliberately lacks: the store flags arrivals against the CORPUS,
+    * so two near-identical documents arriving in different
+    * micro-batches of the same night both pass until the nightly
+    * append lands. This closes that window with a STATE-STORE tier
+    * keyed by (band, bucket): each arriving doc's band buckets join
+    * the ids seen in those buckets within the TTL, emitting one
+    * `StreamNearCandidate(id, prior_id, band, bucket)` row per prior
+    * occupant — intra-batch pairs included (two near-dups in ONE
+    * trigger also surface). The emitted pair names both sides, so
+    * the earlier-arrived document is flaggable retroactively. Run it
+    * alongside the store admission and union/join the verdicts.
+    *
+    * State shape at 100 TB: per-(band, bucket) state is a bounded id
+    * list — `maxIdsPerBucket` FIFO-caps it (a mass-dup bucket keeps
+    * the newest ids; the overflow is already pathological input the
+    * batch-side `maxBucket` guards reject) — and a processing-time
+    * TTL (`ttl`, sized to the nightly append cadence) expires idle
+    * buckets, so total state ∝ distinct buckets touched per TTL
+    * window, never corpus size. Emissions per arrival are bounded by
+    * bands × maxIdsPerBucket. Pairs sharing several bands emit once
+    * per shared band (band-level provenance is part of the contract;
+    * `dropDuplicates("id", "prior_id")` downstream if unwanted).
+    * Within one trigger, arrivals process in id order, so the output
+    * set is deterministic under any input partitioning. */
+  def streamNearSelfCheck(newStream: DataFrame, idCol: String,
+      textCol: String, bands: Int = 4, rowsPerBand: Int = 2,
+      shingleN: Int = 3, ttl: String = "24 hours",
+      maxIdsPerBucket: Int = 1024): Dataset[StreamNearCandidate] = {
+    require(bands >= 1 && rowsPerBand >= 1 && maxIdsPerBucket >= 1,
+      "bands, rowsPerBand and maxIdsPerBucket must be positive")
+    val spark = newStream.sparkSession
+    import spark.implicits._
+    val rpb = rowsPerBand
+    // signature staged before the per-band slicing lambda (the same
+    // discipline as admitAgainstStore)
+    val sig = newStream.select(
+      col(idCol).cast(org.apache.spark.sql.types.StringType).as("id"),
+      graft.llm.Dedup.minHashSignatureSha(col(textCol), bands * rpb,
+        shingleN).as("_sig"))
+    val bandRows = sig.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => array_join(slice(col("_sig"), b * rpb + 1, lit(rpb)), "|")))
+          .as(Seq("band", "bucket")))
+      .as[BandRow]
+    bandRows.groupByKey(r => (r.band, r.bucket))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.ProcessingTimeTimeout) {
+        (key: (Int, String), rows: Iterator[BandRow],
+            state: GroupState[Seq[String]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var prior = state.getOption.getOrElse(Seq.empty[String])
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[StreamNearCandidate]
+            rows.toSeq.sortBy(_.id).foreach { r =>
+              prior.foreach { p =>
+                if (p != r.id)
+                  out += StreamNearCandidate(r.id, p, key._1, key._2)
+              }
+              if (!prior.contains(r.id))
+                prior = (prior :+ r.id).takeRight(maxIdsPerBucket)
+            }
+            state.update(prior)
+            state.setTimeoutDuration(ttl)
+            out.iterator
+          }
+      }
   }
 
   /** Stream-stream equi-join with a bounded event-time constraint: each

@@ -262,6 +262,71 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streamNearSelfCheck: near-dups in DIFFERENT micro-batches both flagged before any append") {
+    val base = Files.createTempDirectory("graft-selfchk").toString
+    val shared = (1 to 30).map(i => s"n$i").mkString(" ")
+    // batch 1: A (plus an unrelated doc); batch 2: B ≈ A (one token
+    // appended); batch 3: C unrelated, D == A exactly. No store, no
+    // append — the state tier alone must pair them.
+    Seq((1L, shared), (2L, "wholly unrelated first-batch filler text"))
+      .toDF("id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/land/f1")
+    Seq((3L, shared + " tail")).toDF("id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/land/f2")
+    Seq((4L, "novel third-batch content matching nothing here"),
+      (5L, shared)).toDF("id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/land/f3")
+    val schema = spark.read.parquet(s"$base/land/f1").schema
+    val stream = Streaming.fileStream(spark, s"$base/land/*", schema,
+      options = Map("maxFilesPerTrigger" -> "1"))
+    val q = Streaming.streamNearSelfCheck(stream, "id", "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("selfchk")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    q.awaitTermination(300000)
+    val pairs = spark.table("selfchk").collect()
+      .map(r => (r.getString(0), r.getString(1))).distinct.toSet
+    // cross-batch near-dup: B (id 3) flags against A (id 1) — the
+    // emitted pair names BOTH, i.e. both are flagged pre-append
+    assert(pairs.contains(("3", "1")), pairs.toString)
+    // cross-batch exact dup two triggers later: D (id 5) flags A and B
+    assert(pairs.contains(("5", "1")), pairs.toString)
+    // unrelated docs never pair
+    assert(!pairs.exists(p => p._1 == "2" || p._2 == "2"), pairs.toString)
+    assert(!pairs.exists(p => p._1 == "4" || p._2 == "4"), pairs.toString)
+  }
+
+  test("streamNearSelfCheck: INTRA-batch near-dups pair inside one trigger, deterministically") {
+    val base = Files.createTempDirectory("graft-selfchk2").toString
+    val shared = (1 to 30).map(i => s"m$i").mkString(" ")
+    Seq((7L, shared), (8L, shared + " tail"),
+      (9L, "completely different content in the same trigger"))
+      .toDF("id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/land/f1")
+    val schema = spark.read.parquet(s"$base/land/f1").schema
+    def runOnce(name: String): Set[(String, String)] = {
+      val stream = Streaming.fileStream(spark, s"$base/land/*", schema)
+      val q = Streaming.streamNearSelfCheck(stream, "id", "text")
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-selfchk2c").toString)
+        .start()
+      q.awaitTermination(300000)
+      spark.table(name).collect()
+        .map(r => (r.getString(0), r.getString(1))).distinct.toSet
+    }
+    val a = runOnce("selfchk2a")
+    // id order within the trigger: 8 arrives after 7 -> (8, 7)
+    assert(a.contains(("8", "7")), a.toString)
+    assert(!a.exists(p => p._1 == "9" || p._2 == "9"), a.toString)
+    // deterministic across reruns
+    assert(runOnce("selfchk2b") === a)
+  }
+
   test("streaming pipeline: AvailableNow processes only new files on re-run") {
     val base = Files.createTempDirectory("graft-spipe").toString
     val land = s"$base/landing"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
