@@ -680,6 +680,152 @@ object TrainingOps {
     merges.toSeq.toDF("merge_idx", "left", "right", "cnt")
   }
 
+  /** Laplace-smoothed micro-unit unigram scores for a piece-count
+    * table: score(p) = round(ln((cnt+1)/(total+|pieces|))·1e6) — the
+    * q89/q137 integer-LM discipline (smoothing keeps zero-count
+    * pieces finite through EM; rounding BEFORE any sum keeps every
+    * later comparison engine-exact). HALF_UP via BigDecimal — the
+    * same rule Spark's `round()` applies, so the DuckDB oracle's
+    * `round()` replays it. */
+  private def unigramScores(counts: Seq[(String, Long)]): Seq[(String, Long)] = {
+    val total = counts.map(_._2).sum
+    val nv = counts.size
+    counts.map { case (p, c) =>
+      val x = math.log((c + 1.0) / (total + nv.toDouble)) * 1e6
+      (p, java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact)
+    }
+  }
+
+  /** One hard-EM E-step: Viterbi-segment every distinct word under
+    * the current scores (map-only native expression) and aggregate
+    * freq-weighted piece counts — ≤|vocab| rows back to the driver
+    * (parameter-bounded, the BPE merge-table residency contract). */
+  private def unigramCounts(words: DataFrame,
+      scored: Seq[(String, Long)], maxPieceLen: Int): Map[String, Long] = {
+    val b = org.apache.spark.sql.GraftColumnBridge
+    val segCol = b.column(graft.expressions.UnigramSegmentExpr(
+      b.expression(col("w")), scored, maxPieceLen))
+    words.select(explode(segCol).as("piece"), col("freq"))
+      .groupBy("piece").agg(sum("freq").as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  /** Unigram-LM tokenizer training (the SentencePiece family sibling
+    * of [[trainBpe]]; Kudo 2018, arXiv:1804.10959) — deterministic
+    * HARD-EM with exact integer micro-unit log-likelihoods:
+    *
+    *  1. SEED: every substring of length ≤ `maxPieceLen` of the
+    *     distinct-word table, freq-weighted; ALL single characters
+    *     are kept (coverage guarantee — every word stays
+    *     segmentable) plus the top `seedSize` multi-character pieces
+    *     by (count desc, piece). Scores are Laplace micro-log-probs
+    *     ([[unigramScores]]).
+    *  2. EM ×`emRounds`: E-step Viterbi-segments every word under
+    *     the current scores (`graft_unigram_segment`, map-only;
+    *     ties break to the longer piece — an exact integer total
+    *     order, so the oracle's relational DP replays it bit for
+    *     bit); M-step recounts pieces over the best segmentations
+    *     and rescores. The vocabulary SET is fixed through EM.
+    *  3. PRUNE by likelihood LOSS: for each multi-char piece x, the
+    *     alternative is segmenting x's own string with the vocab
+    *     MINUS x (the standard alternative-segmentation
+    *     approximation); Δ(x) = cnt(x)·(alt(x) − score(x)) is the
+    *     likelihood change if x is removed — the `pruneCount` pieces
+    *     with the LARGEST Δ (least harm; tie: piece asc) drop.
+    *     Single characters never drop.
+    *  4. One final recount + rescore over the pruned vocabulary.
+    *
+    * Output: (piece, cnt, score_micro) ordered by piece — the
+    * trained model; [[unigramEncode]] serves it.
+    *
+    * Scale shape: text crosses the wire once (the distinct-word
+    * aggregate); the seed substring explode is one
+    * map-side-combined aggregate (≤ maxPieceLen·len pieces per
+    * word); each EM round is ONE map-only segmentation pass + a
+    * bounded count aggregate; scoring and pruning run on the driver
+    * over the parameter-bounded piece table (seedSize + alphabet
+    * rows — the same residency contract as the BPE merge table).
+    * Like [[trainBpe]], production trains on a bounded
+    * `sampleWeightedK` sample. */
+  def trainUnigram(df: DataFrame, textCol: String, seedSize: Int = 16,
+      maxPieceLen: Int = 3, emRounds: Int = 2,
+      pruneCount: Int = 4): DataFrame = {
+    require(seedSize >= 1 && emRounds >= 0 && pruneCount >= 0,
+      "seedSize must be positive; emRounds/pruneCount non-negative")
+    require(maxPieceLen >= 2, "maxPieceLen must be at least 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
+    val w = col("w")
+    val subs = flatten(transform(
+      sequence(lit(1), least(lit(maxPieceLen), length(w))),
+      l => transform(sequence(lit(1), length(w) - l + 1),
+        st => w.substr(st, l))))
+    val subCounts = words
+      .select(explode(subs).as("piece"), col("freq"))
+      .groupBy("piece").agg(sum("freq").as("cnt"))
+      .localCheckpoint() // feeds both the singles and the multi cut
+    val singles = subCounts.filter(length(col("piece")) === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val multi = subCounts.filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece")).limit(seedSize)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var vocab: Seq[(String, Long)] =
+      (singles ++ multi).sortBy(_._1).toSeq
+    var scored = unigramScores(vocab)
+    for (_ <- 1 to emRounds) {
+      val cnts = unigramCounts(words, scored, maxPieceLen)
+      vocab = vocab.map { case (p, _) => (p, cnts.getOrElse(p, 0L)) }
+      scored = unigramScores(vocab)
+    }
+    if (pruneCount > 0) {
+      val sm = new java.util.HashMap[String, java.lang.Long]()
+      scored.foreach { case (p, s) => sm.put(p, s) }
+      val scoreOf = scored.toMap
+      val deltas = vocab.filter(_._1.length > 1).map { case (p, c) =>
+        val without = new java.util.HashMap[String, java.lang.Long](sm)
+        without.remove(p)
+        val alt = graft.expressions.UnigramSegmentExpr
+          .viterbiScore(p, without, maxPieceLen)
+        require(alt.isDefined, // singles retained ⇒ always segmentable
+          s"unreachable: piece '$p' unsegmentable without itself")
+        (p, c * (alt.get - scoreOf(p)))
+      }
+      val drop = deltas.sortBy { case (p, d) => (-d, p) }
+        .take(pruneCount).map(_._1).toSet
+      vocab = vocab.filterNot { case (p, _) => drop.contains(p) }
+      scored = unigramScores(vocab)
+      val fin = unigramCounts(words, scored, maxPieceLen)
+      vocab = vocab.map { case (p, _) => (p, fin.getOrElse(p, 0L)) }
+      scored = unigramScores(vocab)
+    }
+    vocab.zip(scored).map { case ((p, c), (_, s)) => (p, c, s) }
+      .toDF("piece", "cnt", "score_micro").orderBy("piece")
+  }
+
+  /** Encode whitespace tokens with a TRAINED unigram model — the
+    * serving-side sibling of [[trainUnigram]] (as [[bpeEncode]] is
+    * to [[trainBpe]]): the flat array of Viterbi-best pieces per
+    * document, in token order. `model` is the trainer's
+    * (piece, score_micro) output collected to the driver
+    * (parameter-bounded). Out-of-alphabet tokens contribute no
+    * pieces (their segmentation is NULL and filters out) — the same
+    * drop contract as the trainer's word table. Map-only. */
+  def unigramEncode(text: Column, model: Seq[(String, Long)],
+      maxPieceLen: Int = 3): Column = {
+    val b = org.apache.spark.sql.GraftColumnBridge
+    flatten(filter(transform(
+      filter(TextAnalysis.tokens(text), t => t =!= ""),
+      t => b.column(graft.expressions.UnigramSegmentExpr(
+        b.expression(t), model, maxPieceLen))),
+      a => a.isNotNull))
+  }
+
   /** FULL-RECOUNT BPE training — the straightforward formulation that
     * re-explodes ALL adjacent pairs of ALL words every merge round.
     * Retained as the differential REFERENCE for [[trainBpe]] (the

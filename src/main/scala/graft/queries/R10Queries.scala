@@ -12,7 +12,233 @@ import graft.{Tables => T}
   * floats ride as micro-unit BIGINTs. */
 object R10Queries {
 
+  /** q174's planted corpus: six words over {a,b,c} with heavy shared
+    * substring structure, three per document by doc_id arithmetic —
+    * both engines rebuild the identical word-frequency table. */
+  private val UniFixtures =
+    Seq("ababab", "abcabc", "cabcab", "abc", "cab", "bc")
+
+  /** One Viterbi-DP round of the unigram oracle, as DuckDB CTEs:
+    * segment every word of `wordsCte(w, freq)` under
+    * `scoreCte(piece, s)` (max word length `maxLen`, piece length ≤
+    * `maxPiece`; candidates compare by max(struct(s, l)) — higher
+    * score, then longer piece, exactly `graft_unigram_segment`'s
+    * order), recover the best path, and recount pieces of
+    * `vocabCte(piece, …)` into `cnt$tag(piece, cnt)` plus rescored
+    * `sc$tag(piece, s)` (Laplace micro-log — the trainer's
+    * [[graft.llm.TrainingOps]] unigramScores). Pure string
+    * generation: the unrolled recurrence IS the oracle. */
+  private def uniDpRound(tag: String, scoreCte: String,
+      vocabCte: String, maxLen: Int, maxPiece: Int): String = {
+    val b = new StringBuilder
+    b ++= s"b${tag}0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS s, 0 AS l FROM wt),\n"
+    for (i <- 1 to maxLen) {
+      val cands = (1 to math.min(maxPiece, i)).map { l =>
+        s"""    SELECT b.w AS w, b.s + p.s AS cs, $l AS cl
+           |    FROM b$tag${i - l} b JOIN $scoreCte p
+           |      ON p.piece = substr(b.w, ${i - l + 1}, $l)
+           |    WHERE len(b.w) >= $i""".stripMargin
+      }.mkString("\n    UNION ALL\n")
+      b ++= s"""b$tag$i AS MATERIALIZED (
+               |  SELECT w, m.s AS s, m.l AS l FROM (
+               |    SELECT w, max(struct_pack(s := cs, l := cl)) AS m FROM (
+               |$cands
+               |    ) GROUP BY w)),\n""".stripMargin
+    }
+    b ++= s"ball$tag AS MATERIALIZED (" + (1 to maxLen).map(i =>
+      s"SELECT w, $i AS pos, s, l FROM b$tag$i")
+      .mkString("\n  UNION ALL ") + "),\n"
+    b ++= s"p${tag}0 AS MATERIALIZED (SELECT w, freq, len(w) AS pos FROM wt),\n"
+    for (k <- 1 to maxLen) {
+      b ++= s"""p$tag$k AS MATERIALIZED (
+               |  SELECT p.w, p.freq,
+               |    substr(p.w, p.pos - ba.l + 1, ba.l) AS piece,
+               |    p.pos - ba.l AS pos, $k AS step
+               |  FROM p$tag${k - 1} p JOIN ball$tag ba
+               |    ON ba.w = p.w AND ba.pos = p.pos
+               |  WHERE p.pos > 0),\n""".stripMargin
+    }
+    b ++= s"used$tag AS MATERIALIZED (" + (1 to maxLen).map(k =>
+      s"SELECT piece, freq FROM p$tag$k").mkString("\n  UNION ALL ") + "),\n"
+    b ++= s"""cnt$tag AS MATERIALIZED (
+             |  SELECT v.piece, CAST(coalesce(sum(u.freq), 0) AS BIGINT) AS cnt
+             |  FROM $vocabCte v LEFT JOIN used$tag u ON u.piece = v.piece
+             |  GROUP BY v.piece),
+             |sc$tag AS MATERIALIZED (
+             |  SELECT piece,
+             |    CAST(round(ln((cnt + 1.0) / (t.tot + t.nv)) * 1e6) AS BIGINT) AS s
+             |  FROM cnt$tag,
+             |    (SELECT CAST(sum(cnt) AS DOUBLE) AS tot,
+             |       CAST(count(*) AS DOUBLE) AS nv FROM cnt$tag) t),\n""".stripMargin
+    b.toString
+  }
+
+  /** The shared q174/q175 oracle CTE chain: word table from the
+    * planted fixtures → substring seed (all singles + top-8 multi) →
+    * EM ×2 → prune 3 by alternative-segmentation loss → final EM.
+    * Mirrors trainUnigram step for step; `fin` holds the trained
+    * (piece, cnt, score_micro) model. */
+  private def uniCtes: String = {
+    val fx = UniFixtures.map(w => s"'$w'").mkString(", ")
+    val maxLen = UniFixtures.map(_.length).max
+    // alt-segmentation DP over the multi pieces themselves (len ≤ 3),
+    // vocab = sc2 minus the piece being scored
+    val altCands = (i: Int) => (1 to math.min(3, i)).map { l =>
+      s"""    SELECT a.x AS x, a.s + p.s AS cs, $l AS cl
+         |    FROM alt${i - l} a JOIN sc2 p
+         |      ON p.piece = substr(a.x, ${i - l + 1}, $l)
+         |        AND p.piece <> a.x
+         |    WHERE len(a.x) >= $i""".stripMargin
+    }.mkString("\n    UNION ALL\n")
+    val altBlocks = (1 to 3).map { i =>
+      s"""alt$i AS MATERIALIZED (
+         |  SELECT x, m.s AS s FROM (
+         |    SELECT x, max(struct_pack(s := cs, l := cl)) AS m FROM (
+         |${altCands(i)}
+         |    ) GROUP BY x)),""".stripMargin
+    }.mkString("\n")
+    s"""WITH f AS MATERIALIZED (SELECT [$fx] AS arr),
+       |wt AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT arr[CAST(doc_id % 6 AS INT) + 1] AS w
+       |    FROM documents, f
+       |    UNION ALL
+       |    SELECT arr[CAST((doc_id * 2 + 1) % 6 AS INT) + 1]
+       |    FROM documents, f
+       |    UNION ALL
+       |    SELECT arr[CAST((doc_id * 3 + 2) % 6 AS INT) + 1]
+       |    FROM documents, f)
+       |  GROUP BY w),
+       |sub AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(flatten(list_transform(
+       |        generate_series(1, least(3, len(w))),
+       |        l -> list_transform(generate_series(1, len(w) - l + 1),
+       |          st -> substr(w, st, l))))) AS piece, freq
+       |    FROM wt)
+       |  GROUP BY piece),
+       |seed AS MATERIALIZED (
+       |  SELECT piece, cnt FROM sub WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt,
+       |      row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+       |    FROM sub WHERE len(piece) > 1) WHERE rn <= 8),
+       |sc0 AS MATERIALIZED (
+       |  SELECT piece,
+       |    CAST(round(ln((cnt + 1.0) / (t.tot + t.nv)) * 1e6) AS BIGINT) AS s
+       |  FROM seed,
+       |    (SELECT CAST(sum(cnt) AS DOUBLE) AS tot,
+       |       CAST(count(*) AS DOUBLE) AS nv FROM seed) t),
+       |${uniDpRound("1", "sc0", "seed", maxLen, 3)}
+       |${uniDpRound("2", "sc1", "seed", maxLen, 3)}
+       |alt0 AS MATERIALIZED (SELECT piece AS x, CAST(0 AS BIGINT) AS s
+       |         FROM sc2 WHERE len(piece) > 1),
+       |$altBlocks
+       |altf AS MATERIALIZED (SELECT x, s FROM alt2 WHERE len(x) = 2
+       |         UNION ALL SELECT x, s FROM alt3 WHERE len(x) = 3),
+       |delta AS MATERIALIZED (
+       |  SELECT c.piece, c.cnt * (a.s - sc.s) AS d
+       |  FROM cnt2 c JOIN sc2 sc ON sc.piece = c.piece
+       |  JOIN altf a ON a.x = c.piece
+       |  WHERE len(c.piece) > 1),
+       |dropp AS MATERIALIZED (
+       |  SELECT piece FROM (
+       |    SELECT piece, row_number() OVER (ORDER BY d DESC, piece) AS rn
+       |    FROM delta) WHERE rn <= 3),
+       |vocab3 AS MATERIALIZED (
+       |  SELECT c.piece, c.cnt FROM cnt2 c
+       |  WHERE c.piece NOT IN (SELECT piece FROM dropp)),
+       |sc2p AS MATERIALIZED (
+       |  SELECT piece,
+       |    CAST(round(ln((cnt + 1.0) / (t.tot + t.nv)) * 1e6) AS BIGINT) AS s
+       |  FROM vocab3,
+       |    (SELECT CAST(sum(cnt) AS DOUBLE) AS tot,
+       |       CAST(count(*) AS DOUBLE) AS nv FROM vocab3) t),
+       |${uniDpRound("3", "sc2p", "vocab3", maxLen, 3)}
+       |fin AS MATERIALIZED (SELECT c.piece, c.cnt, s.s AS score_micro
+       |        FROM cnt3 c JOIN sc3 s ON s.piece = c.piece)""".stripMargin
+  }
+
+  private def uniOracle: String =
+    uniCtes + "\nSELECT piece, cnt, score_micro FROM fin ORDER BY piece"
+
+  /** q175's oracle: one more Viterbi round under the TRAINED scores
+    * (sc3 = the published model) with ORDERED path recovery — the
+    * path steps emit pieces from the word's end, so
+    * `string_agg(... ORDER BY step DESC)` rebuilds reading order —
+    * then each document re-assembles from its three fixture words. */
+  private def uniEncodeOracle: String = {
+    val maxLen = UniFixtures.map(_.length).max
+    val parts = (1 to maxLen).map(k => s"SELECT w, piece, step FROM p4$k")
+      .mkString("\n    UNION ALL ")
+    uniCtes + ",\n" + uniDpRound("4", "sc3", "vocab3", maxLen, 3) +
+      s"""wseg AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS INT) AS np,
+         |    string_agg(piece, ' ' ORDER BY step DESC) AS seg
+         |  FROM ($parts) u
+         |  GROUP BY w),
+         |docw AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    arr[CAST(doc_id % 6 AS INT) + 1] AS w1,
+         |    arr[CAST((doc_id * 2 + 1) % 6 AS INT) + 1] AS w2,
+         |    arr[CAST((doc_id * 3 + 2) % 6 AS INT) + 1] AS w3
+         |  FROM documents, f)
+         |SELECT d.doc_id, CAST(s1.np + s2.np + s3.np AS INT) AS n_pieces,
+         |  s1.seg || ' ' || s2.seg || ' ' || s3.seg AS pieces_text
+         |FROM docw d JOIN wseg s1 ON s1.w = d.w1
+         |  JOIN wseg s2 ON s2.w = d.w2 JOIN wseg s3 ON s3.w = d.w3
+         |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // [EXT] UNIGRAM-LM tokenizer training (the SentencePiece family
+    // sibling of q121's BPE trainer; Kudo 2018): substring seed →
+    // hard-EM Viterbi rounds with exact integer micro-unit
+    // log-likelihoods → prune by alternative-segmentation loss →
+    // final recount. The oracle replays EVERY step relationally —
+    // the Viterbi recurrence unrolls as max(struct(score, len)) DP
+    // layers, so the segmentation tie-breaks (longer piece on equal
+    // score) are pinned engine-exact, not just the final table.
+    "q174_unigram_train" -> ((s, d) => {
+      val arr = array(UniFixtures.map(lit): _*)
+      val id = col("doc_id")
+      val text = concat_ws(" ",
+        element_at(arr, (pmod(id, lit(6)) + 1).cast("int")),
+        element_at(arr, (pmod(id * 2 + 1, lit(6)) + 1).cast("int")),
+        element_at(arr, (pmod(id * 3 + 2, lit(6)) + 1).cast("int")))
+      graft.llm.TrainingOps.trainUnigram(
+        T.documents(s, d).select(text.as("text")), "text",
+        seedSize = 8, maxPieceLen = 3, emRounds = 2, pruneCount = 3)
+    }),
+
+    // [EXT] unigram ENCODE with the trained model — the serving-side
+    // sibling (q122's analog for the unigram family): each document
+    // re-encodes to its tokens' Viterbi-best pieces in reading
+    // order. The oracle runs ONE more relational DP round under the
+    // published scores, rebuilding piece order from the path steps
+    // (string_agg ORDER BY step DESC) — so the per-document
+    // segmentation, not just the model, is pinned engine-exact.
+    "q175_unigram_encode" -> ((s, d) => {
+      val arr = array(UniFixtures.map(lit): _*)
+      val id = col("doc_id")
+      val text = concat_ws(" ",
+        element_at(arr, (pmod(id, lit(6)) + 1).cast("int")),
+        element_at(arr, (pmod(id * 2 + 1, lit(6)) + 1).cast("int")),
+        element_at(arr, (pmod(id * 3 + 2, lit(6)) + 1).cast("int")))
+      val docs = T.documents(s, d).select(id, text.as("text"))
+      val model = graft.llm.TrainingOps.trainUnigram(
+          docs.select(col("text")), "text",
+          seedSize = 8, maxPieceLen = 3, emRounds = 2, pruneCount = 3)
+        .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+      docs.select(id,
+          graft.llm.TrainingOps.unigramEncode(col("text"), model)
+            .as("_p"))
+        .select(id, size(col("_p")).as("n_pieces"),
+          array_join(col("_p"), " ").as("pieces_text"))
+        .orderBy("doc_id")
+    }),
 
     // [EXT] the FULL CRAWL CYCLE in one plan — seed (robots.txt
     // DECLARES the sitemap via its Sitemap directive) → expand
@@ -106,6 +332,8 @@ object R10Queries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q174_unigram_train" -> uniOracle,
+    "q175_unigram_encode" -> uniEncodeOracle,
     "q173_crawl_cycle" ->
       """WITH n AS (SELECT CAST(n_nationkey AS INT) AS k FROM nation),
         |pages AS (

@@ -389,6 +389,77 @@ class TrainingOpsSpec extends SparkSuite {
     }
   }
 
+  test("graft_unigram_segment: hand-computed Viterbi, tie to longer piece, null off-alphabet") {
+    import spark.implicits._
+    val b = org.apache.spark.sql.GraftColumnBridge
+    val model = Seq("a" -> -100L, "b" -> -100L, "c" -> -100L,
+      "ab" -> -150L, "abc" -> -250L)
+    def seg(word: String): Option[Seq[String]] = {
+      val r = Seq(word).toDF("w").select(b.column(
+        graft.expressions.UnigramSegmentExpr(
+          b.expression(col("w")), model, 3)).as("s")).collect()(0)
+      if (r.isNullAt(0)) None else Some(r.getSeq[String](0))
+    }
+    // ab+c = -250 ties abc = -250 -> LONGER last piece wins
+    assert(seg("abc") === Some(Seq("abc")))
+    // ab (-150) beats a+b (-200)
+    assert(seg("ab") === Some(Seq("ab")))
+    assert(seg("ba") === Some(Seq("b", "a")))
+    // abcab: abc+ab = -400 vs ab+c+ab = -400 tie at pos 3 decided
+    // before: best(3)=abc(-250); -250+ab(-150) = -400; candidates at
+    // 5: l=2 best(3)+ab=-400, l=1 best(4)+b: best(4)=abc+a=-350 ->
+    // -450; so abc+ab wins
+    assert(seg("abcab") === Some(Seq("abc", "ab")))
+    // off-alphabet -> null, empty -> empty
+    assert(seg("az") === None)
+    assert(seg("") === Some(Seq()))
+  }
+
+  test("trainUnigram: coverage, prune arithmetic, score consistency, determinism") {
+    import spark.implicits._
+    val df = Seq("abab abc cab abab", "abc abc bc abab cab",
+      "cab bc abab abcabc").toDF("text")
+    val out = TrainingOps.trainUnigram(df, "text", seedSize = 6,
+      maxPieceLen = 3, emRounds = 2, pruneCount = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val pieces = out.map(_._1)
+    // all corpus single chars retained; nothing over maxPieceLen;
+    // exactly seedSize - pruneCount multi pieces survive
+    assert(Set("a", "b", "c").subsetOf(pieces.toSet))
+    assert(pieces.forall(_.length <= 3))
+    assert(pieces.count(_.length > 1) === 4)
+    assert(pieces.sorted.toSeq === pieces.toSeq) // ordered by piece
+    // published scores are exactly the Laplace micro-log of the
+    // published counts (the trainer's own invariant)
+    val total = out.map(_._2).sum
+    val nv = out.length
+    out.foreach { case (p, c, s) =>
+      val exp = java.math.BigDecimal.valueOf(
+          math.log((c + 1.0) / (total + nv.toDouble)) * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact
+      assert(s === exp, s"piece $p")
+    }
+    // deterministic under repartition
+    val re = TrainingOps.trainUnigram(df.repartition(5), "text",
+      seedSize = 6, maxPieceLen = 3, emRounds = 2, pruneCount = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(re.toSeq === out.toSeq)
+  }
+
+  test("unigramEncode: trained model round-trips corpus tokens; off-alphabet drops") {
+    import spark.implicits._
+    val df = Seq("abab abc cab", "abc bc abab").toDF("text")
+    val model = TrainingOps.trainUnigram(df, "text", seedSize = 4,
+      maxPieceLen = 3, emRounds = 1, pruneCount = 1)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+    val enc = Seq("abab zq abc").toDF("t")
+      .select(TrainingOps.unigramEncode(col("t"), model).as("s"))
+      .collect()(0).getSeq[String](0)
+    // zq is off-alphabet -> its segmentation drops; the others join up
+    assert(enc.mkString("") === "abababc")
+    assert(enc.forall(p => model.exists(_._1 == p)))
+  }
+
   private def enc(text: String, merges: Seq[(String, String)]): Seq[String] = {
     import spark.implicits._
     Seq(text).toDF("t")
