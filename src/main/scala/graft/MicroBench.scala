@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Targeted A/B micro-bench harness: runs named plan variants of one
+  * operator back-to-back on the SAME JVM/host (alternating, min of N)
+  * so formulation comparisons are free of the cross-round host-IO
+  * variance that clouds BENCH_r{N} diffs. Used for the r10 q172
+  * root-cause (single-scan when-dispatch vs the r8 three-arm
+  * filter+union) — keep scenarios additive, they are cheap evidence.
+  *
+  * `runMain graft.MicroBench <scenario> [iters]`, scenario ∈
+  * {ul2}. Reads `SPARK_GRAFT_SF_DIR` (default sf0.1).
+  */
+object MicroBench {
+
+  private def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  private def timeIt(mk: () => DataFrame): Double = {
+    val t0 = System.nanoTime()
+    force(mk())
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val scenario = args.headOption.getOrElse("ul2")
+    val iters = args.lift(1).map(_.toInt).getOrElse(5)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.llm.TrainingOps
+
+    val variants: Seq[(String, () => DataFrame)] = scenario match {
+      case "ul2" =>
+        def docs = spark.read
+          .parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        // current: ONE corpus scan, per-row when-dispatch
+        val single = () => TrainingOps.ul2Mixture(docs, "doc_id",
+          "text", rSalt = "t5r8", sSalt = "plmu8", xSalt = "t5x8")
+          .orderBy("objective", "doc_id")
+        // r8 shape: three arm-filtered scans + union
+        val threeArm = () => {
+          val asg = TrainingOps.splitAssign(docs, "doc_id",
+            Seq("r" -> 0.5, "s" -> 0.25, "x" -> 0.25), salt = "ul2")
+          def corrupt(obj: String, rate: Double, salt: String) =
+            TrainingOps.spanCorrupt(
+                asg.filter(col("split") === obj), "doc_id", "text",
+                rate, salt)
+              .select(lit(obj).as("objective"), col("doc_id"),
+                col("input_text"), col("target_text"))
+          val sArm = TrainingOps.prefixLmSplit(
+              asg.filter(col("split") === "s"), "doc_id", "text",
+              "plmu8")
+            .select(lit("s").as("objective"), col("doc_id"),
+              col("prefix_text").as("input_text"), col("target_text"))
+          corrupt("r", 0.15, "t5r8").union(corrupt("x", 0.5, "t5x8"))
+            .union(sArm).orderBy("objective", "doc_id")
+        }
+        // hypothesis probe: same single-scan dispatch but with the
+        // CPU-bound fold pass spread across cores first (the
+        // minhashCandidates pre-exchange discipline — a small parquet
+        // is ONE input split, so the per-row folds otherwise run on
+        // one task)
+        val spread = () => TrainingOps.ul2Mixture(
+          docs.repartition(spark.sparkContext.defaultParallelism),
+          "doc_id", "text",
+          rSalt = "t5r8", sSalt = "plmu8", xSalt = "t5x8")
+          .orderBy("objective", "doc_id")
+        Seq("single_scan" -> single, "three_arm" -> threeArm,
+          "single_spread" -> spread)
+      case other =>
+        throw new IllegalArgumentException(s"unknown scenario: $other")
+    }
+
+    // one untimed warmup each, then ALTERNATE the variants so JIT/GC
+    // drift hits both equally; report per-variant min + all samples
+    variants.foreach { case (_, mk) => force(mk()) }
+    val samples = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to iters; (name, mk) <- variants)
+      samples(name) = samples(name) :+ timeIt(mk)
+    val js = variants.map { case (name, _) =>
+      val xs = samples(name)
+      s"""\"$name\":{"min":${xs.min},"samples":[${xs.mkString(",")}]}"""
+    }.mkString("{", ",", "}")
+    spark.stop()
+    println(s"""{"metric":"micro_$scenario","variants":$js}""")
+  }
+}

@@ -721,8 +721,35 @@ object Dedup {
   private[llm] def readStoreMeta(
       spark: org.apache.spark.sql.SparkSession,
       tablePrefix: String): StoreMeta = {
-    val df = spark.table(s"${tablePrefix}_meta")
-    val m = df.head()
+    val t = s"${tablePrefix}_meta"
+    // The meta flip is an INSERT OVERWRITE data-only replace; the
+    // table is never unregistered, but with the default
+    // FileOutputCommitter the overwrite deletes the old file before
+    // the new one commits, so a read racing a flip can observe an
+    // EMPTY table. Retry with backoff (total ~3 s — flips are one-row
+    // writes, over in milliseconds); persistent emptiness means an
+    // interrupted flip on a non-atomic committer and throws with the
+    // remedy. An atomic-commit table format (Delta/Iceberg) or
+    // committer removes the window entirely.
+    var df = spark.table(t)
+    var head = df.head(1)
+    var attempt = 0
+    while (head.isEmpty && attempt < 5) {
+      Thread.sleep(100L << attempt)
+      spark.catalog.refreshTable(t)
+      df = spark.table(t)
+      head = df.head(1)
+      attempt += 1
+    }
+    if (head.isEmpty)
+      throw new IllegalStateException(
+        s"readStoreMeta: $t still empty after $attempt retries — a " +
+          "concurrent meta flip exposes an empty table only for its " +
+          "commit window; a persistently empty meta row means a flip " +
+          "was interrupted mid-overwrite (non-atomic committer). " +
+          "Rebuild the store with writeSignatureStore, or host the " +
+          "meta table on an atomic-commit format")
+    val m = head(0)
     def optInt(c: String): Option[Int] =
       if (df.columns.contains(c)) Some(m.getAs[Int](c)) else None
     StoreMeta(m.getAs[Int]("bands"), m.getAs[Int]("rows_per_band"),
@@ -754,6 +781,91 @@ object Dedup {
       df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).insertInto(t)
     else
       df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(t)
+  }
+
+  /** The append FENCE LOG `<prefix>_applog`: one row appended per
+    * [[appendToSignatureStore]] run, AFTER its data lands and BEFORE
+    * its meta bump. Unlike the meta row (which a maintenance flip
+    * overwrites — so a bump landing inside the flip's check-to-write
+    * window left no evidence, the r9 residual race), the log is
+    * APPEND-ONLY parquet: nothing ever overwrites it, so maintenance
+    * can compare its row count before and after the flip and detect
+    * an append in ANY interleaving. One tiny row per nightly append —
+    * growth is noise; it is never read on a data path. */
+  private def applogCount(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String): Long = {
+    val t = s"${tablePrefix}_applog"
+    if (spark.catalog.tableExists(t)) spark.table(t).count() else 0L
+  }
+
+  private def applogAppend(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, seq: Long): Unit = {
+    import spark.implicits._
+    Seq(seq).toDF("seq").write
+      .mode(org.apache.spark.sql.SaveMode.Append)
+      .format("parquet").saveAsTable(s"${tablePrefix}_applog")
+  }
+
+  /** Shared maintenance COMMIT: fencing re-check → meta flip →
+    * post-flip verify (with rollback) → grace drop of superseded
+    * tables. Used by compaction, removal and rebuild — every path
+    * that writes a new store version.
+    *
+    * Interleaving proof vs a concurrent append (append order: data →
+    * fence-log row → meta version re-check → meta bump):
+    *  - log row lands before the RE-CHECK here → seq/log comparison
+    *    aborts the maintenance cleanly (new tables dropped, current
+    *    version — which contains the append — stays live).
+    *  - log row lands between the re-check and the VERIFY → the
+    *    meta flip may have overwritten the append's bump, but the
+    *    append-only log row survives; the verify sees it and ROLLS
+    *    the flip back — meta re-points at the snapshot versions,
+    *    whose tables hold the append's data. The new version's
+    *    tables stay on disk as grace for any reader that resolved
+    *    them inside the window; the next maintenance run overwrites
+    *    them (rewrites DROP their target first).
+    *  - log row lands after the verify → the append's own meta
+    *    re-check (which follows its log write) sees the flipped
+    *    versions and aborts the APPEND instead; re-running it is
+    *    idempotent.
+    * Maintenance ops must still not race EACH OTHER (one
+    * orchestrator per store — Spark's catalog is non-transactional);
+    * what the fence removes is every append-vs-maintenance lost
+    * write. `midFlipHook` is a test seam running between the
+    * re-check and the flip — the exact residual window. */
+  private def fencedVersionFlip(
+      spark: org.apache.spark.sql.SparkSession, tablePrefix: String,
+      m0: StoreMeta, applog0: Long, newTables: Seq[String],
+      flipTo: StoreMeta => StoreMeta, keep: Set[String], op: String,
+      midFlipHook: () => Unit = () => ()): Unit = {
+    val m1 = readStoreMeta(spark, tablePrefix)
+    if (m1.appendSeq != m0.appendSeq ||
+        m1.hashesVersion != m0.hashesVersion ||
+        m1.bandedVersion != m0.bandedVersion ||
+        applogCount(spark, tablePrefix) != applog0) {
+      newTables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      throw new IllegalStateException(
+        s"$op: store $tablePrefix changed while rewriting " +
+          s"(append_seq ${m0.appendSeq} -> ${m1.appendSeq}) — the " +
+          "concurrent append is preserved in the live store and this " +
+          "maintenance wrote nothing; re-run it")
+    }
+    midFlipHook()
+    writeStoreMeta(spark, tablePrefix, flipTo(m1))
+    if (m0.hashesVersion.isDefined && m0.bandedVersion.isDefined &&
+        applogCount(spark, tablePrefix) != applog0) {
+      val mR = readStoreMeta(spark, tablePrefix)
+      writeStoreMeta(spark, tablePrefix, mR.copy(
+        hashesVersion = m0.hashesVersion,
+        bandedVersion = m0.bandedVersion))
+      throw new IllegalStateException(
+        s"$op: an append landed inside $tablePrefix's flip window — " +
+          "the flip was rolled back (meta re-points at the snapshot " +
+          "version, which holds the append; the new version's tables " +
+          "remain on disk for in-window readers and are overwritten " +
+          "by the next maintenance run); re-run the maintenance")
+    }
+    dropSupersededStoreTables(spark, tablePrefix, keep)
   }
 
   /** Drop every store data table of `tablePrefix` (any `_vN_` version
@@ -816,9 +928,11 @@ object Dedup {
     writeStoreMeta(spark, tablePrefix, StoreMeta(bands, rowsPerBand,
       shingleN, buckets, Some(1), Some(1), appendSeq = 0L))
     // a re-write is a fresh store: clear any older/legacy versions
+    // and any stale fence log from a previous store at this prefix
     dropSupersededStoreTables(spark, tablePrefix,
       Set(s"${tablePrefix}_v1_hashes", s"${tablePrefix}_v1_banded",
         s"${tablePrefix}_v1_buckets"))
+    spark.sql(s"DROP TABLE IF EXISTS ${tablePrefix}_applog")
   }
 
   /** Merge an ADMITTED batch's signatures into a persisted store —
@@ -841,7 +955,18 @@ object Dedup {
     * build-time guard exists to reject. 0 disables. */
   def appendToSignatureStore(batch: DataFrame, idCol: String,
       textCol: String, tablePrefix: String,
-      maxBucket: Long = 1L << 20): Unit = {
+      maxBucket: Long = 1L << 20): Unit =
+    appendToSignatureStoreHooked(batch, idCol, textCol, tablePrefix,
+      maxBucket, () => ())
+
+  /** [[appendToSignatureStore]] with a test seam: `beforeFence` runs
+    * after the batch's data writes land and before the fence-log row
+    * + meta re-check — the window where a maintenance flip landing
+    * makes this append's rows superseded. Production callers use the
+    * no-hook overload. */
+  private[graft] def appendToSignatureStoreHooked(batch: DataFrame,
+      idCol: String, textCol: String, tablePrefix: String,
+      maxBucket: Long, beforeFence: () => Unit): Unit = {
     val spark = batch.sparkSession
     // ONE meta read serves banding params, the current table versions
     // AND the bucket count; the append must write with the SAME
@@ -916,14 +1041,34 @@ object Dedup {
         Seq("band", "bucket"), buckets,
         mode = org.apache.spark.sql.SaveMode.Append)
     }
-    // bump the append fencing sequence LAST (after the data lands):
-    // a compaction that snapshotted before any of this append's
-    // writes sees the bump at flip time and cleanly aborts instead of
-    // silently discarding the append (see compactSignatureStore);
-    // legacy unversioned stores skip the bump (no fencing columns)
-    if (meta.hashesVersion.isDefined)
+    // FENCE (after the data lands; legacy unversioned stores skip —
+    // they predate the fencing columns):
+    //  1. land one APPEND-ONLY fence-log row — a maintenance flip
+    //     only overwrites the meta row, so the log row is the one
+    //     piece of evidence a flip can never erase
+    //     (see fencedVersionFlip's interleaving proof);
+    //  2. re-read meta and publish the seq bump against the CURRENT
+    //     versions — blindly writing back the snapshot's versions
+    //     would silently REVERT a flip that landed mid-append (meta
+    //     re-points at superseded tables, the new version is
+    //     orphaned, and the next grace drop loses data). If the
+    //     versions moved, this append's rows landed in superseded
+    //     tables: abort — re-running is idempotent (the anti-joins
+    //     re-detect what the current version is missing).
+    beforeFence()
+    if (meta.hashesVersion.isDefined) {
+      applogAppend(spark, tablePrefix, meta.appendSeq + 1)
+      val mNow = readStoreMeta(spark, tablePrefix)
+      if (mNow.hashesVersion != meta.hashesVersion ||
+          mNow.bandedVersion != meta.bandedVersion)
+        throw new IllegalStateException(
+          s"appendToSignatureStore: store $tablePrefix was " +
+            "compacted/rewritten while appending — this append's rows " +
+            "landed in the superseded tables; re-run the append " +
+            "(idempotent) against the current version")
       writeStoreMeta(spark, tablePrefix,
-        meta.copy(appendSeq = meta.appendSeq + 1))
+        mNow.copy(appendSeq = mNow.appendSeq + 1))
+    }
   }
 
   /** Rewrite one bucketed store table's content to `target` (a NEW
@@ -993,14 +1138,17 @@ object Dedup {
       tablePrefix: String): Unit =
     compactSignatureStoreHooked(spark, tablePrefix, () => ())
 
-  /** [[compactSignatureStore]] with a test seam: `beforeFlip` runs
+  /** [[compactSignatureStore]] with test seams: `beforeFlip` runs
     * after the new version's tables are fully written and before the
-    * fencing re-check + meta flip — the exact window the append
-    * fencing exists to protect. Production callers use the no-hook
-    * overload. */
+    * fencing re-check (the r8 lost-write window); `midFlip` runs
+    * BETWEEN the re-check and the meta write — the r9 residual
+    * check-to-flip window the fence log closes. Production callers
+    * use the no-hook overload. */
   private[graft] def compactSignatureStoreHooked(
       spark: org.apache.spark.sql.SparkSession,
-      tablePrefix: String, beforeFlip: () => Unit): Unit = {
+      tablePrefix: String, beforeFlip: () => Unit,
+      midFlip: () => Unit = () => ()): Unit = {
+    val applog0 = applogCount(spark, tablePrefix)
     val m0 = readStoreMeta(spark, tablePrefix)
     require(m0.buckets > 0,
       s"compactSignatureStore: ${tablePrefix}_meta has no 'buckets' " +
@@ -1017,25 +1165,17 @@ object Dedup {
       s"${tablePrefix}_v${newV}_buckets", Seq("band", "bucket"),
       m0.buckets)
     beforeFlip()
-    val m1 = readStoreMeta(spark, tablePrefix)
-    if (m1.appendSeq != m0.appendSeq ||
-        m1.hashesVersion != m0.hashesVersion ||
-        m1.bandedVersion != m0.bandedVersion) {
-      Seq("hashes", "banded", "buckets").foreach(t =>
-        spark.sql(s"DROP TABLE IF EXISTS ${tablePrefix}_v${newV}_$t"))
-      throw new IllegalStateException(
-        s"compactSignatureStore: store $tablePrefix changed while " +
-          s"compacting (append_seq ${m0.appendSeq} -> ${m1.appendSeq}) " +
-          "— the concurrent append is preserved in the live store and " +
-          "this compaction wrote nothing; re-run it")
-    }
-    writeStoreMeta(spark, tablePrefix,
-      m1.copy(hashesVersion = Some(newV), bandedVersion = Some(newV)))
-    val keep = Set(s"${tablePrefix}_v${newV}_hashes",
-      s"${tablePrefix}_v${newV}_banded", s"${tablePrefix}_v${newV}_buckets",
-      m0.hashesTable(tablePrefix), m0.bandedTable(tablePrefix)) ++
-      m0.bucketsTable(tablePrefix)
-    dropSupersededStoreTables(spark, tablePrefix, keep)
+    fencedVersionFlip(spark, tablePrefix, m0, applog0,
+      newTables = Seq("hashes", "banded", "buckets")
+        .map(t => s"${tablePrefix}_v${newV}_$t"),
+      flipTo = m1 =>
+        m1.copy(hashesVersion = Some(newV), bandedVersion = Some(newV)),
+      keep = Set(s"${tablePrefix}_v${newV}_hashes",
+        s"${tablePrefix}_v${newV}_banded",
+        s"${tablePrefix}_v${newV}_buckets",
+        m0.hashesTable(tablePrefix), m0.bandedTable(tablePrefix)) ++
+        m0.bucketsTable(tablePrefix),
+      op = "compactSignatureStore", midFlipHook = midFlip)
   }
 
   /** Retention path for DELETED corpus documents (takedowns): drop the
@@ -1052,13 +1192,15 @@ object Dedup {
     * needs either per-hash refcounts (not kept: they'd turn the
     * append's distinct-valued anti-join into a read-modify-write) or
     * a rebuild from the retained corpus — run
-    * [[writeSignatureStore]] over the post-deletion corpus when exact
-    * re-admission of taken-down content must be possible; until then
-    * a removed doc's hash keeps flagging byte-identical incoming
-    * copies, which is the safe default for takedown semantics. */
+    * [[rebuildSignatureStore]] over the post-deletion corpus when
+    * exact re-admission of taken-down content must be possible (one
+    * fenced maintenance call); until then a removed doc's hash keeps
+    * flagging byte-identical incoming copies, which is the safe
+    * default for takedown semantics. */
   def removeFromSignatureStore(removeIds: DataFrame,
       tablePrefix: String): Unit = {
     val spark = removeIds.sparkSession
+    val applog0 = applogCount(spark, tablePrefix)
     val m0 = readStoreMeta(spark, tablePrefix)
     require(m0.buckets > 0,
       s"removeFromSignatureStore: ${tablePrefix}_meta has no 'buckets' " +
@@ -1086,27 +1228,71 @@ object Dedup {
         m0.buckets)
       newV
     }
-    val m1 = readStoreMeta(spark, tablePrefix)
-    if (m1.appendSeq != m0.appendSeq ||
-        m1.bandedVersion != m0.bandedVersion) {
-      Seq("banded", "buckets").foreach(t =>
-        spark.sql(s"DROP TABLE IF EXISTS ${tablePrefix}_v${newV}_$t"))
-      if (m0.hashesVersion.isEmpty)
-        spark.sql(s"DROP TABLE IF EXISTS ${tablePrefix}_v${newV}_hashes")
-      throw new IllegalStateException(
-        s"removeFromSignatureStore: store $tablePrefix changed while " +
-          s"removing (append_seq ${m0.appendSeq} -> ${m1.appendSeq}) " +
-          "— re-run the removal")
+    val newTables = Seq(s"${tablePrefix}_v${newV}_banded",
+      s"${tablePrefix}_v${newV}_buckets") ++
+      (if (m0.hashesVersion.isEmpty)
+        Seq(s"${tablePrefix}_v${newV}_hashes") else Nil)
+    fencedVersionFlip(spark, tablePrefix, m0, applog0, newTables,
+      flipTo = m1 => m1.copy(hashesVersion = Some(newHashesV),
+        bandedVersion = Some(newV)),
+      keep = Set(s"${tablePrefix}_v${newV}_banded",
+        s"${tablePrefix}_v${newV}_buckets",
+        s"${tablePrefix}_v${newHashesV}_hashes",
+        m0.hashesTable(tablePrefix), m0.bandedTable(tablePrefix)) ++
+        m0.bucketsTable(tablePrefix),
+      op = "removeFromSignatureStore")
+  }
+
+  /** Rebuild a persisted store's data tables FROM the retained corpus
+    * under the next version — the takedown-hash retirement path
+    * [[removeFromSignatureStore]] deliberately lacks: removal leaves
+    * the shared hash set untouched (no per-document provenance), so a
+    * byte-identical copy of a taken-down document keeps getting
+    * flagged `exact_dup`. After deleting the documents from the
+    * corpus itself, one call here re-derives hashes, banded keys AND
+    * the bucket index from what actually remains, so exact
+    * re-admission of taken-down content becomes possible in a single
+    * maintenance op instead of a manual recipe.
+    *
+    * Unlike [[writeSignatureStore]] (a FRESH store: resets to v1,
+    * drops every other version immediately, no fencing — first-write
+    * semantics), this is a LIVE-store maintenance op: banding
+    * parameters come from meta (the layout contract cannot drift),
+    * the new tables land under `_v(N+1)_*` while the current version
+    * stays fully live, and the same fence-log flip as
+    * [[compactSignatureStore]] aborts or rolls back if an append
+    * races it (an append racing a rebuild MUST abort one side — its
+    * documents are not in the rebuild's corpus snapshot). */
+  def rebuildSignatureStore(corpusDf: DataFrame, idCol: String,
+      textCol: String, tablePrefix: String,
+      maxBucket: Long = 1L << 20): Unit = {
+    val spark = corpusDf.sparkSession
+    val applog0 = applogCount(spark, tablePrefix)
+    val m0 = readStoreMeta(spark, tablePrefix)
+    require(m0.buckets > 0,
+      s"rebuildSignatureStore: ${tablePrefix}_meta has no 'buckets' " +
+        "column — rewrite the store with writeSignatureStore first")
+    val store = buildSignatureStore(corpusDf, idCol, textCol, m0.bands,
+      m0.rowsPerBand, m0.shingleN, validateMaxBucket = maxBucket)
+    val newV = m0.maxVersion + 1
+    def writeTo(df: DataFrame, suffix: String, keys: Seq[String]): String = {
+      val t = s"${tablePrefix}_v${newV}_$suffix"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      graft.io.Sinks.writeBucketed(df, t, keys, m0.buckets)
+      t
     }
-    val mNew = m1.copy(hashesVersion = Some(newHashesV),
-      bandedVersion = Some(newV))
-    writeStoreMeta(spark, tablePrefix, mNew)
-    val keep = Set(s"${tablePrefix}_v${newV}_banded",
-      s"${tablePrefix}_v${newV}_buckets",
-      mNew.hashesTable(tablePrefix), m0.hashesTable(tablePrefix),
-      m0.bandedTable(tablePrefix)) ++
-      m0.bucketsTable(tablePrefix)
-    dropSupersededStoreTables(spark, tablePrefix, keep)
+    val newTables = Seq(
+      writeTo(store.hashes, "hashes", Seq("content_hash")),
+      writeTo(store.banded, "banded", Seq("band", "bucket")),
+      writeTo(groupBuckets(store.banded), "buckets",
+        Seq("band", "bucket")))
+    fencedVersionFlip(spark, tablePrefix, m0, applog0, newTables,
+      flipTo = m1 =>
+        m1.copy(hashesVersion = Some(newV), bandedVersion = Some(newV)),
+      keep = newTables.toSet +
+        m0.hashesTable(tablePrefix) + m0.bandedTable(tablePrefix) ++
+        m0.bucketsTable(tablePrefix),
+      op = "rebuildSignatureStore")
   }
 
   /** Reload a persisted [[SignatureStore]]; banding parameters AND

@@ -747,13 +747,24 @@ object TrainingOps {
     * over the parameter-bounded piece table (seedSize + alphabet
     * rows — the same residency contract as the BPE merge table).
     * Like [[trainBpe]], production trains on a bounded
-    * `sampleWeightedK` sample. */
+    * `sampleWeightedK` sample.
+    *
+    * Driver residency is alphabet + seedSize rows; the alphabet is
+    * fail-fast-guarded (`maxAlphabet`) BEFORE any driver collect —
+    * a binary-garbage corpus would otherwise explode the "alphabet"
+    * to millions of codepoint rows (the q135/q85 guard discipline).
+    * The prune step scores each candidate against the SHARED score
+    * map with its own key masked (remove / score / re-put), so the
+    * prune is O(|vocab| · len · maxPieceLen) driver work — at a
+    * production 1M-piece seed the per-piece map-copy formulation
+    * would be 10¹² entry copies. */
   def trainUnigram(df: DataFrame, textCol: String, seedSize: Int = 16,
       maxPieceLen: Int = 3, emRounds: Int = 2,
-      pruneCount: Int = 4): DataFrame = {
+      pruneCount: Int = 4, maxAlphabet: Int = 1 << 16): DataFrame = {
     require(seedSize >= 1 && emRounds >= 0 && pruneCount >= 0,
       "seedSize must be positive; emRounds/pruneCount non-negative")
     require(maxPieceLen >= 2, "maxPieceLen must be at least 2")
+    require(maxAlphabet >= 1, "maxAlphabet must be positive")
     val spark = df.sparkSession
     import spark.implicits._
     val words = df
@@ -770,6 +781,13 @@ object TrainingOps {
       .select(explode(subs).as("piece"), col("freq"))
       .groupBy("piece").agg(sum("freq").as("cnt"))
       .localCheckpoint() // feeds both the singles and the multi cut
+    val nSingles = subCounts.filter(length(col("piece")) === 1).count()
+    require(nSingles <= maxAlphabet,
+      s"trainUnigram: corpus alphabet holds $nSingles distinct " +
+        s"characters (> maxAlphabet=$maxAlphabet) — the vocabulary is " +
+        "driver-resident at alphabet+seedSize rows, so an unnormalized " +
+        "(binary/mojibake) corpus would blow the driver; clean the " +
+        "corpus or raise maxAlphabet explicitly")
     val singles = subCounts.filter(length(col("piece")) === 1)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val multi = subCounts.filter(length(col("piece")) > 1)
@@ -788,10 +806,13 @@ object TrainingOps {
       scored.foreach { case (p, s) => sm.put(p, s) }
       val scoreOf = scored.toMap
       val deltas = vocab.filter(_._1.length > 1).map { case (p, c) =>
-        val without = new java.util.HashMap[String, java.lang.Long](sm)
-        without.remove(p)
+        // mask p in the SHARED map (remove / score / re-put) — a
+        // fresh per-piece HashMap copy is O(|vocab|) each, O(|vocab|²)
+        // total: 10¹² entry copies at a 1M-piece production seed
+        val s0 = sm.remove(p)
         val alt = graft.expressions.UnigramSegmentExpr
-          .viterbiScore(p, without, maxPieceLen)
+          .viterbiScore(p, sm, maxPieceLen)
+        sm.put(p, s0)
         require(alt.isDefined, // singles retained ⇒ always segmentable
           s"unreachable: piece '$p' unsegmentable without itself")
         (p, c * (alt.get - scoreOf(p)))
@@ -1084,7 +1105,21 @@ object TrainingOps {
     * same as the per-arm formulation, minus two corpus scans. Arm
     * validity matches the standalone ops: R/X drop blank-text rows,
     * S drops docs under 2 tokens. Output:
-    * (objective, idCol, input_text, target_text). */
+    * (objective, idCol, input_text, target_text).
+    *
+    * The corpus is SPREAD across the session's shuffle parallelism
+    * before the dispatch projection (the minhashCandidates BEFORE
+    * exchange): collapsing three scans into one concentrated the
+    * whole fold workload onto however many input splits the source
+    * happens to have — a small parquet is ONE split, so the r9 bench
+    * measured the "faster" single-scan form 1.4× SLOWER than three
+    * arm-filtered scans (which at least ran as three parallel
+    * stages). With the spread, the single scan is 1.6× faster than
+    * the three-arm form and 2.1× faster than unspread
+    * (graft.MicroBench ul2: 0.55 vs 0.85 vs 1.17 s min-of-5,
+    * same host). At 100 TB the exchange ships (id, text) once —
+    * noise against the per-row fold CPU it parallelizes, and the
+    * shape no longer depends on the source's split geometry. */
   def ul2Mixture(df: DataFrame, idCol: String, textCol: String,
       weights: Seq[(String, Double)] =
         Seq("r" -> 0.5, "s" -> 0.25, "x" -> 0.25),
@@ -1095,7 +1130,9 @@ object TrainingOps {
       "weights must name exactly the objectives r, s, x")
     val id = col(idCol)
     val text = col(textCol)
-    val asg = splitAssign(df.select(id, text), idCol, weights, assignSalt)
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    val asg = splitAssign(df.select(id, text).repartition(p),
+      idCol, weights, assignSalt)
     val pairT = "struct<input_text:string,target_text:string>"
     // uniform (input, target) pair per arm; the inner struct is
     // let-bound so each arm's fold runs once per row

@@ -23,6 +23,17 @@ object R8Queries {
     // as chained CTEs over the same separator-string representation
     // (chr(31)-bounded symbols; replace() is the greedy merge in both
     // engines).
+    //
+    // BENCH READING: trainBpe is the INCREMENTAL trainer (r9) — it
+    // pays a constant setup (initial full pair table + per-round
+    // localCheckpoint of the delta-maintained counts) that DOMINATES
+    // at this demo's 6 rounds, so q121's bench time is ~1.7× the old
+    // full-recount number BY DESIGN. The crossover is ~round 10:
+    // SCALE.md's bpe_train_inc10/inc50 vs recount10 rows measure
+    // 0.68 s/round (rounds 1-10) and 0.54 s/round (rounds 11-50)
+    // incremental vs 1.49 s/round recount on a 3.5M-word Zipf corpus
+    // — at production 32k merges the recount form is ~50 ks slower.
+    // Do not "fix" q121 by reverting to trainBpeRecount.
     "q121_bpe_train" -> ((s, d) =>
       graft.llm.TrainingOps.trainBpe(
         T.documents(s, d).select(col("text")), "text", numMerges = 6)

@@ -200,10 +200,29 @@ object Streaming {
     * bucket's id list is comfortable in one row (the default 2²⁰ is a
     * batch-oriented ceiling; think 10³-10⁴ here). The per-trigger
     * mass-dup hazard on the STREAM side is bounded by the trigger
-    * size — there is no batch-side collect to guard with. */
+    * size — there is no batch-side collect to guard with.
+    *
+    * Cache lifetime: the persisted index is keyed by its logical
+    * plan in Spark's CacheManager, so REPEATED calls against the
+    * same (unchanged) store reuse the one cached copy — no per-call
+    * growth. What does accumulate is one entry per store VERSION
+    * (restart a stream after a compaction flip and the old version's
+    * entry lingers for the session): callers that cycle store
+    * versions or stores should use [[admitAgainstStoreManaged]] and
+    * unpersist the returned handle when the stream stops. */
   def admitAgainstStore(newStream: DataFrame,
       store: graft.llm.Dedup.SignatureStore, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String): DataFrame =
+    admitAgainstStoreManaged(newStream, store, idCol, textCol)._1
+
+  /** [[admitAgainstStore]] plus the persisted bucket-index handle:
+    * `(verdicts, index)` — call `index.unpersist()` once the
+    * admission stream is stopped to release the cached copy
+    * (otherwise it lives for the SparkSession, one copy per store
+    * version ever admitted against). */
+  def admitAgainstStoreManaged(newStream: DataFrame,
+      store: graft.llm.Dedup.SignatureStore, idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
     val bands = store.bands
     val rpb = store.rowsPerBand
     val bucketIds = (store.buckets match {
@@ -236,11 +255,12 @@ object Streaming {
       acc.join(side, element_at(col("_bks"), b + 1) === col(s"_bk$b"),
         "left")
     }
-    joined.select(col(idCol),
+    (joined.select(col(idCol),
       coalesce(col("_e"), lit(false)).as("exact_dup"),
       size(array_distinct(flatten(filter(
         array((0 until bands).map(b => col(s"_ids$b")): _*),
-        a => a.isNotNull)))).cast("long").as("near_candidates"))
+        a => a.isNotNull)))).cast("long").as("near_candidates")),
+      bucketIds)
   }
 
   /** Streaming near-dup SELF-check — the tier [[admitAgainstStore]]

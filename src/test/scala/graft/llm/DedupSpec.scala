@@ -8,7 +8,7 @@ class DedupSpec extends SparkSuite {
   /** All catalog tables of one signature store (any version + meta). */
   private def storeTables(prefix: String): Seq[String] = {
     val pat = (java.util.regex.Pattern.quote(prefix) +
-      "(_v\\d+)?_(hashes|banded|buckets|meta)").r
+      "(_v\\d+)?_(hashes|banded|buckets|meta|applog)").r
     spark.catalog.listTables().collect().map(_.name)
       .filter(t => pat.matches(t)).toSeq
   }
@@ -21,7 +21,7 @@ class DedupSpec extends SparkSuite {
     val wh = new java.io.File(new java.net.URI(
       spark.conf.get("spark.sql.warehouse.dir")).getPath)
     val pat = (java.util.regex.Pattern.quote(prefix) +
-      "(_v\\d+)?_(hashes|banded|buckets|meta)").r
+      "(_v\\d+)?_(hashes|banded|buckets|meta|applog)").r
     Option(wh.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => pat.matches(f.getName))
       .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
@@ -734,6 +734,161 @@ class DedupSpec extends SparkSuite {
         .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
       assert(fresh === Map(90L -> true))
     } finally dropStore("sig_store_vf")
+  }
+
+  test("fence log: an append landing INSIDE the check-to-flip window rolls the flip back") {
+    val corpus = Seq(
+      (1L, "alpha subject matter entirely its own body here"),
+      (2L, "beta subject matter entirely different body text")).toDF("id", "text")
+    dropStore("sig_store_mf")
+    Dedup.writeSignatureStore(corpus, "id", "text", "sig_store_mf",
+      buckets = 4)
+    try {
+      val late = Seq(
+        (50L, "append racing inside the residual flip window itself"))
+        .toDF("id", "text")
+      val probe = Seq(
+        (90L, "append racing inside the residual flip window itself"))
+        .toDF("id", "text")
+      def admitNow() = Dedup.readSignatureStore(spark, "sig_store_mf")
+        .admit(probe, "id", "text").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      val v0 = Dedup.readStoreMeta(spark, "sig_store_mf")
+      // the append commits BETWEEN the compaction's fencing re-check
+      // and its meta flip — the r9 residual window where the flip
+      // overwrites the append's seq bump, erasing the meta evidence.
+      // The append-only fence log survives the overwrite; the
+      // post-flip verify must detect it and ROLL THE FLIP BACK.
+      val e = intercept[IllegalStateException] {
+        Dedup.compactSignatureStoreHooked(spark, "sig_store_mf",
+          () => (), midFlip = () =>
+            Dedup.appendToSignatureStore(late, "id", "text",
+              "sig_store_mf"))
+      }
+      assert(e.getMessage.contains("rolled back"), e.getMessage)
+      val v1 = Dedup.readStoreMeta(spark, "sig_store_mf")
+      assert(v1.hashesVersion === v0.hashesVersion &&
+        v1.bandedVersion === v0.bandedVersion,
+        "the rolled-back flip must re-point meta at the snapshot version")
+      assert(admitNow() === Map(90L -> true),
+        "the mid-window append must be fully visible after the rollback")
+      // the re-run (no race) flips cleanly and keeps the append
+      Dedup.compactSignatureStore(spark, "sig_store_mf")
+      val v2 = Dedup.readStoreMeta(spark, "sig_store_mf")
+      assert(v2.maxVersion === v0.maxVersion + 1)
+      assert(admitNow() === Map(90L -> true))
+    } finally dropStore("sig_store_mf")
+  }
+
+  test("append fencing: a flip landing mid-append aborts the APPEND and never reverts the flip") {
+    val corpus = Seq(
+      (1L, "alpha subject matter entirely its own body here"),
+      (2L, "beta subject matter entirely different body text")).toDF("id", "text")
+    dropStore("sig_store_af")
+    Dedup.writeSignatureStore(corpus, "id", "text", "sig_store_af",
+      buckets = 4)
+    try {
+      val late = Seq(
+        (60L, "nightly batch racing a compaction of the whole store"))
+        .toDF("id", "text")
+      val probe = Seq(
+        (91L, "nightly batch racing a compaction of the whole store"))
+        .toDF("id", "text")
+      def admitNow() = Dedup.readSignatureStore(spark, "sig_store_af")
+        .admit(probe, "id", "text").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      val v0 = Dedup.readStoreMeta(spark, "sig_store_af")
+      // a compaction runs START TO FINISH inside the append's
+      // data-write → fence window (the ADVICE medium): the append's
+      // old bump-back would have re-pointed meta at the superseded
+      // tables and orphaned the new version. Now the append itself
+      // aborts — and must NOT have touched the flipped meta.
+      val e = intercept[IllegalStateException] {
+        Dedup.appendToSignatureStoreHooked(late, "id", "text",
+          "sig_store_af", 1L << 20, () =>
+            Dedup.compactSignatureStore(spark, "sig_store_af"))
+      }
+      assert(e.getMessage.contains("re-run the append"), e.getMessage)
+      val v1 = Dedup.readStoreMeta(spark, "sig_store_af")
+      assert(v1.maxVersion === v0.maxVersion + 1,
+        "the aborted append must leave the compaction's flip standing")
+      // re-running the append is idempotent and lands in the CURRENT
+      // version; the probe then flags the appended doc
+      Dedup.appendToSignatureStore(late, "id", "text", "sig_store_af")
+      assert(admitNow() === Map(91L -> true))
+      val v2 = Dedup.readStoreMeta(spark, "sig_store_af")
+      assert(v2.maxVersion === v1.maxVersion,
+        "the re-run append must not move versions")
+    } finally dropStore("sig_store_af")
+  }
+
+  test("readStoreMeta: transient empty meta (mid-flip window) is retried; persistent emptiness throws") {
+    dropStore("sig_store_em")
+    val metaDf = Seq((4, 2, 3, 4, 1, 1, 0L))
+      .toDF("bands", "rows_per_band", "shingle_n", "buckets",
+        "hashes_version", "banded_version", "append_seq")
+    // persistent emptiness: schema present, no row — the retry loop
+    // must exhaust and throw the corruption remedy, not NPE
+    metaDf.filter(lit(false)).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable("sig_store_em_meta")
+    try {
+      val e = intercept[IllegalStateException] {
+        Dedup.readStoreMeta(spark, "sig_store_em")
+      }
+      assert(e.getMessage.contains("writeSignatureStore"), e.getMessage)
+      // transient emptiness: the row lands while the reader is inside
+      // its retry backoff — the read must succeed, not throw
+      val writer = new Thread(() => {
+        Thread.sleep(400)
+        metaDf.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .insertInto("sig_store_em_meta")
+      })
+      writer.start()
+      try {
+        val m = Dedup.readStoreMeta(spark, "sig_store_em")
+        assert(m.bands === 4 && m.buckets === 4 &&
+          m.hashesVersion === Some(1))
+      } finally writer.join()
+    } finally dropStore("sig_store_em")
+  }
+
+  test("rebuildSignatureStore: takedown-exact re-admission in one fenced call") {
+    val kept = "a second corpus document body on other topics entirely"
+    val gone = (1 to 30).map(i => s"td$i").mkString(" ")
+    val corpus = Seq((1L, gone), (2L, kept)).toDF("id", "text")
+    dropStore("sig_store_rb")
+    Dedup.writeSignatureStore(corpus, "id", "text", "sig_store_rb",
+      buckets = 4)
+    try {
+      val probe = Seq((90L, gone), (91L, kept)).toDF("id", "text")
+      def admitNow() = Dedup.readSignatureStore(spark, "sig_store_rb")
+        .admit(probe, "id", "text").orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).toSeq
+      // takedown: near tier forgets id 1, but its hash stays — the
+      // byte-identical copy is still refused (the documented default)
+      Dedup.removeFromSignatureStore(Seq(1L).toDF("id"), "sig_store_rb")
+      val after = admitNow()
+      assert(after.head === ((90L, true, 0L)),
+        s"removed doc's hash must still flag exact copies: $after")
+      val v1 = Dedup.readStoreMeta(spark, "sig_store_rb")
+      // one rebuild over the RETAINED corpus retires the hash: the
+      // exact copy now admits cleanly, the kept doc still dedups
+      Dedup.rebuildSignatureStore(corpus.filter(col("id") =!= 1L),
+        "id", "text", "sig_store_rb")
+      val rebuilt = admitNow()
+      assert(rebuilt === Seq((90L, false, 0L), (91L, true, 1L)), rebuilt)
+      // the rebuild reused the versioned flip discipline
+      val v2 = Dedup.readStoreMeta(spark, "sig_store_rb")
+      assert(v2.maxVersion === v1.maxVersion + 1)
+      assert(v2.hashesVersion === v2.bandedVersion)
+      // and appends still work against the rebuilt store
+      Dedup.appendToSignatureStore(Seq((7L, gone)).toDF("id", "text"),
+        "id", "text", "sig_store_rb")
+      val reAdded = admitNow()
+      assert(reAdded.head._2 === true,
+        "re-admitted content must flag exact again after its append")
+    } finally dropStore("sig_store_rb")
   }
 
   test("removeFromSignatureStore: near tier forgets removed ids, hash tier stays") {

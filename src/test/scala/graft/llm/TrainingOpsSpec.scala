@@ -446,6 +446,21 @@ class TrainingOpsSpec extends SparkSuite {
     assert(re.toSeq === out.toSeq)
   }
 
+  test("trainUnigram: maxAlphabet fail-fast names the blown guard") {
+    import spark.implicits._
+    val df = Seq("abcdef ghijkl", "mnopqr stuvwx").toDF("text")
+    val e = intercept[IllegalArgumentException] {
+      TrainingOps.trainUnigram(df, "text", seedSize = 4,
+        maxPieceLen = 3, emRounds = 1, pruneCount = 0, maxAlphabet = 8)
+    }
+    assert(e.getMessage.contains("maxAlphabet=8"))
+    assert(e.getMessage.contains("distinct"))
+    // the same corpus trains fine when the cap admits its alphabet
+    val ok = TrainingOps.trainUnigram(df, "text", seedSize = 4,
+      maxPieceLen = 3, emRounds = 1, pruneCount = 0, maxAlphabet = 64)
+    assert(ok.count() > 0)
+  }
+
   test("unigramEncode: trained model round-trips corpus tokens; off-alphabet drops") {
     import spark.implicits._
     val df = Seq("abab abc cab", "abc bc abab").toDF("text")

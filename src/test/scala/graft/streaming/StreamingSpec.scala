@@ -262,6 +262,42 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("admitAgainstStoreManaged: the persisted bucket index is caller-releasable (no session-lifetime leak)") {
+    val base = Files.createTempDirectory("graft-admitm").toString
+    val corpus = Seq(
+      (1L, "managed store corpus document body standing alone here"))
+      .toDF("id", "text")
+    val store = {
+      val s = graft.llm.Dedup.buildSignatureStore(corpus, "id", "text")
+      s.copy(hashes = s.hashes.localCheckpoint(),
+        banded = s.banded.localCheckpoint())
+    }
+    Seq((10L, "managed store corpus document body standing alone here"))
+      .toDF("id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/land")
+    val schema = spark.read.parquet(s"$base/land").schema
+    val stream = Streaming.fileStream(spark, s"$base/land", schema)
+    val (verdicts, index) =
+      Streaming.admitAgainstStoreManaged(stream, store, "id", "text")
+    val q = verdicts.writeStream.outputMode("append")
+      .format("memory").queryName("admitm")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    q.awaitTermination(300000)
+    assert(spark.table("admitm").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toSeq ===
+      Seq((10L, true)))
+    val cm = spark.sharedState.cacheManager
+    val classic = index
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    assert(cm.lookupCachedData(classic).nonEmpty,
+      "the bucket index must be cached while the stream runs")
+    index.unpersist()
+    assert(cm.lookupCachedData(classic).isEmpty,
+      "unpersisting the returned handle must release the cached index")
+  }
+
   test("streamNearSelfCheck: near-dups in DIFFERENT micro-batches both flagged before any append") {
     val base = Files.createTempDirectory("graft-selfchk").toString
     val shared = (1 to 30).map(i => s"n$i").mkString(" ")
