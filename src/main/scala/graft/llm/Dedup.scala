@@ -725,38 +725,49 @@ object Dedup {
     // The meta flip is an INSERT OVERWRITE data-only replace; the
     // table is never unregistered, but with the default
     // FileOutputCommitter the overwrite deletes the old file before
-    // the new one commits, so a read racing a flip can observe an
-    // EMPTY table. Retry with backoff (total ~3 s — flips are one-row
-    // writes, over in milliseconds); persistent emptiness means an
-    // interrupted flip on a non-atomic committer and throws with the
-    // remedy. An atomic-commit table format (Delta/Iceberg) or
-    // committer removes the window entirely.
-    var df = spark.table(t)
-    var head = df.head(1)
+    // the new one commits, so a read racing a flip can observe the
+    // window TWO ways: an EMPTY table (listed after the delete,
+    // before the commit) or a FAILED_READ_FILE/FileNotFound (listed
+    // the old file, scanned after its delete). Both are transient —
+    // retry with backoff (total ~3 s; flips are one-row writes, over
+    // in milliseconds). Persistent emptiness means a flip was
+    // interrupted mid-overwrite (non-atomic committer) and throws
+    // with the remedy; an atomic-commit table format (Delta/Iceberg)
+    // or committer removes the window entirely.
+    val maxAttempts = 6
     var attempt = 0
-    while (head.isEmpty && attempt < 5) {
-      Thread.sleep(100L << attempt)
-      spark.catalog.refreshTable(t)
-      df = spark.table(t)
-      head = df.head(1)
+    var found: Option[(Array[String], org.apache.spark.sql.Row)] = None
+    while (found.isEmpty && attempt < maxAttempts) {
+      if (attempt > 0) {
+        Thread.sleep(100L << (attempt - 1))
+        spark.catalog.refreshTable(t)
+      }
+      try {
+        val df = spark.table(t)
+        val h = df.head(1)
+        if (h.nonEmpty) found = Some((df.columns, h(0)))
+      } catch {
+        case e: Exception
+            if attempt < maxAttempts - 1 &&
+              Option(e.getMessage).exists(_.contains("does not exist")) =>
+          () // mid-flip file-listing race — retry (final attempt rethrows)
+      }
       attempt += 1
     }
-    if (head.isEmpty)
-      throw new IllegalStateException(
-        s"readStoreMeta: $t still empty after $attempt retries — a " +
-          "concurrent meta flip exposes an empty table only for its " +
-          "commit window; a persistently empty meta row means a flip " +
-          "was interrupted mid-overwrite (non-atomic committer). " +
-          "Rebuild the store with writeSignatureStore, or host the " +
-          "meta table on an atomic-commit format")
-    val m = head(0)
+    val (cols, m) = found.getOrElse(throw new IllegalStateException(
+      s"readStoreMeta: $t still empty after $attempt attempts — a " +
+        "concurrent meta flip exposes an empty table only for its " +
+        "commit window; a persistently empty meta row means a flip " +
+        "was interrupted mid-overwrite (non-atomic committer). " +
+        "Rebuild the store with writeSignatureStore, or host the " +
+        "meta table on an atomic-commit format"))
     def optInt(c: String): Option[Int] =
-      if (df.columns.contains(c)) Some(m.getAs[Int](c)) else None
+      if (cols.contains(c)) Some(m.getAs[Int](c)) else None
     StoreMeta(m.getAs[Int]("bands"), m.getAs[Int]("rows_per_band"),
       m.getAs[Int]("shingle_n"),
       optInt("buckets").getOrElse(0),
       optInt("hashes_version"), optInt("banded_version"),
-      if (df.columns.contains("append_seq")) m.getAs[Long]("append_seq")
+      if (cols.contains("append_seq")) m.getAs[Long]("append_seq")
       else 0L)
   }
 

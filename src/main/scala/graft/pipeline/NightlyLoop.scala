@@ -1,0 +1,173 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The composed NIGHTLY LOOP: crawl → ingest → admit → append → pack
+  * as ONE resumable driver over the [[Manifest]] commit log — the
+  * end-to-end composition whose operators all existed separately
+  * (q173 crawl cycle, q101/q112 WARC ingest, q114 store admission,
+  * appendToSignatureStore, q167 pack export) but had no single entry
+  * point with restart semantics.
+  *
+  * Same §3.3 discipline as [[Pipeline]] (write-then-record: each
+  * stage commits its parquet output, THEN upserts the manifest;
+  * reference pipeline.py:456-485 + tables.py:90-236) with the loop's
+  * own stage order instead of the reference's fixed four. A killed
+  * run resumes at the FIRST UNCOMMITTED stage: completed stages are
+  * never recomputed (their by-name inputs are not even evaluated),
+  * later stages read the committed interchange files, so the final
+  * corpus is byte-identical to an uninterrupted run — every stage
+  * core is deterministic and the one store MUTATION (append) is
+  * idempotent by construction (bucketed anti-joins re-detect what
+  * the store already holds), which is exactly what makes a kill
+  * inside append's write-then-record gap safe to replay.
+  *
+  * Stage contracts (all inputs/outputs are DataFrames; columns in
+  * parentheses):
+  *  - crawl: tonight's candidate frontier (`url`) × robots registry
+  *    (`host`, `allow`, `prefix`) → the admitted FETCH LIST
+  *    (`url`, `host`, `path`): trap shapes out (urlTrapSignals),
+  *    then RFC 9309 wildcard robots admission (robotsFilter). The
+  *    fetcher itself is external (network IO is out of engine
+  *    scope); the committed fetch list is its work order.
+  *  - ingest: fetch results as WARC bytes (`warc_id`, `payload`) →
+  *    documents (`id` = target URI, `text`): the warcRecords
+  *    Generator keeps 2xx response records with non-empty bodies.
+  *  - admit: documents → admitted documents (+`near_candidates`):
+  *    probes the persisted signature store (exact hash tier + LSH
+  *    band tier); exact dups always drop, near-candidates drop
+  *    unless `admitNearCandidates`.
+  *  - append: admitted documents → one-row receipt (`n_appended`):
+  *    merges tonight's signatures into the store so TOMORROW's batch
+  *    dedups against today's admissions.
+  *  - pack: admitted documents → training sequences
+  *    (`host`, `pack_id`, `n_docs`, `n_tokens`, `sequence`):
+  *    per-host token-budget packing (exportPackedSequences).
+  *
+  * Scale shape: the driver touches only control-plane rows (manifest
+  * events, the append receipt); every stage is one distributed job
+  * whose plan is the already-audited operator plan. At 100 TB the
+  * interchange dirs are the natural checkpoint boundary — a stage
+  * retry re-reads the previous stage's committed parquet, never the
+  * raw feeds. */
+final case class NightlyLoop(
+    root: String,
+    storePrefix: String,
+    name: String = "nightly",
+    version: String = "v1",
+    admitNearCandidates: Boolean = false,
+    tokenBudget: Long = 4096L,
+    maxBucket: Long = 1L << 20) {
+
+  def stageDir(stage: String, night: String): String =
+    s"$root/$stage/$name/$night"
+
+  private def readStage(spark: SparkSession, stage: String,
+      night: String): DataFrame =
+    spark.read.parquet(stageDir(stage, night))
+
+  private def crawlStage(candidates: DataFrame,
+      rules: DataFrame): DataFrame = {
+    val safe = graft.llm.Crawl.urlTrapSignals(candidates, "url")
+      .filter(!col("is_trap")).select("url")
+    val parsed = safe.select(col("url"),
+      regexp_extract(col("url"),
+        "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1).as("host"),
+      coalesce(nullif(regexp_extract(col("url"),
+        "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1), lit("")),
+        lit("/")).as("path"))
+    graft.llm.Crawl.robotsFilter(parsed, "url", "host", "path", rules)
+      .filter(col("allowed"))
+      .select("url", "host", "path")
+  }
+
+  private def ingestStage(warc: DataFrame): DataFrame =
+    warc.select(graft.ops.functions.warcRecords(col("payload"))
+        .as(Seq("rec_idx", "warc_type", "target_uri", "warc_date",
+          "content_type", "content_length", "http_status",
+          "http_content_type", "body")))
+      .filter(col("warc_type") === "response" &&
+        col("http_status").between(200, 299) &&
+        col("body").isNotNull)
+      .select(col("target_uri").as("id"),
+        col("body").cast("string").as("text"))
+      .filter(trim(col("text")) =!= "")
+
+  private def admitStage(spark: SparkSession,
+      docs: DataFrame): DataFrame = {
+    val store = graft.llm.Dedup.readSignatureStore(spark, storePrefix)
+    val verdicts = store.admit(docs, "id", "text",
+      maxBucket = maxBucket)
+    val keep = docs.join(verdicts, Seq("id"))
+      .filter(!col("exact_dup"))
+    (if (admitNearCandidates) keep
+     else keep.filter(col("near_candidates") === 0))
+      .select("id", "text", "near_candidates")
+  }
+
+  private def appendStage(spark: SparkSession,
+      admitted: DataFrame): DataFrame = {
+    import spark.implicits._
+    graft.llm.Dedup.appendToSignatureStore(
+      admitted.select(col("id"), col("text")), "id", "text",
+      storePrefix, maxBucket = maxBucket)
+    Seq(admitted.count()).toDF("n_appended")
+  }
+
+  private def packStage(admitted: DataFrame): DataFrame =
+    graft.llm.TrainingOps.exportPackedSequences(
+      admitted.withColumn("host",
+        regexp_extract(col("id"),
+          "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)),
+      "host", "id", "text",
+      graft.llm.TextAnalysis.tokenCountWs(col("text")).cast("long"),
+      tokenBudget)
+
+  /** Run (or RESUME) one night. `night` is the partition key; the
+    * three feeds are BY-NAME so a resumed run whose remaining stages
+    * do not need them never evaluates them. Returns the committed
+    * pack output. `beforeRecord`/`afterStage` are test seams (throw
+    * inside them to simulate a kill in the write-then-record gap /
+    * between stages); production callers omit them. */
+  def runNight(spark: SparkSession, night: String, manifest: Manifest,
+      candidates: => DataFrame, rules: => DataFrame,
+      warc: => DataFrame,
+      beforeRecord: String => Unit = _ => (),
+      afterStage: String => Unit = _ => ()): DataFrame = {
+    manifest.versionOf(night).foreach { recorded =>
+      if (recorded != version)
+        throw new PipelineVersionError(
+          s"$night was recorded under nightly version $recorded; " +
+            s"current is $version — re-run from scratch")
+    }
+    val done = manifest.nextStage(night, NightlyLoop.StageOrder) match {
+      case None => NightlyLoop.StageOrder.toSet
+      case Some(next) =>
+        NightlyLoop.StageOrder.takeWhile(_ != next).toSet
+    }
+    val cores: Seq[(String, () => DataFrame)] = Seq(
+      "crawl" -> (() => crawlStage(candidates, rules)),
+      "ingest" -> (() => ingestStage(warc)),
+      "admit" -> (() => admitStage(spark, readStage(spark, "ingest", night))),
+      "append" -> (() => appendStage(spark, readStage(spark, "admit", night))),
+      "pack" -> (() => packStage(readStage(spark, "admit", night))))
+    cores.foreach { case (st, mk) =>
+      if (!done.contains(st)) {
+        val dir = stageDir(st, night)
+        mk().write.mode("overwrite").parquet(dir)
+        beforeRecord(st)
+        manifest.markDone(night, name, st, dir, version)
+        afterStage(st)
+      }
+    }
+    readStage(spark, "pack", night)
+  }
+}
+
+object NightlyLoop {
+  /** The loop's canonical stage order (its analog of
+    * [[Stages.Order]]). */
+  val StageOrder: Seq[String] =
+    Seq("crawl", "ingest", "admit", "append", "pack")
+}

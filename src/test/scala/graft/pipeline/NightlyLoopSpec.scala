@@ -1,0 +1,176 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+import graft.llm.Dedup
+
+class NightlyLoopSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft-nl").toString
+
+  private def dropStore(prefix: String): Unit =
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(prefix))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+  private val corpusText =
+    "existing corpus document body standing in the store already tonight"
+
+  private def freshStore(prefix: String): Unit = {
+    dropStore(prefix)
+    Dedup.writeSignatureStore(
+      Seq(("corpus:1", corpusText)).toDF("id", "text"), "id", "text",
+      prefix, buckets = 4)
+  }
+
+  private def warcResponse(uri: String, status: String,
+      body: String): String = {
+    val crlf = "\r\n"
+    val block =
+      s"HTTP/1.1 $status${crlf}Content-Type: text/html$crlf$crlf$body"
+    s"WARC/1.0${crlf}WARC-Type: response${crlf}WARC-Target-URI: $uri" +
+      s"${crlf}WARC-Date: 2024-01-01T00:00:00Z${crlf}Content-Type: " +
+      s"application/http; msgtype=response${crlf}Content-Length: " +
+      s"${block.getBytes("UTF-8").length}$crlf$crlf$block$crlf$crlf"
+  }
+
+  // candidate frontier: two good pages, one robots-disallowed, one trap
+  private def candidates: DataFrame = Seq(
+    "https://h1.example/p1",
+    "https://h1.example/private/x",
+    "https://h1.example/t/x/x/x/x/x/x/x/x/x/e",
+    "https://h2.example/p2").toDF("url")
+
+  private def rules: DataFrame = Seq(
+    ("h1.example", false, "/private/"),
+    ("h1.example", true, "/")).toDF("host", "allow", "prefix")
+
+  // fetch results: one fresh doc, one byte-copy of the corpus doc
+  // (admit must drop it), one more fresh doc, one 404 (ingest drops)
+  private def warc: DataFrame = Seq(
+    (1L, warcResponse("https://h1.example/p1", "200 OK",
+      "fresh nightly document about alpha topics and spark engines")),
+    (2L, warcResponse("https://h2.example/p2", "200 OK", corpusText)),
+    (3L, warcResponse("https://h2.example/p3", "200 OK",
+      "another wholly fresh body about beta matters and tokenizers")),
+    (4L, warcResponse("https://h2.example/p4", "404 Not Found",
+      "not found page body"))).map { case (i, s) =>
+    (i, s.getBytes("UTF-8"))
+  }.toDF("warc_id", "payload")
+
+  private def packRows(df: DataFrame): Seq[(String, Long, String)] =
+    df.select("host", "pack_id", "sequence").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  test("nightly loop end-to-end: crawl gate, ingest filter, store admit, idempotent append, pack") {
+    val root = tmp()
+    freshStore("nl_store_e2e")
+    try {
+      val loop = NightlyLoop(root, "nl_store_e2e")
+      val m = new Manifest(spark, s"$root/_manifest")
+      val out = loop.runNight(spark, "2026-08-14", m,
+        candidates, rules, warc)
+      // crawl: the trap and the disallowed URL are gone
+      val fetch = spark.read.parquet(loop.stageDir("crawl", "2026-08-14"))
+        .select("url").as[String].collect().sorted.toSeq
+      assert(fetch === Seq("https://h1.example/p1", "https://h2.example/p2"))
+      // ingest: 404 dropped; admit: the corpus byte-copy dropped
+      val admitted = spark.read
+        .parquet(loop.stageDir("admit", "2026-08-14"))
+        .select("id").as[String].collect().sorted.toSeq
+      assert(admitted ===
+        Seq("https://h1.example/p1", "https://h2.example/p3"))
+      // pack: both survivors packed under their hosts
+      val packs = packRows(out)
+      assert(packs.map(_._1).distinct === Seq("h1.example", "h2.example"))
+      assert(packs.exists(_._3.contains("alpha topics")))
+      assert(!packs.exists(_._3.contains(corpusText)),
+        "an exact corpus dup must never reach the training packs")
+      // append: tomorrow's byte-copy of tonight's admission is flagged
+      val probe = Dedup.readSignatureStore(spark, "nl_store_e2e")
+        .admit(Seq(("probe:99",
+          "fresh nightly document about alpha topics and spark engines"))
+          .toDF("id", "text"), "id", "text").collect()
+      assert(probe.head.getBoolean(1) === true,
+        "append must make tonight's admissions visible to tomorrow")
+      // manifest: all five stages recorded exactly once
+      val events = m.log().groupBy("stage").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(events === NightlyLoop.StageOrder.map(_ -> 1L).toMap)
+    } finally dropStore("nl_store_e2e")
+  }
+
+  test("kill between stages: resume skips committed work, never re-evaluates the feeds, corpus byte-identical") {
+    // golden: uninterrupted run in its own root + store
+    val rootG = tmp()
+    freshStore("nl_store_g")
+    val golden =
+      try packRows(NightlyLoop(rootG, "nl_store_g").runNight(spark,
+        "2026-08-14", new Manifest(spark, s"$rootG/_manifest"),
+        candidates, rules, warc))
+      finally dropStore("nl_store_g")
+    // interrupted run: die right after ingest commits
+    val root = tmp()
+    freshStore("nl_store_kr")
+    try {
+      val loop = NightlyLoop(root, "nl_store_kr")
+      val m = new Manifest(spark, s"$root/_manifest")
+      val boom = intercept[RuntimeException] {
+        loop.runNight(spark, "2026-08-14", m, candidates, rules, warc,
+          afterStage = st => if (st == "ingest") sys.error("killed"))
+      }
+      assert(boom.getMessage === "killed")
+      assert(m.nextStage("2026-08-14", NightlyLoop.StageOrder) ===
+        Some("admit"))
+      // resume: the feeds must NOT be re-evaluated — poison thunks
+      def poison: DataFrame = sys.error("feed re-evaluated on resume")
+      val out = loop.runNight(spark, "2026-08-14", m,
+        poison, poison, poison)
+      assert(packRows(out) === golden,
+        "resumed corpus must be byte-identical to the uninterrupted run")
+      // crawl/ingest each committed exactly once (no recompute)
+      val events = m.log().groupBy("stage").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(events === NightlyLoop.StageOrder.map(_ -> 1L).toMap)
+      // version gate: a changed pipeline version refuses to resume
+      intercept[PipelineVersionError] {
+        loop.copy(version = "v2").runNight(spark, "2026-08-14", m,
+          poison, poison, poison)
+      }
+    } finally dropStore("nl_store_kr")
+  }
+
+  test("kill inside append's write-then-record gap: replay is idempotent, store holds no duplicates") {
+    val root = tmp()
+    freshStore("nl_store_ap")
+    try {
+      val loop = NightlyLoop(root, "nl_store_ap")
+      val m = new Manifest(spark, s"$root/_manifest")
+      val boom = intercept[RuntimeException] {
+        loop.runNight(spark, "2026-08-14", m, candidates, rules, warc,
+          beforeRecord = st => if (st == "append") sys.error("killed"))
+      }
+      assert(boom.getMessage === "killed")
+      // the store WAS mutated (append ran before the record) — the
+      // crash window the idempotent anti-join design exists for
+      assert(m.nextStage("2026-08-14", NightlyLoop.StageOrder) ===
+        Some("append"))
+      val hashesAfterCrash =
+        Dedup.readSignatureStore(spark, "nl_store_ap").hashes.count()
+      def poison: DataFrame = sys.error("feed re-evaluated on resume")
+      val out = loop.runNight(spark, "2026-08-14", m,
+        poison, poison, poison)
+      // replayed append added NOTHING the crashed one already wrote
+      val hashesAfterReplay =
+        Dedup.readSignatureStore(spark, "nl_store_ap").hashes.count()
+      assert(hashesAfterReplay === hashesAfterCrash,
+        "append replay must be a no-op on already-appended content")
+      assert(packRows(out).nonEmpty)
+    } finally dropStore("nl_store_ap")
+  }
+}

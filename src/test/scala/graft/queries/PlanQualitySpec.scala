@@ -308,4 +308,43 @@ class PlanQualitySpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p.take(1200))
     assert(!p.contains("SortMergeJoin"), p.take(1200))
   }
+
+  test("q172: UL2 dispatch is ONE spread corpus scan — no per-arm re-read") {
+    val p = plan("q172_ul2_mixture")
+    // exactly one parquet scan (the r9 three-arm form read the corpus
+    // once per arm); detail headers only — the tree would double-count
+    assert("\\n\\(\\d+\\) Scan parquet".r.findAllIn(p).size === 1, p.take(1500))
+    // the fold pass is spread across cores BEFORE the dispatch
+    // projection (round-robin, not a keyed shuffle): without it the
+    // single scan concentrates the per-row folds onto the source's
+    // input splits — measured 1.4× SLOWER than three arm scans on a
+    // one-split parquet (graft.MicroBench ul2)
+    assert(p.contains("RoundRobinPartitioning"), p.take(1500))
+    assert(!p.contains("Arguments: hashpartitioning"), p.take(1500))
+  }
+
+  test("q128: hamming pairs emit once per agreeing chunk — no distinct pass, one join") {
+    val p = plan("q128_image_neardup")
+    // the emit-once pigeonhole discipline: a pair emits from its FIRST
+    // agreeing chunk only, so the plan needs NO aggregate anywhere —
+    // the r8 form deduped with a full (id_a, id_b) distinct exchange
+    assert(!p.contains("HashAggregate"), p.take(1500))
+    assert(!p.contains("ObjectHashAggregate"), p.take(1500))
+    // detail headers only — the tree line would double-count
+    assert("\\n\\(\\d+\\) (SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+      .findAllIn(p).size === 1, p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q173: crawl cycle — per-host cap pushes WindowGroupLimit, rules broadcast, no SMJ") {
+    val p = plan("q173_crawl_cycle")
+    // stage shapes: the politeness cap must not full-sort a host's
+    // pages in one task; every rule/bodies join stays broadcast at
+    // registry scale; the bounded-depth sitemap recursion must never
+    // degrade to a cartesian or a sort-merge over URL strings
+    assert(p.contains("WindowGroupLimit"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
 }
