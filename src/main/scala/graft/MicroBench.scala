@@ -43,9 +43,12 @@ object MicroBench {
         def docs = spark.read
           .parquet(s"$sfDir/documents.parquet")
           .select(col("doc_id"), col("text"))
-        // current: ONE corpus scan, per-row when-dispatch
+        // the r9 baseline: ONE corpus scan, per-row when-dispatch,
+        // WITHOUT the pre-spread exchange (spread=false reproduces
+        // it — ul2Mixture gained the spread as the r10 fix)
         val single = () => TrainingOps.ul2Mixture(docs, "doc_id",
-          "text", rSalt = "t5r8", sSalt = "plmu8", xSalt = "t5x8")
+          "text", rSalt = "t5r8", sSalt = "plmu8", xSalt = "t5x8",
+          spread = false)
           .orderBy("objective", "doc_id")
         // r8 shape: three arm-filtered scans + union
         val threeArm = () => {
@@ -65,17 +68,14 @@ object MicroBench {
           corrupt("r", 0.15, "t5r8").union(corrupt("x", 0.5, "t5x8"))
             .union(sArm).orderBy("objective", "doc_id")
         }
-        // hypothesis probe: same single-scan dispatch but with the
-        // CPU-bound fold pass spread across cores first (the
-        // minhashCandidates pre-exchange discipline — a small parquet
-        // is ONE input split, so the per-row folds otherwise run on
-        // one task)
-        val spread = () => TrainingOps.ul2Mixture(
-          docs.repartition(spark.sparkContext.defaultParallelism),
-          "doc_id", "text",
-          rSalt = "t5r8", sSalt = "plmu8", xSalt = "t5x8")
+        // the shipped r10 shape: single scan with the CPU-bound fold
+        // pass spread across cores first (the minhashCandidates
+        // pre-exchange discipline — a small parquet is ONE input
+        // split, so the per-row folds otherwise run on one task)
+        val spread = () => TrainingOps.ul2Mixture(docs, "doc_id",
+          "text", rSalt = "t5r8", sSalt = "plmu8", xSalt = "t5x8")
           .orderBy("objective", "doc_id")
-        Seq("single_scan" -> single, "three_arm" -> threeArm,
+        Seq("single_unspread" -> single, "three_arm" -> threeArm,
           "single_spread" -> spread)
       case other =>
         throw new IllegalArgumentException(s"unknown scenario: $other")

@@ -970,14 +970,18 @@ object Dedup {
     appendToSignatureStoreHooked(batch, idCol, textCol, tablePrefix,
       maxBucket, () => ())
 
-  /** [[appendToSignatureStore]] with a test seam: `beforeFence` runs
+  /** [[appendToSignatureStore]] with test seams: `beforeFence` runs
     * after the batch's data writes land and before the fence-log row
     * + meta re-check — the window where a maintenance flip landing
-    * makes this append's rows superseded. Production callers use the
-    * no-hook overload. */
+    * makes this append's rows superseded; `betweenWrites` runs after
+    * the hashes+banded commits and before the bucket-index commit —
+    * the intra-append crash window whose replay must HEAL the index
+    * (each table's delta is its own anti-join). Production callers
+    * use the no-hook overload. */
   private[graft] def appendToSignatureStoreHooked(batch: DataFrame,
       idCol: String, textCol: String, tablePrefix: String,
-      maxBucket: Long, beforeFence: () => Unit): Unit = {
+      maxBucket: Long, beforeFence: () => Unit,
+      betweenWrites: () => Unit = () => ()): Unit = {
     val spark = batch.sparkSession
     // ONE meta read serves banding params, the current table versions
     // AND the bucket count; the append must write with the SAME
@@ -1005,10 +1009,14 @@ object Dedup {
       Seq("content_hash"), "left_anti")
     val (_, banded0) = shaBanded(batch, idCol, textCol, store.bands,
       store.rowsPerBand, store.shingleN)
-    val newBanded = banded0.select(col("band"), col("bucket"), col("id"))
-      .distinct()
+    // ONE signature pass: the checkpointed batch keys feed the banded
+    // delta, the bucket-index delta and the guard below
+    val batchKeys = banded0
+      .select(col("band"), col("bucket"), col("id")).distinct()
+      .localCheckpoint()
+    val newBanded = batchKeys
       .join(store.banded, Seq("band", "bucket", "id"), "left_anti")
-      .localCheckpoint() // guard + write share one signature pass
+      .localCheckpoint() // guard + write share one anti-join
     if (maxBucket > 0) {
       val batchCounts = newBanded.groupBy(col("band"), col("bucket"))
         .agg(count(lit(1)).as("_bn"))
@@ -1041,14 +1049,35 @@ object Dedup {
     graft.io.Sinks.writeBucketed(newBanded,
       meta.bandedTable(tablePrefix), Seq("band", "bucket"), buckets,
       mode = org.apache.spark.sql.SaveMode.Append)
+    betweenWrites()
     // the pre-grouped band index gains ONE GENERATION of rows per
     // append — the batch's own groups only (batch-sized, never a
     // corpus re-group); a streaming reader merges generations per
-    // (band, bucket) and the next compaction collapses them. Id
-    // lists stay disjoint across generations because newBanded is
-    // anti-joined against the store above.
+    // (band, bucket) and the next compaction collapses them.
+    //
+    // The index delta is computed with its OWN anti-join against the
+    // index (the batch keys minus the ids the index already lists for
+    // the touched buckets) instead of reusing newBanded: the banded
+    // append above and this one are two separate table commits, so a
+    // crash BETWEEN them would otherwise be unhealable — the replay's
+    // banded anti-join sees everything present, newBanded comes back
+    // empty, and the index would permanently miss the batch (silent
+    // near-dup misses in streaming admission until the next
+    // compaction). With per-table deltas every append write is
+    // independently idempotent: a replay refills exactly the tables
+    // the crash left behind. Disjointness across generations holds
+    // per table by its own anti-join; the probe side additionally
+    // array_distincts. Cost: one bounded read of the TOUCHED buckets'
+    // index rows (broadcast semi on the batch's bucket set, then the
+    // exploded ids join the batch keys — both batch-bounded).
     meta.bucketsTable(tablePrefix).foreach { bt =>
-      graft.io.Sinks.writeBucketed(groupBuckets(newBanded), bt,
+      val touchedB = batchKeys.select(col("band"), col("bucket")).distinct()
+      val indexed = spark.table(bt)
+        .join(broadcast(touchedB), Seq("band", "bucket"), "left_semi")
+        .select(col("band"), col("bucket"), explode(col("ids")).as("id"))
+      val bucketsDelta = batchKeys
+        .join(indexed, Seq("band", "bucket", "id"), "left_anti")
+      graft.io.Sinks.writeBucketed(groupBuckets(bucketsDelta), bt,
         Seq("band", "bucket"), buckets,
         mode = org.apache.spark.sql.SaveMode.Append)
     }

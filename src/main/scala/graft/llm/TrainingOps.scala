@@ -1125,13 +1125,18 @@ object TrainingOps {
         Seq("r" -> 0.5, "s" -> 0.25, "x" -> 0.25),
       rRate: Double = 0.15, xRate: Double = 0.5,
       assignSalt: String = "ul2", rSalt: String = "t5r",
-      sSalt: String = "plm", xSalt: String = "t5x"): DataFrame = {
+      sSalt: String = "plm", xSalt: String = "t5x",
+      /** diagnostic knob: `false` reproduces the unspread baseline
+        * (graft.MicroBench's A/B control) — production keeps the
+        * spread. Output is identical either way. */
+      spread: Boolean = true): DataFrame = {
     require(weights.map(_._1).sorted == Seq("r", "s", "x"),
       "weights must name exactly the objectives r, s, x")
     val id = col(idCol)
     val text = col(textCol)
+    val base = df.select(id, text)
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
-    val asg = splitAssign(df.select(id, text).repartition(p),
+    val asg = splitAssign(if (spread) base.repartition(p) else base,
       idCol, weights, assignSalt)
     val pairT = "struct<input_text:string,target_text:string>"
     // uniform (input, target) pair per arm; the inner struct is

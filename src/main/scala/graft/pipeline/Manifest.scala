@@ -62,9 +62,19 @@ final class Manifest(spark: SparkSession, dir: String,
       .write.mode(SaveMode.Overwrite).parquet(dir)
   }
 
-  /** Pipeline version the pkey's most recent commit was recorded under. */
-  def versionOf(pkey: String): Option[String] = {
-    val rows = state().filter(col("pkey") === pkey)
+  /** Current state, optionally scoped to ONE pipeline's events — two
+    * pipelines sharing a manifest (e.g. a nightly loop and a backfill
+    * loop) must not read each other's completions as their own. */
+  private def stateOf(pipeline: Option[String]): DataFrame =
+    pipeline.map(p => state().filter(col("pipeline") === p))
+      .getOrElse(state())
+
+  /** Pipeline version the pkey's most recent commit was recorded
+    * under. Pass `pipeline` when the manifest is shared — an
+    * unscoped read can resume against another pipeline's record. */
+  def versionOf(pkey: String,
+      pipeline: Option[String] = None): Option[String] = {
+    val rows = stateOf(pipeline).filter(col("pkey") === pkey)
       .orderBy(col("at").desc).select("version").limit(1).collect()
     rows.headOption.map(_.getString(0))
   }
@@ -92,8 +102,9 @@ final class Manifest(spark: SparkSession, dir: String,
   /** First incomplete stage for pkey (reference `_next`,
     * tables.py:124-137): the stage after the last completed one in
     * declared order; None when all declared stages are done. */
-  def nextStage(pkey: String, stageOrder: Seq[String]): Option[String] = {
-    val done = state().filter(col("pkey") === pkey)
+  def nextStage(pkey: String, stageOrder: Seq[String],
+      pipeline: Option[String] = None): Option[String] = {
+    val done = stateOf(pipeline).filter(col("pkey") === pkey)
       .select("stage").as[String].collect().toSet
     stageOrder.find(!done.contains(_))
   }
@@ -101,9 +112,10 @@ final class Manifest(spark: SparkSession, dir: String,
   /** Pkeys with at least one completed stage but not all — the restart
     * set for `restart_stalled_pipelines` (tasks.py:22-29), optionally
     * aged by `olderThanMillis` against each pkey's LAST activity. */
-  def stalled(stageOrder: Seq[String], olderThanMillis: Long = 0): DataFrame = {
+  def stalled(stageOrder: Seq[String], olderThanMillis: Long = 0,
+      pipeline: Option[String] = None): DataFrame = {
     val cutoff = Instant.now().toEpochMilli - olderThanMillis
-    state().groupBy("pkey")
+    stateOf(pipeline).groupBy("pkey")
       .agg(collect_set("stage").as("done"), max("at").as("last_at"))
       .filter(size(col("done")) < stageOrder.size && col("last_at") <= cutoff)
       .select("pkey", "done", "last_at")

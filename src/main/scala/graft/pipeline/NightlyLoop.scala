@@ -35,9 +35,11 @@ import org.apache.spark.sql.functions._
   *    documents (`id` = target URI, `text`): the warcRecords
   *    Generator keeps 2xx response records with non-empty bodies.
   *  - admit: documents → admitted documents (+`near_candidates`):
-  *    probes the persisted signature store (exact hash tier + LSH
-  *    band tier); exact dups always drop, near-candidates drop
-  *    unless `admitNearCandidates`.
+  *    intra-night self-dedup first (duplicate ids collapse; exact
+  *    content dups keep the lowest id — the store probe only flags
+  *    against the CORPUS), then the persisted signature store probe
+  *    (exact hash tier + LSH band tier); exact dups always drop,
+  *    near-candidates drop unless `admitNearCandidates`.
   *  - append: admitted documents → one-row receipt (`n_appended`):
   *    merges tonight's signatures into the store so TOMORROW's batch
   *    dedups against today's admissions.
@@ -67,17 +69,34 @@ final case class NightlyLoop(
       night: String): DataFrame =
     spark.read.parquet(stageDir(stage, night))
 
+  /** The loop's ONE host notion (crawl gate AND pack shard — they
+    * must agree or packs shard by a different host than the robots
+    * gate admitted): lowercase with userinfo and port stripped.
+    * Hostnames are case-insensitive and robots registries key on the
+    * bare host, so `https://H1.Example:443/private/x` must match
+    * rules recorded for `h1.example` — an exact-equality join on the
+    * raw authority would default such URLs to ALLOWED (robotsFilter's
+    * no-match arm) and order a disallowed fetch. */
+  private def hostOf(url: org.apache.spark.sql.Column) =
+    lower(regexp_replace(regexp_replace(
+      regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1),
+      "^[^/@]*@", ""), ":\\d+$", ""))
+
+  private def pathOf(url: org.apache.spark.sql.Column) =
+    coalesce(nullif(regexp_extract(url,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1), lit("")),
+      lit("/"))
+
   private def crawlStage(candidates: DataFrame,
       rules: DataFrame): DataFrame = {
     val safe = graft.llm.Crawl.urlTrapSignals(candidates, "url")
       .filter(!col("is_trap")).select("url")
     val parsed = safe.select(col("url"),
-      regexp_extract(col("url"),
-        "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1).as("host"),
-      coalesce(nullif(regexp_extract(col("url"),
-        "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1), lit("")),
-        lit("/")).as("path"))
-    graft.llm.Crawl.robotsFilter(parsed, "url", "host", "path", rules)
+      hostOf(col("url")).as("host"), pathOf(col("url")).as("path"))
+    // normalize the registry side with the same host notion
+    val normRules = rules.withColumn("host", lower(col("host")))
+    graft.llm.Crawl.robotsFilter(parsed, "url", "host", "path",
+        normRules)
       .filter(col("allowed"))
       .select("url", "host", "path")
   }
@@ -96,10 +115,22 @@ final case class NightlyLoop(
 
   private def admitStage(spark: SparkSession,
       docs: DataFrame): DataFrame = {
+    // intra-night self-dedup FIRST: the store probe only flags
+    // against the CORPUS, so two byte-identical documents fetched
+    // the same night (a mirrored page, one URI in two WARC records)
+    // would both pass it. Duplicate ids collapse, then exact content
+    // dedup keeps the lowest id per hash. (Intra-night NEAR dups are
+    // the streaming tier's job — streamNearSelfCheck — or a
+    // nearDuplicatesMinhash pass over tonight's admissions.)
+    val uniqIds = docs.dropDuplicates("id")
+    val keepIds = graft.llm.Dedup
+      .exactDedupByContent(uniqIds, "text", "id")
+      .select(col("keep_id").as("id"))
+    val uniq = uniqIds.join(keepIds, Seq("id"), "left_semi")
     val store = graft.llm.Dedup.readSignatureStore(spark, storePrefix)
-    val verdicts = store.admit(docs, "id", "text",
+    val verdicts = store.admit(uniq, "id", "text",
       maxBucket = maxBucket)
-    val keep = docs.join(verdicts, Seq("id"))
+    val keep = uniq.join(verdicts, Seq("id"))
       .filter(!col("exact_dup"))
     (if (admitNearCandidates) keep
      else keep.filter(col("near_candidates") === 0))
@@ -117,9 +148,7 @@ final case class NightlyLoop(
 
   private def packStage(admitted: DataFrame): DataFrame =
     graft.llm.TrainingOps.exportPackedSequences(
-      admitted.withColumn("host",
-        regexp_extract(col("id"),
-          "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)),
+      admitted.withColumn("host", hostOf(col("id"))),
       "host", "id", "text",
       graft.llm.TextAnalysis.tokenCountWs(col("text")).cast("long"),
       tokenBudget)
@@ -135,13 +164,16 @@ final case class NightlyLoop(
       warc: => DataFrame,
       beforeRecord: String => Unit = _ => (),
       afterStage: String => Unit = _ => ()): DataFrame = {
-    manifest.versionOf(night).foreach { recorded =>
+    // both reads scoped to THIS loop's events (two loops sharing one
+    // manifest must not resume against each other's completions)
+    manifest.versionOf(night, Some(name)).foreach { recorded =>
       if (recorded != version)
         throw new PipelineVersionError(
           s"$night was recorded under nightly version $recorded; " +
             s"current is $version — re-run from scratch")
     }
-    val done = manifest.nextStage(night, NightlyLoop.StageOrder) match {
+    val done = manifest.nextStage(night, NightlyLoop.StageOrder,
+        Some(name)) match {
       case None => NightlyLoop.StageOrder.toSet
       case Some(next) =>
         NightlyLoop.StageOrder.takeWhile(_ != next).toSet

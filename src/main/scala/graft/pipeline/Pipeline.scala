@@ -194,7 +194,8 @@ final case class Pipeline(
     * actually advanced. */
   def restartStalled(spark: SparkSession, manifest: Manifest,
       olderThanMillis: Long = 0): Seq[String] = {
-    val stalledKeys = manifest.stalled(ordered.map(_.name), olderThanMillis)
+    val stalledKeys = manifest.stalled(ordered.map(_.name),
+        olderThanMillis, Some(name))
       .select("pkey").collect().map(_.getString(0)).toSeq.sorted
     stalledKeys.flatMap { pkey =>
       try advance(spark, pkey, manifest).map(_ => pkey)
@@ -209,12 +210,14 @@ final case class Pipeline(
   def advance(spark: SparkSession, pkey: String, manifest: Manifest): Option[DataFrame] = {
     // version gate (tables.py:191-192): stale objects must be re-run
     // from scratch under the current pipeline, not resumed mid-stream.
-    manifest.versionOf(pkey).foreach { recorded =>
+    // Both reads are scoped to THIS pipeline's events: two pipelines
+    // sharing one manifest must not resume against each other's rows.
+    manifest.versionOf(pkey, Some(name)).foreach { recorded =>
       if (recorded != version)
         throw new PipelineVersionError(
           s"$pkey was recorded under pipeline version $recorded; current is $version")
     }
-    manifest.nextStage(pkey, ordered.map(_.name)) match {
+    manifest.nextStage(pkey, ordered.map(_.name), Some(name)) match {
       case None => None
       case Some(next) =>
         val i = ordered.indexWhere(_.name == next)

@@ -736,6 +736,59 @@ class DedupSpec extends SparkSuite {
     } finally dropStore("sig_store_vf")
   }
 
+  test("append crash between banded and bucket-index commits: the replay HEALS the index") {
+    val corpus = Seq(
+      (1L, "alpha subject matter entirely its own body here"),
+      (2L, "beta subject matter entirely different body text")).toDF("id", "text")
+    dropStore("sig_store_bw")
+    Dedup.writeSignatureStore(corpus, "id", "text", "sig_store_bw",
+      buckets = 4)
+    try {
+      val day = Seq(
+        (50L, "tonight's document crashing between its table commits"))
+        .toDF("id", "text")
+      // crash AFTER hashes+banded committed, BEFORE the bucket index:
+      // the banded anti-join alone would see everything present on
+      // replay and leave the index permanently missing the batch
+      val boom = intercept[RuntimeException] {
+        Dedup.appendToSignatureStoreHooked(day, "id", "text",
+          "sig_store_bw", 1L << 20, () => (),
+          betweenWrites = () => sys.error("killed"))
+      }
+      assert(boom.getMessage === "killed")
+      def indexEntries(): Seq[(String, String, Long)] = {
+        val bt = s"sig_store_bw_v1_buckets"
+        spark.table(bt)
+          .select(col("band"), col("bucket"), explode(col("ids")).as("id"))
+          .collect()
+          .map(r => (r.get(0).toString, r.get(1).toString,
+            r.get(2).toString.toLong)).sorted.toSeq
+      }
+      assert(!indexEntries().exists(_._3 == 50L),
+        "precondition: the crash left the index without the batch")
+      // the replay refills EXACTLY the missing table — and is a
+      // no-op on the ones the crashed run already wrote
+      Dedup.appendToSignatureStore(day, "id", "text", "sig_store_bw")
+      val entries = indexEntries()
+      assert(entries.exists(_._3 == 50L),
+        "replay must heal the bucket index")
+      assert(entries === entries.distinct,
+        "per-table deltas must never duplicate a (band, bucket, id) entry")
+      val bandedCount = spark.table(bandedTable("sig_store_bw"))
+        .filter(col("id") === 50L).count()
+      val bandsPerDoc = spark.table(bandedTable("sig_store_bw"))
+        .filter(col("id") === 1L).count()
+      assert(bandedCount === bandsPerDoc,
+        "replay must not duplicate the already-committed banded rows")
+      // and the healed store admits/flags correctly
+      val probe = Dedup.readSignatureStore(spark, "sig_store_bw")
+        .admit(Seq((90L,
+          "tonight's document crashing between its table commits"))
+          .toDF("id", "text"), "id", "text").collect()
+      assert(probe.head.getBoolean(1) === true)
+    } finally dropStore("sig_store_bw")
+  }
+
   test("fence log: an append landing INSIDE the check-to-flip window rolls the flip back") {
     val corpus = Seq(
       (1L, "alpha subject matter entirely its own body here"),

@@ -38,10 +38,13 @@ class NightlyLoopSpec extends SparkSuite {
       s"${block.getBytes("UTF-8").length}$crlf$crlf$block$crlf$crlf"
   }
 
-  // candidate frontier: two good pages, one robots-disallowed, one trap
+  // candidate frontier: two good pages, one robots-disallowed, one
+  // trap, and one disallowed page hiding behind host case + an
+  // explicit port (the normalization the crawl gate must see through)
   private def candidates: DataFrame = Seq(
     "https://h1.example/p1",
     "https://h1.example/private/x",
+    "https://H1.Example:443/private/y",
     "https://h1.example/t/x/x/x/x/x/x/x/x/x/e",
     "https://h2.example/p2").toDF("url")
 
@@ -50,7 +53,10 @@ class NightlyLoopSpec extends SparkSuite {
     ("h1.example", true, "/")).toDF("host", "allow", "prefix")
 
   // fetch results: one fresh doc, one byte-copy of the corpus doc
-  // (admit must drop it), one more fresh doc, one 404 (ingest drops)
+  // (admit must drop it), one more fresh doc, one 404 (ingest
+  // drops), and an INTRA-NIGHT byte-copy of the first doc under a
+  // different URI (the self-dedup must keep only the lowest id —
+  // the store probe alone cannot see it)
   private def warc: DataFrame = Seq(
     (1L, warcResponse("https://h1.example/p1", "200 OK",
       "fresh nightly document about alpha topics and spark engines")),
@@ -58,9 +64,11 @@ class NightlyLoopSpec extends SparkSuite {
     (3L, warcResponse("https://h2.example/p3", "200 OK",
       "another wholly fresh body about beta matters and tokenizers")),
     (4L, warcResponse("https://h2.example/p4", "404 Not Found",
-      "not found page body"))).map { case (i, s) =>
-    (i, s.getBytes("UTF-8"))
-  }.toDF("warc_id", "payload")
+      "not found page body")),
+    (5L, warcResponse("https://h2.example/pdup", "200 OK",
+      "fresh nightly document about alpha topics and spark engines")))
+    .map { case (i, s) => (i, s.getBytes("UTF-8")) }
+    .toDF("warc_id", "payload")
 
   private def packRows(df: DataFrame): Seq[(String, Long, String)] =
     df.select("host", "pack_id", "sequence").collect()
@@ -75,11 +83,13 @@ class NightlyLoopSpec extends SparkSuite {
       val m = new Manifest(spark, s"$root/_manifest")
       val out = loop.runNight(spark, "2026-08-14", m,
         candidates, rules, warc)
-      // crawl: the trap and the disallowed URL are gone
+      // crawl: the trap and BOTH disallowed URLs are gone — including
+      // the one hiding behind host case + an explicit port
       val fetch = spark.read.parquet(loop.stageDir("crawl", "2026-08-14"))
         .select("url").as[String].collect().sorted.toSeq
       assert(fetch === Seq("https://h1.example/p1", "https://h2.example/p2"))
-      // ingest: 404 dropped; admit: the corpus byte-copy dropped
+      // ingest: 404 dropped; admit: the corpus byte-copy AND the
+      // intra-night byte-copy dropped (lowest id kept)
       val admitted = spark.read
         .parquet(loop.stageDir("admit", "2026-08-14"))
         .select("id").as[String].collect().sorted.toSeq
@@ -88,7 +98,8 @@ class NightlyLoopSpec extends SparkSuite {
       // pack: both survivors packed under their hosts
       val packs = packRows(out)
       assert(packs.map(_._1).distinct === Seq("h1.example", "h2.example"))
-      assert(packs.exists(_._3.contains("alpha topics")))
+      assert(packs.count(_._3.contains("alpha topics")) === 1,
+        "the intra-night dup must reach the packs exactly once")
       assert(!packs.exists(_._3.contains(corpusText)),
         "an exact corpus dup must never reach the training packs")
       // append: tomorrow's byte-copy of tonight's admission is flagged
@@ -143,6 +154,35 @@ class NightlyLoopSpec extends SparkSuite {
           poison, poison, poison)
       }
     } finally dropStore("nl_store_kr")
+  }
+
+  test("two loops sharing one manifest: resume state is scoped per pipeline name") {
+    val root = tmp()
+    freshStore("nl_store_sc")
+    try {
+      val m = new Manifest(spark, s"$root/_manifest")
+      val loopA = NightlyLoop(root, "nl_store_sc")
+      loopA.runNight(spark, "2026-08-14", m, candidates, rules, warc)
+      // a SECOND loop (different name, same manifest + night) must
+      // not read loop A's completions as its own: it runs ALL its
+      // stages — its feeds ARE evaluated (poison thunks would throw).
+      // Its own store, or A's append would dedup B's whole batch.
+      freshStore("nl_store_sc2")
+      val loopB = NightlyLoop(root, "nl_store_sc2", name = "backfill")
+      val out = loopB.runNight(spark, "2026-08-14", m,
+        candidates, rules, warc)
+      assert(packRows(out).nonEmpty)
+      // both pipelines recorded all five stages, under their own names
+      val byPipeline = m.log().groupBy("pipeline").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byPipeline === Map("nightly" -> 5L, "backfill" -> 5L))
+      // and B's interchange landed under its own name-scoped dirs
+      assert(spark.read.parquet(loopB.stageDir("ingest", "2026-08-14"))
+        .count() > 0)
+    } finally {
+      dropStore("nl_store_sc")
+      dropStore("nl_store_sc2")
+    }
   }
 
   test("kill inside append's write-then-record gap: replay is idempotent, store holds no duplicates") {
