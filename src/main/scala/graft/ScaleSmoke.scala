@@ -111,6 +111,73 @@ object ScaleSmoke {
         banded = s.banded.localCheckpoint())
     }
 
+    // Persisted store + synthetic feeds for the nightly_loop
+    // composition: the corpus store is written OUTSIDE the timer (it
+    // is yesterday's state); the scenario then measures one whole
+    // night — crawl gate over n URLs, WARC parse of n fetch results,
+    // admit against the n-doc store, append, pack.
+    lazy val nightlyStore: Unit = {
+      spark.catalog.listTables().collect().map(_.name)
+        .filter(_.startsWith("scale_nl"))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      // the in-memory catalog is per-JVM but the warehouse DIRS
+      // persist across runs — clear leftovers or the managed CREATE
+      // hits LOCATION_ALREADY_EXISTS (the DedupSpec dropStore rule)
+      val wh = new java.io.File(new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath)
+      Option(wh.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.startsWith("scale_nl"))
+        .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
+      Dedup.writeSignatureStore(
+        docs.select(concat(lit("https://h"),
+            pmod(col("id"), lit(1000)).cast("string"),
+            lit(".example/p/"), col("id").cast("string")).as("id"),
+          col("text")),
+        "id", "text", "scale_nl", buckets = 32)
+    }
+    def nightlyLoopRun(): DataFrame = {
+      val crlf = "\r\n"
+      // tonight's batch: fresh ids; every 10th fetch is a byte-copy
+      // of a corpus doc (the admit stage must drop n/10 docs)
+      val nid = col("id") + lit(1000000000L)
+      val uri = concat(lit("https://h"),
+        pmod(col("id"), lit(1000)).cast("string"),
+        lit(".example/q/"), nid.cast("string"))
+      val freshText = when(col("id") % 10 === 0, col("text"))
+        .otherwise(concat(col("text"), lit(" night"),
+          (col("id") % 89).cast("string")))
+      val block = concat(
+        lit("HTTP/1.1 200 OK" + crlf + "Content-Type: text/html" +
+          crlf + crlf), freshText)
+      val rec = concat(
+        lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+          "WARC-Target-URI: "), uri,
+        lit(crlf + "WARC-Date: 2024-01-01T00:00:00Z" + crlf +
+          "Content-Type: application/http; msgtype=response" + crlf +
+          "Content-Length: "), length(block).cast("string"),
+        lit(crlf + crlf), block, lit(crlf + crlf))
+      val warc = docs.select(col("id").as("warc_id"),
+        rec.cast("binary").as("payload"))
+      // candidates: the batch URIs plus planted trap + disallowed
+      // shapes the crawl gate must shed
+      val candidates = docs.select(
+        when(col("id") % 97 === 0,
+            concat(lit("https://h7.example/t/x/x/x/x/x/x/x/x/x/"),
+              nid.cast("string")))
+          .when(col("id") % 89 === 0,
+            concat(lit("https://h11.example/private/"),
+              nid.cast("string")))
+          .otherwise(uri).as("url"))
+      import spark.implicits._
+      val rules = (0 until 1000).map(h =>
+        (s"h$h.example", false, "/private/")).toDF("host", "allow", "prefix")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-nl-scale").toString
+      val loop = graft.pipeline.NightlyLoop(root, "scale_nl")
+      val m = new graft.pipeline.Manifest(spark, s"$root/_manifest")
+      loop.runNight(spark, "night1", m, candidates, rules, warc)
+    }
+
     val scenarios: Seq[(String, () => DataFrame)] = Seq(
       "exact_dedup" ->
         (() => Dedup.exactDedupByContent(docs, "text", "id")),
@@ -304,6 +371,13 @@ object ScaleSmoke {
       "unigram_train" -> (() => TrainingOps.trainUnigram(
         bpeDocs, "text", seedSize = 50000, maxPieceLen = 8,
         emRounds = 2, pruneCount = 5000)),
+      // the COMPOSED nightly loop at corpus scale: crawl gate over n
+      // candidate URLs (trap + robots), WARC parse of n fetch
+      // results, store admit (n/10 planted exact dups dropped),
+      // append, per-host pack — five committed stages end to end
+      // against a PREBUILT n-doc signature store (written outside
+      // the timer; it is yesterday's state)
+      "nightly_loop" -> (() => nightlyLoopRun()),
       // Gopher dup-n-gram signals: two sorted-run folds per row
       // (2-gram top + 5-gram dup mass), map-only — corpus cost is
       // per-row O(len log len), no shuffle
@@ -492,6 +566,7 @@ object ScaleSmoke {
         s._1 == "bpe_train_recount10" || s._1 == "unigram_train")) {
       bpeDocs; ()
     }
+    if (selected.exists(_._1 == "nightly_loop")) { nightlyStore; () }
     val results = selected.map { case (name, mk) => timed(name, mk()) }
 
     docs.unpersist()

@@ -964,6 +964,44 @@ object TrainingOps {
           _.getField("t")), sep).as("sequence"))
   }
 
+  /** PROVENANCE map for packed training sequences — the attribution
+    * table [[exportPackedSequences]] deliberately does not carry:
+    * one row per packed document with its pack coordinates, so any
+    * token position inside a training sequence maps back to its
+    * source document (takedown response, contamination tracing,
+    * loss-masking by provenance, per-source data cards). Output:
+    * (shardCol, pack_id, orderCol, doc_seq, token_offset, n_tokens)
+    * where `doc_seq` is the document's 0-based position in its pack
+    * and `token_offset` is the 0-based index of its FIRST token in
+    * the pack's concatenated sequence — preceding documents' tokens
+    * plus `sepTokens` per separator joint (1 for a single-token EOD
+    * sentinel, matching [[exportPackedSequences]]'s default).
+    * Documents exceeding the budget alone (null pack_id) are
+    * excluded, mirroring the export.
+    *
+    * Scale shape: pack assignment is the two-phase distributed
+    * prefix sum of [[packByTokenBudget]]; the offsets then need one
+    * window PER (shard, pack_id) — bounded by a pack's document
+    * count (≤ budget tokens), never a shard-sized window. */
+  def packProvenance(df: DataFrame, shardCol: String, orderCol: String,
+      tokens: Column, budget: Long, sepTokens: Int = 1): DataFrame = {
+    require(sepTokens >= 0, "sepTokens must be non-negative")
+    import org.apache.spark.sql.expressions.Window
+    val packed = packByTokenBudget(df, shardCol, orderCol, tokens, budget)
+      .filter(col("pack_id").isNotNull)
+      .withColumn("_t", tokens.cast(LongType))
+    val w = Window
+      .partitionBy(col(shardCol), col("pack_id")).orderBy(col(orderCol))
+    packed
+      .withColumn("doc_seq", row_number().over(w) - 1)
+      .withColumn("token_offset",
+        coalesce(sum(col("_t")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) +
+          col("doc_seq").cast(LongType) * sepTokens)
+      .select(col(shardCol), col("pack_id"), col(orderCol),
+        col("doc_seq"), col("token_offset"), col("_t").as("n_tokens"))
+  }
+
   /** Prefix-LM split (the PrefixLM / UL2 S-denoiser objective):
     * split each document's tokens at a DETERMINISTIC uniform point
     * k ∈ [1, n−1] — prefix conditions, suffix is the target. The

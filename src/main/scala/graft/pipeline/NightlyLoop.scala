@@ -59,6 +59,15 @@ final case class NightlyLoop(
     name: String = "nightly",
     version: String = "v1",
     admitNearCandidates: Boolean = false,
+    /** Also near-dedup the night's batch against ITSELF (MinHash
+      * pairs → connected components → keep the longest text per
+      * cluster, ties to lowest id). The store probe only flags
+      * near-dups against the CORPUS; without this, two near-identical
+      * pages fetched the same night both pass. Off by default — at
+      * streaming cadence [[graft.streaming.Streaming.streamNearSelfCheck]]
+      * is the cheaper tier; turn this on for batch-only loops. */
+    selfNearDedup: Boolean = false,
+    selfNearThreshold: Double = 0.7,
     tokenBudget: Long = 4096L,
     maxBucket: Long = 1L << 20) {
 
@@ -126,7 +135,23 @@ final case class NightlyLoop(
     val keepIds = graft.llm.Dedup
       .exactDedupByContent(uniqIds, "text", "id")
       .select(col("keep_id").as("id"))
-    val uniq = uniqIds.join(keepIds, Seq("id"), "left_semi")
+    val uniqExact = uniqIds.join(keepIds, Seq("id"), "left_semi")
+    val uniq =
+      if (!selfNearDedup) uniqExact
+      else {
+        // batch-vs-batch NEAR tier: MinHash pairs → components →
+        // keep the longest text per cluster (ties to lowest id).
+        // Cost ∝ the night's batch, never the corpus.
+        val batch = uniqExact.localCheckpoint()
+        val pairs = graft.llm.Dedup.nearDuplicatesMinhash(
+          batch, "id", "text", threshold = selfNearThreshold)
+        val resolved = graft.llm.Dedup.resolveNearDups(
+          batch,
+          pairs.select(col("id_a").as("doc_a"), col("id_b").as("doc_b")),
+          "id", length(col("text")))
+        batch.join(resolved.filter(col("kept")).select("id"),
+          Seq("id"), "left_semi")
+      }
     val store = graft.llm.Dedup.readSignatureStore(spark, storePrefix)
     val verdicts = store.admit(uniq, "id", "text",
       maxBucket = maxBucket)

@@ -329,9 +329,44 @@ object R10Queries {
             coalesce(col("crawl_delay_ms"), lit(1000L)))
             .as("fetch_offset_ms"))
         .orderBy("host", "rank")
-    }))
+    }),
+
+    // [EXT] pack PROVENANCE — the attribution table for q167's packed
+    // training sequences: per packed document its pack coordinates
+    // (doc_seq in pack order) and the 0-based token offset of its
+    // first token inside the concatenated sequence (prior docs'
+    // tokens + one <eod> sentinel per joint). Any token position in
+    // a training batch maps back to its source document — takedown,
+    // contamination tracing, provenance-aware loss masking. The
+    // oracle extends q167's cumsum-pack replay with the same
+    // in-pack running sum + row_number arithmetic.
+    "q176_pack_provenance" -> ((s, d) =>
+      graft.llm.TrainingOps.packProvenance(
+          T.documents(s, d).select(col("doc_id"), col("lang"), col("text")),
+          "lang", "doc_id",
+          graft.llm.TextAnalysis.tokenCountWs(col("text")),
+          budget = 512L, sepTokens = 1)
+        .orderBy("lang", "pack_id", "doc_id")))
 
   val oracleSql: Map[String, String] = Map(
+    "q176_pack_provenance" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS toks
+        |  FROM documents),
+        |p AS (SELECT doc_id, lang, toks,
+        |        CAST(floor((sum(toks) OVER (PARTITION BY lang
+        |            ORDER BY doc_id) - toks) / 512) AS BIGINT) AS pack_id
+        |      FROM t)
+        |SELECT lang, pack_id, doc_id,
+        |  CAST(row_number() OVER (PARTITION BY lang, pack_id
+        |    ORDER BY doc_id) - 1 AS INT) AS doc_seq,
+        |  CAST(sum(toks) OVER (PARTITION BY lang, pack_id
+        |      ORDER BY doc_id) - toks
+        |    + row_number() OVER (PARTITION BY lang, pack_id
+        |      ORDER BY doc_id) - 1 AS BIGINT) AS token_offset,
+        |  CAST(toks AS BIGINT) AS n_tokens
+        |FROM p ORDER BY lang, pack_id, doc_id""".stripMargin,
     "q174_unigram_train" -> uniOracle,
     "q175_unigram_encode" -> uniEncodeOracle,
     "q173_crawl_cycle" ->

@@ -43,6 +43,39 @@ class TrainingOpsSpec extends SparkSuite {
     assert(packed(5L) === 0L && packed(6L) === 1L)
   }
 
+  test("packProvenance: token_offset indexes each doc's first token in the exported sequence") {
+    val docs = Seq(
+      (1L, "a", "alpha one two"), (2L, "a", "bravo three"),
+      (3L, "a", "charlie four five six"), (4L, "b", "delta seven"))
+      .toDF("id", "shard", "text")
+    val toks = TextAnalysis.tokenCountWs(col("text"))
+    val prov = TrainingOps.packProvenance(docs, "shard", "id", toks,
+        budget = 6, sepTokens = 1)
+      .collect().map(r => (r.getAs[String]("shard"),
+        r.getAs[Long]("pack_id"), r.getAs[Long]("id"),
+        r.getAs[Int]("doc_seq"), r.getAs[Long]("token_offset"),
+        r.getAs[Long]("n_tokens"))).sortBy(t => (t._1, t._2, t._3))
+    // shard a: pack = floor(preceding-cumsum / budget) — doc 3's
+    // preceding 5 tokens keep it in pack 0 (offset 3+2 toks + 2
+    // seps = 7); shard b restarts independently
+    assert(prov === Seq(
+      ("a", 0L, 1L, 0, 0L, 3L), ("a", 0L, 2L, 1, 4L, 2L),
+      ("a", 0L, 3L, 2, 7L, 4L), ("b", 0L, 4L, 0, 0L, 2L)), prov.toSeq)
+    // cross-check against the exported sequences: the word at each
+    // token_offset IS the doc's first word
+    val seqs = TrainingOps.exportPackedSequences(docs, "shard", "id",
+        "text", toks, budget = 6, sep = " <eod> ")
+      .collect().map(r => (r.getAs[String]("shard"),
+        r.getAs[Long]("pack_id")) -> r.getAs[String]("sequence")).toMap
+    val firstWord = Map(1L -> "alpha", 2L -> "bravo",
+      3L -> "charlie", 4L -> "delta")
+    prov.foreach { case (sh, pk, id, _, off, _) =>
+      val words = seqs((sh, pk)).split("\\s+")
+      assert(words(off.toInt) === firstWord(id),
+        s"doc $id at offset $off in pack ($sh, $pk)")
+    }
+  }
+
   test("packByTokenBudget: two-phase prefix sum matches the window " +
       "formulation across partition boundaries, hot shards, nulls") {
     import org.apache.spark.sql.expressions.Window

@@ -156,6 +156,36 @@ class NightlyLoopSpec extends SparkSuite {
     } finally dropStore("nl_store_kr")
   }
 
+  test("selfNearDedup: intra-night NEAR-copies resolve to one representative (longest text)") {
+    val root = tmp()
+    freshStore("nl_store_nd")
+    try {
+      val base = (1 to 30).map(i => s"near$i").mkString(" ")
+      // two near-identical pages fetched the same night (one trailing
+      // token apart — invisible to the exact tier AND the store
+      // probe), plus one unrelated doc
+      val warcNd = Seq(
+        (1L, warcResponse("https://h1.example/a", "200 OK", base)),
+        (2L, warcResponse("https://h1.example/b", "200 OK",
+          base + " extratail")),
+        (3L, warcResponse("https://h2.example/c", "200 OK",
+          "wholly unrelated third document body standing apart here")))
+        .map { case (i, s) => (i, s.getBytes("UTF-8")) }
+        .toDF("warc_id", "payload")
+      val cand = Seq("https://h1.example/a", "https://h1.example/b",
+        "https://h2.example/c").toDF("url")
+      val loop = NightlyLoop(root, "nl_store_nd", selfNearDedup = true)
+      val m = new Manifest(spark, s"$root/_manifest")
+      loop.runNight(spark, "2026-08-15", m, cand, rules, warcNd)
+      val admitted = spark.read
+        .parquet(loop.stageDir("admit", "2026-08-15"))
+        .select("id").as[String].collect().sorted.toSeq
+      // the LONGER near-twin (/b) wins its cluster; /c is a singleton
+      assert(admitted ===
+        Seq("https://h1.example/b", "https://h2.example/c"), admitted)
+    } finally dropStore("nl_store_nd")
+  }
+
   test("two loops sharing one manifest: resume state is scoped per pipeline name") {
     val root = tmp()
     freshStore("nl_store_sc")
