@@ -138,14 +138,22 @@ object ScaleSmoke {
     def nightlyLoopRun(): DataFrame = {
       val crlf = "\r\n"
       // tonight's batch: fresh ids; every 10th fetch is a byte-copy
-      // of a corpus doc (the admit stage must drop n/10 docs)
+      // of a corpus doc (the admit stage must drop n/10 docs). The
+      // fresh 9/10 draw their words from a DISJOINT vocabulary
+      // ("f<k>" vs the corpus's "w<k>") — appending a word to the
+      // corpus text would make every fresh doc a ~0.97-Jaccard
+      // NEAR-dup of its corpus counterpart, the default
+      // admitNearCandidates=false gate would shed ~the whole batch,
+      // and the timed append/pack stages would measure near-empty
+      // frames instead of the composed five-stage cost.
       val nid = col("id") + lit(1000000000L)
       val uri = concat(lit("https://h"),
         pmod(col("id"), lit(1000)).cast("string"),
         lit(".example/q/"), nid.cast("string"))
       val freshText = when(col("id") % 10 === 0, col("text"))
-        .otherwise(concat(col("text"), lit(" night"),
-          (col("id") % 89).cast("string")))
+        .otherwise(concat_ws(" ", (0 until 30).map(i =>
+          concat(lit("f"), pmod(xxhash64(nid + lit(i * 7919L)),
+            lit(5000)).cast("string"))): _*))
       val block = concat(
         lit("HTTP/1.1 200 OK" + crlf + "Content-Type: text/html" +
           crlf + crlf), freshText)

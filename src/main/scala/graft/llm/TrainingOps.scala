@@ -976,8 +976,14 @@ object TrainingOps {
     * the pack's concatenated sequence — preceding documents' tokens
     * plus `sepTokens` per separator joint (1 for a single-token EOD
     * sentinel, matching [[exportPackedSequences]]'s default).
-    * Documents exceeding the budget alone (null pack_id) are
-    * excluded, mirroring the export.
+    * Documents whose `tokens` is NULL (null pack_id) are excluded,
+    * mirroring the export. A document LARGER than the budget is NOT
+    * excluded — [[packByTokenBudget]]'s offset semantics assign it
+    * (whole) to the pack where its running offset starts, and the
+    * export concatenates it there; its provenance row simply reports
+    * `n_tokens > budget`. Callers needing an oversize exclusion
+    * policy filter on `tokens` BEFORE packing, so export and
+    * provenance stay in lockstep by construction.
     *
     * Scale shape: pack assignment is the two-phase distributed
     * prefix sum of [[packByTokenBudget]]; the offsets then need one

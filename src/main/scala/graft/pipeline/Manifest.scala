@@ -84,9 +84,14 @@ final class Manifest(spark: SparkSession, dir: String,
     try spark.read.parquet(dir)
     catch { case _: Exception => schemaDf }
 
-  /** Current per-(pkey, stage) state: latest event wins. */
+  /** Current per-(pkey, pipeline, stage) state: latest event wins.
+    * `pipeline` is part of the identity — two pipelines sharing a
+    * manifest each keep their own latest event per (pkey, stage), so a
+    * newer pipeline's run never shadows (and `compact(keepHistory =
+    * false)` never deletes) another pipeline's completions. */
   def state(): DataFrame = {
-    val w = Window.partitionBy("pkey", "stage").orderBy(col("at").desc)
+    val w = Window.partitionBy("pkey", "pipeline", "stage")
+      .orderBy(col("at").desc)
     log().withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
   }

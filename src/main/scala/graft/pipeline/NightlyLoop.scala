@@ -127,13 +127,22 @@ final case class NightlyLoop(
     // intra-night self-dedup FIRST: the store probe only flags
     // against the CORPUS, so two byte-identical documents fetched
     // the same night (a mirrored page, one URI in two WARC records)
-    // would both pass it. Duplicate ids collapse, then exact content
-    // dedup keeps the lowest id per hash. (Intra-night NEAR dups are
-    // the streaming tier's job — streamNearSelfCheck — or a
-    // nearDuplicatesMinhash pass over tonight's admissions.)
-    val uniqIds = docs.dropDuplicates("id")
+    // would both pass it. Duplicate ids collapse DETERMINISTICALLY
+    // (longest body wins, ties to the lexicographically greater —
+    // dropDuplicates would keep an arbitrary partition's row and two
+    // from-scratch runs of the same night could pack different text
+    // for the same id), then exact content dedup keeps the lowest id
+    // per hash. Content hashes TRIM first — the store's own exact
+    // tier hashes sha2(trim(text)), and the intra-night tier must use
+    // the same document-identity notion or a whitespace-variant pair
+    // slips through both. (Intra-night NEAR dups are the streaming
+    // tier's job — streamNearSelfCheck — or the selfNearDedup arm.)
+    val uniqIds = docs.groupBy("id")
+      .agg(max(struct(length(col("text")).as("l"), col("text").as("t")))
+        .getField("t").as("text"))
     val keepIds = graft.llm.Dedup
-      .exactDedupByContent(uniqIds, "text", "id")
+      .exactDedupByContent(
+        uniqIds.withColumn("_trimmed", trim(col("text"))), "_trimmed", "id")
       .select(col("keep_id").as("id"))
     val uniqExact = uniqIds.join(keepIds, Seq("id"), "left_semi")
     val uniq =

@@ -186,6 +186,41 @@ class NightlyLoopSpec extends SparkSuite {
     } finally dropStore("nl_store_nd")
   }
 
+  test("intra-night dedup: whitespace-variant dups share the store's trimmed hash notion; duplicate ids collapse deterministically to the longest body") {
+    val root = tmp()
+    freshStore("nl_store_tw")
+    try {
+      // /w1 and /w2 differ only by trailing SPACES (the exact class
+      // SQL trim covers) — the store's exact tier hashes
+      // sha2(trim(text)), so the intra-night tier must use the same
+      // notion or both reach the packs; /w3 appears twice (a
+      // re-fetch) with different bodies — the longer must win on
+      // EVERY run, not whichever partition's row arrives first
+      val wsWarc = Seq(
+        (1L, warcResponse("https://h2.example/w1", "200 OK",
+          "gamma corpus page body one")),
+        (2L, warcResponse("https://h2.example/w2", "200 OK",
+          "gamma corpus page body one   ")),
+        (3L, warcResponse("https://h2.example/w3", "200 OK",
+          "delta refetch body")),
+        (4L, warcResponse("https://h2.example/w3", "200 OK",
+          "delta refetch body grown longer after the server change")))
+        .map { case (i, s) => (i, s.getBytes("UTF-8")) }
+        .toDF("warc_id", "payload")
+      val loop = NightlyLoop(root, "nl_store_tw")
+      val m = new Manifest(spark, s"$root/_manifest")
+      loop.runNight(spark, "2026-08-14", m, candidates, rules, wsWarc)
+      val admitted = spark.read
+        .parquet(loop.stageDir("admit", "2026-08-14"))
+        .select("id", "text").as[(String, String)].collect()
+        .sortBy(_._1).toSeq
+      assert(admitted.map(_._1) ===
+        Seq("https://h2.example/w1", "https://h2.example/w3"), admitted)
+      assert(admitted(1)._2 ===
+        "delta refetch body grown longer after the server change")
+    } finally dropStore("nl_store_tw")
+  }
+
   test("two loops sharing one manifest: resume state is scoped per pipeline name") {
     val root = tmp()
     freshStore("nl_store_sc")
@@ -209,6 +244,26 @@ class NightlyLoopSpec extends SparkSuite {
       // and B's interchange landed under its own name-scoped dirs
       assert(spark.read.parquet(loopB.stageDir("ingest", "2026-08-14"))
         .count() > 0)
+      // the SHADOWING direction: B's newer events for the same
+      // (pkey, stage) must not hide A's (latest-wins must partition
+      // by pipeline too) — a re-invoked A sees all five of its own
+      // stages done and resumes as a no-op (poison feeds prove no
+      // stage re-runs; a shadowed A would restart from crawl, admit
+      // against a store that already holds tonight's docs, and
+      // overwrite its committed packs with empty output).
+      assert(m.versionOf("2026-08-14", Some("nightly")).nonEmpty)
+      assert(m.nextStage("2026-08-14", NightlyLoop.StageOrder,
+        Some("nightly")) === None)
+      def poison: DataFrame = sys.error("feed re-evaluated on resume")
+      val outA = loopA.runNight(spark, "2026-08-14", m,
+        poison, poison, poison)
+      assert(packRows(outA).nonEmpty)
+      // compact(keepHistory = false) keeps BOTH pipelines' snapshots
+      m.compact(keepHistory = false)
+      assert(m.nextStage("2026-08-14", NightlyLoop.StageOrder,
+        Some("nightly")) === None)
+      assert(m.nextStage("2026-08-14", NightlyLoop.StageOrder,
+        Some("backfill")) === None)
     } finally {
       dropStore("nl_store_sc")
       dropStore("nl_store_sc2")
