@@ -379,6 +379,14 @@ object ScaleSmoke {
       "unigram_train" -> (() => TrainingOps.trainUnigram(
         bpeDocs, "text", seedSize = 50000, maxPieceLen = 8,
         emRounds = 2, pruneCount = 5000)),
+      // WordPiece trainer over the same high-cardinality Zipf corpus:
+      // recount formulation — per round ONE pair aggregate + ONE
+      // symbol-freq aggregate over the distinct-word table (likelihood
+      // denominators change globally each merge, so there is no
+      // incremental delta to exploit); divide by 10 for the per-round
+      // cost against bpe_train_recount10's
+      "wordpiece_train10" -> (() => TrainingOps.trainWordPiece(
+        bpeDocs, "text", numMerges = 10)),
       // the COMPOSED nightly loop at corpus scale: crawl gate over n
       // candidate URLs (trap + robots), WARC parse of n fetch
       // results, store admit (n/10 planted exact dups dropped),

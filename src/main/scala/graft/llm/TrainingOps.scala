@@ -909,6 +909,160 @@ object TrainingOps {
         graft.expressions.BpeEncodeExpr(b.expression(w), merges))))
   }
 
+  /** The WordPiece working table — [[bpeWordTable]]'s positional
+    * sibling: the first character of each word stays bare, every
+    * continuation character carries the `##` marker (the published
+    * BERT/HF convention — a piece's identity INCLUDES whether it may
+    * start a word, so "a" and "##a" are distinct vocabulary items and
+    * merges never cross the word-initial boundary). Words containing
+    * `#` are dropped alongside the separator-carrying ones (the `##`
+    * marker must stay unambiguous; oracle in lockstep). */
+  private def wpWordTable(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "" && !col("w").contains(BpeSep) &&
+        !col("w").contains("#"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(concat(lit(BpeSep),
+        array_join(transform(
+          regexp_extract_all(col("w"), lit("."), lit(0)),
+          (c, i) => when(i === 0, c).otherwise(concat(lit("##"), c))),
+          BpeSep + BpeSep), lit(BpeSep)).as("sym"), col("freq"))
+
+  /** Freq-weighted symbol occurrence counts of a WordPiece word
+    * table — the score denominators. */
+  private def wpSymFreqs(words: DataFrame): DataFrame =
+    words
+      .select(col("freq"), explode(split(
+        col("sym").substr(lit(2), length(col("sym")) - 2),
+        BpeSep + BpeSep)).as("s"))
+      .groupBy("s").agg(sum("freq").as("f"))
+
+  /** Merged WordPiece symbol: the right side always carries the `##`
+    * continuation marker (it sits at position ≥ 2 of some word — the
+    * invariant [[wpWordTable]] establishes and merges preserve), the
+    * merged piece inherits the LEFT side's word-initial-ness. */
+  private def wpMerged(l: String, r: String): String =
+    l + r.stripPrefix("##")
+
+  /** The nano-unit score scale. 10⁹ (not the repo's usual 10⁶ micro
+    * units) keeps BOTH sides of the exact integer floor-division
+    * inside BIGINT with headroom: cnt·SCALE needs cnt ≤ 9.2·10⁹ and
+    * f_l·f_r needs f ≤ 3.0·10⁹ — hence the 3·10⁹ total-occurrence
+    * guard in [[trainWordPiece]]. */
+  private val WpScoreScale = 1000000000L
+
+  /** WordPiece tokenizer training (the THIRD dominant tokenizer
+    * family next to [[trainBpe]] and [[trainUnigram]]; Schuster &
+    * Nakajima 2012, the BERT vocabulary algorithm as published in
+    * Devlin et al. 2019 §A and the HF tokenizers `WordPieceTrainer`
+    * docs): the BPE merge loop with LIKELIHOOD ranking — each round
+    * merges the adjacent pair maximizing
+    * `score = count(pair) / (freq(left) · freq(right))`, i.e. the
+    * pair whose parts co-occur most exclusively, not most often
+    * (a rare pair whose parts appear nowhere else beats a frequent
+    * pair of frequent parts).
+    *
+    * Determinism contract: scores compare as EXACT integer
+    * nano-units — `score_nano = (cnt · 10⁹) div (f_l · f_r)`, all
+    * BIGINT arithmetic, so the DuckDB oracle replays the selection
+    * bit for bit (the q96/q104 integer-cross-multiplication
+    * discipline); ties break by (cnt desc, left, right). Output:
+    * (merge_idx, left, right, cnt, score_nano).
+    *
+    * Scale shape: full-recount formulation (the [[trainBpeRecount]]
+    * analog) — per round ONE pair-count aggregate + ONE symbol-freq
+    * aggregate over the distinct-word table and a 1-row TakeOrdered;
+    * text crosses the wire once into the word table. WordPiece
+    * denominators change globally at every merge (freq(l) and
+    * freq(r) shrink, the merged symbol appears), so the incremental
+    * pair-DELTA trick of [[trainBpe]] would still recompute every
+    * affected score — recount is the honest default at demo merge
+    * counts. Like every trainer here, production trains on a bounded
+    * [[Selection.sampleWeightedK]] sample — enforced by a fail-fast
+    * guard: total symbol occurrences must stay ≤ 3·10⁹ so the exact
+    * nano-unit arithmetic cannot overflow BIGINT. */
+  def trainWordPiece(df: DataFrame, textCol: String, numMerges: Int,
+      checkpointEvery: Int = 5): DataFrame = {
+    require(numMerges >= 1, "numMerges must be at least 1")
+    require(checkpointEvery >= 1, "checkpointEvery must be at least 1")
+    val spark = df.sparkSession
+    val sep = BpeSep
+    var words = wpWordTable(df, textCol).localCheckpoint()
+    val totRow = wpSymFreqs(words).agg(sum("f")).collect()
+    val total =
+      if (totRow.isEmpty || totRow(0).isNullAt(0)) 0L
+      else totRow(0).getLong(0)
+    require(total <= 3000000000L,
+      s"trainWordPiece: $total symbol occurrences exceed the 3e9 " +
+        "exact-nano-score bound - train on a bounded sample " +
+        "(Selection.sampleWeightedK), the production contract")
+    val merges = scala.collection.mutable
+      .ArrayBuffer.empty[(Int, String, String, Long, Long)]
+    var i = 0
+    var done = false
+    while (i < numMerges && !done) {
+      val freqs = wpSymFreqs(words)
+      val top = bpePairRows(words)
+        .groupBy("l", "r").agg(sum("cnt").as("cnt"))
+        .join(freqs.select(col("s").as("l"), col("f").as("fl")), Seq("l"))
+        .join(freqs.select(col("s").as("r"), col("f").as("fr")), Seq("r"))
+        .select(col("l"), col("r"), col("cnt"),
+          expr(s"(cnt * CAST($WpScoreScale AS BIGINT)) div (fl * fr)")
+            .as("score_nano"))
+        .orderBy(col("score_nano").desc, col("cnt").desc,
+          col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, c, s) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2), top(0).getLong(3))
+        merges += ((i, l, r, c, s))
+        words = words.select(
+          replace(col("sym"), lit(sep + l + sep + sep + r + sep),
+            lit(sep + wpMerged(l, r) + sep)).as("sym"), col("freq"))
+        if ((i + 1) % checkpointEvery == 0) words = words.localCheckpoint()
+        i += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("merge_idx", "left", "right", "cnt", "score_nano")
+  }
+
+  /** The trained WordPiece VOCABULARY: replay the merge table over
+    * the word table and emit the surviving symbols with their
+    * freq-weighted counts — alphabet pieces (bare first chars +
+    * `##`-chars) plus every merge product still present. This is the
+    * table [[wordpieceEncode]] serves from; merges is the trainer's
+    * parameter-bounded output collected to the driver. */
+  def wordPieceVocab(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val sep = BpeSep
+    var words = wpWordTable(df, textCol)
+    merges.foreach { case (l, r) =>
+      words = words.select(
+        replace(col("sym"), lit(sep + l + sep + sep + r + sep),
+          lit(sep + wpMerged(l, r) + sep)).as("sym"), col("freq"))
+    }
+    wpSymFreqs(words).select(col("s").as("piece"), col("f").as("cnt"))
+  }
+
+  /** Encode whitespace tokens of `text` with a trained WordPiece
+    * vocabulary — greedy longest-match-first with `##` continuation
+    * pieces and the `[UNK]` arm (the published BERT tokenizer,
+    * served exactly like [[bpeEncode]]: the vocab rides inside the
+    * native `graft_wordpiece_encode` expression, map-only, no
+    * shuffle). Tokens containing `#` or the internal separator are
+    * dropped exactly as the trainer drops them. */
+  def wordpieceEncode(text: Column, vocab: Seq[String],
+      maxWordLen: Int = 100, unk: String = "[UNK]"): Column = {
+    val b = org.apache.spark.sql.GraftColumnBridge
+    flatten(transform(
+      filter(TextAnalysis.tokens(text),
+        w => w =!= "" && !w.contains(BpeSep) && !w.contains("#")),
+      w => b.column(graft.expressions.WordPieceEncodeExpr(
+        b.expression(w), vocab, maxWordLen, unk))))
+  }
+
   /** EXACT 1-based global rank in `orderCols` order, appended as a
     * `rank` column — the scale-safe replacement for a global
     * `row_number()` window, which serializes the whole frame through

@@ -18,6 +18,146 @@ object R10Queries {
   private val UniFixtures =
     Seq("ababab", "abcabc", "cabcab", "abc", "cab", "bc")
 
+  /** q177's planted corpus: six morphologically related words, so
+    * WordPiece's likelihood ranking has real prefix/suffix structure
+    * ("un-", "-ness") to find; three per document by the same doc_id
+    * arithmetic as [[UniFixtures]]. */
+  private val WpFixtures = Seq(
+    "unhappiness", "unhappy", "happiness", "happy", "unkind", "kindness")
+
+  /** One WordPiece training round as DuckDB CTEs — [[R8Queries]]'
+    * bpeRound with LIKELIHOOD ranking: symbol freqs (the score
+    * denominators), pair counts, top-1 by exact integer nano-score
+    * `(cnt·10⁹) // (f_l·f_r)` (HUGEINT-exact, ties cnt desc then l,
+    * r — trainWordPiece's order bit for bit), then the positional
+    * merge: the right side always carries `##`, the merged piece
+    * inherits the left's word-initial-ness (`substr(r, 3)`). */
+  private def wpRound(k: Int): String = {
+    val (wIn, wOut, fq, c, t) =
+      (s"wpw$k", s"wpw${k + 1}", s"wps$k", s"wpc$k", s"wpt$k")
+    s"""$fq AS MATERIALIZED (
+       |  SELECT s, CAST(sum(freq) AS BIGINT) AS f FROM (
+       |    SELECT unnest(regexp_split_to_array(trim(sym, chr(31)),
+       |      chr(31) || chr(31))) AS s, freq
+       |    FROM $wIn)
+       |  GROUP BY s),
+       |$c AS MATERIALIZED (
+       |  SELECT s.l AS l, s.r AS r, CAST(sum(s.freq) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(list_transform(
+       |          generate_series(1, len(ls) - 1),
+       |          i -> struct_pack(l := ls[i], r := ls[i+1],
+       |                           freq := freq))) AS s
+       |        FROM (SELECT freq,
+       |                regexp_split_to_array(trim(sym, chr(31)),
+       |                  chr(31) || chr(31)) AS ls
+       |              FROM $wIn))
+       |  GROUP BY 1, 2),
+       |$t AS MATERIALIZED (
+       |  SELECT $k AS merge_idx, l, r, cnt,
+       |    CAST((CAST(cnt AS HUGEINT) * 1000000000) //
+       |         (CAST(fl.f AS HUGEINT) * fr.f) AS BIGINT) AS score_nano
+       |  FROM $c c JOIN $fq fl ON fl.s = c.l JOIN $fq fr ON fr.s = c.r
+       |  ORDER BY score_nano DESC, cnt DESC, l, r LIMIT 1),
+       |$wOut AS MATERIALIZED (
+       |  SELECT replace(sym,
+       |    chr(31) || l || chr(31) || chr(31) || r || chr(31),
+       |    chr(31) || l || substr(r, 3) || chr(31)) AS sym, freq
+       |  FROM $wIn, $t)""".stripMargin
+  }
+
+  /** The shared q177/q178 oracle prefix: fixture word table →
+    * positional symbol strings (first char bare, continuations
+    * `##`-marked) → 6 likelihood-ranked merge rounds. */
+  private def wpCtes: String = {
+    val fx = WpFixtures.map(w => s"'$w'").mkString(", ")
+    s"""WITH f AS MATERIALIZED (SELECT [$fx] AS arr),
+       |wt AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT arr[CAST(doc_id % 6 AS INT) + 1] AS w
+       |    FROM documents, f
+       |    UNION ALL
+       |    SELECT arr[CAST((doc_id * 2 + 1) % 6 AS INT) + 1]
+       |    FROM documents, f
+       |    UNION ALL
+       |    SELECT arr[CAST((doc_id * 3 + 2) % 6 AS INT) + 1]
+       |    FROM documents, f)
+       |  GROUP BY w),
+       |wpw0 AS MATERIALIZED (
+       |  SELECT chr(31) || array_to_string(list_transform(
+       |      generate_series(1, len(w)),
+       |      i -> CASE WHEN i = 1 THEN substr(w, 1, 1)
+       |           ELSE '##' || substr(w, i, 1) END),
+       |    chr(31) || chr(31)) || chr(31) AS sym, freq
+       |  FROM wt),
+       |${(0 until 6).map(wpRound).mkString(",\n")}""".stripMargin
+  }
+
+  private def wpOracle: String =
+    wpCtes + s"""
+      |SELECT CAST(merge_idx AS INT) AS merge_idx, l AS "left",
+      |  r AS "right", cnt, score_nano
+      |FROM (${(0 until 6).map(k => s"SELECT * FROM wpt$k")
+          .mkString(" UNION ALL ")})
+      |ORDER BY merge_idx""".stripMargin
+
+  /** q178's oracle: the final vocabulary (distinct surviving symbols
+    * of wpw6) drives an UNROLLED greedy longest-match walk — step k
+    * extends each word's single greedy path by the longest matching
+    * piece (`row_number` over raw length; continuation positions
+    * match `##` pieces) — then words whose path never reaches their
+    * end collapse to '[UNK]' exactly as `graft_wordpiece_encode`
+    * does, and documents re-assemble from their three fixture
+    * words. */
+  private def wpEncodeOracle: String = {
+    val maxLen = WpFixtures.map(_.length).max
+    val steps = (1 to maxLen).map { k =>
+      s"""g$k AS MATERIALIZED (
+         |  SELECT w, pos + len(raw) AS pos, piece, $k AS step FROM (
+         |    SELECT g.w AS w, g.pos AS pos, v.piece AS piece,
+         |      v.raw AS raw,
+         |      row_number() OVER (PARTITION BY g.w
+         |        ORDER BY len(v.raw) DESC) AS rn
+         |    FROM g${k - 1} g JOIN wvocab v
+         |      ON v.cont = (g.pos > 0)
+         |      AND substr(g.w, g.pos + 1, len(v.raw)) = v.raw
+         |    WHERE g.pos < len(g.w))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val parts = (1 to maxLen).map(k => s"SELECT w, pos, piece, step FROM g$k")
+      .mkString("\n    UNION ALL ")
+    wpCtes + s""",
+      |wvocab AS MATERIALIZED (
+      |  SELECT s AS piece,
+      |    CASE WHEN s LIKE '##%' THEN substr(s, 3) ELSE s END AS raw,
+      |    (s LIKE '##%') AS cont
+      |  FROM (SELECT DISTINCT unnest(regexp_split_to_array(
+      |      trim(sym, chr(31)), chr(31) || chr(31))) AS s FROM wpw6)),
+      |g0 AS MATERIALIZED (SELECT w, 0 AS pos FROM wt),
+      |$steps,
+      |gall AS MATERIALIZED ($parts),
+      |gdone AS MATERIALIZED (
+      |  SELECT DISTINCT w FROM gall WHERE pos = len(w)),
+      |wseg AS MATERIALIZED (
+      |  SELECT wt.w,
+      |    CAST(CASE WHEN d.w IS NULL THEN 1 ELSE s.np END AS INT) AS np,
+      |    CASE WHEN d.w IS NULL THEN '[UNK]' ELSE s.seg END AS seg
+      |  FROM wt LEFT JOIN gdone d ON d.w = wt.w
+      |  LEFT JOIN (SELECT w, CAST(count(*) AS INT) AS np,
+      |      string_agg(piece, ' ' ORDER BY step) AS seg
+      |    FROM gall GROUP BY w) s ON s.w = wt.w),
+      |docw AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    arr[CAST(doc_id % 6 AS INT) + 1] AS w1,
+      |    arr[CAST((doc_id * 2 + 1) % 6 AS INT) + 1] AS w2,
+      |    arr[CAST((doc_id * 3 + 2) % 6 AS INT) + 1] AS w3
+      |  FROM documents, f)
+      |SELECT d.doc_id, CAST(s1.np + s2.np + s3.np AS INT) AS n_pieces,
+      |  s1.seg || ' ' || s2.seg || ' ' || s3.seg AS pieces_text
+      |FROM docw d JOIN wseg s1 ON s1.w = d.w1
+      |  JOIN wseg s2 ON s2.w = d.w2 JOIN wseg s3 ON s3.w = d.w3
+      |ORDER BY doc_id""".stripMargin
+  }
+
   /** One Viterbi-DP round of the unigram oracle, as DuckDB CTEs:
     * segment every word of `wordsCte(w, freq)` under
     * `scoreCte(piece, s)` (max word length `maxLen`, piece length ≤
@@ -346,7 +486,61 @@ object R10Queries {
           "lang", "doc_id",
           graft.llm.TextAnalysis.tokenCountWs(col("text")),
           budget = 512L, sepTokens = 1)
-        .orderBy("lang", "pack_id", "doc_id")))
+        .orderBy("lang", "pack_id", "doc_id")),
+
+    // [EXT] WORDPIECE tokenizer training (the third dominant family
+    // next to q121's BPE and q174's unigram-LM; Schuster & Nakajima
+    // 2012, the BERT vocabulary algorithm): the merge loop ranked by
+    // LIKELIHOOD — count(pair)/(freq(l)·freq(r)) as an exact integer
+    // nano-unit floor division, so a rare pair whose parts co-occur
+    // exclusively beats a frequent pair of frequent parts. Positional
+    // `##` continuation marks ride inside the symbols (word-initial
+    // and continuation pieces are distinct vocabulary items). The
+    // oracle replays every round: same pair counts, same denominators,
+    // same HUGEINT-exact score, same (score, cnt, l, r) selection.
+    "q177_wordpiece_train" -> ((s, d) => {
+      val arr = array(WpFixtures.map(lit): _*)
+      val id = col("doc_id")
+      val text = concat_ws(" ",
+        element_at(arr, (pmod(id, lit(6)) + 1).cast("int")),
+        element_at(arr, (pmod(id * 2 + 1, lit(6)) + 1).cast("int")),
+        element_at(arr, (pmod(id * 3 + 2, lit(6)) + 1).cast("int")))
+      graft.llm.TrainingOps.trainWordPiece(
+          T.documents(s, d).select(text.as("text")), "text",
+          numMerges = 6)
+        .orderBy("merge_idx")
+    }),
+
+    // [EXT] WordPiece ENCODE with the trained vocabulary — greedy
+    // longest-match-first with `##` continuations and the `[UNK]`
+    // arm (the published BERT tokenizer, q122/q175's serving-side
+    // analog for this family). Greedy is not total-coverage: a
+    // training word can encode to [UNK] when a merge consumed the
+    // piece its path needs — the oracle's unrolled greedy walk
+    // replays exactly that (words whose single greedy path never
+    // reaches their end collapse to '[UNK]').
+    "q178_wordpiece_encode" -> ((s, d) => {
+      val arr = array(WpFixtures.map(lit): _*)
+      val id = col("doc_id")
+      val text = concat_ws(" ",
+        element_at(arr, (pmod(id, lit(6)) + 1).cast("int")),
+        element_at(arr, (pmod(id * 2 + 1, lit(6)) + 1).cast("int")),
+        element_at(arr, (pmod(id * 3 + 2, lit(6)) + 1).cast("int")))
+      val docs = T.documents(s, d).select(id, text.as("text"))
+      val merges = graft.llm.TrainingOps.trainWordPiece(
+          docs.select(col("text")), "text", numMerges = 6)
+        .orderBy("merge_idx").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val vocab = graft.llm.TrainingOps.wordPieceVocab(
+          docs.select(col("text")), "text", merges)
+        .collect().map(_.getString(0)).toSeq
+      docs.select(id,
+          graft.llm.TrainingOps.wordpieceEncode(col("text"), vocab)
+            .as("_p"))
+        .select(id, size(col("_p")).as("n_pieces"),
+          array_join(col("_p"), " ").as("pieces_text"))
+        .orderBy("doc_id")
+    }))
 
   val oracleSql: Map[String, String] = Map(
     "q176_pack_provenance" ->
@@ -369,6 +563,8 @@ object R10Queries {
         |FROM p ORDER BY lang, pack_id, doc_id""".stripMargin,
     "q174_unigram_train" -> uniOracle,
     "q175_unigram_encode" -> uniEncodeOracle,
+    "q177_wordpiece_train" -> wpOracle,
+    "q178_wordpiece_encode" -> wpEncodeOracle,
     "q173_crawl_cycle" ->
       """WITH n AS (SELECT CAST(n_nationkey AS INT) AS k FROM nation),
         |pages AS (

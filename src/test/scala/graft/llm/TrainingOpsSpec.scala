@@ -560,6 +560,79 @@ class TrainingOpsSpec extends SparkSuite {
     }
   }
 
+  test("trainWordPiece: hand-computed likelihood ranking — rare-exclusive pair beats frequent pairs, cnt then lexicographic tie-breaks") {
+    import spark.implicits._
+    // words: hug x3, pug, pun, bun, hugs
+    // syms:  hug=[h,##u,##g] pug=[p,##u,##g] pun=[p,##u,##n]
+    //        bun=[b,##u,##n] hugs=[h,##u,##g,##s]
+    // freqs: h:4 p:2 b:1 ##u:7 ##g:5 ##n:2 ##s:1
+    // round 0: every ##u pair scores 1e9/7 = 142857142 (floor), but
+    //   (##g,##s) = 1·1e9/(5·1) = 200000000 — the rare-but-EXCLUSIVE
+    //   pair wins over (##u,##g) cnt=5. BPE would pick (##u,##g).
+    // round 1: hugs=[h,##u,##gs]; ##g:4 ##gs:1. ALL six pairs now
+    //   floor to 142857142 — cnt desc ties (h,##u)=4 with
+    //   (##u,##g)=4, left asc: "##u" < "h" → (##u,##g) 4.
+    // round 2: hug/pug=[·,##ug]; ##u:3. (##u,##n)=2·1e9/(3·2) and
+    //   (b,##u)=(##u,##gs)=1e9/3 all floor to 333333333 —
+    //   cnt desc → (##u,##n) 2.
+    val df = Seq("hug hug hug pug", "pun bun hugs").toDF("text")
+    val m = TrainingOps.trainWordPiece(df, "text", numMerges = 3)
+      .orderBy("merge_idx").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(m === Seq(
+      (0, "##g", "##s", 1L, 200000000L),
+      (1, "##u", "##g", 4L, 142857142L),
+      (2, "##u", "##n", 2L, 333333333L)))
+  }
+
+  test("trainWordPiece: checkpoint cadence does not change the merge table; early stop when fully merged") {
+    import spark.implicits._
+    val df = Seq("hug hug hug pug", "pun bun hugs").toDF("text")
+    val a = TrainingOps.trainWordPiece(df, "text", numMerges = 4,
+      checkpointEvery = 1).collect().map(_.toSeq).toSeq
+    val b = TrainingOps.trainWordPiece(df, "text", numMerges = 4,
+      checkpointEvery = 3).collect().map(_.toSeq).toSeq
+    assert(a === b)
+    // a single word fully merges in len-1 rounds, then stops early
+    val m = TrainingOps.trainWordPiece(Seq("abc").toDF("text"), "text",
+      numMerges = 5).collect()
+    assert(m.length === 2)
+  }
+
+  test("wordPieceVocab + wordpieceEncode: greedy longest-match, ## continuations, [UNK] arms, maxWordLen") {
+    import spark.implicits._
+    val df = Seq("hug hug hug pug", "pun bun hugs").toDF("text")
+    val merges = TrainingOps.trainWordPiece(df, "text", numMerges = 3)
+      .orderBy("merge_idx").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocabDf = TrainingOps.wordPieceVocab(df, "text", merges)
+    val vocab = vocabDf.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // surviving symbols with freq-weighted counts
+    assert(vocab === Map("h" -> 4L, "p" -> 2L, "b" -> 1L, "##u" -> 1L,
+      "##ug" -> 4L, "##un" -> 2L, "##gs" -> 1L))
+    def enc(text: String, maxWordLen: Int = 100): Seq[String] =
+      Seq(text).toDF("t")
+        .select(TrainingOps.wordpieceEncode(col("t"),
+          vocab.keys.toSeq, maxWordLen).as("p"))
+        .collect()(0).getSeq[String](0)
+    // greedy longest-match with ## continuations
+    assert(enc("hug pug bun") ===
+      Seq("h", "##ug", "p", "##ug", "b", "##un"))
+    // authentic BERT greedy non-coverage: "hugs" trained, but greedy
+    // takes ##ug and then ##s no longer exists (merged into ##gs)
+    assert(enc("hugs") === Seq("[UNK]"))
+    // off-alphabet word and word-initial-only mismatch → [UNK]
+    // ("ug" starts a word but only ##ug / ##u exist)
+    assert(enc("xyz ug") === Seq("[UNK]", "[UNK]"))
+    // maxWordLen: too-long words collapse to [UNK] without matching
+    assert(enc("hug", maxWordLen = 2) === Seq("[UNK]"))
+    // tokens containing '#' are dropped exactly as the trainer drops
+    // them; empties vanish
+    assert(enc("hug #x  hug") === Seq("h", "##ug", "h", "##ug"))
+  }
+
   test("globalRank: exact 1-based ranks in order, desc keys, collision guard") {
     val d = (1L to 97L).map(i => (i, (i * 37) % 101)).toDF("id", "v")
     // ascending (v, id): rank must equal the orderBy position

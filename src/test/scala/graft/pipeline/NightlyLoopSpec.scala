@@ -116,6 +116,37 @@ class NightlyLoopSpec extends SparkSuite {
     } finally dropStore("nl_store_e2e")
   }
 
+  test("two consecutive nights: night 2 dedups against night 1's admissions through the composed driver alone") {
+    val root = tmp()
+    freshStore("nl_store_2n")
+    try {
+      val loop = NightlyLoop(root, "nl_store_2n")
+      val m = new Manifest(spark, s"$root/_manifest")
+      loop.runNight(spark, "2026-08-14", m, candidates, rules, warc)
+      // night 2: one byte-copy of a night-1 ADMISSION (not a corpus
+      // doc — only night 1's append can have made it visible) and one
+      // genuinely new page (word set disjoint from every other doc)
+      val warc2 = Seq(
+        (1L, warcResponse("https://h2.example/n2a", "200 OK",
+          "fresh nightly document about alpha topics and spark engines")),
+        (2L, warcResponse("https://h2.example/n2b", "200 OK",
+          "zeta omicron lambda kappa telescope granite harbor")))
+        .map { case (i, s) => (i, s.getBytes("UTF-8")) }
+        .toDF("warc_id", "payload")
+      val out2 = loop.runNight(spark, "2026-08-15", m,
+        candidates, rules, warc2)
+      val admitted2 = spark.read
+        .parquet(loop.stageDir("admit", "2026-08-15"))
+        .select("id").as[String].collect().toSeq
+      assert(admitted2 === Seq("https://h2.example/n2b"), admitted2)
+      assert(packRows(out2).count(_._3.contains("telescope granite")) === 1)
+      // each night's five stages recorded independently per pkey
+      val nights = m.log().groupBy("pkey").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(nights === Map("2026-08-14" -> 5L, "2026-08-15" -> 5L))
+    } finally dropStore("nl_store_2n")
+  }
+
   test("kill between stages: resume skips committed work, never re-evaluates the feeds, corpus byte-identical") {
     // golden: uninterrupted run in its own root + store
     val rootG = tmp()
