@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Tables => T}
@@ -65,11 +65,12 @@ object R10Queries {
        |  FROM $wIn, $t)""".stripMargin
   }
 
-  /** The shared q177/q178 oracle prefix: fixture word table →
-    * positional symbol strings (first char bare, continuations
-    * `##`-marked) → 6 likelihood-ranked merge rounds. */
-  private def wpCtes: String = {
-    val fx = WpFixtures.map(w => s"'$w'").mkString(", ")
+  /** Shared oracle prefix for every tokenizer-family query: the
+    * planted fixture array `f` and the word-frequency table `wt`
+    * (three words per document by doc_id arithmetic — both engines
+    * rebuild the identical corpus). */
+  private def fixtureWt(fixtures: Seq[String]): String = {
+    val fx = fixtures.map(w => s"'$w'").mkString(", ")
     s"""WITH f AS MATERIALIZED (SELECT [$fx] AS arr),
        |wt AS MATERIALIZED (
        |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
@@ -81,8 +82,14 @@ object R10Queries {
        |    UNION ALL
        |    SELECT arr[CAST((doc_id * 3 + 2) % 6 AS INT) + 1]
        |    FROM documents, f)
-       |  GROUP BY w),
-       |wpw0 AS MATERIALIZED (
+       |  GROUP BY w)""".stripMargin
+  }
+
+  /** The WordPiece training chain (assumes `wt` exists): positional
+    * symbol strings (first char bare, continuations `##`-marked) →
+    * 6 likelihood-ranked merge rounds ending in `wpw6`. */
+  private def wpChain: String =
+    s"""wpw0 AS MATERIALIZED (
        |  SELECT chr(31) || array_to_string(list_transform(
        |      generate_series(1, len(w)),
        |      i -> CASE WHEN i = 1 THEN substr(w, 1, 1)
@@ -90,7 +97,10 @@ object R10Queries {
        |    chr(31) || chr(31)) || chr(31) AS sym, freq
        |  FROM wt),
        |${(0 until 6).map(wpRound).mkString(",\n")}""".stripMargin
-  }
+
+  /** The shared q177/q178 oracle prefix. */
+  private def wpCtes: String =
+    fixtureWt(WpFixtures) + ",\n" + wpChain
 
   private def wpOracle: String =
     wpCtes + s"""
@@ -100,15 +110,14 @@ object R10Queries {
           .mkString(" UNION ALL ")})
       |ORDER BY merge_idx""".stripMargin
 
-  /** q178's oracle: the final vocabulary (distinct surviving symbols
-    * of wpw6) drives an UNROLLED greedy longest-match walk — step k
-    * extends each word's single greedy path by the longest matching
-    * piece (`row_number` over raw length; continuation positions
-    * match `##` pieces) — then words whose path never reaches their
-    * end collapse to '[UNK]' exactly as `graft_wordpiece_encode`
-    * does, and documents re-assemble from their three fixture
-    * words. */
-  private def wpEncodeOracle: String = {
+  /** The WordPiece greedy-serving walk (assumes `wt`/`wpw6` exist):
+    * the trained vocabulary `wvocab` drives an unrolled greedy
+    * longest-match walk — step k extends each word's single greedy
+    * path by the longest matching piece (continuation positions
+    * match `##` pieces) — ending in `gall` (every emitted path step)
+    * and `gdone` (words whose path reached their end; the rest
+    * collapse to '[UNK]' exactly as `graft_wordpiece_encode` does). */
+  private def wpWalkCtes: String = {
     val maxLen = WpFixtures.map(_.length).max
     val steps = (1 to maxLen).map { k =>
       s"""g$k AS MATERIALIZED (
@@ -125,18 +134,25 @@ object R10Queries {
     }.mkString(",\n")
     val parts = (1 to maxLen).map(k => s"SELECT w, pos, piece, step FROM g$k")
       .mkString("\n    UNION ALL ")
+    s"""wvocab AS MATERIALIZED (
+       |  SELECT s AS piece,
+       |    CASE WHEN s LIKE '##%' THEN substr(s, 3) ELSE s END AS raw,
+       |    (s LIKE '##%') AS cont
+       |  FROM (SELECT DISTINCT unnest(regexp_split_to_array(
+       |      trim(sym, chr(31)), chr(31) || chr(31))) AS s FROM wpw6)),
+       |g0 AS MATERIALIZED (SELECT w, 0 AS pos FROM wt),
+       |$steps,
+       |gall AS MATERIALIZED ($parts),
+       |gdone AS MATERIALIZED (
+       |  SELECT DISTINCT w FROM gall WHERE pos = len(w))""".stripMargin
+  }
+
+  /** q178's oracle: [[wpWalkCtes]]' greedy walk, then per-word
+    * segmentations re-assemble into documents from their three
+    * fixture words (failed words collapse to '[UNK]'). */
+  private def wpEncodeOracle: String = {
     wpCtes + s""",
-      |wvocab AS MATERIALIZED (
-      |  SELECT s AS piece,
-      |    CASE WHEN s LIKE '##%' THEN substr(s, 3) ELSE s END AS raw,
-      |    (s LIKE '##%') AS cont
-      |  FROM (SELECT DISTINCT unnest(regexp_split_to_array(
-      |      trim(sym, chr(31)), chr(31) || chr(31))) AS s FROM wpw6)),
-      |g0 AS MATERIALIZED (SELECT w, 0 AS pos FROM wt),
-      |$steps,
-      |gall AS MATERIALIZED ($parts),
-      |gdone AS MATERIALIZED (
-      |  SELECT DISTINCT w FROM gall WHERE pos = len(w)),
+      |$wpWalkCtes,
       |wseg AS MATERIALIZED (
       |  SELECT wt.w,
       |    CAST(CASE WHEN d.w IS NULL THEN 1 ELSE s.np END AS INT) AS np,
@@ -218,9 +234,8 @@ object R10Queries {
     * EM ×2 → prune 3 by alternative-segmentation loss → final EM.
     * Mirrors trainUnigram step for step; `fin` holds the trained
     * (piece, cnt, score_micro) model. */
-  private def uniCtes: String = {
-    val fx = UniFixtures.map(w => s"'$w'").mkString(", ")
-    val maxLen = UniFixtures.map(_.length).max
+  private def uniCtes(fixtures: Seq[String] = UniFixtures): String = {
+    val maxLen = fixtures.map(_.length).max
     // alt-segmentation DP over the multi pieces themselves (len ≤ 3),
     // vocab = sc2 minus the piece being scored
     val altCands = (i: Int) => (1 to math.min(3, i)).map { l =>
@@ -237,18 +252,7 @@ object R10Queries {
          |${altCands(i)}
          |    ) GROUP BY x)),""".stripMargin
     }.mkString("\n")
-    s"""WITH f AS MATERIALIZED (SELECT [$fx] AS arr),
-       |wt AS MATERIALIZED (
-       |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
-       |    SELECT arr[CAST(doc_id % 6 AS INT) + 1] AS w
-       |    FROM documents, f
-       |    UNION ALL
-       |    SELECT arr[CAST((doc_id * 2 + 1) % 6 AS INT) + 1]
-       |    FROM documents, f
-       |    UNION ALL
-       |    SELECT arr[CAST((doc_id * 3 + 2) % 6 AS INT) + 1]
-       |    FROM documents, f)
-       |  GROUP BY w),
+    fixtureWt(fixtures) + s""",
        |sub AS MATERIALIZED (
        |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
        |    SELECT unnest(flatten(list_transform(
@@ -301,7 +305,7 @@ object R10Queries {
   }
 
   private def uniOracle: String =
-    uniCtes + "\nSELECT piece, cnt, score_micro FROM fin ORDER BY piece"
+    uniCtes() + "\nSELECT piece, cnt, score_micro FROM fin ORDER BY piece"
 
   /** q175's oracle: one more Viterbi round under the TRAINED scores
     * (sc3 = the published model) with ORDERED path recovery — the
@@ -312,7 +316,7 @@ object R10Queries {
     val maxLen = UniFixtures.map(_.length).max
     val parts = (1 to maxLen).map(k => s"SELECT w, piece, step FROM p4$k")
       .mkString("\n    UNION ALL ")
-    uniCtes + ",\n" + uniDpRound("4", "sc3", "vocab3", maxLen, 3) +
+    uniCtes() + ",\n" + uniDpRound("4", "sc3", "vocab3", maxLen, 3) +
       s"""wseg AS MATERIALIZED (
          |  SELECT w, CAST(count(*) AS INT) AS np,
          |    string_agg(piece, ' ' ORDER BY step DESC) AS seg
@@ -329,6 +333,100 @@ object R10Queries {
          |FROM docw d JOIN wseg s1 ON s1.w = d.w1
          |  JOIN wseg s2 ON s2.w = d.w2 JOIN wseg s3 ON s3.w = d.w3
          |ORDER BY doc_id""".stripMargin
+  }
+
+  /** One BPE oracle round over word-carrying tables ([[R8Queries]]'
+    * bpeRoundW arithmetic with q179-local names): pair counts over
+    * bv{k}, top-1 by (cnt DESC, l, r) — trainBpe's order — merge. */
+  private def bvRound(k: Int): String = {
+    val (wIn, wOut, c, t) = (s"bv$k", s"bv${k + 1}", s"bvc$k", s"bvt$k")
+    s"""$c AS MATERIALIZED (
+       |  SELECT s.l AS l, s.r AS r, CAST(sum(s.freq) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(list_transform(
+       |          generate_series(1, len(ls) - 1),
+       |          i -> struct_pack(l := ls[i], r := ls[i+1],
+       |                           freq := freq))) AS s
+       |        FROM (SELECT freq,
+       |                regexp_split_to_array(trim(sym, chr(31)),
+       |                  chr(31) || chr(31)) AS ls
+       |              FROM $wIn))
+       |  GROUP BY 1, 2),
+       |$t AS MATERIALIZED (SELECT l, r FROM $c
+       |       ORDER BY cnt DESC, l, r LIMIT 1),
+       |$wOut AS MATERIALIZED (SELECT w, replace(sym,
+       |    chr(31) || l || chr(31) || chr(31) || r || chr(31),
+       |    chr(31) || l || r || chr(31)) AS sym, freq
+       |  FROM $wIn, $t)""".stripMargin
+  }
+
+  /** q179's oracle: ALL THREE tokenizer families trained AND served
+    * over the same [[WpFixtures]] corpus, entirely relationally —
+    * the unigram chain + one serving DP round (uniCtes/uniDpRound),
+    * the WordPiece chain + greedy walk (wpChain/wpWalkCtes), and a
+    * word-carrying BPE chain ([[bvRound]]) — then per-family corpus
+    * stats from word-level segmentations weighted by `wt.freq`
+    * (Σ_docs Σ_{w∈doc} = Σ_w freq·per-word, the same totals the
+    * Spark side aggregates per document). */
+  private def tokEvalOracle: String = {
+    val maxLen = WpFixtures.map(_.length).max
+    val uniParts = (1 to maxLen).map(k => s"SELECT w, piece FROM p4$k")
+      .mkString("\n    UNION ALL ")
+    uniCtes(WpFixtures) + ",\n" +
+      uniDpRound("4", "sc3", "vocab3", maxLen, 3) +
+      wpChain + s""",
+      |$wpWalkCtes,
+      |bv0 AS MATERIALIZED (
+      |  SELECT w, chr(31) || array_to_string(regexp_extract_all(w, '.'),
+      |    chr(31) || chr(31)) || chr(31) AS sym, freq
+      |  FROM wt),
+      |${(0 until 6).map(bvRound).mkString(",\n")},
+      |bseg AS MATERIALIZED (
+      |  SELECT w, freq, regexp_split_to_array(trim(sym, chr(31)),
+      |    chr(31) || chr(31)) AS syms
+      |  FROM bv6),
+      |uall AS MATERIALIZED ($uniParts),
+      |ustat AS MATERIALIZED (
+      |  SELECT wt.freq, u.np FROM wt JOIN
+      |    (SELECT w, CAST(count(*) AS BIGINT) AS np FROM uall GROUP BY w) u
+      |    ON u.w = wt.w),
+      |wpstat AS MATERIALIZED (
+      |  SELECT wt.freq,
+      |    CAST(CASE WHEN d.w IS NULL THEN 1 ELSE s.np END AS BIGINT) AS np,
+      |    CAST(CASE WHEN d.w IS NULL THEN 1 ELSE 0 END AS BIGINT) AS unk
+      |  FROM wt LEFT JOIN gdone d ON d.w = wt.w
+      |  LEFT JOIN (SELECT w, CAST(count(*) AS BIGINT) AS np
+      |    FROM gall GROUP BY w) s ON s.w = wt.w),
+      |wppieces AS MATERIALIZED (
+      |  SELECT DISTINCT piece FROM gall JOIN gdone USING (w)
+      |  UNION
+      |  SELECT DISTINCT '[UNK]' AS piece FROM wt
+      |  LEFT JOIN gdone d ON d.w = wt.w WHERE d.w IS NULL),
+      |ndocs AS MATERIALIZED (
+      |  SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+      |SELECT * FROM (
+      |  SELECT 'bpe' AS family, n.n AS n_docs, n.n * 3 AS total_words,
+      |    s.tp AS total_pieces, p.dp AS distinct_pieces,
+      |    CAST(0 AS BIGINT) AS unk_words,
+      |    CAST((CAST(s.tp AS HUGEINT) * 1000000) // (n.n * 3)
+      |      AS BIGINT) AS fertility_micro
+      |  FROM ndocs n,
+      |    (SELECT CAST(sum(freq * len(syms)) AS BIGINT) AS tp FROM bseg) s,
+      |    (SELECT CAST(count(DISTINCT piece) AS BIGINT) AS dp FROM
+      |       (SELECT unnest(syms) AS piece FROM bseg)) p
+      |  UNION ALL
+      |  SELECT 'unigram', n.n, n.n * 3, s.tp, p.dp, CAST(0 AS BIGINT),
+      |    CAST((CAST(s.tp AS HUGEINT) * 1000000) // (n.n * 3) AS BIGINT)
+      |  FROM ndocs n,
+      |    (SELECT CAST(sum(freq * np) AS BIGINT) AS tp FROM ustat) s,
+      |    (SELECT CAST(count(DISTINCT piece) AS BIGINT) AS dp FROM uall) p
+      |  UNION ALL
+      |  SELECT 'wordpiece', n.n, n.n * 3, s.tp, p.dp, s.uw,
+      |    CAST((CAST(s.tp AS HUGEINT) * 1000000) // (n.n * 3) AS BIGINT)
+      |  FROM ndocs n,
+      |    (SELECT CAST(sum(freq * np) AS BIGINT) AS tp,
+      |       CAST(sum(freq * unk) AS BIGINT) AS uw FROM wpstat) s,
+      |    (SELECT CAST(count(*) AS BIGINT) AS dp FROM wppieces) p)
+      |ORDER BY family""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -540,6 +638,63 @@ object R10Queries {
         .select(id, size(col("_p")).as("n_pieces"),
           array_join(col("_p"), " ").as("pieces_text"))
         .orderBy("doc_id")
+    }),
+
+    // [EXT] cross-family tokenizer EVALUATION — the model-selection
+    // report a vocabulary build ends with: all THREE families (BPE
+    // q121, unigram-LM q174, WordPiece q177) trained on the SAME
+    // corpus and served over every document, compared on the metrics
+    // that drive tokenizer choice — fertility (pieces per word, the
+    // inference-cost driver, exact micro-unit floor division),
+    // vocabulary utilization (distinct pieces actually emitted), and
+    // UNK rate (greedy WordPiece is not total-coverage; BPE/unigram
+    // are by construction). One serving scan + one aggregate per
+    // family; the trained models are parameter-bounded driver
+    // collects exactly as in q122/q175/q178. The oracle replays all
+    // three trainings AND servings relationally (the existing CTE
+    // machinery composed over one shared word table) and aggregates
+    // the same stats freq-weighted per word.
+    "q179_tokenizer_eval" -> ((s, d) => {
+      val arr = array(WpFixtures.map(lit): _*)
+      val id = col("doc_id")
+      val text = concat_ws(" ",
+        element_at(arr, (pmod(id, lit(6)) + 1).cast("int")),
+        element_at(arr, (pmod(id * 2 + 1, lit(6)) + 1).cast("int")),
+        element_at(arr, (pmod(id * 3 + 2, lit(6)) + 1).cast("int")))
+      val docs = T.documents(s, d).select(id, text.as("text"))
+      val corpus = docs.select(col("text"))
+      import graft.llm.TrainingOps
+      val bpeMerges = TrainingOps.trainBpe(corpus, "text", numMerges = 6)
+        .orderBy("merge_idx").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val uniModel = TrainingOps.trainUnigram(corpus, "text",
+          seedSize = 8, maxPieceLen = 3, emRounds = 2, pruneCount = 3)
+        .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+      val wpMerges = TrainingOps.trainWordPiece(corpus, "text",
+          numMerges = 6)
+        .orderBy("merge_idx").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val wpVocab = TrainingOps.wordPieceVocab(corpus, "text", wpMerges)
+        .collect().map(_.getString(0)).toSeq
+      def famStats(family: String, pieces: Column): DataFrame =
+        docs.select(id, explode(pieces).as("piece"))
+          .agg(
+            count_distinct(id).as("n_docs"),
+            count(lit(1)).as("total_pieces"),
+            count_distinct(col("piece")).as("distinct_pieces"),
+            sum(when(col("piece") === "[UNK]", 1L).otherwise(0L))
+              .cast("bigint").as("unk_words"))
+          .select(lit(family).as("family"), col("n_docs"),
+            (col("n_docs") * 3).as("total_words"), col("total_pieces"),
+            col("distinct_pieces"), col("unk_words"))
+          .withColumn("fertility_micro",
+            expr("(total_pieces * 1000000) div total_words"))
+      famStats("bpe", TrainingOps.bpeEncode(col("text"), bpeMerges))
+        .unionByName(famStats("unigram",
+          TrainingOps.unigramEncode(col("text"), uniModel)))
+        .unionByName(famStats("wordpiece",
+          TrainingOps.wordpieceEncode(col("text"), wpVocab)))
+        .orderBy("family")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -565,6 +720,7 @@ object R10Queries {
     "q175_unigram_encode" -> uniEncodeOracle,
     "q177_wordpiece_train" -> wpOracle,
     "q178_wordpiece_encode" -> wpEncodeOracle,
+    "q179_tokenizer_eval" -> tokEvalOracle,
     "q173_crawl_cycle" ->
       """WITH n AS (SELECT CAST(n_nationkey AS INT) AS k FROM nation),
         |pages AS (

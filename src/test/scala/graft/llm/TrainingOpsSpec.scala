@@ -750,4 +750,31 @@ class TrainingOpsSpec extends SparkSuite {
     assert(got.orderBy("id").collect().toSeq ===
       re.orderBy("id").collect().toSeq)
   }
+
+  test("q179 tokenizer evaluation: cross-family invariants hold") {
+    val rows = graft.SparkEntry.queries("q179_tokenizer_eval")(
+        spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("bpe", "unigram", "wordpiece"))
+    val nDocs = rows.head.getLong(1)
+    assert(nDocs > 0)
+    rows.foreach { r =>
+      assert(r.getLong(1) === nDocs)            // same corpus per family
+      assert(r.getLong(2) === nDocs * 3)        // 3 planted words per doc
+      assert(r.getLong(3) >= r.getLong(2))      // pieces >= words
+      assert(r.getLong(4) > 0)                  // some vocab utilized
+      // fertility_micro = floor(total_pieces*1e6 / total_words), >= 1 word
+      assert(r.getLong(6) === r.getLong(3) * 1000000L / r.getLong(2))
+      assert(r.getLong(6) >= 1000000L)
+    }
+    // BPE and unigram cover every word by construction (single chars
+    // stay in vocab); only greedy WordPiece may emit [UNK]
+    assert(rows(0).getLong(5) === 0L)
+    assert(rows(1).getLong(5) === 0L)
+    val wp = rows(2)
+    // a word that collapses to [UNK] contributes exactly 1 piece, so
+    // unk occurrences can never exceed total words
+    assert(wp.getLong(5) >= 0L && wp.getLong(5) <= wp.getLong(2))
+  }
 }
