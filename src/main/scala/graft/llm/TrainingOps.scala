@@ -1213,6 +1213,75 @@ object TrainingOps {
             .as("target_text"))))
   }
 
+  /** FIM — fill-in-the-middle (Bavarian et al. 2022,
+    * arXiv:2207.14255), DETERMINISTIC: per document three salted-SHA
+    * uniforms pick (a) the objective arm — PSM with probability
+    * fimRate/2, SPM with fimRate/2, plain otherwise (the paper's
+    * joint PSM+SPM training at FIM rate `fimRate`) — and (b) two cut
+    * points c1, c2 = floor(u·(n+1)) ∈ [0, n] over the whitespace
+    * tokens; sorted they split the document into prefix/middle/
+    * suffix (empty segments legal, exactly as the paper's
+    * character-level spans). PSM emits `<PRE> p <SUF> s <MID> m`,
+    * SPM emits `<SUF> s <PRE> p <MID> m` (middle last in both, so
+    * the LM learns to generate it conditioned on both sides); plain
+    * emits the token-rejoined text. The template concatenation is
+    * FIXED (single-space around sentinels, so empty segments produce
+    * a double space) — that keeps the string bit-portable across
+    * engines. Docs with n < 2 tokens stay plain: no informative cut
+    * exists. Map-only, one scan; the token array and cuts are
+    * let-bound via 1-element aggregates so each evaluates once per
+    * row. */
+  def fimSplit(df: DataFrame, idCol: String, textCol: String,
+      fimRate: Double = 0.9, salt: String = "fim"): DataFrame = {
+    require(fimRate >= 0.0 && fimRate <= 1.0, s"fimRate $fimRate")
+    val id = col(idCol)
+    df.select(id, fimStruct(id, col(textCol), fimRate, salt).as("_f"))
+      .select(id, col("_f.n_tokens").as("n_tokens"),
+        col("_f.arm").as("arm"), col("_f.cut_lo").as("cut_lo"),
+        col("_f.cut_hi").as("cut_hi"), col("_f.fim_text").as("fim_text"))
+  }
+
+  /** Column core of [[fimSplit]], for single-scan compositions. */
+  def fimStruct(id: Column, text: Column, fimRate: Double,
+      salt: String = "fim"): Column = {
+    val w = graft.llm.TextAnalysis.tokens(text)
+    def u(tag: String) = conv(substring(sha2(concat(lit(salt), lit(":"),
+      lit(tag), lit(":"), id.cast(StringType)), 256), 1, 13), 16, 10)
+      .cast(LongType).cast(DoubleType) / lit(4503599627370496.0) // [0,1)
+    val u0 = u("a"); val u1 = u("c1"); val u2 = u("c2")
+    val outT = "struct<n_tokens:int,arm:string,cut_lo:int,cut_hi:int," +
+      "fim_text:string>"
+    aggregate(array(w), lit(null).cast(outT), (_, wv) =>
+      aggregate(
+        array(struct(size(wv).as("n"),
+          floor(u1 * (size(wv) + 1)).cast(IntegerType).as("c1"),
+          floor(u2 * (size(wv) + 1)).cast(IntegerType).as("c2"))),
+        lit(null).cast(outT),
+        (_, s) => {
+          val n = s.getField("n")
+          val lo = least(s.getField("c1"), s.getField("c2"))
+          val hi = greatest(s.getField("c1"), s.getField("c2"))
+          val isPlain = (n < 2) || (u0 >= lit(fimRate))
+          val pre = array_join(slice(wv, lit(1), lo), " ")
+          val mid = array_join(slice(wv, lo + 1, hi - lo), " ")
+          val suf = array_join(slice(wv, hi + 1, n - hi), " ")
+          struct(
+            n.as("n_tokens"),
+            when(isPlain, lit("plain"))
+              .when(u0 < lit(fimRate / 2), lit("psm"))
+              .otherwise(lit("spm")).as("arm"),
+            when(isPlain, lit(0)).otherwise(lo).as("cut_lo"),
+            when(isPlain, lit(0)).otherwise(hi).as("cut_hi"),
+            when(isPlain, array_join(wv, " "))
+              .when(u0 < lit(fimRate / 2),
+                concat(lit("<PRE> "), pre, lit(" <SUF> "), suf,
+                  lit(" <MID> "), mid))
+              .otherwise(
+                concat(lit("<SUF> "), suf, lit(" <PRE> "), pre,
+                  lit(" <MID> "), mid)).as("fim_text"))
+        }))
+  }
+
   /** T5-style SPAN CORRUPTION (Raffel et al. 2020, arXiv:1910.10683
     * §3.1.4), DETERMINISTIC: each whitespace token masks iff its
     * salted-SHA uniform < `maskRate`; consecutive masked tokens form

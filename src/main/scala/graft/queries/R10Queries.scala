@@ -695,7 +695,22 @@ object R10Queries {
         .unionByName(famStats("wordpiece",
           TrainingOps.wordpieceEncode(col("text"), wpVocab)))
         .orderBy("family")
-    }))
+    }),
+
+    // [EXT] FIM — fill-in-the-middle transform (Bavarian et al.
+    // 2022, arXiv:2207.14255): the code-LLM training objective
+    // complementing q165's span corruption and q168's prefix-LM.
+    // Deterministic: one SHA uniform dispatches the arm (PSM / SPM /
+    // plain at fimRate/2 each and 1−fimRate), two more pick the cut
+    // points over [0, n]; the document splits into prefix/middle/
+    // suffix and re-emits middle-last under a fixed sentinel
+    // template. Map-only, one scan, everything let-bound; the oracle
+    // replays the identical SHA arithmetic, slices, and template.
+    "q180_fim_split" -> ((s, d) =>
+      graft.llm.TrainingOps.fimSplit(
+          T.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text", fimRate = 0.9, salt = "fim180")
+        .orderBy("doc_id")))
 
   val oracleSql: Map[String, String] = Map(
     "q176_pack_provenance" ->
@@ -721,6 +736,39 @@ object R10Queries {
     "q177_wordpiece_train" -> wpOracle,
     "q178_wordpiece_encode" -> wpEncodeOracle,
     "q179_tokenizer_eval" -> tokEvalOracle,
+    "q180_fim_split" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |u AS (SELECT doc_id, w, len(w) AS n,
+        |        ('0x' || substr(sha256('fim180:a:' ||
+        |           CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+        |          / 4503599627370496.0 AS u0,
+        |        CAST(floor(('0x' || substr(sha256('fim180:c1:' ||
+        |           CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+        |          / 4503599627370496.0 * (len(w) + 1)) AS INT) AS c1,
+        |        CAST(floor(('0x' || substr(sha256('fim180:c2:' ||
+        |           CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+        |          / 4503599627370496.0 * (len(w) + 1)) AS INT) AS c2
+        |      FROM t),
+        |k AS (SELECT doc_id, w, n, u0,
+        |        least(c1, c2) AS lo, greatest(c1, c2) AS hi,
+        |        (n < 2 OR u0 >= 0.9) AS plain_arm
+        |      FROM u)
+        |SELECT doc_id, CAST(n AS INT) AS n_tokens,
+        |  CASE WHEN plain_arm THEN 'plain'
+        |       WHEN u0 < 0.45 THEN 'psm' ELSE 'spm' END AS arm,
+        |  CAST(CASE WHEN plain_arm THEN 0 ELSE lo END AS INT) AS cut_lo,
+        |  CAST(CASE WHEN plain_arm THEN 0 ELSE hi END AS INT) AS cut_hi,
+        |  CASE WHEN plain_arm THEN array_to_string(w, ' ')
+        |       WHEN u0 < 0.45 THEN '<PRE> ' || coalesce(array_to_string(w[1:lo], ' '), '')
+        |         || ' <SUF> ' || coalesce(array_to_string(w[hi+1:n], ' '), '')
+        |         || ' <MID> ' || coalesce(array_to_string(w[lo+1:hi], ' '), '')
+        |       ELSE '<SUF> ' || coalesce(array_to_string(w[hi+1:n], ' '), '')
+        |         || ' <PRE> ' || coalesce(array_to_string(w[1:lo], ' '), '')
+        |         || ' <MID> ' || coalesce(array_to_string(w[lo+1:hi], ' '), '') END
+        |    AS fim_text
+        |FROM k ORDER BY doc_id""".stripMargin,
     "q173_crawl_cycle" ->
       """WITH n AS (SELECT CAST(n_nationkey AS INT) AS k FROM nation),
         |pages AS (

@@ -751,6 +751,50 @@ class TrainingOpsSpec extends SparkSuite {
       re.orderBy("id").collect().toSeq)
   }
 
+  test("fimSplit: segments reconstruct, arms dispatch at the declared rates, deterministic") {
+    val df = spark.range(0, 400)
+      .selectExpr("id", "concat('tok', id % 7, ' a b c d e f g h') AS text")
+    val got = TrainingOps.fimSplit(df, "id", "text", fimRate = 0.9,
+      salt = "fimspec")
+    val rows = got.collect().map(r => (r.getLong(0), r.getInt(1),
+      r.getString(2), r.getInt(3), r.getInt(4), r.getString(5)))
+    assert(rows.length === 400)
+    val armCounts = rows.groupBy(_._3).view.mapValues(_.length).toMap
+    // 0.45/0.45/0.1 over 400 docs — allow wide slack, but all three
+    // arms must appear and plain must be the clear minority
+    assert(armCounts.keySet === Set("psm", "spm", "plain"))
+    assert(armCounts("plain") < armCounts("psm"))
+    assert(armCounts("plain") < armCounts("spm"))
+    rows.foreach { case (id, n, arm, lo, hi, out) =>
+      assert(n === 9)
+      val orig = s"tok${id % 7} a b c d e f g h"
+      arm match {
+        case "plain" =>
+          assert(lo === 0 && hi === 0 && out === orig)
+        case "psm" =>
+          val m = "(?s)^<PRE> (.*) <SUF> (.*) <MID> (.*)$".r
+          val m(p, sfx, mid) = out
+          assert(Seq(p, mid, sfx).filter(_.nonEmpty).mkString(" ") === orig)
+          assert(p.split(" ").count(_.nonEmpty) === lo)
+          assert(mid.split(" ").count(_.nonEmpty) === hi - lo)
+        case "spm" =>
+          val m = "(?s)^<SUF> (.*) <PRE> (.*) <MID> (.*)$".r
+          val m(sfx, p, mid) = out
+          assert(Seq(p, mid, sfx).filter(_.nonEmpty).mkString(" ") === orig)
+          assert(0 <= lo && lo <= hi && hi <= n)
+      }
+    }
+    // short docs stay plain regardless of the arm uniform
+    val short = TrainingOps.fimSplit(
+      Seq((1L, "solo"), (2L, "")).toDF("id", "text"), "id", "text")
+    short.collect().foreach(r => assert(r.getString(2) === "plain"))
+    // deterministic under repartition
+    val re = TrainingOps.fimSplit(df.repartition(7), "id", "text",
+      fimRate = 0.9, salt = "fimspec")
+    assert(got.orderBy("id").collect().toSeq ===
+      re.orderBy("id").collect().toSeq)
+  }
+
   test("q179 tokenizer evaluation: cross-family invariants hold") {
     val rows = graft.SparkEntry.queries("q179_tokenizer_eval")(
         spark, "/root/testdata/sf0.001")
