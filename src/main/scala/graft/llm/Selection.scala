@@ -453,4 +453,54 @@ object Selection {
       .select(col("_sel_id").as(idCol), col(sourceCol),
         explode(sequence(lit(1), col("_copies"))).as("epoch"))
   }
+
+  /** Quality-ANNEALED curriculum plan — the end-of-training data
+    * schedule of modern pretraining runs (train the bulk of the
+    * budget on the full mix, then anneal the final fraction on the
+    * highest-quality slice), made deterministic and relational:
+    * the best-quality documents whose running token mass fills
+    * `annealFracMicro`/10⁶ of the corpus total form the `anneal`
+    * phase (greedy best-first with an id tiebreak; the boundary
+    * document whose mass STARTS inside the budget is included,
+    * exactly [[TrainingOps.selectByTokenBudget]]'s contract);
+    * everything else is `main`. `order_key` is a salted-SHA shuffle
+    * key — training must not see a phase in quality-sorted order,
+    * and a hash key makes the shuffle rerun/engine-stable.
+    *
+    * Scale shape: ONE 1-row total aggregate (driver boundary
+    * arithmetic, BigInt so 100 TB token counts cannot overflow the
+    * ×10⁶ product), then the q106 two-phase prefix sum over the
+    * quality order — no global window anywhere. Null token counts
+    * fail fast: a null would silently land every later document one
+    * slot early. */
+  def annealPlan(df: DataFrame, idCol: String, quality: Column,
+      tokens: Column, annealFracMicro: Long,
+      salt: String = "anl"): DataFrame = {
+    require(annealFracMicro > 0 && annealFracMicro < 1000000L,
+      s"annealFracMicro must be in (0, 1e6); got $annealFracMicro")
+    val id = col(idCol)
+    val base = df.select(id, quality.cast(LongType).as("quality_micro"),
+      tokens.cast(LongType).as("n_tokens"))
+    val agg = base.agg(
+      sum("n_tokens").as("t"),
+      count(lit(1)).as("n"),
+      count(col("n_tokens")).as("nn")).head() // 1-row action
+    require(agg.getLong(1) == agg.getLong(2),
+      s"annealPlan: ${agg.getLong(1) - agg.getLong(2)} null token counts")
+    val total = if (agg.isNullAt(0)) 0L else agg.getLong(0)
+    require(total > 0, "annealPlan: corpus has no tokens")
+    val budget = ((BigInt(total) * annealFracMicro) / 1000000L)
+      .max(1L).toLong
+    TrainingOps.packByTokenBudget(
+        base.withColumn("_ord",
+            struct((-col("quality_micro")).as("q"), id.as("i")))
+          .withColumn("_shard", lit(0)),
+        "_shard", "_ord", col("n_tokens"), budget)
+      .select(id, col("quality_micro"), col("n_tokens"),
+        when(col("pack_id") === 0, lit("anneal")).otherwise(lit("main"))
+          .as("phase"),
+        conv(substring(sha2(concat(lit(salt), lit(":"),
+          id.cast(StringType)), 256), 1, 13), 16, 10).cast(LongType)
+          .as("order_key"))
+  }
 }

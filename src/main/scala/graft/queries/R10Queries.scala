@@ -710,7 +710,30 @@ object R10Queries {
       graft.llm.TrainingOps.fimSplit(
           T.documents(s, d).select(col("doc_id"), col("text")),
           "doc_id", "text", fimRate = 0.9, salt = "fim180")
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // [EXT] quality-ANNEALED curriculum plan: the end-of-training
+    // schedule (bulk phase on the full mix, final 10% of the token
+    // budget on the highest-quality slice) as one deterministic
+    // relational plan. Quality here is the alphabetic-character
+    // ratio in exact micro-units (any oracle-replayable score slots
+    // in); the anneal set is the greedy best-first prefix whose
+    // running token mass starts inside 10% of the corpus total
+    // (q106's two-phase prefix sum — no global window), and
+    // order_key is the salted-SHA shuffle both engines rebuild. The
+    // oracle replays the total, the boundary arithmetic, the cumsum
+    // (a window is fine THERE — DuckDB is the spec, not the scale
+    // path), and the hash.
+    "q181_anneal_plan" -> ((s, d) => {
+      val qual = expr("(CAST(length(regexp_replace(text, '[^a-zA-Z]', " +
+        "'')) AS BIGINT) * 1000000) div greatest(length(text), 1)")
+      graft.llm.Selection.annealPlan(
+          T.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", qual,
+          graft.llm.TextAnalysis.tokenCountWs(col("text")),
+          annealFracMicro = 100000L, salt = "anl181")
+        .orderBy("doc_id")
+    }))
 
   val oracleSql: Map[String, String] = Map(
     "q176_pack_provenance" ->
@@ -769,6 +792,27 @@ object R10Queries {
         |         || ' <MID> ' || coalesce(array_to_string(w[lo+1:hi], ' '), '') END
         |    AS fim_text
         |FROM k ORDER BY doc_id""".stripMargin,
+    "q181_anneal_plan" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+        |        AS BIGINT) * 1000000
+        |      // greatest(length(text), 1) AS quality_micro,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+'))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |b AS (SELECT greatest(sum(n_tokens) * 100000 // 1000000, 1)
+        |        AS budget FROM t),
+        |c AS (SELECT doc_id, quality_micro, n_tokens,
+        |        sum(n_tokens) OVER (ORDER BY quality_micro DESC, doc_id)
+        |          - n_tokens AS start_off
+        |      FROM t)
+        |SELECT doc_id, quality_micro, n_tokens,
+        |  CASE WHEN start_off < b.budget THEN 'anneal' ELSE 'main' END
+        |    AS phase,
+        |  ('0x' || substr(sha256('anl181:' || CAST(doc_id AS VARCHAR)),
+        |    1, 13))::BIGINT AS order_key
+        |FROM c, b ORDER BY doc_id""".stripMargin,
     "q173_crawl_cycle" ->
       """WITH n AS (SELECT CAST(n_nationkey AS INT) AS k FROM nation),
         |pages AS (

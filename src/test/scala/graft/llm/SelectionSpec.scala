@@ -249,4 +249,37 @@ class SelectionSpec extends SparkSuite {
         Seq("g"), "id", Seq(("a", 1.0)))
     }
   }
+
+  test("annealPlan: anneal set is the greedy best-quality token prefix, boundary doc included") {
+    import org.apache.spark.sql.functions._
+    // quality descending: ids 1(q90,t40) 2(q80,t50) 3(q70,t10) 4(q10,t100)
+    // total=200, frac=0.25 -> budget=50; starts: 0,40,90,100 ->
+    // anneal = {1, 2} (doc 2 STARTS at 40 < 50 and straddles)
+    val df = Seq((1L, 90L, 40L), (2L, 80L, 50L), (3L, 70L, 10L),
+      (4L, 10L, 100L)).toDF("id", "q", "t")
+    val got = Selection.annealPlan(df, "id", col("q"), col("t"),
+        annealFracMicro = 250000L)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got === Map(1L -> "anneal", 2L -> "anneal",
+      3L -> "main", 4L -> "main"))
+    // deterministic under repartition, order_key engine-stable
+    val a = Selection.annealPlan(df, "id", col("q"), col("t"), 250000L)
+      .orderBy("id").collect().toSeq
+    val b = Selection.annealPlan(df.repartition(3), "id", col("q"),
+      col("t"), 250000L).orderBy("id").collect().toSeq
+    assert(a === b)
+    // quality ties break by id: equal quality, budget covers one doc
+    val tied = Seq((7L, 50L, 10L), (5L, 50L, 10L), (6L, 50L, 10L))
+      .toDF("id", "q", "t")
+    val gt = Selection.annealPlan(tied, "id", col("q"), col("t"),
+        333333L) // budget = floor(30*0.333333)=9 -> max(1,9)=9 -> doc 5 only
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(gt === Map(5L -> "anneal", 6L -> "main", 7L -> "main"))
+    // null token counts fail fast
+    intercept[IllegalArgumentException] {
+      Selection.annealPlan(
+        Seq((1L, 10L, Some(5L)), (2L, 20L, None))
+          .toDF("id", "q", "t"), "id", col("q"), col("t"), 100000L)
+    }
+  }
 }
