@@ -900,4 +900,64 @@ object Crawl {
         col("depth") > maxDepth || col("dup_segments") > maxDupSegments ||
           col("n_params") > maxParams)
   }
+
+  /** Adaptive revisit scheduling — the capped-exponential change-
+    * frequency policy (Cho & Garcia-Molina's revisit model is the
+    * classic statement) every production crawler runs a variant of:
+    * walk each URL's fetch history in time order; a fetch whose
+    * content fingerprint differs from the previous one resets the
+    * unchanged streak, an identical one extends it. The next revisit
+    * interval is `baseMs · 2^min(streak, maxDoublings)` — hot pages
+    * re-fetch at base cadence, static ones decay toward the cap —
+    * and `next_fetch_ms = last_ts + interval`.
+    *
+    * Scale shape: ONE shuffle (the groupBy); per-URL histories are
+    * protocol-bounded (politeness caps fetch frequency), so the
+    * sorted-array fold is per-row bounded state — no window, no
+    * per-URL rank. Ties on ts order by fingerprint, making the fold
+    * total-ordered and engine-portable. Null fingerprints are
+    * refused by filter (a failed fetch belongs in the fetch-error
+    * ledger, not the change model).
+    *
+    * Output: url, n_fetches, n_changes, unchanged_streak,
+    * interval_ms, next_fetch_ms. */
+  def recrawlSchedule(df: DataFrame, urlCol: String, tsMsCol: String,
+      fpCol: String, baseMs: Long = 3600000L,
+      maxDoublings: Int = 6): DataFrame = {
+    require(baseMs > 0, s"baseMs $baseMs")
+    require(maxDoublings >= 0 && maxDoublings <= 16,
+      s"maxDoublings $maxDoublings (interval multiplier is 2^k)")
+    val stT = "struct<n:bigint,changes:bigint,streak:bigint," +
+      "last_ts:bigint,prev:string>"
+    val folded = df
+      .filter(col(fpCol).isNotNull && col(tsMsCol).isNotNull)
+      .groupBy(col(urlCol).as("url"))
+      .agg(sort_array(collect_list(struct(
+        col(tsMsCol).cast(LongType).as("ts"),
+        col(fpCol).cast(StringType).as("fp")))).as("_h"))
+      .select(col("url"), aggregate(col("_h"),
+        expr(s"CAST(struct(0L, 0L, 0L, 0L, NULL) AS $stT)"),
+        (s, e) => struct(
+          (s.getField("n") + 1L).as("n"),
+          (s.getField("changes") + when(s.getField("n") > 0 &&
+            e.getField("fp") =!= s.getField("prev"), 1L).otherwise(0L))
+            .as("changes"),
+          when(s.getField("n") === 0, 0L)
+            .when(e.getField("fp") =!= s.getField("prev"), 0L)
+            .otherwise(s.getField("streak") + 1L).as("streak"),
+          e.getField("ts").as("last_ts"),
+          e.getField("fp").as("prev"))).as("_s"))
+    val streak = col("_s.streak")
+    val capped = least(streak, lit(maxDoublings.toLong))
+    val mult = (1 to maxDoublings).foldLeft(
+      when(capped === 0L, lit(1L))) { (acc, k) =>
+      acc.when(capped === k.toLong, lit(1L << k))
+    }.otherwise(lit(1L << maxDoublings))
+    folded.select(col("url"),
+      col("_s.n").cast("int").as("n_fetches"),
+      col("_s.changes").as("n_changes"),
+      streak.as("unchanged_streak"),
+      (lit(baseMs) * mult).as("interval_ms"),
+      (col("_s.last_ts") + lit(baseMs) * mult).as("next_fetch_ms"))
+  }
 }

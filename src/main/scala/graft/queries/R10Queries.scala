@@ -733,6 +733,29 @@ object R10Queries {
           graft.llm.TextAnalysis.tokenCountWs(col("text")),
           annealFracMicro = 100000L, salt = "anl181")
         .orderBy("doc_id")
+    }),
+
+    // [EXT] adaptive RECRAWL scheduling — the change-frequency
+    // policy that closes the crawl loop (q173 schedules the first
+    // fetch; this schedules every revisit): per URL the fetch
+    // history's trailing unchanged streak drives a capped
+    // exponential backoff, so static pages decay to the interval cap
+    // while churning pages stay at base cadence. Fetch log planted
+    // from events (URL by event_id arithmetic, fingerprint =
+    // event_type). One groupBy + bounded per-URL fold, no window;
+    // the oracle replays the history with lag/max windows — DuckDB
+    // is the spec, not the scale path.
+    "q182_recrawl_schedule" -> ((s, d) => {
+      val ev = T.events(s, d)
+      val url = concat(lit("https://h"),
+        pmod(col("event_id"), lit(7)).cast("string"),
+        lit(".example/p"),
+        pmod(col("event_id"), lit(97)).cast("string"))
+      graft.llm.Crawl.recrawlSchedule(
+          ev.select(url.as("url"), T.tsMillis(ev, "ts").as("ts_ms"),
+            col("event_type").as("fp")),
+          "url", "ts_ms", "fp", baseMs = 3600000L, maxDoublings = 6)
+        .orderBy("url")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -813,6 +836,36 @@ object R10Queries {
         |  ('0x' || substr(sha256('anl181:' || CAST(doc_id AS VARCHAR)),
         |    1, 13))::BIGINT AS order_key
         |FROM c, b ORDER BY doc_id""".stripMargin,
+    "q182_recrawl_schedule" ->
+      """WITH log AS (
+        |  SELECT 'https://h' || CAST(event_id % 7 AS VARCHAR)
+        |      || '.example/p' || CAST(event_id % 97 AS VARCHAR) AS url,
+        |    epoch_ms(ts) AS ts_ms, event_type AS fp
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+        |w AS (SELECT url, ts_ms, fp,
+        |        row_number() OVER (PARTITION BY url
+        |          ORDER BY ts_ms, fp) AS idx,
+        |        lag(fp) OVER (PARTITION BY url
+        |          ORDER BY ts_ms, fp) AS pfp
+        |      FROM log),
+        |s AS (SELECT url,
+        |        CAST(count(*) AS INT) AS n_fetches,
+        |        CAST(sum(CASE WHEN pfp IS NOT NULL AND fp <> pfp
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+        |        max(CASE WHEN pfp IS NOT NULL AND fp <> pfp
+        |          THEN idx ELSE 1 END) AS last_change_idx,
+        |        max(idx) AS max_idx,
+        |        max(ts_ms) AS last_ts
+        |      FROM w GROUP BY url)
+        |SELECT url, n_fetches, n_changes,
+        |  CAST(max_idx - last_change_idx AS BIGINT) AS unchanged_streak,
+        |  CAST(3600000 * (1 << CAST(least(max_idx - last_change_idx, 6)
+        |    AS INT)) AS BIGINT) AS interval_ms,
+        |  CAST(last_ts + 3600000 * (1 << CAST(least(
+        |    max_idx - last_change_idx, 6) AS INT)) AS BIGINT)
+        |    AS next_fetch_ms
+        |FROM s ORDER BY url""".stripMargin,
     "q173_crawl_cycle" ->
       """WITH n AS (SELECT CAST(n_nationkey AS INT) AS k FROM nation),
         |pages AS (

@@ -582,4 +582,39 @@ class CrawlSpec extends SparkSuite {
     assert(sp.columns.toSeq ===
       Seq("id", "host", "path", "extra", "allowed", "matched_prefix"))
   }
+
+  test("recrawlSchedule: streak resets on change, backoff doubles to the cap, deterministic") {
+    import spark.implicits._
+    val base = 1000L
+    val log = Seq(
+      // churn: a b a -> every fetch changes, streak 0, base interval
+      ("u1", 10L, "a"), ("u1", 20L, "b"), ("u1", 30L, "a"),
+      // static: 5 identical fetches -> streak 4, interval base*2^4
+      ("u2", 10L, "x"), ("u2", 20L, "x"), ("u2", 30L, "x"),
+      ("u2", 40L, "x"), ("u2", 50L, "x"),
+      // change then settle: streak counts only the tail
+      ("u3", 10L, "a"), ("u3", 20L, "b"), ("u3", 30L, "b"),
+      // single fetch
+      ("u4", 99L, "z"),
+      // null fingerprint rows drop (failed fetches)
+      ("u5", 10L, null)
+    ).toDF("url", "ts", "fp")
+    val got = Crawl.recrawlSchedule(log, "url", "ts", "fp",
+        baseMs = base, maxDoublings = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(got.keySet === Set("u1", "u2", "u3", "u4"))
+    assert(got("u1") === ((3, 2L, 0L, base, 30L + base)))
+    // maxDoublings=3 caps the static page's 4-streak at 2^3
+    assert(got("u2") === ((5, 0L, 4L, base * 8, 50L + base * 8)))
+    assert(got("u3") === ((3, 1L, 1L, base * 2, 30L + base * 2)))
+    assert(got("u4") === ((1, 0L, 0L, base, 99L + base)))
+    // deterministic under repartition
+    val re = Crawl.recrawlSchedule(log.repartition(4), "url", "ts",
+        "fp", baseMs = base, maxDoublings = 3)
+      .orderBy("url").collect().toSeq
+    assert(re === Crawl.recrawlSchedule(log, "url", "ts", "fp",
+      baseMs = base, maxDoublings = 3).orderBy("url").collect().toSeq)
+  }
 }
