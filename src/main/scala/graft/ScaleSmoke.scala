@@ -560,7 +560,25 @@ object ScaleSmoke {
               concat(col("text"), lit("x"))).otherwise(col("text")))
               .cast("string").as("h"))
         graft.llm.Crawl.snapshotDiff(o, nn, "url", "h")
-      }))
+      }),
+      // recrawl scheduling: n-row fetch log over n/20 URLs (~20
+      // fetches each), one groupBy + bounded per-URL fold
+      "recrawl" -> (() => {
+        val log = docs.select(
+          concat(lit("u"), pmod(col("id"), lit(50000L))).as("url"),
+          col("id").as("ts_ms"),
+          when(pmod(col("id"), lit(7L)) === 0, lit("changed"))
+            .otherwise(lit("same")).as("fp"))
+        graft.llm.Crawl.recrawlSchedule(log, "url", "ts_ms", "fp")
+      }),
+      // anneal plan: 1-row total aggregate + the two-phase prefix
+      // sum over the quality order (the q106 shape, full corpus)
+      "anneal_plan" -> (() => graft.llm.Selection.annealPlan(
+        docs, "id",
+        expr("(CAST(length(regexp_replace(text, '[^a-zA-Z]', '')) " +
+          "AS BIGINT) * 1000000) div greatest(length(text), 1)"),
+        graft.llm.TextAnalysis.tokenCountWs(col("text")),
+        annealFracMicro = 100000L)))
 
     val hotSet = Set("dup_shingle_audit_hot", "keyword_search_hot",
       "keep_best_hot", "ksample_hot", "kmv_sketch_hot", "line_dedup_hot",
