@@ -479,4 +479,69 @@ object Streaming {
           }
       }
   }
+
+  final case class Fetch(url: String, ts_ms: Long, fp: String)
+  final case class RecrawlState(n: Long, changes: Long, streak: Long,
+    lastTs: Long, prev: String, late: Long)
+  final case class RecrawlRow(url: String, n_fetches: Int,
+    n_changes: Long, unchanged_streak: Long, interval_ms: Long,
+    next_fetch_ms: Long, late_fetches: Long)
+
+  /** Streaming tier of [[graft.llm.Crawl.recrawlSchedule]]: the
+    * fetch log arrives as a stream (the nightly crawl appends), and
+    * each URL's change-model state — fetch count, change count,
+    * trailing unchanged streak, last fetch time, last fingerprint —
+    * folds INCREMENTALLY per micro-batch instead of re-reading the
+    * whole history. Each batch emits the refreshed schedule row for
+    * every URL it touched (capped exponential backoff, the batch
+    * op's arithmetic bit for bit).
+    *
+    * Parity contract (the [[sessionizeEventTime]] convention):
+    * within a batch fetches sort by (ts, fp) — the batch op's total
+    * order — so intra-batch disorder is absorbed; ACROSS batches a
+    * key's fetches must arrive in non-decreasing event time. A
+    * cross-batch arrival older than the state's last fetch would
+    * need a history rewrite, so it is COUNTED (`late_fetches`),
+    * never silently folded out of order and never dropped without
+    * trace. Null fingerprints (failed fetches) are excluded as in
+    * the batch tier. State per URL is one fixed-size row. */
+  def recrawlScheduleStream(fetches: Dataset[Fetch],
+      baseMs: Long = 3600000L, maxDoublings: Int = 6):
+      Dataset[RecrawlRow] = {
+    require(baseMs > 0, s"baseMs $baseMs")
+    require(maxDoublings >= 0 && maxDoublings <= 16,
+      s"maxDoublings $maxDoublings")
+    import fetches.sparkSession.implicits._
+    fetches
+      .groupByKey(_.url)
+      .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.NoTimeout) {
+        (url: String, rows: Iterator[Fetch],
+            state: GroupState[RecrawlState]) =>
+          val sorted = rows.toSeq.filter(_.fp != null)
+            .sortBy(f => (f.ts_ms, f.fp))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            var s = state.getOption
+              .getOrElse(RecrawlState(0L, 0L, 0L, 0L, null, 0L))
+            sorted.foreach { f =>
+              if (s.n > 0 && f.ts_ms < s.lastTs)
+                s = s.copy(late = s.late + 1)
+              else {
+                val changed = s.n > 0 && f.fp != s.prev
+                s = RecrawlState(
+                  s.n + 1,
+                  s.changes + (if (changed) 1L else 0L),
+                  if (s.n == 0 || changed) 0L else s.streak + 1L,
+                  f.ts_ms, f.fp, s.late)
+              }
+            }
+            state.update(s)
+            val interval =
+              baseMs * (1L << math.min(s.streak, maxDoublings.toLong).toInt)
+            Iterator.single(RecrawlRow(url, s.n.toInt, s.changes,
+              s.streak, interval, s.lastTs + interval, s.late))
+          }
+      }
+  }
 }

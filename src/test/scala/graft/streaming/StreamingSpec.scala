@@ -609,6 +609,59 @@ class StreamingSpec extends SparkSuite {
       s.user_id == 1L && s.n_events == 2 && s.session_start == 0L && s.session_end == 10000L))
     assert(!closed.exists(_.user_id == 2L)) // user 2 never exceeded the gap
   }
+  test("recrawlScheduleStream: incremental change-model state across batches, batch parity, late fetches counted") {
+    val base = Files.createTempDirectory("graft-recrawl").toString
+    // u1 churns then settles; u2 is static; u3's batch-2 fetch is
+    // OLDER than its batch-1 fetch (cross-batch disorder -> counted)
+    val b1 = Seq(
+      Streaming.Fetch("u1", 10L, "a"), Streaming.Fetch("u1", 20L, "a"),
+      Streaming.Fetch("u2", 10L, "x"),
+      Streaming.Fetch("u3", 100L, "z"))
+    val b2 = Seq(
+      Streaming.Fetch("u1", 30L, "a"), Streaming.Fetch("u1", 40L, "b"),
+      Streaming.Fetch("u2", 20L, "x"), Streaming.Fetch("u2", 30L, "x"),
+      Streaming.Fetch("u3", 50L, "z"))
+    b1.toDS().repartition(1).write.parquet(s"$base/land/b1")
+    Thread.sleep(1100) // distinct mtimes => deterministic trigger order
+    b2.toDS().repartition(1).write.parquet(s"$base/land/b2")
+    val schema = spark.read.parquet(s"$base/land/b1").schema
+    val stream = Streaming.fileStream(spark, s"$base/land/*", schema,
+      options = Map("maxFilesPerTrigger" -> "1")).as[Streaming.Fetch]
+    val q = Streaming.recrawlScheduleStream(stream, baseMs = 1000L,
+        maxDoublings = 3)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("recrawl")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    q.awaitTermination(300000)
+    val rows = spark.table("recrawl").as[Streaming.RecrawlRow].collect()
+    // final state = the row with the most fetches per url
+    val fin = rows.groupBy(_.url).map { case (u, rs) =>
+      u -> rs.maxBy(r => (r.n_fetches, r.late_fetches)) }
+    // u1: a a a b -> 4 fetches, 1 change, streak 0, base interval
+    assert(fin("u1") === Streaming.RecrawlRow("u1", 4, 1L, 0L,
+      1000L, 1040L, 0L))
+    // u2: x x x -> streak 2, interval base*4
+    assert(fin("u2") === Streaming.RecrawlRow("u2", 3, 0L, 2L,
+      4000L, 4030L, 0L))
+    // u3: the ts=50 arrival is older than state's last_ts=100 ->
+    // counted as late, never folded
+    assert(fin("u3") === Streaming.RecrawlRow("u3", 1, 0L, 0L,
+      1000L, 1100L, 1L))
+    // parity with the batch operator on the in-order urls
+    val batch = graft.llm.Crawl.recrawlSchedule(
+        (b1 ++ b2).toDS().toDF(), "url", "ts_ms", "fp",
+        baseMs = 1000L, maxDoublings = 3)
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    Seq("u1", "u2").foreach { u =>
+      val f = fin(u)
+      assert(batch(u) === ((f.n_fetches, f.n_changes,
+        f.unchanged_streak, f.interval_ms, f.next_fetch_ms)), u)
+    }
+  }
+
   test("streaming frontier admission: trap filter + robots verdicts, batch parity") {
     val base = Files.createTempDirectory("graft-frontier").toString
     val urls = Seq(
