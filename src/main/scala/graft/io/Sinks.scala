@@ -117,6 +117,22 @@ object Sinks {
     * tables only (bucket metadata lives in the catalog), hence
     * `saveAsTable`. See SinksSpec for the plan-level no-Exchange
     * guarantee this buys. */
+  /** Drop `table` from the catalog AND delete its default warehouse
+    * location if a previous session left files behind: an in-memory
+    * catalog forgets its tables at session end while their files
+    * persist, so a later CREATE at the same name fails with
+    * LOCATION_ALREADY_EXISTS. Call before re-creating a managed
+    * table that must be re-writable across sessions. (On a
+    * persistent metastore the DROP alone covers it.) */
+  def dropManagedTable(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
       buckets: Int, format: String = "parquet",
       mode: SaveMode = SaveMode.Overwrite): Unit =

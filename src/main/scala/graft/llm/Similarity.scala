@@ -184,21 +184,8 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     graft.expressions.NativeFunctions.register(corpus.sparkSession)
     val planes = shaPlanes(bands, bitsPerBand, dim)
-    def banded(df: DataFrame, id: String, outId: String): DataFrame = {
-      val buckets = (0 until bands).map { b =>
-        (0 until bitsPerBand).map { j =>
-          when(call_function("graft_dot", col("v"),
-            typedlit(planes(b)(j).toSeq)) >= 0, lit(1 << j)).otherwise(lit(0))
-        }.reduce(_ + _).cast(IntegerType).as(s"b$b")
-      }
-      df.select(col(id).as(outId), asDouble(col(vecCol)).as("v"))
-        .select((col(outId) +: buckets): _*)
-        .select(col(outId),
-          posexplode(array((0 until bands).map(b => col(s"b$b")): _*))
-            .as(Seq("band", "bucket")))
-    }
-    val q = banded(queries, qId, "query_id")
-    val c = banded(corpus, cId, "neighbor_id")
+    val q = shaBandSignatures(queries, qId, "query_id", vecCol, planes)
+    val c = shaBandSignatures(corpus, cId, "neighbor_id", vecCol, planes)
     val candidates = c.join(broadcast(q), Seq("band", "bucket"))
       .select("query_id", "neighbor_id").distinct()
     val qVec = queries.select(col(qId).as("query_id"),
@@ -259,6 +246,172 @@ object Similarity {
     candidates
       .join(broadcast(qVec), Seq("query_id"))
       .join(cVec, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (expr("graft_dot(qv, cv)") / (col("qn") * col("cn"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** SHA-plane band signatures of `df[vecCol]` as exploded
+    * (outId, band, bucket) rows — the shared map-only front of
+    * [[topKLshSha]], [[writeAnnIndex]], and [[probeAnnIndex]]. */
+  private def shaBandSignatures(df: DataFrame, id: String, outId: String,
+      vecCol: String, planes: Array[Array[Array[Double]]]): DataFrame = {
+    graft.expressions.NativeFunctions.register(df.sparkSession)
+    val bands = planes.length
+    val bitsPerBand = planes(0).length
+    val buckets = (0 until bands).map { b =>
+      (0 until bitsPerBand).map { j =>
+        when(call_function("graft_dot", col("v"),
+          typedlit(planes(b)(j).toSeq)) >= 0, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _).cast(IntegerType).as(s"b$b")
+    }
+    df.select(col(id).as(outId), asDouble(col(vecCol)).as("v"))
+      .select((col(outId) +: buckets): _*)
+      .select(col(outId),
+        posexplode(array((0 until bands).map(b => col(s"b$b")): _*))
+          .as(Seq("band", "bucket")))
+  }
+
+  /** A persisted ANN index's handles + banding parameters. */
+  final case class AnnIndex(sigs: DataFrame, vecs: DataFrame,
+    bands: Int, bitsPerBand: Int, dim: Int, buckets: Int)
+
+  /** Persistent ANN INDEX — the embedding sibling of the signature
+    * store: band signatures and vectors land in BUCKETED catalog
+    * tables ONCE, so every later probe (tonight's queries,
+    * tomorrow's trickle) joins exchange-free against the stored
+    * layout instead of re-signaturing the corpus. Planes are the
+    * SHA tier ([[shaPlanes]]) — engine-portable, oracle-checkable.
+    *
+    * Layout: `${prefix}_ann_sigs(band, bucket, neighbor_id)`
+    * bucketed by (band, bucket) — KEYS ONLY, candidate joins never
+    * carry vectors; `${prefix}_ann_vecs(neighbor_id, cv, cn)`
+    * bucketed by neighbor_id — exact ranking reads vectors only for
+    * candidates, and norms are precomputed once at index time;
+    * `${prefix}_ann_meta` one row of banding parameters (a probe can
+    * never run mismatched planes).
+    *
+    * `maxBucket` fails fast on degenerate embedding sets (constant
+    * or near-constant vectors collapse every row into one bucket —
+    * the probe join would go quadratic there), naming the offending
+    * (band, bucket). 0 disables. */
+  def writeAnnIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      tablePrefix: String, bands: Int = 4, bitsPerBand: Int = 8,
+      dim: Int = 64, buckets: Int = 32,
+      maxBucket: Long = 1L << 20): Unit = {
+    require(bands >= 1 && bitsPerBand >= 1 && bitsPerBand <= 24,
+      s"bands=$bands bitsPerBand=$bitsPerBand")
+    val spark = corpus.sparkSession
+    val planes = shaPlanes(bands, bitsPerBand, dim)
+    val sigs = shaBandSignatures(corpus, idCol, "neighbor_id", vecCol,
+      planes).localCheckpoint()
+    if (maxBucket > 0) {
+      val hot = sigs.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
+        .orderBy(col("n").desc).limit(1).collect()
+      require(hot.isEmpty, {
+        val r = hot(0)
+        s"writeAnnIndex: bucket (band=${r.getInt(0)}, " +
+          s"bucket=${r.getInt(1)}) holds ${r.getLong(2)} vectors " +
+          s"(> $maxBucket) — the embedding set is degenerate for " +
+          "these planes; raise bitsPerBand or fix the embeddings"
+      })
+    }
+    val vecs = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"), norm(asDouble(col(vecCol))).as("cn"))
+    // a re-write is a fresh index; also clears locations a previous
+    // session's in-memory catalog left behind (see dropManagedTable)
+    Seq("_ann_sigs", "_ann_vecs", "_ann_meta").foreach(sfx =>
+      graft.io.Sinks.dropManagedTable(spark, tablePrefix + sfx))
+    graft.io.Sinks.writeBucketed(sigs, s"${tablePrefix}_ann_sigs",
+      Seq("band", "bucket"), buckets)
+    graft.io.Sinks.writeBucketed(vecs, s"${tablePrefix}_ann_vecs",
+      Seq("neighbor_id"), buckets)
+    spark.createDataFrame(Seq((bands, bitsPerBand, dim, buckets)))
+      .toDF("bands", "bits_per_band", "dim", "buckets")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(s"${tablePrefix}_ann_meta")
+  }
+
+  def readAnnIndex(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String): AnnIndex = {
+    val m = spark.table(s"${tablePrefix}_ann_meta").head()
+    AnnIndex(spark.table(s"${tablePrefix}_ann_sigs"),
+      spark.table(s"${tablePrefix}_ann_vecs"),
+      m.getAs[Int]("bands"), m.getAs[Int]("bits_per_band"),
+      m.getAs[Int]("dim"), m.getAs[Int]("buckets"))
+  }
+
+  /** Append a batch to a persisted ANN index, idempotently: banding
+    * parameters come from the meta row (never from the caller), only
+    * ids not already present append (re-running a day is a no-op),
+    * and the writes use the index's own bucket count so the
+    * exchange-free layout survives. The merged-bucket guard checks
+    * the TOUCHED buckets' post-append sizes before writing. */
+  def appendToAnnIndex(batch: DataFrame, idCol: String, vecCol: String,
+      tablePrefix: String, maxBucket: Long = 1L << 20): Unit = {
+    val spark = batch.sparkSession
+    val ix = readAnnIndex(spark, tablePrefix)
+    val planes = shaPlanes(ix.bands, ix.bitsPerBand, ix.dim)
+    // fresh = ids not in the stored vec table (idempotent replays)
+    val fresh = batch
+      .join(ix.vecs.select(col("neighbor_id").as(idCol)),
+        Seq(idCol), "left_anti")
+      .localCheckpoint()
+    val sigs = shaBandSignatures(fresh, idCol, "neighbor_id", vecCol,
+      planes).localCheckpoint()
+    if (maxBucket > 0) {
+      val merged = sigs.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("bn"))
+        .join(ix.sigs.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("sn")), Seq("band", "bucket"), "left")
+        .filter(col("bn") + coalesce(col("sn"), lit(0L)) > maxBucket)
+        .orderBy((col("bn") + coalesce(col("sn"), lit(0L))).desc)
+        .limit(1).collect()
+      require(merged.isEmpty, {
+        val r = merged(0)
+        s"appendToAnnIndex: bucket (band=${r.getInt(0)}, " +
+          s"bucket=${r.getInt(1)}) would exceed $maxBucket after " +
+          "this append — degenerate batch for these planes"
+      })
+    }
+    graft.io.Sinks.writeBucketed(sigs, s"${tablePrefix}_ann_sigs",
+      Seq("band", "bucket"), ix.buckets,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    graft.io.Sinks.writeBucketed(
+      fresh.select(col(idCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("cv"),
+        norm(asDouble(col(vecCol))).as("cn")),
+      s"${tablePrefix}_ann_vecs", Seq("neighbor_id"), ix.buckets,
+      mode = org.apache.spark.sql.SaveMode.Append)
+  }
+
+  /** Probe a persisted ANN index: signature the queries under the
+    * index's OWN banding parameters (map-only, broadcast), candidate
+    * join against the bucketed sigs table — keys only, exchange-free
+    * on the index side — then exact cosine ranking against the
+    * bucketed vec table, top-k per query as a WindowGroupLimit.
+    * Same math as [[topKLshSha]] run inline, which is exactly the
+    * point: the index trades one write for every probe's corpus
+    * re-signature. */
+  def probeAnnIndex(queries: DataFrame, qId: String, vecCol: String,
+      tablePrefix: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = queries.sparkSession
+    val ix = readAnnIndex(spark, tablePrefix)
+    val planes = shaPlanes(ix.bands, ix.bitsPerBand, ix.dim)
+    val qSigs = shaBandSignatures(queries, qId, "query_id", vecCol, planes)
+    val candidates = ix.sigs.join(broadcast(qSigs), Seq("band", "bucket"))
+      .select("query_id", "neighbor_id").distinct()
+    val qVec = queries.select(col(qId).as("query_id"),
+      asDouble(col(vecCol)).as("qv"), norm(asDouble(col(vecCol))).as("qn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    candidates
+      .join(broadcast(qVec), Seq("query_id"))
+      .join(ix.vecs, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (expr("graft_dot(qv, cv)") / (col("qn") * col("cn"))).as("cosine"))
       .withColumn("rank", row_number().over(w))

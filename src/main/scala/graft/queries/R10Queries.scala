@@ -756,6 +756,29 @@ object R10Queries {
             col("event_type").as("fp")),
           "url", "ts_ms", "fp", baseMs = 3600000L, maxDoublings = 6)
         .orderBy("url")
+    }),
+
+    // [EXT] PERSISTENT ANN index — the embedding sibling of the q114
+    // signature store: hyperplane band signatures + vectors land in
+    // bucketed catalog tables ONCE (this query builds the index
+    // inline — that is the demo, like q114), then the probe joins
+    // exchange-free against the stored layout: keys-only candidate
+    // join on the (band, bucket)-bucketed sigs table, exact cosine
+    // re-rank against the id-bucketed vec table with norms
+    // precomputed at index time. Identical math to q75's inline
+    // tier — the oracle IS q75's oracle, verbatim — so what this
+    // query pins is that persistence changes nothing: index once,
+    // probe forever.
+    "q183_ann_index" -> ((s, d) => {
+      val emb = T.embeddings(s, d)
+      graft.llm.Similarity.writeAnnIndex(emb, "vec_id", "embedding",
+        "q183_annix", bands = 4, bitsPerBand = 8, dim = 64)
+      graft.llm.Similarity.probeAnnIndex(
+          emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+          "q183_annix", k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine_r"))
+        .orderBy("query_id", "rank")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -866,6 +889,10 @@ object R10Queries {
         |    max_idx - last_change_idx, 6) AS INT)) AS BIGINT)
         |    AS next_fetch_ms
         |FROM s ORDER BY url""".stripMargin,
+    // the persisted-index probe must agree with q75's inline tier to
+    // the bit — same planes, buckets, candidates, ranking
+    "q183_ann_index" ->
+      graft.queries.R3Queries.oracleSql("q75_ann_lsh_sha"),
     "q173_crawl_cycle" ->
       """WITH n AS (SELECT CAST(n_nationkey AS INT) AS k FROM nation),
         |pages AS (

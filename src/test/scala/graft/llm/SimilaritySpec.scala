@@ -91,6 +91,49 @@ class SimilaritySpec extends SparkSuite {
     assert(r.map(_.getAs[Long]("neighbor_id")).contains(100L)) // planted
   }
 
+  test("AnnIndex: persisted probe ≡ inline topKLshSha; append idempotent; degenerate guard fires") {
+    import spark.implicits._
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(64)(j => math.sin(i * 64 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 4)
+    Similarity.writeAnnIndex(vecs, "vec_id", "embedding",
+      "annix_spec", bands = 4, bitsPerBand = 8, dim = 64, buckets = 4)
+    // probe parity with the inline tier, bit for bit
+    val viaIndex = Similarity.probeAnnIndex(queries, "vec_id",
+        "embedding", "annix_spec", k = 5)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val inline = Similarity.topKLshSha(queries, vecs, "vec_id",
+        "vec_id", "embedding", k = 5, bands = 4, bitsPerBand = 8)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(viaIndex === inline)
+    // append new vectors; replaying the same batch is a no-op
+    val batch = (100L until 110L).map { i =>
+      (i, Array.tabulate(64)(j => math.cos(i * 64 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    Similarity.appendToAnnIndex(batch, "vec_id", "embedding", "annix_spec")
+    val n1 = spark.table("annix_spec_ann_vecs").count()
+    val s1 = spark.table("annix_spec_ann_sigs").count()
+    Similarity.appendToAnnIndex(batch, "vec_id", "embedding", "annix_spec")
+    assert(spark.table("annix_spec_ann_vecs").count() === n1)
+    assert(spark.table("annix_spec_ann_sigs").count() === s1)
+    assert(n1 === 70L)
+    // an appended vector is findable: probe with its own embedding
+    val self = Similarity.probeAnnIndex(
+        batch.filter(col("vec_id") === 100L), "vec_id", "embedding",
+        "annix_spec", k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(self.toSeq === Seq((100L, 100L)))
+    // constant vectors collapse into one bucket -> guard names it
+    val degen = (0L until 50L).map(i =>
+      (i, Array.fill(64)(1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.writeAnnIndex(degen, "vec_id", "embedding",
+        "annix_degen", maxBucket = 10L)
+    }
+    assert(e.getMessage.contains("degenerate"))
+  }
+
   test("hyperplane signature: equal vectors share buckets, deterministic") {
     val planes = Similarity.randomPlanes(4, 8, seed = 42L)
     assert(planes === Similarity.randomPlanes(4, 8, seed = 42L))
