@@ -578,7 +578,44 @@ object ScaleSmoke {
         expr("(CAST(length(regexp_replace(text, '[^a-zA-Z]', '')) " +
           "AS BIGINT) * 1000000) div greatest(length(text), 1)"),
         graft.llm.TextAnalysis.tokenCountWs(col("text")),
-        annealFracMicro = 100000L)))
+        annealFracMicro = 100000L)),
+      // persistent ANN index: write n synthetic 64-d vectors into
+      // the bucketed layout, then probe 100 queries against it (the
+      // timer covers signature pass + both bucketed writes + probe)
+      "ann_index" -> (() => {
+        val vecs = spark.range(n).select(col("id"),
+          expr("transform(sequence(0, 63), " +
+            "j -> cast(sin(id * 64 + j) as double))").as("embedding"))
+        graft.llm.Similarity.writeAnnIndex(vecs, "id", "embedding",
+          "scale_annix", bands = 4, bitsPerBand = 8, dim = 64)
+        graft.llm.Similarity.probeAnnIndex(
+          vecs.filter(col("id") < 100), "id", "embedding",
+          "scale_annix", k = 10)
+      }),
+      // WordPiece serving: vocab from a bounded sample (production
+      // trains on a sample), the full corpus encodes map-only
+      "wordpiece_encode" -> (() => {
+        val sample = bpeDocs.limit(20000).select(col("text"))
+        val merges = TrainingOps.trainWordPiece(sample, "text",
+            numMerges = 6)
+          .orderBy("merge_idx").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val vocab = TrainingOps.wordPieceVocab(sample, "text", merges)
+          .collect().map(_.getString(0)).toSeq
+        bpeDocs.select(
+          TrainingOps.wordpieceEncode(col("text"), vocab).as("p"))
+      }),
+      // unigram serving: model from a bounded sample, map-only
+      // Viterbi segmentation of the full corpus
+      "unigram_encode" -> (() => {
+        val sample = bpeDocs.limit(20000).select(col("text"))
+        val model = TrainingOps.trainUnigram(sample, "text",
+            seedSize = 2000, maxPieceLen = 4, emRounds = 2,
+            pruneCount = 200)
+          .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+        bpeDocs.select(
+          TrainingOps.unigramEncode(col("text"), model).as("p"))
+      }))
 
     val hotSet = Set("dup_shingle_audit_hot", "keyword_search_hot",
       "keep_best_hot", "ksample_hot", "kmv_sketch_hot", "line_dedup_hot",
@@ -597,7 +634,8 @@ object ScaleSmoke {
     // materialize the store / BPE corpus before any timer runs
     if (selected.exists(_._1 == "admit_store")) { sigStore; () }
     if (selected.exists(s => s._1.startsWith("bpe_train_inc") ||
-        s._1 == "bpe_train_recount10" || s._1 == "unigram_train")) {
+        s._1 == "bpe_train_recount10" || s._1 == "unigram_train" ||
+        s._1 == "wordpiece_encode" || s._1 == "unigram_encode")) {
       bpeDocs; ()
     }
     if (selected.exists(_._1 == "nightly_loop")) { nightlyStore; () }
