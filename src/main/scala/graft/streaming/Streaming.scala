@@ -480,6 +480,83 @@ object Streaming {
       }
   }
 
+  /** Streaming SEMANTIC admission against a persisted ANN index —
+    * the embedding tier of [[admitAgainstStore]]: an arriving
+    * document (already embedded) is novel iff no indexed vector in
+    * its LSH candidate set reaches `minCosine`. Stateless like the
+    * signature-store tier, and by the same construction: the index's
+    * bucketed sig+vec tables pre-group to one row per (band, bucket)
+    * carrying its candidate (id, vector, norm) list; the arriving
+    * row computes its band buckets IN-ROW (vector and norm staged
+    * once as projected attributes), one stream-static LEFT join per
+    * band (parameter-bounded) attaches the lists, and the best
+    * cosine folds over the flattened distinct candidates with an
+    * aggregate HOF — no watermark, zero streaming state.
+    *
+    * Candidate lists here carry VECTORS (the exact re-rank needs
+    * them), so the index's `maxBucket` must be sized for in-row
+    * lists — think 10²-10³ per bucket, not the batch ceiling; a
+    * 10³-candidate bucket of 64-d doubles is ~0.5 MB per (band,
+    * bucket) row. The grouped side is persisted once per index
+    * version ([[admitAgainstStoreManaged]]'s cache-lifetime
+    * discussion applies verbatim); callers cycling indexes should
+    * use the Managed variant and unpersist the handle. */
+  def admitSemanticAgainstIndex(newStream: DataFrame,
+      ix: graft.llm.Similarity.AnnIndex, idCol: String, vecCol: String,
+      minCosine: Double = 0.95): DataFrame =
+    admitSemanticAgainstIndexManaged(newStream, ix, idCol, vecCol,
+      minCosine)._1
+
+  /** [[admitSemanticAgainstIndex]] plus the persisted grouped-bucket
+    * handle: `(verdicts, index)` — unpersist the handle once the
+    * admission stream stops. */
+  def admitSemanticAgainstIndexManaged(newStream: DataFrame,
+      ix: graft.llm.Similarity.AnnIndex, idCol: String, vecCol: String,
+      minCosine: Double = 0.95): (DataFrame, DataFrame) = {
+    graft.expressions.NativeFunctions.register(newStream.sparkSession)
+    val planes = graft.llm.Similarity.shaPlanes(ix.bands,
+      ix.bitsPerBand, ix.dim)
+    val bucketCands = ix.sigs.join(ix.vecs, Seq("neighbor_id"))
+      .groupBy("band", "bucket")
+      .agg(collect_list(struct(col("neighbor_id"), col("cv"),
+        col("cn"))).as("_cands"))
+      .persist()
+    val vq = graft.llm.Similarity.asDouble(col(vecCol))
+    val buckets = (0 until ix.bands).map { b =>
+      (0 until ix.bitsPerBand).map { j =>
+        when(call_function("graft_dot", col("_v"),
+          typedlit(planes(b)(j).toSeq)) >= 0,
+          lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _).cast(org.apache.spark.sql.types.IntegerType)
+    }
+    val staged = newStream.select(col(idCol), vq.as("_v"))
+      .select(col(idCol), col("_v"),
+        sqrt(call_function("graft_dot", col("_v"), col("_v"))).as("_qn"))
+      .select(col(idCol), col("_v"), col("_qn"),
+        array(buckets: _*).as("_bks"))
+    val joined = (0 until ix.bands).foldLeft(staged) { (acc, b) =>
+      val side = bucketCands.filter(col("band") === b)
+        .select(col("bucket").as(s"_bk$b"), col("_cands").as(s"_c$b"))
+      acc.join(side, element_at(col("_bks"), b + 1) === col(s"_bk$b"),
+        "left")
+    }
+    val cands = array_distinct(flatten(filter(
+      array((0 until ix.bands).map(b => col(s"_c$b")): _*),
+      a => a.isNotNull)))
+    val best = aggregate(col("_cn_all"), lit(-2.0), (m, c) =>
+      greatest(m, call_function("graft_dot", col("_v"),
+        c.getField("cv")) / (col("_qn") * c.getField("cn"))))
+    val verdicts = joined
+      .select(col(idCol), col("_v"), col("_qn"), cands.as("_cn_all"))
+      .select(col(idCol),
+        size(col("_cn_all")).cast("long").as("n_candidates"),
+        when(size(col("_cn_all")) > 0, best).as("best_cosine"))
+      .select(col(idCol), col("n_candidates"), col("best_cosine"),
+        (col("best_cosine").isNull ||
+          col("best_cosine") < minCosine).as("novel"))
+    (verdicts, bucketCands)
+  }
+
   final case class Fetch(url: String, ts_ms: Long, fp: String)
   final case class RecrawlState(n: Long, changes: Long, streak: Long,
     lastTs: Long, prev: String, late: Long)

@@ -609,6 +609,64 @@ class StreamingSpec extends SparkSuite {
       s.user_id == 1L && s.n_events == 2 && s.session_start == 0L && s.session_end == 10000L))
     assert(!closed.exists(_.user_id == 2L)) // user 2 never exceeded the gap
   }
+  test("admitSemanticAgainstIndex: embedding near-dup admission against the persisted ANN index, batch parity") {
+    val base = Files.createTempDirectory("graft-semadmit").toString
+    // murmur-mixed pseudo-random components: sin(i*64+j) would put
+    // every vector in the 2-D span of {sin j, cos j} (all near-
+    // parallel); hashing gives max cross-cosine ~0.4 over this set
+    def mix(x0: Long): Long = {
+      var x = x0
+      x = (x ^ (x >>> 33)) * 0xff51afd7ed558ccdL
+      x = (x ^ (x >>> 33)) * 0xc4ceb9fe1a85ec53L
+      x ^ (x >>> 33)
+    }
+    def vec(i: Long): Array[Float] =
+      Array.tabulate(64)(j =>
+        (((mix(i * 64 + j) >>> 11) % 2003L) / 1001.5f) - 1.0f)
+    val corpus = (0L until 30L).map(i => (i, vec(i)))
+      .toDF("vec_id", "embedding")
+    graft.llm.Similarity.writeAnnIndex(corpus, "vec_id", "embedding",
+      "semadmit_ix", bands = 4, bitsPerBand = 8, dim = 64, buckets = 4)
+    val ix = graft.llm.Similarity.readAnnIndex(spark, "semadmit_ix")
+    // 100: exact copy of corpus vec 5 (cosine 1.0 -> dup);
+    // 101: tiny perturbation of vec 7 (near-dup);
+    // 102: unrelated direction (novel even if it shares a bucket)
+    val tweaked = vec(7).clone(); tweaked(0) = tweaked(0) + 0.01f
+    val newDocs = Seq(
+      (100L, vec(5)), (101L, tweaked),
+      (102L, vec(999L))
+    ).toDF("vec_id", "embedding")
+    newDocs.repartition(3).write.parquet(s"$base/land")
+    val schema = spark.read.parquet(s"$base/land").schema
+    val stream = Streaming.fileStream(spark, s"$base/land", schema,
+      options = Map("maxFilesPerTrigger" -> "1"))
+    val (verdicts, handle) = Streaming.admitSemanticAgainstIndexManaged(
+      stream, ix, "vec_id", "embedding", minCosine = 0.95)
+    val q = verdicts.writeStream.outputMode("append")
+      .format("memory").queryName("semadmit")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    q.awaitTermination(300000)
+    val got = spark.table("semadmit").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(got(100L)._2 === false, s"exact copy must not be novel: $got")
+    assert(got(101L)._2 === false, s"near-dup must not be novel: $got")
+    assert(got(100L)._1 >= 1L && got(101L)._1 >= 1L)
+    assert(got(102L)._2 === true, s"unrelated vector must be novel: $got")
+    // byte parity with the same operator run as a batch plan
+    val viaBatch = Streaming.admitSemanticAgainstIndex(
+        spark.read.parquet(s"$base/land"), ix, "vec_id", "embedding",
+        minCosine = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)), r.getBoolean(3))).sortBy(_._1).toSeq
+    val viaStream = spark.table("semadmit")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)), r.getBoolean(3))).sortBy(_._1).toSeq
+    assert(viaStream === viaBatch)
+    handle.unpersist()
+  }
+
   test("recrawlScheduleStream: incremental change-model state across batches, batch parity, late fetches counted") {
     val base = Files.createTempDirectory("graft-recrawl").toString
     // u1 churns then settles; u2 is static; u3's batch-2 fetch is
