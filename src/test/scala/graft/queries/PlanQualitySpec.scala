@@ -347,4 +347,34 @@ class PlanQualitySpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p.take(1500))
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
+
+  test("q181: anneal plan never plans a global cumsum window") {
+    val p = plan("q181_anneal_plan")
+    // the anneal boundary comes from the two-phase prefix sum — a
+    // Window.orderBy cumsum would serialize the corpus in one task
+    assert(!p.contains("(1) Window"), p.take(1500))
+    assert(!"\\n\\(\\d+\\) Window\\n".r.findAllIn(p).hasNext, p.take(1500))
+  }
+
+  test("q182: recrawl schedule is ONE exchange — no window, no per-URL rank") {
+    val p = plan("q182_recrawl_schedule")
+    assert(!"\\n\\(\\d+\\) Window".r.findAllIn(p).hasNext, p.take(1500))
+    // the groupBy fold is the only hash exchange; the final ORDER BY
+    // is a range exchange
+    assert("Arguments: hashpartitioning".r.findAllIn(p).size === 1,
+      p.take(1500))
+  }
+
+  test("q183: ANN index probe — keys-only candidate join, broadcast queries, top-k as WindowGroupLimit") {
+    val p = plan("q183_ann_index")
+    // the candidate join against the sigs table and both vector
+    // re-attach joins broadcast the (small) query side; the corpus
+    // side must never sort-merge, and per-query top-k must push down
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the bucketed index tables scan as catalog parquet
+    assert(p.contains("_ann_sigs"), p.take(2000))
+    assert(p.contains("_ann_vecs"), p.take(2000))
+  }
 }
