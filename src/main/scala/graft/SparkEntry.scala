@@ -56,7 +56,8 @@ object SparkEntry {
       graft.queries.R7Queries.queries ++
       graft.queries.R8Queries.queries ++
       graft.queries.R9Queries.queries ++
-      graft.queries.R10Queries.queries
+      graft.queries.R10Queries.queries ++
+      graft.queries.R11Queries.queries
 
   /** For each key in queries, equivalent DuckDB SQL on the same parquet
     * tables. Omitted keys → driver records a weaker rows-only check. */
@@ -67,5 +68,6 @@ object SparkEntry {
       graft.queries.R7Queries.oracleSql ++
       graft.queries.R8Queries.oracleSql ++
       graft.queries.R9Queries.oracleSql ++
-      graft.queries.R10Queries.oracleSql
+      graft.queries.R10Queries.oracleSql ++
+      graft.queries.R11Queries.oracleSql
 }

@@ -119,4 +119,62 @@ class SketchesSpec extends SparkSuite {
       .collect().map(_.getLong(2))
     assert(errs.forall(_ === 0L))
   }
+
+  test("hll tier equality: bounded-state sketch ≡ relational oracle spec") {
+    // small group (most registers empty), big group (saturated), nulls
+    // skipped, all-null group drops — multi-partition so the sketch's
+    // partial/merge/final chain exercises real register merges
+    val rows: Seq[(String, Option[Long])] =
+      (1 to 7).map(i => ("small", Option(i.toLong))) ++
+      (1 to 4000).flatMap(i =>
+        Seq(("big", Option(i.toLong)), ("big", Option(i.toLong)))) ++
+      Seq(("small", None), ("allnull", None))
+    val df = rows.toDF("g", "v").repartition(8)
+    def key(r: org.apache.spark.sql.Row) = r.getString(0) ->
+      ((r.getAs[Int]("n_zero"), r.getAs[Long]("denom_scaled"),
+        r.getAs[Long]("hll_est_micro")))
+    val rel = Sketches.hllDistinct(df, Seq("g"), "v", p = 6)
+      .collect().map(key).toMap
+    val sk = Sketches.hllDistinctSketch(df, Seq("g"), "v", p = 6)
+      .collect().map(key).toMap
+    // BIT-equal: same hash space, same registers, same exact-integer
+    // estimator — the tiers are interchangeable
+    assert(sk === rel)
+    assert(!sk.contains("allnull"))
+    // duplicates never move a register: the big group's sketch is a
+    // pure function of its distinct set
+    val dedup = Sketches.hllDistinctSketch(
+      (1 to 4000).map(i => ("big", i.toLong)).toDF("g", "v"),
+      Seq("g"), "v", p = 6).collect().map(key).toMap
+    assert(dedup("big") === sk("big"))
+  }
+
+  test("hllDistinct: estimate within the 1.04/√m error envelope") {
+    // n = 10000 distinct at p=8 (m=256): σ ≈ 6.5%, assert a 4σ bound —
+    // deterministic (SHA hashes), so this can never flake
+    val df = (1 to 10000).map(i => ("g", s"val$i")).toDF("g", "v")
+    val out = Sketches.hllDistinct(df, Seq("g"), "v", p = 8).collect()
+    assert(out.length === 1)
+    val est = out.head.getAs[Long]("hll_est_micro").toDouble / 1e6
+    assert(math.abs(est - 10000.0) / 10000.0 < 0.26, s"est=$est")
+    // saturated regime: no empty registers at n >> m·ln(m)
+    assert(out.head.getAs[Int]("n_zero") === 0)
+  }
+
+  test("hll state stays 2^p bytes: serialize of a saturated sketch") {
+    // direct aggregate-buffer audit: 1M updates, state is exactly m
+    // bytes — the property that makes this THE 100 TB cardinality op
+    val agg = graft.expressions.HllSketchAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal(1L), p = 6)
+    val buf = agg.createAggregationBuffer()
+    val rnd = new scala.util.Random(42)
+    (1 to 1000000).foreach { _ =>
+      val h = rnd.nextLong().abs % (1L << 60)
+      val reg = (h % 64).toInt
+      val w = h / 64
+      val rho = 55 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      if (rho > buf(reg)) buf(reg) = rho.toByte
+    }
+    assert(agg.serialize(buf).length === 64)
+  }
 }
