@@ -235,4 +235,53 @@ object Sketches {
         col("_sk.denom_scaled").as("denom_scaled"),
         hllEstimate(col("_sk.denom_scaled"), p).as("hll_est_micro"))): _*)
   }
+
+  /** The d salted 60-bit hashes a CMS row uses: hash_i =
+    * sha256("cms<i>:" ++ value) truncated to 15 hex chars — same
+    * engine-portable hash space as the KMV/HLL tiers, one salt per
+    * matrix row so the d bucket choices are independent. A NULL value
+    * salts to an all-NULL array (the aggregate skips those rows). */
+  private def cmsHashes(c: Column, d: Int): Column =
+    array((0 until d).map { i =>
+      conv(substring(sha2(
+        concat(lit(s"cms$i:"), c.cast(StringType)), 256), 1, 15), 16, 10)
+        .cast(LongType)
+    }: _*)
+
+  /** Count-Min point-frequency estimates: build ONE d×w sketch over
+    * `df`'s `valueCol` (bounded state — d·w longs through the whole
+    * partial/merge/final chain, whatever the key cardinality), then
+    * answer a frequency query for every row of `probes` as the min
+    * over the d counters the probe hashes into. One-sided error by
+    * construction: `cms_est ≥ true count`, overcount ≤ N/w per row
+    * with high probability.
+    *
+    * Plan shape: one map-side-combined aggregate over the corpus to a
+    * single 1-row sketch, broadcast onto the (small) probe side — the
+    * corpus is never grouped by key, which is the point: a corpus-wide
+    * per-key groupBy at 100 TB shuffles the key space, this shuffles
+    * d·w longs. NULLs are not counted and NULL probes get no row,
+    * matching the KMV/HLL convention. */
+  def cmsFrequencies(df: DataFrame, valueCol: String, probes: DataFrame,
+      probeCol: String, d: Int = 4, w: Int = 512): DataFrame = {
+    require(d >= 1 && d <= 16, s"d must be in [1, 16], got $d")
+    val sk = bridge.column(graft.expressions.CmsSketchAgg(
+      bridge.expression(col("_cms_h")), w).toAggregateExpression())
+    val sketch = df.select(cmsHashes(col(valueCol), d).as("_cms_h"))
+      .filter(!exists(col("_cms_h"), _.isNull))
+      .agg(sk.as("_m"))
+    probes
+      .filter(col(probeCol).isNotNull)
+      .crossJoin(broadcast(sketch))
+      .withColumn("cms_est",
+        // empty-corpus guard: an all-filtered corpus yields a 0-row
+        // matrix; under ANSI the element_at would error, and the
+        // correct point estimate for "nothing counted" is 0
+        when(size(col("_m")) === 0, lit(0L)).otherwise(
+          array_min(transform(
+            cmsHashes(col(probeCol), d),
+            (h, i) => element_at(element_at(col("_m"), i + 1),
+              (h % w).cast(IntegerType) + 1)))))
+      .drop("_m")
+  }
 }

@@ -30,6 +30,28 @@ object R11Queries {
         explode(split(trim(col("text")), "\\s+")).as("word"))
       graft.llm.Sketches.hllDistinctSketch(words, Seq("lang"), "word", p = 6)
         .orderBy("lang")
+    }),
+
+    // [EXT] Count-Min point-frequency estimation: per-user event
+    // counts answered from ONE d×w counter matrix (d=4, w=64 — 2 KiB
+    // of state however many users exist) instead of a corpus-wide
+    // per-key groupBy. w is deliberately smaller than the user
+    // cardinality so the one-sided error regime is exercised: the
+    // oracle replays every counter from the shared salted SHA hash
+    // space and the `overcount` column shows est ≥ exact row by row.
+    // The probe set is chosen AFTER the scan — the property a top-k
+    // sketch can't give.
+    "q185_cms_freq" -> ((s, d) => {
+      val ev = T.events(s, d).select(col("user_id"))
+      val probes = ev.filter(col("user_id") % 13 === 0).distinct()
+      val est = graft.llm.Sketches.cmsFrequencies(
+        ev, "user_id", probes, "user_id", d = 4, w = 64)
+      val exact = ev.filter(col("user_id") % 13 === 0)
+        .groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+      est.join(exact, Seq("user_id"))
+        .select(col("user_id"), col("cms_est"), col("exact_cnt"),
+          (col("cms_est") - col("exact_cnt")).as("overcount"))
+        .orderBy("user_id")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -55,5 +77,33 @@ object R11Queries {
          |SELECT lang, n_zero, denom_scaled,
          |  CAST(CAST('${graft.llm.Sketches.hllNumerator(6)}' AS HUGEINT)
          |    // denom_scaled AS BIGINT) AS hll_est_micro
-         |FROM g ORDER BY lang""".stripMargin)
+         |FROM g ORDER BY lang""".stripMargin,
+
+    "q185_cms_freq" ->
+      """WITH v AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+        |probes AS (SELECT DISTINCT user_id FROM v WHERE user_id % 13 = 0),
+        |hrows AS (SELECT unnest(generate_series(0, 3)) AS i),
+        |cnt AS (
+        |  SELECT i,
+        |    ('0x' || substr(sha256('cms' || CAST(i AS VARCHAR) || ':'
+        |      || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 64 AS bucket,
+        |    count(*) AS c
+        |  FROM v, hrows GROUP BY 1, 2),
+        |est AS (
+        |  SELECT p.user_id, min(c.c) AS cms_est
+        |  FROM probes p
+        |  JOIN hrows r ON TRUE
+        |  JOIN cnt c ON c.i = r.i AND c.bucket =
+        |    ('0x' || substr(sha256('cms' || CAST(r.i AS VARCHAR) || ':'
+        |      || CAST(p.user_id AS VARCHAR)), 1, 15))::BIGINT % 64
+        |  GROUP BY 1),
+        |ex AS (SELECT user_id, count(*) AS exact_cnt FROM v
+        |       WHERE user_id % 13 = 0 GROUP BY 1)
+        |SELECT p.user_id AS user_id, CAST(e.cms_est AS BIGINT) AS cms_est,
+        |  CAST(x.exact_cnt AS BIGINT) AS exact_cnt,
+        |  CAST(e.cms_est - x.exact_cnt AS BIGINT) AS overcount
+        |FROM probes p
+        |JOIN est e ON e.user_id = p.user_id
+        |JOIN ex x ON x.user_id = p.user_id
+        |ORDER BY p.user_id""".stripMargin)
 }

@@ -177,4 +177,39 @@ class SketchesSpec extends SparkSuite {
     }
     assert(agg.serialize(buf).length === 64)
   }
+
+  test("cmsFrequencies: one-sided error — est ≥ exact, bounded overcount") {
+    // 200 distinct keys into w=32 buckets: collisions guaranteed, so
+    // this exercises the estimation regime, not just exact counts.
+    // Deterministic (SHA hashes) — the assertions can never flake.
+    val rows = (1 to 200).flatMap(k => Seq.fill(k % 7 + 1)(s"key$k"))
+    val df = rows.toDF("v").repartition(8)
+    val probes = (1 to 200 by 9).map(k => s"key$k").toDF("pv")
+    val out = Sketches.cmsFrequencies(df, "v", probes, "pv", d = 4, w = 32)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = rows.size.toLong
+    out.foreach { case (k, est) =>
+      assert(est >= exact(k), s"undercount at $k")
+      // CMS bound: overcount per row ~ N/w expected; min over d=4 rows
+      // keeps it well under N/8 for this fixture
+      assert(est - exact(k) <= n / 8, s"overcount ${est - exact(k)} at $k")
+    }
+  }
+
+  test("cms merge chain ≡ single partition; nulls skipped; empty corpus") {
+    val rows: Seq[Option[String]] =
+      (1 to 500).map(i => Option(s"k${i % 40}")) ++ Seq(None, None)
+    val probes = Seq("k0", "k7", "k39").toDF("pv")
+    def run(parts: Int) = Sketches.cmsFrequencies(
+        rows.toDF("v").repartition(parts), "v", probes, "pv", d = 3, w = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(run(8) === run(1)) // partial/merge/final chain is exact
+    // null probe rows drop; empty corpus estimates 0 for every probe
+    val empty = Sketches.cmsFrequencies(
+      Seq.empty[Option[String]].toDF("v"), "v",
+      (Seq(Some("k0"), None): Seq[Option[String]]).toDF("pv"), "pv",
+      d = 3, w = 16).collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(empty.toSeq === Seq("k0" -> 0L))
+  }
 }
