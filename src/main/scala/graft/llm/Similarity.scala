@@ -396,6 +396,118 @@ object Similarity {
     * Same math as [[topKLshSha]] run inline, which is exactly the
     * point: the index trades one write for every probe's corpus
     * re-signature. */
+  // ──────────────────────────────────────────────────────────────────
+  // Product quantization: the 100 TB embedding-compression path. A
+  // 64-float vector (256 B) compresses to nsub one-byte codes (8 B at
+  // nsub=8) against a per-slot codebook; search then runs over codes
+  // with one distance-lookup table per query (ADC — asymmetric
+  // distance computation), so the corpus scan is table lookups, not
+  // float multiplies, and the working set shrinks 32×.
+  //
+  // The codebook here is a DETERMINISTIC hash-rank sample of the
+  // corpus (the ncent rows with the smallest sha256("pq:<salt>:<id>"),
+  // their subvectors forming each slot's centroids) rather than a
+  // Lloyd-trained one: hash-spread sampling is the same bounded,
+  // engine-portable discipline as topKIvf's coarse sampler, and it
+  // makes every code and every ADC distance replayable in the DuckDB
+  // oracle (a k-means codebook would be rows-only-checkable, the q44
+  // caveat). Swap in Lloyd centroids for production recall; the
+  // pipeline shape is identical.
+
+  /** Deterministic PQ codebook: (slot, code, cvec) — ncent centroids
+    * per slot, centroid c of slot s = subvector s of the corpus row
+    * with hash-rank c. Bounded: the sample is a TakeOrdered of ncent
+    * rows; the only window runs over those ncent rows. */
+  def pqCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nsub: Int, ncent: Int, salt: String = ""): DataFrame = {
+    require(dim % nsub == 0, s"dim $dim not divisible by nsub $nsub")
+    val dsub = dim / nsub
+    import org.apache.spark.sql.expressions.Window
+    val ranked = corpus.select(col(idCol).as("_id"),
+      asDouble(col(vecCol)).as("_v"),
+      expr(s"cast(conv(substr(sha2(concat('pq:$salt:', " +
+        s"cast(`$idCol` as string)), 256), 1, 15), 16, 10) as bigint)")
+        .as("_rk"))
+    // TakeOrdered (sort+limit fuses — never a full sort); the
+    // unpartitioned window below ranks only these ncent rows.
+    val samp = ranked.orderBy(col("_rk"), col("_id")).limit(ncent)
+      .withColumn("code",
+        (row_number().over(Window.orderBy(col("_rk"), col("_id"))) - 1)
+          .cast(IntegerType))
+    samp.select(col("code"), col("_v"),
+        explode(sequence(lit(0), lit(nsub - 1))).as("slot"))
+      .select(col("slot"), col("code"),
+        slice(col("_v"), col("slot") * dsub + 1, lit(dsub)).as("cvec"))
+  }
+
+  /** The codebook collected to ONE slot-major, code-ascending array —
+    * the broadcastable form both [[pqEncode]] and [[pqAdcTopK]] join
+    * against (nsub·ncent structs; parameter-bounded). */
+  private def codebookArray(codebook: DataFrame): DataFrame =
+    codebook.agg(sort_array(collect_list(
+      struct(col("slot"), col("code"), col("cvec")))).as("_cb"))
+
+  /** Exact double squared-L2 between a dsub-slice of `v` starting at
+    * element `base+1` and codebook entry `e.cvec` — sequential sum, so
+    * the oracle replays it bit-for-bit. */
+  private def sqDist(e: Column, v: Column, base: Column, dsub: Int): Column =
+    aggregate(sequence(lit(1), lit(dsub)), lit(0.0),
+      (acc, j) => acc + (element_at(v, (base + j).cast(IntegerType)) -
+        element_at(e.getField("cvec"), j.cast(IntegerType))) *
+        (element_at(v, (base + j).cast(IntegerType)) -
+          element_at(e.getField("cvec"), j.cast(IntegerType))))
+
+  /** PQ-encode the corpus: (id, codes array<int>) — code s = argmin
+    * over slot-s centroids of exact squared-L2, ties to the lowest
+    * code. Map-only: the codebook rides as one broadcast array; no
+    * shuffle touches the corpus. */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, dim: Int, nsub: Int, ncent: Int): DataFrame = {
+    val dsub = dim / nsub
+    corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("_v"))
+      .crossJoin(broadcast(codebookArray(codebook)))
+      .select(col("id"), transform(sequence(lit(0), lit(nsub - 1)), s => {
+        val entries = slice(col("_cb"), s * ncent + 1, lit(ncent))
+        val dists = transform(entries,
+          e => sqDist(e, col("_v"), s * dsub, dsub))
+        (array_position(dists, array_min(dists)) - 1).cast(IntegerType)
+      }).as("codes"))
+  }
+
+  /** ADC top-k over PQ codes: per query, one lookup table of exact
+    * micro-unit distances to every (slot, code) centroid — integer, so
+    * the per-candidate sum is order-free and engine-exact — then the
+    * corpus scan is nsub table lookups per candidate. Same broadcast-
+    * the-small-side shape as [[topKBruteForce]]; the per-pair cost
+    * drops from dim multiplies to nsub lookups. Output: (query_id,
+    * rank, neighbor_id, adc_micro), ranked ascending (ADC is a
+    * distance), ties to the lower neighbor id. */
+  def pqAdcTopK(queries: DataFrame, corpus: DataFrame, qId: String,
+      cId: String, vecCol: String, codebook: DataFrame, dim: Int,
+      nsub: Int, ncent: Int, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dsub = dim / nsub
+    val codes = pqEncode(corpus, cId, vecCol, codebook, dim, nsub, ncent)
+      .withColumnRenamed("id", "neighbor_id")
+    val qlut = queries
+      .select(col(qId).as("query_id"), asDouble(col(vecCol)).as("_qv"))
+      .crossJoin(broadcast(codebookArray(codebook)))
+      .select(col("query_id"), transform(col("_cb"), e =>
+        floor(sqDist(e, col("_qv"), e.getField("slot") * dsub, dsub) *
+          lit(1e6)).cast(LongType)).as("_lut"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_micro"), col("neighbor_id"))
+    codes.crossJoin(broadcast(qlut))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(sequence(lit(0), lit(nsub - 1)), lit(0L),
+          (acc, s) => acc + element_at(col("_lut"),
+            (s * ncent + element_at(col("codes"),
+              s.cast(IntegerType) + 1) + 1).cast(IntegerType)))
+          .as("adc_micro"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   def probeAnnIndex(queries: DataFrame, qId: String, vecCol: String,
       tablePrefix: String, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window

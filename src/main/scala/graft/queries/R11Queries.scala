@@ -52,9 +52,102 @@ object R11Queries {
         .select(col("user_id"), col("cms_est"), col("exact_cnt"),
           (col("cms_est") - col("exact_cnt")).as("overcount"))
         .orderBy("user_id")
+    }),
+
+    // [EXT] product-quantization encode: every embedding compressed to
+    // 8 one-byte codes (32× smaller than 64 float32s) against a
+    // deterministic hash-rank-sampled codebook — map-only, the
+    // codebook rides as one broadcast array. The oracle rebuilds the
+    // sample, the per-slot centroids, and every exact-double argmin,
+    // so the compression is value-verified code by code (a Lloyd
+    // codebook would be rows-only; see Similarity.pqCodebook).
+    "q186_pq_encode" -> ((s, d) => {
+      val emb = T.embeddings(s, d)
+      val cb = graft.llm.Similarity.pqCodebook(
+        emb, "vec_id", "embedding", dim = 64, nsub = 8, ncent = 16,
+        salt = "186")
+      graft.llm.Similarity.pqEncode(emb, "vec_id", "embedding", cb,
+          64, 8, 16)
+        .select(col("id").as("vec_id"),
+          posexplode(col("codes")).as(Seq("slot", "code")))
+        .orderBy("vec_id", "slot")
+    }),
+
+    // [EXT] ADC top-k search over the PQ codes: per query one integer
+    // micro-unit lookup table (slot × centroid exact distances), then
+    // the corpus scan is 8 table lookups per candidate instead of 64
+    // float multiplies — the compressed-domain search that makes a
+    // 100 TB embedding sweep IO-bound instead of FLOP-bound. Integer
+    // LUT entries make the candidate sums order-free, so the oracle
+    // replays the full ranking exactly.
+    "q187_pq_adc_topk" -> ((s, d) => {
+      val emb = T.embeddings(s, d)
+      val cb = graft.llm.Similarity.pqCodebook(
+        emb, "vec_id", "embedding", dim = 64, nsub = 8, ncent = 16,
+        salt = "186")
+      graft.llm.Similarity.pqAdcTopK(emb.filter(col("vec_id") < 8), emb,
+          "vec_id", "vec_id", "embedding", cb, 64, 8, 16, k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("adc_micro"))
+        .orderBy("query_id", "rank")
     }))
 
+  /** Shared PQ oracle prelude: hash-rank sample → per-slot codebook →
+    * exact-double squared-L2 of EVERY (vector, slot, centroid) →
+    * argmin codes. `dist` doubles as q187's per-query lookup table. */
+  private val pqCte =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+      |    AS v
+      |  FROM embeddings),
+      |r AS (SELECT vec_id, v,
+      |        ('0x' || substr(sha256('pq:186:' ||
+      |          CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS rk
+      |      FROM e),
+      |samp AS (SELECT v, row_number() OVER (ORDER BY rk, vec_id) - 1
+      |           AS code
+      |         FROM r ORDER BY rk, vec_id LIMIT 16),
+      |cb AS (SELECT ss.s AS slot, code,
+      |         list_transform(generate_series(1, 8),
+      |           j -> v[ss.s * 8 + j]) AS cvec
+      |       FROM samp, (SELECT unnest(generate_series(0, 7)) AS s) ss),
+      |dist AS (
+      |  SELECT e.vec_id, cb.slot, cb.code,
+      |    list_sum(list_transform(generate_series(1, 8),
+      |      j -> (e.v[cb.slot * 8 + j] - cb.cvec[j])
+      |         * (e.v[cb.slot * 8 + j] - cb.cvec[j]))) AS dd
+      |  FROM e, cb),
+      |codes AS (
+      |  SELECT vec_id, slot, code FROM (
+      |    SELECT vec_id, slot, code, row_number() OVER
+      |      (PARTITION BY vec_id, slot ORDER BY dd, code) AS rn
+      |    FROM dist)
+      |  WHERE rn = 1)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q186_pq_encode" ->
+      s"""$pqCte
+         |SELECT vec_id, CAST(slot AS INT) AS slot,
+         |  CAST(code AS INT) AS code
+         |FROM codes ORDER BY vec_id, slot""".stripMargin,
+
+    "q187_pq_adc_topk" ->
+      s"""$pqCte,
+         |lut AS (SELECT vec_id AS query_id, slot, code,
+         |          CAST(floor(dd * 1000000.0) AS BIGINT) AS d_micro
+         |        FROM dist WHERE vec_id < 8),
+         |adc AS (SELECT l.query_id, c.vec_id AS neighbor_id,
+         |          sum(l.d_micro) AS adc_micro
+         |        FROM codes c
+         |        JOIN lut l ON l.slot = c.slot AND l.code = c.code
+         |        GROUP BY 1, 2),
+         |rk AS (SELECT query_id, neighbor_id, adc_micro,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY adc_micro, neighbor_id) AS rank
+         |       FROM adc)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+         |  CAST(adc_micro AS BIGINT) AS adc_micro
+         |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q184_hll_distinct" ->
       s"""WITH w AS (
          |  SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+'))

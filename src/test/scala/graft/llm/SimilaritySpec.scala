@@ -146,4 +146,62 @@ class SimilaritySpec extends SparkSuite {
     assert(sigs(1L) === sigs(2L))
     assert(sigs(1L) !== sigs(3L)) // antipodal vector flips every bit
   }
+
+  test("pqEncode/pqAdcTopK ≡ independent Scala mirror (full differential)") {
+    import spark.implicits._
+    val dim = 8; val nsub = 4; val ncent = 4; val dsub = dim / nsub
+    val vecs = (0L until 30L).map { i =>
+      (i, Array.tabulate(dim)(j => math.sin(i * dim + j).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding").repartition(4)
+
+    // ── Scala mirror, written independently of the Column code ──
+    def rank(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(s"pq:t:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val sample = vecs.sortBy(v => (rank(v._1), v._1)).take(ncent)
+    // codebook(s)(c) = subvector s of sample row c, as doubles
+    val cbm = Array.tabulate(nsub, ncent)((s, c) =>
+      sample(c)._2.slice(s * dsub, (s + 1) * dsub).map(_.toDouble))
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var j = 0
+      while (j < a.length) { acc += (a(j) - b(j)) * (a(j) - b(j)); j += 1 }
+      acc
+    }
+    def enc(v: Array[Float]): Array[Int] = Array.tabulate(nsub) { s =>
+      val sub = v.slice(s * dsub, (s + 1) * dsub).map(_.toDouble)
+      val ds = cbm(s).map(sq(sub, _))
+      ds.indexOf(ds.min)
+    }
+    val wantCodes = vecs.map { case (id, v) => id -> enc(v).toSeq }.toMap
+
+    val cb = Similarity.pqCodebook(df, "vec_id", "embedding", dim, nsub,
+      ncent, salt = "t")
+    val gotCodes = Similarity.pqEncode(df, "vec_id", "embedding", cb,
+        dim, nsub, ncent)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(gotCodes === wantCodes)
+
+    // ADC: integer micro LUT, min-distance ranking, id tiebreak
+    val queries = vecs.take(2)
+    val wantAdc = queries.flatMap { case (qid, qv) =>
+      val lut = Array.tabulate(nsub, ncent)((s, c) => math.floor(
+        sq(qv.slice(s * dsub, (s + 1) * dsub).map(_.toDouble),
+          cbm(s)(c)) * 1e6).toLong)
+      vecs.map { case (nid, _) =>
+        val codes = wantCodes(nid)
+        (qid, nid, codes.zipWithIndex.map { case (c, s) => lut(s)(c) }.sum)
+      }.sortBy(t => (t._3, t._2)).take(3).zipWithIndex
+        .map { case ((q, n, a), i) => (q, i + 1, n, a) }
+    }.toSet
+    val gotAdc = Similarity.pqAdcTopK(df.filter(col("vec_id") < 2), df,
+        "vec_id", "vec_id", "embedding", cb, dim, nsub, ncent, k = 3)
+      .select("query_id", "rank", "neighbor_id", "adc_micro")
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(gotAdc === wantAdc)
+  }
 }
