@@ -615,6 +615,33 @@ object ScaleSmoke {
           .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
         bpeDocs.select(
           TrainingOps.unigramEncode(col("text"), model).as("p"))
+      }),
+      // fixed-state sketches over the exploded token stream — the
+      // state bound is the point: 2^p bytes per group (HLL) and one
+      // d×w matrix (CMS) through every partial/merge/final chain,
+      // never a corpus-wide per-key groupBy
+      "hll" -> (() => graft.llm.Sketches.hllDistinctSketch(
+        docs.select(col("lang"),
+          explode(split(trim(col("text")), "\\s+")).as("w")),
+        Seq("lang"), "w", p = 12)),
+      "cms" -> (() => {
+        val toks = docs.select(
+          explode(split(trim(col("text")), "\\s+")).as("w"))
+        graft.llm.Sketches.cmsFrequencies(toks, "w",
+          toks.limit(200).distinct(), "w", d = 4, w = 4096)
+      }),
+      // product quantization: encode n 64-d vectors against a
+      // 16-centroid/slot codebook (map-only, broadcast codebook),
+      // then ADC-rank 100 queries over the full compressed corpus
+      // (WindowGroupLimit keeps the per-query top-k partial)
+      "pq" -> (() => {
+        val vecs = spark.range(n).select(col("id"),
+          expr("transform(sequence(0, 63), " +
+            "j -> cast(sin(id * 64 + j) as float))").as("embedding"))
+        val cb = graft.llm.Similarity.pqCodebook(vecs, "id",
+          "embedding", 64, 8, 16, salt = "smoke")
+        graft.llm.Similarity.pqAdcTopK(vecs.filter(col("id") < 100),
+          vecs, "id", "id", "embedding", cb, 64, 8, 16, k = 10)
       }))
 
     val hotSet = Set("dup_shingle_audit_hot", "keyword_search_hot",

@@ -278,6 +278,143 @@ object Similarity {
   final case class AnnIndex(sigs: DataFrame, vecs: DataFrame,
     bands: Int, bitsPerBand: Int, dim: Int, buckets: Int)
 
+  /** Resolved ANN-index metadata — the embedding sibling of
+    * [[Dedup.StoreMeta]]: banding parameters, the current data-table
+    * version (None ⇒ a legacy unversioned layout from an older
+    * session — still readable; the first maintenance op migrates it),
+    * and the append fencing sequence. Same discipline as the
+    * signature store: readers resolve the current version from the
+    * ONE-ROW meta table, maintenance writes a complete new version
+    * and flips that row, and an append-only `_ann_applog` fence log
+    * makes append-vs-maintenance lost writes impossible in any
+    * interleaving (see Dedup.fencedVersionFlip's proof — the ANN flip
+    * is the same three-arm argument). */
+  private[llm] final case class AnnMeta(bands: Int, bitsPerBand: Int,
+      dim: Int, buckets: Int, version: Option[Int], appendSeq: Long) {
+    def sigsTable(p: String): String =
+      version.map(v => s"${p}_ann_v${v}_sigs").getOrElse(s"${p}_ann_sigs")
+    def vecsTable(p: String): String =
+      version.map(v => s"${p}_ann_v${v}_vecs").getOrElse(s"${p}_ann_vecs")
+  }
+
+  private[llm] def readAnnMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String): AnnMeta = {
+    val t = s"${tablePrefix}_ann_meta"
+    // same mid-flip read-window retry as Dedup.readStoreMeta: the
+    // INSERT OVERWRITE flip can transiently expose an empty table or
+    // a missing-file scan to a racing reader
+    val maxAttempts = 6
+    var attempt = 0
+    var found: Option[(Array[String], org.apache.spark.sql.Row)] = None
+    while (found.isEmpty && attempt < maxAttempts) {
+      if (attempt > 0) {
+        Thread.sleep(100L << (attempt - 1))
+        spark.catalog.refreshTable(t)
+      }
+      try {
+        val df = spark.table(t)
+        val h = df.head(1)
+        if (h.nonEmpty) found = Some((df.columns, h(0)))
+      } catch {
+        case e: Exception
+            if attempt < maxAttempts - 1 &&
+              Option(e.getMessage).exists(_.contains("does not exist")) =>
+          () // mid-flip file-listing race — retry (final attempt rethrows)
+      }
+      attempt += 1
+    }
+    val (cols, m) = found.getOrElse(throw new IllegalStateException(
+      s"readAnnMeta: $t still empty after $attempt attempts — a flip " +
+        "exposes an empty table only for its commit window; rebuild " +
+        "with writeAnnIndex or host the meta on an atomic-commit format"))
+    AnnMeta(m.getAs[Int]("bands"), m.getAs[Int]("bits_per_band"),
+      m.getAs[Int]("dim"), m.getAs[Int]("buckets"),
+      if (cols.contains("version")) Some(m.getAs[Int]("version")) else None,
+      if (cols.contains("append_seq")) m.getAs[Long]("append_seq") else 0L)
+  }
+
+  /** One-row meta write — INSERT OVERWRITE when the schema matches,
+    * so a mid-flip reader sees old row or new row, never an absent
+    * table (Dedup.writeStoreMeta's contract). */
+  private def writeAnnMeta(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, m: AnnMeta): Unit = {
+    import spark.implicits._
+    require(m.version.isDefined, "writeAnnMeta: version must be resolved")
+    val df = Seq((m.bands, m.bitsPerBand, m.dim, m.buckets,
+        m.version.get, m.appendSeq))
+      .toDF("bands", "bits_per_band", "dim", "buckets", "version",
+        "append_seq")
+    val t = s"${tablePrefix}_ann_meta"
+    if (spark.catalog.tableExists(t) &&
+        spark.table(t).columns.sameElements(df.columns))
+      df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).insertInto(t)
+    else
+      df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(t)
+  }
+
+  private def annApplogCount(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String): Long = {
+    val t = s"${tablePrefix}_ann_applog"
+    if (spark.catalog.tableExists(t)) spark.table(t).count() else 0L
+  }
+
+  private def annApplogAppend(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, seq: Long): Unit = {
+    import spark.implicits._
+    Seq(seq).toDF("seq").write
+      .mode(org.apache.spark.sql.SaveMode.Append)
+      .format("parquet").saveAsTable(s"${tablePrefix}_ann_applog")
+  }
+
+  /** Drop every ANN data table of `tablePrefix` (any `_vN_` version or
+    * the legacy unversioned names) not in `keep`. */
+  private def dropSupersededAnnTables(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, keep: Set[String]): Unit = {
+    val pat = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(tablePrefix) +
+        "_ann(_v\\d+)?_(sigs|vecs)")
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(t => pat.matcher(t).matches() && !keep.contains(t))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  /** ANN maintenance COMMIT — fencing re-check → meta flip →
+    * post-flip verify (with rollback) → grace drop; the exact
+    * [[Dedup.fencedVersionFlip]] argument with (sigs, vecs) in place
+    * of (hashes, banded, buckets). `midFlipHook` is the test seam in
+    * the residual check-to-flip window. */
+  private def annFencedFlip(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, m0: AnnMeta, applog0: Long,
+      newTables: Seq[String], flipTo: AnnMeta => AnnMeta,
+      keep: Set[String], op: String,
+      midFlipHook: () => Unit = () => ()): Unit = {
+    val m1 = readAnnMeta(spark, tablePrefix)
+    if (m1.appendSeq != m0.appendSeq || m1.version != m0.version ||
+        annApplogCount(spark, tablePrefix) != applog0) {
+      newTables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      throw new IllegalStateException(
+        s"$op: index $tablePrefix changed while rewriting " +
+          s"(append_seq ${m0.appendSeq} -> ${m1.appendSeq}) — the " +
+          "concurrent append is preserved in the live index and this " +
+          "maintenance wrote nothing; re-run it")
+    }
+    midFlipHook()
+    writeAnnMeta(spark, tablePrefix, flipTo(m1))
+    if (m0.version.isDefined &&
+        annApplogCount(spark, tablePrefix) != applog0) {
+      val mR = readAnnMeta(spark, tablePrefix)
+      writeAnnMeta(spark, tablePrefix, mR.copy(version = m0.version))
+      throw new IllegalStateException(
+        s"$op: an append landed inside $tablePrefix's flip window — " +
+          "the flip was rolled back (meta re-points at the snapshot " +
+          "version, which holds the append); re-run the maintenance")
+    }
+    dropSupersededAnnTables(spark, tablePrefix,
+      keep + m0.sigsTable(tablePrefix) + m0.vecsTable(tablePrefix))
+  }
+
   /** Persistent ANN INDEX — the embedding sibling of the signature
     * store: band signatures and vectors land in BUCKETED catalog
     * tables ONCE, so every later probe (tonight's queries,
@@ -321,27 +458,31 @@ object Similarity {
     }
     val vecs = corpus.select(col(idCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("cv"), norm(asDouble(col(vecCol))).as("cn"))
-    // a re-write is a fresh index; also clears locations a previous
-    // session's in-memory catalog left behind (see dropManagedTable)
-    Seq("_ann_sigs", "_ann_vecs", "_ann_meta").foreach(sfx =>
-      graft.io.Sinks.dropManagedTable(spark, tablePrefix + sfx))
-    graft.io.Sinks.writeBucketed(sigs, s"${tablePrefix}_ann_sigs",
+    // a re-write is a fresh index: clear every version's tables, the
+    // fence log, and any locations a previous session's in-memory
+    // catalog left behind (see dropManagedTable)
+    val pat = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(tablePrefix) +
+        "_ann(_v\\d+)?_(sigs|vecs|meta|applog)")
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(pat.matcher(_).matches())
+      .foreach(graft.io.Sinks.dropManagedTable(spark, _))
+    Seq("_ann_v1_sigs", "_ann_v1_vecs", "_ann_meta", "_ann_applog")
+      .foreach(sfx => graft.io.Sinks.dropManagedTable(spark, tablePrefix + sfx))
+    graft.io.Sinks.writeBucketed(sigs, s"${tablePrefix}_ann_v1_sigs",
       Seq("band", "bucket"), buckets)
-    graft.io.Sinks.writeBucketed(vecs, s"${tablePrefix}_ann_vecs",
+    graft.io.Sinks.writeBucketed(vecs, s"${tablePrefix}_ann_v1_vecs",
       Seq("neighbor_id"), buckets)
-    spark.createDataFrame(Seq((bands, bitsPerBand, dim, buckets)))
-      .toDF("bands", "bits_per_band", "dim", "buckets")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .saveAsTable(s"${tablePrefix}_ann_meta")
+    writeAnnMeta(spark, tablePrefix,
+      AnnMeta(bands, bitsPerBand, dim, buckets, Some(1), 0L))
   }
 
   def readAnnIndex(spark: org.apache.spark.sql.SparkSession,
       tablePrefix: String): AnnIndex = {
-    val m = spark.table(s"${tablePrefix}_ann_meta").head()
-    AnnIndex(spark.table(s"${tablePrefix}_ann_sigs"),
-      spark.table(s"${tablePrefix}_ann_vecs"),
-      m.getAs[Int]("bands"), m.getAs[Int]("bits_per_band"),
-      m.getAs[Int]("dim"), m.getAs[Int]("buckets"))
+    val m = readAnnMeta(spark, tablePrefix)
+    AnnIndex(spark.table(m.sigsTable(tablePrefix)),
+      spark.table(m.vecsTable(tablePrefix)),
+      m.bands, m.bitsPerBand, m.dim, m.buckets)
   }
 
   /** Append a batch to a persisted ANN index, idempotently: banding
@@ -351,9 +492,21 @@ object Similarity {
     * exchange-free layout survives. The merged-bucket guard checks
     * the TOUCHED buckets' post-append sizes before writing. */
   def appendToAnnIndex(batch: DataFrame, idCol: String, vecCol: String,
-      tablePrefix: String, maxBucket: Long = 1L << 20): Unit = {
+      tablePrefix: String, maxBucket: Long = 1L << 20): Unit =
+    appendToAnnIndexHooked(batch, idCol, vecCol, tablePrefix, maxBucket)
+
+  /** Append with a test seam (`midAppendHook` runs after the data
+    * writes land and before the fence-log row — the window the fence
+    * argument reasons about). */
+  private[graft] def appendToAnnIndexHooked(batch: DataFrame,
+      idCol: String, vecCol: String, tablePrefix: String,
+      maxBucket: Long = 1L << 20,
+      midAppendHook: () => Unit = () => ()): Unit = {
     val spark = batch.sparkSession
-    val ix = readAnnIndex(spark, tablePrefix)
+    val m0 = readAnnMeta(spark, tablePrefix)
+    val ix = AnnIndex(spark.table(m0.sigsTable(tablePrefix)),
+      spark.table(m0.vecsTable(tablePrefix)),
+      m0.bands, m0.bitsPerBand, m0.dim, m0.buckets)
     val planes = shaPlanes(ix.bands, ix.bitsPerBand, ix.dim)
     // fresh = ids not in the stored vec table (idempotent replays)
     val fresh = batch
@@ -377,25 +530,93 @@ object Similarity {
           "this append — degenerate batch for these planes"
       })
     }
-    graft.io.Sinks.writeBucketed(sigs, s"${tablePrefix}_ann_sigs",
+    graft.io.Sinks.writeBucketed(sigs, m0.sigsTable(tablePrefix),
       Seq("band", "bucket"), ix.buckets,
       mode = org.apache.spark.sql.SaveMode.Append)
     graft.io.Sinks.writeBucketed(
       fresh.select(col(idCol).as("neighbor_id"),
         asDouble(col(vecCol)).as("cv"),
         norm(asDouble(col(vecCol))).as("cn")),
-      s"${tablePrefix}_ann_vecs", Seq("neighbor_id"), ix.buckets,
+      m0.vecsTable(tablePrefix), Seq("neighbor_id"), ix.buckets,
       mode = org.apache.spark.sql.SaveMode.Append)
+    // FENCE (legacy unversioned indexes skip — migrate via a
+    // maintenance op first): land the append-only log row, then
+    // re-check the version; a maintenance flip that landed while this
+    // append was writing means the rows went into superseded tables —
+    // abort and re-run (idempotent against the current version).
+    if (m0.version.isDefined) {
+      midAppendHook()
+      annApplogAppend(spark, tablePrefix, m0.appendSeq + 1)
+      val m1 = readAnnMeta(spark, tablePrefix)
+      if (m1.version != m0.version)
+        throw new IllegalStateException(
+          s"appendToAnnIndex: index $tablePrefix was rewritten by a " +
+            "maintenance op during this append — the rows landed in a " +
+            "superseded version; re-run the append (idempotent) " +
+            "against the current version")
+      writeAnnMeta(spark, tablePrefix,
+        m1.copy(appendSeq = m1.appendSeq + 1))
+    }
   }
 
-  /** Probe a persisted ANN index: signature the queries under the
-    * index's OWN banding parameters (map-only, broadcast), candidate
-    * join against the bucketed sigs table — keys only, exchange-free
-    * on the index side — then exact cosine ranking against the
-    * bucketed vec table, top-k per query as a WindowGroupLimit.
-    * Same math as [[topKLshSha]] run inline, which is exactly the
-    * point: the index trades one write for every probe's corpus
-    * re-signature. */
+  /** Remove ids from a persisted ANN index — the embedding takedown
+    * path, mirroring [[Dedup.removeFromSignatureStore]]: a complete
+    * new version of both data tables is written WITHOUT the removed
+    * ids while the current version stays live, then the one-row meta
+    * flips under the fence (see [[annFencedFlip]]). Unlike the
+    * signature store there is no retained-hash caveat: the vectors
+    * ARE the index, so a removed id stops matching immediately. Also
+    * the legacy-layout migration path: maintaining an unversioned
+    * index rewrites it as v1. */
+  def removeFromAnnIndex(ids: DataFrame, idCol: String,
+      tablePrefix: String): Unit =
+    rewriteAnnIndex(ids.sparkSession, tablePrefix,
+      "removeFromAnnIndex", () => ()) { (sigs, vecs) =>
+      val rm = ids.select(col(idCol).as("neighbor_id")).distinct()
+        .localCheckpoint()
+      (sigs.join(rm, Seq("neighbor_id"), "left_anti"),
+        vecs.join(rm, Seq("neighbor_id"), "left_anti"))
+    }
+
+  /** Compact a persisted ANN index: rewrite the current version's
+    * tables (collapsing the one-file-set-per-append accumulation back
+    * to one bucketed write) into version N+1 and flip. Data-identical
+    * by construction; the point is file-count hygiene after a season
+    * of nightly appends. */
+  def compactAnnIndex(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String): Unit =
+    compactAnnIndexHooked(spark, tablePrefix)
+
+  private[graft] def compactAnnIndexHooked(
+      spark: org.apache.spark.sql.SparkSession, tablePrefix: String,
+      midFlipHook: () => Unit = () => ()): Unit =
+    rewriteAnnIndex(spark, tablePrefix, "compactAnnIndex",
+      midFlipHook)((sigs, vecs) => (sigs, vecs))
+
+  /** Shared maintenance body: snapshot meta + fence log, write the
+    * transformed tables as version N+1, commit via [[annFencedFlip]]. */
+  private def rewriteAnnIndex(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, op: String, midFlipHook: () => Unit)(
+      transform: (DataFrame, DataFrame) => (DataFrame, DataFrame)): Unit = {
+    val m0 = readAnnMeta(spark, tablePrefix)
+    val applog0 = annApplogCount(spark, tablePrefix)
+    val vN = m0.version.getOrElse(0) + 1
+    val (newSigs, newVecs) = transform(
+      spark.table(m0.sigsTable(tablePrefix)),
+      spark.table(m0.vecsTable(tablePrefix)))
+    val sigsT = s"${tablePrefix}_ann_v${vN}_sigs"
+    val vecsT = s"${tablePrefix}_ann_v${vN}_vecs"
+    // rewrites DROP their target first: a previous aborted/rolled-back
+    // maintenance may have left vN tables as reader grace
+    Seq(sigsT, vecsT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    graft.io.Sinks.writeBucketed(newSigs.localCheckpoint(), sigsT,
+      Seq("band", "bucket"), m0.buckets)
+    graft.io.Sinks.writeBucketed(newVecs.localCheckpoint(), vecsT,
+      Seq("neighbor_id"), m0.buckets)
+    annFencedFlip(spark, tablePrefix, m0, applog0, Seq(sigsT, vecsT),
+      _.copy(version = Some(vN)), Set(sigsT, vecsT), op, midFlipHook)
+  }
+
   // ──────────────────────────────────────────────────────────────────
   // Product quantization: the 100 TB embedding-compression path. A
   // 64-float vector (256 B) compresses to nsub one-byte codes (8 B at
@@ -508,6 +729,105 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training: per anchor, the k
+    * most-cosine-similar corpus vectors with a DIFFERENT label — close
+    * in embedding space but the wrong class, the negatives that
+    * actually move a contrastive loss. Same broadcast-the-queries
+    * map-only shape as [[topKBruteForce]] (swap the corpus side for
+    * [[pqAdcTopK]]'s compressed scan at 100 TB); NULL-labeled rows are
+    * never mined and NULL-labeled anchors get no rows (an unlabeled
+    * vector cannot certify "different class"). Output: (query_id,
+    * rank, neighbor_id, n_label, cosine). */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, qId: String,
+      cId: String, vecCol: String, labelCol: String,
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.expressions.NativeFunctions.register(corpus.sparkSession)
+    val q = queries.select(col(qId).as("query_id"),
+      col(labelCol).as("q_label"), asDouble(col(vecCol)).as("qv"),
+      norm(asDouble(col(vecCol))).as("qn"))
+    val c = corpus.select(col(cId).as("neighbor_id"),
+      col(labelCol).as("n_label"), asDouble(col(vecCol)).as("cv"),
+      norm(asDouble(col(vecCol))).as("cn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("n_label") =!= col("q_label")) // NULL labels drop
+      .select(col("query_id"), col("neighbor_id"), col("n_label"),
+        (expr("graft_dot(qv, cv)") / (col("qn") * col("cn"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "n_label", "cosine")
+  }
+
+  /** Two-stage compressed-domain retrieval — the production ANN
+    * pipeline shape (FAISS IVF-PQ + refine): (1) LSH band signatures
+    * generate candidates (keys only), (2) ADC over PQ codes ranks
+    * them cheaply and keeps a shortlist of m, (3) exact cosine
+    * re-ranks only those m. The corpus is touched map-only (signature
+    * pass + code scan); every join broadcasts the query-derived small
+    * side; stage-2 cost is nsub lookups per candidate and stage-3
+    * cost is m exact dots per query. Every stage is deterministic, so
+    * the DuckDB oracle replays candidates, shortlist, and final ranks
+    * bit for bit. */
+  def twoStageRetrieve(queries: DataFrame, corpus: DataFrame,
+      qId: String, cId: String, vecCol: String, codebook: DataFrame,
+      dim: Int, nsub: Int, ncent: Int, bands: Int = 4,
+      bitsPerBand: Int = 8, m: Int = 20, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.expressions.NativeFunctions.register(corpus.sparkSession)
+    val dsub = dim / nsub
+    val planes = shaPlanes(bands, bitsPerBand, dim)
+    val qSigs = shaBandSignatures(queries, qId, "query_id", vecCol, planes)
+    val cSigs = shaBandSignatures(corpus, cId, "neighbor_id", vecCol,
+      planes)
+    val candidates = cSigs.join(broadcast(qSigs), Seq("band", "bucket"))
+      .select("query_id", "neighbor_id").distinct()
+    val codes = pqEncode(corpus, cId, vecCol, codebook, dim, nsub, ncent)
+      .withColumnRenamed("id", "neighbor_id")
+    val qlut = queries
+      .select(col(qId).as("query_id"), asDouble(col(vecCol)).as("_qv"))
+      .crossJoin(broadcast(codebookArray(codebook)))
+      .select(col("query_id"), transform(col("_cb"), e =>
+        floor(sqDist(e, col("_qv"), e.getField("slot") * dsub, dsub) *
+          lit(1e6)).cast(LongType)).as("_lut"))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adc_micro"), col("neighbor_id"))
+    val shortlist = codes
+      .join(broadcast(candidates), Seq("neighbor_id"))
+      .join(broadcast(qlut), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(sequence(lit(0), lit(nsub - 1)), lit(0L),
+          (acc, s) => acc + element_at(col("_lut"),
+            (s * ncent + element_at(col("codes"),
+              s.cast(IntegerType) + 1) + 1).cast(IntegerType)))
+          .as("adc_micro"))
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= m)
+      .select("query_id", "neighbor_id")
+    val qVec = queries.select(col(qId).as("query_id"),
+      asDouble(col(vecCol)).as("qv"), norm(asDouble(col(vecCol))).as("qn"))
+    val cVec = corpus.select(col(cId).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"), norm(asDouble(col(vecCol))).as("cn"))
+    val wK = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cVec.join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(broadcast(qVec), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (expr("graft_dot(qv, cv)") / (col("qn") * col("cn"))).as("cosine"))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** Probe a persisted ANN index: signature the queries under the
+    * index's OWN banding parameters (map-only, broadcast), candidate
+    * join against the bucketed sigs table — keys only, exchange-free
+    * on the index side — then exact cosine ranking against the
+    * bucketed vec table, top-k per query as a WindowGroupLimit.
+    * Same math as [[topKLshSha]] run inline, which is exactly the
+    * point: the index trades one write for every probe's corpus
+    * re-signature. */
   def probeAnnIndex(queries: DataFrame, qId: String, vecCol: String,
       tablePrefix: String, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -112,11 +112,11 @@ class SimilaritySpec extends SparkSuite {
       (i, Array.tabulate(64)(j => math.cos(i * 64 + j).toFloat))
     }.toDF("vec_id", "embedding")
     Similarity.appendToAnnIndex(batch, "vec_id", "embedding", "annix_spec")
-    val n1 = spark.table("annix_spec_ann_vecs").count()
-    val s1 = spark.table("annix_spec_ann_sigs").count()
+    val n1 = spark.table("annix_spec_ann_v1_vecs").count()
+    val s1 = spark.table("annix_spec_ann_v1_sigs").count()
     Similarity.appendToAnnIndex(batch, "vec_id", "embedding", "annix_spec")
-    assert(spark.table("annix_spec_ann_vecs").count() === n1)
-    assert(spark.table("annix_spec_ann_sigs").count() === s1)
+    assert(spark.table("annix_spec_ann_v1_vecs").count() === n1)
+    assert(spark.table("annix_spec_ann_v1_sigs").count() === s1)
     assert(n1 === 70L)
     // an appended vector is findable: probe with its own embedding
     val self = Similarity.probeAnnIndex(
@@ -132,6 +132,69 @@ class SimilaritySpec extends SparkSuite {
         "annix_degen", maxBucket = 10L)
     }
     assert(e.getMessage.contains("degenerate"))
+  }
+
+  test("AnnIndex maintenance: remove excludes ids, compact is data-identical, fence preserves an in-window append") {
+    import spark.implicits._
+    val pfx = "annix_mnt"
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(64)(j => math.sin(i * 64 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    Similarity.writeAnnIndex(vecs, "vec_id", "embedding", pfx,
+      bands = 4, bitsPerBand = 8, dim = 64, buckets = 4)
+
+    // takedown: removed ids stop matching immediately (vectors ARE the
+    // index — no retained-hash caveat), survivors still probe exact
+    Similarity.removeFromAnnIndex(Seq(5L, 6L).toDF("vec_id"), "vec_id", pfx)
+    assert(Similarity.readAnnMeta(spark, pfx).version === Some(2))
+    val probeRemoved = Similarity.probeAnnIndex(
+        vecs.filter(col("vec_id") === 5L), "vec_id", "embedding", pfx, k = 3)
+      .collect().map(_.getLong(2)).toSet
+    assert(!probeRemoved.contains(5L) && !probeRemoved.contains(6L))
+    val survivor = Similarity.probeAnnIndex(
+        vecs.filter(col("vec_id") === 7L), "vec_id", "embedding", pfx, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(survivor.toSeq === Seq((7L, 7L)))
+
+    // appends land in the flipped version and stay findable
+    val batch = (200L until 205L).map { i =>
+      (i, Array.tabulate(64)(j => math.cos(i * 64 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    Similarity.appendToAnnIndex(batch, "vec_id", "embedding", pfx)
+    assert(spark.table(s"${pfx}_ann_v2_vecs").count() === 43L)
+
+    // compaction: one version bump, byte-identical contents
+    def snap() = (
+      spark.table(Similarity.readAnnMeta(spark, pfx).sigsTable(pfx))
+        .collect().map(_.toSeq).toSet,
+      spark.table(Similarity.readAnnMeta(spark, pfx).vecsTable(pfx))
+        .collect().map(_.toSeq).toSet)
+    val before = snap()
+    Similarity.compactAnnIndex(spark, pfx)
+    assert(Similarity.readAnnMeta(spark, pfx).version === Some(3))
+    assert(snap() === before)
+
+    // FENCE: an append landing inside the compaction's check-to-flip
+    // window must survive — the flip rolls back, the maintenance
+    // throws, and the live index holds the append
+    val batch2 = (300L until 303L).map { i =>
+      (i, Array.tabulate(64)(j => math.cos(i * 64 + 7 * j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val e = intercept[IllegalStateException] {
+      Similarity.compactAnnIndexHooked(spark, pfx, () =>
+        Similarity.appendToAnnIndex(batch2, "vec_id", "embedding", pfx))
+    }
+    assert(e.getMessage.contains("rolled back"))
+    assert(Similarity.readAnnMeta(spark, pfx).version === Some(3))
+    val found = Similarity.probeAnnIndex(
+        batch2.filter(col("vec_id") === 300L), "vec_id", "embedding",
+        pfx, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(found.toSeq === Seq((300L, 300L)))
+    // the aborted maintenance is re-runnable and keeps the append
+    Similarity.compactAnnIndex(spark, pfx)
+    assert(Similarity.readAnnMeta(spark, pfx).version === Some(4))
+    assert(spark.table(s"${pfx}_ann_v4_vecs").count() === 46L)
   }
 
   test("hyperplane signature: equal vectors share buckets, deterministic") {

@@ -374,7 +374,7 @@ class PlanQualitySpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
     // the bucketed index tables scan as catalog parquet
-    assert(p.contains("_ann_sigs"), p.take(2000))
-    assert(p.contains("_ann_vecs"), p.take(2000))
+    assert(p.contains("_ann_v1_sigs"), p.take(2000))
+    assert(p.contains("_ann_v1_vecs"), p.take(2000))
   }
 }
