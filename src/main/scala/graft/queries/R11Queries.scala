@@ -90,6 +90,40 @@ object R11Queries {
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           col("adc_micro"))
         .orderBy("query_id", "rank")
+    }),
+
+    // [EXT] hard-negative mining for contrastive training: per
+    // anchor, the 5 most-cosine-similar vectors with a DIFFERENT
+    // label — close in embedding space but the wrong class. Map-only
+    // over the corpus (anchors broadcast); the oracle replays the
+    // full label-excluded ranking.
+    "q188_hard_negatives" -> ((s, d) => {
+      val emb = T.embeddings(s, d)
+      graft.llm.Similarity.hardNegatives(emb.filter(col("vec_id") < 8),
+          emb, "vec_id", "vec_id", "embedding", "label", k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("n_label"), round(col("cosine"), 4).as("cosine_r"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // [EXT] two-stage compressed-domain retrieval (the FAISS
+    // IVF-PQ + refine pipeline shape): LSH band candidates → ADC
+    // shortlist of 20 over the PQ codes → exact cosine re-rank of
+    // only those 20. Each stage is deterministic, so the oracle
+    // replays candidates, shortlist, and final ranks bit for bit —
+    // the whole production retrieval path value-verified, not just
+    // its pieces.
+    "q189_two_stage" -> ((s, d) => {
+      val emb = T.embeddings(s, d)
+      val cb = graft.llm.Similarity.pqCodebook(
+        emb, "vec_id", "embedding", dim = 64, nsub = 8, ncent = 16,
+        salt = "186")
+      graft.llm.Similarity.twoStageRetrieve(emb.filter(col("vec_id") < 8),
+          emb, "vec_id", "vec_id", "embedding", cb, 64, 8, 16,
+          bands = 4, bitsPerBand = 8, m = 20, k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine_r"))
+        .orderBy("query_id", "rank")
     }))
 
   /** Shared PQ oracle prelude: hash-rank sample → per-slot codebook →
@@ -198,5 +232,90 @@ object R11Queries {
         |FROM probes p
         |JOIN est e ON e.user_id = p.user_id
         |JOIN ex x ON x.user_id = p.user_id
-        |ORDER BY p.user_id""".stripMargin)
+        |ORDER BY p.user_id""".stripMargin,
+
+    "q188_hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |nrm AS (SELECT vec_id, label, v,
+        |          sqrt(list_sum(list_transform(generate_series(1, 64),
+        |            i -> v[i] * v[i]))) AS nn
+        |        FROM e),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    c.label AS n_label,
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> q.v[i] * c.v[i])) / (q.nn * c.nn) AS cosine
+        |  FROM nrm q, nrm c
+        |  WHERE q.vec_id < 8 AND c.label <> q.label),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, n_label, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+        |  n_label, round(cosine, 4) AS cosine_r
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q189_two_stage" ->
+      s"""$pqCte,
+         |pl AS (
+         |  SELECT b, j,
+         |    list(CASE WHEN ('0x' || substr(sha256(b || ':' || j || ':'
+         |        || (i-1)), 1, 2))::INT % 2 = 0
+         |      THEN 1.0 ELSE -1.0 END ORDER BY i) AS h
+         |  FROM (SELECT unnest(generate_series(0, 3)) AS b),
+         |       (SELECT unnest(generate_series(0, 7)) AS j),
+         |       (SELECT unnest(generate_series(1, 64)) AS i)
+         |  GROUP BY b, j),
+         |sig AS (
+         |  SELECT e.vec_id, pl.b,
+         |    CAST(sum(CASE WHEN list_sum(list_transform(
+         |        generate_series(1, 64), kk -> v[kk] * h[kk])) >= 0
+         |      THEN 1 << j ELSE 0 END) AS INT) AS bucket
+         |  FROM e, pl GROUP BY e.vec_id, pl.b),
+         |cand AS (
+         |  SELECT DISTINCT qs.vec_id AS query_id, cs.vec_id AS neighbor_id
+         |  FROM sig qs JOIN sig cs ON qs.b = cs.b AND qs.bucket = cs.bucket
+         |  WHERE qs.vec_id < 8),
+         |lut AS (SELECT vec_id AS query_id, slot, code,
+         |          CAST(floor(dd * 1000000.0) AS BIGINT) AS d_micro
+         |        FROM dist WHERE vec_id < 8),
+         |adc AS (SELECT ca.query_id, ca.neighbor_id,
+         |          sum(l.d_micro) AS adc_micro
+         |        FROM cand ca
+         |        JOIN codes c ON c.vec_id = ca.neighbor_id
+         |        JOIN lut l ON l.query_id = ca.query_id
+         |          AND l.slot = c.slot AND l.code = c.code
+         |        GROUP BY 1, 2),
+         |short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER
+         |      (PARTITION BY query_id ORDER BY adc_micro, neighbor_id)
+         |      AS ar
+         |    FROM adc)
+         |  WHERE ar <= 20),
+         |nrm AS (SELECT vec_id, v,
+         |          sqrt(list_sum(list_transform(generate_series(1, 64),
+         |            i -> v[i] * v[i]))) AS nn
+         |        FROM e),
+         |scored AS (
+         |  SELECT s.query_id, s.neighbor_id,
+         |    list_sum(list_transform(generate_series(1, 64),
+         |      i -> q.v[i] * c.v[i])) / (q.nn * c.nn) AS cosine
+         |  FROM short s
+         |  JOIN nrm q ON q.vec_id = s.query_id
+         |  JOIN nrm c ON c.vec_id = s.neighbor_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+         |  round(cosine, 4) AS cosine_r
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin)
 }

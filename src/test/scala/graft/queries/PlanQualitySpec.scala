@@ -377,4 +377,40 @@ class PlanQualitySpec extends SparkSuite {
     assert(p.contains("_ann_v1_sigs"), p.take(2000))
     assert(p.contains("_ann_v1_vecs"), p.take(2000))
   }
+
+  test("q184: HLL — one hash exchange (the register fold), no window") {
+    val p = plan("q184_hll_distinct")
+    // the sketch aggregate is a TypedImperativeAggregate → object agg;
+    // the corpus is NEVER grouped per distinct value
+    assert(p.contains("ObjectHashAggregate"), p.take(1500))
+    assert(!"\\n\\(\\d+\\) Window".r.findAllIn(p).hasNext, p.take(1500))
+    assert("Arguments: hashpartitioning".r.findAllIn(p).size === 1,
+      p.take(1500))
+  }
+
+  test("q185: CMS — corpus never grouped by key, sketch broadcast to probes") {
+    val p = plan("q185_cms_freq")
+    assert(p.contains("ObjectHashAggregate"), p.take(1500))
+    assert(p.contains("BroadcastExchange"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert(!"\\n\\(\\d+\\) Window".r.findAllIn(p).hasNext, p.take(1500))
+  }
+
+  test("q186: PQ encode — map-only corpus pass, broadcast codebook, no shuffle joins") {
+    val p = plan("q186_pq_encode")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q187/q188/q189: compressed search + mining — broadcast small sides, partial top-k") {
+    for (q <- Seq("q187_pq_adc_topk", "q188_hard_negatives",
+        "q189_two_stage")) {
+      val p = plan(q)
+      // per-query top-k must push down before the rank shuffle
+      assert(p.contains("WindowGroupLimit"), s"$q: ${p.take(1500)}")
+      assert(!p.contains("SortMergeJoin"), s"$q: ${p.take(1500)}")
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(1500)}")
+    }
+  }
 }
