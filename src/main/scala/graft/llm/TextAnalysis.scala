@@ -664,6 +664,75 @@ object TextAnalysis {
         sum("lp_micro").as("sum_logprob_micro"))
   }
 
+  /** Interpolated Kneser-Ney bigram model (Kneser & Ney 1995; the
+    * smoothing a CCNet-style corpus-quality LM actually uses) with
+    * absolute discount D = 3/4, in EXACT micro-units: the whole
+    * probability is one rational —
+    *
+    *   P(w|u) = [max(4·c(u,w) − 3, 0)·N₊₊ + 3·N₁₊(u·)·N₁₊(·w)]
+    *            / (4·c(u·)·N₊₊)
+    *
+    * (numerator and denominator scaled by the discount's 4; N₁₊(u·) =
+    * distinct continuations of u, N₁₊(·w) = distinct histories of w —
+    * the continuation counts that make KN rank "Francisco" low as a
+    * fresh continuation despite its raw frequency — N₊₊ = distinct
+    * bigrams), evaluated as a single 128-bit integer floor division,
+    * so every probability — including UNSEEN pairs, the point of
+    * smoothing — is engine-exact. Probes are the `probeTopK`×
+    * `probeTopK` pair grid of the top unigrams (count desc, word
+    * tie-break) restricted to u seen as a history (c(u·) > 0 — the
+    * backoff-to-unigram arm for unseen histories is a separate model
+    * choice, and dividing by zero is not it).
+    *
+    * Scale shape: counts are three hash aggregates over the bigram
+    * stream (map-side partials); the probe grid is parameter-bounded;
+    * N₊₊ rides as a broadcast single-row aggregate. Output: (u, w, c,
+    * p_micro) — Σ_w P(w|u) over the FULL vocab is 1 by construction
+    * (spec-verified on a closed fixture). */
+  def kneserNeyBigram(df: DataFrame, textCol: String,
+      probeTopK: Int = 8): DataFrame = {
+    require(probeTopK >= 1, s"probeTopK must be >= 1, got $probeTopK")
+    val base = df.select(tokens(col(textCol)).as("_ws"))
+      .withColumn("_n", size(col("_ws")))
+    val bg = base.select(
+        explode(when(col("_n") >= 2,
+            arrays_zip(slice(col("_ws"), lit(1), col("_n") - 1).as("w1"),
+                       slice(col("_ws"), lit(2), col("_n") - 1).as("w2")))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as("_p"))
+      .select(col("_p").getField("w1").as("w1"),
+        col("_p").getField("w2").as("w2"))
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val cu = c12.groupBy("w1").agg(sum("c").as("c_u"),
+      count(lit(1)).as("n1u"))
+    val cw = c12.groupBy("w2").agg(count(lit(1)).as("n1w"))
+    val ncc = c12.agg(count(lit(1)).as("ncc"))
+    val uni = base.select(explode(col("_ws")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("tc"))
+      .orderBy(col("tc").desc, col("t")).limit(probeTopK)
+    val probes = uni.select(col("t").as("u"))
+      .crossJoin(uni.select(col("t").as("w")))
+    probes
+      // name-keyed joins on renamed frames: cu/cw/c12 share lineage
+      // (all derive from the bigram stream), so df("col") equality
+      // predicates would be ambiguous self-join references
+      .join(cu.select(col("w1").as("u"), col("c_u"), col("n1u")),
+        Seq("u")) // inner: only seen histories
+      .join(cw.select(col("w2").as("w"), col("n1w")), Seq("w"), "left")
+      .join(c12.select(col("w1").as("u"), col("w2").as("w"), col("c")),
+        Seq("u", "w"), "left")
+      .crossJoin(broadcast(ncc))
+      .select(col("u"), col("w"),
+        coalesce(col("c"), lit(0L)).as("c"),
+        col("c_u"), col("n1u"),
+        coalesce(col("n1w"), lit(0L)).as("n1w"), col("ncc"))
+      .withColumn("p_micro", expr(
+        "CAST((CAST(greatest(4 * c - 3, 0) AS DECIMAL(38,0)) * ncc " +
+          "+ CAST(3 AS DECIMAL(38,0)) * n1u * n1w) * 1000000 div " +
+          "(CAST(4 AS DECIMAL(38,0)) * c_u * ncc) AS BIGINT)"))
+      .select("u", "w", "c", "p_micro")
+  }
+
   /** CCNet-style perplexity banding over [[bigramLogProb]]: rank every
     * document by mean bigram log-probability (best first, doc id
     * tie-break) and split the corpus into `nBuckets` equal bands —

@@ -1093,6 +1093,32 @@ object TrainingOps {
     spark.createDataFrame(ranked, schema.add("rank", LongType,
       nullable = false))
   }
+
+  /** Length-bucketed batching ("sorted batching"): order documents by
+    * token count (desc, doc-id tie-break), cut the global order into
+    * fixed-size batches, and account the padding each batch wastes —
+    * the batch plan that minimizes pad tokens for fixed-shape training
+    * steps (every batch pads to ITS max, and sorting puts like lengths
+    * together). Scale shape: the global order is [[globalRank]]'s
+    * range-parallel rank (never an unpartitioned window), and the
+    * per-batch max is a window over exactly `batchSize` rows. Output:
+    * (doc_id, n_tokens, batch_id, batch_max, pad_tokens). */
+  def lengthBatching(df: DataFrame, idCol: String, textCol: String,
+      batchSize: Int = 32): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("doc_id"),
+      size(split(trim(col(textCol)), "\\s+")).as("n_tokens"))
+    val ranked = globalRank(base,
+      Seq(col("n_tokens").desc, col("doc_id")))
+    val w = Window.partitionBy("batch_id")
+    ranked
+      .withColumn("batch_id", expr(s"(rank - 1) div $batchSize"))
+      .withColumn("batch_max", max(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("n_tokens"), col("batch_id"),
+        col("batch_max"),
+        (col("batch_max") - col("n_tokens")).as("pad_tokens"))
+  }
   /** Pack CONCATENATION — the step between [[packByTokenBudget]] and
     * the tokenizer: each (shard, pack) becomes ONE training sequence,
     * its documents joined in pack order by the end-of-document

@@ -124,7 +124,29 @@ object R11Queries {
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round(col("cosine"), 4).as("cosine_r"))
         .orderBy("query_id", "rank")
-    }))
+    }),
+
+    // [EXT] length-bucketed batching ("sorted batching"): the batch
+    // plan for fixed-shape training steps — docs ordered by token
+    // count through the range-parallel globalRank (never an
+    // unpartitioned window), cut into 32-doc batches, each padding to
+    // ITS max. pad_tokens makes the waste auditable; the oracle
+    // replays rank, batch cut, and per-batch max exactly.
+    "q190_length_batching" -> ((s, d) =>
+      graft.llm.TrainingOps.lengthBatching(
+          T.documents(s, d), "doc_id", "text", batchSize = 32)
+        .orderBy("batch_id", "doc_id")),
+
+    // [EXT] interpolated Kneser-Ney bigram model, exact micro-units:
+    // the CCNet-style corpus-quality LM's smoothing, as ONE rational
+    // per pair evaluated with a single 128-bit integer floor division
+    // — so even UNSEEN-pair probabilities (the point of smoothing, and
+    // of KN's continuation counts) hash-match the oracle. Probes are
+    // the top-8 unigram grid.
+    "q191_kneser_ney" -> ((s, d) =>
+      graft.llm.TextAnalysis.kneserNeyBigram(
+          T.documents(s, d), "text", probeTopK = 8)
+        .orderBy("u", "w")))
 
   /** Shared PQ oracle prelude: hash-rank sample → per-slot codebook →
     * exact-double squared-L2 of EVERY (vector, slot, centroid) →
@@ -317,5 +339,54 @@ object R11Queries {
          |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
          |  round(cosine, 4) AS cosine_r
          |FROM ranked WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin)
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "q190_length_batching" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT)
+        |      AS n_tokens
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_tokens,
+        |        row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
+        |      FROM t),
+        |b AS (SELECT doc_id, n_tokens,
+        |        CAST((rn - 1) // 32 AS BIGINT) AS batch_id
+        |      FROM r)
+        |SELECT doc_id, n_tokens, batch_id,
+        |  CAST(max(n_tokens) OVER (PARTITION BY batch_id) AS INT)
+        |    AS batch_max,
+        |  CAST(max(n_tokens) OVER (PARTITION BY batch_id) - n_tokens
+        |    AS INT) AS pad_tokens
+        |FROM b ORDER BY batch_id, doc_id""".stripMargin,
+
+    "q191_kneser_ney" ->
+      """WITH base AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |n0 AS (SELECT ws, len(ws) AS n FROM base),
+        |bg AS (SELECT unnest(ws[1:n-1]) AS w1, unnest(ws[2:n]) AS w2
+        |       FROM n0 WHERE n >= 2),
+        |c12 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+        |cu AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c_u,
+        |         count(*) AS n1u
+        |       FROM c12 GROUP BY 1),
+        |cw AS (SELECT w2, count(*) AS n1w FROM c12 GROUP BY 1),
+        |ncc AS (SELECT count(*) AS ncc FROM c12),
+        |uni AS (SELECT tok AS t, count(*) AS tc
+        |        FROM (SELECT unnest(ws) AS tok FROM n0)
+        |        GROUP BY 1 ORDER BY tc DESC, t LIMIT 8),
+        |probes AS (SELECT a.t AS u, b.t AS w FROM uni a, uni b),
+        |j AS (SELECT p.u, p.w, coalesce(c12.c, 0) AS c,
+        |        cu.c_u, cu.n1u, coalesce(cw.n1w, 0) AS n1w, ncc.ncc
+        |      FROM probes p
+        |      JOIN cu ON cu.w1 = p.u
+        |      LEFT JOIN cw ON cw.w2 = p.w
+        |      LEFT JOIN c12 ON c12.w1 = p.u AND c12.w2 = p.w
+        |      CROSS JOIN ncc)
+        |SELECT u, w, CAST(c AS BIGINT) AS c,
+        |  CAST((CAST(greatest(4 * c - 3, 0) AS HUGEINT) * ncc
+        |      + CAST(3 AS HUGEINT) * n1u * n1w) * 1000000
+        |    // (CAST(4 AS HUGEINT) * c_u * ncc) AS BIGINT) AS p_micro
+        |FROM j ORDER BY u, w""".stripMargin)
 }

@@ -622,4 +622,32 @@ class TextAnalysisSpec extends SparkSuite {
     assert(got("https://a.com/p") === "https://a.com/p")
     assert(got("https://a.com/p#frag") === "https://a.com/p")
   }
+
+  test("kneserNeyBigram: sums to 1 per history; continuation counts rank fresh continuations") {
+    // "francisco": frequent (10) but ONE history; "cat": rarer (4)
+    // but FOUR histories. KN's continuation counts must rank cat
+    // above francisco as an UNSEEN continuation — the signature
+    // behavior raw-frequency backoff gets wrong.
+    val docs = (Seq.fill(10)("san francisco") ++
+      Seq("the cat", "a cat", "my cat", "one cat") ++
+      Seq("zz qq")).toDF("text")
+    // probeTopK = whole vocab (10 types) → the probe grid closes over
+    // every continuation, so Σ_w P(w|u) must be 1 up to floor loss
+    val out = TextAnalysis.kneserNeyBigram(docs, "text", probeTopK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val byU = out.groupBy(_._1._1)
+    byU.foreach { case (u, rows) =>
+      val total = rows.values.map(_._2).sum
+      assert(total <= 1000000L && total >= 1000000L - rows.size,
+        s"sum for $u = $total")
+    }
+    // unseen continuations of "zz": cat (4 histories) beats
+    // francisco (1 history) despite francisco's 2.5× raw frequency
+    assert(out(("zz", "cat"))._1 === 0L)
+    assert(out(("zz", "francisco"))._1 === 0L)
+    assert(out(("zz", "cat"))._2 > out(("zz", "francisco"))._2)
+    // seen mass dominates: P(francisco|san) ≈ 1 (only continuation)
+    assert(out(("san", "francisco"))._2 > 900000L)
+  }
 }

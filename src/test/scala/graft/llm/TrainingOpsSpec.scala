@@ -821,4 +821,30 @@ class TrainingOpsSpec extends SparkSuite {
     // unk occurrences can never exceed total words
     assert(wp.getLong(5) >= 0L && wp.getLong(5) <= wp.getLong(2))
   }
+
+  test("lengthBatching: sorted batches, per-batch max padding, Scala mirror") {
+    import spark.implicits._
+    // 10 docs with token counts 1..10 (doc i has i words), batch 3
+    val docs = (1 to 10).map(i => (i.toLong, Seq.fill(i)("w").mkString(" ")))
+      .toDF("doc_id", "text").repartition(4)
+    val got = TrainingOps.lengthBatching(docs, "doc_id", "text",
+        batchSize = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getInt(3), r.getInt(4))).toMap
+    // mirror: order by (tokens desc, id) → ranks; batch = (rank-1)/3
+    val order = (1 to 10).map(i => (i.toLong, i))
+      .sortBy { case (id, n) => (-n, id) }
+    val want = order.zipWithIndex.map { case ((id, n), idx) =>
+      val b = idx / 3
+      val bmax = order.slice(b * 3, b * 3 + 3).map(_._2).max
+      id -> ((n, b.toLong, bmax, bmax - n))
+    }.toMap
+    assert(got === want)
+    // sorted batching wastes less than naive id-order batching
+    val sortedWaste = got.values.map(_._4).sum
+    val naive = (1 to 10).grouped(3).flatMap { g =>
+      val m = g.max; g.map(m - _)
+    }.sum
+    assert(sortedWaste <= naive)
+  }
 }
