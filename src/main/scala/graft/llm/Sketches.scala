@@ -52,6 +52,11 @@ object Sketches {
     s"cast(conv(substr(sha2(cast(`$valueCol` as string), 256), 1, 15), " +
       "16, 10) as bigint)")
 
+  /** The shared 60-bit hash, exposed for the streaming sketch tiers
+    * (Streaming.cardinalityMonitorStream) so batch and stream agree
+    * register for register. */
+  private[graft] def hash60(valueCol: String): Column = kmvHash(valueCol)
+
   private val twoPow60 = 1152921504606846976L // 2^60, hash-space size
 
   /** Shared estimator: exact count when distinct < k (all hashes

@@ -621,4 +621,57 @@ object Streaming {
           }
       }
   }
+
+  final case class HllRow(group: String, n_zero: Int,
+    denom_scaled: Long, hll_est_micro: Long)
+
+  /** Streaming cardinality monitor: per-group distinct-count estimate
+    * maintained incrementally across micro-batches with FIXED state —
+    * the 2^p HLL registers (64 bytes at the default p=6) per group,
+    * FOREVER, however many distinct values stream past. Registers are
+    * max-merged (associative, idempotent), so the monitor's estimate
+    * after any prefix of batches equals the batch
+    * [[graft.llm.Sketches.hllDistinctSketch]] over the union of those
+    * batches — register for register, spec-pinned including across a
+    * stop/restart (the state survives in the checkpoint). Hashes are
+    * the shared SHA-60-bit space; NULL values are not counted.
+    * Emits one (group, n_zero, denom_scaled, hll_est_micro) row per
+    * group touched per trigger — run with Update output mode. */
+  def cardinalityMonitorStream(events: DataFrame, groupCol: String,
+      valueCol: String, p: Int = 6): Dataset[HllRow] = {
+    require(p >= 4 && p <= 16, s"p must be in [4, 16], got $p")
+    val m = 1 << p
+    val bigS = 61 - p
+    val numer = graft.llm.Sketches.hllNumerator(p)
+    import events.sparkSession.implicits._
+    events
+      .select(col(groupCol).cast("string").as("g"),
+        graft.llm.Sketches.hash60(valueCol).as("h"))
+      .filter(col("h").isNotNull)
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[(String, Long)],
+            state: GroupState[Array[Byte]]) =>
+          val regs = state.getOption.getOrElse(new Array[Byte](m))
+          rows.foreach { case (_, h) =>
+            val reg = (h % m).toInt
+            val rho = bigS -
+              (64 - java.lang.Long.numberOfLeadingZeros(h / m))
+            if (rho > regs(reg)) regs(reg) = rho.toByte
+          }
+          state.update(regs)
+          var zeros = 0
+          var denom = 0L
+          var i = 0
+          while (i < m) {
+            if (regs(i) == 0) zeros += 1
+            denom += 1L << (bigS - regs(i))
+            i += 1
+          }
+          // same integer division as the Column-layer estimator
+          HllRow(g, zeros, denom, numer
+            .divide(java.math.BigInteger.valueOf(denom)).longValueExact())
+      }
+  }
 }

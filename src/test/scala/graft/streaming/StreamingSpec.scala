@@ -768,4 +768,53 @@ class StreamingSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
     assert(streamed === batch)
   }
+
+  test("cardinalityMonitorStream: batch-sketch parity per prefix, state survives restart") {
+    val land = Files.createTempDirectory("graft-hllmon").toString
+    val ckpt = land + "-ckpt"
+    val b1: Seq[(String, String)] =
+      (1 to 300).map(i => ("a", s"v${i % 100}")) ++
+      (1 to 50).map(i => ("b", s"x$i"))
+    val b2: Seq[(String, String)] = (1 to 200).map(i => ("a", s"w$i"))
+    b1.toDF("g", "v").repartition(1).write.mode("append").parquet(land)
+    val schema = spark.read.parquet(land).schema
+
+    def run(qn: String): Map[String, (Int, Long, Long)] = {
+      // foreachBatch, not the memory sink: stateful queries must be
+      // able to RECOVER from the checkpoint (the restart is the test)
+      val buf =
+        new scala.collection.concurrent.TrieMap[String, (Int, Long, Long)]
+      val stream = Streaming.fileStream(spark, land, schema)
+      val q = Streaming.cardinalityMonitorStream(stream, "g", "v", p = 6)
+        .writeStream.outputMode("update")
+        .foreachBatch {
+          (ds: org.apache.spark.sql.Dataset[Streaming.HllRow], _: Long) =>
+            ds.collect().foreach(r =>
+              buf.put(r.group, (r.n_zero, r.denom_scaled, r.hll_est_micro)))
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination(300000)
+      buf.toMap
+    }
+    def ref(rows: Seq[(String, String)]): Map[String, (Int, Long, Long)] =
+      graft.llm.Sketches.hllDistinctSketch(
+          rows.toDF("g", "v"), Seq("g"), "v", p = 6)
+        .collect().map(r => r.getString(0) ->
+          ((r.getAs[Int]("n_zero"), r.getAs[Long]("denom_scaled"),
+            r.getAs[Long]("hll_est_micro")))).toMap
+
+    // run 1: the monitor's registers equal the batch sketch of batch 1
+    assert(run("hllmon1") === ref(b1))
+
+    // run 2 (same checkpoint — a stop/restart): new values for group
+    // "a" only; its registers must merge with the RESTORED state, so
+    // the row equals the batch sketch over batch1 ∪ batch2, and
+    // untouched group "b" emits nothing
+    b2.toDF("g", "v").repartition(1).write.mode("append").parquet(land)
+    val run2 = run("hllmon2")
+    assert(run2("a") === ref(b1 ++ b2).apply("a"))
+    assert(!run2.contains("b"))
+  }
 }
