@@ -689,9 +689,15 @@ object Similarity {
       .crossJoin(broadcast(codebookArray(codebook)))
       .select(col("id"), transform(sequence(lit(0), lit(nsub - 1)), s => {
         val entries = slice(col("_cb"), s * ncent + 1, lit(ncent))
-        val dists = transform(entries,
-          e => sqDist(e, col("_v"), s * dsub, dsub))
-        (array_position(dists, array_min(dists)) - 1).cast(IntegerType)
+        // argmin via array_min over (dist, code) structs — each dist
+        // computed ONCE (an array_min+array_position pair would
+        // re-evaluate the whole distance array), ties to the lower
+        // code by lexicographic struct order, same as the oracle's
+        // ORDER BY dd, code
+        array_min(transform(entries, e =>
+          struct(sqDist(e, col("_v"), s * dsub, dsub).as("d"),
+            e.getField("code").as("code"))))
+          .getField("code").cast(IntegerType)
       }).as("codes"))
   }
 
