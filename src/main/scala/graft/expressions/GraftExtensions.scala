@@ -38,7 +38,11 @@ object GraftFunctions {
     ("graft_langid", LangIdExpr.info, LangIdExpr.builder _),
     ("graft_warc_records", WarcRecordsGen.info, WarcRecordsGen.builder _),
     ("graft_deflate_size", DeflateSize.info, DeflateSize.builder _),
-    ("graft_phrase_hits", PhraseHits.info, PhraseHits.builder _))
+    ("graft_phrase_hits", PhraseHits.info, PhraseHits.builder _),
+    ("graft_hll", HllSketchAgg.info, HllSketchAgg.builder _),
+    // keep graft_cms LAST: it is the newest name and therefore the
+    // idempotence sentinel NativeFunctions.register probes
+    ("graft_cms", CmsSketchAgg.info, CmsSketchAgg.builder _))
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {

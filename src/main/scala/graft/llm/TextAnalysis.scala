@@ -733,6 +733,59 @@ object TextAnalysis {
       .select("u", "w", "c", "p_micro")
   }
 
+  /** Windowed co-occurrence PMI (the word2vec/GloVe statistic): for
+    * every ordered (center, context) pair within ±`window` positions,
+    * the pointwise-mutual-information RATIO n(w,c)·N / (n(w)·n(c)) in
+    * exact micro-units — the quantity inside the log, kept as one
+    * 128-bit integer floor division so it is engine-exact (PMI itself
+    * is ln(ratio/10⁶); a cross-engine ln can differ in the last ulp,
+    * the ratio cannot — and ranking by ratio IS ranking by PMI).
+    *
+    * Scale shape: pair construction is MAP-ONLY — 2·window shifted
+    * array zips per document, never a positions self-join (which is
+    * |doc|·window rows too, but pays a shuffle and a join); counts are
+    * hash aggregates with map-side partials; N rides as a broadcast
+    * 1-row aggregate. `minCount` drops noise pairs BEFORE the count
+    * joins; output is the top `topK` pairs by (ratio desc, w, c) — a
+    * TakeOrdered, never a global sort. */
+  def pmiPairs(df: DataFrame, textCol: String, window: Int = 2,
+      minCount: Int = 5, topK: Int = 20): DataFrame = {
+    require(window >= 1 && window <= 16, s"window $window")
+    require(minCount >= 1 && topK >= 1, s"minCount $minCount topK $topK")
+    val base = df.select(tokens(col(textCol)).as("_ws"))
+      .withColumn("_n", size(col("_ws")))
+    val empty = array().cast("array<struct<w:string,c:string>>")
+    val arms = (1 to window).flatMap { dd =>
+      Seq(
+        when(col("_n") > dd, arrays_zip(
+            slice(col("_ws"), lit(1), col("_n") - dd).as("w"),
+            slice(col("_ws"), lit(dd + 1), col("_n") - dd).as("c")))
+          .otherwise(empty),
+        when(col("_n") > dd, arrays_zip(
+            slice(col("_ws"), lit(dd + 1), col("_n") - dd).as("w"),
+            slice(col("_ws"), lit(1), col("_n") - dd).as("c")))
+          .otherwise(empty))
+    }
+    val pairs = base.filter(col("_n") >= 2)
+      .select(explode(flatten(array(arms: _*))).as("_p"))
+      .select(col("_p").getField("w").as("w"),
+        col("_p").getField("c").as("c"))
+    val nwc = pairs.groupBy("w", "c").agg(count(lit(1)).as("n_wc"))
+    val nw = nwc.groupBy("w").agg(sum("n_wc").as("n_w"))
+    val nc = nwc.groupBy("c").agg(sum("n_wc").as("n_c"))
+    val tot = nwc.agg(sum("n_wc").as("n_tot"))
+    nwc.filter(col("n_wc") >= minCount)
+      .join(nw, Seq("w"))
+      .join(nc, Seq("c"))
+      .crossJoin(broadcast(tot))
+      .withColumn("ratio_micro", expr(
+        "CAST(CAST(n_wc AS DECIMAL(38,0)) * n_tot * 1000000 div " +
+          "(CAST(n_w AS DECIMAL(38,0)) * n_c) AS BIGINT)"))
+      .orderBy(col("ratio_micro").desc, col("w"), col("c"))
+      .limit(topK)
+      .select("w", "c", "n_wc", "ratio_micro")
+  }
+
   /** CCNet-style perplexity banding over [[bigramLogProb]]: rank every
     * document by mean bigram log-probability (best first, doc id
     * tie-break) and split the corpus into `nBuckets` equal bands —

@@ -146,7 +146,17 @@ object R11Queries {
     "q191_kneser_ney" -> ((s, d) =>
       graft.llm.TextAnalysis.kneserNeyBigram(
           T.documents(s, d), "text", probeTopK = 8)
-        .orderBy("u", "w")))
+        .orderBy("u", "w")),
+
+    // [EXT] windowed co-occurrence PMI (the word2vec/GloVe corpus
+    // statistic): top collocations by the exact integer PMI ratio —
+    // map-only shifted-zip pair construction (never a positions
+    // self-join), bounded output via TakeOrdered. The ratio stays in
+    // micro-units so the ranking is engine-exact; PMI = ln(ratio/1e6).
+    "q192_pmi" -> ((s, d) =>
+      graft.llm.TextAnalysis.pmiPairs(
+          T.documents(s, d), "text", window = 2, minCount = 5, topK = 20)
+        .orderBy(col("ratio_micro").desc, col("w"), col("c"))))
 
   /** Shared PQ oracle prelude: hash-rank sample → per-slot codebook →
     * exact-double squared-L2 of EVERY (vector, slot, centroid) →
@@ -388,5 +398,31 @@ object R11Queries {
         |  CAST((CAST(greatest(4 * c - 3, 0) AS HUGEINT) * ncc
         |      + CAST(3 AS HUGEINT) * n1u * n1w) * 1000000
         |    // (CAST(4 AS HUGEINT) * c_u * ncc) AS BIGINT) AS p_micro
-        |FROM j ORDER BY u, w""".stripMargin)
+        |FROM j ORDER BY u, w""".stripMargin,
+
+    "q192_pmi" ->
+      """WITH base AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |n0 AS (SELECT ws, len(ws) AS n FROM base WHERE len(ws) >= 2),
+        |pairs AS (
+        |  SELECT unnest(ws[1:n-1]) AS w, unnest(ws[2:n]) AS c FROM n0
+        |  UNION ALL
+        |  SELECT unnest(ws[2:n]), unnest(ws[1:n-1]) FROM n0
+        |  UNION ALL
+        |  SELECT unnest(ws[1:n-2]), unnest(ws[3:n]) FROM n0 WHERE n > 2
+        |  UNION ALL
+        |  SELECT unnest(ws[3:n]), unnest(ws[1:n-2]) FROM n0 WHERE n > 2),
+        |nwc AS (SELECT w, c, count(*) AS n_wc FROM pairs GROUP BY 1, 2),
+        |nw AS (SELECT w, CAST(sum(n_wc) AS BIGINT) AS n_w
+        |       FROM nwc GROUP BY 1),
+        |nc AS (SELECT c, CAST(sum(n_wc) AS BIGINT) AS n_c
+        |       FROM nwc GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_wc) AS BIGINT) AS n_tot FROM nwc)
+        |SELECT w, c, CAST(n_wc AS BIGINT) AS n_wc,
+        |  CAST(CAST(n_wc AS HUGEINT) * n_tot * 1000000
+        |    // (CAST(n_w AS HUGEINT) * n_c) AS BIGINT) AS ratio_micro
+        |FROM nwc JOIN nw USING (w) JOIN nc USING (c) CROSS JOIN tot
+        |WHERE n_wc >= 5
+        |ORDER BY ratio_micro DESC, w, c LIMIT 20""".stripMargin)
 }

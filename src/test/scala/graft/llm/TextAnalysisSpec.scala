@@ -650,4 +650,25 @@ class TextAnalysisSpec extends SparkSuite {
     // seen mass dominates: P(francisco|san) ≈ 1 (only continuation)
     assert(out(("san", "francisco"))._2 > 900000L)
   }
+
+  test("pmiPairs: exclusive collocation tops the ranking with the exact ratio") {
+    // 30×"aa bb" (exclusive collocation) + 40×"xx yy zz" (background)
+    // window 2 ⇒ N = 30·2 + 40·6 = 300 ordered pairs
+    val docs = (Seq.fill(30)("aa bb") ++ Seq.fill(40)("xx yy zz"))
+      .toDF("text").repartition(4)
+    val out = TextAnalysis.pmiPairs(docs, "text", window = 2,
+        minCount = 5, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // hand-exact: ratio(aa,bb) = 30·300/(30·30) = 10.000000
+    assert(out(("aa", "bb")) === ((30L, 10000000L)))
+    assert(out(("bb", "aa")) === ((30L, 10000000L)))
+    // background: ratio(xx,yy) = 40·300/(80·80) = 1.875000
+    assert(out(("xx", "yy")) === ((40L, 1875000L)))
+    // the exclusive pair outranks every background pair
+    val top = TextAnalysis.pmiPairs(docs, "text", window = 2,
+        minCount = 5, topK = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(top === Set(("aa", "bb"), ("bb", "aa")))
+  }
 }
