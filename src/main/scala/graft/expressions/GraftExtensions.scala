@@ -40,9 +40,11 @@ object GraftFunctions {
     ("graft_deflate_size", DeflateSize.info, DeflateSize.builder _),
     ("graft_phrase_hits", PhraseHits.info, PhraseHits.builder _),
     ("graft_hll", HllSketchAgg.info, HllSketchAgg.builder _),
-    // keep graft_cms LAST: it is the newest name and therefore the
-    // idempotence sentinel NativeFunctions.register probes
-    ("graft_cms", CmsSketchAgg.info, CmsSketchAgg.builder _))
+    ("graft_cms", CmsSketchAgg.info, CmsSketchAgg.builder _),
+    ("graft_hll_regs", HllRegsAgg.info, HllRegsAgg.builder _),
+    // keep graft_hll_merge LAST: it is the newest name and therefore
+    // the idempotence sentinel NativeFunctions.register probes
+    ("graft_hll_merge", HllMergeAgg.info, HllMergeAgg.builder _))
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {

@@ -606,9 +606,11 @@ object Similarity {
       spark.table(m0.vecsTable(tablePrefix)))
     val sigsT = s"${tablePrefix}_ann_v${vN}_sigs"
     val vecsT = s"${tablePrefix}_ann_v${vN}_vecs"
-    // rewrites DROP their target first: a previous aborted/rolled-back
-    // maintenance may have left vN tables as reader grace
-    Seq(sigsT, vecsT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // rewrites DROP their target first — table AND location: a
+    // previous aborted/rolled-back maintenance leaves vN tables as
+    // reader grace, and a previous SESSION's in-memory catalog leaves
+    // orphan warehouse directories no DROP TABLE can see
+    Seq(sigsT, vecsT).foreach(graft.io.Sinks.dropManagedTable(spark, _))
     graft.io.Sinks.writeBucketed(newSigs.localCheckpoint(), sigsT,
       Seq("band", "bucket"), m0.buckets)
     graft.io.Sinks.writeBucketed(newVecs.localCheckpoint(), vecsT,

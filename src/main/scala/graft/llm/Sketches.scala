@@ -241,6 +241,39 @@ object Sketches {
         hllEstimate(col("_sk.denom_scaled"), p).as("hll_est_micro"))): _*)
   }
 
+  /** Per-SHARD HLL sketches in their PERSISTABLE form: one row per
+    * group with the raw 2^p register bytes. This is the 100 TB sketch-
+    * table idiom — write one sketch row per (day, source, partition)
+    * at ingest time, then answer any coarser-grain cardinality
+    * question later from the stored bytes via [[hllMergeShards]],
+    * never re-scanning the data. Registers are a pure function of the
+    * value set, so stored sketches are engine-reproducible and any
+    * merge order gives identical bytes. */
+  def hllShardSketch(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, p: Int = 6): DataFrame = {
+    val (g, _, _, withH) = hllRegisters(df, groupCols, valueCol, p)
+    val sk = bridge.column(graft.expressions.HllRegsAgg(
+      bridge.expression(col("_h")), p).toAggregateExpression())
+    withH.groupBy(g: _*).agg(sk.as("hll_regs"))
+  }
+
+  /** Max-merge stored shard sketches ([[hllShardSketch]] rows) to a
+    * coarser grain: same output columns and identical values as
+    * running [[hllDistinctSketch]] directly at that grain — the
+    * associativity contract SketchesSpec pins. */
+  def hllMergeShards(df: DataFrame, groupCols: Seq[String],
+      regsCol: String, p: Int = 6): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4, 16], got $p")
+    val g = groupCols.map(col)
+    val mg = bridge.column(graft.expressions.HllMergeAgg(
+      bridge.expression(col(regsCol)), p).toAggregateExpression())
+    df.groupBy(g: _*).agg(mg.as("_sk"))
+      .select((g ++ Seq(
+        col("_sk.n_zero").as("n_zero"),
+        col("_sk.denom_scaled").as("denom_scaled"),
+        hllEstimate(col("_sk.denom_scaled"), p).as("hll_est_micro"))): _*)
+  }
+
   /** The d salted 60-bit hashes a CMS row uses: hash_i =
     * sha256("cms<i>:" ++ value) truncated to 15 hex chars — same
     * engine-portable hash space as the KMV/HLL tiers, one salt per

@@ -156,7 +156,24 @@ object R11Queries {
     "q192_pmi" -> ((s, d) =>
       graft.llm.TextAnalysis.pmiPairs(
           T.documents(s, d), "text", window = 2, minCount = 5, topK = 20)
-        .orderBy(col("ratio_micro").desc, col("w"), col("c"))))
+        .orderBy(col("ratio_micro").desc, col("w"), col("c"))),
+
+    // [EXT] the sketch-TABLE idiom: one persistable HLL register blob
+    // per (lang, source) shard, max-merged back to per-lang summaries
+    // — the precompute-at-ingest / merge-at-query pattern that answers
+    // cardinality questions over 100 TB without re-scanning. The
+    // oracle is q184's VERBATIM: merged shard sketches must equal the
+    // direct per-lang sketch register for register, which is exactly
+    // the associativity contract the idiom rests on.
+    "q193_hll_shards" -> ((s, d) => {
+      val words = T.documents(s, d).select(col("lang"), col("source"),
+        explode(split(trim(col("text")), "\\s+")).as("word"))
+      val shards = graft.llm.Sketches.hllShardSketch(
+        words, Seq("lang", "source"), "word", p = 6)
+      graft.llm.Sketches.hllMergeShards(shards, Seq("lang"),
+          "hll_regs", p = 6)
+        .orderBy("lang")
+    }))
 
   /** Shared PQ oracle prelude: hash-rank sample → per-slot codebook →
     * exact-double squared-L2 of EVERY (vector, slot, centroid) →
@@ -190,7 +207,7 @@ object R11Queries {
       |    FROM dist)
       |  WHERE rn = 1)""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  private val baseOracle: Map[String, String] = Map(
     "q186_pq_encode" ->
       s"""$pqCte
          |SELECT vec_id, CAST(slot AS INT) AS slot,
@@ -425,4 +442,9 @@ object R11Queries {
         |FROM nwc JOIN nw USING (w) JOIN nc USING (c) CROSS JOIN tot
         |WHERE n_wc >= 5
         |ORDER BY ratio_micro DESC, w, c LIMIT 20""".stripMargin)
+
+  // q193 shares q184's oracle VERBATIM: merged shard sketches must
+  // equal the direct per-lang sketch — the associativity contract.
+  val oracleSql: Map[String, String] = baseOracle +
+    ("q193_hll_shards" -> baseOracle("q184_hll_distinct"))
 }

@@ -178,6 +178,35 @@ class SketchesSpec extends SparkSuite {
     assert(agg.serialize(buf).length === 64)
   }
 
+  test("hll shard sketches: merge of shards ≡ direct sketch; wrong-p blob fails fast") {
+    // 3 groups × up-to-4 shards; values overlap across shards so the
+    // merge must be idempotent, not just additive
+    val rows = (1 to 3000).map { i =>
+      (s"g${i % 3}", s"shard${i % 4}", s"v${i % 500}")
+    }
+    val df = rows.toDF("g", "shard", "v").repartition(8)
+    val direct = Sketches.hllDistinctSketch(df, Seq("g"), "v", p = 6)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Int]("n_zero"), r.getAs[Long]("denom_scaled"),
+          r.getAs[Long]("hll_est_micro")))).toMap
+    val shards = Sketches.hllShardSketch(df, Seq("g", "shard"), "v", p = 6)
+    assert(shards.count() === 12) // one 64-byte blob per (g, shard)
+    val merged = Sketches.hllMergeShards(shards, Seq("g"), "hll_regs",
+        p = 6)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Int]("n_zero"), r.getAs[Long]("denom_scaled"),
+          r.getAs[Long]("hll_est_micro")))).toMap
+    // register max is associative+idempotent ⇒ bit-equal summaries
+    assert(merged === direct)
+    // sketches from a different precision can never silently merge
+    val e = intercept[Exception] {
+      Sketches.hllMergeShards(shards, Seq("g"), "hll_regs", p = 8)
+        .collect()
+    }
+    assert(e.getMessage.contains("does not match p")
+      || Option(e.getCause).exists(_.getMessage.contains("does not match p")))
+  }
+
   test("cmsFrequencies: one-sided error — est ≥ exact, bounded overcount") {
     // 200 distinct keys into w=32 buckets: collisions guaranteed, so
     // this exercises the estimation regime, not just exact counts.
