@@ -1456,4 +1456,90 @@ object TrainingOps {
         col("_p.input_text").as("input_text"),
         col("_p.target_text").as("target_text"))
   }
+
+  // ──────────────────────────────────────────────────────────────────
+  // Tokenizer model persistence: the artifact a training run actually
+  // ships. All three families train here and serve through native
+  // expressions taking in-memory models; these tables are the durable
+  // form — train once, read the model back in any later session (the
+  // nightly loop, a serving job), encode identically. Layout:
+  //   <prefix>_tok_rows(idx, a, b, num)  — family-shaped rows in idx
+  //                                        order (merge order matters)
+  //   <prefix>_tok_meta(family, n_rows, p1, s1) — written LAST, so a
+  //     torn write leaves no valid meta and readers fail fast instead
+  //     of serving a truncated model (write-then-record, the B2
+  //     discipline); n_rows re-checked at read for the same reason.
+  // Single-writer contract: tokenizer training is an offline op — a
+  // concurrent writer to the same prefix is a pipeline bug, not a
+  // race to fence (unlike the nightly signature/ANN stores).
+
+  sealed trait TokenizerModel
+  final case class BpeModel(merges: Seq[(String, String)])
+    extends TokenizerModel
+  final case class WordPieceModel(vocab: Seq[String],
+    maxWordLen: Int = 100, unk: String = "[UNK]") extends TokenizerModel
+  final case class UnigramModel(pieces: Seq[(String, Long)],
+    maxPieceLen: Int = 3) extends TokenizerModel
+
+  /** Encode with any family's model — the one serving entry point, so
+    * pipeline code is family-agnostic after training. */
+  def encodeWith(text: Column, model: TokenizerModel): Column =
+    model match {
+      case BpeModel(m) => bpeEncode(text, m)
+      case WordPieceModel(v, maxLen, unk) =>
+        wordpieceEncode(text, v, maxLen, unk)
+      case UnigramModel(p, maxLen) => unigramEncode(text, p, maxLen)
+    }
+
+  def writeTokenizer(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, model: TokenizerModel): Unit = {
+    import spark.implicits._
+    val (family, rows, p1, s1) = model match {
+      case BpeModel(m) =>
+        ("bpe", m.zipWithIndex.map { case ((l, r), i) =>
+          (i, l, Option(r), Option.empty[Long]) }, 0, "")
+      case WordPieceModel(v, maxLen, unk) =>
+        ("wordpiece", v.zipWithIndex.map { case (p, i) =>
+          (i, p, Option.empty[String], Option.empty[Long]) }, maxLen, unk)
+      case UnigramModel(p, maxLen) =>
+        ("unigram", p.zipWithIndex.map { case ((pc, sc), i) =>
+          (i, pc, Option.empty[String], Option(sc)) }, maxLen, "")
+    }
+    val rowsT = s"${tablePrefix}_tok_rows"
+    val metaT = s"${tablePrefix}_tok_meta"
+    // fresh write: meta dropped FIRST (no valid meta during the write),
+    // rows second; then rows written, meta recorded last
+    graft.io.Sinks.dropManagedTable(spark, metaT)
+    graft.io.Sinks.dropManagedTable(spark, rowsT)
+    rows.toDF("idx", "a", "b", "num").write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(rowsT)
+    Seq((family, rows.size, p1, s1)).toDF("family", "n_rows", "p1", "s1")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(metaT)
+  }
+
+  def readTokenizer(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String): TokenizerModel = {
+    val meta = spark.table(s"${tablePrefix}_tok_meta").head()
+    val family = meta.getAs[String]("family")
+    val nRows = meta.getAs[Int]("n_rows")
+    val rows = spark.table(s"${tablePrefix}_tok_rows")
+      .orderBy("idx").collect()
+    require(rows.length == nRows,
+      s"readTokenizer: $tablePrefix holds ${rows.length} rows but meta " +
+        s"records $nRows — truncated or torn model store; retrain or " +
+        "rewrite it")
+    family match {
+      case "bpe" => BpeModel(rows.map(r =>
+        (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq)
+      case "wordpiece" => WordPieceModel(
+        rows.map(_.getAs[String]("a")).toSeq,
+        meta.getAs[Int]("p1"), meta.getAs[String]("s1"))
+      case "unigram" => UnigramModel(
+        rows.map(r => (r.getAs[String]("a"), r.getAs[Long]("num"))).toSeq,
+        meta.getAs[Int]("p1"))
+      case other => throw new IllegalStateException(
+        s"readTokenizer: unknown family '$other' in $tablePrefix")
+    }
+  }
 }

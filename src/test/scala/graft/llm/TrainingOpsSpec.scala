@@ -847,4 +847,48 @@ class TrainingOpsSpec extends SparkSuite {
     }.sum
     assert(sortedWaste <= naive)
   }
+
+  test("tokenizer store: every family round-trips and serves identically") {
+    import spark.implicits._
+    val corpus = (Seq.fill(8)("aba bab abab") ++ Seq.fill(4)("bc abc"))
+      .toDF("text")
+    val probe = Seq("ababab", "abc", "zzz").toDF("text")
+    def served(m: TrainingOps.TokenizerModel): Seq[Seq[String]] =
+      probe.select(TrainingOps.encodeWith(col("text"), m).as("p"))
+        .collect().map(_.getSeq[String](0).toSeq).toSeq
+
+    val bpe = TrainingOps.BpeModel(
+      TrainingOps.trainBpe(corpus, "text", numMerges = 3)
+        .orderBy("merge_idx").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq)
+    val wpMerges = TrainingOps.trainWordPiece(corpus, "text", numMerges = 3)
+      .orderBy("merge_idx").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val wp = TrainingOps.WordPieceModel(
+      TrainingOps.wordPieceVocab(corpus, "text", wpMerges)
+        .collect().map(_.getString(0)).toSeq)
+    val uni = TrainingOps.UnigramModel(
+      TrainingOps.trainUnigram(corpus, "text", seedSize = 8)
+        .collect().map(r => (r.getString(0), r.getLong(2))).toSeq)
+
+    for ((m, pfx) <- Seq(bpe -> "tokst_b", wp -> "tokst_w", uni -> "tokst_u")) {
+      TrainingOps.writeTokenizer(spark, pfx, m)
+      val back = TrainingOps.readTokenizer(spark, pfx)
+      assert(back === m, pfx) // params AND row order survive
+      assert(served(back) === served(m), pfx) // byte-identical serving
+    }
+    // truncation fails fast: rewrite the rows table minus one row
+    // behind the meta's back (parquet tables have no DELETE)
+    val schema = spark.table("tokst_b_tok_rows").schema
+    val keep = spark.table("tokst_b_tok_rows")
+      .filter(col("idx") > 0).collect().toSeq
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(keep), schema)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable("tokst_b_tok_rows")
+    val e = intercept[IllegalArgumentException] {
+      TrainingOps.readTokenizer(spark, "tokst_b")
+    }
+    assert(e.getMessage.contains("truncated"))
+  }
 }
