@@ -413,4 +413,23 @@ class PlanQualitySpec extends SparkSuite {
       assert(!p.contains("CartesianProduct"), s"$q: ${p.take(1500)}")
     }
   }
+
+  test("q191/q192: LM statistics — hash-agg counts, TakeOrdered output, no shuffle joins") {
+    for (q <- Seq("q191_kneser_ney", "q192_pmi")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"), s"$q: ${p.take(1500)}")
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(1500)}")
+      assert(!"\\n\\(\\d+\\) Window".r.findAllIn(p).hasNext,
+        s"$q: ${p.take(1500)}")
+    }
+    // the bounded top-k is a TakeOrdered, never a global sort
+    assert(plan("q192_pmi").contains("TakeOrderedAndProject"))
+  }
+
+  test("q193: shard sketches — two object aggregates, no window, no shuffle join") {
+    val p = plan("q193_hll_shards")
+    assert("ObjectHashAggregate".r.findAllIn(p).nonEmpty, p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert(!"\\n\\(\\d+\\) Window".r.findAllIn(p).hasNext, p.take(1500))
+  }
 }
