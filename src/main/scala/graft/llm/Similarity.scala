@@ -768,6 +768,54 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "n_label", "cosine")
   }
 
+  /** Contrastive training TRIPLETS — the artifact an embedding-model
+    * trainer consumes: per anchor, the nearest SAME-label vector
+    * (excluding self) as the positive and the nearest DIFFERENT-label
+    * vector as the hard negative ([[hardNegatives]]' rank-1), with the
+    * anchor–positive vs anchor–negative cosine margin in micro-units.
+    * A small (≤0) margin marks the triplets that actually teach the
+    * model. One map-only scored pass (anchors broadcast), then ONE
+    * per-anchor max_by aggregate per arm — never a rank window over
+    * the corpus. NULL-labeled rows take part in neither arm; anchors
+    * missing either arm (singleton label, or a single-label corpus)
+    * drop — a triplet needs all three vertices. Output: (anchor_id,
+    * pos_id, neg_id, pos_cosine, neg_cosine, margin_micro). */
+  def contrastiveTriplets(anchors: DataFrame, corpus: DataFrame,
+      aId: String, cId: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    graft.expressions.NativeFunctions.register(corpus.sparkSession)
+    val a = anchors.select(col(aId).as("anchor_id"),
+      col(labelCol).as("a_label"), asDouble(col(vecCol)).as("qv"),
+      norm(asDouble(col(vecCol))).as("qn"))
+    val c = corpus.select(col(cId).as("neighbor_id"),
+      col(labelCol).as("n_label"), asDouble(col(vecCol)).as("cv"),
+      norm(asDouble(col(vecCol))).as("cn"))
+    val scored = c.crossJoin(broadcast(a))
+      .filter(col("n_label").isNotNull && col("a_label").isNotNull)
+      .select(col("anchor_id"), col("a_label"), col("neighbor_id"),
+        col("n_label"),
+        (expr("graft_dot(qv, cv)") / (col("qn") * col("cn"))).as("cosine"))
+    // best-by-(cosine desc, id asc) via max_by on (cosine, -id): one
+    // bounded-state aggregate per arm, no window
+    def best(pred: Column) = max_by(
+      struct(col("neighbor_id"), col("cosine")),
+      when(pred, struct(col("cosine"), -col("neighbor_id"))))
+    scored
+      .filter(col("neighbor_id") =!= col("anchor_id"))
+      .groupBy("anchor_id")
+      .agg(
+        best(col("n_label") === col("a_label")).as("_pos"),
+        best(col("n_label") =!= col("a_label")).as("_neg"))
+      .filter(col("_pos").isNotNull && col("_neg").isNotNull)
+      .select(col("anchor_id"),
+        col("_pos.neighbor_id").as("pos_id"),
+        col("_neg.neighbor_id").as("neg_id"),
+        col("_pos.cosine").as("pos_cosine"),
+        col("_neg.cosine").as("neg_cosine"),
+        floor((col("_pos.cosine") - col("_neg.cosine")) * lit(1e6))
+          .cast(LongType).as("margin_micro"))
+  }
+
   /** Two-stage compressed-domain retrieval — the production ANN
     * pipeline shape (FAISS IVF-PQ + refine): (1) LSH band signatures
     * generate candidates (keys only), (2) ADC over PQ codes ranks

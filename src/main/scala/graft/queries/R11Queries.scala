@@ -173,6 +173,24 @@ object R11Queries {
       graft.llm.Sketches.hllMergeShards(shards, Seq("lang"),
           "hll_regs", p = 6)
         .orderBy("lang")
+    }),
+
+    // [EXT] contrastive training triplets: per anchor, the nearest
+    // same-label positive and the nearest different-label hard
+    // negative with the cosine margin — the artifact an embedding
+    // trainer consumes. One scored pass + one max_by aggregate per
+    // arm (never a rank window over the corpus); the oracle replays
+    // both selections and the micro-exact margin.
+    "q194_triplets" -> ((s, d) => {
+      val emb = T.embeddings(s, d)
+      graft.llm.Similarity.contrastiveTriplets(
+          emb.filter(col("vec_id") < 8), emb,
+          "vec_id", "vec_id", "embedding", "label")
+        .select(col("anchor_id"), col("pos_id"), col("neg_id"),
+          round(col("pos_cosine"), 4).as("pos_cos_r"),
+          round(col("neg_cosine"), 4).as("neg_cos_r"),
+          col("margin_micro"))
+        .orderBy("anchor_id")
     }))
 
   /** Shared PQ oracle prelude: hash-rank sample → per-slot codebook →
@@ -443,8 +461,44 @@ object R11Queries {
         |WHERE n_wc >= 5
         |ORDER BY ratio_micro DESC, w, c LIMIT 20""".stripMargin)
 
+  private val tripletOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |nrm AS (SELECT vec_id, label, v,
+      |          sqrt(list_sum(list_transform(generate_series(1, 64),
+      |            i -> v[i] * v[i]))) AS nn
+      |        FROM e),
+      |scored AS (
+      |  SELECT a.vec_id AS anchor_id, a.label AS a_label,
+      |    c.vec_id AS neighbor_id, c.label AS n_label,
+      |    list_sum(list_transform(generate_series(1, 64),
+      |      i -> a.v[i] * c.v[i])) / (a.nn * c.nn) AS cosine
+      |  FROM nrm a, nrm c
+      |  WHERE a.vec_id < 8 AND c.vec_id <> a.vec_id
+      |    AND a.label IS NOT NULL AND c.label IS NOT NULL),
+      |pos AS (SELECT anchor_id, neighbor_id AS pos_id,
+      |          cosine AS pos_cosine,
+      |          row_number() OVER (PARTITION BY anchor_id
+      |            ORDER BY cosine DESC, neighbor_id) AS rn
+      |        FROM scored WHERE n_label = a_label),
+      |neg AS (SELECT anchor_id, neighbor_id AS neg_id,
+      |          cosine AS neg_cosine,
+      |          row_number() OVER (PARTITION BY anchor_id
+      |            ORDER BY cosine DESC, neighbor_id) AS rn
+      |        FROM scored WHERE n_label <> a_label)
+      |SELECT p.anchor_id AS anchor_id, p.pos_id, n.neg_id,
+      |  round(p.pos_cosine, 4) AS pos_cos_r,
+      |  round(n.neg_cosine, 4) AS neg_cos_r,
+      |  CAST(floor((p.pos_cosine - n.neg_cosine) * 1000000.0) AS BIGINT)
+      |    AS margin_micro
+      |FROM pos p JOIN neg n ON n.anchor_id = p.anchor_id AND n.rn = 1
+      |WHERE p.rn = 1 ORDER BY p.anchor_id""".stripMargin
+
   // q193 shares q184's oracle VERBATIM: merged shard sketches must
   // equal the direct per-lang sketch — the associativity contract.
   val oracleSql: Map[String, String] = baseOracle +
-    ("q193_hll_shards" -> baseOracle("q184_hll_distinct"))
+    ("q193_hll_shards" -> baseOracle("q184_hll_distinct")) +
+    ("q194_triplets" -> tripletOracle)
 }

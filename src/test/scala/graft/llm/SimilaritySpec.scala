@@ -267,4 +267,32 @@ class SimilaritySpec extends SparkSuite {
         (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
     assert(gotAdc === wantAdc)
   }
+
+  test("contrastiveTriplets: arms selected per label; incomplete anchors drop") {
+    import spark.implicits._
+    // labels: 0 → {0,2}, 1 → {1,3}, singleton 2 → {4}, null → {5}
+    val vecs = Seq(
+      (0L, 0, Array(1.0f, 0.0f, 0.0f)),
+      (2L, 0, Array(0.9f, 0.1f, 0.0f)),
+      (1L, 1, Array(0.0f, 1.0f, 0.0f)),
+      (3L, 1, Array(0.1f, 0.9f, 0.0f)),
+      (4L, 2, Array(0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "label", "embedding")
+      .union(Seq((5L, Option.empty[Int], Array(0.5f, 0.5f, 0.0f)))
+        .toDF("vec_id", "label", "embedding"))
+    val r = Similarity.contrastiveTriplets(vecs, vecs, "vec_id", "vec_id",
+      "embedding", "label").collect()
+      .map(x => x.getAs[Long]("anchor_id") ->
+        ((x.getAs[Long]("pos_id"), x.getAs[Long]("neg_id"),
+          x.getAs[Long]("margin_micro")))).toMap
+    // singleton-label 4 has no positive; null-label 5 joins neither arm
+    assert(r.keySet === Set(0L, 1L, 2L, 3L))
+    // anchor 0: positive is its label-0 sibling 2; hard negative is the
+    // most-aligned cross-label vector (3: cos≈0.110 beats 1: cos=0 and
+    // 4: cos=0)
+    assert(r(0L)._1 === 2L && r(0L)._2 === 3L)
+    assert(r(1L)._1 === 3L && r(1L)._2 === 2L)
+    // margins positive (positives closer than negatives) and micro-exact
+    assert(r.values.forall(_._3 > 0L))
+  }
 }

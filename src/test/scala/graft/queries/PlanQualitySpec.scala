@@ -432,4 +432,15 @@ class PlanQualitySpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p.take(1500))
     assert(!"\\n\\(\\d+\\) Window".r.findAllIn(p).hasNext, p.take(1500))
   }
+
+  test("q194: triplets — anchors broadcast, one max_by aggregate, no rank window") {
+    val p = plan("q194_triplets")
+    // the ≤8-anchor side rides a broadcast NLJ; never a shuffle join
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // both arms resolve in ONE per-anchor aggregate — no per-corpus
+    // rank window ever materializes
+    assert(!"\\n\\(\\d+\\) Window".r.findAllIn(p).hasNext, p.take(1500))
+  }
 }
