@@ -503,4 +503,139 @@ object Selection {
           id.cast(StringType)), 256), 1, 13), 16, 10).cast(LongType)
           .as("order_key"))
   }
+
+  /** Bradley–Terry preference ranking (the RLHF preference-data
+    * artifact): fit per-item strengths from pairwise (winner, loser)
+    * comparisons with the MM algorithm (Hunter 2004, minorization-
+    * maximization), in EXACT integer micro-units so the fit is
+    * engine-portable — every division is an integer floor, so DuckDB
+    * replays the iterations verbatim with HUGEINT CTEs.
+    *
+    * Identifiability: add-one smoothing on every OBSERVED unordered
+    * pair (both directions get +1) — an item that never lost still
+    * gets a finite strength, and p stays strictly positive so the
+    * p_i + p_j denominators never hit zero. Fixed `iters` parallel
+    * MM rounds from p = 10⁶:
+    *
+    *   D_i  = Σ_j floor(n_ij · 10¹² / (p_i + p_j))
+    *   p_i' = floor(W_i · 10¹² / D_i)
+    *
+    * (n_ij = smoothed games between i and j, W_i = smoothed wins of
+    * i), then one final normalization to mean 10⁶. Output: (item,
+    * wins, games, strength_micro) with RAW (unsmoothed) win/game
+    * counts for interpretability.
+    *
+    * Scale shape: the UNBOUNDED side — the comparison stream — is
+    * reduced distributively to one (i, j, wins) pair table bounded by
+    * items² (one hash aggregate with map-side partials). Items are a
+    * bounded vocabulary by construction (model variants, domains,
+    * sources — fail-fast `maxItems` guard, the q135 discipline), so
+    * the iterations run driver-side on BigInt exactly like the other
+    * parameter-bounded fits (IVF centroids, BPE merge table): per
+    * round O(pairs), zero shuffles, zero lineage growth. */
+  def bradleyTerry(comparisons: DataFrame, winnerCol: String,
+      loserCol: String, iters: Int = 3, maxItems: Int = 10000): DataFrame = {
+    require(iters >= 1, s"iters must be at least 1, got $iters")
+    require(maxItems >= 2, s"maxItems must be at least 2, got $maxItems")
+    val spark = comparisons.sparkSession
+    import spark.implicits._
+    // distributed reduction: comparison stream -> bounded pair table
+    val raw = comparisons
+      .filter(col(winnerCol).isNotNull && col(loserCol).isNotNull &&
+        col(winnerCol) =!= col(loserCol))
+      .groupBy(col(winnerCol).cast(StringType).as("i"),
+        col(loserCol).cast(StringType).as("j"))
+      .agg(count(lit(1)).as("w"))
+    val pairs = raw.collect().map(r =>
+      (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val items = pairs.keysIterator.flatMap(k => Iterator(k._1, k._2))
+      .toSeq.distinct.sorted
+    require(items.size <= maxItems,
+      s"bradleyTerry: ${items.size} items exceeds maxItems=$maxItems — " +
+        "the item vocabulary must be bounded (models, domains, sources)")
+    if (items.isEmpty)
+      return spark.emptyDataFrame
+        .select(lit("").as("item"), lit(0L).as("wins"),
+          lit(0L).as("games"), lit(0L).as("strength_micro")).limit(0)
+    // add-one smoothing over observed unordered pairs, both directions
+    val unordered = pairs.keysIterator
+      .map { case (a, b) => if (a < b) (a, b) else (b, a) }.toSet
+    val sm: Map[(String, String), Long] = unordered.iterator.flatMap {
+      case (a, b) => Iterator(
+        (a, b) -> (pairs.getOrElse((a, b), 0L) + 1L),
+        (b, a) -> (pairs.getOrElse((b, a), 0L) + 1L))
+    }.toMap
+    val opponents: Map[String, Seq[String]] = sm.keysIterator.toSeq
+      .groupBy(_._1).map { case (i, ks) => i -> ks.map(_._2).sorted }
+    val winsSm: Map[String, Long] =
+      sm.toSeq.groupBy(_._1._1).map { case (i, xs) => i -> xs.map(_._2).sum }
+    val Scale = BigInt("1000000000000") // 10^12
+    var p: Map[String, BigInt] = items.map(_ -> BigInt(1000000L)).toMap
+    for (_ <- 1 to iters) {
+      p = items.map { i =>
+        val d = opponents(i).map { j =>
+          val nij = sm((i, j)) + sm((j, i))
+          (BigInt(nij) * Scale) / (p(i) + p(j))
+        }.sum
+        i -> (BigInt(winsSm(i)) * Scale) / d
+      }.toMap
+    }
+    val sumP = items.map(p).sum
+    val rawWins = pairs.toSeq.groupBy(_._1._1)
+      .map { case (i, xs) => i -> xs.map(_._2).sum }
+    val rawGames = items.map { i =>
+      i -> (rawWins.getOrElse(i, 0L) +
+        pairs.toSeq.filter(_._1._2 == i).map(_._2).sum)
+    }.toMap
+    items.map { i =>
+      (i, rawWins.getOrElse(i, 0L), rawGames(i),
+        ((p(i) * 1000000L * items.size) / sumP).toLong)
+    }.toDF("item", "wins", "games", "strength_micro")
+  }
+
+  /** Inter-annotator agreement (Cohen's kappa) per group — the label-
+    * quality gate a human- or model-annotated corpus needs before its
+    * labels train anything: observed agreement corrected for the
+    * agreement two independent annotators would reach by chance.
+    *
+    *   kappa = (p_o − p_e) / (1 − p_e)
+    *         = (agree·n − Σ_k a_k·b_k) / (n² − Σ_k a_k·b_k)
+    *
+    * kept as ONE exact integer ratio in micro-units (both engines
+    * truncate integer division toward zero, so even a negative kappa
+    * — systematic disagreement — is bit-identical). Rows where either
+    * annotator abstained (NULL) are excluded from n. The degenerate
+    * p_e = 1 case (both annotators constant with identical marginals
+    * — chance explains everything, kappa undefined) yields NULL, not
+    * a division blow-up.
+    *
+    * Scale shape: three hash aggregates with map-side partials (per-
+    * group totals, per-(group, label) marginals for each annotator)
+    * and one join on the bounded (group, label) vocabulary — no
+    * window, no per-row state. */
+  def interAnnotatorKappa(df: DataFrame, groupCols: Seq[String],
+      aCol: String, bCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    val g = groupCols.map(col)
+    val base = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select((g :+ col(aCol).cast(StringType).as("_a")
+        :+ col(bCol).cast(StringType).as("_b")): _*)
+    val tot = base.groupBy(g: _*).agg(count(lit(1)).as("n"),
+      sum(when(col("_a") === col("_b"), 1L).otherwise(0L)).as("agree"))
+    val aCnt = base.withColumn("_lbl", col("_a"))
+      .groupBy((g :+ col("_lbl")): _*).agg(count(lit(1)).as("_ak"))
+    val bCnt = base.withColumn("_lbl", col("_b"))
+      .groupBy((g :+ col("_lbl")): _*).agg(count(lit(1)).as("_bk"))
+    val pe = aCnt.join(bCnt, groupCols :+ "_lbl")
+      .groupBy(g: _*).agg(sum(col("_ak") * col("_bk")).as("_pe_num"))
+    tot.join(pe, groupCols)
+      .select((g :+ col("n") :+ col("agree") :+
+        when(col("n") * col("n") === col("_pe_num"),
+            lit(null).cast(LongType))
+          .otherwise(expr(
+            "CAST((CAST(agree AS DECIMAL(38,0)) * n - _pe_num) " +
+              "* 1000000 div " +
+              "(CAST(n AS DECIMAL(38,0)) * n - _pe_num) AS BIGINT)"))
+          .as("kappa_micro")): _*)
+  }
 }

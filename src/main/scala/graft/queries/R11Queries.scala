@@ -191,6 +191,53 @@ object R11Queries {
           round(col("neg_cosine"), 4).as("neg_cos_r"),
           col("margin_micro"))
         .orderBy("anchor_id")
+    }),
+
+    // [EXT] Bradley-Terry preference ranking: per-user consecutive
+    // event pairs vote (higher `value` wins, ties to the later
+    // event), the comparison stream reduces distributively to one
+    // bounded pair table, and 3 exact-integer MM rounds fit the
+    // strengths — the RLHF preference-fit artifact. The oracle
+    // replays the smoothing, all three iterations, and the final
+    // normalization as HUGEINT CTEs — every floor division
+    // bit-identical.
+    "q195_bradley_terry" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val seq = T.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"))
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .withColumn("prev_value", lag("value", 1).over(w))
+      val comp = seq
+        .filter(col("prev_type").isNotNull &&
+          col("event_type") =!= col("prev_type") &&
+          col("value").isNotNull && col("prev_value").isNotNull)
+        .select(
+          when(col("value") >= col("prev_value"), col("event_type"))
+            .otherwise(col("prev_type")).as("winner"),
+          when(col("value") >= col("prev_value"), col("prev_type"))
+            .otherwise(col("event_type")).as("loser"))
+      graft.llm.Selection.bradleyTerry(comp, "winner", "loser", iters = 3)
+        .orderBy(col("strength_micro").desc, col("item"))
+    }),
+
+    // [EXT] inter-annotator agreement: Cohen's kappa per language
+    // between two deterministic "annotators" labeling document length
+    // bands from different evidence (raw chars vs whitespace words) —
+    // the label-quality gate for an annotated corpus. The correlated
+    // proxies give substantial positive kappa; the exact integer
+    // ratio means the chance correction is replayed bit-identically.
+    "q196_annotator_kappa" -> ((s, d) => {
+      val docs = T.documents(s, d)
+        .withColumn("_a", when(col("n_chars") < 220, lit("short"))
+          .when(col("n_chars") < 380, lit("mid")).otherwise(lit("long")))
+        .withColumn("_wc", size(split(trim(col("text")), "\\s+")))
+        .withColumn("_b", when(col("_wc") < 40, lit("short"))
+          .when(col("_wc") < 68, lit("mid")).otherwise(lit("long")))
+      graft.llm.Selection.interAnnotatorKappa(
+          docs, Seq("lang"), "_a", "_b")
+        .orderBy("lang")
     }))
 
   /** Shared PQ oracle prelude: hash-rank sample → per-slot codebook →
@@ -496,9 +543,94 @@ object R11Queries {
       |FROM pos p JOIN neg n ON n.anchor_id = p.anchor_id AND n.rn = 1
       |WHERE p.rn = 1 ORDER BY p.anchor_id""".stripMargin
 
+  /** The Bradley-Terry MM recurrence unrolled: one CTE per
+    * iteration, every division an integer floor over HUGEINT — the
+    * same discipline as the q174 Viterbi replay. */
+  private val btIter = (k: Int) =>
+    s"""it$k AS (SELECT n.i AS item,
+       |  (CAST(SUM(n.w) AS HUGEINT) * 1000000000000) //
+       |  SUM((CAST(n.nij AS HUGEINT) * 1000000000000) // (pi.p + pj.p))
+       |    AS p
+       |FROM n JOIN it${k - 1} pi ON pi.item = n.i
+       |       JOIN it${k - 1} pj ON pj.item = n.j
+       |GROUP BY n.i)""".stripMargin
+  private val btOracle: String =
+    s"""WITH seq AS (
+       |  SELECT event_type, value,
+       |    lag(event_type) OVER w AS prev_type,
+       |    lag(value) OVER w AS prev_value
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |comp AS (
+       |  SELECT CASE WHEN value >= prev_value THEN event_type
+       |              ELSE prev_type END AS i,
+       |         CASE WHEN value >= prev_value THEN prev_type
+       |              ELSE event_type END AS j
+       |  FROM seq
+       |  WHERE prev_type IS NOT NULL AND event_type <> prev_type
+       |    AND value IS NOT NULL AND prev_value IS NOT NULL),
+       |raw AS (SELECT i, j, count(*) AS w FROM comp GROUP BY i, j),
+       |dirs AS (SELECT i, j FROM raw UNION SELECT j AS i, i AS j FROM raw),
+       |sm AS (SELECT d.i, d.j, COALESCE(r.w, 0) + 1 AS w
+       |       FROM dirs d LEFT JOIN raw r ON r.i = d.i AND r.j = d.j),
+       |n AS (SELECT a.i, a.j, a.w, a.w + b.w AS nij
+       |      FROM sm a JOIN sm b ON b.i = a.j AND b.j = a.i),
+       |it0 AS (SELECT DISTINCT i AS item, CAST(1000000 AS HUGEINT) AS p
+       |        FROM sm),
+       |${btIter(1)},
+       |${btIter(2)},
+       |${btIter(3)},
+       |tot AS (SELECT SUM(p) AS sp, COUNT(*) AS ni FROM it3),
+       |rw AS (SELECT i AS item, SUM(w) AS wins FROM raw GROUP BY i),
+       |gm AS (SELECT item, SUM(w) AS games FROM (
+       |         SELECT i AS item, w FROM raw
+       |         UNION ALL SELECT j AS item, w FROM raw)
+       |       GROUP BY item)
+       |SELECT t.item, CAST(COALESCE(rw.wins, 0) AS BIGINT) AS wins,
+       |  CAST(gm.games AS BIGINT) AS games,
+       |  CAST((t.p * 1000000 * tot.ni) // tot.sp AS BIGINT)
+       |    AS strength_micro
+       |FROM it3 t
+       |JOIN gm ON gm.item = t.item
+       |LEFT JOIN rw ON rw.item = t.item
+       |CROSS JOIN tot
+       |ORDER BY strength_micro DESC, t.item""".stripMargin
+
+  private val kappaOracle: String =
+    """WITH base AS (
+      |  SELECT lang,
+      |    CASE WHEN n_chars < 220 THEN 'short'
+      |         WHEN n_chars < 380 THEN 'mid' ELSE 'long' END AS a,
+      |    CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) < 40
+      |           THEN 'short'
+      |         WHEN len(regexp_split_to_array(trim(text), '\s+')) < 68
+      |           THEN 'mid' ELSE 'long' END AS b
+      |  FROM documents),
+      |tot AS (SELECT lang, count(*) AS n,
+      |          SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree
+      |        FROM base GROUP BY lang),
+      |ac AS (SELECT lang, a AS lbl, count(*) AS ak FROM base
+      |       GROUP BY lang, a),
+      |bc AS (SELECT lang, b AS lbl, count(*) AS bk FROM base
+      |       GROUP BY lang, b),
+      |pe AS (SELECT ac.lang, SUM(ak * bk) AS pe_num
+      |       FROM ac JOIN bc ON bc.lang = ac.lang AND bc.lbl = ac.lbl
+      |       GROUP BY ac.lang)
+      |SELECT t.lang, CAST(t.n AS BIGINT) AS n,
+      |  CAST(t.agree AS BIGINT) AS agree,
+      |  CASE WHEN CAST(t.n AS HUGEINT) * t.n = pe.pe_num THEN NULL
+      |       ELSE CAST(((CAST(t.agree AS HUGEINT) * t.n - pe.pe_num)
+      |                  * 1000000) //
+      |                 (CAST(t.n AS HUGEINT) * t.n - pe.pe_num)
+      |                 AS BIGINT) END AS kappa_micro
+      |FROM tot t JOIN pe ON pe.lang = t.lang
+      |ORDER BY t.lang""".stripMargin
+
   // q193 shares q184's oracle VERBATIM: merged shard sketches must
   // equal the direct per-lang sketch — the associativity contract.
   val oracleSql: Map[String, String] = baseOracle +
     ("q193_hll_shards" -> baseOracle("q184_hll_distinct")) +
-    ("q194_triplets" -> tripletOracle)
+    ("q194_triplets" -> tripletOracle) +
+    ("q195_bradley_terry" -> btOracle) +
+    ("q196_annotator_kappa" -> kappaOracle)
 }

@@ -282,4 +282,70 @@ class SelectionSpec extends SparkSuite {
           .toDF("id", "q", "t"), "id", col("q"), col("t"), 100000L)
     }
   }
+
+  test("bradleyTerry: dominance ranks, never-loser finite, guard, determinism") {
+    // A dominates B, B dominates C; A vs C unobserved — transitivity
+    // must still rank A > B > C through the shared opponent
+    val comp = (Seq.fill(8)(("A", "B")) ++ Seq.fill(2)(("B", "A")) ++
+      Seq.fill(8)(("B", "C")) ++ Seq.fill(2)(("C", "B")))
+      .toDF("winner", "loser")
+    val r = Selection.bradleyTerry(comp, "winner", "loser", iters = 3)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r("A")._3 > r("B")._3 && r("B")._3 > r("C")._3)
+    // raw (unsmoothed) win/game bookkeeping
+    assert(r("A")._1 === 8L && r("A")._2 === 10L)
+    assert(r("B")._1 === 10L && r("B")._2 === 20L)
+    assert(r("C")._1 === 2L && r("C")._2 === 10L)
+    // strengths normalize to mean ~1e6 (floor rounding only)
+    val s = r.values.map(_._3).sum
+    assert(s <= 3000000L && s > 3000000L - 10L, s)
+
+    // an item that NEVER lost stays finite (add-one smoothing), and
+    // one that never won stays positive
+    val oneSided = Seq.fill(5)(("W", "L")).toDF("winner", "loser")
+    val os = Selection.bradleyTerry(oneSided, "winner", "loser")
+      .collect().map(x => x.getString(0) -> x.getLong(3)).toMap
+    assert(os("W") > os("L") && os("L") > 0L)
+
+    // deterministic across invocations (driver fit, sorted items)
+    val again = Selection.bradleyTerry(comp, "winner", "loser", iters = 3)
+      .collect().map(x => x.getString(0) -> x.getLong(3)).toMap
+    assert(again === r.map { case (k, v) => k -> v._3 })
+
+    // bounded-vocabulary guard fails fast
+    intercept[IllegalArgumentException] {
+      Selection.bradleyTerry(
+        (0 until 40).map(i => (s"i$i", s"j$i")).toDF("winner", "loser"),
+        "winner", "loser", maxItems = 10)
+    }
+    // self-comparisons and null sides are dropped, not fit
+    val noisy = Seq(("A", "A"), ("A", "B"), (null, "B"), ("B", null))
+      .toDF("winner", "loser")
+    val nz = Selection.bradleyTerry(noisy, "winner", "loser")
+      .collect().map(x => x.getString(0) -> x.getLong(2)).toMap
+    assert(nz === Map("A" -> 1L, "B" -> 1L))
+  }
+
+  test("interAnnotatorKappa: hand values, negative kappa, abstain, degenerate NULL") {
+    def kap(rows: Seq[(String, String, String)]) =
+      Selection.interAnnotatorKappa(
+        rows.toDF("g", "a", "b"), Seq("g"), "a", "b")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    // n=6, agree=4, marginals 3/3 each side: kappa = 6/18 = 1/3
+    val r = kap(Seq(("g", "x", "x"), ("g", "x", "y"), ("g", "y", "y"),
+      ("g", "y", "y"), ("g", "y", "x"), ("g", "x", "x")))
+    assert(r("g") === ((6L, 4L, Some(333333L))))
+    // perfect systematic disagreement: kappa = -1 exactly (truncation
+    // toward zero matches on negatives)
+    assert(kap(Seq(("n", "x", "y"), ("n", "y", "x")))("n")
+      === ((2L, 0L, Some(-1000000L))))
+    // abstentions (NULL either side) leave n
+    val ab = kap(Seq(("a", "x", "x"), ("a", null, "y"), ("a", "y", null)))
+    assert(ab("a")._1 === 1L)
+    // both annotators constant and identical -> p_e = 1 -> NULL
+    assert(kap(Seq(("d", "x", "x"), ("d", "x", "x")))("d")._3 === None)
+  }
 }
