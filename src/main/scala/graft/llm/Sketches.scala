@@ -279,7 +279,7 @@ object Sketches {
     * engine-portable hash space as the KMV/HLL tiers, one salt per
     * matrix row so the d bucket choices are independent. A NULL value
     * salts to an all-NULL array (the aggregate skips those rows). */
-  private def cmsHashes(c: Column, d: Int): Column =
+  private[graft] def cmsHashes(c: Column, d: Int): Column =
     array((0 until d).map { i =>
       conv(substring(sha2(
         concat(lit(s"cms$i:"), c.cast(StringType)), 256), 1, 15), 16, 10)

@@ -407,4 +407,56 @@ object relational {
       explode(sequence(lit(0), lit(salts - 1))))
     f.join(d, on :+ salt).drop(salt)
   }
+
+  /** Fuzzy record linkage (typo-tolerant key matching): for every
+    * left row, the single best right match by Levenshtein edit
+    * distance ≤ `maxDist` (ties → smallest right id), or no row if
+    * nothing qualifies. The classic entity-resolution join a data
+    * pipeline needs when keys arrive hand-typed.
+    *
+    * Candidate generation is PREFIX/SUFFIX BLOCKING, the standard
+    * linkage trick that avoids the all-pairs cartesian: each side
+    * emits two block keys — (first `blockLen` chars) and (last
+    * `blockLen` chars) — via one map-only explode, and candidates
+    * come from ONE hash join on the block key. Complete by
+    * construction for any edit run that leaves the first OR the last
+    * `blockLen` characters intact (a single typo on a key longer
+    * than 2·blockLen always does); edits mangling BOTH ends are
+    * outside the contract — documented, not silent.
+    *
+    * Scale shape: one equi-join on block keys (broadcast when the
+    * probe side is small), per-pair codegen'd `levenshtein`, then
+    * ONE `min_by` aggregate per left row — never a rank window, and
+    * the distance cap prunes before the aggregate. Block-key skew
+    * (every key sharing one prefix) is the operator's documented
+    * hazard — pick `blockLen` so blocks stay selective, or pre-salt
+    * with [[saltedJoin]]'s discipline.
+    *
+    * Output: (left_id, left_key, match_id, match_key, dist). */
+  def fuzzyLinkJoin(left: DataFrame, right: DataFrame,
+      leftId: String, leftKey: String, rightId: String, rightKey: String,
+      maxDist: Int, blockLen: Int = 3): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(blockLen >= 1, s"blockLen must be >= 1, got $blockLen")
+    def blocks(df: DataFrame, id: String, key: String, pfx: String) =
+      df.filter(col(key).isNotNull)
+        .select(col(id).as(s"${pfx}_id"), col(key).as(s"${pfx}_key"),
+          explode(array(
+            substring(col(key), 1, blockLen),
+            substring(col(key), -blockLen, blockLen))).as("_blk"))
+        .distinct() // a short key's two blocks can coincide
+    val cand = blocks(left, leftId, leftKey, "l")
+      .join(blocks(right, rightId, rightKey, "r"), Seq("_blk"))
+      // a pair matching on BOTH prefix and suffix appears twice — the
+      // groupBy below collapses it; no distinct exchange needed
+      .withColumn("dist", levenshtein(col("l_key"), col("r_key")))
+      .filter(col("dist") <= maxDist)
+    cand.groupBy(col("l_id").as("left_id"), col("l_key").as("left_key"))
+      .agg(
+        min_by(struct(col("r_id"), col("r_key"), col("dist")),
+          struct(col("dist"), col("r_id"))).as("_m"))
+      .select(col("left_id"), col("left_key"),
+        col("_m.r_id").as("match_id"), col("_m.r_key").as("match_key"),
+        col("_m.dist").as("dist"))
+  }
 }

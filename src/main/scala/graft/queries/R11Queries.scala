@@ -238,6 +238,27 @@ object R11Queries {
       graft.llm.Selection.interAnnotatorKappa(
           docs, Seq("lang"), "_a", "_b")
         .orderBy("lang")
+    }),
+
+    // [EXT] fuzzy record linkage: probe names derived by DELETING one
+    // deterministic character from every 37th part name, then linked
+    // back to the catalog through prefix/suffix blocking + a
+    // Levenshtein cap + one min_by best-match aggregate — the
+    // entity-resolution join for hand-typed keys. Levenshtein is
+    // exact integer edit distance in both engines, so the oracle
+    // replays blocking, cap, and tie-break verbatim.
+    "q197_fuzzy_link" -> ((s, d) => {
+      val parts = T.part(s, d).select(col("p_partkey"), col("p_name"))
+      val probes = parts.filter(col("p_partkey") % 37 === 0)
+        .withColumn("_pos",
+          expr("(p_partkey div 37) % length(p_name)").cast("int"))
+        .select(col("p_partkey").as("probe_id"),
+          expr("concat(substring(p_name, 1, _pos), " +
+            "substring(p_name, _pos + 2, length(p_name)))").as("noisy"))
+      graft.ops.relational.fuzzyLinkJoin(
+          probes, parts, "probe_id", "noisy", "p_partkey", "p_name",
+          maxDist = 2)
+        .orderBy("left_id")
     }))
 
   /** Shared PQ oracle prelude: hash-rank sample → per-slot codebook →
@@ -626,11 +647,41 @@ object R11Queries {
       |FROM tot t JOIN pe ON pe.lang = t.lang
       |ORDER BY t.lang""".stripMargin
 
+  private val fuzzyOracle: String =
+    """WITH probes AS (
+      |  SELECT p_partkey AS probe_id,
+      |    substring(p_name, 1, pos) || substring(p_name, pos + 2)
+      |      AS noisy
+      |  FROM (SELECT p_partkey, p_name,
+      |          CAST((p_partkey // 37) % length(p_name) AS INT) AS pos
+      |        FROM part WHERE p_partkey % 37 = 0)),
+      |lb AS (SELECT DISTINCT probe_id, noisy, blk FROM (
+      |         SELECT probe_id, noisy, unnest([
+      |           substring(noisy, 1, 3), substring(noisy, -3, 3)]) AS blk
+      |         FROM probes)),
+      |rb AS (SELECT DISTINCT p_partkey, p_name, blk FROM (
+      |         SELECT p_partkey, p_name, unnest([
+      |           substring(p_name, 1, 3), substring(p_name, -3, 3)])
+      |             AS blk
+      |         FROM part)),
+      |cand AS (SELECT DISTINCT l.probe_id, l.noisy, r.p_partkey,
+      |           r.p_name, levenshtein(l.noisy, r.p_name) AS dist
+      |         FROM lb l JOIN rb r ON r.blk = l.blk
+      |         WHERE levenshtein(l.noisy, r.p_name) <= 2)
+      |SELECT probe_id AS left_id, noisy AS left_key,
+      |  p_partkey AS match_id, p_name AS match_key,
+      |  CAST(dist AS INT) AS dist
+      |FROM cand
+      |QUALIFY row_number() OVER (PARTITION BY probe_id
+      |  ORDER BY dist, p_partkey) = 1
+      |ORDER BY left_id""".stripMargin
+
   // q193 shares q184's oracle VERBATIM: merged shard sketches must
   // equal the direct per-lang sketch — the associativity contract.
   val oracleSql: Map[String, String] = baseOracle +
     ("q193_hll_shards" -> baseOracle("q184_hll_distinct")) +
     ("q194_triplets" -> tripletOracle) +
     ("q195_bradley_terry" -> btOracle) +
-    ("q196_annotator_kappa" -> kappaOracle)
+    ("q196_annotator_kappa" -> kappaOracle) +
+    ("q197_fuzzy_link" -> fuzzyOracle)
 }

@@ -674,4 +674,69 @@ object Streaming {
             .divide(java.math.BigInteger.valueOf(denom)).longValueExact())
       }
   }
+
+  final case class CmsRow(group: String, probe: String, cms_est: Long)
+
+  /** Streaming frequency monitor: per-group Count-Min point estimates
+    * for a bounded probe set, maintained incrementally across
+    * micro-batches with FIXED state — the d×w counter matrix (d·w
+    * longs) per group, FOREVER, however many distinct keys stream
+    * past. Counters are additive, so after any prefix of batches each
+    * estimate equals the batch [[graft.llm.Sketches.cmsFrequencies]]
+    * over the union of those batches — spec-pinned including across a
+    * stop/restart. The hash space is the SHARED Column-level
+    * `cmsHashes` (salted SHA-60), computed BEFORE `groupByKey` so the
+    * stream and batch tiers cannot drift; probes hash once at stream
+    * definition through the same path. NULL values are not counted.
+    * Emits one (group, probe, cms_est) row per group touched per
+    * trigger — run with Update output mode; one-sided error as in the
+    * batch tier (est ≥ true count). */
+  def frequencyMonitorStream(events: DataFrame, groupCol: String,
+      valueCol: String, probes: Seq[String], d: Int = 4,
+      w: Int = 64): Dataset[CmsRow] = {
+    require(d >= 1 && d <= 16, s"d must be in [1, 16], got $d")
+    require(w >= 1 && w <= (1 << 20), s"w must be in [1, 2^20], got $w")
+    require(probes.nonEmpty, "probes must be non-empty")
+    require(probes.forall(_ != null), "probes must not contain null")
+    val spark = events.sparkSession
+    import spark.implicits._
+    // probe bucket indexes derive through the SAME Column path as the
+    // stream's values — one tiny driver-local query at definition time
+    val probeIdx: Array[(String, Array[Int])] =
+      probes.distinct.sorted.toDF("p")
+        .select(col("p"), graft.llm.Sketches.cmsHashes(col("p"), d).as("h"))
+        .collect()
+        .map(r => r.getString(0) ->
+          r.getSeq[Long](1).map(h => (h % w).toInt).toArray)
+    events
+      .select(col(groupCol).cast("string").as("g"),
+        graft.llm.Sketches.cmsHashes(col(valueCol), d).as("hs"))
+      .filter(!exists(col("hs"), _.isNull))
+      .as[(String, Seq[Long])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[(String, Seq[Long])],
+            state: GroupState[Array[Long]]) =>
+          val m = state.getOption.getOrElse(new Array[Long](d * w))
+          rows.foreach { case (_, hs) =>
+            var i = 0
+            while (i < d) {
+              m(i * w + (hs(i) % w).toInt) += 1
+              i += 1
+            }
+          }
+          state.update(m)
+          probeIdx.iterator.map { case (pr, idx) =>
+            var best = Long.MaxValue
+            var i = 0
+            while (i < d) {
+              val c = m(i * w + idx(i))
+              if (c < best) best = c
+              i += 1
+            }
+            CmsRow(g, pr, best)
+          }
+      }
+  }
 }

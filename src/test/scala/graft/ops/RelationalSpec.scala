@@ -306,4 +306,37 @@ class RelationalSpec extends SparkSuite {
         "a_s", "a_e", "a_s", "a_e", bucketWidth = 16L)
     }
   }
+
+  test("fuzzyLinkJoin: typo recovery, cap, id tie-break, blocking contract") {
+    val catalog = Seq((1L, "goldenrod lavender"), (2L, "midnight chiffon"),
+      (3L, "midnight chiffoX"), (4L, "spring green"))
+      .toDF("rid", "name")
+    val probes = Seq(
+      (10L, "goldenrod lavender"), // exact -> dist 0
+      (11L, "midnight chiffn"),    // 1 deletion: ties rids 2 and 3 at
+                                   // dist 1/2? chiffon vs chiffn=1,
+                                   // chiffoX vs chiffn=2 -> rid 2
+      (12L, "spring greXXX"),      // dist 4 > cap -> dropped entirely
+      (13L, "Xidnight chiffoY"))   // both ends edited: outside the
+                                   // blocking contract? suffix block
+                                   // "foY" misses, prefix "Xid" misses
+      .toDF("pid", "key")
+    val got = relational.fuzzyLinkJoin(probes, catalog,
+        "pid", "key", "rid", "name", maxDist = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getInt(4)))).toMap
+    assert(got === Map(10L -> ((1L, 0)), 11L -> ((2L, 1))))
+    // equal-distance tie -> smallest right id
+    val tied = relational.fuzzyLinkJoin(
+        Seq((20L, "midnight chiffoZ")).toDF("pid", "key"),
+        catalog, "pid", "key", "rid", "name", maxDist = 2)
+      .collect()
+    assert(tied.length === 1 && tied(0).getLong(2) === 2L &&
+      tied(0).getInt(4) === 1)
+    // null keys on either side are dropped, not matched
+    val n = relational.fuzzyLinkJoin(
+      Seq((30L, null: String)).toDF("pid", "key"),
+      catalog, "pid", "key", "rid", "name", maxDist = 2)
+    assert(n.count() === 0L)
+  }
 }

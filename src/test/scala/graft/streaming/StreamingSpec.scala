@@ -817,4 +817,55 @@ class StreamingSpec extends SparkSuite {
     assert(run2("a") === ref(b1 ++ b2).apply("a"))
     assert(!run2.contains("b"))
   }
+
+  test("frequencyMonitorStream: batch-CMS parity per prefix, state survives restart") {
+    val land = Files.createTempDirectory("graft-cmsmon").toString
+    val ckpt = land + "-ckpt"
+    val probes = Seq("k1", "k7", "never")
+    val b1: Seq[(String, String)] =
+      (1 to 400).map(i => ("a", s"k${i % 10}")) ++
+      (1 to 60).map(i => ("b", s"k${i % 3}"))
+    val b2: Seq[(String, String)] = (1 to 150).map(i => ("a", s"k${i % 5}"))
+    b1.toDF("g", "v").repartition(1).write.mode("append").parquet(land)
+    val schema = spark.read.parquet(land).schema
+
+    def run(): Map[(String, String), Long] = {
+      val buf = new scala.collection.concurrent.TrieMap[(String, String), Long]
+      val stream = Streaming.fileStream(spark, land, schema)
+      val q = Streaming.frequencyMonitorStream(stream, "g", "v", probes,
+          d = 4, w = 8) // w < key cardinality: collisions exercised
+        .writeStream.outputMode("update")
+        .foreachBatch {
+          (ds: org.apache.spark.sql.Dataset[Streaming.CmsRow], _: Long) =>
+            ds.collect().foreach(r => buf.put((r.group, r.probe), r.cms_est))
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination(300000)
+      buf.toMap
+    }
+    def ref(rows: Seq[(String, String)]): Map[(String, String), Long] =
+      rows.toDF("g", "v").select(col("g")).distinct().collect()
+        .map(_.getString(0)).flatMap { g =>
+          graft.llm.Sketches.cmsFrequencies(
+              rows.filter(_._1 == g).toDF("g", "v"), "v",
+              probes.toDF("p"), "p", d = 4, w = 8)
+            .collect().map(r => (g, r.getString(0)) ->
+              r.getAs[Long]("cms_est"))
+        }.toMap
+
+    // run 1: every (group, probe) estimate equals the batch CMS
+    assert(run() === ref(b1))
+    // run 2 (same checkpoint): group "a" counters merge with restored
+    // state — estimates equal the batch CMS over batch1 ∪ batch2;
+    // untouched "b" emits nothing
+    b2.toDF("g", "v").repartition(1).write.mode("append").parquet(land)
+    val run2 = run()
+    val want = ref(b1 ++ b2)
+    for (p <- probes) assert(run2(("a", p)) === want(("a", p)), p)
+    assert(!run2.keys.exists(_._1 == "b"))
+    // the "never" probe only ever reads collision mass — one-sided
+    assert(run2(("a", "never")) >= 0L)
+  }
 }
