@@ -259,6 +259,27 @@ object R11Queries {
           probes, parts, "probe_id", "noisy", "p_partkey", "p_name",
           maxDist = 2)
         .orderBy("left_id")
+    }),
+
+    // [EXT] Z-order (Morton) layout keys: events gridded on
+    // (user_id, ts) and bit-interleaved — the Delta/Iceberg OPTIMIZE
+    // ZORDER primitive. The per-bucket span report IS the pruning
+    // story: consecutive key ranges bound BOTH dimensions (a linear
+    // sort bounds one). Grid scaling is one exact integer floor
+    // division per dim and the interleave is pure bit shuffling, so
+    // the oracle replays every key bit-identically.
+    "q198_zorder_layout" -> ((s, d) => {
+      val ev = T.events(s, d)
+      val base = ev.select(col("user_id"),
+        T.tsMillis(ev, "ts").as("ts_ms"))
+      graft.ops.Layout.zOrderKeys(base, Seq("user_id", "ts_ms"),
+          bits = 16)
+        .withColumn("bucket", shiftright(col("z_key"), 24))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          (max("user_id") - min("user_id")).as("user_span"),
+          (max("ts_ms") - min("ts_ms")).as("ts_span"))
+        .orderBy("bucket")
     }))
 
   /** Shared PQ oracle prelude: hash-rank sample → per-slot codebook →
@@ -676,6 +697,26 @@ object R11Queries {
       |  ORDER BY dist, p_partkey) = 1
       |ORDER BY left_id""".stripMargin
 
+  private val zorderOracle: String = {
+    val ilv = graft.ops.Layout.mortonInterleaveSql(Seq("d0", "d1"), 16)
+    s"""WITH base AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+       |sp AS (SELECT min(user_id) AS lo0, max(user_id) AS hi0,
+       |              min(ts_ms) AS lo1, max(ts_ms) AS hi1 FROM base),
+       |sc AS (SELECT user_id, ts_ms,
+       |         CASE WHEN hi0 = lo0 THEN 0
+       |              ELSE ((user_id - lo0) * 65535) // (hi0 - lo0)
+       |         END AS d0,
+       |         CASE WHEN hi1 = lo1 THEN 0
+       |              ELSE ((ts_ms - lo1) * 65535) // (hi1 - lo1)
+       |         END AS d1
+       |       FROM base CROSS JOIN sp),
+       |z AS (SELECT user_id, ts_ms, $ilv AS z_key FROM sc)
+       |SELECT z_key >> 24 AS bucket, count(*) AS n,
+       |  max(user_id) - min(user_id) AS user_span,
+       |  max(ts_ms) - min(ts_ms) AS ts_span
+       |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
+
   // q193 shares q184's oracle VERBATIM: merged shard sketches must
   // equal the direct per-lang sketch — the associativity contract.
   val oracleSql: Map[String, String] = baseOracle +
@@ -683,5 +724,6 @@ object R11Queries {
     ("q194_triplets" -> tripletOracle) +
     ("q195_bradley_terry" -> btOracle) +
     ("q196_annotator_kappa" -> kappaOracle) +
-    ("q197_fuzzy_link" -> fuzzyOracle)
+    ("q197_fuzzy_link" -> fuzzyOracle) +
+    ("q198_zorder_layout" -> zorderOracle)
 }
