@@ -642,6 +642,47 @@ object ScaleSmoke {
           "embedding", 64, 8, 16, salt = "smoke")
         graft.llm.Similarity.pqAdcTopK(vecs.filter(col("id") < 100),
           vecs, "id", "id", "embedding", cb, 64, 8, 16, k = 10)
+      }),
+      // Bradley-Terry: n comparisons among 64 items — the unbounded
+      // comparison stream reduces to ONE bounded pair table (<= 64^2
+      // rows); the driver MM rounds are corpus-size-independent
+      "bradley_terry" -> (() => {
+        val comp = spark.range(n).select(
+          pmod(xxhash64(col("id")), lit(64)).cast("string").as("winner"),
+          pmod(xxhash64(col("id") + lit(7919)), lit(64)).cast("string")
+            .as("loser"))
+        graft.llm.Selection.bradleyTerry(comp, "winner", "loser",
+          iters = 3, maxItems = 64)
+      }),
+      // fuzzy linkage: n-name catalog probed by n/50 one-char-deleted
+      // copies. Names must NOT share a global prefix/suffix — the
+      // operator's documented blocking-skew hazard (a shared "name "
+      // prefix would make ONE block quadratic); leading/trailing hash
+      // digits keep both block families selective
+      "fuzzy_link" -> (() => {
+        val catalog = spark.range(n).select(col("id"),
+          concat(pmod(xxhash64(col("id")), lit(100000)).cast("string"),
+            lit(" part "),
+            pmod(xxhash64(col("id") + lit(3)), lit(100000)).cast("string"))
+            .as("nm"))
+        val probes = catalog.filter(col("id") % 50 === 0)
+          .withColumn("_pos", (col("id") % 4 + lit(3)).cast("int"))
+          .select(col("id").as("pid"),
+            expr("concat(substring(nm, 1, _pos), " +
+              "substring(nm, _pos + 2, length(nm)))").as("noisy"))
+        graft.ops.relational.fuzzyLinkJoin(probes, catalog,
+          "pid", "noisy", "id", "nm", maxDist = 2, blockLen = 4)
+      }),
+      // z-order layout: keys for n rows over 2 dims (one min/max
+      // aggregate + map-only bit arithmetic), then the range layout
+      // itself — the write-side shuffle a real OPTIMIZE pays
+      "zorder" -> (() => {
+        val pts = spark.range(n).select(col("id"),
+          pmod(xxhash64(col("id")), lit(1000000)).as("x"),
+          pmod(xxhash64(col("id") + lit(13)), lit(1000000)).as("y"))
+        graft.ops.Layout.zOrderKeys(pts, Seq("x", "y"), bits = 16)
+          .repartitionByRange(32, col("z_key"))
+          .sortWithinPartitions("z_key")
       }))
 
     val hotSet = Set("dup_shingle_audit_hot", "keyword_search_hot",

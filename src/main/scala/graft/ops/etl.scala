@@ -1,0 +1,185 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** ETL maintenance operators ([EXT]): the table-lifecycle ops a
+  * production pipeline runs around the reference's load paths —
+  * slowly-changing-dimension history, snapshot diffing, declarative
+  * data-quality gates, and profile drift. All report in exact
+  * integers (counts and micro-unit rates), so every result is
+  * engine-replayable.
+  */
+object etl {
+
+  /** Build SCD Type-2 history from a change log: per key, the value
+    * timeline as (valid_from, valid_to, is_current) intervals — the
+    * dimension-table shape every warehouse keeps.
+    *
+    * Semantics: within one (key, ts) the LAST writer wins
+    * (deterministic via `max_by` on `tieCol` — never arrival order);
+    * consecutive no-op updates (value unchanged vs the previous
+    * timestamp) COLLAPSE into the open interval (null-safe equality,
+    * so null→null is a no-op too); `valid_to` is the next change's
+    * `valid_from` (half-open intervals, adjacent by construction);
+    * the latest row per key has `valid_to` NULL and
+    * `is_current` true.
+    *
+    * Scale shape: one hash aggregate (last-writer) + one per-key
+    * window pass (lag to collapse, lead to close intervals) — windows
+    * partition BY KEY, so parallelism is the key space, never a
+    * global sort. */
+  def scd2History(df: DataFrame, keyCol: String, tsCol: String,
+      valueCols: Seq[String], tieCol: String): DataFrame = {
+    require(valueCols.nonEmpty, "at least one value column required")
+    val v = struct(valueCols.map(col): _*)
+    val lastW = df
+      .groupBy(col(keyCol), col(tsCol).as("valid_from"))
+      .agg(max_by(v, col(tieCol)).as("_v"))
+    val byKey = Window.partitionBy(keyCol).orderBy("valid_from")
+    lastW
+      .withColumn("_pv", lag(col("_v"), 1).over(byKey))
+      // first row per key, or a REAL change (null-safe comparison)
+      .filter(col("_pv").isNull || !(col("_v") <=> col("_pv")))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byKey))
+      .select(Seq(col(keyCol)) ++
+        valueCols.map(c => col(s"_v.$c").as(c)) ++ Seq(
+        col("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current")): _*)
+  }
+
+  /** Snapshot diff by key: FULL OUTER join `old` and `new` on
+    * `keyCols`, classify every key as added / removed / changed /
+    * unchanged (null-safe per-column comparison), and name the
+    * changed columns. Returns only the non-`unchanged` rows — at
+    * 100 TB the diff is the small output, the identity mass stays
+    * unmaterialized. One equi-join, no window.
+    *
+    * `changed_cols` lists the differing `compareCols` in the given
+    * order, comma-joined (empty for added/removed — the whole row is
+    * the change). */
+  def tableDiff(oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    require(compareCols.nonEmpty, "at least one compare column required")
+    val o = oldDf.select((keyCols ++ compareCols).map(col): _*)
+      .withColumn("_in_old", lit(true))
+      .select(keyCols.map(col) ++
+        compareCols.map(c => col(c).as(s"_o_$c")) :+ col("_in_old"): _*)
+    val nw = newDf.select((keyCols ++ compareCols).map(col): _*)
+      .withColumn("_in_new", lit(true))
+      .select(keyCols.map(col) ++
+        compareCols.map(c => col(c).as(s"_n_$c")) :+ col("_in_new"): _*)
+    val joined = o.join(nw, keyCols, "full_outer")
+    val diffs = compareCols.map(c =>
+      when(!(col(s"_o_$c") <=> col(s"_n_$c")), lit(c)))
+    joined
+      .withColumn("status",
+        when(col("_in_old").isNull, lit("added"))
+          .when(col("_in_new").isNull, lit("removed"))
+          .when(diffs.map(_.isNotNull).reduce(_ || _), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("status") =!= "unchanged")
+      .withColumn("changed_cols",
+        when(col("status") === "changed",
+          concat_ws(",", diffs: _*)).otherwise(lit("")))
+      .select(keyCols.map(col) :+ col("status") :+ col("changed_cols"): _*)
+  }
+
+  /** Declarative data-quality gate: each rule is a (name, VIOLATION
+    * predicate) pair; all rules evaluate in ONE map-side-combined
+    * aggregate pass over the table (violations = rows where the
+    * predicate is true; a NULL predicate result counts as a
+    * violation — unknown is not a pass). Returns one row per rule:
+    * (rule, violations, n_rows, pass). */
+  def qualityChecks(df: DataFrame,
+      rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "at least one rule required")
+    require(rules.map(_._1).distinct.size == rules.size,
+      "rule names must be unique")
+    val aggs = count(lit(1)).as("_n") +:
+      rules.map { case (name, bad) =>
+        sum(when(coalesce(bad, lit(true)), 1L).otherwise(0L))
+          .as(s"_v_$name")
+      }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val r = row.head() // 1-row action
+    val n = r.getAs[Long]("_n")
+    rules.map { case (name, _) =>
+      val viol = if (r.isNullAt(r.fieldIndex(s"_v_$name"))) 0L
+        else r.getAs[Long](s"_v_$name")
+      (name, viol, n, viol == 0L)
+    }.toDF("rule", "violations", "n_rows", "pass")
+  }
+
+  /** Key-uniqueness check in the same report shape as
+    * [[qualityChecks]]: violations = rows beyond the first per key
+    * (`n − countDistinct(keys)`); rows with a NULL in any key column
+    * are violations outright (a key must identify). */
+  def uniqueCheck(df: DataFrame, keyCols: Seq[String],
+      ruleName: String = "unique_key"): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    val anyNull = keyCols.map(col(_).isNull).reduce(_ || _)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val r = df.agg(
+      count(lit(1)).as("_n"),
+      sum(when(anyNull, 1L).otherwise(0L)).as("_nulls"),
+      countDistinct(
+        when(!anyNull, struct(keyCols.map(col): _*))).as("_d")).head()
+    val n = r.getAs[Long]("_n")
+    val nulls = if (r.isNullAt(1)) 0L else r.getAs[Long]("_nulls")
+    val dups = (n - nulls) - r.getAs[Long]("_d")
+    val viol = nulls + dups
+    Seq((ruleName, viol, n, viol == 0L))
+      .toDF("rule", "violations", "n_rows", "pass")
+  }
+
+  /** Profile drift between two snapshots of the same table: per
+    * column — row counts, null counts, exact distinct counts, and the
+    * null-rate delta in micro-units (exact integer arithmetic; 0 rows
+    * ⇒ 0 rate). The schema-stability report a nightly pipeline diffs
+    * before trusting a new generation. Cost: one aggregate pass per
+    * side (count + conditional sums + one countDistinct per column —
+    * for sketch-grade profiling at wider tables, swap in the HLL
+    * tier; this op is the EXACT gate). */
+  def profileDrift(a: DataFrame, b: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one column required")
+    def prof(df: DataFrame, side: String): DataFrame = {
+      val aggs = count(lit(1)).as(s"n_$side") +: cols.flatMap { c =>
+        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_null_${c}"),
+          countDistinct(col(c)).as(s"_dist_${c}"))
+      }
+      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      val n = r.getAs[Long](s"n_$side")
+      val spark = df.sparkSession
+      import spark.implicits._
+      cols.map { c =>
+        val nulls = if (r.isNullAt(r.fieldIndex(s"_null_${c}"))) 0L
+          else r.getAs[Long](s"_null_${c}")
+        (c, n, nulls, r.getAs[Long](s"_dist_${c}"))
+      }.toDF("column", s"n_$side", s"nulls_$side", s"distinct_$side")
+    }
+    val pa = prof(a, "a")
+    val pb = prof(b, "b")
+    pa.join(pb, Seq("column"))
+      .withColumn("null_rate_a_micro",
+        when(col("n_a") === 0L, 0L)
+          .otherwise(expr("(nulls_a * 1000000) div n_a")))
+      .withColumn("null_rate_b_micro",
+        when(col("n_b") === 0L, 0L)
+          .otherwise(expr("(nulls_b * 1000000) div n_b")))
+      .withColumn("null_rate_delta_micro",
+        col("null_rate_b_micro") - col("null_rate_a_micro"))
+      .withColumn("distinct_delta",
+        col("distinct_b") - col("distinct_a"))
+      .select("column", "n_a", "n_b", "nulls_a", "nulls_b",
+        "distinct_a", "distinct_b", "null_rate_a_micro",
+        "null_rate_b_micro", "null_rate_delta_micro", "distinct_delta")
+  }
+}

@@ -280,6 +280,82 @@ object R11Queries {
           (max("user_id") - min("user_id")).as("user_span"),
           (max("ts_ms") - min("ts_ms")).as("ts_span"))
         .orderBy("bucket")
+    }),
+
+    // [EXT] profile drift: the schema-stability report a nightly
+    // pipeline diffs before trusting a new generation — per-column
+    // rows/nulls/exact-distinct for two snapshots (events split at
+    // the timestamp midpoint) with the null-rate delta in exact
+    // micro-units.
+    "q199_profile_drift" -> ((s, d) => {
+      val ev = T.events(s, d)
+      val base = ev.select(T.tsMillis(ev, "ts").as("ts_ms"),
+        col("user_id"), col("event_type"), col("value"))
+      val agg = base.agg(min("ts_ms"), max("ts_ms")).head()
+      val mid = (agg.getLong(0) + agg.getLong(1)) / 2
+      graft.ops.etl.profileDrift(
+          base.filter(col("ts_ms") < mid),
+          base.filter(col("ts_ms") >= mid),
+          Seq("user_id", "event_type", "value"))
+        .orderBy("column")
+    }),
+
+    // [EXT] SCD Type-2 history: per-user event_type timeline as
+    // half-open validity intervals — last-writer-wins within a
+    // timestamp (event_id tie-break), consecutive no-op updates
+    // collapse, latest row open-ended. The warehouse dimension shape.
+    "q200_scd2_history" -> ((s, d) => {
+      val ev = T.events(s, d)
+      val base = ev.select(col("user_id"),
+        T.tsMillis(ev, "ts").as("ts_ms"),
+        col("event_type"), col("event_id"))
+      graft.ops.etl.scd2History(base, "user_id", "ts_ms",
+          Seq("event_type"), "event_id")
+        .orderBy("user_id", "valid_from")
+    }),
+
+    // [EXT] snapshot diff: a deterministically-perturbed "new"
+    // customer generation (drops, balance bumps, segment migrations,
+    // key-shifted inserts) diffed against the old — added/removed/
+    // changed rows only, with the changed columns named. One full
+    // outer join; the unchanged mass never materializes.
+    "q201_table_diff" -> ((s, d) => {
+      val cust = T.customer(s, d)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      val newC = cust.filter(col("c_custkey") % 13 =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 11 === 0, col("c_acctbal") + 100)
+            .otherwise(col("c_acctbal")))
+        .withColumn("c_mktsegment",
+          when(col("c_custkey") % 17 === 0, lit("MIGRATED"))
+            .otherwise(col("c_mktsegment")))
+      val added = cust.filter(col("c_custkey") % 19 === 0)
+        .select((col("c_custkey") + 1000000000L).as("c_custkey"),
+          col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+      graft.ops.etl.tableDiff(cust, newC.unionByName(added),
+          Seq("c_custkey"), Seq("c_name", "c_acctbal", "c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+
+    // [EXT] data-quality gate: declarative rules (violation
+    // predicates) over lineitem evaluated in ONE aggregate pass,
+    // plus key-uniqueness checks in the same report shape — the
+    // dbt-test / expectations layer. NULL rule results count as
+    // violations (unknown is not a pass).
+    "q202_dq_checks" -> ((s, d) => {
+      val li = T.lineitem(s, d)
+      graft.ops.etl.qualityChecks(li, Seq(
+          "quantity_max_40" -> (col("l_quantity") > 40),
+          "discount_le_10pct" -> (col("l_discount") > 0.1),
+          "tax_range" -> (col("l_tax") < 0 || col("l_tax") > 0.08),
+          "price_positive" -> (col("l_extendedprice") <= 0),
+          "returnflag_domain" ->
+            !col("l_returnflag").isin("A", "N", "R")))
+        .unionByName(graft.ops.etl.uniqueCheck(li,
+          Seq("l_orderkey", "l_linenumber"), "unique_order_line"))
+        .unionByName(graft.ops.etl.uniqueCheck(li,
+          Seq("l_orderkey"), "unique_orderkey_alone"))
+        .orderBy("rule")
     }))
 
   /** Shared PQ oracle prelude: hash-rank sample → per-slot codebook →
@@ -717,6 +793,118 @@ object R11Queries {
        |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
   }
 
+  private val profileDriftOracle: String = {
+    def prof(side: String, src: String): String =
+      Seq("user_id", "event_type", "value").map { c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_$side,
+           |  count(*) FILTER (WHERE $c IS NULL) AS nulls_$side,
+           |  count(DISTINCT $c) AS distinct_$side FROM $src"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+    s"""WITH base AS (SELECT epoch_ms(ts) AS ts_ms, user_id,
+       |    event_type, value FROM events),
+       |m AS (SELECT (min(ts_ms) + max(ts_ms)) // 2 AS mid FROM base),
+       |sa AS (SELECT * FROM base, m WHERE ts_ms < mid),
+       |sb AS (SELECT * FROM base, m WHERE ts_ms >= mid),
+       |pa AS (${prof("a", "sa")}),
+       |pb AS (${prof("b", "sb")})
+       |SELECT pa."column", n_a, n_b, nulls_a, nulls_b,
+       |  distinct_a, distinct_b,
+       |  CASE WHEN n_a = 0 THEN 0
+       |       ELSE (nulls_a * 1000000) // n_a END AS null_rate_a_micro,
+       |  CASE WHEN n_b = 0 THEN 0
+       |       ELSE (nulls_b * 1000000) // n_b END AS null_rate_b_micro,
+       |  (CASE WHEN n_b = 0 THEN 0
+       |        ELSE (nulls_b * 1000000) // n_b END) -
+       |  (CASE WHEN n_a = 0 THEN 0
+       |        ELSE (nulls_a * 1000000) // n_a END)
+       |    AS null_rate_delta_micro,
+       |  distinct_b - distinct_a AS distinct_delta
+       |FROM pa JOIN pb ON pb."column" = pa."column"
+       |ORDER BY pa."column"""".stripMargin
+  }
+
+  private val scd2Oracle: String =
+    """WITH base AS (SELECT user_id, epoch_ms(ts) AS ts_ms,
+      |    event_type, event_id FROM events),
+      |last_w AS (SELECT user_id, ts_ms AS valid_from,
+      |             max_by(event_type, event_id) AS v
+      |           FROM base GROUP BY user_id, ts_ms),
+      |ordered AS (SELECT user_id, valid_from, v,
+      |              lag(v) OVER w AS pv,
+      |              row_number() OVER w AS rn
+      |            FROM last_w
+      |            WINDOW w AS (PARTITION BY user_id ORDER BY valid_from)),
+      |changes AS (SELECT user_id, valid_from, v FROM ordered
+      |            WHERE rn = 1 OR v IS DISTINCT FROM pv)
+      |SELECT user_id, v AS event_type, valid_from,
+      |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+      |    AS valid_to,
+      |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+      |    IS NULL AS is_current
+      |FROM changes ORDER BY user_id, valid_from""".stripMargin
+
+  private val tableDiffOracle: String =
+    """WITH cust AS (SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+      |              FROM customer),
+      |newc AS (
+      |  SELECT c_custkey, c_name,
+      |    CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 100
+      |         ELSE c_acctbal END AS c_acctbal,
+      |    CASE WHEN c_custkey % 17 = 0 THEN 'MIGRATED'
+      |         ELSE c_mktsegment END AS c_mktsegment
+      |  FROM cust WHERE c_custkey % 13 <> 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000000, c_name, c_acctbal, c_mktsegment
+      |  FROM cust WHERE c_custkey % 19 = 0),
+      |j AS (SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+      |        o.c_custkey IS NOT NULL AS in_old,
+      |        n.c_custkey IS NOT NULL AS in_new,
+      |        o.c_name IS DISTINCT FROM n.c_name AS d_name,
+      |        o.c_acctbal IS DISTINCT FROM n.c_acctbal AS d_bal,
+      |        o.c_mktsegment IS DISTINCT FROM n.c_mktsegment AS d_seg
+      |      FROM cust o FULL OUTER JOIN newc n
+      |        ON n.c_custkey = o.c_custkey)
+      |SELECT c_custkey,
+      |  CASE WHEN NOT in_old THEN 'added'
+      |       WHEN NOT in_new THEN 'removed'
+      |       ELSE 'changed' END AS status,
+      |  CASE WHEN in_old AND in_new THEN concat_ws(',',
+      |         CASE WHEN d_name THEN 'c_name' END,
+      |         CASE WHEN d_bal THEN 'c_acctbal' END,
+      |         CASE WHEN d_seg THEN 'c_mktsegment' END)
+      |       ELSE '' END AS changed_cols
+      |FROM j
+      |WHERE NOT in_old OR NOT in_new OR d_name OR d_bal OR d_seg
+      |ORDER BY c_custkey""".stripMargin
+
+  private val dqOracle: String = {
+    val rules = Seq(
+      "quantity_max_40" -> "l_quantity > 40",
+      "discount_le_10pct" -> "l_discount > 0.1",
+      "tax_range" -> "l_tax < 0 OR l_tax > 0.08",
+      "price_positive" -> "l_extendedprice <= 0",
+      "returnflag_domain" -> "l_returnflag NOT IN ('A', 'N', 'R')")
+    val ruleSelects = rules.map { case (nm, bad) =>
+      s"""SELECT '$nm' AS rule,
+         |  count(*) FILTER (WHERE $bad) AS violations,
+         |  count(*) AS n_rows,
+         |  count(*) FILTER (WHERE $bad) = 0 AS pass FROM lineitem"""
+        .stripMargin
+    }
+    val uniq = Seq(
+      "unique_order_line" -> "(l_orderkey, l_linenumber)",
+      "unique_orderkey_alone" -> "(l_orderkey)").map { case (nm, k) =>
+      s"""SELECT '$nm' AS rule,
+         |  count(*) - count(DISTINCT $k) AS violations,
+         |  count(*) AS n_rows,
+         |  count(*) - count(DISTINCT $k) = 0 AS pass FROM lineitem"""
+        .stripMargin
+    }
+    (ruleSelects ++ uniq).mkString("", "\nUNION ALL\n",
+      "\nORDER BY rule")
+  }
+
   // q193 shares q184's oracle VERBATIM: merged shard sketches must
   // equal the direct per-lang sketch — the associativity contract.
   val oracleSql: Map[String, String] = baseOracle +
@@ -725,5 +913,9 @@ object R11Queries {
     ("q195_bradley_terry" -> btOracle) +
     ("q196_annotator_kappa" -> kappaOracle) +
     ("q197_fuzzy_link" -> fuzzyOracle) +
-    ("q198_zorder_layout" -> zorderOracle)
+    ("q198_zorder_layout" -> zorderOracle) +
+    ("q199_profile_drift" -> profileDriftOracle) +
+    ("q200_scd2_history" -> scd2Oracle) +
+    ("q201_table_diff" -> tableDiffOracle) +
+    ("q202_dq_checks" -> dqOracle)
 }

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+class EtlSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("scd2History: last-writer-wins, no-op collapse, adjacent intervals") {
+    val log = Seq(
+      // key 1: v=a@10 (two writers at ts 10 — tie 5 wins), noop a@20,
+      // change b@30, back to a@40
+      (1L, 10L, "a", 5L), (1L, 10L, "z", 3L),
+      (1L, 20L, "a", 1L), (1L, 30L, "b", 1L), (1L, 40L, "a", 1L),
+      // key 2: single row
+      (2L, 15L, "x", 1L),
+      // key 3: null value run collapses (null == null is a no-op)
+      (3L, 1L, null, 1L), (3L, 2L, null, 1L), (3L, 3L, "y", 1L))
+      .toDF("k", "ts", "v", "tie")
+    val h = etl.scd2History(log, "k", "ts", Seq("v"), "tie")
+      .orderBy("k", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+    assert(h.toSeq === Seq(
+      (1L, "a", 10L, 30L, false), // the ts-20 noop collapsed in
+      (1L, "b", 30L, 40L, false),
+      (1L, "a", 40L, -1L, true),  // value can RECUR as a new interval
+      (2L, "x", 15L, -1L, true),
+      (3L, null, 1L, 3L, false),
+      (3L, "y", 3L, -1L, true)))
+    // intervals are adjacent: every valid_to equals the next
+    // valid_from within its key (checked by the literals above)
+  }
+
+  test("tableDiff: added/removed/changed with named columns; null-safe") {
+    val old = Seq((1L, "a", Some(10)), (2L, "b", Some(20)),
+      (3L, "c", None), (4L, "d", Some(40)))
+      .toDF("k", "s", "x")
+    val nw = Seq((1L, "a", Some(10)),      // unchanged -> dropped
+      (2L, "B", Some(21)),                 // both cols changed
+      (3L, "c", Some(30)),                 // null -> value = changed
+      (5L, "e", Some(50)))                 // added; 4 removed
+      .toDF("k", "s", "x")
+    val d = etl.tableDiff(old, nw, Seq("k"), Seq("s", "x"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(d.toSeq === Seq(
+      (2L, "changed", "s,x"),
+      (3L, "changed", "x"),
+      (4L, "removed", ""),
+      (5L, "added", "")))
+  }
+
+  test("qualityChecks + uniqueCheck: one-pass counts, NULL is a violation") {
+    val df = Seq((1L, Some(5)), (2L, Some(60)), (3L, None), (2L, Some(7)))
+      .toDF("k", "q")
+    val r = etl.qualityChecks(df, Seq(
+        "q_max_50" -> (col("q") > 50),   // row 2 violates; NULL row too
+        "k_positive" -> (col("k") <= 0)))
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getBoolean(3)))).toMap
+    // q > 50: true for 60, NULL for the None row -> 2 violations
+    assert(r("q_max_50") === ((2L, 4L, false)))
+    assert(r("k_positive") === ((0L, 4L, true)))
+    val u = etl.uniqueCheck(df, Seq("k")).head()
+    assert(u.getLong(1) === 1L && !u.getBoolean(3)) // dup k=2
+    val un = etl.uniqueCheck(
+      Seq((Some(1L), 1), (None, 2), (Some(3L), 3)).toDF("k", "v"),
+      Seq("k")).head()
+    assert(un.getLong(1) === 1L) // the NULL key is the violation
+    intercept[IllegalArgumentException] {
+      etl.qualityChecks(df, Seq("a" -> lit(true), "a" -> lit(false)))
+    }
+  }
+
+  test("profileDrift: hand counts and micro rates; empty side safe") {
+    val a = Seq((Some(1), "x"), (Some(2), "x"), (None, "y"), (Some(4), null))
+      .toDF("n", "s")
+    val b = Seq((Some(1), "x"), (None, null)).toDF("n", "s")
+    val p = etl.profileDrift(a, b, Seq("n", "s"))
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    // n: a has 4 rows 1 null 3 distinct; b has 2 rows 1 null 1 distinct
+    assert(p("n") === Seq(4L, 2L, 1L, 1L, 3L, 1L,
+      250000L, 500000L, 250000L, -2L))
+    assert(p("s") === Seq(4L, 2L, 1L, 1L, 2L, 1L,
+      250000L, 500000L, 250000L, -1L))
+    val e = etl.profileDrift(a.filter(lit(false)), b, Seq("n"))
+      .head()
+    assert(e.getAs[Long]("n_a") === 0L &&
+      e.getAs[Long]("null_rate_a_micro") === 0L)
+  }
+}
