@@ -443,4 +443,36 @@ class PlanQualitySpec extends SparkSuite {
     // rank window ever materializes
     assert(!"\\n\\(\\d+\\) Window".r.findAllIn(p).hasNext, p.take(1500))
   }
+
+  test("q197: fuzzy link — probes broadcast onto blocks, min_by not a rank window") {
+    val p = plan("q197_fuzzy_link")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!"\\n\\(\\d+\\) Window".r.findAllIn(p).hasNext, p.take(1500))
+  }
+
+  test("q198: z-order — map-only key arithmetic, no join, no window") {
+    val p = plan("q198_zorder_layout")
+    assert(!p.contains("Join"), p.take(1500))
+    assert(!"\\n\\(\\d+\\) Window".r.findAllIn(p).hasNext, p.take(1500))
+    // one scan feeding one partial/final aggregate pair
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size === 1, p.take(1500))
+  }
+
+  test("q200/q201: SCD2 windows partition by key; diff joins SMJ full-outer") {
+    val p200 = plan("q200_scd2_history")
+    // per-KEY windows are the contract — no empty-partition global sort
+    assert(p200.contains("Window"), p200.take(1500))
+    assert(p200.contains("partitionBy") ||
+      p200.contains("PartitionSpec") ||
+      "windowspecdefinition\\(user_id".r.findAllIn(p200.toLowerCase)
+        .nonEmpty, p200.take(2000))
+    val p201 = plan("q201_table_diff")
+    // FULL OUTER of same-sized snapshots: SMJ is the scale-right shape
+    assert(p201.contains("SortMergeJoin FullOuter") ||
+      (p201.contains("SortMergeJoin") && p201.contains("FullOuter")),
+      p201.take(1500))
+    assert(!p201.contains("CartesianProduct"), p201.take(1500))
+  }
 }
