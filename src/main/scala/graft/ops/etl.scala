@@ -50,6 +50,60 @@ object etl {
         col("valid_to").isNull.as("is_current")): _*)
   }
 
+  /** Incrementally apply a NEW change batch to an existing
+    * [[scd2History]] table — the nightly path that must not replay
+    * the full log. Semantics are pinned by the ALGEBRAIC parity
+    * contract (spec-proven): for changes strictly later than each
+    * key's open interval,
+    *
+    *   scd2Merge(scd2History(A), B) ≡ scd2History(A ∪ B)
+    *
+    * Per key, the current row becomes the ANCHOR; batch changes
+    * reduce last-writer-wins per (key, ts), collapse no-ops against
+    * the anchor chain (null-safe), close the anchor's interval at the
+    * first surviving change, and open new intervals. Keys absent from
+    * the history start fresh; keys without changes pass through.
+    * Closed historical rows are never touched or shuffled — only the
+    * current rows and the batch move.
+    *
+    * A change at-or-before a key's open interval fails fast (the
+    * within-timestamp tie against the original batch's writers is no
+    * longer decidable) — replay the full log for backfills. */
+  def scd2Merge(history: DataFrame, changes: DataFrame, keyCol: String,
+      tsCol: String, valueCols: Seq[String], tieCol: String): DataFrame = {
+    require(valueCols.nonEmpty, "at least one value column required")
+    val v = struct(valueCols.map(col): _*)
+    val cur = history.filter(col("is_current"))
+      .select(col(keyCol), v.as("_v"), col("valid_from"))
+    val minChg = changes.groupBy(col(keyCol))
+      .agg(min(col(tsCol)).as("_minc"))
+    val late = cur.join(minChg, Seq(keyCol))
+      .filter(col("_minc") <= col("valid_from")).limit(1).collect()
+    require(late.isEmpty,
+      s"scd2Merge: change at/before the open interval of key " +
+        s"${late.headOption.map(_.get(0))} — changes must be strictly " +
+        "later; replay the full log for backfills")
+    val chg = changes
+      .groupBy(col(keyCol), col(tsCol).as("valid_from"))
+      .agg(max_by(v, col(tieCol)).as("_v"))
+    val anchored = cur.withColumn("_anchor", lit(true))
+      .unionByName(chg.withColumn("_anchor", lit(false)))
+    val byKey = Window.partitionBy(keyCol).orderBy("valid_from")
+    val merged = anchored
+      .withColumn("_pv", lag(col("_v"), 1).over(byKey))
+      // anchors always survive; changes survive iff a REAL change
+      // (equality chains, so comparing to the previous ROW is exact
+      // even when that row itself collapsed)
+      .filter(col("_anchor") || col("_pv").isNull ||
+        !(col("_v") <=> col("_pv")))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byKey))
+      .select(Seq(col(keyCol)) ++
+        valueCols.map(c => col(s"_v.$c").as(c)) ++ Seq(
+        col("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current")): _*)
+    history.filter(!col("is_current")).unionByName(merged)
+  }
+
   /** Snapshot diff by key: FULL OUTER join `old` and `new` on
     * `keyCols`, classify every key as added / removed / changed /
     * unchanged (null-safe per-column comparison), and name the
@@ -114,6 +168,29 @@ object etl {
         else r.getAs[Long](s"_v_$name")
       (name, viol, n, viol == 0L)
     }.toDF("rule", "violations", "n_rows", "pass")
+  }
+
+  /** Referential-integrity check in the [[qualityChecks]] report
+    * shape: violations = child rows whose (non-NULL-complete) foreign
+    * key finds no parent — one LEFT ANTI join, counted. Rows with any
+    * NULL foreign-key column are skipped (a nullable FK is absence,
+    * not corruption — gate NULLs separately with a not-null rule). */
+  def referentialCheck(child: DataFrame, parent: DataFrame,
+      fkCols: Seq[String], pkCols: Seq[String],
+      ruleName: String): DataFrame = {
+    require(fkCols.nonEmpty && fkCols.size == pkCols.size,
+      "fkCols and pkCols must be non-empty and same-length")
+    val n = child.count()
+    val fkNotNull = fkCols.map(col(_).isNotNull).reduce(_ && _)
+    val p = parent.select(pkCols.map(col): _*).distinct()
+      .toDF(fkCols: _*)
+    val viol = child.filter(fkNotNull)
+      .select(fkCols.map(col): _*)
+      .join(p, fkCols, "left_anti").count()
+    val spark = child.sparkSession
+    import spark.implicits._
+    Seq((ruleName, viol, n, viol == 0L))
+      .toDF("rule", "violations", "n_rows", "pass")
   }
 
   /** Key-uniqueness check in the same report shape as

@@ -356,6 +356,22 @@ object R11Queries {
         .unionByName(graft.ops.etl.uniqueCheck(li,
           Seq("l_orderkey"), "unique_orderkey_alone"))
         .orderBy("rule")
+    }),
+
+    // [EXT] referential-integrity gate: FK relations checked by one
+    // left-anti join each in the same report shape — two real
+    // relations (pass) and one against a deterministically pruned
+    // parent (the orphan case a real pipeline catches).
+    "q203_ri_checks" -> ((s, d) => {
+      val li = T.lineitem(s, d)
+      graft.ops.etl.referentialCheck(li, T.orders(s, d),
+          Seq("l_orderkey"), Seq("o_orderkey"), "lineitem_orderkey_fk")
+        .unionByName(graft.ops.etl.referentialCheck(li, T.part(s, d),
+          Seq("l_partkey"), Seq("p_partkey"), "lineitem_partkey_fk"))
+        .unionByName(graft.ops.etl.referentialCheck(T.orders(s, d),
+          T.customer(s, d).filter(col("c_custkey") % 7 =!= 0),
+          Seq("o_custkey"), Seq("c_custkey"), "orders_custkey_vs_pruned"))
+        .orderBy("rule")
     }))
 
   /** Shared PQ oracle prelude: hash-rank sample → per-slot codebook →
@@ -917,5 +933,30 @@ object R11Queries {
     ("q199_profile_drift" -> profileDriftOracle) +
     ("q200_scd2_history" -> scd2Oracle) +
     ("q201_table_diff" -> tableDiffOracle) +
-    ("q202_dq_checks" -> dqOracle)
+    ("q202_dq_checks" -> dqOracle) +
+    ("q203_ri_checks" -> riOracle)
+
+  private lazy val riOracle: String = {
+    def one(name: String, child: String, fk: String, parent: String,
+        pk: String, parentFilter: String = ""): String =
+      s"""SELECT '$name' AS rule,
+         |  (SELECT count(*) FROM $child c
+         |   WHERE c.$fk IS NOT NULL AND NOT EXISTS
+         |     (SELECT 1 FROM $parent p
+         |      WHERE p.$pk = c.$fk$parentFilter)) AS violations,
+         |  (SELECT count(*) FROM $child) AS n_rows,
+         |  (SELECT count(*) FROM $child c
+         |   WHERE c.$fk IS NOT NULL AND NOT EXISTS
+         |     (SELECT 1 FROM $parent p
+         |      WHERE p.$pk = c.$fk$parentFilter)) = 0 AS pass"""
+        .stripMargin
+    Seq(
+      one("lineitem_orderkey_fk", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      one("lineitem_partkey_fk", "lineitem", "l_partkey",
+        "part", "p_partkey"),
+      one("orders_custkey_vs_pruned", "orders", "o_custkey",
+        "customer", "c_custkey", " AND p.c_custkey % 7 <> 0"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY rule")
+  }
 }

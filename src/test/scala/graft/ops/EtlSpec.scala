@@ -32,6 +32,51 @@ class EtlSpec extends SparkSuite {
     // valid_from within its key (checked by the literals above)
   }
 
+  test("scd2Merge: merge(history(A), B) == history(A ++ B); guards; new keys") {
+    val a = Seq(
+      (1L, 10L, "a", 1L), (1L, 20L, "b", 1L), (1L, 30L, "b", 1L),
+      (2L, 5L, "x", 1L),
+      (3L, 1L, "p", 2L), (3L, 1L, "q", 1L)) // tie: p (tie 2) wins
+    val b = Seq(
+      (1L, 40L, "b", 1L),  // no-op vs the open interval -> collapses
+      (1L, 50L, "c", 1L),  // real change
+      (2L, 6L, "x", 1L),   // no-op
+      (4L, 9L, "new", 1L)) // brand-new key
+    def df(rows: Seq[(Long, Long, String, Long)]) =
+      rows.toDF("k", "ts", "v", "tie")
+    def norm(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("k", "valid_from").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+        .toSeq
+    val direct = etl.scd2History(df(a ++ b), "k", "ts", Seq("v"), "tie")
+    val merged = etl.scd2Merge(
+      etl.scd2History(df(a), "k", "ts", Seq("v"), "tie"),
+      df(b), "k", "ts", Seq("v"), "tie")
+    assert(norm(merged) === norm(direct))
+    // a change AT the open interval's timestamp fails fast (the
+    // within-ts tie against the original writers is undecidable)
+    intercept[IllegalArgumentException] {
+      etl.scd2Merge(etl.scd2History(df(a), "k", "ts", Seq("v"), "tie"),
+        df(Seq((1L, 20L, "z", 9L))), "k", "ts", Seq("v"), "tie")
+        .collect()
+    }
+  }
+
+  test("referentialCheck: orphan counts; NULL FKs skipped") {
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(2L), Some(9L), Some(9L), None)
+      .toDF("fk")
+    val r = etl.referentialCheck(child, parent, Seq("fk"), Seq("pk"),
+      "fk_check").head()
+    // two orphan rows (9L twice); the NULL row is absence, not orphan
+    assert(r.getString(0) === "fk_check" && r.getLong(1) === 2L &&
+      r.getLong(2) === 5L && !r.getBoolean(3))
+    val ok = etl.referentialCheck(child.filter(col("fk") < 5),
+      parent, Seq("fk"), Seq("pk"), "ok").head()
+    assert(ok.getLong(1) === 0L && ok.getBoolean(3))
+  }
+
   test("tableDiff: added/removed/changed with named columns; null-safe") {
     val old = Seq((1L, "a", Some(10)), (2L, "b", Some(20)),
       (3L, "c", None), (4L, "d", Some(40)))
