@@ -372,6 +372,67 @@ object R11Queries {
           T.customer(s, d).filter(col("c_custkey") % 7 =!= 0),
           Seq("o_custkey"), Seq("c_custkey"), "orders_custkey_vs_pruned"))
         .orderBy("rule")
+    }),
+
+    // [EXT] last-touch attribution: every purchase attributed to the
+    // user's latest preceding click — PURE COMPOSITION of the as-of
+    // join (one shuffle, per-key window carry-forward); the oracle is
+    // DuckDB's own ASOF LEFT JOIN, so the operator's semantics are
+    // pinned against an independent engine's implementation of the
+    // same join type. Clicks pre-deduped last-writer per (user, ms).
+    "q204_attribution" -> ((s, d) => {
+      val ev = T.events(s, d)
+      val base = ev.select(col("user_id"),
+        T.tsMillis(ev, "ts").as("ts_ms"),
+        col("event_type"), col("event_id"))
+      val purchases = base.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts_ms"))
+      val clicks = base.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts_ms").as("c_ts"))
+        .agg(max("event_id").as("click_id"))
+        .withColumn("click_ts", col("c_ts"))
+      graft.ops.relational.asofJoin(purchases, clicks, Seq("user_id"),
+          "ts_ms", "c_ts")
+        .select(col("purchase_id"), col("user_id"), col("ts_ms"),
+          col("click_id"), col("click_ts"),
+          (col("ts_ms") - col("click_ts")).as("latency_ms"))
+        .orderBy("purchase_id")
+    }),
+
+    // [EXT] sketch algebra — HLL intersection: per-language vocab
+    // overlap estimated ENTIRELY from the stored shard registers
+    // (inclusion-exclusion over merged blobs; no rescan of the
+    // corpus). Register merges and the exact-integer estimator make
+    // every pairwise estimate engine-replayable.
+    "q205_hll_intersect" -> ((s, d) => {
+      val words = T.documents(s, d).select(col("lang"),
+        explode(split(trim(col("text")), "\\s+")).as("word"))
+      val shards = graft.llm.Sketches.hllShardSketch(
+        words, Seq("lang"), "word", p = 6)
+      val single = graft.llm.Sketches.hllMergeShards(
+          shards, Seq("lang"), "hll_regs", p = 6)
+        .select(col("lang"), col("hll_est_micro"))
+      val prs = shards.select(col("lang").as("lang_a"), col("hll_regs"))
+        .crossJoin(shards.select(col("lang").as("lang_b"),
+          col("hll_regs").as("_rb")))
+        .filter(col("lang_a") < col("lang_b"))
+      val both = prs.select(col("lang_a"), col("lang_b"), col("hll_regs"))
+        .unionByName(prs.select(col("lang_a"), col("lang_b"),
+          col("_rb").as("hll_regs")))
+      graft.llm.Sketches.hllMergeShards(both, Seq("lang_a", "lang_b"),
+          "hll_regs", p = 6)
+        .select(col("lang_a"), col("lang_b"),
+          col("hll_est_micro").as("est_union_micro"))
+        .join(single.select(col("lang").as("lang_a"),
+          col("hll_est_micro").as("est_a")), Seq("lang_a"))
+        .join(single.select(col("lang").as("lang_b"),
+          col("hll_est_micro").as("est_b")), Seq("lang_b"))
+        .select(col("lang_a"), col("lang_b"), col("est_a"), col("est_b"),
+          col("est_union_micro"),
+          (col("est_a") + col("est_b") - col("est_union_micro"))
+            .as("est_intersect_micro"))
+        .orderBy("lang_a", "lang_b")
     }))
 
   /** Shared PQ oracle prelude: hash-rank sample → per-slot codebook →
@@ -934,7 +995,65 @@ object R11Queries {
     ("q200_scd2_history" -> scd2Oracle) +
     ("q201_table_diff" -> tableDiffOracle) +
     ("q202_dq_checks" -> dqOracle) +
-    ("q203_ri_checks" -> riOracle)
+    ("q203_ri_checks" -> riOracle) +
+    ("q204_attribution" -> attributionOracle) +
+    ("q205_hll_intersect" -> hllIntersectOracle)
+
+  private lazy val attributionOracle: String =
+    """WITH base AS (SELECT user_id, epoch_ms(ts) AS ts_ms,
+      |    event_type, event_id FROM events),
+      |p AS (SELECT user_id, event_id AS purchase_id, ts_ms FROM base
+      |      WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts_ms AS c_ts, max(event_id) AS click_id
+      |      FROM base WHERE event_type = 'click' GROUP BY 1, 2)
+      |SELECT p.purchase_id, p.user_id, p.ts_ms, c.click_id,
+      |  c.c_ts AS click_ts, p.ts_ms - c.c_ts AS latency_ms
+      |FROM p ASOF LEFT JOIN c
+      |  ON c.user_id = p.user_id AND c.c_ts <= p.ts_ms
+      |ORDER BY p.purchase_id""".stripMargin
+
+  private lazy val hllIntersectOracle: String =
+    s"""WITH w AS (
+       |  SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+'))
+       |    AS word
+       |  FROM documents),
+       |h AS (SELECT lang,
+       |        ('0x' || substr(sha256(word), 1, 15))::BIGINT AS h
+       |      FROM w WHERE word IS NOT NULL),
+       |r AS (SELECT lang, CAST(h % 64 AS INT) AS reg,
+       |        CAST(55 - CASE WHEN h // 64 = 0 THEN 0
+       |          ELSE length(format('{:b}', h // 64)) END AS INT) AS rho
+       |      FROM h),
+       |mx AS (SELECT lang, reg, max(rho) AS rmax FROM r
+       |       GROUP BY lang, reg),
+       |single AS (
+       |  SELECT lang,
+       |    CAST(CAST('${graft.llm.Sketches.hllNumerator(6)}' AS HUGEINT)
+       |      // (sum(CAST(1 AS BIGINT) << (55 - rmax))
+       |          + (64 - count(*)) * (CAST(1 AS BIGINT) << 55))
+       |      AS BIGINT) AS est
+       |  FROM mx GROUP BY lang),
+       |langs AS (SELECT DISTINCT lang FROM mx),
+       |prs AS (SELECT a.lang AS lang_a, b.lang AS lang_b
+       |        FROM langs a JOIN langs b ON a.lang < b.lang),
+       |ur AS (SELECT p.lang_a, p.lang_b, m.reg, max(m.rmax) AS rmax
+       |       FROM prs p JOIN mx m
+       |         ON m.lang = p.lang_a OR m.lang = p.lang_b
+       |       GROUP BY 1, 2, 3),
+       |uest AS (
+       |  SELECT lang_a, lang_b,
+       |    CAST(CAST('${graft.llm.Sketches.hllNumerator(6)}' AS HUGEINT)
+       |      // (sum(CAST(1 AS BIGINT) << (55 - rmax))
+       |          + (64 - count(*)) * (CAST(1 AS BIGINT) << 55))
+       |      AS BIGINT) AS est_union_micro
+       |  FROM ur GROUP BY lang_a, lang_b)
+       |SELECT u.lang_a, u.lang_b, sa.est AS est_a, sb.est AS est_b,
+       |  u.est_union_micro,
+       |  sa.est + sb.est - u.est_union_micro AS est_intersect_micro
+       |FROM uest u
+       |JOIN single sa ON sa.lang = u.lang_a
+       |JOIN single sb ON sb.lang = u.lang_b
+       |ORDER BY u.lang_a, u.lang_b""".stripMargin
 
   private lazy val riOracle: String = {
     def one(name: String, child: String, fk: String, parent: String,
