@@ -794,6 +794,85 @@ object Crawl {
     (ranks, it, converged)
   }
 
+  /** Personalized (topic-sensitive) PageRank: teleport mass lands
+    * ONLY on the `seeds` set instead of uniformly — the crawl-
+    * prioritization prior ("rank the web as seen from these trusted
+    * hubs"). Same exact integer micro-unit arithmetic as
+    * [[pageRankInt]]; the per-node teleport base is
+    * `(10⁶·(dampDen−dampNum)·N) div (dampDen·|S|)` for seeds and 0
+    * elsewhere (total teleport mass preserved vs the uniform prior).
+    * Seeds not present in the graph are ignored; an empty effective
+    * seed set fails fast. Same scale shape as pageRankInt: invariants
+    * checkpoint once, each iteration shuffles only the rank table. */
+  def personalizedPageRankInt(edges: DataFrame, seeds: DataFrame,
+      iters: Int, dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(iters >= 1, "iters must be at least 1")
+    require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
+      s"need 0 <= dampNum <= dampDen, got $dampNum/$dampDen")
+    val inv = prInvariants(edges)
+    val sd = seeds.select(col(seeds.columns.head).as("node")).distinct()
+      .join(inv.nodes, Seq("node"), "left_semi").localCheckpoint()
+    val s = sd.count() // 1-row action
+    require(s > 0, "personalizedPageRankInt: no seed appears in the graph")
+    val n = inv.nodes.count() // 1-row action
+    val baseSeed = (BigInt(1000000L) * (dampDen - dampNum) * n /
+      (BigInt(dampDen) * s)).toLong
+    val based = inv.nodes
+      .join(sd.withColumn("_s", lit(1)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("_s").isNotNull, lit(baseSeed)).otherwise(lit(0L))
+          .as("base"))
+      .repartition(col("node")).localCheckpoint()
+    var ranks = based.select(col("node"), lit(1000000L).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = inv.eo.join(ranks, inv.eo("src") === ranks("node"))
+        .select(col("dst").as("node"), expr("rank div outdeg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("cs"))
+      ranks = based.join(contrib, Seq("node"), "left")
+        .select(col("node"), (col("base") +
+          expr(s"($dampNum * coalesce(cs, CAST(0 AS BIGINT))) " +
+            s"div $dampDen")).cast("long").as("rank"))
+    }
+    ranks
+  }
+
+  /** Synchronous label propagation (community detection): every node
+    * starts as its own community and each round adopts the most
+    * frequent label among its neighbors (ties → smallest label) —
+    * computed for ALL nodes from the PREVIOUS round's labels, so the
+    * result is deterministic (the classic asynchronous LPA is
+    * schedule-dependent; this is the deterministic variant a
+    * replayable pipeline needs). Edges are treated as UNDIRECTED
+    * (symmetrized + dedup); self-loops drop (they only vote a node's
+    * own label).
+    *
+    * Scale shape: per round one edge⋈labels hash join + two hash
+    * aggregates ((node, label) counts, then a `min_by` winner per
+    * node) — no window, no driver state; labels localCheckpoint per
+    * round (the pageRankInt lineage discipline). */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be at least 1")
+    val cols = edges.columns
+    val e0 = edges.select(col(cols(0)).as("src"), col(cols(1)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val e = e0
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().repartition(col("dst")).localCheckpoint()
+    val nodes = e.select(col("src").as("node")).distinct()
+    var labels = nodes.select(col("node"), col("node").as("lbl"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val nbr = e
+        .join(labels.select(col("node").as("dst"), col("lbl")), Seq("dst"))
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("_c"))
+      labels = nbr.groupBy(col("src").as("node"))
+        .agg(min_by(col("lbl"),
+          struct((-col("_c")).as("nc"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999) over the crawl link
     * graph in EXACT integer micro-units — the directory-page /
     * content-page decomposition that complements PageRank's single

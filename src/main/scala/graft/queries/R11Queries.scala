@@ -433,6 +433,39 @@ object R11Queries {
           (col("est_a") + col("est_b") - col("est_union_micro"))
             .as("est_intersect_micro"))
         .orderBy("lang_a", "lang_b")
+    }),
+
+    // [EXT] deterministic label propagation over the planted q109
+    // graph (symmetrized): 3 synchronous rounds, most-frequent
+    // neighbor label, ties to the smallest — community detection for
+    // domain clustering, schedule-independent by construction. The
+    // oracle unrolls the identical rounds.
+    "q206_label_prop" -> ((s, d) => {
+      val docs = T.documents(s, d).select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val withN = docs.join(broadcast(n))
+      val e = withN.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 7, col("n")).as("dst"))
+        .union(withN.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 13 + 1, col("n")).as("dst")))
+      graft.llm.Crawl.labelPropagation(e, iters = 3).orderBy("node")
+    }),
+
+    // [EXT] personalized PageRank: teleport mass lands only on the
+    // doc_id % 97 seed set — the topic-sensitive crawl prior. Exact
+    // integer micro-units; the oracle unrolls all three iterations
+    // with the identical per-node teleport base.
+    "q207_personalized_pr" -> ((s, d) => {
+      val docs = T.documents(s, d).select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val withN = docs.join(broadcast(n))
+      val e = withN.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 7, col("n")).as("dst"))
+        .union(withN.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 13 + 1, col("n")).as("dst")))
+      graft.llm.Crawl.personalizedPageRankInt(e,
+          docs.filter(col("doc_id") % 97 === 0), iters = 3)
+        .orderBy("node")
     }))
 
   /** Shared PQ oracle prelude: hash-rank sample → per-slot codebook →
@@ -997,7 +1030,69 @@ object R11Queries {
     ("q202_dq_checks" -> dqOracle) +
     ("q203_ri_checks" -> riOracle) +
     ("q204_attribution" -> attributionOracle) +
-    ("q205_hll_intersect" -> hllIntersectOracle)
+    ("q205_hll_intersect" -> hllIntersectOracle) +
+    ("q206_label_prop" -> lpaOracle) +
+    ("q207_personalized_pr" -> pprOracle)
+
+  private lazy val lpaOracle: String = {
+    def round(k: Int): String =
+      s"""l$k AS (SELECT node, lbl FROM (
+         |  SELECT e.src AS node, l.lbl, count(*) AS c,
+         |    row_number() OVER (PARTITION BY e.src
+         |      ORDER BY count(*) DESC, l.lbl) AS rn
+         |  FROM ed e JOIN l${k - 1} l ON l.node = e.dst
+         |  GROUP BY e.src, l.lbl) WHERE rn = 1)""".stripMargin
+    s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+       |e0 AS (SELECT doc_id AS src, (doc_id * 7) % n AS dst
+       |       FROM documents, nn
+       |       UNION ALL
+       |       SELECT doc_id, (doc_id * 13 + 1) % n FROM documents, nn),
+       |ed AS (SELECT DISTINCT src, dst FROM (
+       |        SELECT src, dst FROM e0 WHERE src <> dst
+       |        UNION ALL
+       |        SELECT dst AS src, src AS dst FROM e0 WHERE src <> dst)),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM ed),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT node, lbl FROM l3 ORDER BY node""".stripMargin
+  }
+
+  private lazy val pprOracle: String = {
+    def iter(k: Int): String =
+      s"""c$k AS (SELECT e.dst AS node, sum(r${k - 1}.rank // od.outdeg)
+         |         AS cs
+         |       FROM e JOIN r${k - 1} ON e.src = r${k - 1}.node
+         |       JOIN od ON e.src = od.src GROUP BY 1),
+         |r$k AS (SELECT bt.node,
+         |         CAST(bt.base + (85 * coalesce(cs, 0)) // 100 AS BIGINT)
+         |           AS rank
+         |       FROM bt LEFT JOIN c$k USING (node))""".stripMargin
+    s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+       |e AS (SELECT doc_id AS src, (doc_id * 7) % n AS dst
+       |      FROM documents, nn
+       |      UNION ALL
+       |      SELECT doc_id AS src, (doc_id * 13 + 1) % n AS dst
+       |      FROM documents, nn),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+       |sdn AS (SELECT DISTINCT doc_id AS node FROM documents
+       |        WHERE doc_id % 97 = 0
+       |          AND doc_id IN (SELECT node FROM nodes)),
+       |prm AS (SELECT (SELECT count(*) FROM nodes) AS n2,
+       |               (SELECT count(*) FROM sdn) AS s),
+       |bt AS (SELECT nodes.node,
+       |         CASE WHEN nodes.node IN (SELECT node FROM sdn)
+       |           THEN CAST((CAST(1000000 AS HUGEINT) * 15 * n2)
+       |                // (CAST(100 AS HUGEINT) * s) AS BIGINT)
+       |           ELSE 0 END AS base
+       |       FROM nodes, prm),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}
+       |SELECT node, rank FROM r3 ORDER BY node""".stripMargin
+  }
 
   private lazy val attributionOracle: String =
     """WITH base AS (SELECT user_id, epoch_ms(ts) AS ts_ms,

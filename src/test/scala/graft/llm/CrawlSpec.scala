@@ -617,4 +617,54 @@ class CrawlSpec extends SparkSuite {
     assert(re === Crawl.recrawlSchedule(log, "url", "ts", "fp",
       baseMs = base, maxDoublings = 3).orderBy("url").collect().toSeq)
   }
+
+  test("labelPropagation: two communities converge, ties to smallest, deterministic") {
+    import spark.implicits._
+    // two triangles {1,2,3} and {10,11,12} joined by one bridge 3-10
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (11L, 12L),
+      (12L, 10L), (3L, 10L)).toDF("src", "dst")
+    val r = Crawl.labelPropagation(e, iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // each triangle settles on ONE label and the two differ (label
+    // VALUES are arbitrary ids — min-label ties let a bridge carry a
+    // neighbor community's id, here 3 across the 3–10 bridge)
+    assert(Set(1L, 2L, 3L).map(r).size === 1, r)
+    assert(Set(10L, 11L, 12L).map(r).size === 1, r)
+    assert(r(1L) !== r(10L), r)
+    assert(r(1L) === 1L && r(10L) === 3L) // the hand-traced fixpoint
+    // synchronous + min-label tie-break => identical across runs and
+    // partitionings
+    val again = Crawl.labelPropagation(e.repartition(5), iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(again === r)
+    // self-loops are dropped, not self-votes
+    val withSelf = Crawl.labelPropagation(
+      e.union(Seq((2L, 2L)).toDF("src", "dst")), iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(withSelf === r)
+  }
+
+  test("personalizedPageRankInt: mass concentrates at seeds; guards") {
+    import spark.implicits._
+    // star: hub 0 <-> leaves 1..6; seed = node 1 only
+    val e = (1L to 6L).flatMap(i => Seq((0L, i), (i, 0L))).toDF("src", "dst")
+    val ppr = Crawl.personalizedPageRankInt(e, Seq(1L).toDF("node"),
+        iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // the seed leaf outranks every other leaf (same link structure,
+    // only the teleport differs)
+    assert((2L to 6L).forall(i => ppr(1L) > ppr(i)), ppr)
+    // non-seed leaves are symmetric -> identical ranks
+    assert((3L to 6L).forall(i => ppr(i) === ppr(2L)), ppr)
+    // seeds outside the graph are ignored; all-outside fails fast
+    val withGhost = Crawl.personalizedPageRankInt(e,
+      Seq(1L, 99L).toDF("node"), iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    intercept[IllegalArgumentException] {
+      Crawl.personalizedPageRankInt(e, Seq(99L).toDF("node"), iters = 3)
+    }
+    // ghost seed halves the per-seed base? no — it is EXCLUDED, so
+    // the fit equals the clean single-seed run
+    assert(withGhost === ppr)
+  }
 }
