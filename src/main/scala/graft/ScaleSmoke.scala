@@ -673,6 +673,40 @@ object ScaleSmoke {
         graft.ops.relational.fuzzyLinkJoin(probes, catalog,
           "pid", "noisy", "id", "nm", maxDist = 2, blockLen = 4)
       }),
+      // SCD2 history: n change rows over n/100 keys — the per-KEY
+      // windows are the contract (parallelism = key space; ~100-row
+      // partitions here, never a global sort)
+      "scd2" -> (() => {
+        val log = spark.range(n).select(
+          (col("id") % (n / 100)).as("k"), col("id").as("ts"),
+          pmod(xxhash64(col("id")), lit(5)).cast("string").as("v"),
+          col("id").as("tie"))
+        graft.ops.etl.scd2History(log, "k", "ts", Seq("v"), "tie")
+      }),
+      // snapshot diff: two n-row generations, ~15% perturbed — one
+      // full-outer SMJ; only the non-unchanged rows come back
+      "table_diff" -> (() => {
+        val old = spark.range(n).select(col("id"),
+          pmod(xxhash64(col("id")), lit(1000)).as("a"),
+          pmod(xxhash64(col("id") + lit(7)), lit(1000)).as("b"))
+        val nw = old.filter(col("id") % 13 =!= 0)
+          .withColumn("a", when(col("id") % 11 === 0, col("a") + 1)
+            .otherwise(col("a")))
+        graft.ops.etl.tableDiff(old, nw, Seq("id"), Seq("a", "b"))
+      }),
+      // DQ gate: five rules + a uniqueness check over n rows — one
+      // aggregate pass + one countDistinct pass
+      "dq_checks" -> (() => {
+        val t = spark.range(n).select(col("id"),
+          pmod(xxhash64(col("id")), lit(100)).as("q"),
+          pmod(xxhash64(col("id") + lit(3)), lit(1000000)).as("k"))
+        graft.ops.etl.qualityChecks(t, Seq(
+            "q_hi" -> (col("q") > 90), "q_neg" -> (col("q") < 0),
+            "id_null" -> col("id").isNull,
+            "k_range" -> (col("k") >= 1000000),
+            "q_null" -> col("q").isNull))
+          .unionByName(graft.ops.etl.uniqueCheck(t, Seq("k"), "uk"))
+      }),
       // z-order layout: keys for n rows over 2 dims (one min/max
       // aggregate + map-only bit arithmetic), then the range layout
       // itself — the write-side shuffle a real OPTIMIZE pays
