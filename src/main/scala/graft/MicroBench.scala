@@ -77,6 +77,22 @@ object MicroBench {
           .orderBy("objective", "doc_id")
         Seq("single_unspread" -> single, "three_arm" -> threeArm,
           "single_spread" -> spread)
+      case "pq_encode" =>
+        // 1M synthetic 64-d vectors (the ScaleSmoke pq corpus), the
+        // same hash-rank codebook: native graft_pq_encode kernel vs
+        // the relational array_min-over-structs form it replaced
+        val vecs = spark.range(1000000L).select(col("id"),
+          expr("transform(sequence(0, 63), " +
+            "j -> cast(sin(id * 64 + j) as float))").as("embedding"))
+          .repartition(32).cache()
+        vecs.count()
+        val cb = graft.llm.Similarity.pqCodebook(vecs, "id",
+          "embedding", 64, 8, 16, salt = "smoke")
+        val native = () => graft.llm.Similarity.pqEncode(
+          vecs, "id", "embedding", cb, 64, 8, 16)
+        val relational = () => graft.llm.Similarity.pqEncodeRelational(
+          vecs, "id", "embedding", cb, 64, 8, 16)
+        Seq("native" -> native, "relational" -> relational)
       case other =>
         throw new IllegalArgumentException(s"unknown scenario: $other")
     }

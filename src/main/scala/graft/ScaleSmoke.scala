@@ -635,9 +635,14 @@ object ScaleSmoke {
       // then ADC-rank 100 queries over the full compressed corpus
       // (WindowGroupLimit keeps the per-query top-k partial)
       "pq" -> (() => {
+        // cache the synthetic corpus (like `docs`): the scenario
+        // should time the PQ operators, not re-deriving 64M sin()
+        // per pass — encode + ADC each traverse the corpus once
         val vecs = spark.range(n).select(col("id"),
           expr("transform(sequence(0, 63), " +
             "j -> cast(sin(id * 64 + j) as float))").as("embedding"))
+          .cache()
+        vecs.count()
         val cb = graft.llm.Similarity.pqCodebook(vecs, "id",
           "embedding", 64, 8, 16, salt = "smoke")
         graft.llm.Similarity.pqAdcTopK(vecs.filter(col("id") < 100),

@@ -1,0 +1,117 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** `graft_pq_encode(vec)` → array<int>: product-quantization encode
+  * one double vector against a trained codebook — the hot map-only
+  * kernel of the PQ compression path (`Similarity.pqEncode`).
+  *
+  * BIT-IDENTICAL to the relational formulation it replaces (the
+  * array_min-over-(dist, code)-structs HOF): per slot the squared-L2
+  * to each centroid accumulates sequentially over ascending j in
+  * doubles, and the argmin scans codes ascending with a strict `<`
+  * — so equal distances keep the LOWER code, exactly the
+  * lexicographic struct-min / the oracle's ORDER BY dd, code. The
+  * HOF form allocated ncent structs and boxed every element per
+  * slot per row; this is three fused primitive loops.
+  *
+  * Scale shape: the codebook rides inside the expression
+  * (parameter-bounded: nsub·ncent·dsub doubles — the BpeEncode/
+  * langid convention), so the encode is map-only with no join, no
+  * broadcast variable, and no shuffle. Codegen'd via reference
+  * object, same as [[DotProduct]].
+  */
+case class PqEncodeExpr(child: Expression, codebook: Array[Double],
+    nsub: Int, ncent: Int, dsub: Int) extends UnaryExpression {
+
+  require(codebook.length == nsub * ncent * dsub,
+    s"codebook length ${codebook.length} != nsub*ncent*dsub " +
+      s"(${nsub * ncent * dsub})")
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_pq_encode"
+
+  override def nullSafeEval(v: Any): Any =
+    compute(v.asInstanceOf[ArrayData])
+
+  def compute(v: ArrayData): ArrayData = {
+    val out = new Array[Int](nsub)
+    var s = 0
+    while (s < nsub) {
+      val base = s * dsub
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < ncent) {
+        val cb = (s * ncent + c) * dsub
+        var d = 0.0
+        var j = 0
+        while (j < dsub) {
+          val diff = v.getDouble(base + j) - codebook(cb + j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = c } // tie keeps the lower code
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftPqEncode", this,
+      classOf[PqEncodeExpr].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PqEncodeExpr = copy(child = newChild)
+}
+
+/** `graft_pq_adc(codes, lut)` → bigint: asymmetric-distance sum for
+  * one PQ-coded candidate against one query's (slot-major) integer
+  * micro-unit lookup table — Σ_s lut[s·ncent + codes[s]]. The inner
+  * loop of the compressed-domain scan ([[graft.llm.Similarity
+  * .pqAdcTopK]]): the HOF `aggregate(sequence(...))` form boxed both
+  * arrays per candidate per query; this is nsub primitive lookups.
+  * Integer addition is order-free, so the sum is trivially
+  * engine-exact. */
+case class PqAdcExpr(left: Expression, right: Expression, ncent: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_pq_adc"
+
+  override def nullSafeEval(codes: Any, lut: Any): Any =
+    compute(codes.asInstanceOf[ArrayData], lut.asInstanceOf[ArrayData])
+
+  def compute(codes: ArrayData, lut: ArrayData): Long = {
+    val n = codes.numElements()
+    var acc = 0L
+    var s = 0
+    while (s < n) {
+      acc += lut.getLong(s * ncent + codes.getInt(s))
+      s += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftPqAdc", this,
+      classOf[PqAdcExpr].getName)
+    nullSafeCodeGen(ctx, ev,
+      (c, l) => s"${ev.value} = $ref.compute($c, $l);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcExpr =
+    copy(left = newLeft, right = newRight)
+}

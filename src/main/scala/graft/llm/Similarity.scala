@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge => bridge}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -682,20 +682,53 @@ object Similarity {
 
   /** PQ-encode the corpus: (id, codes array<int>) — code s = argmin
     * over slot-s centroids of exact squared-L2, ties to the lowest
-    * code. Map-only: the codebook rides as one broadcast array; no
-    * shuffle touches the corpus. */
+    * code. Map-only through the NATIVE `graft_pq_encode` kernel
+    * (bit-identical to the relational array_min-over-structs form it
+    * replaced — sequential double accumulation, strict-`<` argmin;
+    * the HOF form allocated ncent structs and boxed every element
+    * per slot per row). The codebook collects to ONE parameter-
+    * bounded flat array (nsub·ncent·dsub doubles — the BPE-merge-
+    * table convention) riding inside the expression: no join, no
+    * broadcast variable, no shuffle touches the corpus. */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
       codebook: DataFrame, dim: Int, nsub: Int, ncent: Int): DataFrame = {
+    val dsub = dim / nsub
+    val rows = codebook.select(col("slot"), col("code"), col("cvec"))
+      .collect() // parameter-bounded: nsub*ncent rows
+    require(rows.length == nsub * ncent,
+      s"codebook has ${rows.length} entries, expected ${nsub * ncent}")
+    val flat = new Array[Double](nsub * ncent * dsub)
+    rows.foreach { r =>
+      val s = r.getInt(0)
+      val c = r.getInt(1)
+      val cv = r.getSeq[Double](2)
+      require(cv.length == dsub,
+        s"codebook (slot=$s, code=$c) has ${cv.length} dims, " +
+          s"expected $dsub")
+      var j = 0
+      while (j < dsub) {
+        flat((s * ncent + c) * dsub + j) = cv(j)
+        j += 1
+      }
+    }
+    corpus.select(col(idCol).as("id"),
+      bridge.column(graft.expressions.PqEncodeExpr(
+        bridge.expression(asDouble(col(vecCol))),
+        flat, nsub, ncent, dsub)).as("codes"))
+  }
+
+  /** Diagnostic arm: the pre-native relational formulation of
+    * [[pqEncode]] (array_min over (dist, code) structs per slot) —
+    * retained for the MicroBench A/B so the native kernel's win
+    * stays measurable on this host; output bit-identical. */
+  def pqEncodeRelational(corpus: DataFrame, idCol: String,
+      vecCol: String, codebook: DataFrame, dim: Int, nsub: Int,
+      ncent: Int): DataFrame = {
     val dsub = dim / nsub
     corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("_v"))
       .crossJoin(broadcast(codebookArray(codebook)))
       .select(col("id"), transform(sequence(lit(0), lit(nsub - 1)), s => {
         val entries = slice(col("_cb"), s * ncent + 1, lit(ncent))
-        // argmin via array_min over (dist, code) structs — each dist
-        // computed ONCE (an array_min+array_position pair would
-        // re-evaluate the whole distance array), ties to the lower
-        // code by lexicographic struct order, same as the oracle's
-        // ORDER BY dd, code
         array_min(transform(entries, e =>
           struct(sqDist(e, col("_v"), s * dsub, dsub).as("d"),
             e.getField("code").as("code"))))
@@ -714,27 +747,44 @@ object Similarity {
   def pqAdcTopK(queries: DataFrame, corpus: DataFrame, qId: String,
       cId: String, vecCol: String, codebook: DataFrame, dim: Int,
       nsub: Int, ncent: Int, k: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val dsub = dim / nsub
     val codes = pqEncode(corpus, cId, vecCol, codebook, dim, nsub, ncent)
-      .withColumnRenamed("id", "neighbor_id")
-    val qlut = queries
-      .select(col(qId).as("query_id"), asDouble(col(vecCol)).as("_qv"))
+    // per-query integer LUTs — a bounded driver collect (queries are
+    // the broadcast-small side by this operator's contract; ids must
+    // be numeric). The scan itself is ONE bounded-state aggregate:
+    // nq·k (adc, id) pairs of state, the corpus traversed once —
+    // never the |corpus|·|queries| crossJoin+rank materialization
+    // (measured 10:1 row machinery over arithmetic once the per-row
+    // kernel went native). Rows with NULL codes are excluded (the
+    // old window form let a NULL adc sort first under asc-nulls-
+    // first — a candidate with no vector must never outrank one
+    // with a distance).
+    val qlutRows = queries
+      .select(col(qId).cast(LongType).as("query_id"),
+        asDouble(col(vecCol)).as("_qv"))
       .crossJoin(broadcast(codebookArray(codebook)))
       .select(col("query_id"), transform(col("_cb"), e =>
         floor(sqDist(e, col("_qv"), e.getField("slot") * dsub, dsub) *
           lit(1e6)).cast(LongType)).as("_lut"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("adc_micro"), col("neighbor_id"))
-    codes.crossJoin(broadcast(qlut))
-      .select(col("query_id"), col("neighbor_id"),
-        aggregate(sequence(lit(0), lit(nsub - 1)), lit(0L),
-          (acc, s) => acc + element_at(col("_lut"),
-            (s * ncent + element_at(col("codes"),
-              s.cast(IntegerType) + 1) + 1).cast(IntegerType)))
-          .as("adc_micro"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .collect()
+    require(qlutRows.nonEmpty && qlutRows.length <= 65536,
+      s"pqAdcTopK: need 1..65536 queries, got ${qlutRows.length}")
+    val luts = qlutRows.map(_.getSeq[Long](1).toArray)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qidx = spark.createDataset(
+      qlutRows.toSeq.zipWithIndex.map { case (r, i) => (i, r.getLong(0)) })
+      .toDF("q_idx", "query_id")
+    val agg = graft.expressions.PqAdcTopKAgg(
+      bridge.expression(col("id").cast(LongType)),
+      bridge.expression(col("codes")), luts, k, ncent)
+    codes.agg(bridge.column(agg.toAggregateExpression()).as("_tk"))
+      .select(explode(col("_tk")).as("r"))
+      .select(col("r.q_idx").as("q_idx"), col("r.rank").as("rank"),
+        col("r.neighbor_id").as("neighbor_id"),
+        col("r.adc_micro").as("adc_micro"))
+      .join(broadcast(qidx), Seq("q_idx"))
+      .select("query_id", "rank", "neighbor_id", "adc_micro")
   }
 
   /** Hard-negative mining for contrastive training: per anchor, the k
@@ -853,11 +903,9 @@ object Similarity {
       .join(broadcast(candidates), Seq("neighbor_id"))
       .join(broadcast(qlut), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        aggregate(sequence(lit(0), lit(nsub - 1)), lit(0L),
-          (acc, s) => acc + element_at(col("_lut"),
-            (s * ncent + element_at(col("codes"),
-              s.cast(IntegerType) + 1) + 1).cast(IntegerType)))
-          .as("adc_micro"))
+        bridge.column(graft.expressions.PqAdcExpr(
+          bridge.expression(col("codes")),
+          bridge.expression(col("_lut")), ncent)).as("adc_micro"))
       .withColumn("adc_rank", row_number().over(wAdc))
       .filter(col("adc_rank") <= m)
       .select("query_id", "neighbor_id")

@@ -396,22 +396,32 @@ class PlanQualitySpec extends SparkSuite {
     assert(!"\\n\\(\\d+\\) Window".r.findAllIn(p).hasNext, p.take(1500))
   }
 
-  test("q186: PQ encode — map-only corpus pass, broadcast codebook, no shuffle joins") {
+  test("q186: PQ encode — map-only corpus pass, NO join at all (native kernel)") {
     val p = plan("q186_pq_encode")
-    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
-    assert(!p.contains("SortMergeJoin"), p.take(1500))
-    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // the codebook rides INSIDE graft_pq_encode — not even a
+    // broadcast join remains (the pre-native pin asserted a BNLJ)
+    assert(!p.contains("Join"), p.take(1500))
+    assert(p.contains("graft_pq_encode"), p.take(1500))
+    assert(!"\\n\\(\\d+\\) Window".r.findAllIn(p).hasNext, p.take(1500))
   }
 
   test("q187/q188/q189: compressed search + mining — broadcast small sides, partial top-k") {
-    for (q <- Seq("q187_pq_adc_topk", "q188_hard_negatives",
-        "q189_two_stage")) {
+    for (q <- Seq("q188_hard_negatives", "q189_two_stage")) {
       val p = plan(q)
       // per-query top-k must push down before the rank shuffle
       assert(p.contains("WindowGroupLimit"), s"$q: ${p.take(1500)}")
       assert(!p.contains("SortMergeJoin"), s"$q: ${p.take(1500)}")
       assert(!p.contains("CartesianProduct"), s"$q: ${p.take(1500)}")
     }
+    // q187's ADC scan is ONE bounded-state aggregate (nq·k heap pairs)
+    // — the corpus×queries crossJoin + rank window is GONE
+    val p187 = plan("q187_pq_adc_topk")
+    assert(p187.contains("ObjectHashAggregate") ||
+      p187.contains("SortAggregate"), p187.take(1500))
+    assert(!"\\n\\(\\d+\\) Window".r.findAllIn(p187).hasNext,
+      p187.take(1500))
+    assert(!p187.contains("CartesianProduct") &&
+      !p187.contains("SortMergeJoin"), p187.take(1500))
   }
 
   test("q191/q192: LM statistics — hash-agg counts, TakeOrdered output, no shuffle joins") {
