@@ -428,16 +428,24 @@ object relational {
     * probe side is small), per-pair codegen'd `levenshtein`, then
     * ONE `min_by` aggregate per left row — never a rank window, and
     * the distance cap prunes before the aggregate. Block-key skew
-    * (every key sharing one prefix) is the operator's documented
-    * hazard — pick `blockLen` so blocks stay selective, or pre-salt
-    * with [[saltedJoin]]'s discipline.
+    * (every key sharing one prefix) is the operator's hazard — and
+    * it FAILS FAST, not silently: the worst block's |left|·|right|
+    * candidate product is checked against `maxBlockProduct` with one
+    * keys-only aggregate pair before any Levenshtein runs (the
+    * ScaleSmoke fuzzy_link scenario's first draft hit exactly this
+    * with a shared "name " prefix — 2·10¹⁰ pairs). Raise the cap
+    * deliberately, lengthen `blockLen`, or pre-salt; don't let one
+    * block serialize the join.
     *
     * Output: (left_id, left_key, match_id, match_key, dist). */
   def fuzzyLinkJoin(left: DataFrame, right: DataFrame,
       leftId: String, leftKey: String, rightId: String, rightKey: String,
-      maxDist: Int, blockLen: Int = 3): DataFrame = {
+      maxDist: Int, blockLen: Int = 3,
+      maxBlockProduct: Long = 1000000000L): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(blockLen >= 1, s"blockLen must be >= 1, got $blockLen")
+    require(maxBlockProduct >= 1,
+      s"maxBlockProduct must be >= 1, got $maxBlockProduct")
     def blocks(df: DataFrame, id: String, key: String, pfx: String) =
       df.filter(col(key).isNotNull)
         .select(col(id).as(s"${pfx}_id"), col(key).as(s"${pfx}_key"),
@@ -445,8 +453,23 @@ object relational {
             substring(col(key), 1, blockLen),
             substring(col(key), -blockLen, blockLen))).as("_blk"))
         .distinct() // a short key's two blocks can coincide
-    val cand = blocks(left, leftId, leftKey, "l")
-      .join(blocks(right, rightId, rightKey, "r"), Seq("_blk"))
+    val lb = blocks(left, leftId, leftKey, "l")
+    val rb = blocks(right, rightId, rightKey, "r")
+    // skew guard: keys-only per-block counts, worst product via one
+    // TakeOrdered row — runs before any per-pair work
+    val offender = lb.groupBy("_blk").agg(count(lit(1)).as("_ln"))
+      .join(rb.groupBy("_blk").agg(count(lit(1)).as("_rn")), Seq("_blk"))
+      .select(col("_blk"), (col("_ln") * col("_rn")).as("_prod"))
+      .filter(col("_prod") > maxBlockProduct)
+      .orderBy(col("_prod").desc).limit(1).collect()
+    offender.headOption.foreach { r =>
+      throw new IllegalArgumentException(
+        s"fuzzyLinkJoin: block '${r.get(0)}' pairs ${r.getLong(1)} " +
+          s"candidates, above maxBlockProduct=$maxBlockProduct — a " +
+          "shared prefix/suffix is serializing the join; lengthen " +
+          "blockLen, pre-salt the keys, or raise the cap deliberately")
+    }
+    val cand = lb.join(rb, Seq("_blk"))
       // a pair matching on BOTH prefix and suffix appears twice — the
       // groupBy below collapses it; no distinct exchange needed
       .withColumn("dist", levenshtein(col("l_key"), col("r_key")))

@@ -338,5 +338,21 @@ class RelationalSpec extends SparkSuite {
       Seq((30L, null: String)).toDF("pid", "key"),
       catalog, "pid", "key", "rid", "name", maxDist = 2)
     assert(n.count() === 0L)
+    // blocking-skew guard: a shared prefix serializing the join
+    // fails fast, naming the block
+    val shared = (1L to 40L).map(i => (i, s"name $i")).toDF("rid", "name")
+    val ex = intercept[IllegalArgumentException] {
+      relational.fuzzyLinkJoin(
+        shared.select(col("rid").as("pid"), col("name").as("key")),
+        shared, "pid", "key", "rid", "name", maxDist = 2,
+        maxBlockProduct = 100L)
+    }
+    assert(ex.getMessage.contains("nam") &&
+      ex.getMessage.contains("maxBlockProduct"), ex.getMessage)
+    // the same data passes with the cap raised deliberately
+    assert(relational.fuzzyLinkJoin(
+      shared.select(col("rid").as("pid"), col("name").as("key")),
+      shared, "pid", "key", "rid", "name", maxDist = 2,
+      maxBlockProduct = 10000L).count() === 40L)
   }
 }
