@@ -739,4 +739,88 @@ object Streaming {
           }
       }
   }
+
+  /** Fold ONE micro-batch of changes into a versioned parquet SCD2
+    * table — the [[scd2Stream]] worker, public so specs (and manual
+    * replays) can drive it directly. Write-then-record: the new
+    * history version lands as `v{N+1}/` BEFORE the one-line meta
+    * (version + last folded batch id) flips via an atomic
+    * temp-file move, and a batch id at-or-below the recorded one is
+    * a REPLAY (foreachBatch re-delivers the uncommitted batch after
+    * a crash) — skipped, so the fold is restart-idempotent. Versions
+    * older than the previous one are pruned after the flip (one
+    * grace version for in-flight readers — the signature-store
+    * discipline). Returns true iff the batch was folded. */
+  def applyScd2Batch(batch: DataFrame, batchId: Long, keyCol: String,
+      tsCol: String, valueCols: Seq[String], tieCol: String,
+      tablePath: String): Boolean = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val spark = batch.sparkSession
+    val dir = Paths.get(tablePath)
+    Files.createDirectories(dir)
+    val metaPath = dir.resolve("_meta.json")
+    val (ver, committed) =
+      if (Files.exists(metaPath)) {
+        val s = Files.readString(metaPath).trim
+        val m = "\"version\":(\\d+).*\"batch_id\":(-?\\d+)".r
+          .findFirstMatchIn(s).getOrElse(sys.error(
+            s"scd2 table meta unparseable at $metaPath: $s"))
+        (m.group(1).toLong, m.group(2).toLong)
+      } else (0L, -1L)
+    if (batchId <= committed) return false // replayed batch
+    val merged =
+      if (ver == 0L) graft.ops.etl.scd2History(batch, keyCol, tsCol,
+        valueCols, tieCol)
+      else graft.ops.etl.scd2Merge(
+        spark.read.parquet(dir.resolve(s"v$ver").toString),
+        batch, keyCol, tsCol, valueCols, tieCol)
+    merged.write.mode("overwrite")
+      .parquet(dir.resolve(s"v${ver + 1}").toString)
+    val tmp = dir.resolve("_meta.json.tmp")
+    Files.writeString(tmp,
+      s"""{"version":${ver + 1},"batch_id":$batchId}""")
+    Files.move(tmp, metaPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    // prune with one grace version
+    (1L until ver).foreach { v =>
+      val p = dir.resolve(s"v$v")
+      if (Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(Files.deleteIfExists(_))
+      }
+    }
+    true
+  }
+
+  /** Maintain an SCD Type-2 dimension table from a STREAM of change
+    * rows: each micro-batch folds through [[graft.ops.etl.scd2Merge]]
+    * via [[applyScd2Batch]] (restart-idempotent; stream ≡ the batch
+    * `scd2History` over the full log, spec-pinned including across a
+    * checkpoint restart). Contract inherited from scd2Merge: changes
+    * must arrive per-key in event order across batches — a late
+    * change fails the query rather than silently rewriting closed
+    * history. Start with `.trigger(...)`/checkpoint of your choice;
+    * read the table back with [[readScd2Table]]. */
+  def scd2Stream(changes: DataFrame, keyCol: String, tsCol: String,
+      valueCols: Seq[String], tieCol: String, tablePath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    changes.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyScd2Batch(batch, batchId, keyCol, tsCol, valueCols,
+          tieCol, tablePath)
+        ()
+      }
+
+  /** Read the current committed version of an [[scd2Stream]] table. */
+  def readScd2Table(spark: SparkSession, tablePath: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val metaPath = Paths.get(tablePath, "_meta.json")
+    require(Files.exists(metaPath),
+      s"no scd2 table committed at $tablePath")
+    val ver = "\"version\":(\\d+)".r
+      .findFirstMatchIn(Files.readString(metaPath)).get.group(1).toLong
+    spark.read.parquet(Paths.get(tablePath, s"v$ver").toString)
+  }
 }

@@ -470,6 +470,19 @@ class PlanQualitySpec extends SparkSuite {
     assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size === 1, p.take(1500))
   }
 
+  test("q196/q204/q205: kappa joins broadcast; asof has no join node; sketch algebra bounded") {
+    val p196 = plan("q196_annotator_kappa")
+    assert(p196.contains("BroadcastHashJoin") &&
+      !p196.contains("SortMergeJoin"), p196.take(1500))
+    // the as-of composition carries the right row forward in a per-key
+    // window — no join operator at all, one hash exchange family
+    val p204 = plan("q204_attribution")
+    assert(!p204.contains("Join"), p204.take(1500))
+    val p205 = plan("q205_hll_intersect")
+    assert(!p205.contains("SortMergeJoin") &&
+      !p205.contains("CartesianProduct"), p205.take(1500))
+  }
+
   test("q200/q201: SCD2 windows partition by key; diff joins SMJ full-outer") {
     val p200 = plan("q200_scd2_history")
     // per-KEY windows are the contract — no empty-partition global sort

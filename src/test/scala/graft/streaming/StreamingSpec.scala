@@ -868,4 +868,52 @@ class StreamingSpec extends SparkSuite {
     // the "never" probe only ever reads collision mass — one-sided
     assert(run2(("a", "never")) >= 0L)
   }
+
+  test("scd2Stream: stream ≡ batch history across a restart; replay is a no-op") {
+    val land = Files.createTempDirectory("graft-scd2s").toString
+    val ckpt = land + "-ckpt"
+    val table = land + "-table"
+    val b1 = Seq((1L, 10L, "a", 1L), (1L, 20L, "b", 1L),
+      (2L, 5L, "x", 1L), (2L, 6L, "x", 1L)) // the no-op collapses
+    val b2 = Seq((1L, 30L, "b", 1L),        // no-op vs open interval
+      (1L, 40L, "c", 1L), (3L, 7L, "new", 1L))
+    def df(rows: Seq[(Long, Long, String, Long)]) =
+      rows.toDF("k", "ts", "v", "tie")
+    df(b1).repartition(1).write.mode("append").parquet(land)
+    val schema = spark.read.parquet(land).schema
+
+    def run(): Unit = {
+      val q = Streaming.scd2Stream(
+          Streaming.fileStream(spark, land, schema),
+          "k", "ts", Seq("v"), "tie", table)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination(300000)
+    }
+    def norm(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("k", "valid_from").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+        .toSeq
+
+    run()
+    assert(norm(Streaming.readScd2Table(spark, table)) ===
+      norm(graft.ops.etl.scd2History(df(b1), "k", "ts", Seq("v"), "tie")))
+
+    // restart from the checkpoint with a second batch appended
+    df(b2).repartition(1).write.mode("append").parquet(land)
+    run()
+    assert(norm(Streaming.readScd2Table(spark, table)) ===
+      norm(graft.ops.etl.scd2History(df(b1 ++ b2), "k", "ts",
+        Seq("v"), "tie")))
+
+    // a REPLAYED batch id (crash between data write and the next
+    // batch) is detected by the recorded meta and skipped
+    val before = norm(Streaming.readScd2Table(spark, table))
+    val folded = Streaming.applyScd2Batch(df(b2), batchId = 0L,
+      "k", "ts", Seq("v"), "tie", table)
+    assert(!folded)
+    assert(norm(Streaming.readScd2Table(spark, table)) === before)
+  }
 }
