@@ -966,4 +966,26 @@ object TextAnalysis {
     when(size(kept) > 0, concat(base, lit("?"), array_join(kept, "&")))
       .otherwise(base)
   }
+
+  /** License-family tag for compliance filtering (the code/document
+    * provenance gate): FIRST match wins over an ordered rule list of
+    * (family, case-insensitive literal marker phrase); no match →
+    * "unknown". Literal `contains` matching, not regex — the marker
+    * phrases identifying the major license families are distinctive
+    * fixed strings, and literal matching is trivially engine-
+    * portable. Map-only, one pass. */
+  def licenseFamily(text: Column,
+      rules: Seq[(String, String)] = Seq(
+        "apache-2.0" -> "licensed under the apache license",
+        "mit" -> "permission is hereby granted, free of charge",
+        "gpl" -> "gnu general public license",
+        "bsd" -> "redistribution and use in source and binary forms",
+        "cc" -> "creative commons")): Column = {
+    require(rules.nonEmpty, "at least one license rule required")
+    val lowered = lower(coalesce(text, lit("")))
+    rules.foldRight(lit("unknown")) { case ((fam, marker), rest) =>
+      when(lowered.contains(lit(marker.toLowerCase)), lit(fam))
+        .otherwise(rest)
+    }
+  }
 }

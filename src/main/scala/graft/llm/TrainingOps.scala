@@ -1542,4 +1542,33 @@ object TrainingOps {
         s"readTokenizer: unknown family '$other' in $tablePrefix")
     }
   }
+
+  /** Render per-conversation chat-template training text — the SFT
+    * data-assembly step: turns group by `convCol`, sort
+    * DETERMINISTICALLY inside the aggregate by (`orderCol`,
+    * `tieCol`) via `array_sort` over structs (never relying on
+    * arrival order), and concatenate as
+    * `<|role|>content<|end|>` per turn. NULL roles/contents render
+    * as empty strings rather than nulling the whole conversation
+    * (one damaged turn must not erase the transcript — it stays
+    * auditable in place). Output: (conv id, n_turns, conversation).
+    *
+    * Scale shape: ONE hash aggregate; per-conversation state is the
+    * turn list — bounded by the conversation length (the natural
+    * unit a trainer consumes; a million-turn "conversation" is
+    * upstream garbage this op should not paper over). */
+  def renderChatTemplate(df: DataFrame, convCol: String,
+      orderCol: String, tieCol: String, roleCol: String,
+      contentCol: String): DataFrame = {
+    df.groupBy(col(convCol))
+      .agg(count(lit(1)).as("n_turns"),
+        array_sort(collect_list(struct(
+          col(orderCol).as("o"), col(tieCol).as("t"),
+          concat(lit("<|"), coalesce(col(roleCol), lit("")),
+            lit("|>"), coalesce(col(contentCol), lit("")),
+            lit("<|end|>")).as("s")))).as("_turns"))
+      .withColumn("conversation",
+        concat_ws("", transform(col("_turns"), _.getField("s"))))
+      .drop("_turns")
+  }
 }

@@ -466,6 +466,48 @@ object R11Queries {
       graft.llm.Crawl.personalizedPageRankInt(e,
           docs.filter(col("doc_id") % 97 === 0), iters = 3)
         .orderBy("node")
+    }),
+
+    // [EXT] chat-template rendering (SFT data assembly): per-user
+    // event turns become one training transcript — roles mapped from
+    // event types, turns sorted INSIDE the aggregate by (ts, id) so
+    // the render is arrival-order-independent. Oracle replays the
+    // template with an ordered string_agg.
+    "q208_chat_render" -> ((s, d) => {
+      val ev = T.events(s, d)
+      val base = ev.select(col("user_id"),
+        T.tsMillis(ev, "ts").as("ts_ms"), col("event_id"),
+        when(col("event_type").isin("click", "view"), lit("user"))
+          .when(col("event_type") === "error", lit("system"))
+          .otherwise(lit("assistant")).as("role"),
+        col("props").as("content"))
+      graft.llm.TrainingOps.renderChatTemplate(base, "user_id",
+          "ts_ms", "event_id", "role", "content")
+        .orderBy("user_id")
+    }),
+
+    // [EXT] license-family tagging (the compliance/provenance gate):
+    // marker phrases planted deterministically on the corpus (the
+    // q110 planted-fixture pattern), tagged by first-match literal
+    // contains — distribution + a witness doc per family.
+    "q209_license_id" -> ((s, d) => {
+      val planted = T.documents(s, d).withColumn("text2",
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0,
+            lit(" Licensed under the Apache License, Version 2.0"))
+          .when(col("doc_id") % 4 === 1,
+            lit(" Permission is hereby granted, free of charge, " +
+              "to any person"))
+          .when(col("doc_id") % 4 === 2,
+            lit(" terms of the GNU General Public License"))
+          .otherwise(lit(""))))
+      planted
+        .select(col("doc_id"),
+          graft.llm.TextAnalysis.licenseFamily(col("text2"))
+            .as("license"))
+        .groupBy("license")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_doc"))
+        .orderBy("license")
     }))
 
   /** Shared PQ oracle prelude: hash-rank sample → per-slot codebook →
@@ -1032,7 +1074,47 @@ object R11Queries {
     ("q204_attribution" -> attributionOracle) +
     ("q205_hll_intersect" -> hllIntersectOracle) +
     ("q206_label_prop" -> lpaOracle) +
-    ("q207_personalized_pr" -> pprOracle)
+    ("q207_personalized_pr" -> pprOracle) +
+    ("q208_chat_render" -> chatOracle) +
+    ("q209_license_id" -> licenseOracle)
+
+  private lazy val chatOracle: String =
+    """WITH base AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+      |  CASE WHEN event_type IN ('click', 'view') THEN 'user'
+      |       WHEN event_type = 'error' THEN 'system'
+      |       ELSE 'assistant' END AS role,
+      |  props AS content FROM events)
+      |SELECT user_id, count(*) AS n_turns,
+      |  string_agg('<|' || COALESCE(role, '') || '|>'
+      |      || COALESCE(content, '') || '<|end|>', ''
+      |    ORDER BY ts_ms, event_id) AS conversation
+      |FROM base GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  private lazy val licenseOracle: String =
+    """WITH planted AS (SELECT doc_id, lower(text ||
+      |    CASE WHEN doc_id % 4 = 0
+      |           THEN ' Licensed under the Apache License, Version 2.0'
+      |         WHEN doc_id % 4 = 1
+      |           THEN ' Permission is hereby granted, free of charge, to any person'
+      |         WHEN doc_id % 4 = 2
+      |           THEN ' terms of the GNU General Public License'
+      |         ELSE '' END) AS t
+      |  FROM documents),
+      |tagged AS (SELECT doc_id,
+      |  CASE WHEN contains(t, 'licensed under the apache license')
+      |         THEN 'apache-2.0'
+      |       WHEN contains(t, 'permission is hereby granted, free of charge')
+      |         THEN 'mit'
+      |       WHEN contains(t, 'gnu general public license')
+      |         THEN 'gpl'
+      |       WHEN contains(t, 'redistribution and use in source and binary forms')
+      |         THEN 'bsd'
+      |       WHEN contains(t, 'creative commons')
+      |         THEN 'cc'
+      |       ELSE 'unknown' END AS license
+      |  FROM planted)
+      |SELECT license, count(*) AS n, min(doc_id) AS min_doc
+      |FROM tagged GROUP BY license ORDER BY license""".stripMargin
 
   private lazy val lpaOracle: String = {
     def round(k: Int): String =

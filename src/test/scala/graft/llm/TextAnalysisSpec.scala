@@ -671,4 +671,21 @@ class TextAnalysisSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(top === Set(("aa", "bb"), ("bb", "aa")))
   }
+
+  test("licenseFamily: first rule wins, case-insensitive, null -> unknown") {
+    import spark.implicits._
+    val r = Seq(
+      ("a", "This work is LICENSED UNDER THE APACHE LICENSE v2"),
+      // contains BOTH mit and gpl markers: rule ORDER decides
+      ("b", "permission is hereby granted, free of charge ... " +
+        "GNU General Public License"),
+      ("c", "released under the gnu general public license"),
+      ("d", "no license text at all"),
+      ("e", null))
+      .toDF("id", "t")
+      .select(col("id"), TextAnalysis.licenseFamily(col("t")).as("f"))
+      .collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(r === Map("a" -> "apache-2.0", "b" -> "mit", "c" -> "gpl",
+      "d" -> "unknown", "e" -> "unknown"))
+  }
 }

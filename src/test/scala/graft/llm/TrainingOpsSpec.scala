@@ -891,4 +891,27 @@ class TrainingOpsSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("truncated"))
   }
+
+  test("renderChatTemplate: in-aggregate ordering, null turns render empty") {
+    import spark.implicits._
+    val turns = Seq(
+      (1L, 20L, 2L, "assistant", "hi there"),
+      (1L, 10L, 1L, "user", "hello"),
+      (1L, 20L, 1L, "user", "also-at-20"), // ts tie -> event_id order
+      (2L, 5L, 1L, null, null))
+      .toDF("conv", "ts", "eid", "role", "content")
+    def render(df: org.apache.spark.sql.DataFrame) =
+      TrainingOps.renderChatTemplate(df, "conv", "ts", "eid",
+        "role", "content")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getString(2)))).toMap
+    val r = render(turns)
+    assert(r(1L) === ((3L,
+      "<|user|>hello<|end|><|user|>also-at-20<|end|>" +
+        "<|assistant|>hi there<|end|>")))
+    // a damaged turn renders empty, never nulls the transcript
+    assert(r(2L) === ((1L, "<||><|end|>")))
+    // arrival order is irrelevant: sort happens inside the aggregate
+    assert(render(turns.repartition(7)) === r)
+  }
 }
