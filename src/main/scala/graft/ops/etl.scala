@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /** ETL maintenance operators ([EXT]): the table-lifecycle ops a
   * production pipeline runs around the reference's load paths —
@@ -214,6 +214,42 @@ object etl {
     val viol = nulls + dups
     Seq((ruleName, viol, n, viol == 0L))
       .toDF("rule", "violations", "n_rows", "pass")
+  }
+
+  /** Per-group k·σ outlier gate with NO floating-point σ: flag row x
+    * iff |x − μ| > k·σ, evaluated as the exact integer
+    * cross-multiplication
+    *
+    *   (n·x − S)² · kDen² > kNum² · (n·Q − S²)
+    *
+    * over micro-unit values (S = Σx, Q = Σx², k = kNum/kDen) — the
+    * square root never happens, so the verdict is engine-exact.
+    * Sums ride DECIMAL(38,0) (micro² magnitudes overflow BIGINT).
+    * NULL values are never outliers; a singleton group has zero
+    * variance and flags nothing. Adds `x_micro` and `is_outlier`;
+    * one hash aggregate + one broadcast-sized stats join. */
+  def outlierGate(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, kNum: Long = 3L, kDen: Long = 1L): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    require(kNum > 0 && kDen > 0, s"k must be positive, got $kNum/$kDen")
+    val g = groupCols.map(col)
+    val dec = DecimalType(38, 0)
+    val x = floor(col(valueCol) * 1000000d).cast(dec)
+    val stats = df.filter(col(valueCol).isNotNull)
+      .select((g :+ x.as("_x")): _*)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).cast(dec).as("_n"), sum(col("_x")).as("_s"),
+        sum(col("_x") * col("_x")).as("_q"))
+    val dev = col("_n") * x - col("_s")
+    df.join(broadcast(stats), groupCols, "left")
+      .withColumn("x_micro", x.cast(LongType))
+      .withColumn("is_outlier", when(col(valueCol).isNull, lit(false))
+        .otherwise(coalesce(
+          dev * dev * lit(kDen * kDen) >
+            lit(kNum * kNum) * (col("_n") * col("_q") -
+              col("_s") * col("_s")),
+          lit(false))))
+      .drop("_n", "_s", "_q")
   }
 
   /** Profile drift between two snapshots of the same table: per

@@ -508,6 +508,26 @@ object R11Queries {
         .groupBy("license")
         .agg(count(lit(1)).as("n"), min("doc_id").as("min_doc"))
         .orderBy("license")
+    }),
+
+    // [EXT] k·σ outlier gate with no floating σ: the verdict is the
+    // exact integer cross-multiplication (n·x−S)²·kDen² >
+    // kNum²·(nQ−S²) in micro units, so both engines agree on every
+    // boundary row. Per event type: counts + the outlier value span.
+    "q210_outlier_gate" -> ((s, d) => {
+      val ev = T.events(s, d)
+        .select(col("event_type"), col("event_id"), col("value"))
+      graft.ops.etl.outlierGate(ev, Seq("event_type"), "value",
+          kNum = 2, kDen = 1)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("is_outlier"), 1L).otherwise(0L))
+            .as("n_outliers"),
+          min(when(col("is_outlier"), col("x_micro")))
+            .as("min_out_micro"),
+          max(when(col("is_outlier"), col("x_micro")))
+            .as("max_out_micro"))
+        .orderBy("event_type")
     }))
 
   /** Shared PQ oracle prelude: hash-rank sample → per-slot codebook →
@@ -1076,7 +1096,24 @@ object R11Queries {
     ("q206_label_prop" -> lpaOracle) +
     ("q207_personalized_pr" -> pprOracle) +
     ("q208_chat_render" -> chatOracle) +
-    ("q209_license_id" -> licenseOracle)
+    ("q209_license_id" -> licenseOracle) +
+    ("q210_outlier_gate" -> outlierOracle)
+
+  private lazy val outlierOracle: String =
+    """WITH b AS (SELECT event_type, event_id,
+      |    CAST(floor(value * 1000000) AS HUGEINT) AS x
+      |  FROM events WHERE value IS NOT NULL),
+      |st AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+      |         SUM(x) AS s, SUM(x * x) AS q
+      |       FROM b GROUP BY event_type),
+      |f AS (SELECT b.event_type, b.x,
+      |        (n * x - s) * (n * x - s) > 4 * (n * q - s * s) AS o
+      |      FROM b JOIN st USING (event_type))
+      |SELECT event_type, count(*) AS n,
+      |  CAST(count(*) FILTER (WHERE o) AS BIGINT) AS n_outliers,
+      |  CAST(min(CASE WHEN o THEN x END) AS BIGINT) AS min_out_micro,
+      |  CAST(max(CASE WHEN o THEN x END) AS BIGINT) AS max_out_micro
+      |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin
 
   private lazy val chatOracle: String =
     """WITH base AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,

@@ -118,6 +118,27 @@ class EtlSpec extends SparkSuite {
     }
   }
 
+  test("outlierGate: hand case, exact k-sigma boundary NOT flagged, null/singleton safe") {
+    def gate(rows: Seq[(String, Option[Double])], kNum: Long, kDen: Long) =
+      etl.outlierGate(rows.toDF("g", "v"), Seq("g"), "v", kNum, kDen)
+        .collect().map(r => (r.getString(0),
+          if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+          r.getBoolean(3))).toSeq
+    // [0,0,0,0,10]: mu=2, sigma=4 -> only the 10 exceeds 1 sigma
+    val r = gate(Seq(("a", Some(0.0)), ("a", Some(0.0)), ("a", Some(0.0)),
+      ("a", Some(0.0)), ("a", Some(10.0))), 1, 1)
+    assert(r.count(_._3) === 1 && r.find(_._3).get._2 === Some(10.0))
+    // EXACT boundary: [-1, 1], sigma=1 — |x-mu| = 1*sigma is strict >,
+    // so neither row flags (the cross-multiplied integers are equal)
+    assert(gate(Seq(("b", Some(-1.0)), ("b", Some(1.0))), 1, 1)
+      .forall(!_._3))
+    // ...but k = 99/100 flags both
+    assert(gate(Seq(("b", Some(-1.0)), ("b", Some(1.0))), 99, 100)
+      .forall(_._3))
+    // singleton group: zero variance, nothing flags; NULL never flags
+    assert(gate(Seq(("c", Some(5.0)), ("d", None)), 1, 1).forall(!_._3))
+  }
+
   test("profileDrift: hand counts and micro rates; empty side safe") {
     val a = Seq((Some(1), "x"), (Some(2), "x"), (None, "y"), (Some(4), null))
       .toDF("n", "s")
