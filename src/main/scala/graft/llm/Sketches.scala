@@ -322,4 +322,77 @@ object Sketches {
               (h % w).cast(IntegerType) + 1)))))
       .drop("_m")
   }
+
+  /** Histogram-sketch quantiles: per group, P-th percentile BRACKETS
+    * from a fixed-width `buckets`-bin histogram over the observed
+    * [lo, hi] span — the bounded-state quantile answer (an exact
+    * per-group sort of a 100 TB column is the thing this avoids; a
+    * group's state is ≤`buckets` counters however many rows it has).
+    * Everything is exact integer arithmetic in micro-units:
+    *
+    *   bin(x)  = min(buckets−1, (x−lo)·buckets div (hi−lo))
+    *   pick(p) = smallest bin with cum·100 ≥ p·n
+    *
+    * so the chosen bin and its nominal [lo + b·span div buckets,
+    * lo + (b+1)·span div buckets) bounds are engine-exact; the TRUE
+    * quantile lies inside the returned bracket by construction (the
+    * sketch's honest contract — it brackets, it does not interpolate).
+    * Span·buckets overflowing 63 bits fails fast (the zOrderKeys
+    * guard). NULL values are not counted; a group that is ALL NULLs
+    * emits nothing; lo = hi degenerates to the single bin 0.
+    *
+    * Two passes (span, then counts) + one per-group ≤`buckets`-row
+    * window — never a per-row rank. Output: (group…, p, n, bin,
+    * lo_micro, hi_micro). */
+  def histogramQuantiles(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, buckets: Int = 64,
+      ps: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    require(buckets >= 2 && buckets <= 65536,
+      s"buckets must be in [2, 65536], got $buckets")
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1, 100], got $ps")
+    require(ps.distinct.size == ps.size, "percentiles must be distinct")
+    val g = groupCols.map(col)
+    val x = floor(col(valueCol) * 1000000d).cast(LongType)
+    val base = df.filter(col(valueCol).isNotNull)
+      .select((g :+ x.as("_x")): _*)
+    val span = base.groupBy(g: _*)
+      .agg(min("_x").as("_lo"), max("_x").as("_hi"))
+    // overflow guard: one bounded collect over the groups
+    span.select((g :+ col("_lo") :+ col("_hi")): _*).collect().foreach {
+      r =>
+        val lo = r.getLong(groupCols.size)
+        val hi = r.getLong(groupCols.size + 1)
+        require(hi == lo || (hi - lo) <= Long.MaxValue / buckets,
+          s"histogramQuantiles: group ${r.toSeq.take(groupCols.size)} " +
+            s"span ${hi - lo} overflows $buckets-bin scaling — fewer " +
+            "buckets or pre-clamp the value")
+    }
+    val binned = base.join(span, groupCols)
+      .withColumn("_bin", when(col("_hi") === col("_lo"), lit(0L))
+        .otherwise(least(lit(buckets - 1L),
+          expr(s"((_x - _lo) * $buckets) div (_hi - _lo)"))))
+      .groupBy((g :+ col("_lo") :+ col("_hi") :+ col("_bin")): _*)
+      .agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy("_bin")
+    val cum = binned
+      .withColumn("_cum", sum("_c").over(w))
+      .withColumn("_n", sum("_c").over(
+        Window.partitionBy(groupCols.map(col): _*)))
+    val exploded = cum.withColumn("p",
+        explode(array(ps.map(lit(_)): _*)))
+      .filter(col("_cum") * 100 >= col("p") * col("_n"))
+      .groupBy((g :+ col("p")): _*)
+      .agg(min_by(struct(col("_bin"), col("_lo"), col("_hi"),
+        col("_n")), col("_bin")).as("_m"))
+    exploded.select((g :+ col("p") :+ col("_m._n").as("n")
+      :+ col("_m._bin").as("bin")
+      :+ (col("_m._lo") + expr(
+        "(_m._bin * (_m._hi - _m._lo)) div " + buckets)).as("lo_micro")
+      :+ when(col("_m._bin") === (buckets - 1L), col("_m._hi"))
+        .otherwise(col("_m._lo") + expr(
+          s"((_m._bin + 1) * (_m._hi - _m._lo)) div $buckets"))
+        .as("hi_micro")): _*)
+  }
 }

@@ -528,7 +528,19 @@ object R11Queries {
           max(when(col("is_outlier"), col("x_micro")))
             .as("max_out_micro"))
         .orderBy("event_type")
-    }))
+    }),
+
+    // [EXT] histogram-sketch quantiles: P50/P90/P99 value BRACKETS
+    // per event type from a 64-bin fixed histogram — bounded state
+    // per group however many rows, every pick an exact integer
+    // comparison (cum·100 ≥ p·n). The bounded-state quantile answer
+    // a 100 TB column cannot get from a per-group sort.
+    "q211_hist_quantiles" -> ((s, d) =>
+      graft.llm.Sketches.histogramQuantiles(
+          T.events(s, d).select(col("event_type"), col("value")),
+          Seq("event_type"), "value", buckets = 64,
+          ps = Seq(50, 90, 99))
+        .orderBy("event_type", "p")))
 
   /** Shared PQ oracle prelude: hash-rank sample → per-slot codebook →
     * exact-double squared-L2 of EVERY (vector, slot, centroid) →
@@ -1097,7 +1109,40 @@ object R11Queries {
     ("q207_personalized_pr" -> pprOracle) +
     ("q208_chat_render" -> chatOracle) +
     ("q209_license_id" -> licenseOracle) +
-    ("q210_outlier_gate" -> outlierOracle)
+    ("q210_outlier_gate" -> outlierOracle) +
+    ("q211_hist_quantiles" -> histQuantOracle)
+
+  private lazy val histQuantOracle: String =
+    """WITH b AS (SELECT event_type,
+      |    CAST(floor(value * 1000000) AS BIGINT) AS x
+      |  FROM events WHERE value IS NOT NULL),
+      |sp AS (SELECT event_type, min(x) AS lo, max(x) AS hi
+      |       FROM b GROUP BY event_type),
+      |bn AS (SELECT b.event_type, sp.lo, sp.hi,
+      |        CASE WHEN hi = lo THEN 0
+      |             ELSE least(63, ((x - lo) * 64) // (hi - lo))
+      |        END AS bin
+      |      FROM b JOIN sp USING (event_type)),
+      |cnt AS (SELECT event_type, lo, hi, bin, count(*) AS c
+      |        FROM bn GROUP BY 1, 2, 3, 4),
+      |cum AS (SELECT event_type, lo, hi, bin, c,
+      |         sum(c) OVER (PARTITION BY event_type ORDER BY bin)
+      |           AS cm,
+      |         sum(c) OVER (PARTITION BY event_type) AS n
+      |       FROM cnt),
+      |pk AS (SELECT c.event_type, p.p, min(c.bin) AS bin,
+      |         max(c.n) AS n, max(c.lo) AS lo, max(c.hi) AS hi
+      |       FROM cum c
+      |       CROSS JOIN (SELECT unnest([50, 90, 99]) AS p) p
+      |       WHERE c.cm * 100 >= p.p * c.n
+      |       GROUP BY 1, 2)
+      |SELECT event_type, CAST(p AS INT) AS p, CAST(n AS BIGINT) AS n,
+      |  CAST(bin AS BIGINT) AS bin,
+      |  CAST(lo + (bin * (hi - lo)) // 64 AS BIGINT) AS lo_micro,
+      |  CAST(CASE WHEN bin = 63 THEN hi
+      |       ELSE lo + ((bin + 1) * (hi - lo)) // 64 END AS BIGINT)
+      |    AS hi_micro
+      |FROM pk ORDER BY event_type, p""".stripMargin
 
   private lazy val outlierOracle: String =
     """WITH b AS (SELECT event_type, event_id,

@@ -241,4 +241,36 @@ class SketchesSpec extends SparkSuite {
       d = 3, w = 16).collect().map(r => r.getString(0) -> r.getLong(1))
     assert(empty.toSeq === Seq("k0" -> 0L))
   }
+
+  test("histogramQuantiles: brackets contain the true quantile; degenerate and guard") {
+    // deterministic skewed sample: x = (i*i mod 997) / 10.0
+    val xs = (0 until 500).map(i => (i * i % 997) / 10.0)
+    val df = xs.map(("g", _)).toDF("g", "v")
+    val got = Sketches.histogramQuantiles(df, Seq("g"), "v",
+        buckets = 32, ps = Seq(50, 90, 99))
+      .collect().map(r => r.getInt(1) ->
+        ((r.getLong(2), r.getLong(4), r.getLong(5)))).toMap
+    val sorted = xs.sorted.map(x => math.floor(x * 1e6).toLong)
+    for (p <- Seq(50, 90, 99)) {
+      val (n, lo, hi) = got(p)
+      assert(n === 500L)
+      // the TRUE p-th percentile (smallest x with rank*100 >= p*n)
+      val truth = sorted((math.ceil(p * 500 / 100.0) - 1).toInt)
+      assert(truth >= lo && truth <= hi,
+        s"p$p: truth $truth outside bracket [$lo, $hi]")
+    }
+    // constant column: single bin 0, bracket collapses to the value
+    val const = Sketches.histogramQuantiles(
+      Seq(("c", 7.0), ("c", 7.0)).toDF("g", "v"), Seq("g"), "v",
+      buckets = 8, ps = Seq(50))
+      .head()
+    assert(const.getLong(3) === 0L &&
+      const.getLong(4) === 7000000L && const.getLong(5) === 7000000L)
+    // span overflow fails fast
+    intercept[IllegalArgumentException] {
+      Sketches.histogramQuantiles(
+        Seq(("o", 0.0), ("o", 9.0e12)).toDF("g", "v"), Seq("g"), "v",
+        buckets = 65536, ps = Seq(50))
+    }
+  }
 }
