@@ -712,6 +712,15 @@ object ScaleSmoke {
             "q_null" -> col("q").isNull))
           .unionByName(graft.ops.etl.uniqueCheck(t, Seq("k"), "uk"))
       }),
+      // histogram quantiles: P50/P90/P99 brackets over n rows in 16
+      // groups — per-group state is 64 counters however many rows
+      "hist_quantiles" -> (() => {
+        val t = spark.range(n).select(
+          (col("id") % 16).cast("string").as("g"),
+          (pmod(xxhash64(col("id")), lit(1000000)) / 1000.0).as("v"))
+        graft.llm.Sketches.histogramQuantiles(t, Seq("g"), "v",
+          buckets = 64, ps = Seq(50, 90, 99))
+      }),
       // z-order layout: keys for n rows over 2 dims (one min/max
       // aggregate + map-only bit arithmetic), then the range layout
       // itself — the write-side shuffle a real OPTIMIZE pays
