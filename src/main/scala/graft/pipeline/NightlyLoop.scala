@@ -57,7 +57,13 @@ final case class NightlyLoop(
     root: String,
     storePrefix: String,
     name: String = "nightly",
-    version: String = "v1",
+    // v2: the quality gate landed between admit and append (a night
+    // recorded under v1's stage order must re-run, not resume)
+    version: String = "v2",
+    /** The gate's minimum admitted-batch size: a night below this
+      * refuses to publish (the E3 empty-result-guard philosophy at
+      * loop granularity). */
+    minDocs: Long = 1L,
     admitNearCandidates: Boolean = false,
     /** Also near-dedup the night's batch against ITSELF (MinHash
       * pairs → connected components → keep the longest text per
@@ -187,6 +193,38 @@ final case class NightlyLoop(
       graft.llm.TextAnalysis.tokenCountWs(col("text")).cast("long"),
       tokenBudget)
 
+  /** The quality GATE between admit and the store mutation: the
+    * night's admitted batch must pass its declarative rules BEFORE
+    * append — a failed batch must never poison the signature store
+    * or publish packs (the dbt-test discipline applied to the loop).
+    * The committed stage output is the full rule report (an audit
+    * artifact); ANY failing rule aborts the night with the failing
+    * rules named, and because the manifest only records COMPLETED
+    * stages, a fixed re-run resumes AT the gate, never re-crawling. */
+  private def gateStage(spark: SparkSession,
+      admitted: DataFrame): DataFrame = {
+    val report = graft.ops.etl.qualityChecks(admitted, Seq(
+        "id_not_null" -> col("id").isNull,
+        "text_not_empty" ->
+          (col("text").isNull || trim(col("text")) === ""),
+        "min_docs" -> lit(false)) // n_rows carries the count; see below
+      ).unionByName(graft.ops.etl.uniqueCheck(admitted, Seq("id"),
+        "unique_id"))
+    val rows = report.collect() // ≤4 rules — control-plane only
+    val n = rows.head.getAs[Long]("n_rows")
+    val failed = rows.filter(!_.getAs[Boolean]("pass")).map(_.getString(0)) ++
+      (if (n < minDocs) Seq(s"min_docs(n=$n < $minDocs)") else Nil)
+    if (failed.nonEmpty)
+      throw new IllegalStateException(
+        s"nightly gate FAILED for rules [${failed.mkString(", ")}] — " +
+          "refusing to append to the store or publish packs; fix the " +
+          "batch and re-run (the loop resumes at the gate)")
+    import spark.implicits._
+    rows.map(r => (r.getString(0), r.getAs[Long]("violations"),
+      r.getAs[Long]("n_rows"), r.getAs[Boolean]("pass")))
+      .toSeq.toDF("rule", "violations", "n_rows", "pass")
+  }
+
   /** Run (or RESUME) one night. `night` is the partition key; the
     * three feeds are BY-NAME so a resumed run whose remaining stages
     * do not need them never evaluates them. Returns the committed
@@ -216,6 +254,7 @@ final case class NightlyLoop(
       "crawl" -> (() => crawlStage(candidates, rules)),
       "ingest" -> (() => ingestStage(warc)),
       "admit" -> (() => admitStage(spark, readStage(spark, "ingest", night))),
+      "gate" -> (() => gateStage(spark, readStage(spark, "admit", night))),
       "append" -> (() => appendStage(spark, readStage(spark, "admit", night))),
       "pack" -> (() => packStage(readStage(spark, "admit", night))))
     cores.foreach { case (st, mk) =>
@@ -233,7 +272,10 @@ final case class NightlyLoop(
 
 object NightlyLoop {
   /** The loop's canonical stage order (its analog of
-    * [[Stages.Order]]). */
+    * [[Stages.Order]]). v2 inserted `gate` BEFORE the store
+    * mutation — old-order manifests raise PipelineVersionError via
+    * the recorded-version check rather than resuming against the
+    * wrong order. */
   val StageOrder: Seq[String] =
-    Seq("crawl", "ingest", "admit", "append", "pack")
+    Seq("crawl", "ingest", "admit", "gate", "append", "pack")
 }

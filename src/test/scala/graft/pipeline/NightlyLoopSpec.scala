@@ -140,10 +140,10 @@ class NightlyLoopSpec extends SparkSuite {
         .select("id").as[String].collect().toSeq
       assert(admitted2 === Seq("https://h2.example/n2b"), admitted2)
       assert(packRows(out2).count(_._3.contains("telescope granite")) === 1)
-      // each night's five stages recorded independently per pkey
+      // each night's six stages recorded independently per pkey
       val nights = m.log().groupBy("pkey").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-      assert(nights === Map("2026-08-14" -> 5L, "2026-08-15" -> 5L))
+      assert(nights === Map("2026-08-14" -> 6L, "2026-08-15" -> 6L))
     } finally dropStore("nl_store_2n")
   }
 
@@ -181,7 +181,7 @@ class NightlyLoopSpec extends SparkSuite {
       assert(events === NightlyLoop.StageOrder.map(_ -> 1L).toMap)
       // version gate: a changed pipeline version refuses to resume
       intercept[PipelineVersionError] {
-        loop.copy(version = "v2").runNight(spark, "2026-08-14", m,
+        loop.copy(version = "v3").runNight(spark, "2026-08-14", m,
           poison, poison, poison)
       }
     } finally dropStore("nl_store_kr")
@@ -268,10 +268,10 @@ class NightlyLoopSpec extends SparkSuite {
       val out = loopB.runNight(spark, "2026-08-14", m,
         candidates, rules, warc)
       assert(packRows(out).nonEmpty)
-      // both pipelines recorded all five stages, under their own names
+      // both pipelines recorded all six stages, under their own names
       val byPipeline = m.log().groupBy("pipeline").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-      assert(byPipeline === Map("nightly" -> 5L, "backfill" -> 5L))
+      assert(byPipeline === Map("nightly" -> 6L, "backfill" -> 6L))
       // and B's interchange landed under its own name-scoped dirs
       assert(spark.read.parquet(loopB.stageDir("ingest", "2026-08-14"))
         .count() > 0)
@@ -328,5 +328,40 @@ class NightlyLoopSpec extends SparkSuite {
         "append replay must be a no-op on already-appended content")
       assert(packRows(out).nonEmpty)
     } finally dropStore("nl_store_ap")
+  }
+
+  test("quality gate: a failing night never mutates the store; fixed config resumes AT the gate") {
+    val root = tmp()
+    freshStore("nl_store_gt")
+    try {
+      // min_docs set above what the night admits -> the gate refuses
+      val strict = NightlyLoop(root, "nl_store_gt", minDocs = 100L)
+      val m = new Manifest(spark, s"$root/_manifest")
+      val boom = intercept[IllegalStateException] {
+        strict.runNight(spark, "2026-08-14", m, candidates, rules, warc)
+      }
+      assert(boom.getMessage.contains("min_docs"), boom.getMessage)
+      // the store was NEVER touched beyond its seeded corpus row —
+      // the gate sits before append
+      val seeded = 1L // freshStore plants one corpus doc
+      assert(Dedup.readSignatureStore(spark, "nl_store_gt")
+        .hashes.count() === seeded)
+      assert(m.nextStage("2026-08-14", NightlyLoop.StageOrder) ===
+        Some("gate"))
+      // fixed threshold: resume runs gate -> append -> pack without
+      // re-evaluating any feed (crawl/ingest/admit stay committed)
+      def poison: DataFrame = sys.error("feed re-evaluated on resume")
+      val out = strict.copy(minDocs = 1L).runNight(spark, "2026-08-14",
+        m, poison, poison, poison)
+      assert(packRows(out).nonEmpty)
+      assert(Dedup.readSignatureStore(spark, "nl_store_gt")
+        .hashes.count() > seeded)
+      // the committed gate report is an audit artifact
+      val report = spark.read.parquet(strict.stageDir("gate", "2026-08-14"))
+        .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+      assert(report.values.forall(identity), report)
+      assert(report.keySet ===
+        Set("id_not_null", "text_not_empty", "min_docs", "unique_id"))
+    } finally dropStore("nl_store_gt")
   }
 }
