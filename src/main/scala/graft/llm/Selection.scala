@@ -546,13 +546,22 @@ object Selection {
       .groupBy(col(winnerCol).cast(StringType).as("i"),
         col(loserCol).cast(StringType).as("j"))
       .agg(count(lit(1)).as("w"))
+    // fail-fast BEFORE the collect: the maxItems guard must run
+    // in-plan — an unbounded item vocabulary means an unbounded pair
+    // table, and collecting it first would OOM the driver instead of
+    // raising the intended error. One distributed countDistinct over
+    // the pair keys (bounded output: a single row) decides.
+    val nItems = raw
+      .select(explode(array(col("i"), col("j"))).as("_it"))
+      .agg(countDistinct(col("_it"))).head().getLong(0)
+    require(nItems <= maxItems,
+      s"bradleyTerry: $nItems items exceeds maxItems=$maxItems — " +
+        "the item vocabulary must be bounded (models, domains, sources)")
+    // pair table now provably ≤ maxItems² rows — safe to collect
     val pairs = raw.collect().map(r =>
       (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     val items = pairs.keysIterator.flatMap(k => Iterator(k._1, k._2))
       .toSeq.distinct.sorted
-    require(items.size <= maxItems,
-      s"bradleyTerry: ${items.size} items exceeds maxItems=$maxItems — " +
-        "the item vocabulary must be bounded (models, domains, sources)")
     if (items.isEmpty)
       return spark.emptyDataFrame
         .select(lit("").as("item"), lit(0L).as("wins"),

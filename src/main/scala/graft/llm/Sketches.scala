@@ -357,18 +357,25 @@ object Sketches {
     val x = floor(col(valueCol) * 1000000d).cast(LongType)
     val base = df.filter(col(valueCol).isNotNull)
       .select((g :+ x.as("_x")): _*)
+    // overflow guard IN-PLAN (the rangeJoin/intervalJoin convention):
+    // a group whose span would overflow 63-bit bin scaling raises a
+    // NAMED error inside the span aggregate itself — no driver-side
+    // materialization of the group key space (group cardinality is
+    // data-sized in general; collecting it would funnel millions of
+    // rows through the driver on the happy path at 100× scale).
     val span = base.groupBy(g: _*)
-      .agg(min("_x").as("_lo"), max("_x").as("_hi"))
-    // overflow guard: one bounded collect over the groups
-    span.select((g :+ col("_lo") :+ col("_hi")): _*).collect().foreach {
-      r =>
-        val lo = r.getLong(groupCols.size)
-        val hi = r.getLong(groupCols.size + 1)
-        require(hi == lo || (hi - lo) <= Long.MaxValue / buckets,
-          s"histogramQuantiles: group ${r.toSeq.take(groupCols.size)} " +
-            s"span ${hi - lo} overflows $buckets-bin scaling — fewer " +
-            "buckets or pre-clamp the value")
-    }
+      .agg(min("_x").as("_lo"), max("_x").as("_hiRaw"))
+      .withColumn("_hi",
+        when(col("_hiRaw") =!= col("_lo") &&
+            (col("_hiRaw") - col("_lo")) > Long.MaxValue / buckets,
+          raise_error(concat(
+            lit("histogramQuantiles: group ("),
+            concat_ws(", ", g.map(_.cast("string")): _*),
+            lit(") span "), (col("_hiRaw") - col("_lo")).cast("string"),
+            lit(s" overflows $buckets-bin scaling — fewer buckets or " +
+              "pre-clamp the value"))).cast(LongType))
+          .otherwise(col("_hiRaw")))
+      .drop("_hiRaw")
     val binned = base.join(span, groupCols)
       .withColumn("_bin", when(col("_hi") === col("_lo"), lit(0L))
         .otherwise(least(lit(buckets - 1L),

@@ -226,8 +226,19 @@ object etl {
     * square root never happens, so the verdict is engine-exact.
     * Sums ride DECIMAL(38,0) (micro² magnitudes overflow BIGINT).
     * NULL values are never outliers; a singleton group has zero
-    * variance and flags nothing. Adds `x_micro` and `is_outlier`;
-    * one hash aggregate + one broadcast-sized stats join. */
+    * variance and flags nothing. Adds `x_micro` and `is_outlier`.
+    *
+    * Scale shape: one hash aggregate + one stats join — the stats
+    * side is one row per GROUP, unbounded by any parameter, so the
+    * join strategy is left to AQE (a forced broadcast would build a
+    * group-cardinality-sized relation on the driver and every
+    * executor regardless of size; AQE still picks BHJ whenever the
+    * runtime stats side is actually small). The Decimal(38,0)
+    * cross-multiplication carries a NAMED in-plan overflow guard
+    * (the zOrderKeys convention): both sides are bounded by
+    * (max(kNum, 2·kDen) · n · max|x|)², so a group where that base
+    * reaches 10¹⁹ raises with the group named instead of tripping
+    * Spark's generic ANSI Decimal overflow mid-multiply. */
   def outlierGate(df: DataFrame, groupCols: Seq[String],
       valueCol: String, kNum: Long = 3L, kDen: Long = 1L): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column required")
@@ -235,13 +246,43 @@ object etl {
     val g = groupCols.map(col)
     val dec = DecimalType(38, 0)
     val x = floor(col(valueCol) * 1000000d).cast(dec)
+    // |dev| = |n·x − S| ≤ 2·n·max|x| and |n·Q − S²| ≤ n²·max|x|², so
+    // every operand of the verdict is ≤ (kFactor·n·max|x|)² with
+    // kFactor = max(kNum, 2·kDen); DECIMAL(38,0) holds < 10³⁸, hence
+    // the base must stay under 10¹⁹. The guard product itself is
+    // ≤ kFactor·n·max|x| — far inside 38 digits whenever data is sane
+    // enough to be one named error away from usable.
+    val kFactor = math.max(kNum, 2L * kDen)
+    val lim = BigDecimal("10000000000000000000") // 10^19
+    // try_sum/try_multiply keep the AGGREGATE itself from tripping
+    // Spark's generic ANSI overflow before the named guard can run:
+    // any overflow inside S, Q, or the guard product surfaces as
+    // NULL, and NULL routes into the same named raise.
     val stats = df.filter(col(valueCol).isNotNull)
       .select((g :+ x.as("_x")): _*)
       .groupBy(g: _*)
-      .agg(count(lit(1)).cast(dec).as("_n"), sum(col("_x")).as("_s"),
-        sum(col("_x") * col("_x")).as("_q"))
+      .agg(count(lit(1)).cast(dec).as("_nRaw"),
+        try_sum(col("_x")).as("_s"),
+        try_sum(try_multiply(col("_x"), col("_x"))).as("_q"),
+        max(abs(col("_x"))).as("_ma"))
+      .withColumn("_safe",
+        coalesce(try_multiply(try_multiply(col("_nRaw"), col("_ma")),
+          lit(kFactor)) < lit(lim), lit(false)) &&
+          col("_s").isNotNull && col("_q").isNotNull)
+      .withColumn("_n",
+        when(!col("_safe"),
+          raise_error(concat(
+            lit("outlierGate: group ("),
+            concat_ws(", ", g.map(_.cast("string")): _*),
+            lit(") has n = "), col("_nRaw").cast("string"),
+            lit(", max|x_micro| = "), col("_ma").cast("string"),
+            lit(s" with k=$kNum/$kDen — the exact k-sigma " +
+              "cross-multiplication would overflow DECIMAL(38,0); " +
+              "pre-scale the value or split the group"))).cast(dec))
+          .otherwise(col("_nRaw")))
+      .drop("_nRaw", "_ma", "_safe")
     val dev = col("_n") * x - col("_s")
-    df.join(broadcast(stats), groupCols, "left")
+    df.join(stats, groupCols, "left")
       .withColumn("x_micro", x.cast(LongType))
       .withColumn("is_outlier", when(col(valueCol).isNull, lit(false))
         .otherwise(coalesce(

@@ -68,6 +68,14 @@ object relational {
     }
     val lPayload = left.columns.filterNot(c => on.contains(c)).toSeq
     val rPayload = right.columns.filterNot(c => on.contains(c) || c == rightTime).toSeq
+    // payload disjointness (the intervalJoin convention): shared
+    // payload names would yield duplicate output columns that break
+    // any downstream select-by-name ambiguously.
+    val sharedPayload = lPayload.toSet intersect rPayload.toSet
+    require(sharedPayload.isEmpty,
+      s"asofJoin: left/right payload column names must be disjoint, " +
+        s"shared: ${sharedPayload.toSeq.sorted.mkString(", ")} — rename " +
+        "or prefix the right side's payload columns")
     val lStruct = struct(lPayload.map(col): _*)
     val rStruct = struct(rPayload.map(col): _*)
     val lStructType = org.apache.spark.sql.types.StructType(
@@ -155,6 +163,11 @@ object relational {
     val lPayload = left.columns.filterNot(on.contains).toSeq
     val rPayload = right.columns
       .filterNot(c => on.contains(c) || c == rightTime).toSeq
+    val sharedPayload = lPayload.toSet intersect rPayload.toSet
+    require(sharedPayload.isEmpty,
+      s"asofJoin: left/right payload column names must be disjoint, " +
+        s"shared: ${sharedPayload.toSeq.sorted.mkString(", ")} — rename " +
+        "or prefix the right side's payload columns")
     val r2 = right.withColumn(rtName, col(rightTime))
     val lStruct = struct(lPayload.map(col): _*)
     val rStruct = struct((rPayload :+ rtName).map(col): _*)

@@ -543,9 +543,18 @@ object Streaming {
     val cands = array_distinct(flatten(filter(
       array((0 until ix.bands).map(b => col(s"_c$b")): _*),
       a => a.isNotNull)))
+    // zero-norm guard: a zero-norm query or candidate makes the
+    // cosine 0/0 — DIVIDE_BY_ZERO under ANSI, NaN otherwise, and
+    // greatest() treats NaN as the LARGEST value, so unguarded the
+    // arrival either crashes the batch or silently classifies as a
+    // duplicate (`NaN < minCosine` is false). A zero-norm vector has
+    // no direction: try_divide turns the 0-divisor into NULL, nanvl
+    // catches a NaN dot, and coalesce lands both on the fold's floor
+    // (-2.0) — it can never testify to similarity.
     val best = aggregate(col("_cn_all"), lit(-2.0), (m, c) =>
-      greatest(m, call_function("graft_dot", col("_v"),
-        c.getField("cv")) / (col("_qn") * c.getField("cn"))))
+      greatest(m, coalesce(nanvl(try_divide(
+        call_function("graft_dot", col("_v"), c.getField("cv")),
+        col("_qn") * c.getField("cn")), lit(-2.0)), lit(-2.0))))
     val verdicts = joined
       .select(col(idCol), col("_v"), col("_qn"), cands.as("_cn_all"))
       .select(col(idCol),

@@ -266,11 +266,34 @@ class SketchesSpec extends SparkSuite {
       .head()
     assert(const.getLong(3) === 0L &&
       const.getLong(4) === 7000000L && const.getLong(5) === 7000000L)
-    // span overflow fails fast
-    intercept[IllegalArgumentException] {
+    // span overflow fails fast IN-PLAN with the group named — no
+    // driver-side materialization of the group key space
+    val e = intercept[Exception] {
       Sketches.histogramQuantiles(
         Seq(("o", 0.0), ("o", 9.0e12)).toDF("g", "v"), Seq("g"), "v",
-        buckets = 65536, ps = Seq(50))
+        buckets = 65536, ps = Seq(50)).collect()
     }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " " + msgs(t.getCause)
+    assert(msgs(e).contains("histogramQuantiles") && msgs(e).contains("(o)"))
+  }
+
+  test("histogramQuantiles: high-cardinality groups run without a driver collect of the key space") {
+    // 10k distinct groups; correctness per-group plus plan hygiene:
+    // the op's own lineage must contain no driver-side action before
+    // the caller's — building the frame is action-free by construction
+    // (the old guard collected one row per group right here).
+    val df = (0 until 30000).map(i => (s"g${i % 10000}", (i / 10000).toDouble))
+      .toDF("g", "v")
+    val out = Sketches.histogramQuantiles(df, Seq("g"), "v",
+      buckets = 8, ps = Seq(50))
+    // frame construction ran zero Spark jobs; evaluate now
+    val rows = out.collect()
+    assert(rows.length === 10000)
+    assert(rows.forall(_.getLong(2) === 3L)) // n = 3 per group
+    // every group saw values {0,1,2} micro-scaled: p50 bracket must
+    // contain 1_000_000
+    assert(rows.forall(r => r.getLong(4) <= 1000000L &&
+      r.getLong(5) >= 1000000L))
   }
 }

@@ -139,6 +139,47 @@ class EtlSpec extends SparkSuite {
     assert(gate(Seq(("c", Some(5.0)), ("d", None)), 1, 1).forall(!_._3))
   }
 
+  test("outlierGate: named Decimal(38) overflow guard; no forced broadcast hint") {
+    // n·max|x_micro|·kFactor ≥ 10¹⁹ must raise NAMING the group, not
+    // trip Spark's generic ANSI Decimal overflow mid-multiply:
+    // n=2, max|x_micro| = 9·10¹⁸, kFactor = max(3, 2) = 3 → 5.4·10¹⁹
+    val hot = Seq(("h", Some(9.0e12)), ("h", Some(9.0e12)))
+      .toDF("g", "v")
+    val e = intercept[Exception] {
+      etl.outlierGate(hot, Seq("g"), "v").collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " " + msgs(t.getCause)
+    assert(msgs(e).contains("outlierGate") && msgs(e).contains("(h)"),
+      msgs(e).take(500))
+    // the stats side is one row per GROUP — unbounded by any
+    // parameter — so the join strategy must be AQE's call, never a
+    // forced broadcast hint built on the driver regardless of size
+    val df = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("b", Some(3.0)))
+      .toDF("g", "v")
+    val out = etl.outlierGate(df, Seq("g"), "v")
+    assert(!out.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    val joinHints = out.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j.hint
+    }
+    assert(joinHints.nonEmpty && joinHints.forall(h =>
+      h.leftHint.isEmpty && h.rightHint.isEmpty), joinHints.toString)
+    // ...and with a genuinely small stats side AQE still lands on a
+    // broadcast join at runtime (nothing lost by dropping the hint)
+    out.collect()
+    assert(out.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      out.queryExecution.executedPlan.toString.take(1200))
+  }
+
+  test("outlierGate: planted high-cardinality groups pass (one stats row per group, no driver relation)") {
+    val df = (0 until 20000)
+      .map(i => (s"g${i % 5000}", Some((i % 7).toDouble)))
+      .toDF("g", "v")
+    val out = etl.outlierGate(df, Seq("g"), "v", kNum = 1, kDen = 2)
+    assert(out.count() === 20000L)
+  }
+
   test("profileDrift: hand counts and micro rates; empty side safe") {
     val a = Seq((Some(1), "x"), (Some(2), "x"), (None, "y"), (Some(4), null))
       .toDF("n", "s")

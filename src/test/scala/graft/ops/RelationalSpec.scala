@@ -68,6 +68,27 @@ class RelationalSpec extends SparkSuite {
     assert(a === b)
   }
 
+  test("asofJoin: shared payload column names fail fast in every direction (intervalJoin convention)") {
+    // both sides carry a payload column `v` — unguarded, the output
+    // would hold two columns named `v` and break any select-by-name
+    val left = Seq((1, 10L, "lv")).toDF("k", "t", "v")
+    val right = Seq((1, 5L, "rv")).toDF("k", "rt", "v")
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val e = intercept[IllegalArgumentException] {
+        relational.asofJoin(left, right, Seq("k"), "t", "rt",
+          direction = dir)
+      }
+      assert(e.getMessage.contains("disjoint") && e.getMessage.contains("v"),
+        s"$dir: ${e.getMessage}")
+    }
+    // the right TIME column may legally collide with a left payload
+    // name (it is excluded from the right payload)
+    val r2 = Seq((1, 5L, "rv")).toDF("k", "t", "rv")
+    val ok = relational.asofJoin(left, r2, Seq("k"), "t", "t")
+      .collect()
+    assert(ok.length === 1 && ok.head.getString(3) === "rv")
+  }
+
   test("rangeJoin matches a brute-force non-equi join exactly") {
     val rng = new scala.util.Random(7)
     val pts = (1 to 300).map(i => (i.toLong, rng.nextInt(2000).toLong - 500))

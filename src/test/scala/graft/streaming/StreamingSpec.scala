@@ -667,6 +667,37 @@ class StreamingSpec extends SparkSuite {
     handle.unpersist()
   }
 
+  test("admitSemanticAgainstIndex: zero-norm vectors are NOVEL, not silently rejected (NaN cosine guard)") {
+    // a zero-norm query (or candidate) makes cosine 0/0 = NaN, and
+    // greatest() treats NaN as LARGEST — unguarded, best_cosine goes
+    // NaN and `NaN < minCosine` is false: the arrival would be
+    // silently classified as a duplicate. A zero vector has no
+    // direction; it must come out NOVEL with the fold's floor.
+    val zero = Array.fill(16)(0.0f)
+    val e1 = Array.tabulate(16)(j => if (j == 0) 1.0f else 0.0f)
+    // corpus contains a ZERO vector: the zero query hashes to the
+    // identical buckets, guaranteeing a candidate whose cosine is NaN
+    val corpus = Seq((0L, zero), (1L, e1)).toDF("vec_id", "embedding")
+    graft.llm.Similarity.writeAnnIndex(corpus, "vec_id", "embedding",
+      "semadmit_nan_ix", bands = 2, bitsPerBand = 4, dim = 16,
+      buckets = 2)
+    val ix = graft.llm.Similarity.readAnnIndex(spark, "semadmit_nan_ix")
+    val (verdicts, handle) = Streaming.admitSemanticAgainstIndexManaged(
+      Seq((100L, zero), (101L, e1)).toDF("vec_id", "embedding"),
+      ix, "vec_id", "embedding", minCosine = 0.95)
+    val got = verdicts.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), Option(r.get(2)), r.getBoolean(3)))).toMap
+    val (nCand, best, novel) = got(100L)
+    assert(nCand >= 1L, s"zero query must at least meet the zero candidate: $got")
+    assert(novel, s"zero-norm query must be novel: $got")
+    assert(best.forall(b => !b.asInstanceOf[Double].isNaN &&
+      b.asInstanceOf[Double] <= -2.0 + 1e-9), s"best must be the floor: $got")
+    // exact copy of a REAL vector still rejected (regression): the
+    // zero candidate in its bucket list must not poison the fold
+    assert(got(101L)._3 === false, s"exact copy must not be novel: $got")
+    handle.unpersist()
+  }
+
   test("recrawlScheduleStream: incremental change-model state across batches, batch parity, late fetches counted") {
     val base = Files.createTempDirectory("graft-recrawl").toString
     // u1 churns then settles; u2 is static; u3's batch-2 fetch is
