@@ -16,18 +16,56 @@ object LloydKernel {
     * lower-indexed one wins every assignment and the other stays an
     * empty cell). Empty cells keep their previous centroid (standard
     * Lloyd practice — a cell that captured no points this round is
-    * left where it was). */
-  def fit(points: Array[Array[Double]], k: Int, maxIter: Int): Array[Array[Double]] = {
+    * left where it was).
+    *
+    * `farthestSeeding = true` switches seeding from first-k-distinct
+    * to deterministic farthest-point (Gonzalez): seed 0 is the first
+    * point, each next seed the point with the LARGEST min-distance to
+    * the chosen seeds (strict >, so ties break to the lower index).
+    * With separated clusters this lands one seed per cluster —
+    * first-k-distinct can put two seeds in one cluster and starve
+    * another, a local minimum Lloyd never escapes. Used by the PQ
+    * production codebook; the IVF coarse trainer keeps the original
+    * seeding (its centroids feed rows-only probes, and changing them
+    * silently would reshuffle every persisted cell assignment). */
+  def fit(points: Array[Array[Double]], k: Int, maxIter: Int,
+      farthestSeeding: Boolean = false): Array[Array[Double]] = {
     require(k >= 1, "k must be >= 1")
     if (points.isEmpty) return Array.empty
     val dim = points(0).length
     val seeds = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
-    val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
-    var si = 0
-    while (si < points.length && seeds.length < k) {
-      val p = points(si)
-      if (seen.add(p.toSeq)) seeds += p.clone()
-      si += 1
+    if (farthestSeeding) {
+      def d2(a: Array[Double], b: Array[Double]): Double = {
+        var acc = 0.0; var j = 0
+        while (j < dim) { val t = a(j) - b(j); acc += t * t; j += 1 }
+        acc
+      }
+      seeds += points(0).clone()
+      val minD = points.map(d2(_, points(0)))
+      while (seeds.length < k && minD.exists(_ > 0.0)) {
+        var best = 0; var bestD = 0.0
+        var i = 0
+        while (i < points.length) {
+          if (minD(i) > bestD) { bestD = minD(i); best = i }
+          i += 1
+        }
+        val s = points(best)
+        seeds += s.clone()
+        var i2 = 0
+        while (i2 < points.length) {
+          val nd = d2(points(i2), s)
+          if (nd < minD(i2)) minD(i2) = nd
+          i2 += 1
+        }
+      }
+    } else {
+      val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
+      var si = 0
+      while (si < points.length && seeds.length < k) {
+        val p = points(si)
+        if (seen.add(p.toSeq)) seeds += p.clone()
+        si += 1
+      }
     }
     val kk = seeds.length
     var centroids = seeds.toArray

@@ -634,8 +634,9 @@ object Similarity {
   // engine-portable discipline as topKIvf's coarse sampler, and it
   // makes every code and every ADC distance replayable in the DuckDB
   // oracle (a k-means codebook would be rows-only-checkable, the q44
-  // caveat). Swap in Lloyd centroids for production recall; the
-  // pipeline shape is identical.
+  // caveat). [[pqCodebookLloyd]] is the production-recall arm: same
+  // output schema, Lloyd-trained centroids, drops into the identical
+  // encode/ADC pipeline.
 
   /** Deterministic PQ codebook: (slot, code, cvec) — ncent centroids
     * per slot, centroid c of slot s = subvector s of the corpus row
@@ -661,6 +662,53 @@ object Similarity {
         explode(sequence(lit(0), lit(nsub - 1))).as("slot"))
       .select(col("slot"), col("code"),
         slice(col("_v"), col("slot") * dsub + 1, lit(dsub)).as("cvec"))
+  }
+
+  /** Production PQ codebook: per-slot Lloyd-trained centroids over a
+    * BOUNDED hash-spread sample — the recall path real embedding
+    * compression needs (the hash-rank sample above exists for oracle
+    * replayability; its centroids are arbitrary corpus rows, so cells
+    * are unbalanced and quantization error is whatever the draw
+    * gives). Same output schema (slot, code, cvec) and the SAME
+    * bounded discipline as [[topKIvf]]'s coarse trainer: the sample
+    * is a TakeOrdered of ncent·samplePerCent rows (never O(corpus)),
+    * training runs in-process via [[LloydKernel]] with zero cluster
+    * jobs, and the result drops into [[pqEncode]]/[[pqAdcTopK]]
+    * unchanged. Deterministic: xxhash64-spread sample with id
+    * tiebreak, deterministic seeding and tie-break inside the kernel.
+    * Fails fast (named slot) if the sample cannot seed ncent distinct
+    * centroids — lower ncent or raise samplePerCent. */
+  def pqCodebookLloyd(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nsub: Int, ncent: Int, seed: Long = 42L,
+      maxIter: Int = 8, samplePerCent: Int = 50): DataFrame = {
+    require(dim % nsub == 0, s"dim $dim not divisible by nsub $nsub")
+    require(ncent >= 1 && ncent <= 65536,
+      s"ncent must be in [1, 65536], got $ncent")
+    require(samplePerCent >= 1, "samplePerCent must be positive")
+    val dsub = dim / nsub
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val samplePts = corpus
+      .select(asDouble(col(vecCol)).as("_v"),
+        xxhash64(col(idCol), lit(seed)).as("_h"),
+        col(idCol).cast(StringType).as("_id"))
+      .orderBy(col("_h"), col("_id")).limit(ncent * samplePerCent)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(samplePts.nonEmpty, "pqCodebookLloyd: empty corpus")
+    samplePts.foreach(v => require(v.length == dim,
+      s"pqCodebookLloyd: vector of ${v.length} dims, expected $dim"))
+    val rows = (0 until nsub).flatMap { s =>
+      val sub = samplePts.map(v =>
+        java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      val cents = LloydKernel.fit(sub, ncent, maxIter,
+        farthestSeeding = true)
+      require(cents.length == ncent,
+        s"pqCodebookLloyd: slot $s has only ${cents.length} distinct " +
+          s"sample subvectors for ncent=$ncent — lower ncent or raise " +
+          "samplePerCent")
+      cents.zipWithIndex.map { case (c, i) => (s, i, c.toSeq) }
+    }
+    rows.toDF("slot", "code", "cvec")
   }
 
   /** The codebook collected to ONE slot-major, code-ascending array —

@@ -268,6 +268,84 @@ class SimilaritySpec extends SparkSuite {
     assert(gotAdc === wantAdc)
   }
 
+  test("pqCodebookLloyd: planted clusters — recovered centroids, lower MSE than the sampled tier, same pipeline") {
+    import spark.implicits._
+    val dim = 8; val nsub = 2; val ncent = 4; val dsub = dim / nsub
+    // 4 well-separated full-vector cluster centers; every slot sees 4
+    // distinct sub-centers. Jitter is deterministic (murmur mix).
+    def mix(x0: Long): Long = {
+      var x = x0
+      x = (x ^ (x >>> 33)) * 0xff51afd7ed558ccdL
+      x = (x ^ (x >>> 33)) * 0xc4ceb9fe1a85ec53L
+      x ^ (x >>> 33)
+    }
+    def jit(i: Long, j: Int): Float =
+      ((((mix(i * 31 + j) >>> 11) % 2003L) / 1001.5f) - 1.0f) * 0.02f
+    val centers = Array.tabulate(4, dim)((c, j) =>
+      (if ((j / dsub + c) % 2 == 0) 1.0f else -1.0f) * (c + 1).toFloat)
+    val vecs = (0L until 200L).map { i =>
+      val c = (i % 4).toInt
+      (i, c, Array.tabulate(dim)(j => centers(c)(j) + jit(i, j)))
+    }
+    val df = vecs.map(v => (v._1, v._3)).toDF("vec_id", "embedding")
+      .repartition(4)
+
+    val lloyd = Similarity.pqCodebookLloyd(df, "vec_id", "embedding",
+      dim, nsub, ncent, samplePerCent = 40)
+    val sampled = Similarity.pqCodebook(df, "vec_id", "embedding",
+      dim, nsub, ncent, salt = "lp")
+    // schema + cardinality: drops into the identical pipeline
+    assert(lloyd.columns.toSeq === Seq("slot", "code", "cvec"))
+    assert(lloyd.count() === (nsub * ncent).toLong)
+
+    def mse(cb: org.apache.spark.sql.DataFrame): Double = {
+      val cbm = cb.collect().map(r =>
+        (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
+      val codes = Similarity.pqEncode(df, "vec_id", "embedding", cb,
+          dim, nsub, ncent)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      vecs.map { case (id, _, v) =>
+        (0 until nsub).map { s =>
+          val cv = cbm((s, codes(id)(s)))
+          (0 until dsub).map { j =>
+            val d = v(s * dsub + j) - cv(j); d * d
+          }.sum
+        }.sum
+      }.sum / (vecs.size * dim)
+    }
+    val mseL = mse(lloyd)
+    val mseS = mse(sampled)
+    // Lloyd converges to the cluster MEANS (error ≈ jitter variance);
+    // the hash-rank sample quantizes against 4 arbitrary corpus ROWS
+    assert(mseL <= mseS, s"lloyd $mseL vs sampled $mseS")
+    assert(mseL < 0.01, s"lloyd MSE should be jitter-level, got $mseL")
+
+    // cluster recall through the UNCHANGED ADC pipeline: with the
+    // Lloyd codebook every top-5 neighbor of a query shares the
+    // query's planted cluster (50 per cluster, margins >> jitter)
+    val cluster = vecs.map(v => v._1 -> v._2).toMap
+    val got = Similarity.pqAdcTopK(df.filter(col("vec_id") < 8), df,
+        "vec_id", "vec_id", "embedding", lloyd, dim, nsub, ncent, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.length === 40)
+    assert(got.forall { case (q, n) => cluster(q) === cluster(n) },
+      got.filterNot { case (q, n) => cluster(q) === cluster(n) }
+        .take(5).toSeq.toString)
+  }
+
+  test("pqCodebookLloyd: named fail-fast when a slot cannot seed ncent distinct centroids") {
+    import spark.implicits._
+    // every vector identical → 1 distinct subvector per slot
+    val df = (0L until 20L).map(i => (i, Array.fill(4)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqCodebookLloyd(df, "vec_id", "embedding",
+        dim = 4, nsub = 2, ncent = 4)
+    }
+    assert(e.getMessage.contains("slot 0") &&
+      e.getMessage.contains("distinct"), e.getMessage)
+  }
+
   test("contrastiveTriplets: arms selected per label; incomplete anchors drop") {
     import spark.implicits._
     // labels: 0 → {0,2}, 1 → {1,3}, singleton 2 → {4}, null → {5}
