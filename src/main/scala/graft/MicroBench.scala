@@ -93,20 +93,48 @@ object MicroBench {
         val relational = () => graft.llm.Similarity.pqEncodeRelational(
           vecs, "id", "embedding", cb, 64, 8, 16)
         Seq("native" -> native, "relational" -> relational)
+      case "q97" =>
+        // the full q97 plan (jaccardPairs → connectedComponents →
+        // representative) exactly as the bench runs it — the job-count
+        // probe for the many-small-jobs profile the r10 verdict flagged
+        val run = () => graft.SparkEntry
+          .queries("q97_dedup_resolve")(spark, sfDir)
+        Seq("q97" -> run)
       case other =>
         throw new IllegalArgumentException(s"unknown scenario: $other")
     }
+
+    // job counter: AQE runs one job per materialized query stage, so
+    // the per-call job count is the scheduler-latency exposure the
+    // q97 profile measures (listener events are async; the short
+    // settle sleep after each run is enough at these job sizes)
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      })
+    def settledJobs(): Long = { Thread.sleep(200); jobs.get() }
 
     // one untimed warmup each, then ALTERNATE the variants so JIT/GC
     // drift hits both equally; report per-variant min + all samples
     variants.foreach { case (_, mk) => force(mk()) }
     val samples = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
-    for (_ <- 1 to iters; (name, mk) <- variants)
+    val jobCounts = scala.collection.mutable.Map[String, Vector[Long]]()
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to iters; (name, mk) <- variants) {
+      val j0 = settledJobs()
       samples(name) = samples(name) :+ timeIt(mk)
+      jobCounts(name) = jobCounts(name) :+ (settledJobs() - j0)
+    }
     val js = variants.map { case (name, _) =>
       val xs = samples(name)
-      s"""\"$name\":{"min":${xs.min},"samples":[${xs.mkString(",")}]}"""
+      val jc = jobCounts(name)
+      s"""\"$name\":{"min":${xs.min},"samples":[${xs.mkString(",")}],""" +
+        s""""jobs":[${jc.mkString(",")}]}"""
     }.mkString("{", ",", "}")
     spark.stop()
     println(s"""{"metric":"micro_$scenario","variants":$js}""")

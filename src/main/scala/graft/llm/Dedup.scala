@@ -277,15 +277,21 @@ object Dedup {
     * rounds, not O(diameter) — the property that matters when a
     * pathological near-dup CHAIN (each doc similar only to its
     * neighbors) makes the diameter linear in cluster size. Convergence
-    * = no label changed this round, detected by probing the new vs
-    * previous label tables for ONE differing row (`limit 1`) — both
-    * sides are materialized checkpoints of node-count size, and the
-    * check is type-agnostic (a numeric-sum trick would break on
-    * string ids). The loop raises if the graph hasn't converged by
+    * = no label changed this round, carried IN-PLAN as a `_changed`
+    * flag (each round's aggregate keeps the previous label next to
+    * the new one — no separate join against the prior round's table,
+    * which cost one extra shuffle per round), probed on the
+    * materialized checkpoint with `filter(_changed).limit(1)` — a
+    * shuffle-free early-exit scan, type-agnostic (a numeric-sum trick
+    * would break on string ids). `checkEvery` batches the probe to
+    * every k-th round: each skipped probe saves one scheduler
+    * round-trip at the price of up to k−1 extra (converged) label
+    * rounds — leave it at 1 unless rounds are measurably cheaper than
+    * job latency. The loop raises if the graph hasn't converged by
     * `maxIter` rather than returning wrong labels.
     * Each round is one shuffle of (edge, label), materialized by a
-    * `localCheckpoint` BEFORE the convergence agg: each round's labels
-    * feed two consumers (the sum and the next join), so an
+    * `localCheckpoint` BEFORE the convergence probe: each round's
+    * labels feed two consumers (the probe and the next join), so an
     * unmaterialized round would be recomputed twice — compounding to
     * 2^k chains between sparser checkpoints (measured: 16 s instead of
     * ~2 s at bench scale with checkpoints every 5 rounds).
@@ -302,30 +308,48 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxIter: Int = 20,
       checkpointEvery: Int = 1,
-      localEdgeThreshold: Long = 2000000L): DataFrame = {
-    // Materialize the edge list ONCE: the iteration below runs an
-    // action per round (the convergence agg), and without this every
-    // round would re-execute the whole upstream pair-generation plan —
+      localEdgeThreshold: Long = 2000000L,
+      checkEvery: Int = 1): DataFrame = {
+    require(checkEvery >= 1, "checkEvery must be >= 1")
+    // Materialize the PAIR list ONCE, before any tiering: the
+    // iteration below runs an action per round, and without this every
+    // action would re-execute the whole upstream pair-generation plan —
     // at bench scale that turned a 1-second clustering into 100 s.
-    // Edges are the (small) near-dup pair list, not the corpus.
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // Materializing raw pairs (not the bidirected-distinct edge list)
+    // matters twice over: union-ing the reversed copy UNDER the
+    // checkpoint re-executed the pair-generation plan per branch (the
+    // two union arms share no exchange Catalyst can reuse), and the
+    // local tier's union-find is direction- and duplicate-oblivious,
+    // so it collects raw pairs directly — half the rows, and the
+    // count/distinct exchange never runs at all on the local path.
+    val rawPairs = pairs
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .localCheckpoint()
+    if (rawPairs.count() <= localEdgeThreshold)
+      return componentsLocal(rawPairs)
+    val edges = rawPairs
+      .union(rawPairs.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
-    if (edges.count() <= localEdgeThreshold)
-      return componentsLocal(edges)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
+      .withColumn("_changed", lit(true))
       .localCheckpoint()
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val prev = labels
       val msgs = edges.join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("label"))
-      val propagated = labels.select(col("id"), col("label"))
+        .select(col("dst").as("id"), col("label"),
+          lit(null).cast(labels.schema("label").dataType).as("_own"))
+      // the node's own row carries its previous label in `_own`; the
+      // aggregate keeps it beside the new min — convergence is then a
+      // column compare inside THIS round's plan, not a join against
+      // the previous round's table (one shuffle per round saved)
+      val propagated = labels
+        .select(col("id"), col("label"), col("label").as("_own"))
         .union(msgs)
-        .groupBy("id").agg(min(col("label")).as("label"))
+        .groupBy("id").agg(min(col("label")).as("label"),
+          min(col("_own")).as("_prev"))
       // path-halving: follow one more hop through the label table —
       // label(id) := min(label(id), label(label(id))). The label table
       // is only the docs appearing in pairs, so this self-join is cheap
@@ -338,13 +362,14 @@ object Dedup {
         .join(hop, col("label") === col("_hop_id"), "left")
         .select(col("id"),
           least(col("label"),
-            coalesce(col("_hop_label"), col("label"))).as("label"))
+            coalesce(col("_hop_label"), col("label"))).as("label"),
+          (least(col("label"),
+            coalesce(col("_hop_label"), col("label"))) =!= col("_prev"))
+            .as("_changed"))
       if ((iter + 1) % checkpointEvery == 0)
         labels = labels.localCheckpoint() // before the probe: see Scaladoc
-      converged = labels
-        .join(prev.withColumnRenamed("label", "_prev"), Seq("id"))
-        .filter(col("label") =!= col("_prev"))
-        .limit(1).isEmpty
+      if ((iter + 1) % checkEvery == 0 || iter + 1 == maxIter)
+        converged = labels.filter(col("_changed")).limit(1).isEmpty
       iter += 1
     }
     if (!converged)

@@ -298,6 +298,12 @@ class DedupSpec extends SparkSuite {
         checkpointEvery = 3, localEdgeThreshold = 0L)
       .collect().map(_.getLong(1)).distinct
     assert(labels.toSeq === Seq(1L))
+    // batched convergence probe (checkEvery > 1) converges identically,
+    // including when the probe rounds don't divide maxIter
+    val labelsBatched = Dedup.connectedComponents(path, maxIter = 15,
+        checkpointEvery = 2, localEdgeThreshold = 0L, checkEvery = 3)
+      .collect().map(_.getLong(1)).distinct
+    assert(labelsBatched.toSeq === Seq(1L))
     // diameter beyond maxIter raises instead of returning wrong labels
     val e = intercept[IllegalStateException] {
       Dedup.connectedComponents(path, maxIter = 2, localEdgeThreshold = 0L)
