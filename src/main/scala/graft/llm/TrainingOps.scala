@@ -559,6 +559,20 @@ object TrainingOps {
         array_join(regexp_extract_all(col("w"), lit("."), lit(0)),
           BpeSep + BpeSep), lit(BpeSep)).as("sym"), col("freq"))
 
+  /** The byte-level BPE working table: words become their UTF-8 byte
+    * sequences as two-hex-digit symbols. NOTHING is dropped — hex
+    * digits can never contain the separator, so every token the
+    * corpus holds trains (the char-level table's separator filter
+    * does not exist here; that is the point of byte level). */
+  private def bpeByteWordTable(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(concat(lit(BpeSep),
+        array_join(regexp_extract_all(
+          lower(hex(encode(col("w"), "UTF-8"))), lit(".."), lit(0)),
+          BpeSep + BpeSep), lit(BpeSep)).as("sym"), col("freq"))
+
   /** Raw adjacent-symbol pair occurrences of a BPE word table: one
     * row per pair occurrence carrying the word's frequency as `cnt`
     * (callers negate `freq` upstream for removal deltas). The symbol
@@ -620,12 +634,33 @@ object TrainingOps {
     * sample; the incremental loop here then bounds the per-round
     * cost, and the one corpus-sized pass is the sampler's. */
   def trainBpe(df: DataFrame, textCol: String, numMerges: Int,
-      checkpointEvery: Int = 5): DataFrame = {
+      checkpointEvery: Int = 5): DataFrame =
+    trainBpeFromWords(bpeWordTable(df, textCol), numMerges,
+      checkpointEvery)
+
+  /** Byte-level BPE training (the GPT-family lineage): the word table
+    * holds each word's UTF-8 BYTES as two-hex-digit symbols
+    * (`lower(hex(encode(w, 'UTF-8')))` chunked in twos — engine- and
+    * oracle-portable), so the base alphabet is the 256 bytes and NO
+    * token is ever dropped or UNK'd by construction (the char-level
+    * trainer must drop separator-carrying tokens; bytes can never
+    * collide with the separator). Merge selection, incremental pair
+    * maintenance, and greedy left-to-right replacement are the SAME
+    * loop as [[trainBpe]] — symbols are just hex strings. Serve with
+    * [[byteBpeEncode]]. Output: (merge_idx, left, right, cnt) with
+    * left/right/merged tokens as lowercase hex byte runs. */
+  def trainBpeBytes(df: DataFrame, textCol: String, numMerges: Int,
+      checkpointEvery: Int = 5): DataFrame =
+    trainBpeFromWords(bpeByteWordTable(df, textCol), numMerges,
+      checkpointEvery)
+
+  private def trainBpeFromWords(words0: DataFrame, numMerges: Int,
+      checkpointEvery: Int): DataFrame = {
     require(numMerges >= 1, "numMerges must be at least 1")
     require(checkpointEvery >= 1, "checkpointEvery must be at least 1")
-    val spark = df.sparkSession
+    val spark = words0.sparkSession
     val sep = BpeSep
-    var words = bpeWordTable(df, textCol).localCheckpoint()
+    var words = words0.localCheckpoint()
     var pairCounts = bpePairRows(words)
       .groupBy("l", "r").agg(sum("cnt").as("cnt"))
       .filter(col("cnt") > 0)
@@ -907,6 +942,19 @@ object TrainingOps {
         w => w =!= "" && !w.contains(BpeSep)),
       w => b.column(
         graft.expressions.BpeEncodeExpr(b.expression(w), merges))))
+  }
+
+  /** Serve a [[trainBpeBytes]] model: every token of every word
+    * encodes — NO filter, NO UNK (any byte is in the base alphabet;
+    * an input the training corpus never saw just stays as its
+    * single-byte hex pieces). Output pieces are lowercase hex byte
+    * runs, exactly the trainer's merge outputs. */
+  def byteBpeEncode(text: Column, merges: Seq[(String, String)]): Column = {
+    val b = org.apache.spark.sql.GraftColumnBridge
+    flatten(transform(
+      filter(TextAnalysis.tokens(text), w => w =!= ""),
+      w => b.column(graft.expressions.BpeEncodeExpr(
+        b.expression(w), merges, byteLevel = true))))
   }
 
   /** The WordPiece working table — [[bpeWordTable]]'s positional
@@ -1476,6 +1524,8 @@ object TrainingOps {
   sealed trait TokenizerModel
   final case class BpeModel(merges: Seq[(String, String)])
     extends TokenizerModel
+  final case class ByteBpeModel(merges: Seq[(String, String)])
+    extends TokenizerModel
   final case class WordPieceModel(vocab: Seq[String],
     maxWordLen: Int = 100, unk: String = "[UNK]") extends TokenizerModel
   final case class UnigramModel(pieces: Seq[(String, Long)],
@@ -1486,6 +1536,7 @@ object TrainingOps {
   def encodeWith(text: Column, model: TokenizerModel): Column =
     model match {
       case BpeModel(m) => bpeEncode(text, m)
+      case ByteBpeModel(m) => byteBpeEncode(text, m)
       case WordPieceModel(v, maxLen, unk) =>
         wordpieceEncode(text, v, maxLen, unk)
       case UnigramModel(p, maxLen) => unigramEncode(text, p, maxLen)
@@ -1497,6 +1548,9 @@ object TrainingOps {
     val (family, rows, p1, s1) = model match {
       case BpeModel(m) =>
         ("bpe", m.zipWithIndex.map { case ((l, r), i) =>
+          (i, l, Option(r), Option.empty[Long]) }, 0, "")
+      case ByteBpeModel(m) =>
+        ("bpe_bytes", m.zipWithIndex.map { case ((l, r), i) =>
           (i, l, Option(r), Option.empty[Long]) }, 0, "")
       case WordPieceModel(v, maxLen, unk) =>
         ("wordpiece", v.zipWithIndex.map { case (p, i) =>
@@ -1532,6 +1586,8 @@ object TrainingOps {
     family match {
       case "bpe" => BpeModel(rows.map(r =>
         (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq)
+      case "bpe_bytes" => ByteBpeModel(rows.map(r =>
+        (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq)
       case "wordpiece" => WordPieceModel(
         rows.map(_.getAs[String]("a")).toSeq,
         meta.getAs[Int]("p1"), meta.getAs[String]("s1"))
@@ -1556,10 +1612,28 @@ object TrainingOps {
     * Scale shape: ONE hash aggregate; per-conversation state is the
     * turn list — bounded by the conversation length (the natural
     * unit a trainer consumes; a million-turn "conversation" is
-    * upstream garbage this op should not paper over). */
+    * upstream garbage this op should not paper over). For untrusted
+    * conversation keys set `maxTurns`: a keys-only count aggregate
+    * FAILS FAST naming the worst offender (the funnel / asofJoin
+    * convention, ≤1 row ever collected) BEFORE any turn list is
+    * buffered — split or drop such conversations upstream, or raise
+    * the cap deliberately. */
   def renderChatTemplate(df: DataFrame, convCol: String,
       orderCol: String, tieCol: String, roleCol: String,
-      contentCol: String): DataFrame = {
+      contentCol: String, maxTurns: Option[Long] = None): DataFrame = {
+    maxTurns.foreach { cap =>
+      require(cap > 0, "maxTurns must be positive")
+      val offender = df.groupBy(col(convCol))
+        .agg(count(lit(1)).as("_n")).filter(col("_n") > cap)
+        .orderBy(col("_n").desc).limit(1).collect()
+      offender.headOption.foreach { r =>
+        throw new IllegalArgumentException(
+          s"renderChatTemplate: conversation (${r.get(0)}) carries " +
+            s"${r.getLong(1)} turns, above maxTurns=$cap — its whole " +
+            "turn list would buffer in one aggregate state; split or " +
+            "drop it upstream, or raise the cap deliberately")
+      }
+    }
     df.groupBy(col(convCol))
       .agg(count(lit(1)).as("n_turns"),
         array_sort(collect_list(struct(

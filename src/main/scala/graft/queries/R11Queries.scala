@@ -540,7 +540,40 @@ object R11Queries {
           T.events(s, d).select(col("event_type"), col("value")),
           Seq("event_type"), "value", buckets = 64,
           ps = Seq(50, 90, 99))
-        .orderBy("event_type", "p")))
+        .orderBy("event_type", "p")),
+
+    // [EXT] BYTE-level BPE training (the GPT-family lineage, closing
+    // the tokenizer matrix next to char-BPE q121, unigram q174,
+    // WordPiece q177): words become UTF-8 byte sequences as two-hex
+    // symbols, so the base alphabet is the 256 bytes, NOTHING is
+    // dropped, and no UNK can exist by construction. Same incremental
+    // trainer as q121; the oracle replays every byte-merge selection
+    // round (hex(encode(w)) seeding, then the q121 CTE chain).
+    "q212_byte_bpe_train" -> ((s, d) =>
+      graft.llm.TrainingOps.trainBpeBytes(
+        T.documents(s, d).select(col("text")), "text", numMerges = 6)
+      .orderBy("merge_idx")),
+
+    // [EXT] BYTE-level BPE serving: train 6 byte merges, re-encode
+    // every document map-only through the native expression in byte
+    // mode. Every token of every document encodes (no filter — the
+    // q122 separator drop does not exist at byte level); the oracle
+    // carries words through the same 6 rounds and joins tokens to
+    // their final segmentations.
+    "q213_byte_bpe_encode" -> ((s, d) => {
+      val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+      val merges = graft.llm.TrainingOps.trainBpeBytes(
+        docs.select(col("text")), "text", numMerges = 6)
+        .orderBy("merge_idx").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      docs.select(col("doc_id"),
+          graft.llm.TrainingOps.byteBpeEncode(col("text"), merges)
+            .as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_bpe_tokens"),
+          concat_ws(" ", col("toks")).as("bpe_text"))
+        .orderBy("doc_id")
+    }))
 
   /** Shared PQ oracle prelude: hash-rank sample → per-slot codebook →
     * exact-double squared-L2 of EVERY (vector, slot, centroid) →
@@ -1110,7 +1143,68 @@ object R11Queries {
     ("q208_chat_render" -> chatOracle) +
     ("q209_license_id" -> licenseOracle) +
     ("q210_outlier_gate" -> outlierOracle) +
-    ("q211_hist_quantiles" -> histQuantOracle)
+    ("q211_hist_quantiles" -> histQuantOracle) +
+    ("q212_byte_bpe_train" -> byteBpeTrainOracle) +
+    ("q213_byte_bpe_encode" -> byteBpeEncodeOracle)
+
+  // Byte-level BPE oracles: the q121/q122 CTE round chains verbatim
+  // (reused from R8Queries), with the SEEDING swapped to UTF-8 bytes —
+  // lower(hex(encode(w))) chunked in twos — and NO token filter (the
+  // byte alphabet cannot collide with the separator; nothing drops).
+  private lazy val byteBpeTrainOracle: String =
+    s"""WITH toks AS (
+       |  SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |    FROM documents)
+       |  WHERE w <> ''
+       |  GROUP BY 1),
+       |w0 AS (
+       |  SELECT chr(31) || array_to_string(
+       |    regexp_extract_all(lower(hex(encode(w))), '..'),
+       |    chr(31) || chr(31)) || chr(31) AS sym, freq
+       |  FROM toks),
+       |${(0 until 6).map(R8Queries.bpeRound).mkString(",\n")}
+       |SELECT CAST(merge_idx AS INT) AS merge_idx, l AS "left",
+       |  r AS "right", cnt
+       |FROM (${(0 until 6).map(k => s"SELECT * FROM t$k")
+           .mkString(" UNION ALL ")})
+       |ORDER BY merge_idx""".stripMargin
+
+  private lazy val byteBpeEncodeOracle: String =
+    s"""WITH toks AS (
+       |  SELECT w, count(*) AS freq FROM (
+       |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |    FROM documents)
+       |  WHERE w <> ''
+       |  GROUP BY 1),
+       |v0 AS (
+       |  SELECT w, chr(31) || array_to_string(
+       |    regexp_extract_all(lower(hex(encode(w))), '..'),
+       |    chr(31) || chr(31)) || chr(31) AS sym, freq
+       |  FROM toks),
+       |${(0 until 6).map(R8Queries.bpeRoundW).mkString(",\n")},
+       |seg AS (
+       |  SELECT w, regexp_split_to_array(trim(sym, chr(31)),
+       |    chr(31) || chr(31)) AS syms
+       |  FROM v6),
+       |d AS (SELECT doc_id,
+       |        regexp_split_to_array(trim(text), '\\s+') AS ws
+       |      FROM documents),
+       |tok AS (
+       |  SELECT doc_id, s.i AS ord, s.w AS w
+       |  FROM (SELECT doc_id, unnest(list_transform(
+       |          generate_series(1, len(ws)),
+       |          i -> struct_pack(i := i, w := ws[i]))) AS s
+       |        FROM d)
+       |  WHERE s.w <> '')
+       |SELECT doc_id,
+       |  CAST(coalesce(sum(len(syms)), 0) AS INT) AS n_bpe_tokens,
+       |  coalesce(string_agg(array_to_string(syms, ' '), ' '
+       |    ORDER BY ord), '') AS bpe_text
+       |FROM d LEFT JOIN tok USING (doc_id)
+       |  LEFT JOIN seg USING (w)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 
   private lazy val histQuantOracle: String =
     """WITH b AS (SELECT event_type,

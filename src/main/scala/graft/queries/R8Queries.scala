@@ -531,7 +531,7 @@ object R8Queries {
     * over v{k}, top-1, merge — same arithmetic as [[bpeRound]] but
     * each round keeps the original word alongside its symbol string,
     * so q122 can join document tokens to their final segmentation. */
-  private def bpeRoundW(k: Int): String = {
+  private[queries] def bpeRoundW(k: Int): String = {
     val (wIn, wOut, c, t) = (s"v$k", s"v${k + 1}", s"vc$k", s"vt$k")
     s"""$c AS (
        |  SELECT s.l AS l, s.r AS r, CAST(sum(s.freq) AS BIGINT) AS cnt
@@ -553,7 +553,7 @@ object R8Queries {
   }
 
   /** One BPE oracle round: pair counts over w{k}, top-1, merge. */
-  private def bpeRound(k: Int): String = {
+  private[queries] def bpeRound(k: Int): String = {
     val (wIn, wOut, c, t) = (s"w$k", s"w${k + 1}", s"c$k", s"t$k")
     s"""$c AS (
        |  SELECT s.l AS l, s.r AS r, CAST(sum(s.freq) AS BIGINT) AS cnt

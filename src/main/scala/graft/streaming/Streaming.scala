@@ -749,54 +749,134 @@ object Streaming {
       }
   }
 
-  /** Fold ONE micro-batch of changes into a versioned parquet SCD2
-    * table — the [[scd2Stream]] worker, public so specs (and manual
-    * replays) can drive it directly. Write-then-record: the new
-    * history version lands as `v{N+1}/` BEFORE the one-line meta
-    * (version + last folded batch id) flips via an atomic
-    * temp-file move, and a batch id at-or-below the recorded one is
+  /** Bucket id of a key for the scd2 table layout: stable across
+    * versions by construction (the layout is unreadable otherwise). */
+  private def scd2Bucket(keyCol: String, nBuckets: Int) =
+    pmod(xxhash64(col(keyCol)), lit(nBuckets.toLong))
+      .cast(org.apache.spark.sql.types.IntegerType)
+
+  private[streaming] final case class Scd2Meta(version: Long,
+    batchId: Long, nBuckets: Int, buckets: Map[Int, Long])
+
+  /** Parse `_meta.json` via the Hadoop FS API — the table path may be
+    * `file:`, `hdfs:`, or any other Hadoop-visible scheme (java.nio
+    * could only see the local disk). A pre-bucketed (r10) meta is
+    * refused by name, not misparsed. */
+  private[streaming] def readScd2Meta(
+      fs: org.apache.hadoop.fs.FileSystem,
+      metaPath: org.apache.hadoop.fs.Path): Option[Scd2Meta] = {
+    if (!fs.exists(metaPath)) return None
+    val in = fs.open(metaPath)
+    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    if (!s.contains("\"nbuckets\""))
+      sys.error(s"scd2 table at $metaPath uses the pre-bucketed " +
+        "layout — rebuild the table (no in-place upgrade)")
+    val m = "\"version\":(\\d+),\"batch_id\":(-?\\d+),\"nbuckets\":(\\d+)".r
+      .findFirstMatchIn(s).getOrElse(sys.error(
+        s"scd2 table meta unparseable at $metaPath: $s"))
+    val buckets = "\"(\\d+)\":(\\d+)".r
+      .findAllMatchIn(s.substring(s.indexOf("\"buckets\"")))
+      .map(mm => mm.group(1).toInt -> mm.group(2).toLong).toMap
+    Some(Scd2Meta(m.group(1).toLong, m.group(2).toLong,
+      m.group(3).toInt, buckets))
+  }
+
+  /** Fold ONE micro-batch of changes into a versioned, KEY-BUCKETED
+    * parquet SCD2 table — the [[scd2Stream]] worker, public so specs
+    * (and manual replays) can drive it directly.
+    *
+    * Layout: history rows live under `v{N}/_bucket={b}/` with
+    * `_meta.json` mapping every bucket to the version directory
+    * holding its CURRENT rows — so a micro-batch rewrites ONLY the
+    * buckets its keys hash into (the signature store's bucketed
+    * discipline), never the whole table: a 10-key batch against a
+    * 10⁹-row dimension touches ≤10 bucket files. All file ops ride
+    * the Hadoop FS API (`file:`/`hdfs:`/object stores), with the
+    * meta flip an atomic FileContext rename (atomic on HDFS and
+    * local; object stores carry their usual rename caveat — same as
+    * every Hadoop-committed table).
+    *
+    * Write-then-record: the dirty buckets land under `v{N+1}/`
+    * BEFORE the one-line meta (version + bucket map + last folded
+    * batch id) flips, and a batch id at-or-below the recorded one is
     * a REPLAY (foreachBatch re-delivers the uncommitted batch after
-    * a crash) — skipped, so the fold is restart-idempotent. Versions
-    * older than the previous one are pruned after the flip (one
-    * grace version for in-flight readers — the signature-store
-    * discipline). Returns true iff the batch was folded. */
+    * a crash) — skipped, so the fold is restart-idempotent (a torn
+    * `v{N+1}` from a crash is overwritten by the replay before any
+    * reader could reference it). After the flip, superseded bucket
+    * copies older than the IMMEDIATELY-superseded one are pruned
+    * (one grace copy per bucket for in-flight readers). A batch with
+    * no rows just records its id. `nBuckets` is pinned in the meta —
+    * a mismatched caller fails by name rather than scattering keys
+    * across incompatible bucketings. Returns true iff folded. */
   def applyScd2Batch(batch: DataFrame, batchId: Long, keyCol: String,
       tsCol: String, valueCols: Seq[String], tieCol: String,
-      tablePath: String): Boolean = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+      tablePath: String, nBuckets: Int = 64): Boolean = {
+    import org.apache.hadoop.fs.{FileContext, Options, Path}
+    require(nBuckets >= 1 && nBuckets <= 65536,
+      s"nBuckets must be in [1, 65536], got $nBuckets")
     val spark = batch.sparkSession
-    val dir = Paths.get(tablePath)
-    Files.createDirectories(dir)
-    val metaPath = dir.resolve("_meta.json")
-    val (ver, committed) =
-      if (Files.exists(metaPath)) {
-        val s = Files.readString(metaPath).trim
-        val m = "\"version\":(\\d+).*\"batch_id\":(-?\\d+)".r
-          .findFirstMatchIn(s).getOrElse(sys.error(
-            s"scd2 table meta unparseable at $metaPath: $s"))
-        (m.group(1).toLong, m.group(2).toLong)
-      } else (0L, -1L)
-    if (batchId <= committed) return false // replayed batch
-    val merged =
-      if (ver == 0L) graft.ops.etl.scd2History(batch, keyCol, tsCol,
-        valueCols, tieCol)
-      else graft.ops.etl.scd2Merge(
-        spark.read.parquet(dir.resolve(s"v$ver").toString),
-        batch, keyCol, tsCol, valueCols, tieCol)
-    merged.write.mode("overwrite")
-      .parquet(dir.resolve(s"v${ver + 1}").toString)
-    val tmp = dir.resolve("_meta.json.tmp")
-    Files.writeString(tmp,
-      s"""{"version":${ver + 1},"batch_id":$batchId}""")
-    Files.move(tmp, metaPath, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    // prune with one grace version
-    (1L until ver).foreach { v =>
-      val p = dir.resolve(s"v$v")
-      if (Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(Files.deleteIfExists(_))
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(hconf)
+    fs.mkdirs(root)
+    val metaPath = new Path(root, "_meta.json")
+    val meta = readScd2Meta(fs, metaPath)
+      .getOrElse(Scd2Meta(0L, -1L, nBuckets, Map.empty))
+    require(meta.nBuckets == nBuckets,
+      s"scd2 table at $tablePath is bucketed nbuckets=${meta.nBuckets}" +
+        s" but the caller passed $nBuckets — the bucketing function " +
+        "must be stable for the layout to stay readable")
+    if (batchId <= meta.batchId) return false // replayed batch
+    // dirty buckets: bounded collect (≤ nBuckets rows by construction)
+    val dirty = batch
+      .select(scd2Bucket(keyCol, nBuckets).as("_b"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val newVer = if (dirty.isEmpty) meta.version else meta.version + 1
+    if (dirty.nonEmpty) {
+      val currentPaths = dirty.toSeq
+        .flatMap(b => meta.buckets.get(b)
+          .map(v => new Path(root, s"v$v/_bucket=$b").toString))
+      val merged =
+        if (currentPaths.isEmpty)
+          graft.ops.etl.scd2History(batch, keyCol, tsCol, valueCols,
+            tieCol)
+        else graft.ops.etl.scd2Merge(
+          spark.read.parquet(currentPaths: _*),
+          batch, keyCol, tsCol, valueCols, tieCol)
+      merged.withColumn("_bucket", scd2Bucket(keyCol, nBuckets))
+        .write.mode("overwrite").partitionBy("_bucket")
+        .parquet(new Path(root, s"v$newVer").toString)
+    }
+    val newBuckets = meta.buckets ++ dirty.map(_ -> newVer)
+    val bucketJson = newBuckets.toSeq.sorted
+      .map { case (b, v) => s""""$b":$v""" }.mkString(",")
+    val tmp = new Path(root, s"_meta.json.tmp$batchId")
+    val out = fs.create(tmp, true)
+    try out.write(
+      (s"""{"version":$newVer,"batch_id":$batchId,""" +
+        s""""nbuckets":$nBuckets,"buckets":{$bucketJson}}""")
+        .getBytes("UTF-8"))
+    finally out.close()
+    FileContext.getFileContext(root.toUri, hconf)
+      .rename(tmp, metaPath, Options.Rename.OVERWRITE)
+    // prune: a bucket rewritten THIS flip keeps its immediately-
+    // superseded copy as the in-flight-reader grace; anything older
+    // (the grace of a previous flip) goes
+    dirty.foreach { b =>
+      meta.buckets.get(b).foreach { o =>
+        fs.globStatus(new Path(root, s"v*/_bucket=$b")).foreach { st =>
+          val vnum = st.getPath.getParent.getName.drop(1).toLong
+          if (vnum < o) { fs.delete(st.getPath, true); () }
+        }
+      }
+    }
+    // drop version directories that no longer hold any bucket
+    fs.globStatus(new Path(root, "v*")).foreach { st =>
+      if (st.isDirectory &&
+          !fs.listStatus(st.getPath)
+            .exists(_.getPath.getName.startsWith("_bucket="))) {
+        fs.delete(st.getPath, true); ()
       }
     }
     true
@@ -812,24 +892,30 @@ object Streaming {
     * history. Start with `.trigger(...)`/checkpoint of your choice;
     * read the table back with [[readScd2Table]]. */
   def scd2Stream(changes: DataFrame, keyCol: String, tsCol: String,
-      valueCols: Seq[String], tieCol: String, tablePath: String)
+      valueCols: Seq[String], tieCol: String, tablePath: String,
+      nBuckets: Int = 64)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
     changes.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyScd2Batch(batch, batchId, keyCol, tsCol, valueCols,
-          tieCol, tablePath)
+          tieCol, tablePath, nBuckets)
         ()
       }
 
-  /** Read the current committed version of an [[scd2Stream]] table. */
+  /** Read the current committed version of an [[scd2Stream]] table:
+    * the union of every bucket's current copy per the meta's bucket →
+    * version map (Hadoop FS — any scheme Spark can read). */
   def readScd2Table(spark: SparkSession, tablePath: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    val metaPath = Paths.get(tablePath, "_meta.json")
-    require(Files.exists(metaPath),
-      s"no scd2 table committed at $tablePath")
-    val ver = "\"version\":(\\d+)".r
-      .findFirstMatchIn(Files.readString(metaPath)).get.group(1).toLong
-    spark.read.parquet(Paths.get(tablePath, s"v$ver").toString)
+    import org.apache.hadoop.fs.Path
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val meta = readScd2Meta(fs, new Path(root, "_meta.json"))
+      .getOrElse(sys.error(s"no scd2 table committed at $tablePath"))
+    require(meta.buckets.nonEmpty,
+      s"scd2 table at $tablePath has no data committed yet")
+    val paths = meta.buckets.toSeq.sorted.map { case (b, v) =>
+      new Path(root, s"v$v/_bucket=$b").toString }
+    spark.read.parquet(paths: _*)
   }
 }

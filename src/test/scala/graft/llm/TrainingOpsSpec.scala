@@ -892,6 +892,54 @@ class TrainingOpsSpec extends SparkSuite {
     assert(e.getMessage.contains("truncated"))
   }
 
+  test("byte-level BPE: hand merges, UNK provably impossible on arbitrary input, store round-trip") {
+    import spark.implicits._
+    // "aa"×2 + "ab"×1: bytes 61/62. Pairs: (61,61)=2, (61,62)=1 →
+    // merge 0 = (61,61); after it only "ab" has a pair → (61,62)
+    val corpus = Seq("aa aa ab").toDF("text")
+    val merges = TrainingOps.trainBpeBytes(corpus, "text", numMerges = 5)
+      .orderBy("merge_idx").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(merges === Seq((0, "61", "61", 2L), (1, "61", "62", 1L)))
+    val m = merges.map(x => (x._2, x._3))
+
+    // serving: trained words segment per the merges; ARBITRARY input
+    // (emoji, CJK, control bytes, words never seen) encodes with the
+    // pieces re-concatenating to the exact UTF-8 hex — no UNK, no
+    // drop, by construction
+    def hexOf(s: String): String =
+      s.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString
+    val probes = Seq("aa", "ab", "aab", "z", "é", "日本語", "😊ok",
+      "ab", "")
+    val got = probes.toDF("text")
+      .select(col("text"),
+        TrainingOps.byteBpeEncode(col("text"), m).as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(got("aa") === Seq("6161"))
+    assert(got("ab") === Seq("6162"))
+    assert(got("aab") === Seq("6161", "62")) // greedy left-to-right
+    probes.foreach { w =>
+      assert(got(w).mkString("") === hexOf(w),
+        s"'$w': pieces must re-concatenate to the exact UTF-8 hex")
+      assert(got(w).forall(_.nonEmpty), s"'$w': no empty piece")
+    }
+    // the char-level trainer's separator drop does NOT exist here:
+    // a separator-carrying token still encodes (as its byte)
+    assert(got("") === Seq("1f"))
+
+    // store round-trip serves byte-identically through encodeWith
+    val model = TrainingOps.ByteBpeModel(m)
+    TrainingOps.writeTokenizer(spark, "tokst_bb", model)
+    val back = TrainingOps.readTokenizer(spark, "tokst_bb")
+    assert(back === model)
+    val viaBack = probes.toDF("text")
+      .select(col("text"),
+        TrainingOps.encodeWith(col("text"), back).as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(viaBack === got)
+  }
+
   test("renderChatTemplate: in-aggregate ordering, null turns render empty") {
     import spark.implicits._
     val turns = Seq(
@@ -913,5 +961,23 @@ class TrainingOpsSpec extends SparkSuite {
     assert(r(2L) === ((1L, "<||><|end|>")))
     // arrival order is irrelevant: sort happens inside the aggregate
     assert(render(turns.repartition(7)) === r)
+
+    // planted hot conversation: maxTurns fails fast NAMING it (keys-
+    // only count, before any turn list buffers)
+    val hot = (1 to 50).map(i => (9L, i.toLong, i.toLong, "user", s"m$i"))
+      .toDF("conv", "ts", "eid", "role", "content")
+      .union(turns)
+    val e = intercept[IllegalArgumentException] {
+      TrainingOps.renderChatTemplate(hot, "conv", "ts", "eid",
+        "role", "content", maxTurns = Some(10L))
+    }
+    assert(e.getMessage.contains("(9)") && e.getMessage.contains("50"),
+      e.getMessage)
+    // under the cap: identical output to the unguarded call
+    val capped = TrainingOps.renderChatTemplate(turns, "conv", "ts",
+        "eid", "role", "content", maxTurns = Some(10L))
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getString(2)))).toMap
+    assert(capped === r)
   }
 }

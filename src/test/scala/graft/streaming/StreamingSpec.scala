@@ -947,4 +947,80 @@ class StreamingSpec extends SparkSuite {
     assert(!folded)
     assert(norm(Streaming.readScd2Table(spark, table)) === before)
   }
+
+  test("applyScd2Batch: rewrites ONLY dirty key buckets; grace copy pruned one flip later; guards by name") {
+    import org.apache.hadoop.fs.Path
+    // explicit file: scheme — the meta/commit path must route through
+    // the Hadoop FS API, never java.nio (which cannot see hdfs:/s3:)
+    val table = "file:" +
+      Files.createTempDirectory("graft-scd2b").toString + "/tbl"
+    val nb = 8
+    def df(rows: Seq[(Long, Long, String, Long)]) =
+      rows.toDF("k", "ts", "v", "tie")
+    def bucketOf(k: Long): Int =
+      Seq(k).toDF("k").select(
+        pmod(xxhash64(col("k")), lit(nb.toLong)).cast("int"))
+        .head().getInt(0)
+    def apply(rows: Seq[(Long, Long, String, Long)], id: Long) =
+      Streaming.applyScd2Batch(df(rows), id, "k", "ts", Seq("v"),
+        "tie", table, nBuckets = nb)
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def bucketsIn(ver: Long): Set[Int] =
+      fs.globStatus(new Path(root, s"v$ver/_bucket=*"))
+        .map(_.getPath.getName.drop("_bucket=".length).toInt).toSet
+
+    val log1 = Seq((1L, 10L, "a", 1L), (2L, 10L, "x", 1L))
+    val log2 = Seq((3L, 5L, "m", 1L))
+    val log3 = Seq((1L, 20L, "b", 1L))
+    assert(apply(log1, 0L) && apply(log2, 1L) && apply(log3, 2L))
+    // each version directory holds EXACTLY its batch's dirty buckets
+    assert(bucketsIn(1L) === Set(bucketOf(1L), bucketOf(2L)))
+    assert(bucketsIn(2L) === Set(bucketOf(3L)))
+    assert(bucketsIn(3L) === Set(bucketOf(1L)))
+    // the superseded v1 copy of key 1's bucket survives ONE flip as
+    // the in-flight-reader grace...
+    assert(fs.exists(new Path(root, s"v1/_bucket=${bucketOf(1L)}")))
+    // ...and is pruned when that bucket is rewritten again
+    assert(apply(Seq((1L, 30L, "c", 1L)), 3L))
+    assert(!fs.exists(new Path(root, s"v1/_bucket=${bucketOf(1L)}")))
+    assert(fs.exists(new Path(root, s"v3/_bucket=${bucketOf(1L)}")))
+
+    // read = batch history over the full log, bit for bit
+    def norm(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("k", "valid_from").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+        .toSeq
+    val full = log1 ++ log2 ++ log3 ++ Seq((1L, 30L, "c", 1L))
+    assert(norm(Streaming.readScd2Table(spark, table)) ===
+      norm(graft.ops.etl.scd2History(df(full), "k", "ts", Seq("v"),
+        "tie")))
+
+    // an EMPTY batch records its id (replay protection) but bumps
+    // nothing else
+    assert(apply(Seq.empty, 4L))
+    assert(!apply(log1, 4L)) // now a replay
+    assert(norm(Streaming.readScd2Table(spark, table)).nonEmpty)
+
+    // nBuckets is pinned in the meta: a mismatched caller fails by name
+    val eN = intercept[IllegalArgumentException] {
+      Streaming.applyScd2Batch(df(log1), 99L, "k", "ts", Seq("v"),
+        "tie", table, nBuckets = 16)
+    }
+    assert(eN.getMessage.contains("nbuckets=8"), eN.getMessage)
+
+    // a pre-bucketed (r10-layout) meta is refused by name
+    val legacy = "file:" +
+      Files.createTempDirectory("graft-scd2l").toString + "/tbl"
+    val lroot = new Path(legacy)
+    fs.mkdirs(lroot)
+    val out = fs.create(new Path(lroot, "_meta.json"), true)
+    out.write("""{"version":1,"batch_id":0}""".getBytes("UTF-8"))
+    out.close()
+    val eL = intercept[RuntimeException] {
+      Streaming.readScd2Table(spark, legacy)
+    }
+    assert(eL.getMessage.contains("pre-bucketed"), eL.getMessage)
+  }
 }
