@@ -739,7 +739,16 @@ object Similarity {
     * table convention) riding inside the expression: no join, no
     * broadcast variable, no shuffle touches the corpus. */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
-      codebook: DataFrame, dim: Int, nsub: Int, ncent: Int): DataFrame = {
+      codebook: DataFrame, dim: Int, nsub: Int, ncent: Int): DataFrame =
+    corpus.select(col(idCol).as("id"),
+      pqCodesColumn(codebook, dim, nsub, ncent)(col(vecCol)).as("codes"))
+
+  /** The native PQ-encode kernel as a reusable Column (the codebook
+    * collected once — parameter-bounded — and riding inside the
+    * expression), so composed operators ([[topKIvfAdc]]) can encode
+    * in the SAME pass that computes other per-row columns. */
+  private def pqCodesColumn(codebook: DataFrame, dim: Int, nsub: Int,
+      ncent: Int)(vec: Column): Column = {
     val dsub = dim / nsub
     val rows = codebook.select(col("slot"), col("code"), col("cvec"))
       .collect() // parameter-bounded: nsub*ncent rows
@@ -759,10 +768,8 @@ object Similarity {
         j += 1
       }
     }
-    corpus.select(col(idCol).as("id"),
-      bridge.column(graft.expressions.PqEncodeExpr(
-        bridge.expression(asDouble(col(vecCol))),
-        flat, nsub, ncent, dsub)).as("codes"))
+    bridge.column(graft.expressions.PqEncodeExpr(
+      bridge.expression(asDouble(vec)), flat, nsub, ncent, dsub))
   }
 
   /** Diagnostic arm: the pre-native relational formulation of
@@ -970,6 +977,107 @@ object Similarity {
       .withColumn("rank", row_number().over(wK))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** IVF-ADC composed search (the FAISS IVFADC shape): coarse-
+    * quantize the corpus into `nlist` cells, PQ-compress it, and
+    * answer each query by scanning ONLY its `nprobe` nearest cells'
+    * CODES with the per-query ADC lookup table — BOTH prunings of
+    * the 100 TB search problem in one plan: per-query candidate rows
+    * drop O(corpus) → O(corpus·nprobe/nlist), and per-candidate
+    * arithmetic drops dim multiplies → nsub native LUT lookups
+    * (`graft_pq_adc`).
+    *
+    * Both quantizers here are the hash-rank-SAMPLED tiers (coarse
+    * cells = the nlist corpus rows with the smallest
+    * sha256("ivf:salt:id"), PQ codebook = [[pqCodebook]]), so every
+    * cell assignment, code, LUT entry, and rank is replayable in the
+    * DuckDB oracle — the q186/q187 discipline. Production recall
+    * swaps in the Lloyd arms ([[LloydKernel]] coarse training as in
+    * [[topKIvf]], [[pqCodebookLloyd]]) with the identical pipeline
+    * shape. Cell distances are exact sequential-sum squared-L2 (the
+    * `list_sum(list_transform(...))` parity form q186 pinned); ADC
+    * sums are integer micro-units; ties to the lower cell /
+    * neighbor id. Approximation contract: candidates OUTSIDE the
+    * probed cells are unseen by construction (that is the pruning),
+    * and ranking inside them is ADC distance, not exact distance —
+    * re-rank a shortlist exactly where recall matters (the
+    * [[twoStageRetrieve]] pattern). Output: (query_id, rank,
+    * neighbor_id, adc_micro). */
+  def topKIvfAdc(queries: DataFrame, corpus: DataFrame, qId: String,
+      cId: String, vecCol: String, dim: Int, nsub: Int, ncent: Int,
+      nlist: Int, nprobe: Int, k: Int = 5, salt: String = ""): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dim % nsub == 0, s"dim $dim not divisible by nsub $nsub")
+    require(nlist >= 1 && nprobe >= 1 && nprobe <= nlist,
+      s"need 1 <= nprobe <= nlist, got nprobe=$nprobe nlist=$nlist")
+    require(k >= 1, "k must be positive")
+    val dsub = dim / nsub
+    // coarse centroids: bounded collect of the nlist hash-rank rows;
+    // cell id = rank order (ties to the lower id, the pqCodebook rule)
+    val cents = corpus.select(asDouble(col(vecCol)).as("_v"),
+        expr(s"cast(conv(substr(sha2(concat('ivf:$salt:', " +
+          s"cast(`$cId` as string)), 256), 1, 15), 16, 10) as bigint)")
+          .as("_rk"),
+        col(cId).cast(StringType).as("_id"))
+      .orderBy(col("_rk"), col("_id")).limit(nlist)
+      .collect().map(_.getSeq[Double](0))
+    require(cents.nonEmpty, "topKIvfAdc: empty corpus")
+    cents.foreach(c => require(c.length == dim,
+      s"topKIvfAdc: vector of ${c.length} dims, expected $dim"))
+    // exact squared-L2 to every centroid as (d, cell) structs —
+    // array_min is argmin with the cell tiebreak. The sum nests as
+    // nsub sequential slot-sums of dsub sequential terms: the SAME
+    // value as one flat sum mathematically, but the GROUPING the
+    // oracle parity is proven for (q186 pinned list_sum ≡ Spark's
+    // sequential aggregate on dsub-length lists; a flat dim-length
+    // list_sum's summation order is not pinned anywhere).
+    def cellStructs(v: Column): Column =
+      array(cents.zipWithIndex.map { case (c, i) =>
+        val cl = typedlit(c)
+        def sq(j: Column): Column =
+          (element_at(v, j.cast(IntegerType)) -
+            element_at(cl, j.cast(IntegerType))) *
+            (element_at(v, j.cast(IntegerType)) -
+              element_at(cl, j.cast(IntegerType)))
+        struct(
+          aggregate(sequence(lit(0), lit(nsub - 1)), lit(0.0),
+            (acc, s) => acc +
+              aggregate(sequence(lit(1), lit(dsub)), lit(0.0),
+                (a2, j) => a2 + sq(s * dsub + j))).as("d"),
+          lit(i).as("cell"))
+      }: _*)
+    val codebook = pqCodebook(corpus, cId, vecCol, dim, nsub, ncent,
+      salt)
+    // ONE corpus pass: cell assignment + native PQ codes
+    val coded = corpus
+      .select(col(cId).as("neighbor_id"),
+        asDouble(col(vecCol)).as("_cv"),
+        pqCodesColumn(codebook, dim, nsub, ncent)(col(vecCol))
+          .as("codes"))
+      .select(col("neighbor_id"), col("codes"),
+        array_min(cellStructs(col("_cv"))).getField("cell").as("cell"))
+    // queries: nprobe nearest cells + the integer ADC LUT, broadcast
+    val probed = queries
+      .select(col(qId).as("query_id"), asDouble(col(vecCol)).as("_qv"))
+      .crossJoin(broadcast(codebookArray(codebook)))
+      .select(col("query_id"),
+        transform(col("_cb"), e =>
+          floor(sqDist(e, col("_qv"), e.getField("slot") * dsub, dsub) *
+            lit(1e6)).cast(LongType)).as("_lut"),
+        explode(transform(
+          slice(array_sort(cellStructs(col("_qv"))), 1, nprobe),
+          s => s.getField("cell"))).as("cell"))
+    val wK = Window.partitionBy("query_id")
+      .orderBy(col("adc_micro"), col("neighbor_id"))
+    coded.join(broadcast(probed), Seq("cell"))
+      .select(col("query_id"), col("neighbor_id"),
+        bridge.column(graft.expressions.PqAdcExpr(
+          bridge.expression(col("codes")),
+          bridge.expression(col("_lut")), ncent)).as("adc_micro"))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "adc_micro")
   }
 
   /** Probe a persisted ANN index: signature the queries under the

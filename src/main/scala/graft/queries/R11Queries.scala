@@ -573,6 +573,22 @@ object R11Queries {
           size(col("toks")).as("n_bpe_tokens"),
           concat_ws(" ", col("toks")).as("bpe_text"))
         .orderBy("doc_id")
+    }),
+
+    // [EXT] IVF-ADC composed ANN search (FAISS IVFADC): coarse cells
+    // prune the candidate rows (nprobe/nlist of the corpus per
+    // query), PQ codes prune the per-candidate arithmetic (nsub LUT
+    // lookups, native). Both quantizers are the hash-rank-sampled
+    // oracle tiers, so DuckDB replays every cell assignment, code,
+    // LUT entry and rank; the Lloyd arms swap in for production
+    // recall with the same plan shape.
+    "q214_ivf_adc_topk" -> ((s, d) => {
+      val emb = T.embeddings(s, d)
+      graft.llm.Similarity.topKIvfAdc(
+          emb.filter(col("vec_id") < 8), emb, "vec_id", "vec_id",
+          "embedding", dim = 64, nsub = 8, ncent = 16, nlist = 8,
+          nprobe = 3, k = 5, salt = "214")
+        .orderBy("query_id", "rank")
     }))
 
   /** Shared PQ oracle prelude: hash-rank sample → per-slot codebook →
@@ -1145,7 +1161,84 @@ object R11Queries {
     ("q210_outlier_gate" -> outlierOracle) +
     ("q211_hist_quantiles" -> histQuantOracle) +
     ("q212_byte_bpe_train" -> byteBpeTrainOracle) +
-    ("q213_byte_bpe_encode" -> byteBpeEncodeOracle)
+    ("q213_byte_bpe_encode" -> byteBpeEncodeOracle) +
+    ("q214_ivf_adc_topk" -> ivfAdcOracle)
+
+  // IVF-ADC oracle: coarse cells (sha-rank sample, nested 8×8
+  // sequential squared-L2 — the q186-pinned summation grouping),
+  // PQ codebook/codes/LUT (the q186/q187 CTE shapes at salt 214),
+  // candidate = probed-cell join, ADC = per-slot LUT sum, rank ≤ k.
+  private lazy val ivfAdcOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+      |    AS v
+      |  FROM embeddings),
+      |rc AS (SELECT vec_id, v,
+      |         ('0x' || substr(sha256('ivf:214:' ||
+      |           CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS rk
+      |       FROM e),
+      |cells AS (SELECT v AS cv, row_number() OVER (ORDER BY rk, vec_id)
+      |            - 1 AS cell
+      |          FROM rc ORDER BY rk, vec_id LIMIT 8),
+      |cd AS (
+      |  SELECT e.vec_id, c.cell,
+      |    list_sum(list_transform(generate_series(0, 7), s ->
+      |      list_sum(list_transform(generate_series(1, 8), j ->
+      |        (e.v[s * 8 + j] - c.cv[s * 8 + j])
+      |          * (e.v[s * 8 + j] - c.cv[s * 8 + j]))))) AS dd
+      |  FROM e, cells c),
+      |asn AS (SELECT vec_id, cell FROM (
+      |          SELECT vec_id, cell, row_number() OVER
+      |            (PARTITION BY vec_id ORDER BY dd, cell) AS rn
+      |          FROM cd)
+      |        WHERE rn = 1),
+      |r AS (SELECT vec_id, v,
+      |        ('0x' || substr(sha256('pq:214:' ||
+      |          CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS rk
+      |      FROM e),
+      |samp AS (SELECT v, row_number() OVER (ORDER BY rk, vec_id) - 1
+      |           AS code
+      |         FROM r ORDER BY rk, vec_id LIMIT 16),
+      |cb AS (SELECT ss.s AS slot, code,
+      |         list_transform(generate_series(1, 8),
+      |           j -> v[ss.s * 8 + j]) AS cvec
+      |       FROM samp, (SELECT unnest(generate_series(0, 7)) AS s) ss),
+      |dist AS (
+      |  SELECT e.vec_id, cb.slot, cb.code,
+      |    list_sum(list_transform(generate_series(1, 8),
+      |      j -> (e.v[cb.slot * 8 + j] - cb.cvec[j])
+      |         * (e.v[cb.slot * 8 + j] - cb.cvec[j]))) AS dd
+      |  FROM e, cb),
+      |codes AS (
+      |  SELECT vec_id, slot, code FROM (
+      |    SELECT vec_id, slot, code, row_number() OVER
+      |      (PARTITION BY vec_id, slot ORDER BY dd, code) AS rn
+      |    FROM dist)
+      |  WHERE rn = 1),
+      |probe AS (SELECT vec_id AS query_id, cell FROM (
+      |            SELECT vec_id, cell, row_number() OVER
+      |              (PARTITION BY vec_id ORDER BY dd, cell) AS rn
+      |            FROM cd WHERE vec_id < 8)
+      |          WHERE rn <= 3),
+      |lut AS (SELECT vec_id AS query_id, slot, code,
+      |          CAST(floor(dd * 1000000.0) AS BIGINT) AS d_micro
+      |        FROM dist WHERE vec_id < 8),
+      |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+      |         FROM probe p JOIN asn a ON a.cell = p.cell),
+      |adc AS (SELECT c.query_id, c.neighbor_id,
+      |          sum(l.d_micro) AS adc_micro
+      |        FROM cand c
+      |        JOIN codes co ON co.vec_id = c.neighbor_id
+      |        JOIN lut l ON l.query_id = c.query_id
+      |          AND l.slot = co.slot AND l.code = co.code
+      |        GROUP BY 1, 2),
+      |rk2 AS (SELECT query_id, neighbor_id, adc_micro,
+      |          row_number() OVER (PARTITION BY query_id
+      |            ORDER BY adc_micro, neighbor_id) AS rank
+      |        FROM adc)
+      |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+      |  CAST(adc_micro AS BIGINT) AS adc_micro
+      |FROM rk2 WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   // Byte-level BPE oracles: the q121/q122 CTE round chains verbatim
   // (reused from R8Queries), with the SEEDING swapped to UTF-8 bytes —

@@ -333,6 +333,52 @@ class SimilaritySpec extends SparkSuite {
         .take(5).toSeq.toString)
   }
 
+  test("topKIvfAdc: full-probe ≡ pqAdcTopK exactly; pruned probe stays inside probed cells") {
+    import spark.implicits._
+    val dim = 8; val nsub = 2; val ncent = 4
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(dim)(j => math.sin(i * dim + j).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding").repartition(4)
+    val q = df.filter(col("vec_id") < 3)
+
+    // nprobe = nlist probes EVERY cell: the candidate set is the full
+    // corpus, so the ranking must equal the flat ADC scan bit for bit
+    val full = Similarity.topKIvfAdc(q, df, "vec_id", "vec_id",
+        "embedding", dim, nsub, ncent, nlist = 4, nprobe = 4, k = 5,
+        salt = "t")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val flat = Similarity.pqAdcTopK(q, df, "vec_id", "vec_id",
+        "embedding",
+        Similarity.pqCodebook(df, "vec_id", "embedding", dim, nsub,
+          ncent, salt = "t"),
+        dim, nsub, ncent, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(full === flat)
+
+    // pruned probe: every returned neighbor's cell is one the query
+    // probed (the approximation contract — candidates outside probed
+    // cells are unseen by construction)
+    val pruned = Similarity.topKIvfAdc(q, df, "vec_id", "vec_id",
+        "embedding", dim, nsub, ncent, nlist = 4, nprobe = 2, k = 5,
+        salt = "t")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // each query still gets rows, and rank 1 is the query itself:
+    // the query's own cell is by definition its nearest probed cell,
+    // and its own codes achieve the per-slot LUT minima (fixed
+    // deterministic data, so the id tiebreak is stable)
+    assert(pruned.map(_._1).distinct.sorted === Seq(0L, 1L, 2L))
+    Seq(0L, 1L, 2L).foreach { qi =>
+      assert(pruned.contains((qi, 1, qi)), s"query $qi self rank-1")
+    }
+    // pruning returns at most k rows per query, ranked densely
+    pruned.groupBy(_._1).foreach { case (qi, rows) =>
+      assert(rows.map(_._2).sorted === (1 to rows.length).toSeq, s"q$qi")
+    }
+  }
+
   test("pqCodebookLloyd: named fail-fast when a slot cannot seed ncent distinct centroids") {
     import spark.implicits._
     // every vector identical → 1 distinct subvector per slot
