@@ -1031,22 +1031,34 @@ object Similarity {
     // value as one flat sum mathematically, but the GROUPING the
     // oracle parity is proven for (q186 pinned list_sum ≡ Spark's
     // sequential aggregate on dsub-length lists; a flat dim-length
-    // list_sum's summation order is not pinned anywhere).
-    def cellStructs(v: Column): Column =
-      array(cents.zipWithIndex.map { case (c, i) =>
-        val cl = typedlit(c)
-        def sq(j: Column): Column =
-          (element_at(v, j.cast(IntegerType)) -
-            element_at(cl, j.cast(IntegerType))) *
-            (element_at(v, j.cast(IntegerType)) -
-              element_at(cl, j.cast(IntegerType)))
-        struct(
-          aggregate(sequence(lit(0), lit(nsub - 1)), lit(0.0),
-            (acc, s) => acc +
-              aggregate(sequence(lit(1), lit(dsub)), lit(0.0),
-                (a2, j) => a2 + sq(s * dsub + j))).as("d"),
-          lit(i).as("cell"))
-      }: _*)
+    // list_sum's summation order is not pinned anywhere). Shape:
+    // ONE transform over a single centroid-matrix literal with a
+    // single-pass struct-accumulator fold (running slot partial,
+    // flushed at each slot boundary — bit-identical rounding to the
+    // nested aggregates it replaces); the first formulation copied
+    // the whole nested-HOF tree once PER CELL and re-evaluated the
+    // squared-diff array once per slot, which made q214 the bench's
+    // slowest query on plan size alone.
+    def cellStructs(v: Column): Column = {
+      val centLit = typedlit(cents.map(_.toSeq))
+      transform(sequence(lit(0), lit(nlist - 1)), ci => {
+        val sq = zip_with(v, element_at(centLit, ci + 1),
+          (a, b) => (a - b) * (a - b))
+        val fold = aggregate(sq,
+          struct(lit(0.0).as("d"), lit(0.0).as("p"), lit(0).as("i")),
+          (st, x) => {
+            val p2 = st.getField("p") + x
+            val i2 = st.getField("i") + lit(1)
+            struct(
+              when(i2 % dsub === 0, st.getField("d") + p2)
+                .otherwise(st.getField("d")).as("d"),
+              when(i2 % dsub === 0, lit(0.0)).otherwise(p2).as("p"),
+              i2.as("i"))
+          },
+          st => st.getField("d"))
+        struct(fold.as("d"), ci.cast(IntegerType).as("cell"))
+      })
+    }
     val codebook = pqCodebook(corpus, cId, vecCol, dim, nsub, ncent,
       salt)
     // ONE corpus pass: cell assignment + native PQ codes
