@@ -24,6 +24,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * a query that only breaks at the timed SF still surfaces). A bench whose
   * total went DOWN because queries crashed is indistinguishable from a
   * speedup unless errors are first-class in the artifact.
+  *
+  * Stall hardening (r12): this host has documented multi-minute IO-stall
+  * bands, and the two timed passes of one query run far enough apart
+  * (~minutes of other queries between them) that a stall can span BOTH —
+  * min-of-2 then ships the stall as a measurement (r11 shipped
+  * q109_pagerank at 40.27 s on code whose same-day re-runs took 0.25-1.3 s,
+  * +17% on the headline total). Two fixes: (1) per-pass times are
+  * first-class in the artifact (`passes`), so a stall is VISIBLE instead of
+  * silently folded into a min; (2) any query whose min-of-2 exceeds the
+  * [[BenchRetry.shouldRetry]] threshold against its prior committed
+  * per-query figure (latest BENCH_r{N}.json in cwd, or
+  * SPARK_GRAFT_PRIOR_BENCH) gets ONE targeted third pass, immediately —
+  * back-to-back with nothing between it and the suspect measurement, so it
+  * samples a different host window than the two that straddled the stall.
+  * Retried query names ship in the artifact (`retried`).
   */
 object Bench {
   private def force(df: DataFrame): Unit =
@@ -99,17 +114,40 @@ object Bench {
     // single-run numbers at this scale carry ±15% JIT/GC/OS noise — the
     // min of two runs is the steady-state figure the plan actually earns
     val shuffleBytes = scala.collection.mutable.Map[String, Long]()
-    def timedPass(): Map[String, Double] = names.map { case (name, fn) =>
+    def timedOne(name: String, fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
       try shuffleBytes(name) = forceAndMeasureShuffle(fn(spark, sfDir))
       catch { case t: Throwable => recordError(name, t) }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+      (System.nanoTime() - t0) / 1e9
+    }
+    def timedPass(): Map[String, Double] =
+      names.map { case (name, fn) => name -> timedOne(name, fn) }.toMap
     val p1 = timedPass()
     val p2 = timedPass()
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+    // targeted third pass: a min-of-2 far above the prior committed
+    // figure is more likely a host stall spanning both passes than a
+    // 3×+ regression of untouched code — re-measure it NOW,
+    // back-to-back, and let the min (and the visible per-pass list)
+    // decide. A real regression survives the third pass.
+    val prior = BenchRetry.loadPrior()
+    val passes = scala.collection.mutable.Map[String, List[Double]]()
+    names.foreach { case (name, _) =>
+      passes(name) = List(p1(name), p2(name))
+    }
+    val retried = names.filter { case (name, fn) =>
+      val retry = !errors.contains(name) &&
+        BenchRetry.shouldRetry(passes(name).min, prior.get(name))
+      if (retry) passes(name) = passes(name) :+ timedOne(name, fn)
+      retry
+    }.map(_._1)
+    val results = passes.map { case (k, vs) => k -> vs.min }.toMap
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val passJson = passes.toSeq.sortBy(_._1).map { case (k, vs) =>
+      s"\"" + k + "\":" + vs.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val retriedJson = retried.sorted.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
     val sh = results.keys.toSeq.sorted.map { k =>
       s"\"" + k + "\":" + (shuffleBytes.getOrElse(k, 0L) / 1048576.0)
     }.mkString("{", ",", "}")
@@ -119,7 +157,7 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val fullPath = "/tmp/graft_bench.json"
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passJson,"retried":$retriedJson,"shuffle_mb":$sh,"errors":$errJson,"sf":"$sfDir"}"""
     Seq(fullPath, "BENCH_FULL.json").foreach { p =>
       try Files.write(Paths.get(p), (json + "\n").getBytes(StandardCharsets.UTF_8))
       catch { case _: Throwable => () }
@@ -133,5 +171,63 @@ object Bench {
     // final line must parse from a 2000-char tail: print the full JSON
     // only when it fits, else the compact form (full file always written).
     if (json.length <= 1800) println(json) else println(compact)
+  }
+}
+
+/** The bench's stall-retry rule and prior-figure loader, factored out
+  * of the main so the rule is unit-testable with a planted stall
+  * (BenchRetrySpec) — the r11 artifact shipped a 25× host-stall
+  * figure precisely because no code path could question a min-of-2.
+  */
+object BenchRetry {
+
+  /** A third targeted pass is warranted when the min-of-2 exceeds 3×
+    * the prior committed figure AND the excess is over 1 second —
+    * the absolute floor keeps sub-second queries from re-running on
+    * ordinary jitter (0.02 s → 0.07 s is 3.5× and meaningless), while
+    * any genuine stall is seconds by definition. No prior figure
+    * (new query, first round, missing artifact) → never retry: there
+    * is nothing to contradict. */
+  def shouldRetry(minSec: Double, prior: Option[Double]): Boolean =
+    prior.exists(p => minSec > 3.0 * p && minSec - p > 1.0)
+
+  /** Extract the per-query seconds map from a committed bench
+    * artifact: the flat `"queries":{"name":sec,...}` object. No JSON
+    * library on purpose (names are \w+ and values plain doubles —
+    * both by construction of the writer above); returns empty on any
+    * malformed input rather than failing the bench. */
+  def parseQueries(json: String): Map[String, Double] = {
+    val start = json.indexOf("\"queries\":{")
+    if (start < 0) return Map.empty
+    val open = start + "\"queries\":".length
+    val close = json.indexOf('}', open)
+    if (close < 0) return Map.empty
+    val body = json.substring(open + 1, close).trim
+    if (body.isEmpty) return Map.empty
+    body.split(",").iterator.flatMap { kv =>
+      kv.split(":", 2) match {
+        case Array(k, v) =>
+          val name = k.trim.stripPrefix("\"").stripSuffix("\"")
+          v.trim.toDoubleOption.map(name -> _)
+        case _ => None
+      }
+    }.toMap
+  }
+
+  /** The prior committed per-query figures: SPARK_GRAFT_PRIOR_BENCH
+    * if set, else `BENCH_FULL.json` in `dir` — the bench's own full
+    * artifact, committed each round (the driver's `BENCH_r{N}.json`
+    * wraps only the compact stdout line, which has no per-query map).
+    * Read BEFORE this run writes its own artifact, so the figures on
+    * disk are the PRIOR round's. Missing/unreadable → empty map (no
+    * retries), never an error. */
+  def loadPrior(dir: java.nio.file.Path = java.nio.file.Paths.get(".")): Map[String, Double] = {
+    val p = sys.env.get("SPARK_GRAFT_PRIOR_BENCH")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse(dir.resolve("BENCH_FULL.json"))
+    try parseQueries(new String(
+      java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => Map.empty }
   }
 }

@@ -125,10 +125,30 @@ object PqRecallProbe {
       dim, nsub, ncent)
     val (rS, mS) = evalCodebook(cbSampled)
     val (rL, mL) = evalCodebook(cbLloyd)
+
+    // end-to-end IVFADC (coarse pruning AND codebook in one
+    // composition, q214's shape): shortlist recall of the sampled
+    // oracle tier vs the production (Lloyd both arms) tier at the
+    // same nlist/nprobe — the number that says what turning on
+    // `production = true` buys a real search
+    val nlist = 64; val nprobe = 8
+    def evalIvfAdc(production: Boolean): Double = {
+      val got = Similarity.topKIvfAdc(queries, vecs, "id", "id",
+          "embedding", dim, nsub, ncent, nlist, nprobe, k = kAdc,
+          salt = "probe", production = production)
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+      truth.join(got, Seq("query_id", "neighbor_id"), "left_semi")
+        .count().toDouble / truthN
+    }
+    val ivfS = evalIvfAdc(production = false)
+    val ivfL = evalIvfAdc(production = true)
     println(s"""{"metric":"pq_recall","n":$n,"dim":$dim,"nsub":$nsub,""" +
       s""""ncent":$ncent,"clusters":$nClusters,""" +
       s""""recall100_of_top10_sampled":$rS,"recall100_of_top10_lloyd":$rL,""" +
-      s""""mse_sampled":$mS,"mse_lloyd":$mL}""")
+      s""""mse_sampled":$mS,"mse_lloyd":$mL,""" +
+      s""""nlist":$nlist,"nprobe":$nprobe,""" +
+      s""""ivfadc_recall_sampled":$ivfS,"ivfadc_recall_lloyd":$ivfL}""")
     spark.stop()
   }
 }

@@ -154,3 +154,111 @@ case class PqAdcTopKAgg(
       newLeft: Expression, newRight: Expression): PqAdcTopKAgg =
     copy(left = newLeft, right = newRight)
 }
+
+/** The per-GROUP arm of the same k-bounded heap: top-k (value, id)
+  * pairs per grouping key via `groupBy(...).agg`, for stages where
+  * candidates arrive already scored per group — the IVF-ADC cell
+  * join emits (query_id, neighbor_id, adc_micro) rows, and a rank
+  * window over them would shuffle-sort EVERY candidate of a group
+  * into one task just to keep k. Here the state is one k-bounded
+  * (value, id) TreeSet per group and partials merge associatively,
+  * so map-side combine bounds the shuffle at k pairs per
+  * (partition, group) and nothing ever sorts more than k rows.
+  *
+  * Determinism: identical contract to [[PqAdcTopKAgg]] — a candidate
+  * replaces the current worst iff (value, id) < worst
+  * lexicographically, exactly `ORDER BY value ASC, id ASC` +
+  * `row_number() <= k`. NULL value or id rows are skipped (a
+  * candidate without a score must never outrank one with a score —
+  * the same rule the flat ADC scan pinned).
+  *
+  * Output: array<struct<rank int, id long, value long>> — explode
+  * and rename at the call site. */
+case class GroupTopKAgg(
+    left: Expression,  // value (long), ascending
+    right: Expression, // id (long), ascending tiebreak
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.TreeSet[(Long, Long)]]
+  with BinaryLike[Expression] {
+
+  require(k >= 1 && k <= 65536, s"k must be in [1, 65536], got $k")
+
+  override def prettyName: String = "graft_group_topk"
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("rank", IntegerType, nullable = false),
+    StructField("id", LongType, nullable = false),
+    StructField("value", LongType, nullable = false))),
+    containsNull = false)
+
+  override def createAggregationBuffer(): mutable.TreeSet[(Long, Long)] =
+    mutable.TreeSet.empty[(Long, Long)]
+
+  private def insert(heap: mutable.TreeSet[(Long, Long)],
+      value: Long, id: Long): Unit = {
+    if (heap.size < k) heap += ((value, id))
+    else {
+      val worst = heap.last
+      if (value < worst._1 || (value == worst._1 && id < worst._2)) {
+        heap -= worst
+        heap += ((value, id))
+      }
+    }
+  }
+
+  override def update(buf: mutable.TreeSet[(Long, Long)],
+      input: InternalRow): mutable.TreeSet[(Long, Long)] = {
+    val v = left.eval(input)
+    val idv = right.eval(input)
+    if (v != null && idv != null) {
+      insert(buf, v.asInstanceOf[Long], idv.asInstanceOf[Long])
+    }
+    buf
+  }
+
+  override def merge(buf: mutable.TreeSet[(Long, Long)],
+      other: mutable.TreeSet[(Long, Long)]): mutable.TreeSet[(Long, Long)] = {
+    other.foreach { case (value, id) => insert(buf, value, id) }
+    buf
+  }
+
+  override def eval(buf: mutable.TreeSet[(Long, Long)]): Any = {
+    val rows = new Array[Any](buf.size)
+    var r = 0
+    buf.foreach { case (value, id) =>
+      rows(r) = new GenericInternalRow(Array[Any](r + 1, id, value))
+      r += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(buf: mutable.TreeSet[(Long, Long)]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (value, id) =>
+      out.writeLong(value); out.writeLong(id)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.TreeSet[(Long, Long)] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val heap = mutable.TreeSet.empty[(Long, Long)]
+    var i = 0
+    while (i < n) { heap += ((in.readLong(), in.readLong())); i += 1 }
+    heap
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): GroupTopKAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): GroupTopKAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GroupTopKAgg =
+    copy(left = newLeft, right = newRight)
+}

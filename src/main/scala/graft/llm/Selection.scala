@@ -534,32 +534,54 @@ object Selection {
     * parameter-bounded fits (IVF centroids, BPE merge table): per
     * round O(pairs), zero shuffles, zero lineage growth. */
   def bradleyTerry(comparisons: DataFrame, winnerCol: String,
-      loserCol: String, iters: Int = 3, maxItems: Int = 10000): DataFrame = {
+      loserCol: String, iters: Int = 3, maxItems: Int = 10000,
+      maxPairRows: Long = 2000000L): DataFrame = {
     require(iters >= 1, s"iters must be at least 1, got $iters")
     require(maxItems >= 2, s"maxItems must be at least 2, got $maxItems")
+    require(maxPairRows >= 1, "maxPairRows must be positive")
     val spark = comparisons.sparkSession
     import spark.implicits._
-    // distributed reduction: comparison stream -> bounded pair table
+    // distributed reduction: comparison stream -> bounded pair table.
+    // Cached: the guard pass and the collect below both consume it,
+    // and without the cache each would recompute the full upstream
+    // aggregation over the (unbounded) comparison stream.
     val raw = comparisons
       .filter(col(winnerCol).isNotNull && col(loserCol).isNotNull &&
         col(winnerCol) =!= col(loserCol))
       .groupBy(col(winnerCol).cast(StringType).as("i"),
         col(loserCol).cast(StringType).as("j"))
       .agg(count(lit(1)).as("w"))
-    // fail-fast BEFORE the collect: the maxItems guard must run
-    // in-plan — an unbounded item vocabulary means an unbounded pair
-    // table, and collecting it first would OOM the driver instead of
-    // raising the intended error. One distributed countDistinct over
-    // the pair keys (bounded output: a single row) decides.
-    val nItems = raw
-      .select(explode(array(col("i"), col("j"))).as("_it"))
-      .agg(countDistinct(col("_it"))).head().getLong(0)
-    require(nItems <= maxItems,
-      s"bradleyTerry: $nItems items exceeds maxItems=$maxItems — " +
-        "the item vocabulary must be bounded (models, domains, sources)")
-    // pair table now provably ≤ maxItems² rows — safe to collect
-    val pairs = raw.collect().map(r =>
-      (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      .persist()
+    // fail-fast BEFORE the collect: both guards must run in-plan —
+    // an unbounded item vocabulary means an unbounded pair table,
+    // and collecting it first would OOM the driver instead of
+    // raising the intended error. ONE distributed aggregate over
+    // the exploded pair keys (bounded output: a single row) yields
+    // both the distinct-item count and the pair-row count (each
+    // pair row contributes exactly 2 exploded rows). maxItems alone
+    // is not enough: ≤maxItems items still admit up to maxItems²
+    // DIRECTED pair rows (10⁸ at the default), so the collect is
+    // additionally bounded by maxPairRows — dense comparison
+    // matrices over large vocabularies must lower maxItems or
+    // raise maxPairRows deliberately, not OOM by default.
+    val pairs = try {
+      val stats = raw
+        .select(explode(array(col("i"), col("j"))).as("_it"))
+        .agg(countDistinct(col("_it")).as("_ni"),
+          count(lit(1)).as("_n2")).head()
+      val nItems = stats.getLong(0)
+      val nPairRows = stats.getLong(1) / 2
+      require(nItems <= maxItems,
+        s"bradleyTerry: $nItems items exceeds maxItems=$maxItems — " +
+          "the item vocabulary must be bounded (models, domains, sources)")
+      require(nPairRows <= maxPairRows,
+        s"bradleyTerry: $nPairRows aggregated pair rows exceed " +
+          s"maxPairRows=$maxPairRows — too dense to collect; lower " +
+          "maxItems or raise maxPairRows deliberately")
+      // pair table now provably ≤ maxPairRows rows — safe to collect
+      raw.collect().map(r =>
+        (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    } finally raw.unpersist()
     val items = pairs.keysIterator.flatMap(k => Iterator(k._1, k._2))
       .toSeq.distinct.sorted
     if (items.isEmpty)

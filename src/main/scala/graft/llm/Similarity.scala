@@ -685,6 +685,14 @@ object Similarity {
     require(ncent >= 1 && ncent <= 65536,
       s"ncent must be in [1, 65536], got $ncent")
     require(samplePerCent >= 1, "samplePerCent must be positive")
+    // the sample limit is ncent·samplePerCent as an Int: guard the
+    // product (ncent may be 65536 and samplePerCent is caller-chosen,
+    // so Int arithmetic can silently overflow into a negative limit
+    // and surface as an unrelated Spark error)
+    require(ncent.toLong * samplePerCent <= Int.MaxValue,
+      s"pqCodebookLloyd: ncent*samplePerCent = " +
+        s"${ncent.toLong * samplePerCent} overflows Int — lower " +
+        "samplePerCent or ncent")
     val dsub = dim / nsub
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -988,43 +996,90 @@ object Similarity {
     * arithmetic drops dim multiplies → nsub native LUT lookups
     * (`graft_pq_adc`).
     *
-    * Both quantizers here are the hash-rank-SAMPLED tiers (coarse
-    * cells = the nlist corpus rows with the smallest
+    * Quantizer tiers: with `production = false` (the default, the
+    * q214 oracle tier) BOTH quantizers are the hash-rank-SAMPLED
+    * forms (coarse cells = the nlist corpus rows with the smallest
     * sha256("ivf:salt:id"), PQ codebook = [[pqCodebook]]), so every
     * cell assignment, code, LUT entry, and rank is replayable in the
-    * DuckDB oracle — the q186/q187 discipline. Production recall
-    * swaps in the Lloyd arms ([[LloydKernel]] coarse training as in
-    * [[topKIvf]], [[pqCodebookLloyd]]) with the identical pipeline
-    * shape. Cell distances are exact sequential-sum squared-L2 (the
+    * DuckDB oracle — the q186/q187 discipline. `production = true`
+    * swaps BOTH arms to their Lloyd-trained forms — coarse cells
+    * from [[LloydKernel]] with deterministic farthest-point seeding
+    * over a bounded hash-spread sample (nlist·samplePerCell rows,
+    * the [[topKIvf]] discipline), codebook from [[pqCodebookLloyd]]
+    * — through the IDENTICAL pipeline shape: sampled centroids are
+    * arbitrary corpus rows, so cells are unbalanced and same-mode
+    * clusters merge (the defect PqRecallProbe quantified for
+    * codebooks: Lloyd recall@100 1.000 vs sampled 0.970); the
+    * production arm is rows-only-checkable (the q44 caveat) but is
+    * the recall real embedding search needs. Cell distances are
+    * exact sequential-sum squared-L2 (the
     * `list_sum(list_transform(...))` parity form q186 pinned); ADC
     * sums are integer micro-units; ties to the lower cell /
-    * neighbor id. Approximation contract: candidates OUTSIDE the
-    * probed cells are unseen by construction (that is the pruning),
-    * and ranking inside them is ADC distance, not exact distance —
-    * re-rank a shortlist exactly where recall matters (the
-    * [[twoStageRetrieve]] pattern). Output: (query_id, rank,
-    * neighbor_id, adc_micro). */
+    * neighbor id. The final per-query top-k is the bounded-state
+    * [[graft.expressions.GroupTopKAgg]] heap — k (adc, id) pairs of
+    * state per query through partial/merge, never a rank window
+    * over the candidate set (SURVEY Part 7.5: the window form
+    * shuffle-sorts every candidate a query probes just to keep k).
+    * Approximation contract: candidates OUTSIDE the probed cells
+    * are unseen by construction (that is the pruning), and ranking
+    * inside them is ADC distance, not exact distance — re-rank a
+    * shortlist exactly where recall matters (the
+    * [[twoStageRetrieve]] pattern). Neighbor ids must be numeric
+    * (castable to long — the [[pqAdcTopK]] contract). Output:
+    * (query_id, rank, neighbor_id, adc_micro). */
   def topKIvfAdc(queries: DataFrame, corpus: DataFrame, qId: String,
       cId: String, vecCol: String, dim: Int, nsub: Int, ncent: Int,
-      nlist: Int, nprobe: Int, k: Int = 5, salt: String = ""): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      nlist: Int, nprobe: Int, k: Int = 5, salt: String = "",
+      production: Boolean = false, seed: Long = 42L, maxIter: Int = 8,
+      samplePerCell: Int = 50, samplePerCent: Int = 50): DataFrame = {
     require(dim % nsub == 0, s"dim $dim not divisible by nsub $nsub")
     require(nlist >= 1 && nprobe >= 1 && nprobe <= nlist,
       s"need 1 <= nprobe <= nlist, got nprobe=$nprobe nlist=$nlist")
     require(k >= 1, "k must be positive")
     val dsub = dim / nsub
-    // coarse centroids: bounded collect of the nlist hash-rank rows;
-    // cell id = rank order (ties to the lower id, the pqCodebook rule)
-    val cents = corpus.select(asDouble(col(vecCol)).as("_v"),
-        expr(s"cast(conv(substr(sha2(concat('ivf:$salt:', " +
-          s"cast(`$cId` as string)), 256), 1, 15), 16, 10) as bigint)")
-          .as("_rk"),
-        col(cId).cast(StringType).as("_id"))
-      .orderBy(col("_rk"), col("_id")).limit(nlist)
-      .collect().map(_.getSeq[Double](0))
-    require(cents.nonEmpty, "topKIvfAdc: empty corpus")
-    cents.foreach(c => require(c.length == dim,
-      s"topKIvfAdc: vector of ${c.length} dims, expected $dim"))
+    // coarse centroids: either tier is a parameter-bounded collect;
+    // cell id = rank order (ties to the lower id, the pqCodebook
+    // rule) in the sampled tier, Lloyd output order in production.
+    val cents: Array[Seq[Double]] = if (production) {
+      require(samplePerCell >= 1 &&
+        nlist.toLong * samplePerCell <= Int.MaxValue,
+        s"topKIvfAdc: nlist*samplePerCell = " +
+          s"${nlist.toLong * samplePerCell} not in [1, Int.MaxValue]")
+      val pts = corpus
+        .select(asDouble(col(vecCol)).as("_v"),
+          xxhash64(col(cId), lit(seed)).as("_h"),
+          col(cId).cast(StringType).as("_id"))
+        .orderBy(col("_h"), col("_id")).limit(nlist * samplePerCell)
+        .collect().map(_.getSeq[Double](0).toArray)
+      require(pts.nonEmpty, "topKIvfAdc: empty corpus")
+      pts.foreach(c => require(c.length == dim,
+        s"topKIvfAdc: vector of ${c.length} dims, expected $dim"))
+      val cs = LloydKernel.fit(pts, nlist, maxIter,
+        farthestSeeding = true)
+      require(cs.length == nlist,
+        s"topKIvfAdc: sample seeds only ${cs.length} distinct coarse " +
+          s"centroids for nlist=$nlist — lower nlist or raise " +
+          "samplePerCell")
+      cs.map(_.toSeq)
+    } else {
+      val cs = corpus.select(asDouble(col(vecCol)).as("_v"),
+          expr(s"cast(conv(substr(sha2(concat('ivf:$salt:', " +
+            s"cast(`$cId` as string)), 256), 1, 15), 16, 10) as bigint)")
+            .as("_rk"),
+          col(cId).cast(StringType).as("_id"))
+        .orderBy(col("_rk"), col("_id")).limit(nlist)
+        .collect().map(_.getSeq[Double](0))
+      // fewer corpus rows than nlist would leave phantom cells whose
+      // element_at reads past the centroid literal — null distances
+      // that sort FIRST in the struct ordering, silently degenerating
+      // the pruning (or an INVALID_ARRAY_INDEX error under ANSI)
+      require(cs.length == nlist,
+        s"topKIvfAdc: corpus has only ${cs.length} rows for " +
+          s"nlist=$nlist — lower nlist")
+      cs.foreach(c => require(c.length == dim,
+        s"topKIvfAdc: vector of ${c.length} dims, expected $dim"))
+      cs
+    }
     // exact squared-L2 to every centroid as (d, cell) structs —
     // array_min is argmin with the cell tiebreak. The sum nests as
     // nsub sequential slot-sums of dsub sequential terms: the SAME
@@ -1059,8 +1114,10 @@ object Similarity {
         struct(fold.as("d"), ci.cast(IntegerType).as("cell"))
       })
     }
-    val codebook = pqCodebook(corpus, cId, vecCol, dim, nsub, ncent,
-      salt)
+    val codebook =
+      if (production) pqCodebookLloyd(corpus, cId, vecCol, dim, nsub,
+        ncent, seed, maxIter, samplePerCent)
+      else pqCodebook(corpus, cId, vecCol, dim, nsub, ncent, salt)
     // ONE corpus pass: cell assignment + native PQ codes
     val coded = corpus
       .select(col(cId).as("neighbor_id"),
@@ -1080,16 +1137,25 @@ object Similarity {
         explode(transform(
           slice(array_sort(cellStructs(col("_qv"))), 1, nprobe),
           s => s.getField("cell"))).as("cell"))
-    val wK = Window.partitionBy("query_id")
-      .orderBy(col("adc_micro"), col("neighbor_id"))
-    coded.join(broadcast(probed), Seq("cell"))
-      .select(col("query_id"), col("neighbor_id"),
+    // final per-query top-k: the k-bounded heap aggregate — map-side
+    // partials carry ≤k (adc, id) pairs per (partition, query), the
+    // one exchange hashes on query_id, and nothing ever sorts the
+    // candidate set (a rank window here would shuffle-sort every
+    // probed candidate of a query into one task just to keep k)
+    val scored = coded.join(broadcast(probed), Seq("cell"))
+      .select(col("query_id"),
+        col("neighbor_id").cast(LongType).as("_nid"),
         bridge.column(graft.expressions.PqAdcExpr(
           bridge.expression(col("codes")),
           bridge.expression(col("_lut")), ncent)).as("adc_micro"))
-      .withColumn("rank", row_number().over(wK))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "adc_micro")
+    val heap = graft.expressions.GroupTopKAgg(
+      bridge.expression(col("adc_micro")),
+      bridge.expression(col("_nid")), k)
+    scored.groupBy("query_id")
+      .agg(bridge.column(heap.toAggregateExpression()).as("_tk"))
+      .select(col("query_id"), explode(col("_tk")).as("r"))
+      .select(col("query_id"), col("r.rank").as("rank"),
+        col("r.id").as("neighbor_id"), col("r.value").as("adc_micro"))
   }
 
   /** Probe a persisted ANN index: signature the queries under the

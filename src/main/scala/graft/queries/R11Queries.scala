@@ -578,10 +578,16 @@ object R11Queries {
     // [EXT] IVF-ADC composed ANN search (FAISS IVFADC): coarse cells
     // prune the candidate rows (nprobe/nlist of the corpus per
     // query), PQ codes prune the per-candidate arithmetic (nsub LUT
-    // lookups, native). Both quantizers are the hash-rank-sampled
-    // oracle tiers, so DuckDB replays every cell assignment, code,
-    // LUT entry and rank; the Lloyd arms swap in for production
-    // recall with the same plan shape.
+    // lookups, native), and the final per-query top-k is the
+    // bounded-state GroupTopKAgg heap (k pairs of state per query —
+    // no rank window over the candidates). Both quantizers here are
+    // the hash-rank-sampled oracle tiers, so DuckDB replays every
+    // cell assignment, code, LUT entry and rank; `production = true`
+    // swaps BOTH arms to Lloyd (farthest-seeded coarse cells +
+    // pqCodebookLloyd) through the identical plan — rows-only
+    // checkable, spec-pinned (SimilaritySpec production tier,
+    // PlanQualitySpec production arm) and recall-measured
+    // (PqRecallProbe ivfadc rows, SCALE.md).
     "q214_ivf_adc_topk" -> ((s, d) => {
       val emb = T.embeddings(s, d)
       graft.llm.Similarity.topKIvfAdc(

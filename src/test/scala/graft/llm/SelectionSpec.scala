@@ -319,6 +319,20 @@ class SelectionSpec extends SparkSuite {
         (0 until 40).map(i => (s"i$i", s"j$i")).toDF("winner", "loser"),
         "winner", "loser", maxItems = 10)
     }
+    // dense-matrix guard: ≤maxItems items but too many DIRECTED pair
+    // rows to collect — fails fast in-plan, naming the bound (6 items
+    // all-pairs = 30 directed rows > maxPairRows=20)
+    val dense = (for { i <- 0 until 6; j <- 0 until 6 if i != j }
+      yield (s"m$i", s"m$j")).toDF("winner", "loser")
+    val eDense = intercept[IllegalArgumentException] {
+      Selection.bradleyTerry(dense, "winner", "loser", maxItems = 10,
+        maxPairRows = 20L)
+    }
+    assert(eDense.getMessage.contains("maxPairRows") &&
+      eDense.getMessage.contains("30"), eDense.getMessage)
+    // and the same data fits when the bound admits it
+    assert(Selection.bradleyTerry(dense, "winner", "loser",
+      maxItems = 10, maxPairRows = 30L).count() === 6L)
     // self-comparisons and null sides are dropped, not fit
     val noisy = Seq(("A", "A"), ("A", "B"), (null, "B"), ("B", null))
       .toDF("winner", "loser")

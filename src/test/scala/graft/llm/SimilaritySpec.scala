@@ -419,4 +419,125 @@ class SimilaritySpec extends SparkSuite {
     // margins positive (positives closer than negatives) and micro-exact
     assert(r.values.forall(_._3 > 0L))
   }
+
+  test("guards: pqCodebookLloyd sample-product overflow; topKIvfAdc corpus smaller than nlist") {
+    import spark.implicits._
+    val df = (0L until 10L).map(i =>
+      (i, Array.tabulate(4)(j => (i * 4 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    // ncent·samplePerCent overflows Int: named require, not a garbage
+    // negative limit surfacing as an unrelated Spark error
+    val eOv = intercept[IllegalArgumentException] {
+      Similarity.pqCodebookLloyd(df, "vec_id", "embedding", dim = 4,
+        nsub = 2, ncent = 65536, samplePerCent = 40000)
+    }
+    assert(eOv.getMessage.contains("overflows"), eOv.getMessage)
+    // 10 corpus rows cannot seed nlist=16 coarse cells: named require
+    // instead of phantom cells with null distances degenerating the
+    // pruning (or INVALID_ARRAY_INDEX under ANSI)
+    val eNl = intercept[IllegalArgumentException] {
+      Similarity.topKIvfAdc(df.limit(2), df, "vec_id", "vec_id",
+        "embedding", dim = 4, nsub = 2, ncent = 4, nlist = 16,
+        nprobe = 2, k = 3)
+    }
+    assert(eNl.getMessage.contains("nlist=16") &&
+      eNl.getMessage.contains("only 10"), eNl.getMessage)
+  }
+
+  test("GroupTopKAgg: per-group heap ≡ rank window (ties, nulls, k bound, partials)") {
+    import spark.implicits._
+    import org.apache.spark.sql.{GraftColumnBridge => bridge}
+    // deterministic mix with planted ties (value = i % 7) and nulls
+    val rows = (0L until 200L).map { i =>
+      val g = (i % 5).toString
+      val v: java.lang.Long = if (i % 31 == 0) null else (i % 7)
+      (g, v, i)
+    }
+    val df = rows.toDF("g", "v", "id").repartition(8)
+    val heap = graft.expressions.GroupTopKAgg(
+      bridge.expression(col("v")), bridge.expression(col("id")), 4)
+    val got = df.groupBy("g")
+      .agg(bridge.column(heap.toAggregateExpression()).as("_tk"))
+      .select(col("g"), explode(col("_tk")).as("r"))
+      .select(col("g"), col("r.rank").as("rank"), col("r.id").as("id"),
+        col("r.value").as("v"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // reference: ORDER BY v ASC, id ASC + row_number <= 4, nulls dropped
+    val want = rows.filter(_._2 != null)
+      .groupBy(_._1).flatMap { case (g, rs) =>
+        rs.map(r => (r._2.longValue(), r._3)).sorted.take(4).zipWithIndex
+          .map { case ((v, id), i) => (g, i + 1, id, v) }
+      }.toSet
+    assert(got === want)
+    // every group emits exactly k rows (200/5 = 40 >> 4 candidates)
+    assert(got.groupBy(_._1).forall(_._2.size == 4))
+  }
+
+  test("topKIvfAdc production tier: Lloyd arms, identical shape, full-probe ≡ flat Lloyd ADC, planted recall ≥ sampled") {
+    import spark.implicits._
+    val dim = 8; val nsub = 2; val ncent = 4; val dsub = dim / nsub
+    // the pqCodebookLloyd planted fixture: 4 separated clusters of 50,
+    // deterministic jitter far below inter-center margins
+    def mix(x0: Long): Long = {
+      var x = x0
+      x = (x ^ (x >>> 33)) * 0xff51afd7ed558ccdL
+      x = (x ^ (x >>> 33)) * 0xc4ceb9fe1a85ec53L
+      x ^ (x >>> 33)
+    }
+    def jit(i: Long, j: Int): Float =
+      ((((mix(i * 31 + j) >>> 11) % 2003L) / 1001.5f) - 1.0f) * 0.02f
+    val centers = Array.tabulate(4, dim)((c, j) =>
+      (if ((j / dsub + c) % 2 == 0) 1.0f else -1.0f) * (c + 1).toFloat)
+    val vecs = (0L until 200L).map { i =>
+      val c = (i % 4).toInt
+      (i, c, Array.tabulate(dim)(j => centers(c)(j) + jit(i, j)))
+    }
+    val df = vecs.map(v => (v._1, v._3)).toDF("vec_id", "embedding")
+      .repartition(4)
+    val q = df.filter(col("vec_id") < 8)
+
+    // output shape identical to the sampled (oracle) arm
+    val prod = Similarity.topKIvfAdc(q, df, "vec_id", "vec_id",
+      "embedding", dim, nsub, ncent, nlist = 4, nprobe = 1, k = 5,
+      production = true)
+    val samp = Similarity.topKIvfAdc(q, df, "vec_id", "vec_id",
+      "embedding", dim, nsub, ncent, nlist = 4, nprobe = 1, k = 5,
+      salt = "pr")
+    assert(prod.schema === samp.schema)
+
+    // nprobe = nlist probes every cell: the production composition
+    // must equal the flat ADC scan over the SAME Lloyd codebook bit
+    // for bit (coarse pruning disabled, so only the PQ arm decides)
+    val fullProd = Similarity.topKIvfAdc(q, df, "vec_id", "vec_id",
+        "embedding", dim, nsub, ncent, nlist = 4, nprobe = 4, k = 5,
+        production = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val flatLloyd = Similarity.pqAdcTopK(q, df, "vec_id", "vec_id",
+        "embedding",
+        Similarity.pqCodebookLloyd(df, "vec_id", "embedding", dim,
+          nsub, ncent),
+        dim, nsub, ncent, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(fullProd === flatLloyd)
+
+    // planted-cluster recall at nprobe=1: with farthest-seeded Lloyd
+    // coarse cells each planted cluster owns a cell, so every top-5
+    // neighbor shares its query's cluster — recall 1.0 — and the
+    // production arm is never worse than the hash-rank sampled arm
+    // (whose 4 arbitrary coarse rows can merge two clusters into one
+    // cell and leak cross-cluster candidates into the shortlist)
+    val cluster = vecs.map(v => v._1 -> v._2).toMap
+    def recall(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val ok = rows.count(r => cluster(r.getLong(0)) ===
+        cluster(r.getLong(2)))
+      ok.toDouble / rows.length
+    }
+    val rProd = recall(prod.collect())
+    val rSamp = recall(samp.collect())
+    assert(rProd === 1.0, s"production recall $rProd")
+    assert(rProd >= rSamp, s"production $rProd < sampled $rSamp")
+  }
 }

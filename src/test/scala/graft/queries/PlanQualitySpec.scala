@@ -498,4 +498,65 @@ class PlanQualitySpec extends SparkSuite {
       p201.take(1500))
     assert(!p201.contains("CartesianProduct"), p201.take(1500))
   }
+
+  private def scanCount(p: String): Int =
+    "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+
+  test("q214: IVF-ADC — heap top-k (no candidate rank window), one corpus pass for cell+codes, probes broadcast") {
+    val p = plan("q214_ivf_adc_topk")
+    // the final per-query top-k is the bounded-state GroupTopKAgg
+    // heap, never a rank window over the probed candidates: the ONLY
+    // Window in the plan is the codebook's rank over its
+    // TakeOrdered ncent-row sample (the audited parameter-bounded
+    // site), sitting directly above TakeOrderedAndProject
+    assert(p.contains("graft_group_topk"), p.take(1500))
+    val treeWindows = "\\+- Window".r.findAllIn(p).length
+    assert(treeWindows == 1 &&
+      p.contains("Window (") &&
+      "Window \\(\\d+\\)\\s*\\n\\s*\\+- TakeOrderedAndProject".r
+        .findFirstIn(p).isDefined,
+      s"want exactly the bounded codebook-sample window\n${p.take(1800)}")
+    // exactly three parquet scans: ONE corpus pass producing BOTH the
+    // cell assignment and the PQ codes, the (filtered) query side,
+    // and the bounded TakeOrdered codebook sample
+    assert(scanCount(p) == 3, s"expected 3 parquet scans, got " +
+      s"${scanCount(p)}\n${p.take(1500)}")
+    // the small probed side broadcasts onto the coded corpus
+    assert(p.contains("BroadcastHashJoin") &&
+      !p.contains("SortMergeJoin"), p.take(1500))
+  }
+
+  test("topKIvfAdc production arm: same plan discipline — heap top-k, no window, broadcast probe join") {
+    // not a SparkEntry query (Lloyd arms are rows-only-checkable, the
+    // q44 caveat) — build the plan directly on the same table
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val df = graft.llm.Similarity.topKIvfAdc(
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") < 8),
+      emb, "vec_id", "vec_id", "embedding", dim = 64, nsub = 8,
+      ncent = 16, nlist = 8, nprobe = 3, k = 5, production = true)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("graft_group_topk"), p.take(1500))
+    // BOTH quantizers are driver-trained literals in the production
+    // arm: no window anywhere, and only the two data scans remain
+    assert(!p.contains("Window"), p.take(1500))
+    assert(scanCount(p) == 2, s"expected 2 parquet scans, got " +
+      s"${scanCount(p)}\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin") &&
+      !p.contains("SortMergeJoin"), p.take(1500))
+  }
+
+  test("q213: byte-BPE serve is map-only — merge training happens at plan build, the returned plan has no join/window") {
+    val p = plan("q213_byte_bpe_encode")
+    // the 6 merge rounds are driver-looped incremental aggregates at
+    // plan-BUILD time (cost ∝ distinct words, the q121 discipline);
+    // the plan the caller executes is one scan through the native
+    // byte-mode encode expression + the output ordering
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(1500))
+    assert(scanCount(p) == 1, s"expected 1 parquet scan, got " +
+      s"${scanCount(p)}\n${p.take(1500)}")
+    // the merge table rides inside the native expression as hex-byte
+    // symbol pairs (byte mode flag true)
+    assert(p.contains("graft_bpe_encode"), p.take(1500))
+  }
 }
