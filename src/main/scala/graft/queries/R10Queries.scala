@@ -337,9 +337,11 @@ object R10Queries {
 
   /** One BPE oracle round over word-carrying tables ([[R8Queries]]'
     * bpeRoundW arithmetic with q179-local names): pair counts over
-    * bv{k}, top-1 by (cnt DESC, l, r) — trainBpe's order — merge. */
-  private def bvRound(k: Int): String = {
-    val (wIn, wOut, c, t) = (s"bv$k", s"bv${k + 1}", s"bvc$k", s"bvt$k")
+    * {p}{k}, top-1 by (cnt DESC, l, r) — trainBpe's order — merge.
+    * Prefix-parameterized so the char chain (`bv`, q179) and the
+    * byte chain (`by`, q215) run the SAME rounds side by side. */
+  private def wordRound(p: String)(k: Int): String = {
+    val (wIn, wOut, c, t) = (s"$p$k", s"$p${k + 1}", s"${p}c$k", s"${p}t$k")
     s"""$c AS MATERIALIZED (
        |  SELECT s.l AS l, s.r AS r, CAST(sum(s.freq) AS BIGINT) AS cnt
        |  FROM (SELECT unnest(list_transform(
@@ -359,18 +361,40 @@ object R10Queries {
        |  FROM $wIn, $t)""".stripMargin
   }
 
-  /** q179's oracle: ALL THREE tokenizer families trained AND served
-    * over the same [[WpFixtures]] corpus, entirely relationally —
-    * the unigram chain + one serving DP round (uniCtes/uniDpRound),
-    * the WordPiece chain + greedy walk (wpChain/wpWalkCtes), and a
-    * word-carrying BPE chain ([[bvRound]]) — then per-family corpus
-    * stats from word-level segmentations weighted by `wt.freq`
+  /** q179's (and, with `withByte`, q215's) oracle: ALL tokenizer
+    * families trained AND served over the same [[WpFixtures]] corpus,
+    * entirely relationally — the unigram chain + one serving DP round
+    * (uniCtes/uniDpRound), the WordPiece chain + greedy walk
+    * (wpChain/wpWalkCtes), a word-carrying char-BPE chain
+    * ([[wordRound]] `bv`), and for q215 the byte-BPE chain
+    * ([[wordRound]] `by` seeded from `lower(hex(encode(w)))` two-hex
+    * symbols — the q212 seeding) — then per-family corpus stats from
+    * word-level segmentations weighted by `wt.freq`
     * (Σ_docs Σ_{w∈doc} = Σ_w freq·per-word, the same totals the
     * Spark side aggregates per document). */
-  private def tokEvalOracle: String = {
+  private def tokEvalOracle(withByte: Boolean = false): String = {
     val maxLen = WpFixtures.map(_.length).max
     val uniParts = (1 to maxLen).map(k => s"SELECT w, piece FROM p4$k")
       .mkString("\n    UNION ALL ")
+    val byteCtes = if (!withByte) "" else s"""
+      |by0 AS MATERIALIZED (
+      |  SELECT w, chr(31) || array_to_string(
+      |    regexp_extract_all(lower(hex(encode(w))), '..'),
+      |    chr(31) || chr(31)) || chr(31) AS sym, freq
+      |  FROM wt),
+      |${(0 until 6).map(wordRound("by")).mkString(",\n")},
+      |byseg AS MATERIALIZED (
+      |  SELECT w, freq, regexp_split_to_array(trim(sym, chr(31)),
+      |    chr(31) || chr(31)) AS syms
+      |  FROM by6),""".stripMargin
+    val byteArm = if (!withByte) "" else """
+      |  UNION ALL
+      |  SELECT 'byte_bpe', n.n, n.n * 3, s.tp, p.dp, CAST(0 AS BIGINT),
+      |    CAST((CAST(s.tp AS HUGEINT) * 1000000) // (n.n * 3) AS BIGINT)
+      |  FROM ndocs n,
+      |    (SELECT CAST(sum(freq * len(syms)) AS BIGINT) AS tp FROM byseg) s,
+      |    (SELECT CAST(count(DISTINCT piece) AS BIGINT) AS dp FROM
+      |       (SELECT unnest(syms) AS piece FROM byseg)) p""".stripMargin
     uniCtes(WpFixtures) + ",\n" +
       uniDpRound("4", "sc3", "vocab3", maxLen, 3) +
       wpChain + s""",
@@ -379,11 +403,11 @@ object R10Queries {
       |  SELECT w, chr(31) || array_to_string(regexp_extract_all(w, '.'),
       |    chr(31) || chr(31)) || chr(31) AS sym, freq
       |  FROM wt),
-      |${(0 until 6).map(bvRound).mkString(",\n")},
+      |${(0 until 6).map(wordRound("bv")).mkString(",\n")},
       |bseg AS MATERIALIZED (
       |  SELECT w, freq, regexp_split_to_array(trim(sym, chr(31)),
       |    chr(31) || chr(31)) AS syms
-      |  FROM bv6),
+      |  FROM bv6),$byteCtes
       |uall AS MATERIALIZED ($uniParts),
       |ustat AS MATERIALIZED (
       |  SELECT wt.freq, u.np FROM wt JOIN
@@ -425,8 +449,67 @@ object R10Queries {
       |  FROM ndocs n,
       |    (SELECT CAST(sum(freq * np) AS BIGINT) AS tp,
       |       CAST(sum(freq * unk) AS BIGINT) AS uw FROM wpstat) s,
-      |    (SELECT CAST(count(*) AS BIGINT) AS dp FROM wppieces) p)
+      |    (SELECT CAST(count(*) AS BIGINT) AS dp FROM wppieces) p$byteArm)
       |ORDER BY family""".stripMargin
+  }
+
+  /** q179/q215's Spark side: train every family on the planted
+    * fixture corpus (parameter-bounded driver collects, the
+    * q122/q175/q178/q213 discipline), serve each over every
+    * document, aggregate fertility / utilization / UNK per family —
+    * one serving scan + one aggregate per family. `withByte` adds
+    * the byte-BPE column (q215). */
+  private def tokenizerEval(s: SparkSession, d: String,
+      withByte: Boolean): DataFrame = {
+    val arr = array(WpFixtures.map(lit): _*)
+    val id = col("doc_id")
+    val text = concat_ws(" ",
+      element_at(arr, (pmod(id, lit(6)) + 1).cast("int")),
+      element_at(arr, (pmod(id * 2 + 1, lit(6)) + 1).cast("int")),
+      element_at(arr, (pmod(id * 3 + 2, lit(6)) + 1).cast("int")))
+    val docs = T.documents(s, d).select(id, text.as("text"))
+    val corpus = docs.select(col("text"))
+    import graft.llm.TrainingOps
+    val bpeMerges = TrainingOps.trainBpe(corpus, "text", numMerges = 6)
+      .orderBy("merge_idx").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val uniModel = TrainingOps.trainUnigram(corpus, "text",
+        seedSize = 8, maxPieceLen = 3, emRounds = 2, pruneCount = 3)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+    val wpMerges = TrainingOps.trainWordPiece(corpus, "text",
+        numMerges = 6)
+      .orderBy("merge_idx").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val wpVocab = TrainingOps.wordPieceVocab(corpus, "text", wpMerges)
+      .collect().map(_.getString(0)).toSeq
+    def famStats(family: String, pieces: Column): DataFrame =
+      docs.select(id, explode(pieces).as("piece"))
+        .agg(
+          count_distinct(id).as("n_docs"),
+          count(lit(1)).as("total_pieces"),
+          count_distinct(col("piece")).as("distinct_pieces"),
+          sum(when(col("piece") === "[UNK]", 1L).otherwise(0L))
+            .cast("bigint").as("unk_words"))
+        .select(lit(family).as("family"), col("n_docs"),
+          (col("n_docs") * 3).as("total_words"), col("total_pieces"),
+          col("distinct_pieces"), col("unk_words"))
+        .withColumn("fertility_micro",
+          expr("(total_pieces * 1000000) div total_words"))
+    val threeFam =
+      famStats("bpe", TrainingOps.bpeEncode(col("text"), bpeMerges))
+        .unionByName(famStats("unigram",
+          TrainingOps.unigramEncode(col("text"), uniModel)))
+        .unionByName(famStats("wordpiece",
+          TrainingOps.wordpieceEncode(col("text"), wpVocab)))
+    val all = if (!withByte) threeFam else {
+      val byteMerges = TrainingOps.trainBpeBytes(corpus, "text",
+          numMerges = 6)
+        .orderBy("merge_idx").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      threeFam.unionByName(famStats("byte_bpe",
+        TrainingOps.byteBpeEncode(col("text"), byteMerges)))
+    }
+    all.orderBy("family")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -654,48 +737,21 @@ object R10Queries {
     // three trainings AND servings relationally (the existing CTE
     // machinery composed over one shared word table) and aggregates
     // the same stats freq-weighted per word.
-    "q179_tokenizer_eval" -> ((s, d) => {
-      val arr = array(WpFixtures.map(lit): _*)
-      val id = col("doc_id")
-      val text = concat_ws(" ",
-        element_at(arr, (pmod(id, lit(6)) + 1).cast("int")),
-        element_at(arr, (pmod(id * 2 + 1, lit(6)) + 1).cast("int")),
-        element_at(arr, (pmod(id * 3 + 2, lit(6)) + 1).cast("int")))
-      val docs = T.documents(s, d).select(id, text.as("text"))
-      val corpus = docs.select(col("text"))
-      import graft.llm.TrainingOps
-      val bpeMerges = TrainingOps.trainBpe(corpus, "text", numMerges = 6)
-        .orderBy("merge_idx").collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      val uniModel = TrainingOps.trainUnigram(corpus, "text",
-          seedSize = 8, maxPieceLen = 3, emRounds = 2, pruneCount = 3)
-        .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
-      val wpMerges = TrainingOps.trainWordPiece(corpus, "text",
-          numMerges = 6)
-        .orderBy("merge_idx").collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      val wpVocab = TrainingOps.wordPieceVocab(corpus, "text", wpMerges)
-        .collect().map(_.getString(0)).toSeq
-      def famStats(family: String, pieces: Column): DataFrame =
-        docs.select(id, explode(pieces).as("piece"))
-          .agg(
-            count_distinct(id).as("n_docs"),
-            count(lit(1)).as("total_pieces"),
-            count_distinct(col("piece")).as("distinct_pieces"),
-            sum(when(col("piece") === "[UNK]", 1L).otherwise(0L))
-              .cast("bigint").as("unk_words"))
-          .select(lit(family).as("family"), col("n_docs"),
-            (col("n_docs") * 3).as("total_words"), col("total_pieces"),
-            col("distinct_pieces"), col("unk_words"))
-          .withColumn("fertility_micro",
-            expr("(total_pieces * 1000000) div total_words"))
-      famStats("bpe", TrainingOps.bpeEncode(col("text"), bpeMerges))
-        .unionByName(famStats("unigram",
-          TrainingOps.unigramEncode(col("text"), uniModel)))
-        .unionByName(famStats("wordpiece",
-          TrainingOps.wordpieceEncode(col("text"), wpVocab)))
-        .orderBy("family")
-    }),
+    "q179_tokenizer_eval" -> ((s, d) => tokenizerEval(s, d,
+      withByte = false)),
+
+    // [EXT] FOUR-family tokenizer evaluation (r12): q179's
+    // model-selection report with the byte-level BPE family
+    // (q212/q213, the GPT lineage) in the comparison — its UNK
+    // column is structurally 0 (the 256-byte base alphabet drops
+    // nothing), and the metric that matters is its FERTILITY cost:
+    // hex-byte seeding doubles the symbols per word before merges
+    // start, so at equal merge budget byte-BPE emits more pieces per
+    // word than char-BPE. The oracle replays all four trainings and
+    // servings (the q179 CTes + the q212 byte chain over the same
+    // word table).
+    "q215_tokenizer_eval4" -> ((s, d) => tokenizerEval(s, d,
+      withByte = true)),
 
     // [EXT] FIM — fill-in-the-middle transform (Bavarian et al.
     // 2022, arXiv:2207.14255): the code-LLM training objective
@@ -804,7 +860,8 @@ object R10Queries {
     "q175_unigram_encode" -> uniEncodeOracle,
     "q177_wordpiece_train" -> wpOracle,
     "q178_wordpiece_encode" -> wpEncodeOracle,
-    "q179_tokenizer_eval" -> tokEvalOracle,
+    "q179_tokenizer_eval" -> tokEvalOracle(),
+    "q215_tokenizer_eval4" -> tokEvalOracle(withByte = true),
     "q180_fim_split" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
