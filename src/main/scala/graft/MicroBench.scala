@@ -100,6 +100,86 @@ object MicroBench {
         val run = () => graft.SparkEntry
           .queries("q97_dedup_resolve")(spark, sfDir)
         Seq("q97" -> run)
+      case "bytebpe" =>
+        // byte-BPE vs char-BPE training cost at 1M docs, 6 merge
+        // rounds each (the SCALE.md measurement the r11 verdict
+        // asked for): the hex table seeds ~2× the symbols per word,
+        // so the per-round delta aggregates fold longer symbol
+        // strings — measure what that actually costs. Training cost
+        // is incurred INSIDE the call (driver-looped incremental
+        // rounds, each an action); the returned merge table is tiny.
+        val docs = graft.ScaleSmoke.syntheticDocs(spark, 1000000L)
+          .select(col("text")).repartition(32).cache()
+        docs.count()
+        val charBpe = () => TrainingOps.trainBpe(docs, "text",
+          numMerges = 6)
+        val byteBpe = () => TrainingOps.trainBpeBytes(docs, "text",
+          numMerges = 6)
+        Seq("char_bpe" -> charBpe, "byte_bpe" -> byteBpe)
+      case "scd2buckets" =>
+        // the bucketed scd2 table at 1M keys / 64 buckets: a 10-key
+        // micro-batch must rewrite ONLY the ≤10 buckets its keys
+        // hash into (asserted below on the committed layout), vs the
+        // r10 whole-table rewrite shape retained here as the A/B arm
+        // (read every current bucket + merge + write the full
+        // table). Table seeded once, untimed; each timed call folds
+        // a FRESH 10-key batch (monotone batch ids — replays are
+        // no-ops by contract and would time nothing).
+        val dir = java.nio.file.Files
+          .createTempDirectory("mb_scd2").toString
+        val table = s"$dir/table"
+        // table size via SPARK_GRAFT_SCD2_KEYS (default 1M): the
+        // sub-linearity claim is the 1M → 4M pair — the fold's cost
+        // is O(dirty buckets), the rewrite's O(table)
+        val nKeys = sys.env.getOrElse("SPARK_GRAFT_SCD2_KEYS",
+          "1000000").toLong
+        def batchDf(ids: Long*)(ts: Long) = {
+          import spark.implicits._
+          ids.map(i => (s"k$i", ts, s"v$ts")).toDF("k", "ts", "v")
+        }
+        val seed = spark.range(nKeys).select(
+          concat(lit("k"), col("id")).as("k"), lit(0L).as("ts"),
+          lit("v0").as("v"))
+        require(graft.streaming.Streaming.applyScd2Batch(
+          seed, 0L, "k", "ts", Seq("v"), "ts", table, nBuckets = 64))
+        var nextBatch = 1L
+        var nextTs = 1L
+        val fold10 = () => {
+          val b = nextBatch; nextBatch += 1
+          val t = nextTs; nextTs += 1
+          val touched = graft.streaming.Streaming.applyScd2Batch(
+            batchDf(1L, 99L, 1234L, 7777L, 31337L, 400000L, 555555L,
+              650000L, 810000L, 999999L)(t),
+            b, "k", "ts", Seq("v"), "ts", table, nBuckets = 64)
+          require(touched, s"batch $b must fold")
+          // layout assertion: the just-committed version directory
+          // holds ≤ 10 bucket partitions — the whole point
+          val fs = new org.apache.hadoop.fs.Path(table)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          val vers = fs.listStatus(new org.apache.hadoop.fs.Path(table))
+            .filter(s => s.isDirectory &&
+              s.getPath.getName.startsWith("v"))
+            .map(s => s.getPath.getName.drop(1).toInt).max
+          val nDirty = fs.listStatus(new org.apache.hadoop.fs.Path(
+              table, s"v$vers"))
+            .count(_.getPath.getName.startsWith("_bucket="))
+          require(nDirty <= 10,
+            s"10-key batch rewrote $nDirty buckets")
+          spark.range(1).toDF("ok")
+        }
+        val wholeRewrite = () => {
+          val t = nextTs; nextTs += 1
+          val current = graft.streaming.Streaming
+            .readScd2Table(spark, table)
+          graft.ops.etl.scd2Merge(current,
+              batchDf(1L, 99L, 1234L, 7777L, 31337L, 400000L, 555555L,
+                650000L, 810000L, 999999L)(t),
+              "k", "ts", Seq("v"), "ts")
+            .write.mode("overwrite").parquet(s"$dir/whole_$t")
+          spark.range(1).toDF("ok")
+        }
+        Seq("fold_dirty_buckets" -> fold10,
+          "whole_table_rewrite" -> wholeRewrite)
       case other =>
         throw new IllegalArgumentException(s"unknown scenario: $other")
     }
