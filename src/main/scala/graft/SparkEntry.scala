@@ -57,7 +57,8 @@ object SparkEntry {
       graft.queries.R8Queries.queries ++
       graft.queries.R9Queries.queries ++
       graft.queries.R10Queries.queries ++
-      graft.queries.R11Queries.queries
+      graft.queries.R11Queries.queries ++
+      graft.queries.R12Queries.queries
 
   /** For each key in queries, equivalent DuckDB SQL on the same parquet
     * tables. Omitted keys → driver records a weaker rows-only check. */
@@ -69,5 +70,6 @@ object SparkEntry {
       graft.queries.R8Queries.oracleSql ++
       graft.queries.R9Queries.oracleSql ++
       graft.queries.R10Queries.oracleSql ++
+      graft.queries.R12Queries.oracleSql ++
       graft.queries.R11Queries.oracleSql
 }

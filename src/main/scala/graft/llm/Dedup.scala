@@ -1807,4 +1807,83 @@ object Dedup {
       .select(col(idCol), col("_nn").cast("long").as("n_tokens"),
         col("n_removed"), col("clean_text"))
   }
+
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540 — cluster the embedding space, then dedup only
+    * WITHIN clusters): coarse-quantize the corpus into `nlist` cells
+    * (the shared [[Similarity.coarseCentroids]] quantizer — hash-rank
+    * SAMPLED oracle tier by default, `production = true` for the
+    * farthest-seeded Lloyd tier), compute exact pairwise cosine only
+    * inside each cell, and drop every row that has a higher-cosine-
+    * than-`tauMicro` duplicate with a SMALLER id (greedy keep-first —
+    * deterministic, order-free, and exactly replayable). This is the
+    * shape that makes embedding dedup tractable at 100 TB: the
+    * quadratic is bounded per cell (`maxCellRows` fail-fast names an
+    * over-full cell and points at the LSH tier, the
+    * [[embeddingPairsExact]] contract), cells shrink as nlist grows,
+    * and everything else is one map-only assignment pass + one
+    * self-join on the cell key.
+    *
+    * Cosine thresholding is an exact integer comparison:
+    * `floor(cosine · 10⁶) >= tauMicro`, with the dot products
+    * computed as the nested nsub×dsub sequential sums whose oracle
+    * parity q186 pinned — so DuckDB replays every cell assignment,
+    * every pair cosine, and every verdict. Approximation contract
+    * (the paper's): duplicates that land in DIFFERENT cells are not
+    * compared — recall improves with fewer/larger cells, cost with
+    * more/smaller ones.
+    *
+    * Output: (vec_id, cell, kept) — every input row, kept = false
+    * iff some same-cell row with a smaller id is tauMicro-similar. */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nsub: Int, nlist: Int, tauMicro: Long,
+      salt: String = "", production: Boolean = false, seed: Long = 42L,
+      maxIter: Int = 8, samplePerCell: Int = 50,
+      maxCellRows: Long = 10000L): DataFrame = {
+    require(dim >= 1 && nsub >= 1 && dim % nsub == 0,
+      s"dim $dim not divisible by nsub $nsub")
+    require(nlist >= 1, "nlist must be positive")
+    require(tauMicro >= -1000000L && tauMicro <= 1000000L,
+      s"tauMicro is a cosine in micro-units, got $tauMicro")
+    graft.expressions.NativeFunctions.register(corpus.sparkSession)
+    val dsub = dim / nsub
+    val cents = Similarity.coarseCentroids(corpus, idCol, vecCol, dim,
+      nlist, production, seed, maxIter, samplePerCell, salt)
+    // ONE map-only pass: argmin cell per row (bounded centroid
+    // literal, no join); vectors stay attached for the in-cell pairs.
+    // The cell-key repartition is load-bearing twice over: (1) it is
+    // an exchange BARRIER, so the interpreted argmin HOF evaluates
+    // once per row instead of being CollapseProject-inlined into
+    // every consumer (both self-join sides, the guard counts, the
+    // final projection — measured 5.5 s → the HOF re-ran ~4×); (2) it
+    // pre-co-locates cells, so the in-cell self-join reuses ONE
+    // exchange on both sides instead of shuffling twice.
+    val assigned = corpus
+      .select(col(idCol).as("vec_id"),
+        Similarity.asDouble(col(vecCol)).as("_v"))
+      .withColumn("cell",
+        array_min(Similarity.cellDistStructs(cents, nlist, dsub)(
+          col("_v"))).getField("cell"))
+      .repartition(col("cell"))
+    // exact in-cell pairs (id_a < id_b), guarded by maxCellRows.
+    // Zero-norm vectors are excluded from the pair computation BY
+    // RULE, not by arithmetic accident: a vector with no direction
+    // can certify nothing, and letting it reach the cosine division
+    // is a DIVIDE_BY_ZERO error under ANSI / a NaN→0 cast artifact
+    // without it. Excluded rows still appear in the output (kept —
+    // nothing can prove them duplicates).
+    val nonzero = assigned
+      .filter(Similarity.norm(col("_v")) > lit(0.0))
+    val pairs = embeddingPairsExact(nonzero, "vec_id", "_v", "cell",
+      maxCellRows)
+    val dropped = pairs
+      .filter(!isnan(col("cosine")) && col("cosine").isNotNull &&
+        floor(col("cosine") * lit(1e6)).cast(LongType) >= tauMicro)
+      .select(col("id_b").as("vec_id")).distinct()
+      .withColumn("_dup", lit(true))
+    assigned.select("vec_id", "cell")
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("_dup").isNull.as("kept"))
+  }
 }

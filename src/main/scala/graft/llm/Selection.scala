@@ -669,4 +669,50 @@ object Selection {
               "(CAST(n AS DECIMAL(38,0)) * n - _pe_num) AS BIGINT)"))
           .as("kappa_micro")): _*)
   }
+
+  /** DPO preference-pair assembly (Rafailov et al. 2023,
+    * arXiv:2305.18290 — direct preference optimization trains on
+    * (prompt, chosen, rejected) triples): per prompt, chosen = the
+    * highest-scored candidate, rejected = the lowest-scored, emitted
+    * only when the score margin clears `minMarginMicro` — a pair
+    * whose sides are not STRICTLY ordered is noise, so the floor is
+    * ≥ 1 by contract (equal-scored candidates can never certify a
+    * preference; with everything tied, "chosen" and "rejected" would
+    * be the same row). Scores are integer micro-units by contract
+    * (the q181 discipline), so both picks and the margin are
+    * engine-exact. Ties break to the LOWER candidate id on both
+    * sides; NULL-scored and NULL-prompt rows never pair.
+    *
+    * Scale shape: ONE hash aggregate over the candidate stream —
+    * two bounded `min_by` picks per prompt (argmax = min_by of the
+    * negated score), map-side combined; no window, no self-join, no
+    * rank. Scores must sit in (Long.MinValue, Long.MaxValue) exclusive
+    * of the minimum (the argmax negation of Long.MinValue overflows —
+    * micro-unit scores are 10¹² orders away from that edge). Output:
+    * (prompt_id, chosen_id, rejected_id, margin_micro,
+    * n_candidates). */
+  def dpoPairs(candidates: DataFrame, promptCol: String,
+      candCol: String, scoreCol: String,
+      minMarginMicro: Long = 1L): DataFrame = {
+    require(minMarginMicro >= 1L,
+      s"minMarginMicro must be >= 1 (a DPO pair needs a strict " +
+        s"preference), got $minMarginMicro")
+    val score = col(scoreCol).cast(LongType)
+    candidates
+      .filter(col(promptCol).isNotNull && col(candCol).isNotNull &&
+        score.isNotNull)
+      .groupBy(col(promptCol).as("prompt_id"))
+      .agg(
+        min_by(struct(col(candCol).as("id"), score.as("s")),
+          struct((-score).as("ns"), col(candCol).as("id"))).as("_ch"),
+        min_by(struct(col(candCol).as("id"), score.as("s")),
+          struct(score.as("s"), col(candCol).as("id"))).as("_rj"),
+        count(lit(1)).as("n_candidates"))
+      .select(col("prompt_id"),
+        col("_ch.id").as("chosen_id"), col("_rj.id").as("rejected_id"),
+        (col("_ch.s") - col("_rj.s")).as("margin_micro"),
+        col("n_candidates"))
+      .filter(col("n_candidates") >= 2 &&
+        col("margin_micro") >= minMarginMicro)
+  }
 }

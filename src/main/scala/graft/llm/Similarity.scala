@@ -810,6 +810,15 @@ object Similarity {
   def pqAdcTopK(queries: DataFrame, corpus: DataFrame, qId: String,
       cId: String, vecCol: String, codebook: DataFrame, dim: Int,
       nsub: Int, ncent: Int, k: Int = 5): DataFrame = {
+    // ids ride the aggregate as longs — a non-numeric id would cast
+    // to NULL (query rows would NPE at the collect, corpus rows would
+    // be silently skipped by every heap): fail by name at plan build
+    Seq(qId -> queries, cId -> corpus).foreach { case (c, df) =>
+      require(df.schema(c).dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"pqAdcTopK: id column `$c` must be numeric (castable to " +
+          s"long), got ${df.schema(c).dataType}")
+    }
     val dsub = dim / nsub
     val codes = pqEncode(corpus, cId, vecCol, codebook, dim, nsub, ncent)
     // per-query integer LUTs — a bounded driver collect (queries are
@@ -987,6 +996,95 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** The coarse quantizer both composed operators share
+    * ([[topKIvfAdc]], [[graft.llm.Dedup.semanticDedup]]): either
+    * tier is a parameter-bounded collect — never O(corpus). Cell id
+    * = hash-rank order (ties to the lower id, the pqCodebook rule)
+    * in the SAMPLED oracle tier; Lloyd output order (deterministic
+    * farthest-point seeding over a bounded hash-spread sample of
+    * nlist·samplePerCell rows, the [[topKIvf]] discipline) in the
+    * PRODUCTION tier. Fails fast by name when the corpus (or the
+    * sample's distinct points) cannot fill nlist cells — phantom
+    * cells would read past the centroid literal: null distances
+    * that sort FIRST in the struct ordering, silently degenerating
+    * the pruning (or INVALID_ARRAY_INDEX under ANSI). */
+  private[llm] def coarseCentroids(corpus: DataFrame, cId: String,
+      vecCol: String, dim: Int, nlist: Int, production: Boolean,
+      seed: Long, maxIter: Int, samplePerCell: Int,
+      salt: String): Array[Seq[Double]] =
+    if (production) {
+      require(samplePerCell >= 1 &&
+        nlist.toLong * samplePerCell <= Int.MaxValue,
+        s"coarseCentroids: nlist*samplePerCell = " +
+          s"${nlist.toLong * samplePerCell} not in [1, Int.MaxValue]")
+      val pts = corpus
+        .select(asDouble(col(vecCol)).as("_v"),
+          xxhash64(col(cId), lit(seed)).as("_h"),
+          col(cId).cast(StringType).as("_id"))
+        .orderBy(col("_h"), col("_id")).limit(nlist * samplePerCell)
+        .collect().map(_.getSeq[Double](0).toArray)
+      require(pts.nonEmpty, "coarseCentroids: empty corpus")
+      pts.foreach(c => require(c.length == dim,
+        s"coarseCentroids: vector of ${c.length} dims, expected $dim"))
+      val cs = LloydKernel.fit(pts, nlist, maxIter,
+        farthestSeeding = true)
+      require(cs.length == nlist,
+        s"coarseCentroids: sample seeds only ${cs.length} distinct " +
+          s"coarse centroids for nlist=$nlist — lower nlist or raise " +
+          "samplePerCell")
+      cs.map(_.toSeq)
+    } else {
+      val cs = corpus.select(asDouble(col(vecCol)).as("_v"),
+          expr(s"cast(conv(substr(sha2(concat('ivf:$salt:', " +
+            s"cast(`$cId` as string)), 256), 1, 15), 16, 10) as bigint)")
+            .as("_rk"),
+          col(cId).cast(StringType).as("_id"))
+        .orderBy(col("_rk"), col("_id")).limit(nlist)
+        .collect().map(_.getSeq[Double](0))
+      require(cs.length == nlist,
+        s"coarseCentroids: corpus has only ${cs.length} rows for " +
+          s"nlist=$nlist — lower nlist")
+      cs.foreach(c => require(c.length == dim,
+        s"coarseCentroids: vector of ${c.length} dims, expected $dim"))
+      cs
+    }
+
+  /** Exact squared-L2 to every centroid as (d, cell) structs —
+    * `array_min` over the result is argmin with the cell tiebreak.
+    * The sum nests as nsub sequential slot-sums of dsub sequential
+    * terms: the SAME value as one flat sum mathematically, but the
+    * GROUPING the oracle parity is proven for (q186 pinned list_sum
+    * ≡ Spark's sequential aggregate on dsub-length lists; a flat
+    * dim-length list_sum's summation order is not pinned anywhere).
+    * Shape: ONE transform over a single centroid-matrix literal with
+    * a single-pass struct-accumulator fold (running slot partial,
+    * flushed at each slot boundary — bit-identical rounding to the
+    * nested aggregates it replaces); the first formulation copied
+    * the whole nested-HOF tree once PER CELL and re-evaluated the
+    * squared-diff array once per slot, which made q214 the bench's
+    * slowest query on plan size alone. */
+  private[llm] def cellDistStructs(cents: Array[Seq[Double]],
+      nlist: Int, dsub: Int)(v: Column): Column = {
+    val centLit = typedlit(cents.map(_.toSeq))
+    transform(sequence(lit(0), lit(nlist - 1)), ci => {
+      val sq = zip_with(v, element_at(centLit, ci + 1),
+        (a, b) => (a - b) * (a - b))
+      val fold = aggregate(sq,
+        struct(lit(0.0).as("d"), lit(0.0).as("p"), lit(0).as("i")),
+        (st, x) => {
+          val p2 = st.getField("p") + x
+          val i2 = st.getField("i") + lit(1)
+          struct(
+            when(i2 % dsub === 0, st.getField("d") + p2)
+              .otherwise(st.getField("d")).as("d"),
+            when(i2 % dsub === 0, lit(0.0)).otherwise(p2).as("p"),
+            i2.as("i"))
+        },
+        st => st.getField("d"))
+      struct(fold.as("d"), ci.cast(IntegerType).as("cell"))
+    })
+  }
+
   /** IVF-ADC composed search (the FAISS IVFADC shape): coarse-
     * quantize the corpus into `nlist` cells, PQ-compress it, and
     * answer each query by scanning ONLY its `nprobe` nearest cells'
@@ -1036,84 +1134,18 @@ object Similarity {
     require(nlist >= 1 && nprobe >= 1 && nprobe <= nlist,
       s"need 1 <= nprobe <= nlist, got nprobe=$nprobe nlist=$nlist")
     require(k >= 1, "k must be positive")
+    // the heap carries ids as longs: a non-numeric id would cast to
+    // NULL and be SILENTLY skipped by every heap — fail by name at
+    // plan build instead (the pqAdcTopK contract, now enforced)
+    require(corpus.schema(cId).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"topKIvfAdc: neighbor id column `$cId` must be numeric " +
+        s"(castable to long), got ${corpus.schema(cId).dataType}")
     val dsub = dim / nsub
-    // coarse centroids: either tier is a parameter-bounded collect;
-    // cell id = rank order (ties to the lower id, the pqCodebook
-    // rule) in the sampled tier, Lloyd output order in production.
-    val cents: Array[Seq[Double]] = if (production) {
-      require(samplePerCell >= 1 &&
-        nlist.toLong * samplePerCell <= Int.MaxValue,
-        s"topKIvfAdc: nlist*samplePerCell = " +
-          s"${nlist.toLong * samplePerCell} not in [1, Int.MaxValue]")
-      val pts = corpus
-        .select(asDouble(col(vecCol)).as("_v"),
-          xxhash64(col(cId), lit(seed)).as("_h"),
-          col(cId).cast(StringType).as("_id"))
-        .orderBy(col("_h"), col("_id")).limit(nlist * samplePerCell)
-        .collect().map(_.getSeq[Double](0).toArray)
-      require(pts.nonEmpty, "topKIvfAdc: empty corpus")
-      pts.foreach(c => require(c.length == dim,
-        s"topKIvfAdc: vector of ${c.length} dims, expected $dim"))
-      val cs = LloydKernel.fit(pts, nlist, maxIter,
-        farthestSeeding = true)
-      require(cs.length == nlist,
-        s"topKIvfAdc: sample seeds only ${cs.length} distinct coarse " +
-          s"centroids for nlist=$nlist — lower nlist or raise " +
-          "samplePerCell")
-      cs.map(_.toSeq)
-    } else {
-      val cs = corpus.select(asDouble(col(vecCol)).as("_v"),
-          expr(s"cast(conv(substr(sha2(concat('ivf:$salt:', " +
-            s"cast(`$cId` as string)), 256), 1, 15), 16, 10) as bigint)")
-            .as("_rk"),
-          col(cId).cast(StringType).as("_id"))
-        .orderBy(col("_rk"), col("_id")).limit(nlist)
-        .collect().map(_.getSeq[Double](0))
-      // fewer corpus rows than nlist would leave phantom cells whose
-      // element_at reads past the centroid literal — null distances
-      // that sort FIRST in the struct ordering, silently degenerating
-      // the pruning (or an INVALID_ARRAY_INDEX error under ANSI)
-      require(cs.length == nlist,
-        s"topKIvfAdc: corpus has only ${cs.length} rows for " +
-          s"nlist=$nlist — lower nlist")
-      cs.foreach(c => require(c.length == dim,
-        s"topKIvfAdc: vector of ${c.length} dims, expected $dim"))
-      cs
-    }
-    // exact squared-L2 to every centroid as (d, cell) structs —
-    // array_min is argmin with the cell tiebreak. The sum nests as
-    // nsub sequential slot-sums of dsub sequential terms: the SAME
-    // value as one flat sum mathematically, but the GROUPING the
-    // oracle parity is proven for (q186 pinned list_sum ≡ Spark's
-    // sequential aggregate on dsub-length lists; a flat dim-length
-    // list_sum's summation order is not pinned anywhere). Shape:
-    // ONE transform over a single centroid-matrix literal with a
-    // single-pass struct-accumulator fold (running slot partial,
-    // flushed at each slot boundary — bit-identical rounding to the
-    // nested aggregates it replaces); the first formulation copied
-    // the whole nested-HOF tree once PER CELL and re-evaluated the
-    // squared-diff array once per slot, which made q214 the bench's
-    // slowest query on plan size alone.
-    def cellStructs(v: Column): Column = {
-      val centLit = typedlit(cents.map(_.toSeq))
-      transform(sequence(lit(0), lit(nlist - 1)), ci => {
-        val sq = zip_with(v, element_at(centLit, ci + 1),
-          (a, b) => (a - b) * (a - b))
-        val fold = aggregate(sq,
-          struct(lit(0.0).as("d"), lit(0.0).as("p"), lit(0).as("i")),
-          (st, x) => {
-            val p2 = st.getField("p") + x
-            val i2 = st.getField("i") + lit(1)
-            struct(
-              when(i2 % dsub === 0, st.getField("d") + p2)
-                .otherwise(st.getField("d")).as("d"),
-              when(i2 % dsub === 0, lit(0.0)).otherwise(p2).as("p"),
-              i2.as("i"))
-          },
-          st => st.getField("d"))
-        struct(fold.as("d"), ci.cast(IntegerType).as("cell"))
-      })
-    }
+    val cents = coarseCentroids(corpus, cId, vecCol, dim, nlist,
+      production, seed, maxIter, samplePerCell, salt)
+    def cellStructs(v: Column): Column =
+      cellDistStructs(cents, nlist, dsub)(v)
     val codebook =
       if (production) pqCodebookLloyd(corpus, cId, vecCol, dim, nsub,
         ncent, seed, maxIter, samplePerCent)

@@ -1089,4 +1089,82 @@ class DedupSpec extends SparkSuite {
     assert(removed > 0 && removed < total / 2,
       s"removed=$removed total=$total")
   }
+
+  test("semanticDedup: planted near-dups drop within cells, cross-cell pairs unseen, guard fires, production arm") {
+    import spark.implicits._
+    val dim = 8; val nsub = 2
+    // 4 clusters of 20 on ORTHOGONAL 2-coordinate blocks (cosine must
+    // separate clusters here, so the pqCodebookLloyd sign-pattern
+    // plant is wrong — its clusters 0/2 and 1/3 are PARALLEL
+    // directions that cosine cannot tell apart). Measured margins at
+    // jitter 0.25: same-cluster natural cos <= 0.99912, cross-cluster
+    // <= 0.143, planted copies ~ 1.0 -> tau = 0.9995 cleanly
+    // separates "same document re-embedded" from "same cluster".
+    // ids 100+ are 1.0009-scaled copies of ids ending in 0.
+    def mix(x0: Long): Long = {
+      var x = x0
+      x = (x ^ (x >>> 33)) * 0xff51afd7ed558ccdL
+      x = (x ^ (x >>> 33)) * 0xc4ceb9fe1a85ec53L
+      x ^ (x >>> 33)
+    }
+    def jit(i: Long, j: Int): Double =
+      ((((mix(i * 31 + j) >>> 11) % 2003L) / 1001.5) - 1.0) * 0.25
+    val centers = Array.tabulate(4, dim)((c, j) =>
+      if (j / 2 == c) 3.0 else 0.0)
+    val base = (0L until 80L).map { i =>
+      val c = (i % 4).toInt
+      (i, Array.tabulate(dim)(j => centers(c)(j) + jit(i, j)))
+    }
+    val planted = base.filter(_._1 % 10 == 0).map { case (i, v) =>
+      (i + 100L, v.map(_ * 1.0009))
+    }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+      .repartition(4)
+
+    val out = graft.llm.Dedup.semanticDedup(df, "vec_id", "embedding",
+        dim, nsub, nlist = 4, tauMicro = 999500L, salt = "t")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2))))
+      .toMap
+    // every row reported exactly once
+    assert(out.size === 88)
+    // each planted copy shares its original's cell (same cluster,
+    // jitter << margins) and drops — the original survives (lower id)
+    planted.foreach { case (pid, _) =>
+      val orig = pid - 100L
+      assert(out(pid)._1 === out(orig)._1, s"cells of $pid vs $orig")
+      assert(!out(pid)._2, s"planted $pid must drop")
+      assert(out(orig)._2, s"original $orig must survive")
+    }
+    // nothing else drops (natural cosines are far below tau)
+    assert(out.count(!_._2._2) === planted.size)
+
+    // production arm: identical schema and the SAME verdicts on this
+    // plant (farthest-seeded Lloyd cells also isolate the 4 clusters)
+    val prod = graft.llm.Dedup.semanticDedup(df, "vec_id", "embedding",
+        dim, nsub, nlist = 4, tauMicro = 999500L, production = true)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(prod === out.map { case (k, v) => k -> v._2 })
+
+    // the quadratic guard names an over-full cell and routes to LSH
+    val e = intercept[Exception] {
+      graft.llm.Dedup.semanticDedup(df, "vec_id", "embedding",
+        dim, nsub, nlist = 4, tauMicro = 999500L, salt = "t",
+        maxCellRows = 5L).collect()
+    }
+    assert(e.getMessage.contains("maxBlock") ||
+      Option(e.getCause).exists(_.getMessage.contains("maxBlock")),
+      e.getMessage)
+
+    // a zero-norm vector's cosine is NaN: it certifies nothing, so it
+    // neither drops nor drags a neighbor down (without the explicit
+    // NaN rule, the non-ANSI NaN→0 cast would decide the verdict)
+    val withZero = (base ++ planted ++ Seq((500L, Array.fill(dim)(0.0))))
+      .toDF("vec_id", "embedding")
+    val z = graft.llm.Dedup.semanticDedup(withZero, "vec_id",
+        "embedding", dim, nsub, nlist = 4, tauMicro = 999500L,
+        salt = "t")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(z(500L), "zero-norm row must stay kept")
+    assert(z.count(!_._2) === planted.size)
+  }
 }

@@ -362,4 +362,42 @@ class SelectionSpec extends SparkSuite {
     // both annotators constant and identical -> p_e = 1 -> NULL
     assert(kap(Seq(("d", "x", "x"), ("d", "x", "x")))("d")._3 === None)
   }
+
+  test("dpoPairs: picks, strict margin, ties to lower id, null hygiene, singletons never pair") {
+    import spark.implicits._
+    val cand = Seq(
+      // prompt A: clear order -> (a3 chosen, a1 rejected), margin 500
+      ("A", "a1", 100L), ("A", "a2", 300L), ("A", "a3", 600L),
+      // prompt B: all tied -> chosen == rejected impossible, margin 0 -> no row
+      ("B", "b1", 400L), ("B", "b2", 400L),
+      // prompt C: margin 5 below the 10 floor -> no row
+      ("C", "c1", 100L), ("C", "c2", 105L),
+      // prompt D: ties at BOTH ends -> lower id wins both picks
+      ("D", "d4", 900L), ("D", "d2", 900L), ("D", "d9", 50L), ("D", "d7", 50L),
+      // prompt E: singleton -> never pairs
+      ("E", "e1", 999L),
+      // null score / null prompt rows are excluded before grouping
+      ("A", "a9", -1L), (null, "x1", 500L))
+      .toDF("prompt", "cand", "score")
+      .withColumn("score", when(col("cand") === "a9",
+        lit(null).cast("long")).otherwise(col("score")))
+    val r = graft.llm.Selection.dpoPairs(cand, "prompt", "cand",
+        "score", minMarginMicro = 10L)
+      .collect().map(x => x.getString(0) ->
+        ((x.getString(1), x.getString(2), x.getLong(3), x.getLong(4))))
+      .toMap
+    assert(r.keySet === Set("A", "D"))
+    assert(r("A") === (("a3", "a1", 500L, 3L)))
+    assert(r("D") === (("d2", "d7", 850L, 4L)))
+    // the strict floor is a contract, not a default
+    intercept[IllegalArgumentException] {
+      graft.llm.Selection.dpoPairs(cand, "prompt", "cand", "score",
+        minMarginMicro = 0L)
+    }
+    // determinism across invocations
+    val again = graft.llm.Selection.dpoPairs(cand, "prompt", "cand",
+        "score", minMarginMicro = 10L)
+      .collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(again === r.map { case (k, v) => k -> v._1 })
+  }
 }

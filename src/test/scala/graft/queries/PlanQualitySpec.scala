@@ -546,6 +546,24 @@ class PlanQualitySpec extends SparkSuite {
       !p.contains("SortMergeJoin"), p.take(1500))
   }
 
+  test("q216/q217: semantic dedup joins only inside cells (no cartesian, no window); DPO pairs is ONE aggregate") {
+    val p216 = plan("q216_semantic_dedup")
+    // centroids collect at plan BUILD (bounded); the returned plan is
+    // the map-only assignment + the cell-key equi self-join — never a
+    // cartesian, and the keep rule is an anti-style left join, not a
+    // rank window
+    assert(!p216.contains("CartesianProduct") &&
+      !p216.contains("BroadcastNestedLoopJoin") &&
+      !p216.contains("Window"), p216.take(1500))
+    val p217 = plan("q217_dpo_pairs")
+    // both picks are min_by inside ONE hash aggregate — no join, no
+    // window, one scan
+    assert(!p217.contains("Join") && !p217.contains("Window"),
+      p217.take(1500))
+    assert(scanCount(p217) == 1, s"expected 1 parquet scan, got " +
+      s"${scanCount(p217)}\n${p217.take(1500)}")
+  }
+
   test("q213: byte-BPE serve is map-only — merge training happens at plan build, the returned plan has no join/window") {
     val p = plan("q213_byte_bpe_encode")
     // the 6 merge rounds are driver-looped incremental aggregates at
