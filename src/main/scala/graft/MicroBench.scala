@@ -100,6 +100,82 @@ object MicroBench {
         val run = () => graft.SparkEntry
           .queries("q97_dedup_resolve")(spark, sfDir)
         Seq("q97" -> run)
+      case "ivfadc" =>
+        // the production IVFADC tier at 1M×64d (Lloyd arms + native
+        // cell kernel + in-aggregate pruning) vs the flat bounded-
+        // state ADC scan over the SAME Lloyd codebook — the value
+        // of the coarse pruning at scale (nprobe/nlist = 8/64: each
+        // query scans ~1/8 of the corpus's codes). The SAMPLED tier
+        // is deliberately absent here: its interpreted fold is the
+        // oracle-replay arm, already exercised at bench scale (q214).
+        graft.expressions.NativeFunctions.register(spark)
+        val vecs = spark.range(1000000L).select(col("id"),
+          expr("transform(sequence(0, 63), " +
+            "j -> cast(sin(id * 64 + j) as float))").as("embedding"))
+          .repartition(32).cache()
+        vecs.count()
+        def queriesOf(n: Long) =
+          vecs.filter(col("id") % (1000000L / n) === 0).cache()
+        val cbLloyd = graft.llm.Similarity.pqCodebookLloyd(vecs, "id",
+          "embedding", 64, 8, 16)
+        def ivf(qs: org.apache.spark.sql.DataFrame) = () =>
+          graft.llm.Similarity.topKIvfAdc(qs, vecs,
+            "id", "id", "embedding", dim = 64, nsub = 8, ncent = 16,
+            nlist = 64, nprobe = 8, k = 100, production = true)
+        def flat(qs: org.apache.spark.sql.DataFrame) = () =>
+          graft.llm.Similarity.pqAdcTopK(qs, vecs,
+            "id", "id", "embedding", cbLloyd, 64, 8, 16, k = 100)
+        val q100 = queriesOf(100L); q100.count()
+        val q1k = queriesOf(1000L); q1k.count()
+        Seq("ivfadc_production_100q" -> ivf(q100),
+          "flat_adc_100q" -> flat(q100),
+          "ivfadc_production_1000q" -> ivf(q1k),
+          "flat_adc_1000q" -> flat(q1k))
+      case "semdedup" =>
+        // semanticDedup at 1M×64d, production arm: nlist controls the
+        // per-cell quadratic (1M/2048 ≈ 490 rows/cell → ~120k pairs/
+        // cell → ~245M in-cell cosines corpus-wide, vs the 5·10¹¹ of
+        // all-pairs). The driver-side Lloyd is the other knob: cost ∝
+        // sample·nlist·dim·iters, so the scenario trains on a
+        // 4-per-cell sample at 4 iterations (the honest trade SCALE.md
+        // documents — past ~10⁴ cells, train hierarchically). Every
+        // 10th vector is a planted 1.0009-scaled near-dup of its
+        // predecessor, so the drop count is known and asserted.
+        // maxCellRows rides at 12k: UNIFORM random vectors are
+        // Lloyd's worst case (no cluster structure), so cells skew
+        // ~10x around the 488-row mean — the first run's 5k cap
+        // fail-fasted on a 5213-row cell, which is the guard doing
+        // its job; real embedding corpora cluster far tighter.
+        graft.expressions.NativeFunctions.register(spark)
+        // hash-derived components, NOT sin(i·64+j): sinusoidal ids
+        // have near-parallel pairs at every Δ with 64Δ ≈ 0 (mod 2π),
+        // which would plant unknown extra near-dups; hash components
+        // make cos > 0.999 between distinct ids astronomically
+        // unlikely at dim 64
+        val vecs = spark.range(1000000L).select(col("id"),
+          expr("""transform(sequence(0, 63), j -> cast(
+            (pmod(xxhash64((CASE WHEN id % 10 = 9 THEN id - 1
+                            ELSE id END) * 64 + j, 7L), 2003)
+              / 1001.5 - 1.0)
+            * (CASE WHEN id % 10 = 9 THEN 1.0009 ELSE 1.0 END)
+            as float))""").as("embedding"))
+          .repartition(32).cache()
+        vecs.count()
+        def sd() = graft.llm.Dedup.semanticDedup(vecs, "id",
+          "embedding", dim = 64, nsub = 8, nlist = 2048,
+          tauMicro = 999000L, production = true, maxIter = 4,
+          samplePerCell = 4, maxCellRows = 12000L)
+        val run = () => sd()
+        val check = () => {
+          val dropped = sd().filter(!col("kept")).count()
+          // planted copies drop iff they share their original's cell;
+          // planted pairs are near-identical points, so co-location
+          // is near-certain — demand the bulk of the plant found
+          require(dropped >= 90000L && dropped <= 101000L,
+            s"expected ~100k planted drops, got $dropped")
+          spark.range(1).toDF("ok")
+        }
+        Seq("semdedup_1m" -> run, "semdedup_1m_checked" -> check)
       case "bytebpe" =>
         // byte-BPE vs char-BPE training cost at 1M docs, 6 merge
         // rounds each (the SCALE.md measurement the r11 verdict

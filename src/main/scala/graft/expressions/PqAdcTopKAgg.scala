@@ -155,110 +155,154 @@ case class PqAdcTopKAgg(
     copy(left = newLeft, right = newRight)
 }
 
-/** The per-GROUP arm of the same k-bounded heap: top-k (value, id)
-  * pairs per grouping key via `groupBy(...).agg`, for stages where
-  * candidates arrive already scored per group — the IVF-ADC cell
-  * join emits (query_id, neighbor_id, adc_micro) rows, and a rank
-  * window over them would shuffle-sort EVERY candidate of a group
-  * into one task just to keep k. Here the state is one k-bounded
-  * (value, id) TreeSet per group and partials merge associatively,
-  * so map-side combine bounds the shuffle at k pairs per
-  * (partition, group) and nothing ever sorts more than k rows.
+/** The IVFADC scan as ONE bounded-state aggregate: [[PqAdcTopKAgg]]
+  * with the coarse pruning moved INSIDE — each corpus row's codes are
+  * ADC-scored against ONLY the queries probing the row's cell
+  * (`cellQueries(cell)`), so both FAISS prunings happen in a single
+  * corpus pass with nq·k pairs of state and NO row expansion.
   *
-  * Determinism: identical contract to [[PqAdcTopKAgg]] — a candidate
-  * replaces the current worst iff (value, id) < worst
-  * lexicographically, exactly `ORDER BY value ASC, id ASC` +
-  * `row_number() <= k`. NULL value or id rows are skipped (a
-  * candidate without a score must never outrank one with a score —
-  * the same rule the flat ADC scan pinned).
+  * This replaces the cell-key broadcast join: that shape multiplied
+  * every corpus row by the ~nq·nprobe/nlist probes matching its cell
+  * and carried a codes array + a LUT array on every expanded row —
+  * measured at 1M×64d, 100 queries, nprobe/nlist = 8/64, the joined
+  * form ran 13.0 s while the UNPRUNED flat aggregate ran 1.07 s: the
+  * row machinery of the expansion cost 12× more than the 8× lookup
+  * reduction saved (the same 10:1 lesson the flat scan's rewrite
+  * measured in r10). With the pruning in-aggregate the lookup savings
+  * are kept and the expansion is gone.
   *
-  * Output: array<struct<rank int, id long, value long>> — explode
-  * and rename at the call site. */
-case class GroupTopKAgg(
-    left: Expression,  // value (long), ascending
-    right: Expression, // id (long), ascending tiebreak
+  * Determinism: identical contract to [[PqAdcTopKAgg]] — insert iff
+  * (adc, id) < worst. Rows with NULL id/codes/cell, or a cell outside
+  * [0, cellQueries.length), are skipped. Output: the same
+  * array<struct<q_idx, rank, neighbor_id, adc_micro>>. */
+case class PqAdcCellTopKAgg(
+    first: Expression,  // neighbor id (long)
+    second: Expression, // PQ codes (array<int>)
+    third: Expression,  // coarse cell (int)
+    luts: Array[Array[Long]],
+    cellQueries: Array[Array[Int]],
     k: Int,
+    ncent: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.TreeSet[(Long, Long)]]
-  with BinaryLike[Expression] {
+  extends TypedImperativeAggregate[Array[mutable.TreeSet[(Long, Long)]]]
+  with org.apache.spark.sql.catalyst.trees.TernaryLike[Expression] {
 
   require(k >= 1 && k <= 65536, s"k must be in [1, 65536], got $k")
+  require(luts.nonEmpty && luts.length <= 65536,
+    s"need 1..65536 query LUTs, got ${luts.length}")
+  require(cellQueries.forall(_.forall(q => q >= 0 && q < luts.length)),
+    "cellQueries indexes outside the LUT table")
 
-  override def prettyName: String = "graft_group_topk"
+  override def prettyName: String = "graft_pq_adc_cell_topk"
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("q_idx", IntegerType, nullable = false),
     StructField("rank", IntegerType, nullable = false),
-    StructField("id", LongType, nullable = false),
-    StructField("value", LongType, nullable = false))),
+    StructField("neighbor_id", LongType, nullable = false),
+    StructField("adc_micro", LongType, nullable = false))),
     containsNull = false)
 
-  override def createAggregationBuffer(): mutable.TreeSet[(Long, Long)] =
-    mutable.TreeSet.empty[(Long, Long)]
+  override def createAggregationBuffer(): Array[mutable.TreeSet[(Long, Long)]] =
+    Array.fill(luts.length)(mutable.TreeSet.empty[(Long, Long)])
 
   private def insert(heap: mutable.TreeSet[(Long, Long)],
-      value: Long, id: Long): Unit = {
-    if (heap.size < k) heap += ((value, id))
+      adc: Long, id: Long): Unit = {
+    if (heap.size < k) heap += ((adc, id))
     else {
       val worst = heap.last
-      if (value < worst._1 || (value == worst._1 && id < worst._2)) {
+      if (adc < worst._1 || (adc == worst._1 && id < worst._2)) {
         heap -= worst
-        heap += ((value, id))
+        heap += ((adc, id))
       }
     }
   }
 
-  override def update(buf: mutable.TreeSet[(Long, Long)],
-      input: InternalRow): mutable.TreeSet[(Long, Long)] = {
-    val v = left.eval(input)
-    val idv = right.eval(input)
-    if (v != null && idv != null) {
-      insert(buf, v.asInstanceOf[Long], idv.asInstanceOf[Long])
+  override def update(buf: Array[mutable.TreeSet[(Long, Long)]],
+      input: InternalRow): Array[mutable.TreeSet[(Long, Long)]] = {
+    val idv = first.eval(input)
+    val cv = second.eval(input)
+    val cellv = third.eval(input)
+    if (idv != null && cv != null && cellv != null) {
+      val cell = cellv.asInstanceOf[Int]
+      if (cell >= 0 && cell < cellQueries.length) {
+        val id = idv.asInstanceOf[Long]
+        val codes = cv.asInstanceOf[ArrayData]
+        val n = codes.numElements()
+        val qs = cellQueries(cell)
+        var i = 0
+        while (i < qs.length) {
+          val qi = qs(i)
+          val lut = luts(qi)
+          var acc = 0L
+          var s = 0
+          while (s < n) {
+            acc += lut(s * ncent + codes.getInt(s))
+            s += 1
+          }
+          insert(buf(qi), acc, id)
+          i += 1
+        }
+      }
     }
     buf
   }
 
-  override def merge(buf: mutable.TreeSet[(Long, Long)],
-      other: mutable.TreeSet[(Long, Long)]): mutable.TreeSet[(Long, Long)] = {
-    other.foreach { case (value, id) => insert(buf, value, id) }
+  override def merge(buf: Array[mutable.TreeSet[(Long, Long)]],
+      other: Array[mutable.TreeSet[(Long, Long)]]): Array[mutable.TreeSet[(Long, Long)]] = {
+    var qi = 0
+    while (qi < luts.length) {
+      other(qi).foreach { case (adc, id) => insert(buf(qi), adc, id) }
+      qi += 1
+    }
     buf
   }
 
-  override def eval(buf: mutable.TreeSet[(Long, Long)]): Any = {
-    val rows = new Array[Any](buf.size)
-    var r = 0
-    buf.foreach { case (value, id) =>
-      rows(r) = new GenericInternalRow(Array[Any](r + 1, id, value))
-      r += 1
+  override def eval(buf: Array[mutable.TreeSet[(Long, Long)]]): Any = {
+    val rows = mutable.ArrayBuffer.empty[InternalRow]
+    var qi = 0
+    while (qi < luts.length) {
+      var r = 1
+      buf(qi).foreach { case (adc, id) =>
+        rows += new GenericInternalRow(Array[Any](qi, r, id, adc))
+        r += 1
+      }
+      qi += 1
     }
-    new GenericArrayData(rows)
+    new GenericArrayData(rows.toArray)
   }
 
-  override def serialize(buf: mutable.TreeSet[(Long, Long)]): Array[Byte] = {
+  override def serialize(buf: Array[mutable.TreeSet[(Long, Long)]]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
-    out.writeInt(buf.size)
-    buf.foreach { case (value, id) =>
-      out.writeLong(value); out.writeLong(id)
+    out.writeInt(buf.length)
+    buf.foreach { heap =>
+      out.writeInt(heap.size)
+      heap.foreach { case (adc, id) =>
+        out.writeLong(adc); out.writeLong(id)
+      }
     }
     out.flush()
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.TreeSet[(Long, Long)] = {
+  override def deserialize(bytes: Array[Byte]): Array[mutable.TreeSet[(Long, Long)]] = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val n = in.readInt()
-    val heap = mutable.TreeSet.empty[(Long, Long)]
-    var i = 0
-    while (i < n) { heap += ((in.readLong(), in.readLong())); i += 1 }
-    heap
+    val nq = in.readInt()
+    Array.fill(nq) {
+      val n = in.readInt()
+      val heap = mutable.TreeSet.empty[(Long, Long)]
+      var i = 0
+      while (i < n) { heap += ((in.readLong(), in.readLong())); i += 1 }
+      heap
+    }
   }
 
-  override def withNewMutableAggBufferOffset(newOffset: Int): GroupTopKAgg =
+  override def withNewMutableAggBufferOffset(newOffset: Int): PqAdcCellTopKAgg =
     copy(mutableAggBufferOffset = newOffset)
-  override def withNewInputAggBufferOffset(newOffset: Int): GroupTopKAgg =
+  override def withNewInputAggBufferOffset(newOffset: Int): PqAdcCellTopKAgg =
     copy(inputAggBufferOffset = newOffset)
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): GroupTopKAgg =
-    copy(left = newLeft, right = newRight)
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): PqAdcCellTopKAgg =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }

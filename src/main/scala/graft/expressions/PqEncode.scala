@@ -115,3 +115,60 @@ case class PqAdcExpr(left: Expression, right: Expression, ncent: Int)
       newLeft: Expression, newRight: Expression): PqAdcExpr =
     copy(left = newLeft, right = newRight)
 }
+
+/** `graft_cell_assign(vec)` → int: coarse-quantizer cell assignment —
+  * argmin over `nlist` centroids of exact squared-L2, ties to the
+  * LOWER cell. The production-tier corpus kernel of the IVF
+  * compositions ([[graft.llm.Similarity.topKIvfAdc]],
+  * [[graft.llm.Dedup.semanticDedup]]): the relational form (array of
+  * per-cell distance structs + array_min) is an interpreted HOF whose
+  * ONE expensive input (the float→double cast transform) gets
+  * CollapseProject-inlined into every per-cell branch — measured at
+  * 1M×64d, nlist=64: the HOF form ran the cast 64× per row (~13 s for
+  * the corpus pass); this kernel reads the vector once and runs
+  * nlist·dim fused primitive ops (the [[PqEncodeExpr]] shape, one
+  * level up). The SAMPLED oracle tier keeps the relational fold — its
+  * nested sequential sums are what DuckDB replays. Centroids ride
+  * inside the expression (parameter-bounded: nlist·dim doubles). */
+case class CellAssignExpr(child: Expression, cents: Array[Double],
+    nlist: Int, dim: Int) extends UnaryExpression {
+
+  require(cents.length == nlist * dim,
+    s"centroid table length ${cents.length} != nlist*dim " +
+      s"(${nlist * dim})")
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_cell_assign"
+
+  override def nullSafeEval(v: Any): Any =
+    compute(v.asInstanceOf[ArrayData])
+
+  def compute(v: ArrayData): Int = {
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < nlist) {
+      val base = c * dim
+      var d = 0.0
+      var j = 0
+      while (j < dim) {
+        val diff = v.getDouble(j) - cents(base + j)
+        d += diff * diff
+        j += 1
+      }
+      if (d < bestD) { bestD = d; best = c } // tie keeps the lower cell
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftCellAssign", this,
+      classOf[CellAssignExpr].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CellAssignExpr = copy(child = newChild)
+}

@@ -1858,12 +1858,18 @@ object Dedup {
     // final projection — measured 5.5 s → the HOF re-ran ~4×); (2) it
     // pre-co-locates cells, so the in-cell self-join reuses ONE
     // exchange on both sides instead of shuffling twice.
+    // production assigns through the native CellAssignExpr kernel
+    // (vector read once); the sampled tier keeps the relational fold
+    // whose nested sums are the oracle replay
+    val cellCol: Column =
+      if (production)
+        Similarity.cellAssignColumn(cents, dim)(col(vecCol))
+      else array_min(Similarity.cellDistStructs(cents, nlist, dsub)(
+        Similarity.asDouble(col(vecCol)))).getField("cell")
     val assigned = corpus
       .select(col(idCol).as("vec_id"),
-        Similarity.asDouble(col(vecCol)).as("_v"))
-      .withColumn("cell",
-        array_min(Similarity.cellDistStructs(cents, nlist, dsub)(
-          col("_v"))).getField("cell"))
+        Similarity.asDouble(col(vecCol)).as("_v"),
+        cellCol.as("cell"))
       .repartition(col("cell"))
     // exact in-cell pairs (id_a < id_b), guarded by maxCellRows.
     // Zero-norm vectors are excluded from the pair computation BY

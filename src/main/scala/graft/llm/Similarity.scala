@@ -1085,6 +1085,44 @@ object Similarity {
     })
   }
 
+  /** The PRODUCTION-tier cell scorer: argmin ||v−c||² = argmin
+    * (|c|² − 2·c·v) over native `graft_dot` — one codegen'd dot per
+    * cell instead of [[cellDistStructs]]' interpreted per-element
+    * fold. Same argmin (dropping the row-constant |v|² preserves
+    * per-row ordering), NOT the same `d` values — which is exactly
+    * the tier split: the sampled tier keeps the oracle-replayable
+    * sequential sums, the production tier keeps the 100 TB-shaped
+    * arithmetic (measured: the interpreted fold runs ~1M
+    * element-lambdas per 250 rows at nlist=64 — hours at 1M rows;
+    * the native form is minutes of dot products). Requires
+    * `NativeFunctions.register`. */
+  private[llm] def nativeCellStructs(cents: Array[Seq[Double]])(
+      v: Column): Column =
+    array(cents.zipWithIndex.map { case (c, i) =>
+      val cn2 = c.map(x => x * x).sum
+      struct(
+        (lit(cn2) - lit(2.0) *
+          call_function("graft_dot", v, typedlit(c))).as("d"),
+        lit(i).cast(IntegerType).as("cell"))
+    }: _*)
+
+  /** The production-tier CORPUS cell assignment as one native kernel
+    * ([[graft.expressions.CellAssignExpr]]): reads the vector once,
+    * nlist·dim fused primitive ops — the per-cell relational forms
+    * (fold or native-dot array) re-evaluate their input expression
+    * once PER CELL under CollapseProject, which at 1M×64d, nlist=64
+    * meant 64 cast-transforms per row (~13 s of the corpus pass). */
+  private[llm] def cellAssignColumn(cents: Array[Seq[Double]],
+      dim: Int)(vec: Column): Column = {
+    val flat = new Array[Double](cents.length * dim)
+    cents.zipWithIndex.foreach { case (c, i) =>
+      var j = 0
+      while (j < dim) { flat(i * dim + j) = c(j); j += 1 }
+    }
+    bridge.column(graft.expressions.CellAssignExpr(
+      bridge.expression(asDouble(vec)), flat, cents.length, dim))
+  }
+
   /** IVF-ADC composed search (the FAISS IVFADC shape): coarse-
     * quantize the corpus into `nlist` cells, PQ-compress it, and
     * answer each query by scanning ONLY its `nprobe` nearest cells'
@@ -1113,11 +1151,16 @@ object Similarity {
     * exact sequential-sum squared-L2 (the
     * `list_sum(list_transform(...))` parity form q186 pinned); ADC
     * sums are integer micro-units; ties to the lower cell /
-    * neighbor id. The final per-query top-k is the bounded-state
-    * [[graft.expressions.GroupTopKAgg]] heap — k (adc, id) pairs of
-    * state per query through partial/merge, never a rank window
-    * over the candidate set (SURVEY Part 7.5: the window form
-    * shuffle-sorts every candidate a query probes just to keep k).
+    * neighbor id. The whole search is ONE bounded-state aggregate
+    * over a single corpus pass
+    * ([[graft.expressions.PqAdcCellTopKAgg]]): each row's codes are
+    * scored against only the queries probing the row's cell, with
+    * k (adc, id) heap pairs of state per query — never a rank window
+    * over candidates (SURVEY Part 7.5) and never a cell-key join
+    * (measured: expanding rows by matching probes cost 12× more
+    * than the pruning saved at 1M×100q). Queries are the bounded
+    * side by contract: 1..65536 rows, numeric ids, one bounded
+    * collect for the LUTs and probe lists (the [[pqAdcTopK]] rule).
     * Approximation contract: candidates OUTSIDE the probed cells
     * are unseen by construction (that is the pruning), and ranking
     * inside them is ADC distance, not exact distance — re-rank a
@@ -1134,60 +1177,97 @@ object Similarity {
     require(nlist >= 1 && nprobe >= 1 && nprobe <= nlist,
       s"need 1 <= nprobe <= nlist, got nprobe=$nprobe nlist=$nlist")
     require(k >= 1, "k must be positive")
-    // the heap carries ids as longs: a non-numeric id would cast to
-    // NULL and be SILENTLY skipped by every heap — fail by name at
-    // plan build instead (the pqAdcTopK contract, now enforced)
-    require(corpus.schema(cId).dataType
-        .isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"topKIvfAdc: neighbor id column `$cId` must be numeric " +
-        s"(castable to long), got ${corpus.schema(cId).dataType}")
+    // ids ride the aggregate as longs: a non-numeric id would cast to
+    // NULL and be SILENTLY skipped by every heap (corpus side) or NPE
+    // at the collect (query side) — fail by name at plan build
+    // instead (the pqAdcTopK contract, enforced on both sides)
+    Seq(cId -> corpus, qId -> queries).foreach { case (c, df) =>
+      require(df.schema(c).dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"topKIvfAdc: id column `$c` must be numeric (castable to " +
+          s"long), got ${df.schema(c).dataType}")
+    }
     val dsub = dim / nsub
     val cents = coarseCentroids(corpus, cId, vecCol, dim, nlist,
       production, seed, maxIter, samplePerCell, salt)
+    // tier-split cell scorer: oracle-replayable interpreted fold in
+    // the sampled tier, native-dot argmin in production (identical
+    // argmin, 100 TB arithmetic — see nativeCellStructs)
+    if (production)
+      graft.expressions.NativeFunctions.register(corpus.sparkSession)
     def cellStructs(v: Column): Column =
-      cellDistStructs(cents, nlist, dsub)(v)
+      if (production) nativeCellStructs(cents)(v)
+      else cellDistStructs(cents, nlist, dsub)(v)
     val codebook =
       if (production) pqCodebookLloyd(corpus, cId, vecCol, dim, nsub,
         ncent, seed, maxIter, samplePerCent)
       else pqCodebook(corpus, cId, vecCol, dim, nsub, ncent, salt)
-    // ONE corpus pass: cell assignment + native PQ codes
+    // ONE corpus pass: cell assignment + native PQ codes. Production
+    // assigns through the native CellAssignExpr kernel (vector read
+    // once, fused loops); the sampled tier keeps the relational fold
+    // whose nested sums ARE the oracle replay.
+    val cellCol: Column =
+      if (production) cellAssignColumn(cents, dim)(col(vecCol))
+      else array_min(cellStructs(asDouble(col(vecCol))))
+        .getField("cell")
     val coded = corpus
       .select(col(cId).as("neighbor_id"),
-        asDouble(col(vecCol)).as("_cv"),
         pqCodesColumn(codebook, dim, nsub, ncent)(col(vecCol))
-          .as("codes"))
-      .select(col("neighbor_id"), col("codes"),
-        array_min(cellStructs(col("_cv"))).getField("cell").as("cell"))
-    // queries: nprobe nearest cells + the integer ADC LUT, broadcast
-    val probed = queries
-      .select(col(qId).as("query_id"), asDouble(col(vecCol)).as("_qv"))
+          .as("codes"),
+        cellCol.as("cell"))
+    // queries are the bounded side by this operator's contract (the
+    // pqAdcTopK rule: numeric ids, 1..65536 rows): ONE bounded
+    // collect yields each query's integer ADC LUT and its nprobe
+    // probed cells, computed IN-PLAN by the same expressions as the
+    // LUT/probe columns always were — the sampled tier's oracle
+    // replay is value-identical.
+    val qRows = queries
+      .select(col(qId).cast(LongType).as("query_id"),
+        asDouble(col(vecCol)).as("_qv"))
       .crossJoin(broadcast(codebookArray(codebook)))
       .select(col("query_id"),
         transform(col("_cb"), e =>
           floor(sqDist(e, col("_qv"), e.getField("slot") * dsub, dsub) *
             lit(1e6)).cast(LongType)).as("_lut"),
-        explode(transform(
-          slice(array_sort(cellStructs(col("_qv"))), 1, nprobe),
-          s => s.getField("cell"))).as("cell"))
-    // final per-query top-k: the k-bounded heap aggregate — map-side
-    // partials carry ≤k (adc, id) pairs per (partition, query), the
-    // one exchange hashes on query_id, and nothing ever sorts the
-    // candidate set (a rank window here would shuffle-sort every
-    // probed candidate of a query into one task just to keep k)
-    val scored = coded.join(broadcast(probed), Seq("cell"))
-      .select(col("query_id"),
-        col("neighbor_id").cast(LongType).as("_nid"),
-        bridge.column(graft.expressions.PqAdcExpr(
-          bridge.expression(col("codes")),
-          bridge.expression(col("_lut")), ncent)).as("adc_micro"))
-    val heap = graft.expressions.GroupTopKAgg(
-      bridge.expression(col("adc_micro")),
-      bridge.expression(col("_nid")), k)
-    scored.groupBy("query_id")
-      .agg(bridge.column(heap.toAggregateExpression()).as("_tk"))
-      .select(col("query_id"), explode(col("_tk")).as("r"))
-      .select(col("query_id"), col("r.rank").as("rank"),
-        col("r.id").as("neighbor_id"), col("r.value").as("adc_micro"))
+        transform(slice(array_sort(cellStructs(col("_qv"))), 1, nprobe),
+          s => s.getField("cell")).as("_cells"))
+      .collect()
+    require(qRows.nonEmpty && qRows.length <= 65536,
+      s"topKIvfAdc: need 1..65536 queries, got ${qRows.length}")
+    val luts = qRows.map(_.getSeq[Long](1).toArray)
+    val cellQueries: Array[Array[Int]] = {
+      val m = Array.fill(nlist)(
+        scala.collection.mutable.ArrayBuffer.empty[Int])
+      qRows.zipWithIndex.foreach { case (r, qi) =>
+        r.getSeq[Int](2).foreach(c => m(c) += qi)
+      }
+      m.map(_.toArray)
+    }
+    // final stage: BOTH prunings inside ONE bounded-state aggregate —
+    // a single corpus pass scores each row's codes against only the
+    // queries probing its cell (nq·k heap pairs of state; the first
+    // formulation joined the probes onto the corpus by cell key,
+    // which expanded every row ~nq·nprobe/nlist times with array
+    // payloads — measured 13.0 s at 1M×100q vs 1.07 s for the
+    // UNPRUNED flat aggregate: row machinery over arithmetic, the
+    // r10 lesson — the in-aggregate pruning keeps the lookup savings
+    // without the expansion)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qidx = spark.createDataset(
+      qRows.toSeq.zipWithIndex.map { case (r, i) => (i, r.getLong(0)) })
+      .toDF("q_idx", "query_id")
+    val agg = graft.expressions.PqAdcCellTopKAgg(
+      bridge.expression(col("neighbor_id").cast(LongType)),
+      bridge.expression(col("codes")),
+      bridge.expression(col("cell")), luts, cellQueries, k, ncent)
+    coded.agg(bridge.column(agg.toAggregateExpression()).as("_tk"))
+      .select(explode(col("_tk")).as("r"))
+      .select(col("r.q_idx").as("q_idx"), col("r.rank").as("rank"),
+        col("r.neighbor_id").as("neighbor_id"),
+        col("r.adc_micro").as("adc_micro"))
+      .join(broadcast(qidx), Seq("q_idx"))
+      .select("query_id", "rank", "neighbor_id", "adc_micro")
   }
 
   /** Probe a persisted ANN index: signature the queries under the

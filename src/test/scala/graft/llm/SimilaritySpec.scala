@@ -444,36 +444,6 @@ class SimilaritySpec extends SparkSuite {
       eNl.getMessage.contains("only 10"), eNl.getMessage)
   }
 
-  test("GroupTopKAgg: per-group heap ≡ rank window (ties, nulls, k bound, partials)") {
-    import spark.implicits._
-    import org.apache.spark.sql.{GraftColumnBridge => bridge}
-    // deterministic mix with planted ties (value = i % 7) and nulls
-    val rows = (0L until 200L).map { i =>
-      val g = (i % 5).toString
-      val v: java.lang.Long = if (i % 31 == 0) null else (i % 7)
-      (g, v, i)
-    }
-    val df = rows.toDF("g", "v", "id").repartition(8)
-    val heap = graft.expressions.GroupTopKAgg(
-      bridge.expression(col("v")), bridge.expression(col("id")), 4)
-    val got = df.groupBy("g")
-      .agg(bridge.column(heap.toAggregateExpression()).as("_tk"))
-      .select(col("g"), explode(col("_tk")).as("r"))
-      .select(col("g"), col("r.rank").as("rank"), col("r.id").as("id"),
-        col("r.value").as("v"))
-      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
-        r.getLong(3))).toSet
-    // reference: ORDER BY v ASC, id ASC + row_number <= 4, nulls dropped
-    val want = rows.filter(_._2 != null)
-      .groupBy(_._1).flatMap { case (g, rs) =>
-        rs.map(r => (r._2.longValue(), r._3)).sorted.take(4).zipWithIndex
-          .map { case ((v, id), i) => (g, i + 1, id, v) }
-      }.toSet
-    assert(got === want)
-    // every group emits exactly k rows (200/5 = 40 >> 4 candidates)
-    assert(got.groupBy(_._1).forall(_._2.size == 4))
-  }
-
   test("topKIvfAdc production tier: Lloyd arms, identical shape, full-probe ≡ flat Lloyd ADC, planted recall ≥ sampled") {
     import spark.implicits._
     val dim = 8; val nsub = 2; val ncent = 4; val dsub = dim / nsub

@@ -502,31 +502,22 @@ class PlanQualitySpec extends SparkSuite {
   private def scanCount(p: String): Int =
     "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
 
-  test("q214: IVF-ADC — heap top-k (no candidate rank window), one corpus pass for cell+codes, probes broadcast") {
+  test("q214: IVF-ADC — ONE corpus pass, both prunings in-aggregate, no window, no candidate join") {
     val p = plan("q214_ivf_adc_topk")
-    // the final per-query top-k is the bounded-state GroupTopKAgg
-    // heap, never a rank window over the probed candidates: the ONLY
-    // Window in the plan is the codebook's rank over its
-    // TakeOrdered ncent-row sample (the audited parameter-bounded
-    // site), sitting directly above TakeOrderedAndProject
-    assert(p.contains("graft_group_topk"), p.take(1500))
-    val treeWindows = "\\+- Window".r.findAllIn(p).length
-    assert(treeWindows == 1 &&
-      p.contains("Window (") &&
-      "Window \\(\\d+\\)\\s*\\n\\s*\\+- TakeOrderedAndProject".r
-        .findFirstIn(p).isDefined,
-      s"want exactly the bounded codebook-sample window\n${p.take(1800)}")
-    // exactly three parquet scans: ONE corpus pass producing BOTH the
-    // cell assignment and the PQ codes, the (filtered) query side,
-    // and the bounded TakeOrdered codebook sample
-    assert(scanCount(p) == 3, s"expected 3 parquet scans, got " +
+    // the whole search is the bounded-state PqAdcCellTopKAgg over a
+    // single corpus scan (quantizers and query LUTs/probes are
+    // bounded plan-BUILD collects); the only join is the ≤nq-row
+    // q_idx broadcast back to query ids — never a cell-key join
+    // expanding corpus rows by matching probes, never a rank window
+    assert(p.contains("graft_pq_adc_cell_topk"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+    assert(scanCount(p) == 1, s"expected 1 parquet scan, got " +
       s"${scanCount(p)}\n${p.take(1500)}")
-    // the small probed side broadcasts onto the coded corpus
     assert(p.contains("BroadcastHashJoin") &&
       !p.contains("SortMergeJoin"), p.take(1500))
   }
 
-  test("topKIvfAdc production arm: same plan discipline — heap top-k, no window, broadcast probe join") {
+  test("topKIvfAdc production arm: same single-pass plan discipline") {
     // not a SparkEntry query (Lloyd arms are rows-only-checkable, the
     // q44 caveat) — build the plan directly on the same table
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
@@ -536,12 +527,14 @@ class PlanQualitySpec extends SparkSuite {
       ncent = 16, nlist = 8, nprobe = 3, k = 5, production = true)
     val p = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    assert(p.contains("graft_group_topk"), p.take(1500))
-    // BOTH quantizers are driver-trained literals in the production
-    // arm: no window anywhere, and only the two data scans remain
+    assert(p.contains("graft_pq_adc_cell_topk"), p.take(1500))
     assert(!p.contains("Window"), p.take(1500))
-    assert(scanCount(p) == 2, s"expected 2 parquet scans, got " +
+    assert(scanCount(p) == 1, s"expected 1 parquet scan, got " +
       s"${scanCount(p)}\n${p.take(1500)}")
+    // the production corpus assignment is the NATIVE one-read kernel —
+    // the interpreted oracle-replay fold must not appear in this plan
+    assert(p.contains("graft_cell_assign"), p.take(1500))
+    assert(!p.contains("aggregate(sequence"), p.take(1500))
     assert(p.contains("BroadcastHashJoin") &&
       !p.contains("SortMergeJoin"), p.take(1500))
   }
