@@ -575,19 +575,20 @@ object R11Queries {
         .orderBy("doc_id")
     }),
 
-    // [EXT] IVF-ADC composed ANN search (FAISS IVFADC): coarse cells
-    // prune the candidate rows (nprobe/nlist of the corpus per
-    // query), PQ codes prune the per-candidate arithmetic (nsub LUT
-    // lookups, native), and the final per-query top-k is the
-    // bounded-state GroupTopKAgg heap (k pairs of state per query —
-    // no rank window over the candidates). Both quantizers here are
+    // [EXT] IVF-ADC composed ANN search (FAISS IVFADC) as ONE
+    // bounded-state aggregate over a single corpus pass
+    // (PqAdcCellTopKAgg): coarse cells prune the candidate rows
+    // (each row's codes score only against the queries probing its
+    // cell), PQ codes prune the per-candidate arithmetic (nsub
+    // native LUT lookups), state is nq·k heap pairs — no rank
+    // window, no cell-key candidate join. Both quantizers here are
     // the hash-rank-sampled oracle tiers, so DuckDB replays every
     // cell assignment, code, LUT entry and rank; `production = true`
     // swaps BOTH arms to Lloyd (farthest-seeded coarse cells +
-    // pqCodebookLloyd) through the identical plan — rows-only
-    // checkable, spec-pinned (SimilaritySpec production tier,
-    // PlanQualitySpec production arm) and recall-measured
-    // (PqRecallProbe ivfadc rows, SCALE.md).
+    // pqCodebookLloyd) plus the native graft_cell_assign corpus
+    // kernel — rows-only checkable, spec-pinned (SimilaritySpec
+    // production tier, PlanQualitySpec both arms) and
+    // recall-measured (PqRecallProbe ivfadc rows, SCALE.md).
     "q214_ivf_adc_topk" -> ((s, d) => {
       val emb = T.embeddings(s, d)
       graft.llm.Similarity.topKIvfAdc(
