@@ -1270,6 +1270,68 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "adc_micro")
   }
 
+  /** MMR diversified re-ranking (Carbonell & Goldstein 1998): per
+    * query, greedily pick k candidates maximizing
+    * λ·rel − (1−λ)·maxSim(c, already-picked) — the rerank stage that
+    * keeps near-duplicate hits from crowding a retrieval shortlist
+    * (λ=1 is plain relevance ranking; λ→0 is pure diversity). ONE
+    * grouped bounded-state aggregate
+    * ([[graft.expressions.MmrTopKAgg]]): the greedy needs the whole
+    * shortlist per query before its first pick, so this is a RERANK
+    * operator by contract — its input is a prior retrieval's top-N
+    * ([[pqAdcTopK]]/[[topKIvfAdc]]/[[probeAnnIndex]] output joined
+    * back to vectors), and an in-plan guard fails by name when any
+    * query exceeds `maxCandidates` (the embeddingPairsExact
+    * discipline) BEFORE anything buffers. Relevance is integer
+    * micro-units by contract; sims are floor(cos·10⁶) over the
+    * nested nsub×dsub sequential dot (the q186 oracle grouping), so
+    * every pick and score is engine-exact; ties to the lower id.
+    * Candidate ids must be numeric. Output: (query_id, rank,
+    * cand_id, mmr_micro) — mmr_micro is the score at selection
+    * time. */
+  def mmrRerank(candidates: DataFrame, qId: String, cId: String,
+      vecCol: String, relCol: String, dim: Int, nsub: Int,
+      k: Int = 5, lambdaMicro: Long = 700000L,
+      maxCandidates: Int = 2000): DataFrame = {
+    require(dim >= 1 && nsub >= 1 && dim % nsub == 0,
+      s"dim $dim not divisible by nsub $nsub")
+    require(maxCandidates >= 1, "maxCandidates must be positive")
+    require(corpus2Numeric(candidates, cId),
+      s"mmrRerank: candidate id column `$cId` must be numeric " +
+        s"(castable to long), got ${candidates.schema(cId).dataType}")
+    val base = candidates.select(col(qId).as("query_id"),
+      col(cId).cast(LongType).as("_id"),
+      col(relCol).cast(LongType).as("_rel"),
+      asDouble(col(vecCol)).as("_v"))
+    // shortlist guard, in-plan: per-query counts are bounded by the
+    // query count; an over-full query poisons its own rows by name
+    val counts = base.groupBy("query_id")
+      .agg(count(lit(1)).as("_qn"))
+    val guarded = base.join(broadcast(counts), Seq("query_id"))
+      .withColumn("_id",
+        when(col("_qn") > maxCandidates,
+          raise_error(concat(lit("mmrRerank: query '"),
+            col("query_id").cast(StringType),
+            lit(s"' has "), col("_qn").cast(StringType),
+            lit(s" candidates, over maxCandidates=$maxCandidates — "
+              + "rerank a bounded retrieval shortlist, not a corpus")))
+            .cast(LongType))
+          .otherwise(col("_id")))
+      .drop("_qn")
+    val agg = graft.expressions.MmrTopKAgg(
+      bridge.expression(col("_id")), bridge.expression(col("_rel")),
+      bridge.expression(col("_v")), k, lambdaMicro, nsub)
+    guarded.groupBy("query_id")
+      .agg(bridge.column(agg.toAggregateExpression()).as("_mm"))
+      .select(col("query_id"), explode(col("_mm")).as("r"))
+      .select(col("query_id"), col("r.rank").as("rank"),
+        col("r.id").as("cand_id"), col("r.mmr_micro").as("mmr_micro"))
+  }
+
+  private def corpus2Numeric(df: DataFrame, c: String): Boolean =
+    df.schema(c).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+
   /** Probe a persisted ANN index: signature the queries under the
     * index's OWN banding parameters (map-only, broadcast), candidate
     * join against the bucketed sigs table — keys only, exchange-free

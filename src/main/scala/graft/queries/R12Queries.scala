@@ -39,6 +39,27 @@ object R12Queries {
         .orderBy("vec_id")
     }),
 
+    // [EXT] MMR diversified re-ranking (Carbonell & Goldstein
+    // 1998): per query (label group), greedily pick 5 candidates
+    // maximizing 0.7·rel − 0.3·maxSim(c, picked) — the rerank stage
+    // after retrieval, as ONE grouped bounded-state aggregate.
+    // Relevance is a sha-derived micro score (any oracle-replayable
+    // scorer slots in); sims are floor(cos·10⁶) over the nested
+    // nsub×dsub dot, so the oracle replays EVERY greedy round
+    // (5 unrolled argmax rounds over the in-group sim matrix).
+    "q218_mmr_rerank" -> ((s, d) => {
+      val cand = T.embeddings(s, d).select(col("label").as("q"),
+        col("vec_id"),
+        expr("cast(conv(substr(sha2(concat('mmr:', " +
+          "cast(vec_id as string)), 256), 1, 13), 16, 10) as bigint)" +
+          " % 1000000").as("rel_micro"),
+        col("embedding"))
+      graft.llm.Similarity.mmrRerank(cand, "q", "vec_id",
+          "embedding", "rel_micro", dim = 64, nsub = 8, k = 5,
+          lambdaMicro = 700000L, maxCandidates = 2000)
+        .orderBy("query_id", "rank")
+    }),
+
     // [EXT] DPO preference-pair assembly (Rafailov et al. 2023): per
     // prompt, chosen = highest-scored candidate, rejected = lowest,
     // emitted only past a strict margin — ONE bounded aggregate (two
@@ -137,7 +158,100 @@ object R12Queries {
       |  AND ch.score_micro - rj.score_micro >= 1000
       |ORDER BY prompt_id""".stripMargin
 
+  /** q218's oracle: the 5 greedy MMR rounds unrolled — per round,
+    * the argmax of 0.7·rel − 0.3·(max sim to everything selected so
+    * far) over the not-yet-selected, ties to the lower id; sims and
+    * norms use the nested 8×8 sequential sums the Spark aggregate
+    * mirrors, so every pick and score is bit-identical. */
+  private val mmrOracle: String = """
+WITH e AS (
+  SELECT label AS q, vec_id AS id,
+    ('0x' || substr(sha256('mmr:' || CAST(vec_id AS VARCHAR)),
+      1, 13))::BIGINT % 1000000 AS rel,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+n AS (
+  SELECT q, id, rel, v,
+    sqrt(list_sum(list_transform(generate_series(0, 7), s ->
+      list_sum(list_transform(generate_series(1, 8), j ->
+        v[s * 8 + j] * v[s * 8 + j]))))) AS nv
+  FROM e),
+s AS (
+  SELECT a.q, a.id AS ia, b.id AS ib,
+    CAST(floor(list_sum(list_transform(generate_series(0, 7), s ->
+        list_sum(list_transform(generate_series(1, 8), j ->
+          a.v[s * 8 + j] * b.v[s * 8 + j]))))
+      / (a.nv * b.nv) * 1000000.0) AS BIGINT) AS sim
+  FROM n a JOIN n b ON a.q = b.q AND a.id <> b.id),
+r1 AS (SELECT q, id, CAST(700000 * rel AS BIGINT) AS score FROM (
+    SELECT q, id, rel, row_number() OVER (PARTITION BY q
+      ORDER BY rel DESC, id) AS rn
+    FROM n) WHERE rn = 1),
+sel1 AS (SELECT q, id FROM r1),
+m2 AS (
+  SELECT n.q, n.id, n.rel, max(s.sim) AS ms
+  FROM n
+  JOIN sel1 sl ON sl.q = n.q
+  JOIN s ON s.q = n.q AND s.ia = n.id AND s.ib = sl.id
+  WHERE NOT EXISTS (SELECT 1 FROM sel1 x
+                    WHERE x.q = n.q AND x.id = n.id)
+  GROUP BY n.q, n.id, n.rel),
+r2 AS (SELECT q, id, score FROM (
+  SELECT q, id, 700000*rel - 300000*ms AS score,
+    row_number() OVER (PARTITION BY q
+      ORDER BY 700000*rel - 300000*ms DESC, id) AS rn
+  FROM m2) WHERE rn = 1),
+sel2 AS (SELECT q, id FROM r1 UNION ALL SELECT q, id FROM r2),
+m3 AS (
+  SELECT n.q, n.id, n.rel, max(s.sim) AS ms
+  FROM n
+  JOIN sel2 sl ON sl.q = n.q
+  JOIN s ON s.q = n.q AND s.ia = n.id AND s.ib = sl.id
+  WHERE NOT EXISTS (SELECT 1 FROM sel2 x
+                    WHERE x.q = n.q AND x.id = n.id)
+  GROUP BY n.q, n.id, n.rel),
+r3 AS (SELECT q, id, score FROM (
+  SELECT q, id, 700000*rel - 300000*ms AS score,
+    row_number() OVER (PARTITION BY q
+      ORDER BY 700000*rel - 300000*ms DESC, id) AS rn
+  FROM m3) WHERE rn = 1),
+sel3 AS (SELECT q, id FROM r1 UNION ALL SELECT q, id FROM r2 UNION ALL SELECT q, id FROM r3),
+m4 AS (
+  SELECT n.q, n.id, n.rel, max(s.sim) AS ms
+  FROM n
+  JOIN sel3 sl ON sl.q = n.q
+  JOIN s ON s.q = n.q AND s.ia = n.id AND s.ib = sl.id
+  WHERE NOT EXISTS (SELECT 1 FROM sel3 x
+                    WHERE x.q = n.q AND x.id = n.id)
+  GROUP BY n.q, n.id, n.rel),
+r4 AS (SELECT q, id, score FROM (
+  SELECT q, id, 700000*rel - 300000*ms AS score,
+    row_number() OVER (PARTITION BY q
+      ORDER BY 700000*rel - 300000*ms DESC, id) AS rn
+  FROM m4) WHERE rn = 1),
+sel4 AS (SELECT q, id FROM r1 UNION ALL SELECT q, id FROM r2 UNION ALL SELECT q, id FROM r3 UNION ALL SELECT q, id FROM r4),
+m5 AS (
+  SELECT n.q, n.id, n.rel, max(s.sim) AS ms
+  FROM n
+  JOIN sel4 sl ON sl.q = n.q
+  JOIN s ON s.q = n.q AND s.ia = n.id AND s.ib = sl.id
+  WHERE NOT EXISTS (SELECT 1 FROM sel4 x
+                    WHERE x.q = n.q AND x.id = n.id)
+  GROUP BY n.q, n.id, n.rel),
+r5 AS (SELECT q, id, score FROM (
+  SELECT q, id, 700000*rel - 300000*ms AS score,
+    row_number() OVER (PARTITION BY q
+      ORDER BY 700000*rel - 300000*ms DESC, id) AS rn
+  FROM m5) WHERE rn = 1)
+SELECT query_id, CAST(rank AS INT) AS rank, cand_id, mmr_micro
+FROM (
+  SELECT q AS query_id, rank, id AS cand_id,
+    CAST(score AS BIGINT) AS mmr_micro
+  FROM (SELECT q, 1 AS rank, id, score FROM r1 UNION ALL SELECT q, 2 AS rank, id, score FROM r2 UNION ALL SELECT q, 3 AS rank, id, score FROM r3 UNION ALL SELECT q, 4 AS rank, id, score FROM r4 UNION ALL SELECT q, 5 AS rank, id, score FROM r5))
+ORDER BY query_id, rank"""
+
   val oracleSql: Map[String, String] = Map(
     "q216_semantic_dedup" -> semanticDedupOracle,
-    "q217_dpo_pairs" -> dpoPairsOracle)
+    "q217_dpo_pairs" -> dpoPairsOracle,
+    "q218_mmr_rerank" -> mmrOracle)
 }

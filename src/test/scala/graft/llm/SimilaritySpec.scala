@@ -510,4 +510,59 @@ class SimilaritySpec extends SparkSuite {
     assert(rProd === 1.0, s"production recall $rProd")
     assert(rProd >= rSamp, s"production $rProd < sampled $rSamp")
   }
+
+  test("mmrRerank: greedy diversification, negative-sim bonus, ties, shortlist guard") {
+    import spark.implicits._
+    // dim 4, nsub 2; rel in micro-ish units. a and b are near-dups,
+    // c is orthogonal, d points AWAY from a.
+    val cand = Seq(
+      ("q1", 1L, 900000L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // a
+      ("q1", 2L, 890000L, Array(1.0f, 0.01f, 0.0f, 0.0f)),  // b ~ a
+      ("q1", 3L, 500000L, Array(0.0f, 0.0f, 1.0f, 0.0f)),   // c ⊥ a
+      ("q2", 7L, 100L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      ("q2", 8L, 100L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
+      .toDF("q", "id", "rel", "vec")
+    val r = Similarity.mmrRerank(cand, "q", "id", "vec", "rel",
+        dim = 4, nsub = 2, k = 3, lambdaMicro = 500000L)
+      .collect().map(x => (x.getString(0), x.getInt(1), x.getLong(2),
+        x.getLong(3)))
+    val q1 = r.filter(_._1 == "q1").sortBy(_._2).map(_._3).toSeq
+    // rank 1 = max rel (a); rank 2 = the ORTHOGONAL c, not the
+    // higher-rel near-dup b (redundancy penalty); b last
+    assert(q1 === Seq(1L, 3L, 2L))
+    // q2: rel tie at rank 1 → lower id; both orthogonal
+    val q2 = r.filter(_._1 == "q2").sortBy(_._2).map(_._3).toSeq
+    assert(q2 === Seq(7L, 8L))
+    // rank-1 score is exactly λ·rel
+    assert(r.find(x => x._1 == "q1" && x._2 == 1).get._4 ===
+      500000L * 900000L)
+
+    // anti-similar candidate earns the diversity BONUS: after a, the
+    // opposite vector outranks a moderate orthogonal one
+    val anti = Seq(
+      ("g", 1L, 900000L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      ("g", 2L, 100L, Array(-1.0f, 0.0f, 0.0f, 0.0f)), // cos = -1
+      ("g", 3L, 800000L, Array(0.0f, 0.0f, 1.0f, 0.0f))) // cos = 0
+      .toDF("q", "id", "rel", "vec")
+    val ra = Similarity.mmrRerank(anti, "q", "id", "vec", "rel",
+        dim = 4, nsub = 2, k = 2, lambdaMicro = 500000L)
+      .collect().sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+    // score(2) = .5·100 + .5·1e6 > score(3) = .5·8e5 + 0
+    assert(ra === Seq(1L, 2L))
+
+    // shortlist guard names the over-full query
+    val e = intercept[Exception] {
+      Similarity.mmrRerank(cand, "q", "id", "vec", "rel",
+        dim = 4, nsub = 2, k = 2, maxCandidates = 2).collect()
+    }
+    assert(e.getMessage.contains("q1") &&
+      e.getMessage.contains("maxCandidates"), e.getMessage)
+    // non-numeric candidate ids fail by name at plan build
+    val eId = intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(
+        cand.withColumn("id", col("id").cast("string")),
+        "q", "id", "vec", "rel", dim = 4, nsub = 2, k = 2)
+    }
+    assert(eId.getMessage.contains("numeric"), eId.getMessage)
+  }
 }

@@ -557,6 +557,15 @@ class PlanQualitySpec extends SparkSuite {
       s"${scanCount(p217)}\n${p217.take(1500)}")
   }
 
+  test("q218: MMR rerank is ONE grouped aggregate — no window, no self-join, guard broadcast") {
+    val p = plan("q218_mmr_rerank")
+    assert(p.contains("graft_mmr_topk"), p.take(1500))
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin") &&
+      !p.contains("CartesianProduct"), p.take(1500))
+    // the only join is the broadcast per-query count guard
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
   test("q213: byte-BPE serve is map-only — merge training happens at plan build, the returned plan has no join/window") {
     val p = plan("q213_byte_bpe_encode")
     // the 6 merge rounds are driver-looped incremental aggregates at
