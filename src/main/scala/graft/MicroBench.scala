@@ -256,6 +256,45 @@ object MicroBench {
         }
         Seq("fold_dirty_buckets" -> fold10,
           "whole_table_rewrite" -> wholeRewrite)
+      case "saltedjoin" =>
+        // planted skew: 70% of 20M fact rows on ONE key, 1000-key dim.
+        // Broadcast is disabled for BOTH arms — a broadcast join has
+        // no skew problem; saltedJoin exists for the shuffle-join
+        // regime (dim too big / plan cached). AQE stays ON as shipped:
+        // the skewed partition (~160 MB of longs) sits under AQE's
+        // 256 MB skew-split threshold, which is exactly the gap the
+        // manual salt covers.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        def skewFact = spark.range(20000000L).select(
+          when(col("id") % 10 < 7, lit(0L))
+            .otherwise(col("id") % 1000).as("k"),
+          col("id").as("v"))
+        def dim1k = spark.range(1000L).select(col("id").as("k"),
+          (col("id") % 7).as("tier"))
+        val plain = () => skewFact.join(dim1k, Seq("k"))
+          .groupBy("tier").agg(count(lit(1)).as("n"), sum("v").as("s"))
+        val salted = () => graft.ops.relational
+          .saltedJoin(skewFact, dim1k, Seq("k"), salts = 32)
+          .groupBy("tier").agg(count(lit(1)).as("n"), sum("v").as("s"))
+        Seq("plain_smj" -> plain, "salted32" -> salted)
+      case "bloomjoin" =>
+        // selective-dim × huge-fact with broadcast disabled (the
+        // beyond-broadcast regime bloomPreJoin targets): 50M fact
+        // rows, 10M-key space, dim keeps every 50th key (2%), so the
+        // Bloom probe drops ~98% of the fact BEFORE the shuffle.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        def bigFact = spark.range(50000000L).select(
+          (col("id") % 10000000L).as("fk"), col("id").as("v"))
+        def selDim = spark.range(10000000L)
+          .filter(col("id") % 50 === 0)
+          .select(col("id").as("dk"), (col("id") % 97).as("attr"))
+        val plainJ = () => bigFact.join(selDim,
+            col("fk") === col("dk"))
+          .groupBy("attr").agg(count(lit(1)).as("n"), sum("v").as("s"))
+        val bloomJ = () => graft.ops.relational
+          .bloomPreJoin(bigFact, selDim, "fk", "dk", fpp = 0.01)
+          .groupBy("attr").agg(count(lit(1)).as("n"), sum("v").as("s"))
+        Seq("plain_smj" -> plainJ, "bloom_prefilter" -> bloomJ)
       case other =>
         throw new IllegalArgumentException(s"unknown scenario: $other")
     }

@@ -1039,4 +1039,68 @@ object Crawl {
       (lit(baseMs) * mult).as("interval_ms"),
       (col("_s.last_ts") + lit(baseMs) * mult).as("next_fetch_ms"))
   }
+
+  /** Per-node triangle counts over an UNDIRECTED graph — the classic
+    * link-spam / community-density signal (a page whose neighborhood
+    * is a clique is a link farm; a bridge page sits in none). Input
+    * edges may be directed, duplicated, or self-looped: they are
+    * canonicalized (min,max), self-loops dropped, multi-edges
+    * collapsed first.
+    *
+    * Algorithm: degree-ordered edge orientation (Cohen's MapReduce
+    * triangle enumeration; also Suri & Vassilvitskii WWW'11, public
+    * literature): every edge is directed from its lower-(degree, id)
+    * endpoint to the higher one, so each triangle {x<y<z} (in that
+    * total order) is found EXACTLY once — as the wedge y←x→z closed
+    * by the oriented edge y→z. Orientation is the whole scale story:
+    * out-degrees in the oriented graph are O(√m), so the wedge
+    * self-join fans out at most deg⁺² per node instead of deg² — a
+    * celebrity node with 10⁶ undirected neighbors but √m oriented
+    * out-neighbors no longer owns a quadratic task.
+    *
+    * Scale shape: 3 hash aggregates (distinct, degrees, counts) + 3
+    * hash joins (attach degrees, wedge join on the center, closing-
+    * edge join) — all key-partitioned, no windows, no driver state.
+    * The wedge join's skew is BOUNDED by the orientation invariant
+    * above; the closing join keys on the (x, y) pair, which is
+    * near-unique.
+    *
+    * Output: (node, tri) for every node with ≥1 edge, tri = number
+    * of triangles the node participates in (0 for none). Exact
+    * integer counts — hash-matches any engine. */
+  def triangleCounts(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val und = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("d").as("db")), Seq("b"))
+    // orient low-(d, id) → high-(d, id); carry the head's (d, id) so
+    // the wedge join can order its two heads without re-joining deg
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("u"),
+      when(aFirst, col("b")).otherwise(col("a")).as("v"),
+      when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+    val wedges = oriented.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+      .join(oriented.select(col("u"), col("v").as("y"), col("dv").as("dy")),
+        Seq("u"))
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+    val tri = wedges.join(
+      oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+    val cnt = tri
+      .select(explode(array(col("u"), col("x"), col("y"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+    deg.select("node").join(cnt, Seq("node"), "left")
+      .select(col("node"), coalesce(col("tri"), lit(0L)).as("tri"))
+  }
 }

@@ -128,6 +128,47 @@ object Search {
     * with 10⁹ corpus occurrences still builds its postings in
     * parallel across docs. The collect_list is inside that bound;
     * sort_array makes the order deterministic under any shuffle. */
+  /** Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    * fuse N ranked candidate lists — typically a lexical ranker
+    * (BM25) and a dense ranker (embedding cosine) — into one list by
+    * `score(d) = Σ_lists 1/(kRrf + rank_list(d))`, the standard
+    * rank-based fusion that needs NO score calibration between
+    * rankers (ranks, not raw scores, so a micropoint BM25 and a
+    * cosine fuse cleanly).
+    *
+    * Scores are integer micro-units — `10⁶ div (kRrf + rank)` floor-
+    * divided per contribution, summed exactly — so the fused ranking
+    * is bit-identical on any engine (a float 1/(k+r) sum would be
+    * summation-order-dependent). With kRrf=60 (the paper's constant)
+    * adjacent ranks stay distinguishable: 10⁶/61 = 16393 vs
+    * 10⁶/62 = 16129.
+    *
+    * Scale shape: each input list is already top-k-bounded by its
+    * ranker (TakeOrdered there), so this fusion runs over ≤ Σ kᵢ rows
+    * — one union, ONE hash aggregate on doc_id, one TakeOrdered.
+    * Never a window, never a driver collect; at 10⁹ queries × 2
+    * lists the shape is identical per query key.
+    *
+    * Input lists: (idCol, rankCol) with rank 1-based. Output:
+    * (doc_id, rrf_micro, n_lists) ordered by (rrf_micro desc,
+    * doc_id), limited to `k`. */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, rankCol: String,
+      kRrf: Int = 60, k: Int = 20): DataFrame = {
+    require(lists.nonEmpty, "at least one ranked list required")
+    require(kRrf >= 0, s"kRrf must be non-negative, got $kRrf")
+    // `div` = exact integral division (a long `/` is double division
+    // in Spark and would reintroduce float rounding)
+    val contrib = lists.map(_
+        .select(col(idCol).as("doc_id"), col(rankCol).cast(LongType).as("_r"))
+        .select(col("doc_id"),
+          expr(s"1000000L div (${kRrf.toLong}L + _r)").as("_c")))
+      .reduce(_ unionByName _)
+    contrib.groupBy("doc_id")
+      .agg(sum(col("_c")).as("rrf_micro"), count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+
   def buildPostings(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("doc_id"),
         posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "term")))

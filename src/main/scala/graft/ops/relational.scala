@@ -495,4 +495,71 @@ object relational {
         col("_m.r_id").as("match_id"), col("_m.r_key").as("match_key"),
         col("_m.dist").as("dist"))
   }
+
+  /** Bloom-prefiltered INNER equi-join (the explicit cross-stage
+    * runtime filter): build a Bloom filter over the dimension side's
+    * join keys, probe it in the FACT SCAN's filter (so the probe sits
+    * inside whole-stage codegen, before any exchange), then run the
+    * exact join. Results are identical to `fact.join(dim, key)` — the
+    * Bloom filter has false positives but never false negatives, so
+    * it only lets a few extra fact rows reach the exact join, which
+    * drops them.
+    *
+    * When it pays: the dim side is too big to broadcast (so the join
+    * shuffles BOTH sides) but its key set still fits a few MB of
+    * Bloom bits — the classic selective-dim × huge-fact shape. The
+    * fact side then shuffles only ≈ |matching| + fpp·|fact| rows
+    * instead of |fact|. Spark's own `spark.sql.optimizer.runtime.
+    * bloomFilter.enabled` injects the same idea when it can; this
+    * operator is for the cases the injected filter misses — joins
+    * under cached/checkpointed subtrees, multi-stage pipelines where
+    * the dim is computed once and reused, or when the filter must be
+    * sized/fpp-tuned deliberately.
+    *
+    * Driver cost: ONE keys-only pass over dim (count + distributed
+    * treeAggregate build) and O(filter bits) driver memory —
+    * `BloomFilter.create(n, fpp)` at fpp=0.01 is ~1.2 bytes/key, so
+    * cap `maxFilterBytes` (default 64 MB ≈ 50M keys) and FAIL FAST
+    * past it rather than silently assembling a multi-GB plan
+    * broadcast: at that size, bucket both sides or let the shuffle
+    * happen instead.
+    *
+    * Keys must be integral (int/long/short/byte) — probes run through
+    * the codegen'd [[graft.expressions.BloomContainsLong]] with no
+    * per-row boxing or string round-trip. Null fact keys never match
+    * an inner join and are dropped by the probe's null-safe eval. */
+  def bloomPreJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, fpp: Double = 0.01,
+      maxFilterBytes: Long = 64L << 20): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    def integral(df: DataFrame, k: String): Unit =
+      df.schema(k).dataType match {
+        case LongType | IntegerType | ShortType | ByteType => ()
+        case dt => throw new IllegalArgumentException(
+          s"bloomPreJoin: key '$k' is $dt — integral keys only " +
+            "(string keys: build on BloomContains instead)")
+      }
+    integral(fact, factKey); integral(dim, dimKey)
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val keys = dim.select(col(dimKey).cast("long").as("k")).na.drop()
+    // size from a cheap count of key ROWS (an upper bound on distinct
+    // keys — oversizing only lowers the fpp); one bounded aggregate
+    val n = math.max(1000L, keys.count())
+    val bits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, fpp)
+    require(bits / 8 <= maxFilterBytes,
+      s"bloomPreJoin: $n dim keys at fpp=$fpp need ${bits / 8} filter " +
+        s"bytes, above maxFilterBytes=$maxFilterBytes — bucket both " +
+        "sides or let the plain shuffle join run instead")
+    val bf = keys.rdd.map(_.getLong(0)).treeAggregate(
+      org.apache.spark.util.sketch.BloomFilter.create(n, fpp))(
+      (f, k) => { f.putLong(k); f },
+      (a, b) => { a.mergeInPlace(b); a })
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val b = org.apache.spark.sql.GraftColumnBridge
+    val contains = b.column(graft.expressions.BloomContainsLong(
+      b.expression(col(factKey).cast("long")), bos.toByteArray))
+    fact.filter(contains)
+      .join(dim, fact(factKey) === dim(dimKey))
+  }
 }

@@ -76,6 +76,92 @@ object R12Queries {
       graft.llm.Selection.dpoPairs(cand, "prompt", "doc_id",
           "score_micro", minMarginMicro = 1000L)
         .orderBy("prompt_id")
+    }),
+
+    // [EXT] skew-salted join (relational.saltedJoin): a planted hot
+    // key — 70% of lineitem lands on k=0 — joined against a 50-row
+    // derived dimension through the salted path (salts=8, the hot
+    // key's rows spread over 8 reducers). Results are identical to
+    // the plain join BY CONTRACT; the oracle runs the plain join.
+    // Integer keys and per-row-cast quantities keep every aggregate
+    // exact (l_quantity is an integral double in this data).
+    "q219_salted_join" -> ((s, d) => {
+      val fact = T.lineitem(s, d).select(
+        when(col("l_orderkey") % 10 < 7, lit(0L))
+          .otherwise(pmod(col("l_suppkey"), lit(50L))).as("k"),
+        col("l_quantity").cast("long").as("qty"))
+      val dim = s.range(50).select(col("id").as("k"),
+        pmod(col("id"), lit(7L)).as("tier"))
+      graft.ops.relational.saltedJoin(fact, dim, Seq("k"), salts = 8)
+        .groupBy("k", "tier")
+        .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"))
+        .orderBy("k")
+    }),
+
+    // [EXT] Bloom-prefiltered join (relational.bloomPreJoin): the
+    // explicit cross-stage runtime filter — a ~20%-selective orders
+    // dimension's keys become a Bloom filter probed INSIDE the
+    // lineitem scan (codegen'd BloomContainsLong), then the exact
+    // join drops the false positives, so the result equals the plain
+    // join and the oracle runs the plain join. Revenue rides as
+    // floor-cents (floor is the same function in both engines; a
+    // round() would pit HALF_UP against banker's).
+    "q220_bloom_prejoin" -> ((s, d) => {
+      val fact = T.lineitem(s, d).select(col("l_orderkey"),
+        floor(col("l_extendedprice") * lit(100)).as("rev_cents"))
+      val dim = T.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      graft.ops.relational
+        .bloomPreJoin(fact, dim, "l_orderkey", "o_orderkey", fpp = 0.01)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("rev_cents")).as("rev_cents_sum"))
+        .orderBy("month")
+    }),
+
+    // [EXT] per-node triangle counts (Crawl.triangleCounts, degree-
+    // ordered orientation): the link-farm density signal over a
+    // planted doc graph i→7i, i→49i (mod N) — every i closes the
+    // triangle {i, 7i, 49i} since 49i = 7·(7i), so the count surface
+    // is dense and varied. Exact integer counts; the oracle replays
+    // canonicalization, degrees, orientation, wedge join, and the
+    // closing-edge join.
+    "q221_triangles" -> ((s, d) => {
+      val docs = T.documents(s, d).select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val withN = docs.join(broadcast(n))
+      val e = withN.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 7, col("n")).as("dst"))
+        .union(withN.select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 49, col("n")).as("dst")))
+      graft.llm.Crawl.triangleCounts(e).orderBy("node")
+    }),
+
+    // [EXT] reciprocal rank fusion (Search.rrfFuse; Cormack et al.
+    // 2009): fuse the BM25 lexical top-50 (q104's ranker) with the
+    // dense cosine top-50 for query vector 0 (q34's ranker) — the
+    // canonical lexical+dense hybrid retrieval stage. Both input
+    // ranks are engine-exact (micropoint BM25 scores; double cosine
+    // with id tiebreaks), and the fused score is floor-divided
+    // micro-units summed as longs, so the fusion is bit-identical.
+    "q222_rrf_fusion" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      // rank window over ≤ 50 rows — bounded by the PARAMETER k,
+      // not the corpus (the q60/q65 small-window convention)
+      val lex = graft.llm.Search
+        .bm25Search(T.documents(s, d), "doc_id", "text",
+          terms = Seq("spark", "join", "window"), k = 50)
+        .select(col("doc_id"), row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))).as("rank"))
+      val emb = T.embeddings(s, d)
+      val den = graft.llm.Similarity
+        .topKBruteForce(emb.filter(col("vec_id") === 0), emb,
+          "vec_id", "vec_id", "embedding", 50)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      graft.llm.Search.rrfFuse(Seq(lex, den), "doc_id", "rank",
+          kRrf = 60, k = 20)
+        .orderBy(col("rrf_micro").desc, col("doc_id"))
     }))
 
   /** q216's oracle: plant → hash-rank cells → nested nsub×dsub
@@ -253,5 +339,117 @@ ORDER BY query_id, rank"""
   val oracleSql: Map[String, String] = Map(
     "q216_semantic_dedup" -> semanticDedupOracle,
     "q217_dpo_pairs" -> dpoPairsOracle,
-    "q218_mmr_rerank" -> mmrOracle)
+    "q218_mmr_rerank" -> mmrOracle,
+
+    // the oracle is the PLAIN join — saltedJoin's contract is
+    // result-identity with it; only the partitioning differs
+    "q219_salted_join" ->
+      """WITH f AS (
+        |  SELECT CASE WHEN l_orderkey % 10 < 7 THEN CAST(0 AS BIGINT)
+        |              ELSE l_suppkey % 50 END AS k,
+        |         CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem),
+        |d AS (SELECT CAST(i AS BIGINT) AS k, CAST(i % 7 AS BIGINT) AS tier
+        |      FROM generate_series(0, 49) t(i))
+        |SELECT f.k, d.tier, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(f.qty) AS BIGINT) AS sum_qty
+        |FROM f JOIN d USING (k) GROUP BY 1, 2 ORDER BY k""".stripMargin,
+
+    // the oracle is the PLAIN filtered join — the Bloom prefilter
+    // admits false positives only, and the exact join removes them
+    "q220_bloom_prejoin" ->
+      """WITH f AS (
+        |  SELECT l_orderkey,
+        |         CAST(floor(l_extendedprice * 100) AS BIGINT) AS rev_cents
+        |  FROM lineitem),
+        |o AS (SELECT o_orderkey, o_orderdate FROM orders
+        |      WHERE o_orderpriority = '1-URGENT')
+        |SELECT strftime(o.o_orderdate, '%Y-%m') AS month,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(f.rev_cents) AS BIGINT) AS rev_cents_sum
+        |FROM f JOIN o ON f.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY month""".stripMargin,
+
+    // replays canonicalization → degrees → (deg, id) orientation →
+    // wedge join → closing-edge join → per-node counts, exactly the
+    // Crawl.triangleCounts plan
+    "q221_triangles" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |raw AS (SELECT doc_id AS s, (doc_id * 7) % n AS t
+        |        FROM documents, nn
+        |        UNION ALL
+        |        SELECT doc_id AS s, (doc_id * 49) % n AS t
+        |        FROM documents, nn),
+        |und AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+        |        FROM raw WHERE s <> t),
+        |deg AS (SELECT node, count(*) AS d FROM
+        |          (SELECT a AS node FROM und
+        |           UNION ALL SELECT b AS node FROM und)
+        |        GROUP BY 1),
+        |o AS (SELECT
+        |        CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+        |             THEN u.a ELSE u.b END AS u,
+        |        CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+        |             THEN u.b ELSE u.a END AS v,
+        |        CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+        |             THEN db.d ELSE da.d END AS dv
+        |      FROM und u JOIN deg da ON da.node = u.a
+        |                 JOIN deg db ON db.node = u.b),
+        |w AS (SELECT e1.u, e1.v AS x, e2.v AS y
+        |      FROM o e1 JOIN o e2 ON e1.u = e2.u
+        |      WHERE e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v)),
+        |tri AS (SELECT w.u AS a, w.x AS b, w.y AS c
+        |        FROM w JOIN o ON o.u = w.x AND o.v = w.y),
+        |cnt AS (SELECT node, count(*) AS tri FROM
+        |          (SELECT a AS node FROM tri
+        |           UNION ALL SELECT b AS node FROM tri
+        |           UNION ALL SELECT c AS node FROM tri) GROUP BY 1)
+        |SELECT nd.node, CAST(coalesce(cnt.tri, 0) AS BIGINT) AS tri
+        |FROM (SELECT node FROM deg) nd LEFT JOIN cnt USING (node)
+        |ORDER BY node""".stripMargin,
+
+    // lexical CTE chain = q104's BM25 (rank <= 50 instead of LIMIT
+    // 20); dense CTE = q34's cosine ranker for query vector 0; the
+    // fusion floor-divides micro contributions and sums exact longs
+    "q222_rrf_fusion" ->
+      """WITH stats AS (
+        |  SELECT count(*) AS n_docs,
+        |    sum(len(regexp_split_to_array(trim(text), '\s+'))) AS sum_dl
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS dl,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |f AS (SELECT doc_id, dl, term, count(*) AS tf FROM tok
+        |      WHERE term IN ('spark', 'join', 'window') GROUP BY 1, 2, 3),
+        |dd AS (SELECT doc_id, dl, term, tf,
+        |         count(*) OVER (PARTITION BY term) AS df_t FROM f),
+        |lexs AS (SELECT doc_id,
+        |  CAST(sum(CAST(round(1e6 *
+        |    ln(1e0 + (n_docs - df_t + 5e-1) / (df_t + 5e-1)) *
+        |    (tf * (1.2e0 + 1e0)) /
+        |    (tf + 1.2e0 * ((1e0 - 7.5e-1) +
+        |      7.5e-1 * dl * n_docs / sum_dl))) AS BIGINT)) AS BIGINT)
+        |    AS score
+        |  FROM dd, stats GROUP BY doc_id),
+        |lex AS (SELECT doc_id, rank FROM (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        |  FROM lexs) WHERE rank <= 50),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |      FROM embeddings WHERE vec_id = 0),
+        |den AS (SELECT doc_id, rank FROM (
+        |  SELECT c.vec_id AS doc_id,
+        |    row_number() OVER (ORDER BY
+        |      list_cosine_similarity(qv, CAST(c.embedding AS DOUBLE[]))
+        |        DESC, c.vec_id) AS rank
+        |  FROM embeddings c, q) WHERE rank <= 50),
+        |u AS (SELECT doc_id, 1000000 // (60 + rank) AS c FROM lex
+        |      UNION ALL
+        |      SELECT doc_id, 1000000 // (60 + rank) AS c FROM den)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro,
+        |       CAST(count(*) AS BIGINT) AS n_lists
+        |FROM u GROUP BY doc_id
+        |ORDER BY rrf_micro DESC, doc_id LIMIT 20""".stripMargin)
 }

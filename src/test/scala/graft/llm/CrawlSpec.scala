@@ -667,4 +667,40 @@ class CrawlSpec extends SparkSuite {
     // the fit equals the clean single-seed run
     assert(withGhost === ppr)
   }
+
+  test("triangleCounts: K4, path, pair, dup/reversed edges, self-loops") {
+    import spark.implicits._
+    // K4 on {1,2,3,4}: 4 triangles, every node in exactly 3.
+    val k4 = for {
+      a <- 1L to 4L; b <- 1L to 4L if a < b
+    } yield (a, b)
+    // path 10-11-12 (0 triangles), isolated pair (20,21), plus noise:
+    // duplicated and REVERSED k4 edges and self-loops — canonicalize
+    // must collapse them all without changing any count
+    val edges = (k4 ++ Seq((10L, 11L), (11L, 12L), (20L, 21L)) ++
+      k4.map(_.swap) ++ Seq((1L, 2L), (3L, 3L), (20L, 20L)))
+      .toDF("src", "dst")
+    val got = Crawl.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      10L -> 0L, 11L -> 0L, 12L -> 0L, 20L -> 0L, 21L -> 0L))
+    // global count: Σ per-node / 3
+    assert(got.values.sum / 3 === 4L)
+    // partitioning-invariant (the orientation is a total order on
+    // (degree, id), never on physical row order)
+    val re = Crawl.triangleCounts(edges.repartition(7))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re === got)
+  }
+
+  test("triangleCounts: hub-and-spoke star has no triangles") {
+    import spark.implicits._
+    // a celebrity node with 50 spokes: degree-ordered orientation
+    // points every edge INTO the hub, so the hub's wedge fan-out is
+    // zero — the skew-boundedness claim in the Scaladoc
+    val star = (1L to 50L).map(i => (0L, i)).toDF("src", "dst")
+    val got = Crawl.triangleCounts(star)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 51 && got.values.forall(_ === 0L))
+  }
 }

@@ -85,4 +85,33 @@ class SearchSpec extends SparkSuite {
     assert(re === Search.buildPostings(docs, "id", "text")
       .orderBy("term", "doc_id").collect().toSeq)
   }
+
+  test("rrfFuse: exact micro sums, n_lists, top-k cut, tiebreak") {
+    import spark.implicits._
+    val lex = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
+    val den = Seq((2L, 1), (4L, 2)).toDF("doc_id", "rank")
+    val got = Search.rrfFuse(Seq(lex, den), "doc_id", "rank", kRrf = 60)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rrf_micro"),
+        r.getAs[Long]("n_lists"))).toSeq
+    // floor(1e6/61)=16393, /62=16129, /63=15873
+    assert(got === Seq(
+      (2L, 16129L + 16393L, 2L), // both lists — fused to the top
+      (1L, 16393L, 1L),
+      (4L, 16129L, 1L),
+      (3L, 15873L, 1L)))
+    // k cuts AFTER fusion; ties break on doc_id (docs 5,6 share rank
+    // 4 → micro 15625 each, below doc3's 15873; only 5 makes the cut)
+    val t1 = Seq((5L, 4), (6L, 4)).toDF("doc_id", "rank")
+    val cut = Search.rrfFuse(Seq(lex, den, t1), "doc_id", "rank", k = 5)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(cut === Seq(2L, 1L, 4L, 3L, 5L))
+    // kRrf=0: rank-1 contribution is the full 10⁶
+    val k0 = Search.rrfFuse(Seq(den), "doc_id", "rank", kRrf = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(k0 === Seq((2L, 1000000L), (4L, 500000L)))
+    intercept[IllegalArgumentException] {
+      Search.rrfFuse(Seq.empty, "doc_id", "rank")
+    }
+  }
 }

