@@ -265,6 +265,8 @@ object MicroBench {
         // 256 MB skew-split threshold, which is exactly the gap the
         // manual salt covers.
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+          "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
         def skewFact = spark.range(20000000L).select(
           when(col("id") % 10 < 7, lit(0L))
             .otherwise(col("id") % 1000).as("k"),
@@ -279,21 +281,46 @@ object MicroBench {
         Seq("plain_smj" -> plain, "salted32" -> salted)
       case "bloomjoin" =>
         // selective-dim × huge-fact with broadcast disabled (the
-        // beyond-broadcast regime bloomPreJoin targets): 50M fact
-        // rows, 10M-key space, dim keeps every 50th key (2%), so the
-        // Bloom probe drops ~98% of the fact BEFORE the shuffle.
+        // beyond-broadcast regime bloomPreJoin targets): 20M fact
+        // rows with an INCOMPRESSIBLE ~128-byte payload (sha2 hex —
+        // a constant-padded payload lz4-compressed 150× in the
+        // shuffle and hid the exchange entirely), 10M-key space, dim
+        // keeps every 50th key (2%), so the Bloom probe drops ~98%
+        // of the fact bytes before the exchange. Narrow 16-byte rows
+        // would NOT show a win here (first cut measured 1.12 vs
+        // 0.77 s: the probe+build cost more than shuffling longs);
+        // the operator pays off when shuffled bytes dominate, which
+        // is what the payload models. The probe ALSO sits below the
+        // payload projection (filters push past projects), the same
+        // way it would sit inside a parquet scan's filter.
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        def bigFact = spark.range(50000000L).select(
-          (col("id") % 10000000L).as("fk"), col("id").as("v"))
-        def selDim = spark.range(10000000L)
-          .filter(col("id") % 50 === 0)
-          .select(col("id").as("dk"), (col("id") % 97).as("attr"))
+        spark.conf.set(
+          "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        def bigFact = spark.range(20000000L).select(
+          (col("id") % 10000000L).as("fk"), col("id").as("v"),
+          concat(sha2(col("id").cast("string"), 256),
+            sha2(concat(lit("x"), col("id").cast("string")), 256))
+            .as("payload"))
+        // dim keys are HASH-SCATTERED over the key space, not a
+        // modulo filter: a predicate-expressible dim (`id % 50 = 0`)
+        // let InferFiltersFromConstraints transfer the predicate
+        // onto the fact's join key and prefilter the fact for free —
+        // real dimension key sets have no such predicate, and that
+        // gap is precisely what the Bloom filter carries across
+        def selDim = spark.range(200000L)
+          .select(pmod(xxhash64(col("id")), lit(10000000L)).as("dk"),
+            (col("id") % 97).as("attr"))
+        // consume the payload AFTER the join — otherwise column
+        // pruning drops it before the exchange and the arms would
+        // both shuffle narrow rows again
         val plainJ = () => bigFact.join(selDim,
             col("fk") === col("dk"))
-          .groupBy("attr").agg(count(lit(1)).as("n"), sum("v").as("s"))
+          .groupBy("attr").agg(count(lit(1)).as("n"), sum("v").as("s"),
+            sum(length(col("payload"))).as("pb"))
         val bloomJ = () => graft.ops.relational
           .bloomPreJoin(bigFact, selDim, "fk", "dk", fpp = 0.01)
-          .groupBy("attr").agg(count(lit(1)).as("n"), sum("v").as("s"))
+          .groupBy("attr").agg(count(lit(1)).as("n"), sum("v").as("s"),
+            sum(length(col("payload"))).as("pb"))
         Seq("plain_smj" -> plainJ, "bloom_prefilter" -> bloomJ)
       case other =>
         throw new IllegalArgumentException(s"unknown scenario: $other")
@@ -304,14 +331,27 @@ object MicroBench {
     // q97 profile measures (listener events are async; the short
     // settle sleep after each run is enough at these job sizes)
     val jobs = new java.util.concurrent.atomic.AtomicLong
+    // shuffle WRITE bytes: the quantity that matters at cluster scale
+    // — a local[32] tmpfs shuffle is nearly free, so a plan that cuts
+    // exchanged volume 25× can still time even with its alternative
+    // here while being decisively better on a real network
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
             js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           jobs.incrementAndGet(); ()
         }
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit = {
+          shuffleBytes.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          ()
+        }
       })
     def settledJobs(): Long = { Thread.sleep(200); jobs.get() }
+    def settledShuffle(): Long = { Thread.sleep(200); shuffleBytes.get() }
 
     // one untimed warmup each, then ALTERNATE the variants so JIT/GC
     // drift hits both equally; report per-variant min + all samples
@@ -320,16 +360,23 @@ object MicroBench {
       .withDefaultValue(Vector.empty)
     val jobCounts = scala.collection.mutable.Map[String, Vector[Long]]()
       .withDefaultValue(Vector.empty)
+    val shuffleMb = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
     for (_ <- 1 to iters; (name, mk) <- variants) {
       val j0 = settledJobs()
+      val s0 = settledShuffle()
       samples(name) = samples(name) :+ timeIt(mk)
       jobCounts(name) = jobCounts(name) :+ (settledJobs() - j0)
+      shuffleMb(name) = shuffleMb(name) :+
+        math.round((settledShuffle() - s0) / 1e4) / 100.0
     }
     val js = variants.map { case (name, _) =>
       val xs = samples(name)
       val jc = jobCounts(name)
+      val sm = shuffleMb(name)
       s"""\"$name\":{"min":${xs.min},"samples":[${xs.mkString(",")}],""" +
-        s""""jobs":[${jc.mkString(",")}]}"""
+        s""""jobs":[${jc.mkString(",")}],""" +
+        s""""shuffle_mb":[${sm.mkString(",")}]}"""
     }.mkString("{", ",", "}")
     spark.stop()
     println(s"""{"metric":"micro_$scenario","variants":$js}""")

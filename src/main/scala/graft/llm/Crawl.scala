@@ -1070,12 +1070,19 @@ object Crawl {
     * integer counts — hash-matches any engine. */
   def triangleCounts(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {
+    // und feeds deg twice and the orientation once, and oriented
+    // feeds the wedge join twice and the closing join once — without
+    // a lineage cut each reuse RE-EXPANDS the whole upstream subtree
+    // (the first PlanAudit of this operator showed 68 scans and 25
+    // exchanges for a 3-join algorithm); localCheckpoint is the
+    // connectedComponents/labelPropagation discipline: materialize
+    // the O(m) edge list once, reuse it as a leaf
     val und = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
         col(srcCol) =!= col(dstCol))
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
-      .distinct()
+      .distinct().localCheckpoint()
     val deg = und.select(col("a").as("node"))
       .union(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
@@ -1090,6 +1097,7 @@ object Crawl {
       when(aFirst, col("a")).otherwise(col("b")).as("u"),
       when(aFirst, col("b")).otherwise(col("a")).as("v"),
       when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+      .localCheckpoint()
     val wedges = oriented.select(col("u"), col("v").as("x"), col("dv").as("dx"))
       .join(oriented.select(col("u"), col("v").as("y"), col("dv").as("dy")),
         Seq("u"))
