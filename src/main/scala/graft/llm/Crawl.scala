@@ -1111,4 +1111,46 @@ object Crawl {
     deg.select("node").join(cnt, Seq("node"), "left")
       .select(col("node"), coalesce(col("tri"), lit(0L)).as("tri"))
   }
+
+  /** Anchor-text aggregation per link target — the search-corpus
+    * signal the web graph gives away for free: what OTHER pages call
+    * a URL is often a better description than the page's own title
+    * (the classic anchor-text ranking feature), and a target whose
+    * anchors are all one spammy phrase is a link-farm tell. Extracts
+    * `<a href="http(s)://…">text</a>` pairs (double-quoted absolute
+    * targets with element-local text — the well-formed subset;
+    * relative-link resolution is [[extractLinks]]' job and nested
+    * markup inside an anchor is out of this regex tier's contract),
+    * normalizes whitespace in the text, and aggregates per target.
+    *
+    * Scale shape: extraction is MAP-ONLY (two `regexp_extract_all`
+    * scans zipped positionally — href and text come from the SAME
+    * pattern, so the lists always align); then one (url, anchor)
+    * count aggregate and one per-url fold — both hash aggregates
+    * with map-side partials; the dominant anchor is a `min_by` on
+    * (count desc, text), never a rank window (a popular URL may
+    * collect 10⁹ anchor rows; per-(url, anchor) state stays a
+    * counter).
+    *
+    * Output: (url, n_refs, n_anchors, top_anchor) — total mentions,
+    * distinct normalized texts, and the most frequent text
+    * (ties → lexicographically smallest). */
+  def anchorTexts(df: DataFrame, htmlCol: String): DataFrame = {
+    val pat = "<a href=\"(https?://[^\"]+)\">([^<]*)</a>"
+    val pairs = df.select(
+        arrays_zip(
+          regexp_extract_all(col(htmlCol), lit(pat), lit(1)).as("u"),
+          regexp_extract_all(col(htmlCol), lit(pat), lit(2)).as("t"))
+          .as("_p"))
+      .select(explode(col("_p")).as("_a"))
+      .select(col("_a").getField("u").as("url"),
+        trim(regexp_replace(col("_a").getField("t"), "\\s+", " "))
+          .as("anchor"))
+    pairs.groupBy("url", "anchor").agg(count(lit(1)).as("c"))
+      .groupBy("url")
+      .agg(sum(col("c")).as("n_refs"),
+        count(lit(1)).as("n_anchors"),
+        min_by(col("anchor"), struct((-col("c")).as("nc"),
+          col("anchor").as("a"))).as("top_anchor"))
+  }
 }

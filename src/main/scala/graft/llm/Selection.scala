@@ -715,4 +715,69 @@ object Selection {
       .filter(col("n_candidates") >= 2 &&
         col("margin_micro") >= minMarginMicro)
   }
+
+  /** Group-relative advantages (GRPO — Shao et al. 2024,
+    * arXiv:2402.03300): per prompt group of scored candidates,
+    * `advantage = reward − mean(group)` and the z-normalized form
+    * `(reward − mean) / std(group)` — the reward-shaping step that
+    * replaces a learned value baseline with the group statistic.
+    * Works over micro-unit integer rewards (the engine's convention).
+    *
+    * Exactness: the centered advantage is `floor((n·r − Σr) / n)` —
+    * the numerator is an exact long, and at the guarded magnitudes
+    * (|n·r − Σr| < 2⁵³, n < 2⁵³) the double division is correctly
+    *  rounded with a rational result, so `floor` can only be wrong if
+    * the true quotient p/n lies within one ulp of an integer m while
+    * p ≠ m·n — impossible for |m| ≤ ~10⁶, n ≤ 10⁵ (|p − mn| < n·ulp
+    * < 1 forces p = mn) — i.e. adv_micro is engine-EXACT, not just
+    * close. The z-form divides the same exact numerator by
+    * sqrt(n·Σr² − (Σr)²), where the variance numerator is exact
+    * 128-bit integer arithmetic and `sqrt` is IEEE-correctly-rounded
+    * in both engines; the final floor carries the same measure-zero
+    * exposure q89/q99 accept for `ln`. The algebra that removes the
+    * mean/std intermediate floats entirely: with population variance
+    * σ² = (n·Σr² − (Σr)²)/n², z = ((n·r − Σr)/n)/(√(n·Σr² − (Σr)²)/n)
+    * = (n·r − Σr)/√(n·Σr² − (Σr)²) — one exact integer numerator,
+    * one correctly-rounded sqrt of an exact integer, one division.
+    * Zero-variance groups (all candidates equal) emit z = 0 by
+    * definition.
+    *
+    * Scale shape: ONE hash aggregate for the group stats (n, Σr, Σr²
+    * as exact decimals — map-side partials), joined back to the
+    * candidates (AQE broadcasts the stats side: one row per prompt);
+    * no window, no driver state, any group size. Groups with fewer
+    * than `minGroup` candidates drop — a 1-candidate group has no
+    * baseline (its advantage is identically 0 and trains nothing).
+    *
+    * Output: (prompt_id, cand_id, score_micro, adv_micro, z_milli). */
+  def grpoAdvantages(candidates: DataFrame, promptCol: String,
+      candCol: String, scoreCol: String,
+      minGroup: Int = 2): DataFrame = {
+    require(minGroup >= 2, s"minGroup must be >= 2, got $minGroup")
+    val score = col(scoreCol).cast(LongType)
+    val scored = candidates
+      .filter(col(promptCol).isNotNull && col(candCol).isNotNull &&
+        score.isNotNull)
+      .select(col(promptCol).as("prompt_id"),
+        col(candCol).as("cand_id"), score.as("score_micro"))
+    val stats = scored.groupBy("prompt_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("score_micro")).as("sum_r"),
+        sum(col("score_micro").cast(DecimalType(38, 0)) *
+          col("score_micro").cast(DecimalType(38, 0))).as("sum_r2"))
+      .filter(col("n") >= minGroup)
+    scored.join(stats, Seq("prompt_id"))
+      .withColumn("_num", col("n") * col("score_micro") - col("sum_r"))
+      .withColumn("_var_num",
+        col("n").cast(DecimalType(38, 0)) * col("sum_r2") -
+          col("sum_r").cast(DecimalType(38, 0)) *
+          col("sum_r").cast(DecimalType(38, 0)))
+      .select(col("prompt_id"), col("cand_id"), col("score_micro"),
+        floor(col("_num").cast(DoubleType) / col("n"))
+          .cast(LongType).as("adv_micro"),
+        when(col("_var_num") === 0, lit(0L)).otherwise(
+          floor(lit(1000.0) * col("_num").cast(DoubleType) /
+            sqrt(col("_var_num").cast(DoubleType))).cast(LongType))
+          .as("z_milli"))
+  }
 }

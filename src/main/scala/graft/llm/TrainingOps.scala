@@ -1645,4 +1645,76 @@ object TrainingOps {
         concat_ws("", transform(col("_turns"), _.getField("s"))))
       .drop("_turns")
   }
+
+  /** Loss-mask spans for [[renderChatTemplate]] output — the other
+    * half of SFT data assembly: training masks the loss to the
+    * ASSISTANT turns, so the trainer needs, per conversation, the
+    * character offsets of each `lossRole` turn inside the rendered
+    * string. Span contract: `[start_char, end_char)` 0-based
+    * codepoint offsets covering the turn's CONTENT plus its
+    * `<|end|>` marker (the usual "train on the reply and its stop
+    * token" recipe) — the `<|role|>` prefix stays masked. Offsets are
+    * exact integers over the SAME deterministic (order, tie) turn
+    * sort as the renderer, so `substring(conversation, start+1,
+    * end-start)` is the turn's `content<|end|>` verbatim (the spec
+    * pins this parity).
+    *
+    * Scale shape: ONE hash aggregate (the renderer's), offsets folded
+    * inside the aggregate by a single HOF pass over the sorted turn
+    * list — no window over turns, no second shuffle, no join back to
+    * the rendered string. Conversations with no `lossRole` turn emit
+    * no rows (nothing to train on). Same `maxTurns` fail-fast as the
+    * renderer.
+    *
+    * Output: (conv id, n_turns, span_idx, start_char, end_char). */
+  def sftLossSpans(df: DataFrame, convCol: String, orderCol: String,
+      tieCol: String, roleCol: String, contentCol: String,
+      lossRole: String = "assistant",
+      maxTurns: Option[Long] = None): DataFrame = {
+    maxTurns.foreach { cap =>
+      require(cap > 0, "maxTurns must be positive")
+      val offender = df.groupBy(col(convCol))
+        .agg(count(lit(1)).as("_n")).filter(col("_n") > cap)
+        .orderBy(col("_n").desc).limit(1).collect()
+      offender.headOption.foreach { r =>
+        throw new IllegalArgumentException(
+          s"sftLossSpans: conversation (${r.get(0)}) carries " +
+            s"${r.getLong(1)} turns, above maxTurns=$cap — its whole " +
+            "turn list would buffer in one aggregate state; split or " +
+            "drop it upstream, or raise the cap deliberately")
+      }
+    }
+    val grouped = df.groupBy(col(convCol).as("conv_id"))
+      .agg(count(lit(1)).as("n_turns"),
+        array_sort(collect_list(struct(
+          col(orderCol).as("o"), col(tieCol).as("t"),
+          coalesce(col(roleCol), lit("")).as("r"),
+          coalesce(col(contentCol), lit("")).as("c")))).as("_turns"))
+    // one fold over the sorted turns: accumulate the running offset
+    // and the span list; piece = "<|" role "|>" content "<|end|>" →
+    // pieceLen = len(role) + len(content) + 11, content starts at
+    // off + len(role) + 4
+    val spans = aggregate(col("_turns"),
+      struct(lit(0L).as("off"),
+        array().cast("array<struct<r:string,s:bigint,e:bigint>>")
+          .as("sp")),
+      (acc, tr) => {
+        val rl = length(tr.getField("r")).cast(LongType)
+        val cl = length(tr.getField("c")).cast(LongType)
+        val pieceLen = rl + cl + lit(11L)
+        struct((acc.getField("off") + pieceLen).as("off"),
+          concat(acc.getField("sp"), array(struct(
+            tr.getField("r").as("r"),
+            (acc.getField("off") + rl + lit(4L)).as("s"),
+            (acc.getField("off") + pieceLen).as("e")))).as("sp"))
+      },
+      acc => filter(acc.getField("sp"),
+        x => x.getField("r") === lit(lossRole)))
+    grouped
+      .select(col("conv_id"), col("n_turns"),
+        posexplode(spans).as(Seq("span_idx", "_sp")))
+      .select(col("conv_id"), col("n_turns"), col("span_idx"),
+        col("_sp").getField("s").as("start_char"),
+        col("_sp").getField("e").as("end_char"))
+  }
 }

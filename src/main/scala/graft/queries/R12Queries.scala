@@ -162,6 +162,72 @@ object R12Queries {
       graft.llm.Search.rrfFuse(Seq(lex, den), "doc_id", "rank",
           kRrf = 60, k = 20)
         .orderBy(col("rrf_micro").desc, col("doc_id"))
+    }),
+
+    // [EXT] SFT loss-mask spans (TrainingOps.sftLossSpans): exact
+    // [start, end) codepoint offsets of every assistant turn's
+    // content+<|end|> inside the q208-rendered conversation — the
+    // mask the trainer applies so loss lands only on replies. Same
+    // event-derived conversations as q208; the oracle replays the
+    // (ts, event_id) turn sort, per-turn piece lengths, and a
+    // cumulative-offset window.
+    "q223_sft_spans" -> ((s, d) => {
+      val ev = T.events(s, d)
+      val base = ev.select(col("user_id"),
+        T.tsMillis(ev, "ts").as("ts_ms"), col("event_id"),
+        when(col("event_type").isin("click", "view"), lit("user"))
+          .when(col("event_type") === "error", lit("system"))
+          .otherwise(lit("assistant")).as("role"),
+        col("props").as("content"))
+      graft.llm.TrainingOps.sftLossSpans(base, "user_id", "ts_ms",
+          "event_id", "role", "content")
+        .orderBy("conv_id", "span_idx")
+    }),
+
+    // [EXT] group-relative advantages (Selection.grpoAdvantages,
+    // GRPO — Shao et al. 2024): per prompt group, reward − groupMean
+    // (engine-exact integer floor, see the operator's proof) and the
+    // z-normalized form over one exact-integer variance numerator +
+    // one IEEE sqrt. Same prompt/scorer derivation as q217, so the
+    // DPO pair and the GRPO advantage tiers are directly comparable.
+    "q224_grpo_advantage" -> ((s, d) => {
+      val cand = T.documents(s, d).select(
+        (col("doc_id") % 40).as("prompt"), col("doc_id"),
+        expr("(CAST(length(regexp_replace(text, '[^a-zA-Z]', '')) " +
+          "AS BIGINT) * 1000000) div greatest(length(text), 1)")
+          .as("score_micro"))
+      graft.llm.Selection.grpoAdvantages(cand, "prompt", "doc_id",
+          "score_micro")
+        .orderBy("prompt_id", "cand_id")
+    }),
+
+    // [EXT] anchor-text aggregation (Crawl.anchorTexts): what the
+    // web calls each URL — per-target mention counts, distinct
+    // normalized anchor texts, and the dominant text (ties → lex
+    // smallest). Planted: 20 shared hub targets each anchored by a
+    // constant "read more" and a per-source variant (the constant
+    // dominates), per-doc external targets with messy whitespace,
+    // plus single-quoted and relative anchors that must NOT match
+    // the double-quoted-absolute contract.
+    "q225_anchor_text" -> ((s, d) => {
+      val id = col("doc_id")
+      val html = concat(
+        lit("<p><a href=\"https://hub.example.org/t"),
+        pmod(id, lit(20)).cast("string"),
+        lit("\">read more</a>"),
+        lit("<a href=\"https://hub.example.org/t"),
+        pmod(id, lit(20)).cast("string"),
+        lit("\">"), col("source"), lit(" page</a>"),
+        when(pmod(id, lit(3)) === 0,
+          concat(lit("<a href=\"https://ext.example.net/p"),
+            id.cast("string"),
+            lit("\">  spaced   anchor </a>")))
+          .otherwise(
+            lit("<a href='https://q.example.org/x'>sq dropped</a>")),
+        lit("<a href=\"/rel\">relative dropped</a>"))
+      graft.llm.Crawl.anchorTexts(
+          T.documents(s, d).select(id, html.as("html")), "html")
+        .orderBy("url")
     }))
 
   /** q216's oracle: plant → hash-rank cells → nested nsub×dsub
@@ -451,5 +517,105 @@ ORDER BY query_id, rank"""
         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_micro,
         |       CAST(count(*) AS BIGINT) AS n_lists
         |FROM u GROUP BY doc_id
-        |ORDER BY rrf_micro DESC, doc_id LIMIT 20""".stripMargin)
+        |ORDER BY rrf_micro DESC, doc_id LIMIT 20""".stripMargin,
+
+    // replays the q208 turn sort, per-turn piece lengths
+    // (len(role)+len(content)+11 for <|role|>content<|end|>), a
+    // cumulative-offset window, and the assistant filter
+    "q223_sft_spans" ->
+      """WITH base AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+        |  CASE WHEN event_type IN ('click', 'view') THEN 'user'
+        |       WHEN event_type = 'error' THEN 'system'
+        |       ELSE 'assistant' END AS role,
+        |  props AS content FROM events),
+        |t AS (SELECT user_id, ts_ms, event_id, role,
+        |  length(COALESCE(role, '')) AS rl,
+        |  length(COALESCE(role, '')) + length(COALESCE(content, ''))
+        |    + 11 AS piece_len,
+        |  count(*) OVER (PARTITION BY user_id) AS n_turns
+        |  FROM base),
+        |o AS (SELECT user_id, ts_ms, event_id, role, rl, piece_len,
+        |  n_turns,
+        |  COALESCE(sum(piece_len) OVER (PARTITION BY user_id
+        |    ORDER BY ts_ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS off
+        |  FROM t),
+        |a AS (SELECT user_id AS conv_id, n_turns,
+        |  CAST(row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts_ms, event_id) - 1 AS INT) AS span_idx,
+        |  CAST(off + rl + 4 AS BIGINT) AS start_char,
+        |  CAST(off + piece_len AS BIGINT) AS end_char
+        |  FROM o WHERE role = 'assistant')
+        |SELECT conv_id, n_turns, span_idx, start_char, end_char
+        |FROM a ORDER BY conv_id, span_idx""".stripMargin,
+
+    // replays the group stats (n, Σr, Σr² exact), the exact-integer
+    // advantage numerator n·r − Σr, floor(num/n), and
+    // floor(1000·num/sqrt(n·Σr² − (Σr)²)) — see grpoAdvantages'
+    // Scaladoc for why the first floor is exact and the second
+    // carries only the q89-class sqrt measure-zero exposure
+    "q224_grpo_advantage" ->
+      """WITH c AS (
+        |  SELECT doc_id % 40 AS prompt_id, doc_id AS cand_id,
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+        |        AS BIGINT) * 1000000
+        |      // greatest(length(text), 1) AS score_micro
+        |  FROM documents),
+        |s AS (SELECT prompt_id, count(*) AS n,
+        |        sum(score_micro) AS sum_r,
+        |        sum(CAST(score_micro AS HUGEINT) * score_micro)
+        |          AS sum_r2
+        |      FROM c GROUP BY 1 HAVING count(*) >= 2),
+        |j AS (SELECT c.prompt_id, c.cand_id, c.score_micro, s.n,
+        |        CAST(s.n * c.score_micro - s.sum_r AS BIGINT) AS num,
+        |        CAST(s.n AS HUGEINT) * s.sum_r2
+        |          - CAST(s.sum_r AS HUGEINT) * s.sum_r AS var_num
+        |      FROM c JOIN s USING (prompt_id))
+        |SELECT prompt_id, cand_id, score_micro,
+        |  CAST(floor(CAST(num AS DOUBLE) / n) AS BIGINT) AS adv_micro,
+        |  CASE WHEN var_num = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(floor(1000.0 * CAST(num AS DOUBLE)
+        |              / sqrt(CAST(var_num AS DOUBLE))) AS BIGINT)
+        |  END AS z_milli
+        |FROM j ORDER BY prompt_id, cand_id""".stripMargin,
+
+    // replays the planted HTML, the double-quoted-absolute anchor
+    // regex (positional unnest zips href and text from the SAME
+    // pattern), whitespace normalization, and the (count desc, text)
+    // dominant pick
+    "q225_anchor_text" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<p><a href="https://hub.example.org/t'
+        |    || CAST(doc_id % 20 AS VARCHAR) || '">read more</a>'
+        |    || '<a href="https://hub.example.org/t'
+        |    || CAST(doc_id % 20 AS VARCHAR) || '">' || source
+        |    || ' page</a>'
+        |    || CASE WHEN doc_id % 3 = 0
+        |         THEN '<a href="https://ext.example.net/p'
+        |           || CAST(doc_id AS VARCHAR)
+        |           || '">  spaced   anchor </a>'
+        |         ELSE '<a href=''https://q.example.org/x''>sq dropped</a>'
+        |       END
+        |    || '<a href="/rel">relative dropped</a>' AS html
+        |  FROM documents),
+        |p AS (SELECT
+        |  unnest(regexp_extract_all(html,
+        |    '<a href="(https?://[^"]+)">([^<]*)</a>', 1)) AS url,
+        |  unnest(regexp_extract_all(html,
+        |    '<a href="(https?://[^"]+)">([^<]*)</a>', 2)) AS t
+        |  FROM h),
+        |a AS (SELECT url,
+        |        trim(regexp_replace(t, '\s+', ' ', 'g')) AS anchor
+        |      FROM p),
+        |g AS (SELECT url, anchor, count(*) AS c FROM a GROUP BY 1, 2),
+        |r AS (SELECT url, anchor, c, row_number() OVER (
+        |        PARTITION BY url ORDER BY c DESC, anchor) AS rn
+        |      FROM g)
+        |SELECT g.url AS url, CAST(sum(g.c) AS BIGINT) AS n_refs,
+        |       CAST(count(*) AS BIGINT) AS n_anchors,
+        |       min(w.anchor) AS top_anchor
+        |FROM g JOIN (SELECT url AS wurl, anchor FROM r WHERE rn = 1) w
+        |  ON g.url = w.wurl
+        |GROUP BY g.url ORDER BY url""".stripMargin)
 }

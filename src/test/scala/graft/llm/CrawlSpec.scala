@@ -693,6 +693,30 @@ class CrawlSpec extends SparkSuite {
     assert(re === got)
   }
 
+  test("anchorTexts: dominance, lex tiebreak, ws-normalize, contract drops") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "<a href=\"https://t.org/a\">read more</a>" +
+        "<a href=\"https://t.org/a\">Docs</a>"),
+      (2L, "<a href=\"https://t.org/a\">read  \n more</a>" + // ws collapses
+        "<a href=\"https://t.org/a\">read more</a>"),
+      // tie on counts → lexicographically smallest anchor wins
+      (3L, "<a href=\"https://t.org/b\">zzz</a>" +
+        "<a href=\"https://t.org/b\">aaa</a>"),
+      // out of contract: single quotes, relative, nested markup
+      (4L, "<a href='https://t.org/c'>sq</a><a href=\"/rel\">r</a>" +
+        "<a href=\"https://t.org/d\"><b>nested</b></a>"),
+      (5L, null.asInstanceOf[String]))
+      .toDF("id", "html")
+    val got = Crawl.anchorTexts(pages, "html")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // /a: 4 refs, anchors {read more ×3 (ws-normalized), Docs ×1}
+    assert(got === Map(
+      "https://t.org/a" -> ((4L, 2L, "read more")),
+      "https://t.org/b" -> ((2L, 2L, "aaa"))))
+  }
+
   test("triangleCounts: hub-and-spoke star has no triangles") {
     import spark.implicits._
     // a celebrity node with 50 spokes: degree-ordered orientation

@@ -400,4 +400,42 @@ class SelectionSpec extends SparkSuite {
       .collect().map(x => x.getString(0) -> x.getString(1)).toMap
     assert(again === r.map { case (k, v) => k -> v._1 })
   }
+
+  test("grpoAdvantages: hand-computed, zero-variance z=0, singletons drop, null hygiene") {
+    import spark.implicits._
+    val cand = Seq(
+      // group A: n=3, Σ=1000, Σr²=460000, var_num=380000
+      ("A", "a1", 100L), ("A", "a2", 300L), ("A", "a3", 600L),
+      // group B: all tied → adv 0, z 0 (never a divide-by-zero)
+      ("B", "b1", 400L), ("B", "b2", 400L),
+      // singleton: no baseline, drops
+      ("E", "e1", 999L),
+      // null prompt / null score rows are excluded before grouping
+      ("A", "a9", -1L), (null, "x1", 500L))
+      .toDF("prompt", "cand", "score")
+      .withColumn("score", when(col("cand") === "a9",
+        lit(null).cast("long")).otherwise(col("score")))
+    val r = graft.llm.Selection.grpoAdvantages(cand, "prompt", "cand",
+        "score")
+      .collect().map(x => x.getString(1) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    // floor((n·r − Σr)/n) and floor(1000·num/√var_num), by hand:
+    // a1: num=-700 → adv=-234, z=floor(-700000/√380000)=-1136
+    assert(r === Map(
+      "a1" -> ((100L, -234L, -1136L)),
+      "a2" -> ((300L, -34L, -163L)),
+      "a3" -> ((600L, 266L, 1297L)),
+      "b1" -> ((400L, 0L, 0L)),
+      "b2" -> ((400L, 0L, 0L))))
+    // partitioning-invariant
+    val re = graft.llm.Selection.grpoAdvantages(cand.repartition(5),
+        "prompt", "cand", "score")
+      .collect().map(x => x.getString(1) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(re === r)
+    intercept[IllegalArgumentException] {
+      graft.llm.Selection.grpoAdvantages(cand, "prompt", "cand",
+        "score", minGroup = 1)
+    }
+  }
 }

@@ -980,4 +980,58 @@ class TrainingOpsSpec extends SparkSuite {
         ((x.getLong(1), x.getString(2)))).toMap
     assert(capped === r)
   }
+
+  test("sftLossSpans: render parity, prefix masked, no-loss convs drop, guard") {
+    import spark.implicits._
+    val turns = Seq(
+      (1L, 20L, 2L, "assistant", "hi there"),
+      (1L, 10L, 1L, "user", "hello"),
+      (1L, 20L, 1L, "user", "also-at-20"),
+      (1L, 30L, 1L, "assistant", "bye"),
+      (2L, 5L, 1L, "user", "never answered"), // no assistant → no rows
+      (3L, 1L, 1L, "assistant", null)) // damaged content → empty span body
+      .toDF("conv", "ts", "eid", "role", "content")
+    val rendered = TrainingOps.renderChatTemplate(turns, "conv", "ts",
+        "eid", "role", "content")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val spans = TrainingOps.sftLossSpans(turns, "conv", "ts", "eid",
+        "role", "content")
+      .orderBy("conv_id", "span_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getLong(3), r.getLong(4)))
+    // THE contract: substring(conversation, start, end) is the
+    // assistant turn's content + <|end|>, and the char before the
+    // span is the '>' of the masked <|role|> prefix
+    for ((conv, _, s, e) <- spans) {
+      val sub = rendered(conv).substring(s.toInt, e.toInt)
+      assert(sub.endsWith("<|end|>"), sub)
+      assert(rendered(conv).charAt(s.toInt - 1) === '>')
+    }
+    assert(spans.map(t => (t._1, t._2)).toSeq ===
+      Seq((1L, 0), (1L, 1), (3L, 0)))
+    val conv1 = rendered(1L)
+    assert(conv1.substring(spans(0)._3.toInt, spans(0)._4.toInt) ===
+      "hi there<|end|>")
+    assert(conv1.substring(spans(1)._3.toInt, spans(1)._4.toInt) ===
+      "bye<|end|>")
+    // damaged content: span is exactly "<|end|>"
+    assert(rendered(3L).substring(spans(2)._3.toInt, spans(2)._4.toInt)
+      === "<|end|>")
+    // conv 2 emitted nothing
+    assert(!spans.exists(_._1 == 2L))
+    // partitioning-invariant (offsets fold inside the aggregate)
+    val re = TrainingOps.sftLossSpans(turns.repartition(5), "conv",
+        "ts", "eid", "role", "content")
+      .orderBy("conv_id", "span_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getLong(3), r.getLong(4)))
+    assert(re.toSeq === spans.toSeq)
+    // same fail-fast as the renderer
+    val hot = (1 to 50).map(i => (9L, i.toLong, i.toLong, "user", s"m$i"))
+      .toDF("conv", "ts", "eid", "role", "content").union(turns)
+    val e = intercept[IllegalArgumentException] {
+      TrainingOps.sftLossSpans(hot, "conv", "ts", "eid", "role",
+        "content", maxTurns = Some(10L))
+    }
+    assert(e.getMessage.contains("(9)") && e.getMessage.contains("50"),
+      e.getMessage)
+  }
 }

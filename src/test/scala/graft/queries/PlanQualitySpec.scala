@@ -621,6 +621,30 @@ class PlanQualitySpec extends SparkSuite {
       !opPlan.contains("Window"), opPlan.take(2000))
   }
 
+  test("q223: SFT spans — offsets fold inside ONE aggregate, no window, no join back") {
+    val p = plan("q223_sft_spans")
+    // the naive formulation is a cumulative-sum window over turns
+    // plus a join back to the rendered string — this one is the
+    // renderer's single hash aggregate + an in-aggregate HOF fold
+    assert(!p.contains("Window"), p.take(1500))
+    assert(!p.contains("Join"), p.take(1500))
+    assert(p.contains("Generate"), p.take(1500)) // posexplode of spans
+  }
+
+  test("q224: GRPO advantages — stats aggregate joined back, no window") {
+    val p = plan("q224_grpo_advantage")
+    assert(!p.contains("Window"), p.take(1500))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("q225: anchor texts — map-only extraction, two hash aggregates, min_by not a window") {
+    val p = plan("q225_anchor_text")
+    assert(!p.contains("Window"), p.take(1500))
+    assert(!p.contains("Join"), p.take(1500))
+    assert(scanCount(p) == 1, p.take(1500))
+  }
+
   test("q222: RRF fusion — both rankers TakeOrdered-bounded, fusion is one hash aggregate") {
     val p = plan("q222_rrf_fusion")
     // the final top-k cut is a TakeOrderedAndProject, never a global
