@@ -93,7 +93,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dev-iteration subset (the driver never sets it): comma-separated
+    // query names; A/B a targeted change without the full 200+ sweep
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val errors = scala.collection.mutable.Map[String, String]()
     def recordError(name: String, t: Throwable): Unit = {
       val msg = (s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("")}")

@@ -1892,4 +1892,33 @@ object Dedup {
       .select(col("vec_id"), col("cell"),
         col("_dup").isNull.as("kept"))
   }
+
+  /** Leakage-safe train/val/test split: near-duplicate documents must
+    * never straddle a split boundary — a held-out document with a
+    * train-side near-dup is contamination, not evaluation data (the
+    * train/test leak Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better", measures directly). Clusters come
+    * from [[connectedComponents]] over the caller's candidate pairs;
+    * every document in NO pair is its own singleton cluster
+    * (cluster_id = its own id — the CC label convention). The split
+    * verdict is assigned to the CLUSTER id by the same salted-SHA
+    * bucket as [[TrainingOps.splitAssign]], so every member inherits
+    * one verdict and the assignment is deterministic under reruns and
+    * repartitioning. Scale shape: CC runs on the PAIR list (orders of
+    * magnitude below the corpus; local union-find tier when it fits),
+    * the corpus side is ONE left join against the label table
+    * (broadcast when labels are small — they are pair-participant-
+    * sized), and the bucket hash is map-only. Output:
+    * (idCol, cluster_id, split). */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      fractions: Seq[(String, Double)], salt: String = "graft"): DataFrame = {
+    val labels = connectedComponents(pairs)
+      .select(col("doc_id").as(idCol), col("cluster_id"))
+    val withCluster = docs.select(col(idCol))
+      .join(labels, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+    TrainingOps.splitAssign(withCluster, "cluster_id", fractions, salt)
+      .select(col(idCol), col("cluster_id"), col("split"))
+  }
 }

@@ -988,4 +988,46 @@ object TextAnalysis {
         .otherwise(rest)
     }
   }
+
+  /** Length of the longest common prefix of two strings as an
+    * early-stopping linear scan: one single-char probe per position
+    * with an `ok` flag that freezes the count at the first mismatch —
+    * O(min len) character compares, never O(len²) prefix re-compares.
+    * Empty/NULL-adjacent inputs yield 0. */
+  def lcpLen(a: Column, b: Column): Column = {
+    val n = least(length(a), length(b))
+    val idx = when(n >= 1, sequence(lit(1), n))
+      .otherwise(array().cast("array<int>"))
+    aggregate(idx,
+      struct(lit(0).as("k"), lit(true).as("ok")),
+      (acc, i) => when(
+        acc.getField("ok") && a.substr(i, lit(1)) === b.substr(i, lit(1)),
+        struct(i.as("k"), lit(true).as("ok")))
+        .otherwise(struct(acc.getField("k").as("k"),
+          lit(false).as("ok"))),
+      acc => acc.getField("k"))
+  }
+
+  /** Per-group boilerplate prefix detection via the sorted-extremes
+    * LCP identity: the longest common prefix of ALL strings in a
+    * group equals LCP(min(s), max(s)) under lexicographic order — any
+    * string between the extremes shares at least their common prefix,
+    * so ONE (min, max, count) aggregate replaces every pairwise
+    * comparison. This is the shared-header/nav-chrome stripper for
+    * crawled corpora: docs from one template-driven site open with
+    * identical chrome, and the group LCP IS that chrome. Scale shape:
+    * one map-side-combinable aggregate over the corpus, then a
+    * group-count-sized map-only LCP scan ([[lcpLen]], O(len) probes)
+    * — no self-join, no per-pair work, state per group is two strings.
+    * Output: (groupCol, n_docs, lcp_len, boilerplate). */
+  def groupBoilerplate(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val agg = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col(textCol)).as("_lo"), max(col(textCol)).as("_hi"))
+    val lcp = lcpLen(col("_lo"), col("_hi"))
+    agg.select(col(groupCol), col("n_docs"),
+      lcp.cast(LongType).as("lcp_len"),
+      col("_lo").substr(lit(1), lcp).as("boilerplate"))
+  }
 }

@@ -1142,6 +1142,30 @@ object TrainingOps {
       nullable = false))
   }
 
+  /** Serpentine (snake-draft) balanced sharding: order rows by cost
+    * DESC (id tie-break), deal them across `nShards` boustrophedon —
+    * 0..n−1, then n−1..0, alternating — the sorted-greedy LPT
+    * approximation that keeps per-shard total cost within one
+    * max-item of even, with NO sequential state: the shard is pure
+    * arithmetic on the global rank (cycle parity flips the deal
+    * direction), so assignment stays fully distributed —
+    * [[globalRank]]'s range-parallel rank, never an unpartitioned
+    * window, never a driver loop. This is the data-parallel worker
+    * assignment that keeps per-worker token counts level when
+    * documents are not truncated to one length. Output:
+    * (idCol, cost, shard). */
+  def snakeShards(df: DataFrame, idCol: String, cost: Column,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val base = df.select(col(idCol), cost.cast(LongType).as("cost"))
+    val ranked = globalRank(base, Seq(col("cost").desc, col(idCol)))
+    val cyc = expr(s"(rank - 1) div $nShards")
+    val off = (col("rank") - 1L) % nShards
+    ranked.select(col(idCol), col("cost"),
+      when(cyc % 2 === 0, off).otherwise(lit(nShards) - 1L - off)
+        .cast(IntegerType).as("shard"))
+  }
+
   /** Length-bucketed batching ("sorted batching"): order documents by
     * token count (desc, doc-id tie-break), cut the global order into
     * fixed-size batches, and account the padding each batch wastes —

@@ -12,6 +12,18 @@ import graft.{Tables => T}
   * floats ride as micro-unit BIGINTs. */
 object R10Queries {
 
+  /** Shared daemon pool for concurrent trainer-loop submission
+    * (q179/q215): four independent tokenizer families, four threads.
+    * Daemon threads so a JVM exit never hangs on the pool. */
+  private lazy val TrainerPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(4,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-trainer")
+          t.setDaemon(true)
+          t
+        }))
+
   /** q174's planted corpus: six words over {a,b,c} with heavy shared
     * substring structure, three per document by doc_id arithmetic —
     * both engines rebuild the identical word-frequency table. */
@@ -458,9 +470,19 @@ object R10Queries {
     * q122/q175/q178/q213 discipline), serve each over every
     * document, aggregate fertility / utilization / UNK per family —
     * one serving scan + one aggregate per family. `withByte` adds
-    * the byte-BPE column (q215). */
+    * the byte-BPE column (q215).
+    *
+    * The three (four) trainer loops are INDEPENDENT driver-side
+    * round loops of tiny jobs, so they are submitted CONCURRENTLY
+    * (one Future per family over one shared SparkSession — the
+    * standard multi-threaded job-submission pattern); the wall time
+    * of the training phase is the slowest family, not the sum. The
+    * cached corpus word tables inside each trainer are per-family,
+    * so no state is shared across threads. */
   private def tokenizerEval(s: SparkSession, d: String,
       withByte: Boolean): DataFrame = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
     val arr = array(WpFixtures.map(lit): _*)
     val id = col("doc_id")
     val text = concat_ws(" ",
@@ -470,18 +492,30 @@ object R10Queries {
     val docs = T.documents(s, d).select(id, text.as("text"))
     val corpus = docs.select(col("text"))
     import graft.llm.TrainingOps
-    val bpeMerges = TrainingOps.trainBpe(corpus, "text", numMerges = 6)
+    implicit val ec: ExecutionContext = TrainerPool
+    val bpeF = Future(TrainingOps.trainBpe(corpus, "text", numMerges = 6)
       .orderBy("merge_idx").collect()
-      .map(r => (r.getString(1), r.getString(2))).toSeq
-    val uniModel = TrainingOps.trainUnigram(corpus, "text",
+      .map(r => (r.getString(1), r.getString(2))).toSeq)
+    val uniF = Future(TrainingOps.trainUnigram(corpus, "text",
         seedSize = 8, maxPieceLen = 3, emRounds = 2, pruneCount = 3)
-      .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
-    val wpMerges = TrainingOps.trainWordPiece(corpus, "text",
-        numMerges = 6)
-      .orderBy("merge_idx").collect()
-      .map(r => (r.getString(1), r.getString(2))).toSeq
-    val wpVocab = TrainingOps.wordPieceVocab(corpus, "text", wpMerges)
-      .collect().map(_.getString(0)).toSeq
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSeq)
+    val wpF = Future {
+      val wpMerges = TrainingOps.trainWordPiece(corpus, "text",
+          numMerges = 6)
+        .orderBy("merge_idx").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TrainingOps.wordPieceVocab(corpus, "text", wpMerges)
+        .collect().map(_.getString(0)).toSeq
+    }
+    val byteF =
+      if (!withByte) Future.successful(Seq.empty[(String, String)])
+      else Future(TrainingOps.trainBpeBytes(corpus, "text", numMerges = 6)
+        .orderBy("merge_idx").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq)
+    val bpeMerges = Await.result(bpeF, Duration.Inf)
+    val uniModel = Await.result(uniF, Duration.Inf)
+    val wpVocab = Await.result(wpF, Duration.Inf)
+    val byteMerges = Await.result(byteF, Duration.Inf)
     def famStats(family: String, pieces: Column): DataFrame =
       docs.select(id, explode(pieces).as("piece"))
         .agg(
@@ -501,14 +535,9 @@ object R10Queries {
           TrainingOps.unigramEncode(col("text"), uniModel)))
         .unionByName(famStats("wordpiece",
           TrainingOps.wordpieceEncode(col("text"), wpVocab)))
-    val all = if (!withByte) threeFam else {
-      val byteMerges = TrainingOps.trainBpeBytes(corpus, "text",
-          numMerges = 6)
-        .orderBy("merge_idx").collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      threeFam.unionByName(famStats("byte_bpe",
+    val all = if (!withByte) threeFam
+      else threeFam.unionByName(famStats("byte_bpe",
         TrainingOps.byteBpeEncode(col("text"), byteMerges)))
-    }
     all.orderBy("family")
   }
 

@@ -228,7 +228,51 @@ object R12Queries {
       graft.llm.Crawl.anchorTexts(
           T.documents(s, d).select(id, html.as("html")), "html")
         .orderBy("url")
-    }))
+    }),
+
+    // [EXT] leakage-safe train/val/test split (Lee et al. 2022's
+    // train/test-leak finding, closed by construction): near-dup
+    // clusters (the q69 pair shape → connected components) each land
+    // WHOLLY in one split — the salted-SHA verdict hashes the CLUSTER
+    // id, not the doc id, so no held-out document can have a
+    // train-side near-dup. Docs in no pair are their own singleton
+    // clusters. The oracle replays the pairs, the recursive closure,
+    // the singleton fallback, and the q51 bucket rule.
+    "q226_cluster_split" -> ((s, d) =>
+      graft.llm.Dedup.leakageSafeSplit(
+          T.documents(s, d), "doc_id",
+          graft.llm.Dedup.jaccardPairs(T.documents(s, d), "doc_id",
+            "text", blockCols = Seq("lang"), shingleN = 3,
+            threshold = 0.03),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy("doc_id")),
+
+    // [EXT] per-site boilerplate prefix via the sorted-extremes LCP
+    // identity: LCP(all texts in a group) = LCP(min, max) — one
+    // (min, max, count) aggregate replaces every pairwise compare,
+    // then a groups-sized O(len) early-stop scan. The shared chrome
+    // is planted in-plan (template sites open with identical nav),
+    // so the detected prefix is non-trivial and both engines replay
+    // it exactly.
+    "q227_boilerplate_lcp" -> ((s, d) =>
+      graft.llm.TextAnalysis.groupBoilerplate(
+          T.documents(s, d).select(col("source"),
+            concat(lit("NAV "), col("source"),
+              lit(" | Home | About | "), col("text")).as("text2")),
+          "source", "text2")
+        .orderBy("source")),
+
+    // [EXT] serpentine (snake-draft) balanced sharding: rows dealt
+    // across 8 shards in boustrophedon order of descending token
+    // cost — the sorted-greedy LPT approximation with NO sequential
+    // state (shard = rank arithmetic over globalRank's range-parallel
+    // rank). The oracle replays the rank and the parity deal.
+    "q228_snake_shards" -> ((s, d) =>
+      graft.llm.TrainingOps.snakeShards(
+          T.documents(s, d), "doc_id",
+          graft.llm.TextAnalysis.tokenCountWs(col("text")),
+          nShards = 8)
+        .orderBy("doc_id")))
 
   /** q216's oracle: plant → hash-rank cells → nested nsub×dsub
     * squared-L2 cell assignment (the q214 CTE shape) → in-cell pairs
@@ -617,5 +661,74 @@ ORDER BY query_id, rank"""
         |       min(w.anchor) AS top_anchor
         |FROM g JOIN (SELECT url AS wurl, anchor FROM r WHERE rn = 1) w
         |  ON g.url = w.wurl
-        |GROUP BY g.url ORDER BY url""".stripMargin)
+        |GROUP BY g.url ORDER BY url""".stripMargin,
+
+    // the q69 closure (pairs → recursive min-label reach) + the
+    // singleton fallback, then the q51 bucket rule over CLUSTER ids
+    "q226_cluster_split" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, lang,
+        |         list_distinct(list_transform(
+        |           generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 1)),
+        |           i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' '))) AS sh
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.03),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |      UNION SELECT doc_b, doc_a FROM p),
+        |reach AS (
+        |  SELECT src AS id, src AS lbl FROM e
+        |  UNION
+        |  SELECT e.dst, reach.lbl FROM reach JOIN e ON e.src = reach.id),
+        |lab AS (SELECT id AS doc_id, min(lbl) AS cl FROM reach GROUP BY id),
+        |c AS (SELECT d.doc_id, coalesce(lab.cl, d.doc_id) AS cluster_id
+        |      FROM documents d LEFT JOIN lab USING (doc_id))
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN b < 8000 THEN 'train'
+        |       WHEN b < 9000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id, cluster_id,
+        |        ('0x' || substr(sha256(CAST(cluster_id AS VARCHAR) || ':graft'), 1, 15))::BIGINT
+        |          % 10000 AS b
+        |      FROM c)
+        |ORDER BY doc_id""".stripMargin,
+
+    // sorted-extremes identity: group LCP = LCP(min, max); the
+    // lateral max-i prefix probe is exact (prefix equality at i
+    // implies it at every j < i)
+    "q227_boilerplate_lcp" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    'NAV ' || source || ' | Home | About | ' || text AS text2
+        |  FROM documents),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |        min(text2) AS lo, max(text2) AS hi
+        |      FROM t GROUP BY 1),
+        |l AS (SELECT source, n_docs, lo,
+        |        CAST(coalesce(list_max(list_filter(
+        |          generate_series(1, least(length(lo), length(hi))),
+        |          i -> substr(lo, 1, CAST(i AS INT)) =
+        |               substr(hi, 1, CAST(i AS INT)))), 0) AS BIGINT)
+        |          AS lcp_len
+        |      FROM g)
+        |SELECT source, n_docs, lcp_len,
+        |  substr(lo, 1, CAST(lcp_len AS INT)) AS boilerplate
+        |FROM l ORDER BY source""".stripMargin,
+
+    "q228_snake_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS cost
+        |  FROM documents),
+        |r AS (SELECT doc_id, cost,
+        |        row_number() OVER (ORDER BY cost DESC, doc_id) - 1 AS pos
+        |      FROM t)
+        |SELECT doc_id, cost,
+        |  CAST(CASE WHEN (pos // 8) % 2 = 0 THEN pos % 8
+        |       ELSE 7 - (pos % 8) END AS INT) AS shard
+        |FROM r ORDER BY doc_id""".stripMargin)
 }

@@ -1167,4 +1167,27 @@ class DedupSpec extends SparkSuite {
     assert(z(500L), "zero-norm row must stay kept")
     assert(z.count(!_._2) === planted.size)
   }
+
+  test("leakageSafeSplit: cluster members share one verdict; " +
+      "singletons match plain splitAssign") {
+    import spark.implicits._
+    val docs = (1L to 10L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Dedup.leakageSafeSplit(docs, "doc_id", pairs, fr)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out.size === 10)
+    // min-label clusters: {1,2,3} -> 1, {5,6} -> 5, rest singleton
+    assert(Seq(1L, 2L, 3L).forall(out(_)._1 == 1L))
+    assert(out(5L)._1 === 5L && out(6L)._1 === 5L)
+    assert(Seq(4L, 7L, 8L, 9L, 10L).forall(i => out(i)._1 == i))
+    // one verdict per cluster — the leakage guarantee
+    assert(Set(out(1L)._2, out(2L)._2, out(3L)._2).size === 1)
+    assert(out(5L)._2 === out(6L)._2)
+    // singleton verdicts are exactly plain per-doc splitAssign
+    val plain = TrainingOps.splitAssign(docs, "doc_id", fr)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(Seq(4L, 7L, 8L, 9L, 10L).forall(i => out(i)._2 == plain(i)))
+  }
 }

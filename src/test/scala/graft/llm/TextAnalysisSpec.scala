@@ -688,4 +688,37 @@ class TextAnalysisSpec extends SparkSuite {
     assert(r === Map("a" -> "apache-2.0", "b" -> "mit", "c" -> "gpl",
       "d" -> "unknown", "e" -> "unknown"))
   }
+
+  test("lcpLen: exact prefix length over edge cases") {
+    import spark.implicits._
+    val rows = Seq(
+      ("abcdef", "abcxyz", 3),   // mismatch mid-string
+      ("same", "same", 4),       // identical
+      ("", "anything", 0),       // empty side
+      ("a", "b", 0),             // disjoint from char 1
+      ("prefix", "prefixlonger", 6)) // one is a prefix of the other
+      .toDF("a", "b", "k")
+    val bad = rows.select(
+        TextAnalysis.lcpLen(col("a"), col("b")).as("got"), col("k"))
+      .collect().filter(r => r.getInt(0) != r.getInt(1))
+    assert(bad.isEmpty, bad.mkString(", "))
+  }
+
+  test("groupBoilerplate: group LCP = LCP(min, max); planted chrome found") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "NAV s1 | alpha content"),
+      ("s1", "NAV s1 | beta content"),
+      ("s1", "NAV s1 | zeta body"),
+      ("s2", "solo document"),    // singleton: LCP is the whole text
+      ("s3", "xx aaa"), ("s3", "yy bbb")) // nothing shared
+      .toDF("source", "text").repartition(3)
+    val out = TextAnalysis.groupBoilerplate(docs, "source", "text")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out("s1") === ((3L, 9L, "NAV s1 | ")))
+    assert(out("s2") === ((1L, 13L, "solo document")))
+    assert(out("s3") === ((2L, 0L, "")))
+  }
 }

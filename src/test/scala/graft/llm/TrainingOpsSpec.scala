@@ -1034,4 +1034,21 @@ class TrainingOpsSpec extends SparkSuite {
     assert(e.getMessage.contains("(9)") && e.getMessage.contains("50"),
       e.getMessage)
   }
+
+  test("snakeShards: serpentine deal over sorted costs, exact balance") {
+    // costs 8..1 over 2 shards: snake order 0,1,1,0,0,1,1,0 —
+    // shard 0 gets 8+5+4+1 = 18, shard 1 gets 7+6+3+2 = 18
+    val df = (1 to 8).map(i => (i.toLong, (9 - i).toLong))
+      .toDF("id", "c").repartition(3)
+    val out = TrainingOps.snakeShards(df, "id", col("c"), nShards = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(out(1L) === ((8L, 0)) && out(2L) === ((7L, 1)))
+    assert(out(3L) === ((6L, 1)) && out(4L) === ((5L, 0)))
+    assert(out(5L) === ((4L, 0)) && out(6L) === ((3L, 1)))
+    assert(out(7L) === ((2L, 1)) && out(8L) === ((1L, 0)))
+    val totals = out.values.groupBy(_._2).view
+      .mapValues(_.map(_._1).sum).toMap
+    assert(totals(0) === totals(1))
+  }
 }

@@ -653,4 +653,19 @@ class PlanQualitySpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
     assert(p.contains("HashAggregate"), p.take(2000))
   }
+
+  test("q227: boilerplate LCP — ONE aggregate over the corpus, no join, no window") {
+    val p = plan("q227_boilerplate_lcp")
+    // the sorted-extremes identity means NO pairwise compare ever
+    // appears: one (min, max, count) aggregate, then map-only LCP
+    assert(!p.contains("Join"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+    assert(scanCount(p) == 1, p.take(1500))
+  }
+
+  test("q228: snake shards — range-partitioned rank, never an unpartitioned window") {
+    val p = plan("q228_snake_shards")
+    assert(!p.contains("Window"), p.take(1500))
+    assert(!p.contains("Join"), p.take(1500))
+  }
 }
