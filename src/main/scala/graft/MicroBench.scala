@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   * filter+union) — keep scenarios additive, they are cheap evidence.
   *
   * `runMain graft.MicroBench <scenario> [iters]`, scenario ∈
-  * {ul2}. Reads `SPARK_GRAFT_SF_DIR` (default sf0.1).
+  * {ul2, pq_encode, q97, ivfadc, semdedup, bytebpe, scd2buckets,
+  * saltedjoin, bloomjoin, lcp, snakeshards, clustersplit, qnorm,
+  * kcore}. Reads `SPARK_GRAFT_SF_DIR` (default sf0.1).
   */
 object MicroBench {
 
@@ -256,6 +258,101 @@ object MicroBench {
         }
         Seq("fold_dirty_buckets" -> fold10,
           "whole_table_rewrite" -> wholeRewrite)
+      case "lcp" =>
+        // 1M docs over 64 template sites, each with a planted ~55-char
+        // chrome prefix followed by a unique body: groupBoilerplate's
+        // sorted-extremes identity makes the cost ONE (min,max,count)
+        // aggregate + a 64-row LCP scan — there is no per-pair arm to
+        // A/B because pairwise LCP at 15.6k docs/site would be ~1.2e8
+        // string compares per site; the measurement IS the claim that
+        // the aggregate formulation stays corpus-linear
+        val docs = spark.range(1000000L).select(
+          concat(lit("site"), (col("id") % 64).cast("string"))
+            .as("site"),
+          concat(lit("Breaking News Network site"),
+            (col("id") % 64).cast("string"),
+            lit(" | Home | Politics | Sports | "),
+            sha2(col("id").cast("string"), 256)).as("text"))
+          .repartition(32).cache()
+        docs.count()
+        val sortedExtremes = () => graft.llm.TextAnalysis
+          .groupBoilerplate(docs, "site", "text")
+        Seq("sorted_extremes_1m_64sites" -> sortedExtremes)
+      case "snakeshards" =>
+        // 1M rows into 64 shards: globalRank's range-parallel rank vs
+        // the unpartitioned-window formulation every SQL cookbook
+        // reaches for (ONE task sorts and numbers all rows) — same
+        // output, spec-identical arithmetic, different scalability
+        val rows = spark.range(1000000L).select(col("id"),
+            (expr("cast(conv(substr(sha2(cast(id as string), 256), " +
+              "1, 8), 16, 10) as bigint)") % 4000 + 10).as("cost"))
+          .repartition(32).cache()
+        rows.count()
+        val ranked = () => TrainingOps.snakeShards(
+          rows, "id", col("cost"), 64)
+        val window = () => {
+          val w = org.apache.spark.sql.expressions.Window
+            .orderBy(col("cost").desc, col("id"))
+          rows.select(col("id"), col("cost").cast("long").as("cost"),
+              (row_number().over(w).cast("long") - 1L).as("pos"))
+            .select(col("id"), col("cost"),
+              when(expr("(pos div 64) % 2 = 0"), col("pos") % 64)
+                .otherwise(lit(63L) - col("pos") % 64)
+                .cast("int").as("shard"))
+        }
+        Seq("global_rank" -> ranked,
+          "single_partition_window" -> window)
+      case "clustersplit" =>
+        // 1M docs, 50k planted near-dup pairs: CC runs on the 50k-edge
+        // list (local union-find tier), so the corpus-side cost under
+        // measurement is ONE left join against the pair-participant
+        // label table + the map-only cluster-id hash
+        val docs = spark.range(1000000L).select(col("id").as("doc_id"))
+          .repartition(32).cache()
+        docs.count()
+        val pairs = spark.range(50000L).select(
+          (col("id") * 3).as("doc_a"), (col("id") * 3 + 1).as("doc_b"))
+          .cache()
+        pairs.count()
+        val run = () => graft.llm.Dedup.leakageSafeSplit(docs, "doc_id",
+          pairs, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        Seq("split_1m_docs_50k_pairs" -> run)
+      case "qnorm" =>
+        // 1M scored docs over 64 language groups, 1001-point global
+        // grid: cost = one partitioned window pass (rank+count per
+        // lang) + globalRank + two broadcast grid joins — the corpus
+        // shuffles once for the window and once for the range rank,
+        // never for the lookup
+        val rows = spark.range(1000000L).select(col("id"),
+            concat(lit("lang"), (col("id") % 64).cast("string"))
+              .as("grp"),
+            (expr("cast(conv(substr(sha2(cast(id as string), 256), " +
+              "1, 8), 16, 10) as bigint)") % 100000).as("score"))
+          .repartition(32).cache()
+        rows.count()
+        val run = () => graft.llm.Selection.quantileNormalize(
+          rows, "id", "grp", "score", nQuantiles = 1000)
+        Seq("qnorm_1m_64langs" -> run)
+      case "kcore" =>
+        // 1M nodes in the q230 per-group shape (triangle + 3-edge
+        // tail per 6 ids, ~1.17M edges, peel depth exactly 3): the
+        // claim under measurement is that per-round cost FALLS with
+        // the shrinking live edge list and the whole peel stays
+        // seconds-scale at 1M nodes
+        val ids = spark.range(1000000L).select(col("id"))
+          .repartition(32)
+        val m6 = pmod(col("id"), lit(6))
+        val edges = ids.filter(m6.isin(0, 2, 3, 4))
+            .select(col("id").as("src"), (col("id") + 1).as("dst"))
+          .unionByName(ids.filter(m6 === 0)
+            .select(col("id").as("src"), (col("id") + 2).as("dst")))
+          .unionByName(ids.filter(m6 === 0)
+            .select((col("id") + 1).as("src"), (col("id") + 2).as("dst")))
+          .filter(col("dst") < 1000000L).cache()
+        edges.count()
+        val run = () => graft.llm.Crawl.kCore(edges, k = 2,
+          maxIter = 10)
+        Seq("kcore_1m_nodes" -> run)
       case "saltedjoin" =>
         // planted skew: 70% of 20M fact rows on ONE key, 1000-key dim.
         // Broadcast is disabled for BOTH arms — a broadcast join has

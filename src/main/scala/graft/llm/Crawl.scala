@@ -1153,4 +1153,80 @@ object Crawl {
         min_by(col("anchor"), struct((-col("c")).as("nc"),
           col("anchor").as("a"))).as("top_anchor"))
   }
+
+  /** k-core decomposition by iterative peeling (Seidman 1983): remove
+    * every node of degree < k from the undirected simple graph,
+    * recompute degrees, repeat to fixpoint — survivors form the
+    * k-core, the crawl graph's density tier (organic pages fall out
+    * in early rounds; link farms and tight spam cliques survive
+    * high k, which is why coreness is a standard link-spam feature
+    * next to [[triangleCounts]]).
+    *
+    * `peel_round` is the round the node LEFT THE LIVE GRAPH: the
+    * rounds' low-degree sets plus any node a peel isolated (degree
+    * fell to 0 — it can never rejoin, so it leaves with the round
+    * that orphaned it). Core members carry peel_round NULL /
+    * in_core true. This node-set-difference rule is what the oracle
+    * replays verbatim.
+    *
+    * Scale shape per round: one degree aggregate over the LIVE edge
+    * list + one two-sided anti-join — O(live edges) shuffle, and the
+    * live list shrinks monotonically, so per-round cost FALLS. The
+    * live edges localCheckpoint every round (the connectedComponents
+    * lineage discipline); each round's dropped-node set derives from
+    * two checkpointed leaves, so the accumulated union never chains
+    * lineage. Convergence needs one ≤1-row `isEmpty` action per
+    * round; raises past `maxIter` instead of returning a
+    * non-fixpoint (peel depth is graph-shaped: bounded for crawl
+    * graphs, O(n) for a bare path — size maxIter to the graph).
+    * Output: (node, peel_round, in_core). */
+  def kCore(edges: DataFrame, k: Int, srcCol: String = "src",
+      dstCol: String = "dst", maxIter: Int = 30): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    def nodesOf(e: DataFrame): DataFrame =
+      e.select(col("a").as("node"))
+        .unionByName(e.select(col("b").as("node"))).distinct()
+    var live = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct().localCheckpoint()
+    val allNodes = nodesOf(live).localCheckpoint()
+    var nodesBefore = allNodes
+    var drops = List.empty[DataFrame]
+    var round = 0
+    var done = false
+    while (!done) {
+      val low = live.select(col("a").as("node"))
+        .unionByName(live.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+        .filter(col("d") < k).select("node").localCheckpoint()
+      if (low.isEmpty) done = true
+      else {
+        if (round >= maxIter) throw new IllegalStateException(
+          s"kCore did not reach a fixpoint in $maxIter rounds — " +
+            "raise maxIter (peel depth is graph-shaped; a long path " +
+            "peels one layer per round)")
+        live = live
+          .join(low.withColumnRenamed("node", "a"), Seq("a"), "left_anti")
+          .join(low.withColumnRenamed("node", "b"), Seq("b"), "left_anti")
+          .localCheckpoint()
+        val nodesAfter = nodesOf(live).localCheckpoint()
+        drops = nodesBefore.join(nodesAfter, Seq("node"), "left_anti")
+          .select(col("node"), lit(round).as("peel_round")) :: drops
+        nodesBefore = nodesAfter
+        round += 1
+      }
+    }
+    val dropped =
+      if (drops.isEmpty)
+        allNodes.select(col("node"),
+          lit(null).cast("int").as("peel_round")).limit(0)
+      else drops.reduce(_ unionByName _)
+    allNodes.join(dropped, Seq("node"), "left")
+      .select(col("node"), col("peel_round"),
+        col("peel_round").isNull.as("in_core"))
+  }
 }

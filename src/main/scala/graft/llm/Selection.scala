@@ -780,4 +780,53 @@ object Selection {
             sqrt(col("_var_num").cast(DoubleType))).cast(LongType))
           .as("z_milli"))
   }
+
+  /** Per-group quantile normalization (the CCNet move, generalized:
+    * CCNet thresholds per-LANGUAGE perplexity because one global
+    * cutoff over-prunes low-resource languages — this maps every
+    * score onto the GLOBAL distribution so one threshold works for
+    * every group). Each row's within-group percentile
+    * (`pr_micro` = ((rank−1)·10⁶) div (n−1), integer-exact; 0 for
+    * singleton groups) indexes a (nQuantiles+1)-point global
+    * quantile grid, and the row's `norm_score` is the global score
+    * at that gridpoint — so a p90 document of ANY group normalizes
+    * to the global p90 score. Every step is integer floor division:
+    * both engines replay the exact same values, no rounding-mode
+    * exposure. Scale shape: ONE partitioned window per group (rank +
+    * count, never unpartitioned), ONE [[TrainingOps.globalRank]]
+    * range-parallel global rank, grid extraction via a BROADCAST
+    * (nQuantiles+1)-row join against the ranked corpus, and the
+    * final lookup broadcasts the grid — corpus never shuffles for
+    * the lookup. Output: (idCol, groupCol, score, pr_micro,
+    * norm_score). */
+  def quantileNormalize(df: DataFrame, idCol: String, groupCol: String,
+      scoreCol: String, nQuantiles: Int = 1000): DataFrame = {
+    require(nQuantiles >= 1, s"nQuantiles must be >= 1, got $nQuantiles")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol), col(groupCol),
+      col(scoreCol).cast(LongType).as("score"))
+    val wg = Window.partitionBy(groupCol)
+      .orderBy(col("score"), col(idCol))
+    val wn = Window.partitionBy(groupCol)
+    val p = base.select(col(idCol), col(groupCol), col("score"),
+        row_number().over(wg).cast(LongType).as("rn"),
+        count(lit(1)).over(wn).as("n"))
+      .withColumn("pr_micro", when(col("n") === 1, 0L)
+        .otherwise(expr("((rn - 1) * 1000000) div (n - 1)")))
+    val spark = df.sparkSession
+    val ranked = graft.llm.TrainingOps.globalRank(
+      base.select(col("score"), col(idCol)),
+      Seq(col("score"), col(idCol)))
+    val ng = base.agg(count(lit(1)).as("ng"))
+    val grid = spark.range(nQuantiles + 1L).toDF("k")
+      .crossJoin(broadcast(ng))
+      .select(col("k"), expr(s"(k * (ng - 1)) div $nQuantiles").as("idx"))
+    val gq = ranked.join(broadcast(grid),
+        ranked("rank") - 1L === grid("idx"))
+      .select(col("k"), col("score").as("norm_score"))
+    p.join(broadcast(gq),
+        expr(s"k = (pr_micro * $nQuantiles) div 1000000"))
+      .select(col(idCol), col(groupCol), col("score"),
+        col("pr_micro"), col("norm_score"))
+  }
 }

@@ -272,7 +272,46 @@ object R12Queries {
           T.documents(s, d), "doc_id",
           graft.llm.TextAnalysis.tokenCountWs(col("text")),
           nShards = 8)
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // [EXT] per-group quantile normalization (the CCNet per-language
+    // threshold move, generalized): each doc's within-LANG percentile
+    // indexes a 1001-point GLOBAL quantile grid, so one threshold on
+    // norm_score prunes every language at the same rate. Integer
+    // floor division end-to-end — the oracle replays ranks, the grid,
+    // and both index computations exactly.
+    "q229_quantile_norm" -> ((s, d) =>
+      graft.llm.Selection.quantileNormalize(
+          T.documents(s, d), "doc_id", "lang", "n_chars",
+          nQuantiles = 1000)
+        .orderBy("doc_id")),
+
+    // [EXT] k-core peeling (Seidman 1983): the crawl-graph density
+    // tier next to q221's triangles. The planted graph is per-group
+    // (each 6 consecutive ids = one triangle + a 3-edge tail), so
+    // the peel depth is EXACTLY 3 rounds at every corpus size —
+    // tail nodes fall in waves, triangles survive k=2. The oracle
+    // unrolls all three rounds (degrees → low set → filtered edges →
+    // node-set diff) and replays the isolated-node rule verbatim.
+    "q230_kcore" -> ((s, d) => {
+      val docs = T.documents(s, d).select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val withN = docs.join(broadcast(n))
+      val m6 = pmod(col("doc_id"), lit(6))
+      val raw = withN.filter(m6.isin(0, 2, 3, 4))
+          .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"),
+            col("n"))
+        .unionByName(withN.filter(m6 === 0)
+          .select(col("doc_id").as("a"), (col("doc_id") + 2).as("b"),
+            col("n")))
+        .unionByName(withN.filter(m6 === 0)
+          .select((col("doc_id") + 1).as("a"),
+            (col("doc_id") + 2).as("b"), col("n")))
+      graft.llm.Crawl.kCore(
+          raw.filter(col("b") < col("n")).select("a", "b"),
+          k = 2, srcCol = "a", dstCol = "b", maxIter = 10)
+        .orderBy("node")
+    }))
 
   /** q216's oracle: plant → hash-rank cells → nested nsub×dsub
     * squared-L2 cell assignment (the q214 CTE shape) → in-cell pairs
@@ -730,5 +769,89 @@ ORDER BY query_id, rank"""
         |SELECT doc_id, cost,
         |  CAST(CASE WHEN (pos // 8) % 2 = 0 THEN pos % 8
         |       ELSE 7 - (pos % 8) END AS INT) AS shard
-        |FROM r ORDER BY doc_id""".stripMargin)
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // within-lang rank → integer pr_micro → global 1001-point grid
+    // lookup; integer floor division throughout
+    "q229_quantile_norm" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang AS grp, CAST(n_chars AS BIGINT) AS score
+        |  FROM documents),
+        |w AS (SELECT doc_id, grp, score,
+        |        row_number() OVER (PARTITION BY grp
+        |          ORDER BY score, doc_id) AS rn,
+        |        count(*) OVER (PARTITION BY grp) AS n
+        |      FROM t),
+        |p AS (SELECT doc_id, grp, score,
+        |        CASE WHEN n = 1 THEN 0
+        |             ELSE ((rn - 1) * 1000000) // (n - 1) END AS pr_micro
+        |      FROM w),
+        |g AS (SELECT score,
+        |        row_number() OVER (ORDER BY score, doc_id) AS rg
+        |      FROM t),
+        |nn AS (SELECT count(*) AS ng FROM t),
+        |grid AS (SELECT k, (k * (ng - 1)) // 1000 AS idx
+        |         FROM generate_series(0, 1000) s(k), nn),
+        |gq AS (SELECT grid.k, g.score AS norm_score
+        |       FROM grid JOIN g ON g.rg - 1 = grid.idx)
+        |SELECT p.doc_id, p.grp AS lang, p.score,
+        |  CAST(p.pr_micro AS BIGINT) AS pr_micro, gq.norm_score
+        |FROM p JOIN gq ON gq.k = (p.pr_micro * 1000) // 1000000
+        |ORDER BY p.doc_id""".stripMargin,
+
+    // three peel rounds unrolled: degrees -> low set -> filtered
+    // edges -> node-set diff per round; the left join assigns each
+    // node the round it left the live graph
+    "q230_kcore" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |raw AS (
+        |  SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+        |  WHERE doc_id % 6 IN (0, 2, 3, 4)
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + 2 FROM documents WHERE doc_id % 6 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1, doc_id + 2 FROM documents WHERE doc_id % 6 = 0),
+        |e0 AS (SELECT a, b FROM raw, nn WHERE b < n),
+        |n0 AS (SELECT DISTINCT node FROM
+        |        (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) t),
+        |l0 AS (SELECT node FROM
+        |        (SELECT node, count(*) AS d FROM
+        |          (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) t
+        |         GROUP BY 1) g WHERE d < 2),
+        |e1 AS (SELECT a, b FROM e0
+        |       WHERE a NOT IN (SELECT node FROM l0)
+        |         AND b NOT IN (SELECT node FROM l0)),
+        |n1 AS (SELECT DISTINCT node FROM
+        |        (SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1) t),
+        |l1 AS (SELECT node FROM
+        |        (SELECT node, count(*) AS d FROM
+        |          (SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1) t
+        |         GROUP BY 1) g WHERE d < 2),
+        |e2 AS (SELECT a, b FROM e1
+        |       WHERE a NOT IN (SELECT node FROM l1)
+        |         AND b NOT IN (SELECT node FROM l1)),
+        |n2 AS (SELECT DISTINCT node FROM
+        |        (SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2) t),
+        |l2 AS (SELECT node FROM
+        |        (SELECT node, count(*) AS d FROM
+        |          (SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2) t
+        |         GROUP BY 1) g WHERE d < 2),
+        |e3 AS (SELECT a, b FROM e2
+        |       WHERE a NOT IN (SELECT node FROM l2)
+        |         AND b NOT IN (SELECT node FROM l2)),
+        |n3 AS (SELECT DISTINCT node FROM
+        |        (SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3) t),
+        |drops AS (
+        |  SELECT node, 0 AS r FROM
+        |    (SELECT node FROM n0 EXCEPT SELECT node FROM n1) t
+        |  UNION ALL
+        |  SELECT node, 1 FROM
+        |    (SELECT node FROM n1 EXCEPT SELECT node FROM n2) t
+        |  UNION ALL
+        |  SELECT node, 2 FROM
+        |    (SELECT node FROM n2 EXCEPT SELECT node FROM n3) t)
+        |SELECT n0.node, CAST(d.r AS INT) AS peel_round,
+        |  d.r IS NULL AS in_core
+        |FROM n0 LEFT JOIN drops d USING (node)
+        |ORDER BY n0.node""".stripMargin)
 }

@@ -727,4 +727,37 @@ class CrawlSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size === 51 && got.values.forall(_ === 0L))
   }
+
+  test("kCore: wave peeling, isolated-by-peel rule, maxIter raise") {
+    // triangle {1,2,3} + path 3-4-5-6 + disconnected pair 7-8
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (7L, 8L))
+      .toDF("src", "dst").repartition(3)
+    val k2 = Crawl.kCore(edges, k = 2).collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1 else r.getInt(1)), r.getBoolean(2)))
+      .toMap
+    // waves: deg-1 leaves first, then the path unravels one per round
+    assert(k2(6L) === ((0, false)) && k2(7L) === ((0, false)) &&
+      k2(8L) === ((0, false)))
+    assert(k2(5L) === ((1, false)))
+    assert(k2(4L) === ((2, false)))
+    // the triangle is the 2-core
+    assert(Seq(1L, 2L, 3L).forall(n => k2(n) === ((-1, true))))
+    // k=3: the first peel isolates node 3 (its neighbors all drop) —
+    // it leaves the live graph in the SAME round, by the node-set
+    // diff rule the Scaladoc pins
+    val k3 = Crawl.kCore(edges, k = 3).collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1 else r.getInt(1)), r.getBoolean(2)))
+      .toMap
+    assert(k3.size === 8)
+    assert(k3.values.forall(_ === ((0, false))))
+    // a bare 8-path needs 4 peel rounds at k=2: maxIter=2 raises
+    val path = (1L to 7L).map(i => (i, i + 1)).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      Crawl.kCore(path, k = 2, maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("fixpoint"), e.getMessage)
+  }
 }

@@ -438,4 +438,31 @@ class SelectionSpec extends SparkSuite {
         "score", minGroup = 1)
     }
   }
+
+  test("quantileNormalize: hand-exact grid lookup, singleton group, extremes") {
+    // global sorted scores: 1,2,10,20,30,40,50,99 (N=8); Q=4 grid
+    // idx_k = (k*7) div 4 = 0,1,3,5,7 -> gridpoints 1,2,20,40,99
+    val rows = Seq(
+      (1L, "g1", 10L), (2L, "g1", 20L), (3L, "g1", 30L),
+      (4L, "g1", 40L), (5L, "g1", 50L),
+      (6L, "g2", 1L), (7L, "g2", 2L),
+      (8L, "g3", 99L)) // singleton group
+      .toDF("id", "grp", "s").repartition(3)
+    val out = Selection.quantileNormalize(rows, "id", "grp", "s",
+        nQuantiles = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    // g1 (n=5): pr = 0, 250000, 500000, 750000, 1000000
+    //           k  = 0, 1, 2, 3, 4 -> norm 1, 2, 20, 40, 99
+    assert(out(1L) === ((0L, 1L)))
+    assert(out(2L) === ((250000L, 2L)))
+    assert(out(3L) === ((500000L, 20L)))
+    assert(out(4L) === ((750000L, 40L)))
+    assert(out(5L) === ((1000000L, 99L)))
+    // g2 (n=2): extremes map to the global extremes
+    assert(out(6L) === ((0L, 1L)))
+    assert(out(7L) === ((1000000L, 99L)))
+    // singleton group: pr_micro = 0 by rule -> global minimum
+    assert(out(8L) === ((0L, 1L)))
+  }
 }
