@@ -33,12 +33,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * +17% on the headline total). Two fixes: (1) per-pass times are
   * first-class in the artifact (`passes`), so a stall is VISIBLE instead of
   * silently folded into a min; (2) any query whose min-of-2 exceeds the
-  * [[BenchRetry.shouldRetry]] threshold against its prior committed
-  * per-query figure (latest BENCH_r{N}.json in cwd, or
-  * SPARK_GRAFT_PRIOR_BENCH) gets ONE targeted third pass, immediately —
-  * back-to-back with nothing between it and the suspect measurement, so it
-  * samples a different host window than the two that straddled the stall.
-  * Retried query names ship in the artifact (`retried`).
+  * [[BenchRetry.shouldRetry]] threshold against its prior per-query figure
+  * (the min across committed BENCH_FULL.json — SPARK_GRAFT_PRIOR_BENCH
+  * overrides the path — and the rolling-min BENCH_PRIOR.json, which a
+  * stalled run can never poison upward) gets ONE targeted third pass at the
+  * end of the second sweep — minutes away from the two passes that
+  * straddled the stall, so it samples a different host window. Retried
+  * query names ship in the artifact (`retried`).
   */
 object Bench {
   private def force(df: DataFrame): Unit =
@@ -129,11 +130,12 @@ object Bench {
       names.map { case (name, fn) => name -> timedOne(name, fn) }.toMap
     val p1 = timedPass()
     val p2 = timedPass()
-    // targeted third pass: a min-of-2 far above the prior committed
-    // figure is more likely a host stall spanning both passes than a
-    // 3×+ regression of untouched code — re-measure it NOW,
-    // back-to-back, and let the min (and the visible per-pass list)
-    // decide. A real regression survives the third pass.
+    // targeted third pass: a min-of-2 far above the prior figure is
+    // more likely a host stall spanning both passes than a 3×+
+    // regression of untouched code — re-measure it here (a different
+    // host window than the two sweeps that straddled the stall) and
+    // let the min (and the visible per-pass list) decide. A real
+    // regression survives the third pass.
     val prior = BenchRetry.loadPrior()
     val passes = scala.collection.mutable.Map[String, List[Double]]()
     names.foreach { case (name, _) =>
@@ -146,6 +148,7 @@ object Bench {
       retry
     }.map(_._1)
     val results = passes.map { case (k, vs) => k -> vs.min }.toMap
+    BenchRetry.savePrior(results)
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val passJson = passes.toSeq.sortBy(_._1).map { case (k, vs) =>
@@ -219,20 +222,53 @@ object BenchRetry {
     }.toMap
   }
 
-  /** The prior committed per-query figures: SPARK_GRAFT_PRIOR_BENCH
-    * if set, else `BENCH_FULL.json` in `dir` — the bench's own full
-    * artifact, committed each round (the driver's `BENCH_r{N}.json`
-    * wraps only the compact stdout line, which has no per-query map).
-    * Read BEFORE this run writes its own artifact, so the figures on
-    * disk are the PRIOR round's. Missing/unreadable → empty map (no
-    * retries), never an error. */
+  /** The prior per-query figures the retry rule compares against:
+    * the per-query MIN across `BENCH_FULL.json` (the committed full
+    * artifact — the driver's `BENCH_r{N}.json` wraps only the compact
+    * stdout line, which has no per-query map; SPARK_GRAFT_PRIOR_BENCH
+    * overrides the path) and the rolling-min `BENCH_PRIOR.json` this
+    * bench maintains via [[savePrior]]. The rolling min is the
+    * anti-self-poisoning half: BENCH_FULL.json is OVERWRITTEN by
+    * every run, so a stall that ships in run 1 would otherwise become
+    * run 2's "prior" and a repeat stall would never trip the rule —
+    * a min can only move DOWN, so a stalled figure can never raise
+    * the bar, while a lucky fast outlier at worst buys one cheap
+    * extra pass. Missing/unreadable → empty map (no retries), never
+    * an error. */
   def loadPrior(dir: java.nio.file.Path = java.nio.file.Paths.get(".")): Map[String, Double] = {
-    val p = sys.env.get("SPARK_GRAFT_PRIOR_BENCH")
+    def read(p: java.nio.file.Path): Map[String, Double] =
+      try parseQueries(new String(
+        java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => Map.empty }
+    val full = read(sys.env.get("SPARK_GRAFT_PRIOR_BENCH")
       .map(java.nio.file.Paths.get(_))
-      .getOrElse(dir.resolve("BENCH_FULL.json"))
-    try parseQueries(new String(
-      java.nio.file.Files.readAllBytes(p),
+      .getOrElse(dir.resolve("BENCH_FULL.json")))
+    val rolling = read(dir.resolve("BENCH_PRIOR.json"))
+    (full.keySet ++ rolling.keySet).iterator.map { k =>
+      k -> math.min(full.getOrElse(k, Double.MaxValue),
+        rolling.getOrElse(k, Double.MaxValue))
+    }.toMap
+  }
+
+  /** Fold this run's per-query minimums into the rolling-min
+    * `BENCH_PRIOR.json` (see [[loadPrior]]). Write errors are
+    * swallowed — the prior file is a guard input, never a gate. */
+  def savePrior(results: Map[String, Double],
+      dir: java.nio.file.Path = java.nio.file.Paths.get(".")): Unit = {
+    val prior = try parseQueries(new String(
+      java.nio.file.Files.readAllBytes(dir.resolve("BENCH_PRIOR.json")),
       java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: Throwable => Map.empty }
+    catch { case _: Throwable => Map.empty[String, Double] }
+    val merged = (prior.keySet ++ results.keySet).toSeq.sorted.map { k =>
+      k -> math.min(prior.getOrElse(k, Double.MaxValue),
+        results.getOrElse(k, Double.MaxValue))
+    }
+    val qs = merged.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    try java.nio.file.Files.write(dir.resolve("BENCH_PRIOR.json"),
+      (s"""{"queries":$qs}""" + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
   }
 }

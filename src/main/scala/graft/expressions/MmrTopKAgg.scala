@@ -70,7 +70,18 @@ case class MmrTopKAgg(
     val relv = second.eval(input)
     val vv = third.eval(input)
     if (idv != null && relv != null && vv != null) {
-      buf += ((idv.asInstanceOf[Long], relv.asInstanceOf[Long],
+      val rel = relv.asInstanceOf[Long]
+      // |rel| ≤ 9e12 makes every score term provably overflow-free:
+      // λ·rel ≤ 10⁶·9·10¹² = 9·10¹⁸ < Long.MaxValue, and the
+      // redundancy term adds at most (10⁶)² = 10¹² on top — an
+      // unbounded rel would WRAP the ordering silently (relevance is
+      // micro-units by contract; 9e12 is 9 million full-scale units
+      // of headroom)
+      if (math.abs(rel) > 9000000000000L)
+        throw new IllegalArgumentException(
+          s"graft_mmr_topk: relevance $rel exceeds |rel| <= 9e12 — " +
+            "scores are micro-units by contract; rescale upstream")
+      buf += ((idv.asInstanceOf[Long], rel,
         vv.asInstanceOf[ArrayData].toDoubleArray()))
     }
     buf
@@ -126,8 +137,11 @@ case class MmrTopKAgg(
             if (maxSim(i) == Long.MinValue) lambdaMicro * cands(i)._2
             else lambdaMicro * cands(i)._2 -
               (1000000L - lambdaMicro) * maxSim(i)
-          // strict >: equal scores keep the earlier (lower) id
-          if (score > bestScore) { bestScore = score; best = i }
+          // strict >: equal scores keep the earlier (lower) id; the
+          // best < 0 arm seats the FIRST unselected candidate even if
+          // its score is Long.MinValue (otherwise best could stay -1
+          // and selected(-1) would throw)
+          if (best < 0 || score > bestScore) { bestScore = score; best = i }
         }
         i += 1
       }

@@ -1825,10 +1825,14 @@ object Dedup {
     * self-join on the cell key.
     *
     * Cosine thresholding is an exact integer comparison:
-    * `floor(cosine · 10⁶) >= tauMicro`, with the dot products
-    * computed as the nested nsub×dsub sequential sums whose oracle
-    * parity q186 pinned — so DuckDB replays every cell assignment,
-    * every pair cosine, and every verdict. Approximation contract
+    * `floor(cosine · 10⁶) >= tauMicro`. The PAIR dot products go
+    * through [[embeddingPairsExact]]'s flat `graft_dot` (one
+    * sequential dim-length sum — the form the q216 oracle replays as
+    * a flat list_sum); only the CELL distances use the nested
+    * nsub×dsub grouping (the q186 parity form), so `nsub` shapes
+    * cell assignment and never the dedup verdicts. DuckDB replays
+    * every cell assignment, every pair cosine, and every verdict
+    * under exactly those two groupings. Approximation contract
     * (the paper's): duplicates that land in DIFFERENT cells are not
     * compared — recall improves with fewer/larger cells, cost with
     * more/smaller ones.

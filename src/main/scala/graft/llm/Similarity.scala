@@ -813,12 +813,8 @@ object Similarity {
     // ids ride the aggregate as longs — a non-numeric id would cast
     // to NULL (query rows would NPE at the collect, corpus rows would
     // be silently skipped by every heap): fail by name at plan build
-    Seq(qId -> queries, cId -> corpus).foreach { case (c, df) =>
-      require(df.schema(c).dataType
-          .isInstanceOf[org.apache.spark.sql.types.NumericType],
-        s"pqAdcTopK: id column `$c` must be numeric (castable to " +
-          s"long), got ${df.schema(c).dataType}")
-    }
+    requireNumeric("pqAdcTopK", queries, qId, "id")
+    requireNumeric("pqAdcTopK", corpus, cId, "id")
     val dsub = dim / nsub
     val codes = pqEncode(corpus, cId, vecCol, codebook, dim, nsub, ncent)
     // per-query integer LUTs — a bounded driver collect (queries are
@@ -841,6 +837,17 @@ object Similarity {
       .collect()
     require(qlutRows.nonEmpty && qlutRows.length <= 65536,
       s"pqAdcTopK: need 1..65536 queries, got ${qlutRows.length}")
+    // numeric TYPE admits NULL VALUES, and a NULL/short embedding
+    // nulls LUT ELEMENTS that would silently unbox to 0 (an all-zero
+    // LUT scores everything at distance 0) — fail by name (the
+    // topKIvfAdc rule)
+    qlutRows.foreach { r =>
+      require(!r.isNullAt(0) && !r.isNullAt(1) &&
+        !r.getSeq[Any](1).contains(null),
+        "pqAdcTopK: queries contain a NULL id or NULL/incomplete " +
+          "vector — drop or repair such query rows upstream (every " +
+          "query must carry an id and a dim-length embedding)")
+    }
     val luts = qlutRows.map(_.getSeq[Long](1).toArray)
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -1181,12 +1188,8 @@ object Similarity {
     // NULL and be SILENTLY skipped by every heap (corpus side) or NPE
     // at the collect (query side) — fail by name at plan build
     // instead (the pqAdcTopK contract, enforced on both sides)
-    Seq(cId -> corpus, qId -> queries).foreach { case (c, df) =>
-      require(df.schema(c).dataType
-          .isInstanceOf[org.apache.spark.sql.types.NumericType],
-        s"topKIvfAdc: id column `$c` must be numeric (castable to " +
-          s"long), got ${df.schema(c).dataType}")
-    }
+    requireNumeric("topKIvfAdc", corpus, cId, "id")
+    requireNumeric("topKIvfAdc", queries, qId, "id")
     val dsub = dim / nsub
     val cents = coarseCentroids(corpus, cId, vecCol, dim, nlist,
       production, seed, maxIter, samplePerCell, salt)
@@ -1234,6 +1237,19 @@ object Similarity {
       .collect()
     require(qRows.nonEmpty && qRows.length <= 65536,
       s"topKIvfAdc: need 1..65536 queries, got ${qRows.length}")
+    // the type check above admits numeric columns holding NULL VALUES,
+    // and a NULL or short embedding nulls LUT/probe ELEMENTS — those
+    // would silently UNBOX TO ZERO downstream (unboxToLong(null) = 0:
+    // an all-zero LUT scores every candidate at distance 0) or NPE at
+    // the driver; fail by name instead
+    qRows.foreach { r =>
+      require(!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2) &&
+        !r.getSeq[Any](1).contains(null) &&
+        !r.getSeq[Any](2).contains(null),
+        "topKIvfAdc: queries contain a NULL id or NULL/incomplete " +
+          "vector — drop or repair such query rows upstream (every " +
+          "query must carry an id and a dim-length embedding)")
+    }
     val luts = qRows.map(_.getSeq[Long](1).toArray)
     val cellQueries: Array[Array[Int]] = {
       val m = Array.fill(nlist)(
@@ -1296,9 +1312,11 @@ object Similarity {
     require(dim >= 1 && nsub >= 1 && dim % nsub == 0,
       s"dim $dim not divisible by nsub $nsub")
     require(maxCandidates >= 1, "maxCandidates must be positive")
-    require(corpus2Numeric(candidates, cId),
-      s"mmrRerank: candidate id column `$cId` must be numeric " +
-        s"(castable to long), got ${candidates.schema(cId).dataType}")
+    requireNumeric("mmrRerank", candidates, cId, "candidate id")
+    // same rule for relevance: a non-numeric relCol would cast to
+    // NULL per row and the aggregate would silently skip EVERY
+    // candidate — empty rerank output instead of an error
+    requireNumeric("mmrRerank", candidates, relCol, "relevance")
     val base = candidates.select(col(qId).as("query_id"),
       col(cId).cast(LongType).as("_id"),
       col(relCol).cast(LongType).as("_rel"),
@@ -1331,6 +1349,16 @@ object Similarity {
   private def corpus2Numeric(df: DataFrame, c: String): Boolean =
     df.schema(c).dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType]
+
+  /** One numeric-column rule for every aggregate-heap operator: a
+    * non-numeric column casts to NULL per row and the heaps silently
+    * skip (or the driver collect NPEs) — fail by name at plan build.
+    * Shared so the rule changes in ONE place. */
+  private def requireNumeric(op: String, df: DataFrame, c: String,
+      what: String): Unit =
+    require(corpus2Numeric(df, c),
+      s"$op: $what column `$c` must be numeric (castable to long), " +
+        s"got ${df.schema(c).dataType}")
 
   /** Probe a persisted ANN index: signature the queries under the
     * index's OWN banding parameters (map-only, broadcast), candidate

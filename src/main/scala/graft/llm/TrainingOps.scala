@@ -1708,10 +1708,21 @@ object TrainingOps {
             "drop it upstream, or raise the cap deliberately")
       }
     }
+    // the struct's THIRD field is the rendered piece — the SAME
+    // expression, in the SAME sort position, as renderChatTemplate's:
+    // on (order, tie) ties the renderer orders turns by the rendered
+    // string, and a spans-side sort on (role, content) instead can
+    // DIVERGE there (e.g. roles "a"/"ab": 'b' sorts before '|'), which
+    // would silently shift every later offset. Sorting on the piece
+    // keeps the two folds in lockstep by construction; role/content
+    // ride behind it for the offset arithmetic.
     val grouped = df.groupBy(col(convCol).as("conv_id"))
       .agg(count(lit(1)).as("n_turns"),
         array_sort(collect_list(struct(
           col(orderCol).as("o"), col(tieCol).as("t"),
+          concat(lit("<|"), coalesce(col(roleCol), lit("")),
+            lit("|>"), coalesce(col(contentCol), lit("")),
+            lit("<|end|>")).as("s"),
           coalesce(col(roleCol), lit("")).as("r"),
           coalesce(col(contentCol), lit("")).as("c")))).as("_turns"))
     // one fold over the sorted turns: accumulate the running offset

@@ -60,4 +60,27 @@ class BenchRetrySpec extends AnyFunSuite {
     val empty = java.nio.file.Files.createTempDirectory("benchretry2")
     assert(BenchRetry.loadPrior(empty) === Map.empty)
   }
+
+  test("rolling-min prior: a stalled run can never raise the bar " +
+      "(the self-poisoning hole)") {
+    val dir = java.nio.file.Files.createTempDirectory("benchprior")
+    def write(name: String, json: String): Unit =
+      java.nio.file.Files.write(dir.resolve(name),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the r11 incident shape: the overwritten full artifact carries a
+    // 40 s stall, the rolling prior still remembers the real 1.3 s
+    write("BENCH_FULL.json", """{"queries":{"qa":40.27,"qb":0.25}}""")
+    write("BENCH_PRIOR.json", """{"queries":{"qa":1.3,"qc":2.0}}""")
+    val prior = BenchRetry.loadPrior(dir)
+    assert(prior === Map("qa" -> 1.3, "qb" -> 0.25, "qc" -> 2.0))
+    // so a REPEAT 40 s stall still trips the retry rule
+    assert(BenchRetry.shouldRetry(40.0, prior.get("qa")))
+    // savePrior folds mins: a stalled figure never rises, a faster
+    // run lowers, new queries enter
+    BenchRetry.savePrior(Map("qa" -> 40.0, "qd" -> 5.0), dir)
+    val after = BenchRetry.loadPrior(dir)
+    assert(after("qa") === 1.3 && after("qd") === 5.0)
+    BenchRetry.savePrior(Map("qa" -> 0.9), dir)
+    assert(BenchRetry.loadPrior(dir)("qa") === 0.9)
+  }
 }

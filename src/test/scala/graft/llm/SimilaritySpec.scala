@@ -564,5 +564,52 @@ class SimilaritySpec extends SparkSuite {
         "q", "id", "vec", "rel", dim = 4, nsub = 2, k = 2)
     }
     assert(eId.getMessage.contains("numeric"), eId.getMessage)
+    // ... and so does a non-numeric relevance column (it would cast
+    // to NULL per row and the aggregate would skip every candidate —
+    // silently empty output)
+    val eRel = intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(
+        cand.withColumn("rel", col("rel").cast("string")),
+        "q", "id", "vec", "rel", dim = 4, nsub = 2, k = 2)
+    }
+    assert(eRel.getMessage.contains("relevance") &&
+      eRel.getMessage.contains("numeric"), eRel.getMessage)
+    // out-of-contract relevance magnitude fails by name instead of
+    // silently wrapping the score ordering
+    val big = Seq(("g", 1L, 10000000000000L,
+      Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("q", "id", "rel", "vec")
+    val eBig = intercept[Exception] {
+      Similarity.mmrRerank(big, "q", "id", "vec", "rel",
+        dim = 4, nsub = 2, k = 1).collect()
+    }
+    assert(eBig.getMessage.contains("9e12"), eBig.getMessage)
+  }
+
+  test("topKIvfAdc / pqAdcTopK: NULL query id or vector fails by name, not NPE") {
+    import spark.implicits._
+    val corpus = (0L until 32L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val nullId = Seq((Some(1L), Array.fill(8)(0.5f)),
+        (None, Array.fill(8)(0.25f)))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.topKIvfAdc(nullId, corpus, "vec_id", "vec_id",
+        "embedding", dim = 8, nsub = 2, ncent = 4, nlist = 4,
+        nprobe = 2, k = 3, salt = "t")
+    }
+    assert(e1.getMessage.contains("NULL id or NULL/incomplete"),
+      e1.getMessage)
+    val nullVec = Seq((1L, Some(Array.fill(8)(0.5f))),
+        (2L, Option.empty[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      val cb = Similarity.pqCodebook(corpus, "vec_id", "embedding",
+        8, 2, 4, salt = "t")
+      Similarity.pqAdcTopK(nullVec, corpus, "vec_id", "vec_id",
+        "embedding", cb, dim = 8, nsub = 2, ncent = 4, k = 3)
+    }
+    assert(e2.getMessage.contains("NULL id or NULL/incomplete"),
+      e2.getMessage)
   }
 }

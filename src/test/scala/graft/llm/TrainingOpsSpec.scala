@@ -1035,6 +1035,29 @@ class TrainingOpsSpec extends SparkSuite {
       e.getMessage)
   }
 
+  test("sftLossSpans: full (order, tie) ties sort by the RENDERED piece, " +
+      "matching the renderer") {
+    import spark.implicits._
+    // roles "a"/"ab" on a full (ts, eid) tie: a (role, content) sort
+    // would put "a" first, but the renderer compares rendered pieces
+    // where 'b' (0x62) < '|' (0x7C) puts "<|ab|>…" first — the spans
+    // fold must follow the renderer or every later offset shifts
+    val turns = Seq(
+      (1L, 10L, 1L, "a", "x"),
+      (1L, 10L, 1L, "ab", ""))
+      .toDF("conv", "ts", "eid", "role", "content")
+    val rendered = TrainingOps.renderChatTemplate(turns, "conv", "ts",
+        "eid", "role", "content")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(rendered(1L) === "<|ab|><|end|><|a|>x<|end|>")
+    val spans = TrainingOps.sftLossSpans(turns, "conv", "ts", "eid",
+        "role", "content", lossRole = "a")
+      .collect().map(r => (r.getLong(3), r.getLong(4)))
+    assert(spans.length === 1)
+    assert(rendered(1L).substring(spans(0)._1.toInt,
+      spans(0)._2.toInt) === "x<|end|>")
+  }
+
   test("snakeShards: serpentine deal over sorted costs, exact balance") {
     // costs 8..1 over 2 shards: snake order 0,1,1,0,0,1,1,0 —
     // shard 0 gets 8+5+4+1 = 18, shard 1 gets 7+6+3+2 = 18
