@@ -87,6 +87,11 @@ object HttpSource {
   private def newClient(cfg: HttpSourceConfig): HttpClient = {
     val b = HttpClient.newBuilder()
       .connectTimeout(Duration.ofMillis(cfg.connectTimeoutMillis))
+      // the reference client (requests.Session) follows redirects by
+      // default — without this a 301 http->https or trailing-slash
+      // redirect fails as "non-retryable status 301". NORMAL follows
+      // everything except an https->http downgrade.
+      .followRedirects(HttpClient.Redirect.NORMAL)
     cfg.proxy.foreach { p =>
       val (host, port) = p.split(":", 2) match {
         case Array(h, pt) => (h, pt.toInt)
@@ -122,8 +127,16 @@ object HttpSource {
       case "DELETE" => reqB.DELETE()
       case m => reqB.method(m, HttpRequest.BodyPublishers.ofString(body))
     }
-    cfg.headers.foreach { case (k, v) => reqB.header(k, v) }
-    auth.headers.foreach { case (k, v) => reqB.header(k, v) }
+    // MERGE config and session-auth headers, auth winning and the
+    // match case-INSENSITIVE (header names are) — .header() APPENDS,
+    // so a key present in both (e.g. a static Authorization in cfg
+    // plus a fresh login token) would otherwise be sent as TWO header
+    // values, with the stale one still attached after a 401 re-login
+    // (requests.Session semantics: session auth overrides)
+    val merged = cfg.headers.filterNot { case (k, _) =>
+      auth.headers.keys.exists(_.equalsIgnoreCase(k))
+    } ++ auth.headers
+    merged.foreach { case (k, v) => reqB.setHeader(k, v) }
     if (auth.cookies.nonEmpty)
       reqB.header("Cookie",
         auth.cookies.map { case (k, v) => s"$k=$v" }.mkString("; "))

@@ -49,9 +49,15 @@ object Landing {
           "permissions not evaluated (roles.py:20-22 warn arm)")
       case _ => ()
     }
+    // reference parity (__init__.py:245): ONLY the lowercased LAST
+    // extension token gates admission — `x.jsonl.gz` is admitted via
+    // "gz" in the accepted set, exactly as the reference's
+    // upload_accept does, and `evil.jsonl.exe` is REJECTED (an
+    // earlier draft also accepted the second-to-last token, which
+    // let a forbidden final extension ride in behind an accepted one)
     val ext = fileName.split('.').drop(1).lastOption.getOrElse("")
-    val ext2 = fileName.split('.').drop(1).takeRight(2).headOption.getOrElse(ext)
-    if (!cfg.acceptExtensions.contains(ext) && !cfg.acceptExtensions.contains(ext2))
+      .toLowerCase
+    if (!cfg.acceptExtensions.contains(ext))
       throw new UploadRejectedException(
         s"extension '$ext' not in accepted set ${cfg.acceptExtensions.mkString("{", ",", "}")}")
   }

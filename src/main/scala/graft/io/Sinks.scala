@@ -154,9 +154,22 @@ object Sinks {
     * per-partition connections, DELETE+INSERT keyed on `keyCols` per
     * batch — idempotent (safe to replay a stage, the reference's
     * exactly-once answer, SURVEY.md §7 hard part (d)). ANSI SQL only,
-    * so it runs on any JDBC target. */
-  def jdbcUpsert(df: DataFrame, url: String, table: String,
+    * so it runs on any JDBC target.
+    *
+    * One row PER KEY lands per call: the input is key-deduplicated
+    * first (DELETE+INSERT is only idempotent for key-unique,
+    * key-partitioned input — a batch carrying key k twice would
+    * otherwise land BOTH inserts, and the same key split across two
+    * partitions would race two connections' DELETEs before either
+    * INSERT commits). Which duplicate survives is arbitrary: when a
+    * micro-batch carries several versions of one key and the winner
+    * matters, collapse upstream with your own ordering before
+    * calling. */
+  def jdbcUpsert(df0: DataFrame, url: String, table: String,
       keyCols: Seq[String], batchSize: Int = 1000): Unit = {
+    // the aggregate shuffles by key, so unique keys ALSO end up
+    // key-partitioned — both duplicate modes die in one pass
+    val df = df0.dropDuplicates(keyCols)
     val schema = df.schema
     val cols = schema.fieldNames.toSeq
     val insertSql = s"INSERT INTO $table (${cols.mkString(",")}) VALUES (${cols.map(_ => "?").mkString(",")})"

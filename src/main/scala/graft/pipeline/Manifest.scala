@@ -97,11 +97,15 @@ final class Manifest(spark: SparkSession, dir: String,
   }
 
   /** Stage booleans per pkey — the reference's
-    * [uploaded, extracted, transformed, loaded] row shape. */
-  def stageFlags(stageOrder: Seq[String]): DataFrame = {
+    * [uploaded, extracted, transformed, loaded] row shape. Scoped by
+    * `pipeline` like every other reader: two pipelines sharing one
+    * manifest must not read each other's completions as their own
+    * (None = all pipelines, the cross-pipeline overview). */
+  def stageFlags(stageOrder: Seq[String],
+      pipeline: Option[String] = None): DataFrame = {
     val flags = stageOrder.map(s =>
       max(when(col("stage") === s, true).otherwise(false)).as(s"${s}_done"))
-    state().groupBy("pkey").agg(flags.head, flags.tail: _*)
+    stateOf(pipeline).groupBy("pkey").agg(flags.head, flags.tail: _*)
   }
 
   /** First incomplete stage for pkey (reference `_next`,

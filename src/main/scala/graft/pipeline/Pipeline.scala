@@ -199,7 +199,19 @@ final case class Pipeline(
       .select("pkey").collect().map(_.getString(0)).toSeq.sorted
     stalledKeys.flatMap { pkey =>
       try advance(spark, pkey, manifest).map(_ => pkey)
-      catch { case _: PipelineVersionError => None }
+      catch {
+        case _: PipelineVersionError => None // stale: re-run from scratch
+        case scala.util.control.NonFatal(e) =>
+          // one broken pkey (e.g. recorded under from=Some(...) so its
+          // first declared stage never ran, or a corrupt stage file)
+          // must not abort the SWEEP — every other stalled pkey after
+          // it would silently never restart. Log and continue; the
+          // pkey stays stalled and shows up again next sweep.
+          System.err.println(
+            s"[pipeline:$name] restartStalled: advance($pkey) failed " +
+              s"(${e.getClass.getSimpleName}: ${e.getMessage}); skipping")
+          None
+      }
     }
   }
 

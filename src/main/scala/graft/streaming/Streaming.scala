@@ -82,8 +82,15 @@ object Streaming {
     * kept by Spark instead of a control DB.
     *
     * `transform` is typically `Model.compile`; each batch lands in
-    * `outDir` (append) and is recorded in the manifest as
-    * `batch-<id>`. */
+    * its own `outDir/batch_id=<id>` partition directory with
+    * OVERWRITE — a crash between the data write and the streaming
+    * checkpoint commit replays the batch into the SAME directory
+    * instead of appending a duplicate copy (the idempotent
+    * foreachBatch sink pattern; a flat append had exactly that
+    * duplicate window). Readers still `spark.read.parquet(outDir)`:
+    * partition discovery surfaces `batch_id` as a provenance column.
+    * Recorded in the manifest as `batch-<id>` with the per-batch
+    * path. */
   def runPipelineAvailableNow(spark: SparkSession, landingDir: String,
       schema: StructType, transform: DataFrame => DataFrame, outDir: String,
       checkpointDir: String, pipelineName: String,
@@ -96,8 +103,9 @@ object Streaming {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        batch.write.mode("append").parquet(outDir)
-        manifest.foreach(_.markDone(s"batch-$id", pipelineName, "transform", outDir))
+        val batchDir = s"$outDir/batch_id=$id"
+        batch.write.mode("overwrite").parquet(batchDir)
+        manifest.foreach(_.markDone(s"batch-$id", pipelineName, "transform", batchDir))
       }
       .start()
     q.awaitTermination()
@@ -447,9 +455,19 @@ object Streaming {
     * sorting handles it) — the parity StreamingSpec pins this
     * byte-for-byte across micro-batches. A non-late but out-of-order
     * cross-batch arrival takes [[advance]]'s conservative merge arms
-    * (sessions never rewind or invert) rather than exact parity. */
+    * (sessions never rewind or invert) rather than exact parity.
+    *
+    * `watermarkDelay` is REQUIRED (no default) because the watermark
+    * is GLOBAL across keys: with "0 seconds", any event at or below
+    * the max event time of the PREVIOUS batch is dropped by Spark
+    * BEFORE this function runs — one fast key's 10:00 event silently
+    * discards another key's perfectly in-order 9:30 arrival in the
+    * next batch, and the merge arms above never see it. Size the
+    * delay to the real cross-key arrival lag ("0 seconds" is only
+    * right when batches are globally event-time ordered, e.g. replays
+    * of a sorted log). */
   def sessionizeEventTime(events: Dataset[Click], gapMillis: Long,
-      watermarkDelay: String = "0 seconds"): Dataset[Session] = {
+      watermarkDelay: String): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
       .withColumn("event_time", timestamp_millis(col("ts_ms")))
@@ -827,8 +845,24 @@ object Streaming {
       s"scd2 table at $tablePath is bucketed nbuckets=${meta.nBuckets}" +
         s" but the caller passed $nBuckets — the bucketing function " +
         "must be stable for the layout to stay readable")
-    if (batchId <= meta.batchId) return false // replayed batch
-    // dirty buckets: bounded collect (≤ nBuckets rows by construction)
+    // a legit Spark replay (crash between the data write and the
+    // checkpoint commit) re-delivers exactly the LAST folded batch id;
+    // a batch id BELOW it means a checkpoint reset or a new query
+    // pointed at an existing table — silently treating that as
+    // "replay" would discard every batch until the new query's ids
+    // catch up (potentially thousands of real changes), so fail by
+    // name instead
+    if (batchId == meta.batchId) return false // replayed batch
+    require(batchId > meta.batchId,
+      s"applyScd2Batch: batch id $batchId is BELOW the table's last " +
+        s"folded id ${meta.batchId} at $tablePath — this is a " +
+        "checkpoint reset or a different query writing to an existing " +
+        "table, not a replay; start a fresh tablePath (or restore the " +
+        "original checkpoint) instead of silently dropping batches")
+    // dirty buckets: bounded collect (≤ nBuckets rows by construction;
+    // a NULL key hashes to xxhash64's seed value — never a null
+    // bucket — and flows through scd2History's null-key group exactly
+    // as the batch formulation does)
     val dirty = batch
       .select(scd2Bucket(keyCol, nBuckets).as("_b"))
       .distinct().collect().map(_.getInt(0)).sorted

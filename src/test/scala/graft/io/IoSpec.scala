@@ -79,6 +79,17 @@ class IoSpec extends SparkSuite {
     val got = spark.read.jdbc(url, "loads", props).orderBy("id").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(got === Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+
+    // a batch carrying one key TWICE (and spread across partitions)
+    // still lands exactly ONE row for it — without the internal key
+    // dedup, DELETE,DELETE,INSERT,INSERT would land both copies
+    val dup = Seq((4L, "d1"), (4L, "d2"), (5L, "e"))
+      .toDF("id", "v").repartition(3)
+    Sinks.jdbcUpsert(dup, url, "loads", Seq("id"))
+    val counts = spark.read.jdbc(url, "loads", props)
+      .groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts(4L) === 1L && counts(5L) === 1L)
   }
 
   test("HttpSource: success, retry-then-success on 503, fail-fast on 404") {

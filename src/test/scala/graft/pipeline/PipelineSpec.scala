@@ -171,6 +171,21 @@ class PipelineSpec extends SparkSuite {
     intercept[UploadRejectedException] {
       Landing.land(src, root, "users", LandingConfig(active = false))
     }
+    // ONLY the lowercased LAST extension gates (__init__.py:245): a
+    // forbidden final extension cannot ride in behind an accepted one
+    val exe = java.nio.file.Files.createTempFile("users", ".jsonl.exe")
+    java.nio.file.Files.writeString(exe, "{\"a\":1}\n")
+    intercept[UploadRejectedException] { Landing.land(exe, root, "users") }
+    // ...and matching is case-insensitive, as the reference lowercases
+    val up = java.nio.file.Files.createTempFile("users", ".CSV")
+    java.nio.file.Files.writeString(up, "a\n1\n")
+    Landing.land(up, root, "users",
+      LandingConfig(acceptExtensions = Set("csv")))
+    // compressed uploads admit via their final "gz" token, as the
+    // reference's accepted set does
+    val gz = java.nio.file.Files.createTempFile("users", ".jsonl.gz")
+    java.nio.file.Files.writeString(gz, "")
+    Landing.land(gz, root, "users")
     // role gate (roles.py: readonly=1 < superuser=2 < admin=3)
     val gated = LandingConfig(requiredRole = 2)
     intercept[UploadRejectedException] {
@@ -196,6 +211,37 @@ class PipelineSpec extends SparkSuite {
     assert(advanced === Seq("f2")) // f1 complete, f3 version-stale → skipped
     assert(m.nextStage("f2", Seq("extract", "transform")) === None)
     assert(m.nextStage("f3", Seq("extract", "transform")) === Some("transform"))
+  }
+
+  test("restartStalled: one broken pkey does not abort the sweep") {
+    val root = tmp()
+    val p = Pipeline("users", Seq(extract, transform), root, version = "v1")
+    val m = new Manifest(spark, s"$root/_manifest")
+    val in = Seq((1L, "ada")).toDF("id", "v")
+    // f0 sorts FIRST and is broken: only a LATER stage is recorded
+    // (the legal from=Some(...) shape), so advance() throws
+    // PipelineDeclarationError for it — f1, after it in the sweep,
+    // must still restart
+    m.markDone("f0", "users", "transform", s"$root/nowhere", "v1")
+    in.write.mode("overwrite").parquet(p.stageDir("extract", "f1"))
+    m.markDone("f1", "users", "extract", p.stageDir("extract", "f1"), "v1")
+    val advanced = p.restartStalled(spark, m)
+    assert(advanced === Seq("f1"))
+    assert(m.nextStage("f1", Seq("extract", "transform")) === None)
+  }
+
+  test("stageFlags is pipeline-scoped: a shared manifest never reads " +
+      "another pipeline's completions as its own") {
+    val root = tmp()
+    val m = new Manifest(spark, s"$root/_manifest")
+    m.markDone("k1", "nightly", "extract", "/x", "v1")
+    m.markDone("k1", "backfill", "transform", "/y", "v1")
+    val nightly = m.stageFlags(Seq("extract", "transform"),
+        Some("nightly")).collect()(0)
+    assert(nightly.getAs[Boolean]("extract_done"))
+    assert(!nightly.getAs[Boolean]("transform_done")) // backfill's, not ours
+    val all = m.stageFlags(Seq("extract", "transform")).collect()(0)
+    assert(all.getAs[Boolean]("transform_done")) // unscoped overview sees both
   }
 
   test("failOnEmpty: zero-row stage raises PipelineDataError, not recorded") {

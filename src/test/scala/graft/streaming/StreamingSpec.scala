@@ -541,7 +541,11 @@ class StreamingSpec extends SparkSuite {
     val schema = spark.read.parquet(s"$base/land/b1").schema
     val clicks = Streaming.fileStream(spark, s"$base/land/*", schema,
       options = Map("maxFilesPerTrigger" -> "1")).as[Streaming.Click]
-    val q = Streaming.sessionizeEventTime(clicks, gap)
+    // "0 seconds" is correct HERE because the planted batches are
+    // globally event-time ordered — the contract the parameter's
+    // Scaladoc spells out (a real cross-key-lagged stream needs a
+    // positive delay or the global watermark drops the slow key)
+    val q = Streaming.sessionizeEventTime(clicks, gap, "0 seconds")
       .writeStream.outputMode("append")
       .format("memory").queryName("sess_parity")
       .trigger(Trigger.AvailableNow())
@@ -939,13 +943,27 @@ class StreamingSpec extends SparkSuite {
       norm(graft.ops.etl.scd2History(df(b1 ++ b2), "k", "ts",
         Seq("v"), "tie")))
 
-    // a REPLAYED batch id (crash between data write and the next
-    // batch) is detected by the recorded meta and skipped
+    // a REPLAYED batch id — Spark re-delivers exactly the LAST batch
+    // after a crash between the data write and the checkpoint commit —
+    // is detected by the recorded meta and skipped
     val before = norm(Streaming.readScd2Table(spark, table))
-    val folded = Streaming.applyScd2Batch(df(b2), batchId = 0L,
+    val lastId = Streaming.readScd2Meta(
+      new org.apache.hadoop.fs.Path(table).getFileSystem(
+        spark.sessionState.newHadoopConf()),
+      new org.apache.hadoop.fs.Path(table, "_meta.json")).get.batchId
+    val folded = Streaming.applyScd2Batch(df(b2), batchId = lastId,
       "k", "ts", Seq("v"), "tie", table)
     assert(!folded)
     assert(norm(Streaming.readScd2Table(spark, table)) === before)
+    // an id BELOW the folded one cannot happen under a healthy
+    // checkpoint (ids are monotonic; only the LAST batch replays) —
+    // it means a reset, and silently no-op'ing would drop every batch
+    // until ids catch up: fail by name instead
+    val eOld = intercept[IllegalArgumentException] {
+      Streaming.applyScd2Batch(df(b2), batchId = 0L,
+        "k", "ts", Seq("v"), "tie", table)
+    }
+    assert(eOld.getMessage.contains("checkpoint reset"), eOld.getMessage)
   }
 
   test("applyScd2Batch: rewrites ONLY dirty key buckets; grace copy pruned one flip later; guards by name") {
@@ -1009,6 +1027,15 @@ class StreamingSpec extends SparkSuite {
         "tie", table, nBuckets = 16)
     }
     assert(eN.getMessage.contains("nbuckets=8"), eN.getMessage)
+
+    // a batch id BELOW the folded id is a checkpoint reset (or a new
+    // query on an existing table), never a replay — silently
+    // returning false would drop every batch until ids catch up
+    val eReset = intercept[IllegalArgumentException] {
+      apply(Seq((9L, 5L, "z", 1L)), 1L) // table is at batch_id=4
+    }
+    assert(eReset.getMessage.contains("checkpoint reset"),
+      eReset.getMessage)
 
     // a pre-bucketed (r10-layout) meta is refused by name
     val legacy = "file:" +
