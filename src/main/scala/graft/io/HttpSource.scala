@@ -137,10 +137,39 @@ object HttpSource {
       auth.headers.keys.exists(_.equalsIgnoreCase(k))
     } ++ auth.headers
     merged.foreach { case (k, v) => reqB.setHeader(k, v) }
-    if (auth.cookies.nonEmpty)
-      reqB.header("Cookie",
-        auth.cookies.map { case (k, v) => s"$k=$v" }.mkString("; "))
+    // Cookie gets the same one-header discipline: a static Cookie in
+    // cfg.headers (already set above) plus session auth cookies must
+    // collapse into ONE Cookie header with the session values winning
+    // per cookie name — .header() APPENDS, which would keep a stale
+    // pre-login cookie alive after a 401 re-login (the exact bug class
+    // the case-insensitive merge above closed for Authorization).
+    if (auth.cookies.nonEmpty) {
+      val staticCookie = merged.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("Cookie") => v
+      }
+      reqB.setHeader("Cookie", mergeCookieHeader(staticCookie, auth.cookies))
+    }
     reqB.build()
+  }
+
+  /** Merge a static `Cookie:` header value from config with session
+    * auth cookies into ONE header value, session winning per cookie
+    * name (case-insensitive) — factored for the IoSpec stale-cookie
+    * test. Static cookies not shadowed by the session keep their
+    * original order; session cookies follow. */
+  private[io] def mergeCookieHeader(staticCookie: Option[String],
+      sessionCookies: Map[String, String]): String = {
+    val staticPairs = staticCookie.toSeq
+      .flatMap(_.split(';').iterator.map(_.trim).filter(_.nonEmpty).flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(n, v) => Some(n -> v)
+          case _ => None
+        }
+      })
+    val jar = staticPairs.filterNot { case (n, _) =>
+      sessionCookies.keys.exists(_.equalsIgnoreCase(n))
+    } ++ sessionCookies
+    jar.map { case (k, v) => s"$k=$v" }.mkString("; ")
   }
 
   /** Parse a login response body into session auth — the

@@ -57,7 +57,10 @@ object Landing {
     // let a forbidden final extension ride in behind an accepted one)
     val ext = fileName.split('.').drop(1).lastOption.getOrElse("")
       .toLowerCase
-    if (!cfg.acceptExtensions.contains(ext))
+    // normalize the configured set too: the token above is lowercased,
+    // so a caller passing Set("CSV") would otherwise silently reject
+    // every file — compare lowercase-to-lowercase
+    if (!cfg.acceptExtensions.map(_.toLowerCase).contains(ext))
       throw new UploadRejectedException(
         s"extension '$ext' not in accepted set ${cfg.acceptExtensions.mkString("{", ",", "}")}")
   }

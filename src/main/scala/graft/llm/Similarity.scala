@@ -485,6 +485,70 @@ object Similarity {
       m.bands, m.bitsPerBand, m.dim, m.buckets)
   }
 
+  /** Export the CURRENT ANN-index version as a plain self-describing
+    * parquet snapshot readable without the meta-flip protocol —
+    * `exportDir/{_export_meta,sigs,vecs}` — under the same fence
+    * discipline as [[Dedup.exportSignatureStoreSnapshot]]: meta +
+    * append-log snapshotted before the copy, re-checked after; any
+    * append/flip inside the window deletes the partial export and
+    * fails by name (an append could land ids in `vecs` between the
+    * two table copies — a torn snapshot). Returns the exported
+    * version. Re-import via [[readExportedAnnIndex]] is
+    * correctness-equivalent but unbucketed (probes against it shuffle
+    * the corpus side; the live bucketed tables stay exchange-free). */
+  def exportAnnIndexSnapshot(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, exportDir: String,
+      midExportHook: () => Unit = () => ()): Int = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(exportDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(!fs.exists(root) || fs.listStatus(root).isEmpty,
+      s"exportAnnIndexSnapshot: exportDir '$exportDir' exists and is " +
+        "non-empty — exports never overwrite; point at a fresh dir")
+    val m0 = readAnnMeta(spark, tablePrefix)
+    val applog0 = annApplogCount(spark, tablePrefix)
+    try {
+      spark.table(m0.sigsTable(tablePrefix))
+        .write.parquet(s"$exportDir/sigs")
+      spark.table(m0.vecsTable(tablePrefix))
+        .write.parquet(s"$exportDir/vecs")
+      Seq(("ann_index", m0.version.getOrElse(0), m0.bands,
+          m0.bitsPerBand, m0.dim, m0.buckets, m0.appendSeq))
+        .toDF("store", "version", "bands", "bits_per_band", "dim",
+          "bucket_count", "append_seq")
+        .coalesce(1).write.parquet(s"$exportDir/_export_meta")
+      midExportHook()
+      val m1 = readAnnMeta(spark, tablePrefix)
+      if (m1.appendSeq != m0.appendSeq || m1.version != m0.version ||
+          annApplogCount(spark, tablePrefix) != applog0)
+        throw new IllegalStateException(
+          s"exportAnnIndexSnapshot: index $tablePrefix changed while " +
+            s"exporting (append_seq ${m0.appendSeq} -> ${m1.appendSeq})" +
+            " — the snapshot could be torn so it was deleted; the live" +
+            " index is untouched. Re-run the export")
+      m0.version.getOrElse(0)
+    } catch {
+      case t: Throwable =>
+        fs.delete(root, true)
+        throw t
+    }
+  }
+
+  /** Re-import an [[exportAnnIndexSnapshot]] directory as a
+    * probe-ready [[AnnIndex]] (spec-pinned equal to the live read at
+    * the exported version). */
+  def readExportedAnnIndex(spark: org.apache.spark.sql.SparkSession,
+      exportDir: String): AnnIndex = {
+    val m = spark.read.parquet(s"$exportDir/_export_meta").head()
+    require(m.getAs[String]("store") == "ann_index",
+      s"'$exportDir' is a ${m.getAs[String]("store")} snapshot, not an " +
+        "ann_index one")
+    AnnIndex(spark.read.parquet(s"$exportDir/sigs"),
+      spark.read.parquet(s"$exportDir/vecs"),
+      m.getAs[Int]("bands"), m.getAs[Int]("bits_per_band"),
+      m.getAs[Int]("dim"), m.getAs[Int]("bucket_count"))
+  }
+
   /** Append a batch to a persisted ANN index, idempotently: banding
     * parameters come from the meta row (never from the caller), only
     * ids not already present append (re-running a day is a no-op),

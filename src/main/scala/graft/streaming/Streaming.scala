@@ -90,12 +90,35 @@ object Streaming {
     * duplicate window). Readers still `spark.read.parquet(outDir)`:
     * partition discovery surfaces `batch_id` as a provenance column.
     * Recorded in the manifest as `batch-<id>` with the per-batch
-    * path. */
+    * path.
+    *
+    * LAYOUT BREAK vs the pre-r12 flat-append sink: the old layout wrote
+    * parquet files at the ROOT of `outDir`; this layout writes
+    * `batch_id=<id>` subdirectories. Spark cannot read a directory
+    * mixing both (partition discovery fails), so a checkpointed job
+    * resuming over old flat-append output would poison the directory.
+    * Guarded: root-level parquet files in `outDir` fail by name before
+    * the stream starts — migrate the old files into a
+    * `batch_id=-1` subdirectory (or a fresh outDir) first. */
   def runPipelineAvailableNow(spark: SparkSession, landingDir: String,
       schema: StructType, transform: DataFrame => DataFrame, outDir: String,
       checkpointDir: String, pipelineName: String,
       manifest: Option[graft.pipeline.Manifest] = None,
       format: String = "parquet"): Unit = {
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(outPath)) {
+      val flatLegacy = fs.listStatus(outPath).filter(_.isFile)
+        .map(_.getPath.getName)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+      if (flatLegacy.nonEmpty)
+        throw new IllegalStateException(
+          s"outDir '$outDir' contains ${flatLegacy.length} root-level parquet " +
+          s"file(s) from the pre-r12 flat-append layout (e.g. ${flatLegacy.head}); " +
+          "mixing them with batch_id=<id> partition directories breaks " +
+          "spark.read.parquet(outDir). Migrate them into a batch_id=-1 " +
+          "subdirectory or point the pipeline at a fresh outDir.")
+    }
     val q = fileStream(spark, landingDir, schema, format)
       .transform(transform)
       .writeStream
@@ -951,5 +974,67 @@ object Streaming {
     val paths = meta.buckets.toSeq.sorted.map { case (b, v) =>
       new Path(root, s"v$v/_bucket=$b").toString }
     spark.read.parquet(paths: _*)
+  }
+
+  /** Export the CURRENT committed version of an [[scd2Stream]] table
+    * as a plain self-describing parquet snapshot —
+    * `exportDir/{_export_meta,rows}` — that any engine reads without
+    * knowing the bucket→version map or the `_meta.json` flip protocol.
+    * Same fence discipline as the signature-store/ANN exports
+    * ([[graft.llm.Dedup.exportSignatureStoreSnapshot]]): the meta is
+    * snapshotted before the copy and re-checked after — a micro-batch
+    * folding DURING the export can prune a superseded bucket copy the
+    * export is still reading (grace keeps only ONE prior copy per
+    * bucket), so any version/batch advance inside the window deletes
+    * the partial export and fails by name. `midExportHook` is the
+    * test seam in that window. Returns the exported table version. */
+  def exportScd2Snapshot(spark: SparkSession, tablePath: String,
+      exportDir: String, midExportHook: () => Unit = () => ()): Long = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val outRoot = new Path(exportDir)
+    val fs = outRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    require(!fs.exists(outRoot) || fs.listStatus(outRoot).isEmpty,
+      s"exportScd2Snapshot: exportDir '$exportDir' exists and is " +
+        "non-empty — exports never overwrite; point at a fresh dir")
+    val srcRoot = new Path(tablePath)
+    val srcFs = srcRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    val metaPath = new Path(srcRoot, "_meta.json")
+    val m0 = readScd2Meta(srcFs, metaPath)
+      .getOrElse(sys.error(s"no scd2 table committed at $tablePath"))
+    try {
+      readScd2Table(spark, tablePath).write.parquet(s"$exportDir/rows")
+      Seq(("scd2_table", m0.version, m0.batchId, m0.nBuckets))
+        .toDF("store", "version", "batch_id", "nbuckets")
+        .coalesce(1).write.parquet(s"$exportDir/_export_meta")
+      midExportHook()
+      val m1 = readScd2Meta(srcFs, metaPath)
+        .getOrElse(sys.error(s"scd2 table vanished at $tablePath mid-export"))
+      if (m1.version != m0.version || m1.batchId != m0.batchId)
+        throw new IllegalStateException(
+          s"exportScd2Snapshot: table $tablePath changed while " +
+            s"exporting (version ${m0.version} -> ${m1.version}, " +
+            s"batch ${m0.batchId} -> ${m1.batchId}) — a concurrent " +
+            "fold can prune a bucket copy the export was reading, so " +
+            "the snapshot was deleted; the live table is untouched. " +
+            "Re-run the export")
+      m0.version
+    } catch {
+      case t: Throwable =>
+        fs.delete(outRoot, true)
+        throw t
+    }
+  }
+
+  /** Re-import an [[exportScd2Snapshot]] directory: the current
+    * history rows, spec-pinned equal to [[readScd2Table]] at the
+    * exported version (the internal `_bucket` partition column rides
+    * along as provenance). */
+  def readExportedScd2(spark: SparkSession, exportDir: String): DataFrame = {
+    val m = spark.read.parquet(s"$exportDir/_export_meta").head()
+    require(m.getAs[String]("store") == "scd2_table",
+      s"'$exportDir' is a ${m.getAs[String]("store")} snapshot, not an " +
+        "scd2_table one")
+    spark.read.parquet(s"$exportDir/rows")
   }
 }

@@ -154,6 +154,22 @@ class IoSpec extends SparkSuite {
     } finally server.stop(0)
   }
 
+  test("Cookie header merge: session cookies shadow static ones, ONE header emitted") {
+    // a static Cookie in cfg.headers plus session auth cookies must
+    // collapse to one Cookie value with the session winning per name —
+    // .header() appends, which kept a stale pre-login cookie alive
+    // after a 401 re-login (same bug class as the Authorization merge)
+    assert(HttpSource.mergeCookieHeader(None, Map("session" -> "s2")) === "session=s2")
+    assert(HttpSource.mergeCookieHeader(Some("theme=dark"), Map("session" -> "s2"))
+      === "theme=dark; session=s2")
+    // stale static session cookie is REPLACED, not duplicated
+    assert(HttpSource.mergeCookieHeader(Some("session=stale; theme=dark"),
+      Map("session" -> "fresh")) === "theme=dark; session=fresh")
+    // shadowing is case-insensitive on the cookie name
+    assert(HttpSource.mergeCookieHeader(Some("SESSION=stale"),
+      Map("session" -> "fresh")) === "session=fresh")
+  }
+
   test("HttpSource login flow: token auth, re-login once on 401 (clients.py:369-448)") {
     import com.sun.net.httpserver.{HttpExchange, HttpServer}
     val server = HttpServer.create(new java.net.InetSocketAddress(0), 0)

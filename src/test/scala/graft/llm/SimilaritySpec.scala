@@ -197,6 +197,55 @@ class SimilaritySpec extends SparkSuite {
     assert(spark.table(s"${pfx}_ann_v4_vecs").count() === 46L)
   }
 
+  test("exportAnnIndexSnapshot: plain snapshot ≡ live read; " +
+      "mid-export append fails by name and deletes the partial export") {
+    import spark.implicits._
+    val pfx = "annix_exp"
+    val vecs = (0L until 30L).map { i =>
+      (i, Array.tabulate(64)(j => math.sin(i * 64 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    Similarity.writeAnnIndex(vecs, "vec_id", "embedding", pfx,
+      bands = 4, bitsPerBand = 8, dim = 64, buckets = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-annexp")
+    val exp = dir.resolve("snap").toString
+    try {
+      val v = Similarity.exportAnnIndexSnapshot(spark, pfx, exp)
+      assert(v === 1)
+      val live = Similarity.readAnnIndex(spark, pfx)
+      val snap = Similarity.readExportedAnnIndex(spark, exp)
+      assert(snap.bands === live.bands &&
+        snap.bitsPerBand === live.bitsPerBand && snap.dim === live.dim)
+      assert(snap.sigs.orderBy("band", "bucket", "neighbor_id")
+        .collect().map(_.toSeq).toSeq ===
+        live.sigs.orderBy("band", "bucket", "neighbor_id")
+          .collect().map(_.toSeq).toSeq)
+      assert(snap.vecs.select("neighbor_id").orderBy("neighbor_id")
+        .collect().toSeq ===
+        live.vecs.select("neighbor_id").orderBy("neighbor_id")
+          .collect().toSeq)
+      // no-protocol read: any parquet reader sees the vectors
+      assert(spark.read.parquet(s"$exp/vecs").count() === 30L)
+      // interleaving: append inside the export window → fail by name,
+      // partial export deleted, live index keeps the append
+      val exp2 = dir.resolve("snap2").toString
+      val batch = (200L until 203L).map { i =>
+        (i, Array.tabulate(64)(j => math.cos(i * 64 + j).toFloat))
+      }.toDF("vec_id", "embedding")
+      val e = intercept[IllegalStateException] {
+        Similarity.exportAnnIndexSnapshot(spark, pfx, exp2,
+          midExportHook = () =>
+            Similarity.appendToAnnIndex(batch, "vec_id", "embedding", pfx))
+      }
+      assert(e.getMessage.contains("changed while exporting"), e.getMessage)
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(exp2)))
+      assert(spark.table(s"${pfx}_ann_v1_vecs").count() === 33L)
+      // clean re-run includes the append
+      Similarity.exportAnnIndexSnapshot(spark, pfx, exp2)
+      assert(spark.read.parquet(s"$exp2/vecs").count() === 33L)
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   test("hyperplane signature: equal vectors share buckets, deterministic") {
     val planes = Similarity.randomPlanes(4, 8, seed = 42L)
     assert(planes === Similarity.randomPlanes(4, 8, seed = 42L))

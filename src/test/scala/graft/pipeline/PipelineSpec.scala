@@ -181,6 +181,10 @@ class PipelineSpec extends SparkSuite {
     java.nio.file.Files.writeString(up, "a\n1\n")
     Landing.land(up, root, "users",
       LandingConfig(acceptExtensions = Set("csv")))
+    // ...in BOTH directions: an uppercase CONFIG entry must admit too
+    // (the lowercased token can never match a verbatim "CSV" entry)
+    Landing.land(up, root, "users",
+      LandingConfig(acceptExtensions = Set("CSV")))
     // compressed uploads admit via their final "gz" token, as the
     // reference's accepted set does
     val gz = java.nio.file.Files.createTempFile("users", ".jsonl.gz")

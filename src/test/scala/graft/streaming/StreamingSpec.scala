@@ -386,6 +386,22 @@ class StreamingSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(rows === Seq((1L, "A"), (2L, "B"), (3L, "C"))) // no reprocessing dups
     assert(m.log().count() >= 2) // per-batch manifest commits recorded
+
+    // legacy-layout guard: a root-level parquet file from the pre-r12
+    // flat-append sink must fail BY NAME before the stream starts —
+    // mixing it with batch_id=<id> subdirectories breaks partition
+    // discovery for every reader of outDir
+    val legacyOut = Files.createTempDirectory("graft-legacy-out").toString
+    Seq((9L, "z")).toDF("id", "v").write.mode("overwrite").parquet(s"$legacyOut/tmp")
+    val onePart = new java.io.File(s"$legacyOut/tmp").listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).head
+    Files.move(onePart.toPath, java.nio.file.Paths.get(legacyOut, onePart.getName))
+    val e = intercept[IllegalStateException] {
+      Streaming.runPipelineAvailableNow(spark, s"$land/*", schema, transform,
+        legacyOut, Files.createTempDirectory("graft-legacy-ckpt").toString, "spipe")
+    }
+    assert(e.getMessage.contains("flat-append layout"))
+    assert(e.getMessage.contains(onePart.getName)) // fails by name
   }
 
   test("dedupStream drops duplicate keys within the watermark window") {
@@ -964,6 +980,40 @@ class StreamingSpec extends SparkSuite {
         "k", "ts", Seq("v"), "tie", table)
     }
     assert(eOld.getMessage.contains("checkpoint reset"), eOld.getMessage)
+
+    // ---- snapshot export: plain parquet ≡ live read; a fold landing
+    // inside the export window fails by name and deletes the partial
+    // export (a fold can prune a bucket copy the export was reading)
+    val dir = Files.createTempDirectory("graft-scd2exp")
+    val exp = dir.resolve("snap").toString
+    val v = Streaming.exportScd2Snapshot(spark, table, exp)
+    assert(v === Streaming.readScd2Meta(
+      new org.apache.hadoop.fs.Path(table).getFileSystem(
+        spark.sessionState.newHadoopConf()),
+      new org.apache.hadoop.fs.Path(table, "_meta.json")).get.version)
+    assert(norm(Streaming.readExportedScd2(spark, exp)
+        .drop("_bucket")) ===
+      norm(Streaming.readScd2Table(spark, table).drop("_bucket")))
+    // no-protocol read: plain spark.read on the rows dir
+    assert(spark.read.parquet(s"$exp/rows").count() ===
+      Streaming.readScd2Table(spark, table).count())
+    // interleaving: a fold inside the window → fail by name + delete
+    val exp2 = dir.resolve("snap2").toString
+    val b3 = Seq((4L, 50L, "mid", 1L))
+    val e = intercept[IllegalStateException] {
+      Streaming.exportScd2Snapshot(spark, table, exp2,
+        midExportHook = () => {
+          Streaming.applyScd2Batch(df(b3), batchId = lastId + 1,
+            "k", "ts", Seq("v"), "tie", table); ()
+        })
+    }
+    assert(e.getMessage.contains("changed while exporting"), e.getMessage)
+    assert(!Files.exists(java.nio.file.Paths.get(exp2)))
+    // the fold is preserved in the live table; a re-run exports it
+    Streaming.exportScd2Snapshot(spark, table, exp2)
+    assert(norm(Streaming.readExportedScd2(spark, exp2).drop("_bucket"))
+      .exists(_._1 == 4L))
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
   test("applyScd2Batch: rewrites ONLY dirty key buckets; grace copy pruned one flip later; guards by name") {
