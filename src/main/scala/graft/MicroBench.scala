@@ -40,6 +40,15 @@ object MicroBench {
     spark.sparkContext.setLogLevel("WARN")
     import graft.llm.TrainingOps
 
+    // Synthetic-corpus row count for the generated-data scenarios
+    // (semdedup, lcp, snakeshards, clustersplit, qnorm, kcore) — the
+    // knob behind SCALE.md's 1M vs 10M sub-linearity rows. Parameters
+    // that must scale WITH the corpus to keep the documented cost
+    // shape (semdedup's nlist: cells sized ~490 rows at any N) derive
+    // from it below.
+    val nRows = sys.env.get("SPARK_GRAFT_N").map(_.toLong)
+      .getOrElse(1000000L)
+
     val variants: Seq[(String, () => DataFrame)] = scenario match {
       case "ul2" =>
         def docs = spark.read
@@ -83,7 +92,7 @@ object MicroBench {
         // 1M synthetic 64-d vectors (the ScaleSmoke pq corpus), the
         // same hash-rank codebook: native graft_pq_encode kernel vs
         // the relational array_min-over-structs form it replaced
-        val vecs = spark.range(1000000L).select(col("id"),
+        val vecs = spark.range(nRows).select(col("id"),
           expr("transform(sequence(0, 63), " +
             "j -> cast(sin(id * 64 + j) as float))").as("embedding"))
           .repartition(32).cache()
@@ -111,13 +120,13 @@ object MicroBench {
         // is deliberately absent here: its interpreted fold is the
         // oracle-replay arm, already exercised at bench scale (q214).
         graft.expressions.NativeFunctions.register(spark)
-        val vecs = spark.range(1000000L).select(col("id"),
+        val vecs = spark.range(nRows).select(col("id"),
           expr("transform(sequence(0, 63), " +
             "j -> cast(sin(id * 64 + j) as float))").as("embedding"))
           .repartition(32).cache()
         vecs.count()
         def queriesOf(n: Long) =
-          vecs.filter(col("id") % (1000000L / n) === 0).cache()
+          vecs.filter(col("id") % (nRows / n) === 0).cache()
         val cbLloyd = graft.llm.Similarity.pqCodebookLloyd(vecs, "id",
           "embedding", 64, 8, 16)
         def ivf(qs: org.apache.spark.sql.DataFrame) = () =>
@@ -154,7 +163,8 @@ object MicroBench {
         // which would plant unknown extra near-dups; hash components
         // make cos > 0.999 between distinct ids astronomically
         // unlikely at dim 64
-        val vecs = spark.range(1000000L).select(col("id"),
+        val sdNlist = math.max(64, (nRows / 488L).toInt)
+        val vecs = spark.range(nRows).select(col("id"),
           expr("""transform(sequence(0, 63), j -> cast(
             (pmod(xxhash64((CASE WHEN id % 10 = 9 THEN id - 1
                             ELSE id END) * 64 + j, 7L), 2003)
@@ -163,8 +173,11 @@ object MicroBench {
             as float))""").as("embedding"))
           .repartition(32).cache()
         vecs.count()
+        // nlist scales WITH the corpus (n/488 ≈ the 1M run's 2048)
+        // so cell size — and with it the per-cell quadratic — stays
+        // CONSTANT as N grows: the cell-bounded claim under test
         def sd() = graft.llm.Dedup.semanticDedup(vecs, "id",
-          "embedding", dim = 64, nsub = 8, nlist = 2048,
+          "embedding", dim = 64, nsub = 8, nlist = sdNlist,
           tauMicro = 999000L, production = true, maxIter = 4,
           samplePerCell = 4, maxCellRows = 12000L)
         val run = () => sd()
@@ -173,11 +186,13 @@ object MicroBench {
           // planted copies drop iff they share their original's cell;
           // planted pairs are near-identical points, so co-location
           // is near-certain — demand the bulk of the plant found
-          require(dropped >= 90000L && dropped <= 101000L,
-            s"expected ~100k planted drops, got $dropped")
+          require(dropped >= (nRows / 10L) * 9L / 10L &&
+              dropped <= nRows / 10L + 1000L,
+            s"expected ~${nRows / 10L} planted drops, got $dropped")
           spark.range(1).toDF("ok")
         }
-        Seq("semdedup_1m" -> run, "semdedup_1m_checked" -> check)
+        Seq(s"semdedup_${nRows / 1000000L}m" -> run,
+          s"semdedup_${nRows / 1000000L}m_checked" -> check)
       case "bytebpe" =>
         // byte-BPE vs char-BPE training cost at 1M docs, 6 merge
         // rounds each (the SCALE.md measurement the r11 verdict
@@ -266,7 +281,7 @@ object MicroBench {
         // A/B because pairwise LCP at 15.6k docs/site would be ~1.2e8
         // string compares per site; the measurement IS the claim that
         // the aggregate formulation stays corpus-linear
-        val docs = spark.range(1000000L).select(
+        val docs = spark.range(nRows).select(
           concat(lit("site"), (col("id") % 64).cast("string"))
             .as("site"),
           concat(lit("Breaking News Network site"),
@@ -277,13 +292,13 @@ object MicroBench {
         docs.count()
         val sortedExtremes = () => graft.llm.TextAnalysis
           .groupBoilerplate(docs, "site", "text")
-        Seq("sorted_extremes_1m_64sites" -> sortedExtremes)
+        Seq(s"sorted_extremes_${nRows / 1000000L}m_64sites" -> sortedExtremes)
       case "snakeshards" =>
         // 1M rows into 64 shards: globalRank's range-parallel rank vs
         // the unpartitioned-window formulation every SQL cookbook
         // reaches for (ONE task sorts and numbers all rows) — same
         // output, spec-identical arithmetic, different scalability
-        val rows = spark.range(1000000L).select(col("id"),
+        val rows = spark.range(nRows).select(col("id"),
             (expr("cast(conv(substr(sha2(cast(id as string), 256), " +
               "1, 8), 16, 10) as bigint)") % 4000 + 10).as("cost"))
           .repartition(32).cache()
@@ -307,23 +322,23 @@ object MicroBench {
         // list (local union-find tier), so the corpus-side cost under
         // measurement is ONE left join against the pair-participant
         // label table + the map-only cluster-id hash
-        val docs = spark.range(1000000L).select(col("id").as("doc_id"))
+        val docs = spark.range(nRows).select(col("id").as("doc_id"))
           .repartition(32).cache()
         docs.count()
-        val pairs = spark.range(50000L).select(
+        val pairs = spark.range(nRows / 20L).select(
           (col("id") * 3).as("doc_a"), (col("id") * 3 + 1).as("doc_b"))
           .cache()
         pairs.count()
         val run = () => graft.llm.Dedup.leakageSafeSplit(docs, "doc_id",
           pairs, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-        Seq("split_1m_docs_50k_pairs" -> run)
+        Seq(s"split_${nRows / 1000000L}m_docs_${nRows / 20000L}k_pairs" -> run)
       case "qnorm" =>
         // 1M scored docs over 64 language groups, 1001-point global
         // grid: cost = one partitioned window pass (rank+count per
         // lang) + globalRank + two broadcast grid joins — the corpus
         // shuffles once for the window and once for the range rank,
         // never for the lookup
-        val rows = spark.range(1000000L).select(col("id"),
+        val rows = spark.range(nRows).select(col("id"),
             concat(lit("lang"), (col("id") % 64).cast("string"))
               .as("grp"),
             (expr("cast(conv(substr(sha2(cast(id as string), 256), " +
@@ -332,14 +347,14 @@ object MicroBench {
         rows.count()
         val run = () => graft.llm.Selection.quantileNormalize(
           rows, "id", "grp", "score", nQuantiles = 1000)
-        Seq("qnorm_1m_64langs" -> run)
+        Seq(s"qnorm_${nRows / 1000000L}m_64langs" -> run)
       case "kcore" =>
         // 1M nodes in the q230 per-group shape (triangle + 3-edge
         // tail per 6 ids, ~1.17M edges, peel depth exactly 3): the
         // claim under measurement is that per-round cost FALLS with
         // the shrinking live edge list and the whole peel stays
         // seconds-scale at 1M nodes
-        val ids = spark.range(1000000L).select(col("id"))
+        val ids = spark.range(nRows).select(col("id"))
           .repartition(32)
         val m6 = pmod(col("id"), lit(6))
         val edges = ids.filter(m6.isin(0, 2, 3, 4))
@@ -348,11 +363,11 @@ object MicroBench {
             .select(col("id").as("src"), (col("id") + 2).as("dst")))
           .unionByName(ids.filter(m6 === 0)
             .select((col("id") + 1).as("src"), (col("id") + 2).as("dst")))
-          .filter(col("dst") < 1000000L).cache()
+          .filter(col("dst") < nRows).cache()
         edges.count()
         val run = () => graft.llm.Crawl.kCore(edges, k = 2,
           maxIter = 10)
-        Seq("kcore_1m_nodes" -> run)
+        Seq(s"kcore_${nRows / 1000000L}m_nodes" -> run)
       case "saltedjoin" =>
         // planted skew: 70% of 20M fact rows on ONE key, 1000-key dim.
         // Broadcast is disabled for BOTH arms — a broadcast join has

@@ -115,7 +115,8 @@ object ScaleSmoke {
     // composition: the corpus store is written OUTSIDE the timer (it
     // is yesterday's state); the scenario then measures one whole
     // night — crawl gate over n URLs, WARC parse of n fetch results,
-    // admit against the n-doc store, append, pack.
+    // admit against the n-doc store, append, pack, and the v3
+    // release chain (split → shard → release → provenance).
     lazy val nightlyStore: Unit = {
       spark.catalog.listTables().collect().map(_.name)
         .filter(_.startsWith("scale_nl"))
@@ -390,9 +391,11 @@ object ScaleSmoke {
       // the COMPOSED nightly loop at corpus scale: crawl gate over n
       // candidate URLs (trap + robots), WARC parse of n fetch
       // results, store admit (n/10 planted exact dups dropped),
-      // append, per-host pack — five committed stages end to end
-      // against a PREBUILT n-doc signature store (written outside
-      // the timer; it is yesterday's state)
+      // append, per-host pack, then the v3 RELEASE chain — batch
+      // near-dup pairs → leakage-safe split → snake shards of the
+      // train split → per-shard packs + provenance — ten committed
+      // stages end to end against a PREBUILT n-doc signature store
+      // (written outside the timer; it is yesterday's state)
       "nightly_loop" -> (() => nightlyLoopRun()),
       // Gopher dup-n-gram signals: two sorted-run folds per row
       // (2-gram top + 5-gram dup mass), map-only — corpus cost is

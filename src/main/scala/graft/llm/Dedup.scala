@@ -1380,6 +1380,102 @@ object Dedup {
       m.bands, m.rowsPerBand, m.shingleN, buckets)
   }
 
+  /** Export the CURRENT signature-store version as a plain,
+    * self-describing parquet snapshot that any engine (DuckDB, pandas,
+    * another Spark) can read WITHOUT knowing the meta-flip protocol:
+    *
+    * {{{
+    * exportDir/
+    *   _export_meta/   one row: store kind + version + banding params
+    *   hashes/         content_hash
+    *   banded/         band, bucket, id
+    *   buckets/        band, bucket, ids        (versioned stores only)
+    * }}}
+    *
+    * Consistency rides the SAME fence discipline as maintenance:
+    * meta + append-log are snapshotted BEFORE the data copy and
+    * re-checked AFTER it — an append or version flip landing anywhere
+    * inside the export window (which could tear the snapshot: appends
+    * add rows to the live tables between the hashes read and the
+    * banded read) deletes the partial export and fails by name; the
+    * live store is never touched. `midExportHook` is the test seam in
+    * that window. Returns the exported store version.
+    *
+    * The snapshot is for EXTERNAL readers — re-importing it via
+    * [[readExportedSignatureStore]] yields correct results but plain
+    * (unbucketed) layout, so admission probes against it shuffle the
+    * corpus side; the live bucketed tables remain the exchange-free
+    * path. */
+  def exportSignatureStoreSnapshot(
+      spark: org.apache.spark.sql.SparkSession, tablePrefix: String,
+      exportDir: String,
+      midExportHook: () => Unit = () => ()): Int = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(exportDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(!fs.exists(root) || fs.listStatus(root).isEmpty,
+      s"exportSignatureStoreSnapshot: exportDir '$exportDir' exists and " +
+        "is non-empty — exports never overwrite; point at a fresh dir")
+    val m0 = readStoreMeta(spark, tablePrefix)
+    val applog0 = applogCount(spark, tablePrefix)
+    try {
+      spark.table(m0.hashesTable(tablePrefix))
+        .write.parquet(s"$exportDir/hashes")
+      spark.table(m0.bandedTable(tablePrefix))
+        .write.parquet(s"$exportDir/banded")
+      val hasBuckets = m0.bucketsTable(tablePrefix)
+        .filter(spark.catalog.tableExists)
+      hasBuckets.foreach(t =>
+        spark.table(t).write.parquet(s"$exportDir/buckets"))
+      Seq(("signature_store", m0.maxVersion, m0.bands, m0.rowsPerBand,
+          m0.shingleN, m0.buckets, hasBuckets.isDefined, m0.appendSeq))
+        .toDF("store", "version", "bands", "rows_per_band", "shingle_n",
+          "bucket_count", "has_buckets", "append_seq")
+        .coalesce(1).write.parquet(s"$exportDir/_export_meta")
+      midExportHook()
+      val m1 = readStoreMeta(spark, tablePrefix)
+      if (m1.appendSeq != m0.appendSeq ||
+          m1.hashesVersion != m0.hashesVersion ||
+          m1.bandedVersion != m0.bandedVersion ||
+          applogCount(spark, tablePrefix) != applog0)
+        throw new IllegalStateException(
+          s"exportSignatureStoreSnapshot: store $tablePrefix changed " +
+            s"while exporting (append_seq ${m0.appendSeq} -> " +
+            s"${m1.appendSeq}, version ${m0.maxVersion} -> " +
+            s"${m1.maxVersion}) — the snapshot could be torn (an " +
+            "append lands rows between the hashes and banded copies) " +
+            "so it was deleted; the live store is untouched. Re-run " +
+            "the export")
+      m0.maxVersion
+    } catch {
+      case t: Throwable =>
+        fs.delete(root, true)
+        throw t
+    }
+  }
+
+  /** Re-import an [[exportSignatureStoreSnapshot]] directory as a
+    * probe-ready [[SignatureStore]] — correctness-equivalent to the
+    * live store at the exported version (spec-pinned), minus the
+    * bucketed layout (see the export Scaladoc). */
+  def readExportedSignatureStore(
+      spark: org.apache.spark.sql.SparkSession,
+      exportDir: String): SignatureStore = {
+    val m = spark.read.parquet(s"$exportDir/_export_meta").head()
+    require(m.getAs[String]("store") == "signature_store",
+      s"'$exportDir' is a ${m.getAs[String]("store")} snapshot, not a " +
+        "signature_store one")
+    val buckets =
+      if (m.getAs[Boolean]("has_buckets"))
+        Some(spark.read.parquet(s"$exportDir/buckets"))
+      else None
+    SignatureStore(
+      spark.read.parquet(s"$exportDir/hashes"),
+      spark.read.parquet(s"$exportDir/banded"),
+      m.getAs[Int]("bands"), m.getAs[Int]("rows_per_band"),
+      m.getAs[Int]("shingle_n"), buckets)
+  }
+
   /** Shared probe core for [[dedupIncremental]] and
     * [[SignatureStore.admit]]: signatures the batch side, probes the
     * (precomputed or inline) corpus hashes + banded index, and applies
@@ -1924,5 +2020,58 @@ object Dedup {
         coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
     TrainingOps.splitAssign(withCluster, "cluster_id", fractions, salt)
       .select(col(idCol), col("cluster_id"), col("split"))
+  }
+
+  /** PARAGRAPH-granularity exact dedup (the Lee et al. 2022 /
+    * Dolma-style sub-document pass): boilerplate paragraphs repeated
+    * across a corpus — cookie banners, license footers, nav chrome —
+    * survive whole-document dedup because the documents differ, yet
+    * dominate the token distribution. Split each document on `sep`,
+    * keep only the FIRST occurrence of every distinct trimmed
+    * paragraph corpus-wide (order: lowest doc id, then paragraph
+    * position — deterministic, rerun-stable), and reassemble each
+    * document from its surviving paragraphs in original order.
+    * Empty/whitespace paragraphs drop before deduplication.
+    *
+    * Scale shape: one posexplode scan → ONE hash aggregate keyed by
+    * the paragraph (min(struct(id, idx)) — map-side combinable,
+    * state per distinct paragraph is one (id, idx) pair) → one join
+    * back on the paragraph key → one per-doc reassembly aggregate.
+    * No window, no self-join; the join key is the paragraph TEXT
+    * (needed to rebuild), so a corpus whose paragraphs are long may
+    * prefer hashing the join side — the aggregate itself already
+    * carries the text once per DISTINCT paragraph only.
+    * Output: (idCol, n_paras, n_kept, dedup_text) — every input doc
+    * keeps a row; a doc whose every paragraph lost has n_kept = 0
+    * and an empty dedup_text. */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    val id = col(idCol)
+    val paras = df
+      .select(id, posexplode(split(col(textCol),
+        java.util.regex.Pattern.quote(sep))).as(Seq("_idx", "_para")))
+      .withColumn("_p", trim(col("_para")))
+      .filter(col("_p") =!= "")
+    val winners = paras.groupBy(col("_p"))
+      .agg(min(struct(id.as("_wid"), col("_idx").as("_widx")))
+        .as("_w"))
+      .select(col("_p"), col("_w._wid").as("_wid"),
+        col("_w._widx").as("_widx"))
+    val kept = paras.join(winners, Seq("_p"))
+      .filter(id === col("_wid") && col("_idx") === col("_widx"))
+    val rebuilt = kept.groupBy(id)
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("_idx").as("i"),
+            col("_p").as("t")))),
+          _.getField("t")), sep).as("dedup_text"))
+    val counts = paras.groupBy(id).agg(count(lit(1)).as("n_paras"))
+    df.select(id).distinct()
+      .join(counts, Seq(idCol), "left")
+      .join(rebuilt, Seq(idCol), "left")
+      .select(id,
+        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"))
   }
 }

@@ -421,6 +421,46 @@ object Selection {
     * shape). Unknown sources (absent from `weights`) get f_s = 0 and
     * drop out. f_s is capped at `maxEpochs` — a fat-finger budget on
     * one tiny source must fail loudly, not emit 10⁹ copies/row. */
+  /** Temperature-scaled mixture weights at α = 0.5 — the
+    * multilingual sampling-exponent move (XLM-R / mBERT style:
+    * sample language l with probability ∝ n_l^α so low-resource
+    * languages upsample relative to their corpus share, α = 0.5 the
+    * common production point). α = 0.5 specifically because √ is an
+    * exact IEEE operation both engines compute identically, so the
+    * whole table is oracle-replayable: per group
+    * `sqrt_w_micro = floor(sqrt(n_docs) · 10⁶)` (bit-stable — sqrt
+    * and one multiply are correctly-rounded IEEE ops), then pure
+    * integer floor arithmetic: `share_micro` the normalized sampling
+    * share, `prop_micro` the raw proportional share, and
+    * `boost_micro = share/prop` — the per-group repeat factor a
+    * sampler applies ([[upsampleToMixture]] consumes shares like
+    * these as its `weights`). Other α values need `pow`, whose
+    * cross-engine bit-stability is not guaranteed — callers wanting
+    * them compute weights engine-locally and feed
+    * [[upsampleToMixture]] directly.
+    *
+    * Scale shape: ONE count aggregate over the corpus, then
+    * groups-sized arithmetic with the 1-row total broadcast — the
+    * corpus is never reshuffled. Output: (groupCol, n_docs,
+    * sqrt_w_micro, share_micro, prop_micro, boost_micro). */
+  def temperatureMixture(df: DataFrame, groupCol: String): DataFrame = {
+    val stats = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = stats.agg(
+      sum(floor(sqrt(col("n_docs").cast(DoubleType)) * 1e6)
+        .cast(LongType)).as("_wsum"),
+      sum(col("n_docs")).as("_n"))
+    stats
+      .withColumn("sqrt_w_micro",
+        floor(sqrt(col("n_docs").cast(DoubleType)) * 1e6).cast(LongType))
+      .crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_docs"), col("sqrt_w_micro"),
+        expr("(sqrt_w_micro * 1000000) div _wsum").as("share_micro"),
+        expr("(n_docs * 1000000) div _n").as("prop_micro"))
+      .withColumn("boost_micro",
+        expr("(share_micro * 1000000) div greatest(prop_micro, 1)"))
+  }
+
   def upsampleToMixture(df: DataFrame, idCol: String, sourceCol: String,
       tokensCol: String, weights: Map[String, Double], budgetTokens: Long,
       salt: String = "mix", maxEpochs: Int = 100): DataFrame = {

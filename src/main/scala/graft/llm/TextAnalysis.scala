@@ -1030,4 +1030,39 @@ object TextAnalysis {
       lcp.cast(LongType).as("lcp_len"),
       col("_lo").substr(lit(1), lcp).as("boilerplate"))
   }
+
+  /** PII pattern set for [[piiRedact]] — deliberately restricted to a
+    * regex dialect Java and RE2 (DuckDB) share, so the scrub is
+    * oracle-replayable: no lookarounds, no backrefs, ASCII classes.
+    * Emails redact FIRST — an email's local/domain parts contain
+    * digit-and-dot runs an IPv4 pattern could otherwise bite into;
+    * with the email gone the remaining matches are disjoint by
+    * construction (phones require separators IPv4 forbids). */
+  private[llm] val PiiEmailRe =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[llm] val PiiIpv4Re =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private[llm] val PiiPhoneRe =
+    "\\+[0-9]{1,2} [0-9]{3}-[0-9]{4,10}"
+
+  /** PII scrubbing — the redaction pass every released training
+    * corpus runs (emails, IPv4 addresses, international-format phone
+    * numbers → typed placeholders). Counts are taken BEFORE any
+    * replacement and each pattern's count before the PREVIOUS
+    * pattern's redaction could create or destroy a match is
+    * guaranteed by the pattern-disjointness argument above (emails
+    * first). Map-only: three regexp_count + three regexp_replace per
+    * row, no shuffle, codegen-friendly — at 100 TB this is a pure
+    * scan. Output: (idCol, n_emails, n_ipv4, n_phones, redacted). */
+  def piiRedact(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val t = col(textCol)
+    val noEmail = regexp_replace(t, PiiEmailRe, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, PiiIpv4Re, "<IP>")
+    df.select(col(idCol),
+      regexp_count(t, lit(PiiEmailRe)).cast(LongType).as("n_emails"),
+      regexp_count(noEmail, lit(PiiIpv4Re)).cast(LongType).as("n_ipv4"),
+      regexp_count(noIp, lit(PiiPhoneRe)).cast(LongType).as("n_phones"),
+      regexp_replace(noIp, PiiPhoneRe, "<PHONE>").as("redacted"))
+  }
 }

@@ -1752,4 +1752,38 @@ object TrainingOps {
         col("_sp").getField("s").as("start_char"),
         col("_sp").getField("e").as("end_char"))
   }
+
+  /** Sliding-window CHUNKING with overlap — the embedding-pipeline
+    * staple (RAG indexing, long-doc encoders): each document's
+    * whitespace tokens cut into windows of `window` tokens starting
+    * every `stride` tokens (stride < window ⇒ overlapping context,
+    * the usual retrieval setting). Chunk starts are 0, stride,
+    * 2·stride, … while start < n, so every token lands in at least
+    * one chunk and the final chunk may be short — n_tokens carries
+    * its true length. Empty documents produce no chunks. Map-only
+    * generator: one explode over an in-row sequence, no shuffle —
+    * at 100 TB this is a pure scan whose output is bounded by
+    * n/stride rows per doc. Output: (idCol, chunk_idx, token_start,
+    * n_tokens, chunk_text). */
+  def chunkWindows(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val toks = graft.llm.TextAnalysis.tokens(col(textCol))
+    df.select(col(idCol), toks.as("_w"),
+        when(col(textCol).isNull || trim(col(textCol)) === "", 0)
+          .otherwise(size(toks)).as("_n"))
+      .filter(col("_n") > 0)
+      .select(col(idCol), col("_w"), col("_n"),
+        posexplode(sequence(lit(0),
+          ((col("_n") - 1) / stride).cast("int") * stride,
+          lit(stride))).as(Seq("chunk_idx", "token_start")))
+      .select(col(idCol), col("chunk_idx").cast(LongType),
+        col("token_start").cast(LongType),
+        least(lit(window.toLong),
+          (col("_n") - col("token_start")).cast(LongType))
+          .as("n_tokens"),
+        array_join(slice(col("_w"), col("token_start") + 1,
+          lit(window)), " ").as("chunk_text"))
+  }
 }

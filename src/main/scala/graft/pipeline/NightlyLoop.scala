@@ -46,6 +46,26 @@ import org.apache.spark.sql.functions._
   *  - pack: admitted documents → training sequences
   *    (`host`, `pack_id`, `n_docs`, `n_tokens`, `sequence`):
   *    per-host token-budget packing (exportPackedSequences).
+  *  - split: admitted documents → leakage-safe train/val/test
+  *    verdicts (`id`, `cluster_id`, `split`): the night's near-dup
+  *    pairs (MinHash tier) → connected components → ONE salted-SHA
+  *    verdict per CLUSTER, so no held-out document can have a
+  *    train-side near-dup (leakageSafeSplit; Lee et al. 2022's leak
+  *    closed by construction).
+  *  - shard: the TRAIN split → snake-draft balanced shards
+  *    (`id`, `cost`, `shard`): boustrophedon deal over descending
+  *    token cost — the LPT approximation with no sequential state.
+  *  - release: train docs → the published training sequences
+  *    (`shard`, `pack_id`, `n_docs`, `n_tokens`, `sequence`):
+  *    per-SHARD token-budget packing (the pack stage's layout is
+  *    per-host for crawl ops; the release layout is per-shard for
+  *    the trainer).
+  *  - provenance: the release's attribution table (`shard`,
+  *    `pack_id`, `id`, `doc_seq`, `token_offset`, `n_tokens`): any
+  *    token position in a released sequence maps back to its source
+  *    document — takedown, contamination tracing, and the per-doc
+  *    loss-mask spans (a doc's tokens occupy exactly
+  *    [token_offset, token_offset + n_tokens)).
   *
   * Scale shape: the driver touches only control-plane rows (manifest
   * events, the append receipt); every stage is one distributed job
@@ -57,9 +77,11 @@ final case class NightlyLoop(
     root: String,
     storePrefix: String,
     name: String = "nightly",
-    // v2: the quality gate landed between admit and append (a night
-    // recorded under v1's stage order must re-run, not resume)
-    version: String = "v2",
+    // v2: the quality gate landed between admit and append; v3: the
+    // release chain (split → shard → release → provenance) landed
+    // after pack (a night recorded under an older stage order must
+    // re-run, not resume)
+    version: String = "v3",
     /** The gate's minimum admitted-batch size: a night below this
       * refuses to publish (the E3 empty-result-guard philosophy at
       * loop granularity). */
@@ -75,7 +97,12 @@ final case class NightlyLoop(
     selfNearDedup: Boolean = false,
     selfNearThreshold: Double = 0.7,
     tokenBudget: Long = 4096L,
-    maxBucket: Long = 1L << 20) {
+    maxBucket: Long = 1L << 20,
+    /** Release-chain knobs: the leakage-safe split fractions and the
+      * snake-draft shard count for the published train split. */
+    releaseFractions: Seq[(String, Double)] =
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+    releaseShards: Int = 4) {
 
   def stageDir(stage: String, night: String): String =
     s"$root/$stage/$name/$night"
@@ -193,6 +220,57 @@ final case class NightlyLoop(
       graft.llm.TextAnalysis.tokenCountWs(col("text")).cast("long"),
       tokenBudget)
 
+  /** The RELEASE chain's first link: leakage-safe split verdicts for
+    * the night's admitted batch. Pairs come from the MinHash near-dup
+    * tier over the batch itself (cost ∝ the night, never the corpus)
+    * — the same pair notion the selfNearDedup arm resolves with; here
+    * the pairs CLUSTER the split instead of dropping rows, so both
+    * members of a kept near-pair land in the SAME split. */
+  private def splitStage(admitted: DataFrame): DataFrame = {
+    val batch = admitted.select(col("id"), col("text")).localCheckpoint()
+    val pairs = graft.llm.Dedup.nearDuplicatesMinhash(
+        batch, "id", "text", threshold = selfNearThreshold)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    graft.llm.Dedup.leakageSafeSplit(batch, "id", pairs,
+      releaseFractions)
+  }
+
+  /** Snake-draft shard assignment for the TRAIN split (release
+    * balance by token cost; rank arithmetic, no sequential state). */
+  private def shardStage(admitted: DataFrame,
+      split: DataFrame): DataFrame = {
+    val train = admitted.join(
+      split.filter(col("split") === "train").select("id"), Seq("id"))
+    graft.llm.TrainingOps.snakeShards(train, "id",
+      graft.llm.TextAnalysis.tokenCountWs(col("text")).cast("long"),
+      releaseShards)
+  }
+
+  private def trainWithShard(admitted: DataFrame,
+      shard: DataFrame): DataFrame =
+    admitted.join(shard.select(col("id"), col("shard")), Seq("id"))
+
+  /** The published training sequences: per-shard token-budget packs. */
+  private def releaseStage(admitted: DataFrame,
+      shard: DataFrame): DataFrame =
+    graft.llm.TrainingOps.exportPackedSequences(
+      trainWithShard(admitted, shard), "shard", "id", "text",
+      graft.llm.TextAnalysis.tokenCountWs(col("text")).cast("long"),
+      tokenBudget)
+
+  /** The release's attribution table — pack coordinates + first-token
+    * offset per packed document; also the per-doc loss-mask span map
+    * (see the class Scaladoc). Same packing arithmetic as
+    * [[releaseStage]] by construction (both ride packByTokenBudget
+    * with identical inputs), so export and provenance can never
+    * disagree on pack membership. */
+  private def provenanceStage(admitted: DataFrame,
+      shard: DataFrame): DataFrame =
+    graft.llm.TrainingOps.packProvenance(
+      trainWithShard(admitted, shard), "shard", "id",
+      graft.llm.TextAnalysis.tokenCountWs(col("text")).cast("long"),
+      tokenBudget, sepTokens = 1)
+
   /** The quality GATE between admit and the store mutation: the
     * night's admitted batch must pass its declarative rules BEFORE
     * append — a failed batch must never poison the signature store
@@ -256,7 +334,15 @@ final case class NightlyLoop(
       "admit" -> (() => admitStage(spark, readStage(spark, "ingest", night))),
       "gate" -> (() => gateStage(spark, readStage(spark, "admit", night))),
       "append" -> (() => appendStage(spark, readStage(spark, "admit", night))),
-      "pack" -> (() => packStage(readStage(spark, "admit", night))))
+      "pack" -> (() => packStage(readStage(spark, "admit", night))),
+      "split" -> (() => splitStage(readStage(spark, "admit", night))),
+      "shard" -> (() => shardStage(readStage(spark, "admit", night),
+        readStage(spark, "split", night))),
+      "release" -> (() => releaseStage(readStage(spark, "admit", night),
+        readStage(spark, "shard", night))),
+      "provenance" -> (() => provenanceStage(
+        readStage(spark, "admit", night),
+        readStage(spark, "shard", night))))
     cores.foreach { case (st, mk) =>
       if (!done.contains(st)) {
         val dir = stageDir(st, night)
@@ -273,9 +359,10 @@ final case class NightlyLoop(
 object NightlyLoop {
   /** The loop's canonical stage order (its analog of
     * [[Stages.Order]]). v2 inserted `gate` BEFORE the store
-    * mutation — old-order manifests raise PipelineVersionError via
-    * the recorded-version check rather than resuming against the
-    * wrong order. */
+    * mutation; v3 appended the release chain — old-order manifests
+    * raise PipelineVersionError via the recorded-version check
+    * rather than resuming against the wrong order. */
   val StageOrder: Seq[String] =
-    Seq("crawl", "ingest", "admit", "gate", "append", "pack")
+    Seq("crawl", "ingest", "admit", "gate", "append", "pack",
+      "split", "shard", "release", "provenance")
 }

@@ -13,7 +13,7 @@ import graft.{Tables => T}
 object R10Queries {
 
   /** Shared daemon pool for concurrent trainer-loop submission
-    * (q179/q215): four independent tokenizer families, four threads.
+    * (q215): four independent tokenizer families, four threads.
     * Daemon threads so a JVM exit never hangs on the pool. */
   private lazy val TrainerPool: scala.concurrent.ExecutionContext =
     scala.concurrent.ExecutionContext.fromExecutor(
@@ -348,9 +348,9 @@ object R10Queries {
   }
 
   /** One BPE oracle round over word-carrying tables ([[R8Queries]]'
-    * bpeRoundW arithmetic with q179-local names): pair counts over
+    * bpeRoundW arithmetic with eval-local names): pair counts over
     * {p}{k}, top-1 by (cnt DESC, l, r) — trainBpe's order — merge.
-    * Prefix-parameterized so the char chain (`bv`, q179) and the
+    * Prefix-parameterized so the char chain (`bv`) and the
     * byte chain (`by`, q215) run the SAME rounds side by side. */
   private def wordRound(p: String)(k: Int): String = {
     val (wIn, wOut, c, t) = (s"$p$k", s"$p${k + 1}", s"${p}c$k", s"${p}t$k")
@@ -373,7 +373,7 @@ object R10Queries {
        |  FROM $wIn, $t)""".stripMargin
   }
 
-  /** q179's (and, with `withByte`, q215's) oracle: ALL tokenizer
+  /** q215's oracle (inherited from the retired q179): ALL tokenizer
     * families trained AND served over the same [[WpFixtures]] corpus,
     * entirely relationally — the unigram chain + one serving DP round
     * (uniCtes/uniDpRound), the WordPiece chain + greedy walk
@@ -465,7 +465,7 @@ object R10Queries {
       |ORDER BY family""".stripMargin
   }
 
-  /** q179/q215's Spark side: train every family on the planted
+  /** q215's Spark side: train every family on the planted
     * fixture corpus (parameter-bounded driver collects, the
     * q122/q175/q178/q213 discipline), serve each over every
     * document, aggregate fertility / utilization / UNK per family —
@@ -763,13 +763,14 @@ object R10Queries {
     // are by construction). One serving scan + one aggregate per
     // family; the trained models are parameter-bounded driver
     // collects exactly as in q122/q175/q178. The oracle replays all
-    // three trainings AND servings relationally (the existing CTE
+    // trainings AND servings relationally (the existing CTE
     // machinery composed over one shared word table) and aggregates
     // the same stats freq-weighted per word.
-    "q179_tokenizer_eval" -> ((s, d) => tokenizerEval(s, d,
-      withByte = false)),
+    // (q179, the r10 three-family variant, was retired in r13 —
+    // q215 strictly supersedes it; `withByte = false` remains the
+    // callable three-family arm of `tokenizerEval`.)
 
-    // [EXT] FOUR-family tokenizer evaluation (r12): q179's
+    // [EXT] FOUR-family tokenizer evaluation (r12): the three-family
     // model-selection report with the byte-level BPE family
     // (q212/q213, the GPT lineage) in the comparison — its UNK
     // column is structurally 0 (the 256-byte base alphabet drops
@@ -777,7 +778,7 @@ object R10Queries {
     // hex-byte seeding doubles the symbols per word before merges
     // start, so at equal merge budget byte-BPE emits more pieces per
     // word than char-BPE. The oracle replays all four trainings and
-    // servings (the q179 CTes + the q212 byte chain over the same
+    // servings (the three-family CTEs + the q212 byte chain over the same
     // word table).
     "q215_tokenizer_eval4" -> ((s, d) => tokenizerEval(s, d,
       withByte = true)),
@@ -889,7 +890,6 @@ object R10Queries {
     "q175_unigram_encode" -> uniEncodeOracle,
     "q177_wordpiece_train" -> wpOracle,
     "q178_wordpiece_encode" -> wpEncodeOracle,
-    "q179_tokenizer_eval" -> tokEvalOracle(),
     "q215_tokenizer_eval4" -> tokEvalOracle(withByte = true),
     "q180_fim_split" ->
       """WITH t AS (

@@ -1,0 +1,298 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Tables => T}
+
+/** Round-13 additions: the composed RELEASE chain — the r12 release
+  * operators (leakage-safe split, snake-draft sharding, pack
+  * provenance) proven end-to-end as one query, the way q173 composed
+  * the crawl cycle and q134 the corpus chain. Conventions as
+  * everywhere: total ORDER BY, identical aliases on both engines,
+  * floats as micro-unit BIGINTs. */
+object R13Queries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // [EXT] COMPOSED training-data RELEASE (q226 → q228 → q176 in one
+    // chain): near-dup pairs (lang-blocked 3-shingle Jaccard, the q226
+    // derivation) → leakage-safe cluster split (no held-out doc can
+    // have a train-side near-dup — the verdict hashes the CLUSTER id)
+    // → the TRAIN split deals into 4 balanced shards by snake draft
+    // on token cost → per-shard token-budget packing, emitted as the
+    // PROVENANCE table: one row per packed document with its pack
+    // coordinates and first-token offset. The provenance rows double
+    // as the per-doc loss-mask spans of the packed sequence
+    // ([token_offset, token_offset + n_tokens) is exactly where doc's
+    // tokens sit — provenance-aware masking reads this table).
+    // Scale shape: every link is the already-audited operator plan —
+    // pairs cost ∝ shingle-blocked candidates, CC on the pair list
+    // only, ONE corpus-side join for the split labels, snake shard =
+    // rank arithmetic on a range-parallel rank, pack offsets = one
+    // window per (shard, pack) bounded by the token budget. The
+    // oracle replays the whole chain: recursive closure, salted-SHA
+    // bucket rule, snake parity arithmetic, cumsum packing.
+    "q231_release_chain" -> ((s, d) => {
+      val docs = T.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val pairs = graft.llm.Dedup.jaccardPairs(docs, "doc_id", "text",
+        blockCols = Seq("lang"), shingleN = 3, threshold = 0.03)
+      val split = graft.llm.Dedup.leakageSafeSplit(docs, "doc_id",
+        pairs, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val train = docs.join(
+        split.filter(col("split") === "train").select("doc_id"),
+        Seq("doc_id"))
+      val cost = graft.llm.TextAnalysis.tokenCountWs(col("text"))
+      val sharded = graft.llm.TrainingOps.snakeShards(
+        train, "doc_id", cost, nShards = 4)
+      val withShard = train.join(
+        sharded.select(col("doc_id"), col("shard")), Seq("doc_id"))
+      graft.llm.TrainingOps.packProvenance(withShard, "shard",
+          "doc_id", cost, budget = 512L, sepTokens = 1)
+        .orderBy("shard", "pack_id", "doc_id")
+    }),
+
+    // [EXT] PII redaction (TextAnalysis.piiRedact): the release-time
+    // scrub — emails, IPv4s, international-format phones → typed
+    // placeholders, counts per type. One email + one IP + one phone
+    // are planted per document by doc_id arithmetic; the patterns are
+    // restricted to the regex dialect Java and RE2 share, emails
+    // redact first (their digit-and-dot runs could otherwise feed the
+    // IPv4 pattern), and each count is taken on the text AFTER the
+    // previous pattern's redaction — the oracle replays that exact
+    // sequence (regexp_extract_all counts + 'g'-flagged replaces).
+    // Map-only: three count + three replace regexes per row.
+    "q232_pii_redact" -> ((s, d) => {
+      val id = col("doc_id")
+      val text2 = concat(col("text"),
+        lit(" contact user"), id.cast("string"),
+        lit("@mail"), pmod(id, lit(7)).cast("string"),
+        lit(".example from 10."), pmod(id, lit(200)).cast("string"),
+        lit(".4."), pmod(id, lit(250)).cast("string"),
+        lit(" call +1 555-01"),
+        lpad(pmod(id, lit(100)).cast("string"), 2, "0"))
+      graft.llm.TextAnalysis.piiRedact(
+          T.documents(s, d).select(id, text2.as("text2")),
+          "doc_id", "text2")
+        .orderBy("doc_id")
+    }),
+
+    // [EXT] PARAGRAPH-granularity exact dedup (Dedup.paragraphDedup;
+    // Lee et al. 2022 / Dolma's sub-document pass): boilerplate
+    // paragraphs repeated across documents — planted here as a
+    // per-SOURCE cookie banner and a per-LANG license footer around
+    // each doc's own body — survive whole-document dedup because the
+    // documents differ; the operator keeps only the FIRST occurrence
+    // (lowest doc id, then paragraph position) of every distinct
+    // trimmed paragraph corpus-wide and reassembles each document
+    // from its survivors in original order. ONE hash aggregate keyed
+    // by paragraph (min(struct(id, idx)) — map-side combinable), one
+    // join back, one per-doc reassembly aggregate; no window over the
+    // corpus. The oracle replays the split, the first-occurrence
+    // rule (row_number over (para ORDER BY doc_id, idx)), and the
+    // ordered reassembly.
+    "q233_paragraph_dedup" -> ((s, d) => {
+      val id = col("doc_id")
+      val text2 = concat(
+        lit("Shared cookie banner for "), col("source"),
+        lit("\n\n"), col("text"), lit("\n\n"),
+        lit("License footer "), col("lang"))
+      graft.llm.Dedup.paragraphDedup(
+          T.documents(s, d).select(id, text2.as("text2")),
+          "doc_id", "text2")
+        .orderBy("doc_id")
+    }),
+
+    // [EXT] temperature-scaled mixture weights at α = 0.5
+    // (Selection.temperatureMixture; the XLM-R/mBERT multilingual
+    // sampling exponent): per language, sample ∝ √n_docs so
+    // low-resource languages upsample relative to their raw share.
+    // α = 0.5 exactly BECAUSE √ is a correctly-rounded IEEE op both
+    // engines compute bit-identically — sqrt_w_micro, the normalized
+    // share, the proportional baseline, and the boost factor are all
+    // exact integer floor arithmetic the oracle replays. ONE count
+    // aggregate over the corpus; everything after is group-count-
+    // sized with the 1-row total broadcast.
+    "q234_temp_mixture" -> ((s, d) =>
+      graft.llm.Selection.temperatureMixture(T.documents(s, d), "lang")
+        .orderBy("lang")),
+
+    // [EXT] sliding-window chunking with overlap
+    // (TrainingOps.chunkWindows): the RAG/embedding-pipeline cut —
+    // 24-token windows every 16 tokens (8-token overlap), chunk
+    // starts 0, 16, 32, … while start < n, final chunk short with
+    // its true n_tokens. Map-only generator (one explode over an
+    // in-row sequence, ≤ n/stride rows per doc); the oracle replays
+    // the start grid and the clipped list slice.
+    "q235_chunk_windows" -> ((s, d) =>
+      graft.llm.TrainingOps.chunkWindows(
+          T.documents(s, d).select(col("doc_id"), col("text")),
+          "doc_id", "text", window = 24, stride = 16)
+        .orderBy("doc_id", "chunk_idx")))
+
+  val oracleSql: Map[String, String] = Map(
+
+    // q226's recursive-closure split CTEs → train filter → q228's
+    // snake arithmetic at nShards=4 → q176's cumsum pack replay
+    // partitioned by shard
+    "q231_release_chain" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, lang,
+        |         list_distinct(list_transform(
+        |           generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 1)),
+        |           i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' '))) AS sh
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.03),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |      UNION SELECT doc_b, doc_a FROM p),
+        |reach AS (
+        |  SELECT src AS id, src AS lbl FROM e
+        |  UNION
+        |  SELECT e.dst, reach.lbl FROM reach JOIN e ON e.src = reach.id),
+        |lab AS (SELECT id AS doc_id, min(lbl) AS cl FROM reach GROUP BY id),
+        |c AS (SELECT d.doc_id, coalesce(lab.cl, d.doc_id) AS cluster_id
+        |      FROM documents d LEFT JOIN lab USING (doc_id)),
+        |sp AS (SELECT doc_id FROM (
+        |        SELECT doc_id,
+        |          ('0x' || substr(sha256(CAST(cluster_id AS VARCHAR) || ':graft'), 1, 15))::BIGINT
+        |            % 10000 AS b
+        |        FROM c)
+        |      WHERE b < 8000),
+        |tr AS (SELECT d.doc_id,
+        |         CAST(len(regexp_split_to_array(trim(d.text), '\s+')) AS BIGINT) AS toks
+        |       FROM sp JOIN documents d USING (doc_id)),
+        |r AS (SELECT doc_id, toks,
+        |        row_number() OVER (ORDER BY toks DESC, doc_id) - 1 AS pos
+        |      FROM tr),
+        |sh2 AS (SELECT doc_id, toks,
+        |         CAST(CASE WHEN (pos // 4) % 2 = 0 THEN pos % 4
+        |              ELSE 3 - (pos % 4) END AS INT) AS shard
+        |       FROM r),
+        |pk AS (SELECT doc_id, shard, toks,
+        |        CAST(floor((sum(toks) OVER (PARTITION BY shard
+        |            ORDER BY doc_id) - toks) / 512) AS BIGINT) AS pack_id
+        |      FROM sh2)
+        |SELECT shard, pack_id, doc_id,
+        |  CAST(row_number() OVER (PARTITION BY shard, pack_id
+        |    ORDER BY doc_id) - 1 AS INT) AS doc_seq,
+        |  CAST(sum(toks) OVER (PARTITION BY shard, pack_id
+        |      ORDER BY doc_id) - toks
+        |    + row_number() OVER (PARTITION BY shard, pack_id
+        |      ORDER BY doc_id) - 1 AS BIGINT) AS token_offset,
+        |  CAST(toks AS BIGINT) AS n_tokens
+        |FROM pk ORDER BY shard, pack_id, doc_id""".stripMargin,
+
+    // counts ride the SAME redaction sequence as the engine: emails
+    // counted on the raw text, IPv4 on the email-redacted text,
+    // phones on the both-redacted text; 'g' flag = replace-all
+    // (Spark's regexp_replace default)
+    "q232_pii_redact" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@mail' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '.example from 10.' || CAST(doc_id % 200 AS VARCHAR) ||
+        |    '.4.' || CAST(doc_id % 250 AS VARCHAR) ||
+        |    ' call +1 555-01' ||
+        |    lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS text2
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, text2,
+        |    regexp_replace(text2,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g') AS ne
+        |  FROM t),
+        |r2 AS (
+        |  SELECT doc_id, text2, ne,
+        |    regexp_replace(ne,
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+        |      '<IP>', 'g') AS ni
+        |  FROM r)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(ne,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+        |    AS BIGINT) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(ni,
+        |    '\+[0-9]{1,2} [0-9]{3}-[0-9]{4,10}')) AS BIGINT) AS n_phones,
+        |  regexp_replace(ni, '\+[0-9]{1,2} [0-9]{3}-[0-9]{4,10}',
+        |    '<PHONE>', 'g') AS redacted
+        |FROM r2 ORDER BY doc_id""".stripMargin,
+
+    "q233_paragraph_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    'Shared cookie banner for ' || source || chr(10) || chr(10) ||
+        |    text || chr(10) || chr(10) ||
+        |    'License footer ' || lang AS text2
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, len(parts)),
+        |      i -> struct_pack(idx := i, para := trim(parts[i])))) AS s
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(text2, '\n\n') AS parts
+        |        FROM t)),
+        |p AS (SELECT doc_id, s.idx AS idx, s.para AS para FROM sp
+        |      WHERE s.para <> ''),
+        |k AS (SELECT doc_id, idx, para,
+        |        row_number() OVER (PARTITION BY para
+        |          ORDER BY doc_id, idx) AS rn
+        |      FROM p),
+        |reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |          string_agg(para, chr(10) || chr(10) ORDER BY idx)
+        |            AS dedup_text
+        |        FROM k WHERE rn = 1 GROUP BY doc_id),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras
+        |        FROM p GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(cnt.n_paras, 0) AS n_paras,
+        |  coalesce(reb.n_kept, 0) AS n_kept,
+        |  coalesce(reb.dedup_text, '') AS dedup_text
+        |FROM documents d
+        |LEFT JOIN cnt USING (doc_id) LEFT JOIN reb USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q234_temp_mixture" ->
+      """WITH s AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT lang, n_docs,
+        |        CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000)
+        |          AS BIGINT) AS sqrt_w_micro
+        |      FROM s),
+        |t AS (SELECT CAST(sum(sqrt_w_micro) AS BIGINT) AS wsum,
+        |        CAST(sum(n_docs) AS BIGINT) AS n
+        |      FROM w)
+        |SELECT lang, n_docs, sqrt_w_micro,
+        |  CAST((sqrt_w_micro * 1000000) // wsum AS BIGINT) AS share_micro,
+        |  CAST((n_docs * 1000000) // n AS BIGINT) AS prop_micro,
+        |  CAST((((sqrt_w_micro * 1000000) // wsum) * 1000000) //
+        |    greatest((n_docs * 1000000) // n, 1) AS BIGINT) AS boost_micro
+        |FROM w, t ORDER BY lang""".stripMargin,
+
+    "q235_chunk_windows" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents
+        |  WHERE coalesce(trim(text), '') <> ''),
+        |u AS (SELECT doc_id, w, len(w) AS n FROM t),
+        |c AS (SELECT doc_id, w, n,
+        |        unnest(generate_series(0, ((n - 1) // 16) * 16, 16))
+        |          AS token_start
+        |      FROM u)
+        |SELECT doc_id,
+        |  CAST(token_start // 16 AS BIGINT) AS chunk_idx,
+        |  CAST(token_start AS BIGINT) AS token_start,
+        |  CAST(least(24, n - token_start) AS BIGINT) AS n_tokens,
+        |  array_to_string(w[token_start + 1 : token_start + 24], ' ')
+        |    AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)
+}

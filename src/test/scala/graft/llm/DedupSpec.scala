@@ -1190,4 +1190,92 @@ class DedupSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(Seq(4L, 7L, 8L, 9L, 10L).forall(i => out(i)._2 == plain(i)))
   }
+
+  test("exportSignatureStoreSnapshot: plain snapshot ≡ live read; " +
+      "mid-export append fails by name and deletes the partial export") {
+    val corpus = Seq(
+      (1L, "alpha subject matter entirely its own body here"),
+      (2L, "beta subject matter entirely different body text")).toDF("id", "text")
+    val probe = Seq(
+      (10L, "alpha subject matter entirely its own body here"), // exact dup
+      (11L, "gamma entirely novel content nothing shared at all")).toDF("id", "text")
+    dropStore("sig_store_ex")
+    Dedup.writeSignatureStore(corpus, "id", "text", "sig_store_ex",
+      buckets = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sigexp")
+    val exp = dir.resolve("snap").toString
+    try {
+      val v = Dedup.exportSignatureStoreSnapshot(spark, "sig_store_ex", exp)
+      assert(v === 1)
+      // export ≡ live read at the same version: every table row-equal,
+      // and an admission probe against the re-imported store agrees
+      val live = Dedup.readSignatureStore(spark, "sig_store_ex")
+      val snap = Dedup.readExportedSignatureStore(spark, exp)
+      assert(snap.bands === live.bands && snap.rowsPerBand === live.rowsPerBand
+        && snap.shingleN === live.shingleN)
+      assert(snap.hashes.orderBy("content_hash").collect().toSeq ===
+        live.hashes.orderBy("content_hash").collect().toSeq)
+      assert(snap.banded.orderBy("band", "bucket", "id").collect().toSeq ===
+        live.banded.orderBy("band", "bucket", "id").collect().toSeq)
+      assert(snap.buckets.isDefined === live.buckets.isDefined)
+      val viaSnap = snap.admit(probe, "id", "text")
+        .orderBy("id").collect().map(_.toSeq).toSeq
+      val viaLive = live.admit(probe, "id", "text")
+        .orderBy("id").collect().map(_.toSeq).toSeq
+      assert(viaSnap === viaLive)
+      // the snapshot is readable with NO graft protocol: plain parquet
+      assert(spark.read.parquet(s"$exp/hashes").count() ===
+        live.hashes.count())
+      // exports never overwrite a non-empty target
+      val e0 = intercept[IllegalArgumentException] {
+        Dedup.exportSignatureStoreSnapshot(spark, "sig_store_ex", exp)
+      }
+      assert(e0.getMessage.contains("non-empty"))
+      // interleaving: an append landing inside the export window is
+      // detected by the fence (applog count + meta seq re-check), the
+      // partial export is deleted, and the live store keeps the append
+      val exp2 = dir.resolve("snap2").toString
+      val day1 = Seq((20L, "delta new document appended mid-export run"))
+        .toDF("id", "text")
+      val e = intercept[IllegalStateException] {
+        Dedup.exportSignatureStoreSnapshot(spark, "sig_store_ex", exp2,
+          midExportHook = () =>
+            Dedup.appendToSignatureStore(day1, "id", "text", "sig_store_ex"))
+      }
+      assert(e.getMessage.contains("changed while exporting"), e.getMessage)
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(exp2)),
+        "partial export must be deleted")
+      assert(spark.table(hashesTable("sig_store_ex")).count() === 3,
+        "the live store keeps the mid-export append")
+      // re-run after the append: clean export at the same version,
+      // now INCLUDING the appended row
+      val v2 = Dedup.exportSignatureStoreSnapshot(spark, "sig_store_ex", exp2)
+      assert(v2 === 1)
+      assert(spark.read.parquet(s"$exp2/hashes").count() === 3)
+    } finally {
+      dropStore("sig_store_ex")
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
+  test("paragraphDedup: first occurrence wins (doc id, then position); " +
+      "docs reassemble in order; all-lost and empty-para docs keep rows") {
+    val docs = Seq(
+      (1L, "banner\n\nunique one\n\nfooter"),
+      (2L, "banner\n\nunique two\n\nfooter"),
+      // all three paragraphs are repeats of doc 1/2 content
+      (3L, "banner\n\nfooter\n\nunique one"),
+      // intra-doc repeat: the SECOND "twice" loses to the first
+      (4L, "twice\n\ntwice"),
+      // whitespace-only paragraph drops before dedup
+      (5L, "   \n\nonly body")).toDF("doc_id", "text").repartition(3)
+    val out = Dedup.paragraphDedup(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((3L, 3L, "banner\n\nunique one\n\nfooter")))
+    assert(out(2L) === ((3L, 1L, "unique two")))
+    assert(out(3L) === ((3L, 0L, "")))
+    assert(out(4L) === ((2L, 1L, "twice")))
+    assert(out(5L) === ((1L, 1L, "only body")))
+  }
 }

@@ -465,4 +465,30 @@ class SelectionSpec extends SparkSuite {
     // singleton group: pr_micro = 0 by rule -> global minimum
     assert(out(8L) === ((0L, 1L)))
   }
+
+  test("temperatureMixture: sqrt weights boost low-resource groups, " +
+      "exact integer arithmetic, shares near-normalized") {
+    import spark.implicits._
+    // 10000 vs 100 docs: raw shares 99% / 1%; sqrt shares 10:1
+    val docs = ((1L to 10000L).map(i => (i, "big")) ++
+        (1L to 100L).map(i => (i + 20000L, "small")))
+      .toDF("doc_id", "lang").repartition(4)
+    val out = Selection.temperatureMixture(docs, "lang").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    val (nB, wB, shB, prB, boB) = out("big")
+    val (nS, wS, shS, prS, boS) = out("small")
+    assert(nB === 10000L && nS === 100L)
+    // sqrt_w_micro = floor(sqrt(n) * 1e6)
+    assert(wB === 100000000L && wS === 10000000L)
+    // shares: 10/11 and 1/11 in micro units (floor)
+    assert(shB === 909090L && shS === 90909L)
+    assert(prB === 990099L && prS === 9900L)
+    // the low-resource group upsamples ~9.18x, the big one shrinks
+    assert(boS === (90909L * 1000000L) / 9900L)
+    assert(boB < 1000000L && boS > 9000000L)
+    // shares sum to 1e6 within the two floors
+    assert(shB + shS <= 1000000L && shB + shS >= 1000000L - 2L)
+  }
 }

@@ -721,4 +721,26 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out("s2") === ((1L, 13L, "solo document")))
     assert(out("s3") === ((2L, 0L, "")))
   }
+
+  test("piiRedact: emails, IPv4s, phones redact in order; counts match; clean text untouched") {
+    val docs = Seq(
+      (1L, "write to a.b+c@sub.ex.org or ops@ex.io from 192.168.0.7 call +44 207-9460000"),
+      (2L, "no pii here at all, just words and 42 numbers"),
+      (3L, "two mails x@y.zz and w@v.qq same ip 10.0.0.1 and 10.0.0.1"),
+      // version strings are NOT IPv4 (only three octets) and a
+      // 4-octet-LOOKING token inside a word boundary stays caught
+      (4L, "v1.2.3 is a version but 1.2.3.4 is an address"))
+      .toDF("id", "text").repartition(2)
+    val out = TextAnalysis.piiRedact(docs, "id", "text").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) === ((2L, 1L, 1L,
+      "write to <EMAIL> or <EMAIL> from <IP> call <PHONE>")))
+    assert(out(2L) === ((0L, 0L, 0L,
+      "no pii here at all, just words and 42 numbers")))
+    assert(out(3L) === ((2L, 2L, 0L,
+      "two mails <EMAIL> and <EMAIL> same ip <IP> and <IP>")))
+    assert(out(4L) === ((0L, 1L, 0L,
+      "v1.2.3 is a version but <IP> is an address")))
+  }
 }

@@ -795,12 +795,13 @@ class TrainingOpsSpec extends SparkSuite {
       re.orderBy("id").collect().toSeq)
   }
 
-  test("q179 tokenizer evaluation: cross-family invariants hold") {
-    val rows = graft.SparkEntry.queries("q179_tokenizer_eval")(
+  test("q215 tokenizer evaluation: cross-family invariants hold " +
+      "(q179's checks, carried to its four-family successor)") {
+    val rows = graft.SparkEntry.queries("q215_tokenizer_eval4")(
         spark, "/root/testdata/sf0.001")
       .collect()
     assert(rows.map(_.getString(0)).toSeq ===
-      Seq("bpe", "unigram", "wordpiece"))
+      Seq("bpe", "byte_bpe", "unigram", "wordpiece"))
     val nDocs = rows.head.getLong(1)
     assert(nDocs > 0)
     rows.foreach { r =>
@@ -812,14 +813,20 @@ class TrainingOpsSpec extends SparkSuite {
       assert(r.getLong(6) === r.getLong(3) * 1000000L / r.getLong(2))
       assert(r.getLong(6) >= 1000000L)
     }
-    // BPE and unigram cover every word by construction (single chars
-    // stay in vocab); only greedy WordPiece may emit [UNK]
-    assert(rows(0).getLong(5) === 0L)
-    assert(rows(1).getLong(5) === 0L)
-    val wp = rows(2)
+    val byFam = rows.map(r => r.getString(0) -> r).toMap
+    // BPE, byte-BPE and unigram cover every word by construction
+    // (single chars / the 256-byte alphabet stay in vocab); only
+    // greedy WordPiece may emit [UNK]
+    assert(byFam("bpe").getLong(5) === 0L)
+    assert(byFam("byte_bpe").getLong(5) === 0L)
+    assert(byFam("unigram").getLong(5) === 0L)
+    val wp = byFam("wordpiece")
     // a word that collapses to [UNK] contributes exactly 1 piece, so
     // unk occurrences can never exceed total words
     assert(wp.getLong(5) >= 0L && wp.getLong(5) <= wp.getLong(2))
+    // byte-BPE's hex seeding doubles symbols per word pre-merge: at
+    // equal merge budget its fertility is >= char-BPE's
+    assert(byFam("byte_bpe").getLong(6) >= byFam("bpe").getLong(6))
   }
 
   test("lengthBatching: sorted batches, per-batch max padding, Scala mirror") {
@@ -1073,5 +1080,32 @@ class TrainingOpsSpec extends SparkSuite {
     val totals = out.values.groupBy(_._2).view
       .mapValues(_.map(_._1).sum).toMap
     assert(totals(0) === totals(1))
+  }
+
+  test("chunkWindows: overlapping starts, short final chunk, full coverage, empty docs drop") {
+    import spark.implicits._
+    val doc = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, doc), (2L, "a b c"), (3L, ""), (4L, "   "),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+      .repartition(2)
+    val out = TrainingOps.chunkWindows(docs, "doc_id", "text",
+        window = 24, stride = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+      .sortBy(t => (t._1, t._2))
+    // doc 1 (40 tokens): starts 0, 16, 32 — lengths 24, 24, 8
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(t => (t._2, t._3, t._4)).toSeq ===
+      Seq((0L, 0L, 24L), (1L, 16L, 24L), (2L, 32L, 8L)))
+    assert(d1(0)._5.startsWith("w1 w2 ") && d1(0)._5.endsWith(" w24"))
+    assert(d1(1)._5.startsWith("w17 ") && d1(1)._5.endsWith(" w40"))
+    assert(d1(2)._5 === (33 to 40).map(i => s"w$i").mkString(" "))
+    // overlap: tokens 17-24 appear in chunks 0 AND 1 (stride < window)
+    assert(d1(0)._5.contains("w17") && d1(1)._5.contains("w17"))
+    // short doc: one short chunk; empty/blank/null docs produce none
+    assert(out.filter(_._1 == 2L).toSeq ===
+      Seq((2L, 0L, 0L, 3L, "a b c")))
+    assert(!out.exists(t => t._1 >= 3L))
   }
 }

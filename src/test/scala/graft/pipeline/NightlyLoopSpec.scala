@@ -109,7 +109,35 @@ class NightlyLoopSpec extends SparkSuite {
           .toDF("id", "text"), "id", "text").collect()
       assert(probe.head.getBoolean(1) === true,
         "append must make tonight's admissions visible to tomorrow")
-      // manifest: all five stages recorded exactly once
+      // release chain (v3): every admitted doc gets a leakage-safe
+      // split verdict; the train subset deals into snake shards; the
+      // released packs and the provenance table agree on membership
+      val split = spark.read
+        .parquet(loop.stageDir("split", "2026-08-14"))
+      assert(split.select("id").as[String].collect().sorted.toSeq ===
+        admitted)
+      assert(split.select("split").as[String].collect()
+        .forall(Set("train", "val", "test")))
+      val trainIds = split.filter(col("split") === "train")
+        .select("id").as[String].collect().sorted.toSeq
+      val shard = spark.read
+        .parquet(loop.stageDir("shard", "2026-08-14"))
+      assert(shard.select("id").as[String].collect().sorted.toSeq ===
+        trainIds)
+      assert(shard.select("shard").as[Int].collect()
+        .forall(s => s >= 0 && s < 4))
+      val prov = spark.read
+        .parquet(loop.stageDir("provenance", "2026-08-14"))
+      assert(prov.select("id").as[String].collect().sorted.toSeq ===
+        trainIds)
+      // first doc of every pack starts at token offset 0
+      assert(prov.filter(col("doc_seq") === 0)
+        .select("token_offset").as[Long].collect().forall(_ == 0L))
+      val release = spark.read
+        .parquet(loop.stageDir("release", "2026-08-14"))
+      assert(release.select("n_docs").as[Long].collect().sum ===
+        trainIds.size.toLong)
+      // manifest: all ten stages recorded exactly once
       val events = m.log().groupBy("stage").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(events === NightlyLoop.StageOrder.map(_ -> 1L).toMap)
@@ -140,10 +168,10 @@ class NightlyLoopSpec extends SparkSuite {
         .select("id").as[String].collect().toSeq
       assert(admitted2 === Seq("https://h2.example/n2b"), admitted2)
       assert(packRows(out2).count(_._3.contains("telescope granite")) === 1)
-      // each night's six stages recorded independently per pkey
+      // each night's ten stages recorded independently per pkey
       val nights = m.log().groupBy("pkey").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-      assert(nights === Map("2026-08-14" -> 6L, "2026-08-15" -> 6L))
+      assert(nights === Map("2026-08-14" -> 10L, "2026-08-15" -> 10L))
     } finally dropStore("nl_store_2n")
   }
 
@@ -181,7 +209,7 @@ class NightlyLoopSpec extends SparkSuite {
       assert(events === NightlyLoop.StageOrder.map(_ -> 1L).toMap)
       // version gate: a changed pipeline version refuses to resume
       intercept[PipelineVersionError] {
-        loop.copy(version = "v3").runNight(spark, "2026-08-14", m,
+        loop.copy(version = "v99").runNight(spark, "2026-08-14", m,
           poison, poison, poison)
       }
     } finally dropStore("nl_store_kr")
@@ -268,10 +296,10 @@ class NightlyLoopSpec extends SparkSuite {
       val out = loopB.runNight(spark, "2026-08-14", m,
         candidates, rules, warc)
       assert(packRows(out).nonEmpty)
-      // both pipelines recorded all six stages, under their own names
+      // both pipelines recorded all ten stages, under their own names
       val byPipeline = m.log().groupBy("pipeline").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-      assert(byPipeline === Map("nightly" -> 6L, "backfill" -> 6L))
+      assert(byPipeline === Map("nightly" -> 10L, "backfill" -> 10L))
       // and B's interchange landed under its own name-scoped dirs
       assert(spark.read.parquet(loopB.stageDir("ingest", "2026-08-14"))
         .count() > 0)

@@ -668,4 +668,23 @@ class PlanQualitySpec extends SparkSuite {
     assert(!p.contains("Window"), p.take(1500))
     assert(!p.contains("Join"), p.take(1500))
   }
+
+  test("q231: release chain — CC on the pair list only, no cartesian, " +
+      "the one window per (shard, pack) bounded by the token budget") {
+    val p = plan("q231_release_chain")
+    // the quadratic stays inside the shingle-blocked pair derivation —
+    // never a cartesian over the corpus
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // snake sharding rides globalRank's range-parallel rank (RDD
+    // zipWithIndex — no Window at all), so the ONLY windows left are
+    // packProvenance's, partitioned by (shard, pack_id) — bounded by
+    // a pack's doc count, never corpus-sized: every
+    // windowspecdefinition must carry the shard partition column
+    val winSpecs = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winSpecs.nonEmpty, "expected packProvenance's window")
+    assert(winSpecs.forall(_.contains("shard#")),
+      winSpecs.mkString("\n").take(1500))
+  }
 }
