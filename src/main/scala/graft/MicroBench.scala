@@ -191,8 +191,18 @@ object MicroBench {
             s"expected ~${nRows / 10L} planted drops, got $dropped")
           spark.range(1).toDF("ok")
         }
-        Seq(s"semdedup_${nRows / 1000000L}m" -> run,
-          s"semdedup_${nRows / 1000000L}m_checked" -> check)
+        // past 1M a single execution runs ~an hour (assignment is
+        // n·nlist·dim work and Lloyd is sample·nlist·dim·iters — both
+        // grow with the corpus-scaled nlist), so the scale run emits
+        // ONLY the checked variant (it both times the full pipeline
+        // and asserts the planted drops) — pair it with
+        // SPARK_GRAFT_NOWARMUP=1 for one execution total: at
+        // hour-scale, JIT warmup is noise
+        if (nRows > 1000000L)
+          Seq(s"semdedup_${nRows / 1000000L}m_checked" -> check)
+        else
+          Seq(s"semdedup_${nRows / 1000000L}m" -> run,
+            s"semdedup_${nRows / 1000000L}m_checked" -> check)
       case "bytebpe" =>
         // byte-BPE vs char-BPE training cost at 1M docs, 6 merge
         // rounds each (the SCALE.md measurement the r11 verdict
@@ -466,8 +476,12 @@ object MicroBench {
     def settledShuffle(): Long = { Thread.sleep(200); shuffleBytes.get() }
 
     // one untimed warmup each, then ALTERNATE the variants so JIT/GC
-    // drift hits both equally; report per-variant min + all samples
-    variants.foreach { case (_, mk) => force(mk()) }
+    // drift hits both equally; report per-variant min + all samples.
+    // SPARK_GRAFT_NOWARMUP=1 skips the warmup for hour-scale single
+    // executions (the 10M semdedup row), where JIT warmup is noise
+    // and a second full execution costs another hour
+    if (!sys.env.contains("SPARK_GRAFT_NOWARMUP"))
+      variants.foreach { case (_, mk) => force(mk()) }
     val samples = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
     val jobCounts = scala.collection.mutable.Map[String, Vector[Long]]()

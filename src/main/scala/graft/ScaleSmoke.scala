@@ -151,9 +151,14 @@ object ScaleSmoke {
       val uri = concat(lit("https://h"),
         pmod(col("id"), lit(1000)).cast("string"),
         lit(".example/q/"), nid.cast("string"))
+      // per-word hash takes (nid, i) as SEPARATE hash inputs — the
+      // r13 first cut hashed the LINEAR form nid + i·7919, which made
+      // doc id+7919 a one-word SHIFT of doc id (identical arguments,
+      // offset by one position): an accidental diameter-113 near-dup
+      // chain that the v3 split stage's connected components then hit
       val freshText = when(col("id") % 10 === 0, col("text"))
         .otherwise(concat_ws(" ", (0 until 30).map(i =>
-          concat(lit("f"), pmod(xxhash64(nid + lit(i * 7919L)),
+          concat(lit("f"), pmod(xxhash64(nid, lit(i * 7919L)),
             lit(5000)).cast("string"))): _*))
       val block = concat(
         lit("HTTP/1.1 200 OK" + crlf + "Content-Type: text/html" +

@@ -2011,8 +2011,16 @@ object Dedup {
     * sized), and the bucket hash is map-only. Output:
     * (idCol, cluster_id, split). */
   def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
-      fractions: Seq[(String, Double)], salt: String = "graft"): DataFrame = {
-    val labels = connectedComponents(pairs)
+      fractions: Seq[(String, Double)], salt: String = "graft",
+      ccMaxIter: Int = 20): DataFrame = {
+    // ccMaxIter passes through to connectedComponents: near-dup pair
+    // graphs of TEMPLATED corpora chain (page k near-dups page k+1
+    // without page 1 near-dupping page n), and a chain's CC round
+    // count is its diameter — callers on chained corpora must be able
+    // to raise the cap instead of hitting the distributed tier's
+    // fail-fast (found by the r13 10-stage ScaleSmoke, whose feed
+    // accidentally planted a diameter-113 shift-chain)
+    val labels = connectedComponents(pairs, maxIter = ccMaxIter)
       .select(col("doc_id").as(idCol), col("cluster_id"))
     val withCluster = docs.select(col(idCol))
       .join(labels, Seq(idCol), "left")
@@ -2020,6 +2028,36 @@ object Dedup {
         coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
     TrainingOps.splitAssign(withCluster, "cluster_id", fractions, salt)
       .select(col(idCol), col("cluster_id"), col("split"))
+  }
+
+  /** Near-dup CLUSTER-size profile — the dedup observability report
+    * (how much of the corpus sits in 2-clusters vs mega-clusters
+    * decides the near-dup threshold and the keep rule): connected
+    * components over the pair list, then one row per cluster SIZE
+    * with the cluster count and the documents covered; documents in
+    * no pair report as size-1 singletons. Scale shape: CC runs on
+    * the PAIR list only (the [[leakageSafeSplit]] argument), the
+    * corpus contributes one anti-join to count singletons, and the
+    * histogram is two tiny aggregates over cluster labels — never a
+    * corpus-keyed window. Output: (cluster_size, n_clusters,
+    * n_docs). */
+  def dupClusterStats(docs: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val labels = connectedComponents(pairs)
+      .select(col("doc_id").as(idCol), col("cluster_id"))
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val multi = sizes.groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+    val singletons = docs.select(col(idCol))
+      .join(labels.select(col(idCol)), Seq(idCol), "left_anti")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(lit(1L).as("cluster_size"), col("n_clusters"),
+        col("n_clusters").as("n_docs"))
+      .filter(col("n_clusters") > 0)
+    multi.unionByName(singletons)
   }
 
   /** PARAGRAPH-granularity exact dedup (the Lee et al. 2022 /
@@ -2034,13 +2072,13 @@ object Dedup {
     * Empty/whitespace paragraphs drop before deduplication.
     *
     * Scale shape: one posexplode scan → ONE hash aggregate keyed by
-    * the paragraph (min(struct(id, idx)) — map-side combinable,
-    * state per distinct paragraph is one (id, idx) pair) → one join
-    * back on the paragraph key → one per-doc reassembly aggregate.
-    * No window, no self-join; the join key is the paragraph TEXT
-    * (needed to rebuild), so a corpus whose paragraphs are long may
-    * prefer hashing the join side — the aggregate itself already
-    * carries the text once per DISTINCT paragraph only.
+    * the paragraph's sha2-256 CONTENT HASH (min(struct(id, idx)) —
+    * map-side combinable, state per distinct paragraph is one
+    * (id, idx) pair, and the exchange carries 32-byte keys, never
+    * paragraph text — the exact-dedup content-hash discipline) → one
+    * join back on the hash → one per-doc reassembly aggregate. No
+    * window, no self-join; paragraph text never shuffles (each kept
+    * row rebuilds from its own exploded copy).
     * Output: (idCol, n_paras, n_kept, dedup_text) — every input doc
     * keeps a row; a doc whose every paragraph lost has n_kept = 0
     * and an empty dedup_text. */
@@ -2052,12 +2090,13 @@ object Dedup {
         java.util.regex.Pattern.quote(sep))).as(Seq("_idx", "_para")))
       .withColumn("_p", trim(col("_para")))
       .filter(col("_p") =!= "")
-    val winners = paras.groupBy(col("_p"))
+      .withColumn("_ph", sha2(col("_p"), 256))
+    val winners = paras.groupBy(col("_ph"))
       .agg(min(struct(id.as("_wid"), col("_idx").as("_widx")))
         .as("_w"))
-      .select(col("_p"), col("_w._wid").as("_wid"),
+      .select(col("_ph"), col("_w._wid").as("_wid"),
         col("_w._widx").as("_widx"))
-    val kept = paras.join(winners, Seq("_p"))
+    val kept = paras.join(winners, Seq("_ph"))
       .filter(id === col("_wid") && col("_idx") === col("_widx"))
     val rebuilt = kept.groupBy(id)
       .agg(count(lit(1)).as("n_kept"),

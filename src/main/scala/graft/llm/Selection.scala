@@ -756,6 +756,58 @@ object Selection {
         col("margin_micro") >= minMarginMicro)
   }
 
+  /** Best-of-n selection / rejection-sampling fine-tuning (RFT —
+    * the Yuan et al. 2023 / Llama-2 "rejection sampling" data move):
+    * per prompt, keep the single highest-scored candidate, ACCEPTED
+    * only when it clears an absolute quality floor
+    * (`minScoreMicro`) and beats the runner-up by `minMarginMicro`
+    * (a best barely ahead of its alternatives is noise under a
+    * learned reward model, the same strictness argument as
+    * [[dpoPairs]]). Singleton prompts have no runner-up: their
+    * margin gate is vacuous (runner_score is NULL) and acceptance is
+    * the score floor alone — documented rule, oracle-replayed. Ties
+    * break to the LOWER candidate id everywhere; NULL-scored and
+    * NULL-prompt rows never compete.
+    *
+    * Scale shape: TWO bounded hash aggregates (the best pick, then
+    * the best-of-the-rest after one join that excludes the winner) —
+    * never a per-prompt window or a collect of the candidate list,
+    * so a prompt with 10⁶ candidates costs the same state as one
+    * with 2. Output: (prompt_id, best_id, best_score, runner_score,
+    * margin_micro, n_candidates, accepted). */
+  def bestOfN(candidates: DataFrame, promptCol: String,
+      candCol: String, scoreCol: String, minScoreMicro: Long,
+      minMarginMicro: Long = 1L): DataFrame = {
+    require(minMarginMicro >= 1L,
+      s"minMarginMicro must be >= 1, got $minMarginMicro")
+    val score = col(scoreCol).cast(LongType)
+    val base = candidates
+      .filter(col(promptCol).isNotNull && col(candCol).isNotNull &&
+        score.isNotNull)
+      .select(col(promptCol).as("prompt_id"),
+        col(candCol).as("_cid"), score.as("_s"))
+    val best = base.groupBy(col("prompt_id"))
+      .agg(
+        min_by(struct(col("_cid").as("id"), col("_s").as("s")),
+          struct((-col("_s")).as("ns"), col("_cid").as("id"))).as("_b"),
+        count(lit(1)).as("n_candidates"))
+      .select(col("prompt_id"), col("_b.id").as("best_id"),
+        col("_b.s").as("best_score"), col("n_candidates"))
+    val runner = base.join(best, Seq("prompt_id"))
+      .filter(col("_cid") =!= col("best_id"))
+      .groupBy(col("prompt_id"))
+      .agg(max(col("_s")).as("runner_score"))
+    best.join(runner, Seq("prompt_id"), "left")
+      .select(col("prompt_id"), col("best_id"), col("best_score"),
+        col("runner_score"),
+        (col("best_score") - col("runner_score")).as("margin_micro"),
+        col("n_candidates"),
+        (col("best_score") >= minScoreMicro &&
+          (col("runner_score").isNull ||
+            col("best_score") - col("runner_score") >= minMarginMicro))
+          .as("accepted"))
+  }
+
   /** Group-relative advantages (GRPO — Shao et al. 2024,
     * arXiv:2402.03300): per prompt group of scored candidates,
     * `advantage = reward − mean(group)` and the z-normalized form

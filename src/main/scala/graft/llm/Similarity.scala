@@ -22,6 +22,45 @@ object Similarity {
     * arithmetic (float accumulation is order-sensitive noise). */
   def asDouble(c: Column): Column = transform(c, _.cast(DoubleType))
 
+  /** Deterministic hash-spread sample of k vectors, collected
+    * SCALE-SAFELY. The obvious form — `orderBy(hash).limit(k)` over
+    * rows CARRYING the vector — breaks at corpus scale: TakeOrdered's
+    * driver merge holds numPartitions × k candidate rows, so at
+    * 10M×64d / k=82k the driver receives >1 GiB of vectors and dies
+    * on spark.driver.maxResultSize (caught by the r13 10M
+    * measurement run). Here the TakeOrdered runs over NARROW
+    * (hash, id) rows; the k winners' vectors then fetch via a
+    * broadcast semi-join (k-row build side) and re-sort driver-side
+    * by the same (hash, UTF-8-byte id) key — same sample set, same
+    * order, so Lloyd's order-sensitive farthest-point seeding yields
+    * bit-identical centroids to the old wide collect. */
+  private[llm] def hashSampleVecs(corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, seed: Long): Array[Array[Double]] = {
+    val ids = corpus
+      .select(xxhash64(col(idCol), lit(seed)).as("_h"),
+        col(idCol).cast(StringType).as("_id"))
+      .orderBy(col("_h"), col("_id")).limit(k)
+    val rows = corpus
+      .select(col(idCol).cast(StringType).as("_id"),
+        xxhash64(col(idCol), lit(seed)).as("_h"),
+        asDouble(col(vecCol)).as("_v"))
+      .join(broadcast(ids.select("_id")), Seq("_id"), "left_semi")
+      .collect()
+      .map(r => (r.getLong(1), r.getString(0).getBytes("UTF-8"),
+        r.getSeq[Double](2).toArray))
+    // UTF-8 byte order on the id tie-break = Spark's UTF8String
+    // binary order (Scala's String compareTo is UTF-16 and diverges
+    // on non-BMP ids)
+    java.util.Arrays.sort(rows,
+      (a: (Long, Array[Byte], Array[Double]),
+       b: (Long, Array[Byte], Array[Double])) => {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c
+        else java.util.Arrays.compareUnsigned(a._2, b._2)
+      })
+    rows.take(k).map(_._3)
+  }
+
   /** Sequential-sum dot product of two double arrays. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
@@ -106,11 +145,10 @@ object Similarity {
     val corpusVec = corpus.select(col(cId).as("neighbor_id"),
       asDouble(col(vecCol)).as("cv"))
     // deterministic hash-spread sample (TakeOrdered over a hash, not
-    // sample(): same rows on any partitioning/rerun)
-    val samplePts = corpusVec
-      .select(col("cv"), xxhash64(col("neighbor_id"), lit(seed)).as("h"))
-      .orderBy("h").limit(nlist * samplePerCell)
-      .collect().map(_.getSeq[Double](0).toArray)
+    // sample(): same rows on any partitioning/rerun); collected
+    // through the narrow-key path — see [[hashSampleVecs]]
+    val samplePts = hashSampleVecs(corpusVec, "neighbor_id", "cv",
+      nlist * samplePerCell, seed)
     val centroids = LloydKernel.fit(samplePts, nlist, maxIter)
 
     // in-plan cell assignment: argmin ||v−c||² = argmin(|c|² − 2·c·v);
@@ -760,12 +798,8 @@ object Similarity {
     val dsub = dim / nsub
     val spark = corpus.sparkSession
     import spark.implicits._
-    val samplePts = corpus
-      .select(asDouble(col(vecCol)).as("_v"),
-        xxhash64(col(idCol), lit(seed)).as("_h"),
-        col(idCol).cast(StringType).as("_id"))
-      .orderBy(col("_h"), col("_id")).limit(ncent * samplePerCent)
-      .collect().map(_.getSeq[Double](0).toArray)
+    val samplePts = hashSampleVecs(corpus, idCol, vecCol,
+      ncent * samplePerCent, seed)
     require(samplePts.nonEmpty, "pqCodebookLloyd: empty corpus")
     samplePts.foreach(v => require(v.length == dim,
       s"pqCodebookLloyd: vector of ${v.length} dims, expected $dim"))
@@ -1088,12 +1122,8 @@ object Similarity {
         nlist.toLong * samplePerCell <= Int.MaxValue,
         s"coarseCentroids: nlist*samplePerCell = " +
           s"${nlist.toLong * samplePerCell} not in [1, Int.MaxValue]")
-      val pts = corpus
-        .select(asDouble(col(vecCol)).as("_v"),
-          xxhash64(col(cId), lit(seed)).as("_h"),
-          col(cId).cast(StringType).as("_id"))
-        .orderBy(col("_h"), col("_id")).limit(nlist * samplePerCell)
-        .collect().map(_.getSeq[Double](0).toArray)
+      val pts = hashSampleVecs(corpus, cId, vecCol,
+        nlist * samplePerCell, seed)
       require(pts.nonEmpty, "coarseCentroids: empty corpus")
       pts.foreach(c => require(c.length == dim,
         s"coarseCentroids: vector of ${c.length} dims, expected $dim"))

@@ -102,7 +102,11 @@ final case class NightlyLoop(
       * snake-draft shard count for the published train split. */
     releaseFractions: Seq[(String, Double)] =
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
-    releaseShards: Int = 4) {
+    releaseShards: Int = 4,
+    /** Round cap for the split stage's connected components — the
+      * near-dup graph of a TEMPLATED night can chain (page k pairs
+      * with page k+1), and CC rounds = chain diameter. */
+    splitCcMaxIter: Int = 50) {
 
   def stageDir(stage: String, night: String): String =
     s"$root/$stage/$name/$night"
@@ -232,7 +236,7 @@ final case class NightlyLoop(
         batch, "id", "text", threshold = selfNearThreshold)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
     graft.llm.Dedup.leakageSafeSplit(batch, "id", pairs,
-      releaseFractions)
+      releaseFractions, ccMaxIter = splitCcMaxIter)
   }
 
   /** Snake-draft shard assignment for the TRAIN split (release

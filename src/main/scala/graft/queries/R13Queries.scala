@@ -129,7 +129,43 @@ object R13Queries {
       graft.llm.TrainingOps.chunkWindows(
           T.documents(s, d).select(col("doc_id"), col("text")),
           "doc_id", "text", window = 24, stride = 16)
-        .orderBy("doc_id", "chunk_idx")))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // [EXT] best-of-n / rejection-sampling selection
+    // (Selection.bestOfN; the Llama-2 RFT data move): per prompt the
+    // top candidate, accepted only past an absolute score floor AND a
+    // strict margin over the runner-up. Same prompt/scorer derivation
+    // as q217/q224 so all three RLHF data tiers (DPO pairs, GRPO
+    // advantages, best-of-n) are directly comparable. Two bounded
+    // hash aggregates — never a per-prompt window; the oracle replays
+    // both picks, the singleton vacuous-margin rule, and the
+    // acceptance predicate.
+    "q236_best_of_n" -> ((s, d) => {
+      val cand = T.documents(s, d).select(
+        (col("doc_id") % 40).as("prompt"), col("doc_id"),
+        expr("(CAST(length(regexp_replace(text, '[^a-zA-Z]', '')) " +
+          "AS BIGINT) * 1000000) div greatest(length(text), 1)")
+          .as("score_micro"))
+      graft.llm.Selection.bestOfN(cand, "prompt", "doc_id",
+          "score_micro", minScoreMicro = 700000L,
+          minMarginMicro = 1000L)
+        .orderBy("prompt_id")
+    }),
+
+    // [EXT] near-dup cluster-size profile (Dedup.dupClusterStats):
+    // the dedup observability report — components over the q226 pair
+    // derivation, histogrammed by cluster size with singletons (docs
+    // in no pair) as size 1. CC on the PAIR list only; the corpus
+    // contributes one anti-join. The oracle replays the recursive
+    // closure and both aggregates.
+    "q237_dup_cluster_stats" -> ((s, d) => {
+      val docs = T.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val pairs = graft.llm.Dedup.jaccardPairs(docs, "doc_id", "text",
+        blockCols = Seq("lang"), shingleN = 3, threshold = 0.03)
+      graft.llm.Dedup.dupClusterStats(docs, "doc_id", pairs)
+        .orderBy("cluster_size")
+    }))
 
   val oracleSql: Map[String, String] = Map(
 
@@ -294,5 +330,69 @@ object R13Queries {
         |  CAST(least(24, n - token_start) AS BIGINT) AS n_tokens,
         |  array_to_string(w[token_start + 1 : token_start + 24], ' ')
         |    AS chunk_text
-        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q236_best_of_n" ->
+      """WITH c AS (
+        |  SELECT doc_id % 40 AS prompt_id, doc_id,
+        |    (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+        |        AS BIGINT) * 1000000)
+        |      // greatest(length(text), 1) AS s
+        |  FROM documents),
+        |b AS (SELECT prompt_id, doc_id AS best_id, s AS best_score,
+        |        row_number() OVER (PARTITION BY prompt_id
+        |          ORDER BY s DESC, doc_id) AS rn,
+        |        CAST(count(*) OVER (PARTITION BY prompt_id) AS BIGINT)
+        |          AS n_candidates
+        |      FROM c),
+        |w AS (SELECT prompt_id, best_id, best_score, n_candidates
+        |      FROM b WHERE rn = 1),
+        |r AS (SELECT c.prompt_id, max(c.s) AS runner_score
+        |      FROM c JOIN w ON c.prompt_id = w.prompt_id
+        |        AND c.doc_id <> w.best_id
+        |      GROUP BY 1)
+        |SELECT w.prompt_id, w.best_id, w.best_score, r.runner_score,
+        |  w.best_score - r.runner_score AS margin_micro,
+        |  w.n_candidates,
+        |  (w.best_score >= 700000 AND (r.runner_score IS NULL OR
+        |    w.best_score - r.runner_score >= 1000)) AS accepted
+        |FROM w LEFT JOIN r USING (prompt_id)
+        |ORDER BY prompt_id""".stripMargin,
+
+    // the q226 pair closure, histogrammed; singletons = docs in no
+    // pair, reported as size 1
+    "q237_dup_cluster_stats" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, lang,
+        |         list_distinct(list_transform(
+        |           generate_series(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 2, 1)),
+        |           i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' '))) AS sh
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.03),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+        |      UNION SELECT doc_b, doc_a FROM p),
+        |reach AS (
+        |  SELECT src AS id, src AS lbl FROM e
+        |  UNION
+        |  SELECT e.dst, reach.lbl FROM reach JOIN e ON e.src = reach.id),
+        |lab AS (SELECT id AS doc_id, min(lbl) AS cl FROM reach GROUP BY id),
+        |sz AS (SELECT cl, CAST(count(*) AS BIGINT) AS cluster_size
+        |       FROM lab GROUP BY cl),
+        |multi AS (SELECT cluster_size,
+        |            CAST(count(*) AS BIGINT) AS n_clusters,
+        |            CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+        |          FROM sz GROUP BY cluster_size),
+        |singles AS (SELECT CAST(1 AS BIGINT) AS cluster_size,
+        |              CAST(count(*) AS BIGINT) AS n_clusters,
+        |              CAST(count(*) AS BIGINT) AS n_docs
+        |            FROM documents d
+        |            WHERE NOT EXISTS (SELECT 1 FROM lab
+        |                              WHERE lab.doc_id = d.doc_id)
+        |            HAVING count(*) > 0)
+        |SELECT * FROM multi UNION ALL SELECT * FROM singles
+        |ORDER BY cluster_size""".stripMargin)
 }

@@ -1278,4 +1278,21 @@ class DedupSpec extends SparkSuite {
     assert(out(4L) === ((2L, 1L, "twice")))
     assert(out(5L) === ((1L, 1L, "only body")))
   }
+
+  test("dupClusterStats: size histogram covers every doc; " +
+      "singletons reported as size 1; empty pair list = all singleton") {
+    import spark.implicits._
+    val docs = (1L to 10L).toDF("doc_id")
+    // clusters {1,2,3} (path), {5,6}; 4,7,8,9,10 in no pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val out = Dedup.dupClusterStats(docs, "doc_id", pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(1L -> ((5L, 5L)), 2L -> ((1L, 2L)),
+      3L -> ((1L, 3L))))
+    assert(out.values.map(_._2).sum === 10L) // every doc counted once
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val allSingle = Dedup.dupClusterStats(docs, "doc_id", empty)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(allSingle.toSeq === Seq((1L, 10L, 10L)))
+  }
 }

@@ -491,4 +491,42 @@ class SelectionSpec extends SparkSuite {
     // shares sum to 1e6 within the two floors
     assert(shB + shS <= 1000000L && shB + shS >= 1000000L - 2L)
   }
+
+  test("bestOfN: argmax with low-id ties, margin + floor gates, " +
+      "singleton vacuous margin, null rows never compete") {
+    import spark.implicits._
+    val cand = Seq(
+      // p1: clear winner by margin
+      (1L, 10L, 900000L), (1L, 11L, 800000L), (1L, 12L, 100000L),
+      // p2: margin too thin (500 < 1000) -> rejected
+      (2L, 20L, 900000L), (2L, 21L, 899500L),
+      // p3: tie at the top -> margin 0, lower id wins the pick
+      (3L, 31L, 850000L), (3L, 30L, 850000L),
+      // p4: singleton above the floor -> accepted, runner NULL
+      (4L, 40L, 750000L),
+      // p5: singleton below the floor -> rejected
+      (5L, 50L, 100000L))
+      .toDF("prompt", "cand", "score")
+      .unionByName(Seq((6L, Option.empty[Long], Option(1L)),
+        (6L, Option(60L), Option.empty[Long]))
+        .toDF("prompt", "cand", "score"))
+      .repartition(3)
+    val out = Selection.bestOfN(cand, "prompt", "cand", "score",
+        minScoreMicro = 700000L, minMarginMicro = 1000L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(5),
+        r.getBoolean(6)))).toMap
+    assert(out(1L) === ((10L, 900000L, 800000L, 3L, true)))
+    assert(out(2L) === ((20L, 900000L, 899500L, 2L, false)))
+    assert(out(3L) === ((30L, 850000L, 850000L, 2L, false)))
+    assert(out(4L) === ((40L, 750000L, -1L, 1L, true)))
+    assert(out(5L) === ((50L, 100000L, -1L, 1L, false)))
+    assert(!out.contains(6L), "null cand/score rows never compete")
+    // strictness is the contract: margin floor below 1 is refused
+    intercept[IllegalArgumentException] {
+      Selection.bestOfN(cand, "prompt", "cand", "score",
+        minScoreMicro = 0L, minMarginMicro = 0L)
+    }
+  }
 }

@@ -687,4 +687,13 @@ class PlanQualitySpec extends SparkSuite {
     assert(winSpecs.forall(_.contains("shard#")),
       winSpecs.mkString("\n").take(1500))
   }
+
+  test("q236: best-of-n is bounded aggregates — no window, no cartesian") {
+    val p = plan("q236_best_of_n")
+    // the top pick and the runner-up are min_by/max hash aggregates
+    // (state per prompt = one struct), never a per-prompt rank window
+    assert(!p.contains("Window"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("min_by") || p.contains("HashAggregate"), p.take(1500))
+  }
 }
