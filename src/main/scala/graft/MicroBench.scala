@@ -163,7 +163,11 @@ object MicroBench {
         // which would plant unknown extra near-dups; hash components
         // make cos > 0.999 between distinct ids astronomically
         // unlikely at dim 64
-        val sdNlist = math.max(64, (nRows / 488L).toInt)
+        // nRows·2048/1M, not nRows/488: the latter rounds 1M to 2049,
+        // silently drifting off the committed SCALE.md 1M baseline
+        // (65.3 s, measured at nlist=2048) — this form reproduces
+        // 2048 at the 1M default exactly and scales the same way
+        val sdNlist = math.max(64, (nRows * 2048L / 1000000L).toInt)
         val vecs = spark.range(nRows).select(col("id"),
           expr("""transform(sequence(0, 63), j -> cast(
             (pmod(xxhash64((CASE WHEN id % 10 = 9 THEN id - 1
@@ -173,7 +177,7 @@ object MicroBench {
             as float))""").as("embedding"))
           .repartition(32).cache()
         vecs.count()
-        // nlist scales WITH the corpus (n/488 ≈ the 1M run's 2048)
+        // nlist scales WITH the corpus (n·2048/1M: 1M → exactly 2048)
         // so cell size — and with it the per-cell quadratic — stays
         // CONSTANT as N grows: the cell-bounded claim under test
         def sd() = graft.llm.Dedup.semanticDedup(vecs, "id",

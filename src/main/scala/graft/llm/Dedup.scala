@@ -1401,6 +1401,16 @@ object Dedup {
     * live store is never touched. `midExportHook` is the test seam in
     * that window. Returns the exported store version.
     *
+    * Residual window, stated honestly: the fence catches an append
+    * whose applog row / meta bump is VISIBLE at re-check time. Under
+    * true multi-driver concurrency an appender can land data rows
+    * mid-copy while its applog row and meta bump land only after the
+    * re-check — that interleaving escapes detection (no finite number
+    * of re-checks closes it; the appender's bookkeeping is not yet
+    * written to disagree with). Single-writer deployments (the
+    * NightlyLoop contract — one maintenance owner per store) have no
+    * such appender, and there the fence is airtight.
+    *
     * The snapshot is for EXTERNAL readers — re-importing it via
     * [[readExportedSignatureStore]] yields correct results but plain
     * (unbucketed) layout, so admission probes against it shuffle the
@@ -1413,7 +1423,8 @@ object Dedup {
     import spark.implicits._
     val root = new org.apache.hadoop.fs.Path(exportDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    require(!fs.exists(root) || fs.listStatus(root).isEmpty,
+    val createdRoot = !fs.exists(root)
+    require(createdRoot || fs.listStatus(root).isEmpty,
       s"exportSignatureStoreSnapshot: exportDir '$exportDir' exists and " +
         "is non-empty — exports never overwrite; point at a fresh dir")
     val m0 = readStoreMeta(spark, tablePrefix)
@@ -1449,7 +1460,13 @@ object Dedup {
       m0.maxVersion
     } catch {
       case t: Throwable =>
-        fs.delete(root, true)
+        // delete what the export CREATED: the root only when this
+        // call made it — a caller-owned pre-existing (empty) mount
+        // point / tempdir survives, only the partial children go
+        if (createdRoot) fs.delete(root, true)
+        else Seq("hashes", "banded", "buckets", "_export_meta")
+          .foreach(c => fs.delete(
+            new org.apache.hadoop.fs.Path(root, c), true))
         throw t
     }
   }
@@ -2071,46 +2088,59 @@ object Dedup {
     * document from its surviving paragraphs in original order.
     * Empty/whitespace paragraphs drop before deduplication.
     *
-    * Scale shape: one posexplode scan → ONE hash aggregate keyed by
-    * the paragraph's sha2-256 CONTENT HASH (min(struct(id, idx)) —
-    * map-side combinable, state per distinct paragraph is one
-    * (id, idx) pair, and the exchange carries 32-byte keys, never
-    * paragraph text — the exact-dedup content-hash discipline) → one
-    * join back on the hash → one per-doc reassembly aggregate. No
-    * window, no self-join; paragraph text never shuffles (each kept
-    * row rebuilds from its own exploded copy).
+    * Scale shape — KEYS-ONLY throughout, paragraph text crosses the
+    * wire exactly ONCE (the q94 line-dedup discipline): the exploded
+    * scan projects to (hash, id, idx) BEFORE its aggregate, so the
+    * winner election (min(struct(id, idx)) per sha2-256 content hash
+    * — map-side combinable, one (id, idx) pair of state per distinct
+    * paragraph, 32-byte keys on the exchange) and the per-doc
+    * kept-index list (one array_agg over winner PAIRS, sized by the
+    * doc's kept count) never carry text. The document side then
+    * takes ONE join against that keys-only per-doc index list and
+    * rebuilds in place from its OWN row — split, keep the positions
+    * in the kept list, trim, re-join — so full text shuffles once
+    * (the doc-id join) and only once. n_paras is computed map-only
+    * from the same row (no count aggregate). No window, no
+    * self-join. (The first formulation joined winners back onto the
+    * exploded rows and re-aggregated them per doc: correct, but
+    * paragraph text crossed the wire twice — once keyed by hash,
+    * once by doc id.)
+    *
+    * `idCol` must uniquely identify rows (one row = one document —
+    * the corpus-operator contract shared with [[leakageSafeSplit]]).
     * Output: (idCol, n_paras, n_kept, dedup_text) — every input doc
     * keeps a row; a doc whose every paragraph lost has n_kept = 0
     * and an empty dedup_text. */
   def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
       sep: String = "\n\n"): DataFrame = {
     val id = col(idCol)
-    val paras = df
-      .select(id, posexplode(split(col(textCol),
-        java.util.regex.Pattern.quote(sep))).as(Seq("_idx", "_para")))
-      .withColumn("_p", trim(col("_para")))
-      .filter(col("_p") =!= "")
-      .withColumn("_ph", sha2(col("_p"), 256))
-    val winners = paras.groupBy(col("_ph"))
+    val sepQ = java.util.regex.Pattern.quote(sep)
+    // keys-only winner election: text is hashed and DROPPED before
+    // anything shuffles
+    val paraKeys = df
+      .select(id, posexplode(split(col(textCol), sepQ))
+        .as(Seq("_idx", "_para")))
+      .select(id, col("_idx"),
+        sha2(trim(col("_para")), 256).as("_ph"),
+        (trim(col("_para")) =!= "").as("_nonblank"))
+      .filter(col("_nonblank"))
+    val keptIdx = paraKeys.groupBy(col("_ph"))
       .agg(min(struct(id.as("_wid"), col("_idx").as("_widx")))
         .as("_w"))
-      .select(col("_ph"), col("_w._wid").as("_wid"),
-        col("_w._widx").as("_widx"))
-    val kept = paras.join(winners, Seq("_ph"))
-      .filter(id === col("_wid") && col("_idx") === col("_widx"))
-    val rebuilt = kept.groupBy(id)
+      .groupBy(col("_w._wid").as(idCol))
       .agg(count(lit(1)).as("n_kept"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("_idx").as("i"),
-            col("_p").as("t")))),
-          _.getField("t")), sep).as("dedup_text"))
-    val counts = paras.groupBy(id).agg(count(lit(1)).as("n_paras"))
-    df.select(id).distinct()
-      .join(counts, Seq(idCol), "left")
-      .join(rebuilt, Seq(idCol), "left")
+        array_sort(collect_list(col("_w._widx"))).as("_kidx"))
+    // ONE text-carrying join; rebuild + n_paras from the row itself
+    val arr = split(col(textCol), sepQ)
+    df.select(id, col(textCol))
+      .join(keptIdx, Seq(idCol), "left")
       .select(id,
-        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+        size(filter(arr, p => trim(p) =!= "")).cast("long")
+          .as("n_paras"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+        coalesce(array_join(transform(
+            filter(arr, (p, i) => array_contains(col("_kidx"), i)),
+            p => trim(p)), sep), lit(""))
+          .as("dedup_text"))
   }
 }

@@ -33,7 +33,14 @@ object Similarity {
     * broadcast semi-join (k-row build side) and re-sort driver-side
     * by the same (hash, UTF-8-byte id) key — same sample set, same
     * order, so Lloyd's order-sensitive farthest-point seeding yields
-    * bit-identical centroids to the old wide collect. */
+    * bit-identical centroids to the old wide collect ON UNIQUE-ID
+    * corpora (the documented precondition of every consumer). With
+    * duplicate ids — or distinct ids that collide after the string
+    * cast — the semi-join fetches EVERY matching row and equal
+    * (hash, id-bytes) sort keys tie over different vectors, so
+    * take(k) may pick a different multiset than the old limit(k)
+    * did — and ties resolve by collect() partition order, so the
+    * pick is not even run-stable. Deduplicate ids upstream. */
   private[llm] def hashSampleVecs(corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, seed: Long): Array[Array[Double]] = {
     val ids = corpus
@@ -530,7 +537,12 @@ object Similarity {
     * append-log snapshotted before the copy, re-checked after; any
     * append/flip inside the window deletes the partial export and
     * fails by name (an append could land ids in `vecs` between the
-    * two table copies — a torn snapshot). Returns the exported
+    * two table copies — a torn snapshot). Residual window as
+    * documented at [[Dedup.exportSignatureStoreSnapshot]]: an append
+    * whose data rows land mid-copy but whose applog/meta bookkeeping
+    * lands only after the re-check escapes detection — airtight under
+    * the single-writer NightlyLoop contract, advisory under true
+    * multi-driver concurrency. Returns the exported
     * version. Re-import via [[readExportedAnnIndex]] is
     * correctness-equivalent but unbucketed (probes against it shuffle
     * the corpus side; the live bucketed tables stay exchange-free). */
@@ -540,7 +552,8 @@ object Similarity {
     import spark.implicits._
     val root = new org.apache.hadoop.fs.Path(exportDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    require(!fs.exists(root) || fs.listStatus(root).isEmpty,
+    val createdRoot = !fs.exists(root)
+    require(createdRoot || fs.listStatus(root).isEmpty,
       s"exportAnnIndexSnapshot: exportDir '$exportDir' exists and is " +
         "non-empty — exports never overwrite; point at a fresh dir")
     val m0 = readAnnMeta(spark, tablePrefix)
@@ -567,7 +580,11 @@ object Similarity {
       m0.version.getOrElse(0)
     } catch {
       case t: Throwable =>
-        fs.delete(root, true)
+        // only delete what this export created (the signature-store
+        // export rule): caller-owned pre-existing roots survive
+        if (createdRoot) fs.delete(root, true)
+        else Seq("sigs", "vecs", "_export_meta").foreach(c =>
+          fs.delete(new org.apache.hadoop.fs.Path(root, c), true))
         throw t
     }
   }

@@ -1047,11 +1047,15 @@ object TextAnalysis {
 
   /** PII scrubbing — the redaction pass every released training
     * corpus runs (emails, IPv4 addresses, international-format phone
-    * numbers → typed placeholders). Counts are taken BEFORE any
-    * replacement and each pattern's count before the PREVIOUS
-    * pattern's redaction could create or destroy a match is
-    * guaranteed by the pattern-disjointness argument above (emails
-    * first). Map-only: three regexp_count + three regexp_replace per
+    * numbers → typed placeholders). Each pattern's count is taken on
+    * the text AFTER the previous pattern's redaction — exactly the
+    * sequence the replacements run (n_emails on the raw text, n_ipv4
+    * on the email-redacted text, n_phones on the email+IP-redacted
+    * text) — so a count can never include characters an earlier
+    * placeholder replaced, and the q232 oracle replays the same
+    * sequence; the ordering-disjointness argument above (emails
+    * first) is what keeps the later counts faithful to the raw text
+    * too. Map-only: three regexp_count + three regexp_replace per
     * row, no shuffle, codegen-friendly — at 100 TB this is a pure
     * scan. Output: (idCol, n_emails, n_ipv4, n_phones, redacted). */
   def piiRedact(df: DataFrame, idCol: String,

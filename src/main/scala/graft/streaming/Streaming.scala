@@ -987,14 +987,21 @@ object Streaming {
     * export is still reading (grace keeps only ONE prior copy per
     * bucket), so any version/batch advance inside the window deletes
     * the partial export and fails by name. `midExportHook` is the
-    * test seam in that window. Returns the exported table version. */
+    * test seam in that window. Residual window as documented at
+    * [[graft.llm.Dedup.exportSignatureStoreSnapshot]]: a concurrent
+    * fold whose bucket writes land mid-copy but whose `_meta.json`
+    * flip lands only after the re-check escapes detection — airtight
+    * single-writer (one streaming query per table, the scd2Stream
+    * contract), advisory under multi-driver concurrency. Returns the
+    * exported table version. */
   def exportScd2Snapshot(spark: SparkSession, tablePath: String,
       exportDir: String, midExportHook: () => Unit = () => ()): Long = {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
     val outRoot = new Path(exportDir)
     val fs = outRoot.getFileSystem(spark.sessionState.newHadoopConf())
-    require(!fs.exists(outRoot) || fs.listStatus(outRoot).isEmpty,
+    val createdRoot = !fs.exists(outRoot)
+    require(createdRoot || fs.listStatus(outRoot).isEmpty,
       s"exportScd2Snapshot: exportDir '$exportDir' exists and is " +
         "non-empty — exports never overwrite; point at a fresh dir")
     val srcRoot = new Path(tablePath)
@@ -1021,7 +1028,11 @@ object Streaming {
       m0.version
     } catch {
       case t: Throwable =>
-        fs.delete(outRoot, true)
+        // only delete what this export created (the signature-store
+        // export rule): caller-owned pre-existing roots survive
+        if (createdRoot) fs.delete(outRoot, true)
+        else Seq("rows", "_export_meta").foreach(c =>
+          fs.delete(new Path(outRoot, c), true))
         throw t
     }
   }

@@ -1258,6 +1258,48 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("export failure cleanup: a CALLER-OWNED pre-existing (empty) " +
+      "exportDir survives a failed export — only the partial children " +
+      "the export created are deleted") {
+    val corpus = Seq(
+      (1L, "alpha subject matter entirely its own body here"),
+      (2L, "beta subject matter entirely different body text"))
+      .toDF("id", "text")
+    dropStore("sig_store_own")
+    Dedup.writeSignatureStore(corpus, "id", "text", "sig_store_own",
+      buckets = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ownroot")
+    try {
+      // the caller owns this directory (think: an empty mount point)
+      val owned = java.nio.file.Files.createDirectory(
+        dir.resolve("mount")).toString
+      val day1 = Seq((20L, "delta new document appended mid-export"))
+        .toDF("id", "text")
+      intercept[IllegalStateException] {
+        Dedup.exportSignatureStoreSnapshot(spark, "sig_store_own", owned,
+          midExportHook = () => Dedup.appendToSignatureStore(
+            day1, "id", "text", "sig_store_own"))
+      }
+      val ownedPath = java.nio.file.Paths.get(owned)
+      assert(java.nio.file.Files.exists(ownedPath),
+        "caller-owned root must survive the failed export")
+      assert(!java.nio.file.Files.list(ownedPath).iterator().hasNext,
+        "every partial child the export created must be deleted")
+      // and the root created BY the export is deleted root-and-all
+      val made = dir.resolve("made").toString
+      intercept[IllegalStateException] {
+        Dedup.exportSignatureStoreSnapshot(spark, "sig_store_own", made,
+          midExportHook = () => Dedup.appendToSignatureStore(
+            Seq((21L, "epsilon another mid-export append row here"))
+              .toDF("id", "text"), "id", "text", "sig_store_own"))
+      }
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(made)))
+    } finally {
+      dropStore("sig_store_own")
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
   test("paragraphDedup: first occurrence wins (doc id, then position); " +
       "docs reassemble in order; all-lost and empty-para docs keep rows") {
     val docs = Seq(

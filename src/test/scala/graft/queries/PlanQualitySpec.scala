@@ -688,6 +688,25 @@ class PlanQualitySpec extends SparkSuite {
       winSpecs.mkString("\n").take(1500))
   }
 
+  test("q233: paragraph text never shuffles by paragraph-hash — " +
+      "keys-only winner election (the q94 discipline)") {
+    val p = plan("q233_paragraph_dedup")
+    // the winner election and the per-doc kept-index list are
+    // keys-only ((_ph, id, idx) then (id, idx-array)); full document
+    // text crosses the wire exactly once, in the by-id join back to
+    // the original rows — an exchange keyed on the paragraph hash
+    // `_ph` that also carries paragraph/document text is the r13
+    // two-text-shuffle shape this plan removed
+    assert(!p.contains("Window"), p.take(1500))
+    val exchangeBlocks =
+      "\\(\\d+\\) Exchange[\\s\\S]*?Arguments: [^\\n]*".r.findAllIn(p).toSeq
+    val byParaHash = exchangeBlocks.filter(_.contains("hashpartitioning(_ph"))
+    assert(byParaHash.nonEmpty, p.take(1500))
+    assert(byParaHash.forall(b =>
+      !b.contains("_para") && !b.contains("text2")),
+      byParaHash.mkString("\n\n"))
+  }
+
   test("q236: best-of-n is bounded aggregates — no window, no cartesian") {
     val p = plan("q236_best_of_n")
     // the top pick and the runner-up are min_by/max hash aggregates
