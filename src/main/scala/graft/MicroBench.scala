@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   * filter+union) — keep scenarios additive, they are cheap evidence.
   *
   * `runMain graft.MicroBench <scenario> [iters]`, scenario ∈
-  * {ul2, pq_encode, q97, ivfadc, semdedup, bytebpe, scd2buckets,
+  * {ul2, pq_encode, q97, ivfadc, semdedup, semdedup2l,
+  * semdedup_recall, bytebpe, scd2buckets,
   * saltedjoin, bloomjoin, lcp, snakeshards, clustersplit, qnorm,
   * kcore}. Reads `SPARK_GRAFT_SF_DIR` (default sf0.1).
   */
@@ -142,7 +143,7 @@ object MicroBench {
           "flat_adc_100q" -> flat(q100),
           "ivfadc_production_1000q" -> ivf(q1k),
           "flat_adc_1000q" -> flat(q1k))
-      case "semdedup" =>
+      case "semdedup" | "semdedup2l" | "semdedup_recall" =>
         // semanticDedup at 1M×64d, production arm: nlist controls the
         // per-cell quadratic (1M/2048 ≈ 490 rows/cell → ~120k pairs/
         // cell → ~245M in-cell cosines corpus-wide, vs the 5·10¹¹ of
@@ -180,13 +181,35 @@ object MicroBench {
         // nlist scales WITH the corpus (n·2048/1M: 1M → exactly 2048)
         // so cell size — and with it the per-cell quadratic — stays
         // CONSTANT as N grows: the cell-bounded claim under test
-        def sd() = graft.llm.Dedup.semanticDedup(vecs, "id",
+        // semdedup2l runs the TWO-LEVEL hierarchical quantizer arm —
+        // the r13 remedy for the flat tier's n·nlist·dim assignment
+        // wall (65 s @1M → 3416 s @10M flat; two-level assigns in
+        // ≈2√nlist·dim and trains each level on bounded samples).
+        // semdedup_recall runs BOTH arms at 1M and reports drop-set
+        // agreement (the SCALE.md recall row).
+        val twoLevel = scenario == "semdedup2l"
+        // the hierarchical arm rides samplePerCell 16 (vs the flat
+        // tier's 4) and a higher cell cap. Both follow from the same
+        // physics: the flat trainer costs nlist²·spc·dim·iters, which
+        // is what forced spc=4 past 2k cells — the two-level trainer
+        // is nlist^1.5·spc, so spc=16 is STILL ~11× (1M) to ~36×
+        // (10M) cheaper than the flat trainer it replaces, and the
+        // extra sample is what keeps sub-cells balanced: at spc=4 the
+        // per-super Lloyd saw ~4 points per sub-cell on UNIFORM
+        // random vectors (no cluster structure — Lloyd's worst case)
+        // and produced cells skewed far past the flat tier's ~10×,
+        // blowing the in-cell quadratic up ~10× (measured: the first
+        // 1M run sat in DotProduct for 8+ min vs flat's 65 s total).
+        // Driver bound: the 10M sample is 20480·16 = 327k vectors
+        // ≈ 170 MB — inside the 1 GiB maxResultSize with margin.
+        def sd(two: Boolean) = graft.llm.Dedup.semanticDedup(vecs, "id",
           "embedding", dim = 64, nsub = 8, nlist = sdNlist,
           tauMicro = 999000L, production = true, maxIter = 4,
-          samplePerCell = 4, maxCellRows = 12000L)
-        val run = () => sd()
+          samplePerCell = if (two) 16 else 4,
+          maxCellRows = if (two) 24000L else 12000L, twoLevel = two)
+        val run = () => sd(twoLevel)
         val check = () => {
-          val dropped = sd().filter(!col("kept")).count()
+          val dropped = sd(twoLevel).filter(!col("kept")).count()
           // planted copies drop iff they share their original's cell;
           // planted pairs are near-identical points, so co-location
           // is near-certain — demand the bulk of the plant found
@@ -195,18 +218,37 @@ object MicroBench {
             s"expected ~${nRows / 10L} planted drops, got $dropped")
           spark.range(1).toDF("ok")
         }
-        // past 1M a single execution runs ~an hour (assignment is
+        val recall = () => {
+          // drop-set agreement flat vs two-level on the SAME corpus:
+          // near-identical planted pairs co-locate under either
+          // quantizer, so both arms should find (nearly) the same set
+          val flatD = sd(false).filter(!col("kept")).select("vec_id")
+            .cache()
+          val twoD = sd(true).filter(!col("kept")).select("vec_id")
+            .cache()
+          val nf = flatD.count(); val nt = twoD.count()
+          val agree = flatD.intersect(twoD).count()
+          println(s"""{"metric":"semdedup_recall","flat_drops":$nf,""" +
+            s""""two_drops":$nt,"agree":$agree}""")
+          require(agree * 100L >= nf * 99L && nt <= nf + nf / 100L + 10L,
+            s"two-level drop set diverges: flat=$nf two=$nt agree=$agree")
+          spark.range(1).toDF("ok")
+        }
+        val tag = if (twoLevel) "semdedup2l" else "semdedup"
+        // past 1M a single flat execution runs ~an hour (assignment is
         // n·nlist·dim work and Lloyd is sample·nlist·dim·iters — both
         // grow with the corpus-scaled nlist), so the scale run emits
         // ONLY the checked variant (it both times the full pipeline
         // and asserts the planted drops) — pair it with
         // SPARK_GRAFT_NOWARMUP=1 for one execution total: at
         // hour-scale, JIT warmup is noise
-        if (nRows > 1000000L)
-          Seq(s"semdedup_${nRows / 1000000L}m_checked" -> check)
+        if (scenario == "semdedup_recall")
+          Seq(s"semdedup_recall_${nRows / 1000000L}m" -> recall)
+        else if (nRows > 1000000L)
+          Seq(s"${tag}_${nRows / 1000000L}m_checked" -> check)
         else
-          Seq(s"semdedup_${nRows / 1000000L}m" -> run,
-            s"semdedup_${nRows / 1000000L}m_checked" -> check)
+          Seq(s"${tag}_${nRows / 1000000L}m" -> run,
+            s"${tag}_${nRows / 1000000L}m_checked" -> check)
       case "bytebpe" =>
         // byte-BPE vs char-BPE training cost at 1M docs, 6 merge
         // rounds each (the SCALE.md measurement the r11 verdict

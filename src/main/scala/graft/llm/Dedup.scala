@@ -1493,6 +1493,183 @@ object Dedup {
       m.getAs[Int]("shingle_n"), buckets)
   }
 
+  /** DELTA export: copy only the rows APPENDED since the prior
+    * export(s) — the nightly external handoff stays batch-sized
+    * instead of re-copying an unbounded corpus every night (the full
+    * [[exportSignatureStoreSnapshot]] is the day-0 base; each night
+    * adds one delta dir). `priorDirs` is the chain so far: the base
+    * snapshot first, then every delta already taken, in order. The
+    * delta is each table's anti-join of the live store against the
+    * chain's union — append-only tables never lose rows within a
+    * version, so base ∪ deltas ≡ the live tables at the head
+    * (spec-pinned). The anti-join READS corpus-sized tables (keys
+    * only — content hashes and (band, bucket, id) keys), but WRITES
+    * and ships only the delta: the handoff's transfer volume is the
+    * night's appends.
+    *
+    * Version discipline: a delta only composes while the store
+    * VERSION matches the chain's — maintenance (compaction/removal/
+    * rebuild) rewrites tables and may REMOVE rows, which no
+    * append-only delta can express, so a version mismatch fails by
+    * name demanding a fresh base snapshot. Fence discipline and the
+    * residual window are exactly [[exportSignatureStoreSnapshot]]'s
+    * (`midExportHook` is the same test seam); failure deletes only
+    * what this export created. Returns the head `append_seq` the
+    * delta reaches. */
+  def exportSignatureStoreDelta(
+      spark: org.apache.spark.sql.SparkSession, tablePrefix: String,
+      priorDirs: Seq[String], deltaDir: String,
+      midExportHook: () => Unit = () => ()): Long = {
+    import spark.implicits._
+    require(priorDirs.nonEmpty,
+      "exportSignatureStoreDelta: need the prior export chain (base " +
+        "snapshot first) — for a first export use " +
+        "exportSignatureStoreSnapshot")
+    val root = new org.apache.hadoop.fs.Path(deltaDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val createdRoot = !fs.exists(root)
+    require(createdRoot || fs.listStatus(root).isEmpty,
+      s"exportSignatureStoreDelta: deltaDir '$deltaDir' exists and " +
+        "is non-empty — exports never overwrite; point at a fresh dir")
+    val priors = priorDirs.map(d =>
+      (d, spark.read.parquet(s"$d/_export_meta").head()))
+    priors.zipWithIndex.foreach { case ((d, m), i) =>
+      val st = m.getAs[String]("store")
+      require(if (i == 0) st == "signature_store"
+        else st == "signature_store_delta",
+        s"exportSignatureStoreDelta: '$d' is a $st export — the chain " +
+          "is one signature_store base followed by " +
+          "signature_store_delta dirs, in order")
+    }
+    val baseVersion = priors.head._2.getAs[Int]("version")
+    priors.foreach { case (d, m) =>
+      require(m.getAs[Int]("version") == baseVersion,
+        s"exportSignatureStoreDelta: '$d' was exported at version " +
+          s"${m.getAs[Int]("version")}, chain base is $baseVersion")
+    }
+    val m0 = readStoreMeta(spark, tablePrefix)
+    val applog0 = applogCount(spark, tablePrefix)
+    require(m0.maxVersion == baseVersion,
+      s"exportSignatureStoreDelta: store $tablePrefix is at version " +
+        s"${m0.maxVersion} but the chain was exported at " +
+        s"$baseVersion — maintenance rewrote the tables (rows may " +
+        "have been removed, which a delta cannot express); take a " +
+        "fresh exportSignatureStoreSnapshot base")
+    val hasBuckets = priors.head._2.getAs[Boolean]("has_buckets")
+    def unionOf(sub: String): DataFrame = priorDirs
+      .map(d => spark.read.parquet(s"$d/$sub"))
+      .reduce(_.unionByName(_))
+    try {
+      spark.table(m0.hashesTable(tablePrefix))
+        .join(unionOf("hashes"), Seq("content_hash"), "left_anti")
+        .write.parquet(s"$deltaDir/hashes")
+      spark.table(m0.bandedTable(tablePrefix))
+        .join(unionOf("banded"), Seq("band", "bucket", "id"),
+          "left_anti")
+        .write.parquet(s"$deltaDir/banded")
+      if (hasBuckets) m0.bucketsTable(tablePrefix).foreach { t =>
+        // generations are disjoint id-sets per (band, bucket), so row
+        // equality on (band, bucket, ids) identifies the new ones
+        spark.table(t)
+          .join(unionOf("buckets"), Seq("band", "bucket", "ids"),
+            "left_anti")
+          .write.parquet(s"$deltaDir/buckets")
+      }
+      Seq(("signature_store_delta", m0.maxVersion, m0.bands,
+          m0.rowsPerBand, m0.shingleN, m0.buckets, hasBuckets,
+          m0.appendSeq))
+        .toDF("store", "version", "bands", "rows_per_band", "shingle_n",
+          "bucket_count", "has_buckets", "append_seq")
+        .coalesce(1).write.parquet(s"$deltaDir/_export_meta")
+      midExportHook()
+      val m1 = readStoreMeta(spark, tablePrefix)
+      if (m1.appendSeq != m0.appendSeq ||
+          m1.hashesVersion != m0.hashesVersion ||
+          m1.bandedVersion != m0.bandedVersion ||
+          applogCount(spark, tablePrefix) != applog0)
+        throw new IllegalStateException(
+          s"exportSignatureStoreDelta: store $tablePrefix changed " +
+            s"while exporting (append_seq ${m0.appendSeq} -> " +
+            s"${m1.appendSeq}, version ${m0.maxVersion} -> " +
+            s"${m1.maxVersion}) — the delta could be torn so it was " +
+            "deleted; the live store is untouched. Re-run the export")
+      m0.appendSeq
+    } catch {
+      case t: Throwable =>
+        if (createdRoot) fs.delete(root, true)
+        else Seq("hashes", "banded", "buckets", "_export_meta")
+          .foreach(c => fs.delete(
+            new org.apache.hadoop.fs.Path(root, c), true))
+        throw t
+    }
+  }
+
+  /** Read a base-plus-deltas export CHAIN as one probe-ready
+    * [[SignatureStore]] — row-equal to the live store at the last
+    * delta's head append_seq (spec-pinned ≡ a full snapshot taken
+    * there). Same unbucketed caveat as [[readExportedSignatureStore]];
+    * [[importSignatureStore]] promotes a chain back to a live
+    * bucketed store. */
+  def readExportedSignatureStoreChain(
+      spark: org.apache.spark.sql.SparkSession,
+      dirs: Seq[String]): SignatureStore = {
+    require(dirs.nonEmpty, "readExportedSignatureStoreChain: no dirs")
+    val metas = dirs.map(d =>
+      (d, spark.read.parquet(s"$d/_export_meta").head()))
+    metas.zipWithIndex.foreach { case ((d, m), i) =>
+      val st = m.getAs[String]("store")
+      require(if (i == 0) st == "signature_store"
+        else st == "signature_store_delta",
+        s"readExportedSignatureStoreChain: '$d' is a $st export — " +
+          "expected one signature_store base, then " +
+          "signature_store_delta dirs")
+    }
+    val base = metas.head._2
+    def unionOf(sub: String): DataFrame = dirs
+      .map(d => spark.read.parquet(s"$d/$sub"))
+      .reduce(_.unionByName(_))
+    val buckets =
+      if (base.getAs[Boolean]("has_buckets")) Some(unionOf("buckets"))
+      else None
+    SignatureStore(unionOf("hashes"), unionOf("banded"),
+      base.getAs[Int]("bands"), base.getAs[Int]("rows_per_band"),
+      base.getAs[Int]("shingle_n"), buckets)
+  }
+
+  /** Promote an export (a base snapshot, or a base-plus-deltas chain)
+    * back to a LIVE bucketed store at `tablePrefix` — the
+    * disaster-recovery / region-migration closer for the export
+    * surface: after import, admission probes run exchange-free on the
+    * corpus side again (spec-pinned: the bucketed-layout probe plan,
+    * and admit results identical to the source store's).
+    *
+    * Semantics mirror [[writeSignatureStore]]: a fresh v1 store —
+    * bucketed tables (bucket count from the export's meta), fresh
+    * one-row meta with `append_seq = 0`, superseded/legacy tables and
+    * any stale fence log cleared. The `_buckets` band index is
+    * REBUILT from the banded rows (collapsing the export's append
+    * generations — an import is a natural compaction point). */
+  def importSignatureStore(spark: org.apache.spark.sql.SparkSession,
+      exportDirs: Seq[String], tablePrefix: String): Unit = {
+    val chain = readExportedSignatureStoreChain(spark, exportDirs)
+    val meta0 = spark.read.parquet(s"${exportDirs.head}/_export_meta")
+      .head()
+    val buckets = math.max(1, meta0.getAs[Int]("bucket_count"))
+    graft.io.Sinks.writeBucketed(chain.hashes,
+      s"${tablePrefix}_v1_hashes", Seq("content_hash"), buckets)
+    graft.io.Sinks.writeBucketed(chain.banded,
+      s"${tablePrefix}_v1_banded", Seq("band", "bucket"), buckets)
+    graft.io.Sinks.writeBucketed(groupBuckets(chain.banded),
+      s"${tablePrefix}_v1_buckets", Seq("band", "bucket"), buckets)
+    writeStoreMeta(spark, tablePrefix, StoreMeta(chain.bands,
+      chain.rowsPerBand, chain.shingleN, buckets, Some(1), Some(1),
+      appendSeq = 0L))
+    dropSupersededStoreTables(spark, tablePrefix,
+      Set(s"${tablePrefix}_v1_hashes", s"${tablePrefix}_v1_banded",
+        s"${tablePrefix}_v1_buckets"))
+    spark.sql(s"DROP TABLE IF EXISTS ${tablePrefix}_applog")
+  }
+
   /** Shared probe core for [[dedupIncremental]] and
     * [[SignatureStore.admit]]: signatures the batch side, probes the
     * (precomputed or inline) corpus hashes + banded index, and applies
@@ -1937,6 +2114,20 @@ object Dedup {
     * and everything else is one map-only assignment pass + one
     * self-join on the cell key.
     *
+    * Quantizer regimes (SCALE.md r13 measured the wall): at constant
+    * cell size nlist must track n, so the FLAT assignment pass is
+    * n·nlist·dim = quadratic in n — fine to ~10⁴ cells (≈5M rows at
+    * the 488-row default cell), 52× over linear at 10M. Past that,
+    * set `twoLevel = true` (requires `production`): the hierarchical
+    * quantizer ([[Similarity.coarseCentroidsTwoLevel]] + the fused
+    * [[graft.expressions.CellAssign2Expr]] kernel) assigns in
+    * ≈2√nlist·dim per row and trains each level on bounded samples.
+    * The in-cell dedup and every verdict rule are IDENTICAL — only
+    * which rows share a cell changes (hierarchical argmin vs flat
+    * argmin near super-cell boundaries); verdict equivalence is
+    * spec-pinned on planted clusters, where co-located duplicates
+    * land together under any centroid set.
+    *
     * Cosine thresholding is an exact integer comparison:
     * `floor(cosine · 10⁶) >= tauMicro`. The PAIR dot products go
     * through [[embeddingPairsExact]]'s flat `graft_dot` (one
@@ -1956,16 +2147,22 @@ object Dedup {
       dim: Int, nsub: Int, nlist: Int, tauMicro: Long,
       salt: String = "", production: Boolean = false, seed: Long = 42L,
       maxIter: Int = 8, samplePerCell: Int = 50,
-      maxCellRows: Long = 10000L): DataFrame = {
+      maxCellRows: Long = 10000L, twoLevel: Boolean = false): DataFrame = {
     require(dim >= 1 && nsub >= 1 && dim % nsub == 0,
       s"dim $dim not divisible by nsub $nsub")
     require(nlist >= 1, "nlist must be positive")
     require(tauMicro >= -1000000L && tauMicro <= 1000000L,
       s"tauMicro is a cosine in micro-units, got $tauMicro")
+    // the two-level quantizer is Lloyd-trained at both levels, so it
+    // is production-tier by construction; the SAMPLED tier stays flat
+    // — its hash-rank centroids are what the q216 oracle replays
+    require(!twoLevel || production,
+      "semanticDedup: twoLevel is a production-tier arm (both levels " +
+        "Lloyd-trained); the sampled oracle tier stays flat")
     graft.expressions.NativeFunctions.register(corpus.sparkSession)
     val dsub = dim / nsub
-    val cents = Similarity.coarseCentroids(corpus, idCol, vecCol, dim,
-      nlist, production, seed, maxIter, samplePerCell, salt)
+    lazy val cents = Similarity.coarseCentroids(corpus, idCol, vecCol,
+      dim, nlist, production, seed, maxIter, samplePerCell, salt)
     // ONE map-only pass: argmin cell per row (bounded centroid
     // literal, no join); vectors stay attached for the in-cell pairs.
     // The cell-key repartition is load-bearing twice over: (1) it is
@@ -1978,8 +2175,14 @@ object Dedup {
     // production assigns through the native CellAssignExpr kernel
     // (vector read once); the sampled tier keeps the relational fold
     // whose nested sums are the oracle replay
+    // twoLevel assigns through the fused hierarchical kernel
+    // (≈2√nlist·dim per row — the >10⁴-cell scale arm, SCALE.md r13)
     val cellCol: Column =
-      if (production)
+      if (twoLevel)
+        Similarity.cellAssign2Column(
+          Similarity.coarseCentroidsTwoLevel(corpus, idCol, vecCol,
+            dim, nlist, seed, maxIter, samplePerCell))(col(vecCol))
+      else if (production)
         Similarity.cellAssignColumn(cents, dim)(col(vecCol))
       else array_min(Similarity.cellDistStructs(cents, nlist, dsub)(
         Similarity.asDouble(col(vecCol)))).getField("cell")

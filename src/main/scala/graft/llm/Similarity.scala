@@ -604,6 +604,141 @@ object Similarity {
       m.getAs[Int]("dim"), m.getAs[Int]("bucket_count"))
   }
 
+  /** DELTA export for the ANN index — rows appended since the prior
+    * export chain (base [[exportAnnIndexSnapshot]] first, then every
+    * delta so far, in order): the
+    * [[graft.llm.Dedup.exportSignatureStoreDelta]] discipline with
+    * (sigs, vecs) in place of (hashes, banded, buckets). Each table's
+    * delta is an anti-join of the live table against the chain's
+    * union — append-only within a version, so base ∪ deltas ≡ live
+    * (spec-pinned); transfer volume is the night's appends. A version
+    * mismatch (maintenance rewrote/removed rows) fails by name
+    * demanding a fresh base. Same fence + residual window + created-
+    * children-only failure cleanup as the snapshot export. Returns
+    * the head `append_seq`. */
+  def exportAnnIndexDelta(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, priorDirs: Seq[String], deltaDir: String,
+      midExportHook: () => Unit = () => ()): Long = {
+    import spark.implicits._
+    require(priorDirs.nonEmpty,
+      "exportAnnIndexDelta: need the prior export chain (base " +
+        "snapshot first) — for a first export use exportAnnIndexSnapshot")
+    val root = new org.apache.hadoop.fs.Path(deltaDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val createdRoot = !fs.exists(root)
+    require(createdRoot || fs.listStatus(root).isEmpty,
+      s"exportAnnIndexDelta: deltaDir '$deltaDir' exists and is " +
+        "non-empty — exports never overwrite; point at a fresh dir")
+    val priors = priorDirs.map(d =>
+      (d, spark.read.parquet(s"$d/_export_meta").head()))
+    priors.zipWithIndex.foreach { case ((d, m), i) =>
+      val st = m.getAs[String]("store")
+      require(if (i == 0) st == "ann_index" else st == "ann_index_delta",
+        s"exportAnnIndexDelta: '$d' is a $st export — the chain is " +
+          "one ann_index base followed by ann_index_delta dirs, in order")
+    }
+    val baseVersion = priors.head._2.getAs[Int]("version")
+    priors.foreach { case (d, m) =>
+      require(m.getAs[Int]("version") == baseVersion,
+        s"exportAnnIndexDelta: '$d' was exported at version " +
+          s"${m.getAs[Int]("version")}, chain base is $baseVersion")
+    }
+    val m0 = readAnnMeta(spark, tablePrefix)
+    val applog0 = annApplogCount(spark, tablePrefix)
+    require(m0.version.getOrElse(0) == baseVersion,
+      s"exportAnnIndexDelta: index $tablePrefix is at version " +
+        s"${m0.version.getOrElse(0)} but the chain was exported at " +
+        s"$baseVersion — maintenance rewrote the tables; take a fresh " +
+        "exportAnnIndexSnapshot base")
+    def unionOf(sub: String): DataFrame = priorDirs
+      .map(d => spark.read.parquet(s"$d/$sub"))
+      .reduce(_.unionByName(_))
+    try {
+      spark.table(m0.sigsTable(tablePrefix))
+        .join(unionOf("sigs"), Seq("band", "bucket", "neighbor_id"),
+          "left_anti")
+        .write.parquet(s"$deltaDir/sigs")
+      spark.table(m0.vecsTable(tablePrefix))
+        .join(unionOf("vecs").select("neighbor_id"),
+          Seq("neighbor_id"), "left_anti")
+        .write.parquet(s"$deltaDir/vecs")
+      Seq(("ann_index_delta", m0.version.getOrElse(0), m0.bands,
+          m0.bitsPerBand, m0.dim, m0.buckets, m0.appendSeq))
+        .toDF("store", "version", "bands", "bits_per_band", "dim",
+          "bucket_count", "append_seq")
+        .coalesce(1).write.parquet(s"$deltaDir/_export_meta")
+      midExportHook()
+      val m1 = readAnnMeta(spark, tablePrefix)
+      if (m1.appendSeq != m0.appendSeq || m1.version != m0.version ||
+          annApplogCount(spark, tablePrefix) != applog0)
+        throw new IllegalStateException(
+          s"exportAnnIndexDelta: index $tablePrefix changed while " +
+            s"exporting (append_seq ${m0.appendSeq} -> ${m1.appendSeq})" +
+            " — the delta could be torn so it was deleted; the live " +
+            "index is untouched. Re-run the export")
+      m0.appendSeq
+    } catch {
+      case t: Throwable =>
+        if (createdRoot) fs.delete(root, true)
+        else Seq("sigs", "vecs", "_export_meta").foreach(c =>
+          fs.delete(new org.apache.hadoop.fs.Path(root, c), true))
+        throw t
+    }
+  }
+
+  /** Read a base-plus-deltas ANN export chain as one probe-ready
+    * [[AnnIndex]] — row-equal to the live index at the last delta's
+    * head (spec-pinned). Unbucketed like [[readExportedAnnIndex]];
+    * [[importAnnIndex]] promotes a chain back to a live bucketed
+    * index. */
+  def readExportedAnnIndexChain(spark: org.apache.spark.sql.SparkSession,
+      dirs: Seq[String]): AnnIndex = {
+    require(dirs.nonEmpty, "readExportedAnnIndexChain: no dirs")
+    val metas = dirs.map(d =>
+      (d, spark.read.parquet(s"$d/_export_meta").head()))
+    metas.zipWithIndex.foreach { case ((d, m), i) =>
+      val st = m.getAs[String]("store")
+      require(if (i == 0) st == "ann_index" else st == "ann_index_delta",
+        s"readExportedAnnIndexChain: '$d' is a $st export — expected " +
+          "one ann_index base, then ann_index_delta dirs")
+    }
+    val base = metas.head._2
+    def unionOf(sub: String): DataFrame = dirs
+      .map(d => spark.read.parquet(s"$d/$sub"))
+      .reduce(_.unionByName(_))
+    AnnIndex(unionOf("sigs"), unionOf("vecs"),
+      base.getAs[Int]("bands"), base.getAs[Int]("bits_per_band"),
+      base.getAs[Int]("dim"), base.getAs[Int]("bucket_count"))
+  }
+
+  /** Promote an ANN export (base snapshot or base-plus-deltas chain)
+    * back to a LIVE bucketed index at `tablePrefix` — fresh v1
+    * tables, fresh meta with `append_seq = 0`, stale versions and
+    * fence log cleared (the [[writeAnnIndex]] rewrite semantics).
+    * After import, probes run exchange-free on the corpus side again
+    * (spec-pinned, and probe results identical to the source
+    * index's). */
+  def importAnnIndex(spark: org.apache.spark.sql.SparkSession,
+      exportDirs: Seq[String], tablePrefix: String): Unit = {
+    val chain = readExportedAnnIndexChain(spark, exportDirs)
+    val buckets = math.max(1, chain.buckets)
+    val pat = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(tablePrefix) +
+        "_ann(_v\\d+)?_(sigs|vecs|meta|applog)")
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(pat.matcher(_).matches())
+      .foreach(graft.io.Sinks.dropManagedTable(spark, _))
+    Seq("_ann_v1_sigs", "_ann_v1_vecs", "_ann_meta", "_ann_applog")
+      .foreach(sfx =>
+        graft.io.Sinks.dropManagedTable(spark, tablePrefix + sfx))
+    graft.io.Sinks.writeBucketed(chain.sigs,
+      s"${tablePrefix}_ann_v1_sigs", Seq("band", "bucket"), buckets)
+    graft.io.Sinks.writeBucketed(chain.vecs,
+      s"${tablePrefix}_ann_v1_vecs", Seq("neighbor_id"), buckets)
+    writeAnnMeta(spark, tablePrefix, AnnMeta(chain.bands,
+      chain.bitsPerBand, chain.dim, buckets, Some(1), 0L))
+  }
+
   /** Append a batch to a persisted ANN index, idempotently: banding
     * parameters come from the meta row (never from the caller), only
     * ids not already present append (re-running a day is a no-op),
@@ -1167,6 +1302,161 @@ object Similarity {
       cs
     }
 
+  /** A trained two-level coarse quantizer: `nSuper` super-centroids,
+    * and per super-cell a slice of the concatenated sub-centroid
+    * table (`subOffsets`, length nSuper+1, also the global-cell-id
+    * bases — the [[graft.expressions.CellAssign2Expr]] layout).
+    * `totalCells` ≈ the requested nlist (proportional per-super
+    * allocation rounds, and degenerate sample regions collapse). */
+  private[llm] case class TwoLevelCentroids(superFlat: Array[Double],
+      nSuper: Int, subFlat: Array[Double], subOffsets: Array[Int],
+      dim: Int) {
+    def totalCells: Int = subOffsets(nSuper)
+  }
+
+  /** Train the TWO-LEVEL coarse quantizer — the hierarchical remedy
+    * for the flat tier's assignment wall (SCALE.md r13: at constant
+    * cell size nlist tracks n, so flat assignment is n·nlist·dim =
+    * quadratic in n — semanticDedup 65 s @1M → 3416 s @10M; flat
+    * stays the ≤~10⁴-cell workhorse AND the oracle arm).
+    *
+    * Every stage is bounded and deterministic:
+    * 1. ONE hash-spread sample of nlist·samplePerCell vectors (the
+    *    [[hashSampleVecs]] discipline — the flat tier's sample size).
+    * 2. √nlist super-centroids Lloyd-trained on the sample's PREFIX
+    *    (nSuper·samplePerCell points — the same hash order, so the
+    *    prefix IS the smaller hash-spread sample): nSuper²·spc·dim·
+    *    iters = nlist·spc·dim·iters flops, the flat trainer's cost
+    *    divided by nlist.
+    * 3. Sample points partition by nearest super (ties to the lower
+    *    index, sample order preserved — Lloyd's order-sensitive
+    *    seeding stays deterministic).
+    * 4. Per super: k_s ∝ its sample share (so cell granularity tracks
+    *    density, Σk_s ≈ nlist), Lloyd on ITS points only — balanced
+    *    cost nlist^1.5·spc·dim·iters vs the flat trainer's nlist²
+    *    (measured 52× at 10M, the r13 wall). A super-cell with no
+    *    sample points keeps itself as its only sub-centroid (the
+    *    kernel's non-empty-slice contract).
+    *
+    * Pick `samplePerCell` for BALANCE, not just cost: each super's
+    * sub-Lloyd sees only ~√nlist·samplePerCell points, and with <~16
+    * points per sub-cell on weakly-clustered data the sub-centroids
+    * are noisy enough to skew cell sizes — which blows up the
+    * consumer's per-cell quadratic (measured at 1M uniform: spc=4
+    * two-level cells ran the in-cell pass ~10× the flat tier's).
+    * The trainer is nlist^1.5·spc (vs flat's nlist²·spc), so a 4×
+    * LARGER spc here still costs √nlist/4 of the flat trainer it
+    * replaces; the binding limit is the driver sample collect
+    * (nlist·spc vectors through [[hashSampleVecs]]).
+    *
+    * The quantizer is for the PRODUCTION tier only: like the flat
+    * Lloyd arm it is rows-only-checkable (the q44 caveat); verdict
+    * equivalence with the flat arm is spec-pinned on planted
+    * clusters. */
+  private[llm] def coarseCentroidsTwoLevel(corpus: DataFrame,
+      cId: String, vecCol: String, dim: Int, nlist: Int, seed: Long,
+      maxIter: Int, samplePerCell: Int): TwoLevelCentroids = {
+    require(nlist >= 4, s"coarseCentroidsTwoLevel: nlist $nlist < 4 — " +
+      "use the flat tier for tiny cell counts")
+    require(samplePerCell >= 1 &&
+      nlist.toLong * samplePerCell <= Int.MaxValue,
+      s"coarseCentroidsTwoLevel: nlist*samplePerCell = " +
+        s"${nlist.toLong * samplePerCell} not in [1, Int.MaxValue]")
+    val nSuper = math.ceil(math.sqrt(nlist.toDouble)).toInt
+    val sample = hashSampleVecs(corpus, cId, vecCol,
+      nlist * samplePerCell, seed)
+    require(sample.nonEmpty, "coarseCentroidsTwoLevel: empty corpus")
+    sample.foreach(c => require(c.length == dim,
+      s"coarseCentroidsTwoLevel: vector of ${c.length} dims, " +
+        s"expected $dim"))
+    val superCents = LloydKernel.fit(
+      sample.take(nSuper * samplePerCell), nSuper, maxIter,
+      farthestSeeding = true)
+    require(superCents.length == nSuper,
+      s"coarseCentroidsTwoLevel: sample seeds only " +
+        s"${superCents.length} distinct super-centroids for " +
+        s"nSuper=$nSuper — lower nlist or raise samplePerCell")
+    // partition the FULL sample by nearest super (ties → lower index)
+    val groups = Array.fill(nSuper)(
+      scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
+    sample.foreach { p =>
+      var bestS = 0
+      var bestD = Double.PositiveInfinity
+      var s = 0
+      while (s < nSuper) {
+        var d = 0.0
+        var j = 0
+        while (j < dim) {
+          val diff = p(j) - superCents(s)(j); d += diff * diff; j += 1
+        }
+        if (d < bestD) { bestD = d; bestS = s }
+        s += 1
+      }
+      groups(bestS) += p
+    }
+    val subs: Array[Array[Array[Double]]] =
+      Array.tabulate(nSuper) { s =>
+        val pts = groups(s)
+        if (pts.isEmpty) Array(superCents(s).clone())
+        else {
+          val kS = math.max(1, math.round(
+            nlist.toDouble * pts.length / sample.length).toInt)
+          LloydKernel.fit(pts.toArray, math.min(kS, pts.length),
+            maxIter, farthestSeeding = true)
+        }
+      }
+    val subOffsets = subs.scanLeft(0)(_ + _.length)
+    val superFlat = new Array[Double](nSuper * dim)
+    superCents.zipWithIndex.foreach { case (c, s) =>
+      System.arraycopy(c, 0, superFlat, s * dim, dim) }
+    val subFlat = new Array[Double](subOffsets.last * dim)
+    subs.flatten.zipWithIndex.foreach { case (c, g) =>
+      System.arraycopy(c, 0, subFlat, g * dim, dim) }
+    TwoLevelCentroids(superFlat, nSuper, subFlat, subOffsets, dim)
+  }
+
+  /** The two-level corpus assignment column — one fused native
+    * kernel per row ([[graft.expressions.CellAssign2Expr]]):
+    * nSuper·dim + subCount·dim ≈ 2√nlist·dim primitive ops, the
+    * n·nlist·dim flat pass's scale fix. */
+  private[llm] def cellAssign2Column(tl: TwoLevelCentroids)(
+      vec: Column): Column =
+    bridge.column(graft.expressions.CellAssign2Expr(
+      bridge.expression(asDouble(vec)), tl.superFlat, tl.nSuper,
+      tl.subFlat, tl.subOffsets, tl.dim))
+
+  /** Driver-side two-level probe for the BOUNDED query side of
+    * [[topKIvfAdc]]: nearest supers first (ties → lower index),
+    * gathering supers until their sub-cells cover `nprobe` plus one
+    * boundary-slack super, then the `nprobe` nearest of the gathered
+    * sub-cells by exact squared-L2 (ties → lower global id).
+    * Deterministic; cost per query ≈ 2√nlist·dim + a slack super. */
+  private[llm] def probeCellsTwoLevel(tl: TwoLevelCentroids,
+      qv: Array[Double], nprobe: Int): Array[Int] = {
+    val dim = tl.dim
+    def d2(flat: Array[Double], i: Int): Double = {
+      var d = 0.0; var j = 0
+      while (j < dim) {
+        val diff = qv(j) - flat(i * dim + j); d += diff * diff; j += 1
+      }
+      d
+    }
+    val superOrder = Array.range(0, tl.nSuper)
+      .map(s => (d2(tl.superFlat, s), s)).sortBy(identity).map(_._2)
+    val want = math.min(nprobe, tl.totalCells)
+    val gathered = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var si = 0
+    var slack = false
+    while (si < tl.nSuper && (gathered.length < want || !slack)) {
+      if (gathered.length >= want) slack = true // one extra super
+      val s = superOrder(si)
+      gathered ++= (tl.subOffsets(s) until tl.subOffsets(s + 1))
+      si += 1
+    }
+    gathered.map(g => (d2(tl.subFlat, g), g)).sortBy(identity)
+      .take(want).map(_._2).toArray
+  }
+
   /** Exact squared-L2 to every centroid as (d, cell) structs —
     * `array_min` over the result is argmin with the cell tiebreak.
     * The sum nests as nsub sequential slot-sums of dsub sequential
@@ -1290,11 +1580,22 @@ object Similarity {
       cId: String, vecCol: String, dim: Int, nsub: Int, ncent: Int,
       nlist: Int, nprobe: Int, k: Int = 5, salt: String = "",
       production: Boolean = false, seed: Long = 42L, maxIter: Int = 8,
-      samplePerCell: Int = 50, samplePerCent: Int = 50): DataFrame = {
+      samplePerCell: Int = 50, samplePerCent: Int = 50,
+      twoLevel: Boolean = false): DataFrame = {
     require(dim % nsub == 0, s"dim $dim not divisible by nsub $nsub")
     require(nlist >= 1 && nprobe >= 1 && nprobe <= nlist,
       s"need 1 <= nprobe <= nlist, got nprobe=$nprobe nlist=$nlist")
     require(k >= 1, "k must be positive")
+    // twoLevel swaps the coarse quantizer for the hierarchical one
+    // (the >10⁴-cell scale arm — assignment ≈2√nlist·dim per corpus
+    // row instead of nlist·dim; Lloyd at both levels, so it is
+    // production-tier by construction, rows-only-checkable like the
+    // flat Lloyd arm). Probe semantics stay "nprobe nearest cells",
+    // found hierarchically per query driver-side
+    // ([[probeCellsTwoLevel]] — queries are the bounded side).
+    require(!twoLevel || production,
+      "topKIvfAdc: twoLevel is a production-tier arm; the sampled " +
+        "oracle tier stays flat")
     // ids ride the aggregate as longs: a non-numeric id would cast to
     // NULL and be SILENTLY skipped by every heap (corpus side) or NPE
     // at the collect (query side) — fail by name at plan build
@@ -1302,7 +1603,11 @@ object Similarity {
     requireNumeric("topKIvfAdc", corpus, cId, "id")
     requireNumeric("topKIvfAdc", queries, qId, "id")
     val dsub = dim / nsub
-    val cents = coarseCentroids(corpus, cId, vecCol, dim, nlist,
+    val tl: Option[TwoLevelCentroids] =
+      if (twoLevel) Some(coarseCentroidsTwoLevel(corpus, cId, vecCol,
+        dim, nlist, seed, maxIter, samplePerCell))
+      else None
+    lazy val cents = coarseCentroids(corpus, cId, vecCol, dim, nlist,
       production, seed, maxIter, samplePerCell, salt)
     // tier-split cell scorer: oracle-replayable interpreted fold in
     // the sampled tier, native-dot argmin in production (identical
@@ -1321,7 +1626,8 @@ object Similarity {
     // once, fused loops); the sampled tier keeps the relational fold
     // whose nested sums ARE the oracle replay.
     val cellCol: Column =
-      if (production) cellAssignColumn(cents, dim)(col(vecCol))
+      if (twoLevel) cellAssign2Column(tl.get)(col(vecCol))
+      else if (production) cellAssignColumn(cents, dim)(col(vecCol))
       else array_min(cellStructs(asDouble(col(vecCol))))
         .getField("cell")
     val coded = corpus
@@ -1335,6 +1641,14 @@ object Similarity {
     // probed cells, computed IN-PLAN by the same expressions as the
     // LUT/probe columns always were — the sampled tier's oracle
     // replay is value-identical.
+    // twoLevel collects the raw query vector instead of in-plan probe
+    // cells: probes come from the driver-side hierarchical search
+    // (bounded — ≤65536 queries × ~2√nlist·dim flops each); the flat
+    // tiers keep the in-plan probe expression the oracle replays
+    val probeCol: Column =
+      if (twoLevel) col("_qv")
+      else transform(slice(array_sort(cellStructs(col("_qv"))), 1,
+        nprobe), s => s.getField("cell"))
     val qRows = queries
       .select(col(qId).cast(LongType).as("query_id"),
         asDouble(col(vecCol)).as("_qv"))
@@ -1343,8 +1657,7 @@ object Similarity {
         transform(col("_cb"), e =>
           floor(sqDist(e, col("_qv"), e.getField("slot") * dsub, dsub) *
             lit(1e6)).cast(LongType)).as("_lut"),
-        transform(slice(array_sort(cellStructs(col("_qv"))), 1, nprobe),
-          s => s.getField("cell")).as("_cells"))
+        probeCol.as("_cells"))
       .collect()
     require(qRows.nonEmpty && qRows.length <= 65536,
       s"topKIvfAdc: need 1..65536 queries, got ${qRows.length}")
@@ -1362,11 +1675,17 @@ object Similarity {
           "query must carry an id and a dim-length embedding)")
     }
     val luts = qRows.map(_.getSeq[Long](1).toArray)
+    val nCells = tl.map(_.totalCells).getOrElse(nlist)
+    val probesOf: org.apache.spark.sql.Row => Seq[Int] = tl match {
+      case Some(t) => r =>
+        probeCellsTwoLevel(t, r.getSeq[Double](2).toArray, nprobe).toSeq
+      case None => r => r.getSeq[Int](2)
+    }
     val cellQueries: Array[Array[Int]] = {
-      val m = Array.fill(nlist)(
+      val m = Array.fill(nCells)(
         scala.collection.mutable.ArrayBuffer.empty[Int])
       qRows.zipWithIndex.foreach { case (r, qi) =>
-        r.getSeq[Int](2).foreach(c => m(c) += qi)
+        probesOf(r).foreach(c => m(c) += qi)
       }
       m.map(_.toArray)
     }

@@ -3,8 +3,9 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** The composed NIGHTLY LOOP: crawl → ingest → admit → append → pack
-  * as ONE resumable driver over the [[Manifest]] commit log — the
+/** The composed NIGHTLY LOOP: crawl → ingest → admit → gate → append
+  * → scrub → pack → split → shard → release → provenance as ONE
+  * resumable driver over the [[Manifest]] commit log — the
   * end-to-end composition whose operators all existed separately
   * (q173 crawl cycle, q101/q112 WARC ingest, q114 store admission,
   * appendToSignatureStore, q167 pack export) but had no single entry
@@ -42,11 +43,18 @@ import org.apache.spark.sql.functions._
   *    near-candidates drop unless `admitNearCandidates`.
   *  - append: admitted documents → one-row receipt (`n_appended`):
   *    merges tonight's signatures into the store so TOMORROW's batch
-  *    dedups against today's admissions.
-  *  - pack: admitted documents → training sequences
+  *    dedups against today's admissions. The store tracks the RAW
+  *    admitted content — scrubbing comes after, so a re-fetch of the
+  *    same raw page tomorrow still dedups.
+  *  - scrub (v4): admitted documents → release-ready documents
+  *    (`id`, `text`, `near_candidates`, + redaction/paragraph audit
+  *    counters): PII redaction then paragraph-granularity exact
+  *    dedup; docs scrubbed to empty drop. Everything the loop
+  *    PUBLISHES from here on is built from scrubbed text.
+  *  - pack: scrubbed documents → training sequences
   *    (`host`, `pack_id`, `n_docs`, `n_tokens`, `sequence`):
   *    per-host token-budget packing (exportPackedSequences).
-  *  - split: admitted documents → leakage-safe train/val/test
+  *  - split: scrubbed documents → leakage-safe train/val/test
   *    verdicts (`id`, `cluster_id`, `split`): the night's near-dup
   *    pairs (MinHash tier) → connected components → ONE salted-SHA
   *    verdict per CLUSTER, so no held-out document can have a
@@ -79,9 +87,12 @@ final case class NightlyLoop(
     name: String = "nightly",
     // v2: the quality gate landed between admit and append; v3: the
     // release chain (split → shard → release → provenance) landed
-    // after pack (a night recorded under an older stage order must
+    // after pack; v4: the SCRUB stage (PII redaction + paragraph-
+    // granularity dedup — the Dolma/Lee et al. release-time passes)
+    // landed between append and the release chain, which now consumes
+    // scrubbed text (a night recorded under an older stage order must
     // re-run, not resume)
-    version: String = "v3",
+    version: String = "v4",
     /** The gate's minimum admitted-batch size: a night below this
       * refuses to publish (the E3 empty-result-guard philosophy at
       * loop granularity). */
@@ -106,7 +117,14 @@ final case class NightlyLoop(
     /** Round cap for the split stage's connected components — the
       * near-dup graph of a TEMPLATED night can chain (page k pairs
       * with page k+1), and CC rounds = chain diameter. */
-    splitCcMaxIter: Int = 50) {
+    splitCcMaxIter: Int = 50,
+    /** Scrub-stage knobs (v4): which release-time passes run. The
+      * stage itself always runs (the stage ORDER is version-pinned);
+      * a disabled pass is an identity with zeroed counters, so the
+      * scrub output schema — and every downstream resume — is stable
+      * across configurations. */
+    scrubPii: Boolean = true,
+    scrubParagraphDedup: Boolean = true) {
 
   def stageDir(stage: String, night: String): String =
     s"$root/$stage/$name/$night"
@@ -215,6 +233,55 @@ final case class NightlyLoop(
       admitted.select(col("id"), col("text")), "id", "text",
       storePrefix, maxBucket = maxBucket)
     Seq(admitted.count()).toDF("n_appended")
+  }
+
+  /** The v4 SCRUB stage — the release-time cleaning passes between
+    * the store mutation and the release chain (the Dolma / Lee et al.
+    * 2022 lineage): (1) PII redaction (emails, IPv4, phones → typed
+    * placeholders, [[graft.llm.TextAnalysis.piiRedact]]) and (2)
+    * paragraph-granularity exact dedup (first occurrence corpus-wide
+    * wins, [[graft.llm.Dedup.paragraphDedup]]). Runs AFTER append by
+    * design: the signature store tracks the RAW admitted content (so
+    * tomorrow's fetch of the same raw page still dedups), while
+    * everything the release chain publishes — packs, split verdicts,
+    * shards, provenance — is built from scrubbed text.
+    *
+    * Docs whose every paragraph lost (scrubbed to empty) DROP here —
+    * an empty document packs zero tokens and pollutes provenance.
+    * Output: (id, text, near_candidates, n_emails, n_ipv4, n_phones,
+    * n_paras, n_kept) — counters are the audit trail (zeroed when a
+    * pass is disabled; n_paras = n_kept = per-doc paragraph count
+    * when only paragraph dedup is off). Scale shape: both passes are
+    * the already-audited operator plans; the join-backs are
+    * night-batch-sized, the corpus is never touched. */
+  private def scrubStage(admitted: DataFrame): DataFrame = {
+    val base = admitted.select(col("id"), col("text"),
+      col("near_candidates"))
+    val pii =
+      if (scrubPii) {
+        val r = graft.llm.TextAnalysis.piiRedact(
+          base.select("id", "text"), "id", "text")
+        base.drop("text").join(r, Seq("id"))
+          .withColumnRenamed("redacted", "text")
+      } else base
+        .withColumn("n_emails", lit(0L))
+        .withColumn("n_ipv4", lit(0L))
+        .withColumn("n_phones", lit(0L))
+    val scrubbed =
+      if (scrubParagraphDedup) {
+        val d = graft.llm.Dedup.paragraphDedup(
+          pii.select("id", "text"), "id", "text")
+        pii.drop("text").join(d, Seq("id"))
+          .withColumnRenamed("dedup_text", "text")
+      } else pii
+        // same non-blank paragraph notion as the operator's n_paras
+        .withColumn("n_paras",
+          size(filter(split(col("text"), "\n\n"),
+            p => trim(p) =!= "")).cast("long"))
+        .withColumn("n_kept", col("n_paras"))
+    scrubbed.filter(trim(col("text")) =!= "")
+      .select("id", "text", "near_candidates", "n_emails", "n_ipv4",
+        "n_phones", "n_paras", "n_kept")
   }
 
   private def packStage(admitted: DataFrame): DataFrame =
@@ -338,14 +405,16 @@ final case class NightlyLoop(
       "admit" -> (() => admitStage(spark, readStage(spark, "ingest", night))),
       "gate" -> (() => gateStage(spark, readStage(spark, "admit", night))),
       "append" -> (() => appendStage(spark, readStage(spark, "admit", night))),
-      "pack" -> (() => packStage(readStage(spark, "admit", night))),
-      "split" -> (() => splitStage(readStage(spark, "admit", night))),
-      "shard" -> (() => shardStage(readStage(spark, "admit", night),
+      // v4: everything the loop PUBLISHES is built from scrubbed text
+      "scrub" -> (() => scrubStage(readStage(spark, "admit", night))),
+      "pack" -> (() => packStage(readStage(spark, "scrub", night))),
+      "split" -> (() => splitStage(readStage(spark, "scrub", night))),
+      "shard" -> (() => shardStage(readStage(spark, "scrub", night),
         readStage(spark, "split", night))),
-      "release" -> (() => releaseStage(readStage(spark, "admit", night),
+      "release" -> (() => releaseStage(readStage(spark, "scrub", night),
         readStage(spark, "shard", night))),
       "provenance" -> (() => provenanceStage(
-        readStage(spark, "admit", night),
+        readStage(spark, "scrub", night),
         readStage(spark, "shard", night))))
     cores.foreach { case (st, mk) =>
       if (!done.contains(st)) {
@@ -363,10 +432,11 @@ final case class NightlyLoop(
 object NightlyLoop {
   /** The loop's canonical stage order (its analog of
     * [[Stages.Order]]). v2 inserted `gate` BEFORE the store
-    * mutation; v3 appended the release chain — old-order manifests
-    * raise PipelineVersionError via the recorded-version check
-    * rather than resuming against the wrong order. */
+    * mutation; v3 appended the release chain; v4 inserted `scrub`
+    * between the store mutation and the release chain — old-order
+    * manifests raise PipelineVersionError via the recorded-version
+    * check rather than resuming against the wrong order. */
   val StageOrder: Seq[String] =
-    Seq("crawl", "ingest", "admit", "gate", "append", "pack",
+    Seq("crawl", "ingest", "admit", "gate", "append", "scrub", "pack",
       "split", "shard", "release", "provenance")
 }

@@ -1168,6 +1168,59 @@ class DedupSpec extends SparkSuite {
     assert(z.count(!_._2) === planted.size)
   }
 
+  test("semanticDedup twoLevel: hierarchical quantizer arm — verdicts " +
+      "identical to the flat production arm on planted clusters; " +
+      "sampled-tier twoLevel fails by name") {
+    import spark.implicits._
+    val dim = 8; val nsub = 2
+    // the q216 plant, scaled up so nlist=16 > 4 clusters exercises
+    // real sub-cell splits: 4 orthogonal-block clusters of 60, plus
+    // 1.0009-scaled copies of every 10th id. Near-identical pairs
+    // land in the SAME cell under ANY centroid set (flat or
+    // hierarchical argmin — only a cell boundary between two
+    // ε-separated points could split them), so the verdict sets must
+    // agree even though the cell PARTITIONS differ.
+    def mix(x0: Long): Long = {
+      var x = x0
+      x = (x ^ (x >>> 33)) * 0xff51afd7ed558ccdL
+      x = (x ^ (x >>> 33)) * 0xc4ceb9fe1a85ec53L
+      x ^ (x >>> 33)
+    }
+    def jit(i: Long, j: Int): Double =
+      ((((mix(i * 31 + j) >>> 11) % 2003L) / 1001.5) - 1.0) * 0.25
+    val centers = Array.tabulate(4, dim)((c, j) =>
+      if (j / 2 == c) 3.0 else 0.0)
+    val base = (0L until 240L).map { i =>
+      val c = (i % 4).toInt
+      (i, Array.tabulate(dim)(j => centers(c)(j) + jit(i, j)))
+    }
+    val planted = base.filter(_._1 % 10 == 0).map { case (i, v) =>
+      (i + 1000L, v.map(_ * 1.0009))
+    }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+      .repartition(4)
+    def run(twoLevel: Boolean) =
+      graft.llm.Dedup.semanticDedup(df, "vec_id", "embedding",
+        dim, nsub, nlist = 16, tauMicro = 999900L,
+        production = true, twoLevel = twoLevel)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val flat = run(twoLevel = false)
+    val two = run(twoLevel = true)
+    assert(two === flat, "twoLevel verdicts must equal flat production")
+    // both find exactly the planted drops
+    planted.foreach { case (pid, _) =>
+      assert(!two(pid), s"planted $pid must drop")
+      assert(two(pid - 1000L), s"original ${pid - 1000L} must survive")
+    }
+    assert(two.count(!_._2) === planted.size)
+    // the sampled (oracle) tier stays flat by contract
+    val e = intercept[IllegalArgumentException] {
+      graft.llm.Dedup.semanticDedup(df, "vec_id", "embedding",
+        dim, nsub, nlist = 16, tauMicro = 999900L, twoLevel = true)
+    }
+    assert(e.getMessage.contains("production-tier"), e.getMessage)
+  }
+
   test("leakageSafeSplit: cluster members share one verdict; " +
       "singletons match plain splitAssign") {
     import spark.implicits._
@@ -1296,6 +1349,117 @@ class DedupSpec extends SparkSuite {
       assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(made)))
     } finally {
       dropStore("sig_store_own")
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+  }
+
+  test("exportSignatureStoreDelta: base + replayed deltas ≡ full " +
+      "export at the head; torn delta fails by name; version mismatch " +
+      "demands a fresh base; importSignatureStore restores an " +
+      "exchange-free bucketed store") {
+    val corpus = Seq(
+      (1L, "alpha subject matter entirely its own body here"),
+      (2L, "beta subject matter entirely different body text"))
+      .toDF("id", "text")
+    dropStore("sig_store_dx")
+    dropStore("sig_store_imp")
+    Dedup.writeSignatureStore(corpus, "id", "text", "sig_store_dx",
+      buckets = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sigdelta")
+    def p(n: String) = dir.resolve(n).toString
+    try {
+      Dedup.exportSignatureStoreSnapshot(spark, "sig_store_dx", p("base"))
+      val day1 = Seq((20L, "delta one new document for day one run"))
+        .toDF("id", "text")
+      Dedup.appendToSignatureStore(day1, "id", "text", "sig_store_dx")
+      val s1 = Dedup.exportSignatureStoreDelta(spark, "sig_store_dx",
+        Seq(p("base")), p("d1"))
+      assert(s1 === 1L)
+      val day2 = Seq(
+        (30L, "delta two another document for day two run"),
+        (31L, "delta two second document also day two run"))
+        .toDF("id", "text")
+      Dedup.appendToSignatureStore(day2, "id", "text", "sig_store_dx")
+      val s2 = Dedup.exportSignatureStoreDelta(spark, "sig_store_dx",
+        Seq(p("base"), p("d1")), p("d2"))
+      assert(s2 === 2L)
+      // the deltas are batch-sized, never corpus re-copies
+      assert(spark.read.parquet(s"${p("d1")}/hashes").count() === 1L)
+      assert(spark.read.parquet(s"${p("d2")}/hashes").count() === 2L)
+      // base + replayed deltas ≡ a full snapshot taken at the head
+      Dedup.exportSignatureStoreSnapshot(spark, "sig_store_dx",
+        p("full"))
+      val chain = Dedup.readExportedSignatureStoreChain(spark,
+        Seq(p("base"), p("d1"), p("d2")))
+      val full = Dedup.readExportedSignatureStore(spark, p("full"))
+      assert(chain.hashes.orderBy("content_hash").collect().toSeq ===
+        full.hashes.orderBy("content_hash").collect().toSeq)
+      assert(chain.banded.orderBy("band", "bucket", "id").collect()
+        .toSeq ===
+        full.banded.orderBy("band", "bucket", "id").collect().toSeq)
+      def bucketRows(df: org.apache.spark.sql.DataFrame) = df
+        .collect().map(_.toSeq).toSet
+      assert(bucketRows(chain.buckets.get) ===
+        bucketRows(full.buckets.get))
+      // an EMPTY delta (no appends since d2) is valid and chain-safe
+      Dedup.exportSignatureStoreDelta(spark, "sig_store_dx",
+        Seq(p("base"), p("d1"), p("d2")), p("d3"))
+      assert(spark.read.parquet(s"${p("d3")}/hashes").count() === 0L)
+      // torn delta: an append inside the export window fails by name
+      // and the partial delta is deleted
+      val day3 = Seq((40L, "torn append lands inside the delta window"))
+        .toDF("id", "text")
+      val e = intercept[IllegalStateException] {
+        Dedup.exportSignatureStoreDelta(spark, "sig_store_dx",
+          Seq(p("base"), p("d1"), p("d2"), p("d3")), p("dTorn"),
+          midExportHook = () => Dedup.appendToSignatureStore(
+            day3, "id", "text", "sig_store_dx"))
+      }
+      assert(e.getMessage.contains("changed while exporting"),
+        e.getMessage)
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(p("dTorn"))))
+      // import the chain (head = seq 2 state, before day3): the
+      // promoted store admits identically to the chain read...
+      Dedup.importSignatureStore(spark,
+        Seq(p("base"), p("d1"), p("d2")), "sig_store_imp")
+      val probe = Seq(
+        (90L, "delta two another document for day two run"), // dup
+        (91L, "gamma wholly novel content nothing shared at all"))
+        .toDF("id", "text")
+      val viaImport = Dedup.readSignatureStore(spark, "sig_store_imp")
+        .admit(probe, "id", "text")
+        .orderBy("id").collect().map(_.toSeq).toSeq
+      val viaChain = chain.admit(probe, "id", "text")
+        .orderBy("id").collect().map(_.toSeq).toSeq
+      assert(viaImport === viaChain)
+      assert(viaImport.nonEmpty)
+      // ...and probes it exchange-free on the corpus side again (the
+      // writeSignatureStore bucketed-layout pin)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val probeJoin = probe
+          .select(col("id"), sha2(trim(col("text")), 256)
+            .as("content_hash"))
+          .join(spark.table("sig_store_imp_v1_hashes"),
+            Seq("content_hash"))
+        val plan = probeJoin.queryExecution.executedPlan.toString
+        assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 1,
+          plan.take(1500))
+        probeJoin.count()
+      } finally
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      // version mismatch: maintenance rewrote the store, so the next
+      // delta cannot compose — fail by name demanding a fresh base
+      Dedup.compactSignatureStore(spark, "sig_store_dx")
+      val e2 = intercept[IllegalArgumentException] {
+        Dedup.exportSignatureStoreDelta(spark, "sig_store_dx",
+          Seq(p("base"), p("d1"), p("d2"), p("d3")), p("dStale"))
+      }
+      assert(e2.getMessage.contains("fresh"), e2.getMessage)
+    } finally {
+      dropStore("sig_store_dx")
+      dropStore("sig_store_imp")
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }
   }

@@ -246,6 +246,89 @@ class SimilaritySpec extends SparkSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  test("exportAnnIndexDelta: base + replayed deltas ≡ full export at " +
+      "the head; torn delta fails by name; importAnnIndex restores an " +
+      "exchange-free bucketed index") {
+    import spark.implicits._
+    val pfx = "annix_dx"
+    val vecs = (0L until 30L).map { i =>
+      (i, Array.tabulate(64)(j => math.sin(i * 64 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    Similarity.writeAnnIndex(vecs, "vec_id", "embedding", pfx,
+      bands = 4, bitsPerBand = 8, dim = 64, buckets = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-anndelta")
+    def p(n: String) = dir.resolve(n).toString
+    try {
+      Similarity.exportAnnIndexSnapshot(spark, pfx, p("base"))
+      val day1 = (100L until 104L).map { i =>
+        (i, Array.tabulate(64)(j => math.cos(i * 64 + j).toFloat))
+      }.toDF("vec_id", "embedding")
+      Similarity.appendToAnnIndex(day1, "vec_id", "embedding", pfx)
+      val s1 = Similarity.exportAnnIndexDelta(spark, pfx,
+        Seq(p("base")), p("d1"))
+      assert(s1 === 1L)
+      val day2 = (200L until 202L).map { i =>
+        (i, Array.tabulate(64)(j => math.cos(i * 64 + j + 7).toFloat))
+      }.toDF("vec_id", "embedding")
+      Similarity.appendToAnnIndex(day2, "vec_id", "embedding", pfx)
+      Similarity.exportAnnIndexDelta(spark, pfx,
+        Seq(p("base"), p("d1")), p("d2"))
+      // deltas are batch-sized
+      assert(spark.read.parquet(s"${p("d1")}/vecs").count() === 4L)
+      assert(spark.read.parquet(s"${p("d2")}/vecs").count() === 2L)
+      // base + deltas ≡ a full snapshot at the head
+      Similarity.exportAnnIndexSnapshot(spark, pfx, p("full"))
+      val chain = Similarity.readExportedAnnIndexChain(spark,
+        Seq(p("base"), p("d1"), p("d2")))
+      val full = Similarity.readExportedAnnIndex(spark, p("full"))
+      assert(chain.sigs.orderBy("band", "bucket", "neighbor_id")
+        .collect().map(_.toSeq).toSeq ===
+        full.sigs.orderBy("band", "bucket", "neighbor_id")
+          .collect().map(_.toSeq).toSeq)
+      assert(chain.vecs.orderBy("neighbor_id").collect()
+        .map(_.toSeq).toSeq ===
+        full.vecs.orderBy("neighbor_id").collect().map(_.toSeq).toSeq)
+      // torn delta: append inside the window → named failure, partial
+      // deleted, live index keeps the append
+      val day3 = (300L until 302L).map { i =>
+        (i, Array.tabulate(64)(j => math.cos(i * 64 + j + 13).toFloat))
+      }.toDF("vec_id", "embedding")
+      val e = intercept[IllegalStateException] {
+        Similarity.exportAnnIndexDelta(spark, pfx,
+          Seq(p("base"), p("d1"), p("d2")), p("dTorn"),
+          midExportHook = () => Similarity.appendToAnnIndex(
+            day3, "vec_id", "embedding", pfx))
+      }
+      assert(e.getMessage.contains("changed while exporting"),
+        e.getMessage)
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(p("dTorn"))))
+      assert(spark.table(s"${pfx}_ann_v1_vecs").count() === 38L)
+      // import the chain: probes equal the chain state (head before
+      // day3), and the corpus side is exchange-free again
+      Similarity.importAnnIndex(spark, Seq(p("base"), p("d1"), p("d2")),
+        "annix_imp")
+      val queries = day1.filter(col("vec_id") === 100L)
+      val viaImport = Similarity.probeAnnIndex(queries, "vec_id",
+          "embedding", "annix_imp", k = 3)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+      assert(viaImport.nonEmpty)
+      assert(viaImport.head(2) === 100L) // its own appended vector
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val probeJoin = spark.table("annix_imp_ann_v1_vecs")
+          .join(spark.range(3).select(col("id").as("neighbor_id")),
+            Seq("neighbor_id"))
+        val plan = probeJoin.queryExecution.executedPlan.toString
+        assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 1,
+          plan.take(1500))
+        probeJoin.count()
+      } finally
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   test("hyperplane signature: equal vectors share buckets, deterministic") {
     val planes = Similarity.randomPlanes(4, 8, seed = 42L)
     assert(planes === Similarity.randomPlanes(4, 8, seed = 42L))
@@ -558,6 +641,117 @@ class SimilaritySpec extends SparkSuite {
     val rSamp = recall(samp.collect())
     assert(rProd === 1.0, s"production recall $rProd")
     assert(rProd >= rSamp, s"production $rProd < sampled $rSamp")
+  }
+
+  test("topKIvfAdc twoLevel: hierarchical quantizer arm — full probe ≡ " +
+      "flat Lloyd ADC; pruned probe keeps planted recall; " +
+      "sampled-tier twoLevel fails by name") {
+    import spark.implicits._
+    val dim = 8; val nsub = 2; val ncent = 4; val dsub = dim / nsub
+    // the production-tier fixture: 4 separated clusters of 50
+    def mix(x0: Long): Long = {
+      var x = x0
+      x = (x ^ (x >>> 33)) * 0xff51afd7ed558ccdL
+      x = (x ^ (x >>> 33)) * 0xc4ceb9fe1a85ec53L
+      x ^ (x >>> 33)
+    }
+    def jit(i: Long, j: Int): Float =
+      ((((mix(i * 31 + j) >>> 11) % 2003L) / 1001.5f) - 1.0f) * 0.02f
+    val centers = Array.tabulate(4, dim)((c, j) =>
+      (if ((j / dsub + c) % 2 == 0) 1.0f else -1.0f) * (c + 1).toFloat)
+    val vecs = (0L until 200L).map { i =>
+      val c = (i % 4).toInt
+      (i, c, Array.tabulate(dim)(j => centers(c)(j) + jit(i, j)))
+    }
+    val df = vecs.map(v => (v._1, v._3)).toDF("vec_id", "embedding")
+      .repartition(4)
+    val q = df.filter(col("vec_id") < 8)
+    val nlist = 8
+    // precondition the full-probe pin relies on: nprobe = nlist can
+    // cover every hierarchical cell (training is deterministic, so
+    // this trainer call sees exactly the quantizer the operator does)
+    val tlc = Similarity.coarseCentroidsTwoLevel(df, "vec_id",
+      "embedding", dim, nlist, seed = 42L, maxIter = 8,
+      samplePerCell = 50)
+    assert(tlc.totalCells <= nlist && tlc.totalCells > tlc.nSuper,
+      s"fixture drift: totalCells=${tlc.totalCells} nSuper=${tlc.nSuper}")
+    // full probe disables the coarse pruning, so only the PQ arm
+    // decides — must equal the flat Lloyd ADC scan bit for bit, which
+    // ALSO equals the flat-production full probe (the prior test's
+    // pin): the hierarchical quantizer changes which cells rows live
+    // in, never how probed candidates rank
+    val fullTwo = Similarity.topKIvfAdc(q, df, "vec_id", "vec_id",
+        "embedding", dim, nsub, ncent, nlist = nlist, nprobe = nlist,
+        k = 5, production = true, twoLevel = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val flatLloyd = Similarity.pqAdcTopK(q, df, "vec_id", "vec_id",
+        "embedding",
+        Similarity.pqCodebookLloyd(df, "vec_id", "embedding", dim,
+          nsub, ncent),
+        dim, nsub, ncent, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(fullTwo === flatLloyd)
+    // pruned hierarchical probe: every query's top-5 stays inside its
+    // own planted cluster (nprobe=2 of ~8 cells — the coarse pruning
+    // live), and the query itself is in its own top-5 (not pinned at
+    // rank 1: the Lloyd PQ codebook codes cluster members identically,
+    // so ADC ties resolve to the LOWEST same-cluster id)
+    val cluster = vecs.map(v => v._1 -> v._2).toMap
+    val pruned = Similarity.topKIvfAdc(q, df, "vec_id", "vec_id",
+        "embedding", dim, nsub, ncent, nlist = nlist, nprobe = 2,
+        k = 5, production = true, twoLevel = true).collect()
+    assert(pruned.nonEmpty)
+    pruned.foreach { r =>
+      assert(cluster(r.getLong(0)) === cluster(r.getLong(2)),
+        s"query ${r.getLong(0)} leaked ${r.getLong(2)}")
+    }
+    (0L until 8L).foreach { qi =>
+      assert(pruned.exists(r => r.getLong(0) == qi &&
+        r.getLong(2) == qi), s"query $qi must see itself in top-5")
+    }
+    val e = intercept[IllegalArgumentException] {
+      Similarity.topKIvfAdc(q, df, "vec_id", "vec_id", "embedding",
+        dim, nsub, ncent, nlist = nlist, nprobe = 2, twoLevel = true)
+    }
+    assert(e.getMessage.contains("production-tier"), e.getMessage)
+  }
+
+  test("CellAssign2Expr: global-id arithmetic — super argmin then " +
+      "sub argmin, ties to the lower index, empty slice refused") {
+    import spark.implicits._
+    // 2 supers on the x-axis at ±10; super 0 owns subs {(-11),(-9)},
+    // super 1 owns subs {(9),(11),(13)} → global ids 0,1 | 2,3,4
+    val superFlat = Array(-10.0, 0.0, 10.0, 0.0)
+    val subFlat = Array(-11.0, 0.0, -9.0, 0.0,
+      9.0, 0.0, 11.0, 0.0, 13.0, 0.0)
+    val offsets = Array(0, 2, 5)
+    def assign(x: Double, y: Double): Int = {
+      val df = Seq((x, y)).toDF("x", "y")
+        .select(array(col("x"), col("y")).as("v"))
+      df.select(org.apache.spark.sql.GraftColumnBridge.column(
+        graft.expressions.CellAssign2Expr(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("v")),
+          superFlat, 2, subFlat, offsets, 2)).as("c"))
+        .head().getInt(0)
+    }
+    assert(assign(-11.5, 0.0) === 0)
+    assert(assign(-8.0, 0.0) === 1)
+    assert(assign(9.4, 0.0) === 2)
+    assert(assign(11.1, 0.0) === 3)
+    assert(assign(14.0, 0.0) === 4)
+    // equidistant between subs 2 and 3 (x=10): tie keeps the lower
+    // GLOBAL id; equidistant between supers (x=0): lower super wins,
+    // so the search stays in super 0's slice
+    assert(assign(10.0, 0.0) === 2)
+    assert(assign(0.0, 0.0) === 1) // super 0 wins tie; nearest sub -9
+    val e = intercept[IllegalArgumentException] {
+      graft.expressions.CellAssign2Expr(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("v")),
+        superFlat, 2, Array(1.0, 0.0), Array(0, 1, 1), 2)
+    }
+    assert(e.getMessage.contains("at least one sub-centroid"))
   }
 
   test("mmrRerank: greedy diversification, negative-sim bonus, ties, shortlist guard") {

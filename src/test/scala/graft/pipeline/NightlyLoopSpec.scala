@@ -137,7 +137,7 @@ class NightlyLoopSpec extends SparkSuite {
         .parquet(loop.stageDir("release", "2026-08-14"))
       assert(release.select("n_docs").as[Long].collect().sum ===
         trainIds.size.toLong)
-      // manifest: all ten stages recorded exactly once
+      // manifest: the full stage list recorded exactly once
       val events = m.log().groupBy("stage").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(events === NightlyLoop.StageOrder.map(_ -> 1L).toMap)
@@ -168,10 +168,12 @@ class NightlyLoopSpec extends SparkSuite {
         .select("id").as[String].collect().toSeq
       assert(admitted2 === Seq("https://h2.example/n2b"), admitted2)
       assert(packRows(out2).count(_._3.contains("telescope granite")) === 1)
-      // each night's ten stages recorded independently per pkey
+      // each night's full stage list recorded independently per pkey
+      val nStages = NightlyLoop.StageOrder.size.toLong
       val nights = m.log().groupBy("pkey").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-      assert(nights === Map("2026-08-14" -> 10L, "2026-08-15" -> 10L))
+      assert(nights === Map("2026-08-14" -> nStages,
+        "2026-08-15" -> nStages))
     } finally dropStore("nl_store_2n")
   }
 
@@ -213,6 +215,105 @@ class NightlyLoopSpec extends SparkSuite {
           poison, poison, poison)
       }
     } finally dropStore("nl_store_kr")
+  }
+
+  test("v4 scrub: PII redacted and boilerplate paragraphs deduped " +
+      "BEFORE anything publishes; empty-after-scrub docs drop; kill " +
+      "at scrub resumes; disabled passes are identity") {
+    val boiler = "subscribe to our newsletter for daily updates today"
+    def warcSc: DataFrame = Seq(
+      (1L, warcResponse("https://h1.example/s1", "200 OK",
+        "contact us at admin@example.com or 10.0.0.1 for support" +
+          s"\n\n$boiler\n\nunique alpha body content entirely its own")),
+      (2L, warcResponse("https://h1.example/s2", "200 OK",
+        s"$boiler\n\nwholly different beta body content on its own")),
+      // this doc IS the boilerplate — scrubbed to empty, must vanish
+      (3L, warcResponse("https://h2.example/s3", "200 OK", boiler)))
+      .map { case (i, s) => (i, s.getBytes("UTF-8")) }
+      .toDF("warc_id", "payload")
+    val root = tmp()
+    freshStore("nl_store_sc")
+    try {
+      val loop = NightlyLoop(root, "nl_store_sc")
+      val m = new Manifest(spark, s"$root/_manifest")
+      // kill right after scrub commits, then resume with poison feeds
+      val boom = intercept[RuntimeException] {
+        loop.runNight(spark, "2026-08-14", m, candidates, rules, warcSc,
+          afterStage = st => if (st == "scrub") sys.error("killed"))
+      }
+      assert(boom.getMessage === "killed")
+      assert(m.nextStage("2026-08-14", NightlyLoop.StageOrder) ===
+        Some("pack"))
+      def poison: DataFrame = sys.error("feed re-evaluated on resume")
+      loop.runNight(spark, "2026-08-14", m, poison, poison, poison)
+      val scrub = spark.read
+        .parquet(loop.stageDir("scrub", "2026-08-14"))
+      val byId = scrub.collect().map(r =>
+        r.getAs[String]("id") -> r).toMap
+      // the all-boilerplate doc scrubbed to empty and dropped
+      assert(byId.keySet ===
+        Set("https://h1.example/s1", "https://h1.example/s2"))
+      val s1 = byId("https://h1.example/s1")
+      val s2 = byId("https://h1.example/s2")
+      // PII gone, typed placeholders + counters in
+      assert(!s1.getAs[String]("text").contains("admin@example.com"))
+      assert(s1.getAs[String]("text").contains("<EMAIL>") &&
+        s1.getAs[String]("text").contains("<IP>"))
+      assert(s1.getAs[Long]("n_emails") === 1L &&
+        s1.getAs[Long]("n_ipv4") === 1L)
+      // boilerplate kept at its FIRST occurrence only (lowest id)
+      assert(s1.getAs[String]("text").contains(boiler))
+      assert(!s2.getAs[String]("text").contains(boiler))
+      assert(s2.getAs[String]("text") ===
+        "wholly different beta body content on its own")
+      assert(s2.getAs[Long]("n_paras") === 2L &&
+        s2.getAs[Long]("n_kept") === 1L)
+      // nothing the loop PUBLISHES carries raw PII or a second
+      // boilerplate copy: packs are built from scrubbed text
+      val packs = packRows(spark.read
+        .parquet(loop.stageDir("pack", "2026-08-14")))
+      assert(!packs.exists(_._3.contains("admin@example.com")))
+      assert(packs.count(_._3.contains(boiler)) === 1)
+      assert(!packs.exists(_._3.contains(
+        "subscribe to our newsletter for daily updates today" +
+          "\n\nwholly different")))
+      // split (and so shard/release/provenance) cover exactly the
+      // scrub survivors
+      val split = spark.read
+        .parquet(loop.stageDir("split", "2026-08-14"))
+      assert(split.select("id").as[String].collect().sorted.toSeq ===
+        byId.keySet.toSeq.sorted)
+      // the full v4 stage list recorded exactly once
+      val events = m.log().groupBy("stage").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(events === NightlyLoop.StageOrder.map(_ -> 1L).toMap)
+      assert(NightlyLoop.StageOrder.contains("scrub"))
+    } finally dropStore("nl_store_sc")
+    // disabled passes: the scrub stage is an identity with zeroed /
+    // structural counters — output text equals admit text
+    val root2 = tmp()
+    freshStore("nl_store_sc2")
+    try {
+      val loop2 = NightlyLoop(root2, "nl_store_sc2",
+        scrubPii = false, scrubParagraphDedup = false)
+      val m2 = new Manifest(spark, s"$root2/_manifest")
+      loop2.runNight(spark, "2026-08-14", m2, candidates, rules, warcSc)
+      val admitTxt = spark.read
+        .parquet(loop2.stageDir("admit", "2026-08-14"))
+        .select("id", "text").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      val scrubTxt = spark.read
+        .parquet(loop2.stageDir("scrub", "2026-08-14"))
+        .collect().map(r => r.getAs[String]("id") ->
+          ((r.getAs[String]("text"), r.getAs[Long]("n_emails"),
+            r.getAs[Long]("n_paras"), r.getAs[Long]("n_kept")))).toMap
+      assert(scrubTxt.keySet === admitTxt.keySet)
+      scrubTxt.foreach { case (id, (txt, ne, np, nk)) =>
+        assert(txt === admitTxt(id), id)
+        assert(ne === 0L)
+        assert(np === nk)
+      }
+    } finally dropStore("nl_store_sc2")
   }
 
   test("selfNearDedup: intra-night NEAR-copies resolve to one representative (longest text)") {
@@ -296,10 +397,13 @@ class NightlyLoopSpec extends SparkSuite {
       val out = loopB.runNight(spark, "2026-08-14", m,
         candidates, rules, warc)
       assert(packRows(out).nonEmpty)
-      // both pipelines recorded all ten stages, under their own names
+      // both pipelines recorded the full stage list, under their own
+      // names (count derived from StageOrder — never hardcode it)
       val byPipeline = m.log().groupBy("pipeline").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-      assert(byPipeline === Map("nightly" -> 10L, "backfill" -> 10L))
+      assert(byPipeline === Map(
+        "nightly" -> NightlyLoop.StageOrder.size.toLong,
+        "backfill" -> NightlyLoop.StageOrder.size.toLong))
       // and B's interchange landed under its own name-scoped dirs
       assert(spark.read.parquet(loopB.stageDir("ingest", "2026-08-14"))
         .count() > 0)
