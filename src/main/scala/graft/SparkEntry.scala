@@ -59,7 +59,8 @@ object SparkEntry {
       graft.queries.R10Queries.queries ++
       graft.queries.R11Queries.queries ++
       graft.queries.R12Queries.queries ++
-      graft.queries.R13Queries.queries
+      graft.queries.R13Queries.queries ++
+      graft.queries.R14Queries.queries
 
   /** For each key in queries, equivalent DuckDB SQL on the same parquet
     * tables. Omitted keys → driver records a weaker rows-only check. */
@@ -73,5 +74,6 @@ object SparkEntry {
       graft.queries.R10Queries.oracleSql ++
       graft.queries.R12Queries.oracleSql ++
       graft.queries.R11Queries.oracleSql ++
-      graft.queries.R13Queries.oracleSql
+      graft.queries.R13Queries.oracleSql ++
+      graft.queries.R14Queries.oracleSql
 }

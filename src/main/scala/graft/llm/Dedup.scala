@@ -1045,13 +1045,18 @@ object Dedup {
     if (maxBucket > 0) {
       val batchCounts = newBanded.groupBy(col("band"), col("bucket"))
         .agg(count(lit(1)).as("_bn"))
-      // count the corpus side for the TOUCHED buckets only: the
-      // semi-join filter is map-side against the (batch-bounded)
-      // broadcast bucket set, and the groupBy runs exchange-free on
-      // the bucketed table — guard cost ∝ batch, never the corpus
+      // count the corpus side for the TOUCHED buckets only. NO
+      // broadcast hint on the bucket set: "batch-bounded" stops being
+      // broadcast-SMALL at night scale — a 10M-doc batch touches ~36M
+      // (band, bucket) keys, and the hinted broadcast collect breached
+      // spark.driver.maxResultSize (1 GiB) in the r14 10M nightly run
+      // (a real bug this measurement caught). The corpus side is
+      // BUCKETED on (band, bucket), so the semi-join is exchange-free
+      // on the store under sort-merge too; AQE still picks broadcast
+      // when the batch is genuinely small. Guard cost stays ∝ batch.
       val touched = newBanded.select(col("band"), col("bucket")).distinct()
       val corpusCounts = store.banded
-        .join(broadcast(touched), Seq("band", "bucket"), "left_semi")
+        .join(touched, Seq("band", "bucket"), "left_semi")
         .groupBy(col("band"), col("bucket"))
         .agg(count(lit(1)).as("_cn"))
       val hot = batchCounts.join(corpusCounts, Seq("band", "bucket"),
@@ -1093,12 +1098,14 @@ object Dedup {
     // the crash left behind. Disjointness across generations holds
     // per table by its own anti-join; the probe side additionally
     // array_distincts. Cost: one bounded read of the TOUCHED buckets'
-    // index rows (broadcast semi on the batch's bucket set, then the
+    // index rows (semi-join on the batch's bucket set, then the
     // exploded ids join the batch keys — both batch-bounded).
     meta.bucketsTable(tablePrefix).foreach { bt =>
+      // same no-hint rule as the guard above: the index table is
+      // bucketed on (band, bucket), the touched set is night-sized
       val touchedB = batchKeys.select(col("band"), col("bucket")).distinct()
       val indexed = spark.table(bt)
-        .join(broadcast(touchedB), Seq("band", "bucket"), "left_semi")
+        .join(touchedB, Seq("band", "bucket"), "left_semi")
         .select(col("band"), col("bucket"), explode(col("ids")).as("id"))
       val bucketsDelta = batchKeys
         .join(indexed, Seq("band", "bucket", "id"), "left_anti")

@@ -1394,6 +1394,14 @@ object Similarity {
       }
       groups(bestS) += p
     }
+    // per-super sub-training stays SERIAL by measurement, not
+    // oversight: it is embarrassingly parallel on paper (each super
+    // trains on its points only, output independent of scheduling),
+    // but a 31-thread pool measured consistently SLOWER end-to-end
+    // at 10M/nlist=20480 (228-273 s vs 173 s serial, 3-vs-1 checked
+    // executions, identical shuffle/jobs) — the phase is memory-
+    // bandwidth-bound, not flop-bound, and Σ m_s·k_s·dim·iters ≈
+    // sample·√nlist·dim·iters ≈ 1.2·10¹⁰ flops is seconds serial
     val subs: Array[Array[Array[Double]]] =
       Array.tabulate(nSuper) { s =>
         val pts = groups(s)

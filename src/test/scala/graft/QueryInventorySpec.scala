@@ -21,7 +21,8 @@ class QueryInventorySpec extends SparkSuite {
       "r10" -> graft.queries.R10Queries.queries.keySet,
       "r11" -> graft.queries.R11Queries.queries.keySet,
       "r12" -> graft.queries.R12Queries.queries.keySet,
-      "r13" -> graft.queries.R13Queries.queries.keySet)
+      "r13" -> graft.queries.R13Queries.queries.keySet,
+      "r14" -> graft.queries.R14Queries.queries.keySet)
     for {
       (an, a) <- modules
       (bn, b) <- modules if an < bn
