@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   *
   * `runMain graft.MicroBench <scenario> [iters]`, scenario ∈
   * {ul2, pq_encode, q97, ivfadc, semdedup, semdedup2l,
-  * semdedup_recall, bytebpe, scd2buckets,
+  * semdedup_recall, paradedup, bytebpe, scd2buckets,
   * saltedjoin, bloomjoin, lcp, snakeshards, clustersplit, qnorm,
   * kcore}. Reads `SPARK_GRAFT_SF_DIR` (default sf0.1).
   */
@@ -249,6 +249,48 @@ object MicroBench {
         else
           Seq(s"${tag}_${nRows / 1000000L}m" -> run,
             s"${tag}_${nRows / 1000000L}m_checked" -> check)
+      case "paradedup" =>
+        // paragraphDedup at N docs (the r14 keys-only plan: winner
+        // election and per-doc kept-index lists carry (hash, id, idx)
+        // keys, document text crosses the wire ONCE in the by-id join
+        // back). Planted structure: every doc = a banner shared by
+        // its id%64 source group + a hash-distinct 20-word body + a
+        // footer shared by its id%16 group — so distinct paragraphs
+        // corpus-wide = N bodies + 64 banners + 16 footers, and the
+        // checked variant asserts exactly that (plus n_paras = 3 on
+        // every doc). Text volume ~160 B/doc: at 10M the one
+        // text-carrying exchange moves ~1.6 GB; the election
+        // exchanges move 32-byte hashes + ids only.
+        val docs = spark.range(nRows).select(col("id"),
+          concat(
+            lit("shared banner for source "),
+            pmod(col("id"), lit(64)).cast("string"),
+            lit(" subscribe to updates today\n\n"),
+            concat_ws(" ", (0 until 20).map(i =>
+              concat(lit("w"), pmod(xxhash64(col("id"), lit(i * 7919L)),
+                lit(100000)).cast("string"))): _*),
+            lit("\n\nlicense footer variant "),
+            pmod(col("id"), lit(16)).cast("string")).as("text"))
+          .repartition(32).cache()
+        docs.count()
+        def pd() = graft.llm.Dedup.paragraphDedup(docs, "id", "text")
+        val run = () => pd()
+        val check = () => {
+          val a = pd().agg(
+            sum(col("n_kept")).as("k"),
+            sum(when(col("n_paras") === 3, 1L).otherwise(0L)).as("p3"))
+            .head()
+          require(a.getLong(0) == nRows + 64L + 16L,
+            s"expected ${nRows + 80L} kept paragraphs, got ${a.getLong(0)}")
+          require(a.getLong(1) == nRows,
+            s"expected n_paras=3 on every doc, got ${a.getLong(1)}")
+          spark.range(1).toDF("ok")
+        }
+        if (nRows > 1000000L)
+          Seq(s"paradedup_${nRows / 1000000L}m_checked" -> check)
+        else
+          Seq(s"paradedup_${nRows / 1000000L}m" -> run,
+            s"paradedup_${nRows / 1000000L}m_checked" -> check)
       case "bytebpe" =>
         // byte-BPE vs char-BPE training cost at 1M docs, 6 merge
         // rounds each (the SCALE.md measurement the r11 verdict

@@ -707,6 +707,22 @@ class PlanQualitySpec extends SparkSuite {
       byParaHash.mkString("\n\n"))
   }
 
+  test("q238: scrub chain keeps the q233 keys-only discipline — " +
+      "redaction map-only, no text on paragraph-hash exchanges") {
+    val p = plan("q238_scrub_chain")
+    // piiRedact contributes zero joins/windows (map-only regexes);
+    // the paragraph pass inherits q233's shape on the REDACTED text
+    val exchangeBlocks =
+      "\\(\\d+\\) Exchange[\\s\\S]*?Arguments: [^\\n]*".r.findAllIn(p).toSeq
+    val byParaHash = exchangeBlocks.filter(_.contains("hashpartitioning(_ph"))
+    assert(byParaHash.nonEmpty, p.take(1500))
+    assert(byParaHash.forall(b =>
+      !b.contains("_para") && !b.contains("redacted") &&
+        !b.contains("text2")),
+      byParaHash.mkString("\n\n"))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
   test("q236: best-of-n is bounded aggregates — no window, no cartesian") {
     val p = plan("q236_best_of_n")
     // the top pick and the runner-up are min_by/max hash aggregates
