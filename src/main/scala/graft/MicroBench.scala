@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   *
   * `runMain graft.MicroBench <scenario> [iters]`, scenario ∈
   * {ul2, pq_encode, q97, ivfadc, semdedup, semdedup2l,
-  * semdedup_recall, paradedup, bytebpe, scd2buckets,
+  * semdedup_recall, paradedup, storeexport, bytebpe, scd2buckets,
   * saltedjoin, bloomjoin, lcp, snakeshards, clustersplit, qnorm,
   * kcore}. Reads `SPARK_GRAFT_SF_DIR` (default sf0.1).
   */
@@ -291,6 +291,67 @@ object MicroBench {
         else
           Seq(s"paradedup_${nRows / 1000000L}m" -> run,
             s"paradedup_${nRows / 1000000L}m_checked" -> check)
+      case "storeexport" =>
+        // the r14 export surface measured: FULL snapshot export vs
+        // DELTA export of one night's appends (nRows/10) against an
+        // nRows-doc signature store. The claim under test is the
+        // handoff-volume one: the delta anti-join READS corpus-sized
+        // keys but WRITES only the night — so the delta should track
+        // the batch, the full export the corpus, and re-running the
+        // full export every night is the cost the delta surface
+        // removes. The checked variant asserts delta row counts =
+        // the night's appends exactly and base ∪ delta ≡ a fresh
+        // full snapshot (the spec contract, re-checked at scale).
+        import graft.llm.Dedup
+        spark.catalog.listTables().collect().map(_.name)
+          .filter(_.startsWith("msx_store"))
+          .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+        val corpus = spark.range(nRows).select(col("id"),
+          concat_ws(" ", (0 until 20).map(i =>
+            concat(lit("w"), pmod(xxhash64(col("id"), lit(i * 7919L)),
+              lit(100000)).cast("string"))): _*).as("text"))
+          .repartition(32).cache()
+        corpus.count()
+        Dedup.writeSignatureStore(corpus, "id", "text", "msx_store",
+          buckets = 32)
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-msx").toString
+        Dedup.exportSignatureStoreSnapshot(spark, "msx_store",
+          s"$tmp/base")
+        val night = spark.range(nRows, nRows + nRows / 10)
+          .select(col("id"), concat_ws(" ", (0 until 20).map(i =>
+            concat(lit("f"), pmod(xxhash64(col("id"), lit(i * 7919L)),
+              lit(100000)).cast("string"))): _*).as("text"))
+          .repartition(32).cache()
+        night.count()
+        Dedup.appendToSignatureStore(night, "id", "text", "msx_store")
+        val fullN = new java.util.concurrent.atomic.AtomicInteger
+        val deltaN = new java.util.concurrent.atomic.AtomicInteger
+        val full = () => {
+          Dedup.exportSignatureStoreSnapshot(spark, "msx_store",
+            s"$tmp/full${fullN.incrementAndGet()}")
+          spark.range(1).toDF("ok")
+        }
+        val delta = () => {
+          Dedup.exportSignatureStoreDelta(spark, "msx_store",
+            Seq(s"$tmp/base"), s"$tmp/delta${deltaN.incrementAndGet()}")
+          spark.range(1).toDF("ok")
+        }
+        val check = () => {
+          val dh = spark.read.parquet(s"$tmp/delta1/hashes").count()
+          require(dh == nRows / 10,
+            s"delta hashes: expected ${nRows / 10}, got $dh")
+          val chain = Dedup.readExportedSignatureStoreChain(spark,
+            Seq(s"$tmp/base", s"$tmp/delta1"))
+          val fullSnap = Dedup.readExportedSignatureStore(spark,
+            s"$tmp/full1")
+          require(chain.hashes.count() == fullSnap.hashes.count() &&
+            chain.banded.count() == fullSnap.banded.count(),
+            "base + delta must equal the full snapshot at the head")
+          spark.range(1).toDF("ok")
+        }
+        Seq("export_full" -> full, "export_delta" -> delta,
+          "export_chain_check" -> check)
       case "bytebpe" =>
         // byte-BPE vs char-BPE training cost at 1M docs, 6 merge
         // rounds each (the SCALE.md measurement the r11 verdict

@@ -754,6 +754,46 @@ class SimilaritySpec extends SparkSuite {
     assert(e.getMessage.contains("at least one sub-centroid"))
   }
 
+  test("CellAssign2Expr ≡ independent Scala mirror (differential fuzz: " +
+      "random hierarchies, random vectors, boundary ties)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(20260816L)
+    (0 until 8).foreach { trial =>
+      val dim = 1 + rng.nextInt(6)
+      val nSuper = 1 + rng.nextInt(5)
+      // 1..4 subs per super, values on a coarse grid so exact ties
+      // between centroids actually occur and exercise the tie rule
+      def grid(): Double = (rng.nextInt(9) - 4) * 0.5
+      val subCounts = Array.fill(nSuper)(1 + rng.nextInt(4))
+      val offsets = subCounts.scanLeft(0)(_ + _)
+      val superFlat = Array.fill(nSuper * dim)(grid())
+      val subFlat = Array.fill(offsets.last * dim)(grid())
+      // independent mirror: super argmin (strict <, lower wins), then
+      // argmin over that super's slice (strict <, lower GLOBAL wins)
+      def mirror(v: Array[Double]): Int = {
+        def d2(flat: Array[Double], i: Int): Double =
+          (0 until dim).map(j => (v(j) - flat(i * dim + j)) *
+            (v(j) - flat(i * dim + j))).sum
+        val s = (0 until nSuper).minBy(s => (d2(superFlat, s), s))
+        (offsets(s) until offsets(s + 1)).minBy(g => (d2(subFlat, g), g))
+      }
+      val vecs = (0 until 200).map(i =>
+        (i.toLong, Array.fill(dim)(grid())))
+      val got = vecs.toDF("id", "v")
+        .select(col("id"), org.apache.spark.sql.GraftColumnBridge.column(
+          graft.expressions.CellAssign2Expr(
+            org.apache.spark.sql.GraftColumnBridge.expression(
+              Similarity.asDouble(col("v"))),
+            superFlat, nSuper, subFlat, offsets, dim)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      vecs.foreach { case (id, v) =>
+        assert(got(id) === mirror(v),
+          s"trial $trial id $id dim $dim nSuper $nSuper " +
+            s"offsets ${offsets.mkString(",")}")
+      }
+    }
+  }
+
   test("mmrRerank: greedy diversification, negative-sim bonus, ties, shortlist guard") {
     import spark.implicits._
     // dim 4, nsub 2; rel in micro-ish units. a and b are near-dups,
