@@ -2053,9 +2053,13 @@ object Dedup {
     * the wire, then one reduce cell); the hot window set (tiny — the
     * boilerplate passages themselves) joins back against the same
     * keys-only projection and folds to one `(id, drop-position set)`
-    * row per affected doc, bounded by per-doc token count. Token
-    * text crosses the wire exactly once (the by-doc reassembly
-    * shuffle, the irreducible unit). With `byHash = true` the window
+    * row per affected doc, bounded by per-doc token count. Document
+    * text crosses the wire exactly once — in the by-id join of that
+    * keys-only drop set back to the ORIGINAL rows, with the
+    * surviving tokens rebuilt in place from the row's own split (the
+    * q94/q233 discipline; the first formulation posexploded every
+    * token and re-aggregated per doc, which moved token text through
+    * an extra exchange plus a per-doc sort). With `byHash = true` the window
     * key is the window text's SHA-256 (32-byte binary, the 2⁻¹²⁸
     * standard content-hash assumption) so window TEXT never crosses
     * the wire either — the 100 TB mode; exact-string mode exists for
@@ -2086,23 +2090,19 @@ object Dedup {
       .select(col(idCol),
         explode(sequence(col("_s"), col("_s") + (k - 1))).as("_p"))
       .groupBy(col(idCol)).agg(collect_set(col("_p")).as("_drop"))
-    val toks = base
-      .select(col(idCol), col("_n"),
-        posexplode(col("_ws")).as(Seq("_p0", "_tok")))
-      .withColumn("_p", col("_p0") + 1).drop("_p0")
-    toks.join(dropIdx, Seq(idCol), "left")
-      .withColumn("_keep",
-        col("_drop").isNull || !array_contains(col("_drop"), col("_p")))
-      .groupBy(col(idCol))
-      .agg(
-        first(col("_n")).as("_nn"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(when(col("_keep"),
-            struct(col("_p").as("i"), col("_tok").as("l"))))),
-          x => x.getField("l"))).as("clean_text"),
-        sum(when(col("_keep"), 0L).otherwise(1L)).as("n_removed"))
-      .select(col(idCol), col("_nn").cast("long").as("n_tokens"),
-        col("n_removed"), col("clean_text"))
+    // ONE text-carrying join; n_tokens, n_removed and the surviving
+    // tokens all rebuild from the row's own split (positions are
+    // 1-based like the window starts; filter's index is 0-based)
+    val arr = split(trim(col(textCol)), "\\s+")
+    df.select(col(idCol), col(textCol))
+      .join(dropIdx, Seq(idCol), "left")
+      .select(col(idCol),
+        size(arr).cast("long").as("n_tokens"),
+        coalesce(size(col("_drop")), lit(0)).cast("long")
+          .as("n_removed"),
+        concat_ws(" ", filter(arr, (_, i) =>
+          col("_drop").isNull ||
+            !array_contains(col("_drop"), i + 1))).as("clean_text"))
   }
 
   /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,

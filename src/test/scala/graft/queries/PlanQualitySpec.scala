@@ -688,6 +688,20 @@ class PlanQualitySpec extends SparkSuite {
       winSpecs.mkString("\n").take(1500))
   }
 
+  test("q135: exact-substring dedup rebuilds in place — no token-level " +
+      "re-explode, drop sets join back keys-only") {
+    val p = plan("q135_exact_substr")
+    // the window derivation explodes an INT start sequence; tokens
+    // themselves are never posexploded and re-aggregated (the r14
+    // rewrite: the per-doc drop-position set joins back to the
+    // original row, surviving tokens rebuild from the row's own
+    // split — document text crosses the wire once, in that join)
+    assert(!p.contains("posexplode"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+    assert(p.contains("collect_set") || p.contains("ObjectHashAggregate"),
+      p.take(1500))
+  }
+
   test("q233: paragraph text never shuffles by paragraph-hash — " +
       "keys-only winner election (the q94 discipline)") {
     val p = plan("q233_paragraph_dedup")
