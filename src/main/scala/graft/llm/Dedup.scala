@@ -1911,24 +1911,24 @@ object Dedup {
     * the document's non-empty lines before filtering. Documents with
     * NO non-empty lines disappear (there is nothing to clean).
     *
-    * Scale shape — aggregates only, no windows, and LINE TEXT CROSSES
-    * THE WIRE EXACTLY ONCE (the by-doc reassembly shuffle). Everything
-    * that decides what to drop runs on a keys-only projection
-    * `(_k, id, _i)` where `_k` is the line's sha2 as 32-byte binary
-    * (2⁻¹²⁸ collision bound — the standard content-hash assumption the
-    * exact-dedup pass already makes): line-df is a two-level
-    * count-distinct aggregate over it; the hot set (keys with
-    * df ≥ minDf — the boilerplate lines themselves, tiny in exactly
-    * the corpora this pass exists for) joins back against the SAME
-    * keys-only projection (AQE broadcasts it when small; worst case a
-    * ~40-byte-per-row shuffle, never the text); and the result folds
-    * to one `(id, drop-index set)` row per affected document, bounded
-    * by per-doc line count. The text-bearing lines then LEFT-join that
-    * per-doc set on `id` — co-partitioned with the reassembly's own
-    * `groupBy(id)`, so the join and the rebuild share one exchange.
-    * Reassembly state is bounded by single-document size, the
-    * irreducible unit any reassembly needs. A boilerplate line in 10⁸
-    * docs is one aggregate cell, never a window buffer. */
+    * Scale shape — aggregates only, no windows, and DOCUMENT TEXT
+    * CROSSES THE WIRE EXACTLY ONCE (the by-id join of the keys-only
+    * drop set back to the original rows; surviving lines rebuild IN
+    * PLACE from the row's own split — the r14 rewrite that removed
+    * the exploded-line reassembly aggregate this pass used to carry).
+    * Everything that decides what to drop runs on a keys-only
+    * projection `(_k, id, _i)` where `_k` is the line's sha2 as
+    * 32-byte binary (2⁻¹²⁸ collision bound — the standard
+    * content-hash assumption the exact-dedup pass already makes):
+    * line-df is a two-level count-distinct aggregate over it; the
+    * hot set (keys with df ≥ minDf — the boilerplate lines
+    * themselves, tiny in exactly the corpora this pass exists for)
+    * joins back against the SAME keys-only projection (AQE
+    * broadcasts it when small; worst case a ~40-byte-per-row
+    * shuffle, never the text); and the result folds to one
+    * `(id, drop-index set)` row per affected document, bounded by
+    * per-doc line count. A boilerplate line in 10⁸ docs is one
+    * aggregate cell, never a window buffer. */
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
       minDf: Long): DataFrame =
     unitDedup(df, idCol, textCol, minDf, sep = "\n")
@@ -1962,17 +1962,26 @@ object Dedup {
     val dropIdx = keys.join(hot, Seq("_k"))
       .groupBy(col(idCol))
       .agg(collect_set(col("_i")).as("_drop"))
-    lines.drop("_k").join(dropIdx, Seq(idCol), "left")
-      .withColumn("_keep",
-        col("_drop").isNull || !array_contains(col("_drop"), col("_i")))
-      .groupBy(col(idCol))
-      .agg(
-        concat_ws(sep, transform(
-          array_sort(collect_list(when(col("_keep"),
-            struct(col("_i").as("i"), col("_line").as("l"))))),
-          x => x.getField("l"))).as("clean_text"),
-        count(lit(1)).as("n_units"),
-        sum(when(col("_keep"), 0L).otherwise(1L)).as("n_removed"))
+    // ONE text-carrying join (the r14 in-place rebuild, the same
+    // rewrite as exactSubstrDedup/paragraphDedup): the keys-only
+    // per-doc drop set joins back to the ORIGINAL rows and the
+    // surviving units rebuild from the row's own split — unit text
+    // never rides a reassembly aggregate. Kept units stay RAW
+    // (untrimmed), blanks drop from the output, and docs with zero
+    // non-blank units keep the historical absent-row contract (the
+    // q94 oracle replays it) via the n_units filter.
+    val arr = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    df.select(col(idCol), col(textCol))
+      .join(dropIdx, Seq(idCol), "left")
+      .select(col(idCol),
+        concat_ws(sep, filter(arr, (l, i) =>
+          trim(l) =!= "" && (col("_drop").isNull ||
+            !array_contains(col("_drop"), i)))).as("clean_text"),
+        size(filter(arr, l => trim(l) =!= "")).cast("long")
+          .as("n_units"),
+        coalesce(size(col("_drop")), lit(0)).cast("long")
+          .as("n_removed"))
+      .filter(col("n_units") > 0)
   }
 
   /** WITHIN-document repeated-unit removal — the intra-doc complement
