@@ -1500,6 +1500,15 @@ object Dedup {
       m.getAs[Int]("shingle_n"), buckets)
   }
 
+  /** The live store's current VERSION — the value every export in a
+    * delta chain is keyed by ([[exportSignatureStoreDelta]] refuses a
+    * chain at any other version). Exposed so chain owners (e.g. the
+    * NightlyLoop ship stage) can decide delta-vs-fresh-base up front
+    * instead of parsing a failed export's message. */
+  def signatureStoreVersion(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String): Int =
+    readStoreMeta(spark, tablePrefix).maxVersion
+
   /** DELTA export: copy only the rows APPENDED since the prior
     * export(s) — the nightly external handoff stays batch-sized
     * instead of re-copying an unbounded corpus every night (the full
@@ -1616,7 +1625,16 @@ object Dedup {
     * delta's head append_seq (spec-pinned ≡ a full snapshot taken
     * there). Same unbucketed caveat as [[readExportedSignatureStore]];
     * [[importSignatureStore]] promotes a chain back to a live
-    * bucketed store. */
+    * bucketed store.
+    *
+    * The read path re-validates what [[exportSignatureStoreDelta]]
+    * enforced at write time — it cannot assume the caller assembled
+    * the same chain the exporter built: every delta must have been
+    * exported at the BASE's store version (a delta taken against a
+    * different base, or after maintenance rewrote the store, would
+    * union into a silently wrong store), and `append_seq` must be
+    * non-decreasing along the chain (out-of-order dirs mean the
+    * caller skipped or shuffled deltas). Both fail by name. */
   def readExportedSignatureStoreChain(
       spark: org.apache.spark.sql.SparkSession,
       dirs: Seq[String]): SignatureStore = {
@@ -1631,6 +1649,24 @@ object Dedup {
           "expected one signature_store base, then " +
           "signature_store_delta dirs")
     }
+    val baseVersion = metas.head._2.getAs[Int]("version")
+    metas.tail.foreach { case (d, m) =>
+      require(m.getAs[Int]("version") == baseVersion,
+        s"readExportedSignatureStoreChain: '$d' was exported at store " +
+          s"version ${m.getAs[Int]("version")}, chain base is " +
+          s"$baseVersion — a delta only composes with the base it was " +
+          "taken against (maintenance rewrites bump the version and " +
+          "may remove rows); re-export from a fresh base snapshot")
+    }
+    metas.map { case (d, m) => (d, m.getAs[Long]("append_seq")) }
+      .sliding(2).foreach {
+        case Seq((d0, s0), (d1, s1)) =>
+          require(s1 >= s0,
+            s"readExportedSignatureStoreChain: append_seq regresses " +
+              s"along the chain ('$d1' at $s1 after '$d0' at $s0) — " +
+              "dirs are out of order or a delta is missing")
+        case _ => ()
+      }
     val base = metas.head._2
     def unionOf(sub: String): DataFrame = dirs
       .map(d => spark.read.parquet(s"$d/$sub"))
@@ -1655,7 +1691,19 @@ object Dedup {
     * one-row meta with `append_seq = 0`, superseded/legacy tables and
     * any stale fence log cleared. The `_buckets` band index is
     * REBUILT from the banded rows (collapsing the export's append
-    * generations — an import is a natural compaction point). */
+    * generations — an import is a natural compaction point).
+    *
+    * SINGLE-OWNER contract, stated plainly: an import OVERWRITES the
+    * `${tablePrefix}_v1_*` tables in place and then flips the meta —
+    * there is no staging-name + fenced-flip here, so a CONCURRENT
+    * reader of a live store at the same prefix can resolve
+    * half-written v1 tables mid-import. Import targets must have no
+    * concurrent readers or writers for the duration of the call: a
+    * fresh prefix, or a DR/migration target whose readers are held
+    * off until the import returns (the NightlyLoop deployment shape —
+    * one owner per prefix). Contrast the EXPORT functions, which
+    * never touch the live store and document their residual window
+    * instead. */
   def importSignatureStore(spark: org.apache.spark.sql.SparkSession,
       exportDirs: Seq[String], tablePrefix: String): Unit = {
     val chain = readExportedSignatureStoreChain(spark, exportDirs)
@@ -2052,7 +2100,11 @@ object Dedup {
     * original order. Every input document survives — a fully-covered
     * document comes back with `clean_text = ""` (the caller's length
     * filter decides its fate), unlike [[unitDedup]] where an
-    * all-blank doc has nothing to reassemble.
+    * all-blank doc has nothing to reassemble. An input document with
+    * no non-whitespace character reports `n_tokens = 0`,
+    * `n_removed = 0`, `clean_text = ""` (guarded: splitting a
+    * trimmed blank string yields phantom `''` tokens that would
+    * otherwise count).
     *
     * Scale shape — the [[lineDedup]] discipline at token granularity:
     * the duplicate decision runs on a windows projection
@@ -2101,17 +2153,24 @@ object Dedup {
       .groupBy(col(idCol)).agg(collect_set(col("_p")).as("_drop"))
     // ONE text-carrying join; n_tokens, n_removed and the surviving
     // tokens all rebuild from the row's own split (positions are
-    // 1-based like the window starts; filter's index is 0-based)
+    // 1-based like the window starts; filter's index is 0-based).
+    // Docs with NO non-whitespace character are guarded explicitly:
+    // split of a trimmed empty (or tab-only — trim strips spaces
+    // only) string yields phantom '' tokens, so n_tokens would read
+    // ≥1 and clean_text a stray space for a doc with no tokens at all
+    val hasTok = col(textCol).rlike("\\S")
     val arr = split(trim(col(textCol)), "\\s+")
     df.select(col(idCol), col(textCol))
       .join(dropIdx, Seq(idCol), "left")
       .select(col(idCol),
-        size(arr).cast("long").as("n_tokens"),
+        when(hasTok, size(arr).cast("long")).otherwise(lit(0L))
+          .as("n_tokens"),
         coalesce(size(col("_drop")), lit(0)).cast("long")
           .as("n_removed"),
-        concat_ws(" ", filter(arr, (_, i) =>
-          col("_drop").isNull ||
-            !array_contains(col("_drop"), i + 1))).as("clean_text"))
+        when(hasTok, concat_ws(" ", filter(arr, (_, i) =>
+            col("_drop").isNull ||
+              !array_contains(col("_drop"), i + 1))))
+          .otherwise(lit("")).as("clean_text"))
   }
 
   /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
@@ -2330,8 +2389,15 @@ object Dedup {
     * Output: (idCol, n_paras, n_kept, dedup_text) — every input doc
     * keeps a row; a doc whose every paragraph lost has n_kept = 0
     * and an empty dedup_text. */
+  /** The default paragraph separator — ONE constant shared by
+    * [[paragraphDedup]] and [[graft.pipeline.NightlyLoop]]'s scrub
+    * stage, so the "what is a paragraph" notion cannot drift between
+    * the operator and the loop's disabled-pass audit counters (both
+    * split on `Pattern.quote` of this literal). */
+  val DefaultParagraphSep: String = "\n\n"
+
   def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
-      sep: String = "\n\n"): DataFrame = {
+      sep: String = DefaultParagraphSep): DataFrame = {
     val id = col(idCol)
     val sepQ = java.util.regex.Pattern.quote(sep)
     // keys-only winner election: text is hashed and DROPPED before

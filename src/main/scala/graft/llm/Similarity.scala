@@ -690,7 +690,12 @@ object Similarity {
     * [[AnnIndex]] — row-equal to the live index at the last delta's
     * head (spec-pinned). Unbucketed like [[readExportedAnnIndex]];
     * [[importAnnIndex]] promotes a chain back to a live bucketed
-    * index. */
+    * index. Re-validates the exporter's chain discipline (the caller
+    * may assemble dirs the exporter never saw together): every delta's
+    * store version must equal the BASE's (a delta taken against a
+    * different base unions into a silently wrong index) and
+    * `append_seq` must be non-decreasing along the chain — both fail
+    * by name, mirroring [[exportAnnIndexDelta]]'s write-time checks. */
   def readExportedAnnIndexChain(spark: org.apache.spark.sql.SparkSession,
       dirs: Seq[String]): AnnIndex = {
     require(dirs.nonEmpty, "readExportedAnnIndexChain: no dirs")
@@ -702,6 +707,23 @@ object Similarity {
         s"readExportedAnnIndexChain: '$d' is a $st export — expected " +
           "one ann_index base, then ann_index_delta dirs")
     }
+    val baseVersion = metas.head._2.getAs[Int]("version")
+    metas.tail.foreach { case (d, m) =>
+      require(m.getAs[Int]("version") == baseVersion,
+        s"readExportedAnnIndexChain: '$d' was exported at index " +
+          s"version ${m.getAs[Int]("version")}, chain base is " +
+          s"$baseVersion — a delta only composes with the base it was " +
+          "taken against; re-export from a fresh base snapshot")
+    }
+    metas.map { case (d, m) => (d, m.getAs[Long]("append_seq")) }
+      .sliding(2).foreach {
+        case Seq((d0, s0), (d1, s1)) =>
+          require(s1 >= s0,
+            s"readExportedAnnIndexChain: append_seq regresses along " +
+              s"the chain ('$d1' at $s1 after '$d0' at $s0) — dirs " +
+              "are out of order or a delta is missing")
+        case _ => ()
+      }
     val base = metas.head._2
     def unionOf(sub: String): DataFrame = dirs
       .map(d => spark.read.parquet(s"$d/$sub"))
@@ -717,7 +739,15 @@ object Similarity {
     * fence log cleared (the [[writeAnnIndex]] rewrite semantics).
     * After import, probes run exchange-free on the corpus side again
     * (spec-pinned, and probe results identical to the source
-    * index's). */
+    * index's).
+    *
+    * SINGLE-OWNER contract: this DROPS the old tables first and
+    * rebuilds them unfenced — a concurrent reader of a live index at
+    * the same prefix can catch missing or half-written v1 tables
+    * mid-import. Import targets must have no concurrent readers or
+    * writers for the duration of the call (fresh prefix, or a DR /
+    * migration target whose readers are held off until it returns);
+    * the one-owner-per-prefix NightlyLoop deployment shape. */
   def importAnnIndex(spark: org.apache.spark.sql.SparkSession,
       exportDirs: Seq[String], tablePrefix: String): Unit = {
     val chain = readExportedAnnIndexChain(spark, exportDirs)

@@ -916,9 +916,11 @@ object R8Queries {
 
     "q135_exact_substr" ->
       """WITH d AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  SELECT doc_id, regexp_matches(text, '\S') AS has_tok,
+        |    regexp_split_to_array(trim(text), '\s+') AS ws
         |  FROM documents),
-        |n AS (SELECT doc_id, ws, len(ws) AS n FROM d),
+        |n AS (SELECT doc_id, ws,
+        |        CASE WHEN has_tok THEN len(ws) ELSE 0 END AS n FROM d),
         |wi AS (SELECT doc_id, unnest(list_transform(range(1, n - 6 + 2),
         |         i -> struct_pack(s := i,
         |                w := array_to_string(ws[i:i+5], ' ')))) AS u
@@ -929,7 +931,7 @@ object R8Queries {
         |          SELECT doc_id, unnest(range(start, start + 6)) AS pos
         |          FROM wins JOIN dup USING (win))),
         |tok AS (SELECT doc_id, unnest(ws) AS tok,
-        |          unnest(range(1, n + 1)) AS pos FROM n),
+        |          unnest(range(1, n + 1)) AS pos FROM n WHERE n > 0),
         |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
         |         ANTI JOIN cov c
         |           ON t.doc_id = c.doc_id AND t.pos = c.pos),

@@ -1073,6 +1073,18 @@ class DedupSpec extends SparkSuite {
     assert(r.length === 4)
   }
 
+  test("exactSubstrDedup: empty and whitespace-only docs report zero " +
+      "tokens (not the phantom [''] split token)") {
+    val d = Seq((1L, ""), (2L, "   \t  "), (3L, "a b c d e f g"))
+      .toDF("id", "text")
+    val r = Dedup.exactSubstrDedup(d, "id", "text", k = 4).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r(1L) === ((0L, 0L, "")))
+    assert(r(2L) === ((0L, 0L, "")))
+    assert(r(3L) === ((7L, 0L, "a b c d e f g")))
+  }
+
   test("exactSubstrDedup byHash tier matches exact-string tier") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), col("text"))
@@ -1457,6 +1469,31 @@ class DedupSpec extends SparkSuite {
           Seq(p("base"), p("d1"), p("d2"), p("d3")), p("dStale"))
       }
       assert(e2.getMessage.contains("fresh"), e2.getMessage)
+      // the chain READ re-validates what the exporter enforced — the
+      // caller can assemble dirs the exporter never saw together:
+      // out-of-order dirs fail by name...
+      val eOrd = intercept[IllegalArgumentException] {
+        Dedup.readExportedSignatureStoreChain(spark,
+          Seq(p("base"), p("d2"), p("d1")))
+      }
+      assert(eOrd.getMessage.contains("append_seq regresses"),
+        eOrd.getMessage)
+      // ...and a delta taken against a DIFFERENT base (here the
+      // post-compaction v2 store) refuses to union with the v1 base —
+      // importSignatureStore would otherwise promote a silently
+      // wrong store
+      Dedup.exportSignatureStoreSnapshot(spark, "sig_store_dx",
+        p("base2"))
+      Dedup.appendToSignatureStore(
+        Seq((50L, "post compaction append for the v2 chain"))
+          .toDF("id", "text"), "id", "text", "sig_store_dx")
+      Dedup.exportSignatureStoreDelta(spark, "sig_store_dx",
+        Seq(p("base2")), p("d4"))
+      val eVer = intercept[IllegalArgumentException] {
+        Dedup.readExportedSignatureStoreChain(spark,
+          Seq(p("base"), p("d4")))
+      }
+      assert(eVer.getMessage.contains("version"), eVer.getMessage)
     } finally {
       dropStore("sig_store_dx")
       dropStore("sig_store_imp")

@@ -325,6 +325,29 @@ class SimilaritySpec extends SparkSuite {
         probeJoin.count()
       } finally
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      // the chain READ re-validates the exporter's discipline:
+      // out-of-order dirs fail by name...
+      val eOrd = intercept[IllegalArgumentException] {
+        Similarity.readExportedAnnIndexChain(spark,
+          Seq(p("base"), p("d2"), p("d1")))
+      }
+      assert(eOrd.getMessage.contains("append_seq regresses"),
+        eOrd.getMessage)
+      // ...and a delta taken against a different (post-compaction v2)
+      // base refuses to union with the v1 base
+      Similarity.compactAnnIndex(spark, pfx)
+      Similarity.exportAnnIndexSnapshot(spark, pfx, p("base2"))
+      val day4 = Seq((400L,
+        Array.tabulate(64)(j => math.cos(400 * 64 + j + 29).toFloat)))
+        .toDF("vec_id", "embedding")
+      Similarity.appendToAnnIndex(day4, "vec_id", "embedding", pfx)
+      Similarity.exportAnnIndexDelta(spark, pfx, Seq(p("base2")),
+        p("d4"))
+      val eVer = intercept[IllegalArgumentException] {
+        Similarity.readExportedAnnIndexChain(spark,
+          Seq(p("base"), p("d4")))
+      }
+      assert(eVer.getMessage.contains("version"), eVer.getMessage)
     } finally
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
