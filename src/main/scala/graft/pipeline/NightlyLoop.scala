@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The composed NIGHTLY LOOP: crawl → ingest → admit → gate → append
-  * → scrub → pack → split → shard → release → provenance as ONE
-  * resumable driver over the [[Manifest]] commit log — the
+  * → scrub → pack → split → shard → release → provenance → ship as
+  * ONE resumable driver over the [[Manifest]] commit log — the
   * end-to-end composition whose operators all existed separately
   * (q173 crawl cycle, q101/q112 WARC ingest, q114 store admission,
   * appendToSignatureStore, q167 pack export) but had no single entry
@@ -74,6 +74,30 @@ import org.apache.spark.sql.functions._
   *    document — takedown, contamination tracing, and the per-doc
   *    loss-mask spans (a doc's tokens occupy exactly
   *    [token_offset, token_offset + n_tokens)).
+  *  - ship (v5): the nightly EXTERNAL HANDOFF, inside the resumable
+  *    manifest — the signature-store export loop that used to be a
+  *    manual driver step. Night 1 of a chain epoch takes a full
+  *    base snapshot ([[graft.llm.Dedup.exportSignatureStoreSnapshot]]);
+  *    every later night exports a batch-sized DELTA of the night's
+  *    appends against the chain so far
+  *    ([[graft.llm.Dedup.exportSignatureStoreDelta]] — transfer
+  *    volume ∝ the night, never the corpus). Store MAINTENANCE
+  *    between nights (compaction/removal bumps the store version,
+  *    which no append-only delta can express) re-bases automatically:
+  *    the stage compares the live version against the chain's and
+  *    opens a NEW chain epoch with a fresh base instead of failing
+  *    the night. The committed stage output is a one-row receipt
+  *    (`ship_kind` base|delta, `export_dir`, `store_version`,
+  *    `head_append_seq`, `release_dir`, `provenance_dir`) naming
+  *    everything a downstream consumer pulls: the chain entry plus
+  *    the night's published release/provenance dirs. Kill/resume: a
+  *    completed export whose receipt never recorded is REUSED by
+  *    night name, a hard-killed partial (no `_export_meta`) is
+  *    deleted and re-exported. One ship per night — re-running a
+  *    night from scratch with CHANGED content requires clearing the
+  *    night's chain entry first. (No ANN delta here: the loop has no
+  *    embedding stage; ANN chains ship from whatever job appends
+  *    embeddings, via [[graft.llm.Similarity.exportAnnIndexDelta]].)
   *
   * Scale shape: the driver touches only control-plane rows (manifest
   * events, the append receipt); every stage is one distributed job
@@ -90,9 +114,11 @@ final case class NightlyLoop(
     // after pack; v4: the SCRUB stage (PII redaction + paragraph-
     // granularity dedup — the Dolma/Lee et al. release-time passes)
     // landed between append and the release chain, which now consumes
-    // scrubbed text (a night recorded under an older stage order must
-    // re-run, not resume)
-    version: String = "v4",
+    // scrubbed text; v5: the SHIP stage (signature-store base/delta
+    // export chain + release-dir receipt) landed after provenance (a
+    // night recorded under an older stage order must re-run, not
+    // resume)
+    version: String = "v5",
     /** The gate's minimum admitted-batch size: a night below this
       * refuses to publish (the E3 empty-result-guard philosophy at
       * loop granularity). */
@@ -124,7 +150,12 @@ final case class NightlyLoop(
       * scrub output schema — and every downstream resume — is stable
       * across configurations. */
     scrubPii: Boolean = true,
-    scrubParagraphDedup: Boolean = true) {
+    scrubParagraphDedup: Boolean = true,
+    /** Test seam for the ship stage's torn-export window — forwarded
+      * as `midExportHook` to the snapshot/delta export (runs after
+      * the data copy, before the fence re-check). Production callers
+      * omit it. */
+    shipMidExportHook: () => Unit = () => ()) {
 
   def stageDir(stage: String, night: String): String =
     s"$root/$stage/$name/$night"
@@ -274,9 +305,14 @@ final case class NightlyLoop(
         pii.drop("text").join(d, Seq("id"))
           .withColumnRenamed("dedup_text", "text")
       } else pii
-        // same non-blank paragraph notion as the operator's n_paras
+        // same non-blank paragraph notion as the operator's n_paras:
+        // split on Pattern.quote of the SHARED separator constant, so
+        // the two paragraph notions cannot drift (paragraphDedup
+        // quotes its sep; a raw "\n\n" here happens to behave
+        // identically for this literal but not for any future sep)
         .withColumn("n_paras",
-          size(filter(split(col("text"), "\n\n"),
+          size(filter(split(col("text"), java.util.regex.Pattern.quote(
+              graft.llm.Dedup.DefaultParagraphSep)),
             p => trim(p) =!= "")).cast("long"))
         .withColumn("n_kept", col("n_paras"))
     scrubbed.filter(trim(col("text")) =!= "")
@@ -341,6 +377,77 @@ final case class NightlyLoop(
       trainWithShard(admitted, shard), "shard", "id",
       graft.llm.TextAnalysis.tokenCountWs(col("text")).cast("long"),
       tokenBudget, sepTokens = 1)
+
+  /** Where the ship stage's export chain lives — shared across
+    * nights (dated night dirs and `_chain` coexist under
+    * `ship/<name>/`). Entry names are `e<epoch>_base_<night>` and
+    * `e<epoch>_d<idx>_<night>`, zero-padded so LEXICOGRAPHIC order
+    * IS chain order. */
+  def shipChainRoot: String = s"$root/ship/$name/_chain"
+
+  /** The v5 SHIP stage — the nightly external handoff, resumable.
+    * See the class Scaladoc for the full contract; mechanics:
+    * (1) sweep hard-killed partials (an entry without
+    * `_export_meta`; soft failures already delete their own),
+    * (2) if THIS night already has a completed chain entry, reuse it
+    * (the kill-in-the-write-then-record-gap replay),
+    * (3) otherwise extend the newest epoch with a delta — or open a
+    * new epoch with a fresh base when there is no chain yet or store
+    * maintenance bumped the version out from under it. The receipt
+    * derives from the entry's own `_export_meta`, so a resumed
+    * re-run commits identical values. */
+  private def shipStage(spark: SparkSession, night: String): DataFrame = {
+    import spark.implicits._
+    val chainRoot = new org.apache.hadoop.fs.Path(shipChainRoot)
+    val fs = chainRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    val entries: Seq[String] =
+      if (fs.exists(chainRoot))
+        fs.listStatus(chainRoot).map(_.getPath.getName).sorted.toSeq
+      else Seq.empty
+    val (complete, partial) = entries.partition(n => fs.exists(
+      new org.apache.hadoop.fs.Path(chainRoot, s"$n/_export_meta")))
+    partial.foreach(n => fs.delete(
+      new org.apache.hadoop.fs.Path(chainRoot, n), true))
+    def receipt(kind: String, entry: String): DataFrame = {
+      val m = spark.read
+        .parquet(s"$shipChainRoot/$entry/_export_meta").head()
+      Seq((kind, s"$shipChainRoot/$entry", m.getAs[Int]("version"),
+          m.getAs[Long]("append_seq"), stageDir("release", night),
+          stageDir("provenance", night)))
+        .toDF("ship_kind", "export_dir", "store_version",
+          "head_append_seq", "release_dir", "provenance_dir")
+    }
+    complete.find(_.endsWith(s"_$night")) match {
+      case Some(entry) =>
+        receipt(if (entry.contains("_base_")) "base" else "delta",
+          entry)
+      case None =>
+        val epochOf: String => Int = _.drop(1).takeWhile(_.isDigit).toInt
+        val curEpoch = complete.lastOption.map(epochOf).getOrElse(0)
+        val chain = complete.filter(epochOf(_) == curEpoch)
+        val liveVersion =
+          graft.llm.Dedup.signatureStoreVersion(spark, storePrefix)
+        val chainVersion = chain.headOption.map(e => spark.read
+          .parquet(s"$shipChainRoot/$e/_export_meta").head()
+          .getAs[Int]("version"))
+        if (chainVersion.contains(liveVersion)) {
+          val entry = f"e$curEpoch%04d_d${chain.size}%05d_$night"
+          graft.llm.Dedup.exportSignatureStoreDelta(spark, storePrefix,
+            chain.map(e => s"$shipChainRoot/$e"),
+            s"$shipChainRoot/$entry", midExportHook = shipMidExportHook)
+          receipt("delta", entry)
+        } else {
+          // no chain yet, or maintenance rewrote the store (version
+          // bump — rows may have been removed, which no append-only
+          // delta can express): open a new epoch with a fresh base
+          val entry = f"e${curEpoch + 1}%04d_base_$night"
+          graft.llm.Dedup.exportSignatureStoreSnapshot(spark,
+            storePrefix, s"$shipChainRoot/$entry",
+            midExportHook = shipMidExportHook)
+          receipt("base", entry)
+        }
+    }
+  }
 
   /** The quality GATE between admit and the store mutation: the
     * night's admitted batch must pass its declarative rules BEFORE
@@ -415,7 +522,10 @@ final case class NightlyLoop(
         readStage(spark, "shard", night))),
       "provenance" -> (() => provenanceStage(
         readStage(spark, "scrub", night),
-        readStage(spark, "shard", night))))
+        readStage(spark, "shard", night))),
+      // v5: the external handoff rides the same write-then-record
+      // protocol — a crashed export is inside kill/resume now
+      "ship" -> (() => shipStage(spark, night)))
     cores.foreach { case (st, mk) =>
       if (!done.contains(st)) {
         val dir = stageDir(st, night)
@@ -433,10 +543,12 @@ object NightlyLoop {
   /** The loop's canonical stage order (its analog of
     * [[Stages.Order]]). v2 inserted `gate` BEFORE the store
     * mutation; v3 appended the release chain; v4 inserted `scrub`
-    * between the store mutation and the release chain — old-order
-    * manifests raise PipelineVersionError via the recorded-version
-    * check rather than resuming against the wrong order. */
+    * between the store mutation and the release chain; v5 appended
+    * `ship` (the store-export handoff) after `provenance` —
+    * old-order manifests raise PipelineVersionError via the
+    * recorded-version check rather than resuming against the wrong
+    * order. */
   val StageOrder: Seq[String] =
     Seq("crawl", "ingest", "admit", "gate", "append", "scrub", "pack",
-      "split", "shard", "release", "provenance")
+      "split", "shard", "release", "provenance", "ship")
 }

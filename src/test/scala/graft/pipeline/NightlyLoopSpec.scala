@@ -496,4 +496,124 @@ class NightlyLoopSpec extends SparkSuite {
         Set("id_not_null", "text_not_empty", "min_docs", "unique_id"))
     } finally dropStore("nl_store_gt")
   }
+
+  test("v5 ship: night 1 bases the chain, later nights ship " +
+      "night-sized deltas; chain ≡ live store; kill-in-gap resume " +
+      "reuses the export; torn ship re-runs clean; compaction " +
+      "re-bases in a new epoch") {
+    val root = tmp()
+    freshStore("nl_store_sh")
+    // per-night DISTINCT bodies: shared tokens across nights would be
+    // near-dup candidates and the admit stage would drop the night
+    def warcN(n: Int): DataFrame = Seq(
+      (1L, warcResponse(s"https://h1.example/a$n", "200 OK",
+        s"unique body a$n " +
+          Seq.tabulate(8)(i => s"tok${n}a$i").mkString(" "))),
+      (2L, warcResponse(s"https://h2.example/b$n", "200 OK",
+        s"unique body b$n " +
+          Seq.tabulate(8)(i => s"tok${n}b$i").mkString(" "))))
+      .map { case (i, s) => (i, s.getBytes("UTF-8")) }
+      .toDF("warc_id", "payload")
+    try {
+      val loop = NightlyLoop(root, "nl_store_sh")
+      val m = new Manifest(spark, s"$root/_manifest")
+      def receipt(night: String) =
+        spark.read.parquet(loop.stageDir("ship", night)).head()
+      def chainEntries(): Seq[String] = {
+        val p = new org.apache.hadoop.fs.Path(loop.shipChainRoot)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(p)) fs.listStatus(p).map(_.getPath.getName)
+          .sorted.toSeq
+        else Seq.empty
+      }
+
+      // night 1: no chain yet -> a full base snapshot opens epoch 1
+      loop.runNight(spark, "2026-08-14", m, candidates, rules, warcN(1))
+      val r1 = receipt("2026-08-14")
+      assert(r1.getAs[String]("ship_kind") === "base")
+      assert(r1.getAs[String]("export_dir").contains("e0001_base"))
+      assert(r1.getAs[String]("release_dir") ===
+        loop.stageDir("release", "2026-08-14"))
+
+      // night 2: a delta sized to the NIGHT (2 docs), not the corpus
+      loop.runNight(spark, "2026-08-15", m, candidates, rules, warcN(2))
+      val r2 = receipt("2026-08-15")
+      assert(r2.getAs[String]("ship_kind") === "delta")
+      assert(r2.getAs[String]("export_dir").contains("e0001_d00001"))
+      assert(spark.read
+        .parquet(s"${r2.getAs[String]("export_dir")}/hashes")
+        .count() === 2L)
+      // base + delta ≡ the live store at the head
+      val chain = Dedup.readExportedSignatureStoreChain(spark,
+        Seq(r1.getAs[String]("export_dir"),
+          r2.getAs[String]("export_dir")))
+      def hashSet(df: DataFrame): Seq[String] = df
+        .select("content_hash").collect().map(_.getString(0))
+        .sorted.toSeq
+      assert(hashSet(chain.hashes) === hashSet(
+        Dedup.readSignatureStore(spark, "nl_store_sh").hashes))
+
+      // night 3 killed in ship's write-then-record gap: the export
+      // completed, the manifest never recorded — resume must REUSE
+      // the completed entry, not duplicate it
+      val boom = intercept[RuntimeException] {
+        loop.runNight(spark, "2026-08-16", m, candidates, rules,
+          warcN(3),
+          beforeRecord = st => if (st == "ship") sys.error("kill@ship"))
+      }
+      assert(boom.getMessage === "kill@ship")
+      assert(m.nextStage("2026-08-16", NightlyLoop.StageOrder) ===
+        Some("ship"))
+      def poison: DataFrame = sys.error("feed re-evaluated on resume")
+      loop.runNight(spark, "2026-08-16", m, poison, poison, poison)
+      assert(chainEntries().count(_.endsWith("_2026-08-16")) === 1)
+      assert(receipt("2026-08-16").getAs[String]("ship_kind") ===
+        "delta")
+
+      // night 4 torn mid-export (an append lands inside the fence
+      // window): fails by name, the partial delta is DELETED; the
+      // re-run ships clean and its delta carries the night AND the
+      // interloper
+      var torn = false
+      val loopT = loop.copy(shipMidExportHook = () => if (!torn) {
+        torn = true
+        Dedup.appendToSignatureStore(
+          Seq(("interloper:1",
+            "interloping append lands inside the export window"))
+            .toDF("id", "text"), "id", "text", "nl_store_sh")
+      })
+      val eTorn = intercept[IllegalStateException] {
+        loopT.runNight(spark, "2026-08-17", m, candidates, rules,
+          warcN(4))
+      }
+      assert(eTorn.getMessage.contains("changed while exporting"),
+        eTorn.getMessage)
+      assert(!chainEntries().exists(_.endsWith("_2026-08-17")))
+      loopT.runNight(spark, "2026-08-17", m, poison, poison, poison)
+      val r4 = receipt("2026-08-17")
+      assert(r4.getAs[String]("ship_kind") === "delta")
+      assert(spark.read
+        .parquet(s"${r4.getAs[String]("export_dir")}/hashes")
+        .count() === 3L) // 2 night docs + the interloper
+
+      // store MAINTENANCE between nights bumps the version a delta
+      // cannot express: ship re-bases automatically in a NEW epoch...
+      Dedup.compactSignatureStore(spark, "nl_store_sh")
+      loop.runNight(spark, "2026-08-18", m, candidates, rules, warcN(5))
+      val r5 = receipt("2026-08-18")
+      assert(r5.getAs[String]("ship_kind") === "base")
+      assert(r5.getAs[String]("export_dir").contains("e0002_base"))
+      assert(r5.getAs[Int]("store_version") === 2)
+      // ...and the next night extends the new epoch with a delta
+      loop.runNight(spark, "2026-08-19", m, candidates, rules, warcN(6))
+      val r6 = receipt("2026-08-19")
+      assert(r6.getAs[String]("ship_kind") === "delta")
+      assert(r6.getAs[String]("export_dir").contains("e0002_d00001"))
+      // the new-epoch chain replays to the live store, too
+      assert(hashSet(Dedup.readExportedSignatureStoreChain(spark,
+        Seq(r5.getAs[String]("export_dir"),
+          r6.getAs[String]("export_dir"))).hashes) ===
+        hashSet(Dedup.readSignatureStore(spark, "nl_store_sh").hashes))
+    } finally dropStore("nl_store_sh")
+  }
 }

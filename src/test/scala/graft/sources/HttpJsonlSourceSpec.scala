@@ -111,7 +111,11 @@ class HttpJsonlSourceSpec extends SparkSuite {
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(300000)
+      // bounded AvailableNow drain: block on processAllAvailable
+      // (never a timed awaitTermination — the r14 foot-gun), then stop
+      q.processAllAvailable()
+      q.stop()
+      q.awaitTermination(60000)
       spark.read.parquet(out).collect().map(_.getInt(0)).sorted.toSeq
     }
     try {
