@@ -671,7 +671,50 @@ object Crawl {
     lazy val dangling: DataFrame = danglingThunk()
   }
 
-  private def prInvariants(edges: DataFrame): PrInvariants = {
+  /** r15 small-graph tier threshold — the
+    * [[Dedup.connectedComponents]] `localEdgeThreshold` convention
+    * extended to every iterative graph operator here: a crawl-cycle
+    * edge list at bench/dev scale is a few thousand rows, and each
+    * distributed round costs 2-4 Spark jobs (checkpoint + action)
+    * whose fixed costs dwarf the arithmetic (r15 profile: kCore
+    * construction 3.5 s for microseconds of peeling). At or under the
+    * threshold the loop runs in-process on the collected edge list —
+    * same exact integer arithmetic, same tie-breaks, same output,
+    * spec-pinned per operator. Past it the distributed loop runs
+    * unchanged — the 100 TB path. */
+  private val LocalGraphEdgeThreshold = 2000000L
+
+  /** Total order matching Spark's ORDER BY for the id types graph
+    * operators carry: UTF8 binary for strings (NOT UTF-16 — the
+    * componentsLocal lesson), natural order otherwise. */
+  private def graphLt(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: String, y: String) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
+    case _ => a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+  }
+
+  /** Collect a materialized (localCheckpointed) 2-col edge list when
+    * it is at or under the tier threshold; None past it. */
+  private def edgesIfSmall(e: DataFrame,
+      threshold: Long = LocalGraphEdgeThreshold): Option[Array[(Any, Any)]] =
+    if (e.count() <= threshold)
+      Some(e.collect().map(r => (r.get(0), r.get(1))))
+    else None
+
+  /** One-partition result table with the given fields — local tiers
+    * return through this so the node column keeps its input type. */
+  private def localResult(spark: org.apache.spark.sql.SparkSession,
+      rows: Seq[org.apache.spark.sql.Row],
+      fields: org.apache.spark.sql.types.StructField*): DataFrame =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(fields))
+
+  private def prInvariants(edges: DataFrame): PrInvariants =
+    prInvariantsFromE(
+      edges.select(col("src"), col("dst")).localCheckpoint())
+
+  private def prInvariantsFromE(e: DataFrame): PrInvariants = {
     // Materialize the loop invariants ONCE (lineage truncation, the
     // connectedComponents convention): without this the unrolled plan
     // re-derives edges/nodes/outdeg inside EVERY iteration — the
@@ -682,7 +725,6 @@ object Crawl {
     // the iteration-varying ranks side — at web scale the edge table
     // dwarfs the rank table, and moving it once instead of per
     // iteration is the dominant cost of the loop.
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .repartition(col("node")).localCheckpoint()
@@ -718,11 +760,18 @@ object Crawl {
 
   def pageRankInt(edges: DataFrame, iters: Int, dampNum: Long = 85,
       dampDen: Long = 100,
-      redistributeDangling: Boolean = false): DataFrame = {
+      redistributeDangling: Boolean = false,
+      localEdgeThreshold: Long = LocalGraphEdgeThreshold): DataFrame = {
     require(iters >= 1, "iters must be at least 1")
     require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       s"need 0 <= dampNum <= dampDen, got $dampNum/$dampDen")
-    val inv = prInvariants(edges)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    // r15 small-graph tier (see [[LocalGraphEdgeThreshold]])
+    edgesIfSmall(e, localEdgeThreshold).foreach { es =>
+      return pageRankLocal(e.sparkSession, es, e.schema("src").dataType,
+        iters, dampNum, dampDen, redistributeDangling)
+    }
+    val inv = prInvariantsFromE(e)
     val base = 1000000L * (dampDen - dampNum) / dampDen
     // The redistribution arm needs the CURRENT dangling mass each
     // iteration — a 1-row action per iteration (N is one more). The
@@ -742,6 +791,39 @@ object Crawl {
       if (redistributeDangling && i < iters) ranks = ranks.localCheckpoint()
     }
     ranks
+  }
+
+  /** Driver-local [[pageRankInt]] — bit-identical exact integer
+    * arithmetic on the collected edge list (multi-edges kept: outdeg
+    * and contributions count edge ROWS, exactly as the distributed
+    * join does). */
+  private def pageRankLocal(spark: org.apache.spark.sql.SparkSession,
+      es: Array[(Any, Any)], nodeType: org.apache.spark.sql.types.DataType,
+      iters: Int, dampNum: Long, dampDen: Long,
+      redistribute: Boolean): DataFrame = {
+    val base = 1000000L * (dampDen - dampNum) / dampDen
+    val outdeg = scala.collection.mutable.HashMap.empty[Any, Long]
+    es.foreach { case (s, _) => outdeg(s) = outdeg.getOrElse(s, 0L) + 1L }
+    val nodes: Set[Any] =
+      es.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+    val n = nodes.size.toLong
+    var rank: Map[Any, Long] = nodes.iterator.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val extra =
+        if (!redistribute || n == 0L) 0L
+        else nodes.iterator.filterNot(outdeg.contains).map(rank).sum / n
+      val cs = scala.collection.mutable.HashMap.empty[Any, Long]
+      es.foreach { case (s, d) =>
+        cs(d) = cs.getOrElse(d, 0L) + rank(s) / outdeg(s)
+      }
+      rank = nodes.iterator.map(nd => nd ->
+        (base + dampNum * (cs.getOrElse(nd, 0L) + extra) / dampDen)).toMap
+    }
+    localResult(spark,
+      nodes.toSeq.map(nd => org.apache.spark.sql.Row(nd, rank(nd))),
+      org.apache.spark.sql.types.StructField("node", nodeType),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.LongType))
   }
 
   /** Iterate-to-convergence PageRank: run [[pageRankInt]] iterations
@@ -805,11 +887,32 @@ object Crawl {
     * seed set fails fast. Same scale shape as pageRankInt: invariants
     * checkpoint once, each iteration shuffles only the rank table. */
   def personalizedPageRankInt(edges: DataFrame, seeds: DataFrame,
-      iters: Int, dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+      iters: Int, dampNum: Long = 85, dampDen: Long = 100,
+      localEdgeThreshold: Long = LocalGraphEdgeThreshold): DataFrame = {
     require(iters >= 1, "iters must be at least 1")
     require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       s"need 0 <= dampNum <= dampDen, got $dampNum/$dampDen")
-    val inv = prInvariants(edges)
+    val e0 = edges.select(col("src"), col("dst")).localCheckpoint()
+    // r15 small-graph tier (see [[LocalGraphEdgeThreshold]]): seeds
+    // still resolve against the graph through a Spark semi-join (the
+    // seed table's size is caller-shaped, never assumed driver-sized)
+    edgesIfSmall(e0, localEdgeThreshold).foreach { es =>
+      val spark = e0.sparkSession
+      val nodeType = e0.schema("src").dataType
+      val nodes: Set[Any] =
+        es.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+      val nodesDf = localResult(spark,
+        nodes.toSeq.map(org.apache.spark.sql.Row(_)),
+        org.apache.spark.sql.types.StructField("node", nodeType))
+      val sdl = seeds.select(col(seeds.columns.head).as("node")).distinct()
+        .join(nodesDf, Seq("node"), "left_semi")
+        .collect().map(_.get(0)).toSet
+      require(sdl.nonEmpty,
+        "personalizedPageRankInt: no seed appears in the graph")
+      return personalizedPageRankLocal(spark, es, nodeType, nodes, sdl,
+        iters, dampNum, dampDen)
+    }
+    val inv = prInvariantsFromE(e0)
     val sd = seeds.select(col(seeds.columns.head).as("node")).distinct()
       .join(inv.nodes, Seq("node"), "left_semi").localCheckpoint()
     val s = sd.count() // 1-row action
@@ -836,6 +939,39 @@ object Crawl {
     ranks
   }
 
+  /** Driver-local [[personalizedPageRankInt]] — same exact integer
+    * arithmetic (BigInt seed base, per-edge-row contributions, left
+    * coalesce-0), on the collected edge list. */
+  private def personalizedPageRankLocal(
+      spark: org.apache.spark.sql.SparkSession, es: Array[(Any, Any)],
+      nodeType: org.apache.spark.sql.types.DataType, nodes: Set[Any],
+      sd: Set[Any], iters: Int, dampNum: Long, dampDen: Long): DataFrame = {
+    val n = nodes.size.toLong
+    val s = sd.size.toLong
+    val baseSeed = (BigInt(1000000L) * (dampDen - dampNum) * n /
+      (BigInt(dampDen) * s)).toLong
+    val outdeg = scala.collection.mutable.HashMap.empty[Any, Long]
+    es.foreach { case (src, _) =>
+      outdeg(src) = outdeg.getOrElse(src, 0L) + 1L
+    }
+    var rank: Map[Any, Long] = nodes.iterator.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val cs = scala.collection.mutable.HashMap.empty[Any, Long]
+      es.foreach { case (src, d) =>
+        cs(d) = cs.getOrElse(d, 0L) + rank(src) / outdeg(src)
+      }
+      rank = nodes.iterator.map { nd =>
+        val base = if (sd.contains(nd)) baseSeed else 0L
+        nd -> (base + dampNum * cs.getOrElse(nd, 0L) / dampDen)
+      }.toMap
+    }
+    localResult(spark,
+      nodes.toSeq.map(nd => org.apache.spark.sql.Row(nd, rank(nd))),
+      org.apache.spark.sql.types.StructField("node", nodeType),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.LongType))
+  }
+
   /** Synchronous label propagation (community detection): every node
     * starts as its own community and each round adopts the most
     * frequent label among its neighbors (ties → smallest label) —
@@ -850,7 +986,8 @@ object Crawl {
     * aggregates ((node, label) counts, then a `min_by` winner per
     * node) — no window, no driver state; labels localCheckpoint per
     * round (the pageRankInt lineage discipline). */
-  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+  def labelPropagation(edges: DataFrame, iters: Int,
+      localEdgeThreshold: Long = LocalGraphEdgeThreshold): DataFrame = {
     require(iters >= 1, "iters must be at least 1")
     val cols = edges.columns
     val e0 = edges.select(col(cols(0)).as("src"), col(cols(1)).as("dst"))
@@ -858,6 +995,11 @@ object Crawl {
     val e = e0
       .union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().repartition(col("dst")).localCheckpoint()
+    // r15 small-graph tier (see [[LocalGraphEdgeThreshold]])
+    edgesIfSmall(e, localEdgeThreshold).foreach { es =>
+      return labelPropagationLocal(e.sparkSession, es,
+        e.schema("src").dataType, iters)
+    }
     val nodes = e.select(col("src").as("node")).distinct()
     var labels = nodes.select(col("node"), col("node").as("lbl"))
       .localCheckpoint()
@@ -871,6 +1013,37 @@ object Crawl {
         .localCheckpoint()
     }
     labels
+  }
+
+  /** Driver-local [[labelPropagation]] — the same synchronous rounds
+    * on the collected symmetrized edge list: every node adopts the
+    * most frequent previous-round neighbor label, ties to the
+    * smallest label in Spark's ordering ([[graphLt]]). */
+  private def labelPropagationLocal(
+      spark: org.apache.spark.sql.SparkSession, es: Array[(Any, Any)],
+      nodeType: org.apache.spark.sql.types.DataType, iters: Int): DataFrame = {
+    val nodes: Set[Any] = es.iterator.map(_._1).toSet
+    var lbl: Map[Any, Any] = nodes.iterator.map(nd => nd -> nd).toMap
+    for (_ <- 1 to iters) {
+      val votes =
+        scala.collection.mutable.HashMap.empty[(Any, Any), Long]
+      es.foreach { case (src, dst) =>
+        val k = (src, lbl(dst))
+        votes(k) = votes.getOrElse(k, 0L) + 1L
+      }
+      val best = scala.collection.mutable.HashMap.empty[Any, (Any, Long)]
+      votes.foreach { case ((node, l), c) =>
+        best.get(node) match {
+          case Some((bl, bc)) if c < bc || (c == bc && !graphLt(l, bl)) => ()
+          case _ => best(node) = (l, c)
+        }
+      }
+      lbl = nodes.iterator.map(nd => nd -> best(nd)._1).toMap
+    }
+    localResult(spark,
+      nodes.toSeq.map(nd => org.apache.spark.sql.Row(nd, lbl(nd))),
+      org.apache.spark.sql.types.StructField("node", nodeType),
+      org.apache.spark.sql.types.StructField("lbl", nodeType))
   }
 
   /** HITS hubs & authorities (Kleinberg 1999) over the crawl link
@@ -895,11 +1068,17 @@ object Crawl {
     *
     * Output: (node, hub, auth) — micro-units, top score ≈ 10⁶. */
   def hitsInt(edges: DataFrame, srcCol: String = "src",
-      dstCol: String = "dst", iters: Int = 2): DataFrame = {
+      dstCol: String = "dst", iters: Int = 2,
+      localEdgeThreshold: Long = LocalGraphEdgeThreshold): DataFrame = {
     require(iters >= 1, "iters must be at least 1")
     val e = edges.select(col(srcCol).as("_h_src"), col(dstCol).as("_h_dst"))
       .filter(col("_h_src").isNotNull && col("_h_dst").isNotNull)
       .distinct().localCheckpoint()
+    // r15 small-graph tier (see [[LocalGraphEdgeThreshold]])
+    edgesIfSmall(e, localEdgeThreshold).foreach { es =>
+      return hitsLocal(e.sparkSession, es, e.schema("_h_src").dataType,
+        iters)
+    }
     val nodes = e.select(col("_h_src").as("node"))
       .union(e.select(col("_h_dst").as("node")))
       .distinct().localCheckpoint()
@@ -927,6 +1106,44 @@ object Crawl {
       scores = hub.join(auth, Seq("node")).localCheckpoint()
     }
     scores
+  }
+
+  /** Driver-local [[hitsInt]] — the same exact integer half-
+    * iterations (auth from hub, hub from the NEW auth, integral
+    * max-renormalization `div max(1, max(raw) div 10⁶)`) on the
+    * collected deduped edge list. */
+  private def hitsLocal(spark: org.apache.spark.sql.SparkSession,
+      es: Array[(Any, Any)], nodeType: org.apache.spark.sql.types.DataType,
+      iters: Int): DataFrame = {
+    val nodes: Set[Any] =
+      es.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+    var hub: Map[Any, Long] = nodes.iterator.map(_ -> 1000000L).toMap
+    var auth: Map[Any, Long] = hub
+    def rescale(raw: scala.collection.Map[Any, Long]): Map[Any, Long] = {
+      val m = if (raw.isEmpty) 0L else raw.valuesIterator.max
+      val s = math.max(1L, m / 1000000L)
+      nodes.iterator.map(nd => nd -> raw.getOrElse(nd, 0L) / s).toMap
+    }
+    for (_ <- 1 to iters) {
+      val aRaw = scala.collection.mutable.HashMap.empty[Any, Long]
+      es.foreach { case (src, dst) =>
+        aRaw(dst) = aRaw.getOrElse(dst, 0L) + hub(src)
+      }
+      auth = rescale(aRaw)
+      val hRaw = scala.collection.mutable.HashMap.empty[Any, Long]
+      es.foreach { case (src, dst) =>
+        hRaw(src) = hRaw.getOrElse(src, 0L) + auth(dst)
+      }
+      hub = rescale(hRaw)
+    }
+    localResult(spark,
+      nodes.toSeq.map(nd =>
+        org.apache.spark.sql.Row(nd, hub(nd), auth(nd))),
+      org.apache.spark.sql.types.StructField("node", nodeType),
+      org.apache.spark.sql.types.StructField("hub",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("auth",
+        org.apache.spark.sql.types.LongType))
   }
 
   /** Crawl snapshot diff: classify every URL across two crawl
@@ -1181,7 +1398,8 @@ object Crawl {
     * graphs, O(n) for a bare path — size maxIter to the graph).
     * Output: (node, peel_round, in_core). */
   def kCore(edges: DataFrame, k: Int, srcCol: String = "src",
-      dstCol: String = "dst", maxIter: Int = 30): DataFrame = {
+      dstCol: String = "dst", maxIter: Int = 30,
+      localEdgeThreshold: Long = LocalGraphEdgeThreshold): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
     def nodesOf(e: DataFrame): DataFrame =
@@ -1193,6 +1411,13 @@ object Crawl {
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .distinct().localCheckpoint()
+    // r15 small-graph tier (see [[LocalGraphEdgeThreshold]]) — the
+    // edge list is already canonicalized (a < b, simple), so the
+    // driver loop needs no ordering of its own
+    edgesIfSmall(live, localEdgeThreshold).foreach { es =>
+      return kCoreLocal(live.sparkSession, es,
+        live.schema("a").dataType, k, maxIter)
+    }
     val allNodes = nodesOf(live).localCheckpoint()
     var nodesBefore = allNodes
     var drops = List.empty[DataFrame]
@@ -1228,5 +1453,53 @@ object Crawl {
     allNodes.join(dropped, Seq("node"), "left")
       .select(col("node"), col("peel_round"),
         col("peel_round").isNull.as("in_core"))
+  }
+
+  /** Driver-local [[kCore]] — the same peeling rounds on the
+    * collected canonical edge list: per round drop degree-&lt;k
+    * nodes, a node leaves with the round that removed it from the
+    * live node set (including isolation), core members carry NULL
+    * peel_round. Same maxIter fail-fast. */
+  private def kCoreLocal(spark: org.apache.spark.sql.SparkSession,
+      es: Array[(Any, Any)], nodeType: org.apache.spark.sql.types.DataType,
+      k: Int, maxIter: Int): DataFrame = {
+    val allNodes: Set[Any] =
+      es.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+    val peel = scala.collection.mutable.HashMap.empty[Any, Int]
+    var live = es
+    var nodesBefore = allNodes
+    var round = 0
+    var done = false
+    while (!done) {
+      val deg = scala.collection.mutable.HashMap.empty[Any, Long]
+      live.foreach { case (a, b) =>
+        deg(a) = deg.getOrElse(a, 0L) + 1L
+        deg(b) = deg.getOrElse(b, 0L) + 1L
+      }
+      val low = deg.iterator.filter(_._2 < k).map(_._1).toSet
+      if (low.isEmpty) done = true
+      else {
+        if (round >= maxIter) throw new IllegalStateException(
+          s"kCore did not reach a fixpoint in $maxIter rounds — " +
+            "raise maxIter (peel depth is graph-shaped; a long path " +
+            "peels one layer per round)")
+        live = live.filter { case (a, b) => !low(a) && !low(b) }
+        val nodesAfter: Set[Any] =
+          live.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+        (nodesBefore -- nodesAfter).foreach(nd => peel(nd) = round)
+        nodesBefore = nodesAfter
+        round += 1
+      }
+    }
+    localResult(spark,
+      allNodes.toSeq.map { nd =>
+        val pr: Any = peel.get(nd).map(Int.box).orNull
+        org.apache.spark.sql.Row(nd, pr, !peel.contains(nd))
+      },
+      org.apache.spark.sql.types.StructField("node", nodeType),
+      org.apache.spark.sql.types.StructField("peel_round",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("in_core",
+        org.apache.spark.sql.types.BooleanType))
   }
 }

@@ -113,9 +113,25 @@ object Dedup {
       blockCols: Seq[String] = Seq.empty, shingleN: Int = 3,
       threshold: Double = 0.5, dfCap: Long = 10000L): DataFrame = {
     graft.expressions.NativeFunctions.register(df.sparkSession)
-    val base = df.select(
-      (col(idCol).as("id") +: blockCols.map(col)) :+
+    // r15 small-input tier: when the projected input is too small to
+    // feed every core from its file splits (one row group at bench SF
+    // — Par.isSmall), fan it out by id AND materialize the hashed
+    // shingle arrays ONCE (localCheckpoint), so the four consumers
+    // below read cached arrays instead of each re-running the
+    // single-task scan+shingle+hash. Past the gate — the 100 TB path —
+    // the plan is byte-identical to before: recompute-per-consumer,
+    // no corpus-sized cache, no added exchange.
+    val projIn = df.select(
+      (col(idCol).as("id") +: blockCols.map(col)) :+ col(textCol): _*)
+    val small = graft.ops.Par.isSmall(projIn)
+    val fanned =
+      if (small) projIn.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, col("id"))
+      else projIn
+    val base0 = fanned.select(
+      (col("id") +: blockCols.map(col)) :+
         expr(s"graft_shingle_hashes(`$textCol`, $shingleN)").as("sh"): _*)
+    val base = if (small) base0.localCheckpoint() else base0
     // The exploded set is consumed by four subtrees (df counts, both
     // self-join sides, hot-set collection), each recomputing the
     // scan+hash — deliberately: a shared explicit exchange was measured
@@ -123,7 +139,8 @@ object Dedup {
     // consumers sit under different parents (one inside a
     // BroadcastExchange), so the extra full-set shuffle just added IO.
     // Recompute-per-consumer is map-parallel and cheap relative to the
-    // joins it feeds.
+    // joins it feeds. (At bench SF the small-input tier above replaces
+    // the recompute with one cached pass.)
     val ex = base.select(
       (col("id") +: blockCols.map(col)) ++
         Seq(size(col("sh")).as("sz"), explode(col("sh")).as("g")): _*)

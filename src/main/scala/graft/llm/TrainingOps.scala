@@ -634,9 +634,10 @@ object TrainingOps {
     * sample; the incremental loop here then bounds the per-round
     * cost, and the one corpus-sized pass is the sampler's. */
   def trainBpe(df: DataFrame, textCol: String, numMerges: Int,
-      checkpointEvery: Int = 5): DataFrame =
+      checkpointEvery: Int = 5,
+      localWordThreshold: Long = LocalWordThreshold): DataFrame =
     trainBpeFromWords(bpeWordTable(df, textCol), numMerges,
-      checkpointEvery)
+      checkpointEvery, localWordThreshold)
 
   /** Byte-level BPE training (the GPT-family lineage): the word table
     * holds each word's UTF-8 BYTES as two-hex-digit symbols
@@ -650,17 +651,98 @@ object TrainingOps {
     * [[byteBpeEncode]]. Output: (merge_idx, left, right, cnt) with
     * left/right/merged tokens as lowercase hex byte runs. */
   def trainBpeBytes(df: DataFrame, textCol: String, numMerges: Int,
-      checkpointEvery: Int = 5): DataFrame =
+      checkpointEvery: Int = 5,
+      localWordThreshold: Long = LocalWordThreshold): DataFrame =
     trainBpeFromWords(bpeByteWordTable(df, textCol), numMerges,
-      checkpointEvery)
+      checkpointEvery, localWordThreshold)
+
+  /** Small-table tier threshold for the trainers (r15, guide §1.2):
+    * like [[Dedup.connectedComponents]]'s `localEdgeThreshold`, when
+    * the DISTINCT-WORD table — orders of magnitude below the corpus,
+    * and sample-bounded by the production contract anyway — fits
+    * comfortably on the driver, the merge loop runs in process:
+    * microseconds per round instead of 2-3 Spark jobs per round
+    * (profiled r15: the per-round TakeOrdered + delta + checkpoint
+    * jobs were ~90% of trainer wall at bench SF). Same selections,
+    * same tie-breaks (UTF8 binary string order — Spark's, not
+    * UTF-16's), same output, spec-pinned against the distributed
+    * loop. Past the threshold the distributed loop runs unchanged. */
+  private val LocalWordThreshold = 2000000L
+
+  /** UTF8 binary comparison — the collation Spark's ORDER BY applies
+    * to strings; Java's UTF-16 compareTo disagrees for supplementary-
+    * plane characters (the [[Dedup.componentsLocal]] lesson). */
+  private def utf8Lt(a: String, b: String): Boolean =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+
+  /** Split a bracketed symbol string back into its symbols (the
+    * inverse of the word tables' array_join). */
+  private def splitSym(sym: String): Array[String] =
+    sym.substring(1, sym.length - 1)
+      .split(java.util.regex.Pattern.quote(BpeSep + BpeSep), -1)
+
+  /** Driver-local BPE merge loop over a collected word table —
+    * bit-identical to the distributed incremental loop: exact
+    * freq-weighted adjacent-pair counts recomputed per round, top-1
+    * by (count desc, left, right) in UTF8 order, greedy
+    * non-overlapping left-to-right replacement (String.replace —
+    * the same literal scan-and-skip as Spark's UTF8String.replace),
+    * early stop when no pair remains. */
+  private def trainBpeLocal(words0: Array[(String, Long)],
+      numMerges: Int): Seq[(Int, String, String, Long)] = {
+    val sep = BpeSep
+    var ws = words0
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var i = 0
+    var done = false
+    while (i < numMerges && !done) {
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      ws.foreach { case (sym, f) =>
+        val s = splitSym(sym)
+        var j = 0
+        while (j < s.length - 1) {
+          val k = (s(j), s(j + 1))
+          pc(k) = pc.getOrElse(k, 0L) + f
+          j += 1
+        }
+      }
+      if (pc.isEmpty) done = true
+      else {
+        var bl: String = null; var br: String = null; var bc = 0L
+        pc.foreach { case ((l, r), c) =>
+          if (bl == null || c > bc ||
+            (c == bc && (utf8Lt(l, bl) ||
+              (l == bl && utf8Lt(r, br))))) {
+            bl = l; br = r; bc = c
+          }
+        }
+        merges += ((i, bl, br, bc))
+        val pat = sep + bl + sep + sep + br + sep
+        val rep = sep + bl + br + sep
+        ws = ws.map { case (sym, f) =>
+          (if (sym.contains(pat)) sym.replace(pat, rep) else sym, f)
+        }
+        i += 1
+      }
+    }
+    merges.toSeq
+  }
 
   private def trainBpeFromWords(words0: DataFrame, numMerges: Int,
-      checkpointEvery: Int): DataFrame = {
+      checkpointEvery: Int, localWordThreshold: Long): DataFrame = {
     require(numMerges >= 1, "numMerges must be at least 1")
     require(checkpointEvery >= 1, "checkpointEvery must be at least 1")
     val spark = words0.sparkSession
     val sep = BpeSep
     var words = words0.localCheckpoint()
+    if (words.count() <= localWordThreshold) {
+      import spark.implicits._
+      val ws = words.collect().map(r => (r.getString(0), r.getLong(1)))
+      return trainBpeLocal(ws, numMerges)
+        .toDF("merge_idx", "left", "right", "cnt")
+    }
     var pairCounts = bpePairRows(words)
       .groupBy("l", "r").agg(sum("cnt").as("cnt"))
       .filter(col("cnt") > 0)
@@ -1030,12 +1112,22 @@ object TrainingOps {
     * guard: total symbol occurrences must stay ≤ 3·10⁹ so the exact
     * nano-unit arithmetic cannot overflow BIGINT. */
   def trainWordPiece(df: DataFrame, textCol: String, numMerges: Int,
-      checkpointEvery: Int = 5): DataFrame = {
+      checkpointEvery: Int = 5,
+      localWordThreshold: Long = LocalWordThreshold): DataFrame = {
     require(numMerges >= 1, "numMerges must be at least 1")
     require(checkpointEvery >= 1, "checkpointEvery must be at least 1")
     val spark = df.sparkSession
     val sep = BpeSep
     var words = wpWordTable(df, textCol).localCheckpoint()
+    // small-table tier (see [[LocalWordThreshold]]): the whole
+    // likelihood loop on the collected word table, same exact
+    // nano-score selection, same guard, spec-pinned vs distributed
+    if (words.count() <= localWordThreshold) {
+      import spark.implicits._
+      val ws = words.collect().map(r => (r.getString(0), r.getLong(1)))
+      return trainWordPieceLocal(ws, numMerges)
+        .toDF("merge_idx", "left", "right", "cnt", "score_nano")
+    }
     val totRow = wpSymFreqs(words).agg(sum("f")).collect()
     val total =
       if (totRow.isEmpty || totRow(0).isNullAt(0)) 0L
@@ -1074,6 +1166,67 @@ object TrainingOps {
     }
     import spark.implicits._
     merges.toSeq.toDF("merge_idx", "left", "right", "cnt", "score_nano")
+  }
+
+  /** Driver-local WordPiece likelihood loop over a collected word
+    * table — bit-identical to the distributed loop: exact
+    * freq-weighted pair counts and symbol freqs recomputed per
+    * round, `score_nano = (cnt·10⁹) div (f_l·f_r)` in Long
+    * arithmetic (positive operands — Java `/` IS Spark's `div`
+    * here), top-1 by (score desc, cnt desc, left, right) in UTF8
+    * order, the same 3·10⁹ total-occurrence guard. */
+  private def trainWordPieceLocal(words0: Array[(String, Long)],
+      numMerges: Int): Seq[(Int, String, String, Long, Long)] = {
+    val sep = BpeSep
+    var ws = words0
+    val total = ws.iterator.map { case (sym, f) =>
+      splitSym(sym).length.toLong * f
+    }.sum
+    require(total <= 3000000000L,
+      s"trainWordPiece: $total symbol occurrences exceed the 3e9 " +
+        "exact-nano-score bound - train on a bounded sample " +
+        "(Selection.sampleWeightedK), the production contract")
+    val merges = scala.collection.mutable
+      .ArrayBuffer.empty[(Int, String, String, Long, Long)]
+    var i = 0
+    var done = false
+    while (i < numMerges && !done) {
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      val freqs = scala.collection.mutable.HashMap.empty[String, Long]
+      ws.foreach { case (sym, f) =>
+        val s = splitSym(sym)
+        var j = 0
+        while (j < s.length) {
+          freqs(s(j)) = freqs.getOrElse(s(j), 0L) + f
+          if (j < s.length - 1) {
+            val k = (s(j), s(j + 1))
+            pc(k) = pc.getOrElse(k, 0L) + f
+          }
+          j += 1
+        }
+      }
+      if (pc.isEmpty) done = true
+      else {
+        var bl: String = null; var br: String = null
+        var bc = 0L; var bs = 0L
+        pc.foreach { case ((l, r), c) =>
+          val s = (c * WpScoreScale) / (freqs(l) * freqs(r))
+          if (bl == null || s > bs || (s == bs && (c > bc ||
+            (c == bc && (utf8Lt(l, bl) ||
+              (l == bl && utf8Lt(r, br))))))) {
+            bl = l; br = r; bc = c; bs = s
+          }
+        }
+        merges += ((i, bl, br, bc, bs))
+        val pat = sep + bl + sep + sep + br + sep
+        val rep = sep + wpMerged(bl, br) + sep
+        ws = ws.map { case (sym, f) =>
+          (if (sym.contains(pat)) sym.replace(pat, rep) else sym, f)
+        }
+        i += 1
+      }
+    }
+    merges.toSeq
   }
 
   /** The trained WordPiece VOCABULARY: replay the merge table over

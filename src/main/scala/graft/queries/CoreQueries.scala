@@ -172,7 +172,11 @@ object CoreQueries {
 
     // D18: JSON field extraction from the events.props JSON string.
     "q18_json_extract" -> ((s, d) =>
-      T.events(s, d)
+      // r15: per-row JSON parse over a single-row-group scan ran on one
+      // core — scale-gated fan-out first (guide §2.5, Par.fanOut)
+      graft.ops.Par.fanOut(
+          T.events(s, d).select(col("event_id"), col("props")),
+          col("event_id"))
         .select(col("event_id"), F.jsonGet(col("props"), "$.k").as("k_val"))
         .orderBy("event_id")),
 
@@ -207,6 +211,8 @@ object CoreQueries {
 
     // §2.7 aggregation capability: TPC-H Q1 shape, exact decimal money math.
     "q22_agg_rollup" -> ((s, d) => {
+      // r15: fan-out A/B'd and REJECTED here (1.13×): the partial-agg
+      // map work is too cheap per row to beat 32 tasks' fixed costs
       val li = T.lineitem(s, d)
       val qty = col("l_quantity").cast(DecimalType(18, 2))
       val price = col("l_extendedprice").cast(DecimalType(18, 2))
@@ -275,6 +281,7 @@ object CoreQueries {
     // §2.7 grouping-sets capability: ROLLUP with sentinel-coalesced
     // subtotal rows (avoids engine-specific NULL ordering).
     "q46_rollup_agg" -> ((s, d) =>
+      // r15: fan-out A/B'd and rejected (same verdict as q22)
       T.lineitem(s, d)
         .rollup("l_returnflag", "l_linestatus")
         .agg(

@@ -58,7 +58,11 @@ object ExtQueries {
 
     // Document fingerprint: min-SHA256 over word 5-grams (1-perm MinHash).
     "q29_fingerprint" -> ((s, d) =>
-      T.documents(s, d)
+      // r15: per-row 5-gram SHA fingerprint ran in the single scan task
+      // — scale-gated fan-out first (guide §2.5, Par.fanOut)
+      graft.ops.Par.fanOut(
+          T.documents(s, d).select(col("doc_id"), col("text")),
+          col("doc_id"))
         .select(col("doc_id"), TA.fingerprint(col("text"), 5).as("fingerprint"))
         .orderBy("doc_id")),
 
@@ -66,6 +70,8 @@ object ExtQueries {
     // lang — shuffles Σ|shingles| rows, never materializes the O(n²)
     // pair space (SURVEY.md scale posture).
     "q30_ngram_jaccard_pairs" -> ((s, d) =>
+      // r15: fan-out A/B'd and rejected (1.13× — the inverted-index
+      // joins dominate, not the shingle map; see OPTIMIZATION_r15.md)
       Dedup.jaccardPairs(T.documents(s, d), "doc_id", "text",
           blockCols = Seq("lang"), shingleN = 3, threshold = 0.03)
         .orderBy("doc_a", "doc_b")),
@@ -107,6 +113,8 @@ object ExtQueries {
     // ANN scale path #2: IVF (k-means inverted file, FAISS-style) —
     // rows-only (clustering is engine-local by construction).
     "q44_ann_ivf_topk" -> ((s, d) => {
+      // r15: fan-out A/B'd and rejected (1.85× — bounded-state
+      // aggregate's per-task fixed cost outweighs the map parallelism)
       val emb = T.embeddings(s, d)
       Similarity.topKIvf(emb.filter(col("vec_id") < 8), emb,
           "vec_id", "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
@@ -195,6 +203,7 @@ object ExtQueries {
     // Time-series rollup on the stream-shaped table (batch counterpart
     // of the streaming windowed aggregation in graft.streaming).
     "q37_hourly_rollup" -> ((s, d) => {
+      // r15: fan-out A/B'd and rejected (1.76× — agg map too cheap)
       val ev = T.events(s, d)
       ev.select(
           date_format(timestamp_millis(T.tsMillis(ev, "ts")), "yyyy-MM-dd HH")
@@ -246,7 +255,10 @@ object ExtQueries {
     // set (every 97th doc as the stand-in benchmark) in each corpus
     // doc; probe shingle index broadcast, corpus never shuffles.
     "q53_decontam" -> ((s, d) => {
-      val docs = T.documents(s, d)
+      // r15: the corpus-side shingle pass ran in the single scan task —
+      // fan out the corpus side only (the probe side stays broadcast)
+      val docs = graft.ops.Par.fanOut(
+        T.documents(s, d).select("doc_id", "text"), col("doc_id"))
       TrainingOps.decontaminate(docs, docs.filter(col("doc_id") % 97 === 0),
           "doc_id", "doc_id", "text", shingleN = 3, threshold = 0.5)
         .orderBy("corpus_id", "probe_id")

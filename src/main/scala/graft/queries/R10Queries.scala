@@ -736,6 +736,8 @@ object R10Queries {
         element_at(arr, (pmod(id, lit(6)) + 1).cast("int")),
         element_at(arr, (pmod(id * 2 + 1, lit(6)) + 1).cast("int")),
         element_at(arr, (pmod(id * 3 + 2, lit(6)) + 1).cast("int")))
+      // r15: fan-out A/B'd and rejected in both shapes (q122's verdict:
+      // all-fanned 1.86×, serving-only 1.66×)
       val docs = T.documents(s, d).select(id, text.as("text"))
       val merges = graft.llm.TrainingOps.trainWordPiece(
           docs.select(col("text")), "text", numMerges = 6)

@@ -248,7 +248,11 @@ object R11Queries {
     // exact integer edit distance in both engines, so the oracle
     // replays blocking, cap, and tie-break verbatim.
     "q197_fuzzy_link" -> ((s, d) => {
-      val parts = T.part(s, d).select(col("p_partkey"), col("p_name"))
+      // r15: blocking explode + capped Levenshtein ran in the single
+      // scan task — fan the catalog side out (guide §2.5)
+      val parts = graft.ops.Par.fanOut(
+        T.part(s, d).select(col("p_partkey"), col("p_name")),
+        col("p_partkey"))
       val probes = parts.filter(col("p_partkey") % 37 === 0)
         .withColumn("_pos",
           expr("(p_partkey div 37) % length(p_name)").cast("int"))
@@ -561,9 +565,14 @@ object R11Queries {
     // carries words through the same 6 rounds and joins tokens to
     // their final segmentations.
     "q213_byte_bpe_encode" -> ((s, d) => {
-      val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+      // r15: the encode is the most expensive per-row map in the bench
+      // (profile: 11 s in ONE task — the single-row-group scan feeds one
+      // core); fan the SERVING pass out (guide §2.5, Par.fanOut; the
+      // training input stays unfanned per the q122/q178 split verdict)
+      val docs0 = T.documents(s, d).select(col("doc_id"), col("text"))
+      val docs = graft.ops.Par.fanOut(docs0, col("doc_id"))
       val merges = graft.llm.TrainingOps.trainBpeBytes(
-        docs.select(col("text")), "text", numMerges = 6)
+        docs0.select(col("text")), "text", numMerges = 6)
         .orderBy("merge_idx").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       docs.select(col("doc_id"),

@@ -149,6 +149,8 @@ object R12Queries {
       import org.apache.spark.sql.expressions.Window
       // rank window over ≤ 50 rows — bounded by the PARAMETER k,
       // not the corpus (the q60/q65 small-window convention)
+      // r15: fan-out A/B'd and rejected (1.25× — the bounded top-k
+      // heap aggregate dominates, not the tokenize map)
       val lex = graft.llm.Search
         .bm25Search(T.documents(s, d), "doc_id", "text",
           terms = Seq("spark", "join", "window"), k = 50)

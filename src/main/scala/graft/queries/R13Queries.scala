@@ -72,8 +72,12 @@ object R13Queries {
         lit(".4."), pmod(id, lit(250)).cast("string"),
         lit(" call +1 555-01"),
         lpad(pmod(id, lit(100)).cast("string"), 2, "0"))
+      // r15: six per-row regex passes ran in the single scan task —
+      // scale-gated fan-out first (guide §2.5, Par.fanOut)
       graft.llm.TextAnalysis.piiRedact(
-          T.documents(s, d).select(id, text2.as("text2")),
+          graft.ops.Par.fanOut(
+              T.documents(s, d).select(id, col("text")), id)
+            .select(id, text2.as("text2")),
           "doc_id", "text2")
         .orderBy("doc_id")
     }),
@@ -98,6 +102,8 @@ object R13Queries {
         lit("Shared cookie banner for "), col("source"),
         lit("\n\n"), col("text"), lit("\n\n"),
         lit("License footer "), col("lang"))
+      // r15: fan-out A/B'd and rejected (3.16× — the keys-only election
+      // already runs in 0.6 s; the added exchange only cost)
       graft.llm.Dedup.paragraphDedup(
           T.documents(s, d).select(id, text2.as("text2")),
           "doc_id", "text2")

@@ -45,8 +45,14 @@ object R14Queries {
         lit(" call +1 555-01"),
         lpad(pmod(id, lit(100)).cast("string"), 2, "0"),
         lit("\n\nLicense footer "), col("lang"))
+      // r15: both chain stages' map work (six regex passes, paragraph
+      // split+hash+rebuild) ran in the single scan task — fan out once
+      // at the chain head (guide §2.5); both stages inherit it
       val pii = graft.llm.TextAnalysis.piiRedact(
-        T.documents(s, d).select(id, text2.as("text2")),
+        graft.ops.Par.fanOut(
+            T.documents(s, d).select(id, col("source"), col("lang"),
+              col("text")), id)
+          .select(id, text2.as("text2")),
         "doc_id", "text2")
       val para = graft.llm.Dedup.paragraphDedup(
         pii.select(id, col("redacted")), "doc_id", "redacted")

@@ -53,12 +53,16 @@ object R3Queries {
     // (Σ df, linear), never self-joined (no Σ df² pair blow-up) — the
     // audit that sizes jaccardPairs' df-cap at scale.
     "q59_dup_shingles" -> ((s, d) =>
+      // r15: fan-out A/B'd and rejected (1.44× — the counted inverted
+      // index shuffles dominate, not the shingle map)
       Dedup.dupShingleStats(T.documents(s, d), "doc_id", "text", shingleN = 3)
         .orderBy("doc_id")),
 
     // [EXT] KMV distinct sketch vs exact, per event type. Portable by
     // construction (SHA-256-derived hashes), unlike HLL.
     "q60_kmv_distinct" -> ((s, d) =>
+      // r15: fan-out A/B'd and rejected (1.73× — sketch partials are
+      // too cheap per row to amortize 32 tasks' fixed costs)
       Sketches.kmvDistinct(T.events(s, d), Seq("event_type"), "user_id", k = 64)
         .select("event_type", "exact_distinct", "n_kept", "kmv_est")
         .orderBy("event_type")),

@@ -73,6 +73,8 @@ object R4Queries {
     // as q53's broadcast tier — same oracle SQL — different wire
     // shape for the regime where the probe index can't broadcast.
     "q85_decontam_bloom" -> ((s, d) => {
+      // r15: fan-out A/B'd and rejected (1.07× — unlike q53's broadcast
+      // tier, the Bloom build + shuffle join dominates, not the map)
       val docs = T.documents(s, d)
       graft.llm.TrainingOps.decontaminateBloom(docs,
           docs.filter(col("doc_id") % 97 === 0),

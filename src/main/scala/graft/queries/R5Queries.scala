@@ -122,6 +122,10 @@ object R5Queries {
       // 1-in-5 subsample: per-image ImageIO reader setup dominates at
       // bench scale; thousands of decoded images still hash-gate the
       // pixel path and the oracle applies the same predicate.
+      // r15: fan-out A/B'd and REJECTED (2.46×): ImageIO decode goes
+      // through the JDK's global synchronized registry, so 32
+      // same-JVM tasks contend instead of scaling (fine on a real
+      // cluster where executors are separate JVMs; harmful here)
       val decoded = graft.llm.Multimodal.decodeImage(
         T.part(s, d).filter(pmod(k, lit(5)) === 0)
           .select(k.as("id"), payload.as("payload")),
@@ -157,6 +161,7 @@ object R5Queries {
         le32(rate), le32(rate * 2), lit("02001000"),         // rates, align, bits
         lit("64617461"), le32(lit(64)),                      // data chunk
         samplesHex))
+      // r15: fan-out A/B'd and rejected (3.21× — q91's registry verdict)
       val decoded = graft.llm.Multimodal.decodeAudio(
         T.part(s, d).filter(pmod(k, lit(5)) === 0)
           .select(k.as("id"), payload.as("payload")),
@@ -181,6 +186,7 @@ object R5Queries {
     "q93_avi_frame_sample" -> ((s, d) => {
       val k = col("p_partkey")
       val payload = R5Queries.plantedAvi(k)
+      // r15: fan-out A/B'd and rejected (1.79× — q91's registry verdict)
       val sampled = graft.llm.Multimodal.sampleFrames(
         T.part(s, d).filter(pmod(k, lit(5)) === 0)
           .select(k.as("id"), payload.as("payload")),
@@ -203,6 +209,7 @@ object R5Queries {
     // the doc's own text line survives unless its exact text repeats
     // in ≥3 docs. Oracle replays the same split/df/filter/reassemble.
     "q94_line_dedup" -> ((s, d) =>
+      // r15: fan-out A/B'd and rejected (1.60× — q233's verdict)
       graft.llm.Dedup.lineDedup(
         T.documents(s, d).select(col("doc_id"),
           concat(col("text"),
@@ -250,7 +257,9 @@ object R5Queries {
     // cross-multiplication over exact counts (never a double-ratio
     // compare) so the verdict is bit-portable. Map-only.
     "q96_quality_gate" -> ((s, d) =>
-      T.documents(s, d)
+      // r15: per-row gate arithmetic ran in the single scan task — fan out
+      graft.ops.Par.fanOut(
+          T.documents(s, d).select("doc_id", "text"), col("doc_id"))
         .select(col("doc_id"),
           graft.llm.TextAnalysis.qualityGate(col("text")).as("g"))
         .select(col("doc_id"), col("g.n_tokens").as("n_tokens"),

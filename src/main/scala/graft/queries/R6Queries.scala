@@ -331,7 +331,9 @@ object R6Queries {
           "<a href=\"/s\">share this page now</a></div>" +
           "<footer><a href=\"/terms\">terms</a> " +
           "<a href=\"/privacy\">privacy</a></footer></div>"))
-      T.documents(s, d)
+      // r15: span-removal + gate lambdas single-task — fan out first
+      graft.ops.Par.fanOut(
+          T.documents(s, d).select("doc_id", "text"), col("doc_id"))
         .select(col("doc_id"),
           graft.llm.TextAnalysis.mainContent(html).as("content"))
         .orderBy("doc_id")
@@ -370,7 +372,9 @@ object R6Queries {
         lit(crlf + "Content-Type: application/http; msgtype=response" +
           crlf + "Content-Length: "), length(block).cast("string"),
         lit(crlf + crlf), block, lit(crlf + crlf))
-      T.part(s, d)
+      // r15: WARC parse + strip/score lambdas single-task — fan out
+      graft.ops.Par.fanOut(
+          T.part(s, d).select(k, col("p_name")), k)
         .select(k.as("id"), rec.cast("binary").as("w"))
         .select(col("id"),
           graft.ops.functions.warcRecords(col("w"))

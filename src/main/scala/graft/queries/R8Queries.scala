@@ -47,6 +47,10 @@ object R8Queries {
     // word through each round this time) and joins each document
     // token to its final segmentation relationally.
     "q122_bpe_encode" -> ((s, d) => {
+      // r15: fan-out A/B'd and rejected in both shapes (all-fanned
+      // 1.57×, serving-only 1.49× — the char-level native encode is
+      // too cheap per row to amortize 32 tasks' fixed costs; contrast
+      // q213's byte-level encode, where serving-only fan-out wins)
       val docs = T.documents(s, d).select(col("doc_id"), col("text"))
       val merges = graft.llm.TrainingOps.trainBpe(
         docs.select(col("text")), "text", numMerges = 6)
@@ -136,7 +140,9 @@ object R8Queries {
         lit(" or call +49151123450"),
         pmod(col("doc_id"), lit(10)).cast("string"),
         lit(" or 555-123-4567 today"))
-      T.documents(s, d)
+      // r15: six per-row regex passes single-task — fan out (q232 twin)
+      graft.ops.Par.fanOut(
+          T.documents(s, d).select("doc_id", "text"), col("doc_id"))
         .select(col("doc_id"),
           graft.llm.TextAnalysis.piiScrub(planted).as("p"))
         .select(col("doc_id"), col("p.clean_text").as("clean_text"),
@@ -317,6 +323,7 @@ object R8Queries {
     // pinned equal) is the 100 TB mode where window text never
     // crosses the wire.
     "q135_exact_substr" -> ((s, d) =>
+      // r15: fan-out A/B'd and rejected (1.16× — q233's verdict)
       graft.llm.Dedup.exactSubstrDedup(
           T.documents(s, d).select(col("doc_id"), col("text")),
           "doc_id", "text", k = 6)

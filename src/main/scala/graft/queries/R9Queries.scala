@@ -211,7 +211,10 @@ object R9Queries {
     // after per-doc gating. One bounded groupBy over map-only gate
     // columns.
     "q154_domain_quality" -> ((s, d) =>
-      T.documents(s, d)
+      // r15: per-row gate arithmetic single-task — fan out (q96 twin)
+      graft.ops.Par.fanOut(
+          T.documents(s, d).select("doc_id", "source", "text"),
+          col("doc_id"))
         .select(col("source"),
           graft.llm.TextAnalysis.qualityGate(col("text")).as("g"))
         .groupBy("source")
@@ -326,8 +329,12 @@ object R9Queries {
     // price of exact breadth counts in one pass (swap KMV sketches
     // at 100 TB if approximate breadth suffices).
     "q160_dataset_card" -> ((s, d) => {
+      // r15: gate + sha + token-count map work single-task — fan out
       val g = graft.llm.TextAnalysis.qualityGate(col("text"))
-      T.documents(s, d)
+      graft.ops.Par.fanOut(
+          T.documents(s, d).select("doc_id", "lang", "source", "n_chars",
+            "text"),
+          col("doc_id"))
         .select(col("lang"), col("source"), col("n_chars"),
           graft.llm.TextAnalysis.tokenCountWs(col("text")).cast("long")
             .as("ntok"),
@@ -428,8 +435,12 @@ object R9Queries {
     // map-only. The oracle rebuilds the spans relationally
     // (gaps-and-islands) with the identical 52-bit threshold.
     "q165_span_corrupt" -> ((s, d) =>
+      // r15: the per-token SHA mask fold ran in the single scan task —
+      // scale-gated fan-out first (guide §2.5)
       graft.llm.TrainingOps.spanCorrupt(
-          T.documents(s, d).select(col("doc_id"), col("text")),
+          graft.ops.Par.fanOut(
+            T.documents(s, d).select(col("doc_id"), col("text")),
+            col("doc_id")),
           "doc_id", "text", maskRate = 0.15, salt = "t5")
         .orderBy("doc_id")),
 
@@ -471,6 +482,7 @@ object R9Queries {
     // prefix conditions, suffix targets. Map-only; the oracle
     // replays the identical arithmetic and array slices.
     "q168_prefix_lm" -> ((s, d) =>
+      // r15: fan-out A/B'd — neutral (1.02×), left at baseline shape
       graft.llm.TrainingOps.prefixLmSplit(
           T.documents(s, d).select(col("doc_id"), col("text")),
           "doc_id", "text", salt = "plm8")
@@ -513,6 +525,7 @@ object R9Queries {
     "q171_pipeline_report" -> ((s, d) => {
       val kq = graft.llm.TextAnalysis.qualityGate(col("text"))
         .getField("keep")
+      // r15: fan-out A/B'd — neutral (0.99×), left at baseline shape
       val withH = T.documents(s, d)
         .select(col("doc_id"), col("text"), kq.as("kq"),
           sha2(trim(col("text")), 256).as("h"))

@@ -760,4 +760,36 @@ class CrawlSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("fixpoint"), e.getMessage)
   }
+
+  test("graph local tiers ≡ distributed loops (r15): pageRank, " +
+      "personalized, HITS, label prop, kCore") {
+    // the r15 small-graph tier (localEdgeThreshold, the
+    // componentsLocal convention) must be row-identical to the
+    // distributed loop on a graph with hubs, dangling nodes, multi
+    // direction edges, ties and an isolated-by-peel wave.
+    // threshold=0 forces distributed; default takes the local tier.
+    val e = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 1L), (4L, 5L),
+      (5L, 6L), (6L, 4L), (7L, 1L), (2L, 7L), (8L, 9L), (9L, 8L)
+    ).toDF("src", "dst")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq.toSeq).toSeq
+        .sortBy(_.head.asInstanceOf[Long])
+    for (redis <- Seq(false, true)) {
+      assert(rows(Crawl.pageRankInt(e, 3, redistributeDangling = redis)) ===
+        rows(Crawl.pageRankInt(e, 3, redistributeDangling = redis,
+          localEdgeThreshold = 0L)), s"pageRank redis=$redis")
+    }
+    val seeds = Seq(1L, 8L, 99L).toDF("node")
+    assert(rows(Crawl.personalizedPageRankInt(e, seeds, 3)) ===
+      rows(Crawl.personalizedPageRankInt(e, seeds, 3,
+        localEdgeThreshold = 0L)), "personalized")
+    assert(rows(Crawl.hitsInt(e, iters = 3)) ===
+      rows(Crawl.hitsInt(e, iters = 3, localEdgeThreshold = 0L)), "hits")
+    assert(rows(Crawl.labelPropagation(e, iters = 3)) ===
+      rows(Crawl.labelPropagation(e, iters = 3,
+        localEdgeThreshold = 0L)), "labelProp")
+    assert(rows(Crawl.kCore(e, k = 2)) ===
+      rows(Crawl.kCore(e, k = 2, localEdgeThreshold = 0L)), "kCore")
+  }
 }

@@ -422,6 +422,61 @@ class TrainingOpsSpec extends SparkSuite {
     }
   }
 
+  test("trainBpe/-Bytes/WordPiece: driver-local tier ≡ distributed loop (r15)") {
+    import spark.implicits._
+    // the r15 small-word-table tier (localWordThreshold) must produce
+    // the BIT-IDENTICAL merge table the distributed loop produces —
+    // same selections, counts, scores, tie-breaks, early stop.
+    // threshold=0 forces the distributed loop; default takes the local
+    // tier at this size.
+    val df = Seq(
+      "the theme theater then the thee",
+      "theme theory the there order other",
+      "aaaa aaab ab ba abab bab",
+      "xyz xy yz zzz xyzzy").toDF("text")
+    for (n <- Seq(1, 5, 40)) {
+      val lb = TrainingOps.trainBpe(df, "text", numMerges = n)
+        .orderBy("merge_idx").collect().map(_.toSeq).toSeq
+      val db = TrainingOps.trainBpe(df, "text", numMerges = n,
+        localWordThreshold = 0L)
+        .orderBy("merge_idx").collect().map(_.toSeq).toSeq
+      assert(lb === db, s"trainBpe numMerges=$n")
+      val lby = TrainingOps.trainBpeBytes(df, "text", numMerges = n)
+        .orderBy("merge_idx").collect().map(_.toSeq).toSeq
+      val dby = TrainingOps.trainBpeBytes(df, "text", numMerges = n,
+        localWordThreshold = 0L)
+        .orderBy("merge_idx").collect().map(_.toSeq).toSeq
+      assert(lby === dby, s"trainBpeBytes numMerges=$n")
+      val lw = TrainingOps.trainWordPiece(df, "text", numMerges = n)
+        .orderBy("merge_idx").collect().map(_.toSeq).toSeq
+      val dw = TrainingOps.trainWordPiece(df, "text", numMerges = n,
+        localWordThreshold = 0L)
+        .orderBy("merge_idx").collect().map(_.toSeq).toSeq
+      assert(lw === dw, s"trainWordPiece numMerges=$n")
+    }
+  }
+
+  test("trainBpe local tier: tie-breaks compare in UTF8 binary order, not UTF-16") {
+    import spark.implicits._
+    // U+E000 (BMP private use) vs U+1F600 (supplementary): a UTF-16
+    // code-unit compare puts the surrogate pair FIRST, UTF8 binary
+    // order puts U+E000 first — Spark's ORDER BY is UTF8 binary, so
+    // the local tier must match it (the componentsLocal lesson).
+    // Plant equal-count pairs differing only in those symbols.
+    val hi = "😀" // U+1F600
+    val pu = ""
+    val df = Seq(s"x$hi x$pu").toDF("text")
+    // pairs: (x, hi) cnt 1, (x, pu) cnt 1 — tie on cnt and left;
+    // right tie-break must pick U+E000 (smaller in UTF8)
+    val l = TrainingOps.trainBpe(df, "text", numMerges = 1)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val d = TrainingOps.trainBpe(df, "text", numMerges = 1,
+      localWordThreshold = 0L)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(l === d)
+    assert(l === Seq(("x", pu)))
+  }
+
   test("graft_unigram_segment: hand-computed Viterbi, tie to longer piece, null off-alphabet") {
     import spark.implicits._
     val b = org.apache.spark.sql.GraftColumnBridge
