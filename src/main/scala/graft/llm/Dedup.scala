@@ -2278,7 +2278,12 @@ object Dedup {
         Similarity.cellAssignColumn(cents, dim)(col(vecCol))
       else array_min(Similarity.cellDistStructs(cents, nlist, dsub)(
         Similarity.asDouble(col(vecCol)))).getField("cell")
-    val assigned = corpus
+    // r15: the per-row argmin assignment (interpreted HOF on the
+    // sampled tier) otherwise runs inside the single-row-group scan
+    // task at bench SF — scale-gated fan-out first (Par.fanOut; a
+    // no-op at production input sizes)
+    val assigned = graft.ops.Par.fanOut(
+        corpus.select(col(idCol), col(vecCol)), col(idCol))
       .select(col(idCol).as("vec_id"),
         Similarity.asDouble(col(vecCol)).as("_v"),
         cellCol.as("cell"))

@@ -23,7 +23,10 @@ object R9Queries {
     // aggregates broadcast onto the token stream; the oracle
     // replays the identical buckets and micro arithmetic.
     "q143_dsir_scores" -> ((s, d) => {
-      val docs = T.documents(s, d)
+      // r15: the per-token hashing of the scoring pass ran in the
+      // single scan task — fan out once; all three roles inherit it
+      val docs = graft.ops.Par.fanOut(
+        T.documents(s, d).select("doc_id", "lang", "text"), col("doc_id"))
       graft.llm.Selection.dsirScores(
           docs, docs.filter(col("lang") === "en"), docs,
           "doc_id", "text", numBuckets = 512, salt = "dsir8")
@@ -148,7 +151,11 @@ object R9Queries {
     // the textbook T× cross-join). The oracle cross-joins (correct
     // at oracle scale); values match exactly.
     "q152_calibration" -> ((s, d) => {
-      val docs = T.documents(s, d)
+      // r15: calibrationSweep's bucket checkpoint EXECUTES the DSIR
+      // scoring pass at query-construction time, single-task — fan
+      // the corpus out first (q143's fix, felt here at build time)
+      val docs = graft.ops.Par.fanOut(
+        T.documents(s, d).select("doc_id", "lang", "text"), col("doc_id"))
       val scored = graft.llm.Selection.dsirScores(
         docs, docs.filter(col("lang") === "en"), docs,
         "doc_id", "text", numBuckets = 512, salt = "dsir8")
@@ -417,7 +424,12 @@ object R9Queries {
     // tier instead of the token tier. Oracle: list_cosine_similarity
     // pairs + the recursive-CTE clustering + rank window.
     "q164_semantic_resolve" -> ((s, d) => {
-      val emb = T.embeddings(s, d)
+      // r15: the blocked pair-gen's per-pair dot products execute
+      // EAGERLY inside CC's pair materialization, single-task — fan
+      // the embedding scan out first (guide §2.5)
+      val emb = graft.ops.Par.fanOut(
+        T.embeddings(s, d).select("vec_id", "embedding", "label"),
+        col("vec_id"))
       val pairs = graft.llm.Dedup.embeddingPairsExact(emb,
           "vec_id", "embedding", "label")
         .select(col("id_a"), col("id_b"),
