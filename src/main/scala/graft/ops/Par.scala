@@ -44,17 +44,25 @@ object Par {
     * per-row pipeline, AFTER projecting to the columns it needs. */
   /** The fan-out gate, exposed for operators that pair the fan-out
     * with a second small-input-only decision (e.g. jaccardPairs'
-    * one-shot shingle materialization): true iff the optimizer's
-    * estimate of `df` is below cores × maxPartitionBytes — i.e. the
-    * input's natural file splits cannot feed every core, which at
-    * production scale is immediately false. */
+    * one-shot shingle materialization): true iff BOTH hold —
+    *
+    *  1. the optimizer's estimate of `df` is below
+    *     cores × maxPartitionBytes (at production scale this is
+    *     immediately false — the cheap check, evaluated first), and
+    *  2. the plan's ACTUAL partition count is below the core count —
+    *     a generated in-memory input (range/parallelize, e.g. the
+    *     MicroBench corpora) is small by bytes yet already spread
+    *     across every core, and repartitioning it would be the exact
+    *     payload shuffle this gate exists to avoid.
+    */
   def isSmall(df: DataFrame): Boolean = {
     val spark = df.sparkSession
     val cores = spark.sparkContext.defaultParallelism
     if (cores <= 1) return false
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
     df.queryExecution.optimizedPlan.stats.sizeInBytes <
-      BigInt(cores.toLong) * maxSplit
+      BigInt(cores.toLong) * maxSplit &&
+      df.rdd.getNumPartitions < cores
   }
 
   def fanOut(df: DataFrame, keys: Column*): DataFrame = {
