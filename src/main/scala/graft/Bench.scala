@@ -175,7 +175,20 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passJson,"retried":$retriedJson,"shuffle_mb":$sh,"errors":$errJson,"sf":"$sfDir"}"""
     // BENCH_FULL.json is a committed artifact — dev subsets must not
     // overwrite it (same poisoning vector as the prior above)
-    val outPaths = if (fullSweep) Seq(fullPath, "BENCH_FULL.json") else Seq(fullPath)
+    // r16 (additions-only): ALSO write the identical full JSON at a
+    // CORE-COUNT-SCOPED path. At 237 queries the full JSON never fits
+    // the driver's bounded stdout tail, and every full sweep —
+    // including the driver's own lower-core scaling run — overwrites
+    // BENCH_FULL.json, so the r15 PERF per-query/scaling comparison
+    // came back empty. The scoped copies survive side by side
+    // (BENCH_FULL_c32.json vs BENCH_FULL_c8.json) and the compact
+    // stdout line points at the /tmp copy (`per_query_json`), so
+    // per-query data is always recoverable from a totals-only capture.
+    val scopedPath = s"/tmp/graft_bench_c$cpus.json"
+    val outPaths =
+      if (fullSweep)
+        Seq(fullPath, scopedPath, "BENCH_FULL.json", s"BENCH_FULL_c$cpus.json")
+      else Seq(fullPath, scopedPath)
     outPaths.foreach { p =>
       try Files.write(Paths.get(p), (json + "\n").getBytes(StandardCharsets.UTF_8))
       catch { case _: Throwable => () }
@@ -183,7 +196,7 @@ object Bench {
     // Compact summary that survives ANY stdout tail window; same schema
     // contract (metric/value/unit/sf) plus integrity counts + pointer.
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"full_json":"$fullPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"full_json":"$fullPath","per_query_json":"$scopedPath","cpus":$cpus,"sf":"$sfDir"}"""
     spark.stop()
     // Printed after spark.stop so no executor log lines follow it. The
     // final line must parse from a 2000-char tail: print the full JSON

@@ -382,34 +382,132 @@ object Crawl {
     * level, and without truncation level d re-derives d parses). A
     * level with no new sitemap URLs stops the loop early; `maxDepth`
     * bounds a hostile index chain (protocol practice is ≤2 levels). */
+  /** Small-seed tier threshold for [[expandSitemaps]] (r16): the
+    * collected per-level parse output (kind, url, lastmod rows) stays
+    * under this many rows or the loop falls back to the distributed
+    * arm mid-flight with its state rebuilt as DataFrames. */
+  private[graft] val LocalExpandRowThreshold = 100000
+
   def expandSitemaps(seeds: DataFrame, urlCol: String, xmlCol: String,
-      fetch: DataFrame => DataFrame, maxDepth: Int = 5): DataFrame = {
+      fetch: DataFrame => DataFrame, maxDepth: Int = 5,
+      localRowThreshold: Int = LocalExpandRowThreshold): DataFrame = {
     require(maxDepth >= 1, "maxDepth must be at least 1")
+    val spark = seeds.sparkSession
     def parsed(df: DataFrame): DataFrame =
       extractSitemapUrls(df.withColumnRenamed(urlCol, "_src"), "_src",
         xmlCol)
-    var out = parsed(seeds)
-      .select(col("kind"), col("url"), col("lastmod")).localCheckpoint()
-    var seen = seeds.select(col(urlCol).as("url")).distinct()
-      .localCheckpoint()
+    // the distributed loop, resumable from any (out, seen, depth)
+    // state — both the >cap path (production: seeds estimate over the
+    // byte cap, no driver state ever) and the local tier's mid-flight
+    // fallback land here
+    def distributedFrom(out0: DataFrame, seen0: DataFrame,
+        depth0: Int): DataFrame = {
+      var out = out0
+      var seen = seen0
+      var depth = depth0
+      var more = true
+      while (depth < maxDepth && more) {
+        val next = out.filter(col("kind") === "sitemap")
+          .select(col("url")).distinct()
+          .join(seen, Seq("url"), "left_anti").localCheckpoint()
+        if (next.isEmpty) more = false
+        else {
+          seen = seen.union(next).localCheckpoint()
+          val bodies = fetch(next.withColumnRenamed("url", urlCol))
+          out = out.union(parsed(bodies)
+            .select(col("kind"), col("url"), col("lastmod")))
+            .localCheckpoint()
+          depth += 1
+        }
+      }
+      out.filter(col("kind") === "url")
+        .groupBy(col("url")).agg(min(col("lastmod")).as("lastmod"))
+    }
+    // r16 small-seed tier (the r15 verdict's q173 item): the
+    // distributed loop pays ~4 actions + 2 shuffles PER LEVEL
+    // (anti-join, distinct, three localCheckpoints, isEmpty) for
+    // frontier levels that at bench/dev scale hold dozens of rows.
+    // Under the byte-cap gate (estimate check only — no job on the
+    // production path) the loop keeps its state on the driver and
+    // pays exactly ONE action per level: fetch+parse+collect. The
+    // parse itself stays the SAME distributed extractSitemapUrls
+    // expression pipeline — no reimplemented XML/regex semantics.
+    // A level that blows the row threshold rebuilds (out, seen) as
+    // DataFrames and resumes the distributed loop at that depth.
+    if (seeds.queryExecution.optimizedPlan.stats.sizeInBytes >
+        LocalGraphBytesCap)
+      return distributedFrom(
+        parsed(seeds).select(col("kind"), col("url"), col("lastmod"))
+          .localCheckpoint(),
+        seeds.select(col(urlCol).as("url")).distinct().localCheckpoint(),
+        1)
+    def collectEntries(df: DataFrame): Array[(String, String, String)] =
+      df.select(col("kind"), col("url"), col("lastmod")).collect()
+        .map(r => (r.getString(0), r.getString(1),
+          if (r.isNullAt(2)) null else r.getString(2)))
+    val entries = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String)]
+    entries ++= collectEntries(parsed(seeds))
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    seen ++= seeds.select(col(urlCol).as("url")).distinct()
+      .collect().iterator.filterNot(_.isNullAt(0)).map(_.getString(0))
+    def fallback(depth: Int): DataFrame = {
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      val outDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(entries.toSeq.map { case (k, u, l) =>
+          org.apache.spark.sql.Row(k, u, l)
+        }, 1),
+        StructType(Seq(StructField("kind", StringType),
+          StructField("url", StringType), StructField("lastmod", StringType))))
+        .localCheckpoint()
+      val seenDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          seen.toSeq.map(org.apache.spark.sql.Row(_)), 1),
+        StructType(Seq(StructField("url", StringType)))).localCheckpoint()
+      distributedFrom(outDf, seenDf, depth)
+    }
+    if (entries.length > localRowThreshold) return fallback(1)
     var depth = 1
     var more = true
     while (depth < maxDepth && more) {
-      val next = out.filter(col("kind") === "sitemap")
-        .select(col("url")).distinct()
-        .join(seen, Seq("url"), "left_anti").localCheckpoint()
+      val next = entries.iterator.filter(_._1 == "sitemap").map(_._2)
+        .filterNot(seen).toArray.distinct
       if (next.isEmpty) more = false
       else {
-        seen = seen.union(next).localCheckpoint()
-        val bodies = fetch(next.withColumnRenamed("url", urlCol))
-        out = out.union(parsed(bodies)
-          .select(col("kind"), col("url"), col("lastmod")))
-          .localCheckpoint()
+        seen ++= next
+        val nextDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            next.toSeq.map(org.apache.spark.sql.Row(_)), 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(urlCol,
+              org.apache.spark.sql.types.StringType))))
+        entries ++= collectEntries(parsed(fetch(nextDf)))
         depth += 1
+        if (entries.length > localRowThreshold) return fallback(depth)
       }
     }
-    out.filter(col("kind") === "url")
-      .groupBy(col("url")).agg(min(col("lastmod")).as("lastmod"))
+    // (url, min lastmod) over the page rows — Spark's min: UTF8 binary
+    // order, nulls ignored, all-null group → null
+    val acc = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    entries.iterator.filter(_._1 == "url").foreach { case (_, u, l) =>
+      if (!acc.contains(u)) acc(u) = l
+      else if (l != null) {
+        val cur = acc(u)
+        if (cur == null ||
+          org.apache.spark.unsafe.types.UTF8String.fromString(l)
+            .compareTo(
+              org.apache.spark.unsafe.types.UTF8String.fromString(cur)) < 0)
+          acc(u) = l
+      }
+    }
+    localResult(spark,
+      acc.iterator.map { case (u, l) =>
+        org.apache.spark.sql.Row(u, l)
+      }.toSeq,
+      org.apache.spark.sql.types.StructField("url",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lastmod",
+        org.apache.spark.sql.types.StringType))
   }
 
   /** An href attribute VALUE in any of HTML's three quoting forms:
@@ -684,9 +782,42 @@ object Crawl {
     * unchanged — the 100 TB path. */
   private val LocalGraphEdgeThreshold = 2000000L
 
+  /** Driver-safety byte cap for the local tier (r16, r15 ADVICE): the
+    * row threshold alone would collect a byte-FAT edge list — 2M
+    * long-URL edges can be GBs of driver heap. The optimizer's size
+    * estimate (taken from the PRE-checkpoint lineage, where file-scan
+    * sizes are known) is checked BEFORE the count() action, so the
+    * production >threshold path pays NO job at all: at 100 TB the
+    * estimate exceeds the cap immediately. At bench/dev scale every
+    * sf input is MBs, far under the cap, so the tier decision falls
+    * through to the exact row count as before. */
+  private val LocalGraphBytesCap = BigInt(256L << 20)
+
+  /** Node types the local tiers may collect (r16, r15 ADVICE): types
+    * whose JVM representation is value-equal under HashMap hashing
+    * AND ordered like Spark's ORDER BY via [[graphLt]]. Binary and
+    * array ids collect as Array[Byte]/WrappedArray — reference
+    * equality in a HashMap and a ClassCastException in graphLt —
+    * where the distributed equi-joins and min_by work fine, so those
+    * graphs take the distributed loop. */
+  private def localTierSafeType(
+      dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case StringType | org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType | LongType |
+         org.apache.spark.sql.types.FloatType | DoubleType |
+         org.apache.spark.sql.types.BooleanType |
+         org.apache.spark.sql.types.DateType |
+         org.apache.spark.sql.types.TimestampType => true
+    case _: org.apache.spark.sql.types.DecimalType => true
+    case _ => false
+  }
+
   /** Total order matching Spark's ORDER BY for the id types graph
     * operators carry: UTF8 binary for strings (NOT UTF-16 — the
-    * componentsLocal lesson), natural order otherwise. */
+    * componentsLocal lesson), natural order otherwise. Callers are
+    * gated by [[localTierSafeType]], so the Comparable cast is total
+    * for every type that can reach it. */
   private def graphLt(a: Any, b: Any): Boolean = (a, b) match {
     case (x: String, y: String) =>
       org.apache.spark.unsafe.types.UTF8String.fromString(x)
@@ -695,12 +826,26 @@ object Crawl {
   }
 
   /** Collect a materialized (localCheckpointed) 2-col edge list when
-    * it is at or under the tier threshold; None past it. */
-  private def edgesIfSmall(e: DataFrame,
-      threshold: Long = LocalGraphEdgeThreshold): Option[Array[(Any, Any)]] =
+    * it is at or under the tier threshold; None past it.
+    * `preCheckpoint` is the same projection BEFORE localCheckpoint —
+    * a checkpointed LogicalRDD may report the unknown-size default,
+    * while the original lineage carries the file-scan estimate the
+    * short-circuit needs. Gate order: node type (free), size estimate
+    * (driver-side, no job — false at production scale, so the 100 TB
+    * path no longer pays a count job per operator call), exact
+    * count. */
+  private[graft] def edgesIfSmall(e: DataFrame, preCheckpoint: DataFrame,
+      threshold: Long = LocalGraphEdgeThreshold,
+      bytesCap: BigInt = LocalGraphBytesCap): Option[Array[(Any, Any)]] = {
+    val fs = e.schema.fields
+    if (!localTierSafeType(fs(0).dataType) ||
+        !localTierSafeType(fs(1).dataType)) return None
+    if (preCheckpoint.queryExecution.optimizedPlan.stats.sizeInBytes >
+        bytesCap) return None
     if (e.count() <= threshold)
       Some(e.collect().map(r => (r.get(0), r.get(1))))
     else None
+  }
 
   /** One-partition result table with the given fields — local tiers
     * return through this so the node column keeps its input type. */
@@ -710,9 +855,14 @@ object Crawl {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
       org.apache.spark.sql.types.StructType(fields))
 
-  private def prInvariants(edges: DataFrame): PrInvariants =
-    prInvariantsFromE(
-      edges.select(col("src"), col("dst")).localCheckpoint())
+  /** The shared PageRank edge projection: null src/dst rows drop HERE
+    * (r16, r15 ADVICE) — the distributed equi-joins silently dropped
+    * null-keyed CONTRIBUTIONS but still surfaced a null node row,
+    * while the local HashMaps accumulated under the null key; both
+    * tiers now see the same (null-free) edge set, like [[hitsInt]]. */
+  private def prEdges(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
 
   private def prInvariantsFromE(e: DataFrame): PrInvariants = {
     // Materialize the loop invariants ONCE (lineage truncation, the
@@ -765,9 +915,10 @@ object Crawl {
     require(iters >= 1, "iters must be at least 1")
     require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       s"need 0 <= dampNum <= dampDen, got $dampNum/$dampDen")
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val e0 = prEdges(edges)
+    val e = e0.localCheckpoint()
     // r15 small-graph tier (see [[LocalGraphEdgeThreshold]])
-    edgesIfSmall(e, localEdgeThreshold).foreach { es =>
+    edgesIfSmall(e, e0, localEdgeThreshold).foreach { es =>
       return pageRankLocal(e.sparkSession, es, e.schema("src").dataType,
         iters, dampNum, dampDen, redistributeDangling)
     }
@@ -826,6 +977,48 @@ object Crawl {
         org.apache.spark.sql.types.LongType))
   }
 
+  /** Driver-local [[pageRankConverge]] — [[pageRankLocal]]'s exact
+    * integer iteration plus the convergence rule: per iteration the
+    * largest per-node |Δrank| compares against `tolMicro`, stopping
+    * the loop exactly where the distributed max-|Δ| action would
+    * (spec-pinned: same ranks, same iteration count, same flag). */
+  private def pageRankConvergeLocal(
+      spark: org.apache.spark.sql.SparkSession, es: Array[(Any, Any)],
+      nodeType: org.apache.spark.sql.types.DataType, maxIters: Int,
+      tolMicro: Long, dampNum: Long, dampDen: Long,
+      redistribute: Boolean): (DataFrame, Int, Boolean) = {
+    val base = 1000000L * (dampDen - dampNum) / dampDen
+    val outdeg = scala.collection.mutable.HashMap.empty[Any, Long]
+    es.foreach { case (s, _) => outdeg(s) = outdeg.getOrElse(s, 0L) + 1L }
+    val nodes: Set[Any] =
+      es.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+    val n = nodes.size.toLong
+    var rank: Map[Any, Long] = nodes.iterator.map(_ -> 1000000L).toMap
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      val extra =
+        if (!redistribute || n == 0L) 0L
+        else nodes.iterator.filterNot(outdeg.contains).map(rank).sum / n
+      val cs = scala.collection.mutable.HashMap.empty[Any, Long]
+      es.foreach { case (s, d) =>
+        cs(d) = cs.getOrElse(d, 0L) + rank(s) / outdeg(s)
+      }
+      val next: Map[Any, Long] = nodes.iterator.map(nd => nd ->
+        (base + dampNum * (cs.getOrElse(nd, 0L) + extra) / dampDen)).toMap
+      val delta = if (nodes.isEmpty) 0L
+        else nodes.iterator.map(nd => math.abs(next(nd) - rank(nd))).max
+      rank = next
+      it += 1
+      converged = delta <= tolMicro
+    }
+    (localResult(spark,
+      nodes.toSeq.map(nd => org.apache.spark.sql.Row(nd, rank(nd))),
+      org.apache.spark.sql.types.StructField("node", nodeType),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.LongType)), it, converged)
+  }
+
   /** Iterate-to-convergence PageRank: run [[pageRankInt]] iterations
     * until the largest per-node rank change is ≤ `tolMicro`
     * micro-units (or `maxIters`), localCheckpointing the rank table
@@ -845,13 +1038,25 @@ object Crawl {
     * fixed-iteration run at the same count, spec-pinned. */
   def pageRankConverge(edges: DataFrame, maxIters: Int, tolMicro: Long,
       dampNum: Long = 85, dampDen: Long = 100, checkpointEvery: Int = 5,
-      redistributeDangling: Boolean = false): (DataFrame, Int, Boolean) = {
+      redistributeDangling: Boolean = false,
+      localEdgeThreshold: Long = LocalGraphEdgeThreshold): (DataFrame, Int, Boolean) = {
     require(maxIters >= 1, "maxIters must be at least 1")
     require(tolMicro >= 0, "tolMicro must be non-negative")
     require(checkpointEvery >= 1, "checkpointEvery must be at least 1")
     require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       s"need 0 <= dampNum <= dampDen, got $dampNum/$dampDen")
-    val inv = prInvariants(edges)
+    val e0 = prEdges(edges)
+    val e = e0.localCheckpoint()
+    // r16 small-graph tier (see [[LocalGraphEdgeThreshold]]): the
+    // convergence mode pays one max-|Δ| action PER ITERATION on top of
+    // pageRankInt's per-round cost — the same fixed-job overhead the
+    // r15 tier removed from the fixed-iteration form, only worse.
+    edgesIfSmall(e, e0, localEdgeThreshold).foreach { es =>
+      return pageRankConvergeLocal(e.sparkSession, es,
+        e.schema("src").dataType, maxIters, tolMicro, dampNum, dampDen,
+        redistributeDangling)
+    }
+    val inv = prInvariantsFromE(e)
     val base = 1000000L * (dampDen - dampNum) / dampDen
     lazy val n = inv.nodes.count()
     var ranks = inv.nodes.select(col("node"), lit(1000000L).as("rank"))
@@ -892,11 +1097,12 @@ object Crawl {
     require(iters >= 1, "iters must be at least 1")
     require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       s"need 0 <= dampNum <= dampDen, got $dampNum/$dampDen")
-    val e0 = edges.select(col("src"), col("dst")).localCheckpoint()
+    val ePre = prEdges(edges)
+    val e0 = ePre.localCheckpoint()
     // r15 small-graph tier (see [[LocalGraphEdgeThreshold]]): seeds
     // still resolve against the graph through a Spark semi-join (the
     // seed table's size is caller-shaped, never assumed driver-sized)
-    edgesIfSmall(e0, localEdgeThreshold).foreach { es =>
+    edgesIfSmall(e0, ePre, localEdgeThreshold).foreach { es =>
       val spark = e0.sparkSession
       val nodeType = e0.schema("src").dataType
       val nodes: Set[Any] =
@@ -992,11 +1198,12 @@ object Crawl {
     val cols = edges.columns
     val e0 = edges.select(col(cols(0)).as("src"), col(cols(1)).as("dst"))
       .filter(col("src") =!= col("dst"))
-    val e = e0
+    val e1 = e0
       .union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().repartition(col("dst")).localCheckpoint()
+      .distinct().repartition(col("dst"))
+    val e = e1.localCheckpoint()
     // r15 small-graph tier (see [[LocalGraphEdgeThreshold]])
-    edgesIfSmall(e, localEdgeThreshold).foreach { es =>
+    edgesIfSmall(e, e1, localEdgeThreshold).foreach { es =>
       return labelPropagationLocal(e.sparkSession, es,
         e.schema("src").dataType, iters)
     }
@@ -1071,11 +1278,12 @@ object Crawl {
       dstCol: String = "dst", iters: Int = 2,
       localEdgeThreshold: Long = LocalGraphEdgeThreshold): DataFrame = {
     require(iters >= 1, "iters must be at least 1")
-    val e = edges.select(col(srcCol).as("_h_src"), col(dstCol).as("_h_dst"))
+    val e1 = edges.select(col(srcCol).as("_h_src"), col(dstCol).as("_h_dst"))
       .filter(col("_h_src").isNotNull && col("_h_dst").isNotNull)
-      .distinct().localCheckpoint()
+      .distinct()
+    val e = e1.localCheckpoint()
     // r15 small-graph tier (see [[LocalGraphEdgeThreshold]])
-    edgesIfSmall(e, localEdgeThreshold).foreach { es =>
+    edgesIfSmall(e, e1, localEdgeThreshold).foreach { es =>
       return hitsLocal(e.sparkSession, es, e.schema("_h_src").dataType,
         iters)
     }
@@ -1405,16 +1613,17 @@ object Crawl {
     def nodesOf(e: DataFrame): DataFrame =
       e.select(col("a").as("node"))
         .unionByName(e.select(col("b").as("node"))).distinct()
-    var live = edges
+    val live0 = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
         col(srcCol) =!= col(dstCol))
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
-      .distinct().localCheckpoint()
+      .distinct()
+    var live = live0.localCheckpoint()
     // r15 small-graph tier (see [[LocalGraphEdgeThreshold]]) — the
     // edge list is already canonicalized (a < b, simple), so the
     // driver loop needs no ordering of its own
-    edgesIfSmall(live, localEdgeThreshold).foreach { es =>
+    edgesIfSmall(live, live0, localEdgeThreshold).foreach { es =>
       return kCoreLocal(live.sparkSession, es,
         live.schema("a").dataType, k, maxIter)
     }

@@ -2282,12 +2282,29 @@ object Dedup {
     // sampled tier) otherwise runs inside the single-row-group scan
     // task at bench SF — scale-gated fan-out first (Par.fanOut; a
     // no-op at production input sizes)
-    val assigned = graft.ops.Par.fanOut(
-        corpus.select(col(idCol), col(vecCol)), col(idCol))
+    val proj = corpus.select(col(idCol), col(vecCol))
+    val small = graft.ops.Par.isSmall(proj)
+    val fanned =
+      if (small) proj.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      else proj
+    val assigned0 = fanned
       .select(col(idCol).as("vec_id"),
         Similarity.asDouble(col(vecCol)).as("_v"),
         cellCol.as("cell"))
       .repartition(col("cell"))
+    // r16: under the same gate, materialize the assigned table ONCE
+    // (the jaccardPairs small-input convention). The operator has five
+    // consumer subtrees (the final keep projection, both in-cell
+    // pair-join sides, the zero-norm filter, the guard count), and
+    // ReuseExchange cannot fire across them — column pruning gives
+    // each subtree a different exchange child — so the r15 plan
+    // re-derived scan+fan-out+assignment five times (plan evidence:
+    // 5 parquet-scan pairs / 32 Exchanges), re-running the
+    // interpreted sampled-tier argmin per subtree. Past the gate —
+    // the 100 TB path — the plan is unchanged: recompute-per-consumer,
+    // no corpus-sized materialization.
+    val assigned = if (small) assigned0.localCheckpoint() else assigned0
     // exact in-cell pairs (id_a < id_b), guarded by maxCellRows.
     // Zero-norm vectors are excluded from the pair computation BY
     // RULE, not by arithmetic accident: a vector with no direction

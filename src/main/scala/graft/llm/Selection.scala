@@ -74,8 +74,18 @@ object Selection {
         .select(shaBucket(col("_sel_term"), salt, numBuckets).as("bucket"))
 
     // Bucket-count models: ≤ B rows each after a map-side-combined agg.
+    // r16: localCheckpoint BOTH — each is consumed twice (the dense
+    // model join AND its 1-row total), and without a lineage cut the
+    // total branch RE-RAN the whole corpus-sized token scan + SHA
+    // bucket pass (plan evidence: 10 scans / 5 token-hash passes for
+    // 3 semantically needed). The materialization is ≤ numBuckets
+    // rows — parameter-bounded, never corpus-sized — so it is safe
+    // (and the win is largest) at 100 TB: two corpus passes replace
+    // four.
     val tCnt = toks(target).groupBy("bucket").agg(count(lit(1)).as("t_cnt"))
+      .localCheckpoint()
     val rCnt = toks(raw).groupBy("bucket").agg(count(lit(1)).as("r_cnt"))
+      .localCheckpoint()
     // Totals as 1-row aggregates, broadcast-crossed — no driver action.
     val tTot = tCnt.agg(coalesce(sum("t_cnt"), lit(0L)).as("t_tot"))
     val rTot = rCnt.agg(coalesce(sum("r_cnt"), lit(0L)).as("r_tot"))

@@ -649,7 +649,15 @@ object TextAnalysis {
           .as("_p"))
       .select(col("doc_id"), col("_p").getField("w1").as("w1"),
         col("_p").getField("w2").as("w2"))
-    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    // r16: c12 is consumed twice (the cleft roll-up and the weight
+    // join) — past the Par gate (big input) a lineage cut stops the
+    // second consumer from re-running the whole corpus-sized bigram
+    // explode + count (c12 is distinct-bigram-sized, orders below the
+    // token stream); on a bench-small input the recompute is trivial
+    // and the eager checkpoint job is overhead (the q191 lesson).
+    val c12n = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val c12 =
+      if (graft.ops.Par.isSmall(df)) c12n else c12n.localCheckpoint()
     val cl = c12.groupBy("w1").agg(sum("c").as("cleft"))
     val v = base.select(explode(col("_ws")).as("_t"))
       .agg(countDistinct(col("_t")).as("v"))
@@ -702,14 +710,27 @@ object TextAnalysis {
           .as("_p"))
       .select(col("_p").getField("w1").as("w1"),
         col("_p").getField("w2").as("w2"))
-    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    // r16: c12 feeds FOUR consumers (cu, cw, ncc, the probe join) and
+    // uni feeds two (both probe-grid sides) — unmaterialized, each
+    // consumer re-runs the corpus-sized bigram/token aggregation.
+    // The lineage cut is gated INVERSELY on input size: on a big
+    // input (the 100 TB path) c12 is distinct-bigram-sized and uni
+    // probeTopK-bounded, so materializing them turns four corpus
+    // passes into one; on a bench/dev-small input the recomputed
+    // aggregates are trivial and the checkpoint's eager jobs are
+    // pure overhead (A/B: unconditional checkpoint measured q191 at
+    // 1.21-1.30× its baseline — reverted to lazy under the gate).
+    val small = graft.ops.Par.isSmall(df)
+    def cut(d: DataFrame): DataFrame =
+      if (small) d else d.localCheckpoint()
+    val c12 = cut(bg.groupBy("w1", "w2").agg(count(lit(1)).as("c")))
     val cu = c12.groupBy("w1").agg(sum("c").as("c_u"),
       count(lit(1)).as("n1u"))
     val cw = c12.groupBy("w2").agg(count(lit(1)).as("n1w"))
     val ncc = c12.agg(count(lit(1)).as("ncc"))
-    val uni = base.select(explode(col("_ws")).as("t"))
+    val uni = cut(base.select(explode(col("_ws")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("tc"))
-      .orderBy(col("tc").desc, col("t")).limit(probeTopK)
+      .orderBy(col("tc").desc, col("t")).limit(probeTopK))
     val probes = uni.select(col("t").as("u"))
       .crossJoin(uni.select(col("t").as("w")))
     probes
@@ -770,7 +791,15 @@ object TextAnalysis {
       .select(explode(flatten(array(arms: _*))).as("_p"))
       .select(col("_p").getField("w").as("w"),
         col("_p").getField("c").as("c"))
-    val nwc = pairs.groupBy("w", "c").agg(count(lit(1)).as("n_wc"))
+    // r16: nwc feeds four consumers (nw, nc, tot, the scored join) —
+    // past the Par gate (big input) a lineage cut stops each from
+    // re-running the corpus-sized window-pair explode (nwc is
+    // distinct-pair-sized); on a bench-small input the recompute is
+    // trivial and the eager checkpoint job is overhead (the q191
+    // lesson), so the plan stays lazy there.
+    val nwc0 = pairs.groupBy("w", "c").agg(count(lit(1)).as("n_wc"))
+    val nwc =
+      if (graft.ops.Par.isSmall(df)) nwc0 else nwc0.localCheckpoint()
     val nw = nwc.groupBy("w").agg(sum("n_wc").as("n_w"))
     val nc = nwc.groupBy("c").agg(sum("n_wc").as("n_c"))
     val tot = nwc.agg(sum("n_wc").as("n_tot"))
@@ -800,9 +829,19 @@ object TextAnalysis {
   def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
       nBuckets: Int = 3): DataFrame = {
     require(nBuckets >= 1, "nBuckets must be at least 1")
-    val scores = bigramLogProb(df, idCol, textCol)
+    val scores0 = bigramLogProb(df, idCol, textCol)
       .withColumn("avg_logprob",
         round(col("sum_logprob_micro") / 1e6 / col("n_bigrams"), 4))
+    // r16: the score table has THREE executions downstream —
+    // globalRank's zipWithIndex is inherently two passes (offsets
+    // count + the indexed map) and the band count aggregate is a
+    // third — each re-running the whole bigram-LM scoring pipeline.
+    // Under the Par gate (the input is the caller's raw projection)
+    // the per-doc score table materializes once at bench/dev scale;
+    // past the gate — the 100 TB path — the plan is unchanged (no
+    // corpus-sized materialization).
+    val scores =
+      if (graft.ops.Par.isSmall(df)) scores0.localCheckpoint() else scores0
     val ranked = TrainingOps.globalRank(scores,
       Seq((col("sum_logprob_micro") / col("n_bigrams")).desc,
         col("doc_id")))

@@ -669,6 +669,32 @@ object TrainingOps {
     * loop. Past the threshold the distributed loop runs unchanged. */
   private val LocalWordThreshold = 2000000L
 
+  /** Driver-safety byte cap + count-job short-circuit for the trainer
+    * tier (r16, r15 ADVICE): the optimizer's size estimate of the
+    * PRE-checkpoint word table is checked BEFORE the count() action —
+    * at production scale the estimate exceeds the cap immediately, so
+    * the >threshold path no longer pays one count job per trainer
+    * call; and a byte-fat word table still under the row threshold
+    * (few distinct words, very long ones) refuses driver collection.
+    * Bench/dev inputs are MBs — far under the cap, row count decides
+    * exactly as in r15. */
+  private val LocalWordBytesCap = BigInt(256L << 20)
+
+  /** Collect the materialized (localCheckpointed) 2-col word table
+    * when the tier gate passes: size estimate (no job — false at
+    * production scale) → exact row count → collect. None past it.
+    * `preCheckpoint` is the same plan BEFORE localCheckpoint, where
+    * the lineage still carries the file-scan size estimate. */
+  private[graft] def wordsIfSmall(words: DataFrame, preCheckpoint: DataFrame,
+      threshold: Long,
+      bytesCap: BigInt = LocalWordBytesCap): Option[Array[(String, Long)]] = {
+    if (preCheckpoint.queryExecution.optimizedPlan.stats.sizeInBytes >
+        bytesCap) return None
+    if (words.count() <= threshold)
+      Some(words.collect().map(r => (r.getString(0), r.getLong(1))))
+    else None
+  }
+
   /** UTF8 binary comparison — the collation Spark's ORDER BY applies
     * to strings; Java's UTF-16 compareTo disagrees for supplementary-
     * plane characters (the [[Dedup.componentsLocal]] lesson). */
@@ -737,9 +763,8 @@ object TrainingOps {
     val spark = words0.sparkSession
     val sep = BpeSep
     var words = words0.localCheckpoint()
-    if (words.count() <= localWordThreshold) {
+    wordsIfSmall(words, words0, localWordThreshold).foreach { ws =>
       import spark.implicits._
-      val ws = words.collect().map(r => (r.getString(0), r.getLong(1)))
       return trainBpeLocal(ws, numMerges)
         .toDF("merge_idx", "left", "right", "cnt")
     }
@@ -877,44 +902,112 @@ object TrainingOps {
     * would be 10¹² entry copies. */
   def trainUnigram(df: DataFrame, textCol: String, seedSize: Int = 16,
       maxPieceLen: Int = 3, emRounds: Int = 2,
-      pruneCount: Int = 4, maxAlphabet: Int = 1 << 16): DataFrame = {
+      pruneCount: Int = 4, maxAlphabet: Int = 1 << 16,
+      localWordThreshold: Long = LocalWordThreshold): DataFrame = {
     require(seedSize >= 1 && emRounds >= 0 && pruneCount >= 0,
       "seedSize must be positive; emRounds/pruneCount non-negative")
     require(maxPieceLen >= 2, "maxPieceLen must be at least 2")
     require(maxAlphabet >= 1, "maxAlphabet must be positive")
     val spark = df.sparkSession
     import spark.implicits._
-    val words = df
+    val words0 = df
       .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("freq"))
-      .localCheckpoint()
-    val w = col("w")
-    val subs = flatten(transform(
-      sequence(lit(1), least(lit(maxPieceLen), length(w))),
-      l => transform(sequence(lit(1), length(w) - l + 1),
-        st => w.substr(st, l))))
-    val subCounts = words
-      .select(explode(subs).as("piece"), col("freq"))
-      .groupBy("piece").agg(sum("freq").as("cnt"))
-      .localCheckpoint() // feeds both the singles and the multi cut
-    val nSingles = subCounts.filter(length(col("piece")) === 1).count()
-    require(nSingles <= maxAlphabet,
-      s"trainUnigram: corpus alphabet holds $nSingles distinct " +
-        s"characters (> maxAlphabet=$maxAlphabet) — the vocabulary is " +
-        "driver-resident at alphabet+seedSize rows, so an unnormalized " +
-        "(binary/mojibake) corpus would blow the driver; clean the " +
-        "corpus or raise maxAlphabet explicitly")
-    val singles = subCounts.filter(length(col("piece")) === 1)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    val multi = subCounts.filter(length(col("piece")) > 1)
-      .orderBy(col("cnt").desc, col("piece")).limit(seedSize)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val words = words0.localCheckpoint()
+    // r16 small-table tier (see [[LocalWordThreshold]]; the r15
+    // verdict's top item): with the word table collected, the seed
+    // enumeration and every EM/prune recount run IN PROCESS through
+    // the same static Viterbi kernel the distributed E-step expression
+    // calls (UnigramSegmentExpr.viterbi — no duplicated kernel), so
+    // the 3 seed actions + one job per EM round + the final recount
+    // collapse to zero jobs. Substring enumeration mirrors Spark's
+    // substr/length CODE-POINT semantics (NOT Java char units — a
+    // supplementary-plane symbol is one character to both), and the
+    // seed top-k orders by (cnt desc, piece asc) in UTF8 binary order,
+    // exactly as the distributed orderBy does; spec-pinned local ≡
+    // distributed. The EM/prune/scoring tail below is SHARED between
+    // tiers — only where the piece counts come from differs.
+    val localWords = wordsIfSmall(words, words0, localWordThreshold)
+    val (singles, multi) = localWords match {
+      case Some(ws) =>
+        val sc = scala.collection.mutable.HashMap.empty[String, Long]
+        ws.foreach { case (word, f) =>
+          val cp = word.codePoints.toArray
+          val lMax = math.min(maxPieceLen, cp.length)
+          var l = 1
+          while (l <= lMax) {
+            var st = 0
+            while (st + l <= cp.length) {
+              val piece = new String(cp, st, l)
+              sc(piece) = sc.getOrElse(piece, 0L) + f
+              st += 1
+            }
+            l += 1
+          }
+        }
+        def cpLen(s: String): Int = s.codePointCount(0, s.length)
+        val (sg, mu) = sc.toArray.partition { case (p, _) => cpLen(p) == 1 }
+        require(sg.length <= maxAlphabet,
+          s"trainUnigram: corpus alphabet holds ${sg.length} distinct " +
+            s"characters (> maxAlphabet=$maxAlphabet) — the vocabulary is " +
+            "driver-resident at alphabet+seedSize rows, so an unnormalized " +
+            "(binary/mojibake) corpus would blow the driver; clean the " +
+            "corpus or raise maxAlphabet explicitly")
+        (sg, mu.sortWith { case ((pa, ca), (pb, cb)) =>
+          ca > cb || (ca == cb && utf8Lt(pa, pb))
+        }.take(seedSize))
+      case None =>
+        val w = col("w")
+        val subs = flatten(transform(
+          sequence(lit(1), least(lit(maxPieceLen), length(w))),
+          l => transform(sequence(lit(1), length(w) - l + 1),
+            st => w.substr(st, l))))
+        val subCounts = words
+          .select(explode(subs).as("piece"), col("freq"))
+          .groupBy("piece").agg(sum("freq").as("cnt"))
+          .localCheckpoint() // feeds both the singles and the multi cut
+        val nSingles = subCounts.filter(length(col("piece")) === 1).count()
+        require(nSingles <= maxAlphabet,
+          s"trainUnigram: corpus alphabet holds $nSingles distinct " +
+            s"characters (> maxAlphabet=$maxAlphabet) — the vocabulary is " +
+            "driver-resident at alphabet+seedSize rows, so an unnormalized " +
+            "(binary/mojibake) corpus would blow the driver; clean the " +
+            "corpus or raise maxAlphabet explicitly")
+        (subCounts.filter(length(col("piece")) === 1)
+          .collect().map(r => (r.getString(0), r.getLong(1))),
+          subCounts.filter(length(col("piece")) > 1)
+            .orderBy(col("cnt").desc, col("piece")).limit(seedSize)
+            .collect().map(r => (r.getString(0), r.getLong(1))))
+    }
+    // piece counts under the current scores: in-process Viterbi over
+    // the collected words on the local tier, the distributed map-only
+    // segmentation pass past the gate — same kernel, same fold
+    def countsUnder(scored: Seq[(String, Long)]): Map[String, Long] =
+      localWords match {
+        case Some(ws) =>
+          val sm = new java.util.HashMap[String, java.lang.Long]()
+          scored.foreach { case (p, s) => sm.put(p, s) }
+          val acc = scala.collection.mutable.HashMap.empty[String, Long]
+          ws.foreach { case (word, f) =>
+            val segs = graft.expressions.UnigramSegmentExpr
+              .viterbi(word, sm, maxPieceLen)
+            if (segs != null) {
+              val it = segs.iterator()
+              while (it.hasNext) {
+                val p = it.next()
+                acc(p) = acc.getOrElse(p, 0L) + f
+              }
+            }
+          }
+          acc.toMap
+        case None => unigramCounts(words, scored, maxPieceLen)
+      }
     var vocab: Seq[(String, Long)] =
       (singles ++ multi).sortBy(_._1).toSeq
     var scored = unigramScores(vocab)
     for (_ <- 1 to emRounds) {
-      val cnts = unigramCounts(words, scored, maxPieceLen)
+      val cnts = countsUnder(scored)
       vocab = vocab.map { case (p, _) => (p, cnts.getOrElse(p, 0L)) }
       scored = unigramScores(vocab)
     }
@@ -922,7 +1015,15 @@ object TrainingOps {
       val sm = new java.util.HashMap[String, java.lang.Long]()
       scored.foreach { case (p, s) => sm.put(p, s) }
       val scoreOf = scored.toMap
-      val deltas = vocab.filter(_._1.length > 1).map { case (p, c) =>
+      // prune candidates are multi-CHARACTER pieces in Spark's
+      // length() sense (code points): a single supplementary-plane
+      // symbol is Java-length 2 but one character — it belongs to the
+      // never-dropped alphabet (the coverage guarantee), and treating
+      // it as prunable tripped the unsegmentable-without-itself
+      // invariant (r16; latent before the local tier's parity spec)
+      val deltas = vocab.filter { case (p, _) =>
+        p.codePointCount(0, p.length) > 1
+      }.map { case (p, c) =>
         // mask p in the SHARED map (remove / score / re-put) — a
         // fresh per-piece HashMap copy is O(|vocab|) each, O(|vocab|²)
         // total: 10¹² entry copies at a 1M-piece production seed
@@ -938,7 +1039,7 @@ object TrainingOps {
         .take(pruneCount).map(_._1).toSet
       vocab = vocab.filterNot { case (p, _) => drop.contains(p) }
       scored = unigramScores(vocab)
-      val fin = unigramCounts(words, scored, maxPieceLen)
+      val fin = countsUnder(scored)
       vocab = vocab.map { case (p, _) => (p, fin.getOrElse(p, 0L)) }
       scored = unigramScores(vocab)
     }
@@ -1118,13 +1219,13 @@ object TrainingOps {
     require(checkpointEvery >= 1, "checkpointEvery must be at least 1")
     val spark = df.sparkSession
     val sep = BpeSep
-    var words = wpWordTable(df, textCol).localCheckpoint()
+    val words0 = wpWordTable(df, textCol)
+    var words = words0.localCheckpoint()
     // small-table tier (see [[LocalWordThreshold]]): the whole
     // likelihood loop on the collected word table, same exact
     // nano-score selection, same guard, spec-pinned vs distributed
-    if (words.count() <= localWordThreshold) {
+    wordsIfSmall(words, words0, localWordThreshold).foreach { ws =>
       import spark.implicits._
-      val ws = words.collect().map(r => (r.getString(0), r.getLong(1)))
       return trainWordPieceLocal(ws, numMerges)
         .toDF("merge_idx", "left", "right", "cnt", "score_nano")
     }
@@ -1285,8 +1386,22 @@ object TrainingOps {
     val spark = df.sparkSession
     val nPart = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    val staged = df.repartitionByRange(nPart, orderCols: _*)
+    val staged0 = df.repartitionByRange(nPart, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
+    // r16: zipWithIndex is INHERENTLY two passes — a per-partition
+    // count job (fired eagerly at construction) plus the indexed map
+    // at execution — and each pass re-ran the caller's whole upstream
+    // pipeline through the range shuffle. When the input's size
+    // ESTIMATE says it is machine-small, materialize the staged sort
+    // once and let both passes read it; past the estimate (the 100 TB
+    // path) the plan is unchanged — no rank-table-sized
+    // materialization is ever added there. (Estimate-only gate: the
+    // partition-count arm of Par.isSmall is about avoiding added
+    // shuffles, which does not apply to a lineage cut.)
+    val estSmall = df.queryExecution.optimizedPlan.stats.sizeInBytes <
+      BigInt(spark.sparkContext.defaultParallelism.toLong) *
+        spark.sessionState.conf.filesMaxPartitionBytes
+    val staged = if (estSmall) staged0.localCheckpoint() else staged0
     val schema = staged.schema
     val ranked = staged.rdd.zipWithIndex().map { case (r, i) =>
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))

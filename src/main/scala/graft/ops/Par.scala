@@ -54,6 +54,16 @@ object Par {
     *     MicroBench corpora) is small by bytes yet already spread
     *     across every core, and repartitioning it would be the exact
     *     payload shuffle this gate exists to avoid.
+    *
+    * CONTRACT (r16, r15 ADVICE): call this on the RAW post-scan
+    * projection only — `df.rdd.getNumPartitions` forces physical
+    * planning of `df` and, under AQE, reflects the INITIAL
+    * pre-coalesce partitioning, so evaluating the gate on a derived
+    * plan (post-join, post-aggregate) is both wasted planning work
+    * and sensitive to when it runs relative to plan changes. At
+    * production scale condition 1 short-circuits first, so the
+    * `df.rdd` materialization never happens there. Every current
+    * call site complies (scan-projection inputs).
     */
   def isSmall(df: DataFrame): Boolean = {
     val spark = df.sparkSession

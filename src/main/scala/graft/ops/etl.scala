@@ -180,13 +180,25 @@ object etl {
       ruleName: String): DataFrame = {
     require(fkCols.nonEmpty && fkCols.size == pkCols.size,
       "fkCols and pkCols must be non-empty and same-length")
-    val n = child.count()
     val fkNotNull = fkCols.map(col(_).isNotNull).reduce(_ && _)
     val p = parent.select(pkCols.map(col): _*).distinct()
       .toDF(fkCols: _*)
-    val viol = child.filter(fkNotNull)
-      .select(fkCols.map(col): _*)
-      .join(p, fkCols, "left_anti").count()
+      .withColumn("_pk_hit", lit(true))
+    // ONE job (r16): the previous shape paid two full child passes —
+    // a bare count() plus the anti-join count. A LEFT join against
+    // the DEDUPED parent keys preserves the child row count exactly
+    // (≤1 match per row), so total rows and orphan rows fall out of
+    // one aggregate over one join: n = every child row (NULL-keyed
+    // rows join nothing but stay), violations = non-NULL-complete
+    // keys with no parent — the same numbers as before, row-for-row.
+    val r = child
+      .select(fkCols.map(col) :+ fkNotNull.as("_fk_complete"): _*)
+      .join(p, fkCols, "left")
+      .agg(count(lit(1)).as("_n"),
+        sum(when(col("_fk_complete") && col("_pk_hit").isNull, 1L)
+          .otherwise(0L)).as("_viol")).head()
+    val n = r.getLong(0)
+    val viol = if (r.isNullAt(1)) 0L else r.getLong(1)
     val spark = child.sparkSession
     import spark.implicits._
     Seq((ruleName, viol, n, viol == 0L))
@@ -214,6 +226,53 @@ object etl {
     val viol = nulls + dups
     Seq((ruleName, viol, n, viol == 0L))
       .toDF("rule", "violations", "n_rows", "pass")
+  }
+
+  /** The [[qualityChecks]] + [[uniqueCheck]] report computed in ONE
+    * aggregate pass (r16): a union chain of those operators scans the
+    * table once PER CALL — three full passes for the typical gate
+    * (rule block + two key checks). Here every violation sum, every
+    * key-null count and every key countDistinct evaluate in a single
+    * aggregate (Spark plans the distinct groups as one Expand over
+    * one scan), so the table is read exactly once at any scale.
+    * Output is row-for-row the union of `qualityChecks(df, rules)`
+    * and one `uniqueCheck(df, keys, name)` per `uniqueKeys` entry —
+    * same rule rows, same counts, same pass verdicts (spec-pinned). */
+  def dqReport(df: DataFrame, rules: Seq[(String, Column)],
+      uniqueKeys: Seq[(Seq[String], String)]): DataFrame = {
+    require(rules.nonEmpty || uniqueKeys.nonEmpty,
+      "at least one rule or key check required")
+    val names = rules.map(_._1) ++ uniqueKeys.map(_._2)
+    require(names.distinct.size == names.size, "rule names must be unique")
+    uniqueKeys.foreach { case (ks, _) =>
+      require(ks.nonEmpty, "at least one key column required") }
+    val ruleAggs = rules.map { case (name, bad) =>
+      sum(when(coalesce(bad, lit(true)), 1L).otherwise(0L)).as(s"_v_$name")
+    }
+    val uniqAggs = uniqueKeys.flatMap { case (ks, name) =>
+      val anyNull = ks.map(col(_).isNull).reduce(_ || _)
+      Seq(sum(when(anyNull, 1L).otherwise(0L)).as(s"_nulls_$name"),
+        countDistinct(
+          when(!anyNull, struct(ks.map(col): _*))).as(s"_d_$name"))
+    }
+    val aggs = count(lit(1)).as("_n") +: (ruleAggs ++ uniqAggs)
+    val r = df.agg(aggs.head, aggs.tail: _*).head() // 1-row action
+    val n = r.getAs[Long]("_n")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ruleRows = rules.map { case (name, _) =>
+      val viol = if (r.isNullAt(r.fieldIndex(s"_v_$name"))) 0L
+        else r.getAs[Long](s"_v_$name")
+      (name, viol, n, viol == 0L)
+    }
+    val uniqRows = uniqueKeys.map { case (_, name) =>
+      val nulls = if (r.isNullAt(r.fieldIndex(s"_nulls_$name"))) 0L
+        else r.getAs[Long](s"_nulls_$name")
+      val dups = (n - nulls) - r.getAs[Long](s"_d_$name")
+      val viol = nulls + dups
+      (name, viol, n, viol == 0L)
+    }
+    (ruleRows ++ uniqRows).toDF("rule", "violations", "n_rows", "pass")
   }
 
   /** Per-group k·σ outlier gate with NO floating-point σ: flag row x

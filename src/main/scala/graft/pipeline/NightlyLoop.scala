@@ -459,13 +459,14 @@ final case class NightlyLoop(
     * stages, a fixed re-run resumes AT the gate, never re-crawling. */
   private def gateStage(spark: SparkSession,
       admitted: DataFrame): DataFrame = {
-    val report = graft.ops.etl.qualityChecks(admitted, Seq(
+    // r16: dqReport computes the same rule + unique-key report in ONE
+    // aggregate pass over the admitted batch (was two full scans)
+    val report = graft.ops.etl.dqReport(admitted, Seq(
         "id_not_null" -> col("id").isNull,
         "text_not_empty" ->
           (col("text").isNull || trim(col("text")) === ""),
-        "min_docs" -> lit(false)) // n_rows carries the count; see below
-      ).unionByName(graft.ops.etl.uniqueCheck(admitted, Seq("id"),
-        "unique_id"))
+        "min_docs" -> lit(false)), // n_rows carries the count; see below
+      Seq(Seq("id") -> "unique_id"))
     val rows = report.collect() // ≤4 rules — control-plane only
     val n = rows.head.getAs[Long]("n_rows")
     val failed = rows.filter(!_.getAs[Boolean]("pass")).map(_.getString(0)) ++

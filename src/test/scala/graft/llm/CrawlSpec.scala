@@ -321,6 +321,15 @@ class CrawlSpec extends SparkSuite {
     val shallow = Crawl.expandSitemaps(seeds, "sm_url", "xml", fetch,
       maxDepth = 1).collect()
     assert(shallow.isEmpty, "an index-only seed yields no page URLs at depth 1")
+    // r16 small-seed tier ≡ distributed loop: localRowThreshold = 0
+    // trips the mid-flight fallback after the first collect, so the
+    // distributed arm (rebuilt from driver state) must produce the
+    // identical (url, lastmod) set — cycles, min-lastmod and all
+    val dist = Crawl.expandSitemaps(seeds, "sm_url", "xml", fetch,
+      localRowThreshold = 0)
+      .orderBy("url").collect()
+      .map(x => (x.getString(0), Option(x.getString(1)))).toSeq
+    assert(dist === r.toSeq)
   }
 
   test("canonicalUrl: both attribute orders, quoting forms, resolution, absence") {
@@ -791,5 +800,70 @@ class CrawlSpec extends SparkSuite {
         localEdgeThreshold = 0L)), "labelProp")
     assert(rows(Crawl.kCore(e, k = 2)) ===
       rows(Crawl.kCore(e, k = 2, localEdgeThreshold = 0L)), "kCore")
+  }
+
+  test("pageRankConverge local tier ≡ distributed loop (r16): ranks, " +
+      "iteration count and converged flag") {
+    val e = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 1L), (4L, 5L),
+      (5L, 6L), (6L, 4L), (7L, 1L), (2L, 7L), (8L, 9L), (9L, 8L)
+    ).toDF("src", "dst")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq.toSeq).toSeq
+        .sortBy(_.head.asInstanceOf[Long])
+    for (redis <- Seq(false, true); tol <- Seq(0L, 500L, 2000000L)) {
+      val (lr, li, lc) = Crawl.pageRankConverge(e, maxIters = 12,
+        tolMicro = tol, redistributeDangling = redis)
+      val (dr, di, dc) = Crawl.pageRankConverge(e, maxIters = 12,
+        tolMicro = tol, redistributeDangling = redis,
+        localEdgeThreshold = 0L)
+      assert(li === di && lc === dc, s"iters/flag redis=$redis tol=$tol")
+      assert(rows(lr) === rows(dr), s"ranks redis=$redis tol=$tol")
+    }
+    // the converged run's ranks equal the fixed-iteration run at the
+    // same count — the pageRankConverge contract, now also on the tier
+    val (cr, ci, cflag) = Crawl.pageRankConverge(e, maxIters = 30,
+      tolMicro = 100L)
+    assert(cflag)
+    assert(rows(cr) === rows(Crawl.pageRankInt(e, ci)))
+  }
+
+  test("local-tier gate (r16): byte cap and unsafe node types take " +
+      "the distributed arm; null edges drop in both tiers") {
+    val e0 = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val e = e0.localCheckpoint()
+    // default caps: small long-typed graph collects
+    assert(Crawl.edgesIfSmall(e, e0).isDefined)
+    // over-bytes/under-rows: a 1-byte cap refuses collection even at
+    // 2 rows — the fat-edge-list guard (and, at production scale, the
+    // same comparison short-circuits BEFORE any count job)
+    assert(Crawl.edgesIfSmall(e, e0, bytesCap = BigInt(1)).isEmpty)
+    // over-threshold rows: distributed arm
+    assert(Crawl.edgesIfSmall(e, e0, threshold = 1L).isEmpty)
+    // binary node ids: value-equality/ordering unsafe on the driver —
+    // distributed arm (the equi-joins handle binary fine)
+    val eb0 = Seq((Array[Byte](1), Array[Byte](2))).toDF("src", "dst")
+    val eb = eb0.localCheckpoint()
+    assert(Crawl.edgesIfSmall(eb, eb0).isEmpty)
+    // null src/dst rows are dropped from the shared PageRank edge
+    // projection (r15 ADVICE): no null node row, no null-keyed
+    // contributions, identical across tiers
+    val withNulls = Seq(
+      (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(2L)),
+      (java.lang.Long.valueOf(2L), java.lang.Long.valueOf(1L)),
+      (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(1L)),
+      (java.lang.Long.valueOf(2L), null.asInstanceOf[java.lang.Long])
+    ).toDF("src", "dst")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq.toSeq).toSeq
+        .sortBy(_.head.asInstanceOf[Long])
+    val local = Crawl.pageRankInt(withNulls, 3)
+    val dist = Crawl.pageRankInt(withNulls, 3, localEdgeThreshold = 0L)
+    assert(local.collect().forall(!_.isNullAt(0)))
+    assert(rows(local) === rows(dist))
+    // and the null-free graph ranks identically to the nulls-carrying
+    // input: the null edges contributed nothing
+    val clean = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    assert(rows(local) === rows(Crawl.pageRankInt(clean, 3)))
   }
 }

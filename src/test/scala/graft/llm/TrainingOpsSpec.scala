@@ -456,6 +456,53 @@ class TrainingOpsSpec extends SparkSuite {
     }
   }
 
+  test("trainUnigram: driver-local tier ≡ distributed EM loop (r16)") {
+    import spark.implicits._
+    // the r16 small-word-table tier must produce the BIT-IDENTICAL
+    // (piece, cnt, score_micro) model: same code-point substring
+    // seed, same UTF8-ordered top-k, same Viterbi E-steps (the SAME
+    // static kernel), same prune deltas. threshold=0 forces the
+    // distributed loop; default takes the local tier at this size.
+    // The corpus plants: shared substrings, a supplementary-plane
+    // symbol (😀 = one Spark character, two Java chars — code-point
+    // vs char-unit substring enumeration diverges if mishandled),
+    // and a U+E000/U+1F600 pair whose UTF-16 vs UTF8 order differs.
+    val df = Seq(
+      "abab abc bc aab caba",
+      "xyz zyx yzx xzy zzz",
+      "😀a a😀 😀😀 a",
+      "x x x x x x").toDF("text")
+    for ((em, prune) <- Seq((0, 0), (2, 3), (3, 5))) {
+      val l = TrainingOps.trainUnigram(df, "text", seedSize = 8,
+        maxPieceLen = 3, emRounds = em, pruneCount = prune)
+        .collect().map(_.toSeq).toSeq
+      val d = TrainingOps.trainUnigram(df, "text", seedSize = 8,
+        maxPieceLen = 3, emRounds = em, pruneCount = prune,
+        localWordThreshold = 0L)
+        .collect().map(_.toSeq).toSeq
+      assert(l === d, s"emRounds=$em pruneCount=$prune")
+      assert(l.nonEmpty)
+    }
+    // alphabet fail-fast guard fires identically on the local tier
+    val e = intercept[IllegalArgumentException] {
+      TrainingOps.trainUnigram(df, "text", maxAlphabet = 2)
+    }
+    assert(e.getMessage.contains("maxAlphabet"), e.getMessage)
+  }
+
+  test("trainer local-tier gate (r16): over-bytes/under-rows takes the distributed arm") {
+    import spark.implicits._
+    val w0 = Seq(("alpha", 3L), ("beta", 2L)).toDF("w", "freq")
+    val w = w0.localCheckpoint()
+    assert(TrainingOps.wordsIfSmall(w, w0, 2000000L).isDefined)
+    // a 1-byte cap refuses collection at 2 rows — the fat-word-table
+    // guard; at production scale the same estimate comparison
+    // short-circuits BEFORE the count() job
+    assert(TrainingOps.wordsIfSmall(w, w0, 2000000L,
+      bytesCap = BigInt(1)).isEmpty)
+    assert(TrainingOps.wordsIfSmall(w, w0, 1L).isEmpty)
+  }
+
   test("trainBpe local tier: tie-breaks compare in UTF8 binary order, not UTF-16") {
     import spark.implicits._
     // U+E000 (BMP private use) vs U+1F600 (supplementary): a UTF-16

@@ -118,6 +118,38 @@ class EtlSpec extends SparkSuite {
     }
   }
 
+  test("dqReport (r16): one-pass report ≡ qualityChecks ∪ uniqueCheck, row for row") {
+    // nulls, dup keys, violations and a passing rule all planted; the
+    // merged single-aggregate report must reproduce the unioned
+    // operators exactly (q202's restructuring proof)
+    val df = Seq((1L, Some(5)), (2L, Some(60)), (3L, None), (2L, Some(7)),
+      (2L, Some(7))).toDF("k", "q")
+    val rules = Seq(
+      "q_max_50" -> (col("q") > 50),
+      "k_positive" -> (col("k") <= 0))
+    val uniq = Seq(Seq("k") -> "unique_k", Seq("k", "q") -> "unique_kq")
+    def rows(d: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      d.orderBy("rule").collect().map(_.toSeq.toSeq).toSeq
+    val merged = rows(etl.dqReport(df, rules, uniq))
+    val unioned = rows(etl.qualityChecks(df, rules)
+      .unionByName(etl.uniqueCheck(df, Seq("k"), "unique_k"))
+      .unionByName(etl.uniqueCheck(df, Seq("k", "q"), "unique_kq")))
+    assert(merged === unioned)
+    // NULL-keyed rows are violations in the unique legs (matching
+    // uniqueCheck): k=3 has q NULL -> one unique_kq null violation
+    val m = merged.map(r => r.head -> r(1)).toMap
+    assert(m("unique_k") === 2L)  // k=2 thrice -> 2 dup rows
+    assert(m("unique_kq") === 2L) // one dup (2,7) + one NULL q row
+    // empty frame: zero counts, all pass
+    val empty = etl.dqReport(df.filter(lit(false)), rules, uniq)
+      .collect()
+    assert(empty.forall(r => r.getLong(1) === 0L && r.getLong(2) === 0L
+      && r.getBoolean(3)))
+    intercept[IllegalArgumentException] {
+      etl.dqReport(df, Seq("a" -> lit(true)), Seq(Seq("k") -> "a"))
+    }
+  }
+
   test("outlierGate: hand case, exact k-sigma boundary NOT flagged, null/singleton safe") {
     def gate(rows: Seq[(String, Option[Double])], kNum: Long, kDen: Long) =
       etl.outlierGate(rows.toDF("g", "v"), Seq("g"), "v", kNum, kDen)
