@@ -1386,22 +1386,19 @@ object TrainingOps {
     val spark = df.sparkSession
     val nPart = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    val staged0 = df.repartitionByRange(nPart, orderCols: _*)
+    // NOTE (r16): zipWithIndex is INHERENTLY two passes — a
+    // per-partition count job (fired eagerly at construction) plus
+    // the indexed map at execution — so the caller's upstream runs
+    // twice through the range shuffle. An internal gated
+    // localCheckpoint of `staged` was A/B'd and REVERTED: for the
+    // common cheap-upstream callers (snake shards over a projected
+    // cost table — q228 measured ~1.1-1.2× with the cut) the eager
+    // materialization job costs more than the re-run it saves.
+    // Callers whose upstream IS expensive cut the lineage themselves
+    // before calling (perplexityBuckets' gated score table, q231's
+    // gated train table) — that keeps the double pass trivial here.
+    val staged = df.repartitionByRange(nPart, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
-    // r16: zipWithIndex is INHERENTLY two passes — a per-partition
-    // count job (fired eagerly at construction) plus the indexed map
-    // at execution — and each pass re-ran the caller's whole upstream
-    // pipeline through the range shuffle. When the input's size
-    // ESTIMATE says it is machine-small, materialize the staged sort
-    // once and let both passes read it; past the estimate (the 100 TB
-    // path) the plan is unchanged — no rank-table-sized
-    // materialization is ever added there. (Estimate-only gate: the
-    // partition-count arm of Par.isSmall is about avoiding added
-    // shuffles, which does not apply to a lineage cut.)
-    val estSmall = df.queryExecution.optimizedPlan.stats.sizeInBytes <
-      BigInt(spark.sparkContext.defaultParallelism.toLong) *
-        spark.sessionState.conf.filesMaxPartitionBytes
-    val staged = if (estSmall) staged0.localCheckpoint() else staged0
     val schema = staged.schema
     val ranked = staged.rdd.zipWithIndex().map { case (r, i) =>
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))

@@ -40,9 +40,18 @@ object R13Queries {
         blockCols = Seq("lang"), shingleN = 3, threshold = 0.03)
       val split = graft.llm.Dedup.leakageSafeSplit(docs, "doc_id",
         pairs, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-      val train = docs.join(
+      // r16: the train table feeds snakeShards' globalRank (whose
+      // zipWithIndex is inherently TWO passes) plus the shard join —
+      // without a cut each pass re-ran the corpus join against the
+      // split labels; under the Par gate it materializes once. Past
+      // the gate: unchanged (the production posture accepts the
+      // re-runs rather than materializing a corpus-sized table).
+      val train0 = docs.join(
         split.filter(col("split") === "train").select("doc_id"),
         Seq("doc_id"))
+      val train =
+        if (graft.ops.Par.isSmall(docs)) train0.localCheckpoint()
+        else train0
       val cost = graft.llm.TextAnalysis.tokenCountWs(col("text"))
       val sharded = graft.llm.TrainingOps.snakeShards(
         train, "doc_id", cost, nShards = 4)

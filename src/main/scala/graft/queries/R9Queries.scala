@@ -537,10 +537,18 @@ object R9Queries {
     "q171_pipeline_report" -> ((s, d) => {
       val kq = graft.llm.TextAnalysis.qualityGate(col("text"))
         .getField("keep")
-      // r15: fan-out A/B'd — neutral (0.99×), left at baseline shape
-      val withH = T.documents(s, d)
+      // r15: fan-out A/B'd — neutral (0.99×), left at baseline shape.
+      // r16: the projected (kq, h) table feeds BOTH the winner groupBy
+      // and the join's left side — each re-ran the per-row
+      // qualityGate + SHA pass; under the Par gate (fan-out + cut) the
+      // pass runs once and in parallel. Past the gate: unchanged.
+      val proj = T.documents(s, d).select(col("doc_id"), col("text"))
+      val withH0 = graft.ops.Par.fanOut(proj, col("doc_id"))
         .select(col("doc_id"), col("text"), kq.as("kq"),
           sha2(trim(col("text")), 256).as("h"))
+      val withH =
+        if (graft.ops.Par.isSmall(proj)) withH0.localCheckpoint()
+        else withH0
       val win = withH.filter(col("kq")).groupBy("h")
         .agg(min("doc_id").as("_keep"))
       val kb = size(filter(
